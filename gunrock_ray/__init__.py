@@ -1,0 +1,22 @@
+"""gunrock_ray — a Ray-Data-native link-graph analytics engine.
+
+Brand-new engine with the query/data-processing capabilities of the reference
+Gunrock fork (sgpyc/gunrock, see SURVEY.md): PageRank, connected components,
+community label propagation, triangle counting, BFS, SSSP, degree top-k over an
+edge table derived from a Parquet corpus of source-code repositories — plus
+large-scale training-data operations (dedup, similarity search, text analysis).
+
+Library code never calls ray.init()/ray.shutdown() (driver contract).
+"""
+
+from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
+    bfs,
+    build_graph,
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,102 @@
+"""Shared deterministic hashing / partitioning / segment-reduce helpers.
+
+These are the substrate the reference implements as CUDA device utilities
+(`gunrock/util/` — sort, scan, segmented reduce; see SURVEY.md §2.3). Here they
+are vectorized NumPy kernels used inside Ray Data ``map_batches`` bodies and
+partition actors.
+
+Vertex ids are int64 (deliberate departure from the reference's 32-bit
+`VertexId`, `gunrock/gunrock.h:25-28` — we target 10^12-file scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# splitmix64 / Fibonacci multiplier — public-domain mixing constant.
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+
+INVALID_VERTEX = np.int64(-1)  # mirrors the reference's -1 sentinel
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform uint64 from int64/uint64 ids."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _MIX
+        z = (z ^ (z >> np.uint64(30))) * _MIX2
+        z = (z ^ (z >> np.uint64(27))) * _MIX3
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def owner_of(v: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Partition owner of each vertex id: hash(v) % P.
+
+    THE single partitioning function of the engine. Edges are partitioned by
+    ``owner_of(src)`` and vertex state by ``owner_of(v)`` with the same hash, so
+    a vertex's out-edges (CSR rows) are co-located with its state and the
+    combine shuffle keyed on dst lands messages at the dst owner — the analog of
+    the reference's `partition_table` (`gunrock/app/problem_base.cuh:85-105`)
+    without conversion tables (global ids are kept, like PR's `keep_node_num`,
+    `gunrock/app/pr/pr_problem.cuh:57-63`).
+    """
+    return (mix64(np.asarray(v)) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def stable_vertex_id(repo_path: "list[str] | np.ndarray") -> np.ndarray:
+    """int64 vertex id = first 8 bytes (big-endian, sign-cleared) of
+    sha256(key). Deterministic across processes (no PYTHONHASHSEED issues)."""
+    out = np.empty(len(repo_path), dtype=np.int64)
+    for i, s in enumerate(repo_path):
+        d = hashlib.sha256(s.encode("utf-8")).digest()
+        out[i] = np.int64(int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+def segment_reduce(ids: np.ndarray, vals: np.ndarray, op: str):
+    """Combine (ids, vals) pairs per unique id. op in {sum, min, max}.
+
+    Returns (unique_ids_sorted, reduced_vals). This is the in-actor combiner
+    (partial aggregation before the dst shuffle — SURVEY.md §7.3) and the
+    owner-side merge; replaces the reference's atomicAdd/atomicMin scatter
+    races (`gunrock/app/pr/pr_functor.cuh:189`) with deterministic reduction.
+    """
+    if len(ids) == 0:
+        return ids, vals
+    order = np.argsort(ids, kind="stable")
+    sid = ids[order]
+    sval = vals[order]
+    boundaries = np.empty(len(sid), dtype=bool)
+    boundaries[0] = True
+    np.not_equal(sid[1:], sid[:-1], out=boundaries[1:])
+    starts = np.flatnonzero(boundaries)
+    if op == "sum":
+        red = np.add.reduceat(sval, starts)
+    elif op == "min":
+        red = np.minimum.reduceat(sval, starts)
+    elif op == "max":
+        red = np.maximum.reduceat(sval, starts)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown op {op}")
+    return sid[starts], red
+
+
+def segment_starts(sorted_ids: np.ndarray) -> np.ndarray:
+    """Start offsets of runs in a sorted id array (run-length segmentation)."""
+    if len(sorted_ids) == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.empty(len(sorted_ids), dtype=bool)
+    b[0] = True
+    np.not_equal(sorted_ids[1:], sorted_ids[:-1], out=b[1:])
+    return np.flatnonzero(b)
+
+
+def sha256_column(strings) -> list[bytes]:
+    """Per-row sha256 of a string column (the north-rule ingest invariant)."""
+    return [hashlib.sha256(s.encode("utf-8")).digest() if s is not None else b"\x00" * 32
+            for s in strings]

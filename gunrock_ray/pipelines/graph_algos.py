@@ -1,0 +1,205 @@
+"""Public graph primitives over a DistributedGraph (SURVEY.md §2.13 API).
+
+Each primitive mirrors the reference's Init → Reset → Enact → Extract lifecycle
+(`tests/pr/test_pr.cu:487-1013`) as: build graph (once, reusable across
+primitives) → init state in actors → BSP superstep loop with per-superstep
+metrics + optional checkpointing → extract as a Ray Dataset.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import ray
+
+from gunrock_ray.state.graph import DistributedGraph, MetricsWriter, _flatten_returns
+
+
+def default_partitions() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(32, cpus))
+
+
+def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
+                num_partitions: int | None = None, spill_dir: str | None = None) -> DistributedGraph:
+    return DistributedGraph.from_edges(
+        edges, num_partitions or default_partitions(), spill_dir,
+        undirected=undirected, weighted=weighted, vertices=vertices)
+
+
+# ------------------------------------------------------------------- PageRank
+
+def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
+             max_iter: int = 50, metrics_path: str | None = None,
+             ckpt_dir: str | None = None, ckpt_every: int = 0,
+             resume: bool = False):
+    """Normalized PageRank (reference semantics, SURVEY.md §2.4; defaults from
+    `gunrock/app/pr/pr_app.cu:44-46`). Returns a Dataset {v, rank} sorted
+    (rank desc, v asc) — the stable final ranking of `test_pr.cu:455`.
+
+    Dangling vertices absorb rank (no redistribution, `doc/results.md:80-84`).
+    """
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    run_id = uuid.uuid4().hex
+    g.call_all("pr_init", g.n, delta, error)
+    start_iter = 0
+    if resume and ckpt_dir:
+        lineage = g.restore(ckpt_dir)
+        start_iter = lineage["iteration"] + 1
+        run_id = lineage["run_id"]
+    it = start_iter
+    while it < max_iter:
+        t0 = time.perf_counter()
+        res, _ = g.superstep("pr_scatter", "pr_apply")
+        dt = time.perf_counter() - t0
+        updated = sum(r["updated"] for r in res)
+        msgs = sum(r["msgs"] for r in res)
+        metrics.write(algo="pr", superstep=it, frontier=g.n, messages=msgs,
+                      changed=updated, t_superstep_s=dt, bytes_shuffled=msgs * 16)
+        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+            g.checkpoint(ckpt_dir, it, ["rank"], run_id,
+                         extra={"algo": "pr", "iteration": it,
+                                "params": {"delta": delta, "error": error,
+                                           "max_iter": max_iter}})
+        it += 1
+        if updated == 0:
+            break
+    metrics.close()
+    out = g.extract("pr_extract")
+    return out.sort(["rank", "v"], descending=[True, False])
+
+
+# ------------------------------------------------- Connected components (CC)
+
+def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,
+                         ckpt_dir: str | None = None, ckpt_every: int = 0):
+    """Hook-and-compress CC (reference semantics SURVEY.md §2.5). The graph
+    must be built ``undirected=True`` (CC treats input as undirected,
+    `tests/cc/run.sh`). Returns (Dataset {v, comp}, num_components); comp is
+    the min vertex id of the component (canonical form of
+    `tests/cc/test_cc.cu:245-260` reached directly — labels only decrease and
+    full compression leaves min-id roots).
+    """
+    g = graph
+    P = g.P
+    metrics = MetricsWriter(metrics_path)
+    run_id = uuid.uuid4().hex
+    g.call_all("cc_init")
+    rnd = 0
+    while True:
+        t0 = time.perf_counter()
+        # hook: lookup cid[dst] on active edges, scatter min-candidates
+        reqs = [_flatten_returns(a.cc_hook_request.options(num_returns=P).remote(), P)
+                for a in g.actors]
+        vals = [[g.actors[p].gather_values.remote("cid", reqs[q][p]) for p in range(P)]
+                for q in range(P)]
+        outs = [_flatten_returns(
+                    g.actors[q].cc_hook_scatter.options(num_returns=P + 1).remote(*vals[q]),
+                    P + 1)
+                for q in range(P)]
+        applies = [g.actors[p].cc_apply_min.remote(*[outs[q][p] for q in range(P)])
+                   for p in range(P)]
+        stats = ray.get([outs[q][P] for q in range(P)])
+        hook_changed = sum(r["changed"] for r in ray.get(applies))
+        active = sum(s["active"] for s in stats)
+        # compress: pointer-jump to fixpoint (PtrJump, cc_enactor.cuh:468-514)
+        jumps = 0
+        while True:
+            res = g.lookup("cc_jump_request", "cc_jump_apply", serve_args=("cid",))
+            jumps += 1
+            if sum(r["changed"] for r in res) == 0:
+                break
+        dt = time.perf_counter() - t0
+        metrics.write(algo="cc", superstep=rnd, frontier=active, messages=active,
+                      changed=hook_changed, jump_rounds=jumps, t_superstep_s=dt,
+                      bytes_shuffled=active * 16)
+        if ckpt_dir and ckpt_every and (rnd + 1) % ckpt_every == 0:
+            g.checkpoint(ckpt_dir, rnd, ["cid"], run_id,
+                         extra={"algo": "cc", "iteration": rnd})
+        rnd += 1
+        if hook_changed == 0:
+            break
+    metrics.close()
+    num_components = sum(g.call_all("cc_count_roots"))
+    return g.extract("cc_extract"), num_components
+
+
+# ------------------------------------------------- Label propagation (LP)
+
+def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
+                      metrics_path: str | None = None):
+    """Community label propagation (SURVEY.md §2.11 convention: synchronous,
+    adopt most frequent neighbor label, ties → smallest label, stop on no
+    change or max_iter). Graph must be built undirected. Returns Dataset
+    {v, label}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("lp_init")
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("lp_scatter", "lp_apply")
+        dt = time.perf_counter() - t0
+        changed = sum(r["changed"] for r in res)
+        msgs = sum(r.get("msgs", 0) for r in res)
+        metrics.write(algo="lp", superstep=it, frontier=g.n, messages=msgs,
+                      changed=changed, t_superstep_s=dt, bytes_shuffled=msgs * 24)
+        if changed == 0:
+            break
+    metrics.close()
+    return g.extract("lp_extract")
+
+
+# ------------------------------------------------- Triangle counting (TC)
+
+def triangle_count(graph: DistributedGraph) -> int:
+    """Exact triangle count via degree orientation + neighborhood intersection
+    (SURVEY.md §2.11). Graph must be built undirected (symmetrized + dedup +
+    self-loops dropped)."""
+    g = graph
+    g.lookup("tc_orient_request", "tc_orient", serve="gather_degrees")
+    counts = g.lookup("tc_adj_request", "tc_count", serve="tc_serve_adjacency")
+    return int(sum(counts))
+
+
+# ------------------------------------------------------------ BFS / SSSP
+
+def bfs(graph: DistributedGraph, src: int, *, metrics_path: str | None = None):
+    """BFS depths from src (SURVEY.md §2.6; -1 = unreached). Delta frontier:
+    only newly-settled vertices scatter each superstep."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("bfs_init", src)
+    it = 0
+    while True:
+        res, _ = g.superstep("bfs_scatter", "bfs_apply")
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="bfs", superstep=it, frontier=frontier, changed=frontier)
+        it += 1
+        if frontier == 0:
+            break
+    metrics.close()
+    return g.extract("bfs_extract")
+
+
+def sssp(graph: DistributedGraph, src: int, *, metrics_path: str | None = None):
+    """Single-source shortest paths (SURVEY.md §2.7; Bellman-Ford-style frontier
+    relaxation with min-combine; inf = unreached). Graph should be built
+    weighted; unweighted graphs use weight 1."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("sssp_init", src)
+    it = 0
+    while True:
+        res, _ = g.superstep("sssp_scatter", "sssp_apply")
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="sssp", superstep=it, frontier=frontier, changed=frontier)
+        it += 1
+        if frontier == 0:
+            break
+    metrics.close()
+    return g.extract("sssp_extract")

@@ -1,0 +1,127 @@
+"""Deterministic synthetic source-code repository corpus (FIXTURES.md §1).
+
+This is the small-scale stand-in for the north rule's 10^12-file Parquet corpus
+(BASELINE.json `input_hint`): columns
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+The generator writes the import lines itself, so the *expected* edge set of the
+derived file-dependency graph is known exactly and the content→edges round trip
+is checkable (ingest must recover precisely these edges). ~2% self-imports and
+~2% duplicated import lines are injected on purpose to exercise the reference's
+normalization contract (self-loop drop + dedup, `gunrock/csr.cuh:588`).
+
+Everything is a pure function of (row index, seed) — batch-boundary independent,
+so `ray.data.range(n).map_batches(...)` yields identical bytes at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+LANGS = ["py", "c", "cpp", "rs", "go"]
+
+
+def _h(seed: int, *parts: int) -> np.ndarray:
+    """Deterministic uint64 stream: mix64 over a key folded from parts."""
+    key = np.uint64(seed)
+    acc = None
+    for p in parts:
+        arr = np.asarray(p, dtype=np.uint64)
+        acc = mix64(arr + key) if acc is None else mix64(acc ^ mix64(arr + key))
+    return acc
+
+
+def corpus_batch(row_ids: np.ndarray, files_per_repo: int = 25, seed: int = 42) -> pa.Table:
+    """Generate corpus rows for global row indices ``row_ids``.
+
+    Row r → repo index i = r // files_per_repo, file index j = r % files_per_repo.
+    """
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    F = files_per_repo
+    i = row_ids // F
+    j = row_ids % F
+
+    repos = [f"org{ii // 50}/repo{ii % 50}" for ii in i]
+    paths = [f"src/m{jj:04d}.{LANGS[jj % 5]}" for jj in j]
+    commits = [hashlib.sha1(f"{r}@{p}".encode()).hexdigest() for r, p in zip(repos, paths)]
+    langs = [LANGS[jj % 5] for jj in j]
+
+    # imports: K in 1..4 targets per file, deterministic per (i, j, k)
+    k_counts = (_h(seed, 1, i.astype(np.uint64), j.astype(np.uint64)) % np.uint64(4)).astype(np.int64) + 1
+    contents = []
+    for n in range(len(row_ids)):
+        ii, jj, K = int(i[n]), int(j[n]), int(k_counts[n])
+        lines = [f"// {repos[n]}/{paths[n]}"]
+        for k in range(K):
+            r = int(_h(seed, 2, np.uint64(ii), np.uint64(jj), np.uint64(k))[()])
+            if r % 50 == 0:
+                tgt = jj  # injected self-import → self-loop edge
+            else:
+                tgt = r % F
+            lines.append(f"import m{tgt:04d}")
+            if r % 50 == 1:
+                lines.append(f"import m{tgt:04d}")  # injected duplicate edge
+        # filler lines (deterministic pseudo-random hex)
+        nf = 1 + int(_h(seed, 3, np.uint64(ii), np.uint64(jj))[()] % 3)
+        for f in range(nf):
+            lines.append(f"let x{f} = 0x{int(_h(seed, 4, np.uint64(ii), np.uint64(jj), np.uint64(f))[()]):016x}")
+        contents.append("\n".join(lines))
+
+    return pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })
+
+
+def corpus_table(num_repos: int = 20, files_per_repo: int = 25, seed: int = 42) -> pa.Table:
+    """Whole corpus as one Arrow table (tiny/small scales, tests)."""
+    n = num_repos * files_per_repo
+    return corpus_batch(np.arange(n, dtype=np.int64), files_per_repo, seed)
+
+
+def corpus_dataset(num_repos: int, files_per_repo: int = 25, seed: int = 42,
+                   override_num_blocks: int | None = None):
+    """Corpus as a Ray Dataset — generated in parallel, identical bytes to
+    :func:`corpus_table` at any block split (generator is row-id pure)."""
+    import ray.data
+
+    n = num_repos * files_per_repo
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return corpus_batch(batch["id"].to_numpy(), files_per_repo, seed)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def expected_raw_edges(num_repos: int, files_per_repo: int = 25, seed: int = 42) -> pa.Table:
+    """Oracle: the exact raw edge list (with injected dups/self-loops) the
+    generator embedded in the content, as (src_key, dst_key) string keys
+    'repo/path'. Ingest's content→edges extraction must recover this multiset.
+    """
+    F = files_per_repo
+    srcs, dsts = [], []
+    for ii in range(num_repos):
+        repo = f"org{ii // 50}/repo{ii % 50}"
+        for jj in range(F):
+            K = int(_h(seed, 1, np.uint64(ii), np.uint64(jj))[()] % 4) + 1
+            src = f"{repo}/src/m{jj:04d}.{LANGS[jj % 5]}"
+            for k in range(K):
+                r = int(_h(seed, 2, np.uint64(ii), np.uint64(jj), np.uint64(k))[()])
+                tgt = jj if r % 50 == 0 else r % F
+                dst = f"{repo}/src/m{tgt:04d}.{LANGS[tgt % 5]}"
+                srcs.append(src)
+                dsts.append(dst)
+                if r % 50 == 1:
+                    srcs.append(src)
+                    dsts.append(dst)
+    return pa.table({"src_key": pa.array(srcs), "dst_key": pa.array(dsts)})

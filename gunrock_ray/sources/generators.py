@@ -1,0 +1,134 @@
+"""Deterministic graph generators + micro fixtures (FIXTURES.md §3).
+
+R-MAT mirrors the reference's generator parameters (a=0.55, b=c=0.15,
+`gunrock/graphio/rmat.cuh:177-266`) but is counter-based (every random decision
+is a pure hash of (seed, edge index, level)), so any block split of
+``ray.data.range(m)`` produces identical edges — the reference's per-thread RNG
+is not reproducible across thread counts; ours is (deliberate improvement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+
+# --- micro fixtures (ports of dataset/small/*.mtx edge lists) ----------------
+
+def g_pr4() -> pa.Table:
+    """The reference's `dataset/small/test_pr.mtx` (4 vertices / 8 arcs),
+    0-indexed directed arcs."""
+    src = [1, 2, 3, 2, 3, 0, 0, 2]
+    dst = [0, 0, 0, 1, 1, 2, 3, 3]
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def g_cc11() -> pa.Table:
+    """The reference's `dataset/small/test_cc.mtx` shape: 11 vertices /
+    20 directed arcs forming 2 components (loaded undirected by the CC driver,
+    `tests/cc/run.sh`). Component A = {0..6}, B = {7..10}."""
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (4, 1), (2, 1), (3, 2), (5, 2),
+             (4, 3), (6, 3), (5, 4), (6, 4), (6, 5), (0, 6), (1, 6), (2, 5),
+             (8, 7), (9, 7), (10, 8), (9, 10)]
+    src = [e[0] for e in edges]
+    dst = [e[1] for e in edges]
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def chain(n: int) -> pa.Table:
+    s = np.arange(n - 1, dtype=np.int64)
+    return pa.table({"src": pa.array(s), "dst": pa.array(s + 1)})
+
+
+def star(n: int) -> pa.Table:
+    """Hub 0 → spokes 1..n-1 (skew stress: dst combine hot key when reversed)."""
+    hub = np.zeros(n - 1, dtype=np.int64)
+    sp = np.arange(1, n, dtype=np.int64)
+    return pa.table({"src": pa.array(hub), "dst": pa.array(sp)})
+
+
+def ring(n: int) -> pa.Table:
+    s = np.arange(n, dtype=np.int64)
+    return pa.table({"src": pa.array(s), "dst": pa.array((s + 1) % n)})
+
+
+def two_cliques_bridge(k: int) -> pa.Table:
+    """K_k ∪ K_k + one bridge edge (directed arcs i<j; load undirected)."""
+    srcs, dsts = [], []
+    for base in (0, k):
+        for i in range(k):
+            for j in range(i + 1, k):
+                srcs.append(base + i)
+                dsts.append(base + j)
+    srcs.append(0)
+    dsts.append(k)
+    return pa.table({"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())})
+
+
+def triangle_fan(k: int) -> pa.Table:
+    """Vertex 0 + edges (i, i+1) for i in 1..k and spokes (0, i): k-1 triangles."""
+    srcs, dsts = [], []
+    for i in range(1, k + 1):
+        srcs.append(0)
+        dsts.append(i)
+    for i in range(1, k):
+        srcs.append(i)
+        dsts.append(i + 1)
+    return pa.table({"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())})
+
+
+# --- R-MAT -------------------------------------------------------------------
+
+def rmat_batch(edge_ids: np.ndarray, scale: int, seed: int = 42,
+               a: float = 0.55, b: float = 0.15, c: float = 0.15) -> pa.Table:
+    """Edges for global edge indices ``edge_ids`` of R-MAT(2^scale vertices)."""
+    eids = np.asarray(edge_ids, dtype=np.uint64)
+    n = len(eids)
+    src = np.zeros(n, dtype=np.int64)
+    dst = np.zeros(n, dtype=np.int64)
+    inv = 1.0 / np.float64(np.iinfo(np.uint64).max)
+    for level in range(scale):
+        u = mix64(eids ^ mix64(np.uint64(seed) + np.uint64(level * 0x10001)))
+        r = u.astype(np.float64) * inv
+        # quadrant probabilities: a | b / c | d with d = 1-a-b-c
+        col_bit = ((r >= a) & (r < a + b)) | (r >= a + b + c)
+        row_bit = r >= a + b
+        src = (src << 1) | row_bit.astype(np.int64)
+        dst = (dst << 1) | col_bit.astype(np.int64)
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def rmat_table(scale: int, edge_factor: int = 16, seed: int = 42) -> pa.Table:
+    m = (1 << scale) * edge_factor
+    return rmat_batch(np.arange(m, dtype=np.int64), scale, seed)
+
+
+def rmat_dataset(scale: int, edge_factor: int = 16, seed: int = 42,
+                 override_num_blocks: int | None = None):
+    """R-MAT as a Ray Dataset generated in parallel (scale benchmarks)."""
+    import ray.data
+
+    m = (1 << scale) * edge_factor
+    ds = ray.data.range(m, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return rmat_batch(batch["id"].to_numpy(), scale, seed)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def add_weights(edges: pa.Table, seed: int = 42, lo: int = 1, hi: int = 64) -> pa.Table:
+    """Deterministic uniform integer weights in [lo, hi] (the reference's SSSP
+    weight convention, `doc/methodology.md` §SSSP), keyed on (src, dst)."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    u = mix64(mix64(src.astype(np.uint64) + np.uint64(seed)) ^ dst.astype(np.uint64))
+    w = (u % np.uint64(hi - lo + 1)).astype(np.float64) + lo
+    return edges.append_column("w", pa.array(w, pa.float64()))
+
+
+def vertices_range(n: int) -> pa.Table:
+    """Explicit vertex table 0..n-1 (for fixtures with isolated vertices)."""
+    return pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})

@@ -1,0 +1,141 @@
+"""Ingest: repo-corpus Parquet → content sha256 → edge table.
+
+North-rule contract (BASELINE.json `input_hint`): per-row ``content_sha256``
+equality with a host oracle must hold through ingest, and edges are derived
+deterministically from content import lines (FIXTURES.md §2).
+
+All stages are Ray Data ``map_batches`` bodies over Arrow batches — stateless
+tasks (parse/hash have no state worth an actor). ``content`` is dropped as soon
+as the sha + edges are extracted so downstream shuffles move only int64 columns
+(SURVEY.md §7.4 "wide content rows").
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import sha256_column, stable_vertex_id
+from gunrock_ray.sources.corpus import LANGS
+
+_IMPORT_RE = re.compile(r"^import m(\d{4})$", re.M)
+
+
+def add_content_sha(batch: pa.Table) -> pa.Table:
+    """Append ``content_sha: fixed_size_binary(32)`` (the per-row invariant)."""
+    shas = sha256_column(batch["content"].to_pylist())
+    return batch.append_column("content_sha", pa.array(shas, pa.binary(32)))
+
+
+def files_with_sha(files_ds):
+    """Dataset stage: corpus → corpus + content_sha."""
+    return files_ds.map_batches(add_content_sha, batch_format="pyarrow")
+
+
+def extract_edges_batch(batch: pa.Table) -> pa.Table:
+    """content → raw edge rows {src:int64, dst:int64} (may contain self-loops
+    and duplicates — normalization is a later stage, mirroring the reference's
+    read-then-normalize split, `gunrock/graphio/market.cuh` → `csr.cuh:588`).
+
+    Edge (u→v) iff u's content has line ``import mNNNN`` and v is file NNNN of
+    the same repo; vertex id = stable sha256-derived hash of 'repo/path'
+    (collision-improbable 63-bit space; FIXTURES.md §2).
+    """
+    repos = batch["repo"].to_pylist()
+    paths = batch["path"].to_pylist()
+    contents = batch["content"].to_pylist()
+    src_keys: list[str] = []
+    dst_keys: list[str] = []
+    for repo, path, content in zip(repos, paths, contents):
+        tgts = _IMPORT_RE.findall(content)
+        if not tgts:
+            continue
+        skey = f"{repo}/{path}"
+        for t in tgts:
+            j = int(t)
+            src_keys.append(skey)
+            dst_keys.append(f"{repo}/src/m{j:04d}.{LANGS[j % 5]}")
+    src = stable_vertex_id(src_keys)
+    dst = stable_vertex_id(dst_keys)
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def edges_from_files(files_ds):
+    """Dataset stage: corpus → raw edge table (src, dst)."""
+    return files_ds.map_batches(extract_edges_batch, batch_format="pyarrow")
+
+
+def vertex_dictionary(files_ds):
+    """Dataset stage: corpus → vertex id↔name dictionary {v, repo, path}.
+
+    Every file is a vertex, including files never imported / importing nothing
+    (the reference's CSR always covers all n vertices — degree-0 rows are
+    back-filled, `gunrock/csr.cuh:645-655`).
+    """
+    def to_vertex(batch: pa.Table) -> pa.Table:
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        keys = [f"{r}/{p}" for r, p in zip(repos, paths)]
+        v = stable_vertex_id(keys)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+        })
+
+    return files_ds.map_batches(to_vertex, batch_format="pyarrow")
+
+
+# --- normalization contract (gunrock/csr.cuh:588, market.cuh:241-270) --------
+
+def drop_self_loops(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+
+def symmetrize_batch(batch: pa.Table) -> pa.Table:
+    """Undirected load: each edge (u,v) also yields (v,u)
+    (`gunrock/graphio/market.cuh:270,413`). Dedup happens later per-partition."""
+    cols = {"src": pa.chunked_array([batch["src"], batch["dst"]]),
+            "dst": pa.chunked_array([batch["dst"], batch["src"]])}
+    for name in batch.column_names:
+        if name not in ("src", "dst"):
+            cols[name] = pa.chunked_array([batch[name], batch[name]])
+    return pa.table(cols)
+
+
+def dedup_sorted(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = None):
+    """Exact dedup of an edge list (first-wins ⇒ deterministic min-w for
+    weighted duplicates — see normalize_edges docstring). Returns sorted-by-
+    (src,dst) deduped arrays. Used inside partition actors at CSR build: global
+    correctness holds because duplicate edges share src and src-hash
+    partitioning co-locates them."""
+    if len(src) == 0:
+        return (src, dst, w)
+    order = np.lexsort((dst, src)) if w is None else np.lexsort((w, dst, src))
+    s, d = src[order], dst[order]
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    np.logical_or(s[1:] != s[:-1], d[1:] != d[:-1], out=keep[1:])
+    if w is None:
+        return s[keep], d[keep], None
+    return s[keep], d[keep], w[order][keep]
+
+
+def normalize_edges(edges_ds, undirected: bool = False):
+    """Raw edges → normalized edges, streaming (no shuffle here):
+    self-loops dropped per batch; symmetrization per batch when undirected;
+    exact dedup deferred to the per-partition CSR build (duplicates co-locate
+    by src hash, so per-partition dedup is globally exact).
+
+    Weighted duplicate resolution: the reference keeps the first occurrence in
+    (row,col)-sorted file order (`gunrock/csr.cuh:588`) which is input-order
+    dependent; we keep the minimum weight — deterministic under any
+    parallelism (documented deviation).
+    """
+    out = edges_ds.map_batches(drop_self_loops, batch_format="pyarrow")
+    if undirected:
+        out = out.map_batches(symmetrize_batch, batch_format="pyarrow")
+    return out

@@ -1,0 +1,218 @@
+"""DistributedGraph: driver-side handle over the partition actor pool.
+
+Build path is pure Ray Data (streaming, no driver materialization):
+
+    edges Dataset → normalize (self-loop drop [+ symmetrize]) per batch
+                  → add pid = owner_of(src) column
+                  → write_parquet(spill/edges, partition_cols=['pid'])
+    vertex ids    → per-batch unique of {src} ∪ {dst} [∪ explicit vertices]
+                  → add pid = owner_of(v)
+                  → write_parquet(spill/verts, partition_cols=['pid'])
+
+then P long-lived actors each read ONLY their own hive partition and build
+their CSR block (exact dedup is per-partition — globally correct because
+duplicate edges share src and hence pid). The partitioned spill doubles as the
+reference's binary CSR cache (`gunrock/csr.cuh:244-266`) and makes builds
+resumable: a rerun over the same spill_dir skips nothing but re-reads only
+its own shard per actor.
+
+Superstep plumbing: ``superstep()`` (scatter with num_returns=P → per-owner
+apply; blob refs flow actor→actor through the object store, the driver only
+routes references — the analog of the reference's PushNeighbor/Expand_Incoming
+peer copies, `gunrock/app/enactor_loop.cuh:302-380`) and ``lookup()``
+(plan → serve → apply, two rounds, used by CC pointer jumping and TC).
+``ray.get`` on the per-partition counters is the BSP barrier
+(`util/global_barrier.cuh` analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from gunrock_ray.common import owner_of
+from gunrock_ray.sources.ingest import normalize_edges
+from gunrock_ray.state.partition import GraphPartition
+
+
+def _as_dataset(edges):
+    import ray.data
+    if isinstance(edges, pa.Table):
+        return ray.data.from_arrow(edges)
+    return edges
+
+
+def _flatten_returns(refs, P):
+    # actor.method.options(num_returns=P) returns a list of refs for P>1,
+    # a single ref for P==1
+    return refs if P > 1 else [refs]
+
+
+class DistributedGraph:
+    def __init__(self, actors, num_partitions: int, spill_dir: str, weighted: bool,
+                 n_global: int, m_global: int):
+        self.actors = actors
+        self.P = num_partitions
+        self.spill_dir = spill_dir
+        self.weighted = weighted
+        self.n = n_global
+        self.m = m_global
+
+    # ----------------------------------------------------------------- build
+
+    @staticmethod
+    def from_edges(edges, num_partitions: int, spill_dir: str | None = None, *,
+                   undirected: bool = False, weighted: bool = False,
+                   vertices=None, num_cpus_per_actor: float = 0) -> "DistributedGraph":
+        """edges: Ray Dataset or Arrow table with columns src,dst[,w];
+        vertices: optional Dataset/table with column v (for isolated vertices,
+        mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`)."""
+        import ray.data
+
+        P = num_partitions
+        spill_dir = spill_dir or os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+
+        ds = normalize_edges(_as_dataset(edges), undirected=undirected)
+
+        def add_pid(batch: pa.Table) -> pa.Table:
+            pid = owner_of(batch["src"].to_numpy(), P)
+            return batch.append_column("pid", pa.array(pid, pa.int64()))
+
+        ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
+            os.path.join(spill_dir, "edges"), partition_cols=["pid"])
+
+        def vertex_ids(batch: pa.Table) -> pa.Table:
+            v = np.unique(np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()]))
+            return pa.table({"v": pa.array(v, pa.int64()),
+                             "pid": pa.array(owner_of(v, P), pa.int64())})
+
+        vds = _as_dataset(edges).map_batches(vertex_ids, batch_format="pyarrow")
+        if vertices is not None:
+            def explicit(batch: pa.Table) -> pa.Table:
+                v = batch["v"].to_numpy()
+                return pa.table({"v": batch["v"], "pid": pa.array(owner_of(v, P), pa.int64())})
+            vds = vds.union(_as_dataset(vertices).map_batches(explicit, batch_format="pyarrow"))
+        vds.write_parquet(os.path.join(spill_dir, "verts"), partition_cols=["pid"])
+
+        # num_cpus=0: partition actors are long-lived state holders whose
+        # compute happens in bursts at superstep barriers; reserving a CPU slot
+        # per actor would starve Ray Data stages running alongside (and
+        # deadlock when P == cluster CPUs). SPREAD places one per node on a
+        # real cluster, mirroring one GraphSlice per GPU.
+        Actor = ray.remote(num_cpus=num_cpus_per_actor,
+                           scheduling_strategy="SPREAD")(GraphPartition)
+        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
+        stats = ray.get([a.build.remote() for a in actors])
+        n = sum(s["n_local"] for s in stats)
+        m = sum(s["m_local"] for s in stats)
+        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
+
+    # -------------------------------------------------------------- plumbing
+
+    def call_all(self, method: str, *args, **kwargs):
+        return ray.get([getattr(a, method).remote(*args, **kwargs) for a in self.actors])
+
+    def superstep(self, scatter: str, apply: str, scatter_args=(),
+                  extra_returns: int = 0):
+        """One BSP round: scatter on every actor (P routed blobs each), apply
+        the per-owner blobs on the owning actor, barrier on the counters.
+        Returns (apply_results, extra_scatter_results)."""
+        P = self.P
+        nret = P + extra_returns
+        outs = [_flatten_returns(
+                    getattr(a, scatter).options(num_returns=nret).remote(*scatter_args),
+                    nret)
+                for a in self.actors]
+        applies = [getattr(self.actors[p], apply).remote(*[outs[q][p] for q in range(P)])
+                   for p in range(P)]
+        extras = []
+        if extra_returns:
+            extras = ray.get([outs[q][P] for q in range(P)])
+        return ray.get(applies), extras
+
+    def lookup(self, plan: str, apply: str, serve: str = "gather_values",
+               serve_args=()):
+        """Two-round exchange: each actor plans per-owner id requests, owners
+        serve values, requester applies. Returns apply results."""
+        P = self.P
+        reqs = [_flatten_returns(getattr(a, plan).options(num_returns=P).remote(), P)
+                for a in self.actors]
+        vals = [[getattr(self.actors[p], serve).remote(*serve_args, reqs[q][p])
+                 for p in range(P)] for q in range(P)]
+        return ray.get([getattr(self.actors[q], apply).remote(*vals[q]) for q in range(P)])
+
+    def extract(self, method: str):
+        """Per-partition Arrow tables → Ray Dataset (zero driver copy)."""
+        import ray.data
+        refs = [getattr(a, method).remote() for a in self.actors]
+        return ray.data.from_arrow_refs(refs)
+
+    def shutdown(self, remove_spill: bool = False):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+        if remove_spill:
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+    # ------------------------------------------------------------ checkpoint
+
+    def checkpoint(self, ckpt_dir: str, step: int, names: list[str],
+                   run_id: str, extra: dict | None = None) -> None:
+        """Per-partition state Parquet + lineage.json (north-rule resumability).
+        lineage is written only after every partition file is durable, so a
+        step present in lineage.json is complete (atomic commit marker)."""
+        paths = self.call_all("save_state", ckpt_dir, step, names)
+        lineage = {
+            "run_id": run_id,
+            "superstep": step,
+            "num_partitions": self.P,
+            "partitions": {str(p): paths[p] for p in range(self.P)},
+            "state_columns": names,
+            "n": self.n, "m": self.m,
+        }
+        if extra:
+            lineage.update(extra)
+        tmp = os.path.join(ckpt_dir, "lineage.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(tmp, os.path.join(ckpt_dir, "lineage.json"))
+
+    def restore(self, ckpt_dir: str) -> dict:
+        with open(os.path.join(ckpt_dir, "lineage.json")) as f:
+            lineage = json.load(f)
+        self.call_all("load_state", ckpt_dir, lineage["superstep"], lineage["state_columns"])
+        return lineage
+
+
+class MetricsWriter:
+    """Per-superstep metrics sink (`metrics.jsonl`, FIXTURES.md §4) —
+    supersedes the reference's `info.cuh` JSON stats."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self.rows: list[dict] = []
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def write(self, **row) -> None:
+        row.setdefault("wall_time", time.time())
+        self.rows.append(row)
+        if self._f:
+            self._f.write(json.dumps(row) + "\n")
+            self._f.flush()
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()

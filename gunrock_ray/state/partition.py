@@ -1,0 +1,563 @@
+"""Per-partition graph state: the Ray-native analog of the reference's
+GraphSlice (topology per device, `gunrock/app/problem_base.cuh:85-105`) +
+DataSlice (per-algorithm vertex state, e.g. `gunrock/app/pr/pr_problem.cuh:83-111`).
+
+One ``GraphPartition`` instance lives inside one long-lived Ray actor (created
+by :mod:`gunrock_ray.state.graph`). It owns:
+
+- the vertices v with ``owner_of(v) == pid`` (sorted int64 array) and their
+  out-edges as a CSR block (``row_offsets``/``col_indices`` — zero-copy-built
+  from the partition's Parquet shard),
+- named per-vertex state arrays (ranks, labels, distances, masks),
+
+and implements the vectorized per-superstep kernels (scatter with in-actor
+partial combine, apply, lookup serve) for PR / CC / LP / BFS / SSSP / TC.
+Atomic-add/min scatter races of the reference (`pr_functor.cuh:189`,
+`bfs_functor.cuh:72`) are replaced by deterministic segment reductions.
+
+The class is plain Python (unit-testable without Ray); the actor wrapper is
+applied at creation time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gunrock_ray.common import owner_of, segment_reduce, segment_starts
+
+_BFS_INF = np.int64(1) << 62
+
+
+def _read_shard(root: str, pid: int, columns: list[str]) -> pa.Table | None:
+    d = os.path.join(root, f"pid={pid}")
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
+def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather concatenated slices flat[starts[i]:starts[i]+lens[i]] for all i."""
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    ends = np.cumsum(lens)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(starts, lens)
+    return flat[idx]
+
+
+class GraphPartition:
+    def __init__(self, pid: int, num_parts: int, spill_dir: str, weighted: bool = False):
+        self.pid = pid
+        self.P = num_parts
+        self.spill_dir = spill_dir
+        self.weighted = weighted
+        # topology
+        self.verts = np.zeros(0, dtype=np.int64)       # sorted owned vertex ids
+        self.row_offsets = np.zeros(1, dtype=np.int64)
+        self.col_indices = np.zeros(0, dtype=np.int64)
+        self.edge_w = None
+        self.out_deg = np.zeros(0, dtype=np.int64)
+        # algorithm state: name -> np.ndarray aligned with self.verts
+        self.state: dict[str, np.ndarray] = {}
+        self._pending: dict[str, object] = {}
+        self._push_plan = None
+
+    # ------------------------------------------------------------------ build
+
+    def build(self) -> dict:
+        """Load this partition's Parquet shards, dedup (globally exact: dup
+        edges share src ⇒ co-located), build CSR. Mirrors `Csr::FromCoo`
+        (`gunrock/csr.cuh:534-697`): sort by (src,dst), drop duplicate edges,
+        back-fill empty rows; self-loops were already dropped at ingest."""
+        from gunrock_ray.sources.ingest import dedup_sorted
+
+        vcols = ["v"]
+        vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid, vcols)
+        ecols = ["src", "dst"] + (["w"] if self.weighted else [])
+        et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid, ecols)
+
+        vs = vt["v"].to_numpy() if vt is not None else np.zeros(0, dtype=np.int64)
+        self.verts = np.unique(vs)
+
+        if et is not None and et.num_rows:
+            src = et["src"].to_numpy()
+            dst = et["dst"].to_numpy()
+            w = et["w"].to_numpy() if self.weighted else None
+            src, dst, w = dedup_sorted(src, dst, w)
+            self.col_indices = np.ascontiguousarray(dst)
+            self.edge_w = np.ascontiguousarray(w) if w is not None else None
+            # row_offsets over owned verts (every src is owned by construction)
+            starts = np.searchsorted(src, self.verts, side="left")
+            self.row_offsets = np.concatenate([starts, [len(src)]]).astype(np.int64)
+        else:
+            self.row_offsets = np.zeros(len(self.verts) + 1, dtype=np.int64)
+            self.col_indices = np.zeros(0, dtype=np.int64)
+        self.out_deg = np.diff(self.row_offsets)
+        return {"pid": self.pid, "n_local": len(self.verts), "m_local": len(self.col_indices)}
+
+    def _lidx(self, ids: np.ndarray) -> np.ndarray:
+        """Local index of owned global vertex ids."""
+        return np.searchsorted(self.verts, ids)
+
+    def _route(self, ids: np.ndarray, *vals: np.ndarray):
+        """Split (ids, vals...) into P per-owner tuples."""
+        own = owner_of(ids, self.P)
+        order = np.argsort(own, kind="stable")
+        ids_s = ids[order]
+        vals_s = tuple(v[order] for v in vals)
+        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
+        out = []
+        for p in range(self.P):
+            sl = slice(bounds[p], bounds[p + 1])
+            out.append((ids_s[sl],) + tuple(v[sl] for v in vals_s))
+        return out
+
+    def _combine_route(self, ids: np.ndarray, vals: np.ndarray, op: str):
+        """Partial-combine (ids, vals) per unique id, then split per owner.
+        This is the in-actor combiner before the dst shuffle (SURVEY.md §7.3)."""
+        uids, uvals = segment_reduce(ids, vals, op)
+        return self._route(uids, uvals)
+
+    # ------------------------------------------------------- generic plumbing
+
+    def gather_values(self, name: str, ids: np.ndarray) -> np.ndarray:
+        """Serve state[name] at owned global ids (the lookup-exchange server)."""
+        if len(ids) == 0:
+            return self.state[name][:0] if name in self.state else np.zeros(0)
+        return self.state[name][self._lidx(np.asarray(ids))]
+
+    def gather_degrees(self, ids: np.ndarray) -> np.ndarray:
+        if len(ids) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self.out_deg[self._lidx(np.asarray(ids))]
+
+    def state_table(self, columns: list[str]) -> pa.Table:
+        cols = {"v": pa.array(self.verts, pa.int64())}
+        for c in columns:
+            cols[c] = pa.array(self.state[c])
+        return pa.table(cols)
+
+    def set_scalar_state(self, name: str, dtype: str, fill) -> None:
+        self.state[name] = np.full(len(self.verts), fill, dtype=np.dtype(dtype))
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save_state(self, ckpt_dir: str, step: int, names: list[str]) -> str:
+        d = os.path.join(ckpt_dir, f"step={step}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"pid={self.pid}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(self.state_table(names), tmp)
+        os.replace(tmp, path)  # atomic per-partition commit
+        return path
+
+    def load_state(self, ckpt_dir: str, step: int, names: list[str]) -> None:
+        path = os.path.join(ckpt_dir, f"step={step}", f"pid={self.pid}.parquet")
+        t = pq.read_table(path)
+        v = t["v"].to_numpy()
+        if len(v) != len(self.verts) or not np.array_equal(v, self.verts):
+            raise ValueError(f"checkpoint partition {self.pid} does not match graph")
+        for c in names:
+            self.state[c] = t[c].to_numpy().copy()
+
+    # ------------------------------------------------- push plan (static LB)
+
+    def prepare_push_plan(self) -> int:
+        """Precompute the static scatter→combine plan: because PR's message
+        pattern is the full edge list every superstep (all-vertex frontier,
+        `gunrock/app/pr/pr_problem.cuh:277-281`), the (owner(dst), dst) sort,
+        per-owner segment bounds, unique dsts and reduce offsets are all
+        superstep-invariant. This replaces the reference's per-launch GPU load
+        balancing (`oprtr/advance/kernel_policy.cuh:31-67`) with a one-time
+        plan; per superstep only a gather + segmented reduce runs."""
+        m = len(self.col_indices)
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64), self.out_deg)
+        dst = self.col_indices
+        own = owner_of(dst, self.P)
+        order = np.lexsort((dst, own))
+        dst_s = dst[order]
+        own_s = own[order]
+        self._push_src_idx = src_idx[order]
+        bounds = np.searchsorted(own_s, np.arange(self.P + 1))
+        plan = []
+        for p in range(self.P):
+            sl = slice(int(bounds[p]), int(bounds[p + 1]))
+            seg = dst_s[sl]
+            starts = segment_starts(seg)
+            plan.append((sl, seg[starts] if len(seg) else seg, starts))
+        self._push_plan = plan
+        self._push_dst_sorted = dst_s
+        return m
+
+    def push_values(self, vals_per_edge_sorted: np.ndarray, op: str):
+        """Partial-combine pre-sorted per-edge values along the static plan."""
+        out = []
+        for (sl, uids, starts) in self._push_plan:
+            seg_vals = vals_per_edge_sorted[sl]
+            if len(seg_vals) == 0:
+                out.append((uids, seg_vals))
+                continue
+            if op == "sum":
+                red = np.add.reduceat(seg_vals, starts)
+            elif op == "min":
+                red = np.minimum.reduceat(seg_vals, starts)
+            else:  # pragma: no cover
+                raise ValueError(op)
+            out.append((uids, red))
+        return out
+
+    # -------------------------------------------------------------- PageRank
+    # Semantics: gunrock/app/pr/pr_problem.cuh:397-417, pr_functor.cuh:148-226,
+    # pr_enactor.cuh:365-604, 846-871 (SURVEY.md §2.4). rank stores rank/deg.
+
+    def pr_init(self, n_global: int, delta: float, threshold: float) -> None:
+        if self._push_plan is None:
+            self.prepare_push_plan()
+        init_value = 1.0 / n_global
+        rank = np.full(len(self.verts), init_value, dtype=np.float64)
+        nz = self.out_deg > 0
+        rank[nz] = init_value / self.out_deg[nz]
+        self.state["rank"] = rank
+        self._pr_delta = delta
+        self._pr_threshold = threshold
+        self._pr_reset = (1.0 - delta) / n_global
+
+    def pr_scatter(self):
+        """Messages rank_curr[src] per out-edge, partial-summed per dst per
+        owner (`ApplyEdge` atomicAdd → deterministic reduceat)."""
+        vals = self.state["rank"][self._push_src_idx]
+        return self.push_values(vals, "sum")
+
+    def pr_apply(self, *blobs) -> dict:
+        """new = reset + delta*sum; deg>0 ⇒ /=deg; non-finite ⇒ 0; updated iff
+        |new-old| > threshold*old (`pr_functor.cuh:209-226`)."""
+        nxt = np.zeros(len(self.verts), dtype=np.float64)
+        for (ids, vals) in blobs:
+            if len(ids):
+                nxt[self._lidx(ids)] += vals
+        old = self.state["rank"]
+        new = self._pr_reset + self._pr_delta * nxt
+        nz = self.out_deg > 0
+        new[nz] /= self.out_deg[nz]
+        new[~np.isfinite(new)] = 0.0
+        updated = int(np.count_nonzero(np.abs(new - old) > self._pr_threshold * old))
+        self.state["rank"] = new
+        return {"updated": updated, "msgs": int(len(self.col_indices))}
+
+    def pr_extract(self) -> pa.Table:
+        """Un-normalize rank *= out_deg (`pr_enactor.cuh:297-320`)."""
+        rank = self.state["rank"].copy()
+        nz = self.out_deg > 0
+        rank[nz] *= self.out_deg[nz]
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "rank": pa.array(rank, pa.float64())})
+
+    # --------------------------------------------- Connected components (CC)
+    # Soman hook-and-compress (SURVEY.md §2.5; semantics from
+    # gunrock/app/cc/cc_functor.cuh + cc_enactor.cuh:296-762). Labels only
+    # decrease; settled edges (equal labels) are deactivated like `marks[]`.
+
+    def cc_init(self) -> None:
+        self.state["cid"] = self.verts.copy()
+        self._cc_active = np.arange(len(self.col_indices), dtype=np.int64)
+
+    def cc_hook_request(self):
+        """Plan lookup of cid[dst] for active edges: unique dsts per owner."""
+        dst = self.col_indices[self._cc_active]
+        uniq = np.unique(dst)
+        own = owner_of(uniq, self.P)
+        order = np.argsort(own, kind="stable")
+        uniq_s = uniq[order]
+        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
+        self._pending["cc_uniq_dst"] = uniq_s
+        return [uniq_s[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+
+    def cc_hook_scatter(self, *val_blobs):
+        """With cid[dst] answered, hook active edges: pf=cid[u], pt=cid[v];
+        equal ⇒ deactivate (mark); else candidate min(pf,pt) routed to
+        owner(max(pf,pt)) with min-combine (`cc_functor.cuh:375-489`)."""
+        uniq = self._pending.pop("cc_uniq_dst")
+        vals = np.concatenate([np.asarray(b) for b in val_blobs]) if len(uniq) else uniq
+        # uniq is (owner, id)-sorted; re-sort to global id order for searchsorted
+        reorder = np.argsort(uniq, kind="stable")
+        uniq, vals = uniq[reorder], vals[reorder]
+        act = self._cc_active
+        dst = self.col_indices[act]
+        src_idx = np.searchsorted(np.cumsum(self.out_deg), act, side="right")
+        pf = self.state["cid"][src_idx]
+        pt = vals[np.searchsorted(uniq, dst)] if len(uniq) else dst[:0]
+        settled = pf == pt
+        self._cc_active = act[~settled]
+        pf, pt = pf[~settled], pt[~settled]
+        target = np.maximum(pf, pt)
+        cand = np.minimum(pf, pt)
+        return self._combine_route(target, cand, "min") + [{"active": int(len(self._cc_active))}]
+
+    def cc_apply_min(self, *blobs) -> dict:
+        cid = self.state["cid"]
+        changed = 0
+        for (ids, vals) in blobs:
+            if len(ids):
+                li = self._lidx(ids)
+                nv = np.minimum(cid[li], vals)
+                changed += int(np.count_nonzero(nv != cid[li]))
+                cid[li] = nv
+        return {"changed": changed}
+
+    def cc_jump_request(self):
+        """Plan lookup cid[cid[v]]: unique parents per owner (pointer jump,
+        `cc_functor.cuh:544-563`)."""
+        parents = np.unique(self.state["cid"])
+        own = owner_of(parents, self.P)
+        order = np.argsort(own, kind="stable")
+        ps = parents[order]
+        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
+        self._pending["cc_parents"] = ps
+        return [ps[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+
+    def cc_jump_apply(self, *val_blobs) -> dict:
+        ps = self._pending.pop("cc_parents")
+        vals = np.concatenate([np.asarray(b) for b in val_blobs]) if len(ps) else ps
+        reorder = np.argsort(ps, kind="stable")
+        ps, vals = ps[reorder], vals[reorder]
+        cid = self.state["cid"]
+        new = vals[np.searchsorted(ps, cid)] if len(ps) else cid
+        changed = int(np.count_nonzero(new != cid))
+        self.state["cid"] = new
+        return {"changed": changed}
+
+    def cc_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "comp": pa.array(self.state["cid"], pa.int64())})
+
+    def cc_count_roots(self) -> int:
+        return int(np.count_nonzero(self.state["cid"] == self.verts))
+
+    # ------------------------------------------------- Label propagation (LP)
+    # SURVEY.md §2.11: synchronous; adopt most frequent neighbor label, ties →
+    # smallest label; vertices with no in-messages keep their label.
+
+    def lp_init(self) -> None:
+        if self._push_plan is None:
+            self.prepare_push_plan()
+        self.state["label"] = self.verts.copy()
+
+    def lp_scatter(self):
+        """Messages (dst, label[src]) partial-combined to (dst, label, count)
+        per owner — the two-stage mode-aggregate's first stage."""
+        labels = self.state["label"][self._push_src_idx]
+        out = []
+        for (sl, _uids, _starts) in self._push_plan:
+            dst = self._push_dst_sorted[sl]
+            lab = labels[sl]
+            if len(dst) == 0:
+                out.append((dst, lab, dst))
+                continue
+            order = np.lexsort((lab, dst))
+            d, l = dst[order], lab[order]
+            b = np.empty(len(d), dtype=bool)
+            b[0] = True
+            np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=b[1:])
+            starts = np.flatnonzero(b)
+            counts = np.diff(np.append(starts, len(d))).astype(np.int64)
+            out.append((d[starts], l[starts], counts))
+        return out
+
+    def lp_apply(self, *blobs) -> dict:
+        dsts = np.concatenate([b[0] for b in blobs])
+        labs = np.concatenate([b[1] for b in blobs])
+        cnts = np.concatenate([b[2] for b in blobs])
+        label = self.state["label"]
+        if len(dsts) == 0:
+            return {"changed": 0}
+        # merge partials: sum counts per (dst, label)
+        order = np.lexsort((labs, dsts))
+        d, l, c = dsts[order], labs[order], cnts[order]
+        b = np.empty(len(d), dtype=bool)
+        b[0] = True
+        np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=b[1:])
+        starts = np.flatnonzero(b)
+        d, l = d[starts], l[starts]
+        c = np.add.reduceat(c, starts)
+        # per dst: max count, tie → smallest label ⇒ order by (dst, -count, label)
+        order2 = np.lexsort((l, -c, d))
+        d2, l2 = d[order2], l[order2]
+        win = segment_starts(d2)
+        wd, wl = d2[win], l2[win]
+        li = self._lidx(wd)
+        changed = int(np.count_nonzero(label[li] != wl))
+        label[li] = wl
+        return {"changed": changed, "msgs": int(len(dsts))}
+
+    def lp_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "label": pa.array(self.state["label"], pa.int64())})
+
+    # ----------------------------------------------------------- BFS / SSSP
+    # SURVEY.md §2.6/2.7: delta frontier; min-combine replaces atomicMin.
+
+    def bfs_init(self, src_vertex: int) -> None:
+        depth = np.full(len(self.verts), _BFS_INF, dtype=np.int64)
+        self._frontier = np.zeros(0, dtype=np.int64)  # local indices
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex:
+            depth[pos] = 0
+            self._frontier = np.array([pos], dtype=np.int64)
+        self.state["depth"] = depth
+
+    def _frontier_edges(self):
+        starts = self.row_offsets[self._frontier]
+        lens = self.out_deg[self._frontier]
+        dst = _ragged_gather(self.col_indices, starts, lens)
+        src_li = np.repeat(self._frontier, lens)
+        eidx = _ragged_gather(np.arange(len(self.col_indices), dtype=np.int64), starts, lens)
+        return src_li, dst, eidx
+
+    def bfs_scatter(self):
+        src_li, dst, _ = self._frontier_edges()
+        newdepth = self.state["depth"][src_li] + 1
+        return self._combine_route(dst, newdepth, "min")
+
+    def bfs_apply(self, *blobs) -> dict:
+        depth = self.state["depth"]
+        improved: list[np.ndarray] = []
+        for (ids, vals) in blobs:
+            if len(ids):
+                li = self._lidx(ids)
+                better = vals < depth[li]
+                depth[li[better]] = vals[better]
+                improved.append(li[better])
+        f = np.unique(np.concatenate(improved)) if improved else np.zeros(0, dtype=np.int64)
+        self._frontier = f
+        return {"frontier": int(len(f))}
+
+    def bfs_extract(self) -> pa.Table:
+        d = self.state["depth"].copy()
+        d[d == _BFS_INF] = -1  # the reference's unreached sentinel
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "depth": pa.array(d, pa.int64())})
+
+    def sssp_init(self, src_vertex: int) -> None:
+        dist = np.full(len(self.verts), np.inf, dtype=np.float64)
+        self._frontier = np.zeros(0, dtype=np.int64)
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex:
+            dist[pos] = 0.0
+            self._frontier = np.array([pos], dtype=np.int64)
+        self.state["dist"] = dist
+
+    def sssp_scatter(self):
+        src_li, dst, eidx = self._frontier_edges()
+        w = self.edge_w[eidx] if self.edge_w is not None else np.ones(len(eidx))
+        return self._combine_route(dst, self.state["dist"][src_li] + w, "min")
+
+    def sssp_apply(self, *blobs) -> dict:
+        dist = self.state["dist"]
+        improved: list[np.ndarray] = []
+        for (ids, vals) in blobs:
+            if len(ids):
+                li = self._lidx(ids)
+                better = vals < dist[li]
+                dist[li[better]] = vals[better]
+                improved.append(li[better])
+        f = np.unique(np.concatenate(improved)) if improved else np.zeros(0, dtype=np.int64)
+        self._frontier = f
+        return {"frontier": int(len(f))}
+
+    def sssp_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "dist": pa.array(self.state["dist"], pa.float64())})
+
+    # ------------------------------------------------- Triangle counting (TC)
+    # SURVEY.md §2.11: degree orientation + neighborhood intersection over the
+    # symmetrized graph (build the graph with undirected=True first).
+
+    def tc_orient_request(self):
+        uniq = np.unique(self.col_indices)
+        own = owner_of(uniq, self.P)
+        order = np.argsort(own, kind="stable")
+        us = uniq[order]
+        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
+        self._pending["tc_uniq"] = us
+        return [us[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+
+    def tc_orient(self, *deg_blobs) -> int:
+        """Keep edge (u,v) iff (deg[u],u) < (deg[v],v): each undirected edge
+        survives exactly once, max oriented out-degree ≈ O(sqrt(m))."""
+        us = self._pending.pop("tc_uniq")
+        dvals = np.concatenate([np.asarray(b) for b in deg_blobs]) if len(us) else us
+        reorder = np.argsort(us, kind="stable")
+        us, dvals = us[reorder], dvals[reorder]
+        dst = self.col_indices
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64), self.out_deg)
+        du = self.out_deg[src_idx]
+        dv = dvals[np.searchsorted(us, dst)] if len(us) else dst[:0]
+        u = self.verts[src_idx]
+        keep = (du < dv) | ((du == dv) & (u < dst))
+        o_src_idx = src_idx[keep]
+        o_dst = dst[keep]
+        # oriented CSR over owned verts, neighbor lists sorted by id
+        order = np.lexsort((o_dst, o_src_idx))
+        o_src_idx, o_dst = o_src_idx[order], o_dst[order]
+        counts = np.bincount(o_src_idx, minlength=len(self.verts)).astype(np.int64)
+        self._tc_offsets = np.concatenate([[0], np.cumsum(counts)])
+        self._tc_cols = o_dst
+        return int(len(o_dst))
+
+    def tc_adj_request(self):
+        uniq = np.unique(self._tc_cols)
+        own = owner_of(uniq, self.P)
+        order = np.argsort(own, kind="stable")
+        us = uniq[order]
+        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
+        self._pending["tc_adj"] = us
+        return [us[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+
+    def tc_serve_adjacency(self, ids: np.ndarray):
+        """Serve oriented adjacency lists of owned ids: (lens, flat_cols)."""
+        ids = np.asarray(ids)
+        if len(ids) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        li = self._lidx(ids)
+        starts = self._tc_offsets[li]
+        lens = self._tc_offsets[li + 1] - starts
+        return lens, _ragged_gather(self._tc_cols, starts, lens)
+
+    def tc_count(self, *adj_blobs) -> int:
+        """count = Σ_{oriented (u,v)} |N+(u) ∩ N+(v)|, fully vectorized:
+        for every c in the fetched N+(v), probe membership of (u,c) in the
+        local oriented edge set via a dense-key sorted-array search."""
+        us = self._pending.pop("tc_adj")
+        if len(self._tc_cols) == 0:
+            return 0
+        lens = np.concatenate([np.asarray(b[0]) for b in adj_blobs])
+        flat = np.concatenate([np.asarray(b[1]) for b in adj_blobs])
+        # us is (owner, id)-sorted and lens aligns with it; the flat adjacency
+        # payload must be re-segmented when re-sorting to global id order
+        fstarts_o = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        reorder = np.argsort(us, kind="stable")
+        us, lens = us[reorder], lens[reorder]
+        flat = _ragged_gather(flat, fstarts_o[reorder], lens)
+        fstarts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        # dense local dictionary covering every id we touch
+        dic = np.unique(np.concatenate([self.verts, self._tc_cols, flat]))
+        L = len(dic)
+        o_counts = np.diff(self._tc_offsets)
+        u_per_edge = np.repeat(np.arange(len(self.verts), dtype=np.int64), o_counts)
+        key_local = np.searchsorted(dic, self.verts)[u_per_edge] * L + np.searchsorted(dic, self._tc_cols)
+        key_local = np.sort(key_local)
+        # probes: for edge e=(u,v): all c in fetched N+(v)
+        vpos = np.searchsorted(us, self._tc_cols)
+        e_lens = lens[vpos]
+        probe_c = _ragged_gather(flat, fstarts[vpos], e_lens)
+        probe_u = np.repeat(np.searchsorted(dic, self.verts)[u_per_edge], e_lens)
+        probe_key = probe_u * L + np.searchsorted(dic, probe_c)
+        pos = np.searchsorted(key_local, probe_key)
+        pos[pos >= len(key_local)] = len(key_local) - 1
+        return int(np.count_nonzero(key_local[pos] == probe_key))

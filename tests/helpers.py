@@ -1,0 +1,33 @@
+"""Test helpers: dense-id graph runners comparing the distributed engine
+against the NumPy oracles on fixtures (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def edges_np(table: pa.Table):
+    return table["src"].to_numpy(), table["dst"].to_numpy()
+
+
+def n_of(table: pa.Table) -> int:
+    s, d = edges_np(table)
+    return int(max(s.max(), d.max())) + 1 if len(s) else 0
+
+
+def vertices_table(n: int) -> pa.Table:
+    return pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+
+
+def result_map(ds, key="v", val=None) -> dict:
+    df = ds.to_pandas()
+    return dict(zip(df[key], df[val]))
+
+
+def dense_result(ds, n: int, col: str, dtype=np.float64) -> np.ndarray:
+    df = ds.to_pandas()
+    out = np.zeros(n, dtype=dtype)
+    out[df["v"].to_numpy()] = df[col].to_numpy()
+    assert len(df) == n, f"expected {n} vertices, got {len(df)}"
+    return out

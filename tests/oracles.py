@@ -1,0 +1,164 @@
+"""Host oracles — NumPy ports of the reference's CPU validators (SURVEY.md §5).
+
+- pagerank_ref: port of `ReferencePageRank_Normalized` (`tests/pr/test_pr.cu:368-473`)
+- cc_ref: union-find with min-vertex-root canonicalization (equivalent to Boost
+  `connected_components` + `ConvertIDs`, `tests/cc/test_cc.cu:203-260`)
+- lp_ref / tc_ref: brute-force implementations of the SURVEY.md §2.11 conventions
+- bfs_ref / sssp_ref: simple queue/Bellman-Ford references
+
+All operate on dense 0..n-1 vertex ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize_oracle(src, dst, undirected: bool = False):
+    """Reference normalization contract (`gunrock/csr.cuh:588`,
+    `market.cuh:270`): drop self-loops, symmetrize if undirected, exact dedup."""
+    pairs = set()
+    for u, v in zip(src, dst):
+        if u == v:
+            continue
+        pairs.add((int(u), int(v)))
+        if undirected:
+            pairs.add((int(v), int(u)))
+    arr = sorted(pairs)
+    s = np.array([p[0] for p in arr], dtype=np.int64)
+    d = np.array([p[1] for p in arr], dtype=np.int64)
+    return s, d
+
+
+def pagerank_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50):
+    """Returns unnormalized final ranks (len n float64). Matches the
+    distributed engine's semantics exactly (rank stores rank/deg internally;
+    dangling vertices absorb)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    nz = deg > 0
+    init = 1.0 / n
+    rank = np.full(n, init, dtype=np.float64)
+    rank[nz] = init / deg[nz]
+    reset = (1.0 - delta) / n
+    for _ in range(max_iter):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, rank[src])
+        new = reset + delta * nxt
+        new[nz] /= deg[nz]
+        new[~np.isfinite(new)] = 0.0
+        updated = np.abs(new - rank) > threshold * rank
+        rank = new
+        if not updated.any():
+            break
+    out = rank.copy()
+    out[nz] *= deg[nz]
+    return out
+
+
+def cc_ref(n, src, dst):
+    """(labels: min vertex id per component, num_components). Treats edges as
+    undirected regardless of direction."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(src, dst):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    # canonicalize to min vertex id per component (ConvertIDs)
+    canon = {}
+    for i in range(n):
+        canon.setdefault(roots[i], i)  # first (smallest) i per root after scan
+    labels = np.array([min(canon[roots[i]], roots[i]) for i in range(n)], dtype=np.int64)
+    # roots from union-by-min are already the min id; keep the explicit min pass
+    return labels, len(set(labels.tolist()))
+
+
+def lp_ref(n, src, dst, max_iter=50):
+    """Synchronous LP over undirected edges (pass symmetrized+deduped edge
+    list): adopt most frequent neighbor label, ties → smallest; no-neighbor
+    vertices keep their label."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        new = label.copy()
+        # messages: dst receives label[src]
+        per_v: dict[int, dict[int, int]] = {}
+        for u, v in zip(src, dst):
+            per_v.setdefault(int(v), {})
+            l = int(label[u])
+            per_v[int(v)][l] = per_v[int(v)].get(l, 0) + 1
+        for v, counts in per_v.items():
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if np.array_equal(new, label):
+            break
+        label = new
+    return label
+
+
+def tc_ref(n, src, dst):
+    """Exact triangle count (undirected simple graph; input in any direction)."""
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    count = 0
+    for u in range(n):
+        for v in adj[u]:
+            if v > u:
+                count += sum(1 for w in adj[u] & adj[v] if w > v)
+    return count
+
+
+def bfs_ref(n, src, dst, source):
+    from collections import deque
+    adj = [[] for _ in range(n)]
+    for u, v in zip(src, dst):
+        adj[int(u)].append(int(v))
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[source] = 0
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if depth[v] < 0:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def sssp_ref(n, src, dst, w, source):
+    import heapq
+    adj = [[] for _ in range(n)]
+    for u, v, ww in zip(src, dst, w):
+        adj[int(u)].append((int(v), float(ww)))
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        for v, ww in adj[u]:
+            nd = d + ww
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist

@@ -1,0 +1,71 @@
+"""PageRank vs the NumPy port of the reference oracle — allclose 1e-6
+(north rule; tighter than the reference's own 1e-2/1e-3 tolerance)."""
+
+import numpy as np
+import pytest
+
+from gunrock_ray import build_graph, pagerank
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, n_of, vertices_table
+from tests.oracles import normalize_oracle, pagerank_ref
+
+
+def run_pr(table, n, *, delta=0.85, error=1e-9, max_iter=50, P=4):
+    g = build_graph(table, num_partitions=P, vertices=vertices_table(n))
+    try:
+        out = pagerank(g, delta=delta, error=error, max_iter=max_iter)
+        got = dense_result(out, n, "rank")
+    finally:
+        g.shutdown(remove_spill=True)
+    src, dst = normalize_oracle(*edges_np(table))
+    want = pagerank_ref(n, src, dst, delta=delta, threshold=error, max_iter=max_iter)
+    return got, want
+
+
+def test_pr4_reference_fixture():
+    t = gen.g_pr4()
+    got, want = run_pr(t, 4, max_iter=100)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pr_chain():
+    t = gen.chain(16)
+    got, want = run_pr(t, 16, max_iter=60)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pr_star_skew():
+    # hub 0 → 199 spokes plus reversed edges: hot dst key stress
+    import pyarrow as pa
+    s = gen.star(200)
+    rev = pa.table({"src": s["dst"], "dst": s["src"]})
+    t = pa.concat_tables([s, rev])
+    got, want = run_pr(t, 200, max_iter=80)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pr_rmat_with_isolated():
+    t = gen.rmat_table(7, edge_factor=8)  # 128 verts, 1024 raw edges, dups+loops
+    n = 128 + 50  # 50 isolated vertices (dangling handling, doc/results.md:80-84)
+    got, want = run_pr(t, n, max_iter=50)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # total rank ≤ 1 (dangling absorption, no redistribution)
+    assert got.sum() <= 1.0 + 1e-9
+
+
+def test_pr_convergence_threshold_and_order():
+    t = gen.rmat_table(6, edge_factor=8)
+    n = 64
+    got, want = run_pr(t, n, error=0.001, max_iter=100)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pr_output_sorted_desc():
+    t = gen.g_pr4()
+    g = build_graph(t, num_partitions=2, vertices=vertices_table(4))
+    try:
+        df = pagerank(g, max_iter=30).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    r = df["rank"].to_numpy()
+    assert np.all(np.diff(r) <= 1e-15), "ranks must be descending"
