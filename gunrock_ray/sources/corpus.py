@@ -68,7 +68,7 @@ def corpus_batch(row_ids: np.ndarray, files_per_repo: int = 25, seed: int = 42) 
             if r % 50 == 1:
                 lines.append(f"import m{tgt:04d}")  # injected duplicate edge
         # filler lines (deterministic pseudo-random hex)
-        nf = 1 + int(_h(seed, 3, np.uint64(ii), np.uint64(jj))[()] % 3)
+        nf = 1 + int(_h(seed, 3, np.uint64(ii), np.uint64(jj))[()]) % 3
         for f in range(nf):
             lines.append(f"let x{f} = 0x{int(_h(seed, 4, np.uint64(ii), np.uint64(jj), np.uint64(f))[()]):016x}")
         contents.append("\n".join(lines))
@@ -113,7 +113,7 @@ def expected_raw_edges(num_repos: int, files_per_repo: int = 25, seed: int = 42)
     for ii in range(num_repos):
         repo = f"org{ii // 50}/repo{ii % 50}"
         for jj in range(F):
-            K = int(_h(seed, 1, np.uint64(ii), np.uint64(jj))[()] % 4) + 1
+            K = int(_h(seed, 1, np.uint64(ii), np.uint64(jj))[()]) % 4 + 1
             src = f"{repo}/src/m{jj:04d}.{LANGS[jj % 5]}"
             for k in range(K):
                 r = int(_h(seed, 2, np.uint64(ii), np.uint64(jj), np.uint64(k))[()])

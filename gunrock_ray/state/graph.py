@@ -81,6 +81,75 @@ class DistributedGraph:
         spill_dir = spill_dir or os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
         shutil.rmtree(spill_dir, ignore_errors=True)
 
+        if isinstance(edges, pa.Table) and edges.num_rows <= 200_000:
+            # small in-memory input: spill directly from the driver (same
+            # layout, no Ray Data jobs) — test/fixture fast path
+            DistributedGraph._spill_small(edges, P, spill_dir, undirected, weighted, vertices)
+        else:
+            DistributedGraph._spill_ray_data(edges, P, spill_dir, undirected, weighted, vertices)
+
+        # num_cpus=0: partition actors are long-lived state holders whose
+        # compute happens in bursts at superstep barriers; reserving a CPU slot
+        # per actor would starve Ray Data stages running alongside (and
+        # deadlock when P == cluster CPUs). SPREAD places one per node on a
+        # real cluster, mirroring one GraphSlice per GPU.
+        Actor = ray.remote(num_cpus=num_cpus_per_actor,
+                           scheduling_strategy="SPREAD")(GraphPartition)
+        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
+        stats = ray.get([a.build.remote() for a in actors])
+        n = sum(s["n_local"] for s in stats)
+        m = sum(s["m_local"] for s in stats)
+        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
+
+    @staticmethod
+    def _spill_small(edges: pa.Table, P: int, spill_dir: str, undirected: bool,
+                     weighted: bool, vertices) -> None:
+        import pyarrow.parquet as pq
+
+        src = edges["src"].to_numpy()
+        dst = edges["dst"].to_numpy()
+        w = edges["w"].to_numpy() if weighted else None
+        # vertex discovery from RAW edges (before self-loop drop), matching the
+        # Ray Data spill path: a self-loop-only vertex still exists (degree 0)
+        raw_v = np.unique(np.concatenate([src, dst]))
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        w = w[keep] if w is not None else None
+        if undirected:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            w = np.concatenate([w, w]) if w is not None else None
+        pid = owner_of(src, P)
+        order = np.argsort(pid, kind="stable")
+        bounds = np.searchsorted(pid[order], np.arange(P + 1))
+        for p in range(P):
+            sl = order[bounds[p]:bounds[p + 1]]
+            if len(sl) == 0:
+                continue
+            d = os.path.join(spill_dir, "edges", f"pid={p}")
+            os.makedirs(d, exist_ok=True)
+            cols = {"src": pa.array(src[sl]), "dst": pa.array(dst[sl])}
+            if w is not None:
+                cols["w"] = pa.array(w[sl])
+            pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
+        v = raw_v
+        if vertices is not None:
+            vt = vertices if isinstance(vertices, pa.Table) else pa.concat_tables(
+                [b for b in vertices.iter_batches(batch_format="pyarrow")])
+            v = np.unique(np.concatenate([v, vt["v"].to_numpy()]))
+        vpid = owner_of(v, P)
+        vorder = np.argsort(vpid, kind="stable")
+        vbounds = np.searchsorted(vpid[vorder], np.arange(P + 1))
+        for p in range(P):
+            sl = vorder[vbounds[p]:vbounds[p + 1]]
+            if len(sl) == 0:
+                continue
+            d = os.path.join(spill_dir, "verts", f"pid={p}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.table({"v": pa.array(v[sl])}), os.path.join(d, "part-0.parquet"))
+
+    @staticmethod
+    def _spill_ray_data(edges, P: int, spill_dir: str, undirected: bool,
+                        weighted: bool, vertices) -> None:
         ds = normalize_edges(_as_dataset(edges), undirected=undirected)
 
         def add_pid(batch: pa.Table) -> pa.Table:
@@ -102,19 +171,6 @@ class DistributedGraph:
                 return pa.table({"v": batch["v"], "pid": pa.array(owner_of(v, P), pa.int64())})
             vds = vds.union(_as_dataset(vertices).map_batches(explicit, batch_format="pyarrow"))
         vds.write_parquet(os.path.join(spill_dir, "verts"), partition_cols=["pid"])
-
-        # num_cpus=0: partition actors are long-lived state holders whose
-        # compute happens in bursts at superstep barriers; reserving a CPU slot
-        # per actor would starve Ray Data stages running alongside (and
-        # deadlock when P == cluster CPUs). SPREAD places one per node on a
-        # real cluster, mirroring one GraphSlice per GPU.
-        Actor = ray.remote(num_cpus=num_cpus_per_actor,
-                           scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
-        stats = ray.get([a.build.remote() for a in actors])
-        n = sum(s["n_local"] for s in stats)
-        m = sum(s["m_local"] for s in stats)
-        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
 
     # -------------------------------------------------------------- plumbing
 

@@ -219,14 +219,14 @@ class GraphPartition:
     def pr_init(self, n_global: int, delta: float, threshold: float) -> None:
         if self._push_plan is None:
             self.prepare_push_plan()
-        init_value = 1.0 / n_global
+        init_value = 1.0 / max(n_global, 1)  # n==0 ⇒ empty graph, no-op state
         rank = np.full(len(self.verts), init_value, dtype=np.float64)
         nz = self.out_deg > 0
         rank[nz] = init_value / self.out_deg[nz]
         self.state["rank"] = rank
         self._pr_delta = delta
         self._pr_threshold = threshold
-        self._pr_reset = (1.0 - delta) / n_global
+        self._pr_reset = (1.0 - delta) / max(n_global, 1)
 
     def pr_scatter(self):
         """Messages rank_curr[src] per out-edge, partial-summed per dst per

@@ -1,0 +1,53 @@
+"""BFS / SSSP vs references (SURVEY.md §2.6-2.7)."""
+
+import numpy as np
+
+from gunrock_ray import bfs, build_graph, sssp
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, vertices_table
+from tests.oracles import bfs_ref, sssp_ref
+
+
+def test_bfs_rmat():
+    t = gen.rmat_table(8, edge_factor=8)
+    n = 256
+    g = build_graph(t, num_partitions=4, vertices=vertices_table(n))
+    try:
+        got = dense_result(bfs(g, 0), n, "depth", np.int64)
+    finally:
+        g.shutdown(remove_spill=True)
+    want = bfs_ref(n, *edges_np(t), 0)
+    assert np.array_equal(got, want)
+
+
+def test_bfs_unreached_sentinel():
+    t = gen.chain(5)
+    g = build_graph(t, num_partitions=2, vertices=vertices_table(8))
+    try:
+        got = dense_result(bfs(g, 1), 8, "depth", np.int64)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert got[0] == -1 and np.all(got[5:] == -1)  # -1 = unreached (reference sentinel)
+    assert got[1] == 0 and got[4] == 3
+
+
+def test_sssp_weighted_rmat():
+    t = gen.add_weights(gen.rmat_table(8, 8))
+    n = 256
+    g = build_graph(t, num_partitions=4, weighted=True, vertices=vertices_table(n))
+    try:
+        got = dense_result(sssp(g, 0), n, "dist")
+    finally:
+        g.shutdown(remove_spill=True)
+    # oracle over normalized (self-loops dropped, duplicate → min weight) edges
+    best = {}
+    for u, v, w in zip(*edges_np(t), t["w"].to_numpy()):
+        if u == v:
+            continue
+        k = (int(u), int(v))
+        best[k] = min(best.get(k, np.inf), float(w))
+    su = np.array([k[0] for k in best])
+    du = np.array([k[1] for k in best])
+    wu = np.array(list(best.values()))
+    want = sssp_ref(n, su, du, wu, 0)
+    assert np.allclose(got, want, equal_nan=True)

@@ -1,0 +1,134 @@
+"""CC (exact, min-root canonical), LP (exact, documented convention), TC
+(exact count) vs oracles on the FIXTURES.md §3 families."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray import build_graph, connected_components, label_propagation, triangle_count
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, n_of, vertices_table
+from tests.oracles import cc_ref, lp_ref, normalize_oracle, tc_ref
+
+
+def undirected_graph(table, n=None, P=4):
+    verts = vertices_table(n) if n is not None else None
+    return build_graph(table, num_partitions=P, undirected=True, vertices=verts)
+
+
+@pytest.fixture(scope="module")
+def rmat_graph():
+    t = gen.rmat_table(10, edge_factor=8)  # 1024 verts, 8192 raw edges
+    g = undirected_graph(t, n=1024)
+    yield t, g
+    g.shutdown(remove_spill=True)
+
+
+def check_cc(table, n, g=None):
+    own = g is None
+    if own:
+        g = undirected_graph(table, n)
+    try:
+        out, ncomp = connected_components(g)
+        got = dense_result(out, n, "comp", np.int64)
+    finally:
+        if own:
+            g.shutdown(remove_spill=True)
+    want, nref = cc_ref(n, *edges_np(table))
+    assert np.array_equal(got, want)
+    assert ncomp == nref
+
+
+def test_cc_reference_fixture():
+    check_cc(gen.g_cc11(), 11)
+
+
+def test_cc_chain_long():
+    # 1000-vertex path: stresses pointer-jumping depth (O(log n) rounds)
+    check_cc(gen.chain(1000), 1000)
+
+
+def test_cc_two_cliques():
+    check_cc(gen.two_cliques_bridge(6), 12)
+
+
+def test_cc_isolated_vertices():
+    t = gen.two_cliques_bridge(4)
+    n = 8 + 5  # 5 isolated → 5 singleton components
+    check_cc(t, n)
+
+
+def test_cc_rmat(rmat_graph):
+    t, g = rmat_graph
+    out, ncomp = connected_components(g)
+    got = dense_result(out, 1024, "comp", np.int64)
+    want, nref = cc_ref(1024, *edges_np(t))
+    assert np.array_equal(got, want) and ncomp == nref
+
+
+def check_lp(table, n, max_iter=30, g=None):
+    own = g is None
+    if own:
+        g = undirected_graph(table, n)
+    try:
+        out = label_propagation(g, max_iter=max_iter)
+        got = dense_result(out, n, "label", np.int64)
+    finally:
+        if own:
+            g.shutdown(remove_spill=True)
+    s, d = normalize_oracle(*edges_np(table), undirected=True)
+    want = lp_ref(n, s, d, max_iter=max_iter)
+    assert np.array_equal(got, want)
+
+
+def test_lp_two_cliques():
+    check_lp(gen.two_cliques_bridge(6), 12)
+
+
+def test_lp_star():
+    check_lp(gen.star(50), 50)
+
+
+def test_lp_ring():
+    check_lp(gen.ring(17), 17)
+
+
+def test_lp_rmat(rmat_graph):
+    t, g = rmat_graph
+    check_lp(t, 1024, g=g)
+
+
+def check_tc(table, n, want=None, g=None):
+    own = g is None
+    if own:
+        g = undirected_graph(table, n)
+    try:
+        got = triangle_count(g)
+    finally:
+        if own:
+            g.shutdown(remove_spill=True)
+    ref = tc_ref(n, *edges_np(table))
+    assert got == ref
+    if want is not None:
+        assert got == want
+
+
+def test_tc_two_cliques():
+    check_tc(gen.two_cliques_bridge(5), 10, want=20)  # 2*C(5,3)
+
+
+def test_tc_triangle_fan():
+    check_tc(gen.triangle_fan(8), 9, want=7)
+
+
+def test_tc_ring_no_triangles():
+    check_tc(gen.ring(10), 10, want=0)
+
+
+def test_tc_chain_no_triangles():
+    check_tc(gen.chain(16), 16, want=0)
+
+
+def test_tc_rmat(rmat_graph):
+    t, g = rmat_graph
+    check_tc(t, 1024, g=g)

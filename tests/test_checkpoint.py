@@ -1,0 +1,68 @@
+"""Checkpoint / resume (north rule): per-partition state Parquet + lineage +
+per-superstep metrics; resume from checkpoint must be bit-identical to the
+uninterrupted run."""
+
+import json
+import os
+
+import numpy as np
+
+from gunrock_ray import build_graph, pagerank
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, vertices_table
+
+
+def test_pr_checkpoint_resume_bit_identical(tmp_path):
+    t = gen.rmat_table(7, edge_factor=8)
+    n = 128
+    ck = str(tmp_path / "ckpt")
+    mt = str(tmp_path / "metrics.jsonl")
+
+    g1 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        full = dense_result(pagerank(g1, max_iter=10, error=1e-12,
+                                     ckpt_dir=ck, ckpt_every=3,
+                                     metrics_path=mt), n, "rank")
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    # lineage must reflect a complete checkpoint (atomic commit marker)
+    lineage = json.load(open(os.path.join(ck, "lineage.json")))
+    assert lineage["algo"] == "pr"
+    assert lineage["iteration"] == 8  # checkpoints at it = 2, 5, 8
+    assert len(lineage["partitions"]) == 3
+    for p in lineage["partitions"].values():
+        assert os.path.exists(p)
+
+    # metrics.jsonl: one row per superstep with the FIXTURES.md §4 fields
+    rows = [json.loads(l) for l in open(mt)]
+    assert len(rows) == 10
+    assert {"superstep", "frontier", "messages", "changed",
+            "t_superstep_s", "bytes_shuffled"} <= set(rows[0])
+
+    # resume from the iteration-8 checkpoint on a fresh actor pool
+    g2 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        resumed = dense_result(pagerank(g2, max_iter=10, error=1e-12,
+                                        ckpt_dir=ck, resume=True), n, "rank")
+    finally:
+        g2.shutdown(remove_spill=True)
+
+    assert np.array_equal(full, resumed), "resume must be bit-identical"
+
+
+def test_partition_count_mismatch_rejected(tmp_path):
+    import pytest
+    t = gen.chain(20)
+    ck = str(tmp_path / "ck")
+    g1 = build_graph(t, num_partitions=3, vertices=vertices_table(20))
+    try:
+        pagerank(g1, max_iter=4, error=1e-12, ckpt_dir=ck, ckpt_every=2)
+    finally:
+        g1.shutdown(remove_spill=True)
+    g2 = build_graph(t, num_partitions=2, vertices=vertices_table(20))
+    try:
+        with pytest.raises(Exception):
+            pagerank(g2, max_iter=4, ckpt_dir=ck, resume=True)
+    finally:
+        g2.shutdown(remove_spill=True)

@@ -1,0 +1,40 @@
+"""Unit tests for the deterministic substrate (hash/partition/segment-reduce)."""
+
+import numpy as np
+
+from gunrock_ray.common import mix64, owner_of, segment_reduce, stable_vertex_id
+
+
+def test_owner_of_deterministic_and_uniform():
+    v = np.arange(100_000, dtype=np.int64)
+    o1 = owner_of(v, 8)
+    o2 = owner_of(v.copy(), 8)
+    assert np.array_equal(o1, o2)
+    counts = np.bincount(o1, minlength=8)
+    assert counts.min() > 100_000 / 8 * 0.9  # near-uniform
+
+def test_mix64_no_mutation():
+    v = np.array([1, 2, 3], dtype=np.int64)
+    mix64(v)
+    assert v.tolist() == [1, 2, 3]
+
+
+def test_segment_reduce_ops():
+    ids = np.array([3, 1, 3, 1, 2], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    i, s = segment_reduce(ids, vals, "sum")
+    assert i.tolist() == [1, 2, 3] and s.tolist() == [10.0, 16.0, 5.0]
+    i, m = segment_reduce(ids, vals, "min")
+    assert m.tolist() == [2.0, 16.0, 1.0]
+    i, m = segment_reduce(ids, vals, "max")
+    assert m.tolist() == [8.0, 16.0, 4.0]
+    e = np.zeros(0, dtype=np.int64)
+    i, s = segment_reduce(e, e.astype(np.float64), "sum")
+    assert len(i) == 0
+
+
+def test_stable_vertex_id_no_collision_small():
+    keys = [f"org{i}/repo{j}/src/m{k:04d}.py" for i in range(5) for j in range(5) for k in range(40)]
+    ids = stable_vertex_id(keys)
+    assert len(np.unique(ids)) == len(keys)
+    assert (ids >= 0).all()

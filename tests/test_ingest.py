@@ -1,0 +1,84 @@
+"""Ingest contract tests: sha256 per-row invariant, content→edges round trip,
+normalization semantics (self-loop drop / dedup / symmetrize — the
+`gunrock/csr.cuh:588` + `market.cuh:270` contract)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import stable_vertex_id
+from gunrock_ray.sources import corpus, ingest
+
+
+def test_corpus_deterministic_vs_dataset():
+    t1 = corpus.corpus_table(num_repos=4, files_per_repo=10)
+    t2 = corpus.corpus_dataset(num_repos=4, files_per_repo=10, override_num_blocks=3)
+    df1 = t1.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    df2 = t2.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert df1.equals(df2), "parallel generation must be batch-boundary independent"
+
+
+def test_content_sha_matches_pandas_oracle():
+    t = corpus.corpus_table(num_repos=3, files_per_repo=8)
+    out = ingest.add_content_sha(t)
+    want = [hashlib.sha256(c.encode()).digest() for c in t["content"].to_pylist()]
+    got = out["content_sha"].to_pylist()
+    assert got == want  # per-row invariant (north rule)
+
+
+def test_content_sha_through_ray_dataset():
+    import ray.data
+    t = corpus.corpus_table(num_repos=3, files_per_repo=8)
+    ds = ingest.files_with_sha(ray.data.from_arrow(t))
+    df = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    src = t.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    for sha, content in zip(df["content_sha"], src["content"]):
+        assert bytes(sha) == hashlib.sha256(content.encode()).digest()
+
+
+def test_edge_extraction_round_trip():
+    """Edges recovered from content must equal the generator's embedded edge
+    multiset exactly (content → edges round trip, FIXTURES.md §2)."""
+    R, F = 5, 12
+    t = corpus.corpus_table(num_repos=R, files_per_repo=F)
+    got = ingest.extract_edges_batch(t)
+    want = corpus.expected_raw_edges(R, F)
+    ws = stable_vertex_id(want["src_key"].to_pylist())
+    wd = stable_vertex_id(want["dst_key"].to_pylist())
+    got_pairs = sorted(zip(got["src"].to_pylist(), got["dst"].to_pylist()))
+    want_pairs = sorted(zip(ws.tolist(), wd.tolist()))
+    assert got_pairs == want_pairs
+
+
+def test_injected_dups_and_loops_exist():
+    # the generator must actually exercise the normalization contract
+    R, F = 20, 25
+    want = corpus.expected_raw_edges(R, F)
+    pairs = list(zip(want["src_key"].to_pylist(), want["dst_key"].to_pylist()))
+    assert any(s == d for s, d in pairs), "no self-loops injected"
+    assert len(pairs) != len(set(pairs)), "no duplicate edges injected"
+
+
+def test_dedup_sorted_first_wins_min_weight():
+    src = np.array([2, 1, 1, 1], dtype=np.int64)
+    dst = np.array([3, 5, 5, 4], dtype=np.int64)
+    w = np.array([9.0, 7.0, 3.0, 1.0])
+    s, d, ww = ingest.dedup_sorted(src, dst, w)
+    assert s.tolist() == [1, 1, 2] and d.tolist() == [4, 5, 3]
+    assert ww.tolist() == [1.0, 3.0, 9.0]  # min weight kept for the duplicate
+
+
+def test_symmetrize_batch():
+    t = pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())})
+    out = ingest.symmetrize_batch(t)
+    pairs = sorted(zip(out["src"].to_pylist(), out["dst"].to_pylist()))
+    assert pairs == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_vertex_dictionary_covers_all_files():
+    import ray.data
+    t = corpus.corpus_table(num_repos=3, files_per_repo=6)
+    vd = ingest.vertex_dictionary(ray.data.from_arrow(t)).to_pandas()
+    assert len(vd) == 18
+    assert vd["v"].nunique() == 18, "vertex id collision at tiny scale"
