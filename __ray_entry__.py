@@ -4,13 +4,19 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in gunrock_ray library code.
+
+Operator coverage (SURVEY.md §2): the SQL-checkable entries cover
+normalization (self-loop drop + exact dedup, §1.3), symmetrization,
+degree, top-k (§2.10), triangle counting (§2.11), connected components
+(§2.5, via a recursive-CTE min-label oracle), BFS (§2.6), the ingest
+sha256 invariant, exact dedup / token stats / ANN over the
+documents/embeddings tables. PR (§2.4), LP (§2.11) and SSSP (§2.7) are
+rows-only here and validated against NumPy oracles in pytest.
 """
 
 from __future__ import annotations
@@ -20,25 +26,36 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derived edge table →
+    distributed normalized PageRank → full ranking (rank desc, v asc)."""
+    from gunrock_ray.pipelines import relational
+    return relational.q_pr_top20("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gunrock_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph operators over the deterministic events-derived edge table
+        "edges_norm": r.q_edges_norm,
+        "out_degree": r.q_out_degree,
+        "topk_degree": r.q_topk_degree,
+        "edges_sym": r.q_edges_sym,
+        "tc_count": r.q_tc_count,
+        "cc_labels": r.q_cc_labels,
+        "bfs_depths": r.q_bfs_depths,
+        "pr_top20": r.q_pr_top20,      # rows-only (pytest-validated, 1e-6)
+        "lp_labels": r.q_lp_labels,    # rows-only (pytest-validated, exact)
+        "sssp_dists": r.q_sssp_dists,  # rows-only (pytest-validated)
+        # training-data operators over documents/embeddings
+        "doc_sha": r.q_doc_sha,
+        "doc_exact_dedup": r.q_doc_exact_dedup,
+        "doc_token_stats": r.q_doc_token_stats,
+        "ann_top5": r.q_ann_top5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gunrock_ray.pipelines import relational as r
+
+    return dict(r.ORACLE_SQL)

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is broadcast
+  once via ``ray.put`` and every batch does one float64 matmul against it
+  (the baseline; linear scan of the corpus, embarrassingly parallel).
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets; queries
+  only scan candidate buckets (approximate; recall depends on planes/tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # single chunk after combine
+        arr = arr.chunk(0)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def brute_force_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
+                     query_ids: np.ndarray | None = None):
+    """Exact cosine top-k neighbors of the query vectors, excluding self.
+
+    Returns a Ray Dataset {query_id, neighbor_id, rank} (rank 1..k by
+    similarity desc, ties → smaller neighbor_id). Per-batch partial top-k
+    (matmul + argpartition) then a driver-side merge over the tiny
+    (num_queries × k × num_blocks) candidate set — the corpus is never
+    collected."""
+    import ray
+    import ray.data
+
+    qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    if query_ids is None:
+        order = np.argsort(qt["vec_id"].to_numpy())[:num_queries]
+    else:
+        pos = {int(v): i for i, v in enumerate(qt["vec_id"].to_numpy())}
+        order = np.array([pos[int(q)] for q in query_ids])
+    q_ids = qt["vec_id"].to_numpy()[order]
+    Q = _normalize(_stack(qt["embedding"])[order])
+    q_ref = ray.put((q_ids, Q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, Qm = ray.get(q_ref)
+        vid = batch["vec_id"].to_numpy()
+        M = _normalize(_stack(batch["embedding"]))
+        sims = Qm @ M.T  # (q, batch)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        kk = min(k + 1, sims.shape[1])  # +1: self may be in this batch
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for qi in range(len(ids)):
+            cand = part[qi]
+            rows["query_id"].extend([ids[qi]] * len(cand))
+            rows["neighbor_id"].extend(vid[cand].tolist())
+            rows["sim"].extend(sims[qi, cand].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    cands = cands.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
+class LshIndexer:
+    """Actor-pool stage: random-hyperplane signatures (one uint64 per table).
+
+    Planes are derived deterministically from the seed in ``__init__`` (once
+    per actor). Emits (vec_id, table_id, bucket) rows; a groupby on
+    (table_id, bucket) then yields candidate sets whose buckets are small."""
+
+    def __init__(self, dim: int, num_planes: int = 16, num_tables: int = 4,
+                 seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_tables, num_planes, dim))
+        self.weights = (1 << np.arange(num_planes, dtype=np.uint64))
+        self.num_tables = num_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_stack(batch["embedding"]))
+        vid = batch["vec_id"].to_numpy()
+        out_v, out_t, out_b = [], [], []
+        for t in range(self.num_tables):
+            bits = (M @ self.planes[t].T) > 0  # (n, planes)
+            bucket = (bits.astype(np.uint64) * self.weights).sum(axis=1)
+            out_v.append(vid)
+            out_t.append(np.full(len(vid), t, dtype=np.int64))
+            out_b.append(bucket.astype(np.int64))
+        return pa.table({"vec_id": pa.array(np.concatenate(out_v)),
+                         "table_id": pa.array(np.concatenate(out_t)),
+                         "bucket": pa.array(np.concatenate(out_b))})
+
+
+def lsh_buckets(embeddings_ds, dim: int, num_planes: int = 16, num_tables: int = 4,
+                seed: int = 42, concurrency: int = 4):
+    """Dataset stage: embeddings → (vec_id, table_id, bucket). The IVF/LSH
+    scale path for ANN: candidates = same-bucket ids in any table."""
+    return embeddings_ds.map_batches(
+        LshIndexer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
+                               "num_tables": num_tables, "seed": seed})

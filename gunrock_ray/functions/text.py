@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, language-ID heuristic, quality scoring, fingerprinting.
+
+All are vectorized ``map_batches`` bodies; the regex-based ones are meant to be
+used through :class:`TextAnalyzer` (an actor-pool callable class: patterns
+compiled once per actor in ``__init__``, not per batch).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+
+# tiny per-language stopword/marker sets for the n-gram heuristic language ID
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "las", "es", "no", "un", "una", "en", "por"},
+}
+_PUNCT = set(".,;:!?\"'()[]{}<>")
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """{doc_id, n_tokens, n_chars_chk} — whitespace-run token count (exact
+    match with DuckDB ``len(regexp_extract_all(text,'\\S+'))``)."""
+    texts = batch["text"].to_pylist()
+    n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
+                           dtype=np.int64, count=len(texts))
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pa.array(n_tokens),
+                     "n_chars_chk": pa.array(n_chars)})
+
+
+class TextAnalyzer:
+    """Actor-pool stage: language ID + quality scores + fingerprint per doc.
+
+    Use: ``docs.map_batches(TextAnalyzer, batch_format="pyarrow",
+    concurrency=N, batch_size=B)`` — stateful setup happens once per actor.
+    """
+
+    def __init__(self) -> None:
+        self.token_re = _TOKEN_RE
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+
+    def lang_id(self, text: str) -> str:
+        words = [w.lower() for w in self.word_re.findall(text[:2000])]
+        if not words:
+            return "unk"
+        best, best_hits = "unk", 0
+        for lang, ms in self.markers.items():
+            hits = sum(1 for w in words if w in ms)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def quality(self, text: str) -> tuple[float, float, float]:
+        """(stop_ratio, punct_ratio, mean_token_len) — the usual cheap
+        pre-training quality signals."""
+        toks = self.token_re.findall(text)
+        if not toks:
+            return 0.0, 0.0, 0.0
+        en = self.markers["en"]
+        stop = sum(1 for t in toks if t.lower() in en) / len(toks)
+        punct = sum(1 for c in text if c in _PUNCT) / max(1, len(text))
+        mlen = sum(len(t) for t in toks) / len(toks)
+        return stop, punct, mlen
+
+    @staticmethod
+    def fingerprint(text: str, window: int = 16) -> int:
+        """Rolling-hash document fingerprint: min of Rabin-Karp window hashes
+        (winnowing-lite, deterministic)."""
+        data = text.encode("utf-8", "ignore")
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
+            return h
+        base, mod = 257, (1 << 61) - 1
+        pw = pow(base, window - 1, mod)
+        h = 0
+        for b in data[:window]:
+            h = (h * base + b) % mod
+        best = h
+        for i in range(window, len(data)):
+            h = ((h - data[i - window] * pw) * base + data[i]) % mod
+            if h < best:
+                best = h
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, stops, puncts, mlens, fps = [], [], [], [], []
+        for t in texts:
+            langs.append(self.lang_id(t))
+            s, p, m = self.quality(t)
+            stops.append(s)
+            puncts.append(p)
+            mlens.append(m)
+            fps.append(self.fingerprint(t))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(langs, pa.string()),
+            "stop_ratio": pa.array(stops, pa.float64()),
+            "punct_ratio": pa.array(puncts, pa.float64()),
+            "mean_token_len": pa.array(mlens, pa.float64()),
+            "fingerprint": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+        })
+
+
+def analyze_documents(docs_ds, concurrency: int = 4, batch_size: int = 2048):
+    """Dataset stage: documents → per-doc text-analysis table (actor pool)."""
+    return docs_ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=batch_size)

@@ -1,0 +1,266 @@
+"""Driver-checkable query pipelines over the testdata tables.
+
+Each function here backs one ``__ray_entry__.queries()`` entry; the matching
+DuckDB oracle SQL strings live in :data:`ORACLE_SQL`. Column names match the
+SQL exactly (the driver hash-compares values after sorting columns by name).
+
+The graph queries run over an edge table derived DETERMINISTICALLY from the
+``events`` table (integer-only arithmetic so NumPy and DuckDB agree bit-for-
+bit): ``src = user_id % 499``, ``dst = (event_id*7 + 13) % 499``. Raw derived
+edges contain self-loops and duplicates on purpose — they exercise the
+normalization contract (`gunrock/csr.cuh:588`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+EDGE_MOD = 499
+TOPK = 20
+
+_RAW_EDGES_SQL = (
+    f"SELECT user_id % {EDGE_MOD} AS src, (event_id*7 + 13) % {EDGE_MOD} AS dst "
+    "FROM events"
+)
+_NORM_SQL = f"SELECT DISTINCT src, dst FROM ({_RAW_EDGES_SQL}) WHERE src <> dst"
+_SYM_SQL = (f"WITH n AS ({_NORM_SQL}) "
+            "SELECT DISTINCT src, dst FROM "
+            "(SELECT src, dst FROM n UNION ALL SELECT dst AS src, src AS dst FROM n)")
+
+
+def _events_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_id", "user_id"])
+
+
+def derived_edges(sf_dir: str):
+    """Raw derived edge Dataset {src, dst} (with loops/dups)."""
+    def to_edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        uid = batch["user_id"].to_numpy()
+        return pa.table({"src": pa.array(uid % EDGE_MOD, pa.int64()),
+                         "dst": pa.array((eid * 7 + 13) % EDGE_MOD, pa.int64())})
+    return _events_ds(sf_dir).map_batches(to_edges, batch_format="pyarrow")
+
+
+def _norm_ds(sf_dir: str):
+    """Normalized (no loops, distinct) edges as a Dataset — per-batch loop drop
+    then a (src,dst) groupby for exact distinct (the shuffle)."""
+    import pyarrow.compute as pc
+    ds = derived_edges(sf_dir).map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow")
+    return ds.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def q_edges_norm(sf_dir: str):
+    return _norm_ds(sf_dir)
+
+
+def q_out_degree(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _norm_ds(sf_dir).groupby("src").aggregate(Count(alias_name="out_deg"))
+
+
+def q_topk_degree(sf_dir: str):
+    """TopK total-degree (out+in) — the reference's topk primitive
+    (SURVEY.md §2.10: `gunrock/app/topk/topk_problem.cuh:64-67`)."""
+    from ray.data.aggregate import Count
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    deg = (_norm_ds(sf_dir).map_batches(both_ends, batch_format="pyarrow")
+           .groupby("v").aggregate(Count(alias_name="deg")))
+    return deg.sort(["deg", "v"], descending=[True, False]).limit(TOPK)
+
+
+def q_edges_sym(sf_dir: str):
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pa.chunked_array([t["src"], t["dst"]]),
+                         "dst": pa.chunked_array([t["dst"], t["src"]])})
+    sym = _norm_ds(sf_dir).map_batches(swap, batch_format="pyarrow")
+    return sym.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+# --- graph primitives on the derived table (engine-backed) -------------------
+
+def _graph(sf_dir: str, undirected: bool, P: int = 8):
+    from gunrock_ray.pipelines.graph_algos import build_graph
+    return build_graph(derived_edges(sf_dir), num_partitions=P, undirected=undirected)
+
+
+def q_tc_count(sf_dir: str):
+    from gunrock_ray.pipelines.graph_algos import triangle_count
+    g = _graph(sf_dir, undirected=True)
+    try:
+        t = triangle_count(g)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"triangles": pa.array([t], pa.int64())})
+
+
+def q_cc_labels(sf_dir: str):
+    from gunrock_ray.pipelines.graph_algos import connected_components
+    g = _graph(sf_dir, undirected=True)
+    try:
+        ds, _ = connected_components(g)
+        out = ds.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out
+
+
+def q_bfs_depths(sf_dir: str):
+    """Directed BFS from vertex 0; only reached vertices {v, depth}."""
+    from gunrock_ray.pipelines.graph_algos import bfs
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = bfs(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df[df["depth"] >= 0].reset_index(drop=True)
+
+
+def q_pr_top20(sf_dir: str):
+    """Engine PageRank top-20 (rows-only for the driver; validated to 1e-6
+    against the NumPy oracle in pytest)."""
+    from gunrock_ray.pipelines.graph_algos import pagerank
+    g = _graph(sf_dir, undirected=False)
+    try:
+        out = pagerank(g, error=1e-9, max_iter=100).limit(TOPK).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out
+
+
+def q_lp_labels(sf_dir: str):
+    from gunrock_ray.pipelines.graph_algos import label_propagation
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = label_propagation(g, max_iter=20).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out
+
+
+def q_sssp_dists(sf_dir: str):
+    """SSSP with unit weights from vertex 0 (rows-only; == BFS depth on unit
+    weights, cross-checked in pytest)."""
+    from gunrock_ray.pipelines.graph_algos import sssp
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = sssp(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df = df[np.isfinite(df["dist"])].reset_index(drop=True)
+    df["dist"] = df["dist"].astype("int64")
+    return df
+
+
+# --- documents / embeddings (training-data ops) ------------------------------
+
+def q_doc_sha(sf_dir: str):
+    """Per-row sha256 (the ingest invariant, as hex to match DuckDB sha256())."""
+    import ray.data
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "sha": pa.array(hs, pa.string())})
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]).map_batches(
+        sha, batch_format="pyarrow")
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup: one row per distinct text — keeper = min doc_id, plus
+    duplicate count. sha256-bucketed groupby (the scale path: the shuffle key
+    is the 32-byte hash, not the document body)."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    ds = q_doc_sha(sf_dir)
+    out = ds.groupby("sha").aggregate(Min("doc_id", alias_name="doc_id"),
+                                      Count(alias_name="n_dups"))
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+def q_doc_token_stats(sf_dir: str):
+    """Token counting (whitespace runs) + char length — integer-only so the
+    DuckDB comparison is exact."""
+    import ray.data
+    from gunrock_ray.functions.text import token_stats_batch
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow")
+
+
+def q_ann_top5(sf_dir: str):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors (the ANN
+    baseline; broadcast query matrix, per-batch matmul)."""
+    from gunrock_ray.functions.ann import brute_force_topk
+    return brute_force_topk(os.path.join(sf_dir, "embeddings.parquet"),
+                            num_queries=10, k=5)
+
+
+# --- oracle SQL --------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "edges_norm": _NORM_SQL,
+    "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
+    "topk_degree": (
+        f"WITH n AS ({_NORM_SQL}), "
+        "ends AS (SELECT src AS v FROM n UNION ALL SELECT dst AS v FROM n), "
+        "d AS (SELECT v, COUNT(*) AS deg FROM ends GROUP BY v) "
+        f"SELECT v, deg FROM d ORDER BY deg DESC, v LIMIT {TOPK}"
+    ),
+    "edges_sym": _SYM_SQL,
+    "tc_count": (
+        f"WITH u AS ({_SYM_SQL}) "
+        "SELECT COUNT(*) AS triangles FROM u a "
+        "JOIN u b ON b.src = a.dst AND b.dst > a.dst "
+        "JOIN u c ON c.src = a.src AND c.dst = b.dst "
+        "WHERE a.src < a.dst"
+    ),
+    "cc_labels": (
+        f"WITH RECURSIVE u AS ({_SYM_SQL}), "
+        f"verts AS (SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "
+        f"          UNION SELECT DISTINCT dst FROM ({_RAW_EDGES_SQL})), "
+        "reach(v, l) AS (SELECT v, v FROM verts "
+        "  UNION SELECT u.dst, reach.l FROM reach JOIN u ON u.src = reach.v) "
+        "SELECT v, MIN(l) AS comp FROM reach GROUP BY v"
+    ),
+    "bfs_depths": (
+        f"WITH RECURSIVE n AS ({_NORM_SQL}), "
+        "b(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"  UNION SELECT n.dst, b.d + 1 FROM b JOIN n ON n.src = b.v WHERE b.d < {EDGE_MOD + 1}) "
+        "SELECT v, MIN(d) AS depth FROM b GROUP BY v"
+    ),
+    "doc_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
+    "doc_exact_dedup": ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
+                        "FROM documents GROUP BY text"),
+    "doc_token_stats": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_chk "
+        "FROM documents"
+    ),
+    "ann_top5": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.qid, e.vec_id, "
+        "      list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim "
+        "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+        "r AS (SELECT qid, vec_id, "
+        "      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM s) "
+        "SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank "
+        "FROM r WHERE rnk <= 5"
+    ),
+}

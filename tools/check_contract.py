@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and compare against oracle_sql() via DuckDB (row count + column names +
+order-insensitive value comparison). Usage:
+
+    python tools/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import logging
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        dt = time.perf_counter() - t0
+        if name not in sqls:
+            print(f"rows  {name}: {len(got)} rows (rows-only, {dt:.1f}s)")
+            continue
+        want = canon(con.execute(sqls[name]).fetchdf())
+        ok_rows = len(got) == len(want)
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True), want.reset_index(drop=True),
+                    check_dtype=False, check_exact=False, rtol=1e-9)
+                ok_vals = True
+            except AssertionError as ex:
+                msg = str(ex).splitlines()[0]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"OK    {name}: {len(got)} rows ({dt:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL  {name}: rows {len(got)} vs {len(want)}; "
+                  f"cols {list(got.columns)} vs {list(want.columns)}"
+                  + ("" if ok_rows and ok_cols else "")
+                  + (f"; values: {msg}" if ok_rows and ok_cols and not ok_vals else ""))
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
