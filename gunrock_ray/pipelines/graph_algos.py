@@ -13,7 +13,7 @@ import uuid
 
 import ray
 
-from gunrock_ray.state.graph import DistributedGraph, MetricsWriter, _flatten_returns
+from gunrock_ray.state.graph import DistributedGraph, MetricsWriter
 
 
 def default_partitions() -> int:
@@ -47,6 +47,7 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
     g.call_all("pr_init", g.n, delta, error)
+    g.register_push()
     start_iter = 0
     if resume and ckpt_dir:
         lineage = g.restore(ckpt_dir)
@@ -93,18 +94,14 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
     rnd = 0
     while True:
         t0 = time.perf_counter()
-        # hook: lookup cid[dst] on active edges, scatter min-candidates
-        reqs = [_flatten_returns(a.cc_hook_request.options(num_returns=P).remote(), P)
+        # hook: packed lookup of cid[dst] on active edges, then min-candidates
+        reqs = [a.cc_hook_request.remote() for a in g.actors]
+        replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
+        outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
                 for a in g.actors]
-        vals = [[g.actors[p].gather_values.remote("cid", reqs[q][p]) for p in range(P)]
-                for q in range(P)]
-        outs = [_flatten_returns(
-                    g.actors[q].cc_hook_scatter.options(num_returns=P + 1).remote(*vals[q]),
-                    P + 1)
-                for q in range(P)]
-        applies = [g.actors[p].cc_apply_min.remote(*[outs[q][p] for q in range(P)])
-                   for p in range(P)]
-        stats = ray.get([outs[q][P] for q in range(P)])
+        cand_packs = [o[0] for o in outs]
+        applies = [a.cc_apply_min.remote(*cand_packs) for a in g.actors]
+        stats = ray.get([o[1] for o in outs])
         hook_changed = sum(r["changed"] for r in ray.get(applies))
         active = sum(s["active"] for s in stats)
         # compress: pointer-jump to fixpoint (PtrJump, cc_enactor.cuh:468-514)
@@ -161,8 +158,8 @@ def triangle_count(graph: DistributedGraph) -> int:
     (SURVEY.md §2.11). Graph must be built undirected (symmetrized + dedup +
     self-loops dropped)."""
     g = graph
-    g.lookup("tc_orient_request", "tc_orient", serve="gather_degrees")
-    counts = g.lookup("tc_adj_request", "tc_count", serve="tc_serve_adjacency")
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    counts = g.lookup("tc_adj_request", "tc_count", serve="tc_serve_adjacency_packed")
     return int(sum(counts))
 
 

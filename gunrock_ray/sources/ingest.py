@@ -124,18 +124,22 @@ def dedup_sorted(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = None):
     return s[keep], d[keep], w[order][keep]
 
 
-def normalize_edges(edges_ds, undirected: bool = False):
+def normalize_edges(edges_ds, undirected: bool = False, keep_loops: bool = False):
     """Raw edges → normalized edges, streaming (no shuffle here):
-    self-loops dropped per batch; symmetrization per batch when undirected;
-    exact dedup deferred to the per-partition CSR build (duplicates co-locate
-    by src hash, so per-partition dedup is globally exact).
+    self-loops dropped per batch (unless ``keep_loops`` — the graph-build spill
+    keeps them so loop-only vertices are still discovered, and drops them at
+    CSR build); symmetrization per batch when undirected; exact dedup deferred
+    to the per-partition CSR build (duplicates co-locate by src hash, so
+    per-partition dedup is globally exact).
 
     Weighted duplicate resolution: the reference keeps the first occurrence in
     (row,col)-sorted file order (`gunrock/csr.cuh:588`) which is input-order
     dependent; we keep the minimum weight — deterministic under any
     parallelism (documented deviation).
     """
-    out = edges_ds.map_batches(drop_self_loops, batch_format="pyarrow")
+    out = edges_ds
+    if not keep_loops:
+        out = out.map_batches(drop_self_loops, batch_format="pyarrow")
     if undirected:
         out = out.map_batches(symmetrize_batch, batch_format="pyarrow")
     return out

@@ -2,27 +2,27 @@
 
 Build path is pure Ray Data (streaming, no driver materialization):
 
-    edges Dataset → normalize (self-loop drop [+ symmetrize]) per batch
+    edges Dataset → normalize per batch ([+ symmetrize]; self-loops kept —
+                    dropped at CSR build so loop-only vertices still exist)
                   → add pid = owner_of(src) column
                   → write_parquet(spill/edges, partition_cols=['pid'])
-    vertex ids    → per-batch unique of {src} ∪ {dst} [∪ explicit vertices]
-                  → add pid = owner_of(v)
-                  → write_parquet(spill/verts, partition_cols=['pid'])
 
-then P long-lived actors each read ONLY their own hive partition and build
-their CSR block (exact dedup is per-partition — globally correct because
-duplicate edges share src and hence pid). The partitioned spill doubles as the
+then P long-lived actors each read ONLY their own hive partition; vertex
+discovery is an in-actor packed exchange (phase1 routes seen endpoint ids to
+their owners, phase2 unions + builds the CSR) — no second Ray Data pass over
+the edge table. Exact dedup is per-partition — globally correct because
+duplicate edges share src and hence pid. The partitioned spill doubles as the
 reference's binary CSR cache (`gunrock/csr.cuh:244-266`) and makes builds
-resumable: a rerun over the same spill_dir skips nothing but re-reads only
-its own shard per actor.
+resumable: a rerun over the same spill_dir re-reads only its own shard per
+actor.
 
-Superstep plumbing: ``superstep()`` (scatter with num_returns=P → per-owner
-apply; blob refs flow actor→actor through the object store, the driver only
-routes references — the analog of the reference's PushNeighbor/Expand_Incoming
-peer copies, `gunrock/app/enactor_loop.cuh:302-380`) and ``lookup()``
-(plan → serve → apply, two rounds, used by CC pointer jumping and TC).
-``ray.get`` on the per-partition counters is the BSP barrier
-(`util/global_barrier.cuh` analog).
+Superstep plumbing (see partition.py "Exchange protocol"): every round each
+actor emits ONE packed object; the driver routes only the P references — the
+analog of the reference's PushNeighbor/Expand_Incoming peer copies
+(`gunrock/app/enactor_loop.cuh:302-380`) with per-node pack aggregation.
+``superstep()`` is scatter → apply; ``lookup()`` is plan → serve → apply
+(used by CC hook/pointer-jump and TC). ``ray.get`` on the per-partition
+counters is the BSP barrier (`util/global_barrier.cuh` analog).
 """
 
 from __future__ import annotations
@@ -50,12 +50,6 @@ def _as_dataset(edges):
     return edges
 
 
-def _flatten_returns(refs, P):
-    # actor.method.options(num_returns=P) returns a list of refs for P>1,
-    # a single ref for P==1
-    return refs if P > 1 else [refs]
-
-
 class DistributedGraph:
     def __init__(self, actors, num_partitions: int, spill_dir: str, weighted: bool,
                  n_global: int, m_global: int):
@@ -65,6 +59,7 @@ class DistributedGraph:
         self.weighted = weighted
         self.n = n_global
         self.m = m_global
+        self._push_registered = False
 
     # ----------------------------------------------------------------- build
 
@@ -96,7 +91,9 @@ class DistributedGraph:
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
                            scheduling_strategy="SPREAD")(GraphPartition)
         actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
-        stats = ray.get([a.build.remote() for a in actors])
+        # two-phase build: packed vertex-discovery exchange, then CSR build
+        vert_packs = [a.build_phase1.remote() for a in actors]
+        stats = ray.get([a.build_phase2.remote(*vert_packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
         return DistributedGraph(actors, P, spill_dir, weighted, n, m)
@@ -109,12 +106,8 @@ class DistributedGraph:
         src = edges["src"].to_numpy()
         dst = edges["dst"].to_numpy()
         w = edges["w"].to_numpy() if weighted else None
-        # vertex discovery from RAW edges (before self-loop drop), matching the
-        # Ray Data spill path: a self-loop-only vertex still exists (degree 0)
-        raw_v = np.unique(np.concatenate([src, dst]))
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
-        w = w[keep] if w is not None else None
+        # self-loops are KEPT in the spill (dropped at CSR build) so a
+        # loop-only vertex is still discovered as a degree-0 vertex
         if undirected:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             w = np.concatenate([w, w]) if w is not None else None
@@ -131,11 +124,15 @@ class DistributedGraph:
             if w is not None:
                 cols["w"] = pa.array(w[sl])
             pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
-        v = raw_v
         if vertices is not None:
             vt = vertices if isinstance(vertices, pa.Table) else pa.concat_tables(
                 [b for b in vertices.iter_batches(batch_format="pyarrow")])
-            v = np.unique(np.concatenate([v, vt["v"].to_numpy()]))
+            v = np.unique(vt["v"].to_numpy())
+            DistributedGraph._write_vert_shards(v, P, spill_dir)
+
+    @staticmethod
+    def _write_vert_shards(v: np.ndarray, P: int, spill_dir: str) -> None:
+        import pyarrow.parquet as pq
         vpid = owner_of(v, P)
         vorder = np.argsort(vpid, kind="stable")
         vbounds = np.searchsorted(vpid[vorder], np.arange(P + 1))
@@ -150,7 +147,7 @@ class DistributedGraph:
     @staticmethod
     def _spill_ray_data(edges, P: int, spill_dir: str, undirected: bool,
                         weighted: bool, vertices) -> None:
-        ds = normalize_edges(_as_dataset(edges), undirected=undirected)
+        ds = normalize_edges(_as_dataset(edges), undirected=undirected, keep_loops=True)
 
         def add_pid(batch: pa.Table) -> pa.Table:
             pid = owner_of(batch["src"].to_numpy(), P)
@@ -159,52 +156,41 @@ class DistributedGraph:
         ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
             os.path.join(spill_dir, "edges"), partition_cols=["pid"])
 
-        def vertex_ids(batch: pa.Table) -> pa.Table:
-            v = np.unique(np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()]))
-            return pa.table({"v": pa.array(v, pa.int64()),
-                             "pid": pa.array(owner_of(v, P), pa.int64())})
-
-        vds = _as_dataset(edges).map_batches(vertex_ids, batch_format="pyarrow")
         if vertices is not None:
             def explicit(batch: pa.Table) -> pa.Table:
                 v = batch["v"].to_numpy()
                 return pa.table({"v": batch["v"], "pid": pa.array(owner_of(v, P), pa.int64())})
-            vds = vds.union(_as_dataset(vertices).map_batches(explicit, batch_format="pyarrow"))
-        vds.write_parquet(os.path.join(spill_dir, "verts"), partition_cols=["pid"])
+            _as_dataset(vertices).map_batches(explicit, batch_format="pyarrow").write_parquet(
+                os.path.join(spill_dir, "verts"), partition_cols=["pid"])
 
     # -------------------------------------------------------------- plumbing
 
     def call_all(self, method: str, *args, **kwargs):
         return ray.get([getattr(a, method).remote(*args, **kwargs) for a in self.actors])
 
-    def superstep(self, scatter: str, apply: str, scatter_args=(),
-                  extra_returns: int = 0):
-        """One BSP round: scatter on every actor (P routed blobs each), apply
-        the per-owner blobs on the owning actor, barrier on the counters.
-        Returns (apply_results, extra_scatter_results)."""
-        P = self.P
-        nret = P + extra_returns
-        outs = [_flatten_returns(
-                    getattr(a, scatter).options(num_returns=nret).remote(*scatter_args),
-                    nret)
-                for a in self.actors]
-        applies = [getattr(self.actors[p], apply).remote(*[outs[q][p] for q in range(P)])
-                   for p in range(P)]
-        extras = []
-        if extra_returns:
-            extras = ray.get([outs[q][P] for q in range(P)])
-        return ray.get(applies), extras
+    def register_push(self) -> None:
+        """One-time static target registration for all-edges scatters (PR):
+        after this, a superstep ships ONE values-only array per actor."""
+        if self._push_registered:
+            return
+        packs = [a.get_push_targets.remote() for a in self.actors]
+        ray.get([a.register_incoming.remote(*packs) for a in self.actors])
+        self._push_registered = True
 
-    def lookup(self, plan: str, apply: str, serve: str = "gather_values",
+    def superstep(self, scatter: str, apply: str, scatter_args=()):
+        """One BSP round: every actor scatters ONE packed object; every actor
+        applies all P packs (slicing its own segments); barrier on counters."""
+        packs = [getattr(a, scatter).remote(*scatter_args) for a in self.actors]
+        return ray.get([getattr(a, apply).remote(*packs) for a in self.actors]), packs
+
+    def lookup(self, plan: str, apply: str, serve: str = "serve_values_packed",
                serve_args=()):
-        """Two-round exchange: each actor plans per-owner id requests, owners
-        serve values, requester applies. Returns apply results."""
-        P = self.P
-        reqs = [_flatten_returns(getattr(a, plan).options(num_returns=P).remote(), P)
-                for a in self.actors]
-        vals = [[getattr(self.actors[p], serve).remote(*serve_args, reqs[q][p])
-                 for p in range(P)] for q in range(P)]
-        return ray.get([getattr(self.actors[q], apply).remote(*vals[q]) for q in range(P)])
+        """Three-wave exchange: each actor plans one packed id request, each
+        owner serves ALL requesters in one packed reply, each requester
+        applies all replies. 2·P objects total per lookup."""
+        reqs = [getattr(a, plan).remote() for a in self.actors]
+        replies = [getattr(a, serve).remote(*serve_args, *reqs) for a in self.actors]
+        return ray.get([getattr(a, apply).remote(*replies) for a in self.actors])
 
     def extract(self, method: str):
         """Per-partition Arrow tables → Ray Dataset (zero driver copy)."""

@@ -15,6 +15,16 @@ partial combine, apply, lookup serve) for PR / CC / LP / BFS / SSSP / TC.
 Atomic-add/min scatter races of the reference (`pr_functor.cuh:189`,
 `bfs_functor.cuh:72`) are replaced by deterministic segment reductions.
 
+Exchange protocol (the analog of PushNeighbor/Expand_Incoming peer copies,
+`gunrock/app/enactor_loop.cuh:302-380`): every actor emits exactly ONE packed
+object per round — per-receiver segments concatenated with an offsets array
+``offs[P+1]`` — and every receiver slices its segment out of each sender's
+pack. This keeps the per-round object count O(P), not O(P²): the driver routes
+only object references, and on a multi-node cluster each node pulls each
+sender's pack ONCE and all partitions on that node slice it locally
+(per-node exchange aggregation). Measured on this engine, the O(P²)
+small-object variant was 10-20× slower at P=32 under a busy Ray session.
+
 The class is plain Python (unit-testable without Ray); the actor wrapper is
 applied at creation time.
 """
@@ -31,6 +41,8 @@ import pyarrow.parquet as pq
 from gunrock_ray.common import owner_of, segment_reduce, segment_starts
 
 _BFS_INF = np.int64(1) << 62
+_EMPTY_I8 = np.zeros(0, dtype=np.int64)
+_EMPTY_F8 = np.zeros(0, dtype=np.float64)
 
 
 def _read_shard(root: str, pid: int, columns: list[str]) -> pa.Table | None:
@@ -66,38 +78,54 @@ class GraphPartition:
         # algorithm state: name -> np.ndarray aligned with self.verts
         self.state: dict[str, np.ndarray] = {}
         self._pending: dict[str, object] = {}
-        self._push_plan = None
+        self._push_plan_ready = False
+        self._raw = None
 
     # ------------------------------------------------------------------ build
+    # Two phases so vertex discovery is an in-actor packed exchange instead of
+    # a second Ray Data pass over the edge table: phase1 reads this partition's
+    # shard and routes the dst ids it has seen to their owners; phase2 unions
+    # owned srcs + incoming dsts (+ the optional explicit vertex shard), drops
+    # self-loops, dedups and builds the CSR. Mirrors `Csr::FromCoo`
+    # (`gunrock/csr.cuh:534-697`): sort by (src,dst), drop self-loops and
+    # duplicate edges, back-fill empty rows.
 
-    def build(self) -> dict:
-        """Load this partition's Parquet shards, dedup (globally exact: dup
-        edges share src ⇒ co-located), build CSR. Mirrors `Csr::FromCoo`
-        (`gunrock/csr.cuh:534-697`): sort by (src,dst), drop duplicate edges,
-        back-fill empty rows; self-loops were already dropped at ingest."""
-        from gunrock_ray.sources.ingest import dedup_sorted
-
-        vcols = ["v"]
-        vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid, vcols)
+    def build_phase1(self):
         ecols = ["src", "dst"] + (["w"] if self.weighted else [])
         et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid, ecols)
+        if et is None or et.num_rows == 0:
+            self._raw = (_EMPTY_I8, _EMPTY_I8, None)
+            return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8)
+        src = et["src"].to_numpy()
+        dst = et["dst"].to_numpy()
+        w = et["w"].to_numpy() if self.weighted else None
+        self._raw = (src, dst, w)
+        ends = np.unique(np.concatenate([dst, src]))  # every endpoint this shard saw
+        return self._pack(ends)
 
-        vs = vt["v"].to_numpy() if vt is not None else np.zeros(0, dtype=np.int64)
-        self.verts = np.unique(vs)
+    def build_phase2(self, *vert_packs) -> dict:
+        from gunrock_ray.sources.ingest import dedup_sorted
 
-        if et is not None and et.num_rows:
-            src = et["src"].to_numpy()
-            dst = et["dst"].to_numpy()
-            w = et["w"].to_numpy() if self.weighted else None
+        pieces = [self._unpack_mine(pk, 0) for pk in vert_packs]
+        vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid, ["v"])
+        if vt is not None:
+            pieces.append(vt["v"].to_numpy())
+        self.verts = np.unique(np.concatenate(pieces)) if pieces else _EMPTY_I8
+
+        src, dst, w = self._raw
+        self._raw = None
+        keep = src != dst  # self-loop drop (`gunrock/csr.cuh:588`)
+        src, dst = src[keep], dst[keep]
+        w = w[keep] if w is not None else None
+        if len(src):
             src, dst, w = dedup_sorted(src, dst, w)
             self.col_indices = np.ascontiguousarray(dst)
             self.edge_w = np.ascontiguousarray(w) if w is not None else None
-            # row_offsets over owned verts (every src is owned by construction)
             starts = np.searchsorted(src, self.verts, side="left")
             self.row_offsets = np.concatenate([starts, [len(src)]]).astype(np.int64)
         else:
             self.row_offsets = np.zeros(len(self.verts) + 1, dtype=np.int64)
-            self.col_indices = np.zeros(0, dtype=np.int64)
+            self.col_indices = _EMPTY_I8
         self.out_deg = np.diff(self.row_offsets)
         return {"pid": self.pid, "n_local": len(self.verts), "m_local": len(self.col_indices)}
 
@@ -105,37 +133,63 @@ class GraphPartition:
         """Local index of owned global vertex ids."""
         return np.searchsorted(self.verts, ids)
 
-    def _route(self, ids: np.ndarray, *vals: np.ndarray):
-        """Split (ids, vals...) into P per-owner tuples."""
+    # ----------------------------------------------------- packed exchange
+
+    def _pack(self, ids: np.ndarray, *vals: np.ndarray):
+        """(owner,·)-sort (ids, vals...) and pack into ONE object:
+        (offs[P+1], ids_sorted, vals_sorted...). Receiver p's segment is
+        [offs[p]:offs[p+1])."""
         own = owner_of(ids, self.P)
         order = np.argsort(own, kind="stable")
-        ids_s = ids[order]
-        vals_s = tuple(v[order] for v in vals)
-        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
-        out = []
-        for p in range(self.P):
-            sl = slice(bounds[p], bounds[p + 1])
-            out.append((ids_s[sl],) + tuple(v[sl] for v in vals_s))
-        return out
+        offs = np.searchsorted(own[order], np.arange(self.P + 1)).astype(np.int64)
+        return (offs, ids[order]) + tuple(v[order] for v in vals)
 
-    def _combine_route(self, ids: np.ndarray, vals: np.ndarray, op: str):
-        """Partial-combine (ids, vals) per unique id, then split per owner.
-        This is the in-actor combiner before the dst shuffle (SURVEY.md §7.3)."""
+    def _pack_combined(self, ids: np.ndarray, vals: np.ndarray, op: str):
+        """Partial-combine per unique id (the in-actor combiner before the dst
+        exchange — SURVEY.md §7.3; skew-robust: a hot dst contributes at most
+        ONE entry per sender), then pack per owner."""
         uids, uvals = segment_reduce(ids, vals, op)
-        return self._route(uids, uvals)
+        return self._pack(uids, uvals)
+
+    def _unpack_mine(self, pack, col: int) -> np.ndarray:
+        """This partition's segment of column ``col`` (0 = ids) of a pack."""
+        offs = pack[0]
+        return pack[1 + col][offs[self.pid]:offs[self.pid + 1]]
+
+    def _unpack_all(self, packs, cols=(0, 1)):
+        """Concatenate this partition's segments across sender packs."""
+        out = []
+        for c in cols:
+            segs = [self._unpack_mine(pk, c) for pk in packs]
+            out.append(np.concatenate(segs) if segs else _EMPTY_I8)
+        return out
 
     # ------------------------------------------------------- generic plumbing
 
-    def gather_values(self, name: str, ids: np.ndarray) -> np.ndarray:
-        """Serve state[name] at owned global ids (the lookup-exchange server)."""
-        if len(ids) == 0:
-            return self.state[name][:0] if name in self.state else np.zeros(0)
-        return self.state[name][self._lidx(np.asarray(ids))]
+    def serve_values_packed(self, name: str, *req_packs):
+        """Lookup server: answer every requester's id segment from state[name]
+        in one packed reply (requester q's answers at [offs[q]:offs[q+1]))."""
+        arr = self.state[name]
+        segs = [self._unpack_mine(pk, 0) for pk in req_packs]
+        lens = np.array([len(s) for s in segs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        ids = np.concatenate(segs) if segs else _EMPTY_I8
+        vals = arr[self._lidx(ids)] if len(ids) else arr[:0]
+        return (offs, vals)
 
-    def gather_degrees(self, ids: np.ndarray) -> np.ndarray:
-        if len(ids) == 0:
-            return np.zeros(0, dtype=np.int64)
-        return self.out_deg[self._lidx(np.asarray(ids))]
+    def serve_degrees_packed(self, *req_packs):
+        segs = [self._unpack_mine(pk, 0) for pk in req_packs]
+        lens = np.array([len(s) for s in segs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        ids = np.concatenate(segs) if segs else _EMPTY_I8
+        vals = self.out_deg[self._lidx(ids)] if len(ids) else _EMPTY_I8
+        return (offs, vals)
+
+    def _reply_mine(self, reply_packs) -> np.ndarray:
+        """Reassemble the full answer for my pending request: owner q's reply
+        segment for me, concatenated in owner order (= my request pack order)."""
+        segs = [rp[1][rp[0][self.pid]:rp[0][self.pid + 1]] for rp in reply_packs]
+        return np.concatenate(segs) if segs else _EMPTY_I8
 
     def state_table(self, columns: list[str]) -> pa.Table:
         cols = {"v": pa.array(self.verts, pa.int64())}
@@ -145,6 +199,12 @@ class GraphPartition:
 
     def set_scalar_state(self, name: str, dtype: str, fill) -> None:
         self.state[name] = np.full(len(self.verts), fill, dtype=np.dtype(dtype))
+
+    def gather_values(self, name: str, ids: np.ndarray) -> np.ndarray:
+        """Serve state[name] at owned global ids (test/debug helper)."""
+        if len(ids) == 0:
+            return self.state[name][:0] if name in self.state else np.zeros(0)
+        return self.state[name][self._lidx(np.asarray(ids))]
 
     # ------------------------------------------------------------ checkpoint
 
@@ -169,14 +229,15 @@ class GraphPartition:
     # ------------------------------------------------- push plan (static LB)
 
     def prepare_push_plan(self) -> int:
-        """Precompute the static scatter→combine plan: because PR's message
-        pattern is the full edge list every superstep (all-vertex frontier,
-        `gunrock/app/pr/pr_problem.cuh:277-281`), the (owner(dst), dst) sort,
+        """Precompute the static scatter→combine plan: because the all-vertex
+        frontier's message pattern is the full edge list every superstep
+        (`gunrock/app/pr/pr_problem.cuh:277-281`), the (owner(dst), dst) sort,
         per-owner segment bounds, unique dsts and reduce offsets are all
         superstep-invariant. This replaces the reference's per-launch GPU load
         balancing (`oprtr/advance/kernel_policy.cuh:31-67`) with a one-time
-        plan; per superstep only a gather + segmented reduce runs."""
-        m = len(self.col_indices)
+        plan; per superstep only a gather + ONE segmented reduce runs and the
+        packed values array is the only payload exchanged (target ids are
+        registered with receivers once, see register_incoming)."""
         src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64), self.out_deg)
         dst = self.col_indices
         own = owner_of(dst, self.P)
@@ -184,40 +245,48 @@ class GraphPartition:
         dst_s = dst[order]
         own_s = own[order]
         self._push_src_idx = src_idx[order]
-        bounds = np.searchsorted(own_s, np.arange(self.P + 1))
-        plan = []
-        for p in range(self.P):
-            sl = slice(int(bounds[p]), int(bounds[p + 1]))
-            seg = dst_s[sl]
-            starts = segment_starts(seg)
-            plan.append((sl, seg[starts] if len(seg) else seg, starts))
-        self._push_plan = plan
         self._push_dst_sorted = dst_s
-        return m
+        # equal dsts are contiguous (same owner, sorted within owner segment)
+        self._push_starts = segment_starts(dst_s)
+        self._push_uids = dst_s[self._push_starts]
+        self._push_uid_offs = np.searchsorted(
+            own_s[self._push_starts], np.arange(self.P + 1)).astype(np.int64)
+        self._push_plan_ready = True
+        return len(dst)
 
-    def push_values(self, vals_per_edge_sorted: np.ndarray, op: str):
-        """Partial-combine pre-sorted per-edge values along the static plan."""
-        out = []
-        for (sl, uids, starts) in self._push_plan:
-            seg_vals = vals_per_edge_sorted[sl]
-            if len(seg_vals) == 0:
-                out.append((uids, seg_vals))
-                continue
-            if op == "sum":
-                red = np.add.reduceat(seg_vals, starts)
-            elif op == "min":
-                red = np.minimum.reduceat(seg_vals, starts)
-            else:  # pragma: no cover
-                raise ValueError(op)
-            out.append((uids, red))
-        return out
+    def get_push_targets(self):
+        """Static target registration pack: (offs[P+1], unique dsts)."""
+        if not self._push_plan_ready:
+            self.prepare_push_plan()
+        return (self._push_uid_offs, self._push_uids)
+
+    def register_incoming(self, *target_packs) -> None:
+        """Cache, per sender, the local indices its reduced values land on and
+        its pack offsets — after this, a static scatter ships values only."""
+        self._in_idx = []
+        self._in_off = []
+        for pk in target_packs:
+            seg = self._unpack_mine(pk, 0)
+            self._in_idx.append(self._lidx(seg) if len(seg) else _EMPTY_I8)
+            self._in_off.append((int(pk[0][self.pid]), int(pk[0][self.pid + 1])))
+
+    def push_reduced(self, vals_per_edge_sorted: np.ndarray, op: str) -> np.ndarray:
+        """Reduce pre-sorted per-edge values along the static plan: ONE
+        segmented reduction aligned with _push_uids (the whole pack payload)."""
+        if len(self._push_starts) == 0:
+            return _EMPTY_F8
+        if op == "sum":
+            return np.add.reduceat(vals_per_edge_sorted, self._push_starts)
+        if op == "min":
+            return np.minimum.reduceat(vals_per_edge_sorted, self._push_starts)
+        raise ValueError(op)  # pragma: no cover
 
     # -------------------------------------------------------------- PageRank
     # Semantics: gunrock/app/pr/pr_problem.cuh:397-417, pr_functor.cuh:148-226,
     # pr_enactor.cuh:365-604, 846-871 (SURVEY.md §2.4). rank stores rank/deg.
 
     def pr_init(self, n_global: int, delta: float, threshold: float) -> None:
-        if self._push_plan is None:
+        if not self._push_plan_ready:
             self.prepare_push_plan()
         init_value = 1.0 / max(n_global, 1)  # n==0 ⇒ empty graph, no-op state
         rank = np.full(len(self.verts), init_value, dtype=np.float64)
@@ -228,19 +297,20 @@ class GraphPartition:
         self._pr_threshold = threshold
         self._pr_reset = (1.0 - delta) / max(n_global, 1)
 
-    def pr_scatter(self):
-        """Messages rank_curr[src] per out-edge, partial-summed per dst per
-        owner (`ApplyEdge` atomicAdd → deterministic reduceat)."""
-        vals = self.state["rank"][self._push_src_idx]
-        return self.push_values(vals, "sum")
+    def pr_scatter(self) -> np.ndarray:
+        """Messages rank_curr[src] per out-edge, partial-summed per dst
+        (`ApplyEdge` atomicAdd → deterministic reduceat). The pack is the
+        reduced float64 array alone — targets were registered at init."""
+        return self.push_reduced(self.state["rank"][self._push_src_idx], "sum")
 
-    def pr_apply(self, *blobs) -> dict:
+    def pr_apply(self, *val_packs) -> dict:
         """new = reset + delta*sum; deg>0 ⇒ /=deg; non-finite ⇒ 0; updated iff
         |new-old| > threshold*old (`pr_functor.cuh:209-226`)."""
         nxt = np.zeros(len(self.verts), dtype=np.float64)
-        for (ids, vals) in blobs:
-            if len(ids):
-                nxt[self._lidx(ids)] += vals
+        for q, vals in enumerate(val_packs):
+            s, e = self._in_off[q]
+            if e > s:
+                nxt[self._in_idx[q]] += vals[s:e]
         old = self.state["rank"]
         new = self._pr_reset + self._pr_delta * nxt
         nz = self.out_deg > 0
@@ -271,22 +341,22 @@ class GraphPartition:
         """Plan lookup of cid[dst] for active edges: unique dsts per owner."""
         dst = self.col_indices[self._cc_active]
         uniq = np.unique(dst)
-        own = owner_of(uniq, self.P)
-        order = np.argsort(own, kind="stable")
-        uniq_s = uniq[order]
-        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
-        self._pending["cc_uniq_dst"] = uniq_s
-        return [uniq_s[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+        self._pending["cc_uniq_dst"] = uniq
+        return self._pack(uniq)
 
-    def cc_hook_scatter(self, *val_blobs):
+    def cc_hook_scatter(self, *reply_packs):
         """With cid[dst] answered, hook active edges: pf=cid[u], pt=cid[v];
         equal ⇒ deactivate (mark); else candidate min(pf,pt) routed to
-        owner(max(pf,pt)) with min-combine (`cc_functor.cuh:375-489`)."""
+        owner(max(pf,pt)) with min-combine (`cc_functor.cuh:375-489`).
+        Returns (pack, stats)."""
         uniq = self._pending.pop("cc_uniq_dst")
-        vals = np.concatenate([np.asarray(b) for b in val_blobs]) if len(uniq) else uniq
-        # uniq is (owner, id)-sorted; re-sort to global id order for searchsorted
-        reorder = np.argsort(uniq, kind="stable")
-        uniq, vals = uniq[reorder], vals[reorder]
+        vals = self._reply_mine(reply_packs)
+        # replies align with the (owner,id)-sorted request; restore id order
+        own = owner_of(uniq, self.P)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(uniq), dtype=np.int64)
+        back[order] = np.arange(len(uniq))
+        vals = vals[back]  # now aligned with uniq (id-sorted)
         act = self._cc_active
         dst = self.col_indices[act]
         src_idx = np.searchsorted(np.cumsum(self.out_deg), act, side="right")
@@ -297,12 +367,14 @@ class GraphPartition:
         pf, pt = pf[~settled], pt[~settled]
         target = np.maximum(pf, pt)
         cand = np.minimum(pf, pt)
-        return self._combine_route(target, cand, "min") + [{"active": int(len(self._cc_active))}]
+        return self._pack_combined(target, cand, "min"), {"active": int(len(self._cc_active))}
 
-    def cc_apply_min(self, *blobs) -> dict:
+    def cc_apply_min(self, *packs) -> dict:
         cid = self.state["cid"]
         changed = 0
-        for (ids, vals) in blobs:
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
             if len(ids):
                 li = self._lidx(ids)
                 nv = np.minimum(cid[li], vals)
@@ -314,18 +386,17 @@ class GraphPartition:
         """Plan lookup cid[cid[v]]: unique parents per owner (pointer jump,
         `cc_functor.cuh:544-563`)."""
         parents = np.unique(self.state["cid"])
-        own = owner_of(parents, self.P)
-        order = np.argsort(own, kind="stable")
-        ps = parents[order]
-        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
-        self._pending["cc_parents"] = ps
-        return [ps[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+        self._pending["cc_parents"] = parents
+        return self._pack(parents)
 
-    def cc_jump_apply(self, *val_blobs) -> dict:
+    def cc_jump_apply(self, *reply_packs) -> dict:
         ps = self._pending.pop("cc_parents")
-        vals = np.concatenate([np.asarray(b) for b in val_blobs]) if len(ps) else ps
-        reorder = np.argsort(ps, kind="stable")
-        ps, vals = ps[reorder], vals[reorder]
+        vals = self._reply_mine(reply_packs)
+        own = owner_of(ps, self.P)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(ps), dtype=np.int64)
+        back[order] = np.arange(len(ps))
+        vals = vals[back]
         cid = self.state["cid"]
         new = vals[np.searchsorted(ps, cid)] if len(ps) else cid
         changed = int(np.count_nonzero(new != cid))
@@ -344,38 +415,34 @@ class GraphPartition:
     # smallest label; vertices with no in-messages keep their label.
 
     def lp_init(self) -> None:
-        if self._push_plan is None:
+        if not self._push_plan_ready:
             self.prepare_push_plan()
         self.state["label"] = self.verts.copy()
 
     def lp_scatter(self):
         """Messages (dst, label[src]) partial-combined to (dst, label, count)
-        per owner — the two-stage mode-aggregate's first stage."""
-        labels = self.state["label"][self._push_src_idx]
-        out = []
-        for (sl, _uids, _starts) in self._push_plan:
-            dst = self._push_dst_sorted[sl]
-            lab = labels[sl]
-            if len(dst) == 0:
-                out.append((dst, lab, dst))
-                continue
-            order = np.lexsort((lab, dst))
-            d, l = dst[order], lab[order]
-            b = np.empty(len(d), dtype=bool)
-            b[0] = True
-            np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=b[1:])
-            starts = np.flatnonzero(b)
-            counts = np.diff(np.append(starts, len(d))).astype(np.int64)
-            out.append((d[starts], l[starts], counts))
-        return out
+        — the two-stage mode-aggregate's first stage, packed per owner.
+        dst is already (owner, dst)-sorted in the plan, so only labels need
+        sorting within dst runs."""
+        dst = self._push_dst_sorted
+        lab = self.state["label"][self._push_src_idx]
+        if len(dst) == 0:
+            return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        order = np.lexsort((lab, dst))
+        d, l = dst[order], lab[order]
+        b = np.empty(len(d), dtype=bool)
+        b[0] = True
+        np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=b[1:])
+        starts = np.flatnonzero(b)
+        counts = np.diff(np.append(starts, len(d))).astype(np.int64)
+        du, lu = d[starts], l[starts]
+        return self._pack(du, lu, counts)
 
-    def lp_apply(self, *blobs) -> dict:
-        dsts = np.concatenate([b[0] for b in blobs])
-        labs = np.concatenate([b[1] for b in blobs])
-        cnts = np.concatenate([b[2] for b in blobs])
+    def lp_apply(self, *packs) -> dict:
+        dsts, labs, cnts = self._unpack_all(packs, cols=(0, 1, 2))
         label = self.state["label"]
         if len(dsts) == 0:
-            return {"changed": 0}
+            return {"changed": 0, "msgs": 0}
         # merge partials: sum counts per (dst, label)
         order = np.lexsort((labs, dsts))
         d, l, c = dsts[order], labs[order], cnts[order]
@@ -422,18 +489,20 @@ class GraphPartition:
     def bfs_scatter(self):
         src_li, dst, _ = self._frontier_edges()
         newdepth = self.state["depth"][src_li] + 1
-        return self._combine_route(dst, newdepth, "min")
+        return self._pack_combined(dst, newdepth, "min")
 
-    def bfs_apply(self, *blobs) -> dict:
+    def bfs_apply(self, *packs) -> dict:
         depth = self.state["depth"]
         improved: list[np.ndarray] = []
-        for (ids, vals) in blobs:
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
             if len(ids):
                 li = self._lidx(ids)
                 better = vals < depth[li]
                 depth[li[better]] = vals[better]
                 improved.append(li[better])
-        f = np.unique(np.concatenate(improved)) if improved else np.zeros(0, dtype=np.int64)
+        f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
         self._frontier = f
         return {"frontier": int(len(f))}
 
@@ -455,18 +524,20 @@ class GraphPartition:
     def sssp_scatter(self):
         src_li, dst, eidx = self._frontier_edges()
         w = self.edge_w[eidx] if self.edge_w is not None else np.ones(len(eidx))
-        return self._combine_route(dst, self.state["dist"][src_li] + w, "min")
+        return self._pack_combined(dst, self.state["dist"][src_li] + w, "min")
 
-    def sssp_apply(self, *blobs) -> dict:
+    def sssp_apply(self, *packs) -> dict:
         dist = self.state["dist"]
         improved: list[np.ndarray] = []
-        for (ids, vals) in blobs:
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
             if len(ids):
                 li = self._lidx(ids)
                 better = vals < dist[li]
                 dist[li[better]] = vals[better]
                 improved.append(li[better])
-        f = np.unique(np.concatenate(improved)) if improved else np.zeros(0, dtype=np.int64)
+        f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
         self._frontier = f
         return {"frontier": int(len(f))}
 
@@ -480,20 +551,19 @@ class GraphPartition:
 
     def tc_orient_request(self):
         uniq = np.unique(self.col_indices)
-        own = owner_of(uniq, self.P)
-        order = np.argsort(own, kind="stable")
-        us = uniq[order]
-        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
-        self._pending["tc_uniq"] = us
-        return [us[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+        self._pending["tc_uniq"] = uniq
+        return self._pack(uniq)
 
-    def tc_orient(self, *deg_blobs) -> int:
+    def tc_orient(self, *reply_packs) -> int:
         """Keep edge (u,v) iff (deg[u],u) < (deg[v],v): each undirected edge
         survives exactly once, max oriented out-degree ≈ O(sqrt(m))."""
         us = self._pending.pop("tc_uniq")
-        dvals = np.concatenate([np.asarray(b) for b in deg_blobs]) if len(us) else us
-        reorder = np.argsort(us, kind="stable")
-        us, dvals = us[reorder], dvals[reorder]
+        dvals = self._reply_mine(reply_packs)
+        own = owner_of(us, self.P)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(us), dtype=np.int64)
+        back[order] = np.arange(len(us))
+        dvals = dvals[back]  # aligned with us (id-sorted)
         dst = self.col_indices
         src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64), self.out_deg)
         du = self.out_deg[src_idx]
@@ -512,41 +582,55 @@ class GraphPartition:
 
     def tc_adj_request(self):
         uniq = np.unique(self._tc_cols)
-        own = owner_of(uniq, self.P)
-        order = np.argsort(own, kind="stable")
-        us = uniq[order]
-        bounds = np.searchsorted(own[order], np.arange(self.P + 1))
-        self._pending["tc_adj"] = us
-        return [us[bounds[p]:bounds[p + 1]] for p in range(self.P)]
+        self._pending["tc_adj"] = uniq
+        return self._pack(uniq)
 
-    def tc_serve_adjacency(self, ids: np.ndarray):
-        """Serve oriented adjacency lists of owned ids: (lens, flat_cols)."""
-        ids = np.asarray(ids)
+    def tc_serve_adjacency_packed(self, *req_packs):
+        """Serve oriented adjacency lists of owned ids to every requester in
+        one packed reply: (offs[P+1] over id segments, lens, flat_offs[P+1]
+        over the flat payload, flat_cols)."""
+        segs = [self._unpack_mine(pk, 0) for pk in req_packs]
+        seg_lens = np.array([len(s) for s in segs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
+        ids = np.concatenate(segs) if segs else _EMPTY_I8
         if len(ids) == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+            z = np.zeros(self.P + 1, dtype=np.int64)
+            return (offs, _EMPTY_I8, z, _EMPTY_I8)
         li = self._lidx(ids)
         starts = self._tc_offsets[li]
         lens = self._tc_offsets[li + 1] - starts
-        return lens, _ragged_gather(self._tc_cols, starts, lens)
+        flat = _ragged_gather(self._tc_cols, starts, lens)
+        # flat payload boundaries per requester segment
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        flat_offs = cum[offs].astype(np.int64)
+        return (offs, lens, flat_offs, flat)
 
-    def tc_count(self, *adj_blobs) -> int:
+    def tc_count(self, *reply_packs) -> int:
         """count = Σ_{oriented (u,v)} |N+(u) ∩ N+(v)|, fully vectorized:
         for every c in the fetched N+(v), probe membership of (u,c) in the
         local oriented edge set via a dense-key sorted-array search."""
         us = self._pending.pop("tc_adj")
         if len(self._tc_cols) == 0:
             return 0
-        lens = np.concatenate([np.asarray(b[0]) for b in adj_blobs])
-        flat = np.concatenate([np.asarray(b[1]) for b in adj_blobs])
-        # us is (owner, id)-sorted and lens aligns with it; the flat adjacency
-        # payload must be re-segmented when re-sorting to global id order
-        fstarts_o = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        reorder = np.argsort(us, kind="stable")
-        us, lens = us[reorder], lens[reorder]
-        flat = _ragged_gather(flat, fstarts_o[reorder], lens)
-        fstarts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        # reassemble lens + flat in my request's (owner, id)-sorted order
+        lens_segs, flat_segs = [], []
+        for rp in reply_packs:
+            offs, lens, flat_offs, flat = rp
+            lens_segs.append(lens[offs[self.pid]:offs[self.pid + 1]])
+            flat_segs.append(flat[flat_offs[self.pid]:flat_offs[self.pid + 1]])
+        lens = np.concatenate(lens_segs) if lens_segs else _EMPTY_I8
+        flat = np.concatenate(flat_segs) if flat_segs else _EMPTY_I8
+        own = owner_of(us, self.P)
+        order = np.argsort(own, kind="stable")  # us[order] = request order
+        # re-segment flat when re-sorting lens to global id order
+        fstarts_req = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        back = np.empty(len(us), dtype=np.int64)
+        back[order] = np.arange(len(us))
+        lens_id = lens[back]
+        flat_id = _ragged_gather(flat, fstarts_req[back], lens_id)
+        fstarts = np.concatenate([[0], np.cumsum(lens_id)])[:-1]
         # dense local dictionary covering every id we touch
-        dic = np.unique(np.concatenate([self.verts, self._tc_cols, flat]))
+        dic = np.unique(np.concatenate([self.verts, self._tc_cols, flat_id]))
         L = len(dic)
         o_counts = np.diff(self._tc_offsets)
         u_per_edge = np.repeat(np.arange(len(self.verts), dtype=np.int64), o_counts)
@@ -554,8 +638,8 @@ class GraphPartition:
         key_local = np.sort(key_local)
         # probes: for edge e=(u,v): all c in fetched N+(v)
         vpos = np.searchsorted(us, self._tc_cols)
-        e_lens = lens[vpos]
-        probe_c = _ragged_gather(flat, fstarts[vpos], e_lens)
+        e_lens = lens_id[vpos]
+        probe_c = _ragged_gather(flat_id, fstarts[vpos], e_lens)
         probe_u = np.repeat(np.searchsorted(dic, self.verts)[u_per_edge], e_lens)
         probe_key = probe_u * L + np.searchsorted(dic, probe_c)
         pos = np.searchsorted(key_local, probe_key)
