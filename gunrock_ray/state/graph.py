@@ -99,6 +99,22 @@ class DistributedGraph:
         return DistributedGraph(actors, P, spill_dir, weighted, n, m)
 
     @staticmethod
+    def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
+                   num_cpus_per_actor: float = 0) -> "DistributedGraph":
+        """Rebuild the actor pool from an existing partitioned edge spill
+        without re-running the Ray Data partitioning pass — the analog of the
+        reference's binary CSR cache load (`gunrock/csr.cuh:412-451`)."""
+        P = num_partitions
+        Actor = ray.remote(num_cpus=num_cpus_per_actor,
+                           scheduling_strategy="SPREAD")(GraphPartition)
+        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
+        vert_packs = [a.build_phase1.remote() for a in actors]
+        stats = ray.get([a.build_phase2.remote(*vert_packs) for a in actors])
+        n = sum(s["n_local"] for s in stats)
+        m = sum(s["m_local"] for s in stats)
+        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
+
+    @staticmethod
     def _spill_small(edges: pa.Table, P: int, spill_dir: str, undirected: bool,
                      weighted: bool, vertices) -> None:
         import pyarrow.parquet as pq

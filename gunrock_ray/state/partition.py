@@ -238,7 +238,10 @@ class GraphPartition:
         plan; per superstep only a gather + ONE segmented reduce runs and the
         packed values array is the only payload exchanged (target ids are
         registered with receivers once, see register_incoming)."""
-        src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64), self.out_deg)
+        # int32 local indices when they fit: halves the streamed index bytes of
+        # the per-superstep gather (the kernel is memory-bandwidth-bound)
+        idt = np.int32 if len(self.verts) < 2**31 else np.int64
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=idt), self.out_deg)
         dst = self.col_indices
         own = owner_of(dst, self.P)
         order = np.lexsort((dst, own))
