@@ -52,6 +52,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": r.q_doc_exact_dedup,
         "doc_token_stats": r.q_doc_token_stats,
         "ann_top5": r.q_ann_top5,
+        # dedup / similarity family (SURVEY.md §2 extensions)
+        "ngram_jaccard": r.q_ngram_jaccard,
+        "embed_near_dup": r.q_embed_near_dup,
+        "minhash_near_dup": r.q_minhash_near_dup,   # rows-only (LSH recall)
+        "simhash_near_dup": r.q_simhash_near_dup,   # rows-only
+        "doc_analysis": r.q_doc_analysis,           # rows-only
     }
 
 

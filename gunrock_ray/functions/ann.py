@@ -113,6 +113,6 @@ def lsh_buckets(embeddings_ds, dim: int, num_planes: int = 16, num_tables: int =
     """Dataset stage: embeddings → (vec_id, table_id, bucket). The IVF/LSH
     scale path for ANN: candidates = same-bucket ids in any table."""
     return embeddings_ds.map_batches(
-        LshIndexer, batch_format="pyarrow", concurrency=concurrency,
+        LshIndexer, batch_format="pyarrow", concurrency=(1, concurrency),
         fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
                                "num_tables": num_tables, "seed": seed})

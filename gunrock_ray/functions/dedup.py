@@ -1,0 +1,407 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (sha-bucketed, see pipelines.relational.q_doc_exact_dedup),
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB: every operator is (1) a per-batch signature stage
+(vectorized, stateful constants built once per actor), (2) a groupby shuffle
+keyed on a SMALL signature column (band hash / simhash chunk / LSH bucket —
+never the document body), (3) an exact verification confined to candidate
+buckets, (4) clustering of the verified near-dup pair table with THIS
+ENGINE's distributed connected components (the pair graph is just another
+edge table). Only signatures and ids move through the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+_FNV64 = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash_str64(s: str) -> np.uint64:
+    """Deterministic 64-bit FNV-1a of a string (no PYTHONHASHSEED issues)."""
+    h = _FNV64
+    for b in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram hashes of a document (uint64)."""
+    words = text.split()
+    if len(words) < n:
+        joined = " ".join(words)
+        return np.array([_hash_str64(joined)], dtype=np.uint64) if joined else \
+            np.zeros(0, dtype=np.uint64)
+    hs = np.fromiter((_hash_str64(" ".join(words[i:i + n]))
+                      for i in range(len(words) - n + 1)),
+                     dtype=np.uint64, count=len(words) - n + 1)
+    return np.unique(hs)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+# ------------------------------------------------------------------ MinHash
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature + LSH band keys.
+
+    ``num_hashes = bands * rows``; signature h = min over shingles s of
+    mix64(s ^ seed_h) (one-permutation-per-hash family). Emits one row per
+    (doc, band): {doc_id, band, band_key} — the groupby key for candidate
+    buckets is (band, band_key), 16 bytes, never the text."""
+
+    def __init__(self, ngram: int = 3, bands: int = 16, rows: int = 4,
+                 seed: int = 42):
+        self.ngram = ngram
+        self.bands = bands
+        self.rows = rows
+        H = bands * rows
+        self.seeds = mix64(np.arange(H, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.ngram)
+        if len(sh) == 0:
+            return np.zeros(len(self.seeds), dtype=np.uint64)
+        return mix64(sh[None, :] ^ self.seeds[:, None]).min(axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """Collapse each band's rows to one int64 key."""
+        m = sig.reshape(self.bands, self.rows)
+        key = np.zeros(self.bands, dtype=np.uint64)
+        for r in range(self.rows):
+            key = mix64(key ^ m[:, r])
+        return key.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for d, t in zip(ids, texts):
+            keys = self.band_keys(self.signature(t))
+            out_id.append(np.full(self.bands, d, dtype=np.int64))
+            out_band.append(np.arange(self.bands, dtype=np.int64))
+            out_key.append(keys)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_key": pa.array(np.concatenate(out_key)),
+        })
+
+
+def candidate_pairs_from_bands(bands_ds):
+    """(doc_id, band, band_key) → distinct candidate pairs {a, b} (a < b).
+
+    groupby the 16-byte band bucket; inside a bucket every id pairs with the
+    bucket minimum (transitively complete for clustering purposes — bucket
+    co-members are chained through the min, and verified pairs are then
+    clustered with connected components, so a-min + b-min ⇒ a,b in one
+    cluster). Avoids the O(bucket²) blowup of hot buckets."""
+    import pyarrow.compute as pc
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        ids = np.unique(batch["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        lo = ids[0]
+        return pa.table({"a": pa.array(np.full(len(ids) - 1, lo)),
+                         "b": pa.array(ids[1:])})
+
+    pairs = bands_ds.groupby(["band", "band_key"]).map_groups(
+        pairs_of_group, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
+                           rows: int = 4, seed: int = 42,
+                           threshold: float = 0.6, concurrency: int = 4):
+    """documents {doc_id, text} → verified near-dup pairs
+    {a, b, jaccard} with exact Jaccard >= threshold.
+
+    Verification joins candidate ids back to their shingle sets via a
+    broadcast of ONLY the candidate docs' shingles (the candidate set is
+    orders of magnitude smaller than the corpus)."""
+    import ray
+
+    mh_kwargs = {"ngram": ngram, "bands": bands, "rows": rows, "seed": seed}
+    bands_ds = docs_ds.map_batches(MinHasher, batch_format="pyarrow",
+                                   concurrency=(1, concurrency),
+                                   fn_constructor_kwargs=mh_kwargs)
+    cand = candidate_pairs_from_bands(bands_ds).to_pandas()
+    if len(cand) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    need_ref = ray.put(set(int(x) for x in need))
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        keep = [i for i, d in enumerate(ids) if int(d) in wanted]
+        texts = batch["text"].to_pylist()
+        out_id, out_sh = [], []
+        for i in keep:
+            sh = word_shingles(texts[i], ngram)
+            out_id.append(np.full(len(sh), ids[i], dtype=np.int64))
+            out_sh.append(sh.astype(np.int64))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "shingle": pa.array(np.concatenate(out_sh))})
+
+    sh_tbl = docs_ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
+    sets = {d: np.sort(g["shingle"].to_numpy().astype(np.uint64))
+            for d, g in sh_tbl.groupby("doc_id")}
+    ja = np.array([jaccard(sets.get(int(r.a), np.zeros(0, np.uint64)),
+                           sets.get(int(r.b), np.zeros(0, np.uint64)))
+                   for r in cand.itertuples()])
+    keep = ja >= threshold
+    out = cand[keep].reset_index(drop=True)
+    return pa.table({"a": pa.array(out["a"].to_numpy(), pa.int64()),
+                     "b": pa.array(out["b"].to_numpy(), pa.int64()),
+                     "jaccard": pa.array(ja[keep], pa.float64())})
+
+
+def near_dup_clusters(pairs, num_partitions: int = 8):
+    """Verified pair table {a, b} → {doc_id, cluster} via THIS ENGINE's
+    distributed connected components (cluster = min doc_id of the group).
+    The near-dup keeper of a cluster is its min id — 'first wins', matching
+    the exact-dedup convention."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, connected_components
+
+    if isinstance(pairs, pa.Table):
+        edges = pa.table({"src": pairs["a"], "dst": pairs["b"]})
+    else:
+        edges = pairs.map_batches(
+            lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+            batch_format="pyarrow")
+    g = build_graph(edges, num_partitions=num_partitions, undirected=True)
+    try:
+        ds, _ = connected_components(g)
+        out = ds.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"doc_id": pa.array(out["v"].to_numpy(), pa.int64()),
+                     "cluster": pa.array(out["comp"].to_numpy(), pa.int64())})
+
+
+# ------------------------------------------------------------------ SimHash
+
+class SimHasher:
+    """Actor-pool stage: text → 64-bit SimHash (token-hash sign sum weighted
+    by term frequency). Near-dup candidates share at least one of the four
+    16-bit chunks (pigeonhole: hamming<=3 ⇒ some chunk equal)."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = np.uint64(seed * 2_654_435_761)
+
+    def simhash(self, text: str) -> np.uint64:
+        words = text.split()
+        if not words:
+            return np.uint64(0)
+        hs = np.fromiter((_hash_str64(w) for w in words), dtype=np.uint64,
+                         count=len(words))
+        uh, cnt = np.unique(mix64(hs ^ self.seed), return_counts=True)
+        bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+        score = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        out = np.uint64(0)
+        for i in np.flatnonzero(score > 0):
+            out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sigs = np.array([self.simhash(t) for t in batch["text"].to_pylist()],
+                        dtype=np.uint64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array(sigs.astype(np.int64))})
+
+
+def simhash_signatures(docs_ds, concurrency: int = 4, seed: int = 42):
+    return docs_ds.map_batches(SimHasher, batch_format="pyarrow",
+                               concurrency=(1, concurrency),
+                               fn_constructor_kwargs={"seed": seed})
+
+
+def simhash_near_dup_pairs(docs_ds, *, max_hamming: int = 3,
+                           concurrency: int = 4, seed: int = 42):
+    """SimHash near-dup pairs {a, b, hamming}: chunk-bucket candidates
+    (groupby on 16-bit chunks — the shuffle key is 2 bytes + chunk index)
+    then exact hamming verify."""
+    sig = simhash_signatures(docs_ds, concurrency, seed)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        s = batch["simhash"].to_numpy().astype(np.uint64)
+        out_id, out_c, out_k, out_s = [], [], [], []
+        for c in range(4):
+            out_id.append(ids)
+            out_c.append(np.full(len(ids), c, dtype=np.int64))
+            out_k.append(((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64))
+            out_s.append(s.astype(np.int64))
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "chunk": pa.array(np.concatenate(out_c)),
+                         "key": pa.array(np.concatenate(out_k)),
+                         "simhash": pa.array(np.concatenate(out_s))})
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, sh = ids[keep_first], sh[keep_first]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        # verify against the bucket minimum (chained clusters, like MinHash)
+        x = sh[0] ^ sh[1:]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        ok = ham <= max_hamming
+        return pa.table({"a": pa.array(np.full(int(ok.sum()), ids[0], dtype=np.int64)),
+                         "b": pa.array(ids[1:][ok]),
+                         "hamming": pa.array(ham[ok])})
+
+    pairs = (sig.map_batches(chunks, batch_format="pyarrow")
+             .groupby(["chunk", "key"]).map_groups(pairs_of_group,
+                                                   batch_format="pyarrow"))
+    from ray.data.aggregate import Min
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs_exact(docs_ds, *, ngram: int = 3,
+                              thr_num: int = 1, thr_den: int = 2,
+                              id_limit: int | None = None):
+    """Exact all-pairs word-n-gram Jaccard >= thr_num/thr_den over (a subset
+    of) the corpus: {a, b, inter, union_} with integer intersection/union AND
+    an integer threshold comparison (thr_den*inter >= thr_num*union) so a SQL
+    oracle reproduces it bit-for-bit with no float-boundary risk. The
+    all-pairs form is the validation baseline; the scale path is
+    minhash_near_dup_pairs."""
+    import pyarrow.compute as pc
+
+    ds = docs_ds
+    if id_limit is not None:
+        ds = ds.filter(expr=f"doc_id < {id_limit}")
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out_id, out_sh = [], []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            sh = word_shingles(t, ngram)
+            out_id.append(np.full(len(sh), d, dtype=np.int64))
+            out_sh.append(sh.astype(np.int64))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "shingle": pa.array(np.concatenate(out_sh))})
+
+    sh = ds.map_batches(doc_shingles, batch_format="pyarrow").to_pandas()
+    sets = {int(d): np.sort(g["shingle"].to_numpy())
+            for d, g in sh.groupby("doc_id")}
+    ids = sorted(sets)
+    rows = {"a": [], "b": [], "inter": [], "union_": []}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and thr_den * inter >= thr_num * union:
+                rows["a"].append(a)
+                rows["b"].append(b)
+                rows["inter"].append(inter)
+                rows["union_"].append(union)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+def embedding_near_dup_pairs_exact(embeddings_path: str, *, threshold: float = 0.9):
+    """Exact cosine near-dup pairs {a, b} (sim >= threshold, a < b): blockwise
+    matmul of each batch against the broadcast normalized matrix. Exact
+    validation baseline (SQL-oracle-checkable); scale path below."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from gunrock_ray.functions.ann import _stack, _normalize
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy()
+    M = _normalize(_stack(t["embedding"]))
+    ref = ray.put((all_ids, M))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_all, Mm = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        B = _normalize(_stack(batch["embedding"]))
+        sims = B @ Mm.T
+        bi, aj = np.nonzero(sims >= threshold)
+        a = vid[bi]
+        b = ids_all[aj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    out = ds.map_batches(block, batch_format="pyarrow")
+    return out.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def embedding_near_dup_pairs_lsh(embeddings_path: str, *, threshold: float = 0.9,
+                                 num_planes: int = 12, num_tables: int = 8,
+                                 seed: int = 42):
+    """Scale path: LSH-bucket candidates (groupby on (table, bucket)) then
+    exact cosine verify inside buckets only. Approximate — recall grows with
+    num_tables; returns the same schema as the exact variant."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from gunrock_ray.functions.ann import _stack, _normalize, lsh_buckets
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    dim = len(t["embedding"][0])
+    ids_all = t["vec_id"].to_numpy()
+    pos = np.argsort(ids_all)
+    M = _normalize(_stack(t["embedding"]))[pos]
+    sorted_ids = ids_all[pos]
+    ref = ray.put((sorted_ids, M))
+
+    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    buckets = lsh_buckets(ds, dim, num_planes=num_planes, num_tables=num_tables,
+                          seed=seed)
+
+    def verify_group(batch: pa.Table) -> pa.Table:
+        vids = np.unique(batch["vec_id"].to_numpy())
+        if len(vids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        sids, Mm = ray.get(ref)
+        V = Mm[np.searchsorted(sids, vids)]
+        sims = V @ V.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({"a": pa.array(vids[ii], pa.int64()),
+                         "b": pa.array(vids[jj], pa.int64())})
+
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        verify_group, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

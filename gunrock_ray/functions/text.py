@@ -117,4 +117,4 @@ class TextAnalyzer:
 def analyze_documents(docs_ds, concurrency: int = 4, batch_size: int = 2048):
     """Dataset stage: documents → per-doc text-analysis table (actor pool)."""
     return docs_ds.map_batches(TextAnalyzer, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=batch_size)
+                               concurrency=(1, concurrency), batch_size=batch_size)

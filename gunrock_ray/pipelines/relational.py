@@ -203,6 +203,55 @@ def q_doc_token_stats(sf_dir: str):
         token_stats_batch, batch_format="pyarrow")
 
 
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=list(columns))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs >= 1/50 over doc_id < 60 (the
+    validation baseline for the MinHash scale path; integer inter/union AND
+    integer threshold test so DuckDB reproduces it bit-for-bit). The
+    synthetic corpus has no true near-dups (max pair Jaccard ~0.02), so the
+    driver threshold sits inside the data's range to keep the check
+    non-trivial; tests plant real near-dups and use 0.5."""
+    from gunrock_ray.functions.dedup import ngram_jaccard_pairs_exact
+    return ngram_jaccard_pairs_exact(_docs_ds(sf_dir), ngram=3,
+                                     thr_num=1, thr_den=50, id_limit=60)
+
+
+def q_minhash_near_dup(sf_dir: str):
+    """MinHash+LSH similar pairs (rows-only; pytest-validated against the
+    exact Jaccard oracle — LSH recall is probabilistic by design). bands=64,
+    rows=1 targets the low-similarity regime of the synthetic corpus."""
+    from gunrock_ray.functions.dedup import minhash_near_dup_pairs
+    return minhash_near_dup_pairs(_docs_ds(sf_dir), bands=64, rows=1,
+                                  threshold=0.01)
+
+
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash similar pairs (rows-only; pytest-validated; the hamming cut
+    sits inside the synthetic corpus's distance distribution)."""
+    from gunrock_ray.functions.dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(_docs_ds(sf_dir), max_hamming=18)
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Exact embedding-cosine similar pairs (sim >= 0.45, a < b; the
+    synthetic embeddings top out at cos ~0.51)."""
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_exact
+    return embedding_near_dup_pairs_exact(
+        os.path.join(sf_dir, "embeddings.parquet"), threshold=0.45)
+
+
+def q_doc_analysis(sf_dir: str):
+    """Language-ID + quality scores + rolling-hash fingerprint per doc
+    (actor-pool stage; rows-only — pytest-validated)."""
+    from gunrock_ray.functions.text import analyze_documents
+    return analyze_documents(_docs_ds(sf_dir))
+
+
 def q_ann_top5(sf_dir: str):
     """Brute-force cosine top-5 neighbors for the first 10 vectors (the ANN
     baseline; broadcast query matrix, per-batch matmul)."""
@@ -243,6 +292,26 @@ ORACLE_SQL: dict[str, str] = {
         "b(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
         f"  UNION SELECT n.dst, b.d + 1 FROM b JOIN n ON n.src = b.v WHERE b.d < {EDGE_MOD + 1}) "
         "SELECT v, MIN(d) AS depth FROM b GROUP BY v"
+    ),
+    "ngram_jaccard": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "           FROM documents WHERE doc_id < 60), "
+        "idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d), "
+        "g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh "
+        "      FROM idx), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), "
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter "
+        "      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "      GROUP BY 1, 2) "
+        "SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS union_ "
+        "FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+        "WHERE 50 * i.inter >= (sa.n + sb.n - i.inter)"
+    ),
+    "embed_near_dup": (
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
     ),
     "doc_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
     "doc_exact_dedup": ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "

@@ -1,0 +1,171 @@
+"""Dedup / similarity family: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup, text analysis — on fixtures with PLANTED near-dups
+(the synthetic testdata corpus has none, max pair Jaccard ~0.02)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions.dedup import (
+    MinHasher, word_shingles, jaccard, minhash_near_dup_pairs,
+    simhash_near_dup_pairs, SimHasher, ngram_jaccard_pairs_exact,
+    near_dup_clusters, embedding_near_dup_pairs_exact,
+    embedding_near_dup_pairs_lsh)
+from gunrock_ray.functions.text import TextAnalyzer
+
+
+def _rand_doc(rng, nwords=60):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+             "pi", "rho", "sigma", "tau", "upsilon"]
+    return " ".join(rng.choice(vocab, nwords))
+
+
+@pytest.fixture(scope="module")
+def planted_docs():
+    rng = np.random.default_rng(7)
+    texts = [_rand_doc(rng) for _ in range(30)]
+    # planted near-dups: 30~31 (one word changed), 32==33 (identical),
+    # 34~35~36 (chain: 34~35 and 35~36 strongly similar)
+    base = _rand_doc(rng)
+    texts.append(base)                                   # 30
+    w = base.split(); w[10] = "CHANGED"
+    texts.append(" ".join(w))                            # 31
+    dup = _rand_doc(rng)
+    texts.append(dup)                                    # 32
+    texts.append(dup)                                    # 33
+    c = _rand_doc(rng).split()
+    texts.append(" ".join(c))                            # 34
+    c2 = list(c); c2[5] = "X"
+    texts.append(" ".join(c2))                           # 35
+    c3 = list(c2); c3[40] = "Y"
+    texts.append(" ".join(c3))                           # 36
+    return pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _ds(table):
+    import ray.data
+    return ray.data.from_arrow(table)
+
+
+def test_minhash_finds_planted_pairs(planted_docs):
+    out = minhash_near_dup_pairs(_ds(planted_docs), threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (30, 31) in pairs
+    assert (32, 33) in pairs
+    assert (34, 35) in pairs
+    # verified jaccard values are exact
+    texts = planted_docs["text"].to_pylist()
+    for _, r in out.iterrows():
+        j = jaccard(word_shingles(texts[int(r.a)]), word_shingles(texts[int(r.b)]))
+        assert abs(j - r.jaccard) < 1e-12
+        assert j >= 0.5
+
+
+def test_minhash_identical_docs_jaccard_one(planted_docs):
+    mh = MinHasher()
+    s1 = mh.signature(planted_docs["text"][32].as_py())
+    s2 = mh.signature(planted_docs["text"][33].as_py())
+    assert np.array_equal(s1, s2)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(planted_docs):
+    out = ngram_jaccard_pairs_exact(_ds(planted_docs), thr_num=1, thr_den=2)
+    got = {(r["a"], r["b"]): (r["inter"], r["union_"])
+           for r in out.to_pylist()}
+    texts = planted_docs["text"].to_pylist()
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = word_shingles(texts[a]), word_shingles(texts[b])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and 2 * inter >= union:
+                expect[(a, b)] = (inter, union)
+    assert got == expect
+    assert (32, 33) in got  # identical pair
+
+
+def test_simhash_near_dups(planted_docs):
+    sh = SimHasher()
+    texts = planted_docs["text"].to_pylist()
+    assert sh.simhash(texts[32]) == sh.simhash(texts[33])
+    ham_close = bin(int(sh.simhash(texts[30])) ^ int(sh.simhash(texts[31]))).count("1")
+    assert ham_close <= 10
+    out = simhash_near_dup_pairs(_ds(planted_docs), max_hamming=10).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (32, 33) in pairs
+    assert (out["hamming"] <= 10).all()
+
+
+def test_near_dup_clusters_transitive(planted_docs):
+    pairs = pa.table({"a": pa.array([30, 32, 34, 35], pa.int64()),
+                      "b": pa.array([31, 33, 35, 36], pa.int64())})
+    out = near_dup_clusters(pairs, num_partitions=2).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster"]))
+    assert cl[30] == cl[31] == 30
+    assert cl[32] == cl[33] == 32
+    assert cl[34] == cl[35] == cl[36] == 34  # transitive chain
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(tmp_path_factory):
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((40, 16)).astype(np.float32)
+    M[21] = M[20] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup
+    M[23] = M[22]                                                      # exact dup
+    t = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in M],
+                                        pa.list_(pa.float32()))})
+    path = str(tmp_path_factory.mktemp("emb") / "embeddings.parquet")
+    pq.write_table(t, path)
+    return path, M
+
+
+def test_embedding_near_dup_exact(planted_embeddings):
+    path, M = planted_embeddings
+    out = embedding_near_dup_pairs_exact(path, threshold=0.95).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    Mn = M.astype(np.float64)
+    Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    expect = {(a, b) for a in range(40) for b in range(a + 1, 40)
+              if S[a, b] >= 0.95}
+    assert pairs == expect
+    assert (20, 21) in pairs and (22, 23) in pairs
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(planted_embeddings):
+    path, M = planted_embeddings
+    exact = set(map(tuple, embedding_near_dup_pairs_exact(path, threshold=0.95)
+                    .to_pandas()[["a", "b"]].to_numpy()))
+    lsh = set(map(tuple, embedding_near_dup_pairs_lsh(path, threshold=0.95)
+                  .to_pandas()[["a", "b"]].to_numpy()))
+    assert lsh <= exact
+    # high-sim planted pairs collide in some table with near-certainty
+    assert (22, 23) in lsh
+    assert (20, 21) in lsh
+
+
+def test_text_analyzer_langid_and_fingerprint():
+    import ray.data
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog sat in the house for it was warm",
+            "der Hund ist nicht mit der Katze auf das zu und",
+            "xyzzy plugh qwerty",
+        ], pa.string())})
+    out = ray.data.from_arrow(docs).map_batches(
+        TextAnalyzer, batch_format="pyarrow", concurrency=1).to_pandas()
+    out = out.sort_values("doc_id")
+    assert list(out["pred_lang"]) == ["en", "de", "unk"]
+    assert out["stop_ratio"].iloc[0] > 0.2
+    # fingerprint: deterministic and shift-robust for a shared long window
+    fp = TextAnalyzer.fingerprint
+    assert fp("hello world, this is a long enough string") == \
+        fp("hello world, this is a long enough string")
