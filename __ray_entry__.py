@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_top20": r.q_pr_top20,      # rows-only (pytest-validated, 1e-6)
         "lp_labels": r.q_lp_labels,    # rows-only (pytest-validated, exact)
         "sssp_dists": r.q_sssp_dists,  # rows-only (pytest-validated)
+        "hits": r.q_hits,              # rows-only (pytest-validated, 1e-9)
+        "salsa": r.q_salsa,            # rows-only (pytest-validated, 1e-9)
+        "bc": r.q_bc,                  # rows-only (pytest-validated vs Brandes)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
         "doc_exact_dedup": r.q_doc_exact_dedup,

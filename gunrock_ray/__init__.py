@@ -10,11 +10,14 @@ Library code never calls ray.init()/ray.shutdown() (driver contract).
 """
 
 from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
+    betweenness_centrality,
     bfs,
     build_graph,
     connected_components,
+    hits,
     label_propagation,
     pagerank,
+    salsa,
     sssp,
     triangle_count,
 )

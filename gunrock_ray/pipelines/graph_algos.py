@@ -11,6 +11,7 @@ from __future__ import annotations
 import time
 import uuid
 
+import numpy as np
 import ray
 
 from gunrock_ray.state.graph import DistributedGraph, MetricsWriter
@@ -25,10 +26,15 @@ def default_partitions() -> int:
 
 
 def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
-                num_partitions: int | None = None, spill_dir: str | None = None) -> DistributedGraph:
+                num_partitions: int | None = None, spill_dir: str | None = None,
+                with_in_edges: bool = False) -> DistributedGraph:
+    """with_in_edges also builds the inverse CSR per partition (the
+    reference's CSC, `gunrock/gunrock.h:67-68`) — required by HITS, SALSA,
+    WTF and betweenness centrality."""
     return DistributedGraph.from_edges(
         edges, num_partitions or default_partitions(), spill_dir,
-        undirected=undirected, weighted=weighted, vertices=vertices)
+        undirected=undirected, weighted=weighted, vertices=vertices,
+        with_in_edges=with_in_edges)
 
 
 # ------------------------------------------------------------------- PageRank
@@ -161,6 +167,108 @@ def triangle_count(graph: DistributedGraph) -> int:
     g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
     counts = g.lookup("tc_adj_request", "tc_count", serve="tc_serve_adjacency_packed")
     return int(sum(counts))
+
+
+# --------------------------------------------- HITS / SALSA (need in-edges)
+
+def hits(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-7,
+         metrics_path: str | None = None):
+    """HITS hub/authority scores (SURVEY.md §2.9; graph must be built
+    ``with_in_edges=True``). Standard Kleinberg formulation with per-iteration
+    L2 normalization (documented deviation from the fork's delta-damped
+    variant, `gunrock/app/hits/hits_functor.cuh:89-93`); stops when both
+    vectors move less than ``tol`` in L2. Returns Dataset {v, hub, auth}."""
+    import math
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("hits_init")
+    g.register_push("out")
+    g.register_push("in")
+    prev = None
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        sq, _ = g.superstep("hits_auth_scatter", "hits_auth_apply")
+        norm = math.sqrt(sum(sq)) or 1.0
+        g.call_all("scale_state", "auth", 1.0 / norm)
+        sq, _ = g.superstep("hits_hub_scatter", "hits_hub_apply")
+        hnorm = math.sqrt(sum(sq)) or 1.0
+        g.call_all("scale_state", "hub", 1.0 / hnorm)
+        metrics.write(algo="hits", superstep=it, messages=2 * g.m,
+                      t_superstep_s=time.perf_counter() - t0)
+        if prev is not None and abs(norm - prev[0]) < tol and abs(hnorm - prev[1]) < tol:
+            break
+        prev = (norm, hnorm)
+    metrics.close()
+    return g.extract("hits_extract")
+
+
+def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
+          metrics_path: str | None = None):
+    """SALSA hub/authority scores (SURVEY.md §2.9: degree-normalized pushes,
+    `gunrock/app/salsa/salsa_functor.cuh:168,319`; graph must be built
+    ``with_in_edges=True``). L1-normalized each iteration (random-walk
+    stationary form). Returns Dataset {v, hub, auth}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("salsa_init")
+    g.register_push("out")
+    g.register_push("in")
+    prev = None
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        s1, _ = g.superstep("salsa_auth_scatter", "salsa_auth_apply")
+        asum = sum(s1) or 1.0
+        g.call_all("scale_state", "auth", 1.0 / asum)
+        s2, _ = g.superstep("salsa_hub_scatter", "salsa_hub_apply")
+        hsum = sum(s2) or 1.0
+        g.call_all("scale_state", "hub", 1.0 / hsum)
+        metrics.write(algo="salsa", superstep=it, messages=2 * g.m,
+                      t_superstep_s=time.perf_counter() - t0)
+        if prev is not None and abs(asum - prev[0]) < tol and abs(hsum - prev[1]) < tol:
+            break
+        prev = (asum, hsum)
+    metrics.close()
+    return g.extract("salsa_extract")
+
+
+# ------------------------------------- Betweenness centrality (BC, Brandes)
+
+def betweenness_centrality(graph: DistributedGraph, sources=None, *,
+                           halve: bool = True, metrics_path: str | None = None):
+    """Brandes BC (SURVEY.md §2.8; graph must be built ``with_in_edges=True``;
+    build undirected for the reference's undirected BC). Forward sigma-BFS
+    then per-level backward dependency accumulation per source; ``sources``
+    defaults to every vertex (exact BC) — pass a subset for approximate BC.
+    ``halve`` matches the reference test driver's halving of undirected
+    scores. Returns Dataset {v, bc}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("bc_init")
+    if sources is None:
+        import ray as _ray
+        sources = np.concatenate([t["v"].to_numpy() for t in
+                                  _ray.get([a.state_table.remote([]) for a in g.actors])])
+    for s in sources:
+        t0 = time.perf_counter()
+        g.call_all("bc_source_reset", int(s))
+        levels = 0
+        while True:
+            res, _ = g.superstep("bc_forward_scatter", "bc_forward_apply")
+            if sum(r["frontier"] for r in res) == 0:
+                break
+            levels += 1
+        max_level = max(g.call_all("bc_max_level"))
+        for level in range(max_level, 0, -1):
+            g.superstep("bc_backward_scatter", "bc_backward_apply",
+                        scatter_args=(level,))
+        g.call_all("bc_accumulate", int(s))
+        metrics.write(algo="bc", source=int(s), levels=levels,
+                      t_source_s=time.perf_counter() - t0)
+    metrics.close()
+    import ray as _ray
+    refs = [a.bc_extract.remote(halve) for a in g.actors]
+    import ray.data
+    return ray.data.from_arrow_refs(refs)
 
 
 # ------------------------------------------------------------ BFS / SSSP

@@ -128,6 +128,46 @@ def q_bfs_depths(sf_dir: str):
     return df[df["depth"] >= 0].reset_index(drop=True)
 
 
+def _graph_in(sf_dir: str, undirected: bool, P: int = 8):
+    from gunrock_ray.pipelines.graph_algos import build_graph
+    return build_graph(derived_edges(sf_dir), num_partitions=P,
+                       undirected=undirected, with_in_edges=True)
+
+
+def q_hits(sf_dir: str):
+    """HITS hub/auth over the derived graph (rows-only; pytest-validated
+    to 1e-9 against the NumPy oracle)."""
+    from gunrock_ray.pipelines.graph_algos import hits
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        return hits(g, max_iter=15).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def q_salsa(sf_dir: str):
+    """SALSA hub/auth (rows-only; pytest-validated)."""
+    from gunrock_ray.pipelines.graph_algos import salsa
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        return salsa(g, max_iter=15).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def q_bc(sf_dir: str):
+    """Approximate betweenness centrality from 20 evenly-spaced sources
+    (rows-only; exact-BC parity is pytest-validated against Brandes)."""
+    from gunrock_ray.pipelines.graph_algos import betweenness_centrality
+    g = _graph_in(sf_dir, undirected=True)
+    try:
+        out = betweenness_centrality(g, sources=range(0, EDGE_MOD, 25),
+                                     halve=True).to_pandas()
+        return out.sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_pr_top20(sf_dir: str):
     """Engine PageRank top-20 (rows-only for the driver; validated to 1e-6
     against the NumPy oracle in pytest)."""

@@ -59,14 +59,15 @@ class DistributedGraph:
         self.weighted = weighted
         self.n = n_global
         self.m = m_global
-        self._push_registered = False
+        self._push_registered: set = set()
 
     # ----------------------------------------------------------------- build
 
     @staticmethod
     def from_edges(edges, num_partitions: int, spill_dir: str | None = None, *,
                    undirected: bool = False, weighted: bool = False,
-                   vertices=None, num_cpus_per_actor: float = 0) -> "DistributedGraph":
+                   vertices=None, num_cpus_per_actor: float = 0,
+                   with_in_edges: bool = False) -> "DistributedGraph":
         """edges: Ray Dataset or Arrow table with columns src,dst[,w];
         vertices: optional Dataset/table with column v (for isolated vertices,
         mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`)."""
@@ -90,26 +91,29 @@ class DistributedGraph:
         # real cluster, mirroring one GraphSlice per GPU.
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
                            scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
+        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges)
+                  for p in range(P)]
         # two-phase build: packed vertex-discovery exchange, then CSR build
-        vert_packs = [a.build_phase1.remote() for a in actors]
-        stats = ray.get([a.build_phase2.remote(*vert_packs) for a in actors])
+        packs = [a.build_phase1.remote() for a in actors]
+        stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
         return DistributedGraph(actors, P, spill_dir, weighted, n, m)
 
     @staticmethod
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
-                   num_cpus_per_actor: float = 0) -> "DistributedGraph":
+                   num_cpus_per_actor: float = 0,
+                   with_in_edges: bool = False) -> "DistributedGraph":
         """Rebuild the actor pool from an existing partitioned edge spill
         without re-running the Ray Data partitioning pass — the analog of the
         reference's binary CSR cache load (`gunrock/csr.cuh:412-451`)."""
         P = num_partitions
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
                            scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted) for p in range(P)]
-        vert_packs = [a.build_phase1.remote() for a in actors]
-        stats = ray.get([a.build_phase2.remote(*vert_packs) for a in actors])
+        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges)
+                  for p in range(P)]
+        packs = [a.build_phase1.remote() for a in actors]
+        stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
         return DistributedGraph(actors, P, spill_dir, weighted, n, m)
@@ -184,14 +188,15 @@ class DistributedGraph:
     def call_all(self, method: str, *args, **kwargs):
         return ray.get([getattr(a, method).remote(*args, **kwargs) for a in self.actors])
 
-    def register_push(self) -> None:
-        """One-time static target registration for all-edges scatters (PR):
-        after this, a superstep ships ONE values-only array per actor."""
-        if self._push_registered:
+    def register_push(self, kind: str = "out") -> None:
+        """One-time static target registration for all-edges scatters (PR,
+        HITS, SALSA): after this, a superstep ships ONE values-only array per
+        actor. kind='in' registers the pull direction (needs with_in_edges)."""
+        if kind in self._push_registered:
             return
-        packs = [a.get_push_targets.remote() for a in self.actors]
-        ray.get([a.register_incoming.remote(*packs) for a in self.actors])
-        self._push_registered = True
+        packs = [a.get_push_targets.remote(kind) for a in self.actors]
+        ray.get([a.register_incoming.remote(kind, *packs) for a in self.actors])
+        self._push_registered.add(kind)
 
     def superstep(self, scatter: str, apply: str, scatter_args=()):
         """One BSP round: every actor scatters ONE packed object; every actor

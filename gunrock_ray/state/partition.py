@@ -64,21 +64,31 @@ def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
 
 
 class GraphPartition:
-    def __init__(self, pid: int, num_parts: int, spill_dir: str, weighted: bool = False):
+    def __init__(self, pid: int, num_parts: int, spill_dir: str, weighted: bool = False,
+                 with_in_edges: bool = False):
         self.pid = pid
         self.P = num_parts
         self.spill_dir = spill_dir
         self.weighted = weighted
+        self.with_in_edges = with_in_edges
         # topology
         self.verts = np.zeros(0, dtype=np.int64)       # sorted owned vertex ids
         self.row_offsets = np.zeros(1, dtype=np.int64)
         self.col_indices = np.zeros(0, dtype=np.int64)
         self.edge_w = None
         self.out_deg = np.zeros(0, dtype=np.int64)
+        # optional inverse topology (the reference's CSC, `gunrock.h:67-68`):
+        # in-edges of owned verts, built from a packed exchange at phase2
+        self.in_row_offsets = np.zeros(1, dtype=np.int64)
+        self.in_col_indices = np.zeros(0, dtype=np.int64)  # in-neighbor (src) ids
+        self.in_edge_w = None
+        self.in_deg = np.zeros(0, dtype=np.int64)
         # algorithm state: name -> np.ndarray aligned with self.verts
         self.state: dict[str, np.ndarray] = {}
         self._pending: dict[str, object] = {}
-        self._push_plan_ready = False
+        self._plans: dict[str, dict] = {}   # 'out'/'in' static scatter plans
+        self._in_idx: dict[str, list] = {}  # registered incoming target idx
+        self._in_off: dict[str, list] = {}
         self._raw = None
 
     # ------------------------------------------------------------------ build
@@ -93,19 +103,28 @@ class GraphPartition:
     def build_phase1(self):
         ecols = ["src", "dst"] + (["w"] if self.weighted else [])
         et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid, ecols)
+        zoffs = np.zeros(self.P + 1, dtype=np.int64)
         if et is None or et.num_rows == 0:
             self._raw = (_EMPTY_I8, _EMPTY_I8, None)
-            return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8)
+            vpack = (zoffs, _EMPTY_I8)
+            epack = (zoffs, _EMPTY_I8, _EMPTY_I8) if self.with_in_edges else None
+            return (vpack, epack)
         src = et["src"].to_numpy()
         dst = et["dst"].to_numpy()
         w = et["w"].to_numpy() if self.weighted else None
         self._raw = (src, dst, w)
         ends = np.unique(np.concatenate([dst, src]))  # every endpoint this shard saw
-        return self._pack(ends)
+        vpack = self._pack(ends)
+        epack = None
+        if self.with_in_edges:
+            # route raw (dst, src[, w]) to owner(dst) for the inverse CSR
+            epack = self._pack(dst, src, *([w] if w is not None else []))
+        return (vpack, epack)
 
-    def build_phase2(self, *vert_packs) -> dict:
+    def build_phase2(self, *packs) -> dict:
         from gunrock_ray.sources.ingest import dedup_sorted
 
+        vert_packs = [p[0] for p in packs]
         pieces = [self._unpack_mine(pk, 0) for pk in vert_packs]
         vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid, ["v"])
         if vt is not None:
@@ -127,6 +146,28 @@ class GraphPartition:
             self.row_offsets = np.zeros(len(self.verts) + 1, dtype=np.int64)
             self.col_indices = _EMPTY_I8
         self.out_deg = np.diff(self.row_offsets)
+
+        if self.with_in_edges:
+            edge_packs = [p[1] for p in packs]
+            idst, isrc = self._unpack_all(edge_packs, cols=(0, 1))
+            if self.weighted:
+                iw = np.concatenate([self._unpack_mine(pk, 2) for pk in edge_packs])
+            else:
+                iw = None
+            keep = isrc != idst
+            idst, isrc = idst[keep], isrc[keep]
+            iw = iw[keep] if iw is not None else None
+            if len(idst):
+                # same dedup rule as the out-CSR: (dst,src) dups co-locate here
+                idst, isrc, iw = dedup_sorted(idst, isrc, iw)
+                self.in_col_indices = np.ascontiguousarray(isrc)
+                self.in_edge_w = np.ascontiguousarray(iw) if iw is not None else None
+                starts = np.searchsorted(idst, self.verts, side="left")
+                self.in_row_offsets = np.concatenate([starts, [len(idst)]]).astype(np.int64)
+            else:
+                self.in_row_offsets = np.zeros(len(self.verts) + 1, dtype=np.int64)
+                self.in_col_indices = _EMPTY_I8
+            self.in_deg = np.diff(self.in_row_offsets)
         return {"pid": self.pid, "n_local": len(self.verts), "m_local": len(self.col_indices)}
 
     def _lidx(self, ids: np.ndarray) -> np.ndarray:
@@ -228,69 +269,93 @@ class GraphPartition:
 
     # ------------------------------------------------- push plan (static LB)
 
-    def prepare_push_plan(self) -> int:
-        """Precompute the static scatter→combine plan: because the all-vertex
-        frontier's message pattern is the full edge list every superstep
-        (`gunrock/app/pr/pr_problem.cuh:277-281`), the (owner(dst), dst) sort,
-        per-owner segment bounds, unique dsts and reduce offsets are all
-        superstep-invariant. This replaces the reference's per-launch GPU load
-        balancing (`oprtr/advance/kernel_policy.cuh:31-67`) with a one-time
-        plan; per superstep only a gather + ONE segmented reduce runs and the
-        packed values array is the only payload exchanged (target ids are
-        registered with receivers once, see register_incoming)."""
+    def prepare_push_plan(self, kind: str = "out") -> int:
+        """Precompute the static scatter→combine plan over the out-CSR
+        (kind='out') or the inverse in-CSR (kind='in', the pull direction —
+        needs ``with_in_edges``): because the all-vertex frontier's message
+        pattern is the full edge list every superstep
+        (`gunrock/app/pr/pr_problem.cuh:277-281`), the (owner(target), target)
+        sort, per-owner segment bounds, unique targets and reduce offsets are
+        all superstep-invariant. This replaces the reference's per-launch GPU
+        load balancing (`oprtr/advance/kernel_policy.cuh:31-67`) with a
+        one-time plan; per superstep only a gather + ONE segmented reduce runs
+        and the packed values array is the only payload exchanged (target ids
+        are registered with receivers once, see register_incoming)."""
+        if kind in self._plans:
+            return len(self._plans[kind]["tgt_sorted"])
+        deg = self.out_deg if kind == "out" else self.in_deg
+        tgt = self.col_indices if kind == "out" else self.in_col_indices
         # int32 local indices when they fit: halves the streamed index bytes of
         # the per-superstep gather (the kernel is memory-bandwidth-bound)
         idt = np.int32 if len(self.verts) < 2**31 else np.int64
-        src_idx = np.repeat(np.arange(len(self.verts), dtype=idt), self.out_deg)
-        dst = self.col_indices
-        own = owner_of(dst, self.P)
-        order = np.lexsort((dst, own))
-        dst_s = dst[order]
-        own_s = own[order]
-        self._push_src_idx = src_idx[order]
-        self._push_dst_sorted = dst_s
-        # equal dsts are contiguous (same owner, sorted within owner segment)
-        self._push_starts = segment_starts(dst_s)
-        self._push_uids = dst_s[self._push_starts]
-        self._push_uid_offs = np.searchsorted(
-            own_s[self._push_starts], np.arange(self.P + 1)).astype(np.int64)
-        self._push_plan_ready = True
-        return len(dst)
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=idt), deg)
+        own = owner_of(tgt, self.P)
+        order = np.lexsort((tgt, own))
+        tgt_s = tgt[order]
+        # equal targets are contiguous (same owner, sorted within owner segment)
+        starts = segment_starts(tgt_s)
+        self._plans[kind] = {
+            "src_idx": src_idx[order],
+            "tgt_sorted": tgt_s,
+            "starts": starts,
+            "uids": tgt_s[starts],
+            "uid_offs": np.searchsorted(
+                owner_of(tgt_s, self.P)[starts] if len(starts) else _EMPTY_I8,
+                np.arange(self.P + 1)).astype(np.int64),
+            "order": order,  # edge permutation (frees possible; kept for weights)
+        }
+        return len(tgt)
 
-    def get_push_targets(self):
-        """Static target registration pack: (offs[P+1], unique dsts)."""
-        if not self._push_plan_ready:
-            self.prepare_push_plan()
-        return (self._push_uid_offs, self._push_uids)
+    def get_push_targets(self, kind: str = "out"):
+        """Static target registration pack: (offs[P+1], unique targets)."""
+        self.prepare_push_plan(kind)
+        pl = self._plans[kind]
+        return (pl["uid_offs"], pl["uids"])
 
-    def register_incoming(self, *target_packs) -> None:
+    def register_incoming(self, kind: str, *target_packs) -> None:
         """Cache, per sender, the local indices its reduced values land on and
         its pack offsets — after this, a static scatter ships values only."""
-        self._in_idx = []
-        self._in_off = []
+        idx, off = [], []
         for pk in target_packs:
             seg = self._unpack_mine(pk, 0)
-            self._in_idx.append(self._lidx(seg) if len(seg) else _EMPTY_I8)
-            self._in_off.append((int(pk[0][self.pid]), int(pk[0][self.pid + 1])))
+            idx.append(self._lidx(seg) if len(seg) else _EMPTY_I8)
+            off.append((int(pk[0][self.pid]), int(pk[0][self.pid + 1])))
+        self._in_idx[kind] = idx
+        self._in_off[kind] = off
 
-    def push_reduced(self, vals_per_edge_sorted: np.ndarray, op: str) -> np.ndarray:
+    def push_reduced(self, vals_per_edge_sorted: np.ndarray, op: str,
+                     kind: str = "out") -> np.ndarray:
         """Reduce pre-sorted per-edge values along the static plan: ONE
-        segmented reduction aligned with _push_uids (the whole pack payload)."""
-        if len(self._push_starts) == 0:
+        segmented reduction aligned with the plan's uids (the pack payload)."""
+        starts = self._plans[kind]["starts"]
+        if len(starts) == 0:
             return _EMPTY_F8
         if op == "sum":
-            return np.add.reduceat(vals_per_edge_sorted, self._push_starts)
+            return np.add.reduceat(vals_per_edge_sorted, starts)
         if op == "min":
-            return np.minimum.reduceat(vals_per_edge_sorted, self._push_starts)
+            return np.minimum.reduceat(vals_per_edge_sorted, starts)
         raise ValueError(op)  # pragma: no cover
+
+    def _static_scatter(self, per_vertex_vals: np.ndarray, kind: str = "out"):
+        """Gather per-vertex values to edges of the plan and sum-combine."""
+        return self.push_reduced(per_vertex_vals[self._plans[kind]["src_idx"]],
+                                 "sum", kind)
+
+    def _static_apply_sum(self, val_packs, kind: str = "out") -> np.ndarray:
+        """Sum incoming registered packs into a dense per-vertex array."""
+        out = np.zeros(len(self.verts), dtype=np.float64)
+        for q, vals in enumerate(val_packs):
+            s, e = self._in_off[kind][q]
+            if e > s:
+                out[self._in_idx[kind][q]] += vals[s:e]
+        return out
 
     # -------------------------------------------------------------- PageRank
     # Semantics: gunrock/app/pr/pr_problem.cuh:397-417, pr_functor.cuh:148-226,
     # pr_enactor.cuh:365-604, 846-871 (SURVEY.md §2.4). rank stores rank/deg.
 
     def pr_init(self, n_global: int, delta: float, threshold: float) -> None:
-        if not self._push_plan_ready:
-            self.prepare_push_plan()
+        self.prepare_push_plan("out")
         init_value = 1.0 / max(n_global, 1)  # n==0 ⇒ empty graph, no-op state
         rank = np.full(len(self.verts), init_value, dtype=np.float64)
         nz = self.out_deg > 0
@@ -304,16 +369,12 @@ class GraphPartition:
         """Messages rank_curr[src] per out-edge, partial-summed per dst
         (`ApplyEdge` atomicAdd → deterministic reduceat). The pack is the
         reduced float64 array alone — targets were registered at init."""
-        return self.push_reduced(self.state["rank"][self._push_src_idx], "sum")
+        return self._static_scatter(self.state["rank"], "out")
 
     def pr_apply(self, *val_packs) -> dict:
         """new = reset + delta*sum; deg>0 ⇒ /=deg; non-finite ⇒ 0; updated iff
         |new-old| > threshold*old (`pr_functor.cuh:209-226`)."""
-        nxt = np.zeros(len(self.verts), dtype=np.float64)
-        for q, vals in enumerate(val_packs):
-            s, e = self._in_off[q]
-            if e > s:
-                nxt[self._in_idx[q]] += vals[s:e]
+        nxt = self._static_apply_sum(val_packs, "out")
         old = self.state["rank"]
         new = self._pr_reset + self._pr_delta * nxt
         nz = self.out_deg > 0
@@ -418,8 +479,7 @@ class GraphPartition:
     # smallest label; vertices with no in-messages keep their label.
 
     def lp_init(self) -> None:
-        if not self._push_plan_ready:
-            self.prepare_push_plan()
+        self.prepare_push_plan("out")
         self.state["label"] = self.verts.copy()
 
     def lp_scatter(self):
@@ -427,8 +487,9 @@ class GraphPartition:
         — the two-stage mode-aggregate's first stage, packed per owner.
         dst is already (owner, dst)-sorted in the plan, so only labels need
         sorting within dst runs."""
-        dst = self._push_dst_sorted
-        lab = self.state["label"][self._push_src_idx]
+        pl = self._plans["out"]
+        dst = pl["tgt_sorted"]
+        lab = self.state["label"][pl["src_idx"]]
         if len(dst) == 0:
             return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
         order = np.lexsort((lab, dst))
@@ -547,6 +608,170 @@ class GraphPartition:
     def sssp_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "dist": pa.array(self.state["dist"], pa.float64())})
+
+    # ------------------------------------------- HITS / SALSA (bipartite ranks)
+    # SURVEY.md §2.9: needs CSR + CSC (`gunrock/app/hits/hits_problem.cuh`).
+    # We implement the standard normalized formulations (Kleinberg HITS with
+    # per-iteration L2 normalization; SALSA with degree-normalized pushes and
+    # L1 normalization) — documented deviation from the fork's
+    # delta-damped variant (`hits_functor.cuh:89-93`), validated against
+    # NumPy oracles in pytest.
+
+    def hits_init(self) -> None:
+        self.prepare_push_plan("out")
+        self.prepare_push_plan("in")
+        n = len(self.verts)
+        self.state["hub"] = np.ones(n, dtype=np.float64)
+        self.state["auth"] = np.ones(n, dtype=np.float64)
+
+    def hits_auth_scatter(self) -> np.ndarray:
+        """auth[v] = Σ_{u→v} hub[u]: push hub along out-edges."""
+        return self._static_scatter(self.state["hub"], "out")
+
+    def hits_auth_apply(self, *val_packs) -> float:
+        self.state["auth"] = self._static_apply_sum(val_packs, "out")
+        return float(np.dot(self.state["auth"], self.state["auth"]))
+
+    def hits_hub_scatter(self) -> np.ndarray:
+        """hub[u] = Σ_{u→v} auth[v]: push auth along in-edges (pull)."""
+        return self._static_scatter(self.state["auth"], "in")
+
+    def hits_hub_apply(self, *val_packs) -> float:
+        self.state["hub"] = self._static_apply_sum(val_packs, "in")
+        return float(np.dot(self.state["hub"], self.state["hub"]))
+
+    def scale_state(self, name: str, factor: float) -> None:
+        self.state[name] *= factor
+
+    def hits_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "hub": pa.array(self.state["hub"], pa.float64()),
+                         "auth": pa.array(self.state["auth"], pa.float64())})
+
+    def salsa_init(self) -> None:
+        self.prepare_push_plan("out")
+        self.prepare_push_plan("in")
+        n = len(self.verts)
+        # SALSA walks start from hubs (out_deg>0) / authorities (in_deg>0)
+        self.state["hub"] = (self.out_deg > 0).astype(np.float64)
+        self.state["auth"] = (self.in_deg > 0).astype(np.float64)
+
+    def salsa_auth_scatter(self) -> np.ndarray:
+        """auth[v] = Σ_{u→v} hub[u]/out_deg[u] (`salsa_functor.cuh:168`)."""
+        vals = np.zeros(len(self.verts), dtype=np.float64)
+        nz = self.out_deg > 0
+        vals[nz] = self.state["hub"][nz] / self.out_deg[nz]
+        return self._static_scatter(vals, "out")
+
+    def salsa_auth_apply(self, *val_packs) -> float:
+        self.state["auth"] = self._static_apply_sum(val_packs, "out")
+        return float(self.state["auth"].sum())
+
+    def salsa_hub_scatter(self) -> np.ndarray:
+        """hub[u] = Σ_{u→v} auth[v]/in_deg[v] (`salsa_functor.cuh:319`)."""
+        vals = np.zeros(len(self.verts), dtype=np.float64)
+        nz = self.in_deg > 0
+        vals[nz] = self.state["auth"][nz] / self.in_deg[nz]
+        return self._static_scatter(vals, "in")
+
+    def salsa_hub_apply(self, *val_packs) -> float:
+        self.state["hub"] = self._static_apply_sum(val_packs, "in")
+        return float(self.state["hub"].sum())
+
+    salsa_extract = hits_extract
+
+    # ------------------------------------- Betweenness centrality (BC, Brandes)
+    # SURVEY.md §2.8 (`gunrock/app/bc/bc_functor.cuh`): forward BFS counting
+    # shortest paths (sigma), then per-depth-level backward dependency
+    # accumulation delta_u += sigma_u/sigma_w * (1+delta_w).
+
+    def bc_init(self) -> None:
+        self.state["bc"] = np.zeros(len(self.verts), dtype=np.float64)
+
+    def bc_source_reset(self, src_vertex: int) -> None:
+        n = len(self.verts)
+        self.state["bc_depth"] = np.full(n, _BFS_INF, dtype=np.int64)
+        self.state["bc_sigma"] = np.zeros(n, dtype=np.float64)
+        self.state["bc_delta"] = np.zeros(n, dtype=np.float64)
+        self._frontier = np.zeros(0, dtype=np.int64)
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex:
+            self.state["bc_depth"][pos] = 0
+            self.state["bc_sigma"][pos] = 1.0
+            self._frontier = np.array([pos], dtype=np.int64)
+        self._bc_level = 0
+
+    def bc_forward_scatter(self):
+        """Push sigma along out-edges of the frontier; claims + path counts
+        combine in one (dst, sigma)-sum pack (`bc_functor.cuh:71` atomicAdd)."""
+        src_li, dst, _ = self._frontier_edges()
+        return self._pack_combined(dst, self.state["bc_sigma"][src_li], "sum")
+
+    def bc_forward_apply(self, *packs) -> dict:
+        depth = self.state["bc_depth"]
+        sigma = self.state["bc_sigma"]
+        self._bc_level += 1
+        newly: list[np.ndarray] = []
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                unseen = depth[li] == _BFS_INF
+                # all shortest-path parents live in the previous level, so all
+                # their contributions arrive in this same round
+                sigma[li[unseen]] += vals[unseen]
+                newly.append(li[unseen])
+        f = np.unique(np.concatenate(newly)) if newly else _EMPTY_I8
+        depth[f] = self._bc_level
+        self._frontier = f
+        return {"frontier": int(len(f))}
+
+    def bc_backward_scatter(self, level: int):
+        """Vertices at ``level`` push (1+delta)/sigma along IN-edges to their
+        shortest-path predecessors (depth == level-1, filtered at apply)."""
+        self._bc_back_level = level
+        idx = np.flatnonzero(self.state["bc_depth"] == level)
+        starts = self.in_row_offsets[idx]
+        lens = self.in_deg[idx]
+        tgt = _ragged_gather(self.in_col_indices, starts, lens)
+        sig = self.state["bc_sigma"][idx]
+        del_ = self.state["bc_delta"][idx]
+        msg = np.repeat((1.0 + del_) / np.maximum(sig, 1e-300), lens)
+        return self._pack_combined(tgt, msg, "sum")
+
+    def bc_backward_apply(self, *packs) -> int:
+        """delta[u] += sigma[u] * Σ msgs for u at depth level-1."""
+        level = self._bc_back_level
+        depth = self.state["bc_depth"]
+        acc = np.zeros(len(self.verts), dtype=np.float64)
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                acc[self._lidx(ids)] += vals
+        mask = depth == level - 1
+        self.state["bc_delta"][mask] += self.state["bc_sigma"][mask] * acc[mask]
+        return int(np.count_nonzero(mask))
+
+    def bc_accumulate(self, src_vertex: int) -> None:
+        """bc[v] += delta[v] for v != source (`bc_functor.cuh:228-239`)."""
+        d = self.state["bc_delta"].copy()
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex:
+            d[pos] = 0.0
+        self.state["bc"] += d
+
+    def bc_extract(self, halve: bool = True) -> pa.Table:
+        """The reference test driver halves undirected BC scores on extract."""
+        bc = self.state["bc"] * (0.5 if halve else 1.0)
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "bc": pa.array(bc, pa.float64())})
+
+    def bc_max_level(self) -> int:
+        d = self.state["bc_depth"]
+        reach = d[d != _BFS_INF]
+        return int(reach.max()) if len(reach) else 0
 
     # ------------------------------------------------- Triangle counting (TC)
     # SURVEY.md §2.11: degree orientation + neighborhood intersection over the

@@ -162,3 +162,85 @@ def sssp_ref(n, src, dst, w, source):
                 dist[v] = nd
                 heapq.heappush(pq, (nd, v))
     return dist
+
+
+def hits_ref(n, src, dst, max_iter=20, tol=1e-7):
+    """Kleinberg HITS with L2 normalization (oracle for pipelines.hits)."""
+    src, dst = normalize_oracle(src, dst)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    prev = None
+    for _ in range(max_iter):
+        auth = np.zeros(n)
+        np.add.at(auth, dst, hub[src])
+        norm = np.sqrt((auth ** 2).sum()) or 1.0
+        auth /= norm
+        hub = np.zeros(n)
+        np.add.at(hub, src, auth[dst])
+        hnorm = np.sqrt((hub ** 2).sum()) or 1.0
+        hub /= hnorm
+        if prev is not None and abs(norm - prev[0]) < tol and abs(hnorm - prev[1]) < tol:
+            break
+        prev = (norm, hnorm)
+    return hub, auth
+
+
+def salsa_ref(n, src, dst, max_iter=20, tol=1e-9):
+    """SALSA with degree-normalized pushes + L1 normalization."""
+    src, dst = normalize_oracle(src, dst)
+    out_deg = np.bincount(src, minlength=n)
+    in_deg = np.bincount(dst, minlength=n)
+    hub = (out_deg > 0).astype(float)
+    auth = (in_deg > 0).astype(float)
+    prev = None
+    for _ in range(max_iter):
+        msg = np.where(out_deg > 0, hub / np.maximum(out_deg, 1), 0.0)
+        auth = np.zeros(n)
+        np.add.at(auth, dst, msg[src])
+        asum = auth.sum() or 1.0
+        auth /= asum
+        msg = np.where(in_deg > 0, auth / np.maximum(in_deg, 1), 0.0)
+        hub = np.zeros(n)
+        np.add.at(hub, src, msg[dst])
+        hsum = hub.sum() or 1.0
+        hub /= hsum
+        if prev is not None and abs(asum - prev[0]) < tol and abs(hsum - prev[1]) < tol:
+            break
+        prev = (asum, hsum)
+    return hub, auth
+
+
+def brandes_bc_ref(n, src, dst, halve=True):
+    """Brandes betweenness (oracle for pipelines.betweenness_centrality);
+    unweighted; adjacency from the normalized directed edge list."""
+    src, dst = normalize_oracle(src, dst)
+    adj = [[] for _ in range(n)]
+    for u, v in zip(src, dst):
+        adj[u].append(v)
+    bc = np.zeros(n)
+    for s in range(n):
+        sigma = np.zeros(n)
+        sigma[s] = 1.0
+        depth = np.full(n, -1)
+        depth[s] = 0
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if depth[v] == -1:
+                        depth[v] = depth[u] + 1
+                        nxt.append(v)
+                        order.append(v)
+                    if depth[v] == depth[u] + 1:
+                        sigma[v] += sigma[u]
+            frontier = nxt
+        delta = np.zeros(n)
+        for v in reversed(order):
+            for w in adj[v]:
+                if depth[w] == depth[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+    return bc * (0.5 if halve else 1.0)

@@ -1,0 +1,127 @@
+"""HITS / SALSA / betweenness centrality vs NumPy oracles (SURVEY.md
+§2.8-2.9; all need the inverse CSR, with_in_edges=True)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import (
+    build_graph, hits, salsa, betweenness_centrality)
+from gunrock_ray.sources.generators import g_pr4, g_cc11, rmat_table, chain, star
+from tests import oracles
+from tests.helpers import edges_np, n_of, dense_result
+
+
+@pytest.mark.parametrize("fix", [g_pr4, g_cc11, lambda: chain(12), lambda: star(9)])
+def test_hits_matches_oracle(fix):
+    t = fix()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, with_in_edges=True)
+    try:
+        out = hits(g, max_iter=15)
+        hub = dense_result(out, n, "hub")
+        auth = dense_result(out, n, "auth")
+    finally:
+        g.shutdown(remove_spill=True)
+    ohub, oauth = oracles.hits_ref(n, src, dst, max_iter=15)
+    np.testing.assert_allclose(hub, ohub, atol=1e-9)
+    np.testing.assert_allclose(auth, oauth, atol=1e-9)
+
+
+@pytest.mark.parametrize("fix", [g_pr4, g_cc11])
+def test_salsa_matches_oracle(fix):
+    t = fix()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, with_in_edges=True)
+    try:
+        out = salsa(g, max_iter=15)
+        hub = dense_result(out, n, "hub")
+        auth = dense_result(out, n, "auth")
+    finally:
+        g.shutdown(remove_spill=True)
+    ohub, oauth = oracles.salsa_ref(n, src, dst, max_iter=15)
+    np.testing.assert_allclose(hub, ohub, atol=1e-9)
+    np.testing.assert_allclose(auth, oauth, atol=1e-9)
+
+
+def test_hits_rmat():
+    from tests.helpers import vertices_table
+    t = rmat_table(8, 8)
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=4, with_in_edges=True,
+                    vertices=vertices_table(n))
+    try:
+        out = hits(g, max_iter=10)
+        hub = dense_result(out, n, "hub")
+        auth = dense_result(out, n, "auth")
+    finally:
+        g.shutdown(remove_spill=True)
+    ohub, oauth = oracles.hits_ref(n, src, dst, max_iter=10)
+    np.testing.assert_allclose(hub, ohub, atol=1e-8)
+    np.testing.assert_allclose(auth, oauth, atol=1e-8)
+
+
+@pytest.mark.parametrize("fix,undirected", [(g_pr4, False), (g_cc11, True),
+                                            (lambda: chain(10), True)])
+def test_bc_matches_brandes(fix, undirected):
+    t = fix()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    if undirected:
+        src2 = np.concatenate([src, dst])
+        dst2 = np.concatenate([dst, src])
+    else:
+        src2, dst2 = src, dst
+    g = build_graph(t, num_partitions=3, undirected=undirected, with_in_edges=True)
+    try:
+        out = betweenness_centrality(g, halve=undirected)
+        bc = dense_result(out, n, "bc")
+    finally:
+        g.shutdown(remove_spill=True)
+    obc = oracles.brandes_bc_ref(n, src2, dst2, halve=undirected)
+    np.testing.assert_allclose(bc, obc, atol=1e-9)
+
+
+def test_bc_subset_sources():
+    t = g_cc11()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=2, undirected=True, with_in_edges=True)
+    try:
+        out = betweenness_centrality(g, sources=[0, 3, 7], halve=True)
+        bc = dense_result(out, n, "bc")
+    finally:
+        g.shutdown(remove_spill=True)
+    # oracle restricted to the same sources
+    src2 = np.concatenate([src, dst]); dst2 = np.concatenate([dst, src])
+    from tests.oracles import normalize_oracle
+    s2, d2 = normalize_oracle(src2, dst2)
+    adj = [[] for _ in range(n)]
+    for u, v in zip(s2, d2):
+        adj[u].append(v)
+    exp = np.zeros(n)
+    for s in (0, 3, 7):
+        sigma = np.zeros(n); sigma[s] = 1.0
+        depth = np.full(n, -1); depth[s] = 0
+        order, frontier = [s], [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if depth[v] == -1:
+                        depth[v] = depth[u] + 1; nxt.append(v); order.append(v)
+                    if depth[v] == depth[u] + 1:
+                        sigma[v] += sigma[u]
+            frontier = nxt
+        delta = np.zeros(n)
+        for v in reversed(order):
+            for w in adj[v]:
+                if depth[w] == depth[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        exp += delta
+    np.testing.assert_allclose(bc, exp * 0.5, atol=1e-9)
