@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": r.q_hits,              # rows-only (pytest-validated, 1e-9)
         "salsa": r.q_salsa,            # rows-only (pytest-validated, 1e-9)
         "bc": r.q_bc,                  # rows-only (pytest-validated vs Brandes)
+        "wtf": r.q_wtf,                # rows-only (pytest-validated)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
         "doc_exact_dedup": r.q_doc_exact_dedup,

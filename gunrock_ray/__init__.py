@@ -20,6 +20,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     salsa,
     sssp,
     triangle_count,
+    wtf,
 )
 
 __version__ = "0.1.0"

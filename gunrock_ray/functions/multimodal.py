@@ -1,0 +1,171 @@
+"""Multimodal (image/audio/video) pipeline stages over opaque binary columns.
+
+Data model: media rows are ``{media_id: int64, kind: string, payload: binary,
+meta_width/meta_height/meta_channels/meta_sample_rate/meta_num_frames}`` —
+payloads stay opaque bytes end-to-end; only typed metadata and derived
+features move through shuffles. All stages are actor-pool ``map_batches``
+classes (decoder state constructed once per actor in ``__init__``).
+
+The actual codec calls are STUBBED: this container has no image/audio
+libraries, so ``codec='real'`` raises NotImplementedError at actor
+construction, and the default ``codec='fake'`` is a deterministic
+byte-hash-seeded decode that produces correctly-shaped arrays. The Ray-side
+plumbing — schemas, batch sizing for large binary payloads, actor pool
+signatures, output layout — is real and tested; swapping in Pillow/librosa
+later only replaces the ``_decode_*`` bodies.
+
+Batch sizing at 100 TB: payload rows are large (MBs), so stages here default
+to small ``batch_size`` (32) — size batches by BYTES not rows when payloads
+are big, and let the streaming executor backpressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # 'image' | 'audio' | 'video'
+    ("payload", pa.binary()),
+    ("meta_width", pa.int32()),
+    ("meta_height", pa.int32()),
+    ("meta_channels", pa.int32()),
+    ("meta_sample_rate", pa.int32()),
+    ("meta_num_frames", pa.int32()),
+])
+
+DEFAULT_MEDIA_BATCH_SIZE = 32
+
+
+def synthetic_media_table(num_rows: int, kind: str = "image", seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes) for tests."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(num_rows, dtype=np.int64)
+    payloads = [rng.integers(0, 256, size=64 + int(i) * 3, dtype=np.uint8).tobytes()
+                for i in ids]
+    w = rng.integers(16, 64, num_rows).astype(np.int32)
+    h = rng.integers(16, 64, num_rows).astype(np.int32)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array([kind] * num_rows),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_width": pa.array(w),
+        "meta_height": pa.array(h),
+        "meta_channels": pa.array(np.full(num_rows, 3, dtype=np.int32)),
+        "meta_sample_rate": pa.array(np.full(num_rows, 16000, dtype=np.int32)),
+        "meta_num_frames": pa.array(rng.integers(8, 32, num_rows).astype(np.int32)),
+    })
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Deterministic stand-in decode: payload hash seeds the pixel array."""
+    seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+class ImageDecodeResize:
+    """Actor stage: payload → decoded pixels → resize → {media_id, pixels,
+    out_h, out_w}. ``pixels`` is a flat uint8 list column (h*w*c)."""
+
+    def __init__(self, out_size: tuple[int, int] = (32, 32), codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "no image codec in this environment — install Pillow/opencv "
+                "and implement _decode; the 'fake' codec exercises the "
+                "identical plumbing deterministically")
+        self.out_h, self.out_w = out_size
+
+    def _decode(self, payload: bytes, h: int, w: int, c: int) -> np.ndarray:
+        return _fake_pixels(payload, h, w, c)
+
+    @staticmethod
+    def _resize_nearest(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+        h, w, _ = img.shape
+        yi = (np.arange(oh) * h // oh).clip(max=h - 1)
+        xi = (np.arange(ow) * w // ow).clip(max=w - 1)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        ws = batch["meta_width"].to_numpy()
+        hs = batch["meta_height"].to_numpy()
+        cs = batch["meta_channels"].to_numpy()
+        out = []
+        for p, h, w, c in zip(payloads, hs, ws, cs):
+            img = self._decode(p, int(h), int(w), int(c))
+            out.append(self._resize_nearest(img, self.out_h, self.out_w).ravel())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "pixels": pa.array([o.tolist() for o in out], pa.list_(pa.uint8())),
+            "out_h": pa.array(np.full(len(ids), self.out_h, dtype=np.int32)),
+            "out_w": pa.array(np.full(len(ids), self.out_w, dtype=np.int32)),
+        })
+
+
+class ImageFeatures:
+    """Actor stage: decoded pixels → cheap feature vector (channel means/stds
+    + 8-bin luma histogram) — the feature-extract slot of the pipeline."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        hs = batch["out_h"].to_numpy()
+        ws = batch["out_w"].to_numpy()
+        feats = []
+        px = batch["pixels"]
+        for i in range(len(ids)):
+            flat = np.asarray(px[i].as_py(), dtype=np.float64)
+            img = flat.reshape(int(hs[i]), int(ws[i]), -1)
+            luma = img.mean(axis=2)
+            hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+            f = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1)),
+                                hist / max(1, luma.size)])
+            feats.append(f)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "feature": pa.array([f.tolist() for f in feats],
+                                             pa.list_(pa.float64()))})
+
+
+class AudioFrameSample:
+    """Actor stage: audio payload → deterministic frame-sampled 'waveform'
+    summary {media_id, n_windows, rms: list<float>}; window/hop in samples."""
+
+    def __init__(self, window: int = 1024, hop: int = 512, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError("no audio codec in this environment")
+        self.window = window
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        srs = batch["meta_sample_rate"].to_numpy()
+        out_n, out_rms = [], []
+        for p, sr in zip(payloads, srs):
+            seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
+            rng = np.random.default_rng(seed)
+            wave = rng.standard_normal(int(sr) // 4)  # fake 250ms decode
+            nwin = max(0, (len(wave) - self.window) // self.hop + 1)
+            rms = [float(np.sqrt((wave[i * self.hop:i * self.hop + self.window] ** 2).mean()))
+                   for i in range(nwin)]
+            out_n.append(nwin)
+            out_rms.append(rms)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "n_windows": pa.array(out_n, pa.int64()),
+                         "rms": pa.array(out_rms, pa.list_(pa.float64()))})
+
+
+def image_pipeline(media_ds, *, out_size=(32, 32), concurrency: int = 4,
+                   batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    """media rows → decode+resize → features (two chained actor pools)."""
+    decoded = media_ds.map_batches(
+        ImageDecodeResize, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=batch_size,
+        fn_constructor_kwargs={"out_size": out_size})
+    return decoded.map_batches(ImageFeatures, batch_format="pyarrow",
+                               concurrency=(1, concurrency),
+                               batch_size=batch_size)

@@ -12,6 +12,7 @@ import time
 import uuid
 
 import numpy as np
+import pyarrow as pa
 import ray
 
 from gunrock_ray.state.graph import DistributedGraph, MetricsWriter
@@ -40,7 +41,8 @@ def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
 # ------------------------------------------------------------------- PageRank
 
 def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
-             max_iter: int = 50, metrics_path: str | None = None,
+             max_iter: int = 50, src_node: int | None = None,
+             metrics_path: str | None = None,
              ckpt_dir: str | None = None, ckpt_every: int = 0,
              resume: bool = False):
     """Normalized PageRank (reference semantics, SURVEY.md §2.4; defaults from
@@ -48,11 +50,13 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     (rank desc, v asc) — the stable final ranking of `test_pr.cu:455`.
 
     Dangling vertices absorb rank (no redistribution, `doc/results.md:80-84`).
+    ``src_node`` enables personalized PR (teleport mass to the source only —
+    the `src_node` hook of `pr_problem.cuh:97`, used by WTF).
     """
     g = graph
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
-    g.call_all("pr_init", g.n, delta, error)
+    g.call_all("pr_init", g.n, delta, error, src_node)
     g.register_push()
     start_iter = 0
     if resume and ckpt_dir:
@@ -231,6 +235,62 @@ def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
     return g.extract("salsa_extract")
 
 
+# ----------------------------------------------------- WTF (who to follow)
+
+def wtf(graph: DistributedGraph, src: int, *, alpha: float = 0.15,
+        cot_size: int = 1000, k: int = 10, metrics_path: str | None = None):
+    """"Who To Follow" recommendations (SURVEY.md §2.9,
+    `gunrock/app/wtf/wtf_enactor.cuh:398-554`): (1) personalized PageRank
+    from ``src``; (2) circle of trust = top ``cot_size`` vertices by PPR;
+    (3) SALSA-style loop over the CoT-induced subgraph with an
+    ``alpha``-mixed restart at ``src`` (`wtf_functor.cuh:290-292`), iterated
+    ``round(1/alpha)`` times (`wtf_enactor.cuh:464`); (4) top-k authorities
+    excluding ``src``. The CoT subgraph is bounded (≤ cot_size rows) so the
+    SALSA loop runs driver-side on the gathered adjacency; the PPR step and
+    the adjacency pull are fully distributed. Returns a pa.Table {v, score}.
+    """
+    g = graph
+    ppr = pagerank(g, delta=1.0 - alpha, error=1e-9, max_iter=50,
+                   src_node=src, metrics_path=metrics_path)
+    top = ppr.limit(cot_size).to_pandas()
+    cot = top["v"].to_numpy()
+    # gather the CoT-induced out-adjacency from the owning partitions
+    parts = ray.get([a.out_edges_of.remote(cot) for a in g.actors])
+    us, lens, flats = zip(*parts)
+    u = np.concatenate([np.repeat(a, l) for a, l in zip(us, lens)])
+    v = np.concatenate(flats)
+    keep = np.isin(v, cot)  # SALSA runs inside the circle of trust
+    u, v = u[keep], v[keep]
+    ids = np.unique(np.concatenate([cot, u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    n = len(ids)
+    out_deg = np.bincount(ui, minlength=n).astype(np.float64)
+    in_deg = np.bincount(vi, minlength=n).astype(np.float64)
+    restart = np.zeros(n)
+    spos = np.searchsorted(ids, src)
+    if spos < n and ids[spos] == src:
+        restart[spos] = 1.0
+    hub = restart.copy()
+    auth = np.zeros(n)
+    iters = max(1, round(1.0 / alpha))
+    for _ in range(iters):
+        msg = np.divide(hub, out_deg, out=np.zeros(n), where=out_deg > 0)
+        auth = np.zeros(n)
+        np.add.at(auth, vi, msg[ui])
+        auth /= auth.sum() or 1.0
+        msg = np.divide(auth, in_deg, out=np.zeros(n), where=in_deg > 0)
+        back = np.zeros(n)
+        np.add.at(back, ui, msg[vi])
+        hub = alpha * restart + (1.0 - alpha) * back
+        hub /= hub.sum() or 1.0
+    score = auth
+    order = np.lexsort((ids, -score))
+    order = order[ids[order] != src][:k]
+    return pa.table({"v": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(score[order], pa.float64())})
+
+
 # ------------------------------------- Betweenness centrality (BC, Brandes)
 
 def betweenness_centrality(graph: DistributedGraph, sources=None, *,
@@ -291,20 +351,37 @@ def bfs(graph: DistributedGraph, src: int, *, metrics_path: str | None = None):
     return g.extract("bfs_extract")
 
 
-def sssp(graph: DistributedGraph, src: int, *, metrics_path: str | None = None):
-    """Single-source shortest paths (SURVEY.md §2.7; Bellman-Ford-style frontier
-    relaxation with min-combine; inf = unreached). Graph should be built
-    weighted; unweighted graphs use weight 1."""
+def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
+         metrics_path: str | None = None):
+    """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with
+    min-combine; inf = unreached). Graph should be built weighted; unweighted
+    graphs use weight 1. ``delta`` enables the near-far priority split (the
+    reference's 2-bucket delta-stepping queue, `sssp_enactor.cuh:286-309`;
+    its delta = max_weight/delta-factor, default factor 32): near vertices
+    relax immediately, far ones wait until the pivot passes them — fewer
+    wasted re-relaxations on weighted graphs."""
     g = graph
     metrics = MetricsWriter(metrics_path)
-    g.call_all("sssp_init", src)
     it = 0
-    while True:
-        res, _ = g.superstep("sssp_scatter", "sssp_apply")
-        frontier = sum(r["frontier"] for r in res)
-        metrics.write(algo="sssp", superstep=it, frontier=frontier, changed=frontier)
-        it += 1
-        if frontier == 0:
-            break
+    if delta is None:
+        g.call_all("sssp_init", src)
+        while True:
+            res, _ = g.superstep("sssp_scatter", "sssp_apply")
+            frontier = sum(r["frontier"] for r in res)
+            metrics.write(algo="sssp", superstep=it, frontier=frontier, changed=frontier)
+            it += 1
+            if frontier == 0:
+                break
+    else:
+        g.call_all("sssp_nf_init", src, delta)
+        while True:
+            res, _ = g.superstep("sssp_scatter", "sssp_nf_apply")
+            frontier = sum(r["frontier"] for r in res)
+            far = sum(r["far"] for r in res)
+            metrics.write(algo="sssp", superstep=it, frontier=frontier, far=far)
+            it += 1
+            if frontier == 0:
+                if sum(g.call_all("sssp_advance_pivot")) == 0:
+                    break
     metrics.close()
     return g.extract("sssp_extract")

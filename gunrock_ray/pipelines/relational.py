@@ -168,6 +168,17 @@ def q_bc(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_wtf(sf_dir: str):
+    """Who-to-follow top-10 for vertex 0 (rows-only; pytest-validated
+    against a NumPy reimplementation of the full PPR→CoT→SALSA spec)."""
+    from gunrock_ray.pipelines.graph_algos import wtf
+    g = _graph(sf_dir, undirected=False)
+    try:
+        return wtf(g, 0, cot_size=100, k=10)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_pr_top20(sf_dir: str):
     """Engine PageRank top-20 (rows-only for the driver; validated to 1e-6
     against the NumPy oracle in pytest)."""

@@ -1,0 +1,122 @@
+"""MatrixMarket (.mtx) reader/writer — the reference's primary graph input
+(`gunrock/graphio/market.cuh:192-461` ReadMarketStream / BuildMarketGraph).
+
+Reproduced semantics:
+- 1-indexed rows/cols → 0-indexed vertex ids;
+- ``%%MatrixMarket ... symmetric`` ⇒ undirected: every data line yields BOTH
+  (u,v) and (v,u) (`market.cuh:241-242, 270, 413`);
+- ``reversed`` swaps src/dst for inverse graphs (`market.cuh:398`);
+- optional third column is the edge weight; otherwise unweighted;
+- '%' comment lines; the first non-comment line is the size line
+  ``rows cols nnz`` and carries the explicit vertex count (degree-0 vertices
+  up to ``max(rows, cols)`` exist, `gunrock/csr.cuh:645-655`).
+
+Parsing is one task per FILE (``ray.data.read_binary_files``): .mtx is the
+conformance/interchange format — corpora of many .mtx files parallelize per
+file; the scale format of this engine is partitioned Parquet. Normalization
+(self-loop drop + dedup) stays the graph build's job, exactly like the
+reference's read-then-`FromCoo` split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def parse_market_header(path: str) -> dict:
+    """Read only the banner + size line (tiny driver-side read)."""
+    symmetric = False
+    n = nnz = 0
+    with open(path) as f:
+        first = f.readline()
+        if first.startswith("%%MatrixMarket"):
+            symmetric = "symmetric" in first.lower()
+        line = first
+        while line:
+            if not line.startswith("%") and line.strip():
+                parts = line.split()
+                if len(parts) >= 3:
+                    n = max(int(parts[0]), int(parts[1]))
+                    nnz = int(parts[2])
+                break
+            line = f.readline()
+    return {"symmetric": symmetric, "num_vertices": n, "nnz": nnz}
+
+
+def parse_market_bytes(data: bytes, *, reversed_: bool = False,
+                       weighted: bool = False) -> tuple[pa.Table, dict]:
+    """Whole-file parse (NumPy-vectorized after a single text split)."""
+    text = data.decode("utf-8", "ignore")
+    lines = text.splitlines()
+    symmetric = False
+    if lines and lines[0].startswith("%%MatrixMarket"):
+        symmetric = "symmetric" in lines[0].lower()
+    rows = [ln for ln in lines if ln.strip() and not ln.startswith("%")]
+    if not rows:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())}), \
+            {"symmetric": symmetric, "num_vertices": 0, "nnz": 0}
+    size = rows[0].split()
+    n = max(int(size[0]), int(size[1]))
+    nnz = int(size[2]) if len(size) > 2 else 0
+    body = rows[1:]
+    cols = [ln.split() for ln in body]
+    src = np.array([int(c[0]) for c in cols], dtype=np.int64) - 1
+    dst = np.array([int(c[1]) for c in cols], dtype=np.int64) - 1
+    w = None
+    if weighted:
+        w = np.array([float(c[2]) if len(c) > 2 else 1.0 for c in cols],
+                     dtype=np.float64)
+    if reversed_:
+        src, dst = dst, src
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        if w is not None:
+            w = np.concatenate([w, w])
+    out = {"src": pa.array(src), "dst": pa.array(dst)}
+    if w is not None:
+        out["w"] = pa.array(w)
+    return pa.table(out), {"symmetric": symmetric, "num_vertices": n, "nnz": nnz}
+
+
+def read_market(path: str, *, reversed_: bool = False, weighted: bool = False):
+    """.mtx file(s) → (edges Dataset {src,dst[,w]}, vertices Dataset {v},
+    header). ``path`` may be a single file or a directory of .mtx files
+    (one parse task per file). The size line's vertex count becomes an
+    explicit vertex range so degree-0 vertices survive the build."""
+    import ray.data
+
+    hdr = parse_market_header(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_market_bytes(b.as_py(), reversed_=reversed_,
+                                     weighted=weighted)[0]
+                  for b in batch["bytes"]]
+        return pa.concat_tables(tables) if tables else tables
+
+    edges = ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+    verts = ray.data.range(hdr["num_vertices"]).map_batches(
+        lambda t: pa.table({"v": t["id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return edges, verts, hdr
+
+
+def write_market(edges: pa.Table, path: str, *, num_vertices: int | None = None,
+                 weighted: bool = False) -> None:
+    """Edge table → .mtx (general, 1-indexed) — the reference's
+    `WriteToMtxFile` (`gunrock/csr.cuh:365-401`); cross-checking only."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["w"].to_numpy() if weighted and "w" in edges.column_names else None
+    n = num_vertices or (int(max(src.max(), dst.max())) + 1 if len(src) else 0)
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate "
+                f"{'real' if w is not None else 'pattern'} general\n")
+        f.write(f"{n} {n} {len(src)}\n")
+        for i in range(len(src)):
+            if w is not None:
+                f.write(f"{src[i] + 1} {dst[i] + 1} {w[i]:g}\n")
+            else:
+                f.write(f"{src[i] + 1} {dst[i] + 1}\n")

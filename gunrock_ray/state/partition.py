@@ -247,6 +247,20 @@ class GraphPartition:
             return self.state[name][:0] if name in self.state else np.zeros(0)
         return self.state[name][self._lidx(np.asarray(ids))]
 
+    def out_edges_of(self, ids):
+        """Adjacency extract of the OWNED subset of ids: (owned_ids, lens,
+        flat_dsts). Used for bounded-size subgraph pulls (e.g. WTF's
+        circle-of-trust, `gunrock/app/wtf/wtf_enactor.cuh:398-434`)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(self.verts) == 0 or len(ids) == 0:
+            return _EMPTY_I8, _EMPTY_I8, _EMPTY_I8
+        pos = np.searchsorted(self.verts, ids).clip(max=len(self.verts) - 1)
+        ok = self.verts[pos] == ids
+        li = pos[ok]
+        starts = self.row_offsets[li]
+        lens = self.out_deg[li]
+        return ids[ok], lens, _ragged_gather(self.col_indices, starts, lens)
+
     # ------------------------------------------------------------ checkpoint
 
     def save_state(self, ckpt_dir: str, step: int, names: list[str]) -> str:
@@ -354,7 +368,11 @@ class GraphPartition:
     # Semantics: gunrock/app/pr/pr_problem.cuh:397-417, pr_functor.cuh:148-226,
     # pr_enactor.cuh:365-604, 846-871 (SURVEY.md §2.4). rank stores rank/deg.
 
-    def pr_init(self, n_global: int, delta: float, threshold: float) -> None:
+    def pr_init(self, n_global: int, delta: float, threshold: float,
+                src_vertex: int | None = None) -> None:
+        """src_vertex set ⇒ personalized PR: the teleport mass goes to the
+        source alone instead of uniformly (the `src_node` hook the reference
+        carries in `pr_problem.cuh:97`; used by WTF, `wtf_functor.cuh:290`)."""
         self.prepare_push_plan("out")
         init_value = 1.0 / max(n_global, 1)  # n==0 ⇒ empty graph, no-op state
         rank = np.full(len(self.verts), init_value, dtype=np.float64)
@@ -363,7 +381,14 @@ class GraphPartition:
         self.state["rank"] = rank
         self._pr_delta = delta
         self._pr_threshold = threshold
-        self._pr_reset = (1.0 - delta) / max(n_global, 1)
+        if src_vertex is None:
+            self._pr_reset = (1.0 - delta) / max(n_global, 1)
+        else:
+            reset = np.zeros(len(self.verts), dtype=np.float64)
+            pos = np.searchsorted(self.verts, src_vertex)
+            if pos < len(self.verts) and self.verts[pos] == src_vertex:
+                reset[pos] = 1.0 - delta
+            self._pr_reset = reset
 
     def pr_scatter(self) -> np.ndarray:
         """Messages rank_curr[src] per out-edge, partial-summed per dst
@@ -608,6 +633,47 @@ class GraphPartition:
     def sssp_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "dist": pa.array(self.state["dist"], pa.float64())})
+
+    # Near-far priority split (delta-stepping 2-bucket variant of the
+    # reference's priority queue: `gunrock/priority_queue/kernel.cuh`,
+    # score = dist/delta at `gunrock/app/sssp/sssp_functor.cuh:183-199`).
+
+    def sssp_nf_init(self, src_vertex: int, delta: float) -> None:
+        self.sssp_init(src_vertex)
+        self._sssp_delta = float(delta)
+        self._sssp_pivot = float(delta)
+        self._far = np.zeros(0, dtype=np.int64)  # local idx candidates
+
+    def sssp_nf_apply(self, *packs) -> dict:
+        """Like sssp_apply, but improved vertices split by the pivot: near
+        (dist < pivot) re-scatter now, far wait in the far pile."""
+        dist = self.state["dist"]
+        improved: list[np.ndarray] = []
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                better = vals < dist[li]
+                dist[li[better]] = vals[better]
+                improved.append(li[better])
+        imp = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
+        near = imp[dist[imp] < self._sssp_pivot]
+        far = imp[dist[imp] >= self._sssp_pivot]
+        self._frontier = near
+        self._far = np.concatenate([self._far, far])
+        return {"frontier": int(len(near)), "far": int(len(self._far))}
+
+    def sssp_advance_pivot(self) -> int:
+        """Near pile drained: advance the pivot one delta and promote far
+        candidates whose (current) distance fell below it."""
+        self._sssp_pivot += self._sssp_delta
+        far = np.unique(self._far)
+        dist = self.state["dist"]
+        ready = far[dist[far] < self._sssp_pivot]
+        self._far = far[dist[far] >= self._sssp_pivot]
+        self._frontier = ready
+        return int(len(ready)) + int(len(self._far))
 
     # ------------------------------------------- HITS / SALSA (bipartite ranks)
     # SURVEY.md §2.9: needs CSR + CSC (`gunrock/app/hits/hits_problem.cuh`).

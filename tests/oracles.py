@@ -30,10 +30,11 @@ def normalize_oracle(src, dst, undirected: bool = False):
     return s, d
 
 
-def pagerank_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50):
+def pagerank_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50,
+                 src_node=None):
     """Returns unnormalized final ranks (len n float64). Matches the
     distributed engine's semantics exactly (rank stores rank/deg internally;
-    dangling vertices absorb)."""
+    dangling vertices absorb). src_node => personalized reset vector."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     deg = np.bincount(src, minlength=n).astype(np.int64)
@@ -41,7 +42,11 @@ def pagerank_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50):
     init = 1.0 / n
     rank = np.full(n, init, dtype=np.float64)
     rank[nz] = init / deg[nz]
-    reset = (1.0 - delta) / n
+    if src_node is None:
+        reset = (1.0 - delta) / n
+    else:
+        reset = np.zeros(n)
+        reset[src_node] = 1.0 - delta
     for _ in range(max_iter):
         nxt = np.zeros(n, dtype=np.float64)
         np.add.at(nxt, dst, rank[src])

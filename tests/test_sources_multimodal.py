@@ -1,0 +1,137 @@
+"""MatrixMarket reader/writer conformance + multimodal stage plumbing +
+SSSP near-far split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.sources.market import (
+    read_market, write_market, parse_market_header, parse_market_bytes)
+from gunrock_ray.pipelines.graph_algos import build_graph, sssp, pagerank
+from gunrock_ray.sources.generators import g_pr4, rmat_table, add_weights
+from tests import oracles
+from tests.helpers import edges_np, n_of, dense_result, vertices_table
+
+MTX_SYM = """%%MatrixMarket matrix coordinate pattern symmetric
+% a comment line
+5 5 4
+2 1
+3 1
+4 2
+5 5
+"""
+
+MTX_GEN_W = """%%MatrixMarket matrix coordinate real general
+4 4 5
+1 2 1.5
+2 3 2.0
+3 4 0.5
+4 1 3.0
+1 3 7.0
+"""
+
+
+def test_market_symmetric_parse(tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(MTX_SYM)
+    hdr = parse_market_header(str(p))
+    assert hdr == {"symmetric": True, "num_vertices": 5, "nnz": 4}
+    edges, verts, _ = read_market(str(p))
+    df = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    # each line doubled (symmetric => both directions, market.cuh:270)
+    expect = sorted([(1, 0), (0, 1), (2, 0), (0, 2), (3, 1), (1, 3),
+                     (4, 4), (4, 4)])
+    assert sorted(map(tuple, df.to_numpy())) == expect
+    assert verts.count() == 5
+
+
+def test_market_reversed_and_weights(tmp_path):
+    p = tmp_path / "w.mtx"
+    p.write_text(MTX_GEN_W)
+    edges, _, hdr = read_market(str(p), reversed_=True, weighted=True)
+    assert not hdr["symmetric"]
+    df = edges.to_pandas()
+    assert set(map(tuple, df[["src", "dst"]].to_numpy())) == {
+        (1, 0), (2, 1), (3, 2), (0, 3), (2, 0)}
+    assert df.loc[(df.src == 2) & (df.dst == 0), "w"].iloc[0] == 7.0
+
+
+def test_market_roundtrip_and_pr(tmp_path):
+    t = g_pr4()
+    p = tmp_path / "pr4.mtx"
+    write_market(t, str(p), num_vertices=4)
+    edges, verts, hdr = read_market(str(p))
+    assert hdr["num_vertices"] == 4
+    g = build_graph(edges, num_partitions=2, vertices=verts)
+    try:
+        out = pagerank(g, error=1e-12, max_iter=60)
+        got = dense_result(out, 4, "rank")
+    finally:
+        g.shutdown(remove_spill=True)
+    s, d = edges_np(t)
+    ns, nd = oracles.normalize_oracle(s, d)
+    exp = oracles.pagerank_ref(4, ns, nd, threshold=1e-12, max_iter=60)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_sssp_near_far_matches_dijkstra():
+    t = add_weights(rmat_table(7, 8))
+    s, d = edges_np(t)
+    w = t["w"].to_numpy()
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, weighted=True,
+                    vertices=vertices_table(n))
+    try:
+        out = sssp(g, 0, delta=8.0)
+        got = dense_result(out, n, "dist")
+    finally:
+        g.shutdown(remove_spill=True)
+    best = {}
+    for u, v, ww in zip(s, d, w):
+        if u == v:
+            continue
+        k = (int(u), int(v))
+        best[k] = min(best.get(k, np.inf), float(ww))
+    ns = np.array([k[0] for k in best])
+    nd = np.array([k[1] for k in best])
+    nw = np.array(list(best.values()))
+    exp = oracles.sssp_ref(n, ns, nd, nw, 0)
+    np.testing.assert_allclose(got, exp)
+
+
+def test_multimodal_image_pipeline():
+    import ray.data
+    from gunrock_ray.functions.multimodal import (
+        synthetic_media_table, image_pipeline, ImageDecodeResize, MEDIA_SCHEMA)
+    t = synthetic_media_table(20)
+    assert t.schema.equals(MEDIA_SCHEMA)
+    out = image_pipeline(ray.data.from_arrow(t), out_size=(8, 8),
+                         concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == 20
+    f0 = np.asarray(out["feature"].iloc[0])
+    assert f0.shape == (3 + 3 + 8,)
+    # deterministic: same payload -> same features on a second run
+    out2 = image_pipeline(ray.data.from_arrow(t), out_size=(8, 8),
+                          concurrency=1, batch_size=7).to_pandas()
+    m1 = {r.media_id: np.asarray(r.feature) for r in out.itertuples()}
+    m2 = {r.media_id: np.asarray(r.feature) for r in out2.itertuples()}
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k])
+    # 'real' codec is an explicit stub
+    with pytest.raises(NotImplementedError):
+        ImageDecodeResize(codec="real")
+
+
+def test_multimodal_audio_stage():
+    import ray.data
+    from gunrock_ray.functions.multimodal import (
+        synthetic_media_table, AudioFrameSample)
+    t = synthetic_media_table(6, kind="audio")
+    out = ray.data.from_arrow(t).map_batches(
+        AudioFrameSample, batch_format="pyarrow", concurrency=(1, 2),
+        batch_size=3).to_pandas()
+    assert len(out) == 6
+    assert (out["n_windows"] > 0).all()
+    assert all(len(r) == n for r, n in zip(out["rms"], out["n_windows"]))

@@ -1,0 +1,78 @@
+"""Personalized PageRank + WTF (who-to-follow) vs NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import build_graph, pagerank, wtf
+from gunrock_ray.sources.generators import g_pr4, g_cc11, rmat_table
+from tests import oracles
+from tests.helpers import edges_np, n_of, dense_result, vertices_table
+
+
+@pytest.mark.parametrize("fix,src", [(g_pr4, 0), (g_cc11, 3)])
+def test_personalized_pagerank(fix, src):
+    t = fix()
+    s, d = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        out = pagerank(g, error=1e-12, max_iter=60, src_node=src)
+        got = dense_result(out, n, "rank")
+    finally:
+        g.shutdown(remove_spill=True)
+    ns, nd = oracles.normalize_oracle(s, d)
+    exp = oracles.pagerank_ref(n, ns, nd, threshold=1e-12, max_iter=60,
+                               src_node=src)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def _wtf_oracle(n, src_e, dst_e, source, alpha=0.15, cot_size=1000, k=10):
+    """Pure-NumPy reimplementation of the wtf() spec."""
+    ppr = oracles.pagerank_ref(n, src_e, dst_e, delta=1.0 - alpha,
+                               threshold=1e-9, max_iter=50, src_node=source)
+    order = np.lexsort((np.arange(n), -ppr))
+    cot = np.sort(order[:cot_size])
+    sel = np.isin(src_e, cot) & np.isin(dst_e, cot)
+    u, v = src_e[sel], dst_e[sel]
+    ids = np.unique(np.concatenate([cot, u, v]))
+    ui, vi = np.searchsorted(ids, u), np.searchsorted(ids, v)
+    m = len(ids)
+    out_deg = np.bincount(ui, minlength=m).astype(float)
+    in_deg = np.bincount(vi, minlength=m).astype(float)
+    restart = np.zeros(m)
+    sp = np.searchsorted(ids, source)
+    if sp < m and ids[sp] == source:
+        restart[sp] = 1.0
+    hub = restart.copy()
+    auth = np.zeros(m)
+    for _ in range(max(1, round(1.0 / alpha))):
+        msg = np.divide(hub, out_deg, out=np.zeros(m), where=out_deg > 0)
+        auth = np.zeros(m)
+        np.add.at(auth, vi, msg[ui])
+        auth /= auth.sum() or 1.0
+        msg = np.divide(auth, in_deg, out=np.zeros(m), where=in_deg > 0)
+        back = np.zeros(m)
+        np.add.at(back, ui, msg[vi])
+        hub = alpha * restart + (1.0 - alpha) * back
+        hub /= hub.sum() or 1.0
+    o = np.lexsort((ids, -auth))
+    o = o[ids[o] != source][:k]
+    return ids[o], auth[o]
+
+
+@pytest.mark.parametrize("src", [0, 2])
+def test_wtf_matches_oracle(src):
+    t = rmat_table(6, 8)
+    s, d = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        out = wtf(g, src, alpha=0.15, cot_size=20, k=5).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    ns, nd = oracles.normalize_oracle(s, d)
+    ev, escore = _wtf_oracle(n, ns, nd, src, cot_size=20, k=5)
+    assert list(out["v"]) == list(ev)
+    np.testing.assert_allclose(out["score"].to_numpy(), escore, atol=1e-9)
