@@ -1,0 +1,151 @@
+"""CLI entry point — the engine's `ray job submit` artifact (SURVEY.md §3):
+
+    ray job submit --working-dir . -- \
+        python -m gunrock_ray.cli run --algo pr --input edges.parquet \
+        --out /data/pr_out --partitions 128 --error 0.001 --max-iter 100 \
+        --ckpt-dir /data/ckpt --ckpt-every 10 --metrics /data/metrics.jsonl
+
+Mirrors the reference's test-driver surface (`tests/pr/test_pr.cu` CLI:
+--undirected, --src, --delta, --error, --max-iter, --quick, jsonfile →
+metrics). Local runs work too: the script owns ``ray.init`` (guarded), the
+library never initializes Ray (driver contract).
+
+Input formats:
+- ``edges``  : Parquet with columns src,dst[,w] (the scale format)
+- ``corpus`` : Parquet repo corpus (repo,path,commit,lang,content) — runs
+  the sha256+import-extraction ingest first (north-rule input_hint)
+- ``mtx``    : MatrixMarket file/dir (conformance format)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_edges(args):
+    import ray.data
+    fmt = args.input_format
+    vertices = None
+    if fmt == "edges":
+        cols = ["src", "dst"] + (["w"] if args.weighted else [])
+        edges = ray.data.read_parquet(args.input, columns=cols)
+    elif fmt == "corpus":
+        from gunrock_ray.sources import ingest
+        files = ingest.files_with_sha(ray.data.read_parquet(args.input))
+        edges = ingest.edges_from_files(files)
+        vertices = ingest.vertex_dictionary(files).select_columns(["v"])
+    elif fmt == "mtx":
+        from gunrock_ray.sources.market import read_market
+        edges, vertices, _ = read_market(args.input, weighted=args.weighted)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown --input-format {fmt}")
+    return edges, vertices
+
+
+def cmd_run(args) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from gunrock_ray.pipelines import graph_algos as ga
+
+    needs_in = args.algo in ("hits", "salsa", "bc")
+    undirected = args.undirected or args.algo in ("cc", "lp", "tc")
+    edges, vertices = _load_edges(args)
+    t0 = time.perf_counter()
+    g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
+                       vertices=vertices, num_partitions=args.partitions,
+                       spill_dir=args.spill_dir, with_in_edges=needs_in)
+    t_build = time.perf_counter() - t0
+    ck = dict(metrics_path=args.metrics, ckpt_dir=args.ckpt_dir,
+              ckpt_every=args.ckpt_every, resume=args.resume)
+    t0 = time.perf_counter()
+    extra: dict = {}
+    if args.algo == "pr":
+        out = ga.pagerank(g, delta=args.delta, error=args.error,
+                          max_iter=args.max_iter, src_node=args.src
+                          if args.personalized else None, **ck)
+    elif args.algo == "cc":
+        out, ncomp = ga.connected_components(g, **ck)
+        extra["num_components"] = ncomp
+    elif args.algo == "lp":
+        out = ga.label_propagation(g, max_iter=args.max_iter,
+                                   metrics_path=args.metrics)
+    elif args.algo == "tc":
+        extra["triangles"] = ga.triangle_count(g)
+        out = None
+    elif args.algo == "bfs":
+        out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
+                     metrics_path=args.metrics)
+    elif args.algo == "sssp":
+        out = ga.sssp(g, args.src, delta=args.nf_delta, metrics_path=args.metrics)
+    elif args.algo == "hits":
+        out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
+    elif args.algo == "salsa":
+        out = ga.salsa(g, max_iter=args.max_iter, metrics_path=args.metrics)
+    elif args.algo == "bc":
+        srcs = [int(s) for s in args.bc_sources.split(",")] if args.bc_sources else None
+        out = ga.betweenness_centrality(g, sources=srcs, metrics_path=args.metrics)
+    elif args.algo == "wtf":
+        out = ga.wtf(g, args.src, k=args.topk)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown --algo {args.algo}")
+    t_run = time.perf_counter() - t0
+
+    rows = 0
+    if out is not None:
+        os.makedirs(args.out, exist_ok=True)
+        if hasattr(out, "write_parquet"):          # Ray Dataset
+            out.write_parquet(args.out)
+            rows = out.count()
+        else:                                       # small Arrow table
+            import pyarrow.parquet as pq
+            pq.write_table(out, os.path.join(args.out, "part-0.parquet"))
+            rows = out.num_rows
+    summary = {"algo": args.algo, "n": g.n, "m": g.m, "rows": rows,
+               "t_build_s": round(t_build, 3), "t_run_s": round(t_run, 3),
+               "edges_per_sec": round(g.m / max(t_run, 1e-9)), **extra}
+    g.shutdown(remove_spill=args.spill_dir is None)
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="gunrock_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run")
+    run.add_argument("--algo", required=True,
+                     choices=["pr", "cc", "lp", "tc", "bfs", "sssp",
+                              "hits", "salsa", "bc", "wtf"])
+    run.add_argument("--input", required=True)
+    run.add_argument("--input-format", default="edges",
+                     choices=["edges", "corpus", "mtx"])
+    run.add_argument("--out", default="/tmp/gunrock_ray_out")
+    run.add_argument("--partitions", type=int, default=None)
+    run.add_argument("--spill-dir", default=None)
+    run.add_argument("--undirected", action="store_true")
+    run.add_argument("--weighted", action="store_true")
+    run.add_argument("--src", type=int, default=0)
+    run.add_argument("--personalized", action="store_true")
+    run.add_argument("--mark-pred", action="store_true")
+    run.add_argument("--delta", type=float, default=0.85)
+    run.add_argument("--nf-delta", type=float, default=None)
+    run.add_argument("--error", type=float, default=0.01)
+    run.add_argument("--max-iter", type=int, default=50)
+    run.add_argument("--topk", type=int, default=10)
+    run.add_argument("--bc-sources", default=None)
+    run.add_argument("--metrics", default=None)
+    run.add_argument("--ckpt-dir", default=None)
+    run.add_argument("--ckpt-every", type=int, default=0)
+    run.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cmd == "run":
+        cmd_run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,8 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
 # ------------------------------------------------- Connected components (CC)
 
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,
-                         ckpt_dir: str | None = None, ckpt_every: int = 0):
+                         ckpt_dir: str | None = None, ckpt_every: int = 0,
+                         resume: bool = False):
     """Hook-and-compress CC (reference semantics SURVEY.md §2.5). The graph
     must be built ``undirected=True`` (CC treats input as undirected,
     `tests/cc/run.sh`). Returns (Dataset {v, comp}, num_components); comp is
@@ -101,6 +102,11 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
     g.call_all("cc_init")
+    if resume and ckpt_dir:
+        # labels only decrease and hooking is idempotent, so restarting from
+        # the checkpointed cid with a fresh all-edges active set is exact
+        lineage = g.restore(ckpt_dir)
+        run_id = lineage["run_id"]
     rnd = 0
     while True:
         t0 = time.perf_counter()
@@ -333,12 +339,15 @@ def betweenness_centrality(graph: DistributedGraph, sources=None, *,
 
 # ------------------------------------------------------------ BFS / SSSP
 
-def bfs(graph: DistributedGraph, src: int, *, metrics_path: str | None = None):
+def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
+        metrics_path: str | None = None):
     """BFS depths from src (SURVEY.md §2.6; -1 = unreached). Delta frontier:
-    only newly-settled vertices scatter each superstep."""
+    only newly-settled vertices scatter each superstep. ``mark_pred`` adds a
+    ``pred`` column (the reference's --mark-pred, `bfs_problem.cuh:66-95`;
+    deterministic winner = smallest predecessor at the winning depth)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
-    g.call_all("bfs_init", src)
+    g.call_all("bfs_init", src, mark_pred)
     it = 0
     while True:
         res, _ = g.superstep("bfs_scatter", "bfs_apply")

@@ -510,20 +510,24 @@ class GraphPartition:
     def lp_scatter(self):
         """Messages (dst, label[src]) partial-combined to (dst, label, count)
         — the two-stage mode-aggregate's first stage, packed per owner.
-        dst is already (owner, dst)-sorted in the plan, so only labels need
-        sorting within dst runs."""
+        On a weighted graph the 'count' is the summed edge weight (the
+        road-mapped *weighted* label propagation, `doc/road_map.md:14-17`)."""
         pl = self._plans["out"]
         dst = pl["tgt_sorted"]
         lab = self.state["label"][pl["src_idx"]]
         if len(dst) == 0:
-            return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+            return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8, _EMPTY_I8, _EMPTY_F8)
         order = np.lexsort((lab, dst))
         d, l = dst[order], lab[order]
         b = np.empty(len(d), dtype=bool)
         b[0] = True
         np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=b[1:])
         starts = np.flatnonzero(b)
-        counts = np.diff(np.append(starts, len(d))).astype(np.int64)
+        if self.edge_w is not None:
+            w = self.edge_w[pl["order"]][order]
+            counts = np.add.reduceat(w, starts)
+        else:
+            counts = np.diff(np.append(starts, len(d))).astype(np.float64)
         du, lu = d[starts], l[starts]
         return self._pack(du, lu, counts)
 
@@ -558,7 +562,7 @@ class GraphPartition:
     # ----------------------------------------------------------- BFS / SSSP
     # SURVEY.md §2.6/2.7: delta frontier; min-combine replaces atomicMin.
 
-    def bfs_init(self, src_vertex: int) -> None:
+    def bfs_init(self, src_vertex: int, mark_pred: bool = False) -> None:
         depth = np.full(len(self.verts), _BFS_INF, dtype=np.int64)
         self._frontier = np.zeros(0, dtype=np.int64)  # local indices
         pos = np.searchsorted(self.verts, src_vertex)
@@ -566,6 +570,12 @@ class GraphPartition:
             depth[pos] = 0
             self._frontier = np.array([pos], dtype=np.int64)
         self.state["depth"] = depth
+        self._bfs_mark_pred = mark_pred
+        if mark_pred:
+            # -1 = no predecessor (the reference's invalid sentinel,
+            # `bfs_problem.cuh:66-95` preds; deterministic winner = smallest
+            # predecessor id at the winning depth)
+            self.state["pred"] = np.full(len(self.verts), -1, dtype=np.int64)
 
     def _frontier_edges(self):
         starts = self.row_offsets[self._frontier]
@@ -578,28 +588,56 @@ class GraphPartition:
     def bfs_scatter(self):
         src_li, dst, _ = self._frontier_edges()
         newdepth = self.state["depth"][src_li] + 1
-        return self._pack_combined(dst, newdepth, "min")
+        if not self._bfs_mark_pred:
+            return self._pack_combined(dst, newdepth, "min")
+        pred = self.verts[src_li]
+        # combine per dst: min (depth, pred) lexicographically
+        order = np.lexsort((pred, newdepth, dst))
+        d, nd, pr = dst[order], newdepth[order], pred[order]
+        starts = segment_starts(d)
+        return self._pack(d[starts], nd[starts], pr[starts])
 
     def bfs_apply(self, *packs) -> dict:
         depth = self.state["depth"]
-        improved: list[np.ndarray] = []
-        for pk in packs:
-            ids = self._unpack_mine(pk, 0)
-            vals = self._unpack_mine(pk, 1)
-            if len(ids):
-                li = self._lidx(ids)
-                better = vals < depth[li]
-                depth[li[better]] = vals[better]
-                improved.append(li[better])
-        f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
+        mark = self._bfs_mark_pred
+        if not mark:
+            improved: list[np.ndarray] = []
+            for pk in packs:
+                ids = self._unpack_mine(pk, 0)
+                vals = self._unpack_mine(pk, 1)
+                if len(ids):
+                    li = self._lidx(ids)
+                    better = vals < depth[li]
+                    depth[li[better]] = vals[better]
+                    improved.append(li[better])
+            f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
+            self._frontier = f
+            return {"frontier": int(len(f))}
+        # predecessor mode: merge all packs, min (depth, pred) per vertex
+        ids, vals, preds = self._unpack_all(packs, cols=(0, 1, 2))
+        if len(ids) == 0:
+            self._frontier = _EMPTY_I8
+            return {"frontier": 0}
+        order = np.lexsort((preds, vals, ids))
+        i, v, p = ids[order], vals[order], preds[order]
+        starts = segment_starts(i)
+        i, v, p = i[starts], v[starts], p[starts]
+        li = self._lidx(i)
+        better = v < depth[li]
+        depth[li[better]] = v[better]
+        self.state["pred"][li[better]] = p[better]
+        f = li[better]
         self._frontier = f
         return {"frontier": int(len(f))}
 
     def bfs_extract(self) -> pa.Table:
         d = self.state["depth"].copy()
         d[d == _BFS_INF] = -1  # the reference's unreached sentinel
-        return pa.table({"v": pa.array(self.verts, pa.int64()),
-                         "depth": pa.array(d, pa.int64())})
+        cols = {"v": pa.array(self.verts, pa.int64()),
+                "depth": pa.array(d, pa.int64())}
+        if self._bfs_mark_pred:
+            cols["pred"] = pa.array(self.state["pred"], pa.int64())
+        return pa.table(cols)
 
     def sssp_init(self, src_vertex: int) -> None:
         dist = np.full(len(self.verts), np.inf, dtype=np.float64)

@@ -1,0 +1,124 @@
+"""CLI entry, weighted LP, BFS mark_pred, CC resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import (
+    build_graph, bfs, connected_components, label_propagation)
+from gunrock_ray.sources.generators import g_cc11, rmat_table
+from tests.helpers import edges_np, n_of, vertices_table
+from tests import oracles
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_weighted_lp_flips_vote():
+    # 0 -- {1,2} (weight 1 each) vs 0 -- 3 (weight 5): unweighted vote picks
+    # the {1,2} label camp; weighted picks 3's label.
+    edges = pa.table({
+        "src": pa.array([1, 2, 3], pa.int64()),
+        "dst": pa.array([0, 0, 0], pa.int64()),
+        "w": pa.array([1.0, 1.0, 5.0], pa.float64()),
+    })
+    # give 1 and 2 the same label via a pre-link 1--2
+    edges = pa.table({
+        "src": pa.array([1, 2, 3, 1], pa.int64()),
+        "dst": pa.array([0, 0, 0, 2], pa.int64()),
+        "w": pa.array([1.0, 1.0, 5.0, 1.0], pa.float64()),
+    })
+    g = build_graph(edges, num_partitions=2, undirected=True, weighted=True)
+    try:
+        out = label_propagation(g, max_iter=1).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    lab = dict(zip(out["v"], out["label"]))
+    # after 1 sync round: vertex 0 sees labels {1(w1), 2(w1), 3(w5)} -> 3
+    assert lab[0] == 3
+    g = build_graph(pa.table({"src": edges["src"], "dst": edges["dst"]}),
+                    num_partitions=2, undirected=True)
+    try:
+        out = label_propagation(g, max_iter=1).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    lab = dict(zip(out["v"], out["label"]))
+    # unweighted: ties 1,2,3 all count 1 -> smallest label (1) wins
+    assert lab[0] == 1
+
+
+def test_bfs_mark_pred():
+    t = g_cc11()
+    s, d = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        out = bfs(g, 0, mark_pred=True).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    ns, nd = oracles.normalize_oracle(s, d)
+    depth = oracles.bfs_ref(n, ns, nd, 0)
+    got = out.set_index("v")
+    eset = set(zip(ns, nd))
+    for v in range(n):
+        assert got.loc[v, "depth"] == depth[v]
+        p = got.loc[v, "pred"]
+        if depth[v] <= 0:  # source or unreached
+            assert p == -1
+        else:
+            # smallest valid parent at depth-1
+            parents = [u for (u, w) in eset if w == v and depth[u] == depth[v] - 1]
+            assert p == min(parents)
+
+
+def test_cc_resume(tmp_path):
+    t = rmat_table(7, 8)
+    ck = str(tmp_path / "ck")
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        full, ncomp = connected_components(g)
+        full = full.to_pandas().sort_values("v").reset_index(drop=True)
+        # checkpoint every round, then resume from the last checkpoint
+        g.call_all("cc_init")
+        ds, _ = connected_components(g, ckpt_dir=ck, ckpt_every=1)
+        ds.count()
+    finally:
+        g.shutdown(remove_spill=True)
+    g2 = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        ds2, ncomp2 = connected_components(g2, ckpt_dir=ck, resume=True)
+        out2 = ds2.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g2.shutdown(remove_spill=True)
+    assert ncomp2 == ncomp
+    assert out2.equals(full)
+
+
+def test_cli_pr_end_to_end(tmp_path):
+    import pyarrow.parquet as pq
+    t = g_cc11()
+    inp = str(tmp_path / "edges.parquet")
+    pq.write_table(t, inp)
+    outd = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "run", "--algo", "pr",
+         "--input", inp, "--out", outd, "--partitions", "2",
+         "--error", "1e-10", "--max-iter", "60"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rows"] == 11 and summary["algo"] == "pr"
+    got = pq.read_table(outd).to_pandas().sort_values("v")
+    s, d = edges_np(t)
+    ns, nd = oracles.normalize_oracle(s, d)
+    exp = oracles.pagerank_ref(11, ns, nd, threshold=1e-10, max_iter=60)
+    np.testing.assert_allclose(got.sort_values("v")["rank"].to_numpy(), exp,
+                               rtol=1e-9)
