@@ -340,22 +340,44 @@ def betweenness_centrality(graph: DistributedGraph, sources=None, *,
 # ------------------------------------------------------------ BFS / SSSP
 
 def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
-        metrics_path: str | None = None):
+        direction_optimized: bool = False, alpha: float = 14.0,
+        beta: float = 24.0, metrics_path: str | None = None):
     """BFS depths from src (SURVEY.md §2.6; -1 = unreached). Delta frontier:
     only newly-settled vertices scatter each superstep. ``mark_pred`` adds a
     ``pred`` column (the reference's --mark-pred, `bfs_problem.cuh:66-95`;
-    deterministic winner = smallest predecessor at the winning depth)."""
+    deterministic winner = smallest predecessor at the winning depth).
+
+    ``direction_optimized`` enables push↔pull switching (the reference's
+    per-iteration direction vote, `bfs_enactor.cuh:852-918`; Beamer
+    heuristic): switch to pull (bottom-up over in-edges — graph must be
+    built ``with_in_edges=True``) when the frontier's out-edges exceed
+    ~1/alpha of the unexplored edges, back to push when the frontier shrinks
+    below n/beta."""
     g = graph
     metrics = MetricsWriter(metrics_path)
     g.call_all("bfs_init", src, mark_pred)
     it = 0
+    mode = "push"
+    avg_deg = g.m / max(g.n, 1)
     while True:
-        res, _ = g.superstep("bfs_scatter", "bfs_apply")
+        if mode == "push":
+            res, _ = g.superstep("bfs_scatter", "bfs_apply")
+        else:
+            res = g.lookup("bfs_pull_request", "bfs_pull_apply",
+                           serve_args=("depth",))
         frontier = sum(r["frontier"] for r in res)
-        metrics.write(algo="bfs", superstep=it, frontier=frontier, changed=frontier)
+        mf = sum(r.get("frontier_out_edges", 0) for r in res)
+        unv = sum(r.get("unvisited", 0) for r in res)
+        metrics.write(algo="bfs", superstep=it, frontier=frontier,
+                      changed=frontier, mode=mode)
         it += 1
         if frontier == 0:
             break
+        if direction_optimized:
+            if mode == "push" and mf * alpha > unv * avg_deg:
+                mode = "pull"
+            elif mode == "pull" and frontier * beta < g.n:
+                mode = "push"
     metrics.close()
     return g.extract("bfs_extract")
 

@@ -132,3 +132,69 @@ def add_weights(edges: pa.Table, seed: int = 42, lo: int = 1, hi: int = 64) -> p
 def vertices_range(n: int) -> pa.Table:
     """Explicit vertex table 0..n-1 (for fixtures with isolated vertices)."""
     return pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+
+
+def small_world_table(n: int, k: int = 4, p: float = 0.1, seed: int = 42) -> pa.Table:
+    """Watts-Strogatz small-world graph (`gunrock/graphio/small_world.cuh`):
+    ring lattice with k/2 neighbors per side, each edge rewired with
+    probability p. Counter-based (decision = hash of (seed, i, j)), so the
+    output is reproducible at any parallelism."""
+    half = max(1, k // 2)
+    i = np.repeat(np.arange(n, dtype=np.int64), half)
+    j = np.tile(np.arange(1, half + 1, dtype=np.int64), n)
+    u = mix64(mix64(i.astype(np.uint64) + np.uint64(seed)) ^ j.astype(np.uint64))
+    inv = 1.0 / np.float64(np.iinfo(np.uint64).max)
+    rewire = (u.astype(np.float64) * inv) < p
+    dst = (i + j) % n
+    alt = (mix64(u + np.uint64(0x9E37)) % np.uint64(n)).astype(np.int64)
+    dst = np.where(rewire, alt, dst)
+    return pa.table({"src": pa.array(i), "dst": pa.array(dst)})
+
+
+def rgg_table(n: int, radius: float | None = None, seed: int = 42) -> pa.Table:
+    """Random geometric graph (`gunrock/graphio/rgg.cuh:99-230`): n points in
+    the unit square, edge iff distance < radius (default the connectivity
+    threshold ~sqrt(ln n / (pi n)) * 2 like the reference's scale choice).
+    Grid-bucketed neighbor search (cells of side radius ⇒ only the 9
+    surrounding cells are candidates). Deterministic positions from mix64."""
+    if radius is None:
+        radius = 2.0 * np.sqrt(np.log(max(n, 2)) / (np.pi * n))
+    ids = np.arange(n, dtype=np.int64)
+    inv = 1.0 / np.float64(np.iinfo(np.uint64).max)
+    x = mix64(ids.astype(np.uint64) + np.uint64(seed * 3 + 1)).astype(np.float64) * inv
+    y = mix64(ids.astype(np.uint64) + np.uint64(seed * 7 + 2)).astype(np.float64) * inv
+    g = max(1, int(1.0 / radius))
+    cell = (np.minimum((x * g).astype(np.int64), g - 1) * g
+            + np.minimum((y * g).astype(np.int64), g - 1))
+    order = np.argsort(cell, kind="stable")
+    srcs, dsts = [], []
+    bounds = np.searchsorted(cell[order], np.arange(g * g + 1))
+    for cx in range(g):
+        for cy in range(g):
+            c = cx * g + cy
+            a = order[bounds[c]:bounds[c + 1]]
+            if len(a) == 0:
+                continue
+            cand = [a]
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    nx, ny = cx + dx, cy + dy
+                    if 0 <= nx < g and 0 <= ny < g:
+                        c2 = nx * g + ny
+                        cand.append(order[bounds[c2]:bounds[c2 + 1]])
+            b = np.concatenate(cand)
+            dx2 = x[a][:, None] - x[b][None, :]
+            dy2 = y[a][:, None] - y[b][None, :]
+            close = (dx2 * dx2 + dy2 * dy2) < radius * radius
+            ii, jj = np.nonzero(close)
+            uu, vv = a[ii], b[jj]
+            keep = uu < vv
+            srcs.append(uu[keep])
+            dsts.append(vv[keep])
+    src = np.concatenate(srcs) if srcs else np.zeros(0, dtype=np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, dtype=np.int64)
+    # undirected output: both directions, like the reference's undirected load
+    return pa.table({"src": pa.array(np.concatenate([src, dst])),
+                     "dst": pa.array(np.concatenate([dst, src]))})

@@ -570,6 +570,7 @@ class GraphPartition:
             depth[pos] = 0
             self._frontier = np.array([pos], dtype=np.int64)
         self.state["depth"] = depth
+        self._bfs_level = 0
         self._bfs_mark_pred = mark_pred
         if mark_pred:
             # -1 = no predecessor (the reference's invalid sentinel,
@@ -612,7 +613,10 @@ class GraphPartition:
                     improved.append(li[better])
             f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
             self._frontier = f
-            return {"frontier": int(len(f))}
+            self._bfs_level += 1
+            return {"frontier": int(len(f)),
+                    "frontier_out_edges": int(self.out_deg[f].sum()),
+                    "unvisited": int(np.count_nonzero(depth == _BFS_INF))}
         # predecessor mode: merge all packs, min (depth, pred) per vertex
         ids, vals, preds = self._unpack_all(packs, cols=(0, 1, 2))
         if len(ids) == 0:
@@ -628,7 +632,10 @@ class GraphPartition:
         self.state["pred"][li[better]] = p[better]
         f = li[better]
         self._frontier = f
-        return {"frontier": int(len(f))}
+        self._bfs_level += 1
+        return {"frontier": int(len(f)),
+                "frontier_out_edges": int(self.out_deg[f].sum()),
+                "unvisited": int(np.count_nonzero(depth == _BFS_INF))}
 
     def bfs_extract(self) -> pa.Table:
         d = self.state["depth"].copy()
@@ -638,6 +645,56 @@ class GraphPartition:
         if self._bfs_mark_pred:
             cols["pred"] = pa.array(self.state["pred"], pa.int64())
         return pa.table(cols)
+
+    # Direction-optimized BFS: pull rounds (`bfs_enactor.cuh:852-918`).
+    # An unvisited vertex scans its IN-neighbors and settles if any of them
+    # sits at the current level — the classic Beamer bottom-up step, here a
+    # packed 3-wave lookup of depth[in-neighbor] (needs with_in_edges).
+
+    def bfs_pull_request(self):
+        unv = np.flatnonzero(self.state["depth"] == _BFS_INF)
+        unv = unv[self.in_deg[unv] > 0]
+        self._pending["bfs_unv"] = unv
+        starts = self.in_row_offsets[unv]
+        lens = self.in_deg[unv]
+        nbrs = _ragged_gather(self.in_col_indices, starts, lens)
+        uniq = np.unique(nbrs)
+        self._pending["bfs_uniq"] = uniq
+        return self._pack(uniq)
+
+    def bfs_pull_apply(self, *reply_packs) -> dict:
+        uniq = self._pending.pop("bfs_uniq")
+        unv = self._pending.pop("bfs_unv")
+        vals = self._reply_mine(reply_packs)
+        own = owner_of(uniq, self.P)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(uniq), dtype=np.int64)
+        back[order] = np.arange(len(uniq))
+        vals = vals[back]  # aligned with uniq (id-sorted)
+        depth = self.state["depth"]
+        level = self._bfs_level
+        self._bfs_level += 1
+        if len(unv) == 0:
+            self._frontier = _EMPTY_I8
+            return {"frontier": 0, "frontier_out_edges": 0,
+                    "unvisited": int(np.count_nonzero(depth == _BFS_INF))}
+        starts = self.in_row_offsets[unv]
+        lens = self.in_deg[unv]
+        nbrs = _ragged_gather(self.in_col_indices, starts, lens)
+        nd = vals[np.searchsorted(uniq, nbrs)]
+        hit = (nd == level).astype(np.int64)
+        seg_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        hits = np.add.reduceat(hit, seg_starts)
+        settled = unv[hits > 0]
+        depth[settled] = level + 1
+        if self._bfs_mark_pred and len(settled):
+            key = np.where(nd == level, nbrs, np.int64(2**62))
+            best = np.minimum.reduceat(key, seg_starts)
+            self.state["pred"][settled] = best[hits > 0]
+        self._frontier = settled
+        return {"frontier": int(len(settled)),
+                "frontier_out_edges": int(self.out_deg[settled].sum()),
+                "unvisited": int(np.count_nonzero(depth == _BFS_INF))}
 
     def sssp_init(self, src_vertex: int) -> None:
         dist = np.full(len(self.verts), np.inf, dtype=np.float64)

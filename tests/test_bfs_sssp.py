@@ -51,3 +51,27 @@ def test_sssp_weighted_rmat():
     wu = np.array(list(best.values()))
     want = sssp_ref(n, su, du, wu, 0)
     assert np.allclose(got, want, equal_nan=True)
+
+
+def test_bfs_direction_optimized_matches_push():
+    import gunrock_ray.sources.generators as gen
+    from tests.helpers import vertices_table
+    t = gen.rmat_table(8, 8)
+    n = 256
+    g = build_graph(t, num_partitions=4, vertices=vertices_table(n),
+                    with_in_edges=True)
+    try:
+        plain = dense_result(bfs(g, 0), n, "depth", dtype=np.int64)
+        do = dense_result(bfs(g, 0, direction_optimized=True), n, "depth",
+                          dtype=np.int64)
+        # mark_pred under pull must agree with push-mode preds too
+        p1 = bfs(g, 0, mark_pred=True).to_pandas().sort_values("v")
+        p2 = bfs(g, 0, mark_pred=True, direction_optimized=True,
+                 alpha=0.0, beta=1.0).to_pandas().sort_values("v")  # never pull
+        p3 = bfs(g, 0, mark_pred=True, direction_optimized=True,
+                 alpha=1e12, beta=0.0).to_pandas().sort_values("v")  # always pull
+    finally:
+        g.shutdown(remove_spill=True)
+    assert np.array_equal(plain, do)
+    assert p1.equals(p2)
+    assert p1.equals(p3)

@@ -82,3 +82,20 @@ def test_vertex_dictionary_covers_all_files():
     vd = ingest.vertex_dictionary(ray.data.from_arrow(t)).to_pandas()
     assert len(vd) == 18
     assert vd["v"].nunique() == 18, "vertex id collision at tiny scale"
+
+
+def test_small_world_and_rgg_generators():
+    from gunrock_ray.sources.generators import small_world_table, rgg_table
+    t1 = small_world_table(100, k=4, p=0.1, seed=1)
+    t2 = small_world_table(100, k=4, p=0.1, seed=1)
+    assert t1.equals(t2)  # deterministic
+    assert t1.num_rows == 100 * 2
+    assert (t1["src"].to_numpy() != t1["dst"].to_numpy()).mean() > 0.9
+    r1 = rgg_table(500, seed=3)
+    r2 = rgg_table(500, seed=3)
+    assert r1.equals(r2)
+    s, d = r1["src"].to_numpy(), r1["dst"].to_numpy()
+    assert len(s) > 0
+    # symmetric by construction
+    pairs = set(zip(s, d))
+    assert all((b, a) in pairs for a, b in pairs)
