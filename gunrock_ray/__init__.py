@@ -19,6 +19,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     pagerank,
     salsa,
     sssp,
+    topk_degree,
     triangle_count,
     wtf,
 )

@@ -179,6 +179,21 @@ def triangle_count(graph: DistributedGraph) -> int:
     return int(sum(counts))
 
 
+# ---------------------------------------------------- TopK degree (§2.10)
+
+def topk_degree(graph: DistributedGraph, k: int = 10):
+    """Top-k vertices by total degree out+in (the reference's topk app,
+    `gunrock/app/topk/topk_problem.cuh:64-67`). Uses the in-CSR when built,
+    else one ones-push superstep computes in-degrees. Returns Dataset
+    {v, deg} sorted (deg desc, v asc), limited to k."""
+    g = graph
+    if not g.with_in_edges:
+        g.register_push("out")
+        g.superstep("topk_ones_scatter", "topk_ones_apply")
+    return g.extract("topk_extract").sort(
+        ["deg", "v"], descending=[True, False]).limit(k)
+
+
 # --------------------------------------------- HITS / SALSA (need in-edges)
 
 def hits(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-7,

@@ -52,13 +52,14 @@ def _as_dataset(edges):
 
 class DistributedGraph:
     def __init__(self, actors, num_partitions: int, spill_dir: str, weighted: bool,
-                 n_global: int, m_global: int):
+                 n_global: int, m_global: int, with_in_edges: bool = False):
         self.actors = actors
         self.P = num_partitions
         self.spill_dir = spill_dir
         self.weighted = weighted
         self.n = n_global
         self.m = m_global
+        self.with_in_edges = with_in_edges
         self._push_registered: set = set()
 
     # ----------------------------------------------------------------- build
@@ -98,7 +99,7 @@ class DistributedGraph:
         stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
-        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
+        return DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
 
     @staticmethod
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
@@ -116,7 +117,7 @@ class DistributedGraph:
         stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
-        return DistributedGraph(actors, P, spill_dir, weighted, n, m)
+        return DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
 
     @staticmethod
     def _spill_small(edges: pa.Table, P: int, spill_dir: str, undirected: bool,

@@ -934,6 +934,29 @@ class GraphPartition:
         reach = d[d != _BFS_INF]
         return int(reach.max()) if len(reach) else 0
 
+    # ---------------------------------------------------- TopK degree (§2.10)
+    # `gunrock/app/topk/topk_problem.cuh:64-67`: degree centrality =
+    # out_deg + in_deg; functors are no-ops, the work is the ranking.
+
+    def topk_ones_scatter(self) -> np.ndarray:
+        """Push 1 per out-edge: the sum at each dst IS its in-degree."""
+        self.prepare_push_plan("out")
+        pl = self._plans["out"]
+        return self.push_reduced(np.ones(len(pl["src_idx"]), dtype=np.float64),
+                                 "sum", "out")
+
+    def topk_ones_apply(self, *val_packs) -> dict:
+        if "out" not in self._in_idx:
+            raise RuntimeError("register_push('out') first")
+        self.state["indeg"] = self._static_apply_sum(val_packs, "out")
+        return {"n": len(self.verts)}
+
+    def topk_extract(self) -> pa.Table:
+        indeg = self.in_deg.astype(np.float64) if self.with_in_edges \
+            else self.state["indeg"]
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "deg": pa.array((self.out_deg + indeg).astype(np.int64))})
+
     # ------------------------------------------------- Triangle counting (TC)
     # SURVEY.md §2.11: degree orientation + neighborhood intersection over the
     # symmetrized graph (build the graph with undirected=True first).

@@ -122,3 +122,22 @@ def test_cli_pr_end_to_end(tmp_path):
     exp = oracles.pagerank_ref(11, ns, nd, threshold=1e-10, max_iter=60)
     np.testing.assert_allclose(got.sort_values("v")["rank"].to_numpy(), exp,
                                rtol=1e-9)
+
+
+def test_topk_degree_primitive():
+    t = g_cc11()
+    s, d = edges_np(t)
+    n = n_of(t)
+    from gunrock_ray.pipelines.graph_algos import topk_degree
+    from tests.oracles import normalize_oracle
+    ns, nd = normalize_oracle(s, d)
+    deg = np.bincount(ns, minlength=n) + np.bincount(nd, minlength=n)
+    order = np.lexsort((np.arange(n), -deg))[:5]
+    expect = list(zip(order, deg[order]))
+    for with_in in (False, True):
+        g = build_graph(t, num_partitions=3, with_in_edges=with_in)
+        try:
+            out = topk_degree(g, k=5).to_pandas()
+        finally:
+            g.shutdown(remove_spill=True)
+        assert list(zip(out["v"], out["deg"])) == expect
