@@ -154,7 +154,19 @@ def bench_default(num_cpus: int, sf_dir: str) -> dict:
             g.shutdown(remove_spill=True)
     timed("rmat_tc", rmat_tc)
 
-    # 5-7. training-data operators over the sf tables
+    # 5. HITS + sampled BC on a directed R-MAT with inverse CSR
+    def rmat_hits_bc():
+        from gunrock_ray.pipelines.graph_algos import hits, betweenness_centrality
+        g = build_graph(rmat_dataset(RMAT_SCALE_TC, 16, override_num_blocks=16),
+                        num_partitions=P, with_in_edges=True)
+        try:
+            hits(g, max_iter=10).count()
+            betweenness_centrality(g, sources=[0, 1, 2, 3, 4]).count()
+        finally:
+            g.shutdown(remove_spill=True)
+    timed("rmat_hits_bc5", rmat_hits_bc)
+
+    # 6-8. training-data operators over the sf tables
     timed("doc_exact_dedup", lambda: r.q_doc_exact_dedup(sf_dir).count())
     timed("doc_token_stats", lambda: r.q_doc_token_stats(sf_dir).count())
     timed("ann_top5", lambda: len(r.q_ann_top5(sf_dir)))
