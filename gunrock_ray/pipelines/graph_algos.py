@@ -56,8 +56,9 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     g = graph
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
-    g.call_all("pr_init", g.n, delta, error, src_node)
-    g.register_push()
+    kind = "split" if g.hot_split else "out"
+    g.call_all("pr_init", g.n, delta, error, src_node, kind)
+    g.register_push(kind)
     start_iter = 0
     if resume and ckpt_dir:
         lineage = g.restore(ckpt_dir)
@@ -66,7 +67,13 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     it = start_iter
     while it < max_iter:
         t0 = time.perf_counter()
-        res, _ = g.superstep("pr_scatter", "pr_apply")
+        if kind == "split":
+            # broadcast the hot vertices' values (tiny packs), then scatter
+            hot_refs = [a.get_hot_values.remote("rank") for a in g.actors]
+            packs = [a.pr_scatter_split.remote(*hot_refs) for a in g.actors]
+            res = ray.get([a.pr_apply.remote(*packs) for a in g.actors])
+        else:
+            res, _ = g.superstep("pr_scatter", "pr_apply")
         dt = time.perf_counter() - t0
         updated = sum(r["updated"] for r in res)
         msgs = sum(r["msgs"] for r in res)

@@ -60,6 +60,7 @@ class DistributedGraph:
         self.n = n_global
         self.m = m_global
         self.with_in_edges = with_in_edges
+        self.hot_split = False
         self._push_registered: set = set()
 
     # ----------------------------------------------------------------- build
@@ -188,6 +189,25 @@ class DistributedGraph:
 
     def call_all(self, method: str, *args, **kwargs):
         return ray.get([getattr(a, method).remote(*args, **kwargs) for a in self.actors])
+
+    def enable_hot_split(self, threshold: int | None = None) -> int:
+        """Split hot vertices' adjacency rows round-robin across partitions
+        for all-edges scatters (SURVEY.md §4 skew handling; PowerGraph-style
+        vertex cut). Default threshold: 4x the mean per-partition edge load
+        divided by... practically `max(1024, 2*m/P)` — a row bigger than a
+        whole partition's fair share is definitely hot. Returns the number of
+        hot vertices; 0 ⇒ split disabled (no hot rows)."""
+        thr = threshold if threshold is not None else max(1024, (2 * self.m) // max(self.P, 1))
+        hot_lists = ray.get([a.find_hot.remote(thr) for a in self.actors])
+        hot = np.unique(np.concatenate(hot_lists)) if hot_lists else np.zeros(0, np.int64)
+        if len(hot) == 0:
+            self.hot_split = False
+            return 0
+        packs = [a.hot_split_extract.remote(hot) for a in self.actors]
+        ray.get([a.hot_split_accept.remote(*packs) for a in self.actors])
+        self.call_all("hot_register_owner_slices")
+        self.hot_split = True
+        return len(hot)
 
     def register_push(self, kind: str = "out") -> None:
         """One-time static target registration for all-edges scatters (PR,

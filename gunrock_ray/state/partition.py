@@ -364,16 +364,128 @@ class GraphPartition:
                 out[self._in_idx[kind][q]] += vals[s:e]
         return out
 
+    # ------------------------------------------- hot-vertex edge splitting
+    # SURVEY.md §4 "load balance / skew": a power-law hub puts its whole
+    # adjacency row on one partition (src-hash). For ALL-EDGES static
+    # scatters the edge→partition assignment is free (only vertex-state
+    # ownership is hash-fixed), so hot rows are split round-robin across
+    # partitions ("mirror" edges, PowerGraph-style vertex cut) and the hot
+    # vertices' values are broadcast each superstep — a tiny pack, |hot|
+    # values. Frontier-based algorithms keep the full CSR at the owner
+    # (hot rows are stored twice: owner CSR + mirror chunks).
+
+    def find_hot(self, threshold: int) -> np.ndarray:
+        return self.verts[self.out_deg > threshold]
+
+    def hot_split_extract(self, hot_global_sorted: np.ndarray):
+        """Split owned hot rows' edges into P round-robin chunks, packed per
+        partition as (offs, src_global_repeated, dst)."""
+        hot = np.asarray(hot_global_sorted)
+        self._hot_ids = hot  # global (id-sorted) hot list, same on every actor
+        pos = np.searchsorted(self.verts, hot).clip(max=max(len(self.verts) - 1, 0))
+        mine = hot[(pos < len(self.verts)) & (self.verts[pos.clip(max=len(self.verts)-1)] == hot)] \
+            if len(self.verts) else hot[:0]
+        self._hot_local = self._lidx(mine) if len(mine) else _EMPTY_I8
+        srcs, dsts, owners = [], [], []
+        for li, gid in zip(self._hot_local, mine):
+            s, e = self.row_offsets[li], self.row_offsets[li + 1]
+            cols = self.col_indices[s:e]
+            srcs.append(np.full(len(cols), gid, dtype=np.int64))
+            dsts.append(cols)
+            owners.append(np.arange(len(cols), dtype=np.int64) % self.P)
+        if not srcs:
+            z = np.zeros(self.P + 1, dtype=np.int64)
+            return (z, _EMPTY_I8, _EMPTY_I8)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        own = np.concatenate(owners)
+        order = np.argsort(own, kind="stable")
+        offs = np.searchsorted(own[order], np.arange(self.P + 1)).astype(np.int64)
+        return (offs, src[order], dst[order])
+
+    def hot_split_accept(self, *packs) -> int:
+        """Store my mirror chunk; build the 'split' static plan: own non-hot
+        edges + mirror edges, one combined (owner(tgt), tgt) sort."""
+        msrc, mdst = self._unpack_all(packs, cols=(0, 1))
+        # mirror value index: position of each mirror src in the global hot list
+        midx = np.searchsorted(self._hot_ids, msrc) if len(msrc) else _EMPTY_I8
+        # own edges excluding hot rows
+        idt = np.int32 if len(self.verts) < 2**31 else np.int64
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=idt), self.out_deg)
+        hot_mask = np.zeros(len(self.verts), dtype=bool)
+        hot_mask[self._hot_local] = True
+        keep = ~hot_mask[src_idx]
+        own_src_idx = src_idx[keep]
+        own_dst = self.col_indices[keep]
+        n_own = len(own_dst)
+        tgt = np.concatenate([own_dst, mdst])
+        own_arr = owner_of(tgt, self.P)
+        order = np.lexsort((tgt, own_arr))
+        tgt_s = tgt[order]
+        starts = segment_starts(tgt_s)
+        self._plans["split"] = {
+            "n_own": n_own,
+            "src_idx": own_src_idx,       # gather for the own portion
+            "mirror_idx": midx,           # gather into the hot-values vector
+            "order": order,               # permutation of concat(own, mirror)
+            "tgt_sorted": tgt_s,
+            "starts": starts,
+            "uids": tgt_s[starts],
+            "uid_offs": np.searchsorted(
+                owner_of(tgt_s, self.P)[starts] if len(starts) else _EMPTY_I8,
+                np.arange(self.P + 1)).astype(np.int64),
+        }
+        return int(len(mdst))
+
+    def get_hot_values(self, name: str) -> np.ndarray:
+        """Owned hot vertices' current values (broadcast pack, tiny)."""
+        return self.state[name][self._hot_local]
+
+    def split_scatter(self, name: str, *hot_val_parts) -> np.ndarray:
+        """All-edges sum-scatter over the split plan: own gather + mirror
+        gather from the assembled hot-values vector, ONE segmented reduce.
+        hot_val_parts arrive in actor (0..P-1) order; each owner's hot ids
+        are a sorted subsequence of the global hot list, and owner order by
+        owner_of == assembly order used for _hot_ids? No — _hot_ids is
+        id-sorted, so scatter reassembles by id position."""
+        pl = self._plans["split"]
+        hotvec = np.empty(len(self._hot_ids), dtype=np.float64)
+        # each part q covers the hot ids owned by actor q
+        for q, part in enumerate(hot_val_parts):
+            if len(part):
+                ids_q = self._hot_owner_slices[q]
+                hotvec[ids_q] = part
+        vals = np.concatenate([self.state[name][pl["src_idx"]],
+                               hotvec[pl["mirror_idx"]]])[pl["order"]]
+        if len(pl["starts"]) == 0:
+            return _EMPTY_F8
+        return np.add.reduceat(vals, pl["starts"])
+
+    def hot_register_owner_slices(self) -> None:
+        """Precompute, per owner q, the positions in the global hot list of
+        the hot ids owner q will send (its owned subset, id-sorted)."""
+        own = owner_of(self._hot_ids, self.P)
+        self._hot_owner_slices = [np.flatnonzero(own == q) for q in range(self.P)]
+
+    def pr_scatter_split(self, *hot_val_parts) -> np.ndarray:
+        return self.split_scatter("rank", *hot_val_parts)
+
     # -------------------------------------------------------------- PageRank
     # Semantics: gunrock/app/pr/pr_problem.cuh:397-417, pr_functor.cuh:148-226,
     # pr_enactor.cuh:365-604, 846-871 (SURVEY.md §2.4). rank stores rank/deg.
 
     def pr_init(self, n_global: int, delta: float, threshold: float,
-                src_vertex: int | None = None) -> None:
+                src_vertex: int | None = None, plan_kind: str = "out") -> None:
         """src_vertex set ⇒ personalized PR: the teleport mass goes to the
         source alone instead of uniformly (the `src_node` hook the reference
-        carries in `pr_problem.cuh:97`; used by WTF, `wtf_functor.cuh:290`)."""
-        self.prepare_push_plan("out")
+        carries in `pr_problem.cuh:97`; used by WTF, `wtf_functor.cuh:290`).
+        plan_kind='split' scatters over the hot-split plan (mirror edges)."""
+        self._pr_plan_kind = plan_kind
+        if plan_kind == "split":
+            if "split" not in self._plans:
+                raise RuntimeError("hot split not enabled on this graph")
+        else:
+            self.prepare_push_plan("out")
         init_value = 1.0 / max(n_global, 1)  # n==0 ⇒ empty graph, no-op state
         rank = np.full(len(self.verts), init_value, dtype=np.float64)
         nz = self.out_deg > 0
@@ -399,7 +511,7 @@ class GraphPartition:
     def pr_apply(self, *val_packs) -> dict:
         """new = reset + delta*sum; deg>0 ⇒ /=deg; non-finite ⇒ 0; updated iff
         |new-old| > threshold*old (`pr_functor.cuh:209-226`)."""
-        nxt = self._static_apply_sum(val_packs, "out")
+        nxt = self._static_apply_sum(val_packs, self._pr_plan_kind)
         old = self.state["rank"]
         new = self._pr_reset + self._pr_delta * nxt
         nz = self.out_deg > 0

@@ -69,3 +69,40 @@ def test_pr_output_sorted_desc():
         g.shutdown(remove_spill=True)
     r = df["rank"].to_numpy()
     assert np.all(np.diff(r) <= 1e-15), "ranks must be descending"
+
+
+def test_pr_hot_split_matches_plain():
+    """Hot-vertex edge splitting (PowerGraph-style vertex cut for all-edges
+    scatters) must not change PageRank results at all."""
+    import gunrock_ray.sources.generators as gen
+    t = gen.rmat_table(8, 8)  # power-law: vertex 0 is a hub
+    n = 256
+    g = build_graph(t, num_partitions=4, vertices=vertices_table(n))
+    try:
+        plain = dense_result(pagerank(g, error=1e-12, max_iter=40), n, "rank")
+    finally:
+        g.shutdown(remove_spill=True)
+    g2 = build_graph(t, num_partitions=4, vertices=vertices_table(n))
+    try:
+        nhot = g2.enable_hot_split(threshold=16)  # force many hot rows
+        assert nhot > 0
+        split = dense_result(pagerank(g2, error=1e-12, max_iter=40), n, "rank")
+    finally:
+        g2.shutdown(remove_spill=True)
+    np.testing.assert_allclose(split, plain, rtol=1e-12, atol=1e-15)
+
+
+def test_pr_hot_split_star():
+    from gunrock_ray.sources.generators import star
+    t = star(64)  # hub 0 -> 63 spokes, the worst-case src skew
+    g = build_graph(t, num_partitions=4, vertices=vertices_table(64))
+    try:
+        assert g.enable_hot_split(threshold=8) == 1
+        got = dense_result(pagerank(g, error=1e-12, max_iter=40), 64, "rank")
+    finally:
+        g.shutdown(remove_spill=True)
+    from tests.oracles import pagerank_ref, normalize_oracle
+    s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+    ns, nd = normalize_oracle(s, d)
+    exp = pagerank_ref(64, ns, nd, threshold=1e-12, max_iter=40)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
