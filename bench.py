@@ -212,11 +212,27 @@ def scaling_worker(num_cpus: int, scale: int, spill_dir: str) -> None:
         ts.append(time.perf_counter() - t0)
     ts.sort()
     median = ts[len(ts) // 2]
+    # CC hook rounds (the north rule names "PR + CC edges/sec"): time the
+    # first full-edge hook exchanges (lookup + min-candidate scatter)
+    cc_ts = []
+    for _ in range(3):
+        g.call_all("cc_init")
+        t0 = time.perf_counter()
+        reqs = [a.cc_hook_request.remote() for a in g.actors]
+        replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
+        outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
+                for a in g.actors]
+        import ray as _ray
+        _ray.get([a.cc_apply_min.remote(*[o[0] for o in outs]) for a in g.actors])
+        cc_ts.append(time.perf_counter() - t0)
+    cc_median = sorted(cc_ts)[1]
     print(json.dumps({
         "num_cpus": num_cpus, "n": g.n, "m": g.m, "t_build_s": round(t_build, 2),
         "superstep_s": [round(t, 4) for t in ts],
         "median_superstep_s": round(median, 4),
         "edges_per_sec": round(g.m / median),
+        "cc_hook_s": [round(t, 4) for t in cc_ts],
+        "cc_edges_per_sec": round(g.m / cc_median),
     }))
     g.shutdown()
     ray.shutdown()
@@ -246,14 +262,19 @@ def bench_scaling(lo: int, hi: int) -> dict:
     tp_lo = results[lo]["edges_per_sec"]
     tp_hi = results[hi]["edges_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    cc_lo = results[lo]["cc_edges_per_sec"]
+    cc_hi = results[hi]["cc_edges_per_sec"]
+    cc_eff = (cc_hi / cc_lo) / (hi / lo)
     return {
-        "metric": "PageRank superstep throughput scaling (same job, "
+        "metric": "PR + CC superstep throughput scaling (same job, "
                   f"{lo} vs {hi} CPUs, affinity-restricted fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "cc_efficiency": round(cc_eff, 3),
         "edges": results[hi]["m"],
         "throughput_edges_per_sec": {str(lo): tp_lo, str(hi): tp_hi},
         "mteps": {str(lo): round(tp_lo / 1e6, 1), str(hi): round(tp_hi / 1e6, 1)},
+        "cc_mteps": {str(lo): round(cc_lo / 1e6, 1), str(hi): round(cc_hi / 1e6, 1)},
         "per_run": results,
         "target": ">=0.8 (north rule; reference 1->4 GPU eff 0.87-0.93)",
     }

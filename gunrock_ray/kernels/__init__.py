@@ -1,0 +1,10 @@
+"""Vectorized kernel substrate (re-exports; canonical module: common.py).
+
+The NumPy equivalents of the reference's `gunrock/util/` device primitives
+(SURVEY.md §2.3): hashing/partitioning, segmented reductions, run-length
+segmentation, sha256 columns.
+"""
+
+from gunrock_ray.common import (  # noqa: F401
+    mix64, owner_of, stable_vertex_id, segment_reduce, segment_starts,
+    sha256_column)

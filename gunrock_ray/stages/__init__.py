@@ -1,0 +1,11 @@
+"""Actor-pool map_batches stages (re-exports; canonical modules listed).
+
+A "stage" is a callable class for ``Dataset.map_batches(Cls, concurrency=…)``
+— constructor state built once per actor, per-batch work in ``__call__``.
+"""
+
+from gunrock_ray.functions.text import TextAnalyzer, analyze_documents  # noqa: F401
+from gunrock_ray.functions.dedup import MinHasher, SimHasher  # noqa: F401
+from gunrock_ray.functions.ann import LshIndexer, lsh_buckets  # noqa: F401
+from gunrock_ray.functions.multimodal import (  # noqa: F401
+    ImageDecodeResize, ImageFeatures, AudioFrameSample, image_pipeline)

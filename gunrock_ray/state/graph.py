@@ -61,7 +61,16 @@ class DistributedGraph:
         self.m = m_global
         self.with_in_edges = with_in_edges
         self.hot_split = False
+        self.partition_stats: list[dict] = []
         self._push_registered: set = set()
+
+    def balance(self) -> dict:
+        """Edge-load balance across partitions (skew observability; the
+        thing enable_hot_split improves for all-edges scatters)."""
+        ms = [s["m_local"] for s in self.partition_stats] or [0]
+        mean = sum(ms) / len(ms)
+        return {"m_max": max(ms), "m_mean": mean,
+                "imbalance": (max(ms) / mean) if mean else 1.0}
 
     # ----------------------------------------------------------------- build
 
@@ -100,7 +109,9 @@ class DistributedGraph:
         stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
-        return DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
+        g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
+        g.partition_stats = stats
+        return g
 
     @staticmethod
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
@@ -118,7 +129,9 @@ class DistributedGraph:
         stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
-        return DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
+        g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
+        g.partition_stats = stats
+        return g
 
     @staticmethod
     def _spill_small(edges: pa.Table, P: int, spill_dir: str, undirected: bool,
@@ -262,6 +275,7 @@ class DistributedGraph:
             "partitions": {str(p): paths[p] for p in range(self.P)},
             "state_columns": names,
             "n": self.n, "m": self.m,
+            "balance": self.balance(),
         }
         if extra:
             lineage.update(extra)
