@@ -13,10 +13,14 @@ ray.init()/ray.shutdown() here or in gunrock_ray library code.
 Operator coverage (SURVEY.md §2): the SQL-checkable entries cover
 normalization (self-loop drop + exact dedup, §1.3), symmetrization,
 degree, top-k (§2.10), triangle counting (§2.11), connected components
-(§2.5, via a recursive-CTE min-label oracle), BFS (§2.6), the ingest
-sha256 invariant, exact dedup / token stats / ANN over the
-documents/embeddings tables. PR (§2.4), LP (§2.11) and SSSP (§2.7) are
-rows-only here and validated against NumPy oracles in pytest.
+(§2.5, via a recursive-CTE min-label oracle), BFS depths + predecessors
+(§2.6), SSSP unit/weighted/near-far (§2.7, integer [1,64] weights via a
+bounded recursive CTE), fixed-iteration PageRank (§2.4, unrolled SQL
+power iteration at 1e-6 integer scale) and label propagation (§2.11,
+unrolled mode-vote SQL), the ingest sha256 invariant, and exact dedup /
+token stats / ANN over the documents/embeddings tables. The
+convergence-mode PR/LP variants plus HITS/SALSA/BC/WTF are rows-only
+here and validated against NumPy oracles in pytest.
 """
 
 from __future__ import annotations
@@ -44,9 +48,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tc_count": r.q_tc_count,
         "cc_labels": r.q_cc_labels,
         "bfs_depths": r.q_bfs_depths,
+        "bfs_preds": r.q_bfs_preds,
+        "pr10": r.q_pr10,              # SQL-checked (unrolled power iteration)
+        "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
+        "sssp_weighted": r.q_sssp_weighted,
+        "sssp_nf": r.q_sssp_nf,
         "pr_top20": r.q_pr_top20,      # rows-only (pytest-validated, 1e-6)
         "lp_labels": r.q_lp_labels,    # rows-only (pytest-validated, exact)
-        "sssp_dists": r.q_sssp_dists,  # rows-only (pytest-validated)
+        "sssp_dists": r.q_sssp_dists,  # SQL-checked (unit weights == depth)
         "hits": r.q_hits,              # rows-only (pytest-validated, 1e-9)
         "salsa": r.q_salsa,            # rows-only (pytest-validated, 1e-9)
         "bc": r.q_bc,                  # rows-only (pytest-validated vs Brandes)

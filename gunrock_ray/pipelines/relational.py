@@ -202,8 +202,8 @@ def q_lp_labels(sf_dir: str):
 
 
 def q_sssp_dists(sf_dir: str):
-    """SSSP with unit weights from vertex 0 (rows-only; == BFS depth on unit
-    weights, cross-checked in pytest)."""
+    """SSSP with unit weights from vertex 0 (SQL-checked: on unit weights
+    dist == BFS depth, so the bounded recursive-CTE depth oracle applies)."""
     from gunrock_ray.pipelines.graph_algos import sssp
     g = _graph(sf_dir, undirected=False)
     try:
@@ -213,6 +213,93 @@ def q_sssp_dists(sf_dir: str):
     df = df[np.isfinite(df["dist"])].reset_index(drop=True)
     df["dist"] = df["dist"].astype("int64")
     return df
+
+
+# Deterministic integer edge weights in [1, 64] — the reference's SSSP weight
+# range (`doc/methodology.md` §SSSP / `gunrock/util/info.cuh` random_edge_value
+# with max 64), but computed from (src,dst) so NumPy and DuckDB agree exactly.
+_W_EXPR = "((src*31 + dst*17) % 64) + 1"
+_SSSP_CAP = 1000  # both sides report only dist <= CAP, so the bounded
+                  # recursive CTE and the exact engine agree on the same set
+
+
+def derived_edges_weighted(sf_dir: str):
+    """Raw derived edges with the deterministic integer weight column."""
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        w = ((s * 31 + d * 17) % 64 + 1).astype(np.float64)
+        return batch.append_column("w", pa.array(w, pa.float64()))
+    return derived_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
+
+
+def _sssp_weighted_df(sf_dir: str, delta: float | None):
+    from gunrock_ray.pipelines.graph_algos import build_graph, sssp
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    weighted=True)
+    try:
+        df = sssp(g, 0, delta=delta).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df = df[np.isfinite(df["dist"]) & (df["dist"] <= _SSSP_CAP)]
+    df = df.reset_index(drop=True)
+    df["dist"] = df["dist"].astype("int64")
+    return df
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted SSSP from vertex 0, integer weights in [1,64] (SQL-checked:
+    distances are exact integer sums, oracled by a bounded recursive CTE)."""
+    return _sssp_weighted_df(sf_dir, delta=None)
+
+
+def q_sssp_nf(sf_dir: str):
+    """Same shortest paths via the near-far 2-bucket delta-stepping queue
+    (SURVEY.md §2.1 priority queue; reference delta = max_weight/delta_factor
+    = 64/32 = 2 — `gunrock/gunrock.h:141`). Same SQL oracle as q_sssp_weighted:
+    the priority split must not change results."""
+    return _sssp_weighted_df(sf_dir, delta=2.0)
+
+
+def q_bfs_preds(sf_dir: str):
+    """BFS --mark-pred from vertex 0 (SQL-checked): pred = smallest in-neighbor
+    at depth-1 (the engine's deterministic winner rule), -1 for the source."""
+    from gunrock_ray.pipelines.graph_algos import bfs
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = bfs(g, 0, mark_pred=True).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df[df["depth"] >= 0].reset_index(drop=True)
+
+
+def q_lp3(sf_dir: str):
+    """Label propagation, exactly 3 synchronous rounds (SQL-checked via the
+    unrolled mode-vote SQL — integer labels, bit-exact). The convergence
+    variant stays in q_lp_labels (rows-only + pytest oracle)."""
+    from gunrock_ray.pipelines.graph_algos import label_propagation
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return label_propagation(g, max_iter=3).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def q_pr10(sf_dir: str):
+    """PageRank, exactly 10 supersteps (threshold 0), un-normalized ranks
+    scaled to micro-units: rank_u6 = floor(rank*1e6 + 0.5) as int64 — the
+    north rule's 1e-6 agreement expressed as an exact integer compare against
+    the unrolled SQL power iteration (both sides use the same floor(x+0.5)
+    rounding; float64 sum-order noise ~1e-14 abs makes a boundary flip
+    astronomically unlikely)."""
+    from gunrock_ray.pipelines.graph_algos import pagerank
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = pagerank(g, error=0.0, max_iter=10).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["rank_u6"] = np.floor(df["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
 # --- documents / embeddings (training-data ops) ------------------------------
@@ -313,7 +400,86 @@ def q_ann_top5(sf_dir: str):
 
 # --- oracle SQL --------------------------------------------------------------
 
+_VERTS_SQL = (f"SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "
+              f"UNION SELECT DISTINCT dst FROM ({_RAW_EDGES_SQL})")
+
+
+def _pr_sql(iters: int = 10, delta: float = 0.85) -> str:
+    """Unrolled SQL power iteration reproducing the engine's exact operation
+    sequence (SURVEY.md §2.4: rank stores rank/deg; new = (1-d)/n + d*sum;
+    deg>0 ⇒ /=deg; extract multiplies back by deg). Integer-scaled output."""
+    parts = [
+        f"WITH verts AS ({_VERTS_SQL}), ",
+        "nn AS (SELECT COUNT(*) AS n FROM verts), ",
+        f"e AS ({_NORM_SQL}), ",
+        "od AS (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
+        "r0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN (1.0/nn.n)/od.deg "
+        "ELSE 1.0/nn.n END AS pr FROM od CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", r{i} AS (SELECT od.v, CASE WHEN od.deg > 0 THEN "
+            f"((1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0))/od.deg "
+            f"ELSE (1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) END AS pr "
+            f"FROM od CROSS JOIN nn LEFT JOIN "
+            f"(SELECT e.dst AS v, SUM(p.pr) AS s FROM e JOIN r{i-1} p "
+            f"ON p.v = e.src GROUP BY e.dst) m ON m.v = od.v)")
+    parts.append(
+        f" SELECT od.v, CAST(FLOOR((CASE WHEN od.deg > 0 THEN r{iters}.pr*od.deg "
+        f"ELSE r{iters}.pr END)*1000000 + 0.5) AS BIGINT) AS rank_u6 "
+        f"FROM r{iters} JOIN od ON od.v = r{iters}.v")
+    return "".join(parts)
+
+
+def _lp_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation rounds (SURVEY.md §2.11: adopt
+    the most frequent neighbor label, ties → smallest; no-message vertices
+    keep their label)."""
+    parts = [
+        f"WITH verts AS ({_VERTS_SQL}), ",
+        f"u AS ({_SYM_SQL}), ",
+        "l0 AS (SELECT v, v AS lab FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", l{i} AS (SELECT l{i-1}.v, COALESCE(w.lab, l{i-1}.lab) AS lab "
+            f"FROM l{i-1} LEFT JOIN (SELECT v, lab FROM "
+            f"(SELECT e.dst AS v, p.lab, ROW_NUMBER() OVER (PARTITION BY e.dst "
+            f"ORDER BY COUNT(*) DESC, p.lab ASC) AS rn "
+            f"FROM u e JOIN l{i-1} p ON p.v = e.src GROUP BY e.dst, p.lab) x "
+            f"WHERE rn = 1) w ON w.v = l{i-1}.v)")
+    parts.append(f" SELECT v, lab AS label FROM l{iters}")
+    return "".join(parts)
+
+
+_SSSP_W_SQL = (
+    f"WITH RECURSIVE e AS (SELECT src, dst, {_W_EXPR} AS w FROM ({_NORM_SQL})), "
+    "p(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+    f"  UNION SELECT e.dst, p.d + e.w FROM p JOIN e ON e.src = p.v "
+    f"  WHERE p.d + e.w <= {_SSSP_CAP}) "
+    "SELECT v, MIN(d) AS dist FROM p GROUP BY v"
+)
+
+_BFS_DEPTH_CTE = (
+    f"WITH RECURSIVE n AS ({_NORM_SQL}), "
+    "b(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+    f"  UNION SELECT n.dst, b.d + 1 FROM b JOIN n ON n.src = b.v WHERE b.d < {EDGE_MOD + 1}), "
+    "dep AS (SELECT v, MIN(d) AS depth FROM b GROUP BY v)"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "sssp_dists": f"{_BFS_DEPTH_CTE} SELECT v, depth AS dist FROM dep",
+    "sssp_weighted": _SSSP_W_SQL,
+    "sssp_nf": _SSSP_W_SQL,
+    "bfs_preds": (
+        f"{_BFS_DEPTH_CTE} "
+        "SELECT d.v, d.depth, COALESCE((SELECT MIN(n2.src) FROM n n2 "
+        "JOIN dep s ON s.v = n2.src WHERE n2.dst = d.v AND s.depth = d.depth - 1), "
+        "-1) AS pred FROM dep d"
+    ),
+    "lp3": _lp_sql(3),
+    "pr10": _pr_sql(10),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (
