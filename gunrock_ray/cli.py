@@ -59,7 +59,9 @@ def cmd_run(args) -> dict:
     t0 = time.perf_counter()
     g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
                        vertices=vertices, num_partitions=args.partitions,
-                       spill_dir=args.spill_dir, with_in_edges=needs_in)
+                       spill_dir=args.spill_dir, with_in_edges=needs_in,
+                       partition_method=args.partition_method,
+                       partition_seed=args.partition_seed)
     t_build = time.perf_counter() - t0
     ck = dict(metrics_path=args.metrics, ckpt_dir=args.ckpt_dir,
               ckpt_every=args.ckpt_every, resume=args.resume)
@@ -106,9 +108,13 @@ def cmd_run(args) -> dict:
             import pyarrow.parquet as pq
             pq.write_table(out, os.path.join(args.out, "part-0.parquet"))
             rows = out.num_rows
+    bal = g.balance()
     summary = {"algo": args.algo, "n": g.n, "m": g.m, "rows": rows,
                "t_build_s": round(t_build, 3), "t_run_s": round(t_run, 3),
-               "edges_per_sec": round(g.m / max(t_run, 1e-9)), **extra}
+               "edges_per_sec": round(g.m / max(t_run, 1e-9)),
+               "partition_method": args.partition_method,
+               "imbalance": round(bal["imbalance"], 3),
+               "cut_fraction": round(bal["cut_fraction"], 4), **extra}
     g.shutdown(remove_spill=args.spill_dir is None)
     print(json.dumps(summary))
     return summary
@@ -129,6 +135,11 @@ def main(argv=None) -> None:
     run.add_argument("--spill-dir", default=None)
     run.add_argument("--undirected", action="store_true")
     run.add_argument("--weighted", action="store_true")
+    # the reference's --partition-method / --partition-seed
+    # (`gunrock/app/problem_base.cuh:1638-1677`, `info.cuh` flags)
+    run.add_argument("--partition-method", default="hash",
+                     choices=["hash", "random", "range", "degree"])
+    run.add_argument("--partition-seed", type=int, default=0)
     run.add_argument("--src", type=int, default=0)
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")

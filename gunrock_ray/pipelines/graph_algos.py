@@ -26,16 +26,92 @@ def default_partitions() -> int:
     return max(2, min(32, cpus))
 
 
+def plan_partitioning(edges, P: int, method: str = "hash", *, seed: int = 0,
+                      undirected: bool = False, top_k: int = 4096):
+    """Build the vertex→owner function for ``build_graph`` — the engine's
+    ``--partition-method`` analog (`gunrock/app/problem_base.cuh:1638-1677`).
+
+    - ``hash``: splitmix64(v) % P (the default; locality-free but perfectly
+      balanced in expectation).
+    - ``random``: seeded re-hash (the reference's random partitioner with
+      ``--partition-seed``).
+    - ``range``: contiguous id ranges from sampled src quantiles (the
+      reference's *static* partitioner; sample is deterministic hash-thinned
+      and driver-bounded, so the pass is scale-safe).
+    - ``degree``: LPT placement of the ``top_k`` highest-degree vertices
+      (longest-processing-time bin packing on edge load), hash for the tail —
+      the *biasrandom/cluster* analog and the partition-level form of skew
+      handling (only the tiny hot map is broadcast). Costs one extra
+      aggregation pass over the edge source.
+    """
+    from gunrock_ray.common import Partitioner, mix64
+    if method in ("hash", "random"):
+        return Partitioner(P, "hash", seed=seed if method == "random" else 0)
+
+    if isinstance(edges, pa.Table):
+        ends = edges["src"].to_numpy()
+        if undirected:
+            ends = np.concatenate([ends, edges["dst"].to_numpy()])
+        ids, cnt = np.unique(ends, return_counts=True)
+    else:
+        from ray.data.aggregate import Count
+        if method == "range":
+            # deterministic 1-in-101 hash thinning, driver-bounded sample
+            def thin(t: pa.Table) -> pa.Table:
+                s = t["src"].to_numpy()
+                keep = mix64(s) % np.uint64(101) == 0
+                return pa.table({"v": pa.array(s[keep], pa.int64())})
+            sample = edges.map_batches(thin, batch_format="pyarrow") \
+                          .limit(200_000).to_pandas()
+            ids = np.unique(sample["v"].to_numpy()) if len(sample) else np.zeros(0, np.int64)
+            cnt = None
+        else:
+            def both(t: pa.Table) -> pa.Table:
+                s = t["src"].to_numpy()
+                if undirected:
+                    s = np.concatenate([s, t["dst"].to_numpy()])
+                return pa.table({"v": pa.array(s, pa.int64())})
+            deg = edges.map_batches(both, batch_format="pyarrow") \
+                       .groupby("v").aggregate(Count(alias_name="deg")) \
+                       .sort(["deg", "v"], descending=[True, False]) \
+                       .limit(top_k).to_pandas()
+            ids = deg["v"].to_numpy()
+            cnt = deg["deg"].to_numpy()
+
+    if method == "range":
+        if len(ids) < P:
+            return Partitioner(P)  # degenerate sample: fall back to hash
+        qs = np.quantile(ids, [i / P for i in range(1, P)], method="nearest")
+        return Partitioner(P, "range", splitters=np.asarray(qs, np.int64))
+    if method != "degree":
+        raise ValueError(f"unknown partition method {method!r}")
+    order = np.lexsort((ids, -cnt))[:top_k]
+    hot, hdeg = ids[order], cnt[order]
+    loads = np.zeros(P, dtype=np.int64)
+    pid = np.empty(len(hot), dtype=np.int64)
+    for i in range(len(hot)):        # LPT: heaviest first onto lightest bin
+        p = int(np.argmin(loads))
+        pid[i] = p
+        loads[p] += hdeg[i]
+    o = np.argsort(hot)
+    return Partitioner(P, "mapped", seed=seed, map_ids=hot[o], map_pid=pid[o])
+
+
 def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
                 num_partitions: int | None = None, spill_dir: str | None = None,
-                with_in_edges: bool = False) -> DistributedGraph:
+                with_in_edges: bool = False, partition_method: str = "hash",
+                partition_seed: int = 0) -> DistributedGraph:
     """with_in_edges also builds the inverse CSR per partition (the
     reference's CSC, `gunrock/gunrock.h:67-68`) — required by HITS, SALSA,
-    WTF and betweenness centrality."""
+    WTF and betweenness centrality. ``partition_method`` selects the
+    vertex→owner function (see :func:`plan_partitioning`)."""
+    P = num_partitions or default_partitions()
+    part = plan_partitioning(edges, P, partition_method, seed=partition_seed,
+                             undirected=undirected)
     return DistributedGraph.from_edges(
-        edges, num_partitions or default_partitions(), spill_dir,
+        edges, P, spill_dir,
         undirected=undirected, weighted=weighted, vertices=vertices,
-        with_in_edges=with_in_edges)
+        with_in_edges=with_in_edges, partitioner=part)
 
 
 # ------------------------------------------------------------------- PageRank

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 import ray
 
-from gunrock_ray.common import owner_of
+from gunrock_ray.common import Partitioner
 from gunrock_ray.sources.ingest import normalize_edges
 from gunrock_ray.state.partition import GraphPartition
 
@@ -52,7 +52,8 @@ def _as_dataset(edges):
 
 class DistributedGraph:
     def __init__(self, actors, num_partitions: int, spill_dir: str, weighted: bool,
-                 n_global: int, m_global: int, with_in_edges: bool = False):
+                 n_global: int, m_global: int, with_in_edges: bool = False,
+                 partitioner: Partitioner | None = None):
         self.actors = actors
         self.P = num_partitions
         self.spill_dir = spill_dir
@@ -60,17 +61,22 @@ class DistributedGraph:
         self.n = n_global
         self.m = m_global
         self.with_in_edges = with_in_edges
+        self.partitioner = partitioner or Partitioner(num_partitions)
         self.hot_split = False
         self.partition_stats: list[dict] = []
         self._push_registered: set = set()
 
     def balance(self) -> dict:
-        """Edge-load balance across partitions (skew observability; the
-        thing enable_hot_split improves for all-edges scatters)."""
+        """Edge-load balance + cut fraction across partitions (skew
+        observability; what partition_method='degree' and enable_hot_split
+        improve). cut_fraction = share of edges whose dst is remote — the
+        per-superstep network traffic ratio."""
         ms = [s["m_local"] for s in self.partition_stats] or [0]
+        cut = sum(s.get("cut_local", 0) for s in self.partition_stats)
         mean = sum(ms) / len(ms)
         return {"m_max": max(ms), "m_mean": mean,
-                "imbalance": (max(ms) / mean) if mean else 1.0}
+                "imbalance": (max(ms) / mean) if mean else 1.0,
+                "cut_fraction": (cut / self.m) if self.m else 0.0}
 
     # ----------------------------------------------------------------- build
 
@@ -78,40 +84,32 @@ class DistributedGraph:
     def from_edges(edges, num_partitions: int, spill_dir: str | None = None, *,
                    undirected: bool = False, weighted: bool = False,
                    vertices=None, num_cpus_per_actor: float = 0,
-                   with_in_edges: bool = False) -> "DistributedGraph":
+                   with_in_edges: bool = False,
+                   partitioner: Partitioner | None = None) -> "DistributedGraph":
         """edges: Ray Dataset or Arrow table with columns src,dst[,w];
         vertices: optional Dataset/table with column v (for isolated vertices,
-        mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`)."""
+        mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`);
+        partitioner: vertex→owner function (default hash — see
+        gunrock_ray.common.Partitioner for the --partition-method family)."""
         import ray.data
 
         P = num_partitions
+        part = partitioner or Partitioner(P)
         spill_dir = spill_dir or os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
         shutil.rmtree(spill_dir, ignore_errors=True)
 
         if isinstance(edges, pa.Table) and edges.num_rows <= 200_000:
             # small in-memory input: spill directly from the driver (same
             # layout, no Ray Data jobs) — test/fixture fast path
-            DistributedGraph._spill_small(edges, P, spill_dir, undirected, weighted, vertices)
+            DistributedGraph._spill_small(edges, part, spill_dir, undirected, weighted, vertices)
         else:
-            DistributedGraph._spill_ray_data(edges, P, spill_dir, undirected, weighted, vertices)
+            DistributedGraph._spill_ray_data(edges, part, spill_dir, undirected, weighted, vertices)
+        os.makedirs(spill_dir, exist_ok=True)
+        with open(os.path.join(spill_dir, "partitioner.json"), "w") as f:
+            json.dump(part.spec(), f)
 
-        # num_cpus=0: partition actors are long-lived state holders whose
-        # compute happens in bursts at superstep barriers; reserving a CPU slot
-        # per actor would starve Ray Data stages running alongside (and
-        # deadlock when P == cluster CPUs). SPREAD places one per node on a
-        # real cluster, mirroring one GraphSlice per GPU.
-        Actor = ray.remote(num_cpus=num_cpus_per_actor,
-                           scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges)
-                  for p in range(P)]
-        # two-phase build: packed vertex-discovery exchange, then CSR build
-        packs = [a.build_phase1.remote() for a in actors]
-        stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
-        n = sum(s["n_local"] for s in stats)
-        m = sum(s["m_local"] for s in stats)
-        g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
-        g.partition_stats = stats
-        return g
+        return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
+                                      num_cpus_per_actor, part)
 
     @staticmethod
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
@@ -119,25 +117,46 @@ class DistributedGraph:
                    with_in_edges: bool = False) -> "DistributedGraph":
         """Rebuild the actor pool from an existing partitioned edge spill
         without re-running the Ray Data partitioning pass — the analog of the
-        reference's binary CSR cache load (`gunrock/csr.cuh:412-451`)."""
+        reference's binary CSR cache load (`gunrock/csr.cuh:412-451`). The
+        spill's own partitioner spec is reloaded with it."""
         P = num_partitions
+        spec_path = os.path.join(spill_dir, "partitioner.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                part = Partitioner.from_spec(json.load(f), P)
+        else:
+            part = Partitioner(P)
+        return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
+                                      num_cpus_per_actor, part)
+
+    @staticmethod
+    def _boot(P: int, spill_dir: str, weighted: bool, with_in_edges: bool,
+              num_cpus_per_actor: float, part: Partitioner) -> "DistributedGraph":
+        # num_cpus=0: partition actors are long-lived state holders whose
+        # compute happens in bursts at superstep barriers; reserving a CPU slot
+        # per actor would starve Ray Data stages running alongside (and
+        # deadlock when P == cluster CPUs). SPREAD places one per node on a
+        # real cluster, mirroring one GraphSlice per GPU.
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
                            scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges)
+        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges, part.spec())
                   for p in range(P)]
+        # two-phase build: packed vertex-discovery exchange, then CSR build
         packs = [a.build_phase1.remote() for a in actors]
         stats = ray.get([a.build_phase2.remote(*packs) for a in actors])
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
-        g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges)
+        g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges,
+                             partitioner=part)
         g.partition_stats = stats
         return g
 
     @staticmethod
-    def _spill_small(edges: pa.Table, P: int, spill_dir: str, undirected: bool,
-                     weighted: bool, vertices) -> None:
+    def _spill_small(edges: pa.Table, part: Partitioner, spill_dir: str,
+                     undirected: bool, weighted: bool, vertices) -> None:
         import pyarrow.parquet as pq
 
+        P = part.P
         src = edges["src"].to_numpy()
         dst = edges["dst"].to_numpy()
         w = edges["w"].to_numpy() if weighted else None
@@ -146,7 +165,7 @@ class DistributedGraph:
         if undirected:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             w = np.concatenate([w, w]) if w is not None else None
-        pid = owner_of(src, P)
+        pid = part.owner(src)
         order = np.argsort(pid, kind="stable")
         bounds = np.searchsorted(pid[order], np.arange(P + 1))
         for p in range(P):
@@ -163,12 +182,13 @@ class DistributedGraph:
             vt = vertices if isinstance(vertices, pa.Table) else pa.concat_tables(
                 [b for b in vertices.iter_batches(batch_format="pyarrow")])
             v = np.unique(vt["v"].to_numpy())
-            DistributedGraph._write_vert_shards(v, P, spill_dir)
+            DistributedGraph._write_vert_shards(v, part, spill_dir)
 
     @staticmethod
-    def _write_vert_shards(v: np.ndarray, P: int, spill_dir: str) -> None:
+    def _write_vert_shards(v: np.ndarray, part: Partitioner, spill_dir: str) -> None:
         import pyarrow.parquet as pq
-        vpid = owner_of(v, P)
+        P = part.P
+        vpid = part.owner(v)
         vorder = np.argsort(vpid, kind="stable")
         vbounds = np.searchsorted(vpid[vorder], np.arange(P + 1))
         for p in range(P):
@@ -180,12 +200,14 @@ class DistributedGraph:
             pq.write_table(pa.table({"v": pa.array(v[sl])}), os.path.join(d, "part-0.parquet"))
 
     @staticmethod
-    def _spill_ray_data(edges, P: int, spill_dir: str, undirected: bool,
+    def _spill_ray_data(edges, part: Partitioner, spill_dir: str, undirected: bool,
                         weighted: bool, vertices) -> None:
         ds = normalize_edges(_as_dataset(edges), undirected=undirected, keep_loops=True)
 
+        # `part` is tiny (hash seed / splitters / hot map) and ships once per
+        # task via closure capture — never per batch
         def add_pid(batch: pa.Table) -> pa.Table:
-            pid = owner_of(batch["src"].to_numpy(), P)
+            pid = part.owner(batch["src"].to_numpy())
             return batch.append_column("pid", pa.array(pid, pa.int64()))
 
         ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
@@ -194,7 +216,7 @@ class DistributedGraph:
         if vertices is not None:
             def explicit(batch: pa.Table) -> pa.Table:
                 v = batch["v"].to_numpy()
-                return pa.table({"v": batch["v"], "pid": pa.array(owner_of(v, P), pa.int64())})
+                return pa.table({"v": batch["v"], "pid": pa.array(part.owner(v), pa.int64())})
             _as_dataset(vertices).map_batches(explicit, batch_format="pyarrow").write_parquet(
                 os.path.join(spill_dir, "verts"), partition_cols=["pid"])
 

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gunrock_ray.common import owner_of, segment_reduce, segment_starts
+from gunrock_ray.common import Partitioner, segment_reduce, segment_starts
 
 _BFS_INF = np.int64(1) << 62
 _EMPTY_I8 = np.zeros(0, dtype=np.int64)
@@ -65,12 +65,16 @@ def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
 
 class GraphPartition:
     def __init__(self, pid: int, num_parts: int, spill_dir: str, weighted: bool = False,
-                 with_in_edges: bool = False):
+                 with_in_edges: bool = False, part_spec: dict | None = None):
         self.pid = pid
         self.P = num_parts
         self.spill_dir = spill_dir
         self.weighted = weighted
         self.with_in_edges = with_in_edges
+        # vertex→owner function (--partition-method analog); ALL routing in
+        # this actor goes through self._owner so it agrees with the spill
+        self.part = Partitioner.from_spec(part_spec, num_parts)
+        self._owner = self.part.owner
         # topology
         self.verts = np.zeros(0, dtype=np.int64)       # sorted owned vertex ids
         self.row_offsets = np.zeros(1, dtype=np.int64)
@@ -168,7 +172,12 @@ class GraphPartition:
                 self.in_row_offsets = np.zeros(len(self.verts) + 1, dtype=np.int64)
                 self.in_col_indices = _EMPTY_I8
             self.in_deg = np.diff(self.in_row_offsets)
-        return {"pid": self.pid, "n_local": len(self.verts), "m_local": len(self.col_indices)}
+        # cut fraction observability: edges whose dst lives on another
+        # partition (each one is a message crossing the network per superstep)
+        cut = int(np.count_nonzero(self._owner(self.col_indices) != self.pid)) \
+            if len(self.col_indices) else 0
+        return {"pid": self.pid, "n_local": len(self.verts),
+                "m_local": len(self.col_indices), "cut_local": cut}
 
     def _lidx(self, ids: np.ndarray) -> np.ndarray:
         """Local index of owned global vertex ids."""
@@ -180,7 +189,7 @@ class GraphPartition:
         """(owner,·)-sort (ids, vals...) and pack into ONE object:
         (offs[P+1], ids_sorted, vals_sorted...). Receiver p's segment is
         [offs[p]:offs[p+1])."""
-        own = owner_of(ids, self.P)
+        own = self._owner(ids)
         order = np.argsort(own, kind="stable")
         offs = np.searchsorted(own[order], np.arange(self.P + 1)).astype(np.int64)
         return (offs, ids[order]) + tuple(v[order] for v in vals)
@@ -303,7 +312,7 @@ class GraphPartition:
         # the per-superstep gather (the kernel is memory-bandwidth-bound)
         idt = np.int32 if len(self.verts) < 2**31 else np.int64
         src_idx = np.repeat(np.arange(len(self.verts), dtype=idt), deg)
-        own = owner_of(tgt, self.P)
+        own = self._owner(tgt)
         order = np.lexsort((tgt, own))
         tgt_s = tgt[order]
         # equal targets are contiguous (same owner, sorted within owner segment)
@@ -314,7 +323,7 @@ class GraphPartition:
             "starts": starts,
             "uids": tgt_s[starts],
             "uid_offs": np.searchsorted(
-                owner_of(tgt_s, self.P)[starts] if len(starts) else _EMPTY_I8,
+                self._owner(tgt_s)[starts] if len(starts) else _EMPTY_I8,
                 np.arange(self.P + 1)).astype(np.int64),
             "order": order,  # edge permutation (frees possible; kept for weights)
         }
@@ -419,7 +428,7 @@ class GraphPartition:
         own_dst = self.col_indices[keep]
         n_own = len(own_dst)
         tgt = np.concatenate([own_dst, mdst])
-        own_arr = owner_of(tgt, self.P)
+        own_arr = self._owner(tgt)
         order = np.lexsort((tgt, own_arr))
         tgt_s = tgt[order]
         starts = segment_starts(tgt_s)
@@ -432,7 +441,7 @@ class GraphPartition:
             "starts": starts,
             "uids": tgt_s[starts],
             "uid_offs": np.searchsorted(
-                owner_of(tgt_s, self.P)[starts] if len(starts) else _EMPTY_I8,
+                self._owner(tgt_s)[starts] if len(starts) else _EMPTY_I8,
                 np.arange(self.P + 1)).astype(np.int64),
         }
         return int(len(mdst))
@@ -464,7 +473,7 @@ class GraphPartition:
     def hot_register_owner_slices(self) -> None:
         """Precompute, per owner q, the positions in the global hot list of
         the hot ids owner q will send (its owned subset, id-sorted)."""
-        own = owner_of(self._hot_ids, self.P)
+        own = self._owner(self._hot_ids)
         self._hot_owner_slices = [np.flatnonzero(own == q) for q in range(self.P)]
 
     def pr_scatter_split(self, *hot_val_parts) -> np.ndarray:
@@ -553,7 +562,7 @@ class GraphPartition:
         uniq = self._pending.pop("cc_uniq_dst")
         vals = self._reply_mine(reply_packs)
         # replies align with the (owner,id)-sorted request; restore id order
-        own = owner_of(uniq, self.P)
+        own = self._owner(uniq)
         order = np.argsort(own, kind="stable")
         back = np.empty(len(uniq), dtype=np.int64)
         back[order] = np.arange(len(uniq))
@@ -593,7 +602,7 @@ class GraphPartition:
     def cc_jump_apply(self, *reply_packs) -> dict:
         ps = self._pending.pop("cc_parents")
         vals = self._reply_mine(reply_packs)
-        own = owner_of(ps, self.P)
+        own = self._owner(ps)
         order = np.argsort(own, kind="stable")
         back = np.empty(len(ps), dtype=np.int64)
         back[order] = np.arange(len(ps))
@@ -778,7 +787,7 @@ class GraphPartition:
         uniq = self._pending.pop("bfs_uniq")
         unv = self._pending.pop("bfs_unv")
         vals = self._reply_mine(reply_packs)
-        own = owner_of(uniq, self.P)
+        own = self._owner(uniq)
         order = np.argsort(own, kind="stable")
         back = np.empty(len(uniq), dtype=np.int64)
         back[order] = np.arange(len(uniq))
@@ -1083,7 +1092,7 @@ class GraphPartition:
         survives exactly once, max oriented out-degree ≈ O(sqrt(m))."""
         us = self._pending.pop("tc_uniq")
         dvals = self._reply_mine(reply_packs)
-        own = owner_of(us, self.P)
+        own = self._owner(us)
         order = np.argsort(own, kind="stable")
         back = np.empty(len(us), dtype=np.int64)
         back[order] = np.arange(len(us))
@@ -1144,7 +1153,7 @@ class GraphPartition:
             flat_segs.append(flat[flat_offs[self.pid]:flat_offs[self.pid + 1]])
         lens = np.concatenate(lens_segs) if lens_segs else _EMPTY_I8
         flat = np.concatenate(flat_segs) if flat_segs else _EMPTY_I8
-        own = owner_of(us, self.P)
+        own = self._owner(us)
         order = np.argsort(own, kind="stable")  # us[order] = request order
         # re-segment flat when re-sorting lens to global id order
         fstarts_req = np.concatenate([[0], np.cumsum(lens)])[:-1]

@@ -1,0 +1,134 @@
+"""Partition-method family (SURVEY.md §4 / §3.1 step 3 — the reference's
+``--partition-method`` random/static/biasrandom options,
+`gunrock/app/problem_base.cuh:1638-1677`): results must be invariant under
+the owner function; degree/LPT placement must improve edge-load balance on
+skewed inputs; the spill must round-trip its partitioner."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray import build_graph, connected_components, pagerank
+from gunrock_ray.common import Partitioner
+from gunrock_ray.pipelines.graph_algos import plan_partitioning
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, n_of, vertices_table
+from tests.oracles import cc_ref
+
+P = 4
+METHODS = ["hash", "random", "range", "degree"]
+
+
+# ------------------------------------------------------------- unit behavior
+
+def test_owner_in_range_and_deterministic():
+    v = np.arange(10_000, dtype=np.int64)
+    for part in (Partitioner(7), Partitioner(7, "hash", seed=42),
+                 Partitioner(7, "range", splitters=[100, 2000, 3000, 5000, 7000, 9000]),
+                 Partitioner(7, "mapped", map_ids=[5, 17], map_pid=[3, 0])):
+        own = part.owner(v)
+        assert own.min() >= 0 and own.max() < 7
+        assert np.array_equal(own, part.owner(v))
+        # spec round-trip preserves the function
+        clone = Partitioner.from_spec(part.spec(), 7)
+        assert np.array_equal(own, clone.owner(v))
+
+
+def test_seed_changes_placement_mapped_overrides():
+    v = np.arange(1000, dtype=np.int64)
+    a = Partitioner(8).owner(v)
+    b = Partitioner(8, "hash", seed=1).owner(v)
+    assert not np.array_equal(a, b)
+    m = Partitioner(8, "mapped", map_ids=[10, 20], map_pid=[7, 6])
+    own = m.owner(v)
+    assert own[10] == 7 and own[20] == 6
+    mask = np.ones(1000, bool); mask[[10, 20]] = False
+    assert np.array_equal(own[mask], a[mask])  # tail falls back to plain hash
+
+
+def test_range_partitioner_is_contiguous():
+    part = Partitioner(4, "range", splitters=[250, 500, 750])
+    own = part.owner(np.arange(1000, dtype=np.int64))
+    assert np.all(np.diff(own) >= 0)
+    assert len(np.unique(own)) == 4
+
+
+# -------------------------------------------------- result invariance (PR/CC)
+
+@pytest.mark.parametrize("method", METHODS)
+def test_pr_cc_invariant_under_partition_method(method):
+    t = gen.rmat_table(9, edge_factor=8)
+    n = 512
+    ranks, comps = [], []
+    for m in ("hash", method):
+        g = build_graph(t, num_partitions=P, undirected=True,
+                        vertices=vertices_table(n), partition_method=m,
+                        partition_seed=3)
+        try:
+            ranks.append(dense_result(
+                pagerank(g, error=1e-10, max_iter=30), n, "rank"))
+            out, ncomp = connected_components(g)
+            comps.append(dense_result(out, n, "comp", np.int64))
+        finally:
+            g.shutdown(remove_spill=True)
+    np.testing.assert_allclose(ranks[0], ranks[1], rtol=1e-9, atol=1e-15)
+    assert np.array_equal(comps[0], comps[1])
+    want, _ = cc_ref(n, *edges_np(t))
+    assert np.array_equal(comps[1], want)
+
+
+# --------------------------------------------------------- degree/LPT balance
+
+def _skewed_table(hot=6, hot_deg=600, tail=2000):
+    """hot srcs with huge out-degree + a uniform tail — the power-law shape
+    that breaks hash placement when hot vertices collide."""
+    rng = np.random.default_rng(7)
+    hs = np.repeat(np.arange(hot, dtype=np.int64), hot_deg)
+    hd = rng.integers(hot, 1000, size=hot * hot_deg)
+    ts = rng.integers(hot, 1000, size=tail)
+    td = rng.integers(hot, 1000, size=tail)
+    return pa.table({"src": pa.array(np.concatenate([hs, ts]), pa.int64()),
+                     "dst": pa.array(np.concatenate([hd, td]), pa.int64())})
+
+
+def test_degree_partitioner_balances_skew():
+    t = _skewed_table()
+    part = plan_partitioning(t, P, "degree", top_k=64)
+    assert part.kind == "mapped"
+    # all 6 hot vertices land on distinct partitions (LPT with 6 << load ties)
+    hot_pid = part.owner(np.arange(6, dtype=np.int64))
+    assert len(np.unique(hot_pid)) >= min(6, P)
+    g_deg = build_graph(t, num_partitions=P, partition_method="degree")
+    g_hash = build_graph(t, num_partitions=P)
+    try:
+        b_deg, b_hash = g_deg.balance(), g_hash.balance()
+        assert b_deg["imbalance"] <= b_hash["imbalance"] + 1e-9
+        assert b_deg["m_max"] <= b_hash["m_max"]
+        assert 0.0 <= b_deg["cut_fraction"] <= 1.0
+    finally:
+        g_deg.shutdown(remove_spill=True)
+        g_hash.shutdown(remove_spill=True)
+
+
+def test_spill_roundtrips_partitioner(tmp_path):
+    from gunrock_ray.state.graph import DistributedGraph
+    t = _skewed_table(hot=3, hot_deg=100, tail=200)
+    spill = str(tmp_path / "spill")
+    g = build_graph(t, num_partitions=P, partition_method="degree",
+                    spill_dir=spill)
+    try:
+        want = pagerank(g, error=1e-10, max_iter=20).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        spec_kind = g.partitioner.kind
+    finally:
+        g.shutdown()
+    g2 = DistributedGraph.from_spill(P, spill)
+    try:
+        assert g2.partitioner.kind == spec_kind == "mapped"
+        got = pagerank(g2, error=1e-10, max_iter=20).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+    finally:
+        g2.shutdown(remove_spill=True)
+    assert np.array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+    np.testing.assert_allclose(got["rank"].to_numpy(), want["rank"].to_numpy(),
+                               rtol=0, atol=0)
