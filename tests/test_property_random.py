@@ -1,0 +1,100 @@
+"""Property-based randomized testing (SURVEY.md §5 'Randomized' row — the
+reference sweeps R-MAT/RGG random graphs with seed flags against CPU oracles
+on every run; here hypothesis draws arbitrary small digraphs, including
+degenerate shapes its shrinker finds, and every primitive must match its
+NumPy oracle exactly / to float tolerance).
+
+Engine calls go through the same public build_graph → primitive → extract
+path as production; one shared Ray session (conftest)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from gunrock_ray import (build_graph, bfs, connected_components,
+                         label_propagation, pagerank, sssp, triangle_count)
+from tests.helpers import dense_result, vertices_table
+from tests.oracles import (bfs_ref, cc_ref, lp_ref, normalize_oracle,
+                           pagerank_ref, sssp_ref, tc_ref)
+
+# up to 24 vertices / 120 edges, self-loops and duplicates allowed on purpose
+# (they exercise the normalization contract `gunrock/csr.cuh:588`)
+N_MAX = 24
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=N_MAX))
+    m = draw(st.integers(min_value=0, max_value=120))
+    vs = st.integers(min_value=0, max_value=n - 1)
+    src = draw(st.lists(vs, min_size=m, max_size=m))
+    dst = draw(st.lists(vs, min_size=m, max_size=m))
+    return n, np.asarray(src, np.int64), np.asarray(dst, np.int64)
+
+
+def _table(src, dst, w=None):
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if w is not None:
+        cols["w"] = pa.array(w, pa.float64())
+    return pa.table(cols)
+
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(e=edge_lists(), seed=st.integers(min_value=0, max_value=3))
+@settings(**SETTINGS)
+def test_pr_bfs_matches_oracle_on_random_digraphs(e, seed):
+    n, src, dst = e
+    g = build_graph(_table(src, dst), num_partitions=3,
+                    vertices=vertices_table(n),
+                    partition_method="random", partition_seed=seed)
+    try:
+        # oracles take the NORMALIZED list (the engine normalizes internally)
+        ns, nd = normalize_oracle(src, dst)
+        got = dense_result(pagerank(g, error=1e-12, max_iter=40), n, "rank")
+        want = pagerank_ref(n, ns, nd, threshold=1e-12, max_iter=40)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-14)
+        got_d = dense_result(bfs(g, 0), n, "depth", np.int64)
+        assert np.array_equal(got_d, bfs_ref(n, ns, nd, 0))
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+@given(e=edge_lists())
+@settings(**SETTINGS)
+def test_cc_lp_tc_match_oracle_on_random_graphs(e):
+    n, src, dst = e
+    g = build_graph(_table(src, dst), num_partitions=3, undirected=True,
+                    vertices=vertices_table(n))
+    try:
+        out, ncomp = connected_components(g)
+        want, nref = cc_ref(n, src, dst)
+        assert np.array_equal(dense_result(out, n, "comp", np.int64), want)
+        assert ncomp == nref
+        ns, nd = normalize_oracle(src, dst, undirected=True)
+        got_l = dense_result(label_propagation(g, max_iter=30), n, "label", np.int64)
+        assert np.array_equal(got_l, lp_ref(n, ns, nd, max_iter=30))
+        assert triangle_count(g) == tc_ref(n, src, dst)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+@given(e=edge_lists(), data=st.data())
+@settings(**SETTINGS)
+def test_sssp_matches_dijkstra_on_random_weighted(e, data):
+    n, src, dst = e
+    w = np.asarray(data.draw(st.lists(st.integers(1, 16),
+                                      min_size=len(src), max_size=len(src))),
+                   np.float64)
+    g = build_graph(_table(src, dst, w), num_partitions=3, weighted=True,
+                    vertices=vertices_table(n))
+    try:
+        got = dense_result(sssp(g, 0), n, "dist")
+        want = sssp_ref(n, src, dst, w, 0)
+        assert np.array_equal(np.isfinite(got), np.isfinite(want))
+        fin = np.isfinite(want)
+        np.testing.assert_allclose(got[fin], want[fin])
+    finally:
+        g.shutdown(remove_spill=True)
