@@ -154,7 +154,10 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         updated = sum(r["updated"] for r in res)
         msgs = sum(r["msgs"] for r in res)
         metrics.write(algo="pr", superstep=it, frontier=g.n, messages=msgs,
-                      changed=updated, t_superstep_s=dt, bytes_shuffled=msgs * 16)
+                      changed=updated, t_superstep_s=dt,
+                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
+                      bytes_shuffled=msgs * 16)
         if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
             g.checkpoint(ckpt_dir, it, ["rank"], run_id,
                          extra={"algo": "pr", "iteration": it,
@@ -243,7 +246,10 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
         changed = sum(r["changed"] for r in res)
         msgs = sum(r.get("msgs", 0) for r in res)
         metrics.write(algo="lp", superstep=it, frontier=g.n, messages=msgs,
-                      changed=changed, t_superstep_s=dt, bytes_shuffled=msgs * 24)
+                      changed=changed, t_superstep_s=dt,
+                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
+                      bytes_shuffled=msgs * 24)
         if changed == 0:
             break
     metrics.close()
@@ -467,7 +473,9 @@ def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
         mf = sum(r.get("frontier_out_edges", 0) for r in res)
         unv = sum(r.get("unvisited", 0) for r in res)
         metrics.write(algo="bfs", superstep=it, frontier=frontier,
-                      changed=frontier, mode=mode)
+                      changed=frontier, mode=mode,
+                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
         it += 1
         if frontier == 0:
             break
@@ -497,7 +505,10 @@ def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
         while True:
             res, _ = g.superstep("sssp_scatter", "sssp_apply")
             frontier = sum(r["frontier"] for r in res)
-            metrics.write(algo="sssp", superstep=it, frontier=frontier, changed=frontier)
+            metrics.write(algo="sssp", superstep=it, frontier=frontier,
+                          changed=frontier,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
             it += 1
             if frontier == 0:
                 break

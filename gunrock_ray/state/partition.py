@@ -33,12 +33,39 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from gunrock_ray.common import Partitioner, segment_reduce, segment_starts
+
+
+def _scatter_timed(fn):
+    """Record the actor-local wall time of a scatter kernel; the matching
+    apply kernel folds it into its counter dict so the driver gets per-
+    superstep t_scatter/t_apply with ZERO extra exchange rounds (the
+    metrics.jsonl split promised in SURVEY.md §4)."""
+    def wrap(self, *a, **k):
+        t0 = time.perf_counter()
+        out = fn(self, *a, **k)
+        self._t_scatter = time.perf_counter() - t0
+        return out
+    wrap.__name__ = fn.__name__
+    return wrap
+
+
+def _apply_timed(fn):
+    def wrap(self, *a, **k):
+        t0 = time.perf_counter()
+        out = fn(self, *a, **k)
+        if isinstance(out, dict):
+            out["t_apply_s"] = time.perf_counter() - t0
+            out["t_scatter_s"] = getattr(self, "_t_scatter", 0.0)
+        return out
+    wrap.__name__ = fn.__name__
+    return wrap
 
 _BFS_INF = np.int64(1) << 62
 _EMPTY_I8 = np.zeros(0, dtype=np.int64)
@@ -476,6 +503,7 @@ class GraphPartition:
         own = self._owner(self._hot_ids)
         self._hot_owner_slices = [np.flatnonzero(own == q) for q in range(self.P)]
 
+    @_scatter_timed
     def pr_scatter_split(self, *hot_val_parts) -> np.ndarray:
         return self.split_scatter("rank", *hot_val_parts)
 
@@ -511,12 +539,14 @@ class GraphPartition:
                 reset[pos] = 1.0 - delta
             self._pr_reset = reset
 
+    @_scatter_timed
     def pr_scatter(self) -> np.ndarray:
         """Messages rank_curr[src] per out-edge, partial-summed per dst
         (`ApplyEdge` atomicAdd → deterministic reduceat). The pack is the
         reduced float64 array alone — targets were registered at init."""
         return self._static_scatter(self.state["rank"], "out")
 
+    @_apply_timed
     def pr_apply(self, *val_packs) -> dict:
         """new = reset + delta*sum; deg>0 ⇒ /=deg; non-finite ⇒ 0; updated iff
         |new-old| > threshold*old (`pr_functor.cuh:209-226`)."""
@@ -628,6 +658,7 @@ class GraphPartition:
         self.prepare_push_plan("out")
         self.state["label"] = self.verts.copy()
 
+    @_scatter_timed
     def lp_scatter(self):
         """Messages (dst, label[src]) partial-combined to (dst, label, count)
         — the two-stage mode-aggregate's first stage, packed per owner.
@@ -652,6 +683,7 @@ class GraphPartition:
         du, lu = d[starts], l[starts]
         return self._pack(du, lu, counts)
 
+    @_apply_timed
     def lp_apply(self, *packs) -> dict:
         dsts, labs, cnts = self._unpack_all(packs, cols=(0, 1, 2))
         label = self.state["label"]
@@ -707,6 +739,7 @@ class GraphPartition:
         eidx = _ragged_gather(np.arange(len(self.col_indices), dtype=np.int64), starts, lens)
         return src_li, dst, eidx
 
+    @_scatter_timed
     def bfs_scatter(self):
         src_li, dst, _ = self._frontier_edges()
         newdepth = self.state["depth"][src_li] + 1
@@ -719,6 +752,7 @@ class GraphPartition:
         starts = segment_starts(d)
         return self._pack(d[starts], nd[starts], pr[starts])
 
+    @_apply_timed
     def bfs_apply(self, *packs) -> dict:
         depth = self.state["depth"]
         mark = self._bfs_mark_pred
@@ -826,11 +860,13 @@ class GraphPartition:
             self._frontier = np.array([pos], dtype=np.int64)
         self.state["dist"] = dist
 
+    @_scatter_timed
     def sssp_scatter(self):
         src_li, dst, eidx = self._frontier_edges()
         w = self.edge_w[eidx] if self.edge_w is not None else np.ones(len(eidx))
         return self._pack_combined(dst, self.state["dist"][src_li] + w, "min")
 
+    @_apply_timed
     def sssp_apply(self, *packs) -> dict:
         dist = self.state["dist"]
         improved: list[np.ndarray] = []
@@ -860,6 +896,7 @@ class GraphPartition:
         self._sssp_pivot = float(delta)
         self._far = np.zeros(0, dtype=np.int64)  # local idx candidates
 
+    @_apply_timed
     def sssp_nf_apply(self, *packs) -> dict:
         """Like sssp_apply, but improved vertices split by the pivot: near
         (dist < pivot) re-scatter now, far wait in the far pile."""
