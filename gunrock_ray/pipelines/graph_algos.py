@@ -118,13 +118,19 @@ def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
 
 def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
              max_iter: int = 50, src_node: int | None = None,
+             normalized: bool = True,
              metrics_path: str | None = None,
              ckpt_dir: str | None = None, ckpt_every: int = 0,
              resume: bool = False):
-    """Normalized PageRank (reference semantics, SURVEY.md §2.4; defaults from
+    """PageRank (reference semantics, SURVEY.md §2.4; defaults from
     `gunrock/app/pr/pr_app.cu:44-46`). Returns a Dataset {v, rank} sorted
     (rank desc, v asc) — the stable final ranking of `test_pr.cu:455`.
 
+    ``normalized=True`` (default) is the converging degree-normalized
+    formulation (`doc/results.md:76-84`); ``normalized=False`` is the plain
+    power iteration of the reference's NORMALIZED=false path
+    (`pr_app.cu:283-360`; Boost `page_rank` oracle, `test_pr.cu:260-326`) —
+    state holds the plain rank and each push divides by out-degree.
     Dangling vertices absorb rank (no redistribution, `doc/results.md:80-84`).
     ``src_node`` enables personalized PR (teleport mass to the source only —
     the `src_node` hook of `pr_problem.cuh:97`, used by WTF).
@@ -132,6 +138,21 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     g = graph
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
+    if not normalized:
+        if src_node is not None or g.hot_split:
+            raise ValueError("unnormalized PR supports neither src_node nor hot split")
+        g.call_all("pru_init", g.n, delta, error)
+        g.register_push("out")
+        for it in range(max_iter):
+            t0 = time.perf_counter()
+            res, _ = g.superstep("pru_scatter", "pru_apply")
+            metrics.write(algo="pr_unnorm", superstep=it, frontier=g.n,
+                          changed=sum(r["updated"] for r in res),
+                          t_superstep_s=time.perf_counter() - t0)
+            if sum(r["updated"] for r in res) == 0:
+                break
+        metrics.close()
+        return g.extract("pru_extract").sort(["rank", "v"], descending=[True, False])
     kind = "split" if g.hot_split else "out"
     g.call_all("pr_init", g.n, delta, error, src_node, kind)
     g.register_push(kind)

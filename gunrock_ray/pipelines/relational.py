@@ -302,6 +302,20 @@ def q_pr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_pr_unnorm10(sf_dir: str):
+    """Unnormalized (plain power iteration) PageRank, exactly 10 supersteps —
+    the reference's NORMALIZED=false path (`pr_app.cu:283-360`), SQL-checked
+    like q_pr10."""
+    from gunrock_ray.pipelines.graph_algos import pagerank
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = pagerank(g, normalized=False, error=0.0, max_iter=10).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["rank_u6"] = np.floor(df["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
+
+
 # --- documents / embeddings (training-data ops) ------------------------------
 
 def q_doc_sha(sf_dir: str):
@@ -404,31 +418,45 @@ _VERTS_SQL = (f"SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "
               f"UNION SELECT DISTINCT dst FROM ({_RAW_EDGES_SQL})")
 
 
-def _pr_sql(iters: int = 10, delta: float = 0.85) -> str:
+def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True) -> str:
     """Unrolled SQL power iteration reproducing the engine's exact operation
-    sequence (SURVEY.md §2.4: rank stores rank/deg; new = (1-d)/n + d*sum;
-    deg>0 ⇒ /=deg; extract multiplies back by deg). Integer-scaled output."""
+    sequence. normalized=True: SURVEY.md §2.4 (rank stores rank/deg; new =
+    (1-d)/n + d*sum; deg>0 ⇒ /=deg; extract multiplies back by deg).
+    normalized=False: plain rank state, each pushed term divided by the
+    sender's out-degree. Integer-scaled output either way."""
     parts = [
         f"WITH verts AS ({_VERTS_SQL}), ",
         "nn AS (SELECT COUNT(*) AS n FROM verts), ",
         f"e AS ({_NORM_SQL}), ",
         "od AS (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
         "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
-        "r0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN (1.0/nn.n)/od.deg "
-        "ELSE 1.0/nn.n END AS pr FROM od CROSS JOIN nn)",
     ]
-    for i in range(1, iters + 1):
+    if normalized:
         parts.append(
-            f", r{i} AS (SELECT od.v, CASE WHEN od.deg > 0 THEN "
-            f"((1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0))/od.deg "
-            f"ELSE (1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) END AS pr "
-            f"FROM od CROSS JOIN nn LEFT JOIN "
-            f"(SELECT e.dst AS v, SUM(p.pr) AS s FROM e JOIN r{i-1} p "
-            f"ON p.v = e.src GROUP BY e.dst) m ON m.v = od.v)")
-    parts.append(
-        f" SELECT od.v, CAST(FLOOR((CASE WHEN od.deg > 0 THEN r{iters}.pr*od.deg "
-        f"ELSE r{iters}.pr END)*1000000 + 0.5) AS BIGINT) AS rank_u6 "
-        f"FROM r{iters} JOIN od ON od.v = r{iters}.v")
+            "r0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN (1.0/nn.n)/od.deg "
+            "ELSE 1.0/nn.n END AS pr FROM od CROSS JOIN nn)")
+        msg = (f"(SELECT e.dst AS v, SUM(p.pr) AS s FROM e JOIN r{{prev}} p "
+               f"ON p.v = e.src GROUP BY e.dst)")
+        step = (f", r{{i}} AS (SELECT od.v, CASE WHEN od.deg > 0 THEN "
+                f"((1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0))/od.deg "
+                f"ELSE (1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) END AS pr "
+                f"FROM od CROSS JOIN nn LEFT JOIN {msg} m ON m.v = od.v)")
+        final = (f" SELECT od.v, CAST(FLOOR((CASE WHEN od.deg > 0 THEN "
+                 f"r{iters}.pr*od.deg ELSE r{iters}.pr END)*1000000 + 0.5) AS BIGINT)"
+                 f" AS rank_u6 FROM r{iters} JOIN od ON od.v = r{iters}.v")
+    else:
+        parts.append("r0 AS (SELECT od.v, 1.0/nn.n AS pr FROM od CROSS JOIN nn)")
+        msg = (f"(SELECT e.dst AS v, SUM(p.pr / od2.deg) AS s FROM e "
+               f"JOIN r{{prev}} p ON p.v = e.src JOIN od od2 ON od2.v = e.src "
+               f"GROUP BY e.dst)")
+        step = (f", r{{i}} AS (SELECT od.v, "
+                f"(1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) AS pr "
+                f"FROM od CROSS JOIN nn LEFT JOIN {msg} m ON m.v = od.v)")
+        final = (f" SELECT v, CAST(FLOOR(pr*1000000 + 0.5) AS BIGINT) AS rank_u6 "
+                 f"FROM r{iters}")
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(final)
     return "".join(parts)
 
 
@@ -480,6 +508,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "lp3": _lp_sql(3),
     "pr10": _pr_sql(10),
+    "pr_unnorm10": _pr_sql(10, normalized=False),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (

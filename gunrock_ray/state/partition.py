@@ -568,6 +568,42 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "rank": pa.array(rank, pa.float64())})
 
+    # Unnormalized PageRank — the reference's NORMALIZED=false path
+    # (`gunrock/app/pr/pr_app.cu:283-360` dtype dispatch picks plain
+    # `runPageRank`; CPU oracle = Boost `page_rank`, `tests/pr/test_pr.cu:
+    # 260-326`). State stores the PLAIN rank; each push divides by out-degree
+    # at scatter time instead of keeping rank/deg resident.
+
+    def pru_init(self, n_global: int, delta: float, threshold: float) -> None:
+        self.prepare_push_plan("out")
+        nv = len(self.verts)
+        self.state["rank"] = np.full(nv, 1.0 / max(n_global, 1), dtype=np.float64)
+        self._pr_delta = delta
+        self._pr_threshold = threshold
+        self._pr_reset = (1.0 - delta) / max(n_global, 1)
+        inv = np.zeros(nv, dtype=np.float64)
+        nz = self.out_deg > 0
+        inv[nz] = 1.0 / self.out_deg[nz]
+        self._pr_inv_deg = inv
+
+    @_scatter_timed
+    def pru_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["rank"] * self._pr_inv_deg, "out")
+
+    @_apply_timed
+    def pru_apply(self, *val_packs) -> dict:
+        nxt = self._static_apply_sum(val_packs, "out")
+        old = self.state["rank"]
+        new = self._pr_reset + self._pr_delta * nxt
+        new[~np.isfinite(new)] = 0.0
+        updated = int(np.count_nonzero(np.abs(new - old) > self._pr_threshold * old))
+        self.state["rank"] = new
+        return {"updated": updated, "msgs": int(len(self.col_indices))}
+
+    def pru_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "rank": pa.array(self.state["rank"], pa.float64())})
+
     # --------------------------------------------- Connected components (CC)
     # Soman hook-and-compress (SURVEY.md §2.5; semantics from
     # gunrock/app/cc/cc_functor.cuh + cc_enactor.cuh:296-762). Labels only

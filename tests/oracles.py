@@ -62,6 +62,28 @@ def pagerank_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50,
     return out
 
 
+def pagerank_unnorm_ref(n, src, dst, delta=0.85, threshold=0.01, max_iter=50):
+    """Unnormalized (plain power-iteration) PR — the reference's
+    NORMALIZED=false path (Boost `page_rank` oracle, `tests/pr/test_pr.cu:
+    260-326`): r' = (1-d)/n + d * Σ_{u→v} r[u]/deg[u]."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.divide(1.0, deg, out=np.zeros(n), where=deg > 0)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    reset = (1.0 - delta) / n
+    for _ in range(max_iter):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, (rank * inv)[src])
+        new = reset + delta * nxt
+        new[~np.isfinite(new)] = 0.0
+        updated = np.abs(new - rank) > threshold * rank
+        rank = new
+        if not updated.any():
+            break
+    return rank
+
+
 def cc_ref(n, src, dst):
     """(labels: min vertex id per component, num_components). Treats edges as
     undirected regardless of direction."""

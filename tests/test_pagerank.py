@@ -106,3 +106,27 @@ def test_pr_hot_split_star():
     ns, nd = normalize_oracle(s, d)
     exp = pagerank_ref(64, ns, nd, threshold=1e-12, max_iter=40)
     np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_pr_unnormalized_matches_oracle():
+    from tests.oracles import pagerank_unnorm_ref
+    for t, n in ((gen.g_pr4(), 4), (gen.rmat_table(9, 8), 512)):
+        g = build_graph(t, num_partitions=4, vertices=vertices_table(n))
+        try:
+            got = dense_result(
+                pagerank(g, normalized=False, error=1e-12, max_iter=60), n, "rank")
+        finally:
+            g.shutdown(remove_spill=True)
+        src, dst = normalize_oracle(*edges_np(t))
+        want = pagerank_unnorm_ref(n, src, dst, threshold=1e-12, max_iter=60)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-15)
+        assert abs(got.sum() - want.sum()) < 1e-12
+
+
+def test_pr_unnormalized_rejects_personalized():
+    g = build_graph(gen.g_pr4(), num_partitions=2, vertices=vertices_table(4))
+    try:
+        with pytest.raises(ValueError):
+            pagerank(g, normalized=False, src_node=0)
+    finally:
+        g.shutdown(remove_spill=True)
