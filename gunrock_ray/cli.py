@@ -75,8 +75,7 @@ def cmd_run(args) -> dict:
         out, ncomp = ga.connected_components(g, **ck)
         extra["num_components"] = ncomp
     elif args.algo == "lp":
-        out = ga.label_propagation(g, max_iter=args.max_iter,
-                                   metrics_path=args.metrics)
+        out = ga.label_propagation(g, max_iter=args.max_iter, **ck)
     elif args.algo == "tc":
         extra["triangles"] = ga.triangle_count(g)
         out = None

@@ -252,15 +252,25 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
 # ------------------------------------------------- Label propagation (LP)
 
 def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
-                      metrics_path: str | None = None):
+                      metrics_path: str | None = None,
+                      ckpt_dir: str | None = None, ckpt_every: int = 0,
+                      resume: bool = False):
     """Community label propagation (SURVEY.md §2.11 convention: synchronous,
     adopt most frequent neighbor label, ties → smallest label, stop on no
     change or max_iter). Graph must be built undirected. Returns Dataset
-    {v, label}."""
+    {v, label}. Checkpoint/resume: synchronous LP is deterministic given the
+    label array, so restoring the per-partition labels at superstep k and
+    continuing yields the bit-identical run (north-rule resumability)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
+    run_id = uuid.uuid4().hex
     g.call_all("lp_init")
-    for it in range(max_iter):
+    start_iter = 0
+    if resume and ckpt_dir:
+        lineage = g.restore(ckpt_dir)
+        start_iter = lineage["iteration"] + 1
+        run_id = lineage["run_id"]
+    for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         res, _ = g.superstep("lp_scatter", "lp_apply")
         dt = time.perf_counter() - t0
@@ -271,6 +281,9 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
                       t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
                       t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
                       bytes_shuffled=msgs * 24)
+        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+            g.checkpoint(ckpt_dir, it, ["label"], run_id,
+                         extra={"algo": "lp", "iteration": it})
         if changed == 0:
             break
     metrics.close()

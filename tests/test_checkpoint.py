@@ -66,3 +66,30 @@ def test_partition_count_mismatch_rejected(tmp_path):
             pagerank(g2, max_iter=4, ckpt_dir=ck, resume=True)
     finally:
         g2.shutdown(remove_spill=True)
+
+
+def test_lp_checkpoint_resume_bit_identical(tmp_path):
+    from gunrock_ray import label_propagation
+    t = gen.rmat_table(8, edge_factor=8)
+    n = 256
+    ck = str(tmp_path / "lp_ckpt")
+
+    g1 = build_graph(t, num_partitions=3, undirected=True,
+                     vertices=vertices_table(n))
+    try:
+        full = dense_result(label_propagation(
+            g1, max_iter=8, ckpt_dir=ck, ckpt_every=2), n, "label", np.int64)
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    lineage = json.load(open(os.path.join(ck, "lineage.json")))
+    assert lineage["algo"] == "lp" and lineage["state_columns"] == ["label"]
+
+    g2 = build_graph(t, num_partitions=3, undirected=True,
+                     vertices=vertices_table(n))
+    try:
+        resumed = dense_result(label_propagation(
+            g2, max_iter=8, ckpt_dir=ck, resume=True), n, "label", np.int64)
+    finally:
+        g2.shutdown(remove_spill=True)
+    assert np.array_equal(full, resumed)
