@@ -284,6 +284,24 @@ class DistributedGraph:
 
     # ------------------------------------------------------------ checkpoint
 
+    def spill_fingerprint(self) -> str:
+        """Deterministic hash of the BUILT graph: (P, partitioner spec,
+        per-partition n/m/cut). Layout-independent — rebuilding the same
+        input through any file layout yields the same value, while a
+        different input virtually surely perturbs some partition's stats
+        (full content hashing at 100 TB is not a per-resume cost; the
+        per-row sha256 invariant already travels with ingest). Recorded in
+        lineage.json (the north rule's 'input content hashes' slot) and
+        re-checked at restore so a checkpoint cannot silently resume
+        against a different input."""
+        import hashlib
+        h = hashlib.sha256()
+        h.update(json.dumps(self.partitioner.spec(), sort_keys=True).encode())
+        for s in self.partition_stats:
+            h.update(f'{s["pid"]}:{s["n_local"]}:{s["m_local"]}:'
+                     f'{s.get("cut_local", 0)};'.encode())
+        return h.hexdigest()
+
     def checkpoint(self, ckpt_dir: str, step: int, names: list[str],
                    run_id: str, extra: dict | None = None) -> None:
         """Per-partition state Parquet + lineage.json (north-rule resumability).
@@ -298,6 +316,8 @@ class DistributedGraph:
             "state_columns": names,
             "n": self.n, "m": self.m,
             "balance": self.balance(),
+            "input_fingerprint": self.spill_fingerprint(),
+            "partition_method": self.partitioner.kind,
         }
         if extra:
             lineage.update(extra)
@@ -309,6 +329,11 @@ class DistributedGraph:
     def restore(self, ckpt_dir: str) -> dict:
         with open(os.path.join(ckpt_dir, "lineage.json")) as f:
             lineage = json.load(f)
+        want = lineage.get("input_fingerprint")
+        if want is not None and want != self.spill_fingerprint():
+            raise ValueError(
+                "checkpoint lineage was recorded against a different input "
+                "spill (fingerprint mismatch) — refusing to resume")
         self.call_all("load_state", ckpt_dir, lineage["superstep"], lineage["state_columns"])
         return lineage
 

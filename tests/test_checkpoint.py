@@ -93,3 +93,23 @@ def test_lp_checkpoint_resume_bit_identical(tmp_path):
     finally:
         g2.shutdown(remove_spill=True)
     assert np.array_equal(full, resumed)
+
+
+def test_resume_rejects_different_input(tmp_path):
+    import pytest
+    t1 = gen.rmat_table(7, edge_factor=8)
+    t2 = gen.rmat_table(7, edge_factor=8, seed=99)
+    ck = str(tmp_path / "fp_ck")
+    g1 = build_graph(t1, num_partitions=3, vertices=vertices_table(128))
+    try:
+        pagerank(g1, max_iter=4, error=1e-12, ckpt_dir=ck, ckpt_every=2)
+    finally:
+        g1.shutdown(remove_spill=True)
+    lineage = json.load(open(os.path.join(ck, "lineage.json")))
+    assert "input_fingerprint" in lineage
+    g2 = build_graph(t2, num_partitions=3, vertices=vertices_table(128))
+    try:
+        with pytest.raises(ValueError, match="fingerprint"):
+            pagerank(g2, max_iter=4, error=1e-12, ckpt_dir=ck, resume=True)
+    finally:
+        g2.shutdown(remove_spill=True)
