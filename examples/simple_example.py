@@ -1,0 +1,54 @@
+"""Port of the reference's combined API example (`simple_example/
+simple_example.cu`: CC + BFS + PageRank over one graph) to the public
+gunrock_ray API. Run:
+
+    python examples/simple_example.py [edges.parquet]
+
+Without an argument it generates a small R-MAT graph. This script owns its
+Ray session (the library never calls ray.init — driver contract).
+"""
+
+import sys
+
+import ray
+import ray.data
+
+from gunrock_ray import (bfs, build_graph, connected_components, pagerank,
+                         topk_degree)
+from gunrock_ray.sources.generators import rmat_table
+
+
+def main() -> None:
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    if len(sys.argv) > 1:
+        edges = ray.data.read_parquet(sys.argv[1])
+    else:
+        edges = rmat_table(14, edge_factor=16)  # 16k vertices, ~262k edges
+
+    # one build, every primitive reuses the partitioned CSR actor pool
+    # (undirected for CC, like the reference's --undirected load)
+    g = build_graph(edges, num_partitions=8, undirected=True)
+    try:
+        labels, num_components = connected_components(g)
+        print(f"components: {num_components}")
+
+        top = topk_degree(g, k=5).to_pandas()
+        print("top-5 degree:", list(zip(top["v"], top["deg"])))
+
+        # BFS from the highest-degree vertex (the reference picks the largest
+        # component's hub the same way)
+        src = int(top["v"].iloc[0])
+        depths = bfs(g, src).to_pandas()
+        print(f"bfs from {src}: reached {(depths['depth'] >= 0).sum()} vertices, "
+              f"max depth {depths['depth'].max()}")
+
+        pr = pagerank(g, error=0.001, max_iter=100).limit(5).to_pandas()
+        print("top-5 pagerank:", list(zip(pr["v"], pr["rank"].round(6))))
+    finally:
+        g.shutdown(remove_spill=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

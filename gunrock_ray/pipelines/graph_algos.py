@@ -196,26 +196,69 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
 
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,
                          ckpt_dir: str | None = None, ckpt_every: int = 0,
-                         resume: bool = False):
-    """Hook-and-compress CC (reference semantics SURVEY.md §2.5). The graph
-    must be built ``undirected=True`` (CC treats input as undirected,
-    `tests/cc/run.sh`). Returns (Dataset {v, comp}, num_components); comp is
-    the min vertex id of the component (canonical form of
-    `tests/cc/test_cc.cu:245-260` reached directly — labels only decrease and
-    full compression leaves min-id roots).
+                         resume: bool = False, minprop_rounds: int | None = None):
+    """Connected components (SURVEY.md §2.5): min-propagation rounds over the
+    static push plan (diameter-bounded, PR-superstep cheap) with
+    hook-and-compress (Soman, reference semantics) as the high-diameter
+    fallback and the resume path. The graph must be built ``undirected=True``
+    (CC treats input as undirected, `tests/cc/run.sh`). Returns
+    (Dataset {v, comp}, num_components); comp is the min vertex id of the
+    component (canonical form of `tests/cc/test_cc.cu:245-260` reached
+    directly — labels only decrease and full compression leaves min-id
+    roots). ``minprop_rounds`` overrides the fast-path round cap (0 forces
+    pure hook-and-compress; mainly for tests).
     """
     g = graph
     P = g.P
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
     g.call_all("cc_init")
+    converged = False
     if resume and ckpt_dir:
         # labels only decrease and hooking is idempotent, so restarting from
         # the checkpointed cid with a fresh all-edges active set is exact
         lineage = g.restore(ckpt_dir)
         run_id = lineage["run_id"]
+    else:
+        # Fast path: min-propagation rounds over the STATIC push plan (per
+        # round ≈ one PR superstep — values-only packs, no per-round sort,
+        # no cid[dst] lookup exchange). Converges in component-diameter
+        # rounds; past the cap we fall back to hook-and-compress so
+        # chain-shaped graphs keep the O(log n) Soman asymptotics.
+        # (Both formulations are the north rule's named CC variants.)
+        g.call_all("cc_minprop_prepare")
+        g.register_push("out")
+        cap = minprop_rounds if minprop_rounds is not None else \
+            max(32, 2 * int(np.log2(max(g.n, 2))))
+        for mp in range(cap):
+            t0 = time.perf_counter()
+            res, _ = g.superstep("cc_minprop_scatter", "cc_minprop_apply")
+            changed = sum(r["changed"] for r in res)
+            metrics.write(algo="cc", superstep=f"minprop_{mp}", frontier=g.n,
+                          changed=changed,
+                          t_superstep_s=time.perf_counter() - t0,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+            if ckpt_dir and ckpt_every and (mp + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, mp, ["cid"], run_id,
+                             extra={"algo": "cc", "iteration": mp})
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
+        # INVARIANT: the hook termination check (`hook_changed == 0` ⇒ done)
+        # is only sound when every hook reads a FULLY COMPRESSED state —
+        # otherwise pf/pt are stale non-root labels and a round can apply
+        # zero changes while distinct components remain (manifested as a
+        # 39-component overcount at 132M edges). Entering here from minprop
+        # fallback or a restored checkpoint, the state may be uncompressed:
+        # pointer-jump to fixpoint first.
+        while True:
+            res = g.lookup("cc_jump_request", "cc_jump_apply", serve_args=("cid",))
+            if sum(r["changed"] for r in res) == 0:
+                break
     rnd = 0
-    while True:
+    while not converged:
         t0 = time.perf_counter()
         # hook: packed lookup of cid[dst] on active edges, then min-candidates
         reqs = [a.cc_hook_request.remote() for a in g.actors]

@@ -613,6 +613,35 @@ class GraphPartition:
         self.state["cid"] = self.verts.copy()
         self._cc_active = np.arange(len(self.col_indices), dtype=np.int64)
 
+    # Min-propagation CC fast path (the north rule's "label propagation" CC
+    # formulation): cid[v] = min(cid[v], min over neighbors cid[u]) over the
+    # symmetrized graph, pushed along the STATIC registered plan — per round
+    # cost equals a PR superstep (no per-round sort, values-only packs),
+    # converging in component-diameter rounds. The driver falls back to
+    # hook-and-compress (O(log n) rounds) past a round cap, so chain-shaped
+    # graphs keep the Soman asymptotics.
+
+    def cc_minprop_prepare(self) -> None:
+        self.prepare_push_plan("out")
+
+    @_scatter_timed
+    def cc_minprop_scatter(self) -> np.ndarray:
+        pl = self._plans["out"]
+        return self.push_reduced(self.state["cid"][pl["src_idx"]], "min", "out")
+
+    @_apply_timed
+    def cc_minprop_apply(self, *val_packs) -> dict:
+        cid = self.state["cid"]
+        changed = 0
+        for q, vals in enumerate(val_packs):
+            s, e = self._in_off["out"][q]
+            if e > s:
+                idx = self._in_idx["out"][q]  # unique per sender
+                nv = np.minimum(cid[idx], vals[s:e].astype(np.int64))
+                changed += int(np.count_nonzero(nv != cid[idx]))
+                cid[idx] = nv
+        return {"changed": changed}
+
     def cc_hook_request(self):
         """Plan lookup of cid[dst] for active edges: unique dsts per owner."""
         dst = self.col_indices[self._cc_active]

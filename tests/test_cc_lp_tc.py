@@ -132,3 +132,29 @@ def test_tc_chain_no_triangles():
 def test_tc_rmat(rmat_graph):
     t, g = rmat_graph
     check_tc(t, 1024, g=g)
+
+
+@pytest.mark.parametrize("mp_rounds", [0, 2])
+def test_cc_hook_fallback_from_partial_minprop(mp_rounds):
+    """Regression: entering hook-and-compress from a partially-propagated
+    (UNCOMPRESSED) label state must pre-compress, else the hook termination
+    check can fire early and overcount components (seen as +39 components at
+    132M edges). mp_rounds=0 forces pure hook; 2 stops minprop mid-flight."""
+    from gunrock_ray import connected_components as cc
+    t = gen.rmat_table(10, edge_factor=8)
+    n = 1024
+    g = undirected_graph(t, n=n)
+    try:
+        out, ncomp = cc(g, minprop_rounds=mp_rounds)
+        got = dense_result(out, n, "comp", np.int64)
+    finally:
+        g.shutdown(remove_spill=True)
+    want, nref = cc_ref(n, *edges_np(t))
+    assert np.array_equal(got, want)
+    assert ncomp == nref
+
+
+def test_cc_chain_exceeds_minprop_cap():
+    """1500-vertex path: diameter >> the minprop cap, exercising the
+    real-world fallback (minprop stall -> compress -> hook loop)."""
+    check_cc(gen.chain(1500), 1500)

@@ -141,3 +141,14 @@ def test_topk_degree_primitive():
         finally:
             g.shutdown(remove_spill=True)
         assert list(zip(out["v"], out["deg"])) == expect
+
+
+def test_simple_example_script():
+    """The reference's combined API example (`simple_example.cu`) port runs
+    end-to-end in its own process."""
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "simple_example.py")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "components:" in r.stdout and "top-5 pagerank:" in r.stdout

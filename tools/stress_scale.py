@@ -1,0 +1,79 @@
+"""Large-graph stress run: R-MAT scale 23-24 PageRank + CC on the full box.
+
+Evidence for the 100 TB design claims that the small-SF bench cannot show:
+object-store pressure during the partitioned spill, per-partition CSR memory
+(~16 B/edge resident), superstep throughput at >100M edges, and that no stage
+materializes the whole edge table on the driver. Usage:
+
+    python tools/stress_scale.py [scale] [edge_factor]
+
+Prints one JSON line; record the result in BASELINE.md MEASURED.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 23
+    ef = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR",
+                 _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                                 "num_workers_soft_limit": 8})
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from gunrock_ray.sources.generators import rmat_dataset
+    from gunrock_ray.state.graph import DistributedGraph
+
+    P = 32
+    spill = f"/tmp/gunrock_ray_stress/s{scale}"
+    t0 = time.perf_counter()
+    g = DistributedGraph.from_edges(
+        rmat_dataset(scale, ef, override_num_blocks=256), P, spill)
+    t_build = time.perf_counter() - t0
+
+    g.call_all("pr_init", g.n, 0.85, 0.0)
+    g.register_push()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        g.superstep("pr_scatter", "pr_apply")
+        ts.append(time.perf_counter() - t0)
+    pr_median = sorted(ts)[len(ts) // 2]
+
+    g.call_all("cc_init")
+    t0 = time.perf_counter()
+    reqs = [a.cc_hook_request.remote() for a in g.actors]
+    replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
+    outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
+            for a in g.actors]
+    ray.get([a.cc_apply_min.remote(*[o[0] for o in outs]) for a in g.actors])
+    t_cc_hook = time.perf_counter() - t0
+
+    print(json.dumps({
+        "scale": scale, "n": g.n, "m": g.m,
+        "t_build_s": round(t_build, 1),
+        "pr_superstep_s": [round(t, 3) for t in ts],
+        "pr_mteps": round(g.m / pr_median / 1e6, 1),
+        "cc_first_hook_s": round(t_cc_hook, 1),
+        "cc_hook_mteps": round(g.m / t_cc_hook / 1e6, 1),
+        "driver_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
+        "balance": g.balance(),
+    }))
+    g.shutdown(remove_spill=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
