@@ -212,20 +212,17 @@ def scaling_worker(num_cpus: int, scale: int, spill_dir: str) -> None:
         ts.append(time.perf_counter() - t0)
     ts.sort()
     median = ts[len(ts) // 2]
-    # CC hook rounds (the north rule names "PR + CC edges/sec"): time the
-    # first full-edge hook exchanges (lookup + min-candidate scatter)
+    # CC rounds (the north rule names "PR + CC edges/sec"): time min-
+    # propagation supersteps — the engine's production CC path (static-plan
+    # push with min combine; hook-and-compress is the high-diameter fallback)
+    g.call_all("cc_init")
+    g.call_all("cc_minprop_prepare")
     cc_ts = []
-    for _ in range(3):
-        g.call_all("cc_init")
+    for _ in range(7):
         t0 = time.perf_counter()
-        reqs = [a.cc_hook_request.remote() for a in g.actors]
-        replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
-        outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
-                for a in g.actors]
-        import ray as _ray
-        _ray.get([a.cc_apply_min.remote(*[o[0] for o in outs]) for a in g.actors])
+        g.superstep("cc_minprop_scatter", "cc_minprop_apply")
         cc_ts.append(time.perf_counter() - t0)
-    cc_median = sorted(cc_ts)[1]
+    cc_median = sorted(cc_ts)[len(cc_ts) // 2]
     print(json.dumps({
         "num_cpus": num_cpus, "n": g.n, "m": g.m, "t_build_s": round(t_build, 2),
         "superstep_s": [round(t, 4) for t in ts],
