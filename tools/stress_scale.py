@@ -52,22 +52,23 @@ def main() -> None:
         ts.append(time.perf_counter() - t0)
     pr_median = sorted(ts)[len(ts) // 2]
 
+    # production CC path: min-propagation supersteps over the static plan
     g.call_all("cc_init")
-    t0 = time.perf_counter()
-    reqs = [a.cc_hook_request.remote() for a in g.actors]
-    replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
-    outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
-            for a in g.actors]
-    ray.get([a.cc_apply_min.remote(*[o[0] for o in outs]) for a in g.actors])
-    t_cc_hook = time.perf_counter() - t0
+    g.call_all("cc_minprop_prepare")
+    cc_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        g.superstep("cc_minprop_scatter", "cc_minprop_apply")
+        cc_ts.append(time.perf_counter() - t0)
+    cc_median = sorted(cc_ts)[len(cc_ts) // 2]
 
     print(json.dumps({
         "scale": scale, "n": g.n, "m": g.m,
         "t_build_s": round(t_build, 1),
         "pr_superstep_s": [round(t, 3) for t in ts],
         "pr_mteps": round(g.m / pr_median / 1e6, 1),
-        "cc_first_hook_s": round(t_cc_hook, 1),
-        "cc_hook_mteps": round(g.m / t_cc_hook / 1e6, 1),
+        "cc_minprop_superstep_s": [round(t, 3) for t in cc_ts],
+        "cc_mteps": round(g.m / cc_median / 1e6, 1),
         "driver_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
         "balance": g.balance(),
     }))
