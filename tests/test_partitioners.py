@@ -132,3 +132,31 @@ def test_spill_roundtrips_partitioner(tmp_path):
     assert np.array_equal(got["v"].to_numpy(), want["v"].to_numpy())
     np.testing.assert_allclose(got["rank"].to_numpy(), want["rank"].to_numpy(),
                                rtol=0, atol=0)
+
+
+def test_plan_partitioning_dataset_paths():
+    """The Ray-Dataset branches (hash-thinned range sample; groupby-count
+    degree aggregation) — the scale path the Table branch shortcuts."""
+    import ray.data
+    t = _skewed_table(hot=4, hot_deg=300, tail=500)
+    ds = ray.data.from_arrow(t)
+    part_d = plan_partitioning(ds, P, "degree", top_k=32)
+    assert part_d.kind == "mapped"
+    # the 4 planted hot vertices must be in the hot map
+    assert np.all(np.isin(np.arange(4), part_d.map_ids))
+    part_r = plan_partitioning(ds, P, "range")
+    # degenerate (thinned sample < P) falls back to hash; both are valid
+    assert part_r.kind in ("range", "hash")
+    own = part_r.owner(t["src"].to_numpy())
+    assert own.min() >= 0 and own.max() < P
+    # end-to-end: dataset-built degree graph gives the same PR as table-hash
+    g1 = build_graph(ds, num_partitions=P, partition_method="degree")
+    g2 = build_graph(t, num_partitions=P)
+    try:
+        r1 = pagerank(g1, error=1e-10, max_iter=15).to_pandas().sort_values("v")
+        r2 = pagerank(g2, error=1e-10, max_iter=15).to_pandas().sort_values("v")
+        np.testing.assert_allclose(r1["rank"].to_numpy(), r2["rank"].to_numpy(),
+                                   rtol=1e-9)
+    finally:
+        g1.shutdown(remove_spill=True)
+        g2.shutdown(remove_spill=True)
