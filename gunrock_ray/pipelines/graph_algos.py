@@ -313,9 +313,15 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
         lineage = g.restore(ckpt_dir)
         start_iter = lineage["iteration"] + 1
         run_id = lineage["run_id"]
+    g.register_push("out")
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        res, _ = g.superstep("lp_scatter", "lp_apply")
+        if it == 0 and not g.weighted and start_iter == 0:
+            # round 0 with pristine distinct labels ≡ min-neighbor adoption
+            # (see lp_min_scatter) — static-plan push, no mode shuffle
+            res, _ = g.superstep("lp_min_scatter", "lp_min_apply")
+        else:
+            res, _ = g.superstep("lp_scatter", "lp_apply")
         dt = time.perf_counter() - t0
         changed = sum(r["changed"] for r in res)
         msgs = sum(r.get("msgs", 0) for r in res)

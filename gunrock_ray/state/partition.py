@@ -723,6 +723,34 @@ class GraphPartition:
         self.prepare_push_plan("out")
         self.state["label"] = self.verts.copy()
 
+    # Round-0 special case (unweighted graphs): with init labels all DISTINCT
+    # (label[v]==v and neighbor sets deduped), every (dst,label) count is 1,
+    # so the mode vote with smallest-label tie-break reduces to "adopt the
+    # minimum neighbor label" — one static-plan min push instead of the
+    # general two-stage mode combine (63s → ~0.2s at 132M edges; the general
+    # round-0 pack is ~m uncombinable (dst,label) pairs).
+
+    @_scatter_timed
+    def lp_min_scatter(self) -> np.ndarray:
+        pl = self._plans["out"]
+        return self.push_reduced(self.state["label"][pl["src_idx"]], "min", "out")
+
+    @_apply_timed
+    def lp_min_apply(self, *val_packs) -> dict:
+        label = self.state["label"]
+        new = np.full(len(label), np.iinfo(np.int64).max, dtype=np.int64)
+        touched = np.zeros(len(label), dtype=bool)
+        for q, vals in enumerate(val_packs):
+            s, e = self._in_off["out"][q]
+            if e > s:
+                idx = self._in_idx["out"][q]  # unique per sender
+                new[idx] = np.minimum(new[idx], vals[s:e].astype(np.int64))
+                touched[idx] = True
+        # LP ASSIGNS the winner (labels may increase); untouched keep theirs
+        changed = int(np.count_nonzero(touched & (label != new)))
+        label[touched] = new[touched]
+        return {"changed": changed, "msgs": int(len(self.col_indices))}
+
     @_scatter_timed
     def lp_scatter(self):
         """Messages (dst, label[src]) partial-combined to (dst, label, count)
@@ -734,6 +762,31 @@ class GraphPartition:
         lab = self.state["label"][pl["src_idx"]]
         if len(dst) == 0:
             return (np.zeros(self.P + 1, dtype=np.int64), _EMPTY_I8, _EMPTY_I8, _EMPTY_F8)
+        if self.edge_w is None and len(pl["uids"]) < 2**31 and int(lab.max()) < 2**31:
+            # Composite-key fast path (unweighted, ids fit 31 bits — e.g. all
+            # R-MAT/derived graphs; sha-id corpora fall back below): the
+            # edge→target-rank map is STATIC (dst never changes), so one
+            # values-only int64 sort of (seg_rank<<31 | label) replaces the
+            # per-round 2-key lexsort + owner re-sort (~7× less sort time),
+            # and counts are plain run lengths.
+            seg = pl.get("seg_rank")
+            if seg is None:
+                # run rank within the (owner,dst)-sorted plan order (uids are
+                # NOT globally id-sorted, so searchsorted would be wrong)
+                seg = np.zeros(len(dst), dtype=np.int64)
+                np.cumsum(dst[1:] != dst[:-1], out=seg[1:])
+                pl["seg_rank"] = seg
+            ks = seg << np.int64(31)
+            ks |= lab
+            ks.sort()  # in-place: one fewer 8B/edge temp under 32-way load
+            starts = segment_starts(ks)
+            heads = ks[starts]
+            du = pl["uids"][heads >> np.int64(31)]
+            lu = heads & np.int64((1 << 31) - 1)
+            counts = np.diff(np.append(starts, len(ks))).astype(np.float64)
+            # owner boundaries over the UNIQUE rows (heads), not the edges
+            offs = np.searchsorted(heads, pl["uid_offs"] << np.int64(31)).astype(np.int64)
+            return (offs, du, lu, counts)
         order = np.lexsort((lab, dst))
         d, l = dst[order], lab[order]
         b = np.empty(len(d), dtype=bool)
@@ -754,6 +807,32 @@ class GraphPartition:
         label = self.state["label"]
         if len(dsts) == 0:
             return {"changed": 0, "msgs": 0}
+        if self.edge_w is None and int(dsts.max()) < 2**31 \
+                and int(labs.max()) < 2**31 and len(self.verts) < 2**31:
+            # Composite-key fast path (see lp_scatter): one radix argsort of
+            # (dst<<31 | label) replaces the 2-key merge lexsort, and the
+            # winner (max count, tie → smallest label) is a segmented MAX of
+            # (count<<31 | ~label) — no second lexsort. Counts are integral
+            # (unweighted) and bounded by in-degree < n < 2^31.
+            M = np.int64((1 << 31) - 1)
+            key = (dsts << np.int64(31)) | labs
+            # introsort, not stable: equal keys merge by summation anyway,
+            # and stable on int64 is timsort — slow on shuffled data
+            order = np.argsort(key)
+            ks = key[order]
+            starts = segment_starts(ks)
+            heads = ks[starts]
+            cu = np.add.reduceat(cnts[order], starts).astype(np.int64)
+            d_u = heads >> np.int64(31)
+            l_u = heads & M
+            dstarts = segment_starts(d_u)
+            wkey = np.maximum.reduceat((cu << np.int64(31)) | (M - l_u), dstarts)
+            wd = d_u[dstarts]
+            wl = M - (wkey & M)
+            li = self._lidx(wd)
+            changed = int(np.count_nonzero(label[li] != wl))
+            label[li] = wl
+            return {"changed": changed, "msgs": int(len(dsts))}
         # merge partials: sum counts per (dst, label)
         order = np.lexsort((labs, dsts))
         d, l, c = dsts[order], labs[order], cnts[order]

@@ -152,3 +152,17 @@ def test_simple_example_script():
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "components:" in r.stdout and "top-5 pagerank:" in r.stdout
+
+
+def test_driver_entry_smoke():
+    """Mirror the driver's entry() smoke check: runs under an existing Ray
+    session, returns >=0 rows with a stable schema, never calls ray.init."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry", os.path.join(REPO, "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.entry()
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert list(df.columns) == ["v", "rank"]
+    assert len(df) >= 1
