@@ -158,3 +158,33 @@ def test_cc_chain_exceeds_minprop_cap():
     """1500-vertex path: diameter >> the minprop cap, exercising the
     real-world fallback (minprop stall -> compress -> hook loop)."""
     check_cc(gen.chain(1500), 1500)
+
+
+def test_lp_cc_wide_vertex_ids():
+    """sha256-derived ids exceed 2^31, disabling the composite-key LP fast
+    paths — the lexsort fallback must produce the identical (monotonically
+    remapped) result, and CC must be unaffected."""
+    from gunrock_ray import connected_components as cc
+    base = gen.two_cliques_bridge(6)
+    n = 12
+    OFF = np.int64(1) << 40
+    s, d = edges_np(base)
+    wide = pa.table({"src": pa.array(s + OFF, pa.int64()),
+                     "dst": pa.array(d + OFF, pa.int64())})
+    g = build_graph(wide, num_partitions=4, undirected=True)
+    try:
+        lab = label_propagation(g, max_iter=30).to_pandas()
+        out, ncomp = cc(g)
+        comp = out.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    ns, nd = normalize_oracle(s, d, undirected=True)
+    want_l = lp_ref(n, ns, nd, max_iter=30)
+    want_c, nref = cc_ref(n, ns, nd)
+    lab = lab.sort_values("v").reset_index(drop=True)
+    comp = comp.sort_values("v").reset_index(drop=True)
+    assert np.array_equal(lab["v"].to_numpy(), np.arange(n) + OFF)
+    # id mapping is monotone, so dense-oracle labels remap by the same offset
+    assert np.array_equal(lab["label"].to_numpy(), want_l + OFF)
+    assert np.array_equal(comp["comp"].to_numpy(), want_c + OFF)
+    assert ncomp == nref
