@@ -146,10 +146,13 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         for it in range(max_iter):
             t0 = time.perf_counter()
             res, _ = g.superstep("pru_scatter", "pru_apply")
+            updated = sum(r["updated"] for r in res)
             metrics.write(algo="pr_unnorm", superstep=it, frontier=g.n,
-                          changed=sum(r["updated"] for r in res),
-                          t_superstep_s=time.perf_counter() - t0)
-            if sum(r["updated"] for r in res) == 0:
+                          changed=updated,
+                          t_superstep_s=time.perf_counter() - t0,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+            if updated == 0:
                 break
         metrics.close()
         return g.extract("pru_extract").sort(["rank", "v"], descending=[True, False])
