@@ -302,6 +302,21 @@ def q_pr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_hits8(sf_dir: str):
+    """HITS, exactly 8 iterations (tol=0), hub/auth L2-normalized per
+    iteration, scaled to 1e-6 integers — SQL-checked against the unrolled
+    DuckDB formulation (same floor(x*1e6+0.5) on both sides)."""
+    from gunrock_ray.pipelines.graph_algos import hits
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        df = hits(g, max_iter=8, tol=0.0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_pr_unnorm10(sf_dir: str):
     """Unnormalized (plain power iteration) PageRank, exactly 10 supersteps —
     the reference's NORMALIZED=false path (`pr_app.cu:283-360`), SQL-checked
@@ -425,10 +440,10 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True) -> st
     normalized=False: plain rank state, each pushed term divided by the
     sender's out-degree. Integer-scaled output either way."""
     parts = [
-        f"WITH verts AS ({_VERTS_SQL}), ",
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
         "nn AS (SELECT COUNT(*) AS n FROM verts), ",
-        f"e AS ({_NORM_SQL}), ",
-        "od AS (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
         "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
     ]
     if normalized:
@@ -465,8 +480,8 @@ def _lp_sql(iters: int = 3) -> str:
     the most frequent neighbor label, ties → smallest; no-message vertices
     keep their label)."""
     parts = [
-        f"WITH verts AS ({_VERTS_SQL}), ",
-        f"u AS ({_SYM_SQL}), ",
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"u AS MATERIALIZED ({_SYM_SQL}), ",
         "l0 AS (SELECT v, v AS lab FROM verts)",
     ]
     for i in range(1, iters + 1):
@@ -478,6 +493,34 @@ def _lp_sql(iters: int = 3) -> str:
             f"FROM u e JOIN l{i-1} p ON p.v = e.src GROUP BY e.dst, p.lab) x "
             f"WHERE rn = 1) w ON w.v = l{i-1}.v)")
     parts.append(f" SELECT v, lab AS label FROM l{iters}")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled Kleinberg HITS with per-iteration L2 normalization, matching
+    the engine's operation order (auth pass normalized before the hub pass)."""
+    parts = [f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), "
+             f"e AS MATERIALIZED ({_NORM_SQL}), "
+             "h0 AS (SELECT v, 1.0 AS hub FROM verts)"]
+    for i in range(1, iters + 1):
+        # every CTE is MATERIALIZED: ar{i} is referenced twice (directly and
+        # through its norm), so plain inlining re-evaluates the whole prefix
+        # per reference — exponential in the iteration count
+        parts.append(
+            f", ar{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS s FROM verts LEFT JOIN "
+            f"(SELECT e.dst AS v, SUM(p.hub) AS s FROM e JOIN h{i-1} p ON p.v = e.src "
+            f"GROUP BY e.dst) m ON m.v = verts.v)"
+            f", an{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s*s) > 0 THEN SQRT(SUM(s*s)) ELSE 1 END AS n FROM ar{i})"
+            f", a{i} AS MATERIALIZED (SELECT ar{i}.v, ar{i}.s/an{i}.n AS auth FROM ar{i} CROSS JOIN an{i})"
+            f", hr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS s FROM verts LEFT JOIN "
+            f"(SELECT e.src AS v, SUM(p.auth) AS s FROM e JOIN a{i} p ON p.v = e.dst "
+            f"GROUP BY e.src) m ON m.v = verts.v)"
+            f", hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s*s) > 0 THEN SQRT(SUM(s*s)) ELSE 1 END AS n FROM hr{i})"
+            f", h{i} AS MATERIALIZED (SELECT hr{i}.v, hr{i}.s/hn{i}.n AS hub FROM hr{i} CROSS JOIN hn{i})")
+    parts.append(
+        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
     return "".join(parts)
 
 
@@ -509,6 +552,7 @@ ORACLE_SQL: dict[str, str] = {
     "lp3": _lp_sql(3),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
+    "hits8": _hits_sql(8),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (
