@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr10": r.q_pr10,              # SQL-checked (unrolled power iteration)
         "pr_unnorm10": r.q_pr_unnorm10,  # SQL-checked (NORMALIZED=false path)
         "hits8": r.q_hits8,              # SQL-checked (unrolled L2-normalized)
+        "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
         "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
         "sssp_weighted": r.q_sssp_weighted,
         "sssp_nf": r.q_sssp_nf,

@@ -317,6 +317,20 @@ def q_hits8(sf_dir: str):
     return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_salsa8(sf_dir: str):
+    """SALSA, exactly 8 iterations (tol=0), degree-normalized pushes with
+    per-iteration L1 normalization, 1e-6 integer scale (SQL-checked)."""
+    from gunrock_ray.pipelines.graph_algos import salsa
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        df = salsa(g, max_iter=8, tol=0.0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_pr_unnorm10(sf_dir: str):
     """Unnormalized (plain power iteration) PageRank, exactly 10 supersteps —
     the reference's NORMALIZED=false path (`pr_app.cu:283-360`), SQL-checked
@@ -524,6 +538,40 @@ def _hits_sql(iters: int = 8) -> str:
     return "".join(parts)
 
 
+def _salsa_sql(iters: int = 8) -> str:
+    """Unrolled SALSA (`salsa_functor.cuh:168,319` semantics): pushes divided
+    by the sender's out-degree / the authority's in-degree, L1-normalized per
+    pass (matching the engine's order: auth pass normalized before hub)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
+        "idg AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT dst AS v, COUNT(*) AS c FROM e GROUP BY dst) d ON d.v = verts.v), ",
+        "h0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN 1.0 ELSE 0.0 END AS hub FROM od)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", ar{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS s FROM verts LEFT JOIN "
+            f"(SELECT e.dst AS v, SUM(p.hub/od2.deg) AS s FROM e "
+            f"JOIN h{i-1} p ON p.v = e.src JOIN od od2 ON od2.v = e.src "
+            f"GROUP BY e.dst) m ON m.v = verts.v)"
+            f", an{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s) <> 0 THEN SUM(s) ELSE 1 END AS n FROM ar{i})"
+            f", a{i} AS MATERIALIZED (SELECT ar{i}.v, ar{i}.s/an{i}.n AS auth FROM ar{i} CROSS JOIN an{i})"
+            f", hr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS s FROM verts LEFT JOIN "
+            f"(SELECT e.src AS v, SUM(p.auth/idg2.deg) AS s FROM e "
+            f"JOIN a{i} p ON p.v = e.dst JOIN idg idg2 ON idg2.v = e.dst "
+            f"GROUP BY e.src) m ON m.v = verts.v)"
+            f", hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s) <> 0 THEN SUM(s) ELSE 1 END AS n FROM hr{i})"
+            f", h{i} AS MATERIALIZED (SELECT hr{i}.v, hr{i}.s/hn{i}.n AS hub FROM hr{i} CROSS JOIN hn{i})")
+    parts.append(
+        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+    return "".join(parts)
+
+
 _SSSP_W_SQL = (
     f"WITH RECURSIVE e AS (SELECT src, dst, {_W_EXPR} AS w FROM ({_NORM_SQL})), "
     "p(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
@@ -553,6 +601,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "hits8": _hits_sql(8),
+    "salsa8": _salsa_sql(8),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (
