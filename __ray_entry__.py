@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_unnorm10": r.q_pr_unnorm10,  # SQL-checked (NORMALIZED=false path)
         "hits8": r.q_hits8,              # SQL-checked (unrolled L2-normalized)
         "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
+        "bc_sigma": r.q_bc_sigma,        # SQL-checked (integer forward Brandes)
         "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
         "sssp_weighted": r.q_sssp_weighted,
         "sssp_nf": r.q_sssp_nf,

@@ -527,6 +527,36 @@ def betweenness_centrality(graph: DistributedGraph, sources=None, *,
     return ray.data.from_arrow_refs(refs)
 
 
+def bc_forward_stats(graph: DistributedGraph, src: int):
+    """Forward half of Brandes BC from one source: per-vertex BFS depth and
+    shortest-path count sigma (`bc_functor.cuh:71` accumulation). Exposed
+    separately because depth/sigma are INTEGERS — exactly SQL-checkable by a
+    per-level unrolled oracle — while the backward dependency scores are
+    float ratios (those are pytest-validated against Brandes). Graph must be
+    built ``with_in_edges=True``. Returns Dataset {v, depth, sigma} of
+    reached vertices."""
+    g = graph
+    g.call_all("bc_init")
+    g.call_all("bc_source_reset", int(src))
+    while True:
+        res, _ = g.superstep("bc_forward_scatter", "bc_forward_apply")
+        if sum(r["frontier"] for r in res) == 0:
+            break
+    import ray.data
+    refs = [a.state_table.remote(["bc_depth", "bc_sigma"]) for a in g.actors]
+    ds = ray.data.from_arrow_refs(refs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["bc_depth"].to_numpy()
+        keep = d < (np.int64(1) << 62)
+        return pa.table({
+            "v": t["v"].filter(pa.array(keep)),
+            "depth": pa.array(d[keep], pa.int64()),
+            "sigma": pa.array(t["bc_sigma"].to_numpy()[keep].astype(np.int64)),
+        })
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ BFS / SSSP
 
 def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,

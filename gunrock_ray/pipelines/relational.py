@@ -317,6 +317,19 @@ def q_hits8(sf_dir: str):
     return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_bc_sigma(sf_dir: str):
+    """Forward Brandes pass from vertex 0: per-vertex BFS depth + integer
+    shortest-path count sigma (SQL-checked via a per-level unrolled oracle;
+    the float backward dependencies stay pytest-validated vs Brandes)."""
+    from gunrock_ray.pipelines.graph_algos import bc_forward_stats
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        return bc_forward_stats(g, 0).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_salsa8(sf_dir: str):
     """SALSA, exactly 8 iterations (tol=0), degree-normalized pushes with
     per-iteration L1 normalization, 1e-6 integer scale (SQL-checked)."""
@@ -572,6 +585,28 @@ def _salsa_sql(iters: int = 8) -> str:
     return "".join(parts)
 
 
+def _bc_sigma_sql(levels: int = 30) -> str:
+    """Per-level unrolled shortest-path counting: sigma at level k = sum of
+    parents' sigma over edges from level k-1 (integer-exact)."""
+    parts = [
+        f"WITH RECURSIVE n AS MATERIALIZED ({_NORM_SQL}), "
+        "b(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"  UNION SELECT n.dst, b.d + 1 FROM b JOIN n ON n.src = b.v WHERE b.d < {EDGE_MOD + 1}), "
+        "dep AS MATERIALIZED (SELECT v, MIN(d) AS depth FROM b GROUP BY v), "
+        "s0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT d.v, CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM dep d JOIN n e ON e.dst = d.v JOIN s{k-1} p ON p.v = e.src "
+            f"JOIN dep dp ON dp.v = e.src AND dp.depth = {k-1} "
+            f"WHERE d.depth = {k} GROUP BY d.v)")
+    union = " UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(levels + 1))
+    parts.append(
+        f" SELECT dep.v, dep.depth, s.sigma FROM dep JOIN ({union}) s ON s.v = dep.v")
+    return "".join(parts)
+
+
 _SSSP_W_SQL = (
     f"WITH RECURSIVE e AS (SELECT src, dst, {_W_EXPR} AS w FROM ({_NORM_SQL})), "
     "p(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
@@ -602,6 +637,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "hits8": _hits_sql(8),
     "salsa8": _salsa_sql(8),
+    "bc_sigma": _bc_sigma_sql(30),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (
