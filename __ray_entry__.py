@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
         "bc_sigma": r.q_bc_sigma,        # SQL-checked (integer forward Brandes)
         "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
+        "lp3_weighted": r.q_lp3_weighted,  # SQL-checked (weighted votes)
         "sssp_weighted": r.q_sssp_weighted,
         "sssp_nf": r.q_sssp_nf,
         "pr_top20": r.q_pr_top20,      # rows-only (pytest-validated, 1e-6)

@@ -285,6 +285,20 @@ def q_lp3(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_lp3_weighted(sf_dir: str):
+    """WEIGHTED label propagation (the reference road map's variant,
+    `doc/road_map.md:14-17`): vote weight = summed edge weight, 3 rounds,
+    SQL-checked — integer weights make the votes exact. Uses the same
+    deterministic [1,64] weights as q_sssp_weighted."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, label_propagation
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    undirected=True, weighted=True)
+    try:
+        return label_propagation(g, max_iter=3).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_pr10(sf_dir: str):
     """PageRank, exactly 10 supersteps (threshold 0), un-normalized ranks
     scaled to micro-units: rank_u6 = floor(rank*1e6 + 0.5) as int64 — the
@@ -502,21 +516,36 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True) -> st
     return "".join(parts)
 
 
-def _lp_sql(iters: int = 3) -> str:
+def _lp_sql(iters: int = 3, weighted: bool = False) -> str:
     """Unrolled synchronous label-propagation rounds (SURVEY.md §2.11: adopt
     the most frequent neighbor label, ties → smallest; no-message vertices
-    keep their label)."""
+    keep their label). weighted=True votes by summed integer edge weight
+    (the road map's weighted LP) — the symmetrized reverse edge carries the
+    ORIGINAL direction's weight, duplicates resolve to MIN weight (the
+    engine's deterministic dedup rule)."""
+    if weighted:
+        sym = (f"SELECT src, dst, MIN(w) AS w FROM ("
+               f"SELECT src, dst, w FROM wr WHERE src <> dst "
+               f"UNION ALL SELECT dst AS src, src AS dst, w FROM wr WHERE src <> dst"
+               f") GROUP BY src, dst")
+        base = (f"wr AS MATERIALIZED (SELECT src, dst, {_W_EXPR} AS w "
+                f"FROM ({_RAW_EDGES_SQL})), "
+                f"u AS MATERIALIZED ({sym}), ")
+        vote = "SUM(e.w)"
+    else:
+        base = f"u AS MATERIALIZED ({_SYM_SQL}), "
+        vote = "COUNT(*)"
     parts = [
         f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
-        f"u AS MATERIALIZED ({_SYM_SQL}), ",
+        base,
         "l0 AS (SELECT v, v AS lab FROM verts)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f", l{i} AS (SELECT l{i-1}.v, COALESCE(w.lab, l{i-1}.lab) AS lab "
+            f", l{i} AS MATERIALIZED (SELECT l{i-1}.v, COALESCE(w.lab, l{i-1}.lab) AS lab "
             f"FROM l{i-1} LEFT JOIN (SELECT v, lab FROM "
             f"(SELECT e.dst AS v, p.lab, ROW_NUMBER() OVER (PARTITION BY e.dst "
-            f"ORDER BY COUNT(*) DESC, p.lab ASC) AS rn "
+            f"ORDER BY {vote} DESC, p.lab ASC) AS rn "
             f"FROM u e JOIN l{i-1} p ON p.v = e.src GROUP BY e.dst, p.lab) x "
             f"WHERE rn = 1) w ON w.v = l{i-1}.v)")
     parts.append(f" SELECT v, lab AS label FROM l{iters}")
@@ -633,6 +662,7 @@ ORACLE_SQL: dict[str, str] = {
         "-1) AS pred FROM dep d"
     ),
     "lp3": _lp_sql(3),
+    "lp3_weighted": _lp_sql(3, weighted=True),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "hits8": _hits_sql(8),
