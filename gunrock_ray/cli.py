@@ -35,7 +35,9 @@ def _load_edges(args):
         edges = ray.data.read_parquet(args.input, columns=cols)
     elif fmt == "corpus":
         from gunrock_ray.sources import ingest
-        files = ingest.files_with_sha(ray.data.read_parquet(args.input))
+        # prune at the read: sha/edge extraction never decodes commit/lang
+        files = ingest.files_with_sha(ray.data.read_parquet(
+            args.input, columns=["repo", "path", "content"]))
         edges = ingest.edges_from_files(files)
         vertices = ingest.vertex_dictionary(files).select_columns(["v"])
     elif fmt == "mtx":

@@ -91,8 +91,10 @@ class Partitioner:
     def _hash(self, v: np.ndarray) -> np.ndarray:
         h = mix64(v)
         if self.seed:
+            # mask: a negative --partition-seed must remix, not overflow
+            seed_u = np.uint64(self.seed & 0xFFFFFFFFFFFFFFFF)
             with np.errstate(over="ignore"):
-                h = mix64((h ^ np.uint64(self.seed)).astype(np.uint64))
+                h = mix64((h ^ seed_u).astype(np.uint64))
         return (h % np.uint64(self.P)).astype(np.int64)
 
     def owner(self, v) -> np.ndarray:
@@ -120,6 +122,12 @@ class Partitioner:
     def from_spec(d: "dict | None", P: int) -> "Partitioner":
         if not d:
             return Partitioner(P)
+        if d["P"] != P:
+            # a silent mismatch would misroute every packed exchange: the
+            # spec's owner() maps into [0, spec.P) against P actors
+            raise ValueError(
+                f"partitioner spec has P={d['P']} but caller requested P={P}; "
+                "reuse the spilled partition count or re-spill")
         return Partitioner(d["P"], d["kind"], d.get("seed", 0),
                            d.get("splitters"), d.get("map_ids"), d.get("map_pid"))
 

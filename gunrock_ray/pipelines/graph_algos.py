@@ -143,7 +143,13 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
             raise ValueError("unnormalized PR supports neither src_node nor hot split")
         g.call_all("pru_init", g.n, delta, error)
         g.register_push("out")
-        for it in range(max_iter):
+        start_iter = 0
+        if resume and ckpt_dir:
+            lineage = g.restore(ckpt_dir)
+            start_iter = lineage["iteration"] + 1
+            run_id = lineage["run_id"]
+        it = start_iter
+        while it < max_iter:
             t0 = time.perf_counter()
             res, _ = g.superstep("pru_scatter", "pru_apply")
             updated = sum(r["updated"] for r in res)
@@ -152,6 +158,12 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
                           t_superstep_s=time.perf_counter() - t0,
                           t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
                           t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, ["rank"], run_id,
+                             extra={"algo": "pr_unnorm", "iteration": it,
+                                    "params": {"delta": delta, "error": error,
+                                               "max_iter": max_iter}})
+            it += 1
             if updated == 0:
                 break
         metrics.close()

@@ -631,8 +631,15 @@ def _bc_sigma_sql(levels: int = 30) -> str:
             f"JOIN dep dp ON dp.v = e.src AND dp.depth = {k-1} "
             f"WHERE d.depth = {k} GROUP BY d.v)")
     union = " UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(levels + 1))
+    # loud-fail guard: a graph deeper than the unroll must error, not silently
+    # drop the deep vertices from the oracle's row set
     parts.append(
-        f" SELECT dep.v, dep.depth, s.sigma FROM dep JOIN ({union}) s ON s.v = dep.v")
+        f", chk AS (SELECT CASE WHEN MAX(depth) > {levels} THEN "
+        f"error('bc_sigma oracle: unroll of {levels} levels too shallow') "
+        f"ELSE 1 END AS ok FROM dep)")
+    parts.append(
+        f" SELECT dep.v, dep.depth, s.sigma FROM dep JOIN ({union}) s ON s.v = dep.v "
+        f"CROSS JOIN chk WHERE chk.ok = 1")
     return "".join(parts)
 
 

@@ -113,3 +113,33 @@ def test_resume_rejects_different_input(tmp_path):
             pagerank(g2, max_iter=4, error=1e-12, ckpt_dir=ck, resume=True)
     finally:
         g2.shutdown(remove_spill=True)
+
+
+def test_pr_unnormalized_checkpoint_resume_bit_identical(tmp_path):
+    """The NORMALIZED=false path honors ckpt/resume like the normalized one
+    (state is just the plain rank array)."""
+    t = gen.rmat_table(7, edge_factor=8)
+    n = 128
+    ck = str(tmp_path / "ckpt_u")
+
+    g1 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        full = dense_result(pagerank(g1, normalized=False, max_iter=10,
+                                     error=0.0, ckpt_dir=ck, ckpt_every=4),
+                            n, "rank")
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    lineage = json.load(open(os.path.join(ck, "lineage.json")))
+    assert lineage["algo"] == "pr_unnorm"
+    assert lineage["iteration"] == 7  # checkpoints at it = 3, 7
+
+    g2 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        resumed = dense_result(pagerank(g2, normalized=False, max_iter=10,
+                                        error=0.0, ckpt_dir=ck, resume=True),
+                               n, "rank")
+    finally:
+        g2.shutdown(remove_spill=True)
+
+    assert np.array_equal(full, resumed), "pru resume must be bit-identical"

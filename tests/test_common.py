@@ -38,3 +38,25 @@ def test_stable_vertex_id_no_collision_small():
     ids = stable_vertex_id(keys)
     assert len(np.unique(ids)) == len(keys)
     assert (ids >= 0).all()
+
+
+def test_partitioner_negative_seed_remixes():
+    from gunrock_ray.common import Partitioner
+    v = np.arange(1000, dtype=np.int64)
+    p = Partitioner(8, seed=-12345)          # CLI accepts any int
+    o1 = p.owner(v)
+    assert o1.min() >= 0 and o1.max() < 8
+    assert not np.array_equal(o1, Partitioner(8).owner(v))  # seed actually remixes
+    # deterministic
+    assert np.array_equal(o1, Partitioner(8, seed=-12345).owner(v))
+
+
+def test_partitioner_from_spec_P_mismatch_rejected():
+    import pytest
+    from gunrock_ray.common import Partitioner
+    spec = Partitioner(8).spec()
+    with pytest.raises(ValueError, match="P=8"):
+        Partitioner.from_spec(spec, 4)
+    # matching P round-trips
+    p = Partitioner.from_spec(spec, 8)
+    assert p.P == 8
