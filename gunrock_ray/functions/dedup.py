@@ -16,31 +16,95 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64
-
-_FNV64 = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
+from gunrock_ray.common import mix64, segment_starts
 
 
-def _hash_str64(s: str) -> np.uint64:
-    """Deterministic 64-bit FNV-1a of a string (no PYTHONHASHSEED issues)."""
-    h = _FNV64
-    for b in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+def hash_words(words) -> np.ndarray:
+    """Vectorized deterministic uint64 hash, one per word.
+
+    The whole word list is viewed as a (n, maxlen) uint32 codepoint matrix
+    (NumPy '<U' layout, NUL-padded) and folded column-by-column with the
+    splitmix64 finalizer — the loop is over the LONGEST word's length, each
+    step vectorized over all n words (replaces the per-byte Python FNV loop
+    the round-1 review flagged). The chained fold disambiguates prefixes
+    (each character permutes the running state); no PYTHONHASHSEED
+    dependence."""
+    arr = np.asarray(words, dtype=np.str_)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.full(n, np.uint64(0x9E3779B97F4A7C15))
+    width = arr.dtype.itemsize // 4
+    if width == 0:
+        return h
+    codes = np.ascontiguousarray(arr).view(np.uint32).reshape(n, width)
+    with np.errstate(over="ignore"):
+        for c in range(width):
+            col = codes[:, c].astype(np.uint64)
+            live = col != 0          # NUL padding: word already ended
+            if not live.any():
+                break
+            h = np.where(live, mix64(h ^ col), h)
     return h
 
 
+def flat_word_shingles(texts, n: int = 3, unique: bool = True):
+    """Per-doc word n-gram hashes for a whole batch in one vectorized pass:
+    returns (doc_idx int64, shingle uint64), doc_idx sorted ascending
+    (positions into ``texts``). Docs with fewer than n words hash their
+    full word chain (one shingle); empty docs emit none. ``unique=False``
+    skips the per-doc dedup sort — correct wherever downstream reduces with
+    min/set semantics (MinHash signatures)."""
+    words_per_doc = [t.split() for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    hw = hash_words([w for doc in words_per_doc for w in doc])
+    D = len(texts)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
+    out_doc: list[np.ndarray] = []
+    out_sh: list[np.ndarray] = []
+    # full windows: start i is valid iff i and i+n-1 fall in the same doc
+    m = len(hw) - n + 1
+    if m > 0:
+        g = hw[:m].copy()
+        for j in range(1, n):
+            g = mix64(g) ^ hw[j:j + m]
+        g = mix64(g)
+        valid = doc_of[:m] == doc_of[n - 1:]
+        out_doc.append(doc_of[:m][valid])
+        out_sh.append(g[valid])
+    # short docs (0 < k < n): one shingle = chain over all k words
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for k in range(1, n):
+        short = np.flatnonzero(counts == k)
+        if len(short) == 0:
+            continue
+        g = hw[offs[short]].copy()
+        for j in range(1, k):
+            g = mix64(g) ^ hw[offs[short] + j]
+        out_doc.append(short)
+        out_sh.append(mix64(g))
+    if not out_doc:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    d = np.concatenate(out_doc)
+    s = np.concatenate(out_sh)
+    if len(out_doc) == 1 and not unique:
+        return d, s  # full-window block is already doc-ordered
+    if not unique:
+        order = np.argsort(d, kind="stable")
+        return d[order], s[order]
+    # per-doc distinct: lexsort by (doc, shingle), drop equal neighbors
+    order = np.lexsort((s, d))
+    d, s = d[order], s[order]
+    keep = np.empty(len(d), dtype=bool)
+    keep[0:1] = True
+    np.logical_or(d[1:] != d[:-1], s[1:] != s[:-1], out=keep[1:])
+    return d[keep], s[keep]
+
+
 def word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram hashes of a document (uint64)."""
-    words = text.split()
-    if len(words) < n:
-        joined = " ".join(words)
-        return np.array([_hash_str64(joined)], dtype=np.uint64) if joined else \
-            np.zeros(0, dtype=np.uint64)
-    hs = np.fromiter((_hash_str64(" ".join(words[i:i + n]))
-                      for i in range(len(words) - n + 1)),
-                     dtype=np.uint64, count=len(words) - n + 1)
-    return np.unique(hs)
+    """Distinct word n-gram hashes of one document (uint64, sorted)."""
+    _, sh = flat_word_shingles([text], n)
+    return sh
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -67,35 +131,60 @@ class MinHasher:
         self.bands = bands
         self.rows = rows
         H = bands * rows
-        self.seeds = mix64(np.arange(H, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+        base = np.arange(H, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+        # multiply-shift permutation family: x ↦ A·x + B (mod 2^64), A odd ⇒
+        # bijection, so min over the image is a valid MinHash permutation —
+        # 2 vector ops per hash instead of a full mix64 chain
+        self.mult = mix64(base) | np.uint64(1)
+        self.add = mix64(base + np.uint64(0x5851F42D4C957F2D))
 
     def signature(self, text: str) -> np.ndarray:
         sh = word_shingles(text, self.ngram)
         if len(sh) == 0:
-            return np.zeros(len(self.seeds), dtype=np.uint64)
-        return mix64(sh[None, :] ^ self.seeds[:, None]).min(axis=1)
+            return np.zeros(len(self.mult), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (sh[None, :] * self.mult[:, None]
+                    + self.add[:, None]).min(axis=1)
+
+    def signatures_flat(self, doc_idx: np.ndarray, sh: np.ndarray,
+                        num_docs: int) -> np.ndarray:
+        """(num_docs, H) signature matrix from flat per-doc shingles
+        (doc_idx sorted): per hash, one vectorized permute + segmented min
+        (reduceat) over the whole batch. Shingle-less docs stay all-zero —
+        same bucket behavior as :meth:`signature` on an empty doc."""
+        sig = np.zeros((num_docs, len(self.mult)), dtype=np.uint64)
+        if len(sh) == 0:
+            return sig
+        starts = segment_starts(doc_idx)
+        docs = doc_idx[starts]
+        with np.errstate(over="ignore"):
+            for hi in range(len(self.mult)):
+                vals = sh * self.mult[hi] + self.add[hi]
+                sig[docs, hi] = np.minimum.reduceat(vals, starts)
+        return sig
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
-        """Collapse each band's rows to one int64 key."""
-        m = sig.reshape(self.bands, self.rows)
-        key = np.zeros(self.bands, dtype=np.uint64)
+        """Collapse each band's rows to one int64 key (1-D signature)."""
+        return self.band_keys_matrix(sig[None, :])[0]
+
+    def band_keys_matrix(self, sig: np.ndarray) -> np.ndarray:
+        """(D, H) signatures → (D, bands) int64 band keys, vectorized."""
+        m = sig.reshape(sig.shape[0], self.bands, self.rows)
+        key = np.zeros((sig.shape[0], self.bands), dtype=np.uint64)
         for r in range(self.rows):
-            key = mix64(key ^ m[:, r])
+            key = mix64(key ^ m[:, :, r])
         return key.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for d, t in zip(ids, texts):
-            keys = self.band_keys(self.signature(t))
-            out_id.append(np.full(self.bands, d, dtype=np.int64))
-            out_band.append(np.arange(self.bands, dtype=np.int64))
-            out_key.append(keys)
+        d_idx, sh = flat_word_shingles(texts, self.ngram, unique=False)
+        keys = self.band_keys_matrix(self.signatures_flat(d_idx, sh, len(ids)))
         return pa.table({
-            "doc_id": pa.array(np.concatenate(out_id)),
-            "band": pa.array(np.concatenate(out_band)),
-            "band_key": pa.array(np.concatenate(out_key)),
+            "doc_id": pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int64),
+                                     len(ids))),
+            "band_key": pa.array(keys.ravel()),
         })
 
 
@@ -123,56 +212,117 @@ def candidate_pairs_from_bands(bands_ds):
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
+# sentinel "shingle" for a candidate doc with no shingles: two empty docs
+# verify to Jaccard 1.0 ({S}∩{S}={S}), empty-vs-nonempty to ~0 — the exact
+# semantics of jaccard() on empty sets, with no special cases downstream
+_EMPTY_SHINGLE = np.int64(-(1 << 63))
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("jaccard", pa.float64())])
+_ROUTE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pa", pa.int64()),
+                           ("pb", pa.int64()), ("shingle", pa.int64())])
+
+
 def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
                            rows: int = 4, seed: int = 42,
                            threshold: float = 0.6, concurrency: int = 4):
     """documents {doc_id, text} → verified near-dup pairs
     {a, b, jaccard} with exact Jaccard >= threshold.
 
-    Verification joins candidate ids back to their shingle sets via a
-    broadcast of ONLY the candidate docs' shingles (the candidate set is
-    orders of magnitude smaller than the corpus)."""
+    Verification is fully distributed (no driver materialization over the
+    corpus): (1) candidate doc IDS (ids only — never shingles or text) are
+    broadcast once via ``ray.put`` to prune which docs get re-shingled;
+    (2) shingle rows and pair-membership rows meet in a groupby(doc_id),
+    which replicates each candidate doc's shingles to its pairs (bounded:
+    a doc pairs with at most one bucket-min per band); (3) a groupby on the
+    pair key computes exact Jaccard inside ``map_groups``. Shuffle keys are
+    8-16 bytes; shingles move only for candidate docs."""
     import ray
 
     mh_kwargs = {"ngram": ngram, "bands": bands, "rows": rows, "seed": seed}
     bands_ds = docs_ds.map_batches(MinHasher, batch_format="pyarrow",
                                    concurrency=(1, concurrency),
                                    fn_constructor_kwargs=mh_kwargs)
-    cand = candidate_pairs_from_bands(bands_ds).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    need_ref = ray.put(set(int(x) for x in need))
+    pairs = candidate_pairs_from_bands(bands_ds)
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
+    # bounded driver collect: the DISTINCT candidate ids (int64 each);
+    # at 100 TB this is the prune set — a Bloom filter drops in here if even
+    # the id list outgrows driver memory
+    need = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pa.chunked_array([t["a"], t["b"]])}),
+        batch_format="pyarrow").unique("doc_id")
+    if not need:
+        return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+    need_ref = ray.put(np.sort(np.asarray(need, dtype=np.int64)))
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        """Shingles of candidate docs only, tagged pa=pb=-1."""
         ids = batch["doc_id"].to_numpy()
-        keep = [i for i, d in enumerate(ids) if int(d) in wanted]
-        texts = batch["text"].to_pylist()
-        out_id, out_sh = [], []
-        for i in keep:
-            sh = word_shingles(texts[i], ngram)
-            out_id.append(np.full(len(sh), ids[i], dtype=np.int64))
-            out_sh.append(sh.astype(np.int64))
-        if not out_id:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "shingle": pa.array([], pa.int64())})
-        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
-                         "shingle": pa.array(np.concatenate(out_sh))})
+        sel = np.flatnonzero(np.isin(ids, ray.get(need_ref)))
+        if len(sel) == 0:
+            return pa.Table.from_pylist([], schema=_ROUTE_SCHEMA)
+        texts = batch.column("text").take(pa.array(sel)).to_pylist()
+        d_idx, sh = flat_word_shingles(texts, ngram)
+        doc_col = ids[sel][d_idx]
+        sh_col = sh.astype(np.int64)
+        missing = np.setdiff1d(np.arange(len(sel)), d_idx)  # shingle-less docs
+        if len(missing):
+            doc_col = np.concatenate([doc_col, ids[sel][missing]])
+            sh_col = np.concatenate(
+                [sh_col, np.full(len(missing), _EMPTY_SHINGLE, np.int64)])
+        neg = np.full(len(doc_col), -1, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(doc_col), "pa": pa.array(neg),
+                         "pb": pa.array(neg), "shingle": pa.array(sh_col)})
 
-    sh_tbl = docs_ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-    sets = {d: np.sort(g["shingle"].to_numpy().astype(np.uint64))
-            for d, g in sh_tbl.groupby("doc_id")}
-    ja = np.array([jaccard(sets.get(int(r.a), np.zeros(0, np.uint64)),
-                           sets.get(int(r.b), np.zeros(0, np.uint64)))
-                   for r in cand.itertuples()])
-    keep = ja >= threshold
-    out = cand[keep].reset_index(drop=True)
-    return pa.table({"a": pa.array(out["a"].to_numpy(), pa.int64()),
-                     "b": pa.array(out["b"].to_numpy(), pa.int64()),
-                     "jaccard": pa.array(ja[keep], pa.float64())})
+    def membership_rows(t: pa.Table) -> pa.Table:
+        """Two routing rows per candidate pair: one to each member doc."""
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "pa": pa.array(np.concatenate([a, a])),
+            "pb": pa.array(np.concatenate([b, b])),
+            "shingle": pa.array(np.zeros(2 * len(a), dtype=np.int64)),
+        })
+
+    sh_ds = docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
+    mem_ds = pairs.map_batches(membership_rows, batch_format="pyarrow")
+
+    def replicate_to_pairs(group: pa.Table) -> pa.Table:
+        """One doc's group: emit its shingles once per pair it belongs to."""
+        pa_col = group["pa"].to_numpy()
+        is_mem = pa_col >= 0
+        sh = group["shingle"].to_numpy()[~is_mem]
+        k = int(is_mem.sum())
+        if k == 0 or len(sh) == 0:
+            return pa.Table.from_pylist([], schema=_ROUTE_SCHEMA)
+        did = int(group["doc_id"][0].as_py())
+        pas = pa_col[is_mem]
+        pbs = group["pb"].to_numpy()[is_mem]
+        # doc_id slot reused as the side flag: 0 = I am pair member a, 1 = b
+        sides = (pas != did).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(sides, len(sh))),
+            "pa": pa.array(np.repeat(pas, len(sh))),
+            "pb": pa.array(np.repeat(pbs, len(sh))),
+            "shingle": pa.array(np.tile(sh, k)),
+        })
+
+    routed = sh_ds.union(mem_ds).groupby("doc_id").map_groups(
+        replicate_to_pairs, batch_format="pyarrow")
+
+    def verify_pair(group: pa.Table) -> pa.Table:
+        side = group["doc_id"].to_numpy()
+        sh = group["shingle"].to_numpy()
+        j = jaccard(np.unique(sh[side == 0]), np.unique(sh[side == 1]))
+        if j < threshold:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        return pa.table({"a": pa.array([group["pa"][0].as_py()], pa.int64()),
+                         "b": pa.array([group["pb"][0].as_py()], pa.int64()),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    return routed.groupby(["pa", "pb"]).map_groups(
+        verify_pair, batch_format="pyarrow")
 
 
 def near_dup_clusters(pairs, num_partitions: int = 8):
@@ -205,28 +355,48 @@ class SimHasher:
     by term frequency). Near-dup candidates share at least one of the four
     16-bit chunks (pigeonhole: hamming<=3 ⇒ some chunk equal)."""
 
+    _BITS = np.arange(64, dtype=np.uint64)
+    _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
     def __init__(self, seed: int = 42):
         self.seed = np.uint64(seed * 2_654_435_761)
 
-    def simhash(self, text: str) -> np.uint64:
-        words = text.split()
-        if not words:
-            return np.uint64(0)
-        hs = np.fromiter((_hash_str64(w) for w in words), dtype=np.uint64,
-                         count=len(words))
-        uh, cnt = np.unique(mix64(hs ^ self.seed), return_counts=True)
-        bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.int64)
-        score = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.flatnonzero(score > 0):
-            out |= np.uint64(1) << np.uint64(i)
+    def simhash_batch(self, texts) -> np.ndarray:
+        """uint64 SimHash per text, one vectorized pass over the whole batch
+        (flat word hashing + per-doc TF counts + segmented bit-score sum)."""
+        words_per_doc = [t.split() for t in texts]
+        counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        hw = mix64(hash_words([w for doc in words_per_doc for w in doc])
+                   ^ self.seed)
+        D = len(texts)
+        out = np.zeros(D, dtype=np.uint64)
+        if len(hw) == 0:
+            return out
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
+        # per-doc term frequencies: sort (doc, hash), run-length count
+        order = np.lexsort((hw, doc_of))
+        d, h = doc_of[order], hw[order]
+        starts = np.empty(len(d), dtype=bool)
+        starts[0:1] = True
+        np.logical_or(d[1:] != d[:-1], h[1:] != h[:-1], out=starts[1:])
+        s = np.flatnonzero(starts)
+        tf = np.diff(np.concatenate([s, [len(d)]])).astype(np.int32)
+        ud, uh = d[s], h[s]
+        # weighted sign sum per (doc, bit): segmented over the doc runs
+        bits = ((uh[:, None] >> self._BITS) & np.uint64(1)).astype(np.int32)
+        weighted = (2 * bits - 1) * tf[:, None]
+        doc_starts = segment_starts(ud)
+        score = np.add.reduceat(weighted, doc_starts, axis=0)  # (docs, 64)
+        present = ud[doc_starts]
+        out[present] = (score > 0).astype(np.uint64) @ self._POW2
         return out
+
+    def simhash(self, text: str) -> np.uint64:
+        return self.simhash_batch([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        sigs = np.array([self.simhash(t) for t in batch["text"].to_pylist()],
-                        dtype=np.uint64)
+        sigs = self.simhash_batch(batch["text"].to_pylist())
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "simhash": pa.array(sigs.astype(np.int64))})
 
@@ -306,16 +476,9 @@ def ngram_jaccard_pairs_exact(docs_ds, *, ngram: int = 3,
 
     def doc_shingles(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        out_id, out_sh = [], []
-        for d, t in zip(ids, batch["text"].to_pylist()):
-            sh = word_shingles(t, ngram)
-            out_id.append(np.full(len(sh), d, dtype=np.int64))
-            out_sh.append(sh.astype(np.int64))
-        if not out_id:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "shingle": pa.array([], pa.int64())})
-        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
-                         "shingle": pa.array(np.concatenate(out_sh))})
+        d_idx, sh = flat_word_shingles(batch["text"].to_pylist(), ngram)
+        return pa.table({"doc_id": pa.array(ids[d_idx], pa.int64()),
+                         "shingle": pa.array(sh.astype(np.int64))})
 
     sh = ds.map_batches(doc_shingles, batch_format="pyarrow").to_pandas()
     sets = {int(d): np.sort(g["shingle"].to_numpy())

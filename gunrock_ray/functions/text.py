@@ -72,27 +72,36 @@ class TextAnalyzer:
         mlen = sum(len(t) for t in toks) / len(toks)
         return stop, punct, mlen
 
-    @staticmethod
-    def fingerprint(text: str, window: int = 16) -> int:
-        """Rolling-hash document fingerprint: min of Rabin-Karp window hashes
-        (winnowing-lite, deterministic)."""
-        data = text.encode("utf-8", "ignore")
-        if len(data) < window:
-            h = 0
-            for b in data:
-                h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
-            return h
-        base, mod = 257, (1 << 61) - 1
-        pw = pow(base, window - 1, mod)
-        h = 0
-        for b in data[:window]:
-            h = (h * base + b) % mod
-        best = h
-        for i in range(window, len(data)):
-            h = ((h - data[i - window] * pw) * base + data[i]) % mod
-            if h < best:
-                best = h
-        return best
+    # polynomial rolling-hash base (odd ⇒ invertible mod 2^64) + its inverse
+    _FP_BASE = np.uint64(0x100000001B3)
+    _FP_BASE_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+    @classmethod
+    def fingerprint(cls, text: str, window: int = 16) -> int:
+        """Rolling-hash document fingerprint: min of polynomial window hashes
+        mod 2^64 (winnowing-lite, deterministic). Fully vectorized — one
+        cumprod/cumsum pass instead of a per-byte Python loop: with prefix
+        sums C[k] = Σ_{j<k} data[j]·b^{-j}, the window hash
+        H(i) = Σ_t data[i+t]·b^{w-1-t} = b^{i+w-1}·(C[i+w] − C[i]); b odd
+        makes b^{-1} exact mod 2^64, so uint64 wraparound IS the modulus."""
+        data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        nb = len(data)
+        if nb == 0:
+            return 0
+        w = min(window, nb)
+        with np.errstate(over="ignore"):
+            ib = np.concatenate([
+                [np.uint64(1)],
+                np.cumprod(np.full(nb - 1, cls._FP_BASE_INV, dtype=np.uint64))])
+            bp = np.cumprod(np.full(nb, cls._FP_BASE, dtype=np.uint64))  # b^1..b^nb
+            C = np.concatenate([[np.uint64(0)],
+                                np.cumsum(data.astype(np.uint64) * ib)])
+            # b^{i+w-1}: bp[i+w-2] for i>0, else b^{w-1}
+            i = np.arange(nb - w + 1)
+            pw = np.where(i + w - 2 >= 0, bp[np.maximum(i + w - 2, 0)],
+                          np.uint64(1))
+            H = pw * (C[i + w] - C[i])
+        return int(H.min())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()

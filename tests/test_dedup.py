@@ -169,3 +169,25 @@ def test_text_analyzer_langid_and_fingerprint():
     fp = TextAnalyzer.fingerprint
     assert fp("hello world, this is a long enough string") == \
         fp("hello world, this is a long enough string")
+
+
+def test_minhash_distributed_verify_empty_docs():
+    """Two empty docs bucket together (all-zero signatures) and verify to
+    Jaccard 1.0 via the sentinel shingle; empty-vs-nonempty never pairs."""
+    import pyarrow as pa
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["", "", "alpha beta gamma delta"], pa.string())})
+    out = minhash_near_dup_pairs(_ds(t), threshold=0.5).to_pandas()
+    pairs = {(r.a, r.b): r.jaccard for r in out.itertuples()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_hash_words_vectorized_matches_single():
+    from gunrock_ray.functions.dedup import hash_words
+    words = ["alpha", "beta", "a", "longerwordhere", "beta"]
+    batch = hash_words(words)
+    for i, w in enumerate(words):
+        assert batch[i] == hash_words([w])[0]  # width-independent
+    assert batch[1] == batch[4]
+    assert len(set(batch[:4].tolist())) == 4

@@ -1,0 +1,107 @@
+"""Micro-benchmark: vectorized text-hashing kernels vs the round-1 naive
+per-byte Python loops (kept here as inline references only). No Ray — pure
+kernel timing on synthetic docs. Run: python tools/microbench_text.py
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from gunrock_ray.common import mix64
+from gunrock_ray.functions.dedup import MinHasher, flat_word_shingles
+from gunrock_ray.functions.text import TextAnalyzer
+
+# ---- round-1 naive reference implementations (per-byte Python loops) -------
+
+_FNV64 = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _naive_hash_str64(s: str) -> np.uint64:
+    h = _FNV64
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(h)
+
+
+def _naive_word_shingles(text: str, n: int = 3) -> np.ndarray:
+    words = text.split()
+    if len(words) < n:
+        joined = " ".join(words)
+        return (np.array([_naive_hash_str64(joined)], dtype=np.uint64)
+                if joined else np.zeros(0, dtype=np.uint64))
+    hs = np.fromiter((_naive_hash_str64(" ".join(words[i:i + n]))
+                      for i in range(len(words) - n + 1)),
+                     dtype=np.uint64, count=len(words) - n + 1)
+    return np.unique(hs)
+
+
+def _naive_fingerprint(text: str, window: int = 16) -> int:
+    data = text.encode("utf-8", "ignore")
+    if len(data) < window:
+        h = 0
+        for b in data:
+            h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
+        return h
+    base, mod = 257, (1 << 61) - 1
+    pw = pow(base, window - 1, mod)
+    h = 0
+    for b in data[:window]:
+        h = (h * base + b) % mod
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best
+
+
+def _docs(n_docs: int = 200, n_words: int = 700, seed: int = 7) -> list[str]:
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"tok{i:04d}" for i in range(2000)])
+    return [" ".join(rng.choice(vocab, n_words)) for _ in range(n_docs)]
+
+
+def main() -> None:
+    texts = _docs()
+    mh = MinHasher(bands=16, rows=4)
+
+    seeds = mix64(np.arange(64, dtype=np.uint64))  # the round-1 hash family
+
+    t0 = time.perf_counter()
+    for t in texts:
+        sh = _naive_word_shingles(t, 3)
+        if len(sh):
+            mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
+    t_naive_sig = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    d_idx, sh = flat_word_shingles(texts, 3, unique=False)
+    mh.signatures_flat(d_idx, sh, len(texts))
+    t_vec_sig = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for t in texts:
+        _naive_fingerprint(t)
+    t_naive_fp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for t in texts:
+        TextAnalyzer.fingerprint(t)
+    t_vec_fp = time.perf_counter() - t0
+
+    print(json.dumps({
+        "docs": len(texts), "words_per_doc": 700,
+        "minhash_signature_naive_s": round(t_naive_sig, 3),
+        "minhash_signature_vectorized_s": round(t_vec_sig, 3),
+        "minhash_speedup": round(t_naive_sig / t_vec_sig, 1),
+        "fingerprint_naive_s": round(t_naive_fp, 3),
+        "fingerprint_vectorized_s": round(t_vec_fp, 3),
+        "fingerprint_speedup": round(t_naive_fp / t_vec_fp, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
