@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": r.q_doc_exact_dedup,
         "doc_token_stats": r.q_doc_token_stats,
         "ann_top5": r.q_ann_top5,
+        "ann_lsh_top5": r.q_ann_lsh_top5,   # rows-only (LSH recall pytest-gated)
+        "embed_near_dup_lsh": r.q_embed_near_dup_lsh,  # rows-only (subset-of-exact)
         # dedup / similarity family (SURVEY.md §2 extensions)
         "ngram_jaccard": r.q_ngram_jaccard,
         "embed_near_dup": r.q_embed_near_dup,

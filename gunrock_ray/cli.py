@@ -121,6 +121,99 @@ def cmd_run(args) -> dict:
     return summary
 
 
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _write_result(out_dir: str, res) -> int:
+    """Dataset / pa.Table / DataFrame → partitioned Parquet; returns rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(out_dir, exist_ok=True)
+    if hasattr(res, "write_parquet"):        # Ray Dataset: streaming write
+        res.write_parquet(out_dir)
+        return res.count()
+    if not isinstance(res, pa.Table):        # small pandas DataFrame
+        res = pa.Table.from_pandas(res, preserve_index=False)
+    pq.write_table(res, os.path.join(out_dir, "part-0.parquet"))
+    return res.num_rows
+
+
+def cmd_dedup(args) -> dict:
+    """Dedup / similarity family over a documents or embeddings Parquet —
+    the training-data operators as a `ray job submit` surface."""
+    import ray.data
+    from gunrock_ray.functions import dedup as dd
+    _init_ray()
+    t0 = time.perf_counter()
+    if args.method in ("embed", "embed-lsh"):
+        if args.method == "embed":
+            pairs = dd.embedding_near_dup_pairs_exact(
+                args.input, threshold=args.threshold)
+        else:
+            pairs = dd.embedding_near_dup_pairs_lsh(
+                args.input, threshold=args.threshold,
+                num_planes=args.planes, num_tables=args.tables)
+    else:
+        docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        if args.method == "exact":
+            pairs = dd.exact_dedup_keepers(docs)
+        elif args.method == "minhash":
+            pairs = dd.minhash_near_dup_pairs(
+                docs, ngram=args.ngram, bands=args.bands, rows=args.rows,
+                threshold=args.threshold)
+        elif args.method == "simhash":
+            pairs = dd.simhash_near_dup_pairs(docs,
+                                              max_hamming=args.max_hamming)
+        else:  # ngram
+            pairs = dd.ngram_jaccard_pairs_exact(
+                docs, ngram=args.ngram, thr_num=args.thr_num,
+                thr_den=args.thr_den, id_limit=args.id_limit)
+    if args.cluster:
+        if args.method in ("exact",):
+            raise SystemExit("--cluster applies to pair-producing methods")
+        pairs = dd.near_dup_clusters(pairs, num_partitions=args.partitions or 8)
+    rows = _write_result(args.out, pairs)
+    summary = {"cmd": "dedup", "method": args.method, "rows": rows,
+               "clustered": bool(args.cluster),
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
+def cmd_ann(args) -> dict:
+    from gunrock_ray.functions import ann as annf
+    _init_ray()
+    t0 = time.perf_counter()
+    if args.method == "brute":
+        top = annf.brute_force_topk(args.input, num_queries=args.queries,
+                                    k=args.k)
+    else:
+        top = annf.lsh_topk(args.input, num_queries=args.queries, k=args.k,
+                            num_planes=args.planes, num_tables=args.tables)
+    rows = _write_result(args.out, top)
+    summary = {"cmd": "ann", "method": args.method, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
+def cmd_analyze(args) -> dict:
+    import ray.data
+    from gunrock_ray.functions.text import analyze_documents
+    _init_ray()
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    rows = _write_result(args.out, analyze_documents(docs))
+    summary = {"cmd": "analyze", "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="gunrock_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,9 +247,49 @@ def main(argv=None) -> None:
     run.add_argument("--ckpt-dir", default=None)
     run.add_argument("--ckpt-every", type=int, default=0)
     run.add_argument("--resume", action="store_true")
+    ded = sub.add_parser("dedup", help="dedup/similarity over documents "
+                         "or embeddings Parquet")
+    ded.add_argument("--method", required=True,
+                     choices=["exact", "minhash", "simhash", "ngram",
+                              "embed", "embed-lsh"])
+    ded.add_argument("--input", required=True)
+    ded.add_argument("--out", default="/tmp/gunrock_ray_dedup")
+    ded.add_argument("--threshold", type=float, default=0.6)
+    ded.add_argument("--ngram", type=int, default=3)
+    ded.add_argument("--bands", type=int, default=16)
+    ded.add_argument("--rows", type=int, default=4)
+    ded.add_argument("--max-hamming", type=int, default=3)
+    ded.add_argument("--thr-num", type=int, default=1)
+    ded.add_argument("--thr-den", type=int, default=2)
+    ded.add_argument("--id-limit", type=int, default=None)
+    ded.add_argument("--planes", type=int, default=12)
+    ded.add_argument("--tables", type=int, default=8)
+    ded.add_argument("--partitions", type=int, default=None)
+    ded.add_argument("--cluster", action="store_true",
+                     help="CC-cluster the verified pairs (keeper = min id)")
+
+    annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
+    annp.add_argument("--method", default="brute", choices=["brute", "lsh"])
+    annp.add_argument("--input", required=True)
+    annp.add_argument("--out", default="/tmp/gunrock_ray_ann")
+    annp.add_argument("--queries", type=int, default=10)
+    annp.add_argument("--k", type=int, default=5)
+    annp.add_argument("--planes", type=int, default=4)
+    annp.add_argument("--tables", type=int, default=24)
+
+    ana = sub.add_parser("analyze", help="text analysis over documents Parquet")
+    ana.add_argument("--input", required=True)
+    ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
+
     args = ap.parse_args(argv)
     if args.cmd == "run":
         cmd_run(args)
+    elif args.cmd == "dedup":
+        cmd_dedup(args)
+    elif args.cmd == "ann":
+        cmd_ann(args)
+    elif args.cmd == "analyze":
+        cmd_analyze(args)
 
 
 if __name__ == "__main__":

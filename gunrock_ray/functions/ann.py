@@ -3,15 +3,22 @@
 - :func:`brute_force_topk` — exact cosine top-k: the query matrix is broadcast
   once via ``ray.put`` and every batch does one float64 matmul against it
   (the baseline; linear scan of the corpus, embarrassingly parallel).
-- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets; queries
-  only scan candidate buckets (approximate; recall depends on planes/tables).
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets with the
+  vectors carried through the bucket rows; each query scans only its own
+  buckets (approximate; recall grows with ``num_tables``, narrows with
+  ``num_planes``).
+
+Scale notes (100 TB): the corpus is never collected — candidate selection is
+per-block / per-bucket with partial top-k, and only the tiny
+(queries × k × blocks-or-tables) candidate set reaches the driver for the
+final merge. Query vectors are selected DISTRIBUTED (per-block partial
+filter/min) rather than by reading the embeddings file on the driver.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 
 def _stack(col) -> np.ndarray:
@@ -30,26 +37,68 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
+def _embeddings_ds(embeddings_path: str):
+    import ray.data
+    return ray.data.read_parquet(embeddings_path,
+                                 columns=["vec_id", "embedding"])
+
+
+def _query_matrix(embeddings_path: str, num_queries: int,
+                  query_ids: np.ndarray | None):
+    """(q_ids, normalized Q) for the query set, selected DISTRIBUTED:
+    per-block partial selection (the num_queries smallest vec_ids, or an
+    ``np.isin`` filter), tiny driver-side merge — the embeddings file is
+    never read whole on the driver."""
+    ds = _embeddings_ds(embeddings_path)
+    if query_ids is None:
+        nq = num_queries
+
+        def block_smallest(batch: pa.Table) -> pa.Table:
+            order = np.argsort(batch["vec_id"].to_numpy())[:nq]
+            return batch.take(pa.array(order))
+
+        cand = ds.map_batches(block_smallest, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values("vec_id").head(nq)
+    else:
+        want = np.sort(np.asarray(query_ids, dtype=np.int64))
+
+        def block_filter(batch: pa.Table) -> pa.Table:
+            sel = np.flatnonzero(np.isin(batch["vec_id"].to_numpy(), want))
+            return batch.take(pa.array(sel))
+
+        cand = ds.map_batches(block_filter, batch_format="pyarrow").to_pandas()
+        pos = {int(v): i for i, v in enumerate(cand["vec_id"])}
+        cand = cand.iloc[[pos[int(q)] for q in query_ids]]
+    q_ids = cand["vec_id"].to_numpy()
+    Q = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                             for e in cand["embedding"]]))
+    return q_ids, Q
+
+
+def _merge_topk(cands, k: int):
+    """Tiny candidate set {query_id, neighbor_id, sim} → ranked top-k
+    DataFrame {query_id, neighbor_id, rank} (sim desc, ties → smaller id)."""
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    cands = cands.drop_duplicates(["query_id", "neighbor_id"])
+    cands = cands.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
 def brute_force_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
                      query_ids: np.ndarray | None = None):
     """Exact cosine top-k neighbors of the query vectors, excluding self.
 
-    Returns a Ray Dataset {query_id, neighbor_id, rank} (rank 1..k by
+    Returns a DataFrame {query_id, neighbor_id, rank} (rank 1..k by
     similarity desc, ties → smaller neighbor_id). Per-batch partial top-k
     (matmul + argpartition) then a driver-side merge over the tiny
     (num_queries × k × num_blocks) candidate set — the corpus is never
     collected."""
     import ray
-    import ray.data
 
-    qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    if query_ids is None:
-        order = np.argsort(qt["vec_id"].to_numpy())[:num_queries]
-    else:
-        pos = {int(v): i for i, v in enumerate(qt["vec_id"].to_numpy())}
-        order = np.array([pos[int(q)] for q in query_ids])
-    q_ids = qt["vec_id"].to_numpy()[order]
-    Q = _normalize(_stack(qt["embedding"])[order])
+    q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
     q_ref = ray.put((q_ids, Q))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -69,50 +118,132 @@ def brute_force_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
                          "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
                          "sim": pa.array(rows["sim"], pa.float64())})
 
-    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    ds = _embeddings_ds(embeddings_path)
     cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    cands = cands[cands["query_id"] != cands["neighbor_id"]]
-    cands = cands.sort_values(["query_id", "sim", "neighbor_id"],
-                              ascending=[True, False, True])
-    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "neighbor_id", "rank"]]
+    return _merge_topk(cands, k)
 
 
 class LshIndexer:
     """Actor-pool stage: random-hyperplane signatures (one uint64 per table).
 
     Planes are derived deterministically from the seed in ``__init__`` (once
-    per actor). Emits (vec_id, table_id, bucket) rows; a groupby on
-    (table_id, bucket) then yields candidate sets whose buckets are small."""
+    per actor). Emits (vec_id, table_id, bucket) rows — plus the embedding
+    itself when ``carry_embedding`` (one copy per table, bounded and
+    row-local: downstream bucket verification then needs NO broadcast of
+    the corpus matrix). A groupby on (table_id, bucket) yields candidate
+    sets whose buckets are small."""
 
     def __init__(self, dim: int, num_planes: int = 16, num_tables: int = 4,
-                 seed: int = 42):
+                 seed: int = 42, carry_embedding: bool = False):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((num_tables, num_planes, dim))
         self.weights = (1 << np.arange(num_planes, dtype=np.uint64))
         self.num_tables = num_tables
+        self.carry_embedding = carry_embedding
+
+    def signatures(self, M: np.ndarray) -> np.ndarray:
+        """(n, d) normalized matrix → (num_tables, n) int64 buckets."""
+        out = np.empty((self.num_tables, M.shape[0]), dtype=np.int64)
+        for t in range(self.num_tables):
+            bits = (M @ self.planes[t].T) > 0  # (n, planes)
+            out[t] = ((bits.astype(np.uint64) * self.weights).sum(axis=1)
+                      .astype(np.int64))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _normalize(_stack(batch["embedding"]))
         vid = batch["vec_id"].to_numpy()
-        out_v, out_t, out_b = [], [], []
-        for t in range(self.num_tables):
-            bits = (M @ self.planes[t].T) > 0  # (n, planes)
-            bucket = (bits.astype(np.uint64) * self.weights).sum(axis=1)
-            out_v.append(vid)
-            out_t.append(np.full(len(vid), t, dtype=np.int64))
-            out_b.append(bucket.astype(np.int64))
-        return pa.table({"vec_id": pa.array(np.concatenate(out_v)),
-                         "table_id": pa.array(np.concatenate(out_t)),
-                         "bucket": pa.array(np.concatenate(out_b))})
+        buckets = self.signatures(M)
+        T, n = self.num_tables, len(vid)
+        cols = {
+            "vec_id": pa.array(np.tile(vid, T)),
+            "table_id": pa.array(np.repeat(np.arange(T, dtype=np.int64), n)),
+            "bucket": pa.array(buckets.ravel()),
+        }
+        if self.carry_embedding:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            cols["embedding"] = pa.chunked_array([emb] * T)
+        return pa.table(cols)
 
 
 def lsh_buckets(embeddings_ds, dim: int, num_planes: int = 16, num_tables: int = 4,
-                seed: int = 42, concurrency: int = 4):
-    """Dataset stage: embeddings → (vec_id, table_id, bucket). The IVF/LSH
-    scale path for ANN: candidates = same-bucket ids in any table."""
+                seed: int = 42, concurrency: int = 4,
+                carry_embedding: bool = False):
+    """Dataset stage: embeddings → (vec_id, table_id, bucket[, embedding]).
+    The IVF/LSH scale path for ANN: candidates = same-bucket ids in any
+    table."""
     return embeddings_ds.map_batches(
         LshIndexer, batch_format="pyarrow", concurrency=(1, concurrency),
         fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
-                               "num_tables": num_tables, "seed": seed})
+                               "num_tables": num_tables, "seed": seed,
+                               "carry_embedding": carry_embedding})
+
+
+def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
+             query_ids: np.ndarray | None = None, *,
+             num_planes: int = 4, num_tables: int = 24, seed: int = 42,
+             concurrency: int = 4):
+    """Approximate cosine top-k via random-hyperplane LSH — the scale path.
+
+    (1) query vectors are hashed with the SAME planes as the corpus (tiny
+    driver-side matrix); (2) the corpus is bucketed with embeddings carried
+    through the rows; (3) each non-empty (table, bucket) group exact-ranks
+    its members against only the queries mapped to that bucket (partial
+    top-k per bucket); (4) the driver merges the tiny
+    (queries × k × tables) candidate set. Recall grows with ``num_tables``
+    and shrinks with ``num_planes`` (bucket granularity). Returns
+    {query_id, neighbor_id, rank} like :func:`brute_force_topk`."""
+    import ray
+
+    q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
+    dim = Q.shape[1]
+    hasher = LshIndexer(dim, num_planes=num_planes, num_tables=num_tables,
+                        seed=seed)
+    q_sig = hasher.signatures(Q)  # (T, q)
+    # bucket → query-row lookup, tiny: one dict of index arrays per table
+    lookup: dict[tuple[int, int], np.ndarray] = {}
+    for t in range(num_tables):
+        for b in np.unique(q_sig[t]):
+            lookup[(t, int(b))] = np.flatnonzero(q_sig[t] == b)
+    q_ref = ray.put((q_ids, Q, lookup))
+
+    ds = _embeddings_ds(embeddings_path)
+    buckets = lsh_buckets(ds, dim, num_planes=num_planes,
+                          num_tables=num_tables, seed=seed,
+                          concurrency=concurrency, carry_embedding=True)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        ids, Qm, lk = ray.get(q_ref)
+        t = int(group["table_id"][0].as_py())
+        b = int(group["bucket"][0].as_py())
+        q_rows = lk.get((t, b))
+        if q_rows is None:
+            return empty
+        vid = group["vec_id"].to_numpy()
+        V = _normalize(_stack(group["embedding"]))
+        sims = Qm[q_rows] @ V.T  # (q_sub, members)
+        kk = min(k + 1, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for si, qi in enumerate(q_rows):
+            row = part[si]
+            out["query_id"].extend([ids[qi]] * len(row))
+            out["neighbor_id"].extend(vid[row].tolist())
+            out["sim"].extend(sims[si, row].tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                         "sim": pa.array(out["sim"], pa.float64())})
+
+    cands = buckets.groupby(["table_id", "bucket"]).map_groups(
+        rank_bucket, batch_format="pyarrow").to_pandas()
+    if len(cands) == 0:
+        import pandas as pd
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return _merge_topk(cands, k)

@@ -115,6 +115,28 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+# -------------------------------------------------------------- exact dedup
+
+def exact_dedup_keepers(docs_ds):
+    """Exact dedup over {doc_id, text}: one row per distinct text —
+    {doc_id (keeper = min id), n_dups}. The shuffle key is the 32-byte
+    sha256, never the document body (the scale path)."""
+    import hashlib
+    from ray.data.aggregate import Count, Min
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode("utf-8")).digest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sha": pa.array(hs, pa.binary(32))})
+
+    ds = docs_ds.map_batches(sha, batch_format="pyarrow")
+    return (ds.groupby("sha")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"]))
+
+
 # ------------------------------------------------------------------ MinHash
 
 class MinHasher:
@@ -534,32 +556,30 @@ def embedding_near_dup_pairs_lsh(embeddings_path: str, *, threshold: float = 0.9
                                  num_planes: int = 12, num_tables: int = 8,
                                  seed: int = 42):
     """Scale path: LSH-bucket candidates (groupby on (table, bucket)) then
-    exact cosine verify inside buckets only. Approximate — recall grows with
-    num_tables; returns the same schema as the exact variant."""
-    import ray
+    exact cosine verify inside buckets only, on the vectors CARRIED through
+    the bucket rows (one copy per table — bounded, row-local; the corpus
+    matrix is never broadcast or materialized). Approximate — recall grows
+    with num_tables; returns the same schema as the exact variant."""
     import ray.data
-    import pyarrow.parquet as pq
     from gunrock_ray.functions.ann import _stack, _normalize, lsh_buckets
 
-    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    dim = len(t["embedding"][0])
-    ids_all = t["vec_id"].to_numpy()
-    pos = np.argsort(ids_all)
-    M = _normalize(_stack(t["embedding"]))[pos]
-    sorted_ids = ids_all[pos]
-    ref = ray.put((sorted_ids, M))
-
     ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    if not first:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    dim = len(first[0]["embedding"])
     buckets = lsh_buckets(ds, dim, num_planes=num_planes, num_tables=num_tables,
-                          seed=seed)
+                          seed=seed, carry_embedding=True)
 
     def verify_group(batch: pa.Table) -> pa.Table:
-        vids = np.unique(batch["vec_id"].to_numpy())
+        vids = batch["vec_id"].to_numpy()
         if len(vids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        sids, Mm = ray.get(ref)
-        V = Mm[np.searchsorted(sids, vids)]
+        V = _normalize(_stack(batch["embedding"]))
+        order = np.argsort(vids)  # a < b by id, deterministic
+        vids, V = vids[order], V[order]
         sims = V @ V.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
         return pa.table({"a": pa.array(vids[ii], pa.int64()),

@@ -468,6 +468,25 @@ def q_ann_top5(sf_dir: str):
                             num_queries=10, k=5)
 
 
+def q_ann_lsh_top5(sf_dir: str):
+    """LSH-bucketed cosine top-5 — the ANN scale path (rows-only: LSH is
+    approximate by design; recall >= 0.9 vs brute force is pytest-asserted
+    in tests/test_ann.py)."""
+    from gunrock_ray.functions.ann import lsh_topk
+    return lsh_topk(os.path.join(sf_dir, "embeddings.parquet"),
+                    num_queries=10, k=5)
+
+
+def q_embed_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs — the scale path with vectors
+    carried through bucket rows (rows-only; subset-of-exact is
+    pytest-asserted)."""
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_lsh
+    return embedding_near_dup_pairs_lsh(
+        os.path.join(sf_dir, "embeddings.parquet"), threshold=0.45,
+        num_planes=4, num_tables=24)
+
+
 # --- oracle SQL --------------------------------------------------------------
 
 _VERTS_SQL = (f"SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "

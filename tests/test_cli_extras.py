@@ -166,3 +166,38 @@ def test_driver_entry_smoke():
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert list(df.columns) == ["v", "rank"]
     assert len(df) >= 1
+
+
+def test_cli_dedup_ann_analyze(tmp_path):
+    """The training-data operators are reachable via the ray-job CLI."""
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    embs = "/root/testdata/sf0.001/embeddings.parquet"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "dedup", "--method", "exact",
+         "--input", docs, "--out", str(tmp_path / "dd")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["method"] == "exact" and s["rows"] > 0
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "ann", "--method", "lsh",
+         "--input", embs, "--out", str(tmp_path / "ann"),
+         "--queries", "5", "--k", "3"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rows"] == 15  # 5 queries x top-3
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "analyze",
+         "--input", docs, "--out", str(tmp_path / "ana")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rows"] == 500  # sf0.001 documents
+    import pyarrow.parquet as pq
+    out = pq.read_table(str(tmp_path / "ana"))
+    assert {"doc_id", "pred_lang", "fingerprint"} <= set(out.schema.names)
