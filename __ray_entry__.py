@@ -58,7 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp3_weighted": r.q_lp3_weighted,  # SQL-checked (weighted votes)
         "sssp_weighted": r.q_sssp_weighted,
         "sssp_nf": r.q_sssp_nf,
-        "pr_top20": r.q_pr_top20,      # rows-only (pytest-validated, 1e-6)
+        "pr_top20": r.q_pr_top20,      # SQL-checked (converged, 1e-6 int scale)
+        "wtf_cot": r.q_wtf_cot,        # SQL-checked (personalized PR top-100)
         "lp_labels": r.q_lp_labels,    # rows-only (pytest-validated, exact)
         "sssp_dists": r.q_sssp_dists,  # SQL-checked (unit weights == depth)
         "hits": r.q_hits,              # rows-only (pytest-validated, 1e-9)

@@ -6,13 +6,14 @@ payloads stay opaque bytes end-to-end; only typed metadata and derived
 features move through shuffles. All stages are actor-pool ``map_batches``
 classes (decoder state constructed once per actor in ``__init__``).
 
-The actual codec calls are STUBBED: this container has no image/audio
-libraries, so ``codec='real'`` raises NotImplementedError at actor
-construction, and the default ``codec='fake'`` is a deterministic
-byte-hash-seeded decode that produces correctly-shaped arrays. The Ray-side
-plumbing — schemas, batch sizing for large binary payloads, actor pool
-signatures, output layout — is real and tested; swapping in Pillow/librosa
-later only replaces the ``_decode_*`` bodies.
+Codecs: the default ``codec='fake'`` is a deterministic byte-hash-seeded
+decode that produces correctly-shaped arrays (exercises the identical
+plumbing). ``codec='real'`` decodes the UNCOMPRESSED container formats this
+environment can handle without external libraries: binary PPM (P6) / PGM
+(P5) images via NumPy, PCM WAV audio via the stdlib ``wave`` module, and
+raw uint8 frame buffers for video. Compressed formats (JPEG/PNG/FLAC/MP4)
+still need Pillow/soundfile/pyav — ``codec='real'`` raises ValueError on
+their magics; swapping those libs in only extends the ``_decode_*`` bodies.
 
 Batch sizing at 100 TB: payload rows are large (MBs), so stages here default
 to small ``batch_size`` (32) — size batches by BYTES not rows when payloads
@@ -60,6 +61,79 @@ def synthetic_media_table(num_rows: int, kind: str = "image", seed: int = 42) ->
     })
 
 
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (h, w, c) uint8, pure NumPy.
+
+    Header: magic, then whitespace-separated width height maxval with
+    ``#`` comments, one whitespace byte, then the raster."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {payload[:2]!r}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                      # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = h * w * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(h, w, channels)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, c) uint8 → binary PPM/PGM bytes (test fixture + sink)."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono float64 waveform in [-1, 1], sample_rate),
+    stdlib ``wave`` + NumPy (8/16/32-bit PCM)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        sr = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype=np.int32).astype(np.float64) / 2147483648.0
+    elif width == 1:          # unsigned 8-bit PCM
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def encode_wav(wave_f64: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float64 [-1, 1] → 16-bit PCM WAV bytes (test fixture + sink)."""
+    import io
+    import wave as wave_mod
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes((np.clip(wave_f64, -1, 1) * 32767).astype(np.int16)
+                      .tobytes())
+    return buf.getvalue()
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
     """Deterministic stand-in decode: payload hash seeds the pixel array."""
     seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
@@ -72,14 +146,14 @@ class ImageDecodeResize:
     out_h, out_w}. ``pixels`` is a flat uint8 list column (h*w*c)."""
 
     def __init__(self, out_size: tuple[int, int] = (32, 32), codec: str = "fake"):
-        if codec == "real":
-            raise NotImplementedError(
-                "no image codec in this environment — install Pillow/opencv "
-                "and implement _decode; the 'fake' codec exercises the "
-                "identical plumbing deterministically")
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
         self.out_h, self.out_w = out_size
 
     def _decode(self, payload: bytes, h: int, w: int, c: int) -> np.ndarray:
+        if self.codec == "real":
+            return decode_pnm(payload)  # PPM/PGM; JPEG/PNG need Pillow
         return _fake_pixels(payload, h, w, c)
 
     @staticmethod
@@ -135,10 +209,19 @@ class AudioFrameSample:
     summary {media_id, n_windows, rms: list<float>}; window/hop in samples."""
 
     def __init__(self, window: int = 1024, hop: int = 512, codec: str = "fake"):
-        if codec == "real":
-            raise NotImplementedError("no audio codec in this environment")
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
         self.window = window
         self.hop = hop
+
+    def _decode(self, payload: bytes, sr: int) -> np.ndarray:
+        if self.codec == "real":
+            return decode_wav(payload)[0]  # PCM WAV; FLAC/MP3 need soundfile
+        seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"),
+                                       dtype=np.uint64))[0])
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(int(sr) // 4)  # fake 250ms decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy()
@@ -146,17 +229,66 @@ class AudioFrameSample:
         srs = batch["meta_sample_rate"].to_numpy()
         out_n, out_rms = [], []
         for p, sr in zip(payloads, srs):
-            seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
-            rng = np.random.default_rng(seed)
-            wave = rng.standard_normal(int(sr) // 4)  # fake 250ms decode
+            wave = self._decode(p, int(sr))
             nwin = max(0, (len(wave) - self.window) // self.hop + 1)
-            rms = [float(np.sqrt((wave[i * self.hop:i * self.hop + self.window] ** 2).mean()))
-                   for i in range(nwin)]
+            # one strided view + vectorized RMS per doc (no per-window loop)
+            if nwin > 0:
+                idx = (np.arange(nwin)[:, None] * self.hop
+                       + np.arange(self.window)[None, :])
+                rms = np.sqrt((wave[idx] ** 2).mean(axis=1)).tolist()
+            else:
+                rms = []
             out_n.append(nwin)
             out_rms.append(rms)
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "n_windows": pa.array(out_n, pa.int64()),
                          "rms": pa.array(out_rms, pa.list_(pa.float64()))})
+
+
+class VideoFrameSample:
+    """Actor stage: video payload → every ``stride``-th frame's channel-mean
+    features {media_id, frame_idx, frame_mean: list<float>}. ``codec='real'``
+    interprets the payload as a raw uint8 frame buffer
+    (num_frames × h × w × c, the meta columns give the shape); compressed
+    containers need pyav and would extend :meth:`_decode`."""
+
+    def __init__(self, stride: int = 4, codec: str = "fake"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+        self.stride = stride
+
+    def _decode(self, payload: bytes, nf: int, h: int, w: int, c: int) -> np.ndarray:
+        if self.codec == "real":
+            want = nf * h * w * c
+            if len(payload) < want:
+                raise ValueError(
+                    f"raw video payload too short: {len(payload)} < {want}")
+            return np.frombuffer(payload, dtype=np.uint8,
+                                 count=want).reshape(nf, h, w, c)
+        seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"),
+                                       dtype=np.uint64))[0])
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(nf, h, w, c), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        nfs = batch["meta_num_frames"].to_numpy()
+        hs = batch["meta_height"].to_numpy()
+        ws = batch["meta_width"].to_numpy()
+        cs = batch["meta_channels"].to_numpy()
+        out_id, out_fi, out_fm = [], [], []
+        for mid, p, nf, h, w, c in zip(ids, payloads, nfs, hs, ws, cs):
+            frames = self._decode(p, int(nf), int(h), int(w), int(c))
+            sel = np.arange(0, len(frames), self.stride)
+            means = frames[sel].mean(axis=(1, 2))  # (len(sel), c)
+            out_id.extend([int(mid)] * len(sel))
+            out_fi.extend(sel.tolist())
+            out_fm.extend(means.tolist())
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "frame_idx": pa.array(out_fi, pa.int64()),
+                         "frame_mean": pa.array(out_fm, pa.list_(pa.float64()))})
 
 
 def image_pipeline(media_ds, *, out_size=(32, 32), concurrency: int = 4,

@@ -356,11 +356,14 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
 
 # ------------------------------------------------- Triangle counting (TC)
 
-def triangle_count(graph: DistributedGraph) -> int:
+def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> int:
     """Exact triangle count via degree orientation + neighborhood intersection
     (SURVEY.md §2.11). Graph must be built undirected (symmetrized + dedup +
-    self-loops dropped)."""
+    self-loops dropped). ``probe_chunk`` bounds per-slice probe memory in the
+    intersection pass (default partition._TC_PROBE_CHUNK)."""
     g = graph
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
     g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
     counts = g.lookup("tc_adj_request", "tc_count", serve="tc_serve_adjacency_packed")
     return int(sum(counts))

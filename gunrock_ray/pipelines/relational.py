@@ -179,13 +179,42 @@ def q_wtf(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def _rank_u6_col(t: pa.Table) -> pa.Table:
+    r6 = np.floor(t["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return pa.table({"v": t["v"], "rank_u6": pa.array(r6)})
+
+
 def q_pr_top20(sf_dir: str):
-    """Engine PageRank top-20 (rows-only for the driver; validated to 1e-6
-    against the NumPy oracle in pytest)."""
+    """Engine PageRank top-20 at CONVERGENCE, SQL-checked: both sides rank
+    by the 1e-6 integer scale with ties broken by v, so the compare is
+    exact-integer. Engine error=1e-12 (relative, per vertex) vs a 200-
+    iteration unrolled SQL power iteration: both sit within ~1e-14 of the
+    fixed point — ~8 orders below the micro-unit boundary."""
     from gunrock_ray.pipelines.graph_algos import pagerank
     g = _graph(sf_dir, undirected=False)
     try:
-        out = pagerank(g, error=1e-9, max_iter=100).limit(TOPK).to_pandas()
+        ds = pagerank(g, error=1e-12, max_iter=250)
+        out = (ds.map_batches(_rank_u6_col, batch_format="pyarrow")
+               .sort(["rank_u6", "v"], descending=[True, False])
+               .limit(TOPK).to_pandas())
+    finally:
+        g.shutdown(remove_spill=True)
+    return out
+
+
+def q_wtf_cot(sf_dir: str):
+    """WTF circle of trust, SQL-checked: top-100 vertices by personalized
+    PageRank from vertex 0 (the exact PPR the wtf pipeline runs — delta =
+    1-alpha = 0.85, 50 supersteps; the relative threshold 1e-9 cannot
+    trigger before iteration ~127, so the count is deterministic). Both
+    sides rank by (rank_u6 desc, v asc)."""
+    from gunrock_ray.pipelines.graph_algos import pagerank
+    g = _graph(sf_dir, undirected=False)
+    try:
+        ds = pagerank(g, delta=0.85, error=1e-9, max_iter=50, src_node=0)
+        out = (ds.map_batches(_rank_u6_col, batch_format="pyarrow")
+               .sort(["rank_u6", "v"], descending=[True, False])
+               .limit(100).to_pandas())
     finally:
         g.shutdown(remove_spill=True)
     return out
@@ -493,12 +522,16 @@ _VERTS_SQL = (f"SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "
               f"UNION SELECT DISTINCT dst FROM ({_RAW_EDGES_SQL})")
 
 
-def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True) -> str:
+def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True,
+            src: int | None = None, top: int | None = None) -> str:
     """Unrolled SQL power iteration reproducing the engine's exact operation
     sequence. normalized=True: SURVEY.md §2.4 (rank stores rank/deg; new =
     (1-d)/n + d*sum; deg>0 ⇒ /=deg; extract multiplies back by deg).
     normalized=False: plain rank state, each pushed term divided by the
-    sender's out-degree. Integer-scaled output either way."""
+    sender's out-degree. ``src`` set ⇒ personalized teleport: the whole
+    (1-delta) reset mass lands on the source alone (`pr_problem.cuh:97`).
+    ``top`` ⇒ ORDER BY rank_u6 DESC, v LIMIT top (the integer-scale ranking
+    both sides share). Integer-scaled output either way."""
     parts = [
         f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
         "nn AS (SELECT COUNT(*) AS n FROM verts), ",
@@ -506,19 +539,25 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True) -> st
         "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
         "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
     ]
+    if src is None:
+        reset = f"(1.0-{delta})/nn.n"
+    else:
+        reset = f"(CASE WHEN od.v = {src} THEN 1.0-{delta} ELSE 0.0 END)"
     if normalized:
         parts.append(
             "r0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN (1.0/nn.n)/od.deg "
             "ELSE 1.0/nn.n END AS pr FROM od CROSS JOIN nn)")
         msg = (f"(SELECT e.dst AS v, SUM(p.pr) AS s FROM e JOIN r{{prev}} p "
                f"ON p.v = e.src GROUP BY e.dst)")
-        step = (f", r{{i}} AS (SELECT od.v, CASE WHEN od.deg > 0 THEN "
-                f"((1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0))/od.deg "
-                f"ELSE (1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) END AS pr "
+        step = (f", r{{i}} AS MATERIALIZED (SELECT od.v, CASE WHEN od.deg > 0 THEN "
+                f"({reset} + {delta}*COALESCE(m.s, 0))/od.deg "
+                f"ELSE {reset} + {delta}*COALESCE(m.s, 0) END AS pr "
                 f"FROM od CROSS JOIN nn LEFT JOIN {msg} m ON m.v = od.v)")
         final = (f" SELECT od.v, CAST(FLOOR((CASE WHEN od.deg > 0 THEN "
                  f"r{iters}.pr*od.deg ELSE r{iters}.pr END)*1000000 + 0.5) AS BIGINT)"
                  f" AS rank_u6 FROM r{iters} JOIN od ON od.v = r{iters}.v")
+        if top is not None:
+            final += f" ORDER BY rank_u6 DESC, od.v LIMIT {top}"
     else:
         parts.append("r0 AS (SELECT od.v, 1.0/nn.n AS pr FROM od CROSS JOIN nn)")
         msg = (f"(SELECT e.dst AS v, SUM(p.pr / od2.deg) AS s FROM e "
@@ -691,6 +730,13 @@ ORACLE_SQL: dict[str, str] = {
     "lp3_weighted": _lp_sql(3, weighted=True),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
+    # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
+    # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
+    # integer scale both sides rank by (ties → v)
+    "pr_top20": _pr_sql(200, top=TOPK),
+    # personalized PR (teleport mass on vertex 0 only), exactly 50
+    # supersteps (the 1e-9 relative threshold cannot fire before ~iter 127)
+    "wtf_cot": _pr_sql(50, src=0, top=100),
     "hits8": _hits_sql(8),
     "salsa8": _salsa_sql(8),
     "bc_sigma": _bc_sigma_sql(30),

@@ -69,6 +69,11 @@ def _apply_timed(fn):
 
 _BFS_INF = np.int64(1) << 62
 _EMPTY_I8 = np.zeros(0, dtype=np.int64)
+
+# TC membership probes are generated in slices of at most this many probes
+# (bounds peak actor memory at ~3 × 8 B × chunk ≈ 100 MB; correctness is
+# slice-invariant — the count is a pure sum)
+_TC_PROBE_CHUNK = 1 << 22
 _EMPTY_F8 = np.zeros(0, dtype=np.float64)
 
 
@@ -1294,6 +1299,10 @@ class GraphPartition:
         self._tc_cols = o_dst
         return int(len(o_dst))
 
+    def set_tc_probe_chunk(self, n: int | None) -> None:
+        """Override the probe-slice bound (default _TC_PROBE_CHUNK)."""
+        self._tc_probe_chunk = int(n) if n else None
+
     def tc_adj_request(self):
         uniq = np.unique(self._tc_cols)
         self._pending["tc_adj"] = uniq
@@ -1350,12 +1359,27 @@ class GraphPartition:
         u_per_edge = np.repeat(np.arange(len(self.verts), dtype=np.int64), o_counts)
         key_local = np.searchsorted(dic, self.verts)[u_per_edge] * L + np.searchsorted(dic, self._tc_cols)
         key_local = np.sort(key_local)
-        # probes: for edge e=(u,v): all c in fetched N+(v)
+        # probes: for edge e=(u,v): all c in fetched N+(v) — CHUNKED over the
+        # oriented edge list so peak probe memory is bounded (~3 arrays of
+        # ≤ _TC_PROBE_CHUNK u64) regardless of Σ|N+(v)|; the orientation caps
+        # per-edge work, the chunking caps per-slice allocation
         vpos = np.searchsorted(us, self._tc_cols)
         e_lens = lens_id[vpos]
-        probe_c = _ragged_gather(flat_id, fstarts[vpos], e_lens)
-        probe_u = np.repeat(np.searchsorted(dic, self.verts)[u_per_edge], e_lens)
-        probe_key = probe_u * L + np.searchsorted(dic, probe_c)
-        pos = np.searchsorted(key_local, probe_key)
-        pos[pos >= len(key_local)] = len(key_local) - 1
-        return int(np.count_nonzero(key_local[pos] == probe_key))
+        u_dic = np.searchsorted(dic, self.verts)[u_per_edge]
+        cum = np.cumsum(e_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        count = 0
+        a = 0
+        while a < len(e_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(e_lens))
+            el = e_lens[a:b]
+            probe_c = _ragged_gather(flat_id, fstarts[vpos[a:b]], el)
+            probe_u = np.repeat(u_dic[a:b], el)
+            probe_key = probe_u * L + np.searchsorted(dic, probe_c)
+            pos = np.searchsorted(key_local, probe_key)
+            pos[pos >= len(key_local)] = len(key_local) - 1
+            count += int(np.count_nonzero(key_local[pos] == probe_key))
+            a = b
+        return count

@@ -188,3 +188,14 @@ def test_lp_cc_wide_vertex_ids():
     assert np.array_equal(lab["label"].to_numpy(), want_l + OFF)
     assert np.array_equal(comp["comp"].to_numpy(), want_c + OFF)
     assert ncomp == nref
+
+
+def test_tc_probe_chunked_same_count(rmat_graph):
+    """Regression: a probe chunk far smaller than the probe total (forcing
+    many slices) must not change the triangle count."""
+    t, g = rmat_graph
+    full = triangle_count(g)
+    chunked = triangle_count(g, probe_chunk=64)
+    assert chunked == full
+    # restore the default for any test reusing the fixture graph
+    g.call_all("set_tc_probe_chunk", None)

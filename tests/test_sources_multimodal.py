@@ -119,9 +119,9 @@ def test_multimodal_image_pipeline():
     m2 = {r.media_id: np.asarray(r.feature) for r in out2.itertuples()}
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k])
-    # 'real' codec is an explicit stub
-    with pytest.raises(NotImplementedError):
-        ImageDecodeResize(codec="real")
+    # unknown codec rejected at construction
+    with pytest.raises(ValueError):
+        ImageDecodeResize(codec="bogus")
 
 
 def test_multimodal_audio_stage():
@@ -135,3 +135,103 @@ def test_multimodal_audio_stage():
     assert len(out) == 6
     assert (out["n_windows"] > 0).all()
     assert all(len(r) == n for r, n in zip(out["rms"], out["n_windows"]))
+
+
+def test_multimodal_real_codec_ppm_roundtrip():
+    """codec='real': binary PPM decodes to the exact pixels through the
+    actor-pool pipeline (resize = identity at the native size)."""
+    import ray.data
+    from gunrock_ray.functions.multimodal import (
+        ImageDecodeResize, encode_ppm, decode_pnm)
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(4)]
+    np.testing.assert_array_equal(decode_pnm(encode_ppm(imgs[0])), imgs[0])
+    # comments + multi-digit dims in the header parse too
+    hdr = b"P6\n# a comment\n10 12\n255\n" + imgs[1].tobytes()
+    np.testing.assert_array_equal(decode_pnm(hdr), imgs[1])
+    t = pa.table({
+        "media_id": pa.array(np.arange(4, dtype=np.int64)),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array([encode_ppm(i) for i in imgs], pa.binary()),
+        "meta_width": pa.array(np.full(4, 10, np.int32)),
+        "meta_height": pa.array(np.full(4, 12, np.int32)),
+        "meta_channels": pa.array(np.full(4, 3, np.int32)),
+        "meta_sample_rate": pa.array(np.zeros(4, np.int32)),
+        "meta_num_frames": pa.array(np.zeros(4, np.int32)),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        ImageDecodeResize, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"out_size": (12, 10), "codec": "real"}).to_pandas()
+    for r in out.itertuples():
+        np.testing.assert_array_equal(
+            np.asarray(r.pixels, dtype=np.uint8).reshape(12, 10, 3),
+            imgs[int(r.media_id)])
+    # compressed magics fail loudly
+    with pytest.raises(Exception):
+        decode_pnm(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_multimodal_real_codec_wav():
+    """codec='real': PCM WAV decodes via stdlib wave; RMS windows match a
+    NumPy reference on the true waveform."""
+    import ray.data
+    from gunrock_ray.functions.multimodal import (
+        AudioFrameSample, encode_wav, decode_wav)
+    sr = 8000
+    ts = np.arange(sr // 2) / sr
+    wav = 0.5 * np.sin(2 * np.pi * 440 * ts)
+    payload = encode_wav(wav, sr)
+    dec, got_sr = decode_wav(payload)
+    assert got_sr == sr and len(dec) == len(wav)
+    np.testing.assert_allclose(dec, wav, atol=2 / 32768)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([payload], pa.binary()),
+        "meta_width": pa.array([0], pa.int32()),
+        "meta_height": pa.array([0], pa.int32()),
+        "meta_channels": pa.array([1], pa.int32()),
+        "meta_sample_rate": pa.array([sr], pa.int32()),
+        "meta_num_frames": pa.array([0], pa.int32()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        AudioFrameSample, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"window": 512, "hop": 256, "codec": "real"}
+    ).to_pandas()
+    nwin = (len(wav) - 512) // 256 + 1
+    assert out["n_windows"].iloc[0] == nwin
+    ref = [float(np.sqrt((dec[i*256:i*256+512] ** 2).mean())) for i in range(nwin)]
+    np.testing.assert_allclose(out["rms"].iloc[0], ref, rtol=1e-12)
+
+
+def test_multimodal_video_frame_sample():
+    """VideoFrameSample: raw uint8 frame buffers decode for real; fake codec
+    runs the same plumbing; frame means match NumPy."""
+    import ray.data
+    from gunrock_ray.functions.multimodal import VideoFrameSample
+    rng = np.random.default_rng(9)
+    nf, h, w, c = 10, 6, 5, 3
+    frames = rng.integers(0, 256, (nf, h, w, c), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([frames.tobytes()], pa.binary()),
+        "meta_width": pa.array([w], pa.int32()),
+        "meta_height": pa.array([h], pa.int32()),
+        "meta_channels": pa.array([c], pa.int32()),
+        "meta_sample_rate": pa.array([0], pa.int32()),
+        "meta_num_frames": pa.array([nf], pa.int32()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        VideoFrameSample, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"stride": 3, "codec": "real"}).to_pandas()
+    assert list(out["frame_idx"]) == [0, 3, 6, 9]
+    for r in out.itertuples():
+        np.testing.assert_allclose(
+            np.asarray(r.frame_mean),
+            frames[int(r.frame_idx)].mean(axis=(0, 1)))
+    # fake codec: same schema, deterministic
+    out_f = ray.data.from_arrow(t).map_batches(
+        VideoFrameSample, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"stride": 5}).to_pandas()
+    assert list(out_f["frame_idx"]) == [0, 5]
