@@ -164,7 +164,7 @@ def test_driver_entry_smoke():
     spec.loader.exec_module(mod)
     out = mod.entry()
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
-    assert list(df.columns) == ["v", "rank"]
+    assert list(df.columns) == ["v", "rank_u6"]
     assert len(df) >= 1
 
 
