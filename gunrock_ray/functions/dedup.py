@@ -210,27 +210,56 @@ class MinHasher:
         })
 
 
-def candidate_pairs_from_bands(bands_ds):
+def _ragged_gather(vals: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate vals[starts[i] : starts[i]+lens[i]] segments, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0]
+    cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = np.arange(total) + np.repeat(starts - cum, lens)
+    return vals[idx]
+
+
+def candidate_pairs_from_bands(bands_ds, num_buckets: int = 64):
     """(doc_id, band, band_key) → distinct candidate pairs {a, b} (a < b).
 
-    groupby the 16-byte band bucket; inside a bucket every id pairs with the
-    bucket minimum (transitively complete for clustering purposes — bucket
-    co-members are chained through the min, and verified pairs are then
-    clustered with connected components, so a-min + b-min ⇒ a,b in one
-    cluster). Avoids the O(bucket²) blowup of hot buckets."""
-    import pyarrow.compute as pc
+    Inside a band bucket every id pairs with the bucket minimum
+    (transitively complete for clustering purposes — bucket co-members are
+    chained through the min, and verified pairs are then clustered with
+    connected components, so a-min + b-min ⇒ a,b in one cluster). Avoids
+    the O(bucket²) blowup of hot buckets.
 
-    def pairs_of_group(batch: pa.Table) -> pa.Table:
-        ids = np.unique(batch["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        lo = ids[0]
-        return pa.table({"a": pa.array(np.full(len(ids) - 1, lo)),
-                         "b": pa.array(ids[1:])})
+    The shuffle groups by a COARSE bucket (hash(band, band_key) mod
+    ``num_buckets``, sized ∝ cluster cores) rather than per band bucket —
+    one vectorized ``map_groups`` call handles thousands of band buckets
+    via segment ops instead of one Python call per tiny bucket."""
 
-    pairs = bands_ds.groupby(["band", "band_key"]).map_groups(
-        pairs_of_group, batch_format="pyarrow")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy()
+        key = t["band_key"].to_numpy()
+        bkt = (mix64(mix64(band.astype(np.uint64)) ^ key.astype(np.uint64))
+               % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bkt", pa.array(bkt))
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy()
+        key = group["band_key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        new = np.empty(len(ids), dtype=bool)
+        new[0:1] = True
+        np.logical_or(band[1:] != band[:-1], key[1:] != key[:-1], out=new[1:])
+        seg = np.cumsum(new) - 1
+        lo = ids[np.flatnonzero(new)][seg]      # per-row bucket minimum
+        keep = ids != lo
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(ids[keep], pa.int64())})
+
+    pairs = (bands_ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bkt").map_groups(pairs_of_bucket,
+                                        batch_format="pyarrow"))
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -242,30 +271,37 @@ _EMPTY_SHINGLE = np.int64(-(1 << 63))
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                           ("jaccard", pa.float64())])
 _ROUTE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pa", pa.int64()),
-                           ("pb", pa.int64()), ("shingle", pa.int64())])
+                           ("pb", pa.int64()), ("shingle", pa.int64()),
+                           ("bkt", pa.int64())])
 
 
 def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
                            rows: int = 4, seed: int = 42,
-                           threshold: float = 0.6, concurrency: int = 4):
+                           threshold: float = 0.6, concurrency: int = 4,
+                           num_buckets: int = 64):
     """documents {doc_id, text} → verified near-dup pairs
     {a, b, jaccard} with exact Jaccard >= threshold.
 
     Verification is fully distributed (no driver materialization over the
     corpus): (1) candidate doc IDS (ids only — never shingles or text) are
     broadcast once via ``ray.put`` to prune which docs get re-shingled;
-    (2) shingle rows and pair-membership rows meet in a groupby(doc_id),
+    (2) shingle rows and pair-membership rows meet in a doc-keyed groupby,
     which replicates each candidate doc's shingles to its pairs (bounded:
-    a doc pairs with at most one bucket-min per band); (3) a groupby on the
-    pair key computes exact Jaccard inside ``map_groups``. Shuffle keys are
-    8-16 bytes; shingles move only for candidate docs."""
+    a doc pairs with at most one bucket-min per band); (3) a pair-keyed
+    groupby computes exact Jaccard. Both groupbys use COARSE hash buckets
+    (``num_buckets``, size ∝ cluster cores) with fully vectorized segment
+    ops inside — no per-doc or per-pair Python calls. Shuffle keys are
+    8 bytes; shingles move only for candidate docs."""
     import ray
 
     mh_kwargs = {"ngram": ngram, "bands": bands, "rows": rows, "seed": seed}
     bands_ds = docs_ds.map_batches(MinHasher, batch_format="pyarrow",
                                    concurrency=(1, concurrency),
                                    fn_constructor_kwargs=mh_kwargs)
-    pairs = candidate_pairs_from_bands(bands_ds)
+    # materialize the BOUNDED candidate-pair set once (it feeds both the id
+    # broadcast and the membership rows; without this the whole band/bucket
+    # lineage would re-execute per consumer)
+    pairs = candidate_pairs_from_bands(bands_ds, num_buckets).materialize()
 
     # bounded driver collect: the DISTINCT candidate ids (int64 each);
     # at 100 TB this is the prune set — a Bloom filter drops in here if even
@@ -276,6 +312,11 @@ def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
     if not need:
         return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
     need_ref = ray.put(np.sort(np.asarray(need, dtype=np.int64)))
+
+    nb = np.uint64(num_buckets)
+
+    def _doc_bucket(d: np.ndarray) -> np.ndarray:
+        return (mix64(d) % nb).astype(np.int64)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         """Shingles of candidate docs only, tagged pa=pb=-1."""
@@ -294,57 +335,92 @@ def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
                 [sh_col, np.full(len(missing), _EMPTY_SHINGLE, np.int64)])
         neg = np.full(len(doc_col), -1, dtype=np.int64)
         return pa.table({"doc_id": pa.array(doc_col), "pa": pa.array(neg),
-                         "pb": pa.array(neg), "shingle": pa.array(sh_col)})
+                         "pb": pa.array(neg), "shingle": pa.array(sh_col),
+                         "bkt": pa.array(_doc_bucket(doc_col))})
 
     def membership_rows(t: pa.Table) -> pa.Table:
         """Two routing rows per candidate pair: one to each member doc."""
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
+        doc = np.concatenate([a, b])
         return pa.table({
-            "doc_id": pa.array(np.concatenate([a, b])),
+            "doc_id": pa.array(doc),
             "pa": pa.array(np.concatenate([a, a])),
             "pb": pa.array(np.concatenate([b, b])),
             "shingle": pa.array(np.zeros(2 * len(a), dtype=np.int64)),
+            "bkt": pa.array(_doc_bucket(doc)),
         })
 
     sh_ds = docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
     mem_ds = pairs.map_batches(membership_rows, batch_format="pyarrow")
 
-    def replicate_to_pairs(group: pa.Table) -> pa.Table:
-        """One doc's group: emit its shingles once per pair it belongs to."""
+    def replicate_bucket(group: pa.Table) -> pa.Table:
+        """Many docs per coarse bucket: join mem rows to shingle segments
+        and emit each doc's shingles once per pair membership — one
+        searchsorted + two repeats, no per-doc Python."""
+        doc = group["doc_id"].to_numpy()
         pa_col = group["pa"].to_numpy()
+        pb_col = group["pb"].to_numpy()
+        sh = group["shingle"].to_numpy()
         is_mem = pa_col >= 0
-        sh = group["shingle"].to_numpy()[~is_mem]
-        k = int(is_mem.sum())
-        if k == 0 or len(sh) == 0:
+        sd, ss = doc[~is_mem], sh[~is_mem]
+        order = np.argsort(sd, kind="stable")
+        sd, ss = sd[order], ss[order]
+        starts = segment_starts(sd)
+        if len(starts) == 0 or not is_mem.any():
             return pa.Table.from_pylist([], schema=_ROUTE_SCHEMA)
-        did = int(group["doc_id"][0].as_py())
-        pas = pa_col[is_mem]
-        pbs = group["pb"].to_numpy()[is_mem]
-        # doc_id slot reused as the side flag: 0 = I am pair member a, 1 = b
-        sides = (pas != did).astype(np.int64)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(sides, len(sh))),
-            "pa": pa.array(np.repeat(pas, len(sh))),
-            "pb": pa.array(np.repeat(pbs, len(sh))),
-            "shingle": pa.array(np.tile(sh, k)),
-        })
+        seg_docs = sd[starts]
+        lens = np.diff(np.concatenate([starts, [len(sd)]]))
+        md, ma, mb = doc[is_mem], pa_col[is_mem], pb_col[is_mem]
+        pos = np.searchsorted(seg_docs, md)
+        pos_c = np.minimum(pos, len(seg_docs) - 1)
+        ok = seg_docs[pos_c] == md
+        md, ma, mb, pos = md[ok], ma[ok], mb[ok], pos_c[ok]
+        ln = lens[pos]
+        sides = (ma != md).astype(np.int64)  # 0 = member a, 1 = member b
+        out_sh = _ragged_gather(ss, starts[pos], ln)
+        out_pa = np.repeat(ma, ln)
+        out_pb = np.repeat(mb, ln)
+        pair_bkt = (mix64(mix64(out_pa) ^ out_pb.astype(np.uint64))
+                    % nb).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(sides, ln)),
+                         "pa": pa.array(out_pa), "pb": pa.array(out_pb),
+                         "shingle": pa.array(out_sh),
+                         "bkt": pa.array(pair_bkt)})
 
-    routed = sh_ds.union(mem_ds).groupby("doc_id").map_groups(
-        replicate_to_pairs, batch_format="pyarrow")
+    routed = sh_ds.union(mem_ds).groupby("bkt").map_groups(
+        replicate_bucket, batch_format="pyarrow")
 
-    def verify_pair(group: pa.Table) -> pa.Table:
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        """Many pairs per coarse bucket: per-pair intersection = adjacent
+        duplicate count after a (pa, pb, shingle) sort (each side's
+        shingles are distinct, so a shared shingle appears exactly twice)."""
+        a = group["pa"].to_numpy()
+        b = group["pb"].to_numpy()
         side = group["doc_id"].to_numpy()
         sh = group["shingle"].to_numpy()
-        j = jaccard(np.unique(sh[side == 0]), np.unique(sh[side == 1]))
-        if j < threshold:
-            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        return pa.table({"a": pa.array([group["pa"][0].as_py()], pa.int64()),
-                         "b": pa.array([group["pb"][0].as_py()], pa.int64()),
-                         "jaccard": pa.array([j], pa.float64())})
+        order = np.lexsort((sh, b, a))
+        a, b, side, sh = a[order], b[order], side[order], sh[order]
+        pair_new = np.empty(len(a), dtype=bool)
+        pair_new[0:1] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pair_new[1:])
+        pair_starts = np.flatnonzero(pair_new)
+        dup = np.zeros(len(a), dtype=np.int64)
+        dup[:-1] = (~pair_new[1:] & (sh[1:] == sh[:-1])).astype(np.int64)
+        inter = np.add.reduceat(dup, pair_starts)
+        la = np.add.reduceat((side == 0).astype(np.int64), pair_starts)
+        lb = np.add.reduceat((side == 1).astype(np.int64), pair_starts)
+        union = la + lb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where((la > 0) & (lb > 0) & (union > 0),
+                         inter / np.maximum(union, 1), 0.0)
+        keep = j >= threshold
+        return pa.table({"a": pa.array(a[pair_starts][keep], pa.int64()),
+                         "b": pa.array(b[pair_starts][keep], pa.int64()),
+                         "jaccard": pa.array(j[keep], pa.float64())})
 
-    return routed.groupby(["pa", "pb"]).map_groups(
-        verify_pair, batch_format="pyarrow")
+    return routed.groupby("bkt").map_groups(verify_bucket,
+                                            batch_format="pyarrow")
 
 
 def near_dup_clusters(pairs, num_partitions: int = 8):
@@ -429,52 +505,65 @@ def simhash_signatures(docs_ds, concurrency: int = 4, seed: int = 42):
                                fn_constructor_kwargs={"seed": seed})
 
 
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT; NumPy 1.x has no
+    bitwise_count)."""
+    return _POPCNT8[np.ascontiguousarray(x).view(np.uint8)
+                    .reshape(len(x), 8)].sum(axis=1)
+
+
 def simhash_near_dup_pairs(docs_ds, *, max_hamming: int = 3,
-                           concurrency: int = 4, seed: int = 42):
+                           concurrency: int = 4, seed: int = 42,
+                           num_buckets: int = 64):
     """SimHash near-dup pairs {a, b, hamming}: chunk-bucket candidates
-    (groupby on 16-bit chunks — the shuffle key is 2 bytes + chunk index)
-    then exact hamming verify."""
+    (pigeonhole on the four 16-bit chunks) then exact hamming verify against
+    the chunk-bucket minimum. The shuffle groups by a COARSE bucket
+    (hash(chunk, key) mod ``num_buckets``) — one vectorized call handles
+    thousands of chunk buckets via segment ops."""
     sig = simhash_signatures(docs_ds, concurrency, seed)
+    nb = np.uint64(num_buckets)
 
     def chunks(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         s = batch["simhash"].to_numpy().astype(np.uint64)
-        out_id, out_c, out_k, out_s = [], [], [], []
-        for c in range(4):
-            out_id.append(ids)
-            out_c.append(np.full(len(ids), c, dtype=np.int64))
-            out_k.append(((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64))
-            out_s.append(s.astype(np.int64))
-        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
-                         "chunk": pa.array(np.concatenate(out_c)),
-                         "key": pa.array(np.concatenate(out_k)),
-                         "simhash": pa.array(np.concatenate(out_s))})
+        n = len(ids)
+        c = np.repeat(np.arange(4, dtype=np.int64), n)
+        k = np.concatenate([((s >> np.uint64(16 * i)) & np.uint64(0xFFFF))
+                            .astype(np.int64) for i in range(4)])
+        bkt = (mix64(mix64(c.astype(np.uint64)) ^ k.astype(np.uint64))
+               % nb).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.tile(ids, 4)),
+                         "chunk": pa.array(c), "key": pa.array(k),
+                         "simhash": pa.array(np.tile(s.astype(np.int64), 4)),
+                         "bkt": pa.array(bkt)})
 
-    def pairs_of_group(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        sh = batch["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, sh = ids[keep_first], sh[keep_first]
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        # verify against the bucket minimum (chained clusters, like MinHash)
-        x = sh[0] ^ sh[1:]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        ok = ham <= max_hamming
-        return pa.table({"a": pa.array(np.full(int(ok.sum()), ids[0], dtype=np.int64)),
-                         "b": pa.array(ids[1:][ok]),
-                         "hamming": pa.array(ham[ok])})
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        c = group["chunk"].to_numpy()
+        k = group["key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sh = group["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, k, c))
+        c, k, ids, sh = c[order], k[order], ids[order], sh[order]
+        new = np.empty(len(ids), dtype=bool)
+        new[0:1] = True
+        np.logical_or(c[1:] != c[:-1], k[1:] != k[:-1], out=new[1:])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lo_id = ids[starts][seg]
+        lo_sh = sh[starts][seg]
+        ham = popcount64(sh ^ lo_sh)
+        keep = (ids != lo_id) & (ham <= max_hamming)
+        return pa.table({"a": pa.array(lo_id[keep], pa.int64()),
+                         "b": pa.array(ids[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
     pairs = (sig.map_batches(chunks, batch_format="pyarrow")
-             .groupby(["chunk", "key"]).map_groups(pairs_of_group,
-                                                   batch_format="pyarrow"))
+             .groupby("bkt").map_groups(pairs_of_bucket,
+                                        batch_format="pyarrow"))
     from ray.data.aggregate import Min
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
