@@ -166,10 +166,22 @@ def bench_default(num_cpus: int, sf_dir: str) -> dict:
             g.shutdown(remove_spill=True)
     timed("rmat_hits_bc5", rmat_hits_bc)
 
-    # 6-8. training-data operators over the sf tables
+    # 6-10. training-data operators over the sf tables
     timed("doc_exact_dedup", lambda: r.q_doc_exact_dedup(sf_dir).count())
     timed("doc_token_stats", lambda: r.q_doc_token_stats(sf_dir).count())
     timed("ann_top5", lambda: len(r.q_ann_top5(sf_dir)))
+
+    # round 2: the distributed-verify MinHash path (realistic 16×4 bands at
+    # threshold 0.5) and the LSH ANN scale path
+    def minhash_dedup():
+        from gunrock_ray.functions.dedup import minhash_near_dup_pairs
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        details["minhash_pairs"] = minhash_near_dup_pairs(
+            docs, bands=16, rows=4, threshold=0.5).count()
+    timed("minhash_dedup", minhash_dedup)
+    timed("ann_lsh_top5", lambda: len(r.q_ann_lsh_top5(sf_dir)))
 
     total = round(sum(queries.values()), 3)
     return {
