@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": r.q_doc_token_stats,
         "ann_top5": r.q_ann_top5,
         "ann_lsh_top5": r.q_ann_lsh_top5,   # rows-only (LSH recall pytest-gated)
+        "ann_ivf_top5": r.q_ann_ivf_top5,   # rows-only (IVF recall pytest-gated)
         "embed_near_dup_lsh": r.q_embed_near_dup_lsh,  # rows-only (subset-of-exact)
         # dedup / similarity family (SURVEY.md §2 extensions)
         "ngram_jaccard": r.q_ngram_jaccard,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": r.q_minhash_near_dup,   # rows-only (LSH recall)
         "simhash_near_dup": r.q_simhash_near_dup,   # rows-only
         "doc_analysis": r.q_doc_analysis,           # rows-only
+        "doc_curate": r.q_doc_curate,   # SQL-checked (dedup + quality gates)
     }
 
 

@@ -191,11 +191,34 @@ def cmd_ann(args) -> dict:
     if args.method == "brute":
         top = annf.brute_force_topk(args.input, num_queries=args.queries,
                                     k=args.k)
+    elif args.method == "ivf":
+        top = annf.ivf_topk(args.input, num_queries=args.queries, k=args.k,
+                            num_lists=args.lists, nprobe=args.nprobe)
     else:
         top = annf.lsh_topk(args.input, num_queries=args.queries, k=args.k,
                             num_planes=args.planes, num_tables=args.tables)
     rows = _write_result(args.out, top)
     summary = {"cmd": "ann", "method": args.method, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
+def cmd_curate(args) -> dict:
+    """End-to-end curation: exact dedup → near-dup dedup → quality filter."""
+    import ray.data
+    from gunrock_ray.pipelines.curate import curate_documents
+    _init_ray()
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    curated, stats = curate_documents(
+        docs, near_dup=not args.no_near_dup,
+        jaccard_threshold=args.jaccard, min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens, max_punct_ratio=args.max_punct,
+        langs=langs, num_partitions=args.partitions or 8)
+    rows = _write_result(args.out, curated)
+    summary = {"cmd": "curate", "rows_kept": rows, **stats,
                "t_run_s": round(time.perf_counter() - t0, 3)}
     print(json.dumps(summary))
     return summary
@@ -269,17 +292,33 @@ def main(argv=None) -> None:
                      help="CC-cluster the verified pairs (keeper = min id)")
 
     annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
-    annp.add_argument("--method", default="brute", choices=["brute", "lsh"])
+    annp.add_argument("--method", default="brute",
+                      choices=["brute", "lsh", "ivf"])
     annp.add_argument("--input", required=True)
     annp.add_argument("--out", default="/tmp/gunrock_ray_ann")
     annp.add_argument("--queries", type=int, default=10)
     annp.add_argument("--k", type=int, default=5)
     annp.add_argument("--planes", type=int, default=4)
     annp.add_argument("--tables", type=int, default=24)
+    annp.add_argument("--lists", type=int, default=16)
+    annp.add_argument("--nprobe", type=int, default=8)
 
     ana = sub.add_parser("analyze", help="text analysis over documents Parquet")
     ana.add_argument("--input", required=True)
     ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
+
+    cur = sub.add_parser("curate", help="dedup + quality-filter a documents "
+                         "Parquet into a curated corpus")
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--out", default="/tmp/gunrock_ray_curated")
+    cur.add_argument("--jaccard", type=float, default=0.8)
+    cur.add_argument("--no-near-dup", action="store_true")
+    cur.add_argument("--min-tokens", type=int, default=5)
+    cur.add_argument("--max-tokens", type=int, default=1_000_000)
+    cur.add_argument("--max-punct", type=float, default=0.5)
+    cur.add_argument("--langs", default=None,
+                     help="comma-separated allowed languages (e.g. en,de)")
+    cur.add_argument("--partitions", type=int, default=None)
 
     args = ap.parse_args(argv)
     if args.cmd == "run":
@@ -290,6 +329,8 @@ def main(argv=None) -> None:
         cmd_ann(args)
     elif args.cmd == "analyze":
         cmd_analyze(args)
+    elif args.cmd == "curate":
+        cmd_curate(args)
 
 
 if __name__ == "__main__":

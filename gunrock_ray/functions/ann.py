@@ -247,3 +247,131 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
                              "neighbor_id": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="int64")})
     return _merge_topk(cands, k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def _hash_priority_sample(embeddings_ds, n_sample: int, seed: int):
+    """Deterministic uniform sample of ~n_sample rows without knowing the
+    corpus size: per-block partial selection of the n_sample smallest
+    mix64(vec_id ^ seed) priorities, tiny driver merge (same shape as the
+    query-matrix selection — the corpus is never collected)."""
+    from gunrock_ray.common import mix64
+
+    def block_lowest(batch: pa.Table) -> pa.Table:
+        pri = mix64(batch["vec_id"].to_numpy().astype(np.uint64)
+                    ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1)))
+        order = np.argsort(pri)[:n_sample]
+        return batch.take(pa.array(order))
+
+    cand = embeddings_ds.map_batches(block_lowest,
+                                     batch_format="pyarrow").to_pandas()
+    pri = mix64(cand["vec_id"].to_numpy().astype(np.uint64)
+                ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1)))
+    keep = np.argsort(pri)[:n_sample]
+    M = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in cand["embedding"].iloc[keep]])
+    return _normalize(M)
+
+
+def train_ivf_centroids(sample: np.ndarray, num_lists: int,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Spherical k-means on a (bounded) normalized sample → (num_lists, d)
+    normalized centroids. Deterministic init from the seed; empty lists
+    keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(num_lists, len(sample)),
+                          replace=False)]
+    if len(C) < num_lists:  # degenerate tiny sample: pad by repetition
+        C = C[np.arange(num_lists) % len(C)]
+    C = C.copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for j in range(num_lists):
+            m = sample[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
+             query_ids: np.ndarray | None = None, *,
+             num_lists: int = 16, nprobe: int = 8, assign_lists: int = 2,
+             train_sample: int = 2048, kmeans_iters: int = 10,
+             seed: int = 42, concurrency: int = 4):
+    """Approximate cosine top-k via IVF (inverted lists) — the alternative
+    scale path to :func:`lsh_topk`.
+
+    (1) spherical k-means centroids trained on a hash-priority sample
+    (bounded, deterministic); (2) every vector assigned to its
+    ``assign_lists`` nearest centroids (multi-assignment: ×assign_lists
+    storage for much better boundary recall) with the embedding carried
+    through the list rows; (3) each query probes its ``nprobe`` nearest
+    lists — per-list exact ranking in ``map_groups`` with partial top-k;
+    (4) tiny driver merge (cross-list duplicates deduped there). Recall
+    grows with ``nprobe × assign_lists`` / ``num_lists``. Returns
+    {query_id, neighbor_id, rank} like :func:`brute_force_topk`."""
+    import ray
+
+    q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
+    ds = _embeddings_ds(embeddings_path)
+    sample = _hash_priority_sample(ds, train_sample, seed)
+    C = train_ivf_centroids(sample, num_lists, kmeans_iters, seed)
+    c_ref = ray.put(C)
+
+    npb = min(nprobe, num_lists)
+    nass = min(assign_lists, num_lists)
+    q_probe = np.argpartition(-(Q @ C.T), npb - 1, axis=1)[:, :npb]
+    lookup: dict[int, np.ndarray] = {}
+    for lid in np.unique(q_probe):
+        lookup[int(lid)] = np.flatnonzero((q_probe == lid).any(axis=1))
+    q_ref = ray.put((q_ids, Q, lookup))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        M = _normalize(_stack(batch["embedding"]))
+        lids = np.argpartition(-(M @ Cm.T), nass - 1, axis=1)[:, :nass]
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({
+            "vec_id": pa.chunked_array([batch["vec_id"]] * nass),
+            "list_id": pa.array(lids.T.ravel().astype(np.int64)),
+            "embedding": pa.chunked_array([emb] * nass),
+        })
+
+    lists = ds.map_batches(assign, batch_format="pyarrow")
+
+    def rank_list(group: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        ids, Qm, lk = ray.get(q_ref)
+        lid = int(group["list_id"][0].as_py())
+        q_rows = lk.get(lid)
+        if q_rows is None:
+            return empty
+        vid = group["vec_id"].to_numpy()
+        V = _normalize(_stack(group["embedding"]))
+        sims = Qm[q_rows] @ V.T
+        kk = min(k + 1, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for si, qi in enumerate(q_rows):
+            row = part[si]
+            out["query_id"].extend([ids[qi]] * len(row))
+            out["neighbor_id"].extend(vid[row].tolist())
+            out["sim"].extend(sims[si, row].tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                         "sim": pa.array(out["sim"], pa.float64())})
+
+    cands = lists.groupby("list_id").map_groups(
+        rank_list, batch_format="pyarrow").to_pandas()
+    if len(cands) == 0:
+        import pandas as pd
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return _merge_topk(cands, k)

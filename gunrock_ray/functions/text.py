@@ -60,17 +60,17 @@ class TextAnalyzer:
                 best, best_hits = lang, hits
         return best
 
-    def quality(self, text: str) -> tuple[float, float, float]:
-        """(stop_ratio, punct_ratio, mean_token_len) — the usual cheap
-        pre-training quality signals."""
+    def quality(self, text: str) -> tuple[float, float, float, int]:
+        """(stop_ratio, punct_ratio, mean_token_len, n_tokens) — the usual
+        cheap pre-training quality signals."""
         toks = self.token_re.findall(text)
         if not toks:
-            return 0.0, 0.0, 0.0
+            return 0.0, 0.0, 0.0, 0
         en = self.markers["en"]
         stop = sum(1 for t in toks if t.lower() in en) / len(toks)
         punct = sum(1 for c in text if c in _PUNCT) / max(1, len(text))
         mlen = sum(len(t) for t in toks) / len(toks)
-        return stop, punct, mlen
+        return stop, punct, mlen, len(toks)
 
     # polynomial rolling-hash base (odd ⇒ invertible mod 2^64) + its inverse
     _FP_BASE = np.uint64(0x100000001B3)
@@ -105,13 +105,14 @@ class TextAnalyzer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        langs, stops, puncts, mlens, fps = [], [], [], [], []
+        langs, stops, puncts, mlens, ntoks, fps = [], [], [], [], [], []
         for t in texts:
             langs.append(self.lang_id(t))
-            s, p, m = self.quality(t)
+            s, p, m, n = self.quality(t)
             stops.append(s)
             puncts.append(p)
             mlens.append(m)
+            ntoks.append(n)
             fps.append(self.fingerprint(t))
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -119,6 +120,7 @@ class TextAnalyzer:
             "stop_ratio": pa.array(stops, pa.float64()),
             "punct_ratio": pa.array(puncts, pa.float64()),
             "mean_token_len": pa.array(mlens, pa.float64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
             "fingerprint": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
         })
 

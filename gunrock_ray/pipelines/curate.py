@@ -1,0 +1,146 @@
+"""End-to-end training-data curation pipeline over {doc_id, text}:
+
+    exact dedup (sha) → near-dup dedup (MinHash+LSH, verified, CC-clustered)
+    → quality filter (token count / punctuation / language) → curated docs.
+
+Scale shape (100 TB): every wide step shuffles SMALL keys (sha, band hash,
+pair ids); the only driver-side state is the DROP SET — the doc ids being
+removed (duplicates are a minority of a curated corpus; a Bloom filter
+drops in if even the id list outgrows driver memory). The final filter is
+one streaming ``map_batches`` pass over the corpus with the drop set
+broadcast once via ``ray.put`` and the quality signals computed in-batch —
+the text column never moves through a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gunrock_ray.functions.dedup import (minhash_near_dup_pairs,
+                                         near_dup_clusters)
+from gunrock_ray.functions.text import TextAnalyzer
+
+
+def exact_dup_drops(docs_ds, num_buckets: int = 64):
+    """Dataset {doc_id} of every doc that is an exact duplicate of a
+    smaller-id doc (keeper = min id per sha). Coarse-bucketed groupby with
+    vectorized segment ops (shuffle key: 1-byte bucket of the 32-byte sha,
+    then the sha itself inside the group sort)."""
+    import hashlib
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode("utf-8")).digest()
+              for t in batch["text"].to_pylist()]
+        bkt = np.frombuffer(b"".join(h[:1] for h in hs), dtype=np.uint8)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sha": pa.array(hs, pa.binary(32)),
+                         "bkt": pa.array((bkt % num_buckets).astype(np.int64))})
+
+    def drops_of_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        sha = np.asarray(group["sha"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, sha))
+        ids, sha = ids[order], sha[order]
+        new = np.empty(len(ids), dtype=bool)
+        new[0:1] = True
+        new[1:] = sha[1:] != sha[:-1]
+        seg = np.cumsum(new) - 1
+        lo = ids[np.flatnonzero(new)][seg]
+        return pa.table({"doc_id": pa.array(ids[ids != lo], pa.int64())})
+
+    return (docs_ds.map_batches(sha_rows, batch_format="pyarrow")
+            .groupby("bkt").map_groups(drops_of_bucket,
+                                       batch_format="pyarrow"))
+
+
+def near_dup_drops(docs_ds, *, ngram: int = 3, bands: int = 16, rows: int = 4,
+                   threshold: float = 0.8, num_partitions: int = 8):
+    """Dataset/Table {doc_id} of near-duplicate docs to drop (per verified
+    near-dup cluster, every member except the min id — 'first wins', the
+    exact-dedup convention). Pairs verified distributed, clustered with
+    THIS engine's connected components."""
+    pairs = minhash_near_dup_pairs(docs_ds, ngram=ngram, bands=bands,
+                                   rows=rows, threshold=threshold)
+    pairs = pairs.materialize() if hasattr(pairs, "materialize") else pairs
+    n_pairs = pairs.count() if hasattr(pairs, "count") else pairs.num_rows
+    if n_pairs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    clusters = near_dup_clusters(pairs, num_partitions=num_partitions)
+    keep = pc.not_equal(clusters["doc_id"], clusters["cluster"])
+    return clusters.filter(keep).select(["doc_id"])
+
+
+class QualityFilter:
+    """Actor stage for the final streaming pass: drop broadcast ids and
+    apply in-batch quality gates. Emits the surviving {doc_id, text}."""
+
+    def __init__(self, drop_ref, min_tokens: int, max_tokens: int,
+                 max_punct_ratio: float, langs: tuple[str, ...] | None):
+        import ray
+        self.drop = ray.get(drop_ref)          # sorted int64 ids
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.max_punct = max_punct_ratio
+        self.langs = frozenset(langs) if langs else None
+        self.analyzer = TextAnalyzer()         # regexes compiled once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ~np.isin(ids, self.drop)
+        texts = batch["text"].to_pylist()
+        for i in np.flatnonzero(keep):
+            _, punct, _, ntok = self.analyzer.quality(texts[i])
+            if not (self.min_tokens <= ntok <= self.max_tokens) \
+                    or punct > self.max_punct:
+                keep[i] = False
+            elif self.langs is not None \
+                    and self.analyzer.lang_id(texts[i]) not in self.langs:
+                keep[i] = False
+        return batch.filter(pa.array(keep))
+
+
+def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
+                     rows: int = 4, jaccard_threshold: float = 0.8,
+                     near_dup: bool = True,
+                     min_tokens: int = 5, max_tokens: int = 1_000_000,
+                     max_punct_ratio: float = 0.5,
+                     langs: tuple[str, ...] | None = None,
+                     num_partitions: int = 8, concurrency: int = 4):
+    """The composed pipeline. Returns (curated_ds, stats dict).
+
+    ``curated_ds`` streams {doc_id, text}; stats counts each removal
+    reason. Exact-dup drops and near-dup drops are computed first (id-only
+    collects, bounded), then one streaming filter pass emits the curated
+    corpus."""
+    import ray
+
+    def _ids_of(res) -> np.ndarray:
+        df = res.to_pandas()
+        if "doc_id" not in df.columns:   # all-empty blocks lose the schema
+            return np.zeros(0, dtype=np.int64)
+        return df["doc_id"].to_numpy()
+
+    exact_ids = _ids_of(exact_dup_drops(docs_ds))
+    if near_dup:
+        near_ids = _ids_of(near_dup_drops(
+            docs_ds, ngram=ngram, bands=bands, rows=rows,
+            threshold=jaccard_threshold, num_partitions=num_partitions))
+    else:
+        near_ids = np.zeros(0, dtype=np.int64)
+    drop = np.union1d(exact_ids.astype(np.int64), near_ids.astype(np.int64))
+    drop_ref = ray.put(np.sort(drop))
+
+    curated = docs_ds.map_batches(
+        QualityFilter, batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"drop_ref": drop_ref,
+                               "min_tokens": min_tokens,
+                               "max_tokens": max_tokens,
+                               "max_punct_ratio": max_punct_ratio,
+                               "langs": langs})
+    stats = {"dropped_exact_dup": int(len(exact_ids)),
+             "dropped_near_dup": int(len(np.setdiff1d(near_ids, exact_ids))),
+             "dropped_total_dedup": int(len(drop))}
+    return curated, stats

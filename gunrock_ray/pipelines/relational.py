@@ -482,6 +482,21 @@ def q_embed_near_dup(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), threshold=0.45)
 
 
+def q_doc_curate(sf_dir: str):
+    """Deterministic slice of the curation pipeline, SQL-checked: exact
+    dedup (keeper = min doc_id per text) + quality gates (32 <= tokens <=
+    76 — cuts inside the corpus's 10-99 token range, so the check is
+    non-trivial — punct ratio <= 0.25 — both sides compute the identical integer
+    counts and the exactly-representable 0.25 cut). The near-dup LSH stage
+    is probabilistic and stays in the rows-only q_minhash_near_dup /
+    curate_documents(near_dup=True) paths."""
+    from gunrock_ray.pipelines.curate import curate_documents
+    curated, _ = curate_documents(_docs_ds(sf_dir), near_dup=False,
+                                  min_tokens=32, max_tokens=76,
+                                  max_punct_ratio=0.25)
+    return curated.select_columns(["doc_id"])
+
+
 def q_doc_analysis(sf_dir: str):
     """Language-ID + quality scores + rolling-hash fingerprint per doc
     (actor-pool stage; rows-only — pytest-validated)."""
@@ -503,6 +518,14 @@ def q_ann_lsh_top5(sf_dir: str):
     in tests/test_ann.py)."""
     from gunrock_ray.functions.ann import lsh_topk
     return lsh_topk(os.path.join(sf_dir, "embeddings.parquet"),
+                    num_queries=10, k=5)
+
+
+def q_ann_ivf_top5(sf_dir: str):
+    """IVF cosine top-5 — the inverted-list ANN scale path (rows-only:
+    approximate; recall >= 0.9 vs brute force is pytest-asserted)."""
+    from gunrock_ray.functions.ann import ivf_topk
+    return ivf_topk(os.path.join(sf_dir, "embeddings.parquet"),
                     num_queries=10, k=5)
 
 
@@ -789,6 +812,13 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "doc_curate": (
+        "WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) "
+        "SELECT d.doc_id FROM documents d JOIN k ON k.doc_id = d.doc_id "
+        "WHERE len(regexp_extract_all(d.text, '\\S+')) BETWEEN 32 AND 76 "
+        "AND 4 * (length(d.text) - length(regexp_replace(d.text, "
+        "'[.,;:!?\"''()\\[\\]{}<>]', '', 'g'))) <= length(d.text)"
     ),
     "doc_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
     "doc_exact_dedup": ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "

@@ -96,3 +96,33 @@ def test_lsh_topk_self_excluded_and_ranked(small_embeddings):
     assert (top["query_id"] != top["neighbor_id"]).all()
     for _, g in top.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_ivf_topk_recall_vs_brute_force():
+    """The IVF scale path: recall@5 >= 0.9 vs exact on the sf0.01
+    embeddings (clustered 500 x 64; default 16 lists / probe 8 /
+    multi-assign 2 - this corpus's cluster structure is weak, so IVF needs
+    a generous probe ratio; LSH is the primary scale path)."""
+    from gunrock_ray.functions.ann import ivf_topk
+    exact = brute_force_topk(SF001, num_queries=10, k=5)
+    approx = ivf_topk(SF001, num_queries=10, k=5)  # defaults: 16 lists, probe 8, assign 2
+    hits = total = 0
+    for q, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
+
+
+def test_ivf_centroids_deterministic_and_normalized():
+    from gunrock_ray.functions.ann import train_ivf_centroids
+    rng = np.random.default_rng(1)
+    S = rng.standard_normal((300, 16))
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    C1 = train_ivf_centroids(S, 8, seed=5)
+    C2 = train_ivf_centroids(S, 8, seed=5)
+    assert np.array_equal(C1, C2)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    assert C1.shape == (8, 16)

@@ -1,0 +1,100 @@
+"""End-to-end curation pipeline: exact dedup → near-dup dedup → quality
+filter, on a corpus with planted duplicates and junk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.curate import (curate_documents, exact_dup_drops,
+                                          near_dup_drops)
+
+
+def _ds(table):
+    import ray.data
+    return ray.data.from_arrow(table)
+
+
+@pytest.fixture(scope="module")
+def messy_docs():
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "the", "and", "of", "to", "in"]
+    texts = [" ".join(rng.choice(vocab, 50)) for _ in range(20)]   # 0-19 clean
+    texts.append(texts[3])                                         # 20 = exact dup of 3
+    texts.append(texts[7])                                         # 21 = exact dup of 7
+    w = texts[5].split(); w[10] = "CHANGED"
+    texts.append(" ".join(w))                                      # 22 = near dup of 5
+    texts.append("tiny")                                           # 23 too short
+    texts.append("!!! ??? ... ;;; ::: !!! ??? ... ;;; :::")        # 24 punct junk
+    return pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dup_drops(messy_docs):
+    drops = sorted(exact_dup_drops(_ds(messy_docs)).to_pandas()["doc_id"])
+    assert drops == [20, 21]
+
+
+def test_near_dup_drops_includes_planted(messy_docs):
+    drops = set(near_dup_drops(_ds(messy_docs), threshold=0.5)
+                .to_pandas()["doc_id"])
+    assert 22 in drops        # near dup of 5, 5 is the min-id keeper
+    assert 5 not in drops
+    # exact dups are near dups too (Jaccard 1.0) — keeper stays
+    assert 20 in drops and 21 in drops
+    assert 3 not in drops and 7 not in drops
+
+
+def test_near_dup_drops_empty_on_clean_corpus():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta epsilon",
+                                    "one two three four five"], pa.string())})
+    out = near_dup_drops(_ds(t), threshold=0.9).to_pandas()
+    assert len(out) == 0
+
+
+def test_curate_documents_end_to_end(messy_docs):
+    curated, stats = curate_documents(
+        _ds(messy_docs), jaccard_threshold=0.5,
+        min_tokens=5, max_punct_ratio=0.4)
+    kept = sorted(curated.to_pandas()["doc_id"])
+    # clean docs 0-19 survive; 20/21 exact dups, 22 near dup, 23 short,
+    # 24 punctuation junk all dropped
+    assert kept == list(range(20))
+    assert stats["dropped_exact_dup"] == 2
+    assert stats["dropped_near_dup"] == 1
+    assert stats["dropped_total_dedup"] == 3
+
+
+def test_curate_lang_filter():
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog sat in the house for it was warm today",
+            "der Hund ist nicht mit der Katze auf das zu und so weiter hier",
+        ], pa.string())})
+    curated, _ = curate_documents(_ds(t), min_tokens=3, langs=("en",))
+    assert list(curated.to_pandas()["doc_id"]) == [0]
+
+
+def test_cli_curate(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(tmp_path / "cur"), "--no-near-dup",
+         "--min-tokens", "32", "--max-tokens", "76"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < s["rows_kept"] < 500
+    import pyarrow.parquet as pq
+    out = pq.read_table(str(tmp_path / "cur"))
+    assert out.num_rows == s["rows_kept"]
