@@ -1,0 +1,91 @@
+"""Dedup-family stress: synthesize a deterministic N-doc corpus (with a
+known planted near-dup fraction), run the distributed MinHash verify path
+and the curation pipeline, report throughput + found-pair counts.
+
+Run: python tools/stress_dedup.py [num_docs] (default 100_000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = np.array([f"w{i:05d}" for i in range(30_000)])
+PLANT_EVERY = 50          # doc 50k+1 is a near-dup of doc 1, etc. (pairing
+                          # second half onto first half at stride PLANT_EVERY)
+
+
+def _doc_batch(batch: pa.Table, num_docs: int) -> pa.Table:
+    """Counter-based doc text per id — reproducible at any parallelism.
+    Second-half docs whose (id - num_docs//2) is a multiple of PLANT_EVERY
+    are near-dups (3 words changed) of the matching first-half doc."""
+    ids = batch["id"].to_numpy()
+    texts = []
+    for i in ids:
+        base = int(i)
+        planted = False
+        half = num_docs // 2
+        if base >= half and (base - half) % PLANT_EVERY == 0:
+            base = base - half          # near-dup of this first-half doc
+            planted = True
+        rng = np.random.default_rng(base * 1_000_003 + 7)
+        words = VOCAB[rng.integers(0, len(VOCAB), 120)]
+        if planted:
+            words = words.copy()
+            words[[5, 40, 90]] = ["CH1", "CH2", "CH3"]
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def main() -> None:
+    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    import ray
+    import ray.data
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from gunrock_ray.functions.dedup import minhash_near_dup_pairs
+
+    docs = ray.data.range(num_docs).map_batches(
+        lambda b, n=num_docs: _doc_batch(b, n), batch_format="pyarrow")
+    path = "/tmp/gunrock_ray_bench/stress_docs"
+    os.makedirs(path, exist_ok=True)
+    t0 = time.perf_counter()
+    docs.write_parquet(path)
+    t_gen = time.perf_counter() - t0
+    docs = ray.data.read_parquet(path)
+
+    planted = (num_docs // 2 + PLANT_EVERY - 1) // PLANT_EVERY
+    t0 = time.perf_counter()
+    pairs = minhash_near_dup_pairs(docs, bands=16, rows=4, threshold=0.8)
+    found = pairs.count()
+    t_mh = time.perf_counter() - t0
+
+    print(json.dumps({
+        "num_docs": num_docs,
+        "t_generate_s": round(t_gen, 1),
+        "minhash_verify_s": round(t_mh, 1),
+        "docs_per_sec": round(num_docs / t_mh),
+        "planted_near_dups": planted,
+        "found_pairs": found,
+        "planted_recall": round(min(found, planted) / planted, 3),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
