@@ -1303,6 +1303,12 @@ class GraphPartition:
         """Override the probe-slice bound (default _TC_PROBE_CHUNK)."""
         self._tc_probe_chunk = int(n) if n else None
 
+    def peak_rss_mb(self) -> int:
+        """Peak resident set of THIS actor process (stress evidence for
+        memory-bounded kernels; ru_maxrss is in KiB on Linux)."""
+        import resource
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
     def tc_adj_request(self):
         uniq = np.unique(self._tc_cols)
         self._pending["tc_adj"] = uniq
