@@ -38,13 +38,15 @@ def hash_words(words) -> np.ndarray:
     if width == 0:
         return h
     codes = np.ascontiguousarray(arr).view(np.uint32).reshape(n, width)
+    nz = codes != 0
     with np.errstate(over="ignore"):
-        for c in range(width):
+        # iterate only columns with content; per-cell masking makes the
+        # result independent of the batch's padding width AND consistent
+        # for pathological words with embedded NULs (each word only ever
+        # folds its own non-NUL cells, in order)
+        for c in np.flatnonzero(nz.any(axis=0)):
             col = codes[:, c].astype(np.uint64)
-            live = col != 0          # NUL padding: word already ended
-            if not live.any():
-                break
-            h = np.where(live, mix64(h ^ col), h)
+            h = np.where(nz[:, c], mix64(h ^ col), h)
     return h
 
 

@@ -1,0 +1,120 @@
+"""Vectorized text-kernel equivalence: the NumPy batch kernels must match
+simple scalar references bit-for-bit, on arbitrary (incl. unicode) text."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from gunrock_ray.common import mix64
+from gunrock_ray.functions.dedup import (hash_words, flat_word_shingles,
+                                         word_shingles, MinHasher, SimHasher,
+                                         popcount64)
+from gunrock_ray.functions.text import TextAnalyzer
+
+
+def _ref_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Scalar reference for flat_word_shingles: chain the word hashes."""
+    words = text.split()
+    hw = hash_words(words)
+    k = len(words)
+    if k == 0:
+        return np.zeros(0, np.uint64)
+    nn = min(n, k)
+    m = k - nn + 1
+    g = hw[:m].copy()
+    for j in range(1, nn):
+        g = mix64(g) ^ hw[j:j + m]
+    return np.unique(mix64(g))
+
+
+def _ref_fingerprint(text: str, window: int = 16) -> int:
+    """Big-int scalar reference for the rolling hash mod 2^64."""
+    data = text.encode("utf-8", "ignore")
+    nb = len(data)
+    if nb == 0:
+        return 0
+    w = min(window, nb)
+    b, M = 0x100000001B3, 1 << 64
+    best = None
+    for i in range(nb - w + 1):
+        h = 0
+        for t in range(w):
+            h = (h * b + data[i + t]) % M
+        best = h if best is None else min(best, h)
+    return best
+
+
+TEXTS = st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, max_size=8))
+def test_flat_shingles_match_scalar_reference(texts):
+    d, s = flat_word_shingles(texts, 3)
+    for i, t in enumerate(texts):
+        got = np.sort(s[d == i])
+        assert np.array_equal(got, _ref_shingles(t)), t
+    # unique=False has the same per-doc value SET
+    d2, s2 = flat_word_shingles(texts, 3, unique=False)
+    for i in range(len(texts)):
+        assert np.array_equal(np.unique(s2[d2 == i]), np.sort(s[d == i]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXTS)
+def test_fingerprint_matches_bigint_reference(text):
+    assert TextAnalyzer.fingerprint(text) == _ref_fingerprint(text)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_minhash_flat_matches_per_doc(texts):
+    mh = MinHasher(bands=4, rows=2)
+    d, s = flat_word_shingles(texts, 3, unique=False)
+    sig = mh.signatures_flat(d, s, len(texts))
+    for i, t in enumerate(texts):
+        assert np.array_equal(sig[i], mh.signature(t))
+
+
+def _ref_simhash(text: str, seed: np.uint64) -> np.uint64:
+    words = text.split()
+    if not words:
+        return np.uint64(0)
+    hs = mix64(hash_words(words) ^ seed)
+    uh, cnt = np.unique(hs, return_counts=True)
+    bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+    score = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.flatnonzero(score > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_simhash_batch_matches_scalar(texts):
+    sh = SimHasher()
+    batch = sh.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert batch[i] == _ref_simhash(t, sh.seed)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=50))
+def test_popcount64_matches_python(vals):
+    x = np.array(vals, dtype=np.uint64)
+    got = popcount64(x)
+    assert got.tolist() == [bin(v).count("1") for v in vals]
+
+
+def test_word_shingles_short_docs():
+    # fewer words than n: one shingle (the full chain); empty: none
+    assert len(word_shingles("one two", 3)) == 1
+    assert len(word_shingles("one", 3)) == 1
+    assert len(word_shingles("", 3)) == 0
+    # and the short-gram differs from either word alone
+    assert word_shingles("one two", 3)[0] != word_shingles("one", 3)[0]
