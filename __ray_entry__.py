@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits8": r.q_hits8,              # SQL-checked (unrolled L2-normalized)
         "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
         "bc_sigma": r.q_bc_sigma,        # SQL-checked (integer forward Brandes)
+        "bc_dep": r.q_bc_dep,            # SQL-checked (float backward, 1e-6 ints)
         "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
         "lp3_weighted": r.q_lp3_weighted,  # SQL-checked (weighted votes)
         "sssp_weighted": r.q_sssp_weighted,

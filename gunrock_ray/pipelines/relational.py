@@ -373,6 +373,26 @@ def q_bc_sigma(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_bc_dep(sf_dir: str):
+    """Backward Brandes pass from vertex 0, SQL-checked at the 1e-6 integer
+    scale: per-vertex dependency delta (= single-source BC contribution,
+    source excluded) joined with the forward depth. Completes the BC oracle
+    pair — q_bc_sigma checks the integer forward half, this checks the
+    float backward half."""
+    from gunrock_ray.pipelines.graph_algos import (bc_forward_stats,
+                                                   betweenness_centrality)
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        fwd = bc_forward_stats(g, 0).to_pandas()
+        bc = betweenness_centrality(g, sources=[0], halve=False).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df = fwd.merge(bc, on="v")
+    df = df[df["v"] != 0]
+    df["dep_u6"] = np.floor(df["bc"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "depth", "dep_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_salsa8(sf_dir: str):
     """SALSA, exactly 8 iterations (tol=0), degree-normalized pushes with
     per-iteration L1 normalization, 1e-6 integer scale (SQL-checked)."""
@@ -724,6 +744,57 @@ def _bc_sigma_sql(levels: int = 30) -> str:
     return "".join(parts)
 
 
+def _bc_dep_sql(levels: int = 30) -> str:
+    """Unrolled backward Brandes dependency accumulation from source 0 on
+    the directed graph: delta(u) = sigma(u) · Σ_{edges u→w, depth(w) =
+    depth(u)+1} (1 + delta(w)) / sigma(w), evaluated level-by-level from the
+    deepest level up (exactly the engine's per-level backward supersteps,
+    `partition.py bc_backward_*`). Output: reached vertices except the
+    source, {v, depth, dep_u6} at the engine-shared 1e-6 integer scale.
+    Loud-fail guard like the sigma oracle."""
+    parts = [
+        f"WITH RECURSIVE n AS MATERIALIZED ({_NORM_SQL}), "
+        "b(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"  UNION SELECT n.dst, b.d + 1 FROM b JOIN n ON n.src = b.v WHERE b.d < {EDGE_MOD + 1}), "
+        "dep AS MATERIALIZED (SELECT v, MIN(d) AS depth FROM b GROUP BY v), "
+        "s0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT d.v, CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM dep d JOIN n e ON e.dst = d.v JOIN s{k-1} p ON p.v = e.src "
+            f"JOIN dep dp ON dp.v = e.src AND dp.depth = {k-1} "
+            f"WHERE d.depth = {k} GROUP BY d.v)")
+    sig_union = " UNION ALL ".join(f"SELECT * FROM s{k}"
+                                   for k in range(levels + 1))
+    parts.append(f", sig AS MATERIALIZED ({sig_union})")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN MAX(depth) > {levels} THEN "
+        f"error('bc_dep oracle: unroll of {levels} levels too shallow') "
+        f"ELSE 1 END AS ok FROM dep)")
+    parts.append(
+        f", d{levels} AS (SELECT v, 0.0 AS delta FROM dep WHERE depth = {levels})")
+    for k in range(levels - 1, -1, -1):
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT du.v, "
+            f"sg.sigma * COALESCE(SUM((1.0 + x.delta) / x.sigma), 0.0) AS delta "
+            f"FROM dep du JOIN sig sg ON sg.v = du.v "
+            f"LEFT JOIN (SELECT e.src AS u, dn.delta AS delta, sw.sigma AS sigma "
+            f"  FROM n e "
+            f"  JOIN dep dw ON dw.v = e.dst AND dw.depth = {k + 1} "
+            f"  JOIN sig sw ON sw.v = e.dst "
+            f"  JOIN d{k + 1} dn ON dn.v = e.dst) x ON x.u = du.v "
+            f"WHERE du.depth = {k} GROUP BY du.v, sg.sigma)")
+    dep_union = " UNION ALL ".join(f"SELECT * FROM d{k}"
+                                   for k in range(levels + 1))
+    parts.append(
+        f" SELECT dep.v, dep.depth, "
+        f"CAST(FLOOR(dd.delta*1000000 + 0.5) AS BIGINT) AS dep_u6 "
+        f"FROM dep JOIN ({dep_union}) dd ON dd.v = dep.v "
+        f"CROSS JOIN chk WHERE chk.ok = 1 AND dep.v <> 0")
+    return "".join(parts)
+
+
 _SSSP_W_SQL = (
     f"WITH RECURSIVE e AS (SELECT src, dst, {_W_EXPR} AS w FROM ({_NORM_SQL})), "
     "p(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
@@ -763,6 +834,7 @@ ORACLE_SQL: dict[str, str] = {
     "hits8": _hits_sql(8),
     "salsa8": _salsa_sql(8),
     "bc_sigma": _bc_sigma_sql(30),
+    "bc_dep": _bc_dep_sql(30),
     "edges_norm": _NORM_SQL,
     "out_degree": f"SELECT src, COUNT(*) AS out_deg FROM ({_NORM_SQL}) GROUP BY src",
     "topk_degree": (
