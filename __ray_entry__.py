@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa": r.q_salsa,            # rows-only (pytest-validated, 1e-9)
         "bc": r.q_bc,                  # rows-only (pytest-validated vs Brandes)
         "wtf": r.q_wtf,                # rows-only (pytest-validated)
+        # windowed aggregates over the events stream (streaming-window slot)
+        "events_window": r.q_events_window,     # SQL-checked (integer cents)
+        "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
         "doc_exact_dedup": r.q_doc_exact_dedup,

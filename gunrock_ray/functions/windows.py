@@ -1,0 +1,90 @@
+"""Windowed aggregates over an event stream table {user_id, ts, value} —
+the batch expression of streaming-window semantics (SURVEY.md §2
+extensions): tumbling time windows and gap-based sessionization.
+
+Scale shape: the tumbling aggregate is a per-batch window-id projection +
+one groupby on the small (user_id, window) key with pre-aggregable
+aggregates. Sessionization needs per-user time ordering, expressed as a
+COARSE hash-bucket groupby (bucket count ∝ cluster cores) whose groups are
+sessionized with vectorized segment ops — per-user event history must
+co-locate (the inherent partitioning assumption of session windows; salt
+hot users by time range if one user exceeds a worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+US_PER_HOUR = 3_600_000_000
+US_30_MIN = 1_800_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] column → int64 microseconds."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.cast(pa.int64()).to_numpy()
+
+
+def tumbling_window_agg(events_ds, window_us: int = US_PER_HOUR):
+    """Per (user, tumbling window): event count + exact value sum in cents.
+
+    Returns a Dataset {user_id, w, n_events, sum_cents}; ``w`` = floor
+    (epoch_us / window_us). Values are summed as integer cents so the
+    result is order-insensitive and SQL-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "w": pa.array(ts // window_us),
+            "cents": pa.array(cents),
+        })
+
+    return (events_ds.map_batches(project, batch_format="pyarrow")
+            .groupby(["user_id", "w"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
+def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int = 64):
+    """Gap-based session windows per user: a new session starts when the
+    time since the user's previous event exceeds ``gap_us``.
+
+    Returns a Dataset {user_id, session_start_us, n_events} — one row per
+    session. One coarse-bucket groupby (all of a user's events land in one
+    group via hash(user) mod num_buckets); inside, sessions for every user
+    in the bucket are assigned in one vectorized lexsort + diff pass."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def sessions_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0:1] = True
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(u)]]))
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_start_us": pa.array(t[starts], pa.int64()),
+            "n_events": pa.array(lens, pa.int64()),
+        })
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(sessions_of_bucket,
+                                       batch_format="pyarrow"))

@@ -421,6 +421,30 @@ def q_pr_unnorm10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+# --- windowed aggregates over the events stream ------------------------------
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per user (count + exact integer-cent value
+    sum) — the batch expression of a streaming windowed aggregate,
+    SQL-checked."""
+    import ray.data
+    from gunrock_ray.functions.windows import tumbling_window_agg
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return tumbling_window_agg(ev)
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30-min inactivity gap) per user —
+    {user_id, session_start_us, n_events}, SQL-checked against a LAG +
+    running-sum window-function oracle."""
+    import ray.data
+    from gunrock_ray.functions.windows import sessionize
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return sessionize(ev)
+
+
 # --- documents / embeddings (training-data ops) ------------------------------
 
 def q_doc_sha(sf_dir: str):
@@ -884,6 +908,24 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "events_window": (
+        "SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS w, "
+        "COUNT(*) AS n_events, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "events_sessions": (
+        "WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+        "y AS (SELECT user_id, t, CASE WHEN LAG(t) OVER w IS NULL "
+        "  OR t - LAG(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new "
+        "  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+        "z AS (SELECT user_id, t, SUM(new) OVER "
+        "  (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM y) "
+        "SELECT user_id, MIN(t) AS session_start_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM z GROUP BY user_id, sid"
     ),
     "doc_curate": (
         "WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) "

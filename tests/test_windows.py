@@ -1,0 +1,70 @@
+"""Windowed aggregates: tumbling windows + gap sessionization edge cases
+(exact gap boundary, duplicate timestamps, single-event sessions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.windows import (tumbling_window_agg, sessionize,
+                                           US_30_MIN, US_PER_HOUR)
+
+
+def _events(user_ids, ts_us, values=None):
+    import ray.data
+    n = len(user_ids)
+    t = pa.table({
+        "user_id": pa.array(np.asarray(user_ids, dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts_us, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "value": pa.array(np.asarray(values if values is not None
+                                     else np.zeros(n), dtype=np.float64)),
+    })
+    return ray.data.from_arrow(t)
+
+
+def test_tumbling_window_counts_and_cents():
+    h = US_PER_HOUR
+    ds = _events([1, 1, 1, 2], [0, h - 1, h, 5 * h],
+                 [1.25, 2.50, 0.10, 9.99])
+    out = tumbling_window_agg(ds).to_pandas().sort_values(
+        ["user_id", "w"]).reset_index(drop=True)
+    rows = {(r.user_id, r.w): (r.n_events, r.sum_cents)
+            for r in out.itertuples()}
+    assert rows[(1, 0)] == (2, 375)       # 1.25 + 2.50 in cents, exact
+    assert rows[(1, 1)] == (1, 10)
+    assert rows[(2, 5)] == (1, 999)
+
+
+def test_sessionize_gap_boundary_and_ties():
+    g = US_30_MIN
+    # user 1: events at 0, g (exactly the gap -> SAME session), then
+    # 2g + g + 1 (> gap since previous at g... compute: prev=g, t=2g+1 -> dt=g+1 > g -> NEW)
+    # user 2: duplicate timestamps -> one session
+    ds = _events([1, 1, 1, 2, 2], [0, g, 2 * g + 1, 100, 100])
+    out = sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session_start_us"]).reset_index(drop=True)
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["session_start_us"]) == [0, 2 * g + 1]
+    assert list(u1["n_events"]) == [2, 1]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["session_start_us"]) == [100]
+    assert list(u2["n_events"]) == [2]
+
+
+def test_sessionize_many_users_cross_bucket():
+    rng = np.random.default_rng(3)
+    users = rng.integers(0, 50, 400)
+    ts = rng.integers(0, 10 * US_PER_HOUR, 400)
+    ds = _events(users, ts)
+    out = sessionize(ds, num_buckets=8).to_pandas()
+    # every event is in exactly one session
+    assert out["n_events"].sum() == 400
+    # reference sessionization per user
+    import pandas as pd
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    n_sessions = 0
+    for _, grp in df.groupby("u"):
+        t = grp["t"].to_numpy()
+        n_sessions += 1 + int((np.diff(t) > US_30_MIN).sum())
+    assert len(out) == n_sessions
