@@ -1,0 +1,73 @@
+"""As-of join — a time-travel join Ray Data lacks natively (SURVEY.md §2
+extensions): for every left row, the latest right row with the same key and
+``right.t <= left.t`` (inclusive).
+
+Scale shape: both sides are routed to COARSE hash buckets of the join key
+(bucket count ∝ cluster cores; a key's full history must co-locate — the
+inherent as-of partitioning assumption) and each bucket is resolved in one
+vectorized lexsort + running-maximum pass over the union of both sides —
+no per-key Python, no driver materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+_ASOF_SCHEMA_COLS = ("key", "t", "id", "side", "bkt")
+
+
+def asof_join(left_ds, right_ds, *, num_buckets: int = 64):
+    """left {key, t, id} ⟕ right {key, t, id} → Dataset {id, matched_id}.
+
+    ``matched_id`` is the right ``id`` of the latest right row with the
+    same key and ``t_right <= t_left``, or -1. Equal-(key, t) right rows
+    are disambiguated deterministically (max id wins) so the result is
+    order-insensitive."""
+    nb = np.uint64(num_buckets)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["key"].to_numpy()
+            return pa.table({
+                "key": batch["key"],
+                "t": batch["t"],
+                "id": batch["id"],
+                "side": pa.array(np.full(len(k), side, dtype=np.int64)),
+                "bkt": pa.array((mix64(k) % nb).astype(np.int64)),
+            })
+        return f
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        k = group["key"].to_numpy()
+        t = group["t"].to_numpy()
+        rid = group["id"].to_numpy()
+        side = group["side"].to_numpy()     # 0 = right, 1 = left
+        # sort by (key, t, side, id): at equal (key, t) every right row
+        # precedes every left row (inclusive match), and the max-id right
+        # row sorts last among its (key, t) ties → the running maximum
+        # below picks it deterministically
+        order = np.lexsort((rid, side, t, k))
+        k, t, rid, side = k[order], t[order], rid[order], side[order]
+        n = len(k)
+        # last right-row position seen so far (global running max of index)
+        marker = np.where(side == 0, np.arange(n), -1)
+        last = np.maximum.accumulate(marker)
+        # key segment starts: a match must not cross a key boundary
+        new = np.empty(n, dtype=bool)
+        new[0:1] = True
+        new[1:] = k[1:] != k[:-1]
+        seg_first = np.flatnonzero(new)[np.cumsum(new) - 1]
+        is_left = side == 1
+        valid = (last >= seg_first) & (last >= 0) & is_left
+        matched = np.full(n, -1, dtype=np.int64)
+        matched[valid] = rid[np.maximum(last[valid], 0)]
+        return pa.table({"id": pa.array(rid[is_left], pa.int64()),
+                         "matched_id": pa.array(matched[is_left], pa.int64())})
+
+    routed = (right_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(left_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return routed.groupby("bkt").map_groups(resolve_bucket,
+                                            batch_format="pyarrow")

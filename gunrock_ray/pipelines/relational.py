@@ -445,6 +445,35 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev)
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join, SQL-checked: each 'purchase' event matched to the same
+    user's latest preceding-or-simultaneous 'signup' event (-1 if none).
+    Oracled by DuckDB's native ASOF LEFT JOIN (right side deduped to max
+    event_id per (user, ts) — the engine's deterministic tie rule)."""
+    import ray.data
+    from gunrock_ray.functions.joins import asof_join
+
+    def pick(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(batch["event_type"], kind)
+            b = batch.filter(keep)
+            return pa.table({"key": b["user_id"],
+                             "t": b["ts"].cast(pa.int64()),
+                             "id": b["event_id"]})
+        return f
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("signup"), batch_format="pyarrow")
+    out = asof_join(left, right)
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["id"],
+                            "signup_event_id": t["matched_id"]}),
+        batch_format="pyarrow")
+
+
 # --- documents / embeddings (training-data ops) ------------------------------
 
 def q_doc_sha(sf_dir: str):
@@ -908,6 +937,14 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "events_asof": (
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS event_id "
+        "      FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)) "
+        "SELECT l.event_id, COALESCE(r.event_id, -1) AS signup_event_id "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t"
     ),
     "events_window": (
         "SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS w, "

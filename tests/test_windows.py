@@ -68,3 +68,27 @@ def test_sessionize_many_users_cross_bucket():
         t = grp["t"].to_numpy()
         n_sessions += 1 + int((np.diff(t) > US_30_MIN).sum())
     assert len(out) == n_sessions
+
+
+def test_asof_join_semantics():
+    """As-of join: inclusive at equal t, latest-right wins, max-id tie rule,
+    -1 when no preceding right row, no cross-key leakage."""
+    import ray.data
+    from gunrock_ray.functions.joins import asof_join
+
+    def tbl(rows):
+        k, t, i = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "key": pa.array(k, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "id": pa.array(i, pa.int64())}))
+
+    left = tbl([(1, 10, 100), (1, 4, 101), (2, 7, 102), (3, 9, 103)])
+    right = tbl([(1, 4, 200), (1, 10, 201), (1, 10, 205), (2, 9, 202)])
+    out = asof_join(left, right, num_buckets=4).to_pandas()
+    got = dict(zip(out["id"], out["matched_id"]))
+    assert got[100] == 205   # equal t inclusive; max id among (1,10) ties
+    assert got[101] == 200   # exact-t match at t=4
+    assert got[102] == -1    # right row at t=9 is AFTER left t=7
+    assert got[103] == -1    # key 3 has no right rows (no cross-key match)
+    assert len(out) == 4     # one output row per left row
