@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed aggregates over the events stream (streaming-window slot)
         "events_window": r.q_events_window,     # SQL-checked (integer cents)
         "events_asof": r.q_events_asof,         # SQL-checked (native ASOF JOIN)
+        "events_range": r.q_events_range,       # SQL-checked (interval join)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,

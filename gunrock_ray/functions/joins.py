@@ -71,3 +71,74 @@ def asof_join(left_ds, right_ds, *, num_buckets: int = 64):
               .union(left_ds.map_batches(tag(1), batch_format="pyarrow")))
     return routed.groupby("bkt").map_groups(resolve_bucket,
                                             batch_format="pyarrow")
+
+
+def range_join(left_ds, right_ds, *, num_buckets: int = 64):
+    """Interval join: left {key, lo, hi, id} × right {key, t, id} →
+    Dataset {left_id, right_id} for every right row with the same key and
+    ``lo <= t <= hi`` (inclusive both ends).
+
+    Same coarse-bucket shape as :func:`asof_join`. Inside a bucket, every
+    left interval is resolved with TWO global searchsorted calls on a
+    rank-composite key (key-rank × t-rank — exact, no per-key Python): the
+    matching right rows are one contiguous slice of the (key, t)-sorted
+    right side, emitted with a ragged gather."""
+    from gunrock_ray.common import segment_starts
+    from gunrock_ray.functions.dedup import _ragged_gather
+
+    nb = np.uint64(num_buckets)
+    EMPTY = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy()
+        return pa.table({"key": batch["key"], "lo": batch["t"],
+                         "hi": batch["t"], "id": batch["id"],
+                         "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+                         "bkt": pa.array((mix64(k) % nb).astype(np.int64))})
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy()
+        return pa.table({"key": batch["key"], "lo": batch["lo"],
+                         "hi": batch["hi"], "id": batch["id"],
+                         "side": pa.array(np.ones(len(k), dtype=np.int64)),
+                         "bkt": pa.array((mix64(k) % nb).astype(np.int64))})
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        is_r = side == 0
+        rk = group["key"].to_numpy()[is_r]
+        rt = group["lo"].to_numpy()[is_r]
+        rid = group["id"].to_numpy()[is_r]
+        lk = group["key"].to_numpy()[~is_r]
+        lo = group["lo"].to_numpy()[~is_r]
+        hi = group["hi"].to_numpy()[~is_r]
+        lid = group["id"].to_numpy()[~is_r]
+        if len(rk) == 0 or len(lk) == 0:
+            return pa.Table.from_pylist([], schema=EMPTY)
+        order = np.lexsort((rt, rk))
+        rk, rt, rid = rk[order], rt[order], rid[order]
+        seg = segment_starts(rk)
+        seg_keys = rk[seg]
+        kr_right = np.repeat(np.arange(len(seg), dtype=np.int64),
+                             np.diff(np.concatenate([seg, [len(rk)]])))
+        uniq = np.unique(np.concatenate([rt, lo, hi]))
+        base = np.int64(len(uniq) + 2)
+        cr = kr_right * base + (np.searchsorted(uniq, rt) + 1)
+        pos = np.searchsorted(seg_keys, lk)
+        posc = np.minimum(pos, len(seg_keys) - 1)
+        valid = seg_keys[posc] == lk
+        kr_l = posc
+        c_lo = kr_l * base + (np.searchsorted(uniq, lo) + 1)
+        c_hi = kr_l * base + (np.searchsorted(uniq, hi) + 2)
+        a = np.searchsorted(cr, c_lo, side="left")
+        b = np.searchsorted(cr, c_hi, side="left")
+        counts = np.where(valid, b - a, 0)
+        return pa.table({
+            "left_id": pa.array(np.repeat(lid, counts), pa.int64()),
+            "right_id": pa.array(_ragged_gather(rid, a, counts), pa.int64()),
+        })
+
+    routed = (right_ds.map_batches(tag_right, batch_format="pyarrow")
+              .union(left_ds.map_batches(tag_left, batch_format="pyarrow")))
+    return routed.groupby("bkt").map_groups(resolve_bucket,
+                                            batch_format="pyarrow")

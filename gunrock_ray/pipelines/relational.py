@@ -474,6 +474,39 @@ def q_events_asof(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_range(sf_dir: str):
+    """Range join, SQL-checked: every (purchase, click) pair where the same
+    user's click falls within the hour before the purchase (inclusive both
+    ends). Oracled by a plain inequality join."""
+    import ray.data
+    from gunrock_ray.functions.joins import range_join
+    HOUR = 3_600_000_000
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.compute.equal(batch["event_type"], "purchase"))
+        t = b["ts"].cast(pa.int64())
+        return pa.table({"key": b["user_id"],
+                         "lo": pa.compute.subtract(t, HOUR), "hi": t,
+                         "id": b["event_id"]})
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.compute.equal(batch["event_type"], "click"))
+        return pa.table({"key": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "id": b["event_id"]})
+
+    out = range_join(ev.map_batches(purchases, batch_format="pyarrow"),
+                     ev.map_batches(clicks, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: pa.table({"purchase_id": t["left_id"],
+                            "click_id": t["right_id"]}),
+        batch_format="pyarrow")
+
+
 # --- documents / embeddings (training-data ops) ------------------------------
 
 def q_doc_sha(sf_dir: str):
@@ -937,6 +970,13 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "events_range": (
+        "SELECT l.event_id AS purchase_id, r.event_id AS click_id "
+        "FROM events l JOIN events r ON l.user_id = r.user_id "
+        "AND l.event_type = 'purchase' AND r.event_type = 'click' "
+        "AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 3600000000 "
+        "AND epoch_us(l.ts)"
     ),
     "events_asof": (
         "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "

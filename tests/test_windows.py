@@ -92,3 +92,31 @@ def test_asof_join_semantics():
     assert got[102] == -1    # right row at t=9 is AFTER left t=7
     assert got[103] == -1    # key 3 has no right rows (no cross-key match)
     assert len(out) == 4     # one output row per left row
+
+
+def test_range_join_matches_bruteforce():
+    """Range join: inclusive bounds, key isolation, exact pair set vs a
+    brute-force reference on random intervals."""
+    import ray.data
+    from gunrock_ray.functions.joins import range_join
+    rng = np.random.default_rng(4)
+    rk = rng.integers(0, 10, 200)
+    rt = rng.integers(0, 1000, 200)
+    lk = rng.integers(0, 12, 80)      # some keys absent from the right side
+    llo = rng.integers(0, 900, 80)
+    lhi = llo + rng.integers(0, 200, 80)
+
+    left = ray.data.from_arrow(pa.table({
+        "key": pa.array(lk, pa.int64()), "lo": pa.array(llo, pa.int64()),
+        "hi": pa.array(lhi, pa.int64()),
+        "id": pa.array(np.arange(1000, 1080), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "key": pa.array(rk, pa.int64()), "t": pa.array(rt, pa.int64()),
+        "id": pa.array(np.arange(200), pa.int64())}))
+    out = range_join(left, right, num_buckets=8).to_pandas()
+    got = set(map(tuple, out[["left_id", "right_id"]].to_numpy())) \
+        if len(out) else set()
+    expect = {(1000 + i, j)
+              for i in range(80) for j in range(200)
+              if lk[i] == rk[j] and llo[i] <= rt[j] <= lhi[i]}
+    assert got == expect
