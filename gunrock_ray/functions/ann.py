@@ -173,12 +173,24 @@ def lsh_buckets(embeddings_ds, dim: int, num_planes: int = 16, num_tables: int =
                 carry_embedding: bool = False):
     """Dataset stage: embeddings → (vec_id, table_id, bucket[, embedding]).
     The IVF/LSH scale path for ANN: candidates = same-bucket ids in any
-    table."""
-    return embeddings_ds.map_batches(
-        LshIndexer, batch_format="pyarrow", concurrency=(1, concurrency),
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
-                               "num_tables": num_tables, "seed": seed,
-                               "carry_embedding": carry_embedding})
+    table.
+
+    The hyperplanes are a few KB–MB of read-only state, so they are built
+    ONCE driver-side and broadcast via ``ray.put`` to stateless tasks
+    (zero-copy NumPy from the object store) — an actor pool here would pay
+    seconds of pool startup per execution for state that costs nothing to
+    share. Heavier per-actor state (models, codecs) still belongs in
+    callable-class actor pools (see multimodal/TextAnalyzer stages)."""
+    import ray
+
+    idx_ref = ray.put(LshIndexer(dim, num_planes=num_planes,
+                                 num_tables=num_tables, seed=seed,
+                                 carry_embedding=carry_embedding))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return ray.get(idx_ref)(batch)
+
+    return embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
 
 
 def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
@@ -187,14 +199,16 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
              concurrency: int = 4):
     """Approximate cosine top-k via random-hyperplane LSH — the scale path.
 
-    (1) query vectors are hashed with the SAME planes as the corpus (tiny
-    driver-side matrix); (2) the corpus is bucketed with embeddings carried
-    through the rows; (3) each non-empty (table, bucket) group exact-ranks
-    its members against only the queries mapped to that bucket (partial
-    top-k per bucket); (4) the driver merges the tiny
-    (queries × k × tables) candidate set. Recall grows with ``num_tables``
-    and shrinks with ``num_planes`` (bucket granularity). Returns
-    {query_id, neighbor_id, rank} like :func:`brute_force_topk`."""
+    Top-k is a max-reduction, so candidate rows need NO co-location — the
+    whole path is SHUFFLE-FREE: (1) query vectors are hashed with the SAME
+    planes as the corpus (tiny driver-side matrix, broadcast once);
+    (2) every batch computes its own signatures, masks the (query, row)
+    pairs that share no probed bucket, and emits a masked partial top-k;
+    (3) the driver merges the tiny (queries × k × blocks) candidate set.
+    The corpus never moves — only signatures-in-flight per batch and the
+    candidate rows. Recall grows with ``num_tables`` and shrinks with
+    ``num_planes`` (bucket granularity). Returns {query_id, neighbor_id,
+    rank} like :func:`brute_force_topk`."""
     import ray
 
     q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
@@ -202,45 +216,33 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
     hasher = LshIndexer(dim, num_planes=num_planes, num_tables=num_tables,
                         seed=seed)
     q_sig = hasher.signatures(Q)  # (T, q)
-    # bucket → query-row lookup, tiny: one dict of index arrays per table
-    lookup: dict[tuple[int, int], np.ndarray] = {}
-    for t in range(num_tables):
-        for b in np.unique(q_sig[t]):
-            lookup[(t, int(b))] = np.flatnonzero(q_sig[t] == b)
-    q_ref = ray.put((q_ids, Q, lookup))
+    ref = ray.put((q_ids, Q, q_sig, hasher))
 
-    ds = _embeddings_ds(embeddings_path)
-    buckets = lsh_buckets(ds, dim, num_planes=num_planes,
-                          num_tables=num_tables, seed=seed,
-                          concurrency=concurrency, carry_embedding=True)
-
-    def rank_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          "neighbor_id": pa.array([], pa.int64()),
-                          "sim": pa.array([], pa.float64())})
-        ids, Qm, lk = ray.get(q_ref)
-        t = int(group["table_id"][0].as_py())
-        b = int(group["bucket"][0].as_py())
-        q_rows = lk.get((t, b))
-        if q_rows is None:
-            return empty
-        vid = group["vec_id"].to_numpy()
-        V = _normalize(_stack(group["embedding"]))
-        sims = Qm[q_rows] @ V.T  # (q_sub, members)
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, Qm, qs, hs = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        V = _normalize(_stack(batch["embedding"]))
+        sig = hs.signatures(V)               # (T, n)
+        valid = np.zeros((len(ids), len(vid)), dtype=bool)
+        for t in range(qs.shape[0]):
+            valid |= qs[t][:, None] == sig[t][None, :]
+        sims = Qm @ V.T
+        sims[~valid] = -np.inf
         kk = min(k + 1, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out = {"query_id": [], "neighbor_id": [], "sim": []}
-        for si, qi in enumerate(q_rows):
-            row = part[si]
-            out["query_id"].extend([ids[qi]] * len(row))
-            out["neighbor_id"].extend(vid[row].tolist())
-            out["sim"].extend(sims[si, row].tolist())
-        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
-                         "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                         "sim": pa.array(out["sim"], pa.float64())})
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(ids)):
+            cand = part[qi]
+            cand = cand[np.isfinite(sims[qi, cand])]
+            rows["query_id"].extend([ids[qi]] * len(cand))
+            rows["neighbor_id"].extend(vid[cand].tolist())
+            rows["sim"].extend(sims[qi, cand].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
 
-    cands = buckets.groupby(["table_id", "bucket"]).map_groups(
-        rank_bucket, batch_format="pyarrow").to_pandas()
+    cands = _embeddings_ds(embeddings_path).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
     if len(cands) == 0:
         import pandas as pd
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
@@ -304,71 +306,54 @@ def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
     scale path to :func:`lsh_topk`.
 
     (1) spherical k-means centroids trained on a hash-priority sample
-    (bounded, deterministic); (2) every vector assigned to its
-    ``assign_lists`` nearest centroids (multi-assignment: ×assign_lists
-    storage for much better boundary recall) with the embedding carried
-    through the list rows; (3) each query probes its ``nprobe`` nearest
-    lists — per-list exact ranking in ``map_groups`` with partial top-k;
-    (4) tiny driver merge (cross-list duplicates deduped there). Recall
-    grows with ``nprobe × assign_lists`` / ``num_lists``. Returns
-    {query_id, neighbor_id, rank} like :func:`brute_force_topk`."""
+    (bounded, deterministic); (2) every batch assigns its vectors to their
+    ``assign_lists`` nearest centroids (multi-assignment for much better
+    boundary recall); (3) a (query, row) pair is a candidate iff the row's
+    lists intersect the query's ``nprobe`` probed lists — masked partial
+    top-k per batch, SHUFFLE-FREE like :func:`lsh_topk`; (4) tiny driver
+    merge. Recall grows with ``nprobe × assign_lists`` / ``num_lists``.
+    Returns {query_id, neighbor_id, rank} like :func:`brute_force_topk`."""
     import ray
 
     q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
     ds = _embeddings_ds(embeddings_path)
     sample = _hash_priority_sample(ds, train_sample, seed)
     C = train_ivf_centroids(sample, num_lists, kmeans_iters, seed)
-    c_ref = ray.put(C)
 
     npb = min(nprobe, num_lists)
     nass = min(assign_lists, num_lists)
     q_probe = np.argpartition(-(Q @ C.T), npb - 1, axis=1)[:, :npb]
-    lookup: dict[int, np.ndarray] = {}
-    for lid in np.unique(q_probe):
-        lookup[int(lid)] = np.flatnonzero((q_probe == lid).any(axis=1))
-    q_ref = ray.put((q_ids, Q, lookup))
+    # shuffle-free like lsh_topk: per batch, assign rows to their nass
+    # nearest lists, mask (query, row) pairs whose lists don't intersect
+    # the query's probe set, partial top-k, tiny driver merge — the corpus
+    # never moves
+    ref = ray.put((q_ids, Q, q_probe, C))
 
-    def assign(batch: pa.Table) -> pa.Table:
-        Cm = ray.get(c_ref)
-        M = _normalize(_stack(batch["embedding"]))
-        lids = np.argpartition(-(M @ Cm.T), nass - 1, axis=1)[:, :nass]
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        return pa.table({
-            "vec_id": pa.chunked_array([batch["vec_id"]] * nass),
-            "list_id": pa.array(lids.T.ravel().astype(np.int64)),
-            "embedding": pa.chunked_array([emb] * nass),
-        })
-
-    lists = ds.map_batches(assign, batch_format="pyarrow")
-
-    def rank_list(group: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          "neighbor_id": pa.array([], pa.int64()),
-                          "sim": pa.array([], pa.float64())})
-        ids, Qm, lk = ray.get(q_ref)
-        lid = int(group["list_id"][0].as_py())
-        q_rows = lk.get(lid)
-        if q_rows is None:
-            return empty
-        vid = group["vec_id"].to_numpy()
-        V = _normalize(_stack(group["embedding"]))
-        sims = Qm[q_rows] @ V.T
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, Qm, qp, Cm = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        V = _normalize(_stack(batch["embedding"]))
+        lids = np.argpartition(-(V @ Cm.T), nass - 1, axis=1)[:, :nass]
+        valid = np.zeros((len(ids), len(vid)), dtype=bool)
+        for a in range(nass):
+            for p in range(qp.shape[1]):
+                valid |= qp[:, p][:, None] == lids[:, a][None, :]
+        sims = Qm @ V.T
+        sims[~valid] = -np.inf
         kk = min(k + 1, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out = {"query_id": [], "neighbor_id": [], "sim": []}
-        for si, qi in enumerate(q_rows):
-            row = part[si]
-            out["query_id"].extend([ids[qi]] * len(row))
-            out["neighbor_id"].extend(vid[row].tolist())
-            out["sim"].extend(sims[si, row].tolist())
-        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
-                         "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                         "sim": pa.array(out["sim"], pa.float64())})
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(ids)):
+            cand = part[qi]
+            cand = cand[np.isfinite(sims[qi, cand])]
+            rows["query_id"].extend([ids[qi]] * len(cand))
+            rows["neighbor_id"].extend(vid[cand].tolist())
+            rows["sim"].extend(sims[qi, cand].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
 
-    cands = lists.groupby("list_id").map_groups(
-        rank_list, batch_format="pyarrow").to_pandas()
+    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if len(cands) == 0:
         import pandas as pd
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),

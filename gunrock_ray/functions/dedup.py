@@ -662,20 +662,45 @@ def embedding_near_dup_pairs_lsh(embeddings_path: str, *, threshold: float = 0.9
     dim = len(first[0]["embedding"])
     buckets = lsh_buckets(ds, dim, num_planes=num_planes, num_tables=num_tables,
                           seed=seed, carry_embedding=True)
+    num_buckets = 64
 
-    def verify_group(batch: pa.Table) -> pa.Table:
-        vids = batch["vec_id"].to_numpy()
-        if len(vids) < 2:
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        key = ((batch["table_id"].to_numpy().astype(np.uint64)
+                << np.uint64(40))
+               | batch["bucket"].to_numpy().astype(np.uint64))
+        return batch.append_column(
+            "cbkt", pa.array((mix64(key) % np.uint64(num_buckets))
+                             .astype(np.int64)))
+
+    def verify_coarse(group: pa.Table) -> pa.Table:
+        """Many LSH buckets per coarse group: sort by (table, bucket) and
+        matmul-verify each logical bucket's segment."""
+        t_id = group["table_id"].to_numpy()
+        bkt = group["bucket"].to_numpy()
+        vids = group["vec_id"].to_numpy()
+        V = _normalize(_stack(group["embedding"]))
+        order = np.lexsort((vids, bkt, t_id))
+        t_id, bkt, vids, V = t_id[order], bkt[order], vids[order], V[order]
+        new = np.empty(len(vids), dtype=bool)
+        new[0:1] = True
+        np.logical_or(t_id[1:] != t_id[:-1], bkt[1:] != bkt[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(vids)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = V[s:e] @ V[s:e].T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(vids[s:e][ii])     # a < b: ids sorted per segment
+            out_b.append(vids[s:e][jj])
+        if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        V = _normalize(_stack(batch["embedding"]))
-        order = np.argsort(vids)  # a < b by id, deterministic
-        vids, V = vids[order], V[order]
-        sims = V @ V.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table({"a": pa.array(vids[ii], pa.int64()),
-                         "b": pa.array(vids[jj], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
-        verify_group, batch_format="pyarrow")
+    pairs = (buckets.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("cbkt").map_groups(verify_coarse,
+                                         batch_format="pyarrow"))
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
