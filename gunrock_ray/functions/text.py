@@ -14,6 +14,11 @@ import numpy as np
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"\S+")
+# BPE-ish pre-tokenizer (GPT-2-style splits, simplified to DISJOINT
+# character classes so Python re and DuckDB RE2 agree exactly regardless
+# of alternation semantics): optional leading space + letter run / digit
+# run / symbol run
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
 
 # tiny per-language stopword/marker sets for the n-gram heuristic language ID
 _LANG_MARKERS = {
@@ -26,14 +31,18 @@ _PUNCT = set(".,;:!?\"'()[]{}<>")
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """{doc_id, n_tokens, n_chars_chk} — whitespace-run token count (exact
-    match with DuckDB ``len(regexp_extract_all(text,'\\S+'))``)."""
+    """{doc_id, n_tokens, n_bpe_tokens, n_chars_chk} — whitespace-run token
+    count plus the BPE-ish pre-tokenizer count (both exact matches with the
+    DuckDB ``regexp_extract_all`` formulations)."""
     texts = batch["text"].to_pylist()
     n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                            dtype=np.int64, count=len(texts))
+    n_bpe = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
+                        dtype=np.int64, count=len(texts))
     n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     return pa.table({"doc_id": batch["doc_id"],
                      "n_tokens": pa.array(n_tokens),
+                     "n_bpe_tokens": pa.array(n_bpe),
                      "n_chars_chk": pa.array(n_chars)})
 
 

@@ -1017,6 +1017,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_token_stats": (
         "SELECT doc_id, "
         "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_chk "
         "FROM documents"
     ),
