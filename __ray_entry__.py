@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr10": r.q_pr10,              # SQL-checked (unrolled power iteration)
         "pr_unnorm10": r.q_pr_unnorm10,  # SQL-checked (NORMALIZED=false path)
         "hits8": r.q_hits8,              # SQL-checked (unrolled L2-normalized)
+        "hits_gr5": r.q_hits_gr5,        # SQL-checked (fork's delta-damped form)
         "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
         "bc_sigma": r.q_bc_sigma,        # SQL-checked (integer forward Brandes)
         "bc_dep": r.q_bc_dep,            # SQL-checked (float backward, 1e-6 ints)

@@ -55,7 +55,7 @@ def cmd_run(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.pipelines import graph_algos as ga
 
-    needs_in = args.algo in ("hits", "salsa", "bc")
+    needs_in = args.algo in ("hits", "hits_gr", "salsa", "bc")
     undirected = args.undirected or args.algo in ("cc", "lp", "tc")
     edges, vertices = _load_edges(args)
     t0 = time.perf_counter()
@@ -88,6 +88,10 @@ def cmd_run(args) -> dict:
         out = ga.sssp(g, args.src, delta=args.nf_delta, metrics_path=args.metrics)
     elif args.algo == "hits":
         out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
+    elif args.algo == "hits_gr":
+        out = ga.hits_gunrock(g, args.src, delta=args.delta,
+                              max_iter=args.max_iter,
+                              metrics_path=args.metrics)
     elif args.algo == "salsa":
         out = ga.salsa(g, max_iter=args.max_iter, metrics_path=args.metrics)
     elif args.algo == "bc":
@@ -243,7 +247,7 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "tc", "bfs", "sssp",
-                              "hits", "salsa", "bc", "wtf"])
+                              "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx"])

@@ -417,6 +417,32 @@ def hits(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-7,
     return g.extract("hits_extract")
 
 
+def hits_gunrock(graph: DistributedGraph, src: int, *, delta: float = 0.85,
+                 max_iter: int = 20, metrics_path: str | None = None):
+    """The FORK'S exact HITS variant (`hits_functor.cuh:90-91`,
+    `hits_enactor.cuh:212-316`): delta-damped, restart at ``src``, NO
+    normalization (the reference's NormalizeRank only rotates buffers).
+    Ranks start at zero; per iteration auth[v] = Σ_{u→v} hub[u]/od[u]
+    then hub[u] = δ·1{u=src} + (1−δ)·Σ_{u→v} auth[v]/id[v] — a
+    personalized SALSA-style walk. The standard L2-normalized Kleinberg
+    form stays in :func:`hits` (the engine ships BOTH; reference delta
+    default 0.85, `info.cuh:134`). Graph must be built with_in_edges.
+    Returns Dataset {v, hub, auth}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("gr_hits_init", int(src), delta)
+    g.register_push("out")
+    g.register_push("in")
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        g.superstep("salsa_auth_scatter", "salsa_auth_apply")
+        g.superstep("salsa_hub_scatter", "gr_hits_hub_apply")
+        metrics.write(algo="hits_gunrock", superstep=it, messages=2 * g.m,
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("hits_extract")
+
+
 def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
           metrics_path: str | None = None):
     """SALSA hub/authority scores (SURVEY.md §2.9: degree-normalized pushes,

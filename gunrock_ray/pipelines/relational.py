@@ -373,6 +373,21 @@ def q_bc_sigma(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_hits_gr5(sf_dir: str):
+    """The fork's exact delta-damped HITS variant (restart at vertex 0, no
+    normalization), 5 iterations — SQL-checked at 1e-6 integer scale. The
+    standard Kleinberg form is q_hits8; the engine ships BOTH."""
+    from gunrock_ray.pipelines.graph_algos import hits_gunrock
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        df = hits_gunrock(g, 0, delta=0.85, max_iter=5).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_bc_dep(sf_dir: str):
     """Backward Brandes pass from vertex 0, SQL-checked at the 1e-6 integer
     scale: per-vertex dependency delta (= single-source BC contribution,
@@ -830,6 +845,37 @@ def _bc_sigma_sql(levels: int = 30) -> str:
     return "".join(parts)
 
 
+def _hits_gr_sql(iters: int = 5, delta: float = 0.85, src: int = 0) -> str:
+    """Unrolled FORK-variant HITS (`hits_functor.cuh:90-91`): delta-damped,
+    restart at src, no normalization, ranks start at 0."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
+        "idg AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT dst AS v, COUNT(*) AS c FROM e GROUP BY dst) d ON d.v = verts.v), ",
+        "h0 AS (SELECT v, 0.0 AS hub FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", a{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS auth "
+            f"FROM verts LEFT JOIN (SELECT e.dst AS v, SUM(h.hub/od2.deg) AS s "
+            f"FROM e JOIN h{i-1} h ON h.v = e.src JOIN od od2 ON od2.v = e.src "
+            f"GROUP BY e.dst) m ON m.v = verts.v)"
+            f", h{i} AS MATERIALIZED (SELECT od.v, "
+            f"{delta}*(CASE WHEN od.v = {src} AND od.deg > 0 THEN 1.0 ELSE 0.0 END) "
+            f"+ {1.0 - delta}*COALESCE(m.s, 0) AS hub "
+            f"FROM od LEFT JOIN (SELECT e.src AS v, SUM(a{i}.auth/idg2.deg) AS s "
+            f"FROM e JOIN a{i} ON a{i}.v = e.dst JOIN idg idg2 ON idg2.v = e.dst "
+            f"GROUP BY e.src) m ON m.v = od.v)")
+    parts.append(
+        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+    return "".join(parts)
+
+
 def _bc_dep_sql(levels: int = 30) -> str:
     """Unrolled backward Brandes dependency accumulation from source 0 on
     the directed graph: delta(u) = sigma(u) · Σ_{edges u→w, depth(w) =
@@ -918,6 +964,7 @@ ORACLE_SQL: dict[str, str] = {
     # supersteps (the 1e-9 relative threshold cannot fire before ~iter 127)
     "wtf_cot": _pr_sql(50, src=0, top=100),
     "hits8": _hits_sql(8),
+    "hits_gr5": _hits_gr_sql(5),
     "salsa8": _salsa_sql(8),
     "bc_sigma": _bc_sigma_sql(30),
     "bc_dep": _bc_dep_sql(30),

@@ -1116,6 +1116,33 @@ class GraphPartition:
                          "hub": pa.array(self.state["hub"], pa.float64()),
                          "auth": pa.array(self.state["auth"], pa.float64())})
 
+    # Fork-exact HITS variant (`hits_functor.cuh:90-91`, enactor loop
+    # `hits_enactor.cuh:212-316`): NO normalization — NormalizeRank only
+    # rotates buffers — ranks start at 0 and stay bounded via delta damping
+    # with a restart at src: per iteration auth[v] = Σ_{u→v} hub[u]/od[u],
+    # then hub[u] = δ·1{u=src, od>0} + (1−δ)·Σ_{u→v} auth[v]/id[v].
+
+    def gr_hits_init(self, src_vertex: int, delta: float) -> None:
+        self.prepare_push_plan("out")
+        self.prepare_push_plan("in")
+        n = len(self.verts)
+        self.state["hub"] = np.zeros(n, dtype=np.float64)
+        self.state["auth"] = np.zeros(n, dtype=np.float64)
+        self._grh_delta = float(delta)
+        r = np.zeros(n, dtype=np.float64)
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex \
+                and self.out_deg[pos] > 0:
+            # the per-edge δ/out_deg terms of the reference sum to exactly δ
+            r[pos] = 1.0
+        self._grh_restart = r
+
+    def gr_hits_hub_apply(self, *val_packs) -> float:
+        s = self._static_apply_sum(val_packs, "in")
+        d = self._grh_delta
+        self.state["hub"] = d * self._grh_restart + (1.0 - d) * s
+        return float(self.state["hub"].sum())
+
     def salsa_init(self) -> None:
         self.prepare_push_plan("out")
         self.prepare_push_plan("in")

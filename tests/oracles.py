@@ -271,3 +271,25 @@ def brandes_bc_ref(n, src, dst, halve=True):
         delta[s] = 0.0
         bc += delta
     return bc * (0.5 if halve else 1.0)
+
+
+def hits_gunrock_ref(n, src_a, dst_a, src_vertex, delta=0.85, max_iter=20):
+    """The FORK's delta-damped HITS (hits_functor.cuh:90-91): no
+    normalization, ranks start at 0, restart at src_vertex."""
+    src_a, dst_a = normalize_oracle(src_a, dst_a)
+    out_deg = np.bincount(src_a, minlength=n)
+    in_deg = np.bincount(dst_a, minlength=n)
+    hub = np.zeros(n)
+    auth = np.zeros(n)
+    restart = np.zeros(n)
+    if 0 <= src_vertex < n and out_deg[src_vertex] > 0:
+        restart[src_vertex] = 1.0
+    for _ in range(max_iter):
+        auth = np.zeros(n)
+        msg = np.divide(hub, out_deg, out=np.zeros(n), where=out_deg > 0)
+        np.add.at(auth, dst_a, msg[src_a])
+        back = np.zeros(n)
+        msg = np.divide(auth, in_deg, out=np.zeros(n), where=in_deg > 0)
+        np.add.at(back, src_a, msg[dst_a])
+        hub = delta * restart + (1.0 - delta) * back
+    return hub, auth

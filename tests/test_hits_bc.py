@@ -125,3 +125,22 @@ def test_bc_subset_sources():
         delta[s] = 0.0
         exp += delta
     np.testing.assert_allclose(bc, exp * 0.5, atol=1e-9)
+
+
+@pytest.mark.parametrize("fix", [g_pr4, g_cc11, lambda: star(9)])
+def test_hits_gunrock_variant_matches_oracle(fix):
+    """The fork-exact delta-damped HITS (restart at src, no normalization)
+    matches the NumPy reimplementation of hits_functor.cuh:90-91."""
+    from gunrock_ray.pipelines.graph_algos import hits_gunrock
+    t = fix()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, with_in_edges=True)
+    try:
+        out = hits_gunrock(g, 0, delta=0.85, max_iter=8).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    out = out.sort_values("v").reset_index(drop=True)
+    ohub, oauth = oracles.hits_gunrock_ref(n, src, dst, 0, 0.85, 8)
+    np.testing.assert_allclose(out["hub"], ohub[out["v"]], atol=1e-12)
+    np.testing.assert_allclose(out["auth"], oauth[out["v"]], atol=1e-12)
