@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_unnorm10": r.q_pr_unnorm10,  # SQL-checked (NORMALIZED=false path)
         "hits8": r.q_hits8,              # SQL-checked (unrolled L2-normalized)
         "hits_gr5": r.q_hits_gr5,        # SQL-checked (fork's delta-damped form)
+        "salsa_gr3": r.q_salsa_gr3,      # SQL-checked (fork's 2-hop walk form)
         "salsa8": r.q_salsa8,            # SQL-checked (unrolled L1-normalized)
         "bc_sigma": r.q_bc_sigma,        # SQL-checked (integer forward Brandes)
         "bc_dep": r.q_bc_dep,            # SQL-checked (float backward, 1e-6 ints)

@@ -443,6 +443,36 @@ def hits_gunrock(graph: DistributedGraph, src: int, *, delta: float = 0.85,
     return g.extract("hits_extract")
 
 
+def salsa_gunrock(graph: DistributedGraph, *, max_iter: int = 20,
+                  metrics_path: str | None = None):
+    """The FORK'S exact SALSA (`salsa_functor.cuh:168,319`; enactor rotates
+    buffers only — no normalization): two independent 2-hop walks,
+    hub'[v] = Σ_{v→s} (1/id[s]) Σ_{d→s} hub[d]/od[d] and the mirror for
+    auth, initialized to 1/|hubs| and 1/|authorities|
+    (`salsa_problem.cuh:366-372`). Four supersteps per iteration over the
+    static out/in plans. The L1-normalized random-walk form stays in
+    :func:`salsa` — the engine ships BOTH. Graph must be built
+    with_in_edges. Returns Dataset {v, hub, auth}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    counts = g.call_all("count_degree_nodes")
+    out_nodes = sum(c[0] for c in counts)
+    in_nodes = sum(c[1] for c in counts)
+    g.call_all("gr_salsa_init", out_nodes, in_nodes)
+    g.register_push("out")
+    g.register_push("in")
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        g.superstep("gr_salsa_h1_scatter", "gr_salsa_h1_apply")
+        g.superstep("gr_salsa_h2_scatter", "gr_salsa_h2_apply")
+        g.superstep("gr_salsa_a1_scatter", "gr_salsa_a1_apply")
+        g.superstep("gr_salsa_a2_scatter", "gr_salsa_a2_apply")
+        metrics.write(algo="salsa_gunrock", superstep=it, messages=4 * g.m,
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("salsa_extract")
+
+
 def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
           metrics_path: str | None = None):
     """SALSA hub/authority scores (SURVEY.md §2.9: degree-normalized pushes,

@@ -373,6 +373,21 @@ def q_bc_sigma(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_salsa_gr3(sf_dir: str):
+    """The fork's exact 2-hop SALSA, 3 iterations, SQL-checked at the 1e-6
+    integer scale (the L1-normalized form is q_salsa8 — the engine ships
+    BOTH)."""
+    from gunrock_ray.pipelines.graph_algos import salsa_gunrock
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        df = salsa_gunrock(g, max_iter=3).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_hits_gr5(sf_dir: str):
     """The fork's exact delta-damped HITS variant (restart at vertex 0, no
     normalization), 5 iterations — SQL-checked at 1e-6 integer scale. The
@@ -876,6 +891,44 @@ def _hits_gr_sql(iters: int = 5, delta: float = 0.85, src: int = 0) -> str:
     return "".join(parts)
 
 
+def _salsa_gr_sql(iters: int = 3) -> str:
+    """Unrolled FORK-variant SALSA (`salsa_functor.cuh:168,319`): two
+    independent unnormalized 2-hop walks, init 1/|hubs| and 1/|auths|."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT src AS v, COUNT(*) AS c FROM e GROUP BY src) d ON d.v = verts.v), ",
+        "idg AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg FROM verts LEFT JOIN "
+        "(SELECT dst AS v, COUNT(*) AS c FROM e GROUP BY dst) d ON d.v = verts.v), ",
+        "cnt AS (SELECT (SELECT COUNT(*) FROM od WHERE deg > 0) AS hubs, "
+        "(SELECT COUNT(*) FROM idg WHERE deg > 0) AS auths), ",
+        "h0 AS (SELECT v, (SELECT 1.0/hubs FROM cnt) AS hub FROM verts), ",
+        "a0 AS (SELECT v, (SELECT 1.0/auths FROM cnt) AS auth FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", t{i} AS MATERIALIZED (SELECT idg.v, m.s/idg.deg AS t FROM idg "
+            f"JOIN (SELECT e.dst AS v, SUM(h.hub/od2.deg) AS s FROM e "
+            f"JOIN h{i-1} h ON h.v = e.src JOIN od od2 ON od2.v = e.src "
+            f"GROUP BY e.dst) m ON m.v = idg.v WHERE idg.deg > 0)"
+            f", h{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS hub FROM verts "
+            f"LEFT JOIN (SELECT e.src AS v, SUM(t{i}.t) AS s FROM e "
+            f"JOIN t{i} ON t{i}.v = e.dst GROUP BY e.src) m ON m.v = verts.v)"
+            f", u{i} AS MATERIALIZED (SELECT od.v, m.s/od.deg AS u FROM od "
+            f"JOIN (SELECT e.src AS v, SUM(a.auth/idg2.deg) AS s FROM e "
+            f"JOIN a{i-1} a ON a.v = e.dst JOIN idg idg2 ON idg2.v = e.dst "
+            f"GROUP BY e.src) m ON m.v = od.v WHERE od.deg > 0)"
+            f", a{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS auth FROM verts "
+            f"LEFT JOIN (SELECT e.dst AS v, SUM(u{i}.u) AS s FROM e "
+            f"JOIN u{i} ON u{i}.v = e.src GROUP BY e.dst) m ON m.v = verts.v)")
+    parts.append(
+        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+    return "".join(parts)
+
+
 def _bc_dep_sql(levels: int = 30) -> str:
     """Unrolled backward Brandes dependency accumulation from source 0 on
     the directed graph: delta(u) = sigma(u) · Σ_{edges u→w, depth(w) =
@@ -965,6 +1018,7 @@ ORACLE_SQL: dict[str, str] = {
     "wtf_cot": _pr_sql(50, src=0, top=100),
     "hits8": _hits_sql(8),
     "hits_gr5": _hits_gr_sql(5),
+    "salsa_gr3": _salsa_gr_sql(3),
     "salsa8": _salsa_sql(8),
     "bc_sigma": _bc_sigma_sql(30),
     "bc_dep": _bc_dep_sql(30),

@@ -1143,6 +1143,75 @@ class GraphPartition:
         self.state["hub"] = d * self._grh_restart + (1.0 - d) * s
         return float(self.state["hub"].sum())
 
+    # Fork-exact SALSA (`salsa_functor.cuh:168,319` H/ABACKWARD + enactor
+    # buffer rotation only): two independent 2-hop walks on the bipartite
+    # hub/authority view, NO normalization. Per iteration
+    #   hub'[v]  = Σ_{v→s} (1/id[s]) Σ_{d→s} hub[d]/od[d]
+    #   auth'[v] = Σ_{s→v} (1/od[s]) Σ_{s→d} auth[d]/id[d]
+    # each expressed as two chained pushes over the static out/in plans.
+
+    def gr_salsa_init(self, out_nodes: int, in_nodes: int) -> None:
+        self.prepare_push_plan("out")
+        self.prepare_push_plan("in")
+        n = len(self.verts)
+        # reference init (`salsa_problem.cuh:366-372`): every vertex starts
+        # at 1/|hubs| and 1/|authorities|
+        self.state["hub"] = np.full(n, 1.0 / max(out_nodes, 1))
+        self.state["auth"] = np.full(n, 1.0 / max(in_nodes, 1))
+
+    def count_degree_nodes(self) -> tuple[int, int]:
+        """(#owned verts with out-edges, with in-edges) — for gr_salsa init."""
+        return (int(np.count_nonzero(self.out_deg > 0)),
+                int(np.count_nonzero(self.in_deg > 0)))
+
+    @_scatter_timed
+    def gr_salsa_h1_scatter(self) -> np.ndarray:
+        vals = np.zeros(len(self.verts), dtype=np.float64)
+        nz = self.out_deg > 0
+        vals[nz] = self.state["hub"][nz] / self.out_deg[nz]
+        return self._static_scatter(vals, "out")
+
+    @_apply_timed
+    def gr_salsa_h1_apply(self, *val_packs) -> int:
+        s = self._static_apply_sum(val_packs, "out")
+        nz = self.in_deg > 0
+        s[nz] /= self.in_deg[nz]
+        self.state["_gr_tmp"] = s
+        return 0
+
+    @_scatter_timed
+    def gr_salsa_h2_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["_gr_tmp"], "in")
+
+    @_apply_timed
+    def gr_salsa_h2_apply(self, *val_packs) -> int:
+        self.state["hub"] = self._static_apply_sum(val_packs, "in")
+        return 0
+
+    @_scatter_timed
+    def gr_salsa_a1_scatter(self) -> np.ndarray:
+        vals = np.zeros(len(self.verts), dtype=np.float64)
+        nz = self.in_deg > 0
+        vals[nz] = self.state["auth"][nz] / self.in_deg[nz]
+        return self._static_scatter(vals, "in")
+
+    @_apply_timed
+    def gr_salsa_a1_apply(self, *val_packs) -> int:
+        s = self._static_apply_sum(val_packs, "in")
+        nz = self.out_deg > 0
+        s[nz] /= self.out_deg[nz]
+        self.state["_gr_tmp"] = s
+        return 0
+
+    @_scatter_timed
+    def gr_salsa_a2_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["_gr_tmp"], "out")
+
+    @_apply_timed
+    def gr_salsa_a2_apply(self, *val_packs) -> int:
+        self.state["auth"] = self._static_apply_sum(val_packs, "out")
+        return 0
+
     def salsa_init(self) -> None:
         self.prepare_push_plan("out")
         self.prepare_push_plan("in")

@@ -293,3 +293,29 @@ def hits_gunrock_ref(n, src_a, dst_a, src_vertex, delta=0.85, max_iter=20):
         np.add.at(back, src_a, msg[dst_a])
         hub = delta * restart + (1.0 - delta) * back
     return hub, auth
+
+
+def salsa_gunrock_ref(n, src_a, dst_a, max_iter=20):
+    """The FORK's SALSA (salsa_functor.cuh:168,319): two independent 2-hop
+    walks, no normalization, init 1/|hubs| and 1/|authorities|."""
+    src_a, dst_a = normalize_oracle(src_a, dst_a)
+    od = np.bincount(src_a, minlength=n)
+    idg = np.bincount(dst_a, minlength=n)
+    hub = np.full(n, 1.0 / max((od > 0).sum(), 1))
+    auth = np.full(n, 1.0 / max((idg > 0).sum(), 1))
+    for _ in range(max_iter):
+        # hub 2-hop: t[s] = (sum_{d->s} hub[d]/od[d]) / id[s]; hub'[v] = sum_{v->s} t[s]
+        msg = np.divide(hub, od, out=np.zeros(n), where=od > 0)
+        t = np.zeros(n)
+        np.add.at(t, dst_a, msg[src_a])
+        t = np.divide(t, idg, out=np.zeros(n), where=idg > 0)
+        hub = np.zeros(n)
+        np.add.at(hub, src_a, t[dst_a])
+        # auth 2-hop: u[s] = (sum_{s->d} auth[d]/id[d]) / od[s]; auth'[v] = sum_{s->v} u[s]
+        msg = np.divide(auth, idg, out=np.zeros(n), where=idg > 0)
+        u = np.zeros(n)
+        np.add.at(u, src_a, msg[dst_a])
+        u = np.divide(u, od, out=np.zeros(n), where=od > 0)
+        auth = np.zeros(n)
+        np.add.at(auth, dst_a, u[src_a])
+    return hub, auth

@@ -144,3 +144,22 @@ def test_hits_gunrock_variant_matches_oracle(fix):
     ohub, oauth = oracles.hits_gunrock_ref(n, src, dst, 0, 0.85, 8)
     np.testing.assert_allclose(out["hub"], ohub[out["v"]], atol=1e-12)
     np.testing.assert_allclose(out["auth"], oauth[out["v"]], atol=1e-12)
+
+
+@pytest.mark.parametrize("fix", [g_pr4, g_cc11, lambda: star(9)])
+def test_salsa_gunrock_variant_matches_oracle(fix):
+    """The fork-exact 2-hop SALSA matches the NumPy reimplementation of
+    salsa_functor.cuh:168,319 (no normalization, 1/|hubs| init)."""
+    from gunrock_ray.pipelines.graph_algos import salsa_gunrock
+    t = fix()
+    src, dst = edges_np(t)
+    n = n_of(t)
+    g = build_graph(t, num_partitions=3, with_in_edges=True)
+    try:
+        out = salsa_gunrock(g, max_iter=6).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    out = out.sort_values("v").reset_index(drop=True)
+    ohub, oauth = oracles.salsa_gunrock_ref(n, src, dst, 6)
+    np.testing.assert_allclose(out["hub"], ohub[out["v"]], atol=1e-12)
+    np.testing.assert_allclose(out["auth"], oauth[out["v"]], atol=1e-12)
