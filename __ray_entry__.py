@@ -13,14 +13,20 @@ ray.init()/ray.shutdown() here or in gunrock_ray library code.
 Operator coverage (SURVEY.md §2): the SQL-checkable entries cover
 normalization (self-loop drop + exact dedup, §1.3), symmetrization,
 degree, top-k (§2.10), triangle counting (§2.11), connected components
-(§2.5, via a recursive-CTE min-label oracle), BFS depths + predecessors
-(§2.6), SSSP unit/weighted/near-far (§2.7, integer [1,64] weights via a
-bounded recursive CTE), fixed-iteration PageRank (§2.4, unrolled SQL
-power iteration at 1e-6 integer scale) and label propagation (§2.11,
-unrolled mode-vote SQL), the ingest sha256 invariant, and exact dedup /
-token stats / ANN over the documents/embeddings tables. The
-convergence-mode PR/LP variants plus HITS/SALSA/BC/WTF are rows-only
-here and validated against NumPy oracles in pytest.
+(§2.5, recursive-CTE min-label oracle), BFS depths + predecessors (§2.6),
+SSSP unit/weighted/near-far (§2.7), fixed-iteration AND converged
+PageRank (§2.4, unrolled power iteration at 1e-6 integer scale),
+personalized-PR circle of trust (wtf_cot), label propagation incl.
+weighted votes (§2.11), BOTH Brandes halves (integer forward sigma +
+float backward dependencies, §2.8), HITS/SALSA in both the standard
+normalized and the fork's exact delta-damped / 2-hop forms (§2.9), the
+ingest sha256 invariant, exact dedup / token stats (whitespace + BPE-ish
+regex) / brute-force ANN / n-gram Jaccard / exact embedding near-dup /
+curation over documents+embeddings, and windowed aggregates,
+sessionization, as-of and range joins over the events stream. Rows-only
+(each pytest-oracled): the convergence-mode PR/LP/HITS/SALSA/BC/WTF
+variants and the probabilistic LSH/IVF/MinHash/SimHash paths (recall and
+subset gates asserted in pytest).
 """
 
 from __future__ import annotations
