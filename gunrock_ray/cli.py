@@ -55,7 +55,8 @@ def cmd_run(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.pipelines import graph_algos as ga
 
-    needs_in = args.algo in ("hits", "hits_gr", "salsa", "bc")
+    needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc")
+                or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc")
     edges, vertices = _load_edges(args)
     t0 = time.perf_counter()
@@ -83,6 +84,7 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
+                     direction_optimized=args.direction_optimized,
                      metrics_path=args.metrics)
     elif args.algo == "sssp":
         out = ga.sssp(g, args.src, delta=args.nf_delta, metrics_path=args.metrics)
@@ -228,6 +230,57 @@ def cmd_curate(args) -> dict:
     return summary
 
 
+def cmd_events(args) -> dict:
+    """Windowed aggregates / sessionization / as-of / range joins over an
+    events Parquet {user_id, ts[, value, event_type, event_id}."""
+    import pyarrow as pa
+    import ray.data
+    _init_ray()
+    t0 = time.perf_counter()
+    if args.op == "window":
+        from gunrock_ray.functions.windows import tumbling_window_agg
+        ev = ray.data.read_parquet(args.input,
+                                   columns=["user_id", "ts", "value"])
+        res = tumbling_window_agg(ev, window_us=args.window_us)
+    elif args.op == "sessions":
+        from gunrock_ray.functions.windows import sessionize
+        ev = ray.data.read_parquet(args.input, columns=["user_id", "ts"])
+        res = sessionize(ev, gap_us=args.gap_us)
+    else:  # asof | range over two event_type slices
+        from gunrock_ray.functions.joins import asof_join, range_join
+        ev = ray.data.read_parquet(
+            args.input, columns=["event_id", "ts", "user_id", "event_type"])
+
+        def pick(kind, as_interval=False):
+            def f(batch: pa.Table) -> pa.Table:
+                b = batch.filter(pa.compute.equal(batch["event_type"], kind))
+                t = b["ts"].cast(pa.int64())
+                if as_interval:
+                    return pa.table({"key": b["user_id"],
+                                     "lo": pa.compute.subtract(t, args.window_us),
+                                     "hi": t, "id": b["event_id"]})
+                return pa.table({"key": b["user_id"], "t": t,
+                                 "id": b["event_id"]})
+            return f
+
+        left_kind, right_kind = args.left_type, args.right_type
+        if args.op == "asof":
+            res = asof_join(ev.map_batches(pick(left_kind),
+                                           batch_format="pyarrow"),
+                            ev.map_batches(pick(right_kind),
+                                           batch_format="pyarrow"))
+        else:
+            res = range_join(ev.map_batches(pick(left_kind, as_interval=True),
+                                            batch_format="pyarrow"),
+                             ev.map_batches(pick(right_kind),
+                                            batch_format="pyarrow"))
+    rows = _write_result(args.out, res)
+    summary = {"cmd": "events", "op": args.op, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
 def cmd_analyze(args) -> dict:
     import ray.data
     from gunrock_ray.functions.text import analyze_documents
@@ -264,6 +317,9 @@ def main(argv=None) -> None:
     run.add_argument("--src", type=int, default=0)
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
+    run.add_argument("--direction-optimized", action="store_true",
+                     help="BFS push<->pull switching (Beamer alpha/beta); "
+                          "builds the inverse CSR")
     run.add_argument("--delta", type=float, default=0.85)
     run.add_argument("--nf-delta", type=float, default=None)
     run.add_argument("--error", type=float, default=0.01)
@@ -324,6 +380,17 @@ def main(argv=None) -> None:
                      help="comma-separated allowed languages (e.g. en,de)")
     cur.add_argument("--partitions", type=int, default=None)
 
+    evp = sub.add_parser("events", help="windowed aggregates / sessionization "
+                         "/ as-of / range joins over an events Parquet")
+    evp.add_argument("--op", required=True,
+                     choices=["window", "sessions", "asof", "range"])
+    evp.add_argument("--input", required=True)
+    evp.add_argument("--out", default="/tmp/gunrock_ray_events")
+    evp.add_argument("--window-us", type=int, default=3_600_000_000)
+    evp.add_argument("--gap-us", type=int, default=1_800_000_000)
+    evp.add_argument("--left-type", default="purchase")
+    evp.add_argument("--right-type", default="signup")
+
     args = ap.parse_args(argv)
     if args.cmd == "run":
         cmd_run(args)
@@ -335,6 +402,8 @@ def main(argv=None) -> None:
         cmd_analyze(args)
     elif args.cmd == "curate":
         cmd_curate(args)
+    elif args.cmd == "events":
+        cmd_events(args)
 
 
 if __name__ == "__main__":

@@ -120,3 +120,21 @@ def test_range_join_matches_bruteforce():
               for i in range(80) for j in range(200)
               if lk[i] == rk[j] and llo[i] <= rt[j] <= lhi[i]}
     assert got == expect
+
+
+def test_cli_events(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    for op, min_rows in [("window", 100), ("sessions", 100), ("asof", 10)]:
+        r = subprocess.run(
+            [sys.executable, "-m", "gunrock_ray.cli", "events", "--op", op,
+             "--input", "/root/testdata/sf0.001/events.parquet",
+             "--out", str(tmp_path / op)],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+        assert r.returncode == 0, (op, r.stderr[-2000:])
+        s = json.loads(r.stdout.strip().splitlines()[-1])
+        assert s["rows"] >= min_rows, (op, s)
