@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": r.q_events_window,     # SQL-checked (integer cents)
         "events_asof": r.q_events_asof,         # SQL-checked (native ASOF JOIN)
         "events_range": r.q_events_range,       # SQL-checked (interval join)
+        "user_topk_events": r.q_user_topk_events,  # SQL-checked (group top-k)
+        "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,

@@ -1,0 +1,116 @@
+"""Distributed sketches over Dataset columns (SURVEY.md §2 extensions —
+the "novel sketch" slot): HyperLogLog distinct counting and per-key top-k.
+
+Scale shape: HLL registers are tiny (2^p bytes) and merge by elementwise
+max — each block emits its registers, the driver (or any tree reduce)
+folds them; nothing about the corpus is collected. Per-key top-k groups by
+a coarse hash bucket and resolves every key in the bucket with one
+vectorized sort + segment-rank pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64, segment_starts
+
+
+# --------------------------------------------------------------- HyperLogLog
+
+def _hll_registers(values_u64: np.ndarray, p: int) -> np.ndarray:
+    """HLL register array (2^p uint8) from pre-hashed uint64 values:
+    register[first p bits] = max(leading-zero-count of the rest + 1)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values_u64) == 0:
+        return regs
+    h = mix64(values_u64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # leading zero count of a uint64, vectorized via float64 exponent trick
+    # (values here are >= 2^p - 1 > 0 so log2 is safe)
+    lz = (63 - np.floor(np.log2(rest.astype(np.float64)))).astype(np.int64)
+    rank = np.clip(lz + 1, 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) and
+    large-range corrections."""
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)          # linear counting
+    if est > (1 << 32) / 30.0:
+        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def hll_count_distinct(ds, column: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT column) via HyperLogLog (standard error
+    ≈ 1.04/√2^p, ~0.8% at the default p=14).
+
+    Per-block register arrays (2^p bytes each) are emitted by a
+    ``map_batches`` pass and max-merged — the only data that ever leaves a
+    block is its 16 KB register vector. Column values are hashed with
+    mix64; string columns hash their UTF-8 bytes via a vectorized
+    FNV-style fold."""
+    from gunrock_ray.functions.dedup import hash_words
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy().astype(np.uint64)
+        else:
+            vals = hash_words(col.to_pylist())
+        regs = _hll_registers(vals, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+    return _hll_estimate(merged)
+
+
+# ------------------------------------------------------------ per-key top-k
+
+def topk_per_key(ds, key: str, value: str, k: int, *,
+                 num_buckets: int = 64, id_col: str | None = None):
+    """Per-key top-k rows by value (desc; ties → smaller id when ``id_col``
+    given, else stable) — the group-wise top-k operator. Returns a Dataset
+    with the input columns plus ``rnk`` (1..k per key).
+
+    Coarse hash-bucket groupby; inside a bucket every key's rows rank in
+    one vectorized lexsort + segment-position pass (no per-key Python)."""
+    nb = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_numpy()
+        # drop pandas schema metadata (unhashable in Ray's schema dedup)
+        return batch.replace_schema_metadata(None).append_column(
+            "bkt", pa.array((mix64(kv) % nb).astype(np.int64)))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        kv = group[key].to_numpy()
+        vv = group[value].to_numpy()
+        tie = (group[id_col].to_numpy() if id_col
+               else np.arange(len(kv), dtype=np.int64))
+        order = np.lexsort((tie, -vv, kv))
+        kv = kv[order]
+        starts = segment_starts(kv)
+        flags = np.zeros(len(kv), dtype=np.int64)
+        flags[starts] = 1
+        seg = np.cumsum(flags) - 1
+        pos = np.arange(len(kv)) - starts[seg]
+        keep = pos < k
+        out = group.take(pa.array(order[keep]))
+        out = out.drop_columns(["bkt"])
+        return out.append_column("rnk", pa.array(pos[keep] + 1, pa.int64()))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(rank_bucket, batch_format="pyarrow"))

@@ -537,6 +537,30 @@ def q_events_range(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_user_topk_events(sf_dir: str):
+    """Per-key top-k: each user's top-3 events by value (ties → smaller
+    event_id), SQL-checked against a ROW_NUMBER window oracle. Coarse-
+    bucketed vectorized group ranking — no per-key Python."""
+    import ray.data
+    from gunrock_ray.functions.sketches import topk_per_key
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "value"])
+    out = topk_per_key(ev, "user_id", "value", 3, id_col="event_id")
+    return out.select_columns(["user_id", "event_id", "rnk"])
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user estimate (rows-only: approximate by
+    design; the ±5% accuracy and lossless register merge are
+    pytest-asserted). One row {n_distinct_est}."""
+    import ray.data
+    from gunrock_ray.functions.sketches import hll_count_distinct
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    est = hll_count_distinct(ev, "user_id", p=14)
+    return pa.table({"n_distinct_est": pa.array([int(round(est))], pa.int64())})
+
+
 # --- documents / embeddings (training-data ops) ------------------------------
 
 def q_doc_sha(sf_dir: str):
@@ -1071,6 +1095,12 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "      CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "user_topk_events": (
+        "SELECT user_id, event_id, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "SELECT user_id, event_id, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk "
+        "FROM events) WHERE rnk <= 3"
     ),
     "events_range": (
         "SELECT l.event_id AS purchase_id, r.event_id AS click_id "

@@ -1,0 +1,71 @@
+"""HLL distinct-count sketch + per-key top-k operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.sketches import (hll_count_distinct, topk_per_key,
+                                            _hll_registers, _hll_estimate)
+
+
+def _ds(table):
+    import ray.data
+    return ray.data.from_arrow(table)
+
+
+def test_hll_registers_merge_equals_union():
+    """Register-wise max of two sketches == sketch of the union (the
+    mergeability property the distributed fold relies on)."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    b = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    ra, rb = _hll_registers(a, 12), _hll_registers(b, 12)
+    runion = _hll_registers(np.concatenate([a, b]), 12)
+    assert np.array_equal(np.maximum(ra, rb), runion)
+
+
+def test_hll_accuracy_bounds():
+    rng = np.random.default_rng(9)
+    for true_n in (100, 5000, 100_000):
+        vals = rng.integers(0, 2**62, true_n).astype(np.uint64)
+        est = _hll_estimate(_hll_registers(vals, 14))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_dataset_distributed_merge():
+    """Dataset-level estimate over many blocks matches the single-shot
+    sketch (the per-block registers fold losslessly)."""
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64) % 3000     # 3000 distinct
+    t = pa.table({"user_id": pa.array(ids)})
+    ds = _ds(t).repartition(16)
+    est = hll_count_distinct(ds, "user_id", p=14)
+    assert abs(est - 3000) / 3000 < 0.03, est
+
+
+def test_hll_string_column():
+    t = pa.table({"s": pa.array([f"u{i % 500}" for i in range(5000)])})
+    est = hll_count_distinct(_ds(t), "s", p=14)
+    assert abs(est - 500) / 500 < 0.05, est
+
+
+def test_topk_per_key_matches_pandas():
+    rng = np.random.default_rng(11)
+    n = 2000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.standard_normal(n)),
+    })
+    out = topk_per_key(_ds(t), "user_id", "value", 3,
+                       id_col="event_id").to_pandas()
+    import pandas as pd
+    df = t.to_pandas().sort_values(["user_id", "value", "event_id"],
+                                   ascending=[True, False, True])
+    ref = df.groupby("user_id").head(3)
+    ref = ref.assign(rnk=ref.groupby("user_id").cumcount() + 1)
+    got = out.sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    ref = ref.sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    assert got[["user_id", "event_id", "rnk"]].equals(
+        ref[["user_id", "event_id", "rnk"]])
