@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_nf": r.q_sssp_nf,
         "pr_top20": r.q_pr_top20,      # SQL-checked (converged, 1e-6 int scale)
         "wtf_cot": r.q_wtf_cot,        # SQL-checked (personalized PR top-100)
-        "lp_labels": r.q_lp_labels,    # rows-only (pytest-validated, exact)
+        "lp_labels": r.q_lp_labels,    # SQL-checked (fixpoint-stable unroll)
         "sssp_dists": r.q_sssp_dists,  # SQL-checked (unit weights == depth)
         "hits": r.q_hits,              # rows-only (pytest-validated, 1e-9)
         "salsa": r.q_salsa,            # rows-only (pytest-validated, 1e-9)

@@ -1031,6 +1031,10 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "lp3": _lp_sql(3),
     "lp3_weighted": _lp_sql(3, weighted=True),
+    # convergence-mode LP: the engine early-stops when a round changes no
+    # label; the synchronous vote is a fixpoint from then on, so an SQL
+    # unroll of the full max_iter budget produces identical labels
+    "lp_labels": _lp_sql(20),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
