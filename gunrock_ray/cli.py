@@ -135,13 +135,19 @@ def _init_ray():
 
 
 def _write_result(out_dir: str, res) -> int:
-    """Dataset / pa.Table / DataFrame → partitioned Parquet; returns rows."""
+    """Dataset / pa.Table / DataFrame → partitioned Parquet; returns rows.
+
+    Row count comes from the WRITTEN file metadata — calling .count() on
+    the Dataset after write_parquet would re-execute the whole lineage."""
     import pyarrow as pa
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
     if hasattr(res, "write_parquet"):        # Ray Dataset: streaming write
         res.write_parquet(out_dir)
-        return res.count()
+        return sum(f.metadata.num_rows
+                   for f in pads.dataset(out_dir, format="parquet")
+                   .get_fragments())
     if not isinstance(res, pa.Table):        # small pandas DataFrame
         res = pa.Table.from_pandas(res, preserve_index=False)
     pq.write_table(res, os.path.join(out_dir, "part-0.parquet"))

@@ -190,7 +190,8 @@ def lsh_buckets(embeddings_ds, dim: int, num_planes: int = 16, num_tables: int =
     def bucketize(batch: pa.Table) -> pa.Table:
         return ray.get(idx_ref)(batch)
 
-    return embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+    return embeddings_ds.map_batches(bucketize, batch_format="pyarrow",
+                                     concurrency=concurrency)
 
 
 def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,

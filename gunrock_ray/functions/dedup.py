@@ -123,12 +123,11 @@ def exact_dedup_keepers(docs_ds):
     """Exact dedup over {doc_id, text}: one row per distinct text —
     {doc_id (keeper = min id), n_dups}. The shuffle key is the 32-byte
     sha256, never the document body (the scale path)."""
-    import hashlib
     from ray.data.aggregate import Count, Min
+    from gunrock_ray.common import sha256_column
 
     def sha(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(t.encode("utf-8")).digest()
-              for t in batch["text"].to_pylist()]
+        hs = sha256_column(batch["text"].to_pylist())
         return pa.table({"doc_id": batch["doc_id"],
                          "sha": pa.array(hs, pa.binary(32))})
 
@@ -312,7 +311,8 @@ def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
         lambda t: pa.table({"doc_id": pa.chunked_array([t["a"], t["b"]])}),
         batch_format="pyarrow").unique("doc_id")
     if not need:
-        return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        import ray.data  # consistent return type: always a Dataset
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=_PAIR_SCHEMA))
     need_ref = ray.put(np.sort(np.asarray(need, dtype=np.int64)))
 
     nb = np.uint64(num_buckets)

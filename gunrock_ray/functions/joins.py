@@ -132,7 +132,8 @@ def range_join(left_ds, right_ds, *, num_buckets: int = 64):
         c_hi = kr_l * base + (np.searchsorted(uniq, hi) + 2)
         a = np.searchsorted(cr, c_lo, side="left")
         b = np.searchsorted(cr, c_hi, side="left")
-        counts = np.where(valid, b - a, 0)
+        # inverted intervals (lo > hi) match nothing rather than crash
+        counts = np.where(valid, np.maximum(b - a, 0), 0)
         return pa.table({
             "left_id": pa.array(np.repeat(lid, counts), pa.int64()),
             "right_id": pa.array(_ragged_gather(rid, a, counts), pa.int64()),

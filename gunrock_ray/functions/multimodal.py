@@ -231,11 +231,12 @@ class AudioFrameSample:
         for p, sr in zip(payloads, srs):
             wave = self._decode(p, int(sr))
             nwin = max(0, (len(wave) - self.window) // self.hop + 1)
-            # one strided view + vectorized RMS per doc (no per-window loop)
+            # true strided view (O(1) extra memory even for hour-long
+            # recordings) + vectorized RMS — no per-window loop, no gather
             if nwin > 0:
-                idx = (np.arange(nwin)[:, None] * self.hop
-                       + np.arange(self.window)[None, :])
-                rms = np.sqrt((wave[idx] ** 2).mean(axis=1)).tolist()
+                win = np.lib.stride_tricks.sliding_window_view(
+                    wave, self.window)[::self.hop][:nwin]
+                rms = np.sqrt((win ** 2).mean(axis=1)).tolist()
             else:
                 rms = []
             out_n.append(nwin)

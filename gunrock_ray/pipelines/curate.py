@@ -28,11 +28,10 @@ def exact_dup_drops(docs_ds, num_buckets: int = 64):
     smaller-id doc (keeper = min id per sha). Coarse-bucketed groupby with
     vectorized segment ops (shuffle key: 1-byte bucket of the 32-byte sha,
     then the sha itself inside the group sort)."""
-    import hashlib
+    from gunrock_ray.common import sha256_column
 
     def sha_rows(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(t.encode("utf-8")).digest()
-              for t in batch["text"].to_pylist()]
+        hs = sha256_column(batch["text"].to_pylist())
         bkt = np.frombuffer(b"".join(h[:1] for h in hs), dtype=np.uint8)
         return pa.table({"doc_id": batch["doc_id"],
                          "sha": pa.array(hs, pa.binary(32)),

@@ -191,3 +191,15 @@ def test_hash_words_vectorized_matches_single():
         assert batch[i] == hash_words([w])[0]  # width-independent
     assert batch[1] == batch[4]
     assert len(set(batch[:4].tolist())) == 4
+
+
+def test_minhash_clean_corpus_returns_dataset():
+    """Regression (review finding): the empty-candidate path must return a
+    Ray Dataset like the normal path (callers use .count())."""
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                                    "one two three four five six"],
+                                   pa.string())})
+    out = minhash_near_dup_pairs(_ds(t), threshold=0.9)
+    assert hasattr(out, "count")
+    assert out.count() == 0

@@ -138,3 +138,22 @@ def test_cli_events(tmp_path):
         assert r.returncode == 0, (op, r.stderr[-2000:])
         s = json.loads(r.stdout.strip().splitlines()[-1])
         assert s["rows"] >= min_rows, (op, s)
+
+
+def test_range_join_inverted_interval_matches_nothing():
+    """Regression (review finding): lo > hi must match zero rows, not crash
+    with negative repeat counts."""
+    import ray.data
+    from gunrock_ray.functions.joins import range_join
+    left = ray.data.from_arrow(pa.table({
+        "key": pa.array([1, 1], pa.int64()),
+        "lo": pa.array([50, 5], pa.int64()),
+        "hi": pa.array([10, 20], pa.int64()),   # first interval inverted
+        "id": pa.array([100, 101], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "key": pa.array([1, 1], pa.int64()),
+        "t": pa.array([15, 40], pa.int64()),
+        "id": pa.array([200, 201], pa.int64())}))
+    out = range_join(left, right, num_buckets=2).to_pandas()
+    got = set(map(tuple, out[["left_id", "right_id"]].to_numpy()))
+    assert got == {(101, 200)}  # only the valid interval matches
