@@ -15,6 +15,11 @@ Input formats:
 - ``corpus`` : Parquet repo corpus (repo,path,commit,lang,content) — runs
   the sha256+import-extraction ingest first (north-rule input_hint)
 - ``mtx``    : MatrixMarket file/dir (conformance format)
+
+Subcommands beyond ``run``: ``dedup`` (exact/minhash/simhash/ngram/
+embed/embed-lsh, --cluster), ``ann`` (brute/lsh/ivf), ``analyze``,
+``curate`` (dedup → near-dup → quality filter), ``events`` (window/
+sessions/asof/range) — every operator family is a ray-job surface.
 """
 
 from __future__ import annotations
@@ -107,14 +112,7 @@ def cmd_run(args) -> dict:
 
     rows = 0
     if out is not None:
-        os.makedirs(args.out, exist_ok=True)
-        if hasattr(out, "write_parquet"):          # Ray Dataset
-            out.write_parquet(args.out)
-            rows = out.count()
-        else:                                       # small Arrow table
-            import pyarrow.parquet as pq
-            pq.write_table(out, os.path.join(args.out, "part-0.parquet"))
-            rows = out.num_rows
+        rows = _write_result(args.out, out)
     bal = g.balance()
     summary = {"algo": args.algo, "n": g.n, "m": g.m, "rows": rows,
                "t_build_s": round(t_build, 3), "t_run_s": round(t_run, 3),
