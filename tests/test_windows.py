@@ -157,3 +157,75 @@ def test_range_join_inverted_interval_matches_nothing():
     out = range_join(left, right, num_buckets=2).to_pandas()
     got = set(map(tuple, out[["left_id", "right_id"]].to_numpy()))
     assert got == {(101, 200)}  # only the valid interval matches
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)),
+                max_size=25),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)),
+                max_size=25))
+def test_asof_join_property_vs_bruteforce(lrows, rrows):
+    """For arbitrary key/time multisets: every left row gets the max-t
+    right row with t <= its t (ties -> max id), else -1."""
+    import ray.data
+    from gunrock_ray.functions.joins import asof_join
+
+    def tbl(rows, base):
+        if not rows:
+            rows = [(99, 0)]  # keep datasets non-empty (key 99 unused)
+        k, t = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "key": pa.array(k, pa.int64()), "t": pa.array(t, pa.int64()),
+            "id": pa.array(np.arange(base, base + len(rows)), pa.int64())}))
+
+    lrows = [(k, t) for k, t in lrows if k != 99]
+    out = asof_join(tbl(lrows, 1000), tbl(rrows, 0),
+                    num_buckets=3).to_pandas()
+    got = dict(zip(out["id"], out["matched_id"]))
+    for i, (lk, lt) in enumerate(lrows):
+        cands = [(rt, j) for j, (rk, rt) in enumerate(rrows)
+                 if rk == lk and rt <= lt]
+        want = max(cands)[1] if cands else -1
+        assert got[1000 + i] == want, (lk, lt, cands)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 40),
+                          st.integers(-5, 40)), max_size=20),
+       st.lists(st.tuples(st.integers(0, 4), st.integers(0, 40)),
+                max_size=25))
+def test_range_join_property_vs_bruteforce(lrows, rrows):
+    """Arbitrary intervals (incl. inverted) x right rows: pair set equals
+    the brute-force inclusive-bounds join."""
+    import ray.data
+    from gunrock_ray.functions.joins import range_join
+
+    def ltbl():
+        rows = lrows or [(9, 0, -1)]
+        k, lo, w = zip(*rows)
+        hi = [l + ww for l, ww in zip(lo, w)]   # w < 0 -> inverted interval
+        return ray.data.from_arrow(pa.table({
+            "key": pa.array(k, pa.int64()), "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "id": pa.array(np.arange(1000, 1000 + len(rows)), pa.int64())}))
+
+    def rtbl():
+        rows = rrows or [(9, 0)]
+        k, t = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "key": pa.array(k, pa.int64()), "t": pa.array(t, pa.int64()),
+            "id": pa.array(np.arange(len(rows)), pa.int64())}))
+
+    out = range_join(ltbl(), rtbl(), num_buckets=3).to_pandas()
+    got = set(map(tuple, out[["left_id", "right_id"]].to_numpy())) \
+        if len(out) else set()
+    expect = set()
+    if lrows and rrows:
+        for i, (lk, lo, w) in enumerate(lrows):
+            for j, (rk, rt) in enumerate(rrows):
+                if lk == rk and lo <= rt <= lo + w:
+                    expect.add((1000 + i, j))
+    assert got == expect
