@@ -135,17 +135,22 @@ def _init_ray():
 def _write_result(out_dir: str, res) -> int:
     """Dataset / pa.Table / DataFrame → partitioned Parquet; returns rows.
 
-    Row count comes from the WRITTEN file metadata — calling .count() on
-    the Dataset after write_parquet would re-execute the whole lineage."""
+    Row count comes from the metadata of the files THIS write produced
+    (pre-existing files in a reused out_dir are excluded) — calling
+    .count() on the Dataset after write_parquet would re-execute the
+    whole lineage."""
     import pyarrow as pa
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
     if hasattr(res, "write_parquet"):        # Ray Dataset: streaming write
+        before = set(os.listdir(out_dir))
         res.write_parquet(out_dir)
-        return sum(f.metadata.num_rows
-                   for f in pads.dataset(out_dir, format="parquet")
-                   .get_fragments())
+        new = [os.path.join(out_dir, f) for f in os.listdir(out_dir)
+               if f not in before and f.endswith(".parquet")]
+        if not new:
+            return 0
+        return pads.dataset(new, format="parquet").count_rows()
     if not isinstance(res, pa.Table):        # small pandas DataFrame
         res = pa.Table.from_pandas(res, preserve_index=False)
     pq.write_table(res, os.path.join(out_dir, "part-0.parquet"))

@@ -180,7 +180,16 @@ def segment_starts(sorted_ids: np.ndarray) -> np.ndarray:
     return np.flatnonzero(b)
 
 
-def sha256_column(strings) -> list[bytes]:
-    """Per-row sha256 of a string column (the north-rule ingest invariant)."""
+def sha256_column(strings, on_null: str = "sentinel") -> list[bytes]:
+    """Per-row sha256 of a string column (the north-rule ingest invariant).
+
+    ``on_null='sentinel'`` (ingest behavior) maps None to b'\\x00'*32;
+    ``on_null='error'`` raises — required for dedup-BY-CONTENT semantics,
+    where a shared sentinel would silently merge distinct null-text rows
+    into one duplicate group."""
+    if on_null == "error":
+        if any(s is None for s in strings):
+            raise ValueError("null text in a dedup-by-content column")
+        return [hashlib.sha256(s.encode("utf-8")).digest() for s in strings]
     return [hashlib.sha256(s.encode("utf-8")).digest() if s is not None else b"\x00" * 32
             for s in strings]

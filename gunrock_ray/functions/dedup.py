@@ -127,7 +127,7 @@ def exact_dedup_keepers(docs_ds):
     from gunrock_ray.common import sha256_column
 
     def sha(batch: pa.Table) -> pa.Table:
-        hs = sha256_column(batch["text"].to_pylist())
+        hs = sha256_column(batch["text"].to_pylist(), on_null="error")
         return pa.table({"doc_id": batch["doc_id"],
                          "sha": pa.array(hs, pa.binary(32))})
 
@@ -657,8 +657,9 @@ def embedding_near_dup_pairs_lsh(embeddings_path: str, *, threshold: float = 0.9
     ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
     first = ds.take(1)
     if not first:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+        return ray.data.from_arrow(  # consistent type: always a Dataset
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())}))
     dim = len(first[0]["embedding"])
     buckets = lsh_buckets(ds, dim, num_planes=num_planes, num_tables=num_tables,
                           seed=seed, carry_embedding=True)

@@ -231,12 +231,13 @@ class AudioFrameSample:
         for p, sr in zip(payloads, srs):
             wave = self._decode(p, int(sr))
             nwin = max(0, (len(wave) - self.window) // self.hop + 1)
-            # true strided view (O(1) extra memory even for hour-long
-            # recordings) + vectorized RMS — no per-window loop, no gather
             if nwin > 0:
                 win = np.lib.stride_tricks.sliding_window_view(
                     wave, self.window)[::self.hop][:nwin]
-                rms = np.sqrt((win ** 2).mean(axis=1)).tolist()
+                # einsum reduces over the strided view without materializing
+                # the squared windows (truly O(1) extra memory)
+                rms = np.sqrt(np.einsum("ij,ij->i", win, win)
+                              / self.window).tolist()
             else:
                 rms = []
             out_n.append(nwin)

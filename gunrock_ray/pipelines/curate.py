@@ -31,7 +31,7 @@ def exact_dup_drops(docs_ds, num_buckets: int = 64):
     from gunrock_ray.common import sha256_column
 
     def sha_rows(batch: pa.Table) -> pa.Table:
-        hs = sha256_column(batch["text"].to_pylist())
+        hs = sha256_column(batch["text"].to_pylist(), on_null="error")
         bkt = np.frombuffer(b"".join(h[:1] for h in hs), dtype=np.uint8)
         return pa.table({"doc_id": batch["doc_id"],
                          "sha": pa.array(hs, pa.binary(32)),

@@ -98,3 +98,25 @@ def test_cli_curate(tmp_path):
     import pyarrow.parquet as pq
     out = pq.read_table(str(tmp_path / "cur"))
     assert out.num_rows == s["rows_kept"]
+
+
+def test_exact_dedup_null_text_fails_loudly():
+    """Regression (review finding): null text must not silently collapse
+    into one duplicate group via a shared sentinel hash."""
+    import ray
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b c", None, None], pa.string())})
+    with pytest.raises(Exception, match="null text"):
+        exact_dup_drops(_ds(t)).to_pandas()
+
+
+def test_write_result_excludes_stale_files(tmp_path):
+    """Regression (review finding): a reused --out dir must not double the
+    reported row count."""
+    import ray.data
+    from gunrock_ray.cli import _write_result
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    out = str(tmp_path / "o")
+    assert _write_result(out, ds) == 3
+    ds2 = ray.data.from_arrow(pa.table({"x": pa.array([4, 5], pa.int64())}))
+    assert _write_result(out, ds2) == 2   # not 5
