@@ -15,9 +15,11 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     build_graph,
     connected_components,
     hits,
+    hits_gunrock,
     label_propagation,
     pagerank,
     salsa,
+    salsa_gunrock,
     sssp,
     topk_degree,
     triangle_count,

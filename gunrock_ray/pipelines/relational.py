@@ -13,7 +13,6 @@ normalization contract (`gunrock/csr.cuh:588`).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -568,8 +567,9 @@ def q_doc_sha(sf_dir: str):
     import ray.data
 
     def sha(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(t.encode("utf-8")).hexdigest()
-              for t in batch["text"].to_pylist()]
+        from gunrock_ray.common import sha256_column
+        hs = [h.hex() for h in sha256_column(batch["text"].to_pylist(),
+                                             on_null="error")]
         return pa.table({"doc_id": batch["doc_id"], "sha": pa.array(hs, pa.string())})
 
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
