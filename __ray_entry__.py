@@ -97,6 +97,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": r.q_simhash_near_dup,   # rows-only
         "doc_analysis": r.q_doc_analysis,           # rows-only
         "doc_curate": r.q_doc_curate,   # SQL-checked (dedup + quality gates)
+        # corpus statistics (vocabulary / n-grams / quantiles / sampling /
+        # TF-IDF) — all SQL-checked bit-for-bit with integer+string outputs
+        "vocab_top100": r.q_vocab_top100,      # SQL-checked (global term counts)
+        "ngram_top100": r.q_ngram_top100,      # SQL-checked (word-3-gram counts)
+        "token_quantiles": r.q_token_quantiles,  # SQL-checked (exact histogram)
+        "doc_sample10": r.q_doc_sample10,  # SQL-checked (splitmix64 in SQL)
+        "tfidf_top3": r.q_tfidf_top3,      # SQL-checked (ROW_NUMBER oracle)
     }
 
 

@@ -1,0 +1,215 @@
+"""Corpus-statistics operators for training-data pipelines: vocabulary
+building, word-n-gram counting, exact token-length quantiles, deterministic
+hash sampling, and TF-IDF term ranking.
+
+Scale shape (100 TB): every operator PRE-AGGREGATES inside ``map_batches``
+(one ``np.unique`` count pass per batch) before its groupby, so the shuffle
+carries at most one row per DISTINCT term/gram/length per block — never one
+row per token. Top-N resolves with per-block partial top-N + a tiny driver
+merge (after the global groupby-sum, every global top-N element is
+necessarily in its own block's top-N). All query outputs are integers and
+strings, so the DuckDB oracles compare bit-for-bit — including the sampler,
+whose splitmix64 hash is reproduced exactly in SQL via 32-bit-split
+multiplication mod 2^64.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64, segment_starts
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _flat_tokens(texts):
+    """(doc_idx int64, token np.str_) for a whole batch, whitespace-run
+    tokenization (matches DuckDB ``regexp_extract_all(text, '\\S+')``)."""
+    per_doc = [_TOKEN_RE.findall(t) for t in texts]
+    counts = np.array([len(w) for w in per_doc], dtype=np.int64)
+    flat = [w for doc in per_doc for w in doc]
+    words = np.array(flat, dtype=np.str_) if flat else np.array([], dtype=np.str_)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return doc_of, words
+
+
+def _block_topn(t: pa.Table, n: int) -> pa.Table:
+    """Partial top-n of a (term, cnt) block: cnt desc, term asc."""
+    terms = np.asarray(t["term"].to_pylist(), dtype=np.str_)
+    cnt = t["cnt"].to_numpy()
+    order = np.lexsort((terms, -cnt))[:n]
+    return t.take(pa.array(order))
+
+
+def _merge_topn(parts, n: int) -> pa.Table:
+    """Driver merge of the tiny per-block candidates (≤ n × blocks rows)."""
+    parts = parts.sort_values(["cnt", "term"], ascending=[False, True]).head(n)
+    return pa.table({"term": pa.array(parts["term"].tolist(), pa.string()),
+                     "cnt": pa.array(parts["cnt"].to_numpy(), pa.int64())})
+
+
+def vocab_topn(docs_ds, n: int = 100):
+    """Global vocabulary: the ``n`` most frequent whitespace tokens over the
+    corpus — {term, cnt}, cnt desc then term asc (deterministic at the cut).
+
+    Per-batch ``np.unique`` counts → groupby-sum on the term (the only
+    shuffle; pre-aggregated, one row per distinct term per block) →
+    per-block partial top-n → tiny driver merge."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        _, words = _flat_tokens(batch["text"].to_pylist())
+        terms, cnt = np.unique(words, return_counts=True)
+        return pa.table({"term": pa.array(terms.tolist(), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    summed = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+    cand = summed.map_batches(lambda t: _block_topn(t, n),
+                              batch_format="pyarrow").to_pandas()
+    return _merge_topn(cand, n)
+
+
+def ngram_topn(docs_ds, ngram: int = 3, n: int = 100):
+    """The ``n`` most frequent word-``ngram``-grams (space-joined strings)
+    over the corpus — {term, cnt}, same determinism and scale shape as
+    :func:`vocab_topn`. Docs with fewer than ``ngram`` tokens contribute
+    nothing (matching the SQL ``generate_series`` formulation)."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        doc_of, words = _flat_tokens(batch["text"].to_pylist())
+        m = len(words) - ngram + 1
+        if m <= 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        valid = doc_of[:m] == doc_of[ngram - 1:]
+        gram = words[:m][valid]
+        for j in range(1, ngram):
+            gram = np.char.add(np.char.add(gram, " "), words[j:j + m][valid])
+        terms, cnt = np.unique(gram, return_counts=True)
+        return pa.table({"term": pa.array(terms.tolist(), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    summed = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+    cand = summed.map_batches(lambda t: _block_topn(t, n),
+                              batch_format="pyarrow").to_pandas()
+    return _merge_topn(cand, n)
+
+
+def token_quantiles(docs_ds, qs=(25, 50, 75, 95)):
+    """EXACT token-count quantiles over the corpus — {q_pct, v} where v is
+    the smallest token count with 100·cum_count ≥ q_pct·n_docs (integer
+    cross-multiplication: no float boundary, bit-identical to the SQL
+    window formulation).
+
+    Per-batch value counts → groupby-sum on the count value (the shuffle
+    key is an int64; distinct token counts are bounded by the longest
+    document, so the folded histogram is tiny) → driver cumsum."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ntok = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
+                           dtype=np.int64, count=len(texts))
+        v, cnt = np.unique(ntok, return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    hist = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("v"))
+    v = hist["v"].to_numpy()
+    cum = hist["cnt"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        pos = np.searchsorted(100 * cum, q * total)
+        out_q.append(int(q))
+        out_v.append(int(v[min(pos, len(v) - 1)]) if len(v) else 0)
+    return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                     "v": pa.array(out_v, pa.int64())})
+
+
+def sample_docs(docs_ds, pct: int = 10, seed: int = 0):
+    """Deterministic uniform sample: keep rows where
+    ``mix64(doc_id ^ seed) % 100 < pct`` — {doc_id}. Pure per-batch filter
+    (no shuffle, no RNG state); the same rows are selected regardless of
+    block layout or cluster size, and the splitmix64 hash is reproduced
+    exactly by the SQL oracle (32-bit-split multiply mod 2^64)."""
+    s = np.uint64(seed)
+    p = np.uint64(pct)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = mix64(ids.astype(np.uint64) ^ s) % np.uint64(100) < p
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64())})
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def tfidf_topk(docs_ds, k: int = 3, num_buckets: int = 64):
+    """Per-document top-``k`` terms by tf·idf — {doc_id, term, tf, df, rnk}
+    (score = tf/df, monotone in tf·idf for a fixed corpus; ties → term asc).
+    The score itself is a single float64 division, computed identically by
+    NumPy and DuckDB, and only integer columns are emitted — the oracle
+    compares bit-for-bit.
+
+    (1) per-batch (doc_id, term, tf) rows — each doc is whole inside its
+    batch, so tf is exact with no shuffle; (2) ONE groupby on a coarse
+    term-hash bucket computes df (= tf-rows per term; all rows of a term
+    land in one bucket) and attaches it vectorized; (3) per-doc ranking via
+    :func:`gunrock_ray.functions.sketches.topk_per_key`. At 100 TB the
+    tf-row shuffle ships one row per distinct (doc, term); dictionary-encode
+    terms to uint64 hashes if string movement dominates."""
+    from gunrock_ray.functions.dedup import hash_words
+    from gunrock_ray.functions.sketches import topk_per_key
+
+    nb = np.uint64(num_buckets)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        doc_of, words = _flat_tokens(batch["text"].to_pylist())
+        if len(words) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        order = np.lexsort((words, doc_of))
+        d, w = doc_of[order], words[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0:1] = True
+        np.logical_or(d[1:] != d[:-1], w[1:] != w[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.concatenate([starts, [len(d)]]))
+        ud, uw = d[starts], w[starts]
+        return pa.table({
+            "doc_id": pa.array(ids[ud], pa.int64()),
+            "term": pa.array(uw.tolist(), pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+            "bkt": pa.array((hash_words(uw) % nb).astype(np.int64)),
+        })
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist(), dtype=np.str_)
+        order = np.argsort(terms, kind="stable")
+        g = group.take(pa.array(order))
+        terms = terms[order]
+        starts = segment_starts(terms)
+        lens = np.diff(np.concatenate([starts, [len(terms)]]))
+        flags = np.zeros(len(terms), dtype=np.int64)
+        flags[starts] = 1
+        df = lens[np.cumsum(flags) - 1]
+        tf = g["tf"].to_numpy()
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": g["tf"], "df": pa.array(df, pa.int64()),
+                         "score": pa.array(tf / df, pa.float64())})
+
+    scored = (docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+              .groupby("bkt").map_groups(attach_df, batch_format="pyarrow"))
+    out = topk_per_key(scored, "doc_id", "score", k, id_col="term")
+    return out.select_columns(["doc_id", "term", "tf", "df", "rnk"])

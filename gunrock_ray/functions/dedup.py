@@ -292,13 +292,19 @@ def minhash_near_dup_pairs(docs_ds, *, ngram: int = 3, bands: int = 16,
     groupby computes exact Jaccard. Both groupbys use COARSE hash buckets
     (``num_buckets``, size ∝ cluster cores) with fully vectorized segment
     ops inside — no per-doc or per-pair Python calls. Shuffle keys are
-    8 bytes; shingles move only for candidate docs."""
+    8 bytes; shingles move only for candidate docs. ``concurrency`` is kept
+    for API stability but unused (signature stage is stateless-broadcast,
+    not an actor pool — see the ray.put note below)."""
     import ray
 
-    mh_kwargs = {"ngram": ngram, "bands": bands, "rows": rows, "seed": seed}
-    bands_ds = docs_ds.map_batches(MinHasher, batch_format="pyarrow",
-                                   concurrency=(1, concurrency),
-                                   fn_constructor_kwargs=mh_kwargs)
+    # the hasher's state is two 64-element constant arrays — broadcast once
+    # via ray.put to STATELESS tasks (an actor pool would pay seconds of
+    # startup per run for state that costs nothing to ship; heavier
+    # per-actor state like compiled regexes / codecs still belongs in
+    # callable-class pools — see TextAnalyzer / multimodal stages)
+    mh_ref = ray.put(MinHasher(ngram=ngram, bands=bands, rows=rows, seed=seed))
+    bands_ds = docs_ds.map_batches(lambda t: ray.get(mh_ref)(t),
+                                   batch_format="pyarrow")
     # materialize the BOUNDED candidate-pair set once (it feeds both the id
     # broadcast and the membership rows; without this the whole band/bucket
     # lineage would re-execute per consumer)
@@ -502,9 +508,14 @@ class SimHasher:
 
 
 def simhash_signatures(docs_ds, concurrency: int = 4, seed: int = 42):
-    return docs_ds.map_batches(SimHasher, batch_format="pyarrow",
-                               concurrency=(1, concurrency),
-                               fn_constructor_kwargs={"seed": seed})
+    """``concurrency`` is kept for API stability but unused: the hasher's
+    state is one uint64 seed, so it ships via ``ray.put`` to stateless
+    tasks instead of paying actor-pool startup (see MinHasher note)."""
+    import ray
+
+    sh_ref = ray.put(SimHasher(seed=seed))
+    return docs_ds.map_batches(lambda t: ray.get(sh_ref)(t),
+                               batch_format="pyarrow")
 
 
 _POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],

@@ -699,6 +699,46 @@ def q_embed_near_dup_lsh(sf_dir: str):
         num_planes=4, num_tables=24)
 
 
+def q_vocab_top100(sf_dir: str):
+    """Global vocabulary: 100 most frequent whitespace tokens {term, cnt}
+    (cnt desc, term asc at the cut — deterministic; pre-aggregated per
+    batch before the term groupby-sum, partial top-N per block)."""
+    from gunrock_ray.functions.corpus_stats import vocab_topn
+    return vocab_topn(_docs_ds(sf_dir), n=100)
+
+
+def q_ngram_top100(sf_dir: str):
+    """100 most frequent word-3-grams {term, cnt} (space-joined; same
+    determinism and scale shape as the vocabulary)."""
+    from gunrock_ray.functions.corpus_stats import ngram_topn
+    return ngram_topn(_docs_ds(sf_dir), ngram=3, n=100)
+
+
+def q_token_quantiles(sf_dir: str):
+    """EXACT p25/p50/p75/p95 of per-doc token counts {q_pct, v} via a
+    distributed value-count histogram (integer cross-multiplied thresholds
+    — bit-identical to the SQL window formulation)."""
+    from gunrock_ray.functions.corpus_stats import token_quantiles
+    return token_quantiles(_docs_ds(sf_dir))
+
+
+def q_doc_sample10(sf_dir: str):
+    """Deterministic 10% sample {doc_id}: mix64(doc_id) % 100 < 10 — a pure
+    per-batch filter, block-layout- and cluster-size-invariant; the
+    splitmix64 hash is reproduced EXACTLY in the SQL oracle via
+    32-bit-split multiplication mod 2^64."""
+    from gunrock_ray.functions.corpus_stats import sample_docs
+    return sample_docs(_docs_ds(sf_dir), pct=10, seed=0)
+
+
+def q_tfidf_top3(sf_dir: str):
+    """Per-doc top-3 terms by tf·idf {doc_id, term, tf, df, rnk} (score =
+    tf/df, ties → term asc; integer-and-string output so the ROW_NUMBER
+    oracle compares bit-for-bit)."""
+    from gunrock_ray.functions.corpus_stats import tfidf_topk
+    return tfidf_topk(_docs_ds(sf_dir), k=3)
+
+
 # --- oracle SQL --------------------------------------------------------------
 
 _VERTS_SQL = (f"SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "
@@ -1019,6 +1059,15 @@ _BFS_DEPTH_CTE = (
     "dep AS (SELECT v, MIN(d) AS depth FROM b GROUP BY v)"
 )
 
+def _MULMOD_SQL(x: str, c: int) -> str:
+    """SQL for ``(x * c) mod 2^64`` over UBIGINT ``x`` and constant ``c``:
+    split x at 2^32 so both HUGEINT products stay below 2^96 —
+    (lo·c + ((hi·c) mod 2^32)·2^32) mod 2^64."""
+    return (f"CAST(((CAST(({x}) % 4294967296 AS HUGEINT) * {c}) + "
+            f"((CAST(({x}) // 4294967296 AS HUGEINT) * {c}) % 4294967296) "
+            f"* 4294967296) % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)")
+
+
 ORACLE_SQL: dict[str, str] = {
     "sssp_dists": f"{_BFS_DEPTH_CTE} SELECT v, depth AS dist FROM dep",
     "sssp_weighted": _SSSP_W_SQL,
@@ -1156,6 +1205,53 @@ ORACLE_SQL: dict[str, str] = {
         "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_chk "
         "FROM documents"
+    ),
+    "vocab_top100": (
+        "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term "
+        "             FROM documents), "
+        "c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term) "
+        "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100"
+    ),
+    "ngram_top100": (
+        "WITH d AS (SELECT regexp_extract_all(text, '\\S+') AS w FROM documents), "
+        "idx AS (SELECT w, unnest(generate_series(1, len(w)-2)) AS i FROM d), "
+        "g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term FROM idx), "
+        "c AS (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term) "
+        "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100"
+    ),
+    "token_quantiles": (
+        "WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "           AS v FROM documents), "
+        "c AS (SELECT v, COUNT(*) AS cnt FROM t GROUP BY v), "
+        "w AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c), "
+        "n AS (SELECT COUNT(*) AS n FROM t), "
+        "q AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct) "
+        "SELECT q.q_pct, MIN(w.v) AS v FROM q, n, w "
+        "WHERE w.cum * 100 >= q.q_pct * n.n GROUP BY q.q_pct"
+    ),
+    # splitmix64 reproduced exactly in SQL: UBIGINT xor/shift are native;
+    # the two 64×64→64 multiplies split the left operand at 2^32 so every
+    # HUGEINT intermediate stays < 2^96 (mod 2^64 after each step)
+    "doc_sample10": (
+        "WITH s0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "
+        f"s1 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1) "
+        "SELECT doc_id FROM s2 WHERE xor(z, z >> 31) % 100 < 10"
+    ),
+    "tfidf_top3": (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "
+        "             AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "      ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+        "      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rnk "
+        "      FROM tf JOIN df USING (term)) "
+        "SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk "
+        "FROM r WHERE rnk <= 3"
     ),
     "ann_top5": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "

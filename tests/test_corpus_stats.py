@@ -1,0 +1,111 @@
+"""Corpus-statistics operators: vocabulary, n-gram counts, exact
+quantiles, deterministic sampling, TF-IDF ranking — vs brute-force
+Python/pandas oracles, plus block-layout invariance for the sampler."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+from gunrock_ray.functions.corpus_stats import (
+    ngram_topn, sample_docs, tfidf_topk, token_quantiles, vocab_topn)
+
+DOCS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "",
+    "one",
+    "the the the",
+    "cat dog cat dog cat",
+]
+
+
+def _docs_ds(texts=DOCS, blocks=3):
+    import ray.data
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _topn_oracle(counter: Counter, n: int):
+    items = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+    return items
+
+
+def test_vocab_topn_matches_counter():
+    out = vocab_topn(_docs_ds(), n=4).to_pandas()
+    want = _topn_oracle(Counter(w for t in DOCS for w in t.split()), 4)
+    got = list(zip(out["term"], out["cnt"]))
+    assert got == want
+
+
+def test_vocab_topn_cut_determinism():
+    """Equal counts at the cut resolve by term asc — invariant across
+    block layouts."""
+    a = vocab_topn(_docs_ds(blocks=1), n=3).to_pandas()
+    b = vocab_topn(_docs_ds(blocks=5), n=3).to_pandas()
+    assert a.equals(b)
+
+
+def test_ngram_topn_matches_counter():
+    c = Counter()
+    for t in DOCS:
+        w = t.split()
+        for i in range(len(w) - 2):
+            c[" ".join(w[i:i + 3])] += 1
+    out = ngram_topn(_docs_ds(), ngram=3, n=5).to_pandas()
+    assert list(zip(out["term"], out["cnt"])) == _topn_oracle(c, 5)
+
+
+def test_token_quantiles_definition():
+    """v(q) = smallest token count with 100*cum >= q*n, checked against a
+    direct scan of every candidate."""
+    out = token_quantiles(_docs_ds(), qs=(25, 50, 75, 95, 100))
+    lens = sorted(len(t.split()) for t in DOCS)
+    n = len(lens)
+    for q, v in zip(out["q_pct"].to_pylist(), out["v"].to_pylist()):
+        want = next(x for x in lens
+                    if 100 * sum(1 for y in lens if y <= x) >= q * n)
+        assert v == want, (q, v, want)
+
+
+def test_sample_docs_rule_and_block_invariance():
+    texts = [f"doc {i}" for i in range(2000)]
+    got = np.sort(sample_docs(_docs_ds(texts, blocks=7), pct=10)
+                  .to_pandas()["doc_id"].to_numpy())
+    ids = np.arange(2000, dtype=np.uint64)
+    want = np.flatnonzero(mix64(ids) % np.uint64(100) < np.uint64(10))
+    assert np.array_equal(got, want)
+    # ~10% with hash-uniform tolerance, and invariant to block layout
+    assert 120 <= len(got) <= 280
+    again = np.sort(sample_docs(_docs_ds(texts, blocks=1), pct=10)
+                    .to_pandas()["doc_id"].to_numpy())
+    assert np.array_equal(got, again)
+
+
+def test_sample_docs_seed_changes_selection():
+    texts = [f"doc {i}" for i in range(500)]
+    a = set(sample_docs(_docs_ds(texts), pct=20, seed=0).to_pandas()["doc_id"])
+    b = set(sample_docs(_docs_ds(texts), pct=20, seed=1).to_pandas()["doc_id"])
+    assert a != b
+
+
+def test_tfidf_topk_matches_brute_force():
+    out = tfidf_topk(_docs_ds(), k=2).to_pandas()
+    # brute force: per doc rank terms by (tf/df desc, term asc)
+    tf = {(i, w): c for i, t in enumerate(DOCS)
+          for w, c in Counter(t.split()).items()}
+    df = Counter(w for (_, w) in tf)
+    want = []
+    for i in range(len(DOCS)):
+        terms = sorted((w for (j, w) in tf if j == i),
+                       key=lambda w: (-tf[(i, w)] / df[w], w))[:2]
+        for r, w in enumerate(terms, 1):
+            want.append((i, w, tf[(i, w)], df[w], r))
+    got = sorted(map(tuple, out[["doc_id", "term", "tf", "df", "rnk"]]
+                     .itertuples(index=False)))
+    assert got == sorted(want)
