@@ -19,7 +19,8 @@ Input formats:
 Subcommands beyond ``run``: ``dedup`` (exact/minhash/simhash/ngram/
 embed/embed-lsh, --cluster), ``ann`` (brute/lsh/ivf), ``analyze``,
 ``curate`` (dedup → near-dup → quality filter), ``events`` (window/
-sessions/asof/range) — every operator family is a ray-job surface.
+sessions/asof/range), ``stats`` (vocab/ngrams/quantiles/sample/tfidf)
+— every operator family is a ray-job surface.
 """
 
 from __future__ import annotations
@@ -303,6 +304,30 @@ def cmd_analyze(args) -> dict:
     return summary
 
 
+def cmd_stats(args) -> dict:
+    import ray.data
+    from gunrock_ray.functions import corpus_stats as cs
+    _init_ray()
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    if args.op == "vocab":
+        res = cs.vocab_topn(docs, n=args.topn)
+    elif args.op == "ngrams":
+        res = cs.ngram_topn(docs, ngram=args.ngram, n=args.topn)
+    elif args.op == "quantiles":
+        res = cs.token_quantiles(
+            docs, qs=tuple(int(q) for q in args.quantiles.split(",")))
+    elif args.op == "sample":
+        res = cs.sample_docs(docs, pct=args.pct, seed=args.seed)
+    else:                                    # tfidf
+        res = cs.tfidf_topk(docs, k=args.k)
+    rows = _write_result(args.out, res)
+    summary = {"cmd": "stats", "op": args.op, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="gunrock_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -400,6 +425,20 @@ def main(argv=None) -> None:
     evp.add_argument("--left-type", default="purchase")
     evp.add_argument("--right-type", default="signup")
 
+    st = sub.add_parser("stats", help="corpus statistics over a documents "
+                        "Parquet: vocabulary / n-grams / quantiles / "
+                        "deterministic sample / TF-IDF")
+    st.add_argument("--op", required=True,
+                    choices=["vocab", "ngrams", "quantiles", "sample", "tfidf"])
+    st.add_argument("--input", required=True)
+    st.add_argument("--out", default="/tmp/gunrock_ray_stats")
+    st.add_argument("--topn", type=int, default=100)
+    st.add_argument("--ngram", type=int, default=3)
+    st.add_argument("--quantiles", default="25,50,75,95")
+    st.add_argument("--pct", type=int, default=10)
+    st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--k", type=int, default=3)
+
     args = ap.parse_args(argv)
     if args.cmd == "run":
         cmd_run(args)
@@ -413,6 +452,8 @@ def main(argv=None) -> None:
         cmd_curate(args)
     elif args.cmd == "events":
         cmd_events(args)
+    elif args.cmd == "stats":
+        cmd_stats(args)
 
 
 if __name__ == "__main__":

@@ -201,3 +201,32 @@ def test_cli_dedup_ann_analyze(tmp_path):
     import pyarrow.parquet as pq
     out = pq.read_table(str(tmp_path / "ana"))
     assert {"doc_id", "pred_lang", "fingerprint"} <= set(out.schema.names)
+
+
+def test_cli_stats(tmp_path):
+    """Corpus statistics are reachable via the ray-job CLI; the sample is
+    the deterministic mix64 rule."""
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "stats", "--op", "vocab",
+         "--input", docs, "--out", str(tmp_path / "voc"), "--topn", "10"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["op"] == "vocab" and 0 < s["rows"] <= 10
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "stats", "--op", "sample",
+         "--input", docs, "--out", str(tmp_path / "smp"), "--pct", "20"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    import numpy as np
+    import pyarrow.parquet as pq
+    from gunrock_ray.common import mix64
+    got = np.sort(pq.read_table(str(tmp_path / "smp"))["doc_id"].to_numpy())
+    want = np.flatnonzero(
+        mix64(np.arange(500, dtype=np.uint64)) % np.uint64(100) < np.uint64(20))
+    assert np.array_equal(got, want) and s["rows"] == len(want)
