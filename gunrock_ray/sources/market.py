@@ -120,3 +120,55 @@ def write_market(edges: pa.Table, path: str, *, num_vertices: int | None = None,
                 f.write(f"{src[i] + 1} {dst[i] + 1} {w[i]:g}\n")
             else:
                 f.write(f"{src[i] + 1} {dst[i] + 1}\n")
+
+
+def _csr_arrays(edges: pa.Table, num_vertices: int | None):
+    """(n, row_offsets, col_indices, values|None) from an edge table,
+    rows sorted by (src, dst) — the layout both text writers share."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["w"].to_numpy() if "w" in edges.column_names else None
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if w is not None:
+        w = w[order]
+    n = num_vertices or (int(max(src.max(), dst.max())) + 1 if len(src) else 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(offsets, src + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    return n, offsets, dst, w
+
+
+def write_csr_text(edges: pa.Table, path: str, *,
+                   num_vertices: int | None = None,
+                   weighted: bool = False) -> None:
+    """Edge table → `<path>.rows` (n+1 offsets) / `<path>.cols` (dst ids)
+    / `<path>.vals` (weights, only when ``weighted``), one value per line —
+    the reference's `WriteCSR` (`gunrock/csr.cuh:279-319`). Conformance
+    format: text CSR is not the scale path (Parquet is)."""
+    n, offsets, cols, w = _csr_arrays(edges, num_vertices)
+    np.savetxt(path + ".rows", offsets, fmt="%d")
+    np.savetxt(path + ".cols", cols, fmt="%d")
+    if weighted and w is not None:
+        np.savetxt(path + ".vals", w, fmt="%g")
+
+
+def write_ligra(edges: pa.Table, path: str, *,
+                num_vertices: int | None = None,
+                weighted: bool = False) -> None:
+    """Edge table → Ligra `<path>.adj`: header `AdjacencyGraph`, n, m,
+    then n row offsets (NOT n+1 — Ligra's convention), m column indices,
+    and m edge values when ``weighted`` — the reference's
+    `WriteToLigraFile` (`gunrock/csr.cuh:333-363`)."""
+    n, offsets, cols, w = _csr_arrays(edges, num_vertices)
+    with open(path + ".adj", "w") as f:
+        f.write(f"AdjacencyGraph\n{n}\n{len(cols)}\n")
+        f.write("\n".join(map(str, offsets[:n].tolist())))
+        if n:
+            f.write("\n")
+        f.write("\n".join(map(str, cols.tolist())))
+        if len(cols):
+            f.write("\n")
+        if weighted and w is not None:
+            f.write("\n".join(f"{x:g}" for x in w.tolist()))
+            f.write("\n" if len(w) else "")

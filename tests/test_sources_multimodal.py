@@ -235,3 +235,35 @@ def test_multimodal_video_frame_sample():
         VideoFrameSample, batch_format="pyarrow", concurrency=1,
         fn_constructor_kwargs={"stride": 5}).to_pandas()
     assert list(out_f["frame_idx"]) == [0, 5]
+
+
+def test_write_csr_text_and_ligra(tmp_path):
+    """Text CSR and Ligra .adj writers reproduce the reference layouts
+    (gunrock/csr.cuh WriteCSR / WriteToLigraFile): offsets count per-src
+    edges after a (src, dst) sort; .adj carries n offsets (not n+1)."""
+    import numpy as np
+    import pyarrow as pa
+    from gunrock_ray.sources.market import write_csr_text, write_ligra
+
+    edges = pa.table({"src": pa.array([2, 0, 0, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 1, 0], pa.int64()),
+                      "w": pa.array([0.5, 1.5, 2.0, 3.0], pa.float64())})
+    base = str(tmp_path / "g")
+    write_csr_text(edges, base, num_vertices=4, weighted=True)
+    rows = np.loadtxt(base + ".rows", dtype=np.int64)
+    cols = np.loadtxt(base + ".cols", dtype=np.int64)
+    vals = np.loadtxt(base + ".vals", dtype=np.float64)
+    assert rows.tolist() == [0, 2, 2, 3, 4]     # out-degrees 2,0,1,1
+    assert cols.tolist() == [1, 2, 1, 0]        # dst sorted within src
+    assert vals.tolist() == [2.0, 1.5, 0.5, 3.0]
+
+    write_ligra(edges, base, num_vertices=4, weighted=True)
+    lines = open(base + ".adj").read().split()
+    assert lines[0] == "AdjacencyGraph"
+    n, m = int(lines[1]), int(lines[2])
+    assert (n, m) == (4, 4)
+    offs = [int(x) for x in lines[3:3 + n]]
+    adj = [int(x) for x in lines[3 + n:3 + n + m]]
+    w = [float(x) for x in lines[3 + n + m:]]
+    assert offs == [0, 2, 2, 3] and adj == [1, 2, 1, 0]
+    assert w == [2.0, 1.5, 0.5, 3.0]
