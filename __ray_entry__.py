@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": r.q_events_range,       # SQL-checked (interval join)
         "user_topk_events": r.q_user_topk_events,  # SQL-checked (group top-k)
         "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
+        "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,

@@ -28,9 +28,14 @@ def _hll_registers(values_u64: np.ndarray, p: int) -> np.ndarray:
     h = mix64(values_u64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
-    # leading zero count of a uint64, vectorized via float64 exponent trick
-    # (values here are >= 2^p - 1 > 0 so log2 is safe)
-    lz = (63 - np.floor(np.log2(rest.astype(np.float64)))).astype(np.int64)
+    # EXACT leading-zero count (a float64 log2 trick rounds up for values
+    # within 2^-54 of a power of two): shift-or fill below the MSB, then
+    # popcount gives the bit length
+    fill = rest.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        fill |= fill >> np.uint64(s)
+    from gunrock_ray.functions.dedup import popcount64
+    lz = 64 - popcount64(fill)
     rank = np.clip(lz + 1, 1, 64 - p + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -75,6 +80,33 @@ def hll_count_distinct(ds, column: str, p: int = 14) -> float:
     for b in parts["regs"]:
         merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
     return _hll_estimate(merged)
+
+
+def hll_register_table(ds, column: str, p: int = 10) -> pa.Table:
+    """The merged HLL registers as an integer table {idx, reg} (reg > 0
+    rows only) — the distributed substance of the sketch (hash → bucket →
+    exact leading-zero rank → max-merge across blocks), exposed
+    integer-exact so a SQL oracle reproduces it bit-for-bit (mix64 via
+    32-bit-split multiplication, bit length via ``bin()``). The float
+    estimator on top is :func:`hll_count_distinct`."""
+    from gunrock_ray.functions.dedup import hash_words
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy().astype(np.uint64)
+        else:
+            vals = hash_words(col.to_pylist())
+        regs = _hll_registers(vals, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+    nz = np.flatnonzero(merged)
+    return pa.table({"idx": pa.array(nz, pa.int64()),
+                     "reg": pa.array(merged[nz].astype(np.int64), pa.int64())})
 
 
 # ------------------------------------------------------------ per-key top-k

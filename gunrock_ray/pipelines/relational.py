@@ -699,6 +699,19 @@ def q_embed_near_dup_lsh(sf_dir: str):
         num_planes=4, num_tables=24)
 
 
+def q_hll_registers(sf_dir: str):
+    """The distinct-user HLL sketch's REGISTER TABLE {idx, reg} (p=10,
+    reg > 0) — the distributed substance of the sketch (mix64 hash →
+    bucket → exact leading-zero rank → max-merge across blocks) is
+    integer-exact, so it IS SQL-checkable even though the float estimator
+    on top stays rows-only (q_distinct_users_hll)."""
+    import ray.data
+    from gunrock_ray.functions.sketches import hll_register_table
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return hll_register_table(ev, "user_id", p=10)
+
+
 def q_vocab_top100(sf_dir: str):
     """Global vocabulary: 100 most frequent whitespace tokens {term, cnt}
     (cnt desc, term asc at the cut — deterministic; pre-aggregated per
@@ -1205,6 +1218,22 @@ ORACLE_SQL: dict[str, str] = {
         "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_chk "
         "FROM documents"
+    ),
+    # HLL registers bit-for-bit: mix64 via the split-multiply macro, the
+    # (64-p)-bit rest via modulo+multiply (DuckDB << errors on overflow),
+    # exact bit length via bin(), rank capped at 64-p+1, max-merge = GROUP BY
+    "hll_registers": (
+        "WITH s0 AS (SELECT CAST(user_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM events), "
+        f"s1 AS (SELECT {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "h AS (SELECT xor(z, z >> 31) AS h FROM s2), "
+        "r AS (SELECT CAST(h >> 54 AS BIGINT) AS idx, "
+        "      (h % 18014398509481984) * 1024 + 1023 AS rest FROM h), "
+        "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 55) AS rank FROM r) "
+        "SELECT idx, CAST(MAX(rank) AS BIGINT) AS reg FROM k GROUP BY idx"
     ),
     "vocab_top100": (
         "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term "

@@ -69,3 +69,39 @@ def test_topk_per_key_matches_pandas():
     ref = ref.sort_values(["user_id", "rnk"]).reset_index(drop=True)
     assert got[["user_id", "event_id", "rnk"]].equals(
         ref[["user_id", "event_id", "rnk"]])
+
+
+def test_hll_rank_exact_at_float_boundaries():
+    """The leading-zero count is exact (a float64 log2 trick rounds up for
+    values within 2^-54 of a power of two): registers match a pure-Python
+    int.bit_length oracle on adversarial near-power-of-two hashes."""
+    from gunrock_ray.common import mix64
+
+    # craft raw values whose mix64 hashes land near powers of two by brute
+    # scan, plus plain randoms
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**63, 4000).astype(np.uint64)
+    # adversarial: rests with 54+ leading ones after the index bits
+    vals = np.concatenate([vals, np.arange(200_000, dtype=np.uint64)])
+    p = 10
+    regs = _hll_registers(vals, p)
+    want = np.zeros(1 << p, dtype=np.uint8)
+    for h in mix64(vals):
+        h = int(h)
+        idx = h >> (64 - p)
+        rest = ((h << p) & (2**64 - 1)) | ((1 << p) - 1)
+        rank = min(64 - rest.bit_length() + 1, 64 - p + 1)
+        want[idx] = max(want[idx], rank)
+    assert np.array_equal(regs, want)
+
+
+def test_hll_register_table_matches_registers():
+    from gunrock_ray.functions.sketches import hll_register_table
+    ids = np.arange(5000, dtype=np.int64) % 700
+    ds = _ds(pa.table({"user_id": pa.array(ids)})).repartition(8)
+    t = hll_register_table(ds, "user_id", p=10)
+    want = _hll_registers(ids.astype(np.uint64), 10)
+    got = np.zeros(1 << 10, dtype=np.uint8)
+    got[t["idx"].to_numpy()] = t["reg"].to_numpy()
+    assert np.array_equal(got, want)
+    assert (t["reg"].to_numpy() > 0).all()
