@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": r.q_embed_near_dup,
         "minhash_near_dup": r.q_minhash_near_dup,   # rows-only (LSH recall)
         "simhash_near_dup": r.q_simhash_near_dup,   # rows-only
+        # ...but their SIGNATURE stages are SQL-checked bit-for-bit:
+        "simhash_sigs": r.q_simhash_sigs,   # SQL-checked (word fold + bit sums)
+        "minhash_sigs": r.q_minhash_sigs,   # SQL-checked (shingles + perm MIN)
         "doc_analysis": r.q_doc_analysis,           # rows-only
         "doc_curate": r.q_doc_curate,   # SQL-checked (dedup + quality gates)
         # corpus statistics (vocabulary / n-grams / quantiles / sampling /

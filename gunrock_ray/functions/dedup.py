@@ -211,6 +211,34 @@ class MinHasher:
         })
 
 
+def minhash_signature_table(docs_ds, ngram: int = 3, bands: int = 16,
+                            rows: int = 4, seed: int = 42):
+    """The MinHash SIGNATURE TABLE, tall: {doc_id, h, minhash} — one row per
+    (doc, hash function), minhash = min over the doc's word-``ngram``
+    shingles of the h-th multiply-shift permutation (uint64 reinterpreted
+    int64). This is the distributed substance of the MinHash dedup path
+    (the LSH banding/verify on top is probabilistic and stays rows-only);
+    every piece — word-hash fold, shingle chain, permutation, min — is
+    integer-exact, so a SQL oracle reproduces it bit-for-bit
+    (relational.ORACLE_SQL['minhash_sigs']). Shingle-less docs emit the
+    all-zero signature, matching :meth:`MinHasher.signature`."""
+    mh = MinHasher(ngram=ngram, bands=bands, rows=rows, seed=seed)
+
+    def tall(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        didx, sh = flat_word_shingles(batch["text"].to_pylist(), mh.ngram,
+                                      unique=False)
+        sig = mh.signatures_flat(didx, sh, len(ids))
+        D, H = sig.shape
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, H), pa.int64()),
+            "h": pa.array(np.tile(np.arange(H, dtype=np.int64), D)),
+            "minhash": pa.array(sig.reshape(-1).astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(tall, batch_format="pyarrow")
+
+
 def _ragged_gather(vals: np.ndarray, starts: np.ndarray,
                    lens: np.ndarray) -> np.ndarray:
     """Concatenate vals[starts[i] : starts[i]+lens[i]] segments, vectorized."""

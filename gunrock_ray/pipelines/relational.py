@@ -712,6 +712,26 @@ def q_hll_registers(sf_dir: str):
     return hll_register_table(ev, "user_id", p=10)
 
 
+def q_simhash_sigs(sf_dir: str):
+    """The SimHash SIGNATURE TABLE {doc_id, simhash} — the distributed
+    substance of the SimHash dedup path (word-hash fold → seeded mix →
+    TF-weighted per-bit sign sum), integer-exact and SQL-checked
+    bit-for-bit; the chunk-bucket pairing on top stays rows-only
+    (q_simhash_near_dup)."""
+    from gunrock_ray.functions.dedup import simhash_signatures
+    return simhash_signatures(_docs_ds(sf_dir))
+
+
+def q_minhash_sigs(sf_dir: str):
+    """The MinHash SIGNATURE TABLE, tall {doc_id, h, minhash} (16 bands x 4
+    rows = 64 hashes) — the distributed substance of the MinHash dedup path
+    (word-hash fold → shingle chain → multiply-shift permutation → min),
+    integer-exact and SQL-checked bit-for-bit; the LSH banding/verify on
+    top is probabilistic and stays rows-only (q_minhash_near_dup)."""
+    from gunrock_ray.functions.dedup import minhash_signature_table
+    return minhash_signature_table(_docs_ds(sf_dir))
+
+
 def q_vocab_top100(sf_dir: str):
     """Global vocabulary: 100 most frequent whitespace tokens {term, cnt}
     (cnt desc, term asc at the cut — deterministic; pre-aggregated per
@@ -1081,6 +1101,143 @@ def _MULMOD_SQL(x: str, c: int) -> str:
             f"* 4294967296) % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)")
 
 
+def _ADDMOD_SQL(x: str, c: int) -> str:
+    """``(x + c) mod 2^64`` over UBIGINT ``x`` (native + would raise on
+    overflow; go through HUGEINT)."""
+    return (f"CAST((CAST(({x}) AS HUGEINT) + {c}) % "
+            f"CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)")
+
+
+def _MIX64_SQL(x: str) -> str:
+    """The full splitmix64 finalizer as ONE inline expression (for use
+    inside a recursive CTE step, where staged CTEs aren't available).
+    Expression size grows 2x per stage (each stage references its input
+    twice) — ~30 copies of ``x`` — which DuckDB parses fine; only use where
+    ``x`` is a short column expression."""
+    z0 = _ADDMOD_SQL(x, 0x9E3779B97F4A7C15)
+    z1 = _MULMOD_SQL(f"xor({z0}, ({z0}) >> 30)", 0xBF58476D1CE4E5B9)
+    z2 = _MULMOD_SQL(f"xor({z1}, ({z1}) >> 27)", 0x94D049BB133111EB)
+    return f"xor({z2}, ({z2}) >> 31)"
+
+
+def _PERM_SQL(x: str, m: str, a: str) -> str:
+    """``(x*m + a) mod 2^64`` where ``m``/``a`` are UBIGINT COLUMNS (the
+    multiply-shift MinHash permutation): the constant-multiplier split
+    trick, column form — every HUGEINT intermediate stays < 2^97."""
+    mul = (f"(((CAST(({x}) % 4294967296 AS HUGEINT) * {m}) + "
+           f"((CAST(({x}) // 4294967296 AS HUGEINT) * {m}) % 4294967296) "
+           f"* 4294967296) % CAST(18446744073709551616 AS HUGEINT))")
+    return (f"CAST(({mul} + {a}) % CAST(18446744073709551616 AS HUGEINT) "
+            f"AS UBIGINT)")
+
+
+def _WORDFOLD_CTES() -> str:
+    """Shared CTE fragment reproducing functions.dedup.hash_words in SQL:
+    ``terms(term)`` (must exist upstream) → ``wh(term, h)`` via the
+    per-codepoint splitmix64 fold h := mix64(h ^ codepoint). Requires the
+    query to open with WITH RECURSIVE."""
+    step = _MIX64_SQL("xor(h, CAST(unicode(substr(term, i+1, 1)) AS UBIGINT))")
+    return (
+        "f AS ("
+        f"  SELECT term, 0 AS i, CAST({0x9E3779B97F4A7C15} AS UBIGINT) AS h "
+        "   FROM terms"
+        "  UNION ALL"
+        f"  SELECT term, i + 1, {step} FROM f WHERE i < length(term)), "
+        "wh AS (SELECT term, h FROM f WHERE i = length(term))"
+    )
+
+
+_U2I_SQL = ("CAST(CASE WHEN {v} >= 9223372036854775808 "
+            "THEN CAST({v} AS HUGEINT) - 18446744073709551616 "
+            "ELSE {v} END AS BIGINT)")
+
+
+def _simhash_sigs_sql() -> str:
+    """SimHash signatures bit-for-bit: tokenize, fold each distinct term's
+    codepoints (hash_words), seed-mix (hw = mix64(wordhash ^ seed)), then
+    per (doc, bit) sum tf where bit set minus tf where clear; the signature
+    is the >0-bit mask reassembled from exact power-of-two literals and
+    reinterpreted int64. Mirrors functions.dedup.SimHasher.simhash_batch."""
+    from gunrock_ray.functions.dedup import SimHasher
+
+    seed = int(SimHasher().seed)
+    pows = ", ".join(str(1 << b) for b in range(64))
+    u2i = _U2I_SQL.format(v="COALESCE(sg.s, 0)")
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "      FROM documents), "
+        "tok AS (SELECT doc_id, unnest(w) AS term FROM d), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+        "terms AS (SELECT DISTINCT term FROM tf), "
+        f"{_WORDFOLD_CTES()}, "
+        f"s0 AS (SELECT term, {_ADDMOD_SQL(f'xor(h, {seed})', 0x9E3779B97F4A7C15)} "
+        "       AS z FROM wh), "
+        f"s1 AS (SELECT term, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT term, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "hw AS (SELECT term, xor(z, z >> 31) AS h FROM s2), "
+        "bt AS (SELECT unnest(generate_series(0, 63)) AS b, "
+        f"              unnest([{pows}]) AS pw), "
+        "sc AS (SELECT tf.doc_id, bt.b, bt.pw, "
+        "       SUM(CASE WHEN (hw.h >> bt.b) % 2 = 1 THEN tf.tf ELSE -tf.tf "
+        "       END) AS score "
+        "       FROM tf JOIN hw USING (term) CROSS JOIN bt GROUP BY 1, 2, 3), "
+        "sg AS (SELECT doc_id, CAST(SUM(CASE WHEN score > 0 THEN "
+        "       CAST(pw AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s "
+        "       FROM sc GROUP BY doc_id) "
+        f"SELECT d.doc_id, {u2i} AS simhash FROM d LEFT JOIN sg USING (doc_id)"
+    )
+
+
+def _minhash_sigs_sql() -> str:
+    """MinHash signature table bit-for-bit: word-hash fold per distinct
+    term, shingle chain s = mix64(...mix64(mix64(hw0) ^ hw1)... ^ hw_{n-1})
+    per 3-window (full chain for 1-2-word docs), then per hash function the
+    multiply-shift permutation MIN. The 64 (mult, add) constants are taken
+    from the live MinHasher so SQL and engine can never drift. Mirrors
+    functions.dedup.minhash_signature_table."""
+    from gunrock_ray.functions.dedup import MinHasher
+
+    mh = MinHasher()
+    vals = ", ".join(
+        f"({i}, CAST({int(m)} AS UBIGINT), CAST({int(a)} AS UBIGINT))"
+        for i, (m, a) in enumerate(zip(mh.mult, mh.add)))
+    u2i = _U2I_SQL.format(v="COALESCE(mn.v, 0)")
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "      FROM documents), "
+        "terms AS (SELECT DISTINCT unnest(w) AS term FROM d), "
+        f"{_WORDFOLD_CTES()}, "
+        "pos AS (SELECT doc_id, len(w) AS n, "
+        "        unnest(generate_series(1, len(w))) AS i, w FROM d), "
+        "hw AS (SELECT p.doc_id, p.n, p.i, wh.h FROM pos p "
+        "       JOIN wh ON wh.term = p.w[p.i]), "
+        f"w0 AS (SELECT doc_id, i, {_MIX64_SQL('h')} AS g FROM hw "
+        "       WHERE n >= 3 AND i <= n - 2), "
+        f"w1 AS (SELECT w0.doc_id, w0.i, {_MIX64_SQL('xor(w0.g, b.h)')} AS g "
+        "       FROM w0 JOIN hw b ON b.doc_id = w0.doc_id AND b.i = w0.i + 1), "
+        f"w2 AS (SELECT w1.doc_id, {_MIX64_SQL('xor(w1.g, c.h)')} AS s "
+        "       FROM w1 JOIN hw c ON c.doc_id = w1.doc_id AND c.i = w1.i + 2), "
+        f"k1 AS (SELECT doc_id, {_MIX64_SQL('h')} AS s FROM hw WHERE n = 1), "
+        f"k2a AS (SELECT doc_id, {_MIX64_SQL('h')} AS g FROM hw "
+        "        WHERE n = 2 AND i = 1), "
+        f"k2 AS (SELECT a.doc_id, {_MIX64_SQL('xor(a.g, b.h)')} AS s "
+        "       FROM k2a a JOIN hw b ON b.doc_id = a.doc_id AND b.i = 2), "
+        "sh AS (SELECT doc_id, s FROM w2 UNION ALL SELECT doc_id, s FROM k1 "
+        "       UNION ALL SELECT doc_id, s FROM k2), "
+        f"hp(hi, m, a) AS (VALUES {vals}), "
+        f"mn AS (SELECT sh.doc_id, hp.hi, MIN({_PERM_SQL('sh.s', 'hp.m', 'hp.a')}) "
+        "       AS v FROM sh CROSS JOIN hp GROUP BY 1, 2), "
+        "alln AS (SELECT d.doc_id, hp.hi FROM d CROSS JOIN hp) "
+        f"SELECT alln.doc_id, CAST(alln.hi AS BIGINT) AS h, {u2i} AS minhash "
+        "FROM alln LEFT JOIN mn ON mn.doc_id = alln.doc_id "
+        "AND mn.hi = alln.hi"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "sssp_dists": f"{_BFS_DEPTH_CTE} SELECT v, depth AS dist FROM dep",
     "sssp_weighted": _SSSP_W_SQL,
@@ -1235,6 +1392,10 @@ ORACLE_SQL: dict[str, str] = {
         "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 55) AS rank FROM r) "
         "SELECT idx, CAST(MAX(rank) AS BIGINT) AS reg FROM k GROUP BY idx"
     ),
+    # dedup signature stages bit-for-bit (hash_words fold + seeded mix /
+    # shingle chain + permutation MIN reproduced in SQL)
+    "simhash_sigs": _simhash_sigs_sql(),
+    "minhash_sigs": _minhash_sigs_sql(),
     "vocab_top100": (
         "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term "
         "             FROM documents), "

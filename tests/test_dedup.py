@@ -203,3 +203,54 @@ def test_minhash_clean_corpus_returns_dataset():
     out = minhash_near_dup_pairs(_ds(t), threshold=0.9)
     assert hasattr(out, "count")
     assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def sig_oracle_docs():
+    """Adversarial corpus for the signature-stage SQL oracles: empty doc,
+    1/2/3-word docs (short-shingle chains), repeated words (tf > 1),
+    repeated shingles, and a longer doc."""
+    rng = np.random.default_rng(11)
+    texts = ["", "one", "two words", "three word doc",
+             "rep rep rep rep", "a b a b a b a b",
+             _rand_doc(rng, 40), _rand_doc(rng, 40), _rand_doc(rng, 7)]
+    return pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _oracle_df(table, sql):
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", table)
+    return con.execute(sql).fetchdf()
+
+
+def test_simhash_sigs_match_sql_oracle(sig_oracle_docs):
+    """The SimHash signature stage is integer-exact: the SQL reproduction
+    (word-hash fold + seeded mix + per-bit tf sign sums) matches the engine
+    bit-for-bit, including empty and sub-shingle docs."""
+    from gunrock_ray.functions.dedup import simhash_signatures
+    from gunrock_ray.pipelines.relational import ORACLE_SQL
+
+    got = (simhash_signatures(_ds(sig_oracle_docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (_oracle_df(sig_oracle_docs, ORACLE_SQL["simhash_sigs"])
+            .sort_values("doc_id").reset_index(drop=True))
+    assert np.array_equal(got["simhash"].to_numpy(),
+                          want["simhash"].to_numpy())
+
+
+def test_minhash_sigs_match_sql_oracle(sig_oracle_docs):
+    """The MinHash signature table (64 hashes) matches the SQL reproduction
+    (shingle chains incl. the k<n full-chain fallback + multiply-shift
+    permutation MIN) bit-for-bit."""
+    from gunrock_ray.functions.dedup import minhash_signature_table
+    from gunrock_ray.pipelines.relational import ORACLE_SQL
+
+    got = (minhash_signature_table(_ds(sig_oracle_docs).repartition(3))
+           .to_pandas().sort_values(["doc_id", "h"]).reset_index(drop=True))
+    want = (_oracle_df(sig_oracle_docs, ORACLE_SQL["minhash_sigs"])
+            .sort_values(["doc_id", "h"]).reset_index(drop=True))
+    assert len(got) == len(sig_oracle_docs) * 64
+    assert np.array_equal(got["minhash"].to_numpy(),
+                          want["minhash"].to_numpy())
