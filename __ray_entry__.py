@@ -99,7 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ...but their SIGNATURE stages are SQL-checked bit-for-bit:
         "simhash_sigs": r.q_simhash_sigs,   # SQL-checked (word fold + bit sums)
         "minhash_sigs": r.q_minhash_sigs,   # SQL-checked (shingles + perm MIN)
-        "doc_analysis": r.q_doc_analysis,           # rows-only
+        "doc_analysis": r.q_doc_analysis,  # SQL-checked (lang-ID argmax +
+        # exact int/int quality ratios + LEAD-windowed rolling-hash
+        # fingerprint, all reproduced in DuckDB)
         "doc_curate": r.q_doc_curate,   # SQL-checked (dedup + quality gates)
         # corpus statistics (vocabulary / n-grams / quantiles / sampling /
         # TF-IDF) — all SQL-checked bit-for-bit with integer+string outputs

@@ -659,7 +659,9 @@ def q_doc_curate(sf_dir: str):
 
 def q_doc_analysis(sf_dir: str):
     """Language-ID + quality scores + rolling-hash fingerprint per doc
-    (actor-pool stage; rows-only — pytest-validated)."""
+    (actor-pool stage). SQL-checked bit-for-bit since round 2: marker-hit
+    argmax, exact int/int double ratios, and the windowed polynomial
+    fingerprint are all reproduced in DuckDB (_doc_analysis_sql)."""
     from gunrock_ray.functions.text import analyze_documents
     return analyze_documents(_docs_ds(sf_dir))
 
@@ -1191,6 +1193,91 @@ def _simhash_sigs_sql() -> str:
     )
 
 
+def _doc_analysis_sql() -> str:
+    """Full doc_analysis oracle: language-ID (marker-hit argmax, first-in-
+    order tie-break), quality ratios (exact int/int double divisions), and
+    the rolling-hash fingerprint. The fingerprint is reproduced WITHOUT the
+    engine's prefix-sum trick: each window hash is a 16-term polynomial sum
+    with constant powers, one LEAD window pass (sub-16-char docs take a
+    per-doc aggregate with length-dependent powers). Valid because the
+    corpus is ASCII (UTF-8 bytes == codepoints — pytest covers the unicode
+    path engine-side). Mirrors functions.text.TextAnalyzer."""
+    from gunrock_ray.functions.text import _LANG_MARKERS, _PUNCT, TextAnalyzer
+
+    B = int(TextAnalyzer._FP_BASE)
+    M64 = 1 << 64
+    mk = ", ".join(f"('{lang}', '{w}')" for lang, ws in _LANG_MARKERS.items()
+                   for w in sorted(ws))
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS["en"]))
+    # regex char class for the punct set ([, ], \ escaped; ' doubled for SQL)
+    cls = "".join(c for c in ".,;:!?\"'()[]{}<>" if c in _PUNCT)
+    punct_re = ("[" + cls.replace("\\", "\\\\").replace("[", "\\[")
+                .replace("]", "\\]") + "]").replace("'", "''")
+    terms = " + ".join(
+        _MULMOD_SQL(f"lead(c, {t}) OVER (PARTITION BY doc_id ORDER BY i)",
+                    pow(B, 15 - t, M64)).removeprefix("CAST(").removesuffix(
+                        " AS UBIGINT)")
+        for t in range(16))
+    pows = ", ".join(f"({j}, CAST({pow(B, j, M64)} AS UBIGINT))"
+                     for j in range(16))
+    u2i = _U2I_SQL.format(v="COALESCE(fp.fp, 0)")
+    return (
+        "WITH "
+        f"mk(lang, w) AS (VALUES {mk}), "
+        f"ps(j, bj) AS (VALUES {pows}), "
+        "wd AS (SELECT doc_id, lower(unnest(regexp_extract_all("
+        "       substr(text, 1, 2000), '[a-zA-Z]+'))) AS w FROM documents), "
+        "lh AS (SELECT wd.doc_id, "
+        "       SUM(CASE WHEN mk.lang = 'en' THEN 1 ELSE 0 END) AS e, "
+        "       SUM(CASE WHEN mk.lang = 'de' THEN 1 ELSE 0 END) AS d, "
+        "       SUM(CASE WHEN mk.lang = 'fr' THEN 1 ELSE 0 END) AS f, "
+        "       SUM(CASE WHEN mk.lang = 'es' THEN 1 ELSE 0 END) AS s "
+        "       FROM wd JOIN mk ON mk.w = wd.w GROUP BY 1), "
+        "tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "
+        "       FROM documents), "
+        "tq AS (SELECT doc_id, COUNT(*) AS ntoks, SUM(length(t)) AS sumlen, "
+        f"       SUM(CASE WHEN lower(t) IN ({en}) THEN 1 ELSE 0 END) AS stop "
+        "       FROM tk GROUP BY 1), "
+        f"pq AS (SELECT doc_id, len(regexp_extract_all(text, '{punct_re}')) "
+        "       AS np, length(text) AS nc FROM documents), "
+        "bb AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS i, "
+        "       length(text) AS n, text FROM documents "
+        "       WHERE length(text) > 0), "
+        "bc AS (SELECT doc_id, i, n, "
+        "       CAST(unicode(substr(text, i, 1)) AS UBIGINT) AS c FROM bb), "
+        f"hl AS (SELECT doc_id, CAST(({terms}) % "
+        "       CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h "
+        "       FROM bc WHERE n >= 16 QUALIFY i <= n - 15), "
+        "hs AS (SELECT doc_id, CAST(CAST(SUM(CAST("
+        f"       {_PERM_SQL('c', 'bj', '0')} AS HUGEINT)) AS HUGEINT) % "
+        "       CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h "
+        "       FROM bc JOIN ps ON ps.j = bc.n - bc.i WHERE bc.n < 16 "
+        "       GROUP BY doc_id), "
+        "fp AS (SELECT doc_id, MIN(h) AS fp FROM "
+        "       (SELECT * FROM hl UNION ALL SELECT * FROM hs) GROUP BY 1) "
+        "SELECT d.doc_id, "
+        "  CASE WHEN COALESCE(GREATEST(lh.e, lh.d, lh.f, lh.s), 0) = 0 "
+        "       THEN 'unk' "
+        "       WHEN lh.e = GREATEST(lh.e, lh.d, lh.f, lh.s) THEN 'en' "
+        "       WHEN lh.d = GREATEST(lh.d, lh.f, lh.s) THEN 'de' "
+        "       WHEN lh.f = GREATEST(lh.f, lh.s) THEN 'fr' "
+        "       ELSE 'es' END AS pred_lang, "
+        "  CASE WHEN COALESCE(tq.ntoks, 0) = 0 THEN 0.0 "
+        "       ELSE CAST(tq.stop AS DOUBLE) / tq.ntoks END AS stop_ratio, "
+        "  CASE WHEN COALESCE(tq.ntoks, 0) = 0 THEN 0.0 "
+        "       ELSE CAST(pq.np AS DOUBLE) / GREATEST(1, pq.nc) END "
+        "       AS punct_ratio, "
+        "  CASE WHEN COALESCE(tq.ntoks, 0) = 0 THEN 0.0 "
+        "       ELSE CAST(tq.sumlen AS DOUBLE) / tq.ntoks END "
+        "       AS mean_token_len, "
+        "  COALESCE(tq.ntoks, 0) AS n_tokens, "
+        f"  {u2i} AS fingerprint "
+        "FROM documents d "
+        "LEFT JOIN lh USING (doc_id) LEFT JOIN tq USING (doc_id) "
+        "LEFT JOIN pq USING (doc_id) LEFT JOIN fp USING (doc_id)"
+    )
+
+
 def _minhash_sigs_sql() -> str:
     """MinHash signature table bit-for-bit: word-hash fold per distinct
     term, shingle chain s = mix64(...mix64(mix64(hw0) ^ hw1)... ^ hw_{n-1})
@@ -1396,6 +1483,8 @@ ORACLE_SQL: dict[str, str] = {
     # shingle chain + permutation MIN reproduced in SQL)
     "simhash_sigs": _simhash_sigs_sql(),
     "minhash_sigs": _minhash_sigs_sql(),
+    # lang-ID + quality + rolling-hash fingerprint, all reproduced in SQL
+    "doc_analysis": _doc_analysis_sql(),
     "vocab_top100": (
         "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term "
         "             FROM documents), "

@@ -118,3 +118,37 @@ def test_word_shingles_short_docs():
     assert len(word_shingles("", 3)) == 0
     # and the short-gram differs from either word alone
     assert word_shingles("one two", 3)[0] != word_shingles("one", 3)[0]
+
+
+def test_doc_analysis_matches_sql_oracle():
+    """The full doc_analysis oracle (lang-ID argmax incl. first-in-order
+    tie-break, exact int/int ratios, LEAD-windowed rolling-hash fingerprint
+    with the sub-16-char aggregate path) matches the engine bit-for-bit on
+    adversarial ASCII docs."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from gunrock_ray.functions.text import analyze_documents
+    from gunrock_ray.pipelines.relational import ORACLE_SQL
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "",                                  # empty: all-zero row
+            "short doc",                         # < 16 chars: aggregate path
+            "the cat and the dog, it is fine for all of the team!",  # en
+            "der hund und die katze ist nicht mit auf zu",           # de
+            "xyzzy plugh 12345 (((",            # unk + punct
+            "the der le el the der le el",      # 4-way tie -> en (order)
+            "a" * 15,                           # exactly one sub-window
+            "word " * 40 + "end.",              # long doc, repeated tokens
+        ]})
+    got = (analyze_documents(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.execute(ORACLE_SQL["doc_analysis"]).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    for c in ["pred_lang", "n_tokens", "fingerprint", "stop_ratio",
+              "punct_ratio", "mean_token_len"]:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
