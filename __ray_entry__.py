@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top5": r.q_ann_lsh_top5,   # rows-only (LSH recall pytest-gated)
         "ann_ivf_top5": r.q_ann_ivf_top5,   # rows-only (IVF recall pytest-gated)
         "embed_near_dup_lsh": r.q_embed_near_dup_lsh,  # rows-only (subset-of-exact)
+        "embed_kmeans": r.q_embed_kmeans,  # rows-only (iterative float clustering)
         # dedup / similarity family (SURVEY.md §2 extensions)
         "ngram_jaccard": r.q_ngram_jaccard,
         "embed_near_dup": r.q_embed_near_dup,

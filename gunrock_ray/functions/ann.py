@@ -298,6 +298,90 @@ def train_ivf_centroids(sample: np.ndarray, num_lists: int,
     return C
 
 
+def kmeans(embeddings_path: str, k: int = 16, iters: int = 10,
+           seed: int = 42, *, train_sample: int = 2048,
+           concurrency: int = 4):
+    """Distributed spherical k-means over the embedding column (the
+    clustering primitive behind SemDeDup-style curation and IVF training,
+    run over the FULL corpus instead of a sample).
+
+    Scale design (100 TB): the E-step is a ``map_batches`` pass — each
+    block assigns its vectors to the nearest centroid (argmax dot against
+    the broadcast ``ray.put`` centroid matrix) and emits only k partial
+    rows {cluster, count, vec_sum} (k × (d+1) floats). The M-step merges
+    those tiny partials on the driver; nothing corpus-sized ever leaves
+    the blocks, and every pass streams. Determinism: partials are sorted
+    by content (cluster, count, sum bytes) before the left-fold sum, so
+    the result is independent of block ARRIVAL order (block boundaries
+    themselves are deterministic for a given input + context). Empty
+    clusters keep their previous centroid; fixed ``iters`` (no early
+    stop) keeps runs bitwise-reproducible.
+
+    Returns ``(assignments Dataset {vec_id, cluster}, centroids (k, d))``.
+    """
+    import ray
+
+    ds = _embeddings_ds(embeddings_path)
+    sample = _hash_priority_sample(ds, train_sample, seed)
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                          replace=False)]
+    if len(C) < k:
+        C = C[np.arange(k) % len(C)]
+    C = C.copy()
+
+    def partials_fn(c_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            M = _normalize(_stack(batch["embedding"]))
+            Cb = ray.get(c_ref)
+            assign = np.argmax(M @ Cb.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            starts = np.flatnonzero(np.concatenate(
+                [[True], assign[order][1:] != assign[order][:-1]]))
+            clusters = assign[order][starts]
+            counts = np.diff(np.concatenate([starts, [len(order)]]))
+            sums = np.add.reduceat(M[order], starts, axis=0)
+            return pa.table({
+                "cluster": pa.array(clusters.astype(np.int64)),
+                "count": pa.array(counts.astype(np.int64)),
+                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+        return partials
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        part = (ds.map_batches(partials_fn(c_ref), batch_format="pyarrow")
+                .to_pandas())
+        # content-sort so float summation order ignores arrival order
+        vs = np.stack([np.asarray(v) for v in part["vec_sum"]])
+        key = [tuple(r) for r in vs]
+        order = sorted(range(len(part)),
+                       key=lambda i: (int(part["cluster"].iloc[i]),
+                                      int(part["count"].iloc[i]), key[i]))
+        newC = C.copy()
+        for j in range(k):
+            rows = [i for i in order if int(part["cluster"].iloc[i]) == j]
+            if rows:
+                s = np.zeros(C.shape[1])
+                n = 0
+                for i in rows:  # left fold in sorted order (deterministic)
+                    s += vs[i]
+                    n += int(part["count"].iloc[i])
+                newC[j] = s / n
+        C = _normalize(newC)
+
+    c_ref = ray.put(C)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        M = _normalize(_stack(batch["embedding"]))
+        Cb = ray.get(c_ref)
+        a = np.argmax(M @ Cb.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(a)})
+
+    return ds.map_batches(assign_final, batch_format="pyarrow"), C
+
+
 def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
              query_ids: np.ndarray | None = None, *,
              num_lists: int = 16, nprobe: int = 8, assign_lists: int = 2,

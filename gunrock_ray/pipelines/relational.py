@@ -701,6 +701,16 @@ def q_embed_near_dup_lsh(sf_dir: str):
         num_planes=4, num_tables=24)
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed spherical k-means assignments over the embeddings table
+    (k=8, 5 Lloyd passes; rows-only — iterative float clustering has no
+    SQL form; recovery/determinism are pytest-validated)."""
+    from gunrock_ray.functions.ann import kmeans
+    assign, _ = kmeans(os.path.join(sf_dir, "embeddings.parquet"),
+                       k=8, iters=5)
+    return assign
+
+
 def q_hll_registers(sf_dir: str):
     """The distinct-user HLL sketch's REGISTER TABLE {idx, reg} (p=10,
     reg > 0) — the distributed substance of the sketch (mix64 hash →

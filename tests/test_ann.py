@@ -126,3 +126,55 @@ def test_ivf_centroids_deterministic_and_normalized():
     assert np.array_equal(C1, C2)
     assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
     assert C1.shape == (8, 16)
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(tmp_path_factory):
+    """3 well-separated spherical clusters (200 vectors, d=16)."""
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(7)
+    centers = np.eye(3, 16) * 10.0
+    labels = np.repeat(np.arange(3), [80, 70, 50])
+    M = centers[labels] + rng.normal(0, 0.05, (200, 16))
+    path = str(tmp_path_factory.mktemp("km") / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array(list(M.astype(np.float64)),
+                              pa.list_(pa.float64())),
+    }), path)
+    return path, labels
+
+
+def test_kmeans_recovers_planted_clusters(clustered_embeddings):
+    """Well-separated clusters: distributed k-means (k=3) partitions
+    exactly along the planted labels."""
+    from gunrock_ray.functions.ann import kmeans
+
+    path, labels = clustered_embeddings
+    assign, C = kmeans(path, k=3, iters=5, train_sample=64)
+    df = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(df) == 200
+    assert C.shape == (3, 16)
+    got = df["cluster"].to_numpy()
+    # cluster ids are arbitrary: map each planted label to its majority id
+    # and require a perfect 3-way partition
+    mapping = {}
+    for lbl in range(3):
+        ids, cnt = np.unique(got[labels == lbl], return_counts=True)
+        mapping[lbl] = ids[np.argmax(cnt)]
+    assert len(set(mapping.values())) == 3
+    assert all((got[labels == lbl] == mapping[lbl]).all() for lbl in range(3))
+
+
+def test_kmeans_deterministic(clustered_embeddings):
+    """Two runs produce bitwise-identical centroids and assignments (the
+    content-sorted partial merge makes block arrival order irrelevant)."""
+    from gunrock_ray.functions.ann import kmeans
+
+    path, _ = clustered_embeddings
+    a1, c1 = kmeans(path, k=4, iters=3, train_sample=64)
+    a2, c2 = kmeans(path, k=4, iters=3, train_sample=64)
+    d1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert np.array_equal(c1, c2)
+    assert d1.equals(d2)
