@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top5": r.q_ann_ivf_top5,   # rows-only (IVF recall pytest-gated)
         "embed_near_dup_lsh": r.q_embed_near_dup_lsh,  # rows-only (subset-of-exact)
         "embed_kmeans": r.q_embed_kmeans,  # rows-only (iterative float clustering)
+        "embed_near_dup_semantic": r.q_embed_near_dup_semantic,  # rows-only (subset-of-exact)
         # dedup / similarity family (SURVEY.md §2 extensions)
         "ngram_jaccard": r.q_ngram_jaccard,
         "embed_near_dup": r.q_embed_near_dup,

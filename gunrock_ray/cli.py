@@ -165,10 +165,14 @@ def cmd_dedup(args) -> dict:
     from gunrock_ray.functions import dedup as dd
     _init_ray()
     t0 = time.perf_counter()
-    if args.method in ("embed", "embed-lsh"):
+    if args.method in ("embed", "embed-lsh", "semdedup"):
         if args.method == "embed":
             pairs = dd.embedding_near_dup_pairs_exact(
                 args.input, threshold=args.threshold)
+        elif args.method == "semdedup":
+            pairs = dd.embedding_near_dup_pairs_semantic(
+                args.input, threshold=args.threshold,
+                k=args.kmeans_k, iters=args.kmeans_iters)
         else:
             pairs = dd.embedding_near_dup_pairs_lsh(
                 args.input, threshold=args.threshold,
@@ -368,7 +372,7 @@ def main(argv=None) -> None:
                          "or embeddings Parquet")
     ded.add_argument("--method", required=True,
                      choices=["exact", "minhash", "simhash", "ngram",
-                              "embed", "embed-lsh"])
+                              "embed", "embed-lsh", "semdedup"])
     ded.add_argument("--input", required=True)
     ded.add_argument("--out", default="/tmp/gunrock_ray_dedup")
     ded.add_argument("--threshold", type=float, default=0.6)
@@ -384,6 +388,10 @@ def main(argv=None) -> None:
     ded.add_argument("--partitions", type=int, default=None)
     ded.add_argument("--cluster", action="store_true",
                      help="CC-cluster the verified pairs (keeper = min id)")
+    ded.add_argument("--kmeans-k", type=int, default=16,
+                     help="semdedup: number of k-means clusters")
+    ded.add_argument("--kmeans-iters", type=int, default=5,
+                     help="semdedup: Lloyd passes")
 
     annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
     annp.add_argument("--method", default="brute",

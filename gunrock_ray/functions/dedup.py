@@ -466,12 +466,18 @@ def near_dup_clusters(pairs, num_partitions: int = 8):
     the exact-dedup convention."""
     from gunrock_ray.pipelines.graph_algos import build_graph, connected_components
 
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "cluster": pa.array([], pa.int64())})
     if isinstance(pairs, pa.Table):
+        if len(pairs) == 0:
+            return _empty
         edges = pa.table({"src": pairs["a"], "dst": pairs["b"]})
     else:
         edges = pairs.map_batches(
             lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
             batch_format="pyarrow")
+        if edges.count() == 0:  # no near-dups: CC over zero edges is empty
+            return _empty
     g = build_graph(edges, num_partitions=num_partitions, undirected=True)
     try:
         ds, _ = connected_components(g)
@@ -744,3 +750,60 @@ def embedding_near_dup_pairs_lsh(embeddings_path: str, *, threshold: float = 0.9
              .groupby("cbkt").map_groups(verify_coarse,
                                          batch_format="pyarrow"))
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def embedding_near_dup_pairs_semantic(embeddings_path: str, *,
+                                      threshold: float = 0.9, k: int = 16,
+                                      iters: int = 5, seed: int = 42,
+                                      chunk_rows: int = 4096):
+    """SemDeDup-style scale path (Abbas et al. 2023, arXiv:2303.09540):
+    spherical k-means clusters the corpus (streaming E-step, tiny per-block
+    M-step partials — :func:`gunrock_ray.functions.ann.kmeans`), then exact
+    cosine verification runs only WITHIN each cluster via
+    ``groupby(cluster).map_groups``. Each vector belongs to exactly one
+    cluster, so every pair is produced at most once (no dedup shuffle) and
+    the only broadcast is the (k, d) centroid matrix. Approximate by
+    construction: cross-cluster pairs are missed — the SemDeDup trade; pick
+    k ~ n / target_cluster_size so per-group verification stays bounded.
+    Within a group the pairwise matmul is chunked (``chunk_rows`` × |cluster|
+    peak) to bound actor memory on skewed clusters. Same {a, b} schema as
+    the exact and LSH variants."""
+    import ray
+    import ray.data
+    from gunrock_ray.functions.ann import _stack, _normalize, kmeans
+
+    _, C = kmeans(embeddings_path, k=k, iters=iters, seed=seed)
+    c_ref = ray.put(C)
+
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        M = _normalize(_stack(batch["embedding"]))
+        a = np.argmax(M @ ray.get(c_ref).T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(a),
+                         "embedding": batch["embedding"]})
+
+    def verify_cluster(group: pa.Table) -> pa.Table:
+        vids = group["vec_id"].to_numpy()
+        order = np.argsort(vids)
+        vids = vids[order]
+        V = _normalize(_stack(group["embedding"]))[order]
+        out_a, out_b = [], []
+        for s in range(0, len(vids), chunk_rows):
+            e = min(s + chunk_rows, len(vids))
+            sims = V[s:e] @ V.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            keep = gi < jj  # vids sorted ascending, so gi < jj ⟺ a < b
+            out_a.append(vids[gi[keep]])
+            out_b.append(vids[jj[keep]])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    ds = ray.data.read_parquet(embeddings_path,
+                               columns=["vec_id", "embedding"])
+    return (ds.map_batches(assign_carry, batch_format="pyarrow")
+            .groupby("cluster").map_groups(verify_cluster,
+                                           batch_format="pyarrow"))

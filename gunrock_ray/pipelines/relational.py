@@ -711,6 +711,16 @@ def q_embed_kmeans(sf_dir: str):
     return assign
 
 
+def q_embed_near_dup_semantic(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs over the embeddings table
+    (k-means cluster → within-cluster exact cosine; rows-only — a strict
+    subset of embed_near_dup by construction, subset/recall pytest-gated)."""
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_semantic
+    return embedding_near_dup_pairs_semantic(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        threshold=0.45, k=8, iters=5)
+
+
 def q_hll_registers(sf_dir: str):
     """The distinct-user HLL sketch's REGISTER TABLE {idx, reg} (p=10,
     reg > 0) — the distributed substance of the sketch (mix64 hash →

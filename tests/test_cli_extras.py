@@ -192,6 +192,16 @@ def test_cli_dedup_ann_analyze(tmp_path):
     assert s["rows"] == 15  # 5 queries x top-3
 
     r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "dedup", "--method",
+         "semdedup", "--input", embs, "--out", str(tmp_path / "sd"),
+         "--threshold", "0.45", "--kmeans-k", "8", "--kmeans-iters", "3",
+         "--cluster"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["method"] == "semdedup" and s["clustered"]
+
+    r = subprocess.run(
         [sys.executable, "-m", "gunrock_ray.cli", "analyze",
          "--input", docs, "--out", str(tmp_path / "ana")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=300)

@@ -151,6 +151,54 @@ def test_embedding_near_dup_lsh_subset_of_exact(planted_embeddings):
     assert (20, 21) in lsh
 
 
+def test_embedding_near_dup_semantic_subset_and_planted(planted_embeddings):
+    """SemDeDup path: pairs are a strict subset of exact (within-cluster
+    only), and near-identical planted pairs are always found — identical
+    vectors share an argmax cluster by construction."""
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_semantic
+
+    path, _ = planted_embeddings
+    exact = set(map(tuple, embedding_near_dup_pairs_exact(path, threshold=0.95)
+                    .to_pandas()[["a", "b"]].to_numpy()))
+    sem = set(map(tuple,
+                  embedding_near_dup_pairs_semantic(path, threshold=0.95,
+                                                    k=4, iters=3)
+                  .to_pandas()[["a", "b"]].to_numpy()))
+    assert sem <= exact
+    assert (22, 23) in sem
+    assert (20, 21) in sem
+
+
+def test_embedding_near_dup_semantic_chunked_matches_unchunked(planted_embeddings):
+    """The chunked within-cluster matmul (memory bound) produces the same
+    pair set as one-shot verification."""
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_semantic
+
+    path, _ = planted_embeddings
+    one = embedding_near_dup_pairs_semantic(
+        path, threshold=0.95, k=4, iters=3).to_pandas()
+    chunked = embedding_near_dup_pairs_semantic(
+        path, threshold=0.95, k=4, iters=3, chunk_rows=7).to_pandas()
+    a = set(map(tuple, one[["a", "b"]].to_numpy()))
+    b = set(map(tuple, chunked[["a", "b"]].to_numpy()))
+    assert a == b and len(one) == len(a)  # each pair exactly once
+
+
+def test_near_dup_clusters_empty_pairs():
+    """A clean corpus (zero verified pairs) yields an empty cluster table,
+    not a KeyError — both for an Arrow table and a Dataset of pairs."""
+    import ray.data
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    out = near_dup_clusters(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "cluster"]
+    out = near_dup_clusters(ray.data.from_arrow(empty))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "cluster"]
+
+
 def test_text_analyzer_langid_and_fingerprint():
     import ray.data
     docs = pa.table({
