@@ -255,23 +255,37 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
 # ------------------------------------------------------------------- IVF
 
 def _hash_priority_sample(embeddings_ds, n_sample: int, seed: int):
-    """Deterministic uniform sample of ~n_sample rows without knowing the
-    corpus size: per-block partial selection of the n_sample smallest
-    mix64(vec_id ^ seed) priorities, tiny driver merge (same shape as the
-    query-matrix selection — the corpus is never collected)."""
+    """Deterministic uniform sample of ≤n_sample rows: rows whose
+    mix64(vec_id ^ seed) priority clears a cutoff sized from the (metadata
+    -only) row count to pass ~1.5×n_sample rows corpus-wide are filtered
+    per block, then the driver trims to the n_sample smallest priorities.
+    Partition-independent (the cutoff + global trim see the same rows
+    regardless of blocking) and the driver never receives more than
+    ~1.5×n_sample + per-block-capped rows — NOT per-block top-n_sample,
+    which degenerates to collecting the whole corpus when blocks are
+    smaller than n_sample."""
     from gunrock_ray.common import mix64
 
+    seed_u = np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1))
+    total = embeddings_ds.count()  # parquet metadata — no scan
+    if total <= n_sample:
+        cutoff = np.uint64(2**64 - 1)
+    else:
+        # 1.5× + 64 margin: shortfall needs a >7σ binomial deviation
+        frac = min(1.0, (1.5 * n_sample + 64) / total)
+        cutoff = np.uint64(min(2**64 - 1, int(frac * 2**64)))
+
     def block_lowest(batch: pa.Table) -> pa.Table:
-        pri = mix64(batch["vec_id"].to_numpy().astype(np.uint64)
-                    ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1)))
-        order = np.argsort(pri)[:n_sample]
-        return batch.take(pa.array(order))
+        pri = mix64(batch["vec_id"].to_numpy().astype(np.uint64) ^ seed_u)
+        idx = np.flatnonzero(pri <= cutoff)
+        if len(idx) > n_sample:  # cap: rows cut here can't be in the
+            idx = idx[np.argsort(pri[idx])[:n_sample]]  # global top-n
+        return batch.take(pa.array(idx))
 
     cand = embeddings_ds.map_batches(block_lowest,
                                      batch_format="pyarrow").to_pandas()
-    pri = mix64(cand["vec_id"].to_numpy().astype(np.uint64)
-                ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1)))
-    keep = np.argsort(pri)[:n_sample]
+    pri = mix64(cand["vec_id"].to_numpy().astype(np.uint64) ^ seed_u)
+    keep = np.lexsort((cand["vec_id"].to_numpy(), pri))[:n_sample]
     M = np.stack([np.asarray(e, dtype=np.float64)
                   for e in cand["embedding"].iloc[keep]])
     return _normalize(M)
@@ -350,7 +364,9 @@ def kmeans(embeddings_path: str, k: int = 16, iters: int = 10,
 
     for _ in range(iters):
         c_ref = ray.put(C)
-        part = (ds.map_batches(partials_fn(c_ref), batch_format="pyarrow")
+        # coarse batches: one k×(d+1) partial per 16k rows, not per 1k
+        part = (ds.map_batches(partials_fn(c_ref), batch_format="pyarrow",
+                               batch_size=16384)
                 .to_pandas())
         # content-sort so float summation order ignores arrival order
         vs = np.stack([np.asarray(v) for v in part["vec_sum"]])

@@ -1,0 +1,125 @@
+"""Semantic-dedup stress: synthesize a deterministic N-vector embedding
+table (64 well-separated cluster centers, with a known planted near-dup
+fraction), run full-corpus distributed k-means and the SemDeDup
+within-cluster verify path, report throughput + recall + driver RSS
+(flat RSS across N = no corpus-sized materialization on the driver).
+
+Run: python tools/stress_semantic.py [num_vecs] (default 200_000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+NUM_CENTERS = 64
+PLANT_EVERY = 50          # second-half vec (half + k*PLANT_EVERY) is a
+                          # near-dup of first-half vec (k*PLANT_EVERY)
+
+
+def _vec_batch(batch: pa.Table, num_vecs: int) -> pa.Table:
+    """Counter-based embedding per id — reproducible at any parallelism.
+    Base vector = center[id % NUM_CENTERS] + small noise; planted near-dups
+    reuse their partner id's base with extra tiny noise (cos > 0.999)."""
+    ids = batch["id"].to_numpy()
+    half = num_vecs // 2
+    base = ids.copy()
+    planted = (ids >= half) & ((ids - half) % PLANT_EVERY == 0)
+    base[planted] = ids[planted] - half
+    # centers: deterministic orthogonal-ish directions, scaled well apart
+    crng = np.random.default_rng(99)
+    centers = crng.standard_normal((NUM_CENTERS, DIM)) * 8.0
+    # same-center strangers: |noise diff| ~ 2*2.0*sqrt(64)/sqrt(2) = 22.6 vs
+    # |center| ~ 64 → cos ~0.94; planted partners differ by 0.01-scale jitter
+    # → cos > 0.99999; threshold 0.999 splits them cleanly
+    out = np.empty((len(ids), DIM))
+    for j, (i, b) in enumerate(zip(ids, base)):
+        rng = np.random.default_rng(int(b) * 1_000_003 + 7)
+        v = centers[int(b) % NUM_CENTERS] + rng.standard_normal(DIM) * 2.0
+        if i != b:  # planted near-dup: same base + tiny extra jitter
+            v = v + np.random.default_rng(int(i)).standard_normal(DIM) * 0.01
+        out[j] = v
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": pa.array(list(out), pa.list_(pa.float64()))})
+
+
+def main() -> None:
+    num_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    import ray
+    import ray.data
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from gunrock_ray.functions.ann import kmeans
+    from gunrock_ray.functions.dedup import embedding_near_dup_pairs_semantic
+
+    vecs = ray.data.range(num_vecs).map_batches(
+        lambda b, n=num_vecs: _vec_batch(b, n), batch_format="pyarrow")
+    path = "/tmp/gunrock_ray_bench/stress_vecs"
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)  # stale files would duplicate rows
+    os.makedirs(path, exist_ok=True)
+    t0 = time.perf_counter()
+    vecs.write_parquet(path)
+    t_gen = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    assign, C = kmeans(path, k=NUM_CENTERS, iters=iters, seed=42)
+    n_assigned = assign.count()
+    t_km = time.perf_counter() - t0
+
+    planted = (num_vecs // 2 + PLANT_EVERY - 1) // PLANT_EVERY
+    half = num_vecs // 2
+    t0 = time.perf_counter()
+    pairs = embedding_near_dup_pairs_semantic(
+        path, threshold=0.999, k=NUM_CENTERS, iters=iters, seed=42)
+
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        hit = int(np.sum((b - a == half) & (a % PLANT_EVERY == 0)))
+        return pa.table({"n": pa.array([len(a)], pa.int64()),
+                         "hits": pa.array([hit], pa.int64())})
+
+    tallies = pairs.map_batches(count_pairs, batch_format="pyarrow").take_all()
+    found = sum(r["n"] for r in tallies)
+    planted_found = sum(r["hits"] for r in tallies)
+    t_sd = time.perf_counter() - t0
+
+    print(json.dumps({
+        "num_vecs": num_vecs,
+        "dim": DIM,
+        "t_generate_s": round(t_gen, 1),
+        "kmeans_s": round(t_km, 1),
+        # iters E-step passes + 1 assignment pass over the corpus
+        "kmeans_vecs_per_sec_per_pass": round(num_vecs * (iters + 1) / t_km),
+        "assigned": n_assigned,
+        "semdedup_s": round(t_sd, 1),
+        "semdedup_vecs_per_sec": round(num_vecs / t_sd),
+        "planted_near_dups": planted,
+        "found_pairs": found,
+        "planted_recall": round(planted_found / planted, 3),
+        "driver_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
