@@ -172,3 +172,62 @@ def write_ligra(edges: pa.Table, path: str, *,
         if weighted and w is not None:
             f.write("\n".join(f"{x:g}" for x in w.tolist()))
             f.write("\n" if len(w) else "")
+
+
+# ----------------------------------------------------------- node labels
+
+def parse_labels_bytes(data: bytes) -> pa.Table:
+    """Node-label stream → {v, label} — the reference's `ReadLabelStream`
+    (`gunrock/graphio/market.cuh:29-160`), semantics reproduced exactly:
+    '%' comment lines; the first non-comment line is the problem line
+    ``nodes x``; each following line is ``node label`` but the label is
+    assigned by LINE POSITION (`labels[lines_read] = ll_label`,
+    `market.cuh:129` — the node field is parsed-then-ignored); more or
+    fewer data lines than ``nodes`` is an error (`market.cuh:110,141`)."""
+    lines = data.decode("utf-8", "ignore").splitlines()
+    rows = [ln for ln in lines if ln.strip() and not ln.startswith("%")]
+    if not rows:
+        raise ValueError("no input labels found")
+    head = rows[0].split()
+    if len(head) < 2:
+        raise ValueError("invalid problem description in label file")
+    nodes = int(head[0])
+    body = rows[1:]
+    if len(body) != nodes:
+        raise ValueError(
+            f"label file declares {nodes} nodes but has {len(body)} data "
+            "lines")
+    labels = np.array([int(ln.split()[1]) for ln in body], dtype=np.int64)
+    return pa.table({"v": pa.array(np.arange(nodes, dtype=np.int64)),
+                     "label": pa.array(labels)})
+
+
+def read_labels(path: str):
+    """Label file → Dataset {v:int64, label:int64}. Single file (labels are
+    per-graph and line-position-indexed, like the reference's); one parse
+    task off the driver via ``read_binary_files``. The reference's binary
+    `FromLabels` cache has no analog here — write the Dataset to Parquet."""
+    import ray.data
+
+    _schema = pa.schema([("v", pa.int64()), ("label", pa.int64())])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_labels_bytes(b.as_py()) for b in batch["bytes"]]
+        return pa.concat_tables(tables) if tables else _schema.empty_table()
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def write_labels(labels: pa.Table, path: str) -> None:
+    """{v,label} table → the reference's label-stream text format
+    (problem line ``n n`` then one ``node label`` line per vertex, in
+    vertex order) — round-trip partner of :func:`read_labels`."""
+    v = labels["v"].to_numpy()
+    lab = labels["label"].to_numpy()
+    order = np.argsort(v)
+    with open(path, "w") as f:
+        f.write("% node labels\n")
+        f.write(f"{len(v)} {len(v)}\n")
+        for i in order:
+            f.write(f"{v[i]} {lab[i]}\n")

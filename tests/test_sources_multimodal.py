@@ -267,3 +267,39 @@ def test_write_csr_text_and_ligra(tmp_path):
     w = [float(x) for x in lines[3 + n + m:]]
     assert offs == [0, 2, 2, 3] and adj == [1, 2, 1, 0]
     assert w == [2.0, 1.5, 0.5, 3.0]
+
+
+def test_label_stream_roundtrip(tmp_path):
+    # reference semantics (gunrock/graphio/market.cuh:29-160): comments,
+    # 'nodes x' problem line, label assigned by LINE POSITION
+    from gunrock_ray.sources.market import (
+        read_labels, write_labels, parse_labels_bytes)
+    p = tmp_path / "g.labels"
+    p.write_text("% comment\n4 4\n0 7\n1 5\n2 7\n3 9\n")
+    ds = read_labels(str(p))
+    df = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    assert df["v"].tolist() == [0, 1, 2, 3]
+    assert df["label"].tolist() == [7, 5, 7, 9]
+
+    # node field is parsed-then-ignored: position wins (market.cuh:129)
+    t = parse_labels_bytes(b"2 2\n9 11\n9 22\n")
+    assert t["v"].to_pylist() == [0, 1]
+    assert t["label"].to_pylist() == [11, 22]
+
+    # count mismatch errors like the reference (market.cuh:110,141)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_labels_bytes(b"3 3\n0 1\n1 2\n")
+    with _pytest.raises(ValueError):
+        parse_labels_bytes(b"1 1\n0 1\n1 2\n")
+    with _pytest.raises(ValueError):
+        parse_labels_bytes(b"% only comments\n")
+
+    # round-trip through the writer
+    import pyarrow as pa
+    tbl = pa.table({"v": pa.array([2, 0, 1], pa.int64()),
+                    "label": pa.array([30, 10, 20], pa.int64())})
+    q = tmp_path / "rt.labels"
+    write_labels(tbl, str(q))
+    rt = read_labels(str(q)).to_pandas().sort_values("v")
+    assert rt["label"].tolist() == [10, 20, 30]
