@@ -619,17 +619,21 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_minhash_near_dup(sf_dir: str):
-    """MinHash+LSH similar pairs (rows-only; pytest-validated against the
-    exact Jaccard oracle — LSH recall is probabilistic by design). bands=64,
-    rows=1 targets the low-similarity regime of the synthetic corpus."""
+    """MinHash+LSH similar pairs, SQL-checked END TO END (_minhash_pairs_sql
+    reproduces banding, bucket-min pairing and the exact-Jaccard verify
+    bit-for-bit, float division included). bands=64, rows=1 targets the
+    low-similarity regime of the synthetic corpus; pytest additionally
+    validates LSH recall against the exact Jaccard oracle."""
     from gunrock_ray.functions.dedup import minhash_near_dup_pairs
     return minhash_near_dup_pairs(_docs_ds(sf_dir), bands=64, rows=1,
                                   threshold=0.01)
 
 
 def q_simhash_near_dup(sf_dir: str):
-    """SimHash similar pairs (rows-only; pytest-validated; the hamming cut
-    sits inside the synthetic corpus's distance distribution)."""
+    """SimHash similar pairs, SQL-checked END TO END (_simhash_pairs_sql
+    reproduces signatures, chunk-bucket pairing and the xor/popcount
+    hamming verify exactly); the hamming cut sits inside the synthetic
+    corpus's distance distribution."""
     from gunrock_ray.functions.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(_docs_ds(sf_dir), max_hamming=18)
 
@@ -648,8 +652,8 @@ def q_doc_curate(sf_dir: str):
     76 — cuts inside the corpus's 10-99 token range, so the check is
     non-trivial — punct ratio <= 0.25 — both sides compute the identical integer
     counts and the exactly-representable 0.25 cut). The near-dup LSH stage
-    is probabilistic and stays in the rows-only q_minhash_near_dup /
-    curate_documents(near_dup=True) paths."""
+    is exercised (and now also SQL-checked end to end) via
+    q_minhash_near_dup / curate_documents(near_dup=True)."""
     from gunrock_ray.pipelines.curate import curate_documents
     curated, _ = curate_documents(_docs_ds(sf_dir), near_dup=False,
                                   min_tokens=32, max_tokens=76,
@@ -1298,12 +1302,15 @@ def _doc_analysis_sql() -> str:
     )
 
 
-def _minhash_sigs_sql() -> str:
-    """MinHash signature table bit-for-bit: word-hash fold per distinct
-    term, shingle chain s = mix64(...mix64(mix64(hw0) ^ hw1)... ^ hw_{n-1})
-    per 3-window (full chain for 1-2-word docs), then per hash function the
-    multiply-shift permutation MIN. The 64 (mult, add) constants are taken
-    from the live MinHasher so SQL and engine can never drift. Mirrors
+def _minhash_common_ctes() -> str:
+    """Shared CTE chain of the MinHash oracles (requires WITH RECURSIVE):
+    word-hash fold per distinct term, shingle chain s =
+    mix64(...mix64(mix64(hw0) ^ hw1)... ^ hw_{n-1}) per 3-window (full chain
+    for 1-2-word docs), then per hash function the multiply-shift permutation
+    MIN. The 64 (mult, add) constants are taken from the live MinHasher so
+    SQL and engine can never drift. Exposes ``d`` (docs), ``sh`` (per-doc
+    shingles, duplicates possible), ``mn`` (per-(doc,hash) minima) and
+    ``alln`` (doc × hash grid). Mirrors
     functions.dedup.minhash_signature_table."""
     from gunrock_ray.functions.dedup import MinHasher
 
@@ -1311,9 +1318,7 @@ def _minhash_sigs_sql() -> str:
     vals = ", ".join(
         f"({i}, CAST({int(m)} AS UBIGINT), CAST({int(a)} AS UBIGINT))"
         for i, (m, a) in enumerate(zip(mh.mult, mh.add)))
-    u2i = _U2I_SQL.format(v="COALESCE(mn.v, 0)")
     return (
-        "WITH RECURSIVE "
         "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
         "      FROM documents), "
         "terms AS (SELECT DISTINCT unnest(w) AS term FROM d), "
@@ -1338,10 +1343,82 @@ def _minhash_sigs_sql() -> str:
         f"hp(hi, m, a) AS (VALUES {vals}), "
         f"mn AS (SELECT sh.doc_id, hp.hi, MIN({_PERM_SQL('sh.s', 'hp.m', 'hp.a')}) "
         "       AS v FROM sh CROSS JOIN hp GROUP BY 1, 2), "
-        "alln AS (SELECT d.doc_id, hp.hi FROM d CROSS JOIN hp) "
+        "alln AS (SELECT d.doc_id, hp.hi FROM d CROSS JOIN hp)"
+    )
+
+
+def _minhash_sigs_sql() -> str:
+    """MinHash signature table bit-for-bit (wide: one row per doc × hash).
+    Mirrors functions.dedup.minhash_signature_table."""
+    u2i = _U2I_SQL.format(v="COALESCE(mn.v, 0)")
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()} "
         f"SELECT alln.doc_id, CAST(alln.hi AS BIGINT) AS h, {u2i} AS minhash "
         "FROM alln LEFT JOIN mn ON mn.doc_id = alln.doc_id "
         "AND mn.hi = alln.hi"
+    )
+
+
+def _minhash_pairs_sql(threshold: float = 0.01) -> str:
+    """The FULL MinHash+LSH near-dup pipeline (bands=64, rows=1), end to
+    end: per-(hash, minhash-value) buckets pair every member with the bucket
+    minimum (functions.dedup.candidate_pairs_from_bands — with rows=1 the
+    band key mix64(sig) is injective, so grouping by the raw signature value
+    is the identical partition), then exact-Jaccard verification over
+    DISTINCT per-doc shingles with shingle-less docs carrying the engine's
+    sentinel (functions.dedup._EMPTY_SHINGLE = -2^63 ≡ 2^63 as uint64, so
+    two empty docs verify to jaccard 1.0). inter/union are exact integers;
+    the final division is the same int64→float64 IEEE division on both
+    sides, so the jaccard column hash-matches bit-for-bit."""
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        "sig AS (SELECT alln.doc_id, alln.hi, COALESCE(mn.v, 0) AS mh "
+        "        FROM alln LEFT JOIN mn ON mn.doc_id = alln.doc_id "
+        "        AND mn.hi = alln.hi), "
+        "lo AS (SELECT hi, mh, MIN(doc_id) AS a FROM sig GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT lo.a, s.doc_id AS b FROM sig s "
+        "         JOIN lo ON lo.hi = s.hi AND lo.mh = s.mh "
+        "         WHERE s.doc_id <> lo.a), "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "shx AS (SELECT doc_id, s FROM shd UNION ALL "
+        "        SELECT d.doc_id, CAST(9223372036854775808 AS UBIGINT) AS s "
+        "        FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM shd)), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1), "
+        "ix AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+        "       JOIN shx x ON x.doc_id = c.a "
+        "       JOIN shx y ON y.doc_id = c.b AND y.s = x.s GROUP BY 1, 2) "
+        "SELECT ix.a, ix.b, "
+        "CAST(ix.i AS DOUBLE) / (ca.n + cb.n - ix.i) AS jaccard "
+        "FROM ix JOIN cnt ca ON ca.doc_id = ix.a "
+        "JOIN cnt cb ON cb.doc_id = ix.b "
+        f"WHERE CAST(ix.i AS DOUBLE) / (ca.n + cb.n - ix.i) >= {threshold!r}"
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 18) -> str:
+    """The FULL SimHash near-dup pipeline, end to end: the bit-exact
+    signature table (as a derived table), 16-bit chunk buckets
+    (pigeonhole), every member paired with the chunk-bucket minimum, exact
+    hamming via xor + bit_count, duplicates across chunks collapsed —
+    mirrors functions.dedup.simhash_near_dup_pairs (the engine's
+    groupby-Min(hamming) is pure dedup: a pair's hamming is a function of
+    its two signatures)."""
+    return (
+        f"WITH sg AS (SELECT * FROM ({_simhash_sigs_sql()}) q), "
+        "u AS (SELECT doc_id, CAST(CAST(simhash AS HUGEINT) + CASE WHEN "
+        "      simhash < 0 THEN 18446744073709551616 ELSE 0 END AS UBIGINT) "
+        "      AS us FROM sg), "
+        "ch AS (SELECT doc_id, us, cc.c, "
+        "       CAST((us >> (16 * cc.c)) & 65535 AS BIGINT) AS key "
+        "       FROM u CROSS JOIN (VALUES (0), (1), (2), (3)) cc(c)), "
+        "lo AS (SELECT c, key, MIN(doc_id) AS a FROM ch GROUP BY 1, 2), "
+        "p AS (SELECT DISTINCT lo.a, ch.doc_id AS b FROM ch "
+        "      JOIN lo ON lo.c = ch.c AND lo.key = ch.key "
+        "      WHERE ch.doc_id <> lo.a) "
+        "SELECT p.a, p.b, "
+        "CAST(bit_count(xor(ua.us, ub.us)) AS BIGINT) AS hamming "
+        "FROM p JOIN u ua ON ua.doc_id = p.a JOIN u ub ON ub.doc_id = p.b "
+        f"WHERE bit_count(xor(ua.us, ub.us)) <= {max_hamming}"
     )
 
 
@@ -1503,6 +1580,8 @@ ORACLE_SQL: dict[str, str] = {
     # shingle chain + permutation MIN reproduced in SQL)
     "simhash_sigs": _simhash_sigs_sql(),
     "minhash_sigs": _minhash_sigs_sql(),
+    "minhash_near_dup": _minhash_pairs_sql(),
+    "simhash_near_dup": _simhash_pairs_sql(),
     # lang-ID + quality + rolling-hash fingerprint, all reproduced in SQL
     "doc_analysis": _doc_analysis_sql(),
     "vocab_top100": (
