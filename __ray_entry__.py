@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": r.q_events_asof,         # SQL-checked (native ASOF JOIN)
         "events_range": r.q_events_range,       # SQL-checked (interval join)
         "user_topk_events": r.q_user_topk_events,  # SQL-checked (group top-k)
+        # general equi-joins (broadcast dimension + shuffle cogroup)
+        "orders_cust_join": r.q_orders_cust_join,        # SQL-checked
+        "lineitem_orders_join": r.q_lineitem_orders_join,  # SQL-checked
+        "cust_orders_left": r.q_cust_orders_left,        # SQL-checked (LEFT)
         "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
@@ -96,9 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity family (SURVEY.md §2 extensions)
         "ngram_jaccard": r.q_ngram_jaccard,
         "embed_near_dup": r.q_embed_near_dup,
-        "minhash_near_dup": r.q_minhash_near_dup,   # rows-only (LSH recall)
-        "simhash_near_dup": r.q_simhash_near_dup,   # rows-only
-        # ...but their SIGNATURE stages are SQL-checked bit-for-bit:
+        "minhash_near_dup": r.q_minhash_near_dup,   # SQL-checked END TO END
+        "simhash_near_dup": r.q_simhash_near_dup,   # SQL-checked END TO END
+        # ...and their SIGNATURE stages are ALSO SQL-checked standalone:
         "simhash_sigs": r.q_simhash_sigs,   # SQL-checked (word fold + bit sums)
         "minhash_sigs": r.q_minhash_sigs,   # SQL-checked (shingles + perm MIN)
         "doc_analysis": r.q_doc_analysis,  # SQL-checked (lang-ID argmax +

@@ -143,3 +143,137 @@ def range_join(left_ds, right_ds, *, num_buckets: int = 64):
               .union(left_ds.map_batches(tag_left, batch_format="pyarrow")))
     return routed.groupby("bkt").map_groups(resolve_bucket,
                                             batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- equi-joins
+
+def _run_index(rk: np.ndarray):
+    """Sorted-run index of the right key column: (order, uniq, starts,
+    counts) with ``order`` the stable sort permutation — the shared build
+    side of both equi-join strategies."""
+    order = np.argsort(rk, kind="stable").astype(np.int64)
+    rks = rk[order]
+    from gunrock_ray.common import segment_starts
+    starts = segment_starts(rks)
+    uniq = rks[starts]
+    counts = np.diff(np.concatenate([starts, [len(rks)]])).astype(np.int64)
+    return order, uniq, starts, counts
+
+
+def _probe(lk: np.ndarray, uniq: np.ndarray, starts: np.ndarray,
+           counts: np.ndarray, order: np.ndarray, how: str):
+    """(left_idx, right_idx_or_null) row indices of the join result —
+    m:n handled by repeating each probing row once per matching build row;
+    ``how='left'`` appends unmatched left rows with a null right index."""
+    from gunrock_ray.functions.dedup import _ragged_gather
+    n = len(lk)
+    if len(uniq) == 0:
+        hit = np.zeros(n, dtype=bool)
+        l_idx = np.zeros(0, dtype=np.int64)
+        r_idx = np.zeros(0, dtype=np.int64)
+    else:
+        pos = np.minimum(np.searchsorted(uniq, lk), len(uniq) - 1)
+        hit = uniq[pos] == lk
+        ln = np.where(hit, counts[pos], 0)
+        l_idx = np.repeat(np.arange(n, dtype=np.int64), ln)
+        r_idx = _ragged_gather(order, starts[pos[hit]], counts[pos[hit]])
+    mask = np.zeros(len(r_idx), dtype=bool)
+    if how == "left":
+        miss = np.flatnonzero(~hit)
+        l_idx = np.concatenate([l_idx, miss])
+        r_idx = np.concatenate([r_idx, np.zeros(len(miss), np.int64)])
+        mask = np.concatenate([mask, np.ones(len(miss), dtype=bool)])
+    return l_idx, r_idx, mask
+
+
+def _emit(lt: pa.Table, rt: pa.Table, l_idx, r_idx, r_null_mask) -> pa.Table:
+    lpart = lt.take(pa.array(l_idx, pa.int64()))
+    rpart = rt.take(pa.array(r_idx, pa.int64(), mask=r_null_mask))
+    out = lpart
+    for name in rt.column_names:
+        out = out.append_column(name, rpart[name])
+    return out
+
+
+def _check_disjoint(lnames, rnames):
+    both = set(lnames) & set(rnames)
+    if both:
+        raise ValueError(f"join sides share column names {sorted(both)}; "
+                         "rename before joining")
+
+
+def broadcast_join(big_ds, small: pa.Table, *, on: str, right_on: str,
+                   how: str = "inner"):
+    """big ⋈ small on integer keys, the 100-TB pattern for dimension joins:
+    the small side's sorted-run index is built ONCE driver-side and shipped
+    ONCE via ``ray.put``; every batch probes it with searchsorted — no
+    shuffle of the big side at all. m:n duplicates on the small side are
+    honored (each big row repeats per matching small row); ``how='left'``
+    emits unmatched big rows with null small columns. All big-side columns
+    are kept, plus every small-side column (including ``right_on`` — equal
+    to ``on`` on matches, null on left-join misses)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}; expected 'inner' or 'left'")
+    _check_disjoint(big_ds.schema().names, small.column_names)
+    rk = small[right_on].to_numpy()
+    state_ref = ray.put((small.combine_chunks(), _run_index(rk)))
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        small_t, (order, uniq, starts, counts) = ray.get(state_ref)
+        l_idx, r_idx, mask = _probe(batch[on].to_numpy(), uniq, starts,
+                                    counts, order, how)
+        return _emit(batch, small_t, l_idx, r_idx, mask)
+
+    return big_ds.map_batches(probe_batch, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, *, on: str, right_on: str,
+              how: str = "inner", num_buckets: int = 64):
+    """left ⋈ right on integer keys when BOTH sides are large: each side is
+    null-padded to the union schema, tagged, routed to a COARSE hash bucket
+    of the key (bucket count ∝ cluster cores — thousands of keys per bucket,
+    resolved in ONE vectorized sort-merge, no per-key Python), and cogrouped
+    by a single groupby shuffle. m:n keys are honored; ``how='left'`` keeps
+    unmatched left rows with null right columns. Hot-key skew lands whole
+    buckets, not whole keys, on one task — raise ``num_buckets`` to spread
+    it."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}; expected 'inner' or 'left'")
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    lnames, rnames = list(lsch.names), list(rsch.names)
+    _check_disjoint(lnames, rnames)
+    all_fields = list(zip(lsch.names, lsch.types)) + \
+                 list(zip(rsch.names, rsch.types))
+    nb = np.uint64(num_buckets)
+
+    def pad(side: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (t[name] if name in t.column_names
+                              else pa.nulls(n, typ))
+            k = t[key_col].to_numpy().astype(np.uint64)
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            cols["__bkt"] = pa.array((mix64(k) % nb).astype(np.int64))
+            return pa.table(cols)
+        return fn
+
+    unioned = (left_ds.map_batches(pad(0, on), batch_format="pyarrow")
+               .union(right_ds.map_batches(pad(1, right_on),
+                                           batch_format="pyarrow")))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy()
+        g = group.drop_columns(["__side", "__bkt"])
+        lt = g.take(pa.array(np.flatnonzero(side == 0))).select(lnames)
+        rt = g.take(pa.array(np.flatnonzero(side == 1))).select(rnames)
+        order, uniq, starts, counts = _run_index(rt[right_on].to_numpy())
+        l_idx, r_idx, mask = _probe(lt[on].to_numpy(), uniq, starts,
+                                    counts, order, how)
+        return _emit(lt, rt, l_idx, r_idx, mask)
+
+    return unioned.groupby("__bkt").map_groups(join_bucket,
+                                               batch_format="pyarrow")

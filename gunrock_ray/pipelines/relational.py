@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 EDGE_MOD = 499
 TOPK = 20
@@ -534,6 +535,72 @@ def q_events_range(sf_dir: str):
         lambda t: pa.table({"purchase_id": t["left_id"],
                             "click_id": t["right_id"]}),
         batch_format="pyarrow")
+
+
+def q_orders_cust_join(sf_dir: str):
+    """Broadcast equi-join, SQL-checked: orders ⋈ customer on custkey via
+    the 100-TB dimension pattern — the customer run-index ships ONCE via
+    ray.put, every orders batch probes it with searchsorted; the big side
+    never shuffles."""
+    import ray.data
+    from gunrock_ray.functions.joins import broadcast_join
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    return broadcast_join(orders, cust, on="o_custkey",
+                          right_on="c_custkey").select_columns(
+        ["o_orderkey", "o_totalprice", "c_name", "c_nationkey"])
+
+
+def q_lineitem_orders_join(sf_dir: str):
+    """Shuffle (coarse-bucket cogroup) equi-join, SQL-checked: lineitem ⋈
+    orders on orderkey — both sides large, one groupby shuffle, per-bucket
+    vectorized sort-merge."""
+    import ray.data
+    from gunrock_ray.functions.joins import hash_join
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_join(li, orders, on="l_orderkey",
+                     right_on="o_orderkey").select_columns(
+        ["l_orderkey", "l_linenumber", "o_custkey", "o_totalprice"])
+
+
+def q_cust_orders_left(sf_dir: str):
+    """LEFT shuffle equi-join, SQL-checked: every customer with each of
+    their orders among the o_orderkey % 31 = 0 subset (the filter makes
+    most customers order-less, so the null-extension path is genuinely
+    exercised by the gate); nulls filled to -1 sentinels on BOTH sides so
+    the driver hash compares concrete values."""
+    import ray.data
+    import pyarrow.compute as pc
+    from gunrock_ray.functions.joins import hash_join
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pa.array(t["o_orderkey"].to_numpy() % 31 == 0)),
+        batch_format="pyarrow")
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                  how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_acctbal": t["c_acctbal"],
+            "o_orderkey": pc.fill_null(t["o_orderkey"], -1),
+            "o_totalprice": pc.fill_null(t["o_totalprice"], -1.0),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow")
 
 
 def q_user_topk_events(sf_dir: str):
@@ -1582,6 +1649,19 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_sigs": _minhash_sigs_sql(),
     "minhash_near_dup": _minhash_pairs_sql(),
     "simhash_near_dup": _simhash_pairs_sql(),
+    "orders_cust_join": (
+        "SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"),
+    "lineitem_orders_join": (
+        "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"),
+    "cust_orders_left": (
+        "SELECT c.c_custkey, c.c_acctbal, "
+        "COALESCE(o.o_orderkey, -1) AS o_orderkey, "
+        "COALESCE(o.o_totalprice, -1.0) AS o_totalprice "
+        "FROM customer c LEFT JOIN "
+        "(SELECT * FROM orders WHERE o_orderkey % 31 = 0) o "
+        "ON o.o_custkey = c.c_custkey"),
     # lang-ID + quality + rolling-hash fingerprint, all reproduced in SQL
     "doc_analysis": _doc_analysis_sql(),
     "vocab_top100": (

@@ -229,3 +229,73 @@ def test_range_join_property_vs_bruteforce(lrows, rrows):
                 if lk == rk and lo <= rt <= lo + w:
                     expect.add((1000 + i, j))
     assert got == expect
+
+
+# --------------------------------------------------------------- equi-joins
+
+def _canon_frames(df):
+    df = df[sorted(df.columns)].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 8), max_size=30),
+       st.lists(st.integers(0, 10), max_size=20),
+       st.sampled_from(["inner", "left"]))
+def test_equi_join_property_vs_pandas_merge(lkeys, rkeys, how):
+    """broadcast_join and hash_join both reproduce pandas merge exactly on
+    arbitrary m:n key multisets, inner and left (nulls filled with -1 for
+    the comparison)."""
+    import pandas as pd
+    import ray.data
+    from gunrock_ray.functions.joins import broadcast_join, hash_join
+
+    L = pd.DataFrame({"k": lkeys, "lv": range(len(lkeys))})
+    R = pd.DataFrame({"rk": rkeys, "rv": [v * 10 for v in range(len(rkeys))]})
+    exp = L.merge(R, left_on="k", right_on="rk", how=how).fillna(-1)
+
+    lds = ray.data.from_pandas(L)
+    got_b = broadcast_join(lds, pa.Table.from_pandas(R), on="k",
+                           right_on="rk", how=how).to_pandas().fillna(-1)
+    got_h = hash_join(lds, ray.data.from_pandas(R), on="k", right_on="rk",
+                      how=how, num_buckets=4).to_pandas().fillna(-1)
+    if len(exp) == 0:  # empty frames: schemas may trivially differ
+        assert len(got_b) == 0 and len(got_h) == 0
+    else:
+        assert _canon_frames(exp).equals(_canon_frames(got_b))
+        assert _canon_frames(exp).equals(_canon_frames(got_h))
+
+
+def test_equi_join_rejects_column_collision():
+    import pandas as pd
+    import pytest
+    import ray.data
+    from gunrock_ray.functions.joins import broadcast_join, hash_join
+
+    L = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    R = pd.DataFrame({"k": [1], "v": [3]})
+    with pytest.raises(ValueError, match="share column names"):
+        broadcast_join(L, pa.Table.from_pandas(R), on="k", right_on="k")
+    with pytest.raises(ValueError, match="share column names"):
+        hash_join(L, ray.data.from_pandas(R), on="k", right_on="k")
+    with pytest.raises(ValueError, match="expected 'inner' or 'left'"):
+        broadcast_join(L, pa.Table.from_pandas(
+            R.rename(columns={"k": "rk", "v": "rv"})),
+            on="k", right_on="rk", how="outer")
+
+
+def test_equi_join_empty_sides():
+    import pandas as pd
+    import ray.data
+    from gunrock_ray.functions.joins import broadcast_join, hash_join
+
+    L = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [9, 9]}))
+    Rempty = pa.table({"rk": pa.array([], pa.int64()),
+                       "rv": pa.array([], pa.int64())})
+    assert broadcast_join(L, Rempty, on="k", right_on="rk").count() == 0
+    left = broadcast_join(L, Rempty, on="k", right_on="rk",
+                          how="left").to_pandas()
+    assert len(left) == 2 and left["rv"].isna().all()
+    got = hash_join(L, ray.data.from_arrow(Rempty), on="k", right_on="rk",
+                    how="left").to_pandas()
+    assert len(got) == 2 and got["rv"].isna().all()
