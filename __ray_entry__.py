@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cust_join": r.q_orders_cust_join,        # SQL-checked
         "lineitem_orders_join": r.q_lineitem_orders_join,  # SQL-checked
         "cust_orders_left": r.q_cust_orders_left,        # SQL-checked (LEFT)
+        "lineitem_agg": r.q_lineitem_agg,  # SQL-checked (pre-agg GROUP BY)
         "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)

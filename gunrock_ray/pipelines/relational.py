@@ -603,6 +603,36 @@ def q_cust_orders_left(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate, SQL-checked bit-for-bit: per-block
+    Arrow group_by pre-aggregation, then one groupby-sum shuffle over tiny
+    partials (functions.aggregates.grouped_sums). Money is summed as
+    integer cents (FLOOR(price*100), the identical double op both sides)
+    and quantity as floored int64, so the result is exact and
+    parallelism-independent."""
+    import ray.data
+    from gunrock_ray.functions.aggregates import grouped_sums
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy()
+        p = t["l_extendedprice"].to_numpy()
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(np.floor(q).astype(np.int64)),
+            "sum_base_cents": pa.array(np.floor(p * 100).astype(np.int64)),
+        })
+
+    return grouped_sums(li.map_batches(prep, batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"],
+                        ["sum_qty", "sum_base_cents"],
+                        count_as="count_order")
+
+
 def q_user_topk_events(sf_dir: str):
     """Per-key top-k: each user's top-3 events by value (ties → smaller
     event_id), SQL-checked against a ROW_NUMBER window oracle. Coarse-
@@ -1655,6 +1685,12 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_orders_join": (
         "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice "
         "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty, "
+        "SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) "
+        "AS sum_base_cents, "
+        "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
     "cust_orders_left": (
         "SELECT c.c_custkey, c.c_acctbal, "
         "COALESCE(o.o_orderkey, -1) AS o_orderkey, "

@@ -109,3 +109,31 @@ def test_tfidf_topk_matches_brute_force():
     got = sorted(map(tuple, out[["doc_id", "term", "tf", "df", "rnk"]]
                      .itertuples(index=False)))
     assert got == sorted(want)
+
+
+def test_grouped_sums_block_layout_invariant():
+    """grouped_sums == pandas groupby, bit-identical at different block
+    layouts (int64 partials are exact + associative)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from gunrock_ray.functions.aggregates import grouped_sums
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(list("abc"), 1000),
+                       "h": rng.integers(0, 2, 1000),
+                       "x": rng.integers(-50, 50, 1000),
+                       "y": rng.integers(0, 9, 1000)})
+    exp = (df.groupby(["g", "h"]).agg(x=("x", "sum"), y=("y", "sum"),
+                                      n=("x", "count"))
+           .reset_index().sort_values(["g", "h"]).reset_index(drop=True))
+    outs = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)) \
+            .repartition(nblocks)
+        got = (grouped_sums(ds, ["g", "h"], ["x", "y"], count_as="n")
+               .to_pandas().sort_values(["g", "h"]).reset_index(drop=True))
+        outs.append(got[["g", "h", "x", "y", "n"]])
+    assert outs[0].equals(outs[1])
+    assert outs[0].astype(exp.dtypes.to_dict()).equals(exp)
