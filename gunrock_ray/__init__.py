@@ -16,6 +16,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     connected_components,
     hits,
     hits_gunrock,
+    k_core,
     label_propagation,
     pagerank,
     salsa,

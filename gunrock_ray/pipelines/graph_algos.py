@@ -354,6 +354,32 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
     return g.extract("lp_extract")
 
 
+def k_core(graph: DistributedGraph, *, max_iter: int = 100,
+           metrics_path: str | None = None):
+    """Core number per vertex (largest k such that the vertex survives in
+    the k-core) via distributed h-index iteration — c0(v) = deg(v),
+    c_{i+1}(v) = min(c_i(v), H({c_i(u) : u ∈ N(v)})), stop when no estimate
+    changes (Montresor et al., IEEE TPDS 2013; converges exactly). Graph
+    must be built undirected. Returns Dataset {v, core}. Deterministic at
+    any parallelism: the update is a pure function of the estimate vector."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("kcore_init")
+    g.register_push("out")
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("kcore_scatter", "kcore_apply")
+        dt = time.perf_counter() - t0
+        changed = sum(r["changed"] for r in res)
+        msgs = sum(r.get("msgs", 0) for r in res)
+        metrics.write(algo="kcore", superstep=it, messages=msgs,
+                      changed=changed, t_superstep_s=dt)
+        if changed == 0:
+            break
+    metrics.close()
+    return g.extract("kcore_extract")
+
+
 # ------------------------------------------------- Triangle counting (TC)
 
 def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> int:

@@ -117,6 +117,18 @@ def q_cc_labels(sf_dir: str):
     return out
 
 
+def q_kcore(sf_dir: str):
+    """Core number per vertex (distributed h-index iteration, Montresor et
+    al.), SQL-checked against the identical update unrolled to a verified
+    fixpoint: integer estimates, deterministic at any parallelism."""
+    from gunrock_ray.pipelines.graph_algos import k_core
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return k_core(g).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_bfs_depths(sf_dir: str):
     """Directed BFS from vertex 0; only reached vertices {v, depth}."""
     from gunrock_ray.pipelines.graph_algos import bfs
@@ -989,6 +1001,39 @@ def _lp_sql(iters: int = 3, weighted: bool = False) -> str:
     return "".join(parts)
 
 
+def _kcore_sql(iters: int = 16) -> str:
+    """Core numbers via the same h-index iteration the engine runs
+    (state/partition.py kcore_*; Montresor et al., IEEE TPDS 2013),
+    unrolled ``iters`` levels with a fixpoint guard: once c_i == c_{i-1}
+    the update is the identity, so a STABLE unroll equals the engine's
+    early-stopped converged run; if the unroll is too shallow the oracle
+    errors out instead of silently desynchronizing. All-integer estimates
+    — no float-order risk anywhere."""
+    parts = [
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}), ",
+        "c0 AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c "
+        "FROM u GROUP BY 1)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", h{i} AS MATERIALIZED (SELECT src AS v, "
+            f"MAX(LEAST(cum, c)) AS h FROM "
+            f"(SELECT e.src, x.c, SUM(1) OVER (PARTITION BY e.src "
+            f"ORDER BY x.c DESC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            f"FROM u e JOIN c{i-1} x ON x.v = e.dst) GROUP BY 1)"
+            f", c{i} AS MATERIALIZED (SELECT x.v, "
+            f"LEAST(x.c, COALESCE(h{i}.h, 0)) AS c "
+            f"FROM c{i-1} x LEFT JOIN h{i} ON h{i}.v = x.v)")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM c{iters} a "
+        f"JOIN c{iters-1} b ON b.v = a.v AND b.c <> a.c) THEN "
+        f"error('kcore oracle: unroll of {iters} iterations not converged') "
+        f"ELSE 0 END AS ok)"
+        f" SELECT a.v, a.c AS core FROM c{iters} a CROSS JOIN chk")
+    return "".join(parts)
+
+
 def _hits_sql(iters: int = 8) -> str:
     """Unrolled Kleinberg HITS with per-iteration L2 normalization, matching
     the engine's operation order (auth pass normalized before the hub pass)."""
@@ -1530,6 +1575,7 @@ ORACLE_SQL: dict[str, str] = {
         "-1) AS pred FROM dep d"
     ),
     "lp3": _lp_sql(3),
+    "kcore": _kcore_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no
     # label; the synchronous vote is a fixpoint from then on, so an SQL

@@ -861,6 +861,71 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "label": pa.array(self.state["label"], pa.int64())})
 
+    # --------------------------------------------------- k-core decomposition
+    # Distributed core numbers via h-index iteration (Montresor, De
+    # Pellegrini, Miorandi, "Distributed k-core decomposition", IEEE TPDS
+    # 2013 — published algorithm): c0(v) = deg(v), c_{i+1}(v) = min(c_i(v),
+    # H({c_i(u) : u ∈ N(v)})) where H is the h-index (largest k with ≥ k
+    # neighbors of estimate ≥ k); converges exactly to the core number.
+    # Messages partial-combine to (dst, estimate, count) — the multiset of
+    # neighbor estimates survives combining, so a hot dst still receives at
+    # most P×(distinct estimates) rows, never its in-degree.
+
+    def kcore_init(self) -> None:
+        self.prepare_push_plan("out")
+        # undirected build ⇒ out_deg IS the degree (symmetrized + deduped)
+        self.state["core"] = self.out_deg.astype(np.int64).copy()
+
+    @_scatter_timed
+    def kcore_scatter(self):
+        pl = self._plans["out"]
+        dst = pl["tgt_sorted"]
+        est = self.state["core"][pl["src_idx"]]
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        order = np.lexsort((est, dst))
+        d, c = dst[order], est[order]
+        b = np.empty(len(d), dtype=bool)
+        b[0] = True
+        np.logical_or(d[1:] != d[:-1], c[1:] != c[:-1], out=b[1:])
+        starts = np.flatnonzero(b)
+        counts = np.diff(np.append(starts, len(d)))
+        return self._pack(d[starts], c[starts], counts)
+
+    @_apply_timed
+    def kcore_apply(self, *packs) -> dict:
+        dsts, vals, cnts = self._unpack_all(packs, cols=(0, 1, 2))
+        core = self.state["core"]
+        if len(dsts) == 0:
+            return {"changed": 0, "msgs": 0}
+        # merge partials: sum counts per (dst, estimate), estimates DESC
+        order = np.lexsort((-vals, dsts))
+        d, v, c = dsts[order], vals[order], cnts[order]
+        b = np.empty(len(d), dtype=bool)
+        b[0] = True
+        np.logical_or(d[1:] != d[:-1], v[1:] != v[:-1], out=b[1:])
+        starts = np.flatnonzero(b)
+        d_u, v_u = d[starts], v[starts]
+        c_u = np.add.reduceat(c, starts).astype(np.int64)
+        # h-index per dst over (estimate desc, count) runs: with cum the
+        # running neighbor count, each run contributes min(cum, estimate);
+        # H = max over the dst's runs
+        dstarts = segment_starts(d_u)
+        cum = np.cumsum(c_u)
+        lens = np.diff(np.append(dstarts, len(d_u)))
+        seg_base = np.repeat(cum[dstarts] - c_u[dstarts], lens)
+        cand = np.minimum(cum - seg_base, v_u)
+        h = np.maximum.reduceat(cand, dstarts)
+        li = self._lidx(d_u[dstarts])
+        new = np.minimum(core[li], h)
+        changed = int(np.count_nonzero(core[li] != new))
+        core[li] = new
+        return {"changed": changed, "msgs": int(len(dsts))}
+
+    def kcore_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "core": pa.array(self.state["core"], pa.int64())})
+
     # ----------------------------------------------------------- BFS / SSSP
     # SURVEY.md §2.6/2.7: delta frontier; min-combine replaces atomicMin.
 

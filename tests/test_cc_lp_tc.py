@@ -199,3 +199,69 @@ def test_tc_probe_chunked_same_count(rmat_graph):
     assert chunked == full
     # restore the default for any test reusing the fixture graph
     g.call_all("set_tc_probe_chunk", None)
+
+
+# ------------------------------------------------------------------ k-core
+
+def _kcore_ref(n, src, dst):
+    """Brute-force core numbers: for each k, peel vertices of degree < k
+    to a fixpoint; survivors have core >= k."""
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    core = np.zeros(n, dtype=np.int64)
+    maxd = max((len(a) for a in adj), default=0)
+    for k in range(1, maxd + 1):
+        alive = {i for i in range(n) if len(adj[i]) >= 1}
+        deg = {i: len(adj[i] & alive) for i in alive}
+        changed = True
+        while changed:
+            changed = False
+            for v in list(alive):
+                if v in alive and deg[v] < k:
+                    alive.discard(v)
+                    changed = True
+                    for u in adj[v]:
+                        if u in alive:
+                            deg[u] -= 1
+        for v in alive:
+            core[v] = k
+    return core
+
+
+def test_k_core_matches_bruteforce_peel():
+    from gunrock_ray import k_core
+    import ray.data
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n = int(rng.integers(12, 70))
+        m = int(rng.integers(1, n * 3))
+        e = rng.integers(0, n, size=(m, 2))
+        t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                      "dst": pa.array(e[:, 1], pa.int64())})
+        g = build_graph(ray.data.from_arrow(t), num_partitions=3,
+                        undirected=True)
+        try:
+            got = k_core(g).to_pandas().set_index("v")["core"]
+        finally:
+            g.shutdown(remove_spill=True)
+        want = _kcore_ref(n, e[:, 0], e[:, 1])
+        for v in got.index:
+            assert got[v] == want[v], (v, got[v], want[v])
+
+
+def test_k_core_known_graph():
+    """Triangle + pendant: triangle vertices core 2, pendant core 1."""
+    from gunrock_ray import k_core
+    import ray.data
+    t = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    g = build_graph(ray.data.from_arrow(t), num_partitions=2,
+                    undirected=True)
+    try:
+        got = k_core(g).to_pandas().set_index("v")["core"]
+    finally:
+        g.shutdown(remove_spill=True)
+    assert got.to_dict() == {0: 2, 1: 2, 2: 2, 3: 1}
