@@ -63,7 +63,7 @@ def cmd_run(args) -> dict:
 
     needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc")
                 or (args.algo == "bfs" and args.direction_optimized))
-    undirected = args.undirected or args.algo in ("cc", "lp", "tc")
+    undirected = args.undirected or args.algo in ("cc", "lp", "tc", "kcore")
     edges, vertices = _load_edges(args)
     t0 = time.perf_counter()
     g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
@@ -85,6 +85,8 @@ def cmd_run(args) -> dict:
         extra["num_components"] = ncomp
     elif args.algo == "lp":
         out = ga.label_propagation(g, max_iter=args.max_iter, **ck)
+    elif args.algo == "kcore":
+        out = ga.k_core(g, metrics_path=args.metrics)
     elif args.algo == "tc":
         extra["triangles"] = ga.triangle_count(g)
         out = None
@@ -337,7 +339,7 @@ def main(argv=None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
-                     choices=["pr", "cc", "lp", "tc", "bfs", "sssp",
+                     choices=["pr", "cc", "lp", "kcore", "tc", "bfs", "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
