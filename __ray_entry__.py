@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bc_dep": r.q_bc_dep,            # SQL-checked (float backward, 1e-6 ints)
         "lp3": r.q_lp3,                # SQL-checked (unrolled mode votes)
         "kcore": r.q_kcore,            # SQL-checked (h-index fixpoint unroll)
+        "rwalks": r.q_rwalks,          # SQL-checked (counter-based hops)
         "lp3_weighted": r.q_lp3_weighted,  # SQL-checked (weighted votes)
         "sssp_weighted": r.q_sssp_weighted,
         "sssp_nf": r.q_sssp_nf,

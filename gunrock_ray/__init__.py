@@ -19,6 +19,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     k_core,
     label_propagation,
     pagerank,
+    random_walks,
     salsa,
     salsa_gunrock,
     sssp,

@@ -380,6 +380,37 @@ def k_core(graph: DistributedGraph, *, max_iter: int = 100,
     return g.extract("kcore_extract")
 
 
+def random_walks(graph: DistributedGraph, starts, *, length: int = 10,
+                 seed: int = 42, metrics_path: str | None = None):
+    """Deterministic random walks for graph sampling (training-data walks,
+    GNN neighborhoods): walk w starts at ``starts[w]``; each hop goes to
+    sorted-adjacency[mix64(mix64(w ^ seed·φ) + step) % out_deg] and a walk
+    terminates at a sink. Counter-based choices make the output
+    bit-identical at any partitioning and exactly reproducible in SQL
+    (`rwalks` oracle). Returns tall Dataset {walk_id, step, v}, step 0 =
+    the start vertex; walk state stays on the actors (one packed object
+    per actor per hop), never the driver."""
+    import ray as _ray
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    starts = np.asarray(starts, dtype=np.int64)
+    wids = np.arange(len(starts), dtype=np.int64)
+    own = g.partitioner.owner(starts)
+    _ray.get([g.actors[p].rw_init.remote(seed, wids[own == p],
+                                         starts[own == p])
+              for p in range(g.P)])
+    for it in range(length):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("rw_scatter", "rw_apply")
+        alive = sum(r["walks"] for r in res)
+        metrics.write(algo="rw", superstep=it, walks=alive,
+                      t_superstep_s=time.perf_counter() - t0)
+        if alive == 0:
+            break
+    metrics.close()
+    return g.extract("rw_extract")
+
+
 # ------------------------------------------------- Triangle counting (TC)
 
 def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> int:

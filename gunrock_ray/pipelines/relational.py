@@ -129,6 +129,31 @@ def q_kcore(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+_RW_WALKS, _RW_LEN, _RW_SEED = 24, 12, 7
+
+
+def q_rwalks(sf_dir: str):
+    """Deterministic random walks (graph sampling), SQL-checked bit-for-bit:
+    24 walks of length 12 over the undirected normalized graph (no sinks,
+    so every walk runs the full length), walk w
+    starting at the (w mod n)-th smallest vertex; every hop is
+    sorted-adjacency[mix64(mix64(w ^ seed·φ) + step) % deg] — the identical
+    counter-based choice reproduced in SQL via ROW_NUMBER + the splitmix64
+    macro."""
+    from gunrock_ray.pipelines.graph_algos import random_walks
+    vt = _norm_ds(sf_dir).map_batches(
+        lambda t: pa.table({"v": pa.chunked_array([t["src"], t["dst"]])}),
+        batch_format="pyarrow").unique("v")
+    verts = np.sort(np.asarray(vt, dtype=np.int64))
+    starts = verts[np.arange(_RW_WALKS) % len(verts)]
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return random_walks(g, starts, length=_RW_LEN,
+                            seed=_RW_SEED).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_bfs_depths(sf_dir: str):
     """Directed BFS from vertex 0; only reached vertices {v, depth}."""
     from gunrock_ray.pipelines.graph_algos import bfs
@@ -1034,6 +1059,43 @@ def _kcore_sql(iters: int = 16) -> str:
     return "".join(parts)
 
 
+def _rwalks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN,
+                seed: int = _RW_SEED) -> str:
+    """The random-walk sampler bit-for-bit (state/partition.py rw_*):
+    walk key = mix64(w ^ seed·φ), hop i lands on the rank
+    mix64(wkey + i) % deg neighbor in (src ORDER BY dst) order — ROW_NUMBER
+    reproduces the engine's (src,dst)-sorted CSR exactly. All-integer."""
+    seed_u = (seed * 0x9E3779B97F4A7C15) & (2**64 - 1)
+    wkey = _MIX64_SQL(f"xor(CAST(w AS UBIGINT), CAST({seed_u} AS UBIGINT))")
+    parts = [
+        f"WITH n AS MATERIALIZED ({_SYM_SQL}), ",
+        "vs AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 "
+        "AS rk FROM (SELECT DISTINCT src AS v FROM n "
+        "UNION SELECT DISTINCT dst FROM n)), ",
+        "nv AS (SELECT COUNT(*) AS c FROM vs), ",
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS rk FROM n), ",
+        "dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM n "
+        "GROUP BY 1), ",
+        f"wk AS (SELECT unnest(generate_series(0, {walks - 1})) AS w), ",
+        f"s0 AS MATERIALIZED (SELECT wk.w, {wkey} AS wkey, vs.v "
+        "FROM wk CROSS JOIN nv JOIN vs ON vs.rk = wk.w % nv.c)",
+    ]
+    for i in range(1, length + 1):
+        hop = _MIX64_SQL(_ADDMOD_SQL("s.wkey", i - 1))
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT s.w, s.wkey, a.dst AS v "
+            f"FROM s{i-1} s JOIN dg d ON d.src = s.v "
+            f"JOIN adj a ON a.src = s.v AND a.rk = "
+            f"CAST(({hop}) % CAST(d.deg AS UBIGINT) AS BIGINT))")
+    union = " UNION ALL ".join(
+        f"SELECT w AS walk_id, {i} AS step, v FROM s{i}"
+        for i in range(length + 1))
+    parts.append(f" SELECT CAST(walk_id AS BIGINT) AS walk_id, "
+                 f"CAST(step AS BIGINT) AS step, v FROM ({union})")
+    return "".join(parts)
+
+
 def _hits_sql(iters: int = 8) -> str:
     """Unrolled Kleinberg HITS with per-iteration L2 normalization, matching
     the engine's operation order (auth pass normalized before the hub pass)."""
@@ -1576,6 +1638,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "lp3": _lp_sql(3),
     "kcore": _kcore_sql(),
+    "rwalks": _rwalks_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no
     # label; the synchronous vote is a fixpoint from then on, so an SQL

@@ -39,7 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gunrock_ray.common import Partitioner, segment_reduce, segment_starts
+from gunrock_ray.common import (Partitioner, mix64, segment_reduce,
+                                segment_starts)
 
 
 def _scatter_timed(fn):
@@ -925,6 +926,79 @@ class GraphPartition:
     def kcore_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "core": pa.array(self.state["core"], pa.int64())})
+
+    # ------------------------------------------------------- random walks
+    # Deterministic graph sampling (training-data walks / GNN neighborhoods):
+    # a walk at vertex v hops to sorted-adjacency[mix64(wkey + step) % deg]
+    # with wkey = mix64(walk_id ^ seed·φ) — a counter-based choice, so the
+    # output is bit-identical at any partitioning AND reproducible in SQL
+    # (ROW_NUMBER over (src ORDER BY dst) — CSR rows are (src,dst)-sorted).
+    # Walks live at their current vertex's owner; each superstep ships one
+    # packed (next_v, walk_id, wkey) object per actor — O(P) objects, walk
+    # state never touches the driver.
+
+    def rw_init(self, seed: int, walk_ids: np.ndarray,
+                starts: np.ndarray) -> None:
+        """Seed THIS partition's walks (driver routes seeds by owner);
+        starts not present in the local vertex set are dropped."""
+        walk_ids = np.asarray(walk_ids, dtype=np.int64)
+        starts = np.asarray(starts, dtype=np.int64)
+        seed_u = np.uint64((seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+        if len(self.verts) and len(starts):
+            pos = np.minimum(np.searchsorted(self.verts, starts),
+                             len(self.verts) - 1)
+            ok = self.verts[pos] == starts
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+            ok = np.zeros(len(starts), dtype=bool)
+        self._rw_li = pos[ok] if len(starts) else _EMPTY_I8
+        self._rw_wid = walk_ids[ok]
+        self._rw_key = mix64(self._rw_wid.astype(np.uint64) ^ seed_u)
+        self._rw_step = 0
+        self._rw_hist = [(self._rw_wid.copy(),
+                          np.zeros(len(self._rw_wid), dtype=np.int64),
+                          self.verts[self._rw_li].copy()
+                          if len(self._rw_li) else _EMPTY_I8)]
+
+    @_scatter_timed
+    def rw_scatter(self):
+        li, wid, key = self._rw_li, self._rw_wid, self._rw_key
+        deg = self.out_deg[li]
+        alive = deg > 0
+        li, wid, key, deg = li[alive], wid[alive], key[alive], deg[alive]
+        if len(li) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        with np.errstate(over="ignore"):
+            r = mix64(key + np.uint64(self._rw_step))
+        rank = (r % deg.astype(np.uint64)).astype(np.int64)
+        nxt = self.col_indices[self.row_offsets[li] + rank]
+        return self._pack(nxt, wid, key.astype(np.int64))
+
+    @_apply_timed
+    def rw_apply(self, *packs) -> dict:
+        nxt, wid, key = self._unpack_all(packs, cols=(0, 1, 2))
+        self._rw_step += 1
+        self._rw_li = self._lidx(nxt) if len(nxt) else _EMPTY_I8
+        self._rw_wid = wid
+        self._rw_key = key.astype(np.uint64)
+        if len(wid):
+            self._rw_hist.append(
+                (wid.copy(),
+                 np.full(len(wid), self._rw_step, dtype=np.int64),
+                 nxt.copy()))
+        return {"walks": int(len(wid))}
+
+    def rw_extract(self) -> pa.Table:
+        hist = getattr(self, "_rw_hist", [])
+        if not hist:
+            return pa.table({"walk_id": pa.array([], pa.int64()),
+                             "step": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table({
+            "walk_id": pa.array(np.concatenate([h[0] for h in hist])),
+            "step": pa.array(np.concatenate([h[1] for h in hist])),
+            "v": pa.array(np.concatenate([h[2] for h in hist])),
+        })
 
     # ----------------------------------------------------------- BFS / SSSP
     # SURVEY.md §2.6/2.7: delta frontier; min-combine replaces atomicMin.

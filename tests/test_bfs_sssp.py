@@ -75,3 +75,56 @@ def test_bfs_direction_optimized_matches_push():
     assert np.array_equal(plain, do)
     assert p1.equals(p2)
     assert p1.equals(p3)
+
+
+# -------------------------------------------------------------- random walks
+
+def test_random_walks_match_bruteforce_and_partitioning():
+    """Counter-based hops: engine == brute force, identical at P=2 and P=5
+    (partition-invariance), sinks terminate walks, absent starts dropped."""
+    import pyarrow as pa
+    import ray.data
+    from gunrock_ray import build_graph, random_walks
+    from gunrock_ray.common import mix64
+
+    rng = np.random.default_rng(1)
+    n, m = 40, 120
+    e = rng.integers(0, n, size=(m, 2))
+    starts = rng.integers(0, n + 3, size=16)  # a few starts off-graph
+
+    def brute():
+        adj, nodes = {}, set()
+        for s, d in e:
+            if s != d:
+                adj.setdefault(int(s), set()).add(int(d))
+                nodes.add(int(s)); nodes.add(int(d))
+        adj = {k: np.array(sorted(v), np.int64) for k, v in adj.items()}
+        seed_u = np.uint64((7 * 0x9E3779B97F4A7C15) & (2**64 - 1))
+        rows = []
+        for w, s in enumerate(starts):
+            if int(s) not in nodes:
+                continue
+            rows.append((w, 0, int(s)))
+            key = mix64(np.array([np.uint64(w) ^ seed_u]))[0]
+            v = int(s)
+            for step in range(8):
+                ns = adj.get(v)
+                if ns is None or len(ns) == 0:
+                    break
+                with np.errstate(over="ignore"):
+                    r = mix64(np.array([key + np.uint64(step)]))[0]
+                v = int(ns[int(r % np.uint64(len(ns)))])
+                rows.append((w, step + 1, v))
+        return sorted(rows)
+
+    expected = brute()
+    t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                  "dst": pa.array(e[:, 1], pa.int64())})
+    for P in (2, 5):
+        g = build_graph(ray.data.from_arrow(t), num_partitions=P)
+        try:
+            got = random_walks(g, starts, length=8, seed=7).to_pandas()
+        finally:
+            g.shutdown(remove_spill=True)
+        rows = sorted(map(tuple, got[["walk_id", "step", "v"]].to_numpy()))
+        assert rows == expected, f"P={P}"
