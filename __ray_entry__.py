@@ -22,11 +22,16 @@ float backward dependencies, §2.8), HITS/SALSA in both the standard
 normalized and the fork's exact delta-damped / 2-hop forms (§2.9), the
 ingest sha256 invariant, exact dedup / token stats (whitespace + BPE-ish
 regex) / brute-force ANN / n-gram Jaccard / exact embedding near-dup /
-curation over documents+embeddings, and windowed aggregates,
-sessionization, as-of and range joins over the events stream. Rows-only
-(each pytest-oracled): the convergence-mode PR/LP/HITS/SALSA/BC/WTF
-variants and the probabilistic LSH/IVF/MinHash/SimHash paths (recall and
-subset gates asserted in pytest).
+the FULL MinHash and SimHash near-dup pipelines (bit-for-bit incl. the
+float jaccard division) / curation over documents+embeddings, k-core
+(h-index iteration unrolled to a verified fixpoint), deterministic
+random-walk sampling (counter-based hops), windowed aggregates,
+sessionization, as-of and range joins over the events stream, general
+equi-joins (broadcast + shuffle, inner/left) and the pre-aggregated
+GROUP BY. Rows-only (each pytest-oracled): the convergence-mode
+HITS/SALSA/BC/WTF variants, the probabilistic LSH/IVF ANN paths, HLL
+estimates and the embedding k-means / semantic near-dup family (recall
+and subset gates asserted in pytest).
 """
 
 from __future__ import annotations

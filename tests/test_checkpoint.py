@@ -143,3 +143,48 @@ def test_pr_unnormalized_checkpoint_resume_bit_identical(tmp_path):
         g2.shutdown(remove_spill=True)
 
     assert np.array_equal(full, resumed), "pru resume must be bit-identical"
+
+
+def test_actor_death_then_rebuild_and_resume(tmp_path):
+    """UNCLEAN failure, not a planned restart: after the first run
+    checkpoints, every partition actor is ray.kill()ed; a fresh pool built
+    over the same input resumes from the surviving checkpoint and must be
+    bit-identical to an uninterrupted run."""
+    import ray
+
+    t = gen.rmat_table(7, edge_factor=8)
+    n = 128
+    ck = str(tmp_path / "ckpt")
+
+    g1 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        full = dense_result(pagerank(g1, max_iter=10, error=1e-12), n,
+                            "rank")
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    g2 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        # run far enough to land the iteration-5 checkpoint, then die hard
+        pagerank(g2, max_iter=7, error=1e-12, ckpt_dir=ck, ckpt_every=3)
+        for a in g2.actors:
+            ray.kill(a)
+        # the pool is gone: any superstep attempt must now fail
+        import pytest
+        with pytest.raises(ray.exceptions.RayActorError):
+            ray.get(g2.actors[0].pr_scatter.remote())
+    finally:
+        try:
+            g2.shutdown(remove_spill=False)  # actors dead; keep the spill
+        except Exception:
+            pass
+
+    g3 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        resumed = dense_result(pagerank(g3, max_iter=10, error=1e-12,
+                                        ckpt_dir=ck, resume=True), n,
+                               "rank")
+    finally:
+        g3.shutdown(remove_spill=True)
+    assert np.array_equal(full, resumed), \
+        "resume after actor death must be bit-identical"
