@@ -160,3 +160,73 @@ def test_plan_partitioning_dataset_paths():
     finally:
         g1.shutdown(remove_spill=True)
         g2.shutdown(remove_spill=True)
+
+
+# ------------------------------------------- cluster partitioner (relabeling)
+
+def _two_communities(sz=24, inter=1):
+    """Two dense clusters (ring + chords so LP converges) joined by ``inter``
+    bridge edges — the planted structure cp_partitioner.cuh's BFS growth is
+    built to keep together."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for base in (0, sz):
+        vs = np.arange(base, base + sz, dtype=np.int64)
+        rows.append(np.stack([vs, np.roll(vs, -1)], axis=1))  # ring
+        extra = rng.integers(0, sz, size=(3 * sz, 2)) + base  # chords
+        rows.append(extra[extra[:, 0] != extra[:, 1]])
+    rows.append(np.array([[sz - 1, sz]] * inter, dtype=np.int64))  # bridge
+    e = np.concatenate(rows).astype(np.int64)
+    return pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+
+
+def test_cluster_partition_colocates_communities_and_preserves_results():
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import (cluster_partition,
+                                                   convert_back)
+    t = _two_communities()
+    n = n_of(t)
+    new_edges, part, conv = cluster_partition(
+        ray.data.from_arrow(t), 2, lp_iters=6, target_group=16)
+
+    cdf = conv.to_pandas().sort_values("v").reset_index(drop=True)
+    # bijection onto 0..n-1 (contiguous per-partition ranges)
+    assert np.array_equal(np.sort(cdf["new_v"].to_numpy()), np.arange(n))
+    assert np.array_equal(cdf["v"].to_numpy(), np.arange(n))
+    new_of = cdf["new_v"].to_numpy()
+
+    # co-location: each planted community lands wholly in one partition
+    own = part.owner(new_of)
+    assert part.kind == "range"
+    assert len(np.unique(own[:24])) == 1
+    assert len(np.unique(own[24:])) == 1
+    assert own[0] != own[24]  # and capacity packing separated them
+
+    # cut fraction: only the bridge crosses (vs hash's ~50% expected cut)
+    s, d = edges_np(t)
+    cross = (own[s] != own[d]).mean()
+    assert cross <= 2.0 / len(s)
+
+    # result preservation: PR on the relabeled graph converted back ==
+    # PR on the original graph (the convertion_tables round trip)
+    g1 = build_graph(t, num_partitions=2, undirected=True)
+    from gunrock_ray.state.graph import DistributedGraph
+    g2 = DistributedGraph.from_edges(new_edges, 2, None, undirected=True,
+                                     partitioner=part)
+    try:
+        want = dense_result(pagerank(g1, error=1e-12, max_iter=25), n, "rank")
+        back = convert_back(pagerank(g2, error=1e-12, max_iter=25), conv)
+        got = dense_result(back, n, "rank")
+    finally:
+        g1.shutdown(remove_spill=True)
+        g2.shutdown(remove_spill=True)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-15)
+
+
+def test_cluster_metis_duplicate_plan_errors():
+    t = _two_communities(sz=8)
+    for m, frag in (("cluster", "cluster_partition"),
+                    ("metis", "METIS"),
+                    ("duplicate", "not ported")):
+        with pytest.raises(ValueError, match=frag):
+            plan_partitioning(t, P, m)
