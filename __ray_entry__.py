@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
+        "doc_redact": r.q_doc_redact,  # SQL-checked (ordered regex fold + sha)
         "doc_exact_dedup": r.q_doc_exact_dedup,
         "doc_token_stats": r.q_doc_token_stats,
         "ann_top5": r.q_ann_top5,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": r.q_ngram_jaccard,
         "embed_near_dup": r.q_embed_near_dup,
         "minhash_near_dup": r.q_minhash_near_dup,   # SQL-checked END TO END
+        "doc_decontam": r.q_doc_decontam,   # SQL-checked (shared-shingle counts)
         "simhash_near_dup": r.q_simhash_near_dup,   # SQL-checked END TO END
         # ...and their SIGNATURE stages are ALSO SQL-checked standalone:
         "simhash_sigs": r.q_simhash_sigs,   # SQL-checked (word fold + bit sums)

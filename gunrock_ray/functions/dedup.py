@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64, segment_starts
+from gunrock_ray.common import mix64, segment_reduce, segment_starts
 
 
 def hash_words(words) -> np.ndarray:
@@ -653,6 +653,66 @@ def ngram_jaccard_pairs_exact(docs_ds, *, ngram: int = 3,
                 rows["inter"].append(inter)
                 rows["union_"].append(union)
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+# --------------------------------------------------------- decontamination
+
+def decontaminate(docs_ds, *, bench_mod: int = 50,
+                  bench_ids: np.ndarray | None = None, ngram: int = 3):
+    """Benchmark decontamination: flag corpus documents that share any word
+    n-gram with a benchmark/eval document set (the standard training-data
+    hygiene pass — n-gram overlap against held-out benchmarks).
+
+    The benchmark side is ``bench_ids`` (explicit id array) or the
+    deterministic slice ``doc_id % bench_mod == 0``. Returns a Dataset
+    {doc_id, n_shared}: every NON-benchmark doc sharing >=1 distinct shingle
+    with any benchmark doc, with the count of distinct shared shingles —
+    all-integer so a SQL oracle reproduces it exactly.
+
+    Scale design (100 TB): benchmark sets are small by definition (eval
+    suites, not the corpus), so the DISTINCT benchmark shingle set is
+    collected once, sorted, and broadcast via ``ray.put``; the corpus pass
+    is then a single shuffle-free ``map_batches`` doing a vectorized
+    ``np.isin`` per batch. Nothing corpus-sized moves or reaches the
+    driver. If the benchmark itself were huge, swap the broadcast for a
+    shingle-keyed hash_join — same rows, one shuffle."""
+    import ray
+
+    want = None if bench_ids is None else np.sort(
+        np.asarray(bench_ids, dtype=np.int64))
+
+    def is_bench(ids: np.ndarray) -> np.ndarray:
+        if want is not None:
+            return np.isin(ids, want)
+        return ids % bench_mod == 0
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = np.flatnonzero(is_bench(ids))
+        texts = [t if t is not None else ""
+                 for t in batch["text"].take(pa.array(sel)).to_pylist()]
+        _, sh = flat_word_shingles(texts, ngram)
+        return pa.table({"s": pa.array(np.unique(sh))})
+
+    bs = (docs_ds.map_batches(bench_shingles, batch_format="pyarrow")
+          .to_pandas())
+    bench_sh = np.unique(bs["s"].to_numpy().astype(np.uint64))
+    bs_ref = ray.put(bench_sh)
+
+    def count_shared(batch: pa.Table) -> pa.Table:
+        bsh = ray.get(bs_ref)
+        ids = batch["doc_id"].to_numpy()
+        sel = np.flatnonzero(~is_bench(ids))
+        texts = [t if t is not None else ""
+                 for t in batch["text"].take(pa.array(sel)).to_pylist()]
+        d_idx, sh = flat_word_shingles(texts, ngram)  # per-doc distinct
+        hit = np.isin(sh, bsh)
+        doc, n = segment_reduce(d_idx[hit], np.ones(hit.sum(), np.int64),
+                                "sum")
+        return pa.table({"doc_id": pa.array(ids[sel][doc], pa.int64()),
+                         "n_shared": pa.array(n, pa.int64())})
+
+    return docs_ds.map_batches(count_shared, batch_format="pyarrow")
 
 
 # ------------------------------------------- embedding-cosine near-dup

@@ -1,0 +1,124 @@
+"""PII / secrets detection and redaction over a text corpus.
+
+A training-data pipeline over source-code repositories (the input_hint's
+(repo, path, commit, lang, content) table) must strip credentials and
+personal data before training. This stage is pattern-driven: a list of
+(name, regex, replacement) rules applied in order per document, emitting
+per-rule match counts, the redacted text and its sha256 — so the ingest
+sha-invariant chain stays auditable across the rewrite.
+
+Design (100 TB): a pure map stage — no shuffle at all. Patterns are
+compiled ONCE per actor in ``Redactor.__init__`` (actor-pool
+``map_batches``); the per-document work is C-speed regex scanning. Regexes
+must stay within RE2 syntax (no backreferences / lookaround) so the same
+rule set runs identically in DuckDB's ``regexp_replace`` — the oracle
+contract — and in Google's RE2 at scale.
+
+``DEFAULT_PII_PATTERNS`` covers the usual code-corpus offenders (emails,
+IPv4, AWS access key ids, secret assignments, private-key headers);
+validated against a planted corpus in tests/test_redact.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# (name, RE2-compatible regex, replacement) — applied in list order.
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("secret_assign",
+     r"(?i)\b(password|passwd|secret|api[_-]?key|auth[_-]?token)\s*[:=]\s*[^\s\"']+",
+     "<SECRET>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+]
+
+
+class Redactor:
+    """Actor-pool stage: patterns compile once per actor (``__init__``),
+    every batch is pure compiled-regex work (``__call__``).
+
+    Output row: {doc_id, n_<rule>... per rule, n_redactions, text_redacted,
+    sha_redacted (hex)}. Rules run in order over the running text, so a
+    later rule sees earlier replacements — the same left-fold DuckDB's
+    nested ``regexp_replace(..., 'g')`` computes, which is what makes the
+    whole row SQL-checkable bit-for-bit."""
+
+    def __init__(self, patterns: list[tuple[str, str, str]] | None = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        pats = DEFAULT_PII_PATTERNS if patterns is None else patterns
+        self.rules = [(name, re.compile(rx), repl) for name, rx, repl in pats]
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        counts = {name: np.zeros(len(texts), dtype=np.int64)
+                  for name, _, _ in self.rules}
+        out_texts: list[str] = []
+        shas: list[str] = []
+        for i, t in enumerate(texts):
+            cur = t if t is not None else ""
+            for name, rx, repl in self.rules:
+                cur, n = rx.subn(repl, cur)
+                counts[name][i] = n
+            out_texts.append(cur)
+            shas.append(hashlib.sha256(cur.encode("utf-8")).hexdigest())
+        cols: dict = {self.id_col: batch[self.id_col]}
+        total = np.zeros(len(texts), dtype=np.int64)
+        for name, _, _ in self.rules:
+            cols[f"n_{name}"] = pa.array(counts[name])
+            total += counts[name]
+        cols["n_redactions"] = pa.array(total)
+        cols["text_redacted"] = pa.array(out_texts, pa.string())
+        cols["sha_redacted"] = pa.array(shas, pa.string())
+        return pa.table(cols)
+
+
+def redact_documents(docs_ds, patterns=None, *, text_col: str = "text",
+                     id_col: str = "doc_id", concurrency: int = 4):
+    """documents → per-doc redaction table (see :class:`Redactor`).
+    Shuffle-free; sized for byte-heavy batches (text in, text out)."""
+    return docs_ds.map_batches(
+        Redactor, fn_constructor_kwargs={
+            "patterns": patterns, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def redaction_sql(patterns, *, table: str = "documents",
+                  text_col: str = "text", id_col: str = "doc_id") -> str:
+    """The DuckDB mirror of :func:`redact_documents` for the SAME rule
+    list: counts via ``length(regexp_extract_all(...))`` evaluated on each
+    intermediate rewrite, the final text via nested
+    ``regexp_replace(..., 'g')``, sha via DuckDB's ``sha256``. Patterns must
+    be RE2-compatible (module contract)."""
+    cur = text_col
+    sels = []
+    ctes = []
+    for step, (name, rx, repl) in enumerate(patterns):
+        lit = rx.replace("'", "''")
+        rep = repl.replace("'", "''")
+        ctes.append(
+            f"r{step} AS (SELECT {id_col}, "
+            f"length(regexp_extract_all({cur if step == 0 else 't'}, '{lit}')) "
+            f"AS n_{name}, "
+            f"regexp_replace({cur if step == 0 else 't'}, '{lit}', '{rep}', 'g') "
+            f"AS t FROM {table if step == 0 else f'r{step - 1}'})")
+        sels.append(f"r{step}.n_{name}")
+    n = len(patterns)
+    joins = " ".join(
+        f"JOIN r{i} ON r{i}.{id_col} = r0.{id_col}" for i in range(1, n))
+    total = " + ".join(f"r{i}.n_{patterns[i][0]}" for i in range(n))
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT r0.{id_col}, " + ", ".join(
+            f"CAST({s} AS BIGINT) AS n_{patterns[i][0]}"
+            for i, s in enumerate(sels)) +
+        f", CAST({total} AS BIGINT) AS n_redactions, "
+        f"r{n - 1}.t AS text_redacted, sha256(r{n - 1}.t) AS sha_redacted "
+        f"FROM r0 {joins}")

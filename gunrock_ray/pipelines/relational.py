@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from gunrock_ray.functions import redact as _redact_mod
+
 EDGE_MOD = 499
 TOPK = 20
 
@@ -738,6 +740,38 @@ def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=list(columns))
+
+
+# Rule set for the oracled redaction query. The synthetic corpus carries no
+# real PII, so the SQL check uses terms the corpus actually contains — the
+# sequential-rewrite fold, counting, and sha chain are what's under test;
+# functions.redact.DEFAULT_PII_PATTERNS is exercised on a planted corpus in
+# tests/test_redact.py. Shared between q_doc_redact and ORACLE_SQL so the
+# two sides cannot drift.
+_REDACT_RULES = [
+    ("kv", r"\b(key|value)\b", "<KV>"),
+    ("sortpair", r"\bsort (merge|table|scan)\b", "<SORTPAIR>"),
+    ("agg", r"agg", "<AGG>"),
+]
+
+
+def q_doc_redact(sf_dir: str):
+    """Pattern redaction over documents (functions/redact.py): per-rule
+    match counts, the rewritten text after the ordered rule fold, and the
+    sha256 of the rewrite — all reproduced bit-for-bit by nested
+    regexp_replace in DuckDB."""
+    from gunrock_ray.functions.redact import redact_documents
+    return redact_documents(_docs_ds(sf_dir), _REDACT_RULES)
+
+
+def q_doc_decontam(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.decontaminate): docs
+    sharing any word-3-gram with the deterministic benchmark slice
+    (doc_id % 50 == 0), with the distinct-shared-shingle count — integer
+    output, shingle chain identical to the MinHash oracle's, so DuckDB
+    reproduces it exactly."""
+    from gunrock_ray.functions.dedup import decontaminate
+    return decontaminate(_docs_ds(sf_dir), bench_mod=50, ngram=3)
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -1563,6 +1597,20 @@ def _minhash_sigs_sql() -> str:
     )
 
 
+def _decontam_sql(bench_mod: int = 50) -> str:
+    """Decontamination oracle: distinct shared word-3-grams between each
+    non-benchmark doc and the benchmark slice, on the SAME shingle chain as
+    the MinHash oracles (``sh`` from _minhash_common_ctes)."""
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        f"bench AS (SELECT doc_id FROM d WHERE doc_id % {bench_mod} = 0), "
+        "bsh AS (SELECT DISTINCT s FROM sh JOIN bench USING (doc_id)), "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh "
+        "        WHERE doc_id NOT IN (SELECT doc_id FROM bench)) "
+        "SELECT shd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM shd JOIN bsh USING (s) GROUP BY shd.doc_id")
+
+
 def _minhash_pairs_sql(threshold: float = 0.01) -> str:
     """The FULL MinHash+LSH near-dup pipeline (bands=64, rows=1), end to
     end: per-(hash, minhash-value) buckets pair every member with the bucket
@@ -1756,6 +1804,7 @@ ORACLE_SQL: dict[str, str] = {
         "'[.,;:!?\"''()\\[\\]{}<>]', '', 'g'))) <= length(d.text)"
     ),
     "doc_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
+    "doc_redact": _redact_mod.redaction_sql(_REDACT_RULES),
     "doc_exact_dedup": ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
                         "FROM documents GROUP BY text"),
     "doc_token_stats": (
@@ -1787,6 +1836,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_sigs": _simhash_sigs_sql(),
     "minhash_sigs": _minhash_sigs_sql(),
     "minhash_near_dup": _minhash_pairs_sql(),
+    "doc_decontam": _decontam_sql(),
     "simhash_near_dup": _simhash_pairs_sql(),
     "orders_cust_join": (
         "SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey "

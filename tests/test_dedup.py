@@ -302,3 +302,52 @@ def test_minhash_sigs_match_sql_oracle(sig_oracle_docs):
     assert len(got) == len(sig_oracle_docs) * 64
     assert np.array_equal(got["minhash"].to_numpy(),
                           want["minhash"].to_numpy())
+
+
+# --------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_planted_overlap():
+    import ray.data
+    from gunrock_ray.functions.dedup import decontaminate
+    bench_phrase = "held out benchmark question about graph engines"
+    docs = []
+    for i in range(120):
+        if i % 50 == 0:               # benchmark slice: ids 0, 50, 100
+            docs.append(bench_phrase + f" variant {i}")
+        elif i in (7, 83):            # contaminated: embeds the full phrase
+            docs.append(f"prefix {i} " + bench_phrase + " suffix")
+        elif i == 9:                  # partial: only a 2-word fragment
+            docs.append("held out nothing else in common here at all")
+        else:
+            docs.append(f"clean document number {i} with its own words {i}")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = decontaminate(ds, bench_mod=50, ngram=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # exactly the two planted docs are flagged (3-gram granularity: the
+    # 2-word fragment in doc 9 shares no full 3-gram)
+    assert out["doc_id"].tolist() == [7, 83]
+    # the phrase has 7 words => 5 distinct internal 3-grams shared
+    assert out["n_shared"].tolist() == [5, 5]
+    # explicit bench_ids path agrees with the modulo slice
+    out2 = decontaminate(ds, bench_ids=np.array([0, 50, 100]),
+                         ngram=3).to_pandas().sort_values("doc_id")
+    assert out2["doc_id"].tolist() == [7, 83]
+
+
+def test_decontaminate_matches_duckdb_oracle_sf0001():
+    import duckdb
+    import ray.data
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    got = r.q_doc_decontam(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute("SELECT * FROM (" + r.ORACLE_SQL["doc_decontam"] +
+                       ") ORDER BY doc_id").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_shared"].tolist() == want["n_shared"].tolist()
+    assert len(got) > 0  # the word-soup corpus genuinely overlaps
