@@ -138,3 +138,73 @@ def analyze_documents(docs_ds, concurrency: int = 4, batch_size: int = 2048):
     """Dataset stage: documents → per-doc text-analysis table (actor pool)."""
     return docs_ds.map_batches(TextAnalyzer, batch_format="pyarrow",
                                concurrency=(1, concurrency), batch_size=batch_size)
+
+
+# ------------------------------------------- repetition (Gopher-style) stats
+
+def _per_doc_value_stats(doc_of: np.ndarray, vals: np.ndarray, D: int):
+    """(n_distinct, top_count) per doc for flat (doc, value) pairs — one
+    lexsort + run-length pass, no per-doc Python."""
+    distinct = np.zeros(D, dtype=np.int64)
+    top = np.zeros(D, dtype=np.int64)
+    if len(doc_of) == 0:
+        return distinct, top
+    order = np.lexsort((vals, doc_of))
+    ds, vs = doc_of[order], vals[order]
+    new = np.empty(len(ds), dtype=bool)
+    new[0] = True
+    np.logical_or(ds[1:] != ds[:-1], vs[1:] != vs[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    run_doc = ds[starts]
+    run_len = np.diff(np.concatenate([starts, [len(ds)]]))
+    distinct += np.bincount(run_doc, minlength=D)
+    np.maximum.at(top, run_doc, run_len)
+    return distinct, top
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document repetition signals (the Gopher-rule family: repetitive
+    documents are low-quality training data): word totals/distincts/top
+    counts and 2-gram totals/distincts/top counts, plus the duplicate-word
+    fraction. All counts are exact integers over the splitmix64 word-hash
+    values (functions.dedup.hash_words) and the 2-word chain
+    s = mix64(mix64(h0) ^ h1) — the identical values the MinHash oracles
+    reproduce in SQL, so the whole row is SQL-checkable; the one float is
+    the same int/int IEEE division on both sides."""
+    from gunrock_ray.common import mix64
+    from gunrock_ray.functions.dedup import hash_words
+
+    texts = [t if t is not None else ""
+             for t in batch["text"].to_pylist()]
+    D = len(texts)
+    words_per_doc = [t.split() for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    hw = hash_words([w for doc in words_per_doc for w in doc])
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
+    dn_w, top_w = _per_doc_value_stats(doc_of, hw, D)
+    # strict 2-gram windows (unlike the shingle helper, <2-word docs emit 0)
+    m = len(hw) - 1
+    if m > 0:
+        g2 = mix64(mix64(hw[:m]) ^ hw[1:])
+        valid = doc_of[:m] == doc_of[1:]
+        dn_2, top_2 = _per_doc_value_stats(doc_of[:m][valid], g2[valid], D)
+    else:
+        dn_2 = top_2 = np.zeros(D, dtype=np.int64)
+    n2 = np.maximum(counts - 1, 0)
+    with np.errstate(invalid="ignore"):
+        dup_frac = np.where(counts > 0, (counts - dn_w) / counts, 0.0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(counts),
+        "n_distinct_words": pa.array(dn_w),
+        "top_word_count": pa.array(top_w),
+        "n_2grams": pa.array(n2),
+        "n_distinct_2grams": pa.array(dn_2),
+        "top_2gram_count": pa.array(top_2),
+        "dup_word_frac": pa.array(dup_frac, pa.float64()),
+    })
+
+
+def repetition_stats(docs_ds):
+    """documents → per-doc repetition signal table (shuffle-free map)."""
+    return docs_ds.map_batches(repetition_stats_batch, batch_format="pyarrow")

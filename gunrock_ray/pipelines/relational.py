@@ -764,6 +764,15 @@ def q_doc_redact(sf_dir: str):
     return redact_documents(_docs_ds(sf_dir), _REDACT_RULES)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document (functions/text.py
+    repetition_stats): exact integer word/2-gram totals, distincts and top
+    counts over the splitmix64 word-hash values, SQL-checked bit-for-bit
+    (the 2-gram chain is reproduced with the staged mix64 CTEs)."""
+    from gunrock_ray.functions.text import repetition_stats
+    return repetition_stats(_docs_ds(sf_dir))
+
+
 def q_doc_decontam(sf_dir: str):
     """Benchmark decontamination (functions/dedup.decontaminate): docs
     sharing any word-3-gram with the deterministic benchmark slice
@@ -1597,6 +1606,43 @@ def _minhash_sigs_sql() -> str:
     )
 
 
+def _repetition_sql() -> str:
+    """Repetition-stats oracle: the word-hash fold + the staged 2-gram
+    chain s = mix64(mix64(h0) ^ h1) (same values as
+    functions.text.repetition_stats_batch), then exact integer counts and
+    the one int/int IEEE division."""
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "      FROM documents), "
+        "terms AS (SELECT DISTINCT unnest(w) AS term FROM d), "
+        f"{_WORDFOLD_CTES()}, "
+        "pos AS (SELECT doc_id, len(w) AS n, "
+        "        unnest(generate_series(1, len(w))) AS i, w FROM d), "
+        "hw AS (SELECT p.doc_id, p.i, wh.h FROM pos p "
+        "       JOIN wh ON wh.term = p.w[p.i]), "
+        "wcnt AS (SELECT doc_id, h, COUNT(*) AS c FROM hw GROUP BY 1, 2), "
+        "wstat AS (SELECT doc_id, SUM(c) AS nw, COUNT(*) AS dnw, "
+        "          MAX(c) AS topw FROM wcnt GROUP BY doc_id), "
+        f"m0 AS (SELECT doc_id, i, {_MIX64_SQL('h')} AS g FROM hw), "
+        f"g2 AS (SELECT a.doc_id, {_MIX64_SQL('xor(a.g, b.h)')} AS s "
+        "       FROM m0 a JOIN hw b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+        "gcnt AS (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY 1, 2), "
+        "gstat AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS dn2, "
+        "          MAX(c) AS top2 FROM gcnt GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(w.nw, 0) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(w.dnw, 0) AS BIGINT) AS n_distinct_words, "
+        "CAST(COALESCE(w.topw, 0) AS BIGINT) AS top_word_count, "
+        "CAST(COALESCE(g.n2, 0) AS BIGINT) AS n_2grams, "
+        "CAST(COALESCE(g.dn2, 0) AS BIGINT) AS n_distinct_2grams, "
+        "CAST(COALESCE(g.top2, 0) AS BIGINT) AS top_2gram_count, "
+        "CASE WHEN COALESCE(w.nw, 0) = 0 THEN 0.0 "
+        "ELSE CAST(w.nw - w.dnw AS DOUBLE) / w.nw END AS dup_word_frac "
+        "FROM d LEFT JOIN wstat w USING (doc_id) "
+        "LEFT JOIN gstat g USING (doc_id)")
+
+
 def _decontam_sql(bench_mod: int = 50) -> str:
     """Decontamination oracle: distinct shared word-3-grams between each
     non-benchmark doc and the benchmark slice, on the SAME shingle chain as
@@ -1837,6 +1883,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_sigs": _minhash_sigs_sql(),
     "minhash_near_dup": _minhash_pairs_sql(),
     "doc_decontam": _decontam_sql(),
+    "doc_repetition": _repetition_sql(),
     "simhash_near_dup": _simhash_pairs_sql(),
     "orders_cust_join": (
         "SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey "

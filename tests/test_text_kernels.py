@@ -4,6 +4,7 @@ simple scalar references bit-for-bit, on arbitrary (incl. unicode) text."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -152,3 +153,43 @@ def test_doc_analysis_matches_sql_oracle():
     for c in ["pred_lang", "n_tokens", "fingerprint", "stop_ratio",
               "punct_ratio", "mean_token_len"]:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+# ---------------------------------------------------- repetition signals
+
+def test_repetition_stats_brute_force_and_oracle():
+    import collections
+    from gunrock_ray.functions.text import repetition_stats_batch
+    texts = ["a a a b", "x y", "", "one two one two one", "solo",
+             "w " * 500 + "tail"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_stats_batch(t).to_pandas()
+    for i, txt in enumerate(texts):
+        ws = txt.split()
+        cw = collections.Counter(ws)
+        c2 = collections.Counter(zip(ws, ws[1:]))
+        assert out["n_words"][i] == len(ws)
+        assert out["n_distinct_words"][i] == len(cw)
+        assert out["top_word_count"][i] == (max(cw.values()) if cw else 0)
+        assert out["n_2grams"][i] == max(len(ws) - 1, 0)
+        assert out["n_distinct_2grams"][i] == len(c2)
+        assert out["top_2gram_count"][i] == (max(c2.values()) if c2 else 0)
+        want_frac = (len(ws) - len(cw)) / len(ws) if ws else 0.0
+        assert out["dup_word_frac"][i] == want_frac
+
+
+def test_repetition_stats_matches_duckdb_sf0001():
+    import duckdb
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    got = r.q_doc_repetition(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute("SELECT * FROM (" + r.ORACLE_SQL["doc_repetition"] +
+                       ") ORDER BY doc_id").fetchdf()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
