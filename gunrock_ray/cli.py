@@ -238,7 +238,8 @@ def cmd_curate(args) -> dict:
         docs, near_dup=not args.no_near_dup,
         jaccard_threshold=args.jaccard, min_tokens=args.min_tokens,
         max_tokens=args.max_tokens, max_punct_ratio=args.max_punct,
-        langs=langs, num_partitions=args.partitions or 8)
+        langs=langs, decontam_mod=args.decontam_mod, redact=args.redact,
+        num_partitions=args.partitions or 8)
     rows = _write_result(args.out, curated)
     summary = {"cmd": "curate", "rows_kept": rows, **stats,
                "t_run_s": round(time.perf_counter() - t0, 3)}
@@ -422,6 +423,12 @@ def main(argv=None) -> None:
     cur.add_argument("--max-punct", type=float, default=0.5)
     cur.add_argument("--langs", default=None,
                      help="comma-separated allowed languages (e.g. en,de)")
+    cur.add_argument("--decontam-mod", type=int, default=None,
+                     help="drop the benchmark slice doc_id %% MOD == 0 and "
+                     "every doc sharing a word-n-gram with it")
+    cur.add_argument("--redact", action="store_true",
+                     help="rewrite surviving text with the default PII/"
+                     "secrets redaction rules")
     cur.add_argument("--partitions", type=int, default=None)
 
     evp = sub.add_parser("events", help="windowed aggregates / sessionization "

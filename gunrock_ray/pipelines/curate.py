@@ -100,19 +100,42 @@ class QualityFilter:
         return batch.filter(pa.array(keep))
 
 
+class RedactText:
+    """Final-pass actor stage: rewrite ``text`` with the redaction rules,
+    keeping the {doc_id, text} curation schema (counts/sha live in the
+    standalone functions.redact stage)."""
+
+    def __init__(self, patterns=None):
+        from gunrock_ray.functions.redact import Redactor
+        self.redactor = Redactor(patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.redactor(batch)
+        return pa.table({"doc_id": out["doc_id"],
+                         "text": out["text_redacted"]})
+
+
 def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
                      rows: int = 4, jaccard_threshold: float = 0.8,
                      near_dup: bool = True,
                      min_tokens: int = 5, max_tokens: int = 1_000_000,
                      max_punct_ratio: float = 0.5,
                      langs: tuple[str, ...] | None = None,
+                     decontam_mod: int | None = None,
+                     decontam_ids: np.ndarray | None = None,
+                     redact: bool = False, redact_patterns=None,
                      num_partitions: int = 8, concurrency: int = 4):
     """The composed pipeline. Returns (curated_ds, stats dict).
 
     ``curated_ds`` streams {doc_id, text}; stats counts each removal
-    reason. Exact-dup drops and near-dup drops are computed first (id-only
-    collects, bounded), then one streaming filter pass emits the curated
-    corpus."""
+    reason. Exact-dup, near-dup and (optional) benchmark-contamination
+    drops are computed first (id-only collects, bounded), then one
+    streaming filter pass emits the curated corpus; ``redact=True``
+    appends a PII-redaction rewrite of the surviving text
+    (functions.redact defaults unless ``redact_patterns``). Benchmark
+    decontamination runs when ``decontam_mod`` or ``decontam_ids`` is
+    given — the benchmark docs themselves are dropped too (they are
+    eval data, not training data)."""
     import ray
 
     def _ids_of(res) -> np.ndarray:
@@ -128,7 +151,25 @@ def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
             threshold=jaccard_threshold, num_partitions=num_partitions))
     else:
         near_ids = np.zeros(0, dtype=np.int64)
-    drop = np.union1d(exact_ids.astype(np.int64), near_ids.astype(np.int64))
+    if decontam_mod is not None or decontam_ids is not None:
+        from gunrock_ray.functions.dedup import decontaminate
+        contam_ids = _ids_of(decontaminate(
+            docs_ds, bench_mod=decontam_mod or 50,
+            bench_ids=decontam_ids, ngram=ngram))
+        if decontam_ids is not None:
+            bench = np.asarray(decontam_ids, dtype=np.int64)
+            contam_ids = np.union1d(contam_ids, bench)
+        else:
+            bench_members = _ids_of(docs_ds.map_batches(
+                lambda t: t.select(["doc_id"]).filter(
+                    pa.array(t["doc_id"].to_numpy() % decontam_mod == 0)),
+                batch_format="pyarrow"))
+            contam_ids = np.union1d(contam_ids, bench_members)
+    else:
+        contam_ids = np.zeros(0, dtype=np.int64)
+    drop = np.union1d(
+        np.union1d(exact_ids.astype(np.int64), near_ids.astype(np.int64)),
+        contam_ids.astype(np.int64))
     drop_ref = ray.put(np.sort(drop))
 
     curated = docs_ds.map_batches(
@@ -139,7 +180,13 @@ def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
                                "max_tokens": max_tokens,
                                "max_punct_ratio": max_punct_ratio,
                                "langs": langs})
+    if redact:
+        curated = curated.map_batches(
+            RedactText, batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            fn_constructor_kwargs={"patterns": redact_patterns})
     stats = {"dropped_exact_dup": int(len(exact_ids)),
              "dropped_near_dup": int(len(np.setdiff1d(near_ids, exact_ids))),
+             "dropped_contaminated": int(len(contam_ids)),
              "dropped_total_dedup": int(len(drop))}
     return curated, stats

@@ -120,3 +120,36 @@ def test_write_result_excludes_stale_files(tmp_path):
     assert _write_result(out, ds) == 3
     ds2 = ray.data.from_arrow(pa.table({"x": pa.array([4, 5], pa.int64())}))
     assert _write_result(out, ds2) == 2   # not 5
+
+
+def test_curate_decontam_and_redact():
+    import ray.data
+    from gunrock_ray.pipelines.curate import curate_documents
+    phrase = "held out benchmark question about graph engines"
+    texts = []
+    for i in range(60):
+        if i % 20 == 0:
+            texts.append(phrase + f" variant {i}")            # benchmark
+        elif i == 7:
+            texts.append("pre " + phrase + " post")            # contaminated
+        elif i == 11:
+            texts.append(f"mail me at a{i}@ex.io about word " * 2 + "x y z")
+        else:
+            texts.append(f"clean document number {i} has plenty of words "
+                         f"one two three four five six")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    curated, stats = curate_documents(
+        ds, near_dup=False, min_tokens=3, decontam_mod=20, redact=True)
+    out = curated.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    kept = set(out["doc_id"])
+    # benchmark slice (0,20,40) and the contaminated doc 7 are gone
+    assert kept.isdisjoint({0, 20, 40, 7})
+    assert stats["dropped_contaminated"] == 4
+    # doc 11 survives but its email is redacted
+    t11 = out.loc[out["doc_id"] == 11, "text"].iloc[0]
+    assert "@ex.io" not in t11 and "<EMAIL>" in t11
+    # clean docs pass through byte-identical
+    t12 = out.loc[out["doc_id"] == 12, "text"].iloc[0]
+    assert t12 == texts[12]
