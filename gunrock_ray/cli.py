@@ -300,12 +300,23 @@ def cmd_events(args) -> dict:
 
 def cmd_analyze(args) -> dict:
     import ray.data
-    from gunrock_ray.functions.text import analyze_documents
     _init_ray()
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
-    rows = _write_result(args.out, analyze_documents(docs))
-    summary = {"cmd": "analyze", "rows": rows,
+    if args.op == "full":
+        from gunrock_ray.functions.text import analyze_documents
+        res = analyze_documents(docs)
+    elif args.op == "repetition":
+        from gunrock_ray.functions.text import repetition_stats
+        res = repetition_stats(docs)
+    elif args.op == "redact":
+        from gunrock_ray.functions.redact import redact_documents
+        res = redact_documents(docs)
+    else:                                    # decontam
+        from gunrock_ray.functions.dedup import decontaminate
+        res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
+    rows = _write_result(args.out, res)
+    summary = {"cmd": "analyze", "op": args.op, "rows": rows,
                "t_run_s": round(time.perf_counter() - t0, 3)}
     print(json.dumps(summary))
     return summary
@@ -410,6 +421,9 @@ def main(argv=None) -> None:
 
     ana = sub.add_parser("analyze", help="text analysis over documents Parquet")
     ana.add_argument("--input", required=True)
+    ana.add_argument("--op", default="full",
+                     choices=["full", "repetition", "redact", "decontam"])
+    ana.add_argument("--decontam-mod", type=int, default=None)
     ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
 
     cur = sub.add_parser("curate", help="dedup + quality-filter a documents "

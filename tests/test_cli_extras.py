@@ -240,3 +240,37 @@ def test_cli_stats(tmp_path):
     want = np.flatnonzero(
         mix64(np.arange(500, dtype=np.uint64)) % np.uint64(100) < np.uint64(20))
     assert np.array_equal(got, want) and s["rows"] == len(want)
+
+
+def test_cli_analyze_ops(tmp_path):
+    """repetition / redact / decontam are reachable via the ray-job CLI."""
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    import pyarrow.parquet as pq
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "analyze", "--op",
+         "repetition", "--input", docs, "--out", str(tmp_path / "rep")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 500
+    out = pq.read_table(str(tmp_path / "rep"))
+    assert {"n_words", "top_2gram_count", "dup_word_frac"} \
+        <= set(out.schema.names)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "analyze", "--op",
+         "decontam", "--input", docs, "--out", str(tmp_path / "dec"),
+         "--decontam-mod", "50"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] > 0
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "curate",
+         "--input", docs, "--out", str(tmp_path / "cur"),
+         "--no-near-dup", "--decontam-mod", "100", "--redact"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["dropped_contaminated"] > 0 and s["rows_kept"] > 0
