@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": r.q_minhash_near_dup,   # SQL-checked END TO END
         "doc_decontam": r.q_doc_decontam,   # SQL-checked (shared-shingle counts)
         "doc_repetition": r.q_doc_repetition,  # SQL-checked (Gopher signals)
+        "doc_pack": r.q_doc_pack,          # SQL-checked (ordered concat + sha)
+        "doc_seq_pack": r.q_doc_seq_pack,  # SQL-checked (distributed scan)
         "simhash_near_dup": r.q_simhash_near_dup,   # SQL-checked END TO END
         # ...and their SIGNATURE stages are ALSO SQL-checked standalone:
         "simhash_sigs": r.q_simhash_sigs,   # SQL-checked (word fold + bit sums)

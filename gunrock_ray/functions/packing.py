@@ -1,0 +1,130 @@
+"""Training-document packing operators.
+
+Large-scale LM pipelines over a (repo, path, commit, lang, content) corpus
+do two packing steps before tokenization: (1) concatenate the files of one
+repository (here: one ``source``) into a single training document in a
+deterministic order, and (2) pack documents into fixed-token-budget
+training sequences. Both are deterministic and all-integer/string, so both
+are SQL-checkable bit-for-bit.
+
+(2) is a GLOBAL ORDERED PREFIX SUM — the Dataset-level form of the
+reference's scan utility (`gunrock/util/scan/multi_scan.cuh`, SURVEY.md
+§2.3, which this engine otherwise uses per-partition as ``np.cumsum``).
+The distributed scan here is the textbook two-phase form: contiguous
+key-range buckets (sampled splitters), per-bucket sums to the driver (B
+integers), exclusive cumsum of bucket totals as per-bucket bases, then an
+in-bucket sort + exclusive cumsum inside ``map_groups``. Nothing
+corpus-sized reaches the driver; bucket count bounds group memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+
+
+def pack_by_key(docs_ds, *, key: str = "source", sep: str = "\n",
+                text_col: str = "text", order_col: str = "doc_id"):
+    """One packed training document per ``key``: member texts concatenated
+    in ``order_col`` order with ``sep``, with the member count, packed
+    length and sha256 (hex) of the packed text — the ingest sha-invariant
+    carried through the pack. One groupby shuffle on the (small) key; the
+    concat runs inside ``map_groups``. A key group must fit one task
+    (a repository's files — bounded in practice; split giant repos
+    upstream by path prefix if not)."""
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        order = np.argsort(group[order_col].to_numpy(), kind="stable")
+        texts = group[text_col].take(pa.array(order)).to_pylist()
+        packed = sep.join(t if t is not None else "" for t in texts)
+        return pa.table({
+            key: pa.array([group[key][0].as_py()], pa.string()),
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_chars": pa.array([len(packed)], pa.int64()),
+            "packed_sha": pa.array(
+                [hashlib.sha256(packed.encode("utf-8")).hexdigest()],
+                pa.string()),
+        })
+
+    return docs_ds.groupby(key).map_groups(pack_group, batch_format="pyarrow")
+
+
+def _range_splitters(ds, order_col: str, num_buckets: int) -> np.ndarray:
+    """Deterministic hash-thinned sample quantiles over the order key —
+    the same driver-bounded trick as plan_partitioning(range)."""
+    def thin(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy()
+        keep = mix64(v) % np.uint64(23) == 0
+        return pa.table({"v": pa.array(v[keep], pa.int64())})
+
+    sample = (ds.map_batches(thin, batch_format="pyarrow")
+              .limit(200_000).to_pandas())
+    if len(sample) < num_buckets:
+        return np.zeros(0, dtype=np.int64)  # tiny input: one bucket
+    qs = np.quantile(np.unique(sample["v"].to_numpy()),
+                     [i / num_buckets for i in range(1, num_buckets)],
+                     method="nearest")
+    return np.unique(np.asarray(qs, dtype=np.int64))
+
+
+def pack_sequences(docs_ds, budget: int, *, order_col: str = "doc_id",
+                   text_col: str = "text", num_buckets: int = 64):
+    """Assign each document to a fixed-token-budget training sequence:
+
+        tok_offset = exclusive prefix sum of n_tokens in ``order_col`` order
+        seq_id     = tok_offset // budget
+
+    (boundary packing — a document starts in the sequence its running
+    token offset falls in; all-integer so DuckDB's SUM() OVER window reproduces
+    it exactly). n_tokens = whitespace token count of ``text_col``.
+
+    Distributed scan, two phases: (1) one streaming pass emits per-batch
+    (bucket, partial_sum) rows — O(batches × B) integers to the driver,
+    summed per bucket (integer, order-independent) and exclusive-cumsummed
+    into per-bucket bases; (2) a bucket groupby sorts each contiguous
+    key range and applies base + exclusive cumsum. Returns
+    {doc_id, n_tokens, tok_offset, seq_id}."""
+    splitters = _range_splitters(docs_ds, order_col, num_buckets)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy()
+        n = np.array([len(x.split()) if x is not None else 0
+                      for x in t[text_col].to_pylist()], dtype=np.int64)
+        bkt = np.searchsorted(splitters, v, side="right").astype(np.int64)
+        return pa.table({order_col: pa.array(v, pa.int64()),
+                         "n_tokens": pa.array(n),
+                         "bkt": pa.array(bkt)})
+
+    toks = docs_ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        b = t["bkt"].to_numpy()
+        n = t["n_tokens"].to_numpy()
+        ub = np.unique(b)
+        s = np.array([n[b == x].sum() for x in ub], dtype=np.int64)
+        return pa.table({"bkt": pa.array(ub), "s": pa.array(s)})
+
+    part = toks.map_batches(bucket_sums, batch_format="pyarrow").to_pandas()
+    B = len(splitters) + 1
+    totals = np.zeros(B, dtype=np.int64)
+    np.add.at(totals, part["bkt"].to_numpy(), part["s"].to_numpy())
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        b = int(group["bkt"][0].as_py())
+        v = group[order_col].to_numpy()
+        n = group["n_tokens"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        excl = np.zeros(len(n), dtype=np.int64)
+        excl[order] = base[b] + np.cumsum(n[order]) - n[order]
+        return pa.table({order_col: pa.array(v, pa.int64()),
+                         "n_tokens": pa.array(n),
+                         "tok_offset": pa.array(excl),
+                         "seq_id": pa.array(excl // budget)})
+
+    return toks.groupby("bkt").map_groups(scan_bucket,
+                                          batch_format="pyarrow")

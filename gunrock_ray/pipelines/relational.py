@@ -764,6 +764,22 @@ def q_doc_redact(sf_dir: str):
     return redact_documents(_docs_ds(sf_dir), _REDACT_RULES)
 
 
+def q_doc_pack(sf_dir: str):
+    """Repo-level document packing (functions/packing.pack_by_key): one
+    training document per source, members concatenated in doc_id order —
+    count/length/sha reproduced by string_agg(... ORDER BY) in DuckDB."""
+    from gunrock_ray.functions.packing import pack_by_key
+    return pack_by_key(_docs_ds(sf_dir, ("doc_id", "text", "source")))
+
+
+def q_doc_seq_pack(sf_dir: str):
+    """Fixed-token-budget sequence packing (functions/packing.
+    pack_sequences): the distributed exclusive prefix sum over doc_id
+    order — tok_offset and seq_id reproduced by SUM() OVER in DuckDB."""
+    from gunrock_ray.functions.packing import pack_sequences
+    return pack_sequences(_docs_ds(sf_dir), budget=512)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals per document (functions/text.py
     repetition_stats): exact integer word/2-gram totals, distincts and top
@@ -1884,6 +1900,21 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_near_dup": _minhash_pairs_sql(),
     "doc_decontam": _decontam_sql(),
     "doc_repetition": _repetition_sql(),
+    "doc_pack": (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) "
+        "AS n_chars, "
+        "sha256(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_sha "
+        "FROM documents GROUP BY source"),
+    "doc_seq_pack": (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS tok_offset FROM t) "
+        "SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset, "
+        "CAST(tok_offset // 512 AS BIGINT) AS seq_id FROM s"),
     "simhash_near_dup": _simhash_pairs_sql(),
     "orders_cust_join": (
         "SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey "

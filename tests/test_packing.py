@@ -1,0 +1,70 @@
+"""Training-document packing (functions/packing.py): repo/source-level
+ordered concat and the distributed exclusive prefix sum behind
+fixed-token-budget sequence packing — both must be block-layout-invariant
+(the scan's whole point) and match the windowed-SQL definition."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(f"w{rng.integers(0, 50)}"
+                      for _ in range(int(rng.integers(0, 40))))
+             for _ in range(n)]
+    src = [f"s{i % 7}" for i in range(n)]
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "text": pa.array(texts, pa.string()),
+                     "source": pa.array(src, pa.string())})
+
+
+def test_pack_by_key_ordered_concat():
+    import ray.data
+    from gunrock_ray.functions.packing import pack_by_key
+    t = _docs(50)
+    out = pack_by_key(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        grp = df[df["source"] == row["source"]].sort_values("doc_id")
+        packed = "\n".join(grp["text"])
+        assert row["n_docs"] == len(grp)
+        assert row["n_chars"] == len(packed)
+        assert row["packed_sha"] == hashlib.sha256(
+            packed.encode()).hexdigest()
+
+
+def test_pack_sequences_is_global_exclusive_scan():
+    import ray.data
+    from gunrock_ray.functions.packing import pack_sequences
+    t = _docs(300)
+    df = t.to_pandas()
+    n_tok = df["text"].str.split().str.len().fillna(0).astype(np.int64)
+    excl = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    budget = 64
+    for blocks in (1, 7):   # layout invariance: the scan must not depend
+        ds = ray.data.from_arrow(t)            # on how blocks split
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        out = pack_sequences(ds, budget, num_buckets=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert np.array_equal(out["n_tokens"].to_numpy(), n_tok.to_numpy())
+        assert np.array_equal(out["tok_offset"].to_numpy(), excl)
+        assert np.array_equal(out["seq_id"].to_numpy(), excl // budget)
+    # sequences are contiguous and budget-bounded at doc granularity
+    seq = excl // budget
+    assert np.all(np.diff(seq) >= 0)
+
+
+def test_pack_sequences_tiny_input_single_bucket():
+    import ray.data
+    from gunrock_ray.functions.packing import pack_sequences
+    t = _docs(10)
+    out = pack_sequences(ray.data.from_arrow(t), 32).to_pandas() \
+        .sort_values("doc_id")
+    n_tok = t.to_pandas()["text"].str.split().str.len().to_numpy()
+    assert np.array_equal(
+        out["tok_offset"].to_numpy(),
+        np.concatenate([[0], np.cumsum(n_tok)[:-1]]))
