@@ -23,7 +23,11 @@ normalized and the fork's exact delta-damped / 2-hop forms (§2.9), the
 ingest sha256 invariant, exact dedup / token stats (whitespace + BPE-ish
 regex) / brute-force ANN / n-gram Jaccard / exact embedding near-dup /
 the FULL MinHash and SimHash near-dup pipelines (bit-for-bit incl. the
-float jaccard division) / curation over documents+embeddings, k-core
+float jaccard division) / curation over documents+embeddings, PII/secrets
+redaction (ordered regex fold + sha chain), benchmark decontamination
+(shared-shingle counts), Gopher-style repetition signals, repo-level
+document packing and token-budget sequence packing (distributed exclusive
+prefix sum), k-core
 (h-index iteration unrolled to a verified fixpoint), deterministic
 random-walk sampling (counter-based hops), windowed aggregates,
 sessionization, as-of and range joins over the events stream, general
