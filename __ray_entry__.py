@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
+        "events_hopping": r.q_events_hopping,  # SQL-checked (sliding windows)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
         "doc_redact": r.q_doc_redact,  # SQL-checked (ordered regex fold + sha)
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top100": r.q_ngram_top100,      # SQL-checked (word-3-gram counts)
         "token_quantiles": r.q_token_quantiles,  # SQL-checked (exact histogram)
         "doc_sample10": r.q_doc_sample10,  # SQL-checked (splitmix64 in SQL)
+        "doc_stratified": r.q_doc_stratified,  # SQL-checked (per-source rates)
         "tfidf_top3": r.q_tfidf_top3,      # SQL-checked (ROW_NUMBER oracle)
     }
 

@@ -152,6 +152,38 @@ def sample_docs(docs_ds, pct: int = 10, seed: int = 0):
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(docs_ds, rates: dict[str, int], *,
+                      default_pct: int = 0, seed: int = 0):
+    """Deterministic stratified sample — the domain-mixing primitive of a
+    training-corpus pipeline: keep a row iff
+    ``mix64(doc_id ^ seed) % 100 < rates.get(source, default_pct)``.
+    Returns {doc_id, source}.
+
+    Like :func:`sample_docs` this is a pure per-batch filter (no shuffle,
+    no RNG state, block-layout- and cluster-size-invariant); the per-row
+    rate is looked up vectorized via the batch's dictionary-encoded
+    ``source`` column (one Python dict probe per DISTINCT source per
+    batch, not per row). The splitmix64 hash is reproduced exactly by the
+    SQL oracle."""
+    import pyarrow.compute as pc
+
+    s = np.uint64(seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        enc = pc.dictionary_encode(batch["source"].combine_chunks()
+                                   if isinstance(batch["source"],
+                                                 pa.ChunkedArray)
+                                   else batch["source"])
+        thr = np.array([rates.get(v, default_pct)
+                        for v in enc.dictionary.to_pylist()],
+                       dtype=np.uint64)[enc.indices.to_numpy()]
+        sel = mix64(ids.astype(np.uint64) ^ s) % np.uint64(100) < thr
+        return batch.select(["doc_id", "source"]).filter(pa.array(sel))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def tfidf_topk(docs_ds, k: int = 3, num_buckets: int = 64):
     """Per-document top-``k`` terms by tf·idf — {doc_id, term, tf, df, rnk}
     (score = tf/df, monotone in tf·idf for a fixed corpus; ties → term asc).

@@ -51,6 +51,47 @@ def tumbling_window_agg(events_ds, window_us: int = US_PER_HOUR):
                        Sum("cents", alias_name="sum_cents")))
 
 
+def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
+                       hop_us: int = US_PER_HOUR // 4):
+    """Per (user, hopping window): event count + exact value sum in cents.
+
+    A hopping (sliding) window of length ``window_us`` advancing every
+    ``hop_us`` (must divide the window length): every event falls in
+    exactly K = window/hop windows, whose starts are
+    ``(ts//hop - k) * hop`` for k in 0..K-1. Returns a Dataset
+    {user_id, w_start_us, n_events, sum_cents}.
+
+    Scale shape: a pure per-batch projection that emits the K replicas as
+    one vectorized concat (no per-row loop, K is a small constant), then a
+    single pre-aggregable groupby on the (user, window-start) key — the
+    same shuffle profile as the tumbling window, K× the rows. Window
+    starts are never clipped, so the first events of the stream appear in
+    windows that begin before the stream does — identical on the SQL side."""
+    from ray.data.aggregate import Count, Sum
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k_rep = window_us // hop_us
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        u = batch["user_id"].to_numpy()
+        base = (ts // hop_us) * hop_us
+        starts = np.concatenate(
+            [base - k * hop_us for k in range(k_rep)])
+        return pa.table({
+            "user_id": pa.array(np.tile(u, k_rep)),
+            "w_start_us": pa.array(starts),
+            "cents": pa.array(np.tile(cents, k_rep)),
+        })
+
+    return (events_ds.map_batches(project, batch_format="pyarrow")
+            .groupby(["user_id", "w_start_us"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
 def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int = 64):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.

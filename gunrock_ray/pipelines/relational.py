@@ -503,6 +503,19 @@ def q_events_window(sf_dir: str):
     return tumbling_window_agg(ev)
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows — 1-hour window advancing every 15 min,
+    so each event lands in exactly 4 windows — per-user count + exact
+    integer-cent sum, SQL-checked against a cross-join-with-offsets
+    unnest oracle."""
+    import ray.data
+    from gunrock_ray.functions.windows import hopping_window_agg
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return hopping_window_agg(ev, window_us=3_600_000_000,
+                              hop_us=900_000_000)
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based session windows (30-min inactivity gap) per user —
     {user_id, session_start_us, n_events}, SQL-checked against a LAG +
@@ -981,6 +994,23 @@ def q_doc_sample10(sf_dir: str):
     32-bit-split multiplication mod 2^64."""
     from gunrock_ray.functions.corpus_stats import sample_docs
     return sample_docs(_docs_ds(sf_dir), pct=10, seed=0)
+
+
+# Stratified-sample rule set for the oracled query: up-sample src0, keep
+# src3 at half, down-sample src7, 10% everywhere else — the shape of a
+# domain-mixing pass over a web corpus.
+_STRAT_RATES = {"src0": 80, "src3": 50, "src7": 20}
+_STRAT_DEFAULT = 10
+
+
+def q_doc_stratified(sf_dir: str):
+    """Deterministic stratified (per-source) sample {doc_id, source} —
+    mix64(doc_id) % 100 < rate(source) — the domain-mixing primitive;
+    splitmix64 reproduced exactly in the SQL oracle."""
+    from gunrock_ray.functions.corpus_stats import stratified_sample
+    return stratified_sample(_docs_ds(sf_dir, ("doc_id", "source")),
+                             _STRAT_RATES, default_pct=_STRAT_DEFAULT,
+                             seed=0)
 
 
 def q_tfidf_top3(sf_dir: str):
@@ -1846,6 +1876,16 @@ ORACLE_SQL: dict[str, str] = {
         "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
         "FROM events GROUP BY 1, 2"
     ),
+    "events_hopping": (
+        "WITH p AS (SELECT user_id, "
+        "  (epoch_us(ts) // 900000000) * 900000000 AS base, "
+        "  CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT user_id, base - CAST(k AS BIGINT) * 900000000 "
+        "      AS w_start_us, cents "
+        "      FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) "
+        "SELECT user_id, w_start_us, COUNT(*) AS n_events, "
+        "SUM(cents) AS sum_cents FROM r GROUP BY 1, 2"
+    ),
     "events_sessions": (
         "WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
         "y AS (SELECT user_id, t, CASE WHEN LAG(t) OVER w IS NULL "
@@ -1971,6 +2011,17 @@ ORACLE_SQL: dict[str, str] = {
         f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
         "       AS z FROM s1) "
         "SELECT doc_id FROM s2 WHERE xor(z, z >> 31) % 100 < 10"
+    ),
+    "doc_stratified": (
+        "WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "
+        f"s1 AS (SELECT doc_id, source, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT doc_id, source, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1) "
+        "SELECT doc_id, source FROM s2 WHERE xor(z, z >> 31) % 100 < "
+        "CASE source WHEN 'src0' THEN 80 WHEN 'src3' THEN 50 "
+        "WHEN 'src7' THEN 20 ELSE 10 END"
     ),
     "tfidf_top3": (
         "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "

@@ -137,3 +137,35 @@ def test_grouped_sums_block_layout_invariant():
         outs.append(got[["g", "h", "x", "y", "n"]])
     assert outs[0].equals(outs[1])
     assert outs[0].astype(exp.dtypes.to_dict()).equals(exp)
+
+
+def _src_docs_ds(n=200, blocks=5):
+    import ray.data
+    srcs = [f"s{i % 4}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "source": pa.array(srcs, pa.string())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_stratified_sample_rule_and_block_invariance():
+    from gunrock_ray.common import mix64
+    from gunrock_ray.functions.corpus_stats import stratified_sample
+    rates = {"s0": 100, "s1": 50, "s2": 0}  # s3 falls to default_pct=10
+    out = stratified_sample(_src_docs_ds(blocks=7), rates,
+                            default_pct=10, seed=3).to_pandas()
+    got = set(out["doc_id"])
+    ids = np.arange(200, dtype=np.uint64)
+    h = mix64(ids ^ np.uint64(3)) % np.uint64(100)
+    rate_of = np.array([100, 50, 0, 10], dtype=np.uint64)
+    exp = set(np.flatnonzero(h < rate_of[np.arange(200) % 4]).tolist())
+    assert got == exp
+    # every s0 kept, no s2 kept
+    assert {i for i in got if i % 4 == 0} == {i for i in range(0, 200, 4)}
+    assert not any(i % 4 == 2 for i in got)
+    # block-layout invariance
+    again = set(stratified_sample(_src_docs_ds(blocks=1), rates,
+                                  default_pct=10, seed=3)
+                .to_pandas()["doc_id"])
+    assert again == got
+    # source column carried through
+    assert set(out.columns) == {"doc_id", "source"}

@@ -299,3 +299,47 @@ def test_equi_join_empty_sides():
     got = hash_join(L, ray.data.from_arrow(Rempty), on="k", right_on="rk",
                     how="left").to_pandas()
     assert len(got) == 2 and got["rv"].isna().all()
+
+
+def test_hopping_window_replicas_and_sums():
+    from gunrock_ray.functions.windows import hopping_window_agg
+    h = US_PER_HOUR
+    hop = h // 4
+    # one event at t=0: lands in windows starting 0, -hop, -2hop, -3hop
+    ds = _events([1], [0], [1.00])
+    out = hopping_window_agg(ds, window_us=h, hop_us=hop).to_pandas()
+    assert sorted(out["w_start_us"]) == [-3 * hop, -2 * hop, -hop, 0]
+    assert (out["n_events"] == 1).all() and (out["sum_cents"] == 100).all()
+
+
+def test_hopping_window_matches_bruteforce():
+    from gunrock_ray.functions.windows import hopping_window_agg
+    rng = np.random.default_rng(7)
+    n = 300
+    users = rng.integers(0, 10, n)
+    ts = rng.integers(0, 6 * US_PER_HOUR, n)
+    vals = np.round(rng.uniform(0, 20, n), 2)
+    ds = _events(users, ts, vals)
+    w, hop = US_PER_HOUR, US_PER_HOUR // 4
+    out = hopping_window_agg(ds, window_us=w, hop_us=hop).to_pandas()
+    got = {(r.user_id, r.w_start_us): (r.n_events, r.sum_cents)
+           for r in out.itertuples()}
+    # brute force: every (user, window-start) covering each event
+    exp: dict = {}
+    cents = np.round(vals * 100).astype(np.int64)
+    for u, t, c in zip(users, ts, cents):
+        for k in range(w // hop):
+            s = (t // hop - k) * hop
+            key = (u, s)
+            cnt, tot = exp.get(key, (0, 0))
+            exp[key] = (cnt + 1, tot + c)
+    assert got == exp
+
+
+def test_hopping_window_rejects_nondivisor_hop():
+    import pytest
+    from gunrock_ray.functions.windows import hopping_window_agg
+    ds = _events([1], [0], [1.0])
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, window_us=US_PER_HOUR,
+                           hop_us=US_PER_HOUR // 4 + 1)
