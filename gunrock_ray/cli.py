@@ -259,6 +259,12 @@ def cmd_events(args) -> dict:
         ev = ray.data.read_parquet(args.input,
                                    columns=["user_id", "ts", "value"])
         res = tumbling_window_agg(ev, window_us=args.window_us)
+    elif args.op == "hopping":
+        from gunrock_ray.functions.windows import hopping_window_agg
+        ev = ray.data.read_parquet(args.input,
+                                   columns=["user_id", "ts", "value"])
+        res = hopping_window_agg(ev, window_us=args.window_us,
+                                 hop_us=args.hop_us)
     elif args.op == "sessions":
         from gunrock_ray.functions.windows import sessionize
         ev = ray.data.read_parquet(args.input, columns=["user_id", "ts"])
@@ -337,6 +343,16 @@ def cmd_stats(args) -> dict:
             docs, qs=tuple(int(q) for q in args.quantiles.split(",")))
     elif args.op == "sample":
         res = cs.sample_docs(docs, pct=args.pct, seed=args.seed)
+    elif args.op == "stratified":
+        rates = {}
+        if args.rates:
+            for kv in args.rates.split(","):
+                k, v = kv.split("=")
+                rates[k] = int(v)
+        src_docs = ray.data.read_parquet(args.input,
+                                         columns=["doc_id", "source"])
+        res = cs.stratified_sample(src_docs, rates, default_pct=args.pct,
+                                   seed=args.seed)
     else:                                    # tfidf
         res = cs.tfidf_topk(docs, k=args.k)
     rows = _write_result(args.out, res)
@@ -448,10 +464,12 @@ def main(argv=None) -> None:
     evp = sub.add_parser("events", help="windowed aggregates / sessionization "
                          "/ as-of / range joins over an events Parquet")
     evp.add_argument("--op", required=True,
-                     choices=["window", "sessions", "asof", "range"])
+                     choices=["window", "hopping", "sessions", "asof",
+                              "range"])
     evp.add_argument("--input", required=True)
     evp.add_argument("--out", default="/tmp/gunrock_ray_events")
     evp.add_argument("--window-us", type=int, default=3_600_000_000)
+    evp.add_argument("--hop-us", type=int, default=900_000_000)
     evp.add_argument("--gap-us", type=int, default=1_800_000_000)
     evp.add_argument("--left-type", default="purchase")
     evp.add_argument("--right-type", default="signup")
@@ -460,7 +478,8 @@ def main(argv=None) -> None:
                         "Parquet: vocabulary / n-grams / quantiles / "
                         "deterministic sample / TF-IDF")
     st.add_argument("--op", required=True,
-                    choices=["vocab", "ngrams", "quantiles", "sample", "tfidf"])
+                    choices=["vocab", "ngrams", "quantiles", "sample",
+                             "stratified", "tfidf"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)
@@ -468,6 +487,9 @@ def main(argv=None) -> None:
     st.add_argument("--quantiles", default="25,50,75,95")
     st.add_argument("--pct", type=int, default=10)
     st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--rates", default="",
+                    help="per-source keep rates for --op stratified, e.g. "
+                         "'src0=80,src3=50,src7=20' (others use --pct)")
     st.add_argument("--k", type=int, default=3)
 
     args = ap.parse_args(argv)

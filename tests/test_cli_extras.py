@@ -274,3 +274,38 @@ def test_cli_analyze_ops(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["dropped_contaminated"] > 0 and s["rows_kept"] > 0
+
+
+def test_cli_hopping_and_stratified(tmp_path):
+    """The round-2 additions — hopping windows and stratified sampling —
+    are reachable via the ray-job CLI and apply their deterministic rules."""
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    events = "/root/testdata/sf0.001/events.parquet"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "events", "--op", "hopping",
+         "--input", events, "--out", str(tmp_path / "hop")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["op"] == "hopping" and s["rows"] > 0
+    import pyarrow.parquet as pq
+    t = pq.read_table(str(tmp_path / "hop"))
+    # every window start is aligned to the 15-min hop
+    assert (np.asarray(t["w_start_us"]) % 900_000_000 == 0).all()
+    # a 1-h window on 15-min hops holds >= the count of any tumbling hour
+    assert t.num_rows > 0 and set(t.column_names) == {
+        "user_id", "w_start_us", "n_events", "sum_cents"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "stats", "--op",
+         "stratified", "--input", docs, "--rates", "src0=100,src1=0",
+         "--pct", "0", "--out", str(tmp_path / "strat")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    t = pq.read_table(str(tmp_path / "strat"))
+    # rate 100 keeps every src0 row, every other source is dropped
+    assert set(t["source"].to_pylist()) == {"src0"}
+    assert s["rows"] == 25  # sf0.001: 25 docs per source
