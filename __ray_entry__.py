@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": r.q_lineitem_orders_join,  # SQL-checked
         "cust_orders_left": r.q_cust_orders_left,        # SQL-checked (LEFT)
         "lineitem_agg": r.q_lineitem_agg,  # SQL-checked (pre-agg GROUP BY)
-        "distinct_users_hll": r.q_distinct_users_hll,  # rows-only (HLL sketch)
+        "distinct_users_hll": r.q_distinct_users_hll,  # SQL-checked (full HLL estimator)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         "events_hopping": r.q_events_hopping,  # SQL-checked (sliding windows)

@@ -698,9 +698,10 @@ def q_user_topk_events(sf_dir: str):
 
 
 def q_distinct_users_hll(sf_dir: str):
-    """HyperLogLog distinct-user estimate (rows-only: approximate by
-    design; the ±5% accuracy and lossless register merge are
-    pytest-asserted). One row {n_distinct_est}."""
+    """HyperLogLog distinct-user estimate, SQL-checked end to end: the
+    oracle reproduces registers bit-for-bit AND the estimator branch logic
+    (linear counting / raw / large-range), both reduced to integers robust
+    to libm ulp differences. One row {n_distinct_est}."""
     import ray.data
     from gunrock_ray.functions.sketches import hll_count_distinct
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -936,7 +937,7 @@ def q_hll_registers(sf_dir: str):
     reg > 0) — the distributed substance of the sketch (mix64 hash →
     bucket → exact leading-zero rank → max-merge across blocks) is
     integer-exact, so it IS SQL-checkable even though the float estimator
-    on top stays rows-only (q_distinct_users_hll)."""
+    on top is q_distinct_users_hll (also SQL-checked)."""
     import ray.data
     from gunrock_ray.functions.sketches import hll_register_table
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -1932,6 +1933,33 @@ ORACLE_SQL: dict[str, str] = {
         "      (h % 18014398509481984) * 1024 + 1023 AS rest FROM h), "
         "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 55) AS rank FROM r) "
         "SELECT idx, CAST(MAX(rank) AS BIGINT) AS reg FROM k GROUP BY idx"
+    ),
+    # the HLL ESTIMATE end-to-end at p=14: registers exactly as above
+    # (idx = top 14 bits, rest padded with 1s, exact bin() bit length,
+    # rank capped at 51), then the estimator with the same branch logic as
+    # functions.sketches._hll_estimate; both branches reduce to integers
+    # robust to libm ulp differences (round of m*ln(m/zeros) / of raw)
+    "distinct_users_hll": (
+        "WITH s0 AS (SELECT CAST(user_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM events), "
+        f"s1 AS (SELECT {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "h AS (SELECT xor(z, z >> 31) AS h FROM s2), "
+        "r AS (SELECT CAST(h >> 50 AS BIGINT) AS idx, "
+        "      (h % 1125899906842624) * 16384 + 16383 AS rest FROM h), "
+        "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 51) AS rank "
+        "      FROM r), "
+        "g AS (SELECT idx, MAX(rank) AS reg FROM k GROUP BY idx), "
+        "agg AS (SELECT COUNT(*) AS used, "
+        "        SUM(power(2.0, -reg)) AS s_nz FROM g), "
+        "f AS (SELECT 16384 - used AS zeros, "
+        "      (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0 "
+        "      / (s_nz + (16384 - used)) AS raw FROM agg) "
+        "SELECT CAST(CASE WHEN raw <= 2.5 * 16384 AND zeros > 0 "
+        "THEN round(16384.0 * ln(16384.0 / zeros)) "
+        "ELSE round(raw) END AS BIGINT) AS n_distinct_est FROM f"
     ),
     # dedup signature stages bit-for-bit (hash_words fold + seeded mix /
     # shingle chain + permutation MIN reproduced in SQL)
