@@ -318,6 +318,10 @@ def cmd_analyze(args) -> dict:
     elif args.op == "redact":
         from gunrock_ray.functions.redact import redact_documents
         res = redact_documents(docs)
+    elif args.op == "bloom-decontam":
+        from gunrock_ray.functions.dedup import bloom_decontaminate
+        res = bloom_decontaminate(docs, bench_mod=args.decontam_mod or 50,
+                                  bits_log2=args.bloom_bits_log2)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -438,8 +442,10 @@ def main(argv=None) -> None:
     ana = sub.add_parser("analyze", help="text analysis over documents Parquet")
     ana.add_argument("--input", required=True)
     ana.add_argument("--op", default="full",
-                     choices=["full", "repetition", "redact", "decontam"])
+                     choices=["full", "repetition", "redact", "decontam",
+                              "bloom-decontam"])
     ana.add_argument("--decontam-mod", type=int, default=None)
+    ana.add_argument("--bloom-bits-log2", type=int, default=22)
     ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
 
     cur = sub.add_parser("curate", help="dedup + quality-filter a documents "

@@ -715,6 +715,85 @@ def decontaminate(docs_ds, *, bench_mod: int = 50,
     return docs_ds.map_batches(count_shared, batch_format="pyarrow")
 
 
+_BLOOM_SALT = np.uint64(0xA0761D6478BD642F)
+
+
+def _bloom_positions(s: np.ndarray, bits_log2: int, k: int):
+    """The k Kirsch–Mitzenmacher probe positions per value:
+    ``(h1 + j*h2) mod 2^bits_log2`` with h1 = mix64(s),
+    h2 = mix64(s ^ SALT). The bit count divides 2^64, so the uint64 wrap
+    of ``h1 + j*h2`` commutes with the final modulus — the SQL oracle
+    computes the same positions in HUGEINT without wrapping."""
+    h1 = mix64(s)
+    h2 = mix64(s ^ _BLOOM_SALT)
+    m = np.uint64(1 << bits_log2)
+    with np.errstate(over="ignore"):
+        return [(h1 + np.uint64(j) * h2) % m for j in range(k)]
+
+
+def bloom_decontaminate(docs_ds, *, bench_mod: int = 50, ngram: int = 3,
+                        bits_log2: int = 22, k: int = 4):
+    """Benchmark decontamination through a Bloom filter — the
+    bounded-broadcast scale path of :func:`decontaminate`.
+
+    :func:`decontaminate` broadcasts the exact sorted benchmark-shingle
+    array, which grows with the benchmark suite; this variant folds the
+    benchmark shingles into a FIXED-SIZE bitset (2^bits_log2 bits — 512 KB
+    at the default 22 — regardless of benchmark size) and probes it with a
+    shuffle-free vectorized ``map_batches`` pass. Returns a Dataset
+    {doc_id, n_flagged}: every non-benchmark doc with >=1 distinct shingle
+    whose k probes all hit, with the count of such shingles — a SUPERSET
+    of the exact operator's rows at the filter's false-positive rate
+    (~(1 - e^{-kn/m})^k; ~1e-5 for 20k benchmark shingles at the default
+    m=2^22, k=4). Deterministic — positions use mix64 double hashing — so
+    the SQL oracle reproduces it exactly, false positives included.
+
+    Scale shape (100 TB): stage 1 emits each block's DISTINCT probe
+    positions (bounded by k x benchmark shingles); the driver ORs them
+    into the bitset and ``ray.put``s it ONCE. Stage 2 never shuffles and
+    ships only the 512 KB bitset per worker."""
+    import ray
+
+    m_pos = 1 << bits_log2
+
+    def bench_bits(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % bench_mod == 0)
+        texts = [t if t is not None else ""
+                 for t in batch["text"].take(pa.array(sel)).to_pylist()]
+        _, sh = flat_word_shingles(texts, ngram)
+        pos = np.unique(np.concatenate(
+            _bloom_positions(np.unique(sh), bits_log2, k)
+            if len(sh) else [np.empty(0, np.uint64)]))
+        return pa.table({"b": pa.array(pos.astype(np.int64))})
+
+    pos_tbl = (docs_ds.map_batches(bench_bits, batch_format="pyarrow")
+               .to_pandas())
+    words = np.zeros(m_pos // 64, dtype=np.uint64)
+    allpos = pos_tbl["b"].to_numpy().astype(np.uint64)
+    np.bitwise_or.at(words, (allpos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (allpos & np.uint64(63)))
+    bits_ref = ray.put(words)
+
+    def count_flagged(batch: pa.Table) -> pa.Table:
+        w = ray.get(bits_ref)
+        ids = batch["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % bench_mod != 0)
+        texts = [t if t is not None else ""
+                 for t in batch["text"].take(pa.array(sel)).to_pylist()]
+        d_idx, sh = flat_word_shingles(texts, ngram)  # per-doc distinct
+        hit = np.ones(len(sh), dtype=bool)
+        for pos in _bloom_positions(sh, bits_log2, k):
+            hit &= (w[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        doc, n = segment_reduce(d_idx[hit], np.ones(int(hit.sum()),
+                                                    np.int64), "sum")
+        return pa.table({"doc_id": pa.array(ids[sel][doc], pa.int64()),
+                         "n_flagged": pa.array(n, pa.int64())})
+
+    return docs_ds.map_batches(count_flagged, batch_format="pyarrow")
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 def embedding_near_dup_pairs_exact(embeddings_path: str, *, threshold: float = 0.9):

@@ -813,6 +813,16 @@ def q_doc_decontam(sf_dir: str):
     return decontaminate(_docs_ds(sf_dir), bench_mod=50, ngram=3)
 
 
+def q_doc_bloom_decontam(sf_dir: str):
+    """Bloom-filter decontamination (functions/dedup.bloom_decontaminate):
+    the bounded-broadcast scale path — benchmark shingles folded into a
+    fixed 2^22-bit filter, probed shuffle-free. Deterministic double
+    hashing means the SQL oracle reproduces it exactly, false positives
+    included."""
+    from gunrock_ray.functions.dedup import bloom_decontaminate
+    return bloom_decontaminate(_docs_ds(sf_dir), bench_mod=50, ngram=3)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard pairs >= 1/50 over doc_id < 60 (the
     validation baseline for the MinHash scale path; integer inter/union AND
@@ -1704,6 +1714,47 @@ def _decontam_sql(bench_mod: int = 50) -> str:
         "FROM shd JOIN bsh USING (s) GROUP BY shd.doc_id")
 
 
+def _bloom_decontam_sql(bench_mod: int = 50, bits_log2: int = 22,
+                        k: int = 4) -> str:
+    """Bloom-decontamination oracle, exact to the bit: the same shingle
+    chain (``sh``), then the Kirsch–Mitzenmacher positions
+    (h1 + j*h2) mod 2^bits_log2 with h1/h2 the two staged splitmix64
+    pipelines (h2 seeded by xor with the filter salt); a doc shingle is
+    flagged iff ALL k of its positions appear among the benchmark-set
+    positions. HUGEINT keeps h1 + j*h2 exact; 2^bits_log2 divides 2^64 so
+    the engine's uint64 wrap yields the same modulus."""
+    from gunrock_ray.functions.dedup import _BLOOM_SALT
+    m = 1 << bits_log2
+    salt = int(_BLOOM_SALT)
+    gold = 0x9E3779B97F4A7C15
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        f"bench AS (SELECT doc_id FROM d WHERE doc_id % {bench_mod} = 0), "
+        "us AS (SELECT DISTINCT s FROM sh), "
+        f"b0 AS (SELECT s, {_ADDMOD_SQL('s', gold)} AS z1, "
+        f"{_ADDMOD_SQL(f'xor(s, CAST({salt} AS UBIGINT))', gold)} AS z2 "
+        "FROM us), "
+        f"b1 AS (SELECT s, {_MULMOD_SQL('xor(z1, z1 >> 30)', 0xBF58476D1CE4E5B9)} AS z1, "
+        f"{_MULMOD_SQL('xor(z2, z2 >> 30)', 0xBF58476D1CE4E5B9)} AS z2 FROM b0), "
+        f"b2 AS (SELECT s, {_MULMOD_SQL('xor(z1, z1 >> 27)', 0x94D049BB133111EB)} AS z1, "
+        f"{_MULMOD_SQL('xor(z2, z2 >> 27)', 0x94D049BB133111EB)} AS z2 FROM b1), "
+        "hh AS (SELECT s, xor(z1, z1 >> 31) AS h1, "
+        "       xor(z2, z2 >> 31) AS h2 FROM b2), "
+        "ppos AS (SELECT s, j, CAST((CAST(h1 AS HUGEINT) + "
+        f"CAST(j AS HUGEINT) * CAST(h2 AS HUGEINT)) % {m} AS BIGINT) AS bit "
+        f"FROM hh CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) "
+        "AS j)), "
+        "bsh AS (SELECT DISTINCT s FROM sh JOIN bench USING (doc_id)), "
+        "bbits AS (SELECT DISTINCT bit FROM ppos JOIN bsh USING (s)), "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh "
+        "        WHERE doc_id NOT IN (SELECT doc_id FROM bench)), "
+        "hitk AS (SELECT shd.doc_id, shd.s FROM shd "
+        "         JOIN ppos USING (s) JOIN bbits USING (bit) "
+        f"         GROUP BY shd.doc_id, shd.s HAVING COUNT(*) = {k}) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged "
+        "FROM hitk GROUP BY doc_id")
+
+
 def _minhash_pairs_sql(threshold: float = 0.01) -> str:
     """The FULL MinHash+LSH near-dup pipeline (bands=64, rows=1), end to
     end: per-(hash, minhash-value) buckets pair every member with the bucket
@@ -1967,6 +2018,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_sigs": _minhash_sigs_sql(),
     "minhash_near_dup": _minhash_pairs_sql(),
     "doc_decontam": _decontam_sql(),
+    "doc_bloom_decontam": _bloom_decontam_sql(),
     "doc_repetition": _repetition_sql(),
     "doc_pack": (
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

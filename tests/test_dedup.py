@@ -351,3 +351,68 @@ def test_decontaminate_matches_duckdb_oracle_sf0001():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_shared"].tolist() == want["n_shared"].tolist()
     assert len(got) > 0  # the word-soup corpus genuinely overlaps
+
+
+def test_bloom_decontaminate_planted_and_superset():
+    import ray.data
+    from gunrock_ray.functions.dedup import bloom_decontaminate, decontaminate
+    bench_phrase = "held out benchmark question about graph engines"
+    docs = []
+    for i in range(120):
+        if i % 50 == 0:
+            docs.append(bench_phrase + f" variant {i}")
+        elif i in (7, 83):
+            docs.append(f"prefix {i} " + bench_phrase + " suffix")
+        else:
+            docs.append(f"clean document number {i} with its own words {i}")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = bloom_decontaminate(ds, bench_mod=50, ngram=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # at the default 2^22 bits the FPR is negligible: exactly the planted
+    # docs, with the exact operator's counts
+    assert out["doc_id"].tolist() == [7, 83]
+    assert out["n_flagged"].tolist() == [5, 5]
+    # superset-of-exact invariant holds per doc (n_flagged >= n_shared)
+    exact = decontaminate(ds, bench_mod=50, ngram=3).to_pandas()
+    em = dict(zip(exact["doc_id"], exact["n_shared"]))
+    bm = dict(zip(out["doc_id"], out["n_flagged"]))
+    assert set(em) <= set(bm)
+    assert all(bm[d] >= n for d, n in em.items())
+
+
+def test_bloom_decontaminate_tiny_filter_false_positives():
+    """At 2^6 bits the filter saturates, so unrelated shingles probe to
+    set bits — bloom semantics (superset with false positives), not an
+    exact membership test in disguise. Texts are pairwise shingle-disjoint
+    so the exact operator flags NOTHING (measured: 0 exact vs ~46 bloom
+    rows at 64 bits)."""
+    import ray.data
+    from gunrock_ray.functions.dedup import bloom_decontaminate, decontaminate
+    docs = [" ".join(f"w{i}x{j}" for j in range(10)) for i in range(60)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    exact = decontaminate(ds, bench_mod=50, ngram=3).to_pandas()
+    assert len(exact) == 0
+    tiny = bloom_decontaminate(ds, bench_mod=50, ngram=3,
+                               bits_log2=6).to_pandas()
+    assert len(tiny) > 0  # false positives appeared
+
+
+def test_bloom_decontaminate_matches_duckdb_oracle_sf0001():
+    import duckdb
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    got = r.q_doc_bloom_decontam(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute("SELECT * FROM (" +
+                       r.ORACLE_SQL["doc_bloom_decontam"] +
+                       ") ORDER BY doc_id").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_flagged"].tolist() == want["n_flagged"].tolist()
+    assert len(got) > 0
