@@ -345,6 +345,11 @@ def cmd_stats(args) -> dict:
     elif args.op == "quantiles":
         res = cs.token_quantiles(
             docs, qs=tuple(int(q) for q in args.quantiles.split(",")))
+    elif args.op == "gquantiles":
+        src_docs = ray.data.read_parquet(
+            args.input, columns=["doc_id", "text", "source"])
+        res = cs.grouped_token_quantiles(
+            src_docs, qs=tuple(int(q) for q in args.quantiles.split(",")))
     elif args.op == "sample":
         res = cs.sample_docs(docs, pct=args.pct, seed=args.seed)
     elif args.op == "stratified":
@@ -484,8 +489,8 @@ def main(argv=None) -> None:
                         "Parquet: vocabulary / n-grams / quantiles / "
                         "deterministic sample / TF-IDF")
     st.add_argument("--op", required=True,
-                    choices=["vocab", "ngrams", "quantiles", "sample",
-                             "stratified", "tfidf"])
+                    choices=["vocab", "ngrams", "quantiles", "gquantiles",
+                             "sample", "stratified", "tfidf"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)

@@ -152,6 +152,46 @@ def sample_docs(docs_ds, pct: int = 10, seed: int = 0):
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_token_quantiles(docs_ds, qs=(25, 50, 75, 95),
+                            group_col: str = "source"):
+    """EXACT per-group token-count quantiles — {group, q_pct, v}, the
+    per-source generalization of :func:`token_quantiles` (same integer
+    cross-multiplied threshold: v = smallest count with
+    100·cum ≥ q_pct·n_group).
+
+    Per-batch (group, count) histograms → groupby-sum on the composite key
+    (distinct (source, token-count) pairs are bounded by sources × longest
+    doc, so the folded histogram is tiny) → driver per-group cumsum over
+    that tiny table."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ntok = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
+                           dtype=np.int64, count=len(texts))
+        t = pa.table({group_col: batch[group_col],
+                      "v": pa.array(ntok, pa.int64())})
+        g = t.group_by([group_col, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "v", "cnt"])
+
+    hist = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+            .groupby([group_col, "v"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values([group_col, "v"]))
+    out_g, out_q, out_v = [], [], []
+    for grp, sub in hist.groupby(group_col, sort=True):
+        v = sub["v"].to_numpy()
+        cum = sub["cnt"].to_numpy().cumsum()
+        total = int(cum[-1])
+        for q in qs:
+            pos = np.searchsorted(100 * cum, q * total)
+            out_g.append(grp)
+            out_q.append(int(q))
+            out_v.append(int(v[min(pos, len(v) - 1)]))
+    return pa.table({group_col: pa.array(out_g, pa.string()),
+                     "q_pct": pa.array(out_q, pa.int64()),
+                     "v": pa.array(out_v, pa.int64())})
+
+
 def stratified_sample(docs_ds, rates: dict[str, int], *,
                       default_pct: int = 0, seed: int = 0):
     """Deterministic stratified sample — the domain-mixing primitive of a

@@ -1014,6 +1014,16 @@ _STRAT_RATES = {"src0": 80, "src3": 50, "src7": 20}
 _STRAT_DEFAULT = 10
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT per-source token-count quantiles {source, q_pct, v} — the
+    grouped generalization of q_token_quantiles, same integer
+    cross-multiplied threshold, SQL-checked against a PARTITION BY window
+    oracle."""
+    from gunrock_ray.functions.corpus_stats import grouped_token_quantiles
+    return grouped_token_quantiles(_docs_ds(sf_dir,
+                                            ("doc_id", "text", "source")))
+
+
 def q_doc_stratified(sf_dir: str):
     """Deterministic stratified (per-source) sample {doc_id, source} —
     mix64(doc_id) % 100 < rate(source) — the domain-mixing primitive;
@@ -2079,6 +2089,19 @@ ORACLE_SQL: dict[str, str] = {
         "q AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct) "
         "SELECT q.q_pct, MIN(w.v) AS v FROM q, n, w "
         "WHERE w.cum * 100 >= q.q_pct * n.n GROUP BY q.q_pct"
+    ),
+    "grouped_quantiles": (
+        "WITH t AS (SELECT source, "
+        "           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "           AS v FROM documents), "
+        "c AS (SELECT source, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2), "
+        "w AS (SELECT source, v, SUM(cnt) OVER "
+        "      (PARTITION BY source ORDER BY v) AS cum FROM c), "
+        "n AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source), "
+        "q AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct) "
+        "SELECT w.source, q.q_pct, MIN(w.v) AS v "
+        "FROM q CROSS JOIN w JOIN n ON n.source = w.source "
+        "WHERE w.cum * 100 >= q.q_pct * n.n GROUP BY w.source, q.q_pct"
     ),
     # splitmix64 reproduced exactly in SQL: UBIGINT xor/shift are native;
     # the two 64×64→64 multiplies split the left operand at 2^32 so every

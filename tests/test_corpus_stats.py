@@ -169,3 +169,28 @@ def test_stratified_sample_rule_and_block_invariance():
     assert again == got
     # source column carried through
     assert set(out.columns) == {"doc_id", "source"}
+
+
+def test_grouped_token_quantiles_matches_numpy():
+    import ray.data
+    from gunrock_ray.functions.corpus_stats import grouped_token_quantiles
+    rng = np.random.default_rng(11)
+    texts, srcs = [], []
+    for i in range(300):
+        texts.append(" ".join("w" for _ in range(int(rng.integers(0, 40)))))
+        srcs.append(f"g{i % 3}")
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(srcs, pa.string())})
+    out = grouped_token_quantiles(
+        ray.data.from_arrow(t).repartition(5)).to_pandas()
+    got = {(r.source, r.q_pct): r.v for r in out.itertuples()}
+    ntok = np.array([len(x.split()) for x in texts])
+    for g in ("g0", "g1", "g2"):
+        vals = np.sort(ntok[np.array(srcs) == g])
+        n = len(vals)
+        for q in (25, 50, 75, 95):
+            # smallest v with 100*cum >= q*n
+            idx = int(np.ceil(q * n / 100)) - 1
+            assert got[(g, q)] == vals[max(idx, 0)], (g, q)
+    assert len(out) == 12
