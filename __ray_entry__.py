@@ -95,11 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cust_join": r.q_orders_cust_join,        # SQL-checked
         "lineitem_orders_join": r.q_lineitem_orders_join,  # SQL-checked
         "cust_orders_left": r.q_cust_orders_left,        # SQL-checked (LEFT)
+        "cust_orders_semi": r.q_cust_orders_semi,        # SQL-checked (EXISTS)
+        "cust_no_orders_anti": r.q_cust_no_orders_anti,  # SQL-checked (NOT EXISTS)
         "lineitem_agg": r.q_lineitem_agg,  # SQL-checked (pre-agg GROUP BY)
         "distinct_users_hll": r.q_distinct_users_hll,  # SQL-checked (full HLL estimator)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         "events_hopping": r.q_events_hopping,  # SQL-checked (sliding windows)
+        "events_cumsum": r.q_events_cumsum,  # SQL-checked (running totals)
         # training-data operators over documents/embeddings
         "doc_sha": r.q_doc_sha,
         "doc_redact": r.q_doc_redact,  # SQL-checked (ordered regex fold + sha)

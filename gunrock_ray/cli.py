@@ -265,6 +265,11 @@ def cmd_events(args) -> dict:
                                    columns=["user_id", "ts", "value"])
         res = hopping_window_agg(ev, window_us=args.window_us,
                                  hop_us=args.hop_us)
+    elif args.op == "cumsum":
+        from gunrock_ray.functions.windows import cumulative_agg
+        ev = ray.data.read_parquet(
+            args.input, columns=["event_id", "user_id", "ts", "value"])
+        res = cumulative_agg(ev)
     elif args.op == "sessions":
         from gunrock_ray.functions.windows import sessionize
         ev = ray.data.read_parquet(args.input, columns=["user_id", "ts"])
@@ -475,8 +480,8 @@ def main(argv=None) -> None:
     evp = sub.add_parser("events", help="windowed aggregates / sessionization "
                          "/ as-of / range joins over an events Parquet")
     evp.add_argument("--op", required=True,
-                     choices=["window", "hopping", "sessions", "asof",
-                              "range"])
+                     choices=["window", "hopping", "cumsum", "sessions",
+                              "asof", "range"])
     evp.add_argument("--input", required=True)
     evp.add_argument("--out", default="/tmp/gunrock_ray_events")
     evp.add_argument("--window-us", type=int, default=3_600_000_000)

@@ -229,6 +229,60 @@ def broadcast_join(big_ds, small: pa.Table, *, on: str, right_on: str,
     return big_ds.map_batches(probe_batch, batch_format="pyarrow")
 
 
+def semi_join(left_ds, right_ds, *, on: str, right_on: str,
+              anti: bool = False, num_buckets: int = 64):
+    """left SEMI (or ANTI) join right on integer keys: left rows with at
+    least one (``anti=False``) / no (``anti=True``) match in right,
+    emitted once each with the LEFT schema only — the EXISTS / NOT EXISTS
+    filter.
+
+    Scale shape: the right side is reduced to DISTINCT keys per batch
+    before it ships (nothing else of the right row moves), both sides are
+    routed to coarse hash buckets of the key, and one cogroup shuffle
+    resolves each bucket with a vectorized ``np.isin`` — no row
+    duplication, m:n right keys cost one key per bucket. For a small
+    right side prefer broadcasting its key set into a ``map_batches``
+    filter (see functions.dedup.decontaminate for the pattern)."""
+    lsch = left_ds.schema()
+    lnames = list(lsch.names)
+    fields = list(zip(lsch.names, lsch.types))
+    nb = np.uint64(num_buckets)
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        k = t[on].to_numpy().astype(np.uint64)
+        cols = {n: t[n] for n in lnames}
+        cols["__side"] = pa.array(np.zeros(len(t), np.int8))
+        cols["__bkt"] = pa.array((mix64(k) % nb).astype(np.int64))
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        k = np.unique(t[right_on].to_numpy())
+        cols = {}
+        for n, typ in fields:
+            cols[n] = (pa.array(k).cast(typ) if n == on
+                       else pa.nulls(len(k), typ))
+        cols["__side"] = pa.array(np.ones(len(k), np.int8))
+        cols["__bkt"] = pa.array(
+            (mix64(k.astype(np.uint64)) % nb).astype(np.int64))
+        return pa.table(cols)
+
+    unioned = (left_ds.map_batches(pad_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(pad_right,
+                                           batch_format="pyarrow")))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy()
+        keys = g[on].to_numpy()
+        rk = np.unique(keys[side == 1])
+        lsel = np.flatnonzero(side == 0)
+        hit = np.isin(keys[lsel], rk)
+        keep = lsel[~hit] if anti else lsel[hit]
+        return g.take(pa.array(keep)).drop_columns(["__side", "__bkt"])
+
+    return unioned.groupby("__bkt").map_groups(filter_bucket,
+                                               batch_format="pyarrow")
+
+
 def hash_join(left_ds, right_ds, *, on: str, right_on: str,
               how: str = "inner", num_buckets: int = 64):
     """left ⋈ right on integer keys when BOTH sides are large: each side is

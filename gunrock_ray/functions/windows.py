@@ -92,6 +92,60 @@ def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
                        Sum("cents", alias_name="sum_cents")))
 
 
+def cumulative_agg(events_ds, num_buckets: int = 64):
+    """Per-user running totals — the batch expression of the
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` window: returns one row per event
+    {event_id, user_id, cum_cents, rn} where ``cum_cents`` is the exact
+    integer-cent running sum over the user's events up to and including
+    this one and ``rn`` the 1-based rank, both under the deterministic
+    (ts, event_id) order.
+
+    Same partitioning assumption and shuffle profile as
+    :func:`sessionize`: one coarse hash-bucket cogroup co-locates each
+    user's history; inside a bucket every user is handled in one
+    vectorized lexsort + segment-cumsum pass (no per-user loop)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "cents": pa.array(cents),
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def cum_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, t, eid, cents = u[order], t[order], eid[order], cents[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0:1] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(u)]]))
+        cum = np.cumsum(cents)
+        # subtract the running total as of just before each segment start
+        base = np.repeat(cum[starts] - cents[starts], lens)
+        rn = np.arange(len(u)) - np.repeat(starts, lens) + 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "cum_cents": pa.array(cum - base, pa.int64()),
+            "rn": pa.array(rn, pa.int64()),
+        })
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(cum_of_bucket,
+                                       batch_format="pyarrow"))
+
+
 def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int = 64):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.

@@ -516,6 +516,53 @@ def q_events_hopping(sf_dir: str):
                               hop_us=900_000_000)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Per-user running totals under the deterministic (ts, event_id)
+    order — one row per event {event_id, user_id, cum_cents, rn} —
+    SQL-checked against SUM/ROW_NUMBER OVER (PARTITION BY ... ROWS
+    UNBOUNDED PRECEDING)."""
+    import ray.data
+    from gunrock_ray.functions.windows import cumulative_agg
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return cumulative_agg(ev)
+
+
+def q_cust_orders_semi(sf_dir: str):
+    """Customers with at least one order (EXISTS) via the cogrouped
+    semi-join — {c_custkey, c_name}, SQL-checked."""
+    import ray.data
+    from gunrock_ray.functions.joins import semi_join
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey"])
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey")
+
+
+def q_cust_no_orders_anti(sf_dir: str):
+    """Customers with NO order above 300k (NOT EXISTS over a filtered
+    right side — every customer has SOME order in the synthetic data, so
+    the unfiltered anti-join would be vacuously empty) via the cogrouped
+    anti-join — {c_custkey, c_name}, SQL-checked."""
+    import ray.data
+    from gunrock_ray.functions.joins import semi_join
+
+    def big(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater(batch["o_totalprice"], 300000.0)
+        return batch.filter(keep).select(["o_custkey"])
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"]
+    ).map_batches(big, batch_format="pyarrow")
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     anti=True)
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based session windows (30-min inactivity gap) per user —
     {user_id, session_start_us, n_events}, SQL-checked against a LAG +
@@ -1947,6 +1994,24 @@ ORACLE_SQL: dict[str, str] = {
         "      FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) "
         "SELECT user_id, w_start_us, COUNT(*) AS n_events, "
         "SUM(cents) AS sum_cents FROM r GROUP BY 1, 2"
+    ),
+    "events_cumsum": (
+        "SELECT event_id, user_id, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum_cents, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn "
+        "FROM events"
+    ),
+    "cust_orders_semi": (
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "cust_no_orders_anti": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 300000)"
     ),
     "events_sessions": (
         "WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events), "

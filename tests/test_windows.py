@@ -343,3 +343,60 @@ def test_hopping_window_rejects_nondivisor_hop():
     with pytest.raises(ValueError):
         hopping_window_agg(ds, window_us=US_PER_HOUR,
                            hop_us=US_PER_HOUR // 4 + 1)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 8), max_size=30),
+       st.lists(st.integers(0, 10), max_size=20),
+       st.booleans())
+def test_semi_anti_join_property_vs_pandas(lkeys, rkeys, anti):
+    """semi_join reproduces EXISTS / NOT EXISTS exactly on arbitrary m:n
+    key multisets: left rows kept once each, left schema only."""
+    import pandas as pd
+    import ray.data
+    from gunrock_ray.functions.joins import semi_join
+
+    L = pd.DataFrame({"k": pd.array(lkeys, dtype="int64"),
+                      "lv": pd.array(range(len(lkeys)), dtype="int64")})
+    R = pd.DataFrame({"rk": pd.array(rkeys, dtype="int64")})
+    mask = L["k"].isin(set(rkeys))
+    exp = L[~mask] if anti else L[mask]
+
+    got = semi_join(ray.data.from_pandas(L), ray.data.from_pandas(R),
+                    on="k", right_on="rk", anti=anti,
+                    num_buckets=4).to_pandas()
+    if len(exp) == 0:
+        assert len(got) == 0
+    else:
+        assert list(got.columns) == ["k", "lv"]
+        assert _canon_frames(exp).equals(_canon_frames(got))
+
+
+def test_cumulative_agg_matches_bruteforce():
+    from gunrock_ray.functions.windows import cumulative_agg
+    import ray.data
+    rng = np.random.default_rng(5)
+    n = 250
+    users = rng.integers(0, 12, n)
+    ts = rng.integers(0, 100, n)  # many ties -> event_id tiebreak matters
+    vals = np.round(rng.uniform(0, 9, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    })
+    out = cumulative_agg(ray.data.from_arrow(t).repartition(5),
+                         num_buckets=4).to_pandas()
+    got = {r.event_id: (r.cum_cents, r.rn) for r in out.itertuples()}
+    cents = np.round(vals * 100).astype(np.int64)
+    order = np.lexsort((np.arange(n), ts, users))
+    run: dict = {}
+    exp = {}
+    for i in order:
+        u = users[i]
+        tot, cnt = run.get(u, (0, 0))
+        tot, cnt = tot + cents[i], cnt + 1
+        run[u] = (tot, cnt)
+        exp[i] = (tot, cnt)
+    assert len(got) == n and got == exp
