@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample10": r.q_doc_sample10,  # SQL-checked (splitmix64 in SQL)
         "doc_stratified": r.q_doc_stratified,  # SQL-checked (per-source rates)
         "grouped_quantiles": r.q_grouped_quantiles,  # SQL-checked (per-source)
+        "doc_repeat_mix": r.q_doc_repeat_mix,  # SQL-checked (epoch mixing)
         "tfidf_top3": r.q_tfidf_top3,      # SQL-checked (ROW_NUMBER oracle)
     }
 

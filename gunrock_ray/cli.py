@@ -367,6 +367,17 @@ def cmd_stats(args) -> dict:
                                          columns=["doc_id", "source"])
         res = cs.stratified_sample(src_docs, rates, default_pct=args.pct,
                                    seed=args.seed)
+    elif args.op == "repeat":
+        pm = {}
+        if args.rates:
+            for kv in args.rates.split(","):
+                k, v = kv.split("=")
+                pm[k] = int(v)
+        src_docs = ray.data.read_parquet(args.input,
+                                         columns=["doc_id", "source"])
+        res = cs.repeat_factor_sample(src_docs, pm,
+                                      default_permille=1000,
+                                      seed=args.seed)
     else:                                    # tfidf
         res = cs.tfidf_topk(docs, k=args.k)
     rows = _write_result(args.out, res)
@@ -495,7 +506,7 @@ def main(argv=None) -> None:
                         "deterministic sample / TF-IDF")
     st.add_argument("--op", required=True,
                     choices=["vocab", "ngrams", "quantiles", "gquantiles",
-                             "sample", "stratified", "tfidf"])
+                             "sample", "stratified", "repeat", "tfidf"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)

@@ -224,6 +224,44 @@ def stratified_sample(docs_ds, rates: dict[str, int], *,
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def repeat_factor_sample(docs_ds, factors_permille: dict[str, int], *,
+                         default_permille: int = 1000, seed: int = 0):
+    """Fractional up/down-sampling by repeat factor — the epoch-mixing
+    primitive of a training-data pipeline: a doc whose source has factor
+    f (in permille, e.g. 2300 = 2.3x) emits ``floor(f/1000)`` copies plus
+    one more iff ``mix64(doc_id ^ seed) % 1000 < f mod 1000``. Returns
+    {doc_id, source, copy} with copy = 0..c-1 (docs with c = 0 vanish —
+    f < 1000 is a downsample).
+
+    Integer permille keeps the fractional draw exact (no float boundary),
+    so the SQL oracle reproduces it bit-for-bit; like the other samplers
+    this is a pure per-batch projection — no shuffle, no RNG state,
+    invariant to block layout and cluster size."""
+    import pyarrow.compute as pc
+
+    s = np.uint64(seed)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        enc = pc.dictionary_encode(batch["source"].combine_chunks()
+                                   if isinstance(batch["source"],
+                                                 pa.ChunkedArray)
+                                   else batch["source"])
+        pm = np.array([factors_permille.get(v, default_permille)
+                       for v in enc.dictionary.to_pylist()],
+                      dtype=np.int64)[enc.indices.to_numpy()]
+        h = mix64(ids.astype(np.uint64) ^ s) % np.uint64(1000)
+        c = pm // 1000 + (h.astype(np.int64) < pm % 1000)
+        idx = np.repeat(np.arange(len(ids)), c)
+        copy = np.arange(len(idx)) - np.repeat(np.cumsum(c) - c, c)
+        src = batch["source"].take(pa.array(idx))
+        return pa.table({"doc_id": pa.array(ids[idx], pa.int64()),
+                         "source": src,
+                         "copy": pa.array(copy, pa.int64())})
+
+    return docs_ds.map_batches(expand, batch_format="pyarrow")
+
+
 def tfidf_topk(docs_ds, k: int = 3, num_buckets: int = 64):
     """Per-document top-``k`` terms by tf·idf — {doc_id, term, tf, df, rnk}
     (score = tf/df, monotone in tf·idf for a fixed corpus; ties → term asc).

@@ -1081,6 +1081,21 @@ def q_doc_stratified(sf_dir: str):
                              seed=0)
 
 
+# Repeat-factor rule set for the oracled query: 2.3x src0, 0.4x src3,
+# exactly 2x src7, 1x everywhere else — the shape of an epoch-mixing pass.
+_REPEAT_PERMILLE = {"src0": 2300, "src3": 400, "src7": 2000}
+
+
+def q_doc_repeat_mix(sf_dir: str):
+    """Fractional repeat-factor up/down-sampling {doc_id, source, copy} —
+    the epoch-mixing primitive; integer-permille fractional draws via
+    splitmix64, reproduced exactly in the SQL oracle."""
+    from gunrock_ray.functions.corpus_stats import repeat_factor_sample
+    return repeat_factor_sample(_docs_ds(sf_dir, ("doc_id", "source")),
+                                _REPEAT_PERMILLE, default_permille=1000,
+                                seed=0)
+
+
 def q_tfidf_top3(sf_dir: str):
     """Per-doc top-3 terms by tf·idf {doc_id, term, tf, df, rnk} (score =
     tf/df, ties → term asc; integer-and-string output so the ROW_NUMBER
@@ -2190,6 +2205,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, source FROM s2 WHERE xor(z, z >> 31) % 100 < "
         "CASE source WHEN 'src0' THEN 80 WHEN 'src3' THEN 50 "
         "WHEN 'src7' THEN 20 ELSE 10 END"
+    ),
+    "doc_repeat_mix": (
+        "WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "
+        f"s1 AS (SELECT doc_id, source, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT doc_id, source, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "f AS (SELECT doc_id, source, xor(z, z >> 31) % 1000 AS h, "
+        "      CASE source WHEN 'src0' THEN 2300 WHEN 'src3' THEN 400 "
+        "      WHEN 'src7' THEN 2000 ELSE 1000 END AS pm FROM s2), "
+        "c AS (SELECT doc_id, source, pm // 1000 + "
+        "      CASE WHEN CAST(h AS BIGINT) < pm % 1000 THEN 1 ELSE 0 END "
+        "      AS n FROM f) "
+        "SELECT doc_id, source, "
+        "CAST(unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS BIGINT) "
+        "AS copy FROM c"
     ),
     "tfidf_top3": (
         "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "

@@ -194,3 +194,28 @@ def test_grouped_token_quantiles_matches_numpy():
             idx = int(np.ceil(q * n / 100)) - 1
             assert got[(g, q)] == vals[max(idx, 0)], (g, q)
     assert len(out) == 12
+
+
+def test_repeat_factor_sample_rule_and_block_invariance():
+    from gunrock_ray.common import mix64
+    from gunrock_ray.functions.corpus_stats import repeat_factor_sample
+    # s0: 2.5x, s1: 0 (dropped), s2: exactly 3x, s3: default 1x
+    pm = {"s0": 2500, "s1": 0, "s2": 3000}
+    out = repeat_factor_sample(_src_docs_ds(blocks=7), pm,
+                               default_permille=1000, seed=9).to_pandas()
+    ids = np.arange(200)
+    h = mix64(ids.astype(np.uint64) ^ np.uint64(9)) % np.uint64(1000)
+    pm_of = np.array([2500, 0, 3000, 1000])[ids % 4]
+    c = pm_of // 1000 + (h.astype(np.int64) < pm_of % 1000)
+    exp = {(int(i), k) for i in ids for k in range(c[i])}
+    got = {(r.doc_id, r.copy) for r in out.itertuples()}
+    assert got == exp
+    # s1 fully dropped, s2 exactly tripled
+    assert not any(d % 4 == 1 for d, _ in got)
+    assert sum(1 for d, _ in got if d % 4 == 2) == 150
+    # block-layout invariance
+    again = {(r.doc_id, r.copy) for r in
+             repeat_factor_sample(_src_docs_ds(blocks=1), pm,
+                                  default_permille=1000, seed=9)
+             .to_pandas().itertuples()}
+    assert again == got
