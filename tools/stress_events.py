@@ -1,0 +1,114 @@
+"""Scale stress for the event-stream operators (round-2 additions):
+hopping_window_agg, cumulative_agg and semi_join over a deterministic
+synthetic events table (counter-based mix64 — reproducible at any block
+layout, like sources.generators).
+
+Usage: python tools/stress_events.py [n_events] [num_cpus]
+
+Generates {event_id, user_id, ts, value} parquet under /tmp once (reused
+across runs), then times each operator end-to-end (read -> operator ->
+count consume) and prints one JSON line per operator plus a total. The
+point is linearity evidence at the 100-TB shape: per-batch projections +
+one coarse groupby, nothing driver-side."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+US_PER_HOUR = 3_600_000_000
+
+
+def gen_events(path: str, n: int, num_users: int) -> None:
+    import ray.data
+    from gunrock_ray.common import mix64
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        h = mix64(ids.astype(np.uint64))
+        u = (h % np.uint64(num_users)).astype(np.int64)
+        ts = ((mix64(h) % np.uint64(240 * US_PER_HOUR))
+              .astype(np.int64))  # 10 days of traffic
+        val = (h % np.uint64(100000)).astype(np.float64) / 100.0
+        return pa.table({
+            "event_id": pa.array(ids),
+            "user_id": pa.array(u),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "value": pa.array(val),
+        })
+
+    (ray.data.range(n, override_num_blocks=max(32, n // 1_000_000))
+     .map_batches(make, batch_format="pyarrow").write_parquet(path))
+    open(os.path.join(path, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    import ray
+    import ray.data
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    path = f"/tmp/gunrock_ray_bench/events_{n}"
+    gen_events(path, n, num_users=max(1000, n // 20))
+
+    from gunrock_ray.functions.windows import (hopping_window_agg,
+                                               cumulative_agg)
+    from gunrock_ray.functions.joins import semi_join
+
+    def ev(cols):
+        return ray.data.read_parquet(path, columns=cols)
+
+    results = {}
+
+    t0 = time.perf_counter()
+    rows = hopping_window_agg(ev(["user_id", "ts", "value"]),
+                              window_us=US_PER_HOUR,
+                              hop_us=US_PER_HOUR // 4).count()
+    dt = time.perf_counter() - t0
+    results["hopping_window"] = {"rows_out": rows, "sec": round(dt, 2),
+                                 "events_per_sec": int(n / dt)}
+
+    t0 = time.perf_counter()
+    rows = cumulative_agg(ev(["event_id", "user_id", "ts", "value"]),
+                          num_buckets=4 * cpus).count()
+    dt = time.perf_counter() - t0
+    results["cumulative_agg"] = {"rows_out": rows, "sec": round(dt, 2),
+                                 "events_per_sec": int(n / dt)}
+
+    # semi-join: events (left, big) vs a 1%-of-users reference set (right)
+    def ref_users(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({"ref_user": pa.array(u[u % 100 == 0])})
+
+    t0 = time.perf_counter()
+    rows = semi_join(ev(["event_id", "user_id"]),
+                     ev(["user_id"]).map_batches(ref_users,
+                                                 batch_format="pyarrow"),
+                     on="user_id", right_on="ref_user",
+                     num_buckets=4 * cpus).count()
+    dt = time.perf_counter() - t0
+    results["semi_join"] = {"rows_out": rows, "sec": round(dt, 2),
+                            "events_per_sec": int(n / dt)}
+
+    print(json.dumps({"n_events": n, "num_cpus": cpus, "ops": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
