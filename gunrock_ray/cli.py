@@ -49,9 +49,53 @@ def _load_edges(args):
     elif fmt == "mtx":
         from gunrock_ray.sources.market import read_market
         edges, vertices, _ = read_market(args.input, weighted=args.weighted)
+    elif fmt == "snap":
+        from gunrock_ray.sources.market import read_snap
+        edges = read_snap(args.input)
     else:  # pragma: no cover
         raise SystemExit(f"unknown --input-format {fmt}")
     return edges, vertices
+
+
+def cmd_convert(args) -> dict:
+    """Graph-format conversion (the reference's tools/ converters):
+    mtx|snap|parquet → mtx|snap|parquet. Parquet is the scale format; the
+    text formats are conformance/interchange, written driver-side."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from gunrock_ray.sources import market as mkt
+    t0 = time.perf_counter()
+    if args.from_format == "mtx":
+        edges, _, _ = mkt.read_market(args.input)
+    elif args.from_format == "snap":
+        edges = mkt.read_snap(args.input)
+    else:
+        edges = ray.data.read_parquet(args.input, columns=["src", "dst"])
+    if args.to_format == "parquet":
+        edges.write_parquet(args.out)
+        rows = ray.data.read_parquet(args.out).count()
+    else:
+        # text formats are single-file interchange, materialized driver-
+        # side by design (like the reference's converters); empty Ray
+        # blocks carry no schema and would break the concat
+        parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_columns]
+        tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64())}))
+        if args.to_format == "mtx":
+            mkt.write_market(tbl, args.out)
+        else:
+            mkt.write_snap(tbl, args.out)
+        rows = len(tbl)
+    summary = {"cmd": "convert", "from": args.from_format,
+               "to": args.to_format, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
 
 
 def cmd_run(args) -> dict:
@@ -396,7 +440,7 @@ def main(argv=None) -> None:
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
-                     choices=["edges", "corpus", "mtx"])
+                     choices=["edges", "corpus", "mtx", "snap"])
     run.add_argument("--out", default="/tmp/gunrock_ray_out")
     run.add_argument("--partitions", type=int, default=None)
     run.add_argument("--spill-dir", default=None)
@@ -516,7 +560,18 @@ def main(argv=None) -> None:
     st.add_argument("--seed", type=int, default=0)
     st.add_argument("--rates", default="",
                     help="per-source keep rates for --op stratified, e.g. "
-                         "'src0=80,src3=50,src7=20' (others use --pct)")
+                         "'src0=80,src3=50,src7=20' (others use --pct); "
+                         "for --op repeat the values are permille repeat "
+                         "factors (2300 = 2.3x)")
+
+    cv = sub.add_parser("convert", help="graph-format conversion "
+                        "(mtx | snap | parquet edge tables)")
+    cv.add_argument("--input", required=True)
+    cv.add_argument("--from-format", required=True,
+                    choices=["mtx", "snap", "parquet"])
+    cv.add_argument("--to-format", required=True,
+                    choices=["mtx", "snap", "parquet"])
+    cv.add_argument("--out", required=True)
     st.add_argument("--k", type=int, default=3)
 
     args = ap.parse_args(argv)
@@ -534,6 +589,8 @@ def main(argv=None) -> None:
         cmd_events(args)
     elif args.cmd == "stats":
         cmd_stats(args)
+    elif args.cmd == "convert":
+        cmd_convert(args)
 
 
 if __name__ == "__main__":

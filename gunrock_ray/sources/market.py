@@ -231,3 +231,45 @@ def write_labels(labels: pa.Table, path: str) -> None:
         f.write(f"{len(v)} {len(v)}\n")
         for i in order:
             f.write(f"{v[i]} {lab[i]}\n")
+
+
+# --------------------------------------------------- SNAP edge-list format
+
+def parse_snap_bytes(data: bytes) -> pa.Table:
+    """SNAP/PowerGraph edge-list text → {src, dst}: '#'-comment lines,
+    whitespace-separated 0-indexed ``src dst`` pairs, one per line (any
+    extra columns ignored) — the output format of the reference's
+    `tools/matrix2snap.py` (symmetric inputs arrive pre-expanded there;
+    this parser takes lines as-is and leaves normalization to the build,
+    like the .mtx path)."""
+    text = data.decode("utf-8", "ignore")
+    rows = [ln.split() for ln in text.splitlines()
+            if ln.strip() and not ln.lstrip().startswith("#")]
+    src = np.array([int(c[0]) for c in rows], dtype=np.int64)
+    dst = np.array([int(c[1]) for c in rows], dtype=np.int64)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+def read_snap(path: str):
+    """SNAP edge-list file(s) → edges Dataset {src, dst}; ``path`` may be
+    a file or a directory (one parse task per file, like read_market)."""
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_snap_bytes(b.as_py()) for b in batch["bytes"]]
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def write_snap(edges: pa.Table, path: str) -> None:
+    """Edge table → SNAP edge-list text (0-indexed, '#' header) —
+    round-trip partner of :func:`read_snap`, matching
+    `tools/matrix2snap.py`'s output shape."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    with open(path, "w") as f:
+        f.write("# SNAP edge list (src dst, 0-indexed)\n")
+        for i in range(len(src)):
+            f.write(f"{src[i]} {dst[i]}\n")

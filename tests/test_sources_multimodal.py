@@ -3,9 +3,12 @@ SSSP near-far split."""
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pyarrow as pa
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from gunrock_ray.sources.market import (
     read_market, write_market, parse_market_header, parse_market_bytes)
@@ -303,3 +306,41 @@ def test_label_stream_roundtrip(tmp_path):
     write_labels(tbl, str(q))
     rt = read_labels(str(q)).to_pandas().sort_values("v")
     assert rt["label"].tolist() == [10, 20, 30]
+
+
+def test_snap_roundtrip_and_convert_cli(tmp_path):
+    """SNAP edge-list reader/writer round-trip + the CLI convert surface
+    (mtx -> snap -> parquet), matching tools/matrix2snap.py semantics
+    ('#' comments, 0-indexed pairs)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from gunrock_ray.sources.market import (write_snap, read_snap,
+                                            parse_snap_bytes, write_market)
+
+    edges = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    snap = tmp_path / "g.edges"
+    write_snap(edges, str(snap))
+    back = read_snap(str(snap)).to_pandas().sort_values(
+        ["src", "dst"]).reset_index(drop=True)
+    assert back["src"].tolist() == [0, 1, 2, 2]
+    assert back["dst"].tolist() == [1, 2, 0, 3]
+    # comment lines and extra columns are ignored
+    t = parse_snap_bytes(b"# c\n0 1 99\n\n2 3\n")
+    assert t["src"].to_pylist() == [0, 2] and t["dst"].to_pylist() == [1, 3]
+
+    mtx = tmp_path / "g.mtx"
+    write_market(edges, str(mtx))
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [_sys.executable, "-m", "gunrock_ray.cli", "convert",
+         "--input", str(mtx), "--from-format", "mtx",
+         "--to-format", "snap", "--out", str(tmp_path / "g2.edges")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rows"] == 4
+    again = read_snap(str(tmp_path / "g2.edges")).to_pandas().sort_values(
+        ["src", "dst"]).reset_index(drop=True)
+    assert again.equals(back)
