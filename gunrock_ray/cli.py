@@ -69,12 +69,29 @@ def cmd_convert(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.sources import market as mkt
     t0 = time.perf_counter()
+    weighted_in = args.weights != "remove"
     if args.from_format == "mtx":
+        # mtx weights only survive via --weights add (the reference's
+        # associate_weights path); keep/remove read src/dst only
         edges, _, _ = mkt.read_market(args.input)
     elif args.from_format == "snap":
         edges = mkt.read_snap(args.input)
     else:
-        edges = ray.data.read_parquet(args.input, columns=["src", "dst"])
+        import pyarrow.parquet as pq
+        have_w = "w" in pq.read_schema(
+            args.input if os.path.isfile(args.input)
+            else os.path.join(args.input,
+                              sorted(os.listdir(args.input))[0])).names
+        cols = ["src", "dst"] + (["w"] if have_w and weighted_in else [])
+        edges = ray.data.read_parquet(args.input, columns=cols)
+    if args.weights == "add":
+        from gunrock_ray.sources.generators import add_weights
+
+        def attach(t: pa.Table) -> pa.Table:
+            return add_weights(t.select(["src", "dst"]),
+                               seed=args.weight_seed)
+
+        edges = edges.map_batches(attach, batch_format="pyarrow")
     if args.to_format == "parquet":
         edges.write_parquet(args.out)
         rows = ray.data.read_parquet(args.out).count()
@@ -87,7 +104,8 @@ def cmd_convert(args) -> dict:
                else pa.table({"src": pa.array([], pa.int64()),
                               "dst": pa.array([], pa.int64())}))
         if args.to_format == "mtx":
-            mkt.write_market(tbl, args.out)
+            mkt.write_market(tbl, args.out,
+                             weighted="w" in tbl.column_names)
         else:
             mkt.write_snap(tbl, args.out)
         rows = len(tbl)
@@ -572,6 +590,12 @@ def main(argv=None) -> None:
     cv.add_argument("--to-format", required=True,
                     choices=["mtx", "snap", "parquet"])
     cv.add_argument("--out", required=True)
+    cv.add_argument("--weights", default="keep",
+                    choices=["keep", "add", "remove"],
+                    help="keep = pass w through (parquet only), add = "
+                         "attach deterministic [1,64] weights (the "
+                         "reference's associate_weights), remove = strip")
+    cv.add_argument("--weight-seed", type=int, default=42)
     st.add_argument("--k", type=int, default=3)
 
     args = ap.parse_args(argv)
