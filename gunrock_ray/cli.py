@@ -50,6 +50,10 @@ def _load_edges(args):
         from gunrock_ray.sources.market import read_market
         edges, vertices, _ = read_market(args.input, weighted=args.weighted)
     elif fmt == "snap":
+        if args.weighted:
+            raise SystemExit("SNAP edge lists carry no weights; convert "
+                             "with `gunrock_ray convert --weights add` "
+                             "first or use --input-format edges")
         from gunrock_ray.sources.market import read_snap
         edges = read_snap(args.input)
     else:  # pragma: no cover
@@ -69,7 +73,6 @@ def cmd_convert(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.sources import market as mkt
     t0 = time.perf_counter()
-    weighted_in = args.weights != "remove"
     if args.from_format == "mtx":
         # mtx weights only survive via --weights add (the reference's
         # associate_weights path); keep/remove read src/dst only
@@ -77,12 +80,12 @@ def cmd_convert(args) -> dict:
     elif args.from_format == "snap":
         edges = mkt.read_snap(args.input)
     else:
-        import pyarrow.parquet as pq
-        have_w = "w" in pq.read_schema(
-            args.input if os.path.isfile(args.input)
-            else os.path.join(args.input,
-                              sorted(os.listdir(args.input))[0])).names
-        cols = ["src", "dst"] + (["w"] if have_w and weighted_in else [])
+        # probe the schema through the same reader that does the read
+        # (listdir would trip over markers/subdirs the reader ignores);
+        # w is only worth scanning when it survives to the output
+        have_w = "w" in ray.data.read_parquet(args.input).schema().names
+        cols = (["src", "dst"] +
+                (["w"] if have_w and args.weights == "keep" else []))
         edges = ray.data.read_parquet(args.input, columns=cols)
     if args.weights == "add":
         from gunrock_ray.sources.generators import add_weights
@@ -93,8 +96,7 @@ def cmd_convert(args) -> dict:
 
         edges = edges.map_batches(attach, batch_format="pyarrow")
     if args.to_format == "parquet":
-        edges.write_parquet(args.out)
-        rows = ray.data.read_parquet(args.out).count()
+        rows = _write_result(args.out, edges)
     else:
         # text formats are single-file interchange, materialized driver-
         # side by design (like the reference's converters); empty Ray

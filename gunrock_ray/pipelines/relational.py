@@ -2100,6 +2100,8 @@ ORACLE_SQL: dict[str, str] = {
         "      / (s_nz + (16384 - used)) AS raw FROM agg) "
         "SELECT CAST(CASE WHEN raw <= 2.5 * 16384 AND zeros > 0 "
         "THEN round(16384.0 * ln(16384.0 / zeros)) "
+        "WHEN raw > 4294967296.0 / 30.0 "
+        "THEN round(-4294967296.0 * ln(1.0 - raw / 4294967296.0)) "
         "ELSE round(raw) END AS BIGINT) AS n_distinct_est FROM f"
     ),
     # dedup signature stages bit-for-bit (hash_words fold + seeded mix /

@@ -245,6 +245,10 @@ def parse_snap_bytes(data: bytes) -> pa.Table:
     text = data.decode("utf-8", "ignore")
     rows = [ln.split() for ln in text.splitlines()
             if ln.strip() and not ln.lstrip().startswith("#")]
+    for c in rows:
+        if len(c) < 2:
+            raise ValueError(
+                f"bad SNAP edge line (need 'src dst'): {' '.join(c)!r}")
     src = np.array([int(c[0]) for c in rows], dtype=np.int64)
     dst = np.array([int(c[1]) for c in rows], dtype=np.int64)
     return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
