@@ -391,6 +391,10 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.dedup import bloom_decontaminate
         res = bloom_decontaminate(docs, bench_mod=args.decontam_mod or 50,
                                   bits_log2=args.bloom_bits_log2)
+    elif args.op == "segdedup":
+        from gunrock_ray.functions.dedup import segment_dedup
+        res = segment_dedup(docs, sep=args.seg_sep,
+                            min_docs=args.seg_min_docs)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -528,9 +532,14 @@ def main(argv=None) -> None:
     ana.add_argument("--input", required=True)
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
-                              "bloom-decontam"])
+                              "bloom-decontam", "segdedup"])
     ana.add_argument("--decontam-mod", type=int, default=None)
     ana.add_argument("--bloom-bits-log2", type=int, default=22)
+    ana.add_argument("--seg-sep", default="\n",
+                     help="segment separator for --op segdedup "
+                          "(default newline = C4-style line dedup)")
+    ana.add_argument("--seg-min-docs", type=int, default=2,
+                     help="drop segments in >= this many distinct docs")
     ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
 
     cur = sub.add_parser("curate", help="dedup + quality-filter a documents "

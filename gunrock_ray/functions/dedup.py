@@ -715,6 +715,87 @@ def decontaminate(docs_ds, *, bench_mod: int = 50,
     return docs_ds.map_batches(count_shared, batch_format="pyarrow")
 
 
+def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
+    """Boilerplate-segment removal by document frequency — the C4/CCNet
+    line-dedup pass generalized over the split separator: every segment
+    (text split on ``sep``, Python ``str.split(sep)`` semantics including
+    empty fields) that occurs in >= ``min_docs`` DISTINCT documents is
+    dropped from ALL documents; the survivors are reassembled in order.
+    Returns {doc_id, n_kept, n_dropped, new_sha} with ``new_sha`` the
+    sha256 hex of the reassembled text (empty string when nothing
+    survives).
+
+    Scale shape (100 TB): stage 1 ships only (segment-hash,
+    per-batch-distinct-doc-count) pairs — pre-aggregated per batch, then
+    one groupby-sum on the int64 hash. The hot set (df >= min_docs) is
+    boilerplate by definition — far smaller than the corpus — and is
+    broadcast once via ``ray.put``; stage 2 is a shuffle-free vectorized
+    ``np.isin`` filter + reassembly. If min_docs is set so low the hot
+    set stops being small, swap the broadcast for a hash-join on the
+    segment hash (same rows, one extra shuffle). Segments are compared by
+    the 64-bit splitmix fold (hash_words); the SQL oracle reproduces the
+    fold exactly, so both sides agree even on the astronomically-unlikely
+    collision."""
+    import ray
+    from ray.data.aggregate import Sum
+    from gunrock_ray.common import sha256_column
+
+    def split_batch(batch: pa.Table):
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
+        per_doc = [t.split(sep) for t in texts]
+        lens = np.fromiter((len(p) for p in per_doc), np.int64,
+                           count=len(per_doc))
+        h = hash_words([s for p in per_doc for s in p])
+        d_idx = np.repeat(np.arange(len(per_doc)), lens)
+        return per_doc, lens, h, d_idx
+
+    def batch_df(batch: pa.Table) -> pa.Table:
+        _, _, h, d_idx = split_batch(batch)
+        order = np.lexsort((h, d_idx))
+        dd, hh = d_idx[order], h[order]
+        first = np.empty(len(dd), dtype=bool)
+        first[0:1] = True
+        first[1:] = (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])
+        uh, cnt = np.unique(hh[first], return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "nd": pa.array(cnt, pa.int64())})
+
+    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
+          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater_equal(batch["nd"], min_docs)
+        return batch.filter(keep).select(["h"])
+
+    hot = (df.map_batches(only_hot, batch_format="pyarrow")
+           .to_pandas()["h"].to_numpy().view(np.uint64))
+    hot_ref = ray.put(np.sort(hot))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        per_doc, lens, h, d_idx = split_batch(batch)
+        drop = np.isin(h, hot_set)
+        texts, n_kept = [], []
+        off = 0
+        for p, ln in zip(per_doc, lens):
+            m = drop[off:off + ln]
+            kept = [s for s, d in zip(p, m) if not d]
+            texts.append(sep.join(kept))
+            n_kept.append(len(kept))
+            off += ln
+        n_kept = np.array(n_kept, np.int64)
+        shas = [s.hex() for s in sha256_column(texts)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_kept": pa.array(n_kept),
+            "n_dropped": pa.array(lens - n_kept),
+            "new_sha": pa.array(shas, pa.string()),
+        })
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
 _BLOOM_SALT = np.uint64(0xA0761D6478BD642F)
 
 

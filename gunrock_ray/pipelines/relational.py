@@ -870,6 +870,18 @@ def q_doc_bloom_decontam(sf_dir: str):
     return bloom_decontaminate(_docs_ds(sf_dir), bench_mod=50, ngram=3)
 
 
+def q_segment_dedup(sf_dir: str):
+    """Boilerplate-segment removal by document frequency
+    (functions/dedup.segment_dedup — C4/CCNet line dedup generalized):
+    drop every segment occurring in >= 395 distinct docs, reassemble,
+    report counts + the new sha256. The synthetic corpus has no newlines,
+    so the oracled query segments on spaces (df-based stopword pruning);
+    real corpora use sep='\\n'. SQL reproduces the splitmix64 segment
+    fold, the df threshold, in-order reassembly and the sha."""
+    from gunrock_ray.functions.dedup import segment_dedup
+    return segment_dedup(_docs_ds(sf_dir), sep=" ", min_docs=395)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard pairs >= 1/50 over doc_id < 60 (the
     validation baseline for the MinHash scale path; integer inter/union AND
@@ -2103,6 +2115,32 @@ ORACLE_SQL: dict[str, str] = {
         "WHEN raw > 4294967296.0 / 30.0 "
         "THEN round(-4294967296.0 * ln(1.0 - raw / 4294967296.0)) "
         "ELSE round(raw) END AS BIGINT) AS n_distinct_est FROM f"
+    ),
+    # segment (line/word) dedup by document frequency: the hash_words fold
+    # per distinct segment, COUNT(DISTINCT doc) per hash, the >= threshold,
+    # in-order reassembly via string_agg and the sha — all reproduced
+    "segment_dedup": (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents), "
+        "terms AS (SELECT DISTINCT unnest(ls) AS term FROM d), "
+        f"{_WORDFOLD_CTES()}, "
+        "pos AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, "
+        "        ls FROM d), "
+        "seg AS (SELECT doc_id, i, ls[i] AS term FROM pos), "
+        "dfq AS (SELECT wh.h AS h, COUNT(DISTINCT s.doc_id) AS nd "
+        "        FROM seg s JOIN wh ON wh.term = s.term GROUP BY wh.h), "
+        "hot AS (SELECT h FROM dfq WHERE nd >= 395), "
+        "keep AS (SELECT s.doc_id, s.i, s.term FROM seg s "
+        "         JOIN wh ON wh.term = s.term "
+        "         WHERE wh.h NOT IN (SELECT h FROM hot)), "
+        "k AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "      string_agg(term, ' ' ORDER BY i) AS txt "
+        "      FROM keep GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, len(ls) AS n FROM d) "
+        "SELECT tot.doc_id, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, "
+        "CAST(tot.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped, "
+        "sha256(COALESCE(k.txt, '')) AS new_sha "
+        "FROM tot LEFT JOIN k USING (doc_id)"
     ),
     # dedup signature stages bit-for-bit (hash_words fold + seeded mix /
     # shingle chain + permutation MIN reproduced in SQL)

@@ -416,3 +416,55 @@ def test_bloom_decontaminate_matches_duckdb_oracle_sf0001():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_flagged"].tolist() == want["n_flagged"].tolist()
     assert len(got) > 0
+
+
+def test_segment_dedup_drops_boilerplate_lines():
+    """Line-mode (sep='\\n'): a footer shared by >= min_docs docs is
+    stripped from every doc, unique lines survive in order, empty-doc
+    reassembly sha is sha256('')."""
+    import hashlib
+    import ray.data
+    from gunrock_ray.functions.dedup import segment_dedup
+    footer = "subscribe to our newsletter"
+    docs = []
+    for i in range(20):
+        if i < 15:
+            docs.append(f"unique line {i}\n{footer}\nsecond unique {i}")
+        elif i == 15:
+            docs.append(footer)           # only the boilerplate
+        else:
+            docs.append(f"clean {i}\nalso clean {i}")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(20), pa.int64()),
+        "text": pa.array(docs, pa.string())})).repartition(4)
+    out = segment_dedup(ds, sep="\n", min_docs=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 20
+    r0 = out.iloc[0]
+    assert (r0["n_kept"], r0["n_dropped"]) == (2, 1)
+    assert r0["new_sha"] == hashlib.sha256(
+        b"unique line 0\nsecond unique 0").hexdigest()
+    r15 = out.iloc[15]
+    assert (r15["n_kept"], r15["n_dropped"]) == (0, 1)
+    assert r15["new_sha"] == hashlib.sha256(b"").hexdigest()
+    r16 = out.iloc[16]
+    assert (r16["n_kept"], r16["n_dropped"]) == (2, 0)
+    assert r16["new_sha"] == hashlib.sha256(
+        b"clean 16\nalso clean 16").hexdigest()
+
+
+def test_segment_dedup_matches_duckdb_oracle_sf0001():
+    import duckdb
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    got = r.q_segment_dedup(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute("SELECT * FROM (" + r.ORACLE_SQL["segment_dedup"] +
+                       ") ORDER BY doc_id").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_kept"].tolist() == want["n_kept"].tolist()
+    assert got["new_sha"].tolist() == want["new_sha"].tolist()
+    assert (got["n_dropped"] > 0).any()  # the threshold really fires
