@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": r.q_doc_decontam,   # SQL-checked (shared-shingle counts)
         "doc_bloom_decontam": r.q_doc_bloom_decontam,  # SQL-checked (bloom bits)
         "segment_dedup": r.q_segment_dedup,  # SQL-checked (df-hot segment drop)
+        "minhash_keepers": r.q_minhash_keepers,  # SQL-checked (pairs->CC->keepers)
         "doc_repetition": r.q_doc_repetition,  # SQL-checked (Gopher signals)
         "doc_pack": r.q_doc_pack,          # SQL-checked (ordered concat + sha)
         "doc_seq_pack": r.q_doc_seq_pack,  # SQL-checked (distributed scan)

@@ -905,6 +905,35 @@ def q_minhash_near_dup(sf_dir: str):
                                   threshold=0.01)
 
 
+def q_minhash_keepers(sf_dir: str):
+    """The FLAGSHIP dedup story end to end, SQL-checked: MinHash+LSH pairs
+    (bands=64, rows=1 like q_minhash_near_dup; threshold=0.02 — at 0.01
+    the synthetic word-soup corpus collapses into one giant component and
+    2 keepers survive; 0.02 yields 64 real clusters) → near-dup components
+    via THIS engine's distributed CC → keeper = min doc_id per component →
+    {doc_id} of every surviving document. The oracle composes the
+    verified pairs SQL with a transitive-closure min-label CTE (the
+    cc_labels pattern)."""
+    from gunrock_ray.functions.dedup import near_dup_clusters, \
+        minhash_near_dup_pairs
+
+    docs = _docs_ds(sf_dir)
+    pairs = minhash_near_dup_pairs(docs, bands=64, rows=1, threshold=0.02)
+    clusters = near_dup_clusters(pairs)
+    import pyarrow.compute as pc
+    drop_ids = np.sort(clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["cluster"]))
+        ["doc_id"].to_numpy())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids[~np.isin(ids, drop_ids)],
+                                            pa.int64())})
+
+    return _docs_ds(sf_dir, ("doc_id",)).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def q_simhash_near_dup(sf_dir: str):
     """SimHash similar pairs, SQL-checked END TO END (_simhash_pairs_sql
     reproduces signatures, chunk-bucket pairing and the xor/popcount
@@ -2165,6 +2194,22 @@ ORACLE_SQL: dict[str, str] = {
         "0) AS tok_offset FROM t) "
         "SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset, "
         "CAST(tok_offset // 512 AS BIGINT) AS seq_id FROM s"),
+    # the flagship dedup composition: verified MinHash pairs -> undirected
+    # edges -> transitive-closure min label (the cc_labels pattern) ->
+    # drop non-min members -> keepers
+    "minhash_keepers": (
+        f"WITH RECURSIVE pr AS ({_minhash_pairs_sql(0.02)}), "
+        "ue AS (SELECT a AS src, b AS dst FROM pr "
+        "       UNION ALL SELECT b, a FROM pr), "
+        "pverts AS (SELECT DISTINCT src AS v FROM ue), "
+        "reach(v, l) AS (SELECT v, v FROM pverts "
+        "  UNION SELECT ue.dst, reach.l FROM reach "
+        "  JOIN ue ON ue.src = reach.v), "
+        "comp AS (SELECT v, MIN(l) AS c FROM reach GROUP BY v), "
+        "drops AS (SELECT v FROM comp WHERE v <> c) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT v FROM drops)"
+    ),
     "simhash_near_dup": _simhash_pairs_sql(),
     "orders_cust_join": (
         "SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey "

@@ -468,3 +468,34 @@ def test_segment_dedup_matches_duckdb_oracle_sf0001():
     assert got["n_kept"].tolist() == want["n_kept"].tolist()
     assert got["new_sha"].tolist() == want["new_sha"].tolist()
     assert (got["n_dropped"] > 0).any()  # the threshold really fires
+
+
+def test_minhash_keepers_composition():
+    """Pairs -> distributed-CC clusters -> min-id keepers: planted
+    near-dup groups collapse to their min ids, uniques all survive."""
+    import ray.data
+    from gunrock_ray.pipelines.relational import q_minhash_keepers  # noqa: F401
+    from gunrock_ray.functions.dedup import (minhash_near_dup_pairs,
+                                             near_dup_clusters)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs, n = [], 30
+    for i in range(n):
+        if i in (3, 7, 11):          # near-dups of doc 3 (one group)
+            docs.append(base + " shared tail words here")
+        elif i in (20, 25):          # second group
+            docs.append(base.upper() + " other tail")
+        else:
+            docs.append(" ".join(f"only{i}w{j}" for j in range(20)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    pairs = minhash_near_dup_pairs(ds, bands=16, rows=4, threshold=0.8)
+    clusters = near_dup_clusters(pairs, num_partitions=4)
+    import pyarrow.compute as pc
+    drops = set(clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["cluster"]))
+        ["doc_id"].to_pylist())
+    assert drops == {7, 11, 25}      # min ids 3 and 20 survive
+    keepers = sorted(set(range(n)) - drops)
+    assert 3 in keepers and 20 in keepers and len(keepers) == 27
