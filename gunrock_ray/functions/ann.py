@@ -75,6 +75,24 @@ def _query_matrix(embeddings_path: str, num_queries: int,
     return q_ids, Q
 
 
+def _tie_candidates(srow: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` values of one query's similarity row PLUS
+    every tie at the boundary value (-inf-masked entries excluded) — a
+    superset of any deterministic top-k. Bare argpartition cuts
+    arbitrarily among equal boundary values and could drop the smaller-id
+    neighbor that _merge_topk's tie rule (sim desc, neighbor_id asc) and
+    the SQL oracle would keep."""
+    kk = min(kk, len(srow))
+    if kk <= 0:
+        return np.empty(0, np.int64)
+    part = np.argpartition(-srow, kk - 1)[:kk]
+    finite = srow[part][np.isfinite(srow[part])]
+    if len(finite) == 0:
+        return np.empty(0, np.int64)
+    thr = finite.min()
+    return np.flatnonzero((srow >= thr) & np.isfinite(srow))
+
+
 def _merge_topk(cands, k: int):
     """Tiny candidate set {query_id, neighbor_id, sim} → ranked top-k
     DataFrame {query_id, neighbor_id, rank} (sim desc, ties → smaller id)."""
@@ -108,9 +126,8 @@ def brute_force_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         sims = Qm @ M.T  # (q, batch)
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         kk = min(k + 1, sims.shape[1])  # +1: self may be in this batch
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         for qi in range(len(ids)):
-            cand = part[qi]
+            cand = _tie_candidates(sims[qi], kk)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())
@@ -230,11 +247,9 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         sims = Qm @ V.T
         sims[~valid] = -np.inf
         kk = min(k + 1, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(len(ids)):
-            cand = part[qi]
-            cand = cand[np.isfinite(sims[qi, cand])]
+            cand = _tie_candidates(sims[qi], kk)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())
@@ -291,17 +306,24 @@ def _hash_priority_sample(embeddings_ds, n_sample: int, seed: int):
     return _normalize(M)
 
 
+def _seed_centroids(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic k-means init shared by train_ivf_centroids and
+    kmeans: seeded choice without replacement, modulo-padded when the
+    sample is smaller than k (the init contract both paths document)."""
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                          replace=False)]
+    if len(C) < k:  # degenerate tiny sample: pad by repetition
+        C = C[np.arange(k) % len(C)]
+    return C.copy()
+
+
 def train_ivf_centroids(sample: np.ndarray, num_lists: int,
                         iters: int = 10, seed: int = 42) -> np.ndarray:
     """Spherical k-means on a (bounded) normalized sample → (num_lists, d)
     normalized centroids. Deterministic init from the seed; empty lists
     keep their previous centroid."""
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), size=min(num_lists, len(sample)),
-                          replace=False)]
-    if len(C) < num_lists:  # degenerate tiny sample: pad by repetition
-        C = C[np.arange(num_lists) % len(C)]
-    C = C.copy()
+    C = _seed_centroids(sample, num_lists, seed)
     for _ in range(iters):
         assign = np.argmax(sample @ C.T, axis=1)
         for j in range(num_lists):
@@ -337,12 +359,7 @@ def kmeans(embeddings_path: str, k: int = 16, iters: int = 10,
 
     ds = _embeddings_ds(embeddings_path)
     sample = _hash_priority_sample(ds, train_sample, seed)
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), size=min(k, len(sample)),
-                          replace=False)]
-    if len(C) < k:
-        C = C[np.arange(k) % len(C)]
-    C = C.copy()
+    C = _seed_centroids(sample, k, seed)
 
     def partials_fn(c_ref):
         def partials(batch: pa.Table) -> pa.Table:
@@ -442,11 +459,9 @@ def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         sims = Qm @ V.T
         sims[~valid] = -np.inf
         kk = min(k + 1, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(len(ids)):
-            cand = part[qi]
-            cand = cand[np.isfinite(sims[qi, cand])]
+            cand = _tie_candidates(sims[qi], kk)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())

@@ -27,8 +27,10 @@ _TOKEN_RE = re.compile(r"\S+")
 
 def _flat_tokens(texts):
     """(doc_idx int64, token np.str_) for a whole batch, whitespace-run
-    tokenization (matches DuckDB ``regexp_extract_all(text, '\\S+')``)."""
-    per_doc = [_TOKEN_RE.findall(t) for t in texts]
+    tokenization (matches DuckDB ``regexp_extract_all(text, '\\S+')``);
+    None texts behave as empty docs."""
+    per_doc = [_TOKEN_RE.findall(t) if t is not None else []
+               for t in texts]
     counts = np.array([len(w) for w in per_doc], dtype=np.int64)
     flat = [w for doc in per_doc for w in doc]
     words = np.array(flat, dtype=np.str_) if flat else np.array([], dtype=np.str_)
@@ -113,7 +115,8 @@ def token_quantiles(docs_ds, qs=(25, 50, 75, 95)):
     from ray.data.aggregate import Sum
 
     def batch_counts(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
         ntok = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                            dtype=np.int64, count=len(texts))
         v, cnt = np.unique(ntok, return_counts=True)
@@ -166,7 +169,8 @@ def grouped_token_quantiles(docs_ds, qs=(25, 50, 75, 95),
     from ray.data.aggregate import Sum
 
     def batch_counts(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
         ntok = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                            dtype=np.int64, count=len(texts))
         t = pa.table({group_col: batch[group_col],

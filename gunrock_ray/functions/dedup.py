@@ -56,8 +56,10 @@ def flat_word_shingles(texts, n: int = 3, unique: bool = True):
     (positions into ``texts``). Docs with fewer than n words hash their
     full word chain (one shingle); empty docs emit none. ``unique=False``
     skips the per-doc dedup sort — correct wherever downstream reduces with
-    min/set semantics (MinHash signatures)."""
-    words_per_doc = [t.split() for t in texts]
+    min/set semantics (MinHash signatures). None texts behave as empty
+    docs (emit no shingles) — the decontaminate/segment_dedup convention —
+    instead of crashing a worker mid-job."""
+    words_per_doc = [t.split() if t is not None else [] for t in texts]
     counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
     hw = hash_words([w for doc in words_per_doc for w in doc])
     D = len(texts)
@@ -503,8 +505,9 @@ class SimHasher:
 
     def simhash_batch(self, texts) -> np.ndarray:
         """uint64 SimHash per text, one vectorized pass over the whole batch
-        (flat word hashing + per-doc TF counts + segmented bit-score sum)."""
-        words_per_doc = [t.split() for t in texts]
+        (flat word hashing + per-doc TF counts + segmented bit-score sum);
+        None texts behave as empty docs."""
+        words_per_doc = [t.split() if t is not None else [] for t in texts]
         counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
         hw = mix64(hash_words([w for doc in words_per_doc for w in doc])
                    ^ self.seed)

@@ -105,7 +105,10 @@ def pack_sequences(docs_ds, budget: int, *, order_col: str = "doc_id",
         b = t["bkt"].to_numpy()
         n = t["n_tokens"].to_numpy()
         ub = np.unique(b)
-        s = np.array([n[b == x].sum() for x in ub], dtype=np.int64)
+        # one bincount pass instead of one masked scan per distinct bucket
+        s = np.bincount(b, weights=n,
+                        minlength=int(ub[-1]) + 1 if len(ub) else 0)
+        s = s[ub].astype(np.int64)
         return pa.table({"bkt": pa.array(ub), "s": pa.array(s)})
 
     part = toks.map_batches(bucket_sums, batch_format="pyarrow").to_pandas()

@@ -55,6 +55,29 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _merged_registers(ds, column: str, p: int) -> np.ndarray:
+    """Shared distributed pass of both HLL surfaces: per-block register
+    arrays (2^p bytes each, the ONLY data leaving a block) max-merged on
+    the driver. Integer columns hash via mix64, strings via the
+    vectorized per-codepoint fold (hash_words)."""
+    from gunrock_ray.functions.dedup import hash_words
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy().astype(np.uint64)
+        else:
+            vals = hash_words(col.to_pylist())
+        regs = _hll_registers(vals, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+    return merged
+
+
 def hll_count_distinct(ds, column: str, p: int = 14) -> float:
     """Approximate COUNT(DISTINCT column) via HyperLogLog (standard error
     ≈ 1.04/√2^p, ~0.8% at the default p=14).
@@ -64,22 +87,7 @@ def hll_count_distinct(ds, column: str, p: int = 14) -> float:
     block is its 16 KB register vector. Column values are hashed with
     mix64; string columns hash their UTF-8 bytes via a vectorized
     FNV-style fold."""
-    from gunrock_ray.functions.dedup import hash_words
-
-    def block_regs(batch: pa.Table) -> pa.Table:
-        col = batch[column]
-        if pa.types.is_integer(col.type):
-            vals = col.to_numpy().astype(np.uint64)
-        else:
-            vals = hash_words(col.to_pylist())
-        regs = _hll_registers(vals, p)
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
-
-    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for b in parts["regs"]:
-        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
-    return _hll_estimate(merged)
+    return _hll_estimate(_merged_registers(ds, column, p))
 
 
 def hll_register_table(ds, column: str, p: int = 10) -> pa.Table:
@@ -89,21 +97,7 @@ def hll_register_table(ds, column: str, p: int = 10) -> pa.Table:
     integer-exact so a SQL oracle reproduces it bit-for-bit (mix64 via
     32-bit-split multiplication, bit length via ``bin()``). The float
     estimator on top is :func:`hll_count_distinct`."""
-    from gunrock_ray.functions.dedup import hash_words
-
-    def block_regs(batch: pa.Table) -> pa.Table:
-        col = batch[column]
-        if pa.types.is_integer(col.type):
-            vals = col.to_numpy().astype(np.uint64)
-        else:
-            vals = hash_words(col.to_pylist())
-        regs = _hll_registers(vals, p)
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
-
-    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for b in parts["regs"]:
-        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+    merged = _merged_registers(ds, column, p)
     nz = np.flatnonzero(merged)
     return pa.table({"idx": pa.array(nz, pa.int64()),
                      "reg": pa.array(merged[nz].astype(np.int64), pa.int64())})

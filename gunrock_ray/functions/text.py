@@ -34,7 +34,7 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     """{doc_id, n_tokens, n_bpe_tokens, n_chars_chk} — whitespace-run token
     count plus the BPE-ish pre-tokenizer count (both exact matches with the
     DuckDB ``regexp_extract_all`` formulations)."""
-    texts = batch["text"].to_pylist()
+    texts = [t if t is not None else "" for t in batch["text"].to_pylist()]
     n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                            dtype=np.int64, count=len(texts))
     n_bpe = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),

@@ -28,6 +28,17 @@ def _ts_us(col) -> np.ndarray:
     return arr.cast(pa.int64()).to_numpy()
 
 
+def _cents(values) -> np.ndarray:
+    """value*100 rounded half-AWAY-from-zero — DuckDB ROUND semantics, so
+    the integer-cent columns stay bit-identical to the SQL oracles even on
+    exact half-cent inputs (np.round is half-to-even: np.round(12.5)=12
+    but SQL ROUND(12.5)=13)."""
+    v = values.to_numpy() if hasattr(values, "to_numpy") else values
+    x = np.asarray(v, dtype=np.float64) * 100.0
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
+        .astype(np.int64)
+
+
 def _bucketed_window_sum(projected_ds, w_col: str):
     """Shared reduce of the window aggregates: one coarse-bucket cogroup
     on hash(user) (the ``bkt`` column the projection added), then every
@@ -77,7 +88,7 @@ def tumbling_window_agg(events_ds, window_us: int = US_PER_HOUR,
 
     def project(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch["ts"])
-        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        cents = _cents(batch["value"])
         u = batch["user_id"].to_numpy()
         return pa.table({
             "user_id": batch["user_id"],
@@ -114,7 +125,7 @@ def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
 
     def project(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch["ts"])
-        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        cents = _cents(batch["value"])
         u = batch["user_id"].to_numpy()
         base = (ts // hop_us) * hop_us
         starts = np.concatenate(
@@ -149,7 +160,7 @@ def cumulative_agg(events_ds, num_buckets: int = 64):
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy()
-        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        cents = _cents(batch["value"])
         return pa.table({
             "event_id": batch["event_id"],
             "user_id": batch["user_id"],

@@ -949,7 +949,9 @@ class GraphPartition:
                              len(self.verts) - 1)
             ok = self.verts[pos] == starts
         else:
-            pos = np.zeros(0, dtype=np.int64)
+            # keep pos/ok the same length so pos[ok] drops everything
+            # (a vertex-less partition can still be routed starts)
+            pos = np.zeros(len(starts), dtype=np.int64)
             ok = np.zeros(len(starts), dtype=bool)
         self._rw_li = pos[ok] if len(starts) else _EMPTY_I8
         self._rw_wid = walk_ids[ok]

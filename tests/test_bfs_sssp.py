@@ -128,3 +128,48 @@ def test_random_walks_match_bruteforce_and_partitioning():
             g.shutdown(remove_spill=True)
         rows = sorted(map(tuple, got[["walk_id", "step", "v"]].to_numpy()))
         assert rows == expected, f"P={P}"
+
+
+def test_random_walks_start_routed_to_vertexless_partition():
+    """Regression: an off-graph start whose hash-owner partition holds
+    ZERO vertices must be dropped, not crash rw_init with a boolean-index
+    shape mismatch (P larger than the number of occupied partitions)."""
+    import pyarrow as pa
+    from gunrock_ray import build_graph, random_walks
+
+    # 2 vertices, P=8: most partitions own no vertices
+    edges = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+    g = build_graph(edges, num_partitions=8)
+    try:
+        # starts 2..40 are off-graph; at P=8 several route to empty actors
+        out = random_walks(g, list(range(0, 41)), length=3,
+                           seed=3).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    # only walk 0 (start vertex 0) and walk 1 (start vertex 1) survive
+    assert set(out["walk_id"]) == {0, 1}
+
+
+def test_none_text_behaves_as_empty_doc_in_shingle_ops():
+    """None texts flow through the shingle/token family as empty docs
+    instead of crashing a worker (the decontaminate convention)."""
+    import pyarrow as pa
+    import ray.data
+    from gunrock_ray.functions.dedup import (flat_word_shingles,
+                                             minhash_signature_table,
+                                             simhash_signatures)
+    from gunrock_ray.functions.corpus_stats import vocab_topn
+    from gunrock_ray.functions.text import token_stats_batch
+
+    d, s = flat_word_shingles(["a b c d", None, "x y z w"])
+    assert set(d) == {0, 2} and len(s) == 4  # None emitted nothing
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["hello world now", None], pa.string())})
+    ds = ray.data.from_arrow(t)
+    assert minhash_signature_table(ds).count() > 0
+    assert simhash_signatures(ds).count() == 2
+    assert vocab_topn(ds, n=5).num_rows == 3
+    ts = token_stats_batch(t)
+    assert ts["n_tokens"].to_pylist() == [3, 0]
