@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": r.q_lineitem_agg,  # SQL-checked (pre-agg GROUP BY)
         "distinct_users_hll": r.q_distinct_users_hll,  # SQL-checked (full HLL estimator)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
+        "cms_users": r.q_cms_users,  # SQL-checked (Count-Min cells bit-for-bit)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         "events_hopping": r.q_events_hopping,  # SQL-checked (sliding windows)
         "events_cumsum": r.q_events_cumsum,  # SQL-checked (running totals)

@@ -103,6 +103,74 @@ def hll_register_table(ds, column: str, p: int = 10) -> pa.Table:
                      "reg": pa.array(merged[nz].astype(np.int64), pa.int64())})
 
 
+# ----------------------------------------------------------- Count-Min
+
+def _cms_block(values_u64: np.ndarray, width_log2: int,
+               depth: int) -> np.ndarray:
+    """(depth, 2^width_log2) int64 Count-Min matrix of one value block:
+    row j increments position (h1 + j*h2) mod 2^w — the same
+    Kirsch–Mitzenmacher double hashing as the bloom filter
+    (functions.dedup._bloom_positions), so the SQL oracle reproduces every
+    cell."""
+    from gunrock_ray.functions.dedup import _bloom_positions
+    w = 1 << width_log2
+    cms = np.zeros((depth, w), dtype=np.int64)
+    for j, pos in enumerate(_bloom_positions(values_u64, width_log2,
+                                             depth)):
+        np.add.at(cms[j], pos.astype(np.int64), 1)
+    return cms
+
+
+def count_min_table(ds, column: str, *, width_log2: int = 12,
+                    depth: int = 4):
+    """Count-Min sketch of a column as an integer cell table
+    {row, idx, cnt} (nonzero cells only) — heavy-hitter counting without a
+    full groupby. Returns ``(cells pa.Table, cms np.ndarray)``.
+
+    Scale shape: each block emits its dense (depth × 2^w) partial — 128 KB
+    at the defaults, regardless of block size — and the driver (or any
+    tree reduce) SUM-folds them; the sketch supports point estimates
+    ``min_j cms[j, pos_j(x)]`` that overcount by at most ~n/2^w w.h.p.
+    Integer columns hash via mix64, strings via the vectorized fold, so
+    the cell table is deterministic and the SQL oracle reproduces it
+    bit-for-bit (same staged splitmix64 + HUGEINT j*h2 as the bloom
+    oracle)."""
+    from gunrock_ray.functions.dedup import hash_words
+
+    def block_cms(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy().astype(np.uint64)
+        else:
+            vals = hash_words(col.to_pylist())
+        cms = _cms_block(vals, width_log2, depth)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_cms, batch_format="pyarrow").to_pandas()
+    w = 1 << width_log2
+    merged = np.zeros((depth, w), dtype=np.int64)
+    for b in parts["cms"]:
+        merged += np.frombuffer(b, dtype=np.int64).reshape(depth, w)
+    r, i = np.nonzero(merged)
+    cells = pa.table({"row": pa.array(r.astype(np.int64)),
+                      "idx": pa.array(i.astype(np.int64)),
+                      "cnt": pa.array(merged[r, i], pa.int64())})
+    return cells, merged
+
+
+def cms_estimate(cms: np.ndarray, values_u64: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: upper-bound count per value =
+    min over rows of the value's cell (never undercounts)."""
+    from gunrock_ray.functions.dedup import _bloom_positions
+    depth, w = cms.shape
+    width_log2 = int(np.log2(w))
+    est = np.full(len(values_u64), np.iinfo(np.int64).max)
+    for j, pos in enumerate(_bloom_positions(values_u64, width_log2,
+                                             depth)):
+        est = np.minimum(est, cms[j, pos.astype(np.int64)])
+    return est
+
+
 # ------------------------------------------------------------ per-key top-k
 
 def topk_per_key(ds, key: str, value: str, k: int, *,

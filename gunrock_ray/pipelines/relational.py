@@ -759,6 +759,20 @@ def q_distinct_users_hll(sf_dir: str):
 
 # --- documents / embeddings (training-data ops) ------------------------------
 
+def q_cms_users(sf_dir: str):
+    """Count-Min sketch of events.user_id (depth 4 × width 2^12) as its
+    integer cell table {row, idx, cnt} — heavy-hitter counting without a
+    groupby; deterministic double hashing, SQL-checked bit-for-bit (the
+    float estimator on top is pytest-bounded: never undercounts, ≤ n/2^w
+    overcount w.h.p.)."""
+    import ray.data
+    from gunrock_ray.functions.sketches import count_min_table
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    cells, _ = count_min_table(ev, "user_id", width_log2=12, depth=4)
+    return cells
+
+
 def q_doc_sha(sf_dir: str):
     """Per-row sha256 (the ingest invariant, as hex to match DuckDB sha256())."""
     import ray.data
@@ -2115,6 +2129,26 @@ ORACLE_SQL: dict[str, str] = {
         "      (h % 18014398509481984) * 1024 + 1023 AS rest FROM h), "
         "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 55) AS rank FROM r) "
         "SELECT idx, CAST(MAX(rank) AS BIGINT) AS reg FROM k GROUP BY idx"
+    ),
+    # Count-Min cells bit-for-bit: the bloom filter's double-hash position
+    # formula (two staged splitmix64 chains, HUGEINT j*h2, mod 2^12) then
+    # one COUNT(*) per (row, position)
+    "cms_users": (
+        f"WITH s0 AS (SELECT "
+        f"{_ADDMOD_SQL('CAST(user_id AS UBIGINT)', 0x9E3779B97F4A7C15)} AS z1, "
+        f"{_ADDMOD_SQL('xor(CAST(user_id AS UBIGINT), CAST(11562461410679940143 AS UBIGINT))', 0x9E3779B97F4A7C15)} AS z2 "
+        "FROM events), "
+        f"s1 AS (SELECT {_MULMOD_SQL('xor(z1, z1 >> 30)', 0xBF58476D1CE4E5B9)} AS z1, "
+        f"{_MULMOD_SQL('xor(z2, z2 >> 30)', 0xBF58476D1CE4E5B9)} AS z2 FROM s0), "
+        f"s2 AS (SELECT {_MULMOD_SQL('xor(z1, z1 >> 27)', 0x94D049BB133111EB)} AS z1, "
+        f"{_MULMOD_SQL('xor(z2, z2 >> 27)', 0x94D049BB133111EB)} AS z2 FROM s1), "
+        "hh AS (SELECT xor(z1, z1 >> 31) AS h1, "
+        "       xor(z2, z2 >> 31) AS h2 FROM s2), "
+        "p AS (SELECT j, CAST((CAST(h1 AS HUGEINT) + "
+        "CAST(j AS HUGEINT) * CAST(h2 AS HUGEINT)) % 4096 AS BIGINT) AS idx "
+        "FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)) "
+        "SELECT CAST(j AS BIGINT) AS row, idx, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2"
     ),
     # the HLL ESTIMATE end-to-end at p=14: registers exactly as above
     # (idx = top 14 bits, rest padded with 1s, exact bin() bit length,

@@ -105,3 +105,52 @@ def test_hll_register_table_matches_registers():
     got[t["idx"].to_numpy()] = t["reg"].to_numpy()
     assert np.array_equal(got, want)
     assert (t["reg"].to_numpy() > 0).all()
+
+
+def test_count_min_never_undercounts_and_bounds():
+    import ray.data
+    from gunrock_ray.functions.sketches import count_min_table, cms_estimate
+    rng = np.random.default_rng(4)
+    vals = rng.zipf(1.5, 20000) % 500            # skewed keys
+    t = pa.table({"k": pa.array(vals.astype(np.int64))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    _, cms = count_min_table(ds, "k", width_log2=12, depth=4)
+    uniq, true_cnt = np.unique(vals, return_counts=True)
+    est = cms_estimate(cms, uniq.astype(np.uint64))
+    assert (est >= true_cnt).all()               # CMS never undercounts
+    # overcount bound: e*n/w with prob 1-(1/e)^d; assert a loose 4n/w
+    assert (est - true_cnt <= 4 * len(vals) / 4096 + 1).all()
+    # total mass per row == n
+    assert (cms.sum(axis=1) == len(vals)).all()
+
+
+def test_count_min_merge_is_sum():
+    """Two half-corpus sketches SUM to the whole-corpus sketch — the
+    mergeability that makes the per-block fold correct."""
+    import ray.data
+    from gunrock_ray.functions.sketches import count_min_table
+    a = np.arange(1000, dtype=np.int64) % 37
+    t = pa.table({"k": pa.array(a)})
+    _, whole = count_min_table(ray.data.from_arrow(t), "k", width_log2=8,
+                               depth=3)
+    _, h1 = count_min_table(
+        ray.data.from_arrow(t.slice(0, 500)), "k", width_log2=8, depth=3)
+    _, h2 = count_min_table(
+        ray.data.from_arrow(t.slice(500)), "k", width_log2=8, depth=3)
+    assert np.array_equal(whole, h1 + h2)
+
+
+def test_cms_users_matches_duckdb_oracle_sf0001():
+    import duckdb
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    got = r.q_cms_users(sf).to_pandas().sort_values(
+        ["row", "idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute("SELECT * FROM (" + r.ORACLE_SQL["cms_users"] +
+                       ") ORDER BY row, idx").fetchdf()
+    assert got["row"].tolist() == want["row"].tolist()
+    assert got["idx"].tolist() == want["idx"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
