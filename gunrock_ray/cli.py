@@ -338,6 +338,27 @@ def cmd_events(args) -> dict:
         from gunrock_ray.functions.windows import sessionize
         ev = ray.data.read_parquet(args.input, columns=["user_id", "ts"])
         res = sessionize(ev, gap_us=args.gap_us)
+    elif args.op in ("semi", "anti"):
+        from gunrock_ray.functions.joins import semi_join
+        ev = ray.data.read_parquet(
+            args.input, columns=["event_id", "user_id", "event_type"])
+
+        def slice_of(kind, cols):
+            def f(batch: pa.Table) -> pa.Table:
+                b = batch.filter(pa.compute.equal(batch["event_type"],
+                                                  kind))
+                return b.select(cols)
+            return f
+
+        left = ev.map_batches(slice_of(args.left_type,
+                                       ["event_id", "user_id"]),
+                              batch_format="pyarrow")
+        right = (ev.map_batches(slice_of(args.right_type, ["user_id"]),
+                                batch_format="pyarrow")
+                 .map_batches(lambda t: t.rename_columns(["ref_user"]),
+                              batch_format="pyarrow"))
+        res = semi_join(left, right, on="user_id", right_on="ref_user",
+                        anti=(args.op == "anti"))
     else:  # asof | range over two event_type slices
         from gunrock_ray.functions.joins import asof_join, range_join
         ev = ray.data.read_parquet(
@@ -565,7 +586,7 @@ def main(argv=None) -> None:
                          "/ as-of / range joins over an events Parquet")
     evp.add_argument("--op", required=True,
                      choices=["window", "hopping", "cumsum", "sessions",
-                              "asof", "range"])
+                              "asof", "range", "semi", "anti"])
     evp.add_argument("--input", required=True)
     evp.add_argument("--out", default="/tmp/gunrock_ray_events")
     evp.add_argument("--window-us", type=int, default=3_600_000_000)
