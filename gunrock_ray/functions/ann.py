@@ -75,13 +75,17 @@ def _query_matrix(embeddings_path: str, num_queries: int,
     return q_ids, Q
 
 
-def _tie_candidates(srow: np.ndarray, kk: int) -> np.ndarray:
-    """Indices of the top-``kk`` values of one query's similarity row PLUS
-    every tie at the boundary value (-inf-masked entries excluded) — a
-    superset of any deterministic top-k. Bare argpartition cuts
-    arbitrarily among equal boundary values and could drop the smaller-id
-    neighbor that _merge_topk's tie rule (sim desc, neighbor_id asc) and
-    the SQL oracle would keep."""
+def _tie_candidates(srow: np.ndarray, kk: int,
+                    vid: np.ndarray) -> np.ndarray:
+    """Indices of the top-``kk`` values of one query's similarity row plus
+    the boundary ties that can still win (-inf-masked entries excluded) —
+    a superset of any deterministic top-k, BOUNDED at 2·kk rows. Bare
+    argpartition cuts arbitrarily among equal boundary values and could
+    drop the smaller-id neighbor that _merge_topk's tie rule (sim desc,
+    neighbor_id asc) and the SQL oracle would keep; keeping ALL ties is
+    unbounded (a zero query or duplicate-heavy corpus ties the entire
+    batch), so among the ties only the kk smallest ``vid`` — the only
+    ones the merge rule can ever rank — are kept."""
     kk = min(kk, len(srow))
     if kk <= 0:
         return np.empty(0, np.int64)
@@ -90,7 +94,11 @@ def _tie_candidates(srow: np.ndarray, kk: int) -> np.ndarray:
     if len(finite) == 0:
         return np.empty(0, np.int64)
     thr = finite.min()
-    return np.flatnonzero((srow >= thr) & np.isfinite(srow))
+    above = np.flatnonzero(srow > thr)
+    ties = np.flatnonzero(srow == thr)
+    if len(ties) > kk:
+        ties = ties[np.argpartition(vid[ties], kk - 1)[:kk]]
+    return np.concatenate([above, ties])
 
 
 def _merge_topk(cands, k: int):
@@ -127,7 +135,7 @@ def brute_force_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         kk = min(k + 1, sims.shape[1])  # +1: self may be in this batch
         for qi in range(len(ids)):
-            cand = _tie_candidates(sims[qi], kk)
+            cand = _tie_candidates(sims[qi], kk, vid)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())
@@ -249,7 +257,7 @@ def lsh_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         kk = min(k + 1, sims.shape[1])
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(len(ids)):
-            cand = _tie_candidates(sims[qi], kk)
+            cand = _tie_candidates(sims[qi], kk, vid)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())
@@ -461,7 +469,7 @@ def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
         kk = min(k + 1, sims.shape[1])
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(len(ids)):
-            cand = _tie_candidates(sims[qi], kk)
+            cand = _tie_candidates(sims[qi], kk, vid)
             rows["query_id"].extend([ids[qi]] * len(cand))
             rows["neighbor_id"].extend(vid[cand].tolist())
             rows["sim"].extend(sims[qi, cand].tolist())

@@ -105,11 +105,12 @@ def pack_sequences(docs_ds, budget: int, *, order_col: str = "doc_id",
         b = t["bkt"].to_numpy()
         n = t["n_tokens"].to_numpy()
         ub = np.unique(b)
-        # one bincount pass instead of one masked scan per distinct bucket
-        s = np.bincount(b, weights=n,
-                        minlength=int(ub[-1]) + 1 if len(ub) else 0)
-        s = s[ub].astype(np.int64)
-        return pa.table({"bkt": pa.array(ub), "s": pa.array(s)})
+        # one add.at pass (int64-exact at any magnitude, unlike
+        # bincount's float64 weights) instead of a masked scan per bucket
+        dense = np.zeros(int(ub[-1]) + 1 if len(ub) else 0,
+                         dtype=np.int64)
+        np.add.at(dense, b, n)
+        return pa.table({"bkt": pa.array(ub), "s": pa.array(dense[ub])})
 
     part = toks.map_batches(bucket_sums, batch_format="pyarrow").to_pandas()
     B = len(splitters) + 1

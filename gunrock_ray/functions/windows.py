@@ -35,8 +35,13 @@ def _cents(values) -> np.ndarray:
     but SQL ROUND(12.5)=13)."""
     v = values.to_numpy() if hasattr(values, "to_numpy") else values
     x = np.asarray(v, dtype=np.float64) * 100.0
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
-        .astype(np.int64)
+    # np.round is correctly rounded (no double-round on values one ulp
+    # below .5, where floor(x+0.5) would overshoot); only EXACT halves
+    # need the away-from-zero correction
+    r = np.round(x)
+    frac = x - np.trunc(x)
+    r = np.where(np.abs(frac) == 0.5, np.trunc(x) + np.sign(x), r)
+    return r.astype(np.int64)
 
 
 def _bucketed_window_sum(projected_ds, w_col: str):

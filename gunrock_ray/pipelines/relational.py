@@ -1622,7 +1622,7 @@ def _simhash_sigs_sql() -> str:
     u2i = _U2I_SQL.format(v="COALESCE(sg.s, 0)")
     return (
         "WITH RECURSIVE "
-        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "d AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
         "      FROM documents), "
         "tok AS (SELECT doc_id, unnest(w) AS term FROM d), "
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
@@ -1688,12 +1688,12 @@ def _doc_analysis_sql() -> str:
         "       SUM(CASE WHEN mk.lang = 'fr' THEN 1 ELSE 0 END) AS f, "
         "       SUM(CASE WHEN mk.lang = 'es' THEN 1 ELSE 0 END) AS s "
         "       FROM wd JOIN mk ON mk.w = wd.w GROUP BY 1), "
-        "tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "
+        "tk AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS t "
         "       FROM documents), "
         "tq AS (SELECT doc_id, COUNT(*) AS ntoks, SUM(length(t)) AS sumlen, "
         f"       SUM(CASE WHEN lower(t) IN ({en}) THEN 1 ELSE 0 END) AS stop "
         "       FROM tk GROUP BY 1), "
-        f"pq AS (SELECT doc_id, len(regexp_extract_all(text, '{punct_re}')) "
+        f"pq AS (SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), '{punct_re}')) "
         "       AS np, length(text) AS nc FROM documents), "
         "bb AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS i, "
         "       length(text) AS n, text FROM documents "
@@ -1750,7 +1750,7 @@ def _minhash_common_ctes() -> str:
         f"({i}, CAST({int(m)} AS UBIGINT), CAST({int(a)} AS UBIGINT))"
         for i, (m, a) in enumerate(zip(mh.mult, mh.add)))
     return (
-        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "d AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
         "      FROM documents), "
         "terms AS (SELECT DISTINCT unnest(w) AS term FROM d), "
         f"{_WORDFOLD_CTES()}, "
@@ -1797,7 +1797,7 @@ def _repetition_sql() -> str:
     the one int/int IEEE division."""
     return (
         "WITH RECURSIVE "
-        "d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+        "d AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
         "      FROM documents), "
         "terms AS (SELECT DISTINCT unnest(w) AS term FROM d), "
         f"{_WORDFOLD_CTES()}, "
@@ -2009,7 +2009,7 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT v, MIN(d) AS depth FROM b GROUP BY v"
     ),
     "ngram_jaccard": (
-        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w "
         "           FROM documents WHERE doc_id < 60), "
         "idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d), "
         "g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh "
@@ -2108,8 +2108,8 @@ ORACLE_SQL: dict[str, str] = {
                         "FROM documents GROUP BY text"),
     "doc_token_stats": (
         "SELECT doc_id, "
-        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
-        "CAST(len(regexp_extract_all(text, "
+        "CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(COALESCE(text, ''), "
         "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_chk "
         "FROM documents"
@@ -2184,7 +2184,7 @@ ORACLE_SQL: dict[str, str] = {
     # in-order reassembly via string_agg and the sha — all reproduced
     "segment_dedup": (
         "WITH RECURSIVE "
-        "d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents), "
+        "d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents), "
         "terms AS (SELECT DISTINCT unnest(ls) AS term FROM d), "
         f"{_WORDFOLD_CTES()}, "
         "pos AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, "
@@ -2215,13 +2215,13 @@ ORACLE_SQL: dict[str, str] = {
     "doc_repetition": _repetition_sql(),
     "doc_pack": (
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) "
+        "CAST(length(string_agg(COALESCE(text, ''), chr(10) ORDER BY doc_id)) AS BIGINT) "
         "AS n_chars, "
-        "sha256(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_sha "
+        "sha256(string_agg(COALESCE(text, ''), chr(10) ORDER BY doc_id)) AS packed_sha "
         "FROM documents GROUP BY source"),
     "doc_seq_pack": (
         "WITH t AS (SELECT doc_id, "
-        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+        "CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens "
         "FROM documents), "
         "s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
@@ -2267,20 +2267,20 @@ ORACLE_SQL: dict[str, str] = {
     # lang-ID + quality + rolling-hash fingerprint, all reproduced in SQL
     "doc_analysis": _doc_analysis_sql(),
     "vocab_top100": (
-        "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term "
+        "WITH tok AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term "
         "             FROM documents), "
         "c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term) "
         "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100"
     ),
     "ngram_top100": (
-        "WITH d AS (SELECT regexp_extract_all(text, '\\S+') AS w FROM documents), "
+        "WITH d AS (SELECT regexp_extract_all(COALESCE(text, ''), '\\S+') AS w FROM documents), "
         "idx AS (SELECT w, unnest(generate_series(1, len(w)-2)) AS i FROM d), "
         "g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term FROM idx), "
         "c AS (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term) "
         "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100"
     ),
     "token_quantiles": (
-        "WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "WITH t AS (SELECT CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) "
         "           AS v FROM documents), "
         "c AS (SELECT v, COUNT(*) AS cnt FROM t GROUP BY v), "
         "w AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c), "
@@ -2291,7 +2291,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "grouped_quantiles": (
         "WITH t AS (SELECT source, "
-        "           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "           CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) "
         "           AS v FROM documents), "
         "c AS (SELECT source, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2), "
         "w AS (SELECT source, v, SUM(cnt) OVER "
@@ -2343,7 +2343,7 @@ ORACLE_SQL: dict[str, str] = {
         "AS copy FROM c"
     ),
     "tfidf_top3": (
-        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "
+        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) "
         "             AS term FROM documents), "
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
         "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "

@@ -178,3 +178,21 @@ def test_kmeans_deterministic(clustered_embeddings):
     d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert np.array_equal(c1, c2)
     assert d1.equals(d2)
+
+
+def test_tie_candidates_bounded_and_id_preferring():
+    """A fully-tied similarity row (zero query / duplicate corpus) must
+    yield a BOUNDED candidate set that still contains the smallest
+    neighbor ids the merge tie rule would keep."""
+    from gunrock_ray.functions.ann import _tie_candidates
+    srow = np.zeros(10_000)
+    vid = np.arange(10_000)[::-1].copy()      # ids descending by position
+    kk = 6
+    cand = _tie_candidates(srow, kk, vid)
+    assert len(cand) <= 2 * kk
+    assert set(vid[cand]) >= set(range(kk))   # kk smallest ids survive
+    # -inf masking still excludes non-candidates entirely
+    srow2 = np.full(100, -np.inf)
+    srow2[7] = 0.5
+    cand2 = _tie_candidates(srow2, 3, np.arange(100))
+    assert cand2.tolist() == [7]
