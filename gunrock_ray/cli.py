@@ -280,6 +280,8 @@ def cmd_ann(args) -> dict:
     elif args.method == "ivf":
         top = annf.ivf_topk(args.input, num_queries=args.queries, k=args.k,
                             num_lists=args.lists, nprobe=args.nprobe)
+    elif args.method == "pq":
+        top = annf.pq_topk(args.input, num_queries=args.queries, k=args.k)
     else:
         top = annf.lsh_topk(args.input, num_queries=args.queries, k=args.k,
                             num_planes=args.planes, num_tables=args.tables)
@@ -539,7 +541,7 @@ def main(argv=None) -> None:
 
     annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
     annp.add_argument("--method", default="brute",
-                      choices=["brute", "lsh", "ivf"])
+                      choices=["brute", "lsh", "ivf", "pq"])
     annp.add_argument("--input", required=True)
     annp.add_argument("--out", default="/tmp/gunrock_ray_ann")
     annp.add_argument("--queries", type=int, default=10)

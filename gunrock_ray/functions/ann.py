@@ -484,3 +484,99 @@ def ivf_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
                              "neighbor_id": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="int64")})
     return _merge_topk(cands, k)
+
+
+# ------------------------------------------------------------------- PQ
+
+def pq_train(sample: np.ndarray, m_subs: int = 8, k_cent: int = 16,
+             iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks: the (normalized) sample is split
+    into ``m_subs`` contiguous subspaces and each gets its own k-means
+    codebook (deterministic _seed_centroids init + fixed Lloyd passes,
+    empty cells keep their previous centroid). Returns
+    (m_subs, k_cent, d/m_subs) float64."""
+    n, d = sample.shape
+    if d % m_subs:
+        raise ValueError(f"dim {d} not divisible by m_subs {m_subs}")
+    ds_ = d // m_subs
+    books = np.empty((m_subs, k_cent, ds_), dtype=np.float64)
+    for m in range(m_subs):
+        sub = np.ascontiguousarray(sample[:, m * ds_:(m + 1) * ds_])
+        C = _seed_centroids(sub, k_cent, seed + m)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_cent):
+                mask = assign == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        books[m] = C
+    return books
+
+
+def pq_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
+            query_ids: np.ndarray | None = None, *,
+            m_subs: int = 8, k_cent: int = 16, shortlist: int = 64,
+            train_sample: int = 2048, iters: int = 8, seed: int = 42):
+    """Approximate cosine top-k via product quantization with ADC
+    (asymmetric distance computation) and in-batch exact re-ranking — the
+    compressed-domain scale path (IVF-PQ's PQ half).
+
+    Codebooks are trained driver-side on a deterministic bounded sample
+    (m_subs × k_cent × d/m_subs floats — tiny) and broadcast once with the
+    query matrix. Each batch (1) encodes its vectors to m_subs small codes
+    (argmin against the codebooks), (2) scores every (query, row) pair in
+    the COMPRESSED domain via per-query ADC lookup tables
+    (sim ≈ Σ_m table[m, code_m] — one table build of q × m × k_cent dots,
+    then pure gathers), (3) takes a per-query ADC ``shortlist`` and
+    re-ranks it EXACTLY against the raw vectors it already holds, emitting
+    exact sims for shortlist members only. The driver merges
+    queries × shortlist × blocks exact candidates — shuffle-free like
+    lsh_topk; recall is bounded only by ADC shortlist misses (grows with
+    ``shortlist``). At 100 TB the codes (m_subs bytes/vector) are the
+    memory story: a re-encode pass materializes a 32x-smaller searchable
+    corpus. Returns {query_id, neighbor_id, rank}."""
+    import ray
+
+    q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
+    sample = _hash_priority_sample(_embeddings_ds(embeddings_path),
+                                   train_sample, seed)
+    books = pq_train(sample, m_subs=m_subs, k_cent=k_cent, iters=iters,
+                     seed=seed)
+    ds_ = books.shape[2]
+    # per-query ADC tables: adc[q, m, c] = Q_sub(q, m) . books[m, c]
+    adc = np.einsum("qmd,mcd->qmc",
+                    Q.reshape(len(Q), m_subs, ds_), books)
+    ref = ray.put((q_ids, Q, books, adc))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, Qm, bk, tables = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        V = _normalize(_stack(batch["embedding"]))
+        n = len(vid)
+        Vs = V.reshape(n, m_subs, ds_)
+        # encode: codes[n, m] = nearest centroid per subspace
+        codes = np.empty((n, m_subs), dtype=np.int64)
+        for m in range(m_subs):
+            d2 = ((Vs[:, m, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        # ADC estimate: est[q, n] = sum_m tables[q, m, codes[n, m]]
+        est = np.zeros((len(ids), n))
+        for m in range(m_subs):
+            est += tables[:, m, :][:, codes[:, m]]
+        kk = min(shortlist, n)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(ids)):
+            cand = _tie_candidates(est[qi], kk, vid)
+            exact = Qm[qi] @ V[cand].T       # re-rank shortlist exactly
+            rows["query_id"].extend([ids[qi]] * len(cand))
+            rows["neighbor_id"].extend(vid[cand].tolist())
+            rows["sim"].extend(exact.tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"],
+                                                 pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    cands = _embeddings_ds(embeddings_path).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    return _merge_topk(cands, k)

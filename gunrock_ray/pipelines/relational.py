@@ -773,6 +773,15 @@ def q_cms_users(sf_dir: str):
     return cells
 
 
+def q_ann_pq_top5(sf_dir: str):
+    """PQ/ADC approximate cosine top-5 (rows-only: approximate by design;
+    recall vs brute force pytest-asserted >= 0.9) — the compressed-domain
+    scale path with in-batch exact re-ranking."""
+    from gunrock_ray.functions.ann import pq_topk
+    return pq_topk(os.path.join(sf_dir, "embeddings.parquet"),
+                   num_queries=10, k=5)
+
+
 def q_doc_sha(sf_dir: str):
     """Per-row sha256 (the ingest invariant, as hex to match DuckDB sha256())."""
     import ray.data

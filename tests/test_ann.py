@@ -196,3 +196,30 @@ def test_tie_candidates_bounded_and_id_preferring():
     srow2[7] = 0.5
     cand2 = _tie_candidates(srow2, 3, np.arange(100))
     assert cand2.tolist() == [7]
+
+
+def test_pq_topk_recall_vs_bruteforce():
+    """PQ/ADC with in-batch exact re-rank: recall@5 >= 0.9 against brute
+    force on the sf0.01 embeddings (measured 1.0 at the defaults), and
+    determinism across runs."""
+    from gunrock_ray.functions.ann import pq_topk, brute_force_topk
+    p = "/root/testdata/sf0.01/embeddings.parquet"
+    got = pq_topk(p, num_queries=10, k=5)
+    ref = brute_force_topk(p, num_queries=10, k=5)
+    g = set(map(tuple, got[["query_id", "neighbor_id"]].values))
+    r = set(map(tuple, ref[["query_id", "neighbor_id"]].values))
+    assert len(g & r) / len(r) >= 0.9
+    again = pq_topk(p, num_queries=10, k=5)
+    assert got.equals(again)
+
+
+def test_pq_train_shapes_and_determinism():
+    from gunrock_ray.functions.ann import pq_train
+    rng = np.random.default_rng(0)
+    sample = rng.normal(size=(500, 64))
+    b1 = pq_train(sample, m_subs=8, k_cent=16, iters=4)
+    b2 = pq_train(sample, m_subs=8, k_cent=16, iters=4)
+    assert b1.shape == (8, 16, 8) and np.array_equal(b1, b2)
+    import pytest
+    with pytest.raises(ValueError):
+        pq_train(sample, m_subs=7)
