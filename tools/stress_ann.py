@@ -1,0 +1,95 @@
+"""ANN-path stress: synthesize a deterministic N-vector embedding table
+(same counter-based generator family as stress_semantic), run all four
+top-k paths (brute force, LSH, IVF, PQ/ADC) for the same 10 queries, and
+report per-path wall time + recall vs the brute-force truth + driver RSS.
+
+Run: python tools/stress_ann.py [num_vecs] (default 500_000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+NUM_CENTERS = 512
+
+
+def _vec_batch(batch: pa.Table) -> pa.Table:
+    from gunrock_ray.common import mix64
+    ids = batch["id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    # deterministic center table (same on every worker, tiny)
+    crng = np.random.default_rng(7)
+    centers = crng.normal(size=(NUM_CENTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = centers[ids % NUM_CENTERS]
+    # per-id noise from counter hashes (no RNG state)
+    h = mix64(ids.astype(np.uint64))
+    noise = np.empty((n, DIM))
+    for d in range(DIM):
+        h = mix64(h)
+        noise[:, d] = (h.astype(np.float64) / 2**64 - 0.5)
+    v = base + 0.15 * noise
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row for row in v.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array((ids % NUM_CENTERS).astype(np.int32)),
+    })
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    import ray
+    import ray.data
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    path = f"/tmp/gunrock_ray_bench/ann_vecs_{n}"
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        (ray.data.range(n, override_num_blocks=max(16, n // 100_000))
+         .map_batches(_vec_batch, batch_format="pyarrow")
+         .write_parquet(path))
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+
+    from gunrock_ray.functions import ann as annf
+
+    results = {}
+    truth = None
+    for name, fn in [
+        ("brute", lambda: annf.brute_force_topk(path, num_queries=10, k=5)),
+        ("lsh", lambda: annf.lsh_topk(path, num_queries=10, k=5)),
+        ("ivf", lambda: annf.ivf_topk(path, num_queries=10, k=5)),
+        ("pq", lambda: annf.pq_topk(path, num_queries=10, k=5)),
+    ]:
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        pairs = set(map(tuple, out[["query_id", "neighbor_id"]].values))
+        if truth is None:
+            truth = pairs
+            recall = 1.0
+        else:
+            recall = len(pairs & truth) / len(truth)
+        results[name] = {"sec": round(dt, 2), "recall_at_5": round(recall, 3),
+                         "vecs_per_sec": int(n / dt)}
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    print(json.dumps({"n_vecs": n, "dim": DIM, "driver_rss_mb": rss_mb,
+                      "paths": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
