@@ -29,13 +29,21 @@ redaction (ordered regex fold + sha chain), benchmark decontamination
 document packing and token-budget sequence packing (distributed exclusive
 prefix sum), k-core
 (h-index iteration unrolled to a verified fixpoint), deterministic
-random-walk sampling (counter-based hops), windowed aggregates,
-sessionization, as-of and range joins over the events stream, general
-equi-joins (broadcast + shuffle, inner/left) and the pre-aggregated
-GROUP BY. Rows-only (each pytest-oracled): the convergence-mode
-HITS/SALSA/BC/WTF variants, the probabilistic LSH/IVF ANN paths, HLL
-estimates and the embedding k-means / semantic near-dup family (recall
-and subset gates asserted in pytest).
+random-walk sampling (counter-based hops), windowed aggregates
+(tumbling + hopping), per-user running totals, sessionization, as-of and
+range joins over the events stream, general equi-joins (broadcast +
+shuffle, inner/left) plus semi/anti (EXISTS / NOT EXISTS), the
+pre-aggregated GROUP BY, stratified per-source sampling and repeat-factor
+epoch mixing (splitmix64 reproduced in SQL), per-source grouped
+quantiles, bloom-filter decontamination (bit-exact incl. false
+positives), C4-style segment/line dedup by document frequency (fold + df
+threshold + reassembled sha, bit-exact), the end-to-end near-dup KEEPERS
+composition (MinHash pairs -> CC -> min-id reps vs a transitive-closure
+oracle), the full HLL estimator at p=14 and the Count-Min cell table.
+Rows-only (each pytest-oracled): the convergence-mode HITS/SALSA/BC/WTF
+variants, the probabilistic LSH/IVF/PQ ANN paths and the embedding
+k-means / semantic near-dup family (recall and subset gates asserted in
+pytest).
 """
 
 from __future__ import annotations
