@@ -309,3 +309,52 @@ def test_cli_hopping_and_stratified(tmp_path):
     # rate 100 keeps every src0 row, every other source is dropped
     assert set(t["source"].to_pylist()) == {"src0"}
     assert s["rows"] == 25  # sf0.001: 25 docs per source
+
+
+def test_cli_events_semi_anti_and_convert_weights(tmp_path):
+    """events --op semi|anti match DuckDB EXISTS / NOT EXISTS; convert
+    --weights add writes a 'real' mtx with the deterministic [1,64]
+    weights."""
+    import duckdb
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    events = "/root/testdata/sf0.001/events.parquet"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "events", "--op", "semi",
+         "--input", events, "--left-type", "purchase",
+         "--right-type", "signup", "--out", str(tmp_path / "semi")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT COUNT(*) FROM '{events}' e WHERE event_type='purchase' "
+        f"AND EXISTS (SELECT 1 FROM '{events}' x WHERE "
+        f"x.event_type='signup' AND x.user_id=e.user_id)").fetchone()[0]
+    assert s["rows"] == want
+
+    # convert --weights add: mtx 'real' output with deterministic weights
+    import pyarrow as pa
+    from gunrock_ray.sources.market import write_market
+    from gunrock_ray.sources.generators import add_weights
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0], pa.int64())})
+    mtx = tmp_path / "g.mtx"
+    write_market(edges, str(mtx))
+    out = tmp_path / "gw.mtx"
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "convert",
+         "--input", str(mtx), "--from-format", "mtx", "--to-format", "mtx",
+         "--weights", "add", "--out", str(out)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().splitlines()
+    assert "real" in lines[0]
+    want_w = add_weights(edges)["w"].to_numpy()
+    got = {}
+    for ln in lines[2:]:
+        a, b, w = ln.split()
+        got[(int(a) - 1, int(b) - 1)] = float(w)
+    for i in range(3):
+        assert got[(edges["src"][i].as_py(), edges["dst"][i].as_py())] \
+            == want_w[i]
