@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": r.q_distinct_users_hll,  # SQL-checked (full HLL estimator)
         "hll_registers": r.q_hll_registers,  # SQL-checked (mix64+bin() in SQL)
         "cms_users": r.q_cms_users,  # SQL-checked (Count-Min cells bit-for-bit)
+        "distinct_users_by_type": r.q_distinct_users_by_type,  # SQL-checked (grouped HLL)
         "events_sessions": r.q_events_sessions,  # SQL-checked (gap sessions)
         "events_hopping": r.q_events_hopping,  # SQL-checked (sliding windows)
         "events_cumsum": r.q_events_cumsum,  # SQL-checked (running totals)

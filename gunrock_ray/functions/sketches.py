@@ -103,6 +103,50 @@ def hll_register_table(ds, column: str, p: int = 10) -> pa.Table:
                      "reg": pa.array(merged[nz].astype(np.int64), pa.int64())})
 
 
+def hll_count_distinct_grouped(ds, key: str, column: str,
+                               p: int = 12) -> pa.Table:
+    """Per-group approximate COUNT(DISTINCT column) — one HLL per distinct
+    ``key`` value. Returns {key, n_distinct_est} (estimate rounded to
+    int64, same estimator branches as :func:`hll_count_distinct`).
+
+    Scale shape: each block emits one register array per group IT SAW
+    (groups × 2^p bytes; the group column of a grouped-distinct is
+    low-cardinality by construction — event types, sources), and the
+    driver max-merges per group. For a high-cardinality key, swap the
+    driver fold for a ``groupby(key)`` shuffle of the register rows —
+    same rows, one exchange."""
+    from gunrock_ray.functions.dedup import hash_words
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kcol = batch[key]
+        enc = pc.dictionary_encode(kcol.combine_chunks()
+                                   if isinstance(kcol, pa.ChunkedArray)
+                                   else kcol)
+        codes = enc.indices.to_numpy()
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy().astype(np.uint64)
+        else:
+            vals = hash_words(col.to_pylist())
+        ks, regs = [], []
+        for c, kv in enumerate(enc.dictionary.to_pylist()):
+            ks.append(kv)
+            regs.append(_hll_registers(vals[codes == c], p).tobytes())
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "regs": pa.array(regs, pa.binary())})
+
+    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    merged: dict = {}
+    for kv, b in zip(parts["k"], parts["regs"]):
+        r = np.frombuffer(b, dtype=np.uint8)
+        merged[kv] = np.maximum(merged[kv], r) if kv in merged else r
+    keys = sorted(merged)
+    ests = [int(round(_hll_estimate(merged[kv]))) for kv in keys]
+    return pa.table({key: pa.array(keys, pa.string()),
+                     "n_distinct_est": pa.array(ests, pa.int64())})
+
+
 # ----------------------------------------------------------- Count-Min
 
 def _cms_block(values_u64: np.ndarray, width_log2: int,

@@ -759,6 +759,18 @@ def q_distinct_users_hll(sf_dir: str):
 
 # --- documents / embeddings (training-data ops) ------------------------------
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Per-event-type approximate COUNT(DISTINCT user_id) via one HLL per
+    group (p=12) — {event_type, n_distinct_est}, SQL-checked end to end
+    (the grouped register build AND the estimator branches, reduced to
+    integers)."""
+    import ray.data
+    from gunrock_ray.functions.sketches import hll_count_distinct_grouped
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return hll_count_distinct_grouped(ev, "event_type", "user_id", p=12)
+
+
 def q_cms_users(sf_dir: str):
     """Count-Min sketch of events.user_id (depth 4 × width 2^12) as its
     integer cell table {row, idx, cnt} — heavy-hitter counting without a
@@ -2138,6 +2150,33 @@ ORACLE_SQL: dict[str, str] = {
         "      (h % 18014398509481984) * 1024 + 1023 AS rest FROM h), "
         "k AS (SELECT idx, LEAST(64 - length(bin(rest)) + 1, 55) AS rank FROM r) "
         "SELECT idx, CAST(MAX(rank) AS BIGINT) AS reg FROM k GROUP BY idx"
+    ),
+    # grouped HLL estimate at p=12: the distinct_users_hll machinery with
+    # a GROUP BY key threaded through every stage
+    "distinct_users_by_type": (
+        "WITH s0 AS (SELECT event_type AS k, CAST(user_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM events), "
+        f"s1 AS (SELECT k, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT k, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "h AS (SELECT k, xor(z, z >> 31) AS h FROM s2), "
+        "r AS (SELECT k, CAST(h >> 52 AS BIGINT) AS idx, "
+        "      (h % 4503599627370496) * 4096 + 4095 AS rest FROM h), "
+        "g AS (SELECT k, idx, "
+        "      MAX(LEAST(64 - length(bin(rest)) + 1, 53)) AS reg "
+        "      FROM r GROUP BY k, idx), "
+        "agg AS (SELECT k, COUNT(*) AS used, "
+        "        SUM(power(2.0, -reg)) AS s_nz FROM g GROUP BY k), "
+        "f AS (SELECT k, 4096 - used AS zeros, "
+        "      (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 "
+        "      / (s_nz + (4096 - used)) AS raw FROM agg) "
+        "SELECT k AS event_type, "
+        "CAST(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+        "THEN round(4096.0 * ln(4096.0 / zeros)) "
+        "WHEN raw > 4294967296.0 / 30.0 "
+        "THEN round(-4294967296.0 * ln(1.0 - raw / 4294967296.0)) "
+        "ELSE round(raw) END AS BIGINT) AS n_distinct_est FROM f"
     ),
     # Count-Min cells bit-for-bit: the bloom filter's double-hash position
     # formula (two staged splitmix64 chains, HUGEINT j*h2, mod 2^12) then

@@ -154,3 +154,31 @@ def test_cms_users_matches_duckdb_oracle_sf0001():
     assert got["row"].tolist() == want["row"].tolist()
     assert got["idx"].tolist() == want["idx"].tolist()
     assert got["cnt"].tolist() == want["cnt"].tolist()
+
+
+def test_grouped_hll_accuracy_and_merge_invariance():
+    """Per-group estimates within the p=12 error bound of the exact
+    per-group distinct counts, independent of block layout."""
+    import ray.data
+    from gunrock_ray.functions.sketches import hll_count_distinct_grouped
+    rng = np.random.default_rng(2)
+    n = 30000
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # distinct cardinality differs strongly per group
+    vals = np.where(groups == "a", rng.integers(0, 50, n),
+                    np.where(groups == "b", rng.integers(0, 2000, n),
+                             rng.integers(0, 9000, n)))
+    t = pa.table({"g": pa.array(groups.tolist(), pa.string()),
+                  "v": pa.array(vals.astype(np.int64))})
+    exact = {g: len(np.unique(vals[groups == g])) for g in "abc"}
+    for blocks in (1, 7):
+        out = hll_count_distinct_grouped(
+            ray.data.from_arrow(t).repartition(blocks), "g", "v",
+            p=12).to_pandas()
+        got = dict(zip(out["g"], out["n_distinct_est"]))
+        for g in "abc":
+            assert abs(got[g] - exact[g]) <= max(3, 0.06 * exact[g]), \
+                (g, got[g], exact[g])
+        if blocks == 1:
+            first = got
+    assert got == first  # block-layout invariance (lossless max-merge)
