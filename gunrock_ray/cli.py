@@ -293,22 +293,81 @@ def cmd_ann(args) -> dict:
 
 
 def cmd_curate(args) -> dict:
-    """End-to-end curation: exact dedup → near-dup dedup → quality filter."""
+    """End-to-end curation: exact dedup → near-dup dedup → quality filter.
+
+    Resumable sharded mode for long corpora: run once with
+    ``--analysis-out DIR`` to persist the drop-id analysis (small, id-only
+    parquet + stats json), then run the filter pass per input shard with
+    ``--analysis DIR --shard i --num-shards N`` — each shard writes
+    ``out/shard=i`` and drops a ``_DONE`` marker; with ``--resume`` a
+    finished shard is skipped, so a failed run re-does only the missing
+    shards WITHOUT re-deduplicating the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
-    from gunrock_ray.pipelines.curate import curate_documents
+    from gunrock_ray.pipelines.curate import (curate_documents,
+                                              curation_drop_ids,
+                                              apply_curation)
     _init_ray()
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
     langs = tuple(args.langs.split(",")) if args.langs else None
-    curated, stats = curate_documents(
-        docs, near_dup=not args.no_near_dup,
-        jaccard_threshold=args.jaccard, min_tokens=args.min_tokens,
-        max_tokens=args.max_tokens, max_punct_ratio=args.max_punct,
-        langs=langs, decontam_mod=args.decontam_mod, redact=args.redact,
-        num_partitions=args.partitions or 8)
-    rows = _write_result(args.out, curated)
-    summary = {"cmd": "curate", "rows_kept": rows, **stats,
-               "t_run_s": round(time.perf_counter() - t0, 3)}
+
+    if args.analysis_out:
+        drop, stats = curation_drop_ids(
+            docs, near_dup=not args.no_near_dup,
+            jaccard_threshold=args.jaccard,
+            decontam_mod=args.decontam_mod,
+            num_partitions=args.partitions or 8)
+        os.makedirs(args.analysis_out, exist_ok=True)
+        pq.write_table(pa.table({"doc_id": pa.array(drop, pa.int64())}),
+                       os.path.join(args.analysis_out, "drop_ids.parquet"))
+        with open(os.path.join(args.analysis_out, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        summary = {"cmd": "curate", "phase": "analysis", **stats,
+                   "t_run_s": round(time.perf_counter() - t0, 3)}
+    elif args.analysis:
+        drop = pq.read_table(
+            os.path.join(args.analysis, "drop_ids.parquet"))["doc_id"] \
+            .to_numpy()
+        n_shards = args.num_shards or 1
+        shard = args.shard or 0
+        out_dir = os.path.join(args.out, f"shard={shard}")
+        marker = os.path.join(out_dir, "_DONE")
+        if args.resume and os.path.exists(marker):
+            summary = {"cmd": "curate", "phase": "filter", "shard": shard,
+                       "skipped": True, "t_run_s": 0.0}
+            print(json.dumps(summary))
+            return summary
+        from gunrock_ray.common import mix64
+
+        def in_shard(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            sel = (mix64(ids.astype(np.uint64))
+                   % np.uint64(n_shards)).astype(np.int64) == shard
+            return t.filter(pa.array(sel))
+
+        part = docs.map_batches(in_shard, batch_format="pyarrow")
+        curated = apply_curation(
+            part, drop, min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens, max_punct_ratio=args.max_punct,
+            langs=langs, redact=args.redact)
+        rows = _write_result(out_dir, curated)
+        open(marker, "w").write("ok")
+        summary = {"cmd": "curate", "phase": "filter", "shard": shard,
+                   "num_shards": n_shards, "rows_kept": rows,
+                   "t_run_s": round(time.perf_counter() - t0, 3)}
+    else:
+        curated, stats = curate_documents(
+            docs, near_dup=not args.no_near_dup,
+            jaccard_threshold=args.jaccard, min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens, max_punct_ratio=args.max_punct,
+            langs=langs, decontam_mod=args.decontam_mod,
+            redact=args.redact, num_partitions=args.partitions or 8)
+        rows = _write_result(args.out, curated)
+        summary = {"cmd": "curate", "rows_kept": rows, **stats,
+                   "t_run_s": round(time.perf_counter() - t0, 3)}
     print(json.dumps(summary))
     return summary
 
@@ -582,6 +641,19 @@ def main(argv=None) -> None:
     cur.add_argument("--redact", action="store_true",
                      help="rewrite surviving text with the default PII/"
                      "secrets redaction rules")
+    cur.add_argument("--analysis-out", default=None,
+                     help="run ONLY the drop-id analysis and persist it "
+                          "here (drop_ids.parquet + stats.json)")
+    cur.add_argument("--analysis", default=None,
+                     help="reuse a saved analysis and run ONLY the filter "
+                          "pass (combine with --shard/--num-shards)")
+    cur.add_argument("--shard", type=int, default=None,
+                     help="with --analysis: process only docs where "
+                          "mix64(doc_id) %% num-shards == SHARD")
+    cur.add_argument("--num-shards", type=int, default=None)
+    cur.add_argument("--resume", action="store_true",
+                     help="with --analysis: skip shards whose _DONE "
+                          "marker already exists")
     cur.add_argument("--partitions", type=int, default=None)
 
     evp = sub.add_parser("events", help="windowed aggregates / sessionization "

@@ -136,7 +136,30 @@ def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
     decontamination runs when ``decontam_mod`` or ``decontam_ids`` is
     given — the benchmark docs themselves are dropped too (they are
     eval data, not training data)."""
-    import ray
+    drop, stats = curation_drop_ids(
+        docs_ds, ngram=ngram, bands=bands, rows=rows,
+        jaccard_threshold=jaccard_threshold, near_dup=near_dup,
+        decontam_mod=decontam_mod, decontam_ids=decontam_ids,
+        num_partitions=num_partitions)
+    curated = apply_curation(
+        docs_ds, drop, min_tokens=min_tokens, max_tokens=max_tokens,
+        max_punct_ratio=max_punct_ratio, langs=langs, redact=redact,
+        redact_patterns=redact_patterns, concurrency=concurrency)
+    return curated, stats
+
+
+def curation_drop_ids(docs_ds, *, ngram: int = 3, bands: int = 16,
+                      rows: int = 4, jaccard_threshold: float = 0.8,
+                      near_dup: bool = True,
+                      decontam_mod: int | None = None,
+                      decontam_ids: np.ndarray | None = None,
+                      num_partitions: int = 8):
+    """The ANALYSIS half of the pipeline: the sorted id array of every doc
+    the dedup/decontamination stages drop, plus the removal-reason stats.
+    Id-only and bounded — persist it (one small parquet) and the filter
+    half becomes embarrassingly parallel and RESUMABLE per input shard
+    (`cli curate --shard i --num-shards N` re-uses a saved analysis, so a
+    failed shard re-runs without re-deduplicating the corpus)."""
 
     def _ids_of(res) -> np.ndarray:
         df = res.to_pandas()
@@ -170,8 +193,26 @@ def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
     drop = np.union1d(
         np.union1d(exact_ids.astype(np.int64), near_ids.astype(np.int64)),
         contam_ids.astype(np.int64))
-    drop_ref = ray.put(np.sort(drop))
+    stats = {"dropped_exact_dup": int(len(exact_ids)),
+             "dropped_near_dup": int(len(np.setdiff1d(near_ids, exact_ids))),
+             "dropped_contaminated": int(len(contam_ids)),
+             "dropped_total_dedup": int(len(drop))}
+    return np.sort(drop), stats
 
+
+def apply_curation(docs_ds, drop: np.ndarray, *,
+                   min_tokens: int = 5, max_tokens: int = 1_000_000,
+                   max_punct_ratio: float = 0.5,
+                   langs: tuple[str, ...] | None = None,
+                   redact: bool = False, redact_patterns=None,
+                   concurrency: int = 4):
+    """The FILTER half: one streaming pass dropping the analysis ids and
+    applying the quality gates (+ optional redaction). Pure per-shard —
+    safe to run over any subset of the input against the same saved
+    ``drop`` array."""
+    import ray
+
+    drop_ref = ray.put(np.sort(np.asarray(drop, dtype=np.int64)))
     curated = docs_ds.map_batches(
         QualityFilter, batch_format="pyarrow",
         concurrency=(1, concurrency),
@@ -185,8 +226,4 @@ def curate_documents(docs_ds, *, ngram: int = 3, bands: int = 16,
             RedactText, batch_format="pyarrow",
             concurrency=(1, concurrency),
             fn_constructor_kwargs={"patterns": redact_patterns})
-    stats = {"dropped_exact_dup": int(len(exact_ids)),
-             "dropped_near_dup": int(len(np.setdiff1d(near_ids, exact_ids))),
-             "dropped_contaminated": int(len(contam_ids)),
-             "dropped_total_dedup": int(len(drop))}
-    return curated, stats
+    return curated

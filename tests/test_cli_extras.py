@@ -358,3 +358,40 @@ def test_cli_events_semi_anti_and_convert_weights(tmp_path):
     for i in range(3):
         assert got[(edges["src"][i].as_py(), edges["dst"][i].as_py())] \
             == want_w[i]
+
+
+def test_cli_curate_sharded_resume(tmp_path):
+    """Analyze-once + shard-filter curation: the shard union equals the
+    monolithic run, and --resume skips a finished shard."""
+    env = {**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": "local"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    an, out, mono = str(tmp_path / "an"), str(tmp_path / "out"), \
+        str(tmp_path / "mono")
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "gunrock_ray.cli", "curate",
+             "--input", docs] + extra,
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s = run(["--analysis-out", an])
+    assert s["phase"] == "analysis" and s["dropped_total_dedup"] > 0
+    k0 = run(["--analysis", an, "--shard", "0", "--num-shards", "2",
+              "--out", out])
+    k1 = run(["--analysis", an, "--shard", "1", "--num-shards", "2",
+              "--out", out])
+    skip = run(["--analysis", an, "--shard", "0", "--num-shards", "2",
+                "--out", out, "--resume"])
+    assert skip.get("skipped") is True
+    m = run(["--out", mono])
+    assert k0["rows_kept"] + k1["rows_kept"] == m["rows_kept"]
+    import glob
+    import pyarrow.dataset as pads
+    sharded = sorted(pads.dataset(
+        glob.glob(os.path.join(out, "shard=*", "*.parquet")))
+        .to_table()["doc_id"].to_pylist())
+    whole = sorted(pads.dataset(glob.glob(os.path.join(mono, "*.parquet")))
+                   .to_table()["doc_id"].to_pylist())
+    assert sharded == whole
