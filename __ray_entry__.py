@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top5": r.q_ann_lsh_top5,   # rows-only (LSH recall pytest-gated)
         "ann_ivf_top5": r.q_ann_ivf_top5,   # rows-only (IVF recall pytest-gated)
         "ann_pq_top5": r.q_ann_pq_top5,     # rows-only (PQ/ADC recall pytest-gated)
+        "ann_ivfpq_top5": r.q_ann_ivfpq_top5,  # rows-only (IVF-PQ recall pytest-gated)
         "embed_near_dup_lsh": r.q_embed_near_dup_lsh,  # rows-only (subset-of-exact)
         "embed_kmeans": r.q_embed_kmeans,  # rows-only (iterative float clustering)
         "embed_near_dup_semantic": r.q_embed_near_dup_semantic,  # rows-only (subset-of-exact)

@@ -15,12 +15,17 @@ Input formats:
 - ``corpus`` : Parquet repo corpus (repo,path,commit,lang,content) — runs
   the sha256+import-extraction ingest first (north-rule input_hint)
 - ``mtx``    : MatrixMarket file/dir (conformance format)
+- ``snap``   : SNAP/PowerGraph edge-list text ('#' comments, 0-indexed)
 
 Subcommands beyond ``run``: ``dedup`` (exact/minhash/simhash/ngram/
-embed/embed-lsh, --cluster), ``ann`` (brute/lsh/ivf), ``analyze``,
-``curate`` (dedup → near-dup → quality filter), ``events`` (window/
-sessions/asof/range), ``stats`` (vocab/ngrams/quantiles/sample/tfidf)
-— every operator family is a ray-job surface.
+embed/embed-lsh, --cluster), ``ann`` (brute/lsh/ivf/pq/ivfpq),
+``analyze`` (full/repetition/redact/decontam/bloom-decontam/segdedup),
+``curate`` (dedup → near-dup → quality filter; resumable sharded mode
+via --analysis-out then --analysis --shard --resume), ``events``
+(window/hopping/cumsum/sessions/asof/range/semi/anti), ``stats``
+(vocab/ngrams/quantiles/gquantiles/sample/stratified/repeat/tfidf) and
+``convert`` (mtx↔snap↔parquet, --weights add|remove) — every operator
+family is a ray-job surface.
 """
 
 from __future__ import annotations
@@ -282,6 +287,10 @@ def cmd_ann(args) -> dict:
                             num_lists=args.lists, nprobe=args.nprobe)
     elif args.method == "pq":
         top = annf.pq_topk(args.input, num_queries=args.queries, k=args.k)
+    elif args.method == "ivfpq":
+        top = annf.ivfpq_topk(args.input, num_queries=args.queries,
+                              k=args.k, num_lists=args.lists,
+                              nprobe=args.nprobe)
     else:
         top = annf.lsh_topk(args.input, num_queries=args.queries, k=args.k,
                             num_planes=args.planes, num_tables=args.tables)
@@ -600,7 +609,7 @@ def main(argv=None) -> None:
 
     annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
     annp.add_argument("--method", default="brute",
-                      choices=["brute", "lsh", "ivf", "pq"])
+                      choices=["brute", "lsh", "ivf", "pq", "ivfpq"])
     annp.add_argument("--input", required=True)
     annp.add_argument("--out", default="/tmp/gunrock_ray_ann")
     annp.add_argument("--queries", type=int, default=10)

@@ -580,3 +580,74 @@ def pq_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
     cands = _embeddings_ds(embeddings_path).map_batches(
         partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(cands, k)
+
+
+def ivfpq_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
+               query_ids: np.ndarray | None = None, *,
+               num_lists: int = 16, nprobe: int = 8, assign_lists: int = 2,
+               m_subs: int = 8, k_cent: int = 16, shortlist: int = 64,
+               train_sample: int = 2048, iters: int = 8, seed: int = 42):
+    """IVF-PQ — the production ANN configuration: the IVF coarse quantizer
+    prunes (query, row) pairs to probed lists, PQ/ADC scores the survivors
+    in the compressed domain, and the per-query shortlist is re-ranked
+    exactly in-batch (see :func:`ivf_topk` and :func:`pq_topk` for the two
+    halves; this composes their masks and tables in ONE pass). Shuffle-
+    free; at 100 TB the resident search structure is list ids + m-byte PQ
+    codes — the full FAISS-style memory story. Returns
+    {query_id, neighbor_id, rank}."""
+    import ray
+
+    q_ids, Q = _query_matrix(embeddings_path, num_queries, query_ids)
+    ds = _embeddings_ds(embeddings_path)
+    sample = _hash_priority_sample(ds, train_sample, seed)
+    C = train_ivf_centroids(sample, num_lists, iters, seed)
+    books = pq_train(sample, m_subs=m_subs, k_cent=k_cent, iters=iters,
+                     seed=seed)
+    ds_ = books.shape[2]
+    adc = np.einsum("qmd,mcd->qmc",
+                    Q.reshape(len(Q), m_subs, ds_), books)
+    npb = min(nprobe, num_lists)
+    nass = min(assign_lists, num_lists)
+    q_probe = np.argpartition(-(Q @ C.T), npb - 1, axis=1)[:, :npb]
+    ref = ray.put((q_ids, Q, q_probe, C, books, adc))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, Qm, qp, Cm, bk, tables = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        V = _normalize(_stack(batch["embedding"]))
+        n = len(vid)
+        lids = np.argpartition(-(V @ Cm.T), nass - 1, axis=1)[:, :nass]
+        valid = np.zeros((len(ids), n), dtype=bool)
+        for a in range(nass):
+            for p in range(qp.shape[1]):
+                valid |= qp[:, p][:, None] == lids[:, a][None, :]
+        Vs = V.reshape(n, m_subs, ds_)
+        codes = np.empty((n, m_subs), dtype=np.int64)
+        for m in range(m_subs):
+            d2 = ((Vs[:, m, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        est = np.zeros((len(ids), n))
+        for m in range(m_subs):
+            est += tables[:, m, :][:, codes[:, m]]
+        est[~valid] = -np.inf
+        kk = min(shortlist, n)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(ids)):
+            cand = _tie_candidates(est[qi], kk, vid)
+            exact = Qm[qi] @ V[cand].T
+            rows["query_id"].extend([ids[qi]] * len(cand))
+            rows["neighbor_id"].extend(vid[cand].tolist())
+            rows["sim"].extend(exact.tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"],
+                                                 pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    cands = _embeddings_ds(embeddings_path).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if len(cands) == 0:
+        import pandas as pd
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return _merge_topk(cands, k)

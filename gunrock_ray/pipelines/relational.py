@@ -785,6 +785,15 @@ def q_cms_users(sf_dir: str):
     return cells
 
 
+def q_ann_ivfpq_top5(sf_dir: str):
+    """IVF-PQ approximate cosine top-5 (rows-only; recall vs brute force
+    pytest-asserted >= 0.9) — the production composition: coarse-quantizer
+    pruning + compressed-domain ADC + in-batch exact re-rank."""
+    from gunrock_ray.functions.ann import ivfpq_topk
+    return ivfpq_topk(os.path.join(sf_dir, "embeddings.parquet"),
+                      num_queries=10, k=5)
+
+
 def q_ann_pq_top5(sf_dir: str):
     """PQ/ADC approximate cosine top-5 (rows-only: approximate by design;
     recall vs brute force pytest-asserted >= 0.9) — the compressed-domain

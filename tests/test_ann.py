@@ -223,3 +223,15 @@ def test_pq_train_shapes_and_determinism():
     import pytest
     with pytest.raises(ValueError):
         pq_train(sample, m_subs=7)
+
+
+def test_ivfpq_topk_recall_vs_bruteforce():
+    """IVF-PQ (coarse pruning + ADC + exact re-rank): recall@5 >= 0.9 vs
+    brute force on sf0.01 (measured 0.96 at the defaults)."""
+    from gunrock_ray.functions.ann import ivfpq_topk, brute_force_topk
+    p = "/root/testdata/sf0.01/embeddings.parquet"
+    got = ivfpq_topk(p, num_queries=10, k=5)
+    ref = brute_force_topk(p, num_queries=10, k=5)
+    g = set(map(tuple, got[["query_id", "neighbor_id"]].values))
+    r = set(map(tuple, ref[["query_id", "neighbor_id"]].values))
+    assert len(g & r) / len(r) >= 0.9
