@@ -73,6 +73,7 @@ def main() -> None:
         ("lsh", lambda: annf.lsh_topk(path, num_queries=10, k=5)),
         ("ivf", lambda: annf.ivf_topk(path, num_queries=10, k=5)),
         ("pq", lambda: annf.pq_topk(path, num_queries=10, k=5)),
+        ("ivfpq", lambda: annf.ivfpq_topk(path, num_queries=10, k=5)),
     ]:
         t0 = time.perf_counter()
         out = fn()
