@@ -400,3 +400,49 @@ def test_cumulative_agg_matches_bruteforce():
         run[u] = (tot, cnt)
         exp[i] = (tot, cnt)
     assert len(got) == n and got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),          # user
+                          st.integers(0, 3 * US_PER_HOUR),  # ts
+                          st.integers(-500, 500)),    # cents value
+                min_size=1, max_size=60))
+def test_hopping_and_cumsum_property_vs_bruteforce(rows):
+    """Arbitrary event multisets (ties, negatives, bursts): hopping window
+    counts/sums and per-user running totals match brute force exactly."""
+    import ray.data
+    from gunrock_ray.functions.windows import (hopping_window_agg,
+                                               cumulative_agg)
+    n = len(rows)
+    users = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    cents = np.array([r[2] for r in rows], np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "value": pa.array(cents / 100.0),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    w, hop = US_PER_HOUR, US_PER_HOUR // 2
+    got = {(r.user_id, r.w_start_us): (r.n_events, r.sum_cents)
+           for r in hopping_window_agg(ds, window_us=w, hop_us=hop,
+                                       num_buckets=4)
+           .to_pandas().itertuples()}
+    exp: dict = {}
+    for u, t_, c in zip(users, ts, cents):
+        for kk in range(w // hop):
+            key = (u, (t_ // hop - kk) * hop)
+            cnt, tot = exp.get(key, (0, 0))
+            exp[key] = (cnt + 1, tot + c)
+    assert got == exp
+
+    out = cumulative_agg(ds, num_buckets=4).to_pandas()
+    got_c = {r.event_id: (r.cum_cents, r.rn) for r in out.itertuples()}
+    order = np.lexsort((np.arange(n), ts, users))
+    run: dict = {}
+    for i in order:
+        tot, cnt = run.get(users[i], (0, 0))
+        tot, cnt = tot + cents[i], cnt + 1
+        run[users[i]] = (tot, cnt)
+        assert got_c[i] == (tot, cnt), i
