@@ -771,8 +771,11 @@ def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
         keep = pa.compute.greater_equal(batch["nd"], min_docs)
         return batch.filter(keep).select(["h"])
 
-    hot = (df.map_batches(only_hot, batch_format="pyarrow")
-           .to_pandas()["h"].to_numpy().view(np.uint64))
+    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    # all-empty blocks lose the schema (no 'h' column) when nothing
+    # reaches the df threshold — an empty hot set, not an error
+    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
+           else np.zeros(0, dtype=np.uint64))
     hot_ref = ray.put(np.sort(hot))
 
     def scrub(batch: pa.Table) -> pa.Table:

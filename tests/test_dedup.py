@@ -499,3 +499,21 @@ def test_minhash_keepers_composition():
     assert drops == {7, 11, 25}      # min ids 3 and 20 survive
     keepers = sorted(set(range(n)) - drops)
     assert 3 in keepers and 20 in keepers and len(keepers) == 27
+
+
+def test_segment_dedup_empty_hot_set():
+    """No segment reaches the df threshold: every doc passes through
+    unchanged (regression: the all-empty hot-block schema loss raised
+    KeyError instead of meaning 'empty hot set')."""
+    import hashlib
+    import ray.data
+    from gunrock_ray.functions.dedup import segment_dedup
+    docs = [f"only{i} line here {i}" for i in range(10)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = segment_dedup(ds, sep="\n", min_docs=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["n_dropped"] == 0).all()
+    assert out["new_sha"][0] == hashlib.sha256(
+        docs[0].encode()).hexdigest()

@@ -62,7 +62,11 @@ def main() -> None:
 
     docs = ray.data.range(num_docs).map_batches(
         lambda b, n=num_docs: _doc_batch(b, n), batch_format="pyarrow")
-    path = "/tmp/gunrock_ray_bench/stress_docs"
+    # per-size path + full clear: write_parquet APPENDS to an existing
+    # dir, silently mixing corpora across runs
+    path = f"/tmp/gunrock_ray_bench/stress_docs_{num_docs}"
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     t0 = time.perf_counter()
     docs.write_parquet(path)
@@ -75,6 +79,17 @@ def main() -> None:
     found = pairs.count()
     t_mh = time.perf_counter() - t0
 
+    # round-2 additions at the same scale: segment (word) dedup by df and
+    # bloom-filter decontamination over the full synthetic corpus
+    from gunrock_ray.functions.dedup import segment_dedup, bloom_decontaminate
+    t0 = time.perf_counter()
+    seg_rows = segment_dedup(docs, sep=" ",
+                             min_docs=max(2, num_docs // 2)).count()
+    t_seg = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bloom_rows = bloom_decontaminate(docs, bench_mod=1000).count()
+    t_bloom = time.perf_counter() - t0
+
     print(json.dumps({
         "num_docs": num_docs,
         "t_generate_s": round(t_gen, 1),
@@ -83,6 +98,10 @@ def main() -> None:
         "planted_near_dups": planted,
         "found_pairs": found,
         "planted_recall": round(min(found, planted) / planted, 3),
+        "segment_dedup_s": round(t_seg, 1),
+        "segment_rows": seg_rows,
+        "bloom_decontam_s": round(t_bloom, 1),
+        "bloom_flagged": bloom_rows,
     }))
     ray.shutdown()
 
