@@ -59,6 +59,8 @@ def main() -> None:
 
     path = f"/tmp/gunrock_ray_bench/ann_vecs_{n}"
     if not os.path.exists(os.path.join(path, "_DONE")):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)  # partial write from a crash
         (ray.data.range(n, override_num_blocks=max(16, n // 100_000))
          .map_batches(_vec_batch, batch_format="pyarrow")
          .write_parquet(path))

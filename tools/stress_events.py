@@ -32,6 +32,8 @@ def gen_events(path: str, n: int, num_users: int) -> None:
     from gunrock_ray.common import mix64
     if os.path.exists(os.path.join(path, "_DONE")):
         return
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)  # partial write from a crash
 
     def make(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy().astype(np.int64)
