@@ -579,6 +579,11 @@ def pq_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
 
     cands = _embeddings_ds(embeddings_path).map_batches(
         partial, batch_format="pyarrow").to_pandas()
+    if len(cands) == 0:
+        import pandas as pd
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
     return _merge_topk(cands, k)
 
 

@@ -699,7 +699,10 @@ def decontaminate(docs_ds, *, bench_mod: int = 50,
 
     bs = (docs_ds.map_batches(bench_shingles, batch_format="pyarrow")
           .to_pandas())
-    bench_sh = np.unique(bs["s"].to_numpy().astype(np.uint64))
+    # Empty benchmark slice -> Ray to_pandas() drops the schema entirely;
+    # guard like segment_dedup's hot set (6e389ff).
+    bench_sh = (np.unique(bs["s"].to_numpy().astype(np.uint64))
+                if "s" in bs.columns else np.zeros(0, np.uint64))
     bs_ref = ray.put(bench_sh)
 
     def count_shared(batch: pa.Table) -> pa.Table:
@@ -857,7 +860,9 @@ def bloom_decontaminate(docs_ds, *, bench_mod: int = 50, ngram: int = 3,
     pos_tbl = (docs_ds.map_batches(bench_bits, batch_format="pyarrow")
                .to_pandas())
     words = np.zeros(m_pos // 64, dtype=np.uint64)
-    allpos = pos_tbl["b"].to_numpy().astype(np.uint64)
+    # Same empty-slice schema-drop guard as decontaminate() above.
+    allpos = (pos_tbl["b"].to_numpy().astype(np.uint64)
+              if "b" in pos_tbl.columns else np.zeros(0, np.uint64))
     np.bitwise_or.at(words, (allpos >> np.uint64(6)).astype(np.int64),
                      np.uint64(1) << (allpos & np.uint64(63)))
     bits_ref = ray.put(words)

@@ -123,27 +123,41 @@ def hll_count_distinct_grouped(ds, key: str, column: str,
         enc = pc.dictionary_encode(kcol.combine_chunks()
                                    if isinstance(kcol, pa.ChunkedArray)
                                    else kcol)
-        codes = enc.indices.to_numpy()
+        codes = (enc.indices.fill_null(-1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
         col = batch[column]
         if pa.types.is_integer(col.type):
             vals = col.to_numpy().astype(np.uint64)
         else:
             vals = hash_words(col.to_pylist())
         ks, regs = [], []
+        # Null keys are dropped (SQL GROUP BY keeps a NULL group, but an
+        # approximate-distinct over an unkeyed slice is better asked as a
+        # plain hll_count_distinct on the filtered set); codes for null
+        # rows are masked out below so they never pollute a real group.
         for c, kv in enumerate(enc.dictionary.to_pylist()):
+            if kv is None:
+                continue
             ks.append(kv)
             regs.append(_hll_registers(vals[codes == c], p).tobytes())
-        return pa.table({"k": pa.array(ks, pa.string()),
+        return pa.table({"k": pa.array(ks, type=enc.dictionary.type),
                          "regs": pa.array(regs, pa.binary())})
 
-    parts = ds.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    import ray as _ray
+    blocks = [t for t in _ray.get(
+        ds.map_batches(block_regs, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not blocks:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_distinct_est": pa.array([], pa.int64())})
+    parts = pa.concat_tables(blocks)   # arrow keeps the key's input type
     merged: dict = {}
-    for kv, b in zip(parts["k"], parts["regs"]):
+    for kv, b in zip(parts["k"].to_pylist(), parts["regs"].to_pylist()):
         r = np.frombuffer(b, dtype=np.uint8)
         merged[kv] = np.maximum(merged[kv], r) if kv in merged else r
     keys = sorted(merged)
     ests = [int(round(_hll_estimate(merged[kv]))) for kv in keys]
-    return pa.table({key: pa.array(keys, pa.string()),
+    return pa.table({key: pa.array(keys, type=parts["k"].type),
                      "n_distinct_est": pa.array(ests, pa.int64())})
 
 

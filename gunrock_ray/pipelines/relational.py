@@ -208,14 +208,19 @@ def q_bc(sf_dir: str):
 
 
 def q_wtf(sf_dir: str):
-    """Who-to-follow top-10 for vertex 0 (rows-only; pytest-validated
-    against a NumPy reimplementation of the full PPR→CoT→SALSA spec)."""
+    """Who-to-follow top-10 for vertex 0, SQL-checked END TO END at the 1e-6
+    integer scale (``_wtf_sql``: PPR unrolled 50 supersteps → float-ranked
+    top-100 circle of trust → 7 unrolled SALSA rounds on the CoT subgraph →
+    top-10 authorities). Also pytest-validated against a NumPy
+    reimplementation of the full spec (tests/test_wtf.py)."""
     from gunrock_ray.pipelines.graph_algos import wtf
     g = _graph(sf_dir, undirected=False)
     try:
-        return wtf(g, 0, cot_size=100, k=10)
+        t = wtf(g, 0, cot_size=100, k=10)
     finally:
         g.shutdown(remove_spill=True)
+    s6 = np.floor(t["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return pa.table({"v": t["v"], "score_u6": pa.array(s6, pa.int64())})
 
 
 def _rank_u6_col(t: pa.Table) -> pa.Table:
@@ -1247,6 +1252,82 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True,
     return "".join(parts)
 
 
+def _wtf_sql(ppr_iters: int = 50, delta: float = 0.85, alpha: float = 0.15,
+             cot_size: int = 100, k: int = 10, src: int = 0) -> str:
+    """The FULL who-to-follow pipeline unrolled (graph_algos.wtf, SURVEY.md
+    §2.9; `gunrock/app/wtf/wtf_enactor.cuh:398-554`): (1) the same
+    personalized normalized power iteration as ``_pr_sql(ppr_iters, src=..)``
+    — the chain is rebuilt here verbatim so the CoT can be a CTE; (2) circle
+    of trust = top ``cot_size`` by the RAW float rank (rank desc, v asc —
+    the engine selects on floats, so the oracle must too; the u6 scale is
+    applied only to the final output); (3) ``round(1/alpha)`` SALSA rounds
+    over the CoT-induced subgraph with hub restart alpha-mixed at ``src``
+    and per-round L1 normalization (sum==0 → divide by 1, the engine's
+    ``or 1.0``); (4) top-k authorities excluding ``src``, ordered by
+    (float auth desc, v asc), emitted at the 1e-6 integer scale."""
+    iters = max(1, round(1.0 / alpha))
+    reset = f"(CASE WHEN od.v = {src} THEN 1.0-{delta} ELSE 0.0 END)"
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        "nn AS (SELECT COUNT(*) AS n FROM verts), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg "
+        "FROM verts LEFT JOIN (SELECT src AS v, COUNT(*) AS c FROM e "
+        "GROUP BY src) d ON d.v = verts.v), ",
+        "r0 AS (SELECT od.v, CASE WHEN od.deg > 0 THEN (1.0/nn.n)/od.deg "
+        "ELSE 1.0/nn.n END AS pr FROM od CROSS JOIN nn)",
+    ]
+    msg = ("(SELECT e.dst AS v, SUM(p.pr) AS s FROM e JOIN r{prev} p "
+           "ON p.v = e.src GROUP BY e.dst)")
+    step = (f", r{{i}} AS MATERIALIZED (SELECT od.v, CASE WHEN od.deg > 0 "
+            f"THEN ({reset} + {delta}*COALESCE(m.s, 0))/od.deg "
+            f"ELSE {reset} + {delta}*COALESCE(m.s, 0) END AS pr "
+            f"FROM od CROSS JOIN nn LEFT JOIN {msg} m ON m.v = od.v)")
+    for i in range(1, ppr_iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(
+        f", cot AS MATERIALIZED (SELECT od.v FROM r{ppr_iters} r "
+        f"JOIN od ON od.v = r.v "
+        f"ORDER BY (CASE WHEN od.deg > 0 THEN r.pr*od.deg ELSE r.pr END) "
+        f"DESC, od.v LIMIT {cot_size})"
+        ", se AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+        "WHERE e.src IN (SELECT v FROM cot) AND e.dst IN (SELECT v FROM cot))"
+        ", sod AS MATERIALIZED (SELECT c.v, COALESCE(x.c, 0) AS deg FROM cot c "
+        "LEFT JOIN (SELECT src AS v, COUNT(*) AS c FROM se GROUP BY 1) x "
+        "ON x.v = c.v)"
+        ", sid AS MATERIALIZED (SELECT c.v, COALESCE(x.c, 0) AS deg FROM cot c "
+        "LEFT JOIN (SELECT dst AS v, COUNT(*) AS c FROM se GROUP BY 1) x "
+        "ON x.v = c.v)"
+        f", h0 AS (SELECT v, CASE WHEN v = {src} THEN 1.0 ELSE 0.0 END "
+        "AS hub FROM cot)")
+    for i in range(1, iters + 1):
+        parts.append(
+            f", ar{i} AS MATERIALIZED (SELECT c.v, COALESCE(m.s, 0.0) AS a "
+            f"FROM cot c LEFT JOIN (SELECT se.dst AS v, "
+            f"SUM(h{i-1}.hub / so.deg) AS s FROM se "
+            f"JOIN h{i-1} ON h{i-1}.v = se.src "
+            f"JOIN sod so ON so.v = se.src GROUP BY se.dst) m ON m.v = c.v)"
+            f", an{i} AS MATERIALIZED (SELECT CASE WHEN SUM(a) <> 0 "
+            f"THEN SUM(a) ELSE 1.0 END AS n FROM ar{i})"
+            f", a{i} AS MATERIALIZED (SELECT v, a / (SELECT n FROM an{i}) "
+            f"AS auth FROM ar{i})"
+            f", br{i} AS (SELECT c.v, COALESCE(m.s, 0.0) AS b FROM cot c "
+            f"LEFT JOIN (SELECT se.src AS v, SUM(a{i}.auth / si.deg) AS s "
+            f"FROM se JOIN a{i} ON a{i}.v = se.dst "
+            f"JOIN sid si ON si.v = se.dst GROUP BY se.src) m ON m.v = c.v)"
+            f", hr{i} AS (SELECT v, {alpha}*(CASE WHEN v = {src} THEN 1.0 "
+            f"ELSE 0.0 END) + {1.0 - alpha}*b AS h FROM br{i})"
+            f", hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(h) <> 0 "
+            f"THEN SUM(h) ELSE 1.0 END AS n FROM hr{i})"
+            f", h{i} AS MATERIALIZED (SELECT v, h / (SELECT n FROM hn{i}) "
+            f"AS hub FROM hr{i})")
+    parts.append(
+        f" SELECT v, CAST(FLOOR(auth*1000000 + 0.5) AS BIGINT) AS score_u6 "
+        f"FROM a{iters} WHERE v <> {src} "
+        f"ORDER BY auth DESC, v LIMIT {k}")
+    return "".join(parts)
+
+
 def _lp_sql(iters: int = 3, weighted: bool = False) -> str:
     """Unrolled synchronous label-propagation rounds (SURVEY.md §2.11: adopt
     the most frequent neighbor label, ties → smallest; no-message vertices
@@ -1312,7 +1393,7 @@ def _kcore_sql(iters: int = 16) -> str:
         f"JOIN c{iters-1} b ON b.v = a.v AND b.c <> a.c) THEN "
         f"error('kcore oracle: unroll of {iters} iterations not converged') "
         f"ELSE 0 END AS ok)"
-        f" SELECT a.v, a.c AS core FROM c{iters} a CROSS JOIN chk")
+        f" SELECT a.v, CAST(a.c AS BIGINT) AS core FROM c{iters} a CROSS JOIN chk")
     return "".join(parts)
 
 
@@ -2002,6 +2083,7 @@ ORACLE_SQL: dict[str, str] = {
     # personalized PR (teleport mass on vertex 0 only), exactly 50
     # supersteps (the 1e-9 relative threshold cannot fire before ~iter 127)
     "wtf_cot": _pr_sql(50, src=0, top=100),
+    "wtf": _wtf_sql(50, src=0, cot_size=100, k=10),
     "hits8": _hits_sql(8),
     "hits_gr5": _hits_gr_sql(5),
     "salsa_gr3": _salsa_gr_sql(3),
@@ -2082,7 +2164,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_window": (
         "SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS w, "
         "COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY 1, 2"
     ),
     "events_hopping": (
@@ -2093,13 +2175,13 @@ ORACLE_SQL: dict[str, str] = {
         "      AS w_start_us, cents "
         "      FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) "
         "SELECT user_id, w_start_us, COUNT(*) AS n_events, "
-        "SUM(cents) AS sum_cents FROM r GROUP BY 1, 2"
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM r GROUP BY 1, 2"
     ),
     "events_cumsum": (
         "SELECT event_id, user_id, "
-        "SUM(CAST(ROUND(value*100) AS BIGINT)) OVER "
+        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER "
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
-        "ROWS UNBOUNDED PRECEDING) AS cum_cents, "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn "
         "FROM events"
@@ -2310,8 +2392,8 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty, "
-        "SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) "
+        "CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_base_cents, "
         "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
     "cust_orders_left": (

@@ -74,10 +74,22 @@ def main() -> int:
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = False
         if ok_rows and ok_cols:
+            # Dtype-strict, mirroring the driver's dtype-sensitive value
+            # hash: integer/object columns must be bit-exact AND same dtype
+            # (a DuckDB HUGEINT->float64 drift is a FAIL here, as it is for
+            # the driver); float columns allow 1e-9 rtol but still require
+            # identical dtype.
             try:
-                pd.testing.assert_frame_equal(
-                    got.reset_index(drop=True), want.reset_index(drop=True),
-                    check_dtype=False, check_exact=False, rtol=1e-9)
+                g = got.reset_index(drop=True)
+                w = want.reset_index(drop=True)
+                for c in g.columns:
+                    if g[c].dtype != w[c].dtype:
+                        raise AssertionError(
+                            f"column '{c}' dtype {g[c].dtype} != {w[c].dtype}")
+                    exact = not pd.api.types.is_float_dtype(g[c])
+                    pd.testing.assert_series_equal(
+                        g[c], w[c], check_dtype=True,
+                        check_exact=exact, rtol=0 if exact else 1e-9)
                 ok_vals = True
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
