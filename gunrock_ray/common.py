@@ -23,6 +23,25 @@ _MIX3 = np.uint64(0x94D049BB133111EB)
 INVALID_VERTEX = np.int64(-1)  # mirrors the reference's -1 sentinel
 
 
+def default_num_buckets(num_buckets: int | None = None,
+                        floor: int = 64) -> int:
+    """Resolve a cogroup/cosort bucket count: an explicit caller value wins;
+    otherwise max(floor, 2 × cluster CPUs) so the coarse-bucket exchanges in
+    windows/joins/corpus_stats/packing keep >1 task per core on ANY cluster
+    instead of capping parallelism at a constant 64 (results are invariant
+    to the bucket count — it only shapes the exchange)."""
+    if num_buckets is not None:
+        return int(num_buckets)
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            return max(floor, 2 * cpus)
+    except Exception:
+        pass
+    return floor
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer: uniform uint64 from int64/uint64 ids."""
     z = x.astype(np.uint64, copy=True)

@@ -20,7 +20,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64, segment_starts
+from gunrock_ray.common import default_num_buckets, mix64, segment_starts
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -266,7 +266,7 @@ def repeat_factor_sample(docs_ds, factors_permille: dict[str, int], *,
     return docs_ds.map_batches(expand, batch_format="pyarrow")
 
 
-def tfidf_topk(docs_ds, k: int = 3, num_buckets: int = 64):
+def tfidf_topk(docs_ds, k: int = 3, num_buckets: int | None = None):
     """Per-document top-``k`` terms by tf·idf — {doc_id, term, tf, df, rnk}
     (score = tf/df, monotone in tf·idf for a fixed corpus; ties → term asc).
     The score itself is a single float64 division, computed identically by
@@ -280,6 +280,7 @@ def tfidf_topk(docs_ds, k: int = 3, num_buckets: int = 64):
     :func:`gunrock_ray.functions.sketches.topk_per_key`. At 100 TB the
     tf-row shuffle ships one row per distinct (doc, term); dictionary-encode
     terms to uint64 hashes if string movement dominates."""
+    num_buckets = default_num_buckets(num_buckets)
     from gunrock_ray.functions.dedup import hash_words
     from gunrock_ray.functions.sketches import topk_per_key
 

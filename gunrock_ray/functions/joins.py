@@ -14,18 +14,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64
+from gunrock_ray.common import default_num_buckets, mix64
 
 _ASOF_SCHEMA_COLS = ("key", "t", "id", "side", "bkt")
 
 
-def asof_join(left_ds, right_ds, *, num_buckets: int = 64):
+def asof_join(left_ds, right_ds, *, num_buckets: int | None = None):
     """left {key, t, id} ⟕ right {key, t, id} → Dataset {id, matched_id}.
 
     ``matched_id`` is the right ``id`` of the latest right row with the
     same key and ``t_right <= t_left``, or -1. Equal-(key, t) right rows
     are disambiguated deterministically (max id wins) so the result is
     order-insensitive."""
+    num_buckets = default_num_buckets(num_buckets)
     nb = np.uint64(num_buckets)
 
     def tag(side: int):
@@ -73,7 +74,7 @@ def asof_join(left_ds, right_ds, *, num_buckets: int = 64):
                                             batch_format="pyarrow")
 
 
-def range_join(left_ds, right_ds, *, num_buckets: int = 64):
+def range_join(left_ds, right_ds, *, num_buckets: int | None = None):
     """Interval join: left {key, lo, hi, id} × right {key, t, id} →
     Dataset {left_id, right_id} for every right row with the same key and
     ``lo <= t <= hi`` (inclusive both ends).
@@ -83,6 +84,7 @@ def range_join(left_ds, right_ds, *, num_buckets: int = 64):
     rank-composite key (key-rank × t-rank — exact, no per-key Python): the
     matching right rows are one contiguous slice of the (key, t)-sorted
     right side, emitted with a ragged gather."""
+    num_buckets = default_num_buckets(num_buckets)
     from gunrock_ray.common import segment_starts
     from gunrock_ray.functions.dedup import _ragged_gather
 
@@ -230,7 +232,7 @@ def broadcast_join(big_ds, small: pa.Table, *, on: str, right_on: str,
 
 
 def semi_join(left_ds, right_ds, *, on: str, right_on: str,
-              anti: bool = False, num_buckets: int = 64):
+              anti: bool = False, num_buckets: int | None = None):
     """left SEMI (or ANTI) join right on integer keys: left rows with at
     least one (``anti=False``) / no (``anti=True``) match in right,
     emitted once each with the LEFT schema only — the EXISTS / NOT EXISTS
@@ -243,6 +245,7 @@ def semi_join(left_ds, right_ds, *, on: str, right_on: str,
     duplication, m:n right keys cost one key per bucket. For a small
     right side prefer broadcasting its key set into a ``map_batches``
     filter (see functions.dedup.decontaminate for the pattern)."""
+    num_buckets = default_num_buckets(num_buckets)
     lsch = left_ds.schema()
     lnames = list(lsch.names)
     fields = list(zip(lsch.names, lsch.types))
@@ -284,7 +287,7 @@ def semi_join(left_ds, right_ds, *, on: str, right_on: str,
 
 
 def hash_join(left_ds, right_ds, *, on: str, right_on: str,
-              how: str = "inner", num_buckets: int = 64):
+              how: str = "inner", num_buckets: int | None = None):
     """left ⋈ right on integer keys when BOTH sides are large: each side is
     null-padded to the union schema, tagged, routed to a COARSE hash bucket
     of the key (bucket count ∝ cluster cores — thousands of keys per bucket,
@@ -293,6 +296,7 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str,
     unmatched left rows with null right columns. Hot-key skew lands whole
     buckets, not whole keys, on one task — raise ``num_buckets`` to spread
     it."""
+    num_buckets = default_num_buckets(num_buckets)
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}; expected 'inner' or 'left'")
     lsch, rsch = left_ds.schema(), right_ds.schema()

@@ -173,9 +173,19 @@ class ImageDecodeResize:
         for p, h, w, c in zip(payloads, hs, ws, cs):
             img = self._decode(p, int(h), int(w), int(c))
             out.append(self._resize_nearest(img, self.out_h, self.out_w).ravel())
+        # list column built zero-copy over ONE flat buffer (offsets + values)
+        # instead of a Python list-of-lists — rows have per-image channel
+        # counts, so this is a variable-length ListArray, not FixedSizeList.
+        lens = np.fromiter((len(o) for o in out), dtype=np.int32,
+                           count=len(out))
+        offs = np.zeros(len(out) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate(out) if out else np.empty(0, np.uint8))
+        pixels = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(flat, pa.uint8()))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "pixels": pa.array([o.tolist() for o in out], pa.list_(pa.uint8())),
+            "pixels": pixels,
             "out_h": pa.array(np.full(len(ids), self.out_h, dtype=np.int32)),
             "out_w": pa.array(np.full(len(ids), self.out_w, dtype=np.int32)),
         })
@@ -190,18 +200,30 @@ class ImageFeatures:
         hs = batch["out_h"].to_numpy()
         ws = batch["out_w"].to_numpy()
         feats = []
-        px = batch["pixels"]
+        # one zero-copy flatten of the whole list column, then numpy slices
+        # per image (no per-row as_py() materialization)
+        col = batch["pixels"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        pflat = col.flatten().to_numpy(zero_copy_only=False)
+        poffs = col.offsets.to_numpy()
         for i in range(len(ids)):
-            flat = np.asarray(px[i].as_py(), dtype=np.float64)
+            flat = pflat[poffs[i]:poffs[i + 1]].astype(np.float64)
             img = flat.reshape(int(hs[i]), int(ws[i]), -1)
             luma = img.mean(axis=2)
             hist, _ = np.histogram(luma, bins=8, range=(0, 256))
             f = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1)),
                                 hist / max(1, luma.size)])
             feats.append(f)
+        lens = np.fromiter((len(f) for f in feats), dtype=np.int32,
+                           count=len(feats))
+        offs = np.zeros(len(feats) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        fflat = (np.concatenate(feats) if feats else np.empty(0, np.float64))
+        feature = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                           pa.array(fflat, pa.float64()))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
-                         "feature": pa.array([f.tolist() for f in feats],
-                                             pa.list_(pa.float64()))})
+                         "feature": feature})
 
 
 class AudioFrameSample:
@@ -236,15 +258,20 @@ class AudioFrameSample:
                     wave, self.window)[::self.hop][:nwin]
                 # einsum reduces over the strided view without materializing
                 # the squared windows (truly O(1) extra memory)
-                rms = np.sqrt(np.einsum("ij,ij->i", win, win)
-                              / self.window).tolist()
+                rms = np.sqrt(np.einsum("ij,ij->i", win, win) / self.window)
             else:
-                rms = []
+                rms = np.empty(0, np.float64)
             out_n.append(nwin)
             out_rms.append(rms)
+        offs = np.zeros(len(out_rms) + 1, dtype=np.int32)
+        np.cumsum(np.asarray(out_n, dtype=np.int32), out=offs[1:])
+        flat = (np.concatenate(out_rms) if out_rms
+                else np.empty(0, np.float64))
+        rms_col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                           pa.array(flat, pa.float64()))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "n_windows": pa.array(out_n, pa.int64()),
-                         "rms": pa.array(out_rms, pa.list_(pa.float64()))})
+                         "rms": rms_col})
 
 
 class VideoFrameSample:
@@ -285,12 +312,26 @@ class VideoFrameSample:
             frames = self._decode(p, int(nf), int(h), int(w), int(c))
             sel = np.arange(0, len(frames), self.stride)
             means = frames[sel].mean(axis=(1, 2))  # (len(sel), c)
-            out_id.extend([int(mid)] * len(sel))
-            out_fi.extend(sel.tolist())
-            out_fm.extend(means.tolist())
-        return pa.table({"media_id": pa.array(out_id, pa.int64()),
-                         "frame_idx": pa.array(out_fi, pa.int64()),
-                         "frame_mean": pa.array(out_fm, pa.list_(pa.float64()))})
+            out_id.append(np.full(len(sel), int(mid), dtype=np.int64))
+            out_fi.append(sel.astype(np.int64))
+            out_fm.append(means)
+        mids = (np.concatenate(out_id) if out_id else np.empty(0, np.int64))
+        fis = (np.concatenate(out_fi) if out_fi else np.empty(0, np.int64))
+        # per-frame rows: one list entry of length c per selected frame
+        row_lens = (np.concatenate([np.full(m.shape[0], m.shape[1],
+                                            dtype=np.int32)
+                                    for m in out_fm])
+                    if out_fm else np.empty(0, np.int32))
+        offs = np.zeros(len(fis) + 1, dtype=np.int32)
+        np.cumsum(row_lens, out=offs[1:])
+        flat = (np.concatenate([m.ravel() for m in out_fm])
+                if out_fm else np.empty(0, np.float64))
+        fm_col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(flat.astype(np.float64), pa.float64()))
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "frame_idx": pa.array(fis, pa.int64()),
+                         "frame_mean": fm_col})
 
 
 def image_pipeline(media_ds, *, out_size=(32, 32), concurrency: int = 4,

@@ -24,7 +24,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64
+from gunrock_ray.common import default_num_buckets, mix64
 
 
 def pack_by_key(docs_ds, *, key: str = "source", sep: str = "\n",
@@ -72,7 +72,7 @@ def _range_splitters(ds, order_col: str, num_buckets: int) -> np.ndarray:
 
 
 def pack_sequences(docs_ds, budget: int, *, order_col: str = "doc_id",
-                   text_col: str = "text", num_buckets: int = 64):
+                   text_col: str = "text", num_buckets: int | None = None):
     """Assign each document to a fixed-token-budget training sequence:
 
         tok_offset = exclusive prefix sum of n_tokens in ``order_col`` order
@@ -88,6 +88,7 @@ def pack_sequences(docs_ds, budget: int, *, order_col: str = "doc_id",
     into per-bucket bases; (2) a bucket groupby sorts each contiguous
     key range and applies base + exclusive cumsum. Returns
     {doc_id, n_tokens, tok_offset, seq_id}."""
+    num_buckets = default_num_buckets(num_buckets)
     splitters = _range_splitters(docs_ds, order_col, num_buckets)
 
     def tok_rows(t: pa.Table) -> pa.Table:

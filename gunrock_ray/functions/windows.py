@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import mix64
+from gunrock_ray.common import default_num_buckets, mix64
 
 US_PER_HOUR = 3_600_000_000
 US_30_MIN = 1_800_000_000
@@ -83,13 +83,14 @@ def _bucketed_window_sum(projected_ds, w_col: str):
 
 
 def tumbling_window_agg(events_ds, window_us: int = US_PER_HOUR,
-                        num_buckets: int = 64):
+                        num_buckets: int | None = None):
     """Per (user, tumbling window): event count + exact value sum in cents.
 
     Returns a Dataset {user_id, w, n_events, sum_cents}; ``w`` = floor
     (epoch_us / window_us). Values are summed as integer cents so the
     result is order-insensitive and SQL-exact. Reduced via the
     coarse-bucket cogroup (see :func:`_bucketed_window_sum`)."""
+    num_buckets = default_num_buckets(num_buckets)
 
     def project(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch["ts"])
@@ -109,7 +110,7 @@ def tumbling_window_agg(events_ds, window_us: int = US_PER_HOUR,
 
 def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
                        hop_us: int = US_PER_HOUR // 4,
-                       num_buckets: int = 64):
+                       num_buckets: int | None = None):
     """Per (user, hopping window): event count + exact value sum in cents.
 
     A hopping (sliding) window of length ``window_us`` advancing every
@@ -124,6 +125,7 @@ def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
     the same shuffle profile as the tumbling window, K× the rows. Window
     starts are never clipped, so the first events of the stream appear in
     windows that begin before the stream does — identical on the SQL side."""
+    num_buckets = default_num_buckets(num_buckets)
     if window_us % hop_us:
         raise ValueError("window_us must be a multiple of hop_us")
     k_rep = window_us // hop_us
@@ -149,7 +151,7 @@ def hopping_window_agg(events_ds, window_us: int = US_PER_HOUR,
         "w_start_us")
 
 
-def cumulative_agg(events_ds, num_buckets: int = 64):
+def cumulative_agg(events_ds, num_buckets: int | None = None):
     """Per-user running totals — the batch expression of the
     ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
     UNBOUNDED PRECEDING)`` window: returns one row per event
@@ -162,6 +164,7 @@ def cumulative_agg(events_ds, num_buckets: int = 64):
     :func:`sessionize`: one coarse hash-bucket cogroup co-locates each
     user's history; inside a bucket every user is handled in one
     vectorized lexsort + segment-cumsum pass (no per-user loop)."""
+    num_buckets = default_num_buckets(num_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy()
@@ -203,7 +206,7 @@ def cumulative_agg(events_ds, num_buckets: int = 64):
                                        batch_format="pyarrow"))
 
 
-def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int = 64):
+def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int | None = None):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.
 
@@ -211,6 +214,7 @@ def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int = 64):
     session. One coarse-bucket groupby (all of a user's events land in one
     group via hash(user) mod num_buckets); inside, sessions for every user
     in the bucket are assigned in one vectorized lexsort + diff pass."""
+    num_buckets = default_num_buckets(num_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy()
