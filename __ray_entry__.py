@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": r.q_lineitem_agg,  # SQL-checked (pre-agg GROUP BY)
         # -- (3) new / upgraded this round --------------------------------
         "wtf": r.q_wtf,                # SQL-checked this round (unrolled)
+        "dup_spans": r.q_dup_spans,    # SQL-checked (Lee-et-al span stats)
+        "epoch_shuffle": r.q_epoch_shuffle,  # SQL-checked (ROW_NUMBER rank)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -486,6 +486,10 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.dedup import segment_dedup
         res = segment_dedup(docs, sep=args.seg_sep,
                             min_docs=args.seg_min_docs)
+    elif args.op == "dupspans":
+        from gunrock_ray.functions.dedup import dup_span_stats
+        res = dup_span_stats(docs, ngram=args.span_ngram,
+                             min_df=args.span_min_df)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -516,6 +520,10 @@ def cmd_stats(args) -> dict:
             src_docs, qs=tuple(int(q) for q in args.quantiles.split(",")))
     elif args.op == "sample":
         res = cs.sample_docs(docs, pct=args.pct, seed=args.seed)
+    elif args.op == "shuffle":
+        res = cs.epoch_shuffle(
+            ray.data.read_parquet(args.input, columns=["doc_id"]),
+            seed=args.seed)
     elif args.op == "stratified":
         rates = {}
         if args.rates:
@@ -623,7 +631,7 @@ def main(argv=None) -> None:
     ana.add_argument("--input", required=True)
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
-                              "bloom-decontam", "segdedup"])
+                              "bloom-decontam", "segdedup", "dupspans"])
     ana.add_argument("--decontam-mod", type=int, default=None)
     ana.add_argument("--bloom-bits-log2", type=int, default=22)
     ana.add_argument("--seg-sep", default="\n",
@@ -631,6 +639,11 @@ def main(argv=None) -> None:
                           "(default newline = C4-style line dedup)")
     ana.add_argument("--seg-min-docs", type=int, default=2,
                      help="drop segments in >= this many distinct docs")
+    ana.add_argument("--span-ngram", type=int, default=3,
+                     help="word-window size for --op dupspans")
+    ana.add_argument("--span-min-df", type=int, default=2,
+                     help="a span is duplicated when it appears in >= this "
+                          "many distinct docs (--op dupspans)")
     ana.add_argument("--out", default="/tmp/gunrock_ray_analyze")
 
     cur = sub.add_parser("curate", help="dedup + quality-filter a documents "
@@ -683,7 +696,8 @@ def main(argv=None) -> None:
                         "deterministic sample / TF-IDF")
     st.add_argument("--op", required=True,
                     choices=["vocab", "ngrams", "quantiles", "gquantiles",
-                             "sample", "stratified", "repeat", "tfidf"])
+                             "sample", "shuffle", "stratified", "repeat",
+                             "tfidf"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)

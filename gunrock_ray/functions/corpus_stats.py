@@ -155,6 +155,71 @@ def sample_docs(docs_ds, pct: int = 10, seed: int = 0):
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def epoch_shuffle(docs_ds, seed: int = 0,
+                  num_buckets: int | None = None):
+    """Deterministic global training-epoch shuffle: assigns every document
+    a dense position ``pos`` in the order (mix64(doc_id ^ seed) asc,
+    doc_id asc) — a pseudo-random permutation that is a PURE FUNCTION of
+    (doc_id, seed). Returns {doc_id, pos}.
+
+    Unlike ``Dataset.random_shuffle`` this is block-layout-invariant,
+    resumable (re-running any shard reproduces the same positions), epoch-
+    addressable (seed = epoch number), and SQL-reproducible (ROW_NUMBER
+    over the same splitmix64 key). Distributed two-phase rank — the same
+    exclusive-prefix-sum shape as :func:`gunrock_ray.functions.packing.
+    pack_sequences`: the uniform uint64 key's TOP BITS are the range
+    bucket (so buckets are contiguous key ranges), one streaming pass
+    ships (bucket, count) partials to the driver (B ints), and a bucket
+    cogroup sorts each range and adds its exclusive base. No global sort,
+    no sample-based splitters."""
+    num_buckets = default_num_buckets(num_buckets)
+    b_log2 = max(1, int(np.ceil(np.log2(num_buckets))))
+    nb = 1 << b_log2
+    shift = np.uint64(64 - b_log2)
+    sd = np.uint64(seed)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        k = mix64(ids.astype(np.uint64) ^ sd)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "k": pa.array(k.view(np.int64)),
+            "bkt": pa.array((k >> shift).astype(np.int64)),
+        })
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        k = mix64(ids.astype(np.uint64) ^ sd)
+        cnt = np.bincount((k >> shift).astype(np.int64), minlength=nb)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bkt": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    per = (docs_ds.map_batches(bucket_counts, batch_format="pyarrow")
+           .groupby("bkt").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    totals = np.zeros(nb, dtype=np.int64)
+    if len(per):
+        totals[per["bkt"].to_numpy()] = per["cnt"].to_numpy()
+    base = np.zeros(nb, dtype=np.int64)
+    np.cumsum(totals[:-1], out=base[1:])
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        k = group["k"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, k))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = base[int(group["bkt"][0].as_py())] + np.arange(
+            len(ids), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos)})
+
+    return (docs_ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("bkt").map_groups(rank_bucket,
+                                       batch_format="pyarrow"))
+
+
 def grouped_token_quantiles(docs_ds, qs=(25, 50, 75, 95),
                             group_col: str = "source"):
     """EXACT per-group token-count quantiles — {group, q_pct, v}, the

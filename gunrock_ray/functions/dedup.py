@@ -805,6 +805,69 @@ def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def dup_span_stats(docs_ds, *, ngram: int = 3, min_df: int = 2):
+    """Exact duplicate-span statistics — the detection half of
+    substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022), at word-window
+    granularity: every POSITIONAL word-``ngram`` window whose hash occurs
+    in >= ``min_df`` DISTINCT documents is a duplicated span. Returns one
+    row per document: {doc_id, n_spans, n_dup_spans, dup_span_frac}
+    (all-integer counts + one int/int IEEE division, so the SQL oracle is
+    bit-exact). Docs shorter than ``ngram`` words hash their full word
+    chain as one span; empty docs emit zero spans.
+
+    Scale shape (100 TB): stage 1 ships only (span-hash,
+    per-batch-distinct-doc-count) partials, pre-aggregated per batch, into
+    one groupby-sum — the same df exchange as :func:`segment_dedup`. The
+    hot set (df >= min_df) is duplication by definition — bounded by the
+    corpus's duplicate volume — and is broadcast once via ``ray.put``;
+    stage 2 is a shuffle-free vectorized ``np.isin`` count per doc. If
+    min_df were set so low the hot set stopped being small, swap the
+    broadcast for a hash-join on the span hash (same rows, one extra
+    shuffle). The span chain is the MinHash shingle chain
+    (:func:`flat_word_shingles`), reproduced exactly in DuckDB."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def batch_df(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        _, sh = flat_word_shingles(texts, ngram, unique=True)
+        uh, cnt = np.unique(sh, return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "nd": pa.array(cnt, pa.int64())})
+
+    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
+          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater_equal(batch["nd"], min_df)
+        return batch.filter(keep).select(["h"])
+
+    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
+           else np.zeros(0, dtype=np.uint64))
+    hot_ref = ray.put(np.sort(hot))
+
+    def count_spans(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        texts = batch["text"].to_pylist()
+        d_idx, sh = flat_word_shingles(texts, ngram, unique=False)
+        n_spans = np.bincount(d_idx, minlength=len(texts)).astype(np.int64)
+        hits = np.isin(sh, hot_set)
+        n_dup = np.bincount(d_idx[hits],
+                            minlength=len(texts)).astype(np.int64)
+        frac = np.divide(n_dup, n_spans, out=np.zeros(len(texts)),
+                         where=n_spans > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_spans": pa.array(n_spans),
+            "n_dup_spans": pa.array(n_dup),
+            "dup_span_frac": pa.array(frac, pa.float64()),
+        })
+
+    return docs_ds.map_batches(count_spans, batch_format="pyarrow")
+
+
 _BLOOM_SALT = np.uint64(0xA0761D6478BD642F)
 
 

@@ -899,6 +899,26 @@ def q_doc_repetition(sf_dir: str):
     return repetition_stats(_docs_ds(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicate-span statistics per document (functions/dedup.
+    dup_span_stats, Lee et al. ACL 2022 detection at word-3-gram windows):
+    positional span counts + how many positions sit in spans shared by >=2
+    distinct docs — integer counts + one int/int float, the span chain is
+    the MinHash shingle chain so the SQL oracle is bit-exact."""
+    from gunrock_ray.functions.dedup import dup_span_stats
+    return dup_span_stats(_docs_ds(sf_dir), ngram=3, min_df=2)
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-0 training shuffle over documents: every doc_id
+    gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order
+    via the distributed two-phase rank (functions/corpus_stats.
+    epoch_shuffle) — ROW_NUMBER over the same splitmix64 key in SQL."""
+    from gunrock_ray.functions.corpus_stats import epoch_shuffle
+    return epoch_shuffle(_docs_ds(sf_dir).select_columns(["doc_id"]),
+                         seed=0)
+
+
 def q_doc_decontam(sf_dir: str):
     """Benchmark decontamination (functions/dedup.decontaminate): docs
     sharing any word-3-gram with the deterministic benchmark slice
@@ -1901,6 +1921,27 @@ def _minhash_sigs_sql() -> str:
     )
 
 
+def _dup_spans_sql(min_df: int = 2) -> str:
+    """Duplicate-span oracle: positional span counts per doc over the SAME
+    shingle chain as the MinHash oracles (``sh`` from
+    _minhash_common_ctes has one row per window position), df = distinct
+    docs per span hash, a position is duplicated iff its hash's df >=
+    min_df. Mirrors functions.dedup.dup_span_stats bit-for-bit."""
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        "sdf AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh "
+        "        GROUP BY s), "
+        f"hot AS (SELECT s FROM sdf WHERE nd >= {min_df}), "
+        "per AS (SELECT sh.doc_id, COUNT(*) AS ns, "
+        "        SUM(CASE WHEN hot.s IS NOT NULL THEN 1 ELSE 0 END) AS ndp "
+        "        FROM sh LEFT JOIN hot ON hot.s = sh.s GROUP BY sh.doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(per.ns, 0) AS BIGINT) AS n_spans, "
+        "CAST(COALESCE(per.ndp, 0) AS BIGINT) AS n_dup_spans, "
+        "CASE WHEN COALESCE(per.ns, 0) = 0 THEN 0.0 "
+        "ELSE CAST(per.ndp AS DOUBLE) / per.ns END AS dup_span_frac "
+        "FROM d LEFT JOIN per USING (doc_id)")
+
+
 def _repetition_sql() -> str:
     """Repetition-stats oracle: the word-hash fold + the staged 2-gram
     chain s = mix64(mix64(h0) ^ h1) (same values as
@@ -2444,6 +2485,13 @@ ORACLE_SQL: dict[str, str] = {
     # splitmix64 reproduced exactly in SQL: UBIGINT xor/shift are native;
     # the two 64×64→64 multiplies split the left operand at 2^32 so every
     # HUGEINT intermediate stays < 2^96 (mod 2^64 after each step)
+    "dup_spans": _dup_spans_sql(),
+    "epoch_shuffle": (
+        f"WITH k AS (SELECT doc_id, "
+        f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 "
+        "AS BIGINT) AS pos FROM k"
+    ),
     "doc_sample10": (
         "WITH s0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) + "
         "            CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "

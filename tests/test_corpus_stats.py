@@ -219,3 +219,30 @@ def test_repeat_factor_sample_rule_and_block_invariance():
                                   default_permille=1000, seed=9)
              .to_pandas().itertuples()}
     assert again == got
+
+
+def test_epoch_shuffle_rank_and_invariance():
+    from gunrock_ray.functions.corpus_stats import epoch_shuffle
+    texts = [f"doc {i}" for i in range(1500)]
+    out = (epoch_shuffle(_docs_ds(texts, blocks=7), seed=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ids = np.arange(1500, dtype=np.uint64)
+    k = mix64(ids ^ np.uint64(3))
+    want = np.empty(1500, dtype=np.int64)
+    want[np.lexsort((ids, k))] = np.arange(1500)
+    assert np.array_equal(out["pos"].to_numpy(), want)
+    # a permutation of 0..n-1, invariant to block layout, seed-sensitive
+    assert np.array_equal(np.sort(out["pos"].to_numpy()), np.arange(1500))
+    again = (epoch_shuffle(_docs_ds(texts, blocks=1), seed=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert np.array_equal(out["pos"].to_numpy(), again["pos"].to_numpy())
+    other = (epoch_shuffle(_docs_ds(texts, blocks=7), seed=4)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not np.array_equal(out["pos"].to_numpy(),
+                              other["pos"].to_numpy())
+
+
+def test_epoch_shuffle_tiny_and_empty():
+    from gunrock_ray.functions.corpus_stats import epoch_shuffle
+    one = epoch_shuffle(_docs_ds(["solo"], blocks=1)).to_pandas()
+    assert list(one["pos"]) == [0]

@@ -517,3 +517,45 @@ def test_segment_dedup_empty_hot_set():
     assert (out["n_dropped"] == 0).all()
     assert out["new_sha"][0] == hashlib.sha256(
         docs[0].encode()).hexdigest()
+
+
+def test_dup_span_stats_matches_brute_force():
+    """Positional word-3-gram spans; a position is duplicated iff its
+    window's hash occurs in >= 2 distinct docs (Lee-et-al detection)."""
+    import ray.data
+    from gunrock_ray.functions.dedup import dup_span_stats, word_shingles
+    from gunrock_ray.functions.dedup import flat_word_shingles
+    texts = [
+        "alpha beta gamma delta epsilon",      # shares "alpha beta gamma"
+        "alpha beta gamma zeta eta",           # with doc 0
+        "unique words only here now",
+        "alpha beta",                          # short doc: one chain span
+        "alpha beta",                          # exact short dup of doc 3
+        "",                                    # empty: zero spans
+        "one",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (dup_span_stats(ray.data.from_arrow(t).repartition(3),
+                          ngram=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force
+    import collections
+    doc_sets = []
+    doc_pos = []
+    for txt in texts:
+        d_idx, sh = flat_word_shingles([txt], 3, unique=False)
+        doc_pos.append(sh)
+        doc_sets.append(set(sh.tolist()))
+    df = collections.Counter(h for s in doc_sets for h in s)
+    for i, txt in enumerate(texts):
+        spans = doc_pos[i]
+        nd = sum(1 for h in spans if df[int(h)] >= 2)
+        assert out.loc[i, "n_spans"] == len(spans)
+        assert out.loc[i, "n_dup_spans"] == nd
+        want_frac = nd / len(spans) if len(spans) else 0.0
+        assert out.loc[i, "dup_span_frac"] == want_frac
+    # docs 0/1 share exactly one 3-gram window; 3/4 fully duplicated
+    assert out.loc[0, "n_dup_spans"] == 1
+    assert out.loc[3, "n_dup_spans"] == 1 and out.loc[3, "n_spans"] == 1
+    assert out.loc[5, "n_spans"] == 0 and out.loc[5, "dup_span_frac"] == 0.0
