@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wtf": r.q_wtf,                # SQL-checked this round (unrolled)
         "dup_spans": r.q_dup_spans,    # SQL-checked (Lee-et-al span stats)
         "epoch_shuffle": r.q_epoch_shuffle,  # SQL-checked (ROW_NUMBER rank)
+        "cust_orders_full": r.q_cust_orders_full,  # SQL-checked (FULL OUTER)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -87,15 +87,16 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
     queries: dict[str, float] = {}
     details: dict[str, object] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, min_repeat: int = 1):
         # --stage NAME restricts to one stage; --repeat N reports the MEDIAN
         # of N runs (this box's wall-clock is shared-VM noisy: single draws
-        # vary +/-50% — see the round-2 rmat_tc 20.5s outlier vs 3.9s warm)
+        # vary +/-50% — see the round-2 rmat_tc 20.5s outlier vs 3.9s warm).
+        # Stages with known high draw variance set min_repeat themselves.
         if only is not None and name != only:
             return None
         runs = []
         out = None
-        for _ in range(max(1, repeat)):
+        for _ in range(max(min_repeat, repeat)):
             t0 = time.perf_counter()
             out = fn()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -164,7 +165,7 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
             details["tc_triangles"] = triangle_count(g)
         finally:
             g.shutdown(remove_spill=True)
-    timed("rmat_tc", rmat_tc)
+    timed("rmat_tc", rmat_tc, min_repeat=3)
 
     # 5. HITS + sampled BC on a directed R-MAT with inverse CSR
     def rmat_hits_bc():

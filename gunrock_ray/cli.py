@@ -84,6 +84,8 @@ def cmd_convert(args) -> dict:
         edges, _, _ = mkt.read_market(args.input)
     elif args.from_format == "snap":
         edges = mkt.read_snap(args.input)
+    elif args.from_format == "gr":
+        edges = mkt.read_dimacs(args.input)
     else:
         # probe the schema through the same reader that does the read
         # (listdir would trip over markers/subdirs the reader ignores);
@@ -113,6 +115,8 @@ def cmd_convert(args) -> dict:
         if args.to_format == "mtx":
             mkt.write_market(tbl, args.out,
                              weighted="w" in tbl.column_names)
+        elif args.to_format == "gr":
+            mkt.write_dimacs(tbl, args.out)
         else:
             mkt.write_snap(tbl, args.out)
         rows = len(tbl)
@@ -715,9 +719,9 @@ def main(argv=None) -> None:
                         "(mtx | snap | parquet edge tables)")
     cv.add_argument("--input", required=True)
     cv.add_argument("--from-format", required=True,
-                    choices=["mtx", "snap", "parquet"])
+                    choices=["mtx", "snap", "gr", "parquet"])
     cv.add_argument("--to-format", required=True,
-                    choices=["mtx", "snap", "parquet"])
+                    choices=["mtx", "snap", "gr", "parquet"])
     cv.add_argument("--out", required=True)
     cv.add_argument("--weights", default="keep",
                     choices=["keep", "add", "remove"],

@@ -188,8 +188,9 @@ def _probe(lk: np.ndarray, uniq: np.ndarray, starts: np.ndarray,
     return l_idx, r_idx, mask
 
 
-def _emit(lt: pa.Table, rt: pa.Table, l_idx, r_idx, r_null_mask) -> pa.Table:
-    lpart = lt.take(pa.array(l_idx, pa.int64()))
+def _emit(lt: pa.Table, rt: pa.Table, l_idx, r_idx, r_null_mask,
+          l_null_mask=None) -> pa.Table:
+    lpart = lt.take(pa.array(l_idx, pa.int64(), mask=l_null_mask))
     rpart = rt.take(pa.array(r_idx, pa.int64(), mask=r_null_mask))
     out = lpart
     for name in rt.column_names:
@@ -293,12 +294,13 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str,
     of the key (bucket count ∝ cluster cores — thousands of keys per bucket,
     resolved in ONE vectorized sort-merge, no per-key Python), and cogrouped
     by a single groupby shuffle. m:n keys are honored; ``how='left'`` keeps
-    unmatched left rows with null right columns. Hot-key skew lands whole
-    buckets, not whole keys, on one task — raise ``num_buckets`` to spread
-    it."""
+    unmatched left rows with null right columns, ``'right'`` the mirror,
+    ``'full'`` both. Hot-key skew lands whole buckets, not whole keys, on
+    one task — raise ``num_buckets`` to spread it."""
     num_buckets = default_num_buckets(num_buckets)
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}; expected 'inner' or 'left'")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how={how!r}; expected 'inner', 'left', 'right' or 'full'")
     lsch, rsch = left_ds.schema(), right_ds.schema()
     lnames, rnames = list(lsch.names), list(rsch.names)
     _check_disjoint(lnames, rnames)
@@ -329,9 +331,23 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str,
         lt = g.take(pa.array(np.flatnonzero(side == 0))).select(lnames)
         rt = g.take(pa.array(np.flatnonzero(side == 1))).select(rnames)
         order, uniq, starts, counts = _run_index(rt[right_on].to_numpy())
-        l_idx, r_idx, mask = _probe(lt[on].to_numpy(), uniq, starts,
-                                    counts, order, how)
-        return _emit(lt, rt, l_idx, r_idx, mask)
+        probe_how = "left" if how in ("left", "full") else "inner"
+        l_idx, r_idx, rmask = _probe(lt[on].to_numpy(), uniq, starts,
+                                     counts, order, probe_how)
+        lmask = None
+        if how in ("right", "full"):
+            # append unmatched right rows with null left columns
+            matched = np.zeros(len(rt), dtype=bool)
+            matched[r_idx[~rmask]] = True
+            miss_r = np.flatnonzero(~matched)
+            lmask = np.concatenate([np.zeros(len(r_idx), dtype=bool),
+                                    np.ones(len(miss_r), dtype=bool)])
+            l_idx = np.concatenate([l_idx,
+                                    np.zeros(len(miss_r), np.int64)])
+            r_idx = np.concatenate([r_idx, miss_r])
+            rmask = np.concatenate([rmask,
+                                    np.zeros(len(miss_r), dtype=bool)])
+        return _emit(lt, rt, l_idx, r_idx, rmask, lmask)
 
     return unioned.groupby("__bkt").map_groups(join_bucket,
                                                batch_format="pyarrow")

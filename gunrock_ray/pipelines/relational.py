@@ -707,6 +707,39 @@ def q_cust_orders_left(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def q_cust_orders_full(sf_dir: str):
+    """FULL OUTER shuffle equi-join, SQL-checked: even-keyed customers vs
+    the o_orderkey % 31 = 0 order subset — unmatched rows survive on BOTH
+    sides (order-less even customers; odd-customer orders), nulls filled
+    to -1 sentinels so the driver hash compares concrete values."""
+    import ray.data
+    import pyarrow.compute as pc
+    from gunrock_ray.functions.joins import hash_join
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pa.array(t["c_custkey"].to_numpy() % 2 == 0)),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pa.array(t["o_orderkey"].to_numpy() % 31 == 0)),
+        batch_format="pyarrow")
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                  how="full")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.fill_null(t["c_custkey"], -1),
+            "c_acctbal": pc.fill_null(t["c_acctbal"], -1.0),
+            "o_orderkey": pc.fill_null(t["o_orderkey"], -1),
+            "o_custkey": pc.fill_null(t["o_custkey"], -1),
+            "o_totalprice": pc.fill_null(t["o_totalprice"], -1.0),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate, SQL-checked bit-for-bit: per-block
     Arrow group_by pre-aggregation, then one groupby-sum shuffle over tiny
@@ -2437,6 +2470,17 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_base_cents, "
         "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
+    "cust_orders_full": (
+        "SELECT COALESCE(c.c_custkey, -1) AS c_custkey, "
+        "COALESCE(c.c_acctbal, -1.0) AS c_acctbal, "
+        "COALESCE(o.o_orderkey, -1) AS o_orderkey, "
+        "COALESCE(o.o_custkey, -1) AS o_custkey, "
+        "COALESCE(o.o_totalprice, -1.0) AS o_totalprice "
+        "FROM (SELECT c_custkey, c_acctbal FROM customer "
+        "      WHERE c_custkey % 2 = 0) c "
+        "FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "           WHERE o_orderkey % 31 = 0) o "
+        "ON o.o_custkey = c.c_custkey"),
     "cust_orders_left": (
         "SELECT c.c_custkey, c.c_acctbal, "
         "COALESCE(o.o_orderkey, -1) AS o_orderkey, "

@@ -235,6 +235,76 @@ def write_labels(labels: pa.Table, path: str) -> None:
 
 # --------------------------------------------------- SNAP edge-list format
 
+def parse_dimacs_bytes(data: bytes, *, reversed_: bool = False) -> pa.Table:
+    """DIMACS challenge9 ``.gr`` text → {src, dst, w}: ``c`` comment lines,
+    one ``p sp <n> <m>`` problem line, ``a <u> <v> <w>`` arc lines
+    (1-indexed). The reference ships text-.gr converters
+    (`tools/mtx_to_gr.py`, `tools/gr_to_mtx_general.py`); BOTH swap the
+    endpoint order between .mtx and .gr (mtx row/col -> arc ``a col row``),
+    so this parser applies the inverse swap — a file produced by
+    `mtx_to_gr.py` from `write_market` output parses back to the original
+    (src, dst) pairs. ``reversed_=True`` skips the swap (raw arc order).
+    Arc counts are validated against the problem line."""
+    text = data.decode("utf-8", "ignore")
+    n = m = None
+    us, vs, ws = [], [], []
+    for ln in text.splitlines():
+        t = ln.split()
+        if not t or t[0] == "c":
+            continue
+        if t[0] == "p":
+            if len(t) < 4 or t[1] != "sp":
+                raise ValueError(f"bad DIMACS problem line: {ln!r}")
+            n, m = int(t[2]), int(t[3])
+        elif t[0] == "a":
+            if len(t) < 3:
+                raise ValueError(f"bad DIMACS arc line: {ln!r}")
+            us.append(int(t[1]))
+            vs.append(int(t[2]))
+            ws.append(float(t[3]) if len(t) > 3 else 1.0)
+    if n is None:
+        raise ValueError("DIMACS .gr file has no 'p sp n m' problem line")
+    if m is not None and m != len(us):
+        raise ValueError(f"DIMACS problem line declares {m} arcs, "
+                         f"file has {len(us)}")
+    u = np.array(us, dtype=np.int64) - 1
+    v = np.array(vs, dtype=np.int64) - 1
+    src, dst = (u, v) if reversed_ else (v, u)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                     "w": pa.array(np.array(ws), pa.float64())})
+
+
+def read_dimacs(path: str, *, reversed_: bool = False):
+    """DIMACS ``.gr`` file(s) → edges Dataset {src, dst, w}; ``path`` may
+    be a file or a directory (one parse task per file, like read_market)."""
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_dimacs_bytes(b.as_py(), reversed_=reversed_)
+                  for b in batch["bytes"]]
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def write_dimacs(edges: pa.Table, path: str, *,
+                 num_vertices: int | None = None) -> None:
+    """Edge table → DIMACS ``.gr`` text, matching `tools/mtx_to_gr.py`'s
+    output exactly (arc ``a dst+1 src+1 w``, weight 1 when absent, integer
+    weights written bare) — round-trip partner of :func:`read_dimacs`."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["w"].to_numpy() if "w" in edges.column_names else None
+    n = num_vertices or (int(max(src.max(), dst.max())) + 1 if len(src) else 0)
+    with open(path, "w") as f:
+        f.write(f"p sp {n} {len(src)}\n")
+        for i in range(len(src)):
+            wi = 1 if w is None else w[i]
+            wtxt = str(int(wi)) if float(wi).is_integer() else f"{wi:g}"
+            f.write(f"a {dst[i] + 1} {src[i] + 1} {wtxt}\n")
+
+
 def parse_snap_bytes(data: bytes) -> pa.Table:
     """SNAP/PowerGraph edge-list text → {src, dst}: '#'-comment lines,
     whitespace-separated 0-indexed ``src dst`` pairs, one per line (any

@@ -344,3 +344,33 @@ def test_snap_roundtrip_and_convert_cli(tmp_path):
     again = read_snap(str(tmp_path / "g2.edges")).to_pandas().sort_values(
         ["src", "dst"]).reset_index(drop=True)
     assert again.equals(back)
+
+
+def test_dimacs_gr_roundtrip_and_reference_swap(tmp_path):
+    """write_dimacs -> read_dimacs round-trips (src, dst, w); the arc-line
+    endpoint order matches the reference's tools/mtx_to_gr.py (arc =
+    'a dst+1 src+1 w'), so parse applies the inverse swap."""
+    import pyarrow as pa
+    import numpy as np
+    from gunrock_ray.sources.market import (parse_dimacs_bytes,
+                                            read_dimacs, write_dimacs)
+    edges = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 3], pa.int64()),
+                      "w": pa.array([1.0, 2.5, 3.0, 1.0], pa.float64())})
+    p = str(tmp_path / "g.gr")
+    write_dimacs(edges, p)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "p sp 4 4"
+    # reference converter layout: a <dst+1> <src+1> <w>, ints written bare
+    assert lines[1] == "a 2 1 1"
+    assert lines[2] == "a 3 2 2.5"
+    got = (read_dimacs(p).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    want = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert got.equals(want)
+    # count-mismatch and missing-problem-line errors
+    import pytest
+    with pytest.raises(ValueError, match="declares"):
+        parse_dimacs_bytes(b"p sp 2 5\na 1 2 1\n")
+    with pytest.raises(ValueError, match="problem line"):
+        parse_dimacs_bytes(b"a 1 2 1\n")

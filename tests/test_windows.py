@@ -238,27 +238,31 @@ def _canon_frames(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(st.lists(st.integers(0, 8), max_size=30),
        st.lists(st.integers(0, 10), max_size=20),
-       st.sampled_from(["inner", "left"]))
+       st.sampled_from(["inner", "left", "right", "full"]))
 def test_equi_join_property_vs_pandas_merge(lkeys, rkeys, how):
     """broadcast_join and hash_join both reproduce pandas merge exactly on
-    arbitrary m:n key multisets, inner and left (nulls filled with -1 for
-    the comparison)."""
+    arbitrary m:n key multisets (nulls filled with -1 for the comparison);
+    hash_join additionally covers right and full outer."""
     import pandas as pd
     import ray.data
     from gunrock_ray.functions.joins import broadcast_join, hash_join
 
     L = pd.DataFrame({"k": lkeys, "lv": range(len(lkeys))})
     R = pd.DataFrame({"rk": rkeys, "rv": [v * 10 for v in range(len(rkeys))]})
-    exp = L.merge(R, left_on="k", right_on="rk", how=how).fillna(-1)
+    pd_how = "outer" if how == "full" else how
+    exp = L.merge(R, left_on="k", right_on="rk", how=pd_how).fillna(-1)
 
     lds = ray.data.from_pandas(L)
-    got_b = broadcast_join(lds, pa.Table.from_pandas(R), on="k",
-                           right_on="rk", how=how).to_pandas().fillna(-1)
     got_h = hash_join(lds, ray.data.from_pandas(R), on="k", right_on="rk",
                       how=how, num_buckets=4).to_pandas().fillna(-1)
+    if how in ("inner", "left"):
+        got_b = broadcast_join(lds, pa.Table.from_pandas(R), on="k",
+                               right_on="rk", how=how).to_pandas().fillna(-1)
+    else:
+        got_b = got_h
     if len(exp) == 0:  # empty frames: schemas may trivially differ
         assert len(got_b) == 0 and len(got_h) == 0
     else:
