@@ -13,6 +13,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     betweenness_centrality,
     bfs,
     build_graph,
+    clustering_coefficients,
     connected_components,
     hits,
     hits_gunrock,

@@ -593,6 +593,30 @@ def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> i
     return int(sum(counts))
 
 
+def clustering_coefficients(graph: DistributedGraph,
+                            probe_chunk: int | None = None):
+    """Per-vertex triangle counts + local clustering coefficients — the
+    reference road map's "clustering coefficients" primitive
+    (`doc/road_map.md:16`), built on the SAME degree-orientation +
+    neighborhood-intersection machinery as :func:`triangle_count`: every
+    intersection hit is a triangle (u, v, c) and credits all three corners,
+    pre-combined per id in the prober and routed to owners in ONE packed
+    exchange. lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 where deg < 2
+    (undirected degree of the symmetrized build). Graph must be built
+    undirected. Returns Dataset {v, tri, lcc}."""
+    g = graph
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    # three-wave adjacency exchange, then one credit exchange (superstep
+    # shape: P probe packs -> P apply calls, packs never on the driver)
+    reqs = [a.tc_adj_request.remote() for a in g.actors]
+    replies = [a.tc_serve_adjacency_packed.remote(*reqs) for a in g.actors]
+    credit_packs = [a.tc_pv_count.remote(*replies) for a in g.actors]
+    ray.get([a.tc_pv_apply.remote(*credit_packs) for a in g.actors])
+    return g.extract("lcc_extract")
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

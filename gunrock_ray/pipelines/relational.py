@@ -108,6 +108,21 @@ def q_tc_count(sf_dir: str):
     return pa.table({"triangles": pa.array([t], pa.int64())})
 
 
+def q_lcc(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficients
+    (graph_algos.clustering_coefficients — the road map's "clustering
+    coefficients", built on the TC orientation machinery). tri is exact
+    int64; lcc = 2.0*tri/(deg*(deg-1)) is one IEEE division of exact
+    integers, so the SQL compare is bit-exact."""
+    from gunrock_ray.pipelines.graph_algos import clustering_coefficients
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = clustering_coefficients(g).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out.sort_values("v").reset_index(drop=True)
+
+
 def q_cc_labels(sf_dir: str):
     from gunrock_ray.pipelines.graph_algos import connected_components
     g = _graph(sf_dir, undirected=True)
@@ -2179,6 +2194,23 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN u b ON b.src = a.dst AND b.dst > a.dst "
         "JOIN u c ON c.src = a.src AND c.dst = b.dst "
         "WHERE a.src < a.dst"
+    ),
+    "lcc": (
+        f"WITH u AS ({_SYM_SQL}), "
+        f"verts AS ({_VERTS_SQL}), "
+        "t AS (SELECT a.src AS x, a.dst AS y, b.dst AS z FROM u a "
+        "      JOIN u b ON b.src = a.dst AND b.dst > a.dst "
+        "      JOIN u c ON c.src = a.src AND c.dst = b.dst "
+        "      WHERE a.src < a.dst), "
+        "cr AS (SELECT x AS v FROM t UNION ALL SELECT y FROM t "
+        "       UNION ALL SELECT z FROM t), "
+        "tv AS (SELECT v, COUNT(*) AS tri FROM cr GROUP BY v), "
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM u GROUP BY src) "
+        "SELECT verts.v, CAST(COALESCE(tv.tri, 0) AS BIGINT) AS tri, "
+        "CASE WHEN COALESCE(deg.d, 0) < 2 THEN 0.0 "
+        "ELSE 2.0*COALESCE(tv.tri, 0)/(deg.d*(deg.d-1)) END AS lcc "
+        "FROM verts LEFT JOIN tv ON tv.v = verts.v "
+        "LEFT JOIN deg ON deg.v = verts.v"
     ),
     "cc_labels": (
         f"WITH RECURSIVE u AS ({_SYM_SQL}), "

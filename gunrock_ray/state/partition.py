@@ -1571,13 +1571,14 @@ class GraphPartition:
         flat_offs = cum[offs].astype(np.int64)
         return (offs, lens, flat_offs, flat)
 
-    def tc_count(self, *reply_packs) -> int:
-        """count = Σ_{oriented (u,v)} |N+(u) ∩ N+(v)|, fully vectorized:
-        for every c in the fetched N+(v), probe membership of (u,c) in the
-        local oriented edge set via a dense-key sorted-array search."""
+    def _tc_probe_setup(self, reply_packs):
+        """Shared prologue of the intersection pass: reassemble the fetched
+        adjacency into request-id order and build the dense probe
+        dictionary. Returns None when this partition holds no oriented
+        edges."""
         us = self._pending.pop("tc_adj")
         if len(self._tc_cols) == 0:
-            return 0
+            return None
         # reassemble lens + flat in my request's (owner, id)-sorted order
         lens_segs, flat_segs = [], []
         for rp in reply_packs:
@@ -1602,13 +1603,23 @@ class GraphPartition:
         u_per_edge = np.repeat(np.arange(len(self.verts), dtype=np.int64), o_counts)
         key_local = np.searchsorted(dic, self.verts)[u_per_edge] * L + np.searchsorted(dic, self._tc_cols)
         key_local = np.sort(key_local)
+        vpos = np.searchsorted(us, self._tc_cols)
+        e_lens = lens_id[vpos]
+        u_dic = np.searchsorted(dic, self.verts)[u_per_edge]
+        return (dic, L, key_local, vpos, e_lens, u_dic, flat_id, fstarts)
+
+    def tc_count(self, *reply_packs) -> int:
+        """count = Σ_{oriented (u,v)} |N+(u) ∩ N+(v)|, fully vectorized:
+        for every c in the fetched N+(v), probe membership of (u,c) in the
+        local oriented edge set via a dense-key sorted-array search."""
+        setup = self._tc_probe_setup(reply_packs)
+        if setup is None:
+            return 0
+        dic, L, key_local, vpos, e_lens, u_dic, flat_id, fstarts = setup
         # probes: for edge e=(u,v): all c in fetched N+(v) — CHUNKED over the
         # oriented edge list so peak probe memory is bounded (~3 arrays of
         # ≤ _TC_PROBE_CHUNK u64) regardless of Σ|N+(v)|; the orientation caps
         # per-edge work, the chunking caps per-slice allocation
-        vpos = np.searchsorted(us, self._tc_cols)
-        e_lens = lens_id[vpos]
-        u_dic = np.searchsorted(dic, self.verts)[u_per_edge]
         cum = np.cumsum(e_lens)
         chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
         count = 0
@@ -1626,3 +1637,66 @@ class GraphPartition:
             count += int(np.count_nonzero(key_local[pos] == probe_key))
             a = b
         return count
+
+    def tc_pv_count(self, *reply_packs):
+        """Per-vertex triangle credits: the same chunked intersection as
+        :meth:`tc_count`, but every hit (a triangle with oriented corners
+        u -> v -> c) credits ALL THREE corners. Returns ONE owner-packed
+        (offs, ids, counts) credit object (pre-combined per id — a hot
+        vertex contributes at most one entry per sender)."""
+        setup = self._tc_probe_setup(reply_packs)
+        if setup is None:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        dic, L, key_local, vpos, e_lens, u_dic, flat_id, fstarts = setup
+        cum = np.cumsum(e_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        ids_parts, cnt_parts = [], []
+        a = 0
+        while a < len(e_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(e_lens))
+            el = e_lens[a:b]
+            probe_c = _ragged_gather(flat_id, fstarts[vpos[a:b]], el)
+            probe_u = np.repeat(u_dic[a:b], el)
+            probe_v = np.repeat(self._tc_cols[a:b], el)
+            probe_key = probe_u * L + np.searchsorted(dic, probe_c)
+            pos = np.searchsorted(key_local, probe_key)
+            pos[pos >= len(key_local)] = len(key_local) - 1
+            hit = key_local[pos] == probe_key
+            if hit.any():
+                tri_ids = np.concatenate([dic[probe_u[hit]],
+                                          probe_v[hit], probe_c[hit]])
+                uids, ucnt = segment_reduce(
+                    tri_ids, np.ones(len(tri_ids), np.int64), "sum")
+                ids_parts.append(uids)
+                cnt_parts.append(ucnt)
+            a = b
+        if not ids_parts:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        ids = np.concatenate(ids_parts)
+        cnts = np.concatenate(cnt_parts)
+        return self._pack_combined(ids, cnts, "sum")
+
+    def tc_pv_apply(self, *credit_packs) -> int:
+        """Sum received triangle credits into state['tri']."""
+        ids, vals = self._unpack_all(credit_packs, (0, 1))
+        tri = np.zeros(len(self.verts), dtype=np.int64)
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "sum")
+            tri[self._lidx(uids)] = uvals
+        self.state["tri"] = tri
+        return int(tri.sum())
+
+    def lcc_extract(self) -> pa.Table:
+        """{v, tri, lcc}: lcc = 2*tri / (deg*(deg-1)) over the undirected
+        degree (out_deg of the symmetrized build), 0 where deg < 2."""
+        tri = self.state["tri"]
+        deg = self.out_deg.astype(np.float64)
+        denom = deg * (deg - 1.0)
+        lcc = np.divide(2.0 * tri, denom,
+                        out=np.zeros(len(tri), np.float64),
+                        where=denom > 0)
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "tri": pa.array(tri, pa.int64()),
+                         "lcc": pa.array(lcc, pa.float64())})

@@ -265,3 +265,43 @@ def test_k_core_known_graph():
     finally:
         g.shutdown(remove_spill=True)
     assert got.to_dict() == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_clustering_coefficients_match_bruteforce(rmat_graph):
+    """Per-vertex triangle credits + lcc vs a per-vertex brute force on the
+    R-MAT fixture; total credits must equal 3x the exact triangle count."""
+    from gunrock_ray.pipelines.graph_algos import clustering_coefficients
+    t, g = rmat_graph
+    n = 1024
+    out = (clustering_coefficients(g).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    src, dst = edges_np(t)
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    tri = np.zeros(n, dtype=np.int64)
+    for u in range(n):
+        for v in adj[u]:
+            if v > u:
+                for w in adj[u] & adj[v]:
+                    if w > v:
+                        tri[[u, v, w]] += 1
+    got = dense_result_frame(out, n)
+    assert np.array_equal(got["tri"], tri)
+    deg = np.array([len(a) for a in adj], dtype=np.float64)
+    denom = deg * (deg - 1)
+    want_lcc = np.divide(2.0 * tri, denom, out=np.zeros(n), where=denom > 0)
+    assert np.array_equal(got["lcc"], want_lcc)  # bit-exact IEEE division
+    assert tri.sum() == 3 * tc_ref(n, src, dst)
+
+
+def dense_result_frame(df, n):
+    """{v -> row} densified to length n (missing vertices = 0)."""
+    tri = np.zeros(n, dtype=np.int64)
+    lcc = np.zeros(n, dtype=np.float64)
+    tri[df["v"].to_numpy()] = df["tri"].to_numpy()
+    lcc[df["v"].to_numpy()] = df["lcc"].to_numpy()
+    return {"tri": tri, "lcc": lcc}

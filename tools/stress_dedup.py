@@ -90,7 +90,25 @@ def main() -> None:
     bloom_rows = bloom_decontaminate(docs, bench_mod=1000).count()
     t_bloom = time.perf_counter() - t0
 
+    # round-3 additions at the same scale: duplicate-span stats (planted
+    # near-dups share ~110 of 118 spans) and the deterministic epoch
+    # shuffle's distributed rank
+    from gunrock_ray.functions.dedup import dup_span_stats
+    from gunrock_ray.functions.corpus_stats import epoch_shuffle
+    t0 = time.perf_counter()
+    span_tbl = dup_span_stats(docs, ngram=3, min_df=2).to_pandas()
+    t_spans = time.perf_counter() - t0
+    docs_with_dups = int((span_tbl["n_dup_spans"] > 0).sum())
+    t0 = time.perf_counter()
+    sh = epoch_shuffle(docs.select_columns(["doc_id"]), seed=1)
+    n_pos = sh.count()
+    t_shuf = time.perf_counter() - t0
+
     print(json.dumps({
+        "dup_spans_s": round(t_spans, 1),
+        "docs_with_dup_spans": docs_with_dups,
+        "epoch_shuffle_s": round(t_shuf, 1),
+        "epoch_shuffle_rows": n_pos,
         "num_docs": num_docs,
         "t_generate_s": round(t_gen, 1),
         "minhash_verify_s": round(t_mh, 1),
