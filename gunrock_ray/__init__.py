@@ -19,6 +19,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     hits_gunrock,
     k_core,
     label_propagation,
+    maximal_independent_set,
     pagerank,
     random_walks,
     salsa,

@@ -617,6 +617,34 @@ def clustering_coefficients(graph: DistributedGraph,
     return g.extract("lcc_extract")
 
 
+def maximal_independent_set(graph: DistributedGraph, seed: int = 0,
+                            metrics_path: str | None = None):
+    """Deterministic Luby maximal independent set — the reference road
+    map's MIS primitive (`doc/road_map.md:17`). Priority = mix64(v ^ seed)
+    (a uint64 bijection: globally unique, so rounds are deterministic and
+    the SQL oracle reproduces them exactly). Each round is two supersteps
+    over the shrinking undecided frontier: (1) undecided vertices push
+    their priority, a vertex beating the max over its undecided neighbors
+    joins the set; (2) winners push a kill to their neighbors. Graph must
+    be built undirected. Returns Dataset {v, in_mis}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("mis_init", seed)
+    rounds = 0
+    while True:
+        t0 = time.perf_counter()
+        g.superstep("mis_prio_scatter", "mis_prio_apply")
+        res, _ = g.superstep("mis_kill_scatter", "mis_kill_apply")
+        rounds += 1
+        undecided = sum(r["undecided"] for r in res)
+        metrics.write(algo="mis", round=rounds, undecided=undecided,
+                      t_round_s=time.perf_counter() - t0)
+        if undecided == 0:
+            break
+    metrics.close()
+    return g.extract("mis_extract")
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

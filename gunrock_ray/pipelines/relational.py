@@ -123,6 +123,20 @@ def q_lcc(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def q_mis(sf_dir: str):
+    """Deterministic Luby maximal independent set, SQL-checked: engine
+    rounds vs the identical update unrolled in DuckDB to a verified
+    fixpoint — all-integer (priorities are splitmix64 values reproduced
+    by the mix64 SQL macro)."""
+    from gunrock_ray.pipelines.graph_algos import maximal_independent_set
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = maximal_independent_set(g, seed=0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out.sort_values("v").reset_index(drop=True)
+
+
 def q_cc_labels(sf_dir: str):
     from gunrock_ray.pipelines.graph_algos import connected_components
     g = _graph(sf_dir, undirected=True)
@@ -1990,6 +2004,42 @@ def _dup_spans_sql(min_df: int = 2) -> str:
         "FROM d LEFT JOIN per USING (doc_id)")
 
 
+def _mis_sql(iters: int = 24, seed: int = 0) -> str:
+    """Deterministic Luby MIS unrolled (graph_algos.maximal_independent_set;
+    priority = mix64(v ^ seed), a uint64 bijection so rounds are exactly
+    reproducible): per round, undecided vertices beating the MAX priority
+    over undecided neighbors enter (st=1), their neighbors leave (st=2).
+    A fixpoint guard errors out if ``iters`` rounds leave anything
+    undecided instead of silently desynchronizing."""
+    mixv = _MIX64_SQL(f"xor(CAST(v AS UBIGINT), CAST({seed} AS UBIGINT))")
+    parts = [
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}), ",
+        f"verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"pr AS MATERIALIZED (SELECT v, {mixv} AS k FROM verts), ",
+        "s0 AS (SELECT v, 0 AS st FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", m{i} AS MATERIALIZED (SELECT e.dst AS v, MAX(p.k) AS mk "
+            f"FROM u e JOIN s{i-1} su ON su.v = e.src AND su.st = 0 "
+            f"JOIN pr p ON p.v = e.src GROUP BY e.dst)"
+            f", w{i} AS MATERIALIZED (SELECT s.v FROM s{i-1} s "
+            f"JOIN pr p ON p.v = s.v LEFT JOIN m{i} m ON m.v = s.v "
+            f"WHERE s.st = 0 AND (m.mk IS NULL OR p.k > m.mk))"
+            f", s{i} AS MATERIALIZED (SELECT s.v, CASE "
+            f"WHEN s.st <> 0 THEN s.st "
+            f"WHEN s.v IN (SELECT v FROM w{i}) THEN 1 "
+            f"WHEN EXISTS (SELECT 1 FROM u e JOIN w{i} ww ON ww.v = e.src "
+            f"WHERE e.dst = s.v) THEN 2 ELSE 0 END AS st FROM s{i-1} s)")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM s{iters} "
+        f"WHERE st = 0) THEN error('mis oracle: {iters} rounds not "
+        f"converged') ELSE 0 END AS ok)"
+        f" SELECT s.v, CAST(CASE WHEN s.st = 1 THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS in_mis FROM s{iters} s CROSS JOIN chk")
+    return "".join(parts)
+
+
 def _repetition_sql() -> str:
     """Repetition-stats oracle: the word-hash fold + the staged 2-gram
     chain s = mix64(mix64(h0) ^ h1) (same values as
@@ -2212,6 +2262,7 @@ ORACLE_SQL: dict[str, str] = {
         "FROM verts LEFT JOIN tv ON tv.v = verts.v "
         "LEFT JOIN deg ON deg.v = verts.v"
     ),
+    "mis": _mis_sql(),
     "cc_labels": (
         f"WITH RECURSIVE u AS ({_SYM_SQL}), "
         f"verts AS (SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "

@@ -1700,3 +1700,65 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "tri": pa.array(tri, pa.int64()),
                          "lcc": pa.array(lcc, pa.float64())})
+
+    # ------------------------------------- maximal independent set (Luby)
+    # Deterministic Luby MIS (reference road map `doc/road_map.md:17`):
+    # priority p(v) = mix64(v ^ seed) — a BIJECTION on uint64, so priorities
+    # are globally unique and every round is deterministic (reproducible in
+    # SQL). A round: every undecided vertex whose priority beats the max
+    # over its UNDECIDED neighbors joins the set; its neighbors drop out.
+    # The scatter only walks edges of still-undecided vertices (delta
+    # frontier, like BFS), so per-round traffic shrinks with the frontier.
+
+    def mis_init(self, seed: int = 0) -> None:
+        # status: 0 undecided, 1 in MIS, 2 out
+        self.state["mis"] = np.zeros(len(self.verts), dtype=np.int8)
+        # order-preserving int64 image of the uint64 priority (sign flip)
+        p = mix64(self.verts.astype(np.uint64) ^ np.uint64(seed))
+        self._mis_prio = (p ^ np.uint64(1 << 63)).view(np.int64)
+        self._mis_new = _EMPTY_I8
+
+    @_scatter_timed
+    def mis_prio_scatter(self):
+        self._frontier = np.flatnonzero(self.state["mis"] == 0)
+        src_li, dst, _ = self._frontier_edges()
+        return self._pack_combined(dst, self._mis_prio[src_li], "max")
+
+    @_apply_timed
+    def mis_prio_apply(self, *packs) -> dict:
+        mis = self.state["mis"]
+        maxp = np.full(len(self.verts), np.iinfo(np.int64).min,
+                       dtype=np.int64)
+        ids, vals = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "max")
+            maxp[self._lidx(uids)] = uvals
+        win = (mis == 0) & (self._mis_prio > maxp)
+        mis[win] = 1
+        self._mis_new = np.flatnonzero(win)
+        return {"frontier": int(len(self._mis_new)),
+                "undecided": int(np.count_nonzero(mis == 0))}
+
+    @_scatter_timed
+    def mis_kill_scatter(self):
+        self._frontier = self._mis_new
+        src_li, dst, _ = self._frontier_edges()
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        return self._pack_combined(dst, np.ones(len(dst), np.int64), "max")
+
+    @_apply_timed
+    def mis_kill_apply(self, *packs) -> dict:
+        mis = self.state["mis"]
+        ids, _ = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            li = self._lidx(np.unique(ids))
+            mis[li[mis[li] == 0]] = 2
+        und = int(np.count_nonzero(mis == 0))
+        return {"frontier": und, "undecided": und}
+
+    def mis_extract(self) -> pa.Table:
+        return pa.table({
+            "v": pa.array(self.verts, pa.int64()),
+            "in_mis": pa.array((self.state["mis"] == 1).astype(np.int64)),
+        })

@@ -305,3 +305,46 @@ def dense_result_frame(df, n):
     tri[df["v"].to_numpy()] = df["tri"].to_numpy()
     lcc[df["v"].to_numpy()] = df["lcc"].to_numpy()
     return {"tri": tri, "lcc": lcc}
+
+
+def test_maximal_independent_set_valid_and_deterministic(rmat_graph):
+    """Engine MIS is (a) independent, (b) maximal, (c) equal to a serial
+    simulation of the same deterministic Luby rounds, (d) stable across
+    runs."""
+    from gunrock_ray.common import mix64
+    from gunrock_ray.pipelines.graph_algos import maximal_independent_set
+    t, g = rmat_graph
+    n = 1024
+    out = (maximal_independent_set(g, seed=0).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    in_mis = np.zeros(n, dtype=bool)
+    in_mis[out[out["in_mis"] == 1]["v"].to_numpy()] = True
+    src, dst = edges_np(t)
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    # independence + maximality
+    for u in range(n):
+        if in_mis[u]:
+            assert not any(in_mis[v] for v in adj[u])
+        else:
+            assert any(in_mis[v] for v in adj[u]), f"{u} addable"
+    # serial simulation of the same rounds
+    prio = mix64(np.arange(n, dtype=np.uint64))
+    st = np.zeros(n, dtype=np.int8)
+    while (st == 0).any():
+        winners = [u for u in range(n) if st[u] == 0 and
+                   all(st[v] != 0 or prio[u] > prio[v] for v in adj[u])]
+        for u in winners:
+            st[u] = 1
+        for u in winners:
+            for v in adj[u]:
+                if st[v] == 0:
+                    st[v] = 2
+    assert np.array_equal(in_mis, st == 1)
+    again = (maximal_independent_set(g, seed=0).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+    assert again.equals(out)
