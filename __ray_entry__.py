@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_full": r.q_cust_orders_full,  # SQL-checked (FULL OUTER)
         "lcc": r.q_lcc,                # SQL-checked (per-vertex TC + LCC)
         "mis": r.q_mis,                # SQL-checked (Luby rounds unrolled)
+        "coloring": r.q_coloring,      # SQL-checked (JP rounds + MEX unrolled)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

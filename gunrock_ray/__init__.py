@@ -15,6 +15,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     build_graph,
     clustering_coefficients,
     connected_components,
+    graph_coloring,
     hits,
     hits_gunrock,
     k_core,

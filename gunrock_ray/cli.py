@@ -137,7 +137,7 @@ def cmd_run(args) -> dict:
     needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
-                                                  "mis", "kcore")
+                                                  "mis", "coloring", "kcore")
     edges, vertices = _load_edges(args)
     t0 = time.perf_counter()
     g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
@@ -166,6 +166,8 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
+    elif args.algo == "coloring":
+        out = ga.graph_coloring(g, metrics_path=args.metrics)
     elif args.algo == "mis":
         out = ga.maximal_independent_set(g, seed=args.seed if hasattr(args, "seed") else 0,
                                          metrics_path=args.metrics)
@@ -569,7 +571,8 @@ def main(argv=None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
-                     choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis", "bfs", "sssp",
+                     choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
+                              "coloring", "bfs", "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",

@@ -645,6 +645,38 @@ def maximal_independent_set(graph: DistributedGraph, seed: int = 0,
     return g.extract("mis_extract")
 
 
+def graph_coloring(graph: DistributedGraph, seed: int = 0,
+                   metrics_path: str | None = None):
+    """Deterministic Jones-Plassmann greedy coloring — the reference road
+    map's "graph coloring" (`doc/road_map.md:17`). Same unique mix64
+    priorities as :func:`maximal_independent_set`; per round the local
+    priority maxima among uncolored vertices take the MEX over their
+    already-colored neighbors' colors and announce it (two supersteps over
+    the shrinking uncolored frontier; announced colors accumulate in a
+    flat per-partition store consulted vectorized at win time). Proper
+    coloring with <= maxdeg+1 colors; rounds are exactly reproducible
+    (the SQL oracle unrolls them). Graph must be built undirected.
+    Returns Dataset {v, color}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("gc_init", seed)
+    rounds = 0
+    while True:
+        t0 = time.perf_counter()
+        res, _ = g.superstep("gc_prio_scatter", "gc_prio_apply")
+        colored = sum(r["frontier"] for r in res)
+        res, _ = g.superstep("gc_announce_scatter", "gc_announce_apply")
+        rounds += 1
+        undecided = sum(r["undecided"] for r in res)
+        metrics.write(algo="coloring", round=rounds, colored=colored,
+                      undecided=undecided,
+                      t_round_s=time.perf_counter() - t0)
+        if undecided == 0:
+            break
+    metrics.close()
+    return g.extract("gc_extract")
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

@@ -137,6 +137,19 @@ def q_mis(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def q_coloring(sf_dir: str):
+    """Deterministic Jones-Plassmann coloring, SQL-checked: engine rounds
+    vs the identical update (priority maxima + MEX over colored
+    neighbors) unrolled in DuckDB to a verified fixpoint — all-integer."""
+    from gunrock_ray.pipelines.graph_algos import graph_coloring
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = graph_coloring(g, seed=0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out.sort_values("v").reset_index(drop=True)
+
+
 def q_cc_labels(sf_dir: str):
     from gunrock_ray.pipelines.graph_algos import connected_components
     g = _graph(sf_dir, undirected=True)
@@ -1475,7 +1488,8 @@ def _kcore_sql(iters: int = 16) -> str:
         f"JOIN c{iters-1} b ON b.v = a.v AND b.c <> a.c) THEN "
         f"error('kcore oracle: unroll of {iters} iterations not converged') "
         f"ELSE 0 END AS ok)"
-        f" SELECT a.v, CAST(a.c AS BIGINT) AS core FROM c{iters} a CROSS JOIN chk")
+        f" SELECT a.v, CAST(a.c AS BIGINT) + chk.ok AS core "
+        f"FROM c{iters} a CROSS JOIN chk")
     return "".join(parts)
 
 
@@ -2036,7 +2050,49 @@ def _mis_sql(iters: int = 24, seed: int = 0) -> str:
         f"WHERE st = 0) THEN error('mis oracle: {iters} rounds not "
         f"converged') ELSE 0 END AS ok)"
         f" SELECT s.v, CAST(CASE WHEN s.st = 1 THEN 1 ELSE 0 END AS BIGINT)"
-        f" AS in_mis FROM s{iters} s CROSS JOIN chk")
+        f" + chk.ok AS in_mis FROM s{iters} s CROSS JOIN chk")
+    return "".join(parts)
+
+
+def _coloring_sql(iters: int = 96, seed: int = 0) -> str:
+    """Deterministic Jones-Plassmann coloring unrolled
+    (graph_algos.graph_coloring): per round, uncolored local priority
+    maxima take the MEX over already-colored neighbors' colors. The MEX
+    is computed without LATERAL: it is always 0 or (used color)+1, so
+    candidates = {0} ∪ {c+1 : c used} filtered by NOT EXISTS. Fixpoint
+    guard errors out if ``iters`` rounds leave anything uncolored."""
+    mixv = _MIX64_SQL(f"xor(CAST(v AS UBIGINT), CAST({seed} AS UBIGINT))")
+    parts = [
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}), ",
+        f"verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"pr AS MATERIALIZED (SELECT v, {mixv} AS k FROM verts), ",
+        "s0 AS (SELECT v, CAST(-1 AS BIGINT) AS col FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", m{i} AS MATERIALIZED (SELECT e.dst AS v, MAX(p.k) AS mk "
+            f"FROM u e JOIN s{i-1} su ON su.v = e.src AND su.col < 0 "
+            f"JOIN pr p ON p.v = e.src GROUP BY e.dst)"
+            f", w{i} AS MATERIALIZED (SELECT s.v FROM s{i-1} s "
+            f"JOIN pr p ON p.v = s.v LEFT JOIN m{i} m ON m.v = s.v "
+            f"WHERE s.col < 0 AND (m.mk IS NULL OR p.k > m.mk))"
+            f", used{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS v, s.col "
+            f"FROM u e JOIN s{i-1} s ON s.v = e.src "
+            f"WHERE s.col >= 0 AND e.dst IN (SELECT v FROM w{i}))"
+            f", mex{i} AS MATERIALIZED (SELECT cd.v, MIN(cd.g) AS col FROM "
+            f"(SELECT v, CAST(0 AS BIGINT) AS g FROM w{i} "
+            f" UNION ALL SELECT v, col + 1 FROM used{i}) cd "
+            f"WHERE NOT EXISTS (SELECT 1 FROM used{i} us "
+            f"WHERE us.v = cd.v AND us.col = cd.g) GROUP BY cd.v)"
+            f", s{i} AS MATERIALIZED (SELECT s.v, CASE WHEN s.col >= 0 "
+            f"THEN s.col WHEN x.col IS NOT NULL THEN x.col ELSE -1 END "
+            f"AS col FROM s{i-1} s LEFT JOIN mex{i} x ON x.v = s.v)")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM s{iters} "
+        f"WHERE col < 0) THEN error('coloring oracle: {iters} rounds not "
+        f"converged') ELSE 0 END AS ok)"
+        f" SELECT s.v, s.col + chk.ok AS color "
+        f"FROM s{iters} s CROSS JOIN chk")
     return "".join(parts)
 
 
@@ -2263,6 +2319,7 @@ ORACLE_SQL: dict[str, str] = {
         "LEFT JOIN deg ON deg.v = verts.v"
     ),
     "mis": _mis_sql(),
+    "coloring": _coloring_sql(),
     "cc_labels": (
         f"WITH RECURSIVE u AS ({_SYM_SQL}), "
         f"verts AS (SELECT DISTINCT src AS v FROM ({_RAW_EDGES_SQL}) "

@@ -1762,3 +1762,92 @@ class GraphPartition:
             "v": pa.array(self.verts, pa.int64()),
             "in_mis": pa.array((self.state["mis"] == 1).astype(np.int64)),
         })
+
+    # ------------------------------------- graph coloring (Jones-Plassmann)
+    # Deterministic JP coloring (reference road map `doc/road_map.md:17`):
+    # same unique mix64 priorities as MIS; per round every uncolored vertex
+    # beating the max priority over its UNCOLORED neighbors takes the MEX
+    # (smallest non-negative color) over its already-colored neighbors'
+    # colors, then announces it. Received (neighbor, color) pairs are kept
+    # in a flat per-partition store (<= local edge count in total) and
+    # consulted vectorized at win time — no per-vertex Python in the loop.
+
+    def gc_init(self, seed: int = 0) -> None:
+        self.state["color"] = np.full(len(self.verts), -1, dtype=np.int64)
+        p = mix64(self.verts.astype(np.uint64) ^ np.uint64(seed))
+        self._gc_prio = (p ^ np.uint64(1 << 63)).view(np.int64)
+        self._gc_dst = _EMPTY_I8    # local idx of receiver
+        self._gc_col = _EMPTY_I8    # neighbor's announced color
+        self._gc_new = _EMPTY_I8
+
+    @_scatter_timed
+    def gc_prio_scatter(self):
+        self._frontier = np.flatnonzero(self.state["color"] < 0)
+        src_li, dst, _ = self._frontier_edges()
+        return self._pack_combined(dst, self._gc_prio[src_li], "max")
+
+    @_apply_timed
+    def gc_prio_apply(self, *packs) -> dict:
+        color = self.state["color"]
+        maxp = np.full(len(self.verts), np.iinfo(np.int64).min,
+                       dtype=np.int64)
+        ids, vals = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "max")
+            maxp[self._lidx(uids)] = uvals
+        win = np.flatnonzero((color < 0) & (self._gc_prio > maxp))
+        # vectorized MEX per winner over the stored neighbor colors
+        cols = np.zeros(len(win), dtype=np.int64)
+        if len(win) and len(self._gc_dst):
+            sel = np.isin(self._gc_dst, win)
+            d, c = self._gc_dst[sel], self._gc_col[sel]
+            if len(d):
+                order = np.lexsort((c, d))
+                d, c = d[order], c[order]
+                keep = np.empty(len(d), dtype=bool)
+                keep[0] = True
+                keep[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+                d, c = d[keep], c[keep]
+                starts = segment_starts(d)
+                lens = np.diff(np.append(starts, len(d)))
+                within = np.arange(len(d)) - np.repeat(starts, lens)
+                bad = np.where(c != within, within,
+                               np.iinfo(np.int64).max)
+                firstbad = np.minimum.reduceat(bad, starts)
+                mex = np.minimum(firstbad, lens)
+                cols[np.searchsorted(win, d[starts])] = mex
+        color[win] = cols
+        self._gc_new = win
+        return {"frontier": int(len(win)),
+                "undecided": int(np.count_nonzero(color < 0))}
+
+    @_scatter_timed
+    def gc_announce_scatter(self):
+        self._frontier = self._gc_new
+        src_li, dst, _ = self._frontier_edges()
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        col = self.state["color"][src_li]
+        # dedup (dst, color) pairs — a receiver needs each color once
+        order = np.lexsort((col, dst))
+        d, c = dst[order], col[order]
+        keep = np.empty(len(d), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        return self._pack(d[keep], c[keep])
+
+    @_apply_timed
+    def gc_announce_apply(self, *packs) -> dict:
+        color = self.state["color"]
+        ids, cols = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            li = self._lidx(ids)
+            still = color[li] < 0   # colored receivers never need the store
+            self._gc_dst = np.concatenate([self._gc_dst, li[still]])
+            self._gc_col = np.concatenate([self._gc_col, cols[still]])
+        und = int(np.count_nonzero(color < 0))
+        return {"frontier": und, "undecided": und}
+
+    def gc_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "color": pa.array(self.state["color"], pa.int64())})

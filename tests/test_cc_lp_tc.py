@@ -348,3 +348,39 @@ def test_maximal_independent_set_valid_and_deterministic(rmat_graph):
     again = (maximal_independent_set(g, seed=0).to_pandas()
              .sort_values("v").reset_index(drop=True))
     assert again.equals(out)
+
+
+def test_graph_coloring_proper_and_deterministic(rmat_graph):
+    """Engine JP coloring is proper, equals a serial simulation of the
+    same deterministic rounds, and is stable across runs."""
+    from gunrock_ray.common import mix64
+    from gunrock_ray.pipelines.graph_algos import graph_coloring
+    t, g = rmat_graph
+    n = 1024
+    out = (graph_coloring(g, seed=0).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    col = np.full(n, -1, dtype=np.int64)
+    col[out["v"].to_numpy()] = out["color"].to_numpy()
+    src, dst = edges_np(t)
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    for u in range(n):  # proper: no adjacent vertex shares the color
+        assert col[u] >= 0
+        assert all(col[v] != col[u] for v in adj[u])
+    # serial simulation of the same rounds
+    prio = mix64(np.arange(n, dtype=np.uint64))
+    ser = np.full(n, -1, dtype=np.int64)
+    while (ser < 0).any():
+        winners = [u for u in range(n) if ser[u] < 0 and
+                   all(ser[v] >= 0 or prio[u] > prio[v] for v in adj[u])]
+        for u in winners:
+            used = {int(ser[v]) for v in adj[u] if ser[v] >= 0}
+            m = 0
+            while m in used:
+                m += 1
+            ser[u] = m
+    assert np.array_equal(col, ser)
