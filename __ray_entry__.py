@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": r.q_lcc,                # SQL-checked (per-vertex TC + LCC)
         "mis": r.q_mis,                # SQL-checked (Luby rounds unrolled)
         "coloring": r.q_coloring,      # SQL-checked (JP rounds + MEX unrolled)
+        "astar": r.q_astar,            # SQL-checked (ALT A* == SSSP at target)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -12,6 +12,7 @@ Library code never calls ray.init()/ray.shutdown() (driver contract).
 from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     betweenness_centrality,
     bfs,
+    astar,
     build_graph,
     clustering_coefficients,
     connected_components,

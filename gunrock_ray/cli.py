@@ -166,6 +166,12 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
+    elif args.algo == "astar":
+        r = ga.astar(g, args.src, args.dst, metrics_path=args.metrics)
+        if r["dist"] == float("inf"):
+            r["dist"] = -1   # unreachable sentinel (keeps the JSON valid)
+        extra.update(r)
+        out = None
     elif args.algo == "coloring":
         out = ga.graph_coloring(g, metrics_path=args.metrics)
     elif args.algo == "mis":
@@ -572,7 +578,7 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
-                              "coloring", "bfs", "sssp",
+                              "coloring", "astar", "bfs", "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
@@ -588,6 +594,8 @@ def main(argv=None) -> None:
                      choices=["hash", "random", "range", "degree"])
     run.add_argument("--partition-seed", type=int, default=0)
     run.add_argument("--src", type=int, default=0)
+    run.add_argument("--dst", type=int, default=1,
+                     help="target vertex for --algo astar")
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
     run.add_argument("--direction-optimized", action="store_true",

@@ -677,6 +677,54 @@ def graph_coloring(graph: DistributedGraph, seed: int = 0,
     return g.extract("gc_extract")
 
 
+def astar(graph: DistributedGraph, src: int, dst: int, *,
+          num_landmarks: int = 3, metrics_path: str | None = None) -> dict:
+    """Goal-directed point-to-point shortest path — the reference road
+    map's "A* search" (`doc/road_map.md:15`), ALT-style: ``num_landmarks``
+    top-degree landmarks each get one engine SSSP pass; h(v) =
+    max_l (d(l,dst) − d(l,v))⁺ is admissible by the triangle inequality,
+    and the main loop is the SSSP relaxation with every frontier vertex
+    pruned whose dist(v) + h(v) ≥ best-known d(src,dst) — exact at the
+    target, with measurably fewer settled vertices (reported). Graph
+    should be built weighted (unweighted edges relax with weight 1).
+    Returns {"src", "dst", "dist", "settled", "supersteps"}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    tops = topk_degree(g, num_landmarks).to_pandas()["v"].to_numpy()
+    names, dlts = [], []
+    for i, lm in enumerate(tops):
+        g.call_all("sssp_init", int(lm))
+        while True:
+            res, _ = g.superstep("sssp_scatter", "sssp_apply")
+            if sum(r["frontier"] for r in res) == 0:
+                break
+        name = f"lm{i}"
+        g.call_all("state_copy", name, "dist")
+        vals = [v for v in g.call_all("state_value_at", name, int(dst))
+                if v is not None]
+        dlts.append(vals[0] if vals else float("inf"))
+        names.append(name)
+    g.call_all("sssp_init", int(src))
+    g.call_all("astar_prepare", list(names), list(dlts), int(dst))
+    bound = float("inf")
+    settled = 0
+    it = 0
+    while True:
+        res, _ = g.superstep("astar_scatter", "astar_apply",
+                             scatter_args=(bound,))
+        bound = min([bound] + [r["dist_t"] for r in res if "dist_t" in r])
+        settled += sum(r["settled"] for r in res)
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="astar", superstep=it, frontier=frontier,
+                      settled=settled, bound=bound)
+        it += 1
+        if frontier == 0:
+            break
+    metrics.close()
+    return {"src": int(src), "dst": int(dst), "dist": bound,
+            "settled": settled, "supersteps": it}
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

@@ -376,6 +376,26 @@ def q_sssp_nf(sf_dir: str):
     return _sssp_weighted_df(sf_dir, delta=2.0)
 
 
+_ASTAR_T = 137
+
+
+def q_astar(sf_dir: str):
+    """A* point-to-point distance 0 -> 137 on the weighted graph
+    (graph_algos.astar, ALT landmarks) — exact at the target by
+    admissibility, so the oracle is the weighted-SSSP recursive CTE
+    restricted to the target row."""
+    from gunrock_ray.pipelines.graph_algos import astar, build_graph
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    weighted=True)
+    try:
+        out = astar(g, 0, _ASTAR_T)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"src": pa.array([out["src"]], pa.int64()),
+                     "dst": pa.array([out["dst"]], pa.int64()),
+                     "dist": pa.array([int(out["dist"])], pa.int64())})
+
+
 def q_bfs_preds(sf_dir: str):
     """BFS --mark-pred from vertex 0 (SQL-checked): pred = smallest in-neighbor
     at depth-1 (the engine's deterministic winner rule), -1 for the source."""
@@ -2254,6 +2274,14 @@ def _simhash_pairs_sql(max_hamming: int = 18) -> str:
 ORACLE_SQL: dict[str, str] = {
     "sssp_dists": f"{_BFS_DEPTH_CTE} SELECT v, depth AS dist FROM dep",
     "sssp_weighted": _SSSP_W_SQL,
+    "astar": (
+        f"WITH RECURSIVE e AS (SELECT src, dst, {_W_EXPR} AS w "
+        f"FROM ({_NORM_SQL})), "
+        "p(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"  UNION SELECT e.dst, p.d + e.w FROM p JOIN e ON e.src = p.v "
+        f"  WHERE p.d + e.w <= {_SSSP_CAP}) "
+        f"SELECT CAST(0 AS BIGINT) AS src, CAST({_ASTAR_T} AS BIGINT) AS dst, "
+        f"CAST(MIN(d) AS BIGINT) AS dist FROM p WHERE v = {_ASTAR_T}"),
     "sssp_nf": _SSSP_W_SQL,
     "bfs_preds": (
         f"{_BFS_DEPTH_CTE} "

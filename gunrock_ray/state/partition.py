@@ -1851,3 +1851,53 @@ class GraphPartition:
     def gc_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "color": pa.array(self.state["color"], pa.int64())})
+
+    # --------------------------------------------- A* search (ALT landmarks)
+    # Goal-directed point-to-point shortest path (reference road map
+    # `doc/road_map.md:15` "A* search"): h(v) = max over landmarks l of
+    # (d(l,t) - d(l,v)) clipped at 0 — admissible by the triangle
+    # inequality (d(v,t) >= d(l,t) - d(l,v)), so pruning every frontier
+    # vertex with dist(v) + h(v) >= best-known d(s,t) is exact. The loop is
+    # the SSSP relaxation with that pruned frontier; results equal SSSP at
+    # the target, with (measured) fewer settled vertices.
+
+    def state_copy(self, dst_name: str, src_name: str) -> None:
+        self.state[dst_name] = self.state[src_name].copy()
+
+    def state_value_at(self, name: str, vertex: int):
+        pos = np.searchsorted(self.verts, vertex)
+        if pos < len(self.verts) and self.verts[pos] == vertex:
+            return float(self.state[name][pos])
+        return None
+
+    def astar_prepare(self, names: list, dlts: list, target: int) -> None:
+        """h from the stored landmark distance columns; landmarks that do
+        not reach the target (dlt = inf) contribute no bound."""
+        h = np.zeros(len(self.verts), dtype=np.float64)
+        for name, dlt in zip(names, dlts):
+            if not np.isfinite(dlt):
+                continue
+            np.maximum(h, dlt - self.state[name], out=h)
+        np.maximum(h, 0.0, out=h)
+        h[~np.isfinite(h)] = 0.0   # d(l,v)=inf => vacuous term
+        self.state["h"] = h
+        self._astar_t = int(target)
+
+    @_scatter_timed
+    def astar_scatter(self, bound: float):
+        dist = self.state["dist"]
+        f = self._frontier
+        keep = dist[f] + self.state["h"][f] < bound
+        self._frontier = f[keep]
+        src_li, dst, eidx = self._frontier_edges()
+        w = self.edge_w[eidx] if self.edge_w is not None else np.ones(len(eidx))
+        return self._pack_combined(dst, dist[src_li] + w, "min")
+
+    @_apply_timed
+    def astar_apply(self, *packs) -> dict:
+        out = self.sssp_apply(*packs)
+        dt = self.state_value_at("dist", self._astar_t)
+        if dt is not None:
+            out["dist_t"] = dt
+        out["settled"] = int(len(self._frontier))
+        return out

