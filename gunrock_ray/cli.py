@@ -222,6 +222,38 @@ def _init_ray():
                  include_dashboard=False, logging_level="ERROR")
 
 
+def _parse_pattern(s: str) -> list[tuple[int, int]]:
+    """'0-1,1-2,2-0' → [(0,1), (1,2), (2,0)]."""
+    out = []
+    for part in s.split(","):
+        a, _, b = part.strip().partition("-")
+        out.append((int(a), int(b)))
+    return out
+
+
+def cmd_match(args) -> dict:
+    """Subgraph matching over an edge Parquet {src, dst}."""
+    import ray.data
+    from gunrock_ray.functions.graph_match import subgraph_match
+    _init_ray()
+    t0 = time.perf_counter()
+    edges = ray.data.read_parquet(args.input, columns=["src", "dst"])
+    pattern = _parse_pattern(args.pattern)
+    where_lt = _parse_pattern(args.where_lt) if args.where_lt else []
+    emb = subgraph_match(edges, pattern,
+                         injective=not args.homomorphisms,
+                         where_lt=where_lt)
+    if args.count_only:
+        rows = int(emb.count())
+    else:
+        rows = _write_result(args.out, emb)
+    summary = {"cmd": "match", "pattern": args.pattern,
+               "embeddings": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
 def _write_result(out_dir: str, res) -> int:
     """Dataset / pa.Table / DataFrame → partitioned Parquet; returns rows.
 
@@ -732,6 +764,20 @@ def main(argv=None) -> None:
                          "for --op repeat the values are permille repeat "
                          "factors (2300 = 2.3x)")
 
+    mt = sub.add_parser("match", help="subgraph pattern matching over an "
+                        "edge Parquet (road map 'subgraph matching')")
+    mt.add_argument("--input", required=True)
+    mt.add_argument("--pattern", required=True,
+                    help="directed pattern edges over vertices 0..k-1, "
+                         "e.g. '0-1,1-2,2-0' for a 3-cycle")
+    mt.add_argument("--where-lt", default="",
+                    help="symmetry-breaking constraints 'i-j,...' "
+                         "meaning v_i < v_j")
+    mt.add_argument("--homomorphisms", action="store_true",
+                    help="allow repeated data vertices (default: injective)")
+    mt.add_argument("--count-only", action="store_true")
+    mt.add_argument("--out", default="/tmp/gunrock_ray_match")
+
     cv = sub.add_parser("convert", help="graph-format conversion "
                         "(mtx | snap | parquet edge tables)")
     cv.add_argument("--input", required=True)
@@ -763,6 +809,8 @@ def main(argv=None) -> None:
         cmd_events(args)
     elif args.cmd == "stats":
         cmd_stats(args)
+    elif args.cmd == "match":
+        cmd_match(args)
     elif args.cmd == "convert":
         cmd_convert(args)
 

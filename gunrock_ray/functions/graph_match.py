@@ -1,0 +1,202 @@
+"""Subgraph (pattern) matching over an edge Dataset — the reference road
+map's "subgraph matching" (`/root/reference/doc/road_map.md:15`; the
+upstream dev-branch SM app is a vertex-centric filter+join), re-expressed
+Ray-Data-first as an EDGE-GROWING sequence of coarse-bucket cogroup joins
+over the edge table.
+
+Scale shape: partial embeddings live only as a Dataset flowing through
+``hash_join`` / ``semi_join`` bucket shuffles — nothing materializes on
+the driver. The planner orders pattern edges so that (a) every step
+touches an already-bound pattern vertex (connected growth — each join has
+a key) and (b) edges whose endpoints are BOTH already bound run as SEMI
+existence filters at the earliest possible step, pruning the embedding
+frontier before the next expansion multiplies it. The inherent
+assumption: the pattern is small (k ≲ 6 vertices) while the data graph
+is huge — per-step cost is one bucketed shuffle of the current embedding
+set. Intermediate blow-up is the classic risk; ``where_lt`` symmetry
+breaking and a selective first edge are the caller's levers.
+
+The caller should pass a DEDUPLICATED edge table (e.g. the normalized
+{src, dst} contract of ``sources.ingest``): duplicate data edges
+multiply embedding counts, exactly as duplicate rows multiply SQL join
+results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.joins import hash_join, semi_join
+
+_MAX_VID = np.uint64(1) << np.uint64(32)
+
+
+def _pair_key(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Exact composite key of an edge: (u << 32) | v. Collision-free for
+    vertex ids < 2^32 (asserted); ids are engine-relabeled dense ints in
+    every pipeline here, far below that."""
+    uu = u.astype(np.uint64)
+    vv = v.astype(np.uint64)
+    if len(uu) and (uu.max() >= _MAX_VID or vv.max() >= _MAX_VID):
+        raise ValueError("subgraph matching requires vertex ids < 2^32 "
+                         "(relabel first — sources.ingest.vertex_dictionary)")
+    return ((uu << np.uint64(32)) | vv).astype(np.int64)
+
+
+def _plan(pattern: list[tuple[int, int]]):
+    """Deterministic connected-growth order: start from pattern edge 0;
+    at each step take the lowest-indexed unused edge with both endpoints
+    bound (semi filter) if any, else the lowest-indexed one with exactly
+    one endpoint bound (expansion). Raises on disconnected patterns."""
+    verts = sorted({v for e in pattern for v in e})
+    if verts != list(range(len(verts))):
+        raise ValueError(f"pattern vertices must be 0..k-1, got {verts}")
+    for a, b in pattern:
+        if a == b:
+            raise ValueError(f"pattern self-loop ({a},{b}) unsupported")
+    if len(set(pattern)) != len(pattern):
+        raise ValueError("duplicate pattern edge")
+    used = [False] * len(pattern)
+    bound = set(pattern[0])
+    used[0] = True
+    steps = [("seed", pattern[0])]
+    while not all(used):
+        pick = None
+        for i, (a, b) in enumerate(pattern):        # both bound first
+            if not used[i] and a in bound and b in bound:
+                pick = (i, "check")
+                break
+        if pick is None:
+            for i, (a, b) in enumerate(pattern):
+                if not used[i] and ((a in bound) != (b in bound)):
+                    pick = (i, "grow")
+                    break
+        if pick is None:
+            raise ValueError("pattern is not connected")
+        i, kind = pick
+        used[i] = True
+        steps.append((kind, pattern[i]))
+        bound |= set(pattern[i])
+    return steps
+
+
+def subgraph_match(edges_ds, pattern: list[tuple[int, int]], *,
+                   injective: bool = True,
+                   where_lt: list[tuple[int, int]] = (),
+                   num_buckets: int | None = None):
+    """All embeddings of the directed ``pattern`` (edge list over pattern
+    vertices 0..k-1) in ``edges_ds`` {src, dst} → Dataset with one int64
+    column ``v{i}`` per pattern vertex.
+
+    ``injective=True`` (subgraph isomorphism) forces distinct data
+    vertices; False gives homomorphisms. ``where_lt=[(i, j), ...]`` adds
+    ``v_i < v_j`` filters (symmetry breaking — count each automorphism
+    class once), applied at the first step where both are bound."""
+    pattern = [tuple(map(int, e)) for e in pattern]
+    steps = _plan(pattern)
+    where_lt = [tuple(map(int, c)) for c in where_lt]
+    pending_lt = list(where_lt)
+
+    def edge_cols(names: tuple[str, str]):
+        na, nb = names
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({na: t["src"].cast(pa.int64()),
+                             nb: t["dst"].cast(pa.int64())})
+        return fn
+
+    def apply_local(bound: set[int]):
+        """Vectorized per-batch filters that became decidable: injectivity
+        of the newly bound vertex and any where_lt now fully bound."""
+        lts = [c for c in pending_lt if c[0] in bound and c[1] in bound]
+        for c in lts:
+            pending_lt.remove(c)
+        return lts
+
+    # ---- seed: the first pattern edge IS the embedding table
+    (_, (a0, b0)) = steps[0]
+    emb = edges_ds.map_batches(edge_cols((f"v{a0}", f"v{b0}")),
+                               batch_format="pyarrow")
+    bound = {a0, b0}
+
+    def seed_filter(lts):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = np.ones(len(t), dtype=bool)
+            if injective:
+                keep &= t[f"v{a0}"].to_numpy() != t[f"v{b0}"].to_numpy()
+            for i, j in lts:
+                keep &= t[f"v{i}"].to_numpy() < t[f"v{j}"].to_numpy()
+            return t.filter(pa.array(keep))
+        return fn
+
+    lts0 = apply_local(bound)
+    if injective or lts0:
+        emb = emb.map_batches(seed_filter(lts0), batch_format="pyarrow")
+
+    for kind, (a, b) in steps[1:]:
+        if kind == "check":
+            # both endpoints bound: EXISTS filter on the composite key —
+            # right side ships only distinct keys (semi_join contract)
+            def add_pk(na: str, nb: str):
+                def fn(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "__pk", pa.array(_pair_key(t[na].to_numpy(),
+                                                   t[nb].to_numpy())))
+                return fn
+            left = emb.map_batches(add_pk(f"v{a}", f"v{b}"),
+                                   batch_format="pyarrow")
+            right = edges_ds.map_batches(
+                lambda t: pa.table({"__pk": pa.array(
+                    _pair_key(t["src"].to_numpy(), t["dst"].to_numpy()))}),
+                batch_format="pyarrow")
+            emb = semi_join(left, right, on="__pk", right_on="__pk",
+                            num_buckets=num_buckets).drop_columns(["__pk"])
+            continue
+        # ---- grow: exactly one endpoint bound
+        grow_from, new_v, key_side = ((a, b, "src") if a in bound
+                                      else (b, a, "dst"))
+        other = "dst" if key_side == "src" else "src"
+
+        def to_join_side(ks=key_side, ot=other):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({"__jk": t[ks].cast(pa.int64()),
+                                 "__nv": t[ot].cast(pa.int64())})
+            return fn
+
+        right = edges_ds.map_batches(to_join_side(), batch_format="pyarrow")
+        emb = hash_join(emb, right, on=f"v{grow_from}", right_on="__jk",
+                        num_buckets=num_buckets)
+        bound = bound | {new_v}
+        lts = apply_local(bound)
+        prev = [v for v in sorted(bound) if v != new_v]
+
+        def bind_and_filter(nv=new_v, prev=tuple(prev), lts=tuple(lts)):
+            def fn(t: pa.Table) -> pa.Table:
+                nvals = t["__nv"].to_numpy()
+                keep = np.ones(len(t), dtype=bool)
+                if injective:
+                    for p in prev:
+                        keep &= nvals != t[f"v{p}"].to_numpy()
+                t = t.drop_columns(["__jk", "__nv"]).append_column(
+                    f"v{nv}", pa.array(nvals, pa.int64()))
+                for i, j in lts:
+                    keep &= (t[f"v{i}"].to_numpy() < t[f"v{j}"].to_numpy())
+                return t.filter(pa.array(keep))
+            return fn
+
+        emb = emb.map_batches(bind_and_filter(), batch_format="pyarrow")
+
+    if pending_lt:
+        raise ValueError(f"where_lt references unbound vertices: {pending_lt}")
+    k = len({v for e in pattern for v in e})
+    return emb.select_columns([f"v{i}" for i in range(k)])
+
+
+def subgraph_count(edges_ds, pattern: list[tuple[int, int]], *,
+                   injective: bool = True,
+                   where_lt: list[tuple[int, int]] = (),
+                   num_buckets: int | None = None) -> int:
+    """Number of embeddings — one streaming count over the match Dataset."""
+    return int(subgraph_match(edges_ds, pattern, injective=injective,
+                              where_lt=where_lt,
+                              num_buckets=num_buckets).count())

@@ -396,6 +396,32 @@ def q_astar(sf_dir: str):
                      "dist": pa.array([int(out["dist"])], pa.int64())})
 
 
+def q_sgm_tri_cycle(sf_dir: str):
+    """Subgraph matching (road map item, functions/graph_match.py): count
+    of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3
+    rotations counted once). Injectivity is implied on a loop-free edge
+    table; the oracle is the 3-way self-join."""
+    from gunrock_ray.functions.graph_match import subgraph_count
+    n = subgraph_count(_norm_ds(sf_dir), [(0, 1), (1, 2), (2, 0)],
+                       where_lt=[(0, 1), (0, 2)])
+    return pa.table({"cycles": pa.array([n], pa.int64())})
+
+
+def q_sgm_diamond_top(sf_dir: str):
+    """Diamond pattern (0→1, 0→2, 1→3, 2→3; v1 < v2 breaks the arm swap)
+    counted per source vertex, top-20 — exercises the grow+grow+check
+    planner path and a downstream Dataset aggregate over the embedding
+    stream."""
+    from ray.data.aggregate import Count
+    from gunrock_ray.functions.graph_match import subgraph_match
+    emb = subgraph_match(_norm_ds(sf_dir),
+                         [(0, 1), (0, 2), (1, 3), (2, 3)],
+                         where_lt=[(1, 2)])
+    per_src = emb.groupby("v0").aggregate(Count(alias_name="n_diamonds"))
+    return per_src.sort(["n_diamonds", "v0"],
+                        descending=[True, False]).limit(TOPK)
+
+
 def q_bfs_preds(sf_dir: str):
     """BFS --mark-pred from vertex 0 (SQL-checked): pred = smallest in-neighbor
     at depth-1 (the engine's deterministic winner rule), -1 for the source."""
@@ -2283,6 +2309,20 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT CAST(0 AS BIGINT) AS src, CAST({_ASTAR_T} AS BIGINT) AS dst, "
         f"CAST(MIN(d) AS BIGINT) AS dist FROM p WHERE v = {_ASTAR_T}"),
     "sssp_nf": _SSSP_W_SQL,
+    "sgm_tri_cycle": (
+        f"WITH n AS ({_NORM_SQL}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS cycles FROM n e1 "
+        "JOIN n e2 ON e2.src = e1.dst "
+        "JOIN n e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+        "WHERE e1.src < e2.src AND e1.src < e3.src"),
+    "sgm_diamond_top": (
+        f"WITH n AS ({_NORM_SQL}) "
+        "SELECT e1.src AS v0, CAST(COUNT(*) AS BIGINT) AS n_diamonds FROM "
+        "n e1 JOIN n e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+        "JOIN n e3 ON e3.src = e1.dst "
+        "JOIN n e4 ON e4.src = e2.dst AND e4.dst = e3.dst "
+        "WHERE e1.src <> e3.dst "
+        f"GROUP BY v0 ORDER BY n_diamonds DESC, v0 LIMIT {TOPK}"),
     "bfs_preds": (
         f"{_BFS_DEPTH_CTE} "
         "SELECT d.v, d.depth, COALESCE((SELECT MIN(n2.src) FROM n n2 "

@@ -1,0 +1,123 @@
+"""Subgraph matching vs a brute-force embedding enumerator."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions.graph_match import (_plan, subgraph_count,
+                                               subgraph_match)
+
+PATH3 = [(0, 1), (1, 2)]
+TRI_CYCLE = [(0, 1), (1, 2), (2, 0)]
+WEDGE_OUT = [(0, 1), (0, 2)]
+DIAMOND = [(0, 1), (0, 2), (1, 3), (2, 3)]
+
+
+def _rand_edges(n=22, m=140, seed=7):
+    rng = np.random.default_rng(seed)
+    e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+    return e[e[:, 0] != e[:, 1]]
+
+
+def _brute(e, pattern, injective=True, where_lt=()):
+    """Exhaustive k-tuple scan — obviously correct, tiny graphs only."""
+    eset = {(int(a), int(b)) for a, b in e}
+    nodes = sorted({v for ed in eset for v in ed})
+    k = len({v for p in pattern for v in p})
+    out = set()
+    for t in itertools.product(nodes, repeat=k):
+        if injective and len(set(t)) != k:
+            continue
+        if any((t[a], t[b]) not in eset for a, b in pattern):
+            continue
+        if any(not (t[i] < t[j]) for i, j in where_lt):
+            continue
+        out.add(t)
+    return out
+
+
+def _run(e, pattern, injective=True, where_lt=()):
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                       "dst": pa.array(e[:, 1], pa.int64())}))
+    out = subgraph_match(ds, pattern, injective=injective,
+                         where_lt=where_lt).to_pandas()
+    k = len({v for p in pattern for v in p})
+    return {tuple(int(r[f"v{i}"]) for i in range(k))
+            for r in out.to_dict("records")}, len(out)
+
+
+@pytest.mark.parametrize("pattern", [PATH3, TRI_CYCLE, WEDGE_OUT, DIAMOND])
+def test_match_equals_brute_force(ray_session, pattern):
+    e = _rand_edges()
+    got, n = _run(e, pattern)
+    assert n == len(got)          # embeddings are distinct rows
+    assert got == _brute(e, pattern)
+
+
+def test_homomorphisms_superset_of_isomorphisms(ray_session):
+    e = _rand_edges(seed=11)
+    iso, _ = _run(e, PATH3, injective=True)
+    hom, _ = _run(e, PATH3, injective=False)
+    assert iso <= hom
+    assert any(t[0] == t[2] for t in hom - iso)  # the non-injective extras
+    assert hom == _brute(e, PATH3, injective=False)
+
+
+def test_symmetry_breaking_where_lt(ray_session):
+    e = _rand_edges(seed=3)
+    full, _ = _run(e, TRI_CYCLE)
+    broke, _ = _run(e, TRI_CYCLE, where_lt=[(0, 1), (0, 2)])
+    # each directed 3-cycle has exactly 3 rotations; v0 = min picks one
+    assert len(broke) * 3 == len(full)
+    assert broke == _brute(e, TRI_CYCLE, where_lt=[(0, 1), (0, 2)])
+
+
+def test_subgraph_count_matches_match(ray_session):
+    e = _rand_edges(seed=5)
+    got, _ = _run(e, DIAMOND)
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                       "dst": pa.array(e[:, 1], pa.int64())}))
+    assert subgraph_count(ds, DIAMOND) == len(got)
+
+
+def test_plan_orders_checks_early_and_rejects_bad_patterns():
+    steps = _plan(TRI_CYCLE)
+    assert [k for k, _ in steps] == ["seed", "grow", "check"]
+    with pytest.raises(ValueError, match="not connected"):
+        _plan([(0, 1), (2, 3)])
+    with pytest.raises(ValueError, match="self-loop"):
+        _plan([(0, 0)])
+    with pytest.raises(ValueError, match="0..k-1"):
+        _plan([(0, 2)])
+    with pytest.raises(ValueError, match="duplicate"):
+        _plan([(0, 1), (0, 1)])
+
+
+def test_cli_match_tri_cycle(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    e = _rand_edges(seed=3)
+    inp = str(tmp_path / "edges.parquet")
+    pq.write_table(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                             "dst": pa.array(e[:, 1], pa.int64())}), inp)
+    env = dict(os.environ, PYTHONPATH=repo, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "match", "--input", inp,
+         "--pattern", "0-1,1-2,2-0", "--where-lt", "0-1,0-2",
+         "--count-only"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    want = len(_brute(e, TRI_CYCLE, where_lt=[(0, 1), (0, 2)]))
+    assert summary["embeddings"] == want
