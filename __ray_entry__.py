@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "astar": r.q_astar,            # SQL-checked (ALT A* == SSSP at target)
         "sgm_tri_cycle": r.q_sgm_tri_cycle,      # SQL-checked (3-way self-join)
         "sgm_diamond_top": r.q_sgm_diamond_top,  # SQL-checked (4-way self-join)
+        "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated
+                                       # vs an Edmonds-Karp reference)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -134,7 +134,7 @@ def cmd_run(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.pipelines import graph_algos as ga
 
-    needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc")
+    needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "mis", "coloring", "kcore")
@@ -166,6 +166,10 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
+    elif args.algo == "maxflow":
+        extra.update(ga.max_flow(g, args.src, args.dst,
+                                 metrics_path=args.metrics))
+        out = g.extract("mf_extract") if args.out else None
     elif args.algo == "astar":
         r = ga.astar(g, args.src, args.dst, metrics_path=args.metrics)
         if r["dist"] == float("inf"):
@@ -610,7 +614,7 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
-                              "coloring", "astar", "bfs", "sssp",
+                              "coloring", "astar", "maxflow", "bfs", "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
@@ -627,7 +631,7 @@ def main(argv=None) -> None:
     run.add_argument("--partition-seed", type=int, default=0)
     run.add_argument("--src", type=int, default=0)
     run.add_argument("--dst", type=int, default=1,
-                     help="target vertex for --algo astar")
+                     help="target vertex for --algo astar / sink for maxflow")
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
     run.add_argument("--direction-optimized", action="store_true",

@@ -725,6 +725,47 @@ def astar(graph: DistributedGraph, src: int, dst: int, *,
             "settled": settled, "supersteps": it}
 
 
+def max_flow(graph: DistributedGraph, src: int, sink: int, *,
+             metrics_path: str | None = None) -> dict:
+    """Max s-t flow — the reference road map's "max flow"
+    (`doc/road_map.md:17`), synchronous Goldberg-Tarjan push-relabel in
+    BSP pulses (see the invariant argument at `state/partition.py`
+    mf_* kernels). Graph must be built ``weighted=True`` (capacities;
+    unweighted edges get capacity 1) AND ``with_in_edges=True`` (reverse
+    residual arcs live in the in-CSC). Integer capacities recommended —
+    float64 residual arithmetic is then exact.
+
+    Each pulse is two supersteps: pushes+relabels, then a height
+    re-synchronization. Returns {"src", "sink", "max_flow", "pulses"};
+    the per-arc flow assignment is available via
+    ``graph.extract("mf_extract")`` afterwards."""
+    g = graph
+    if not g.with_in_edges:
+        raise ValueError("max_flow requires build_graph(with_in_edges=True)")
+    if int(src) == int(sink):
+        raise ValueError("src == sink")
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("mf_init", int(src), int(sink), int(g.n))
+    res, _ = g.superstep("mf_seed_scatter", "mf_flow_apply")
+    g.superstep("mf_height_scatter", "mf_height_apply")
+    pulses = 0
+    flow = 0.0
+    while True:
+        active = sum(r["active"] for r in res)
+        flow = sum(r.get("flow_t", 0.0) for r in res)
+        relabeled = sum(r.get("relabeled", 0) for r in res)
+        metrics.write(algo="maxflow", pulse=pulses, active=active,
+                      flow=flow, relabeled=relabeled)
+        if active == 0:
+            break
+        res, _ = g.superstep("mf_push_scatter", "mf_flow_apply")
+        g.superstep("mf_height_scatter", "mf_height_apply")
+        pulses += 1
+    metrics.close()
+    return {"src": int(src), "sink": int(sink), "max_flow": flow,
+            "pulses": pulses}
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

@@ -396,6 +396,24 @@ def q_astar(sf_dir: str):
                      "dist": pa.array([int(out["dist"])], pa.int64())})
 
 
+def q_maxflow(sf_dir: str):
+    """Max s-t flow 0 -> 137 on the weighted derived graph (BSP
+    push-relabel, graph_algos.max_flow). Max flow has no SQL form, so
+    this is a rows-only contract entry; tests/test_max_flow.py gates it
+    against an Edmonds-Karp reference (values exact — integer
+    capacities)."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, max_flow
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    weighted=True, with_in_edges=True)
+    try:
+        out = max_flow(g, 0, _ASTAR_T)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"src": pa.array([out["src"]], pa.int64()),
+                     "sink": pa.array([out["sink"]], pa.int64()),
+                     "max_flow": pa.array([int(out["max_flow"])], pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

@@ -1901,3 +1901,265 @@ class GraphPartition:
             out["dist_t"] = dt
         out["settled"] = int(len(self._frontier))
         return out
+
+    # ------------------------------------------- max flow (push-relabel, BSP)
+    # Goal: the reference road map's "max flow" (`doc/road_map.md:17`).
+    # Synchronous (pulse) Goldberg-Tarjan push-relabel: each pulse, every
+    # active vertex (excess > 0, not s/t) pushes deterministically along
+    # admissible residual arcs — h(u) == h(nbr) + 1 under the ROUND-START
+    # height snapshot (neighbor heights are per-arc caches, re-synchronized
+    # by a height-exchange superstep after every pulse, so the snapshot is
+    # exact) — and every active vertex with NO admissible arc relabels to
+    # 1 + min(residual-neighbor heights) AFTER this pulse's incoming flow
+    # is applied. Validity (h(u) <= h(v)+1 on residual arcs) is preserved:
+    # pushes use a consistent snapshot, a pushing vertex never relabels in
+    # the same pulse, and a new residual arc (u,w) from an incoming push
+    # has hc(w) = h(u)+1, so relabels strictly increase height — the
+    # sequential termination bound (h < 2N) carries over.
+    #
+    # Residual arcs live where their tail lives: forward arcs are the out-
+    # CSR (res_out, init = capacity), reverse arcs are the in-CSC (res_in,
+    # init = 0). A push is applied locally at the tail and mirrored at the
+    # head by a (head, tail, delta, kind) message; the head finds its
+    # mirror arc by binary search on a static (local_row << 32 | nbr) key
+    # (both CSRs are (row, nbr)-sorted and deduped at build).
+
+    def _mf_key(self, rows_local: np.ndarray, nbrs: np.ndarray) -> np.ndarray:
+        return (rows_local.astype(np.int64) << np.int64(32)) + nbrs
+
+    def _mf_find(self, keys: np.ndarray, q: np.ndarray):
+        """(positions, found_mask) of query keys in a sorted key array."""
+        if len(keys) == 0 or len(q) == 0:
+            return np.zeros(0, np.int64), np.zeros(len(q), bool)
+        pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        return pos, keys[pos] == q
+
+    def mf_init(self, src: int, sink: int, n_global: int) -> None:
+        n = len(self.verts)
+        m_out = len(self.col_indices)
+        m_in = len(self.in_col_indices)
+        if int(self.verts[-1]) >= (1 << 31) if n else False:
+            raise ValueError("max flow requires vertex ids < 2^31")
+        self._mf_okey = self._mf_key(
+            np.repeat(np.arange(n, dtype=np.int64), self.out_deg),
+            self.col_indices)
+        self._mf_ikey = self._mf_key(
+            np.repeat(np.arange(n, dtype=np.int64), self.in_deg),
+            self.in_col_indices)
+        cap = (self.edge_w.astype(np.float64) if self.edge_w is not None
+               else np.ones(m_out, np.float64))
+        self._mf_cap0 = cap.copy()
+        self.state["mf_res_out"] = cap.copy()
+        self.state["mf_res_in"] = np.zeros(m_in, np.float64)
+        self.state["mf_excess"] = np.zeros(n, np.float64)
+        h = np.zeros(n, np.int64)
+        self._mf_hco = np.zeros(m_out, np.int64)   # height cache, out heads
+        self._mf_hci = np.zeros(m_in, np.int64)    # height cache, in tails
+        self._mf_N = int(n_global)
+        self._mf_s_l = self._mf_t_l = -1
+        pos = np.searchsorted(self.verts, src)
+        if pos < n and self.verts[pos] == src:
+            self._mf_s_l = int(pos)
+            h[pos] = self._mf_N
+        pos = np.searchsorted(self.verts, sink)
+        if pos < n and self.verts[pos] == sink:
+            self._mf_t_l = int(pos)
+        self.state["mf_h"] = h
+        self._mf_dirty = ([self._mf_s_l] if self._mf_s_l >= 0 else [])
+        self._mf_relabel = _EMPTY_I8
+
+    @_scatter_timed
+    def mf_seed_scatter(self):
+        """Saturating pushes out of the source (standard initialization)."""
+        self._mf_relabel = _EMPTY_I8
+        if self._mf_s_l < 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8,
+                              np.zeros(0, np.float64), _EMPTY_I8)
+        ro = self.state["mf_res_out"]
+        a, b = self.row_offsets[self._mf_s_l], self.row_offsets[self._mf_s_l + 1]
+        sl = np.arange(a, b, dtype=np.int64)
+        d = ro[sl]
+        keep = d > 0
+        sl, d = sl[keep], d[keep]
+        heads = self.col_indices[sl]
+        ro[sl] = 0.0
+        return self._pack(heads,
+                          np.full(len(sl), self.verts[self._mf_s_l], np.int64),
+                          d, np.zeros(len(sl), np.int64))
+
+    @_scatter_timed
+    def mf_push_scatter(self):
+        ex = self.state["mf_excess"]
+        h = self.state["mf_h"]
+        ro, ri = self.state["mf_res_out"], self.state["mf_res_in"]
+        act = ex > 0
+        for sp in (self._mf_s_l, self._mf_t_l):
+            if sp >= 0:
+                act[sp] = False
+        A = np.flatnonzero(act)
+        if len(A) == 0:
+            self._mf_relabel = _EMPTY_I8
+            return self._pack(_EMPTY_I8, _EMPTY_I8,
+                              np.zeros(0, np.float64), _EMPTY_I8)
+        rem = ex[A].copy()          # remaining excess per active vertex
+        pushed_any = np.zeros(len(A), bool)
+        msgs = []
+
+        def discharge(offsets, deg, res, hc, nbrs, kind):
+            starts, lens = offsets[A], deg[A]
+            flat = _ragged_gather(
+                np.arange(len(nbrs), dtype=np.int64), starts, lens)
+            seg = np.repeat(np.arange(len(A), dtype=np.int64), lens)
+            adm = (res[flat] > 0) & (h[A][seg] == hc[flat] + 1)
+            flat, seg = flat[adm], seg[adm]
+            if len(flat) == 0:
+                return
+            caps = res[flat]
+            # per-segment exclusive prefix of admissible capacity, in
+            # deterministic (vertex, arc-position) order
+            cs = np.concatenate([[0.0], np.cumsum(caps)[:-1]])
+            first = segment_starts(seg)
+            base = np.zeros(len(seg), np.float64)
+            base[first] = cs[first]
+            np.maximum.accumulate(base, out=base)
+            excl = cs - base
+            d = np.clip(rem[seg] - excl, 0.0, caps)
+            keep = d > 0
+            flat, seg, d = flat[keep], seg[keep], d[keep]
+            if len(flat) == 0:
+                return
+            res[flat] -= d
+            su, sd = segment_reduce(seg, d, "sum")
+            rem[su] -= sd
+            pushed_any[su] = True
+            msgs.append((nbrs[flat], self.verts[A[seg]], d,
+                         np.full(len(flat), kind, np.int64)))
+
+        discharge(self.row_offsets, self.out_deg, ro, self._mf_hco,
+                  self.col_indices, 0)
+        discharge(self.in_row_offsets, self.in_deg, ri, self._mf_hci,
+                  self.in_col_indices, 1)
+        ex[A] = rem
+        self._mf_relabel = A[~pushed_any]
+        if msgs:
+            ids = np.concatenate([m[0] for m in msgs])
+            tails = np.concatenate([m[1] for m in msgs])
+            ds = np.concatenate([m[2] for m in msgs])
+            kinds = np.concatenate([m[3] for m in msgs])
+        else:
+            ids = tails = kinds = _EMPTY_I8
+            ds = np.zeros(0, np.float64)
+        return self._pack(ids, tails, ds, kinds)
+
+    @_apply_timed
+    def mf_flow_apply(self, *packs) -> dict:
+        ex = self.state["mf_excess"]
+        h = self.state["mf_h"]
+        ro, ri = self.state["mf_res_out"], self.state["mf_res_in"]
+        heads, tails, ds, kinds = self._unpack_all(packs, cols=(0, 1, 2, 3))
+        ds = ds.astype(np.float64) if len(ds) else np.zeros(0, np.float64)
+        if len(heads):
+            lv = self._lidx(heads)
+            np.add.at(ex, lv, ds)
+            q = self._mf_key(lv, tails)
+            for kind, keys, arr in ((0, self._mf_ikey, ri),
+                                    (1, self._mf_okey, ro)):
+                sel = kinds == kind
+                pos, ok = self._mf_find(keys, q[sel])
+                if not ok.all():           # a push must mirror an arc
+                    raise RuntimeError("max flow: unmatched mirror arc")
+                np.add.at(arr, pos, ds[sel])
+        # relabel the active vertices that found no admissible arc, over
+        # the CURRENT residual arcs (incl. ones created just above), with
+        # the round-start height caches
+        R = self._mf_relabel
+        self._mf_relabel = _EMPTY_I8
+        dirty = []
+        if len(R):
+            reps, mins = [], []
+            for offsets, deg, res, hc, in (
+                    (self.row_offsets, self.out_deg, ro, self._mf_hco),
+                    (self.in_row_offsets, self.in_deg, ri, self._mf_hci)):
+                starts, lens = offsets[R], deg[R]
+                flat = _ragged_gather(
+                    np.arange(len(res), dtype=np.int64), starts, lens)
+                seg = np.repeat(R, lens)
+                m = res[flat] > 0
+                reps.append(seg[m])
+                mins.append(hc[flat[m]])
+            rep = np.concatenate(reps)
+            mn = np.concatenate(mins)
+            if len(rep):
+                ru, rh = segment_reduce(rep, mn, "min")
+                h[ru] = rh + 1
+                dirty = ru.tolist()
+        # APPEND (don't overwrite): mf_init seeds _mf_dirty with the source
+        # so its height-N reaches neighbor caches via the first exchange
+        self._mf_dirty = list(self._mf_dirty) + dirty
+        act = ex > 0
+        for sp in (self._mf_s_l, self._mf_t_l):
+            if sp >= 0:
+                act[sp] = False
+        out = {"active": int(np.count_nonzero(act)),
+               "relabeled": len(dirty)}
+        if self._mf_t_l >= 0:
+            out["flow_t"] = float(ex[self._mf_t_l])
+        return out
+
+    @_scatter_timed
+    def mf_height_scatter(self):
+        D = np.asarray(self._mf_dirty, dtype=np.int64)
+        self._mf_dirty = []
+        if len(D) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        h = self.state["mf_h"]
+        outs = _ragged_gather(self.col_indices, self.row_offsets[D],
+                              self.out_deg[D])
+        ins = _ragged_gather(self.in_col_indices, self.in_row_offsets[D],
+                             self.in_deg[D])
+        rep_o = np.repeat(D, self.out_deg[D])
+        rep_i = np.repeat(D, self.in_deg[D])
+        ids = np.concatenate([outs, ins])
+        who = self.verts[np.concatenate([rep_o, rep_i])]
+        hv = h[np.concatenate([rep_o, rep_i])]
+        return self._pack(ids, who, hv)
+
+    @_apply_timed
+    def mf_height_apply(self, *packs) -> dict:
+        ids, who, hv = self._unpack_all(packs, cols=(0, 1, 2))
+        if len(ids):
+            q = self._mf_key(self._lidx(ids), who)
+            pos, ok = self._mf_find(self._mf_okey, q)
+            self._mf_hco[pos[ok]] = hv[ok]
+            pos, ok = self._mf_find(self._mf_ikey, q)
+            self._mf_hci[pos[ok]] = hv[ok]
+        return {}
+
+    def mf_debug(self) -> dict:
+        """Raw residual/height arrays (test + invariant-audit helper)."""
+        n = len(self.verts)
+        return {
+            "verts": self.verts,
+            "out_src": self.verts[np.repeat(np.arange(n, dtype=np.int64),
+                                            self.out_deg)],
+            "out_dst": self.col_indices,
+            "res_out": self.state["mf_res_out"],
+            "hco": self._mf_hco,
+            "in_dst": self.verts[np.repeat(np.arange(n, dtype=np.int64),
+                                           self.in_deg)],
+            "in_src": self.in_col_indices,
+            "res_in": self.state["mf_res_in"],
+            "hci": self._mf_hci,
+            "h": self.state["mf_h"],
+            "excess": self.state["mf_excess"],
+        }
+
+    def mf_extract(self) -> pa.Table:
+        """Per-arc flow assignment: flow = capacity - residual, > 0 only."""
+        n = len(self.verts)
+        f = self._mf_cap0 - self.state["mf_res_out"]
+        keep = f > 0
+        rows = np.repeat(np.arange(n, dtype=np.int64), self.out_deg)[keep]
+        return pa.table({"src": pa.array(self.verts[rows], pa.int64()),
+                         "dst": pa.array(self.col_indices[keep], pa.int64()),
+                         "flow": pa.array(f[keep], pa.float64())})

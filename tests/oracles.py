@@ -319,3 +319,40 @@ def salsa_gunrock_ref(n, src_a, dst_a, max_iter=20):
         auth = np.zeros(n)
         np.add.at(auth, dst_a, u[src_a])
     return hub, auth
+
+
+def max_flow_ref(n, src, dst, cap, s, t):
+    """Edmonds-Karp (BFS augmenting paths) on directed capacities —
+    oracle for pipelines.max_flow. Duplicate arcs are summed."""
+    from collections import deque
+    res = {}
+    adj = [set() for _ in range(n)]
+    for u, v, c in zip(src, dst, cap):
+        u, v = int(u), int(v)
+        if u == v:
+            continue
+        res[(u, v)] = res.get((u, v), 0.0) + float(c)
+        res.setdefault((v, u), 0.0)
+        adj[u].add(v)
+        adj[v].add(u)
+    flow = 0.0
+    while True:
+        pred = {s: s}
+        dq = deque([s])
+        while dq and t not in pred:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in pred and res[(u, v)] > 0:
+                    pred[v] = u
+                    dq.append(v)
+        if t not in pred:
+            return flow
+        path, v = [], t
+        while v != s:
+            path.append((pred[v], v))
+            v = pred[v]
+        b = min(res[e] for e in path)
+        for u, v in path:
+            res[(u, v)] -= b
+            res[(v, u)] += b
+        flow += b

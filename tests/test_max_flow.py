@@ -1,0 +1,115 @@
+"""BSP push-relabel max flow vs an Edmonds-Karp oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import build_graph, max_flow
+from gunrock_ray.sources import generators as gen
+from tests import oracles
+from tests.helpers import edges_np, vertices_table
+
+
+def _check(t: pa.Table, n: int, s: int, snk: int, partitions=3):
+    src, dst = edges_np(t)
+    w = (t["w"].to_numpy().astype(np.float64) if "w" in t.column_names
+         else np.ones(len(src)))
+    want = oracles.max_flow_ref(n, src, dst, w, s, snk)
+    g = build_graph(t, num_partitions=partitions,
+                    weighted="w" in t.column_names, with_in_edges=True,
+                    vertices=vertices_table(n))
+    try:
+        out = max_flow(g, s, snk)
+        assign = g.extract("mf_extract").to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["max_flow"] == want, (out, want)
+    # the flow assignment is feasible: capacity bounds + conservation
+    cap = {(int(a), int(b)): float(c) for a, b, c in zip(src, dst, w)}
+    net = np.zeros(n)
+    for r in assign.to_dict("records"):
+        e = (int(r["src"]), int(r["dst"]))
+        assert 0 < r["flow"] <= cap[e] + 1e-9, (e, r["flow"], cap[e])
+        net[e[0]] -= r["flow"]
+        net[e[1]] += r["flow"]
+    inner = np.delete(net, [s, snk])
+    np.testing.assert_allclose(inner, 0.0, atol=1e-9)
+    assert net[snk] == out["max_flow"]
+    return out
+
+
+def test_textbook_graph():
+    # CLRS-style example: known max flow 23
+    t = pa.table({
+        "src": pa.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4], pa.int64()),
+        "dst": pa.array([1, 2, 2, 3, 1, 4, 2, 5, 3, 5], pa.int64()),
+        "w": pa.array([16, 13, 10, 12, 4, 14, 9, 20, 7, 4], pa.float64()),
+    })
+    out = _check(t, 6, 0, 5, partitions=2)
+    assert out["max_flow"] == 23.0
+
+
+def test_random_weighted_graphs_match_oracle():
+    for seed in (1, 2, 5):
+        rng = np.random.default_rng(seed)
+        n, m = 40, 240
+        e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        w = rng.integers(1, 20, size=len(e)).astype(np.float64)
+        t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                      "dst": pa.array(e[:, 1], pa.int64()),
+                      "w": pa.array(w, pa.float64())})
+        _check(t, n, 0, n - 1)
+
+
+def test_unweighted_unit_capacities_and_rmat():
+    t = gen.rmat_table(7, 6)       # unit capacities
+    n = 128
+    _check(t, n, 0, 101, partitions=4)
+
+
+def test_disconnected_sink_gives_zero():
+    t = gen.chain(5)               # 0->1->2->3->4; 7 isolated
+    g = build_graph(t, num_partitions=2, with_in_edges=True,
+                    vertices=vertices_table(8))
+    try:
+        out = max_flow(g, 0, 7)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["max_flow"] == 0.0
+
+
+def test_requires_in_edges_and_distinct_endpoints():
+    t = gen.chain(4)
+    g = build_graph(t, num_partitions=2)
+    try:
+        with pytest.raises(ValueError, match="with_in_edges"):
+            max_flow(g, 0, 3)
+    finally:
+        g.shutdown(remove_spill=True)
+    g = build_graph(t, num_partitions=2, with_in_edges=True)
+    try:
+        with pytest.raises(ValueError, match="src == sink"):
+            max_flow(g, 2, 2)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def test_contract_query_matches_edmonds_karp(ray_session):
+    """q_maxflow is rows-only in the driver contract — THIS is its gate."""
+    import duckdb
+
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_maxflow(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    df = con.execute(
+        f"SELECT src, dst, {r._W_EXPR} AS w FROM ({r._NORM_SQL})").df()
+    n = int(max(df.src.max(), df.dst.max())) + 1
+    want = oracles.max_flow_ref(n, df.src.to_numpy(), df.dst.to_numpy(),
+                                df.w.to_numpy(), 0, r._ASTAR_T)
+    assert got["max_flow"].iloc[0] == want
+    assert list(got.columns) == ["src", "sink", "max_flow"]
