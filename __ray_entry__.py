@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sgm_diamond_top": r.q_sgm_diamond_top,  # SQL-checked (4-way self-join)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated
                                        # vs an Edmonds-Karp reference)
+        "louvain": r.q_louvain,        # rows-only (no SQL form; pytest-gated
+                                       # vs the exact sequential replica)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

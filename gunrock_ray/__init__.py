@@ -21,6 +21,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     hits_gunrock,
     k_core,
     label_propagation,
+    louvain,
     max_flow,
     maximal_independent_set,
     pagerank,

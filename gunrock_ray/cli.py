@@ -139,6 +139,21 @@ def cmd_run(args) -> dict:
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "mis", "coloring", "kcore")
     edges, vertices = _load_edges(args)
+    if args.algo == "louvain":
+        # louvain drives its own per-level graph builds internally
+        t0 = time.perf_counter()
+        out = ga.louvain(edges, undirected=True, weighted=args.weighted,
+                         num_partitions=args.partitions,
+                         metrics_path=args.metrics)
+        t_run = time.perf_counter() - t0
+        rows = _write_result(args.out, out["mapping"]) if args.out else 0
+        summary = {"cmd": "run", "algo": "louvain", "rows": rows,
+                   "num_communities": out["num_communities"],
+                   "modularity": round(out["modularity"], 6),
+                   "levels": out["levels"], "rounds": out["rounds"],
+                   "t_run_s": round(t_run, 3)}
+        print(json.dumps(summary))
+        return summary
     t0 = time.perf_counter()
     g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
                        vertices=vertices, num_partitions=args.partitions,
@@ -614,7 +629,7 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
-                              "coloring", "astar", "maxflow", "bfs", "sssp",
+                              "coloring", "astar", "maxflow", "louvain", "bfs", "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",

@@ -766,6 +766,158 @@ def max_flow(graph: DistributedGraph, src: int, sink: int, *,
             "pulses": pulses}
 
 
+# -------------------------------------- Louvain community detection (BSP)
+
+def louvain(edges, *, undirected: bool = True, weighted: bool = False,
+            num_partitions: int | None = None, max_levels: int = 10,
+            max_rounds: int = 16, min_gain: float = 0.0,
+            metrics_path: str | None = None):
+    """Louvain modularity community detection — the reference road map's
+    "explore community detection algorithms" (`doc/road_map.md:19-20`),
+    multi-level: per level, a synchronous BSP local-moving phase inside
+    the graph actors (see `state/partition.py` lv_* kernels and the
+    anti-oscillation move-direction rule documented there), then a Ray
+    Data contraction — the per-partition pre-aggregated contracted arcs
+    are groupby-summed into the next level's (smaller) edge table, and
+    intra-community weight becomes the next level's per-vertex self-loop
+    table (spilled by the next graph's own partitioner, read shard-local
+    by lv_init). Level mappings compose through distributed hash joins,
+    so no O(n) state ever lands on the driver.
+
+    Integer edge weights make every float in the gain arithmetic exact,
+    which is what makes `tests/oracles.py louvain_ref` bit-reproducible.
+
+    Returns {"mapping": Dataset(v, community), "num_communities",
+    "modularity", "levels", "rounds"}.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+    from gunrock_ray.functions.aggregates import grouped_sums
+    from gunrock_ray.functions.joins import hash_join
+
+    metrics = MetricsWriter(metrics_path)
+    P = num_partitions or default_partitions()
+    mapping = None
+    self_dir = None
+    scratch = tempfile.mkdtemp(prefix="louvain_")
+    q = 0.0
+    levels = rounds_total = 0
+    g = build_graph(edges, undirected=undirected, weighted=weighted,
+                    num_partitions=P)
+    try:
+        for level in range(max_levels):
+            stats = g.call_all("lv_init", self_dir)
+            two_m = sum(s["k_sum"] for s in stats)
+            if two_m == 0.0:
+                if mapping is None:
+                    mapping = g.extract("lv_extract").map_batches(
+                        _lv_rename, batch_format="pyarrow").materialize()
+                levels = level + 1
+                break
+            g.call_all("lv_config", two_m, min_gain)
+            moved_level = 0
+            for r in range(max_rounds):
+                g.lookup("lv_plan", "lv_move_apply",
+                         serve_args=("lv_sig",))
+                res, _ = g.superstep("lv_sync_scatter", "lv_sync_apply")
+                moved = sum(x["moved"] for x in res)
+                moved_level += moved
+                rounds_total += 1
+                parts = g.call_all("lv_modularity")
+                q = (sum(p["intra"] for p in parts) / two_m
+                     - sum(p["sig_sq"] for p in parts) / (two_m * two_m))
+                metrics.write(algo="louvain", level=level, round=r,
+                              moved=moved, modularity=q)
+                if moved == 0:
+                    break
+            # materialize before shutdown: the extract refs are driver-
+            # owned but must finish executing while the actors are alive
+            lvl_map = g.extract("lv_extract").materialize()   # (v, comm)
+            contracted = g.extract("lv_contract").materialize()
+            if mapping is None:
+                mapping = lvl_map.map_batches(_lv_rename,
+                                              batch_format="pyarrow")
+            else:
+                lvl2 = lvl_map.map_batches(_lv_as_step,
+                                           batch_format="pyarrow")
+                mapping = hash_join(mapping, lvl2, on="community",
+                                    right_on="c_from").map_batches(
+                    _lv_recomm, batch_format="pyarrow")
+            mapping = mapping.materialize()
+            levels = level + 1
+            if moved_level == 0:
+                break
+            # ---- contraction: merge partition-partial arcs, split loops
+            agg = grouped_sums(contracted, keys=["src", "dst"],
+                               sum_cols=["w"], count_as=None)
+            next_edges = agg.map_batches(_lv_drop_loops,
+                                         batch_format="pyarrow")
+            selfs = agg.map_batches(_lv_keep_loops, batch_format="pyarrow")
+            lvl_verts = lvl_map.map_batches(_lv_comm_as_v,
+                                            batch_format="pyarrow")
+            g.shutdown(remove_spill=True)
+            g = build_graph(next_edges, undirected=False, weighted=True,
+                            num_partitions=P, vertices=lvl_verts)
+            # spill the self-loop table by the NEW graph's partitioner so
+            # each actor reads only its own shard (no driver materialize)
+            part = g.partitioner
+            self_dir = os.path.join(scratch, f"self_l{level + 1}")
+
+            def add_pid(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "pid", pa.array(part.owner(t["v"].to_numpy()), pa.int64()))
+
+            selfs.map_batches(add_pid, batch_format="pyarrow").write_parquet(
+                self_dir, partition_cols=["pid"])
+    finally:
+        g.shutdown(remove_spill=True)
+        metrics.close()
+        shutil.rmtree(scratch, ignore_errors=True)
+    num_comm = mapping.map_batches(_lv_distinct_comm_partial,
+                                   batch_format="pyarrow") \
+        .groupby("community").count().count()
+    return {"mapping": mapping, "num_communities": int(num_comm),
+            "modularity": float(q), "levels": levels,
+            "rounds": rounds_total}
+
+
+def _lv_rename(t: pa.Table) -> pa.Table:
+    return pa.table({"v": t["v"], "community": t["comm"]})
+
+
+def _lv_as_step(t: pa.Table) -> pa.Table:
+    return pa.table({"c_from": t["v"], "c_to": t["comm"]})
+
+
+def _lv_recomm(t: pa.Table) -> pa.Table:
+    return pa.table({"v": t["v"], "community": t["c_to"]})
+
+
+def _lv_comm_as_v(t: pa.Table) -> pa.Table:
+    return pa.table({"v": t["comm"]})
+
+
+def _lv_drop_loops(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+
+def _lv_keep_loops(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    keep = t.filter(pc.equal(t["src"], t["dst"]))
+    return pa.table({"v": keep["src"],
+                     "w": pa.array(keep["w"].to_numpy(zero_copy_only=False)
+                                   / 2.0, pa.float64())})
+
+
+def _lv_distinct_comm_partial(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return pa.table({"community": pc.unique(t["community"])})
+
+
 # ---------------------------------------------------- TopK degree (§2.10)
 
 def topk_degree(graph: DistributedGraph, k: int = 10):

@@ -414,6 +414,23 @@ def q_maxflow(sf_dir: str):
                      "max_flow": pa.array([int(out["max_flow"])], pa.int64())})
 
 
+def q_louvain(sf_dir: str):
+    """Louvain community detection on the derived graph treated as
+    undirected/unweighted (graph_algos.louvain, multi-level BSP). An
+    iterative float-modularity fixpoint has no SQL form, so this is a
+    rows-only contract entry; tests/test_louvain.py gates the engine
+    bit-exactly against the sequential oracle, and
+    test_contract_query_matches_louvain_ref gates THIS query. modularity
+    is emitted at 1e-6 integer scale (exact — integer weight sums)."""
+    from gunrock_ray.pipelines.graph_algos import louvain
+    out = louvain(derived_edges(sf_dir), undirected=True, num_partitions=8)
+    return pa.table({
+        "num_communities": pa.array([out["num_communities"]], pa.int64()),
+        "modularity_u6": pa.array([int(round(out["modularity"] * 1e6))],
+                                  pa.int64()),
+        "levels": pa.array([out["levels"]], pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

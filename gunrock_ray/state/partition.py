@@ -2163,3 +2163,218 @@ class GraphPartition:
         return pa.table({"src": pa.array(self.verts[rows], pa.int64()),
                          "dst": pa.array(self.col_indices[keep], pa.int64()),
                          "flow": pa.array(f[keep], pa.float64())})
+
+    # ------------------------------------- Louvain community detection (BSP)
+    # Goal: the reference road map's "explore community detection algorithms"
+    # (`doc/road_map.md:19-20`). Synchronous Louvain (Blondel et al. 2008)
+    # local-moving phase in BSP rounds over the partitioned symmetric graph;
+    # the aggregation phase (community contraction) happens OUTSIDE the
+    # actors as a Ray Data groupby over the per-partition contracted arc
+    # tables (pipelines.graph_algos.louvain drives the level loop).
+    #
+    # Distributed-synchronous semantics: every vertex evaluates its best
+    # move against the ROUND-START snapshot of (community, sigma_tot) —
+    # sigma_tot[c] is owned by the owner of vertex c (community ids ARE
+    # vertex ids) and served through one three-wave lookup per round; all
+    # allowed moves apply simultaneously, then one superstep propagates
+    # sigma deltas to community owners and new communities to neighbors'
+    # per-arc caches. Simultaneous adjacent moves can oscillate (the
+    # classic A<->B swap), so a round alternates a deterministic move
+    # direction: even rounds admit only moves to a SMALLER community id,
+    # odd rounds only to a LARGER one (the Sotera DGA / distributed-Louvain
+    # progress heuristic) — deterministic under any partitioning, and
+    # tests/oracles.py louvain_ref replicates it exactly.
+    #
+    # Caller contract: arcs are SYMMETRIC (both directions present) with no
+    # self-loops in the CSR (build drops them); per-vertex self-loop weight
+    # from contracted levels arrives through self_dir instead.
+
+    def lv_init(self, self_dir: str | None = None) -> dict:
+        n = len(self.verts)
+        m = len(self.col_indices)
+        w = (self.edge_w.astype(np.float64) if self.edge_w is not None
+             else np.ones(m, np.float64))
+        self._lv_w = w
+        self._lv_rowrep = np.repeat(np.arange(n, dtype=np.int64), self.out_deg)
+        # arc index for cache updates: neighbor ids remapped to LOCAL dense
+        # codes so the (row<<31 | code) key works for ANY int64 vertex ids
+        # (sha-derived corpus ids exceed 2^32); CSR is (row, nbr)-sorted and
+        # codes are monotone in nbr, so the key array is already sorted.
+        self._lv_u = np.unique(self.col_indices)
+        codes = np.searchsorted(self._lv_u, self.col_indices)
+        self._lv_akey = (self._lv_rowrep << np.int64(31)) | codes
+        self_w = np.zeros(n, np.float64)
+        if self_dir is not None:
+            t = _read_shard(self_dir, self.pid, ["v", "w"])
+            if t is not None:
+                self_w[self._lidx(t["v"].to_numpy())] = t["w"].to_numpy()
+        self._lv_self = self_w
+        k = np.zeros(n, np.float64)
+        np.add.at(k, self._lv_rowrep, w)
+        k += 2.0 * self_w
+        self.state["lv_k"] = k
+        self.state["lv_comm"] = self.verts.copy()
+        self.state["lv_sig"] = k.copy()       # init community = self
+        self._lv_nc = self.col_indices.copy() # per-arc neighbor community
+        self._lv_round = 0
+        self._lv_moved = (_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        return {"k_sum": float(k.sum()), "n": n}
+
+    def lv_config(self, two_m: float, min_gain: float) -> None:
+        self._lv_two_m = float(two_m)
+        self._lv_min_gain = float(min_gain)
+
+    @_scatter_timed
+    def lv_plan(self):
+        """Group local arcs by (vertex, neighbor community) -> k_{i,c}
+        partials, then request sigma_tot for every community this partition
+        needs (bounded by distinct communities touching it, never by m)."""
+        comm = self.state["lv_comm"]
+        rows, nc, w = self._lv_rowrep, self._lv_nc, self._lv_w
+        if len(rows):
+            order = np.lexsort((nc, rows))
+            r2, c2 = rows[order], nc[order]
+            b = np.empty(len(r2), bool)
+            b[0] = True
+            np.logical_or(r2[1:] != r2[:-1], c2[1:] != c2[:-1], out=b[1:])
+            starts = np.flatnonzero(b)
+            self._lv_cand = (r2[starts], c2[starts],
+                             np.add.reduceat(w[order], starts))
+        else:
+            self._lv_cand = (_EMPTY_I8, _EMPTY_I8, _EMPTY_F8)
+        need = np.unique(np.concatenate([self._lv_cand[1], comm]))
+        self._lv_need = need
+        # _pack sorts by owner (stable); remember the permutation so replies
+        # (which arrive in packed order) can be scattered back to need-order
+        self._lv_reqorder = np.argsort(self._owner(need), kind="stable")
+        self._lv_round += 1
+        return self._pack(need)
+
+    @_apply_timed
+    def lv_move_apply(self, *replies) -> dict:
+        vals = np.concatenate(
+            [r[1][r[0][self.pid]:r[0][self.pid + 1]] for r in replies]) \
+            if replies else _EMPTY_F8
+        need = self._lv_need
+        sig = np.empty(len(need), np.float64)
+        sig[self._lv_reqorder] = vals
+        comm = self.state["lv_comm"]
+        k = self.state["lv_k"]
+        n = len(self.verts)
+        two_m = self._lv_two_m
+        cr, cc, cw = self._lv_cand
+        sig_own = sig[np.searchsorted(need, comm)]
+        # stay score: k_{i,a} (0 if no arc into own community) minus the
+        # sigma term with i REMOVED from its own community
+        stay_kin = np.zeros(n, np.float64)
+        own_rows = cc == comm[cr]
+        stay_kin[cr[own_rows]] = cw[own_rows]
+        stay = stay_kin - k * (sig_own - k) / two_m
+        # candidate scores (own-community rows excluded), direction-gated
+        cand = ~own_rows
+        if (self._lv_round - 1) % 2 == 0:
+            cand &= cc < comm[cr]
+        else:
+            cand &= cc > comm[cr]
+        cr2, cc2, cw2 = cr[cand], cc[cand], cw[cand]
+        moved = _EMPTY_I8
+        if len(cr2):
+            csig = sig[np.searchsorted(need, cc2)]
+            score = cw2 - k[cr2] * csig / two_m
+            # best per vertex: max score, tie -> smallest community id
+            o = np.lexsort((cc2, -score, cr2))
+            first = segment_starts(cr2[o])
+            bi = o[first]
+            bv, bc, bs = cr2[bi], cc2[bi], score[bi]
+            go = bs > stay[bv] + self._lv_min_gain
+            moved, new = bv[go], bc[go]
+        if len(moved):
+            old = comm[moved].copy()
+            comm[moved] = new
+            self._lv_moved = (moved, old, new)
+        else:
+            self._lv_moved = (_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        return {"moved": int(len(moved))}
+
+    @_scatter_timed
+    def lv_sync_scatter(self):
+        """Movers' sigma deltas to community owners (kind 0) + new-community
+        notifications to every neighbor's arc cache (kind 1), one pack."""
+        m, old, new = self._lv_moved
+        km = self.state["lv_k"][m]
+        su, sd = segment_reduce(np.concatenate([old, new]),
+                                np.concatenate([-km, km]), "sum")
+        lens = self.out_deg[m]
+        nbrs = _ragged_gather(self.col_indices, self.row_offsets[m], lens)
+        who = self.verts[np.repeat(m, lens)]
+        ncm = np.repeat(new, lens)
+        ids = np.concatenate([su, nbrs])
+        aux = np.concatenate([np.full(len(su), -1, np.int64), who])
+        ival = np.concatenate([np.zeros(len(su), np.int64), ncm])
+        fval = np.concatenate([sd, np.zeros(len(nbrs), np.float64)])
+        kind = np.concatenate([np.zeros(len(su), np.int64),
+                               np.ones(len(nbrs), np.int64)])
+        return self._pack(ids, aux, ival, fval, kind)
+
+    @_apply_timed
+    def lv_sync_apply(self, *packs) -> dict:
+        ids, aux, ival, fval, kind = self._unpack_all(packs,
+                                                      cols=(0, 1, 2, 3, 4))
+        if len(ids):
+            fval = fval.astype(np.float64)
+            s = kind == 0
+            if s.any():
+                np.add.at(self.state["lv_sig"], self._lidx(ids[s]), fval[s])
+            s = kind == 1
+            if s.any():
+                code = np.searchsorted(self._lv_u, aux[s])
+                code = np.minimum(code, max(len(self._lv_u) - 1, 0))
+                q = (self._lidx(ids[s]) << np.int64(31)) | code
+                pos, ok = self._mf_find(self._lv_akey, q)
+                if not ok.all():
+                    raise RuntimeError(
+                        "louvain: arc cache miss — input arcs not symmetric")
+                self._lv_nc[pos] = ival[s]
+        return {"moved": int(len(self._lv_moved[0]))}
+
+    def lv_modularity(self) -> dict:
+        """Partial Q terms: intra-community arc weight (+ self loops) and
+        sum of sigma_tot^2 over OWNED communities. Driver combines:
+        Q = intra/two_m - sig_sq/two_m^2."""
+        comm = self.state["lv_comm"]
+        intra = float(self._lv_w[comm[self._lv_rowrep] == self._lv_nc].sum())
+        intra += 2.0 * float(self._lv_self.sum())
+        return {"intra": intra,
+                "sig_sq": float((self.state["lv_sig"] ** 2).sum())}
+
+    def lv_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "comm": pa.array(self.state["lv_comm"], pa.int64())})
+
+    def lv_contract(self) -> pa.Table:
+        """Locally aggregated contracted arcs (comm_i, comm_j, sum w); the
+        level's self-loop weight rides along as (c, c, 2*self_w) rows —
+        the driver groupby-sums across partitions and halves the loop rows
+        into the next level's self table."""
+        ci = self.state["lv_comm"][self._lv_rowrep]
+        cj = self._lv_nc
+        w = self._lv_w
+        sm = self._lv_self > 0
+        if sm.any():
+            cs = self.state["lv_comm"][sm]
+            ci = np.concatenate([ci, cs])
+            cj = np.concatenate([cj, cs])
+            w = np.concatenate([w, 2.0 * self._lv_self[sm]])
+        if len(ci) == 0:
+            return pa.table({"src": pa.array(_EMPTY_I8), "dst": pa.array(_EMPTY_I8),
+                             "w": pa.array(_EMPTY_F8)})
+        order = np.lexsort((cj, ci))
+        a, b2 = ci[order], cj[order]
+        m = np.empty(len(a), bool)
+        m[0] = True
+        np.logical_or(a[1:] != a[:-1], b2[1:] != b2[:-1], out=m[1:])
+        starts = np.flatnonzero(m)
+        return pa.table({"src": pa.array(a[starts], pa.int64()),
+                         "dst": pa.array(b2[starts], pa.int64()),
+                         "w": pa.array(np.add.reduceat(w[order], starts),
+                                       pa.float64())})

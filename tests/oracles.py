@@ -356,3 +356,124 @@ def max_flow_ref(n, src, dst, cap, s, t):
             res[(u, v)] -= b
             res[(v, u)] += b
         flow += b
+
+
+def louvain_ref(src, dst, w=None, undirected=True, max_levels=10,
+                max_rounds=16, min_gain=0.0):
+    """Sequential replica of pipelines.louvain's SYNCHRONOUS multi-level
+    Louvain (identical snapshot semantics, move-direction parity rule,
+    tie-breaks, and float expression order), so integer-weight runs match
+    the distributed engine bit-for-bit. Returns (verts, community,
+    modularity, levels, num_communities)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = (np.ones(len(src), np.float64) if w is None
+         else np.asarray(w, np.float64))
+    if undirected:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        w = np.concatenate([w, w])
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    # build-time dedup rule: min weight per (src, dst)
+    order = np.lexsort((w, dst, src))
+    s2, d2, w2 = src[order], dst[order], w[order]
+    first = np.ones(len(s2), bool)
+    if len(s2):
+        first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+    asrc, adst, aw = s2[first], d2[first], w2[first]
+
+    verts0 = np.unique(np.concatenate([asrc, adst]))
+    mapping = verts0.copy()          # original vertex -> current community
+    self_w = np.zeros(len(verts0), np.float64)
+    verts = verts0
+    q = 0.0
+    levels = 0
+    for level in range(max_levels):
+        n = len(verts)
+        ci = np.searchsorted(verts, asrc)
+        k = np.zeros(n, np.float64)
+        np.add.at(k, ci, aw)
+        k += 2.0 * self_w
+        two_m = float(k.sum())
+        if two_m == 0.0:
+            levels = level + 1
+            break
+        comm = verts.copy()
+        sig = k.copy()
+        moved_level = 0
+        for r in range(max_rounds):
+            nc = comm[np.searchsorted(verts, adst)]
+            if len(ci):
+                o = np.lexsort((nc, ci))
+                r2, c2 = ci[o], nc[o]
+                b = np.empty(len(r2), bool)
+                b[0] = True
+                np.logical_or(r2[1:] != r2[:-1], c2[1:] != c2[:-1],
+                              out=b[1:])
+                st = np.flatnonzero(b)
+                cr, cc = r2[st], c2[st]
+                cw = np.add.reduceat(aw[o], st)
+            else:
+                cr = cc = np.zeros(0, np.int64)
+                cw = np.zeros(0, np.float64)
+            sig_own = sig[np.searchsorted(verts, comm)]
+            stay_kin = np.zeros(n, np.float64)
+            own_rows = cc == comm[cr]
+            stay_kin[cr[own_rows]] = cw[own_rows]
+            stay = stay_kin - k * (sig_own - k) / two_m
+            cand = ~own_rows
+            if r % 2 == 0:
+                cand &= cc < comm[cr]
+            else:
+                cand &= cc > comm[cr]
+            cr2, cc2, cw2 = cr[cand], cc[cand], cw[cand]
+            moved = np.zeros(0, np.int64)
+            if len(cr2):
+                csig = sig[np.searchsorted(verts, cc2)]
+                score = cw2 - k[cr2] * csig / two_m
+                o2 = np.lexsort((cc2, -score, cr2))
+                fs = np.ones(len(o2), bool)
+                fs[1:] = cr2[o2][1:] != cr2[o2][:-1]
+                bi = o2[fs]
+                bv, bc, bs = cr2[bi], cc2[bi], score[bi]
+                go = bs > stay[bv] + min_gain
+                moved, new = bv[go], bc[go]
+            if len(moved):
+                old = comm[moved].copy()
+                comm[moved] = new
+                np.add.at(sig, np.searchsorted(verts, old), -k[moved])
+                np.add.at(sig, np.searchsorted(verts, new), k[moved])
+            moved_level += len(moved)
+            nc = comm[np.searchsorted(verts, adst)]
+            intra = float(aw[comm[ci] == nc].sum()) + 2.0 * float(self_w.sum())
+            q = intra / two_m - float((sig ** 2).sum()) / (two_m * two_m)
+            if len(moved) == 0:
+                break
+        mapping = comm[np.searchsorted(verts, mapping)]
+        levels = level + 1
+        if moved_level == 0:
+            break
+        # contract: arcs (comm_i, comm_j) summed; +(c,c,2*self) rows
+        cs = comm[ci]
+        cd = comm[np.searchsorted(verts, adst)]
+        ww = aw
+        sm = self_w > 0
+        if sm.any():
+            cs = np.concatenate([cs, comm[sm]])
+            cd = np.concatenate([cd, comm[sm]])
+            ww = np.concatenate([ww, 2.0 * self_w[sm]])
+        o = np.lexsort((cd, cs))
+        a, b2, ww = cs[o], cd[o], ww[o]
+        m = np.ones(len(a), bool)
+        if len(a):
+            m[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        st = np.flatnonzero(m)
+        ga, gb = a[st], b2[st]
+        gw = np.add.reduceat(ww, st) if len(st) else np.zeros(0, np.float64)
+        loops = ga == gb
+        new_verts = np.unique(comm)
+        self_w = np.zeros(len(new_verts), np.float64)
+        self_w[np.searchsorted(new_verts, ga[loops])] = gw[loops] / 2.0
+        asrc, adst, aw = ga[~loops], gb[~loops], gw[~loops]
+        verts = new_verts
+    return verts0, mapping, q, levels, len(np.unique(mapping))

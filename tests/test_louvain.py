@@ -1,0 +1,129 @@
+"""Multi-level BSP Louvain vs the exact sequential replica oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import louvain
+from tests import oracles
+
+
+def _run(t: pa.Table, partitions=3, **kw):
+    out = louvain(t, num_partitions=partitions, **kw)
+    df = out["mapping"].to_pandas().sort_values("v").reset_index(drop=True)
+    return out, df
+
+
+def _ref(t: pa.Table, **kw):
+    w = t["w"].to_numpy() if "w" in t.column_names else None
+    return oracles.louvain_ref(t["src"].to_numpy(), t["dst"].to_numpy(),
+                               w, **kw)
+
+
+def test_two_planted_cliques_recovered():
+    # two K5s + one bridge edge: modularity optimum = the two cliques
+    e = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                e.append((base + i, base + j))
+    e.append((0, 5))
+    src, dst = np.array(e).T
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    out, df = _run(t, partitions=2)
+    comm = df["community"].to_numpy()
+    assert len(np.unique(comm[:5])) == 1
+    assert len(np.unique(comm[5:])) == 1
+    assert comm[0] != comm[5]
+    assert out["num_communities"] == 2
+    assert out["modularity"] > 0.4
+    v0, ref_map, q, levels, ncomm = _ref(t)
+    np.testing.assert_array_equal(df["v"].to_numpy(), v0)
+    np.testing.assert_array_equal(comm, ref_map)
+    assert out["modularity"] == q
+    assert out["num_communities"] == ncomm
+
+
+def test_random_graphs_match_oracle_bitexact():
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        n, m = 60, 300
+        e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+        w = rng.integers(1, 6, size=len(e)).astype(np.float64)
+        t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                      "dst": pa.array(e[:, 1], pa.int64()),
+                      "w": pa.array(w, pa.float64())})
+        out, df = _run(t, partitions=4, weighted=True)
+        v0, ref_map, q, levels, ncomm = _ref(t)
+        np.testing.assert_array_equal(df["v"].to_numpy(), v0)
+        np.testing.assert_array_equal(df["community"].to_numpy(), ref_map)
+        assert out["modularity"] == q, (out["modularity"], q)
+        assert out["levels"] == levels
+        assert out["num_communities"] == ncomm
+
+
+def test_ring_of_cliques_needs_multiple_levels():
+    # 8 K4-cliques in a ring: level 1 collapses cliques, later levels may
+    # merge further; communities must refine the cliques either way
+    e = []
+    K, C = 4, 8
+    for c in range(C):
+        b = c * K
+        for i in range(K):
+            for j in range(i + 1, K):
+                e.append((b + i, b + j))
+        e.append((b, ((c + 1) % C) * K))  # ring bridge
+    src, dst = np.array(e).T
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    out, df = _run(t, partitions=3)
+    comm = df["community"].to_numpy()
+    for c in range(C):
+        assert len(np.unique(comm[c * K:(c + 1) * K])) == 1
+    assert out["levels"] >= 2
+    v0, ref_map, q, levels, ncomm = _ref(t)
+    np.testing.assert_array_equal(comm, ref_map)
+    assert out["modularity"] == q
+    assert out["levels"] == levels
+
+
+def test_partition_count_invariance():
+    rng = np.random.default_rng(42)
+    e = np.unique(rng.integers(0, 40, size=(150, 2)), axis=0)
+    t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                  "dst": pa.array(e[:, 1], pa.int64())})
+    _, df2 = _run(t, partitions=2)
+    _, df5 = _run(t, partitions=5)
+    np.testing.assert_array_equal(df2["community"].to_numpy(),
+                                  df5["community"].to_numpy())
+
+
+def test_contract_query_matches_louvain_ref(ray_session):
+    """q_louvain is rows-only in the driver contract — THIS is its gate."""
+    import duckdb
+
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_louvain(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    df = con.execute(r._NORM_SQL).df()
+    _, ref_map, q, levels, ncomm = oracles.louvain_ref(
+        df.src.to_numpy(), df.dst.to_numpy(), None, undirected=True)
+    assert int(got["num_communities"].iloc[0]) == ncomm
+    assert int(got["modularity_u6"].iloc[0]) == int(round(q * 1e6))
+    assert int(got["levels"].iloc[0]) == levels
+    assert list(got.columns) == ["num_communities", "modularity_u6",
+                                 "levels"]
+
+
+def test_isolated_vertices_stay_singletons():
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    out = louvain(t, num_partitions=2)
+    df = out["mapping"].to_pandas().sort_values("v")
+    assert set(df["v"]) == {0, 1, 2}
+    # the path graph 0-1-2 ends in one community here (trivially modular)
+    assert out["num_communities"] >= 1
