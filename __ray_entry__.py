@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # vs an Edmonds-Karp reference)
         "louvain": r.q_louvain,        # rows-only (no SQL form; pytest-gated
                                        # vs the exact sequential replica)
+        "bmatch": r.q_bmatch,          # rows-only (no SQL form; pytest-gated
+                                       # vs a Kuhn's-algorithm oracle)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

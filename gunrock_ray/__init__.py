@@ -10,6 +10,7 @@ Library code never calls ray.init()/ray.shutdown() (driver contract).
 """
 
 from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
+    bipartite_matching,
     betweenness_centrality,
     bfs,
     astar,

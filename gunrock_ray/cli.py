@@ -139,6 +139,18 @@ def cmd_run(args) -> dict:
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "mis", "coloring", "kcore")
     edges, vertices = _load_edges(args)
+    if args.algo == "bmatch":
+        # bipartite matching builds its own flow network internally
+        t0 = time.perf_counter()
+        out = ga.bipartite_matching(edges, num_partitions=args.partitions,
+                                    metrics_path=args.metrics)
+        t_run = time.perf_counter() - t0
+        rows = _write_result(args.out, out["matching"]) if args.out else 0
+        summary = {"cmd": "run", "algo": "bmatch", "rows": rows,
+                   "matching_size": out["size"], "pulses": out["pulses"],
+                   "t_run_s": round(t_run, 3)}
+        print(json.dumps(summary))
+        return summary
     if args.algo == "louvain":
         # louvain drives its own per-level graph builds internally
         t0 = time.perf_counter()
@@ -629,7 +641,8 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
-                              "coloring", "astar", "maxflow", "louvain", "bfs", "sssp",
+                              "coloring", "astar", "maxflow", "louvain", "bmatch", "bfs",
+                              "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",

@@ -766,6 +766,66 @@ def max_flow(graph: DistributedGraph, src: int, sink: int, *,
             "pulses": pulses}
 
 
+# ------------------------------------------- bipartite maximum matching
+
+def bipartite_matching(edges, *, num_partitions: int | None = None,
+                       metrics_path: str | None = None) -> dict:
+    """Maximum bipartite matching — the road map's "better support for
+    bipartite graph algorithms" (`doc/road_map.md:18`), reduced to unit-
+    capacity max flow over the engine's own BSP push-relabel kernels:
+    src→dst input pairs become s→left (cap 1), left→right' (cap 1),
+    right'→t (cap 1) arcs, where right ids are offset past the id range
+    so the two sides never collide; duplicate s→u / v'→t arcs are merged
+    by the CSR build's dedup. The matched PAIRS of a maximum matching
+    are not unique, but its SIZE is — tests gate size against a
+    sequential Kuhn's-algorithm oracle and validate pair feasibility.
+
+    Scale note: the virtual source/sink rows have degree |L| / |R| and
+    live whole on one partition each — O(|L|) memory on that actor. At
+    cluster scale prefer sharding the matching by connected component
+    first; documented trade-off.
+
+    Returns {"size", "pulses", "matching": Dataset(src, dst)}.
+    """
+    import ray.data
+    from gunrock_ray.state.graph import _as_dataset
+
+    ds = _as_dataset(edges)
+    mx = ds.max(["src", "dst"])
+    off = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+    s_id, t_id = 2 * off, 2 * off + 1
+
+    def to_flow(t: pa.Table) -> pa.Table:
+        u = t["src"].to_numpy()
+        v = t["dst"].to_numpy() + off
+        return pa.table({
+            "src": pa.array(np.concatenate(
+                [np.full(len(u), s_id, np.int64), u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [u, v, np.full(len(v), t_id, np.int64)]), pa.int64()),
+            "w": pa.array(np.ones(3 * len(u), np.float64), pa.float64())})
+
+    g = build_graph(ds.map_batches(to_flow, batch_format="pyarrow"),
+                    weighted=True, with_in_edges=True,
+                    num_partitions=num_partitions or default_partitions())
+    try:
+        out = max_flow(g, s_id, t_id, metrics_path=metrics_path)
+
+        def to_pairs(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            keep = (src != s_id) & (dst != t_id)
+            return pa.table({"src": pa.array(src[keep], pa.int64()),
+                             "dst": pa.array(dst[keep] - off, pa.int64())})
+
+        matching = g.extract("mf_extract").map_batches(
+            to_pairs, batch_format="pyarrow").materialize()
+    finally:
+        g.shutdown(remove_spill=True)
+    return {"size": int(out["max_flow"]), "pulses": out["pulses"],
+            "matching": matching}
+
+
 # -------------------------------------- Louvain community detection (BSP)
 
 def louvain(edges, *, undirected: bool = True, weighted: bool = False,

@@ -431,6 +431,18 @@ def q_louvain(sf_dir: str):
         "levels": pa.array([out["levels"]], pa.int64())})
 
 
+def q_bmatch(sf_dir: str):
+    """Maximum bipartite matching size over the derived edge pairs, src
+    side vs dst side as disjoint vertex sets (graph_algos.
+    bipartite_matching = unit-capacity BSP max flow). The matching SIZE
+    is unique even though the pair set is not; no SQL form (augmenting-
+    path fixpoint), so rows-only — tests/test_bipartite_matching.py
+    gates it against a Kuhn's-algorithm oracle."""
+    from gunrock_ray.pipelines.graph_algos import bipartite_matching
+    out = bipartite_matching(derived_edges(sf_dir), num_partitions=8)
+    return pa.table({"size": pa.array([out["size"]], pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

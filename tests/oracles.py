@@ -477,3 +477,28 @@ def louvain_ref(src, dst, w=None, undirected=True, max_levels=10,
         asrc, adst, aw = ga[~loops], gb[~loops], gw[~loops]
         verts = new_verts
     return verts0, mapping, q, levels, len(np.unique(mapping))
+
+
+def bipartite_matching_ref(src, dst):
+    """Kuhn's augmenting-path maximum bipartite matching (left = src ids,
+    right = dst ids) — size oracle for pipelines.bipartite_matching."""
+    adj = {}
+    for u, v in zip(src, dst):
+        adj.setdefault(int(u), []).append(int(v))
+    match_r = {}
+
+    def try_kuhn(u, seen):
+        for v in adj.get(u, ()):
+            if v in seen:
+                continue
+            seen.add(v)
+            if v not in match_r or try_kuhn(match_r[v], seen):
+                match_r[v] = u
+                return True
+        return False
+
+    size = 0
+    for u in sorted(adj):
+        if try_kuhn(u, set()):
+            size += 1
+    return size

@@ -1,0 +1,69 @@
+"""Bipartite maximum matching (unit-capacity max flow) vs Kuhn's oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import bipartite_matching
+from tests import oracles
+
+
+def _check(src, dst, partitions=3):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    out = bipartite_matching(t, num_partitions=partitions)
+    want = oracles.bipartite_matching_ref(src, dst)
+    assert out["size"] == want, (out["size"], want)
+    pairs = out["matching"].to_pandas()
+    assert len(pairs) == out["size"]
+    # a valid matching: each left and each right vertex used at most once,
+    # and every matched pair is an input edge
+    assert pairs["src"].is_unique and pairs["dst"].is_unique
+    es = set(zip(np.asarray(src).tolist(), np.asarray(dst).tolist()))
+    for u, v in zip(pairs["src"], pairs["dst"]):
+        assert (int(u), int(v)) in es
+    return out
+
+
+def test_perfect_matching_exists():
+    # K3,3 minus a perfect-matching blocker still has a perfect matching
+    src = [0, 0, 1, 1, 2, 2]
+    dst = [0, 1, 1, 2, 0, 2]
+    _check(src, dst, partitions=2)
+
+
+def test_star_matches_one():
+    out = _check([0, 0, 0, 0], [0, 1, 2, 3])
+    assert out["size"] == 1
+
+
+def test_random_bipartite_matches_kuhn():
+    for seed in (1, 4, 9):
+        rng = np.random.default_rng(seed)
+        nl, nr, m = 25, 20, 90
+        e = np.unique(np.stack([rng.integers(0, nl, m),
+                                rng.integers(0, nr, m)], axis=1), axis=0)
+        _check(e[:, 0], e[:, 1], partitions=4)
+
+
+def test_overlapping_id_spaces_are_disjoint_sides():
+    # the same integer on both sides is two different vertices
+    out = _check([0, 1], [0, 1], partitions=2)
+    assert out["size"] == 2
+
+
+def test_contract_query_matches_kuhn(ray_session):
+    """q_bmatch is rows-only in the driver contract — THIS is its gate."""
+    import duckdb
+
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_bmatch(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    df = con.execute(r._NORM_SQL).df()
+    want = oracles.bipartite_matching_ref(df.src.to_numpy(),
+                                          df.dst.to_numpy())
+    assert int(got["size"].iloc[0]) == want
+    assert list(got.columns) == ["size"]
