@@ -196,6 +196,17 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
     timed("minhash_dedup", minhash_dedup)
     timed("ann_lsh_top5", lambda: len(r.q_ann_lsh_top5(sf_dir)))
 
+    # round 3: multi-level Louvain on an undirected R-MAT (community
+    # detection headline — level loop + contraction groupbys included)
+    def rmat_louvain():
+        from gunrock_ray.pipelines.graph_algos import louvain
+        out = louvain(rmat_dataset(RMAT_SCALE_TC, 16, override_num_blocks=16),
+                      undirected=True, num_partitions=P)
+        details["louvain_communities"] = out["num_communities"]
+        details["louvain_modularity"] = round(out["modularity"], 4)
+        details["louvain_levels"] = out["levels"]
+    timed("rmat_louvain", rmat_louvain)
+
     total = round(sum(queries.values()), 3)
     return {
         "metric": "gunrock_ray headline pipelines total wall time",

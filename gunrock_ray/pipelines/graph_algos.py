@@ -831,6 +831,7 @@ def bipartite_matching(edges, *, num_partitions: int | None = None,
 def louvain(edges, *, undirected: bool = True, weighted: bool = False,
             num_partitions: int | None = None, max_levels: int = 10,
             max_rounds: int = 16, min_gain: float = 0.0,
+            small_threshold: int = 200_000,
             metrics_path: str | None = None):
     """Louvain modularity community detection — the reference road map's
     "explore community detection algorithms" (`doc/road_map.md:19-20`),
@@ -846,6 +847,13 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
 
     Integer edge weights make every float in the gain arithmetic exact,
     which is what makes `tests/oracles.py louvain_ref` bit-reproducible.
+
+    Once a contracted level shrinks under ``small_threshold`` arcs the
+    remaining levels run driver-side with IDENTICAL semantics
+    (`_louvain_seq`) — the standard multi-level switch: a level that is
+    tiny relative to the cluster pays only fixed build/actor/shuffle
+    costs if kept distributed. Partition count also shrinks with the
+    level's arc count. Both choices are result-invariant (tested).
 
     Returns {"mapping": Dataset(v, community), "num_communities",
     "modularity", "levels", "rounds"}.
@@ -886,13 +894,21 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
                 moved = sum(x["moved"] for x in res)
                 moved_level += moved
                 rounds_total += 1
+                if metrics_path is not None:
+                    # per-round Q costs one extra actor barrier — only
+                    # worth it when the metrics stream is consumed
+                    parts = g.call_all("lv_modularity")
+                    q = (sum(p["intra"] for p in parts) / two_m
+                         - sum(p["sig_sq"] for p in parts)
+                         / (two_m * two_m))
+                    metrics.write(algo="louvain", level=level, round=r,
+                                  moved=moved, modularity=q)
+                if moved == 0:
+                    break
+            if metrics_path is None:
                 parts = g.call_all("lv_modularity")
                 q = (sum(p["intra"] for p in parts) / two_m
                      - sum(p["sig_sq"] for p in parts) / (two_m * two_m))
-                metrics.write(algo="louvain", level=level, round=r,
-                              moved=moved, modularity=q)
-                if moved == 0:
-                    break
             # materialize before shutdown: the extract refs are driver-
             # owned but must finish executing while the actors are alive
             lvl_map = g.extract("lv_extract").materialize()   # (v, comm)
@@ -912,15 +928,51 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
                 break
             # ---- contraction: merge partition-partial arcs, split loops
             agg = grouped_sums(contracted, keys=["src", "dst"],
-                               sum_cols=["w"], count_as=None)
+                               sum_cols=["w"], count_as=None).materialize()
+            m_next = agg.count()
+            if m_next < small_threshold and level + 1 < max_levels:
+                # driver-side tail: bounded pull (< small_threshold rows);
+                # communities absent from arcs+selfs are isolated (k=0,
+                # can never merge) and keep their current label
+                t = pa.concat_tables(
+                    [b for b in agg.iter_batches(batch_format="pyarrow")]) \
+                    if m_next else pa.table(
+                        {"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())})
+                cf, ct, q2, lv2, r2 = _louvain_seq(
+                    t["src"].to_numpy(), t["dst"].to_numpy(),
+                    t["w"].to_numpy().astype(np.float64),
+                    max_levels - (level + 1), max_rounds, min_gain,
+                    metrics=metrics, level0=level + 1)
+                if lv2:
+                    q = q2
+                    levels += lv2
+                    rounds_total += r2
+
+                    def apply_small(tb: pa.Table) -> pa.Table:
+                        c = tb["community"].to_numpy()
+                        pos = np.minimum(np.searchsorted(cf, c),
+                                         max(len(cf) - 1, 0))
+                        hit = (cf[pos] == c) if len(cf) else \
+                            np.zeros(len(c), bool)
+                        out = np.where(hit, ct[pos], c)
+                        return pa.table({"v": tb["v"],
+                                         "community": pa.array(out,
+                                                               pa.int64())})
+
+                    mapping = mapping.map_batches(
+                        apply_small, batch_format="pyarrow").materialize()
+                break
             next_edges = agg.map_batches(_lv_drop_loops,
                                          batch_format="pyarrow")
             selfs = agg.map_batches(_lv_keep_loops, batch_format="pyarrow")
             lvl_verts = lvl_map.map_batches(_lv_comm_as_v,
                                             batch_format="pyarrow")
             g.shutdown(remove_spill=True)
+            P_lvl = max(2, min(P, m_next // 50_000 + 1))
             g = build_graph(next_edges, undirected=False, weighted=True,
-                            num_partitions=P, vertices=lvl_verts)
+                            num_partitions=P_lvl, vertices=lvl_verts)
             # spill the self-loop table by the NEW graph's partitioner so
             # each actor reads only its own shard (no driver materialize)
             part = g.partitioner
@@ -976,6 +1028,120 @@ def _lv_keep_loops(t: pa.Table) -> pa.Table:
 def _lv_distinct_comm_partial(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
     return pa.table({"community": pc.unique(t["community"])})
+
+
+def _louvain_seq(src, dst, w, max_levels, max_rounds, min_gain,
+                 metrics=None, level0=0):
+    """Driver-side Louvain tail over a contracted arc table (loop rows
+    carry 2x self weight) — SAME synchronous semantics as the lv_*
+    kernels (snapshot moves, alternating move direction, identical float
+    expression order), so switching levels from distributed to driver is
+    result-invariant (tested). Communities absent from the arcs are
+    isolated (k=0) and are left to the caller's identity fallback.
+    Returns (verts, final_community, q, levels_used, rounds_used)."""
+    loops = src == dst
+    verts = np.unique(np.concatenate([src, dst]))
+    self_w = np.zeros(len(verts), np.float64)
+    self_w[np.searchsorted(verts, src[loops])] = w[loops] / 2.0
+    o = np.lexsort((dst[~loops], src[~loops]))
+    asrc, adst, aw = src[~loops][o], dst[~loops][o], w[~loops][o]
+    mapping = verts.copy()
+    q = 0.0
+    levels_used = rounds_used = 0
+    vs = verts
+    for level in range(max_levels):
+        n = len(vs)
+        ci = np.searchsorted(vs, asrc)
+        k = np.zeros(n, np.float64)
+        np.add.at(k, ci, aw)
+        k += 2.0 * self_w
+        two_m = float(k.sum())
+        if two_m == 0.0:
+            levels_used = level + 1
+            break
+        comm = vs.copy()
+        sig = k.copy()
+        moved_level = 0
+        for r in range(max_rounds):
+            nc = comm[np.searchsorted(vs, adst)]
+            if len(ci):
+                o2 = np.lexsort((nc, ci))
+                r2, c2 = ci[o2], nc[o2]
+                b = np.empty(len(r2), bool)
+                b[0] = True
+                np.logical_or(r2[1:] != r2[:-1], c2[1:] != c2[:-1],
+                              out=b[1:])
+                st = np.flatnonzero(b)
+                cr, cc = r2[st], c2[st]
+                cw = np.add.reduceat(aw[o2], st)
+            else:
+                cr = cc = np.zeros(0, np.int64)
+                cw = np.zeros(0, np.float64)
+            sig_own = sig[np.searchsorted(vs, comm)]
+            stay_kin = np.zeros(n, np.float64)
+            own_rows = cc == comm[cr]
+            stay_kin[cr[own_rows]] = cw[own_rows]
+            stay = stay_kin - k * (sig_own - k) / two_m
+            cand = ~own_rows
+            if r % 2 == 0:
+                cand &= cc < comm[cr]
+            else:
+                cand &= cc > comm[cr]
+            cr2, cc2, cw2 = cr[cand], cc[cand], cw[cand]
+            moved = np.zeros(0, np.int64)
+            if len(cr2):
+                csig = sig[np.searchsorted(vs, cc2)]
+                score = cw2 - k[cr2] * csig / two_m
+                o3 = np.lexsort((cc2, -score, cr2))
+                fs = np.ones(len(o3), bool)
+                fs[1:] = cr2[o3][1:] != cr2[o3][:-1]
+                bi = o3[fs]
+                bv, bc, bs = cr2[bi], cc2[bi], score[bi]
+                go = bs > stay[bv] + min_gain
+                moved, new = bv[go], bc[go]
+            if len(moved):
+                old = comm[moved].copy()
+                comm[moved] = new
+                np.add.at(sig, np.searchsorted(vs, old), -k[moved])
+                np.add.at(sig, np.searchsorted(vs, new), k[moved])
+            moved_level += len(moved)
+            rounds_used += 1
+            nc = comm[np.searchsorted(vs, adst)]
+            intra = float(aw[comm[ci] == nc].sum()) \
+                + 2.0 * float(self_w.sum())
+            q = intra / two_m - float((sig ** 2).sum()) / (two_m * two_m)
+            if metrics is not None:
+                metrics.write(algo="louvain", level=level0 + level, round=r,
+                              moved=int(len(moved)), modularity=q)
+            if len(moved) == 0:
+                break
+        mapping = comm[np.searchsorted(vs, mapping)]
+        levels_used = level + 1
+        if moved_level == 0:
+            break
+        cs = comm[ci]
+        cd = comm[np.searchsorted(vs, adst)]
+        ww = aw
+        sm = self_w > 0
+        if sm.any():
+            cs = np.concatenate([cs, comm[sm]])
+            cd = np.concatenate([cd, comm[sm]])
+            ww = np.concatenate([ww, 2.0 * self_w[sm]])
+        o4 = np.lexsort((cd, cs))
+        a, b2, ww = cs[o4], cd[o4], ww[o4]
+        m = np.ones(len(a), bool)
+        if len(a):
+            m[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        st = np.flatnonzero(m)
+        ga, gb = a[st], b2[st]
+        gw = np.add.reduceat(ww, st) if len(st) else np.zeros(0, np.float64)
+        lp = ga == gb
+        vs2 = np.unique(comm)
+        self_w = np.zeros(len(vs2), np.float64)
+        self_w[np.searchsorted(vs2, ga[lp])] = gw[lp] / 2.0
+        asrc, adst, aw = ga[~lp], gb[~lp], gw[~lp]
+        vs = vs2
+    return verts, mapping, q, levels_used, rounds_used
 
 
 # ---------------------------------------------------- TopK degree (§2.10)

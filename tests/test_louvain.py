@@ -98,6 +98,27 @@ def test_partition_count_invariance():
                                   df5["community"].to_numpy())
 
 
+def test_driver_side_tail_is_result_invariant():
+    """small_threshold=0 keeps EVERY level distributed; the default
+    switches contracted levels to the driver-side tail — results must be
+    identical (and both must match the independent oracle)."""
+    rng = np.random.default_rng(7)
+    e = np.unique(rng.integers(0, 80, size=(400, 2)), axis=0)
+    t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                  "dst": pa.array(e[:, 1], pa.int64())})
+    out_d, df_d = _run(t, partitions=3, small_threshold=0)
+    out_s, df_s = _run(t, partitions=3)   # default: tail on the driver
+    np.testing.assert_array_equal(df_d["community"].to_numpy(),
+                                  df_s["community"].to_numpy())
+    assert out_d["modularity"] == out_s["modularity"]
+    assert out_d["levels"] == out_s["levels"]
+    assert out_d["rounds"] == out_s["rounds"]
+    v0, ref_map, q, levels, ncomm = _ref(t)
+    np.testing.assert_array_equal(df_s["community"].to_numpy(), ref_map)
+    assert out_s["modularity"] == q
+    assert out_s["levels"] == levels
+
+
 def test_contract_query_matches_louvain_ref(ray_session):
     """q_louvain is rows-only in the driver contract — THIS is its gate."""
     import duckdb
