@@ -288,7 +288,7 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
              normalized: bool = True,
              metrics_path: str | None = None,
              ckpt_dir: str | None = None, ckpt_every: int = 0,
-             resume: bool = False):
+             resume: bool = False, warm_start: str | None = None):
     """PageRank (reference semantics, SURVEY.md §2.4; defaults from
     `gunrock/app/pr/pr_app.cu:44-46`). Returns a Dataset {v, rank} sorted
     (rank desc, v asc) — the stable final ranking of `test_pr.cu:455`.
@@ -337,6 +337,11 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         return g.extract("pru_extract").sort(["rank", "v"], descending=[True, False])
     kind = "split" if g.hot_split else "out"
     g.call_all("pr_init", g.n, delta, error, src_node, kind)
+    if warm_start is not None:
+        # dynamic-graph path: start from a previous run's (v, rank) output
+        # (spilled by THIS graph's partitioner via spill_vertex_values) —
+        # near-fixpoint starts converge in far fewer supersteps
+        g.call_all("pr_warm", warm_start)
     g.register_push(kind)
     start_iter = 0
     if resume and ckpt_dir:
@@ -378,7 +383,8 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
 
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,
                          ckpt_dir: str | None = None, ckpt_every: int = 0,
-                         resume: bool = False, minprop_rounds: int | None = None):
+                         resume: bool = False, minprop_rounds: int | None = None,
+                         warm_start: str | None = None):
     """Connected components (SURVEY.md §2.5): min-propagation rounds over the
     static push plan (diameter-bounded, PR-superstep cheap) with
     hook-and-compress (Soman, reference semantics) as the high-diameter
@@ -395,6 +401,14 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
     g.call_all("cc_init")
+    if warm_start is not None:
+        # dynamic-graph path: overlay a previous run's (v, comp) labels
+        # (spilled by THIS graph's partitioner via spill_vertex_values).
+        # Old labels are min vertex ids of prior components, i.e. vertex
+        # ids PRESENT in each component — min-propagation over any such
+        # labeling converges to the same componentwise-min fixpoint as a
+        # cold start, in merged-diameter rounds instead of full-diameter.
+        g.call_all("load_vertex_state", "cid", warm_start, "comp")
     converged = False
     if resume and ckpt_dir:
         # labels only decrease and hooking is idempotent, so restarting from

@@ -275,6 +275,22 @@ class DistributedGraph:
         refs = [getattr(a, method).remote() for a in self.actors]
         return ray.data.from_arrow_refs(refs)
 
+    def spill_vertex_values(self, ds, out_dir: str) -> None:
+        """Write a (v, ...) Dataset partitioned by THIS graph's
+        partitioner so each actor can overlay its own shard
+        (GraphPartition.load_vertex_state / pr_warm) — the warm-start
+        path for dynamic graphs: rebuild the graph over the updated edge
+        set, spill the previous run's output here, and the algorithm
+        resumes from prior state instead of from scratch."""
+        part = self.partitioner
+
+        def add_pid(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "pid", pa.array(part.owner(t["v"].to_numpy()), pa.int64()))
+
+        ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["pid"])
+
     def shutdown(self, remove_spill: bool = False):
         for a in self.actors:
             ray.kill(a)

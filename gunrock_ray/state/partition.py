@@ -260,6 +260,43 @@ class GraphPartition:
         vals = arr[self._lidx(ids)] if len(ids) else arr[:0]
         return (offs, vals)
 
+    def load_vertex_state(self, name: str, dir: str, col: str) -> int:
+        """Overlay a (v, col) parquet vertex table onto state[name]:
+        owned vertices present in the table overwrite their entry;
+        everything else keeps the current (init) value. The dir is
+        partitioned by THIS graph's partitioner
+        (DistributedGraph.spill_vertex_values), so the read is
+        shard-local — the warm-start / dynamic-graph ingestion path (the
+        road map's "algorithms on dynamic graphs": immutable rebuilds +
+        incremental state). Returns rows applied."""
+        t = _read_shard(dir, self.pid, ["v", col])
+        if t is None or len(self.verts) == 0:
+            return 0
+        v = t["v"].to_numpy()
+        li = np.minimum(self._lidx(v), len(self.verts) - 1)
+        ok = self.verts[li] == v
+        arr = self.state[name]
+        arr[li[ok]] = t[col].to_numpy()[ok].astype(arr.dtype)
+        return int(np.count_nonzero(ok))
+
+    def pr_warm(self, dir: str) -> int:
+        """Warm-start PageRank from a previous run's EXTRACTED (v, rank)
+        output: pr_extract un-normalizes rank *= out_deg, so the overlay
+        re-normalizes back to the resident rank/out_deg form."""
+        t = _read_shard(dir, self.pid, ["v", "rank"])
+        if t is None or len(self.verts) == 0:
+            return 0
+        v = t["v"].to_numpy()
+        li = np.minimum(self._lidx(v), len(self.verts) - 1)
+        ok = self.verts[li] == v
+        li = li[ok]
+        r = t["rank"].to_numpy()[ok].astype(np.float64).copy()
+        deg = self.out_deg[li]
+        nz = deg > 0
+        r[nz] /= deg[nz]
+        self.state["rank"][li] = r
+        return int(len(li))
+
     def serve_degrees_packed(self, *req_packs):
         segs = [self._unpack_mine(pk, 0) for pk in req_packs]
         lens = np.array([len(s) for s in segs], dtype=np.int64)

@@ -1,0 +1,136 @@
+"""Dynamic-graph pattern (road map "algorithms on dynamic graphs"):
+immutable graph rebuilds + warm-started iterative state. Warm runs must
+equal cold runs exactly (CC) / converge to the same fixpoint in fewer
+supersteps (PR)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                               connected_components,
+                                               pagerank)
+from tests.helpers import vertices_table
+
+
+def _edges(pairs):
+    a = np.array(pairs, np.int64)
+    return pa.table({"src": pa.array(a[:, 0], pa.int64()),
+                     "dst": pa.array(a[:, 1], pa.int64())})
+
+
+def _superstep_count(path):
+    with open(path) as f:
+        return sum(1 for _ in f)
+
+
+def test_cc_warm_start_equals_cold_and_saves_rounds(tmp_path):
+    rng = np.random.default_rng(5)
+    n = 400
+    # E1: a long-ish chain structure (many rounds cold), E2: a few bridges
+    chain = [(i, i + 1) for i in range(0, n - 1, 2)]      # 200 2-chains
+    extra = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(80, 2))]
+    e1 = _edges(chain + extra)
+    g1 = build_graph(e1, num_partitions=3, undirected=True,
+                     vertices=vertices_table(n))
+    try:
+        labels1, _ = connected_components(g1)
+        out1 = str(tmp_path / "labels1")
+        labels1.write_parquet(out1)
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    e2 = _edges(chain + extra + [(0, n - 1), (3, 7)])     # merge events
+    m_cold = str(tmp_path / "m_cold.jsonl")
+    g2 = build_graph(e2, num_partitions=3, undirected=True,
+                     vertices=vertices_table(n))
+    try:
+        cold, nc_cold = connected_components(g2, metrics_path=m_cold)
+        cold_df = cold.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g2.shutdown(remove_spill=True)
+
+    import ray.data
+    m_warm = str(tmp_path / "m_warm.jsonl")
+    warm_dir = str(tmp_path / "warm_spill")
+    g3 = build_graph(e2, num_partitions=3, undirected=True,
+                     vertices=vertices_table(n))
+    try:
+        g3.spill_vertex_values(ray.data.read_parquet(out1), warm_dir)
+        warm, nc_warm = connected_components(g3, metrics_path=m_warm,
+                                             warm_start=warm_dir)
+        warm_df = warm.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g3.shutdown(remove_spill=True)
+
+    assert nc_warm == nc_cold
+    np.testing.assert_array_equal(warm_df["comp"].to_numpy(),
+                                  cold_df["comp"].to_numpy())
+    assert _superstep_count(m_warm) <= _superstep_count(m_cold)
+
+
+def test_pr_warm_start_converges_faster_to_same_fixpoint(tmp_path):
+    rng = np.random.default_rng(9)
+    n, m = 300, 1500
+    e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    e1 = _edges(e.tolist())
+    g1 = build_graph(e1, num_partitions=3, vertices=vertices_table(n))
+    try:
+        out1 = str(tmp_path / "pr1")
+        pagerank(g1, error=1e-10, max_iter=200).write_parquet(out1)
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    # perturb: add 10 new edges
+    e2 = _edges(e.tolist() + [(int(a), int(b)) for a, b in
+                              rng.integers(0, n, size=(10, 2))
+                              if a != b])
+    import ray.data
+    m_cold = str(tmp_path / "pm_cold.jsonl")
+    g2 = build_graph(e2, num_partitions=3, vertices=vertices_table(n))
+    try:
+        cold = pagerank(g2, error=1e-10, max_iter=200,
+                        metrics_path=m_cold).to_pandas()
+    finally:
+        g2.shutdown(remove_spill=True)
+
+    m_warm = str(tmp_path / "pm_warm.jsonl")
+    warm_dir = str(tmp_path / "pr_warm_spill")
+    g3 = build_graph(e2, num_partitions=3, vertices=vertices_table(n))
+    try:
+        g3.spill_vertex_values(ray.data.read_parquet(out1), warm_dir)
+        warm = pagerank(g3, error=1e-10, max_iter=200, warm_start=warm_dir,
+                        metrics_path=m_warm).to_pandas()
+    finally:
+        g3.shutdown(remove_spill=True)
+
+    c = cold.sort_values("v").reset_index(drop=True)
+    w = warm.sort_values("v").reset_index(drop=True)
+    np.testing.assert_allclose(w["rank"].to_numpy(), c["rank"].to_numpy(),
+                               rtol=1e-6, atol=1e-12)
+    n_cold = _superstep_count(m_cold)
+    n_warm = _superstep_count(m_warm)
+    assert n_warm < n_cold, (n_warm, n_cold)
+
+
+def test_warm_start_ignores_unknown_vertices(tmp_path):
+    # a stale label table containing vertices the new graph doesn't have
+    # must not corrupt state
+    import ray.data
+    e = _edges([(0, 1), (1, 2)])
+    stale = pa.table({"v": pa.array([0, 99], pa.int64()),
+                      "comp": pa.array([0, 0], pa.int64())})
+    warm_dir = str(tmp_path / "stale")
+    g = build_graph(e, num_partitions=2, undirected=True)
+    try:
+        g.spill_vertex_values(ray.data.from_arrow(stale), warm_dir)
+        labels, nc = connected_components(g, warm_start=warm_dir)
+        df = labels.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    assert nc == 1
+    assert set(df["comp"]) == {0}
