@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # vs the exact sequential replica)
         "bmatch": r.q_bmatch,          # rows-only (no SQL form; pytest-gated
                                        # vs a Kuhn's-algorithm oracle)
+        "sssp_mlpq": r.q_sssp_mlpq,    # SQL-checked (multi-level bucket
+                                       # queue == plain SSSP distances)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -1465,18 +1465,25 @@ def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
 
 
 def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
-         metrics_path: str | None = None):
+         multi_level: bool = False, metrics_path: str | None = None):
     """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with
     min-combine; inf = unreached). Graph should be built weighted; unweighted
     graphs use weight 1. ``delta`` enables the near-far priority split (the
     reference's 2-bucket delta-stepping queue, `sssp_enactor.cuh:286-309`;
     its delta = max_weight/delta-factor, default factor 32): near vertices
     relax immediately, far ones wait until the pivot passes them — fewer
-    wasted re-relaxations on weighted graphs."""
+    wasted re-relaxations on weighted graphs. ``multi_level=True`` (needs
+    delta) upgrades the 2-bucket queue to the road-mapped multi-level
+    bucket queue: when the near pile drains, the pivot jumps straight to
+    the global lowest nonempty bucket floor(dist/delta) instead of
+    stepping one delta per barrier — identical distances, fewer empty
+    barrier rounds on sparse distance distributions."""
     g = graph
     metrics = MetricsWriter(metrics_path)
     it = 0
     if delta is None:
+        if multi_level:
+            raise ValueError("multi_level SSSP requires delta")
         g.call_all("sssp_init", src)
         while True:
             res, _ = g.superstep("sssp_scatter", "sssp_apply")
@@ -1497,7 +1504,12 @@ def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
             metrics.write(algo="sssp", superstep=it, frontier=frontier, far=far)
             it += 1
             if frontier == 0:
-                if sum(g.call_all("sssp_advance_pivot")) == 0:
+                if multi_level:
+                    b = min(g.call_all("sssp_far_min_bucket"))
+                    if b >= (1 << 60):
+                        break
+                    g.call_all("sssp_jump_pivot", b)
+                elif sum(g.call_all("sssp_advance_pivot")) == 0:
                     break
     metrics.close()
     return g.extract("sssp_extract")

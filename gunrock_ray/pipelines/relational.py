@@ -348,12 +348,13 @@ def derived_edges_weighted(sf_dir: str):
     return derived_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
 
 
-def _sssp_weighted_df(sf_dir: str, delta: float | None):
+def _sssp_weighted_df(sf_dir: str, delta: float | None,
+                      multi_level: bool = False):
     from gunrock_ray.pipelines.graph_algos import build_graph, sssp
     g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
                     weighted=True)
     try:
-        df = sssp(g, 0, delta=delta).to_pandas()
+        df = sssp(g, 0, delta=delta, multi_level=multi_level).to_pandas()
     finally:
         g.shutdown(remove_spill=True)
     df = df[np.isfinite(df["dist"]) & (df["dist"] <= _SSSP_CAP)]
@@ -374,6 +375,15 @@ def q_sssp_nf(sf_dir: str):
     = 64/32 = 2 — `gunrock/gunrock.h:141`). Same SQL oracle as q_sssp_weighted:
     the priority split must not change results."""
     return _sssp_weighted_df(sf_dir, delta=2.0)
+
+
+def q_sssp_mlpq(sf_dir: str):
+    """Same shortest paths via the MULTI-LEVEL bucket queue (the road
+    map's "multi-level priority queue" — pivot jumps to the global lowest
+    nonempty floor(dist/delta) bucket instead of stepping one delta per
+    barrier). Same SQL oracle as q_sssp_weighted: the queue discipline
+    must not change results."""
+    return _sssp_weighted_df(sf_dir, delta=2.0, multi_level=True)
 
 
 _ASTAR_T = 137
@@ -2356,6 +2366,7 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT CAST(0 AS BIGINT) AS src, CAST({_ASTAR_T} AS BIGINT) AS dst, "
         f"CAST(MIN(d) AS BIGINT) AS dist FROM p WHERE v = {_ASTAR_T}"),
     "sssp_nf": _SSSP_W_SQL,
+    "sssp_mlpq": _SSSP_W_SQL,
     "sgm_tri_cycle": (
         f"WITH n AS ({_NORM_SQL}) "
         "SELECT CAST(COUNT(*) AS BIGINT) AS cycles FROM n e1 "

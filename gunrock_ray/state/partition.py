@@ -1255,6 +1255,31 @@ class GraphPartition:
         self._frontier = ready
         return int(len(ready)) + int(len(self._far))
 
+    # Multi-level bucket queue (the road map's "multi-level priority queue
+    # support", `doc/road_map.md:21-22`): buckets are floor(dist/delta);
+    # instead of stepping the pivot one delta at a time (near-far), the
+    # driver asks every partition for its lowest nonempty bucket and jumps
+    # the pivot straight past the GLOBAL minimum — sparse distance
+    # distributions skip all the empty buckets between drains.
+
+    def sssp_far_min_bucket(self) -> int:
+        far = np.unique(self._far)
+        self._far = far
+        if len(far) == 0:
+            return 1 << 60
+        return int(self.state["dist"][far].min() // self._sssp_delta)
+
+    def sssp_jump_pivot(self, bucket: int) -> int:
+        """Drain bucket ``bucket``: pivot jumps to its end; far candidates
+        now under the pivot become the frontier."""
+        self._sssp_pivot = (bucket + 1) * self._sssp_delta
+        far = self._far
+        dist = self.state["dist"]
+        ready = far[dist[far] < self._sssp_pivot]
+        self._far = far[dist[far] >= self._sssp_pivot]
+        self._frontier = ready
+        return int(len(ready)) + int(len(self._far))
+
     # ------------------------------------------- HITS / SALSA (bipartite ranks)
     # SURVEY.md §2.9: needs CSR + CSC (`gunrock/app/hits/hits_problem.cuh`).
     # We implement the standard normalized formulations (Kleinberg HITS with

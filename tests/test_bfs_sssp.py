@@ -208,3 +208,52 @@ def test_astar_unreachable_target():
         assert out["dist"] == float("inf")
     finally:
         g.shutdown(remove_spill=True)
+
+
+def test_sssp_multi_level_bucket_queue_matches_plain():
+    """Multi-level bucket queue (road map "multi-level priority queue"):
+    identical distances to plain SSSP and near-far, fewer barrier rounds
+    than near-far when distances are sparse in delta units."""
+    import json
+
+    t = gen.add_weights(gen.rmat_table(8, 8))
+    n = 256
+    # sparse distance distribution: scale weights up so near-far steps
+    # through many empty delta buckets
+    w = (t["w"].to_numpy() * 97).astype(np.float64)
+    import pyarrow as pa
+    t = pa.table({"src": t["src"], "dst": t["dst"],
+                  "w": pa.array(w, pa.float64())})
+
+    def run(tmp, **kw):
+        g = build_graph(t, num_partitions=4, weighted=True,
+                        vertices=vertices_table(n))
+        try:
+            got = dense_result(sssp(g, 0, metrics_path=tmp, **kw), n, "dist")
+        finally:
+            g.shutdown(remove_spill=True)
+        with open(tmp) as f:
+            rounds = sum(1 for _ in f)
+        return got, rounds
+
+    import tempfile
+    import os
+    d = tempfile.mkdtemp()
+    plain, _ = run(os.path.join(d, "p.jsonl"))
+    nf, r_nf = run(os.path.join(d, "n.jsonl"), delta=2.0)
+    ml, r_ml = run(os.path.join(d, "m.jsonl"), delta=2.0, multi_level=True)
+    assert np.allclose(nf, plain, equal_nan=True)
+    assert np.allclose(ml, plain, equal_nan=True)
+    assert r_ml <= r_nf, (r_ml, r_nf)
+
+
+def test_sssp_multi_level_requires_delta():
+    import pytest
+
+    t = gen.chain(4)
+    g = build_graph(t, num_partitions=2)
+    try:
+        with pytest.raises(ValueError, match="delta"):
+            sssp(g, 0, multi_level=True)
+    finally:
+        g.shutdown(remove_spill=True)
