@@ -806,6 +806,11 @@ def bipartite_matching(edges, *, num_partitions: int | None = None,
 
     ds = _as_dataset(edges)
     mx = ds.max(["src", "dst"])
+    if mx is None or mx.get("max(src)") is None:   # empty edge set
+        return {"size": 0, "pulses": 0,
+                "matching": ray.data.from_arrow(pa.table(
+                    {"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64())}))}
     off = int(max(mx["max(src)"], mx["max(dst)"])) + 1
     s_id, t_id = 2 * off, 2 * off + 1
 

@@ -67,3 +67,11 @@ def test_contract_query_matches_kuhn(ray_session):
                                           df.dst.to_numpy())
     assert int(got["size"].iloc[0]) == want
     assert list(got.columns) == ["size"]
+
+
+def test_empty_edge_set():
+    t = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    out = bipartite_matching(t, num_partitions=2)
+    assert out["size"] == 0
+    assert out["matching"].count() == 0

@@ -1,0 +1,62 @@
+"""Louvain scale stress: undirected R-MAT at increasing scales.
+
+Evidence for the 100 TB design claims of pipelines.louvain that sf-level
+tests cannot show: the distributed level-0 local-moving cost grows
+linearly in arcs, the contraction groupby never lands the edge table on
+the driver (RSS stays flat), and the driver-side tail stays bounded by
+small_threshold. Usage:
+
+    python tools/stress_louvain.py [scales...]   # default 16 18 20
+
+Prints one JSON line per scale; record results in BASELINE.md MEASURED.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [16, 18, 20]
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR",
+                 _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                                 "num_workers_soft_limit": 8})
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from gunrock_ray.pipelines.graph_algos import louvain
+    from gunrock_ray.sources.generators import rmat_dataset
+
+    for scale in scales:
+        blocks = max(16, 2 ** (scale - 12))
+        t0 = time.perf_counter()
+        out = louvain(rmat_dataset(scale, 16, override_num_blocks=blocks),
+                      undirected=True, num_partitions=32)
+        dt = time.perf_counter() - t0
+        n_map = out["mapping"].count()
+        print(json.dumps({
+            "scale": scale,
+            "t_total_s": round(dt, 1),
+            "mapped_vertices": n_map,
+            "num_communities": out["num_communities"],
+            "modularity": round(out["modularity"], 4),
+            "levels": out["levels"],
+            "rounds": out["rounds"],
+            "driver_rss_mb": resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss // 1024,
+        }), flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
