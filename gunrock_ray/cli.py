@@ -213,7 +213,9 @@ def cmd_run(args) -> dict:
                      direction_optimized=args.direction_optimized,
                      metrics_path=args.metrics)
     elif args.algo == "sssp":
-        out = ga.sssp(g, args.src, delta=args.nf_delta, metrics_path=args.metrics)
+        out = ga.sssp(g, args.src, delta=args.nf_delta,
+                      multi_level=args.multi_level,
+                      metrics_path=args.metrics)
     elif args.algo == "hits":
         out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
     elif args.algo == "hits_gr":
@@ -666,6 +668,8 @@ def main(argv=None) -> None:
                      help="BFS push<->pull switching (Beamer alpha/beta); "
                           "builds the inverse CSR")
     run.add_argument("--delta", type=float, default=0.85)
+    run.add_argument("--multi-level", action="store_true",
+                     help="SSSP: multi-level bucket queue (needs --nf-delta)")
     run.add_argument("--nf-delta", type=float, default=None)
     run.add_argument("--error", type=float, default=0.01)
     run.add_argument("--max-iter", type=int, default=50)
