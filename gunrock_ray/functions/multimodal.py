@@ -8,12 +8,14 @@ classes (decoder state constructed once per actor in ``__init__``).
 
 Codecs: the default ``codec='fake'`` is a deterministic byte-hash-seeded
 decode that produces correctly-shaped arrays (exercises the identical
-plumbing). ``codec='real'`` decodes the UNCOMPRESSED container formats this
-environment can handle without external libraries: binary PPM (P6) / PGM
-(P5) images via NumPy, PCM WAV audio via the stdlib ``wave`` module, and
-raw uint8 frame buffers for video. Compressed formats (JPEG/PNG/FLAC/MP4)
-still need Pillow/soundfile/pyav — ``codec='real'`` raises ValueError on
-their magics; swapping those libs in only extends the ``_decode_*`` bodies.
+plumbing). ``codec='real'`` decodes the formats this environment can
+handle without external libraries: binary PPM (P6) / PGM (P5) images via
+NumPy, **8-bit non-interlaced PNG via the stdlib zlib** (all five
+scanline filters; gray/RGB/gray+A/RGBA), PCM WAV audio via the stdlib
+``wave`` module, and raw uint8 frame buffers for video. The remaining
+compressed formats (JPEG/FLAC/MP4, palette/16-bit/interlaced PNG) still
+need Pillow/soundfile/pyav — ``codec='real'`` raises ValueError on their
+magics; swapping those libs in only extends the ``_decode_*`` bodies.
 
 Batch sizing at 100 TB: payload rows are large (MBs), so stages here default
 to small ``batch_size`` (32) — size batches by BYTES not rows when payloads
@@ -97,6 +99,105 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, c) uint8, stdlib zlib only (the
+    PNG spec's deflate stream + the 5 scanline filters; no Pillow).
+    Supports color types 0/2/4/6; palette (3), 16-bit, and interlaced
+    images raise ValueError."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    h = w = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if h is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} colortype={ctype} "
+            f"interlace={interlace}); 8-bit non-interlaced 0/2/4/6 only")
+    c = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
+        f = filters[y]
+        if f == 0:                                   # None
+            rec = cur
+        elif f == 1:                                 # Sub = per-channel cumsum
+            rec = np.cumsum(cur.reshape(w, c), axis=0,
+                            dtype=np.int64).reshape(stride) & 0xFF
+        elif f == 2:                                 # Up
+            rec = cur + prev
+        elif f == 3:                                 # Average (sequential)
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                rec[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                                 # Paeth (sequential)
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else cc)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        rec = (rec & 0xFF).astype(np.int32)
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, c) uint8 → PNG bytes (filter 0, one zlib stream)."""
+    import zlib
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    scan = np.concatenate(
+        [np.concatenate([[np.uint8(0)], r]) for r in
+         img.reshape(h, w * c)]).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV bytes → (mono float64 waveform in [-1, 1], sample_rate),
     stdlib ``wave`` + NumPy (8/16/32-bit PCM)."""
@@ -153,7 +254,9 @@ class ImageDecodeResize:
 
     def _decode(self, payload: bytes, h: int, w: int, c: int) -> np.ndarray:
         if self.codec == "real":
-            return decode_pnm(payload)  # PPM/PGM; JPEG/PNG need Pillow
+            if payload[:8] == _PNG_SIG:
+                return decode_png(payload)      # stdlib-zlib PNG path
+            return decode_pnm(payload)          # PPM/PGM; JPEG needs Pillow
         return _fake_pixels(payload, h, w, c)
 
     @staticmethod

@@ -374,3 +374,120 @@ def test_dimacs_gr_roundtrip_and_reference_swap(tmp_path):
         parse_dimacs_bytes(b"p sp 2 5\na 1 2 1\n")
     with pytest.raises(ValueError, match="problem line"):
         parse_dimacs_bytes(b"a 1 2 1\n")
+
+
+def test_png_roundtrip_all_channel_counts():
+    from gunrock_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c)).astype(np.uint8)
+        back = decode_png(encode_png(img))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_png_decode_all_five_filters():
+    """Hand-filter scanlines with each PNG filter type and verify the
+    stdlib-zlib decoder reconstructs the original image exactly."""
+    import zlib
+
+    from gunrock_ray.functions.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(3)
+    h, w, c = 7, 11, 3
+    img = rng.integers(0, 256, size=(h, w, c)).astype(np.int32)
+    stride = w * c
+    flat = img.reshape(h, stride)
+    scan = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else cc)
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        scan.append(f)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    payload = (_PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(payload),
+                                  img.astype(np.uint8))
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import pytest
+    import zlib
+
+    from gunrock_ray.functions.multimodal import _PNG_SIG, decode_png, \
+        encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF                      # corrupt IHDR body -> CRC fails
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr16 = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+              + bytes([16, 2, 0, 0, 0]))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+
+
+def test_image_pipeline_decodes_real_png(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from gunrock_ray.functions.multimodal import (ImageDecodeResize,
+                                                   encode_png)
+
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, size=(16, 12, 3)).astype(np.uint8)
+            for _ in range(6)]
+    t = pa.table({
+        "media_id": pa.array(range(6), pa.int64()),
+        "payload": pa.array([encode_png(i) for i in imgs], pa.binary()),
+        "meta_width": pa.array([12] * 6, pa.int32()),
+        "meta_height": pa.array([16] * 6, pa.int32()),
+        "meta_channels": pa.array([3] * 6, pa.int32()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        ImageDecodeResize, fn_constructor_kwargs={"out_size": (8, 8),
+                                                  "codec": "real"},
+        batch_format="pyarrow", concurrency=2, batch_size=3).to_pandas()
+    assert len(out) == 6
+    dec = ImageDecodeResize(out_size=(8, 8), codec="real")
+    for _, row in out.iterrows():
+        img = imgs[int(row["media_id"])]
+        want = dec._resize_nearest(img, 8, 8).ravel()
+        np.testing.assert_array_equal(np.asarray(row["pixels"]), want)
