@@ -1763,6 +1763,109 @@ class GraphPartition:
                          "tri": pa.array(tri, pa.int64()),
                          "lcc": pa.array(lcc, pa.float64())})
 
+    # ----------------------------------------------- k-truss (§ beyond TC)
+    # k-truss = maximal subgraph where every edge closes >= k-2 triangles
+    # (Cohen 2008; the classic companion to TC). Support-recompute peeling:
+    # each round re-runs the oriented chunked-intersection pass of tc_count
+    # but credits EDGES — for a hit u -> v -> c, edges (u,v) and (u,c) are
+    # local (tail u), (v,c) is credited to v's owner by one combined pack —
+    # then every partition prunes local oriented edges with support < k-2.
+    # Rounds repeat until no edge is pruned; the surviving oriented edges
+    # ARE the k-truss. Orientation is a fixed enumeration device (one
+    # oriented edge per undirected edge), so pruning it prunes the
+    # undirected edge everywhere at once.
+
+    def truss_probe(self, *reply_packs):
+        setup = self._tc_probe_setup(reply_packs)
+        m = len(self._tc_cols)
+        self._truss_sup = np.zeros(m, np.int64)
+        if setup is None:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        dic, L, key_sorted, vpos, e_lens, u_dic, flat_id, fstarts = setup
+        # key_sorted came pre-sorted; rebuild the position map so a probe
+        # hit can credit the ORIGINAL local edge slot of (u,c)
+        key_unsorted = u_dic * L + np.searchsorted(dic, self._tc_cols)
+        key_order = np.argsort(key_unsorted)
+        cum = np.cumsum(e_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        rv_parts, rc_parts = [], []
+        sup = self._truss_sup
+        a = 0
+        while a < len(e_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(e_lens))
+            el = e_lens[a:b]
+            probe_c = _ragged_gather(flat_id, fstarts[vpos[a:b]], el)
+            probe_u = np.repeat(u_dic[a:b], el)
+            probe_e = np.repeat(np.arange(a, b, dtype=np.int64), el)
+            probe_key = probe_u * L + np.searchsorted(dic, probe_c)
+            pos = np.searchsorted(key_sorted, probe_key)
+            pos[pos >= len(key_sorted)] = max(len(key_sorted) - 1, 0)
+            hit = key_sorted[pos] == probe_key
+            if hit.any():
+                np.add.at(sup, probe_e[hit], 1)              # edge (u,v)
+                np.add.at(sup, key_order[pos[hit]], 1)       # edge (u,c)
+                rv_parts.append(self._tc_cols[probe_e[hit]])  # edge (v,c)
+                rc_parts.append(dic[np.searchsorted(
+                    dic, probe_c[hit])])
+            a = b
+        if not rv_parts:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        rv = np.concatenate(rv_parts)
+        rc = np.concatenate(rc_parts)
+        # combine per (v, c) before packing (hot edges send one row/sender)
+        o = np.lexsort((rc, rv))
+        rv, rc = rv[o], rc[o]
+        bnd = np.ones(len(rv), bool)
+        bnd[1:] = (rv[1:] != rv[:-1]) | (rc[1:] != rc[:-1])
+        st = np.flatnonzero(bnd)
+        cnt = np.diff(np.append(st, len(rv))).astype(np.int64)
+        return self._pack(rv[st], rc[st], cnt)
+
+    def truss_apply(self, threshold: int, *packs) -> dict:
+        """Fold remote (v, c, cnt) credits into local supports, then prune
+        oriented edges with support < threshold and rebuild the oriented
+        CSR. Returns {"removed", "remaining"}."""
+        sup = self._truss_sup
+        vs, cs, cnts = self._unpack_all(packs, cols=(0, 1, 2))
+        if len(vs):
+            u = np.unique(self._tc_cols)
+            code = np.minimum(np.searchsorted(u, cs), max(len(u) - 1, 0))
+            rows = np.diff(self._tc_offsets)
+            rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                               rows)
+            ekey = (rowrep << np.int64(31)) | np.searchsorted(
+                u, self._tc_cols)
+            q = (self._lidx(vs) << np.int64(31)) | code
+            pos, ok = self._mf_find(ekey, q)
+            # unmatched rows are credits for edges pruned in an earlier
+            # round on this side — the sender prunes them this round too
+            if ok.any():
+                np.add.at(sup, pos[ok], cnts[ok])
+        keep = sup >= threshold
+        removed = int(np.count_nonzero(~keep))
+        if removed:
+            rows = np.diff(self._tc_offsets)
+            rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                               rows)
+            kept_rows = rowrep[keep]
+            self._tc_cols = self._tc_cols[keep]
+            counts = np.bincount(kept_rows,
+                                 minlength=len(self.verts)).astype(np.int64)
+            self._tc_offsets = np.concatenate([[0], np.cumsum(counts)])
+            self._truss_sup = sup[keep]
+        return {"removed": removed, "remaining": int(len(self._tc_cols))}
+
+    def truss_extract(self) -> pa.Table:
+        """Surviving oriented edges (one row per undirected k-truss edge)
+        with their final supports."""
+        rows = np.diff(self._tc_offsets)
+        rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64), rows)
+        return pa.table({"src": pa.array(self.verts[rowrep], pa.int64()),
+                         "dst": pa.array(self._tc_cols, pa.int64()),
+                         "support": pa.array(self._truss_sup, pa.int64())})
+
     # ------------------------------------- maximal independent set (Luby)
     # Deterministic Luby MIS (reference road map `doc/road_map.md:17`):
     # priority p(v) = mix64(v ^ seed) — a BIJECTION on uint64, so priorities
