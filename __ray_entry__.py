@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # vs a Kuhn's-algorithm oracle)
         "sssp_mlpq": r.q_sssp_mlpq,    # SQL-checked (multi-level bucket
                                        # queue == plain SSSP distances)
+        "ktruss4": r.q_ktruss4,        # rows-only (peeling fixpoint; pytest-
+                                       # gated vs brute-force peeling)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -21,6 +21,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     hits,
     hits_gunrock,
     k_core,
+    k_truss,
     label_propagation,
     louvain,
     max_flow,

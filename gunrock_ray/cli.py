@@ -137,7 +137,8 @@ def cmd_run(args) -> dict:
     needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
-                                                  "mis", "coloring", "kcore")
+                                                  "mis", "coloring", "kcore",
+                                                  "ktruss", "louvain")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -193,6 +194,8 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
+    elif args.algo == "ktruss":
+        out = ga.k_truss(g, args.truss_k, metrics_path=args.metrics)
     elif args.algo == "maxflow":
         extra.update(ga.max_flow(g, args.src, args.dst,
                                  metrics_path=args.metrics))
@@ -643,7 +646,8 @@ def main(argv=None) -> None:
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
-                              "coloring", "astar", "maxflow", "louvain", "bmatch", "bfs",
+                              "coloring", "astar", "maxflow", "louvain", "bmatch",
+                              "ktruss", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)
@@ -670,6 +674,8 @@ def main(argv=None) -> None:
     run.add_argument("--delta", type=float, default=0.85)
     run.add_argument("--multi-level", action="store_true",
                      help="SSSP: multi-level bucket queue (needs --nf-delta)")
+    run.add_argument("--truss-k", type=int, default=3,
+                     help="k for --algo ktruss")
     run.add_argument("--nf-delta", type=float, default=None)
     run.add_argument("--error", type=float, default=0.01)
     run.add_argument("--max-iter", type=int, default=50)

@@ -607,6 +607,46 @@ def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> i
     return int(sum(counts))
 
 
+def k_truss(graph: DistributedGraph, k: int, *,
+            probe_chunk: int | None = None,
+            metrics_path: str | None = None):
+    """k-truss: the maximal subgraph in which every edge closes >= k-2
+    triangles (Cohen 2008 — the classic companion to triangle counting;
+    see `state/partition.py` truss_* kernels for the support-recompute
+    peeling argument). Graph must be built undirected. Each round costs
+    one oriented-intersection pass (same machinery and probe chunking as
+    :func:`triangle_count`) plus one combined credit exchange; rounds
+    repeat until no edge is pruned. Returns Dataset {src, dst, support}
+    with ONE row per undirected k-truss edge (degree-oriented direction)
+    and its within-truss support."""
+    g = graph
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
+    metrics = MetricsWriter(metrics_path)
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    rnd = 0
+    while True:
+        t0 = time.perf_counter()
+        reqs = [a.tc_adj_request.remote() for a in g.actors]
+        replies = [a.tc_serve_adjacency_packed.remote(*reqs)
+                   for a in g.actors]
+        packs = [a.truss_probe.remote(*replies) for a in g.actors]
+        res = ray.get([a.truss_apply.remote(k - 2, *packs)
+                       for a in g.actors])
+        removed = sum(r["removed"] for r in res)
+        remaining = sum(r["remaining"] for r in res)
+        metrics.write(algo="ktruss", superstep=rnd, k=k, removed=removed,
+                      remaining=remaining,
+                      t_superstep_s=time.perf_counter() - t0)
+        rnd += 1
+        if removed == 0:
+            break
+    metrics.close()
+    return g.extract("truss_extract")
+
+
 def clustering_coefficients(graph: DistributedGraph,
                             probe_chunk: int | None = None):
     """Per-vertex triangle counts + local clustering coefficients — the

@@ -453,6 +453,28 @@ def q_bmatch(sf_dir: str):
     return pa.table({"size": pa.array([out["size"]], pa.int64())})
 
 
+def q_ktruss4(sf_dir: str):
+    """4-truss of the derived graph treated as undirected
+    (graph_algos.k_truss support-recompute peeling). The peeling fixpoint
+    over a shrinking subgraph has no tractable SQL form, so rows-only;
+    tests/test_ktruss.py gates the algorithm against a brute-force
+    peeling oracle and test_contract_query_matches_peeling gates THIS
+    query."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, k_truss
+    g = build_graph(derived_edges(sf_dir), num_partitions=8,
+                    undirected=True)
+    try:
+        df = k_truss(g, 4).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    if "src" not in df.columns:    # all blocks empty
+        import pandas as pd
+        return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                             "dst": pd.Series([], dtype="int64"),
+                             "support": pd.Series([], dtype="int64")})
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

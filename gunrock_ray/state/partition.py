@@ -1807,8 +1807,7 @@ class GraphPartition:
                 np.add.at(sup, probe_e[hit], 1)              # edge (u,v)
                 np.add.at(sup, key_order[pos[hit]], 1)       # edge (u,c)
                 rv_parts.append(self._tc_cols[probe_e[hit]])  # edge (v,c)
-                rc_parts.append(dic[np.searchsorted(
-                    dic, probe_c[hit])])
+                rc_parts.append(probe_c[hit])
             a = b
         if not rv_parts:
             return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8)

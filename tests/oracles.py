@@ -502,3 +502,21 @@ def bipartite_matching_ref(src, dst):
         if try_kuhn(u, set()):
             size += 1
     return size
+
+
+def k_truss_ref(src, dst, k):
+    """Brute-force k-truss peeling: undirected unique pairs, repeatedly
+    drop edges with < k-2 triangles until stable. Returns {frozenset edge
+    (u, v) u<v: within-truss support}."""
+    edges = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(src, dst) if a != b}
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+        keep = {e for e in edges if sup[e] >= k - 2}
+        if keep == edges:
+            return sup
+        edges = keep

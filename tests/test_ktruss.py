@@ -1,0 +1,86 @@
+"""k-truss support-recompute peeling vs a brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import build_graph, k_truss
+from tests import oracles
+from tests.helpers import vertices_table
+
+
+def _check(t: pa.Table, n: int, k: int, partitions=3):
+    g = build_graph(t, num_partitions=partitions, undirected=True,
+                    vertices=vertices_table(n))
+    try:
+        df = k_truss(g, k).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    if "src" not in df.columns:   # all blocks empty -> schema-less pandas
+        df = df.assign(src=[], dst=[], support=[])
+    got = {(int(min(a, b)), int(max(a, b))): int(s)
+           for a, b, s in zip(df["src"], df["dst"], df["support"])}
+    want = oracles.k_truss_ref(t["src"].to_numpy(), t["dst"].to_numpy(), k)
+    assert got == want, (len(got), len(want))
+    return got
+
+
+def test_clique_plus_tail():
+    # K5 (4-truss = 5-truss-able up to k=5) with a pendant path
+    e = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    e += [(4, 5), (5, 6)]
+    src, dst = np.array(e).T
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g3 = _check(t, 7, 3)
+    assert set(g3) == {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    g5 = _check(t, 7, 5)
+    assert len(g5) == 10  # K5 is exactly the 5-truss
+    assert _check(t, 7, 6) == {}
+
+
+def test_random_graphs_match_bruteforce():
+    for seed, k in ((1, 3), (2, 4), (8, 3)):
+        rng = np.random.default_rng(seed)
+        n, m = 40, 260
+        e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+        t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                      "dst": pa.array(e[:, 1], pa.int64())})
+        _check(t, n, k, partitions=4)
+
+
+def test_k2_returns_all_edges_with_supports():
+    t = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    got = _check(t, 4, 2, partitions=2)
+    assert got[(0, 1)] == 1 and got[(0, 3)] == 0
+
+
+def test_rejects_k_below_2():
+    t = pa.table({"src": pa.array([0], pa.int64()),
+                  "dst": pa.array([1], pa.int64())})
+    g = build_graph(t, num_partitions=2, undirected=True)
+    try:
+        with pytest.raises(ValueError, match="k >= 2"):
+            k_truss(g, 1)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def test_contract_query_matches_peeling(ray_session):
+    """q_ktruss4 is rows-only in the driver contract — THIS is its gate."""
+    import duckdb
+
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_ktruss4(sf)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    df = con.execute(r._NORM_SQL).df()
+    want = oracles.k_truss_ref(df.src.to_numpy(), df.dst.to_numpy(), 4)
+    have = {(int(min(a, b)), int(max(a, b))): int(s)
+            for a, b, s in zip(got["src"], got["dst"], got["support"])}
+    assert have == want
+    assert list(got.columns) == ["src", "dst", "support"]
