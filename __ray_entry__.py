@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # queue == plain SSSP distances)
         "ktruss4": r.q_ktruss4,        # rows-only (peeling fixpoint; pytest-
                                        # gated vs brute-force peeling)
+        "doc_lm_bits": r.q_doc_lm_bits,  # rows-only (stupid-backoff LM;
+                                       # pytest-gated bitwise vs oracles)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -576,6 +576,14 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.dedup import dup_span_stats
         res = dup_span_stats(docs, ngram=args.span_ngram,
                              min_df=args.span_min_df)
+    elif args.op == "lmscore":
+        from gunrock_ray.functions import lm
+        model = lm.train_ngram_lm(docs, order=args.lm_order,
+                                  top_k=args.lm_topk)
+        if args.max_bits is not None:
+            res = lm.lm_quality_filter(docs, model, max_bits=args.max_bits)
+        else:
+            res = lm.score_docs_lm(docs, model)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -726,7 +734,12 @@ def main(argv=None) -> None:
     ana.add_argument("--input", required=True)
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
-                              "bloom-decontam", "segdedup", "dupspans"])
+                              "bloom-decontam", "segdedup", "dupspans",
+                              "lmscore"])
+    ana.add_argument("--lm-order", type=int, default=3)
+    ana.add_argument("--lm-topk", type=int, default=100_000)
+    ana.add_argument("--max-bits", type=float, default=None,
+                     help="--op lmscore: keep docs with bits/token <= this")
     ana.add_argument("--decontam-mod", type=int, default=None)
     ana.add_argument("--bloom-bits-log2", type=int, default=22)
     ana.add_argument("--seg-sep", default="\n",

@@ -1,0 +1,210 @@
+"""Stupid-backoff n-gram language model over a document corpus — the
+CCNet-style perplexity quality signal (Wenzek et al. 2020 filter corpora
+by LM score; Brants et al. 2007 "stupid backoff" needs only counts, no
+discounting — ideal for distributed training).
+
+Training is ONE pass over the corpus: every batch emits pre-aggregated
+(order, term, cnt) partials for all orders at once plus the total token
+count, one groupby merges them, and each order keeps its ``top_k``
+most frequent n-grams (count desc, term asc — a deterministic cut, so
+the model is reproducible at any parallelism). The pruned model is a
+small pyarrow bundle meant to be ``ray.put`` ONCE and read by every
+scoring actor in ``__init__`` — scoring is embarrassingly parallel.
+
+Scoring (stupid backoff, backoff factor ``alpha``): for token w with
+context c of length a = min(position, order-1), try context lengths
+k = a..1 — the first k where both the (k+1)-gram and its k-prefix
+survive pruning scores alpha^(a-k) * c(ngram)/c(prefix); otherwise
+alpha^a * (c(w)/total if w is in the unigram table else 1/total, the
+OOV floor). Document score = mean log10 per token; ``bits`` = the
+negated log2 mean (a perplexity exponent — CCNet filters on exactly
+this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.corpus_stats import _TOKEN_RE, _flat_tokens
+
+_SEP = " "
+
+
+def train_ngram_lm(docs_ds, *, order: int = 3, top_k: int = 100_000,
+                   text_col: str = "text") -> dict:
+    """One-pass distributed count training. Returns
+    {"order", "alpha"-free counts: "total", "tables": {k: {term: cnt}}}
+    with each order pruned to its ``top_k`` most frequent n-grams."""
+    from ray.data.aggregate import Sum
+
+    if order < 1:
+        raise ValueError("order >= 1")
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        doc_of, words = _flat_tokens(batch[text_col].to_pylist())
+        ks, terms, cnts = [], [], []
+        for k in range(1, order + 1):
+            m = len(words) - k + 1
+            if m <= 0:
+                continue
+            valid = doc_of[:m] == doc_of[k - 1:] if k > 1 else \
+                np.ones(m, bool)
+            gram = words[:m][valid]
+            for j in range(1, k):
+                gram = np.char.add(np.char.add(gram, _SEP),
+                                   words[j:j + m][valid])
+            t, c = np.unique(gram, return_counts=True)
+            ks.append(np.full(len(t), k, np.int64))
+            terms.append(t)
+            cnts.append(c.astype(np.int64))
+        # total tokens rides along as order-0
+        ks.append(np.zeros(1, np.int64))
+        terms.append(np.array(["__total__"], np.str_))
+        cnts.append(np.array([len(words)], np.int64))
+        return pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "term": pa.array(np.concatenate(terms).tolist(), pa.string()),
+            "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+    summed = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+              .groupby(["k", "term"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ks = t["k"].to_numpy()
+        terms = np.asarray(t["term"].to_pylist(), dtype=np.str_)
+        cnt = t["cnt"].to_numpy()
+        keep = []
+        for k in np.unique(ks):
+            rows = np.flatnonzero(ks == k)
+            order_ = np.lexsort((terms[rows], -cnt[rows]))[:top_k]
+            keep.append(rows[order_])
+        idx = np.concatenate(keep) if keep else np.zeros(0, np.int64)
+        return t.take(pa.array(idx))
+
+    cand = summed.map_batches(block_topk,
+                              batch_format="pyarrow").to_pandas()
+    tables: dict[int, dict[str, int]] = {k: {} for k in range(1, order + 1)}
+    total = 0
+    for k in range(0, order + 1):
+        part = cand[cand["k"] == k]
+        if k == 0:
+            total = int(part["cnt"].sum())
+            continue
+        part = part.sort_values(["cnt", "term"],
+                                ascending=[False, True]).head(top_k)
+        tables[k] = dict(zip(part["term"], part["cnt"].astype(int)))
+    return {"order": order, "total": total, "tables": tables}
+
+
+def _score_tokens(words: list[str], model: dict, alpha: float) -> tuple:
+    """(sum_log10, n_tokens, oov) for ONE document — the exact per-token
+    recurrence documented in the module docstring (tests/oracles.py
+    replicates it verbatim)."""
+    order = model["order"]
+    tables = model["tables"]
+    total = max(model["total"], 1)
+    uni = tables.get(1, {})
+    s = 0.0
+    oov = 0
+    for i, w in enumerate(words):
+        a = min(i, order - 1)
+        p = None
+        for k in range(a, 0, -1):
+            ng = _SEP.join(words[i - k:i + 1])
+            pref = _SEP.join(words[i - k:i])
+            cn = tables[k + 1].get(ng, 0)
+            cp = tables[k].get(pref, 0)
+            if cn > 0 and cp > 0:
+                p = (alpha ** (a - k)) * (cn / cp)
+                break
+        if p is None:
+            cu = uni.get(w, 0)
+            if cu == 0:
+                oov += 1
+            p = (alpha ** a) * ((cu / total) if cu > 0 else 1.0 / total)
+        s += float(np.log10(p))
+    return s, len(words), oov
+
+
+class LMScorer:
+    """Actor stage: documents → {doc_id, n_tokens, oov, logprob, bits}.
+    The pruned model ships through the object store ONCE per actor
+    (``model_ref`` = ray.put(model) — read in __init__, never per
+    batch)."""
+
+    def __init__(self, model_ref=None, model: dict | None = None,
+                 alpha: float = 0.4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+        self.model = model if model is not None else ray.get(model_ref)
+        self.alpha = float(alpha)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        texts = batch[self.text_col].to_pylist()
+        logp = np.zeros(len(ids), np.float64)
+        ntok = np.zeros(len(ids), np.int64)
+        oov = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            words = _TOKEN_RE.findall(t) if t is not None else []
+            s, n, o = _score_tokens(words, self.model, self.alpha)
+            logp[i] = s / n if n else 0.0
+            ntok[i] = n
+            oov[i] = o
+        # bits/token = -log2(p)/n = -logp_per_token / log10(2)
+        bits = np.where(ntok > 0, -logp / np.log10(2.0), 0.0)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "oov": pa.array(oov, pa.int64()),
+            "logprob": pa.array(logp, pa.float64()),
+            "bits": pa.array(bits, pa.float64())})
+
+
+def _default_pool(concurrency):
+    """Actor-pool size leaving producer/consumer headroom: an actor pool
+    sized to EVERY cluster CPU starves the upstream read/downstream sink
+    tasks and the stage stalls (observed live at num_cpus=4)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(8, cpus - 1))
+
+
+def score_docs_lm(docs_ds, model: dict, *, alpha: float = 0.4,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency: int | None = None, batch_size: int = 256):
+    """Score every document under a trained model (broadcast once)."""
+    import ray
+    concurrency = _default_pool(concurrency)
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        LMScorer,
+        fn_constructor_kwargs={"model_ref": ref, "alpha": alpha,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def lm_quality_filter(docs_ds, model: dict, *, max_bits: float,
+                      alpha: float = 0.4, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      concurrency: int | None = None):
+    """CCNet-style filter: keep documents whose bits/token <= max_bits
+    (low perplexity under the corpus model = in-distribution text).
+    Returns the SCORE Dataset filtered — join back on id to keep text."""
+    scored = score_docs_lm(docs_ds, model, alpha=alpha, text_col=text_col,
+                           id_col=id_col, concurrency=concurrency)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less_equal(t["bits"], max_bits))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

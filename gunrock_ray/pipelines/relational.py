@@ -475,6 +475,31 @@ def q_ktruss4(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def q_doc_lm_bits(sf_dir: str):
+    """CCNet-style quality signal: train a 3-gram stupid-backoff LM on the
+    documents table (one distributed counting pass, deterministic top-k
+    prune) and score every document under it (functions/lm.py). The
+    count-train + backoff recurrence has no tractable SQL form, so
+    rows-only; tests/test_lm.py gates training AND scoring bitwise
+    against independent Counter/math oracles, and
+    test_contract_query_matches_oracle gates THIS query."""
+    import ray.data
+    from gunrock_ray.functions import lm
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    model = lm.train_ngram_lm(docs, order=3, top_k=50_000)
+    out = lm.score_docs_lm(docs, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
+        "oov": pa.array(out["oov"].to_numpy(), pa.int64()),
+        "bits_u6": pa.array(
+            np.round(out["bits"].to_numpy() * 1e6).astype(np.int64),
+            pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

@@ -520,3 +520,52 @@ def k_truss_ref(src, dst, k):
         if keep == edges:
             return sup
         edges = keep
+
+
+def ngram_lm_ref(texts, order=3, top_k=100_000):
+    """Independent stupid-backoff LM trainer (Counter-based) — oracle for
+    functions.lm.train_ngram_lm."""
+    import re
+    from collections import Counter
+    tok = re.compile(r"\S+")
+    counters = {k: Counter() for k in range(1, order + 1)}
+    total = 0
+    for t in texts:
+        words = tok.findall(t) if t is not None else []
+        total += len(words)
+        for k in range(1, order + 1):
+            for i in range(len(words) - k + 1):
+                counters[k][" ".join(words[i:i + k])] += 1
+    tables = {}
+    for k in range(1, order + 1):
+        items = sorted(counters[k].items(), key=lambda kv: (-kv[1], kv[0]))
+        tables[k] = dict(items[:top_k])
+    return {"order": order, "total": total, "tables": tables}
+
+
+def lm_score_ref(text, model, alpha=0.4):
+    """(logprob_per_token, n_tokens, oov) under stupid backoff — oracle
+    for functions.lm.LMScorer (same recurrence, independent code)."""
+    import math
+    import re
+    words = re.compile(r"\S+").findall(text) if text is not None else []
+    order, tables = model["order"], model["tables"]
+    total = max(model["total"], 1)
+    s, oov = 0.0, 0
+    for i, w in enumerate(words):
+        a = min(i, order - 1)
+        p = None
+        for k in range(a, 0, -1):
+            cn = tables[k + 1].get(" ".join(words[i - k:i + 1]), 0)
+            cp = tables[k].get(" ".join(words[i - k:i]), 0)
+            if cn > 0 and cp > 0:
+                p = (alpha ** (a - k)) * (cn / cp)
+                break
+        if p is None:
+            cu = tables[1].get(w, 0)
+            if cu == 0:
+                oov += 1
+            p = (alpha ** a) * ((cu / total) if cu > 0 else 1.0 / total)
+        s += math.log10(p)
+    n = len(words)
+    return (s / n if n else 0.0), n, oov

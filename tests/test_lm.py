@@ -1,0 +1,98 @@
+"""Stupid-backoff n-gram LM: distributed training + broadcast scoring vs
+independent Counter/math oracles."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from gunrock_ray.functions import lm
+from tests import oracles
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat ran over the mat",
+    "a dog sat on a log",
+    "the dog and the cat sat together",
+    "logs and mats and cats and dogs",
+    None,
+    "",
+    "cat",
+]
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+
+def test_training_matches_counter_oracle_exactly():
+    model = lm.train_ngram_lm(_docs(CORPUS), order=3, top_k=1000)
+    want = oracles.ngram_lm_ref(CORPUS, order=3, top_k=1000)
+    assert model["order"] == want["order"]
+    assert model["total"] == want["total"]
+    assert model["tables"] == want["tables"]
+
+
+def test_training_pruning_is_deterministic_at_the_cut():
+    model = lm.train_ngram_lm(_docs(CORPUS), order=2, top_k=5)
+    want = oracles.ngram_lm_ref(CORPUS, order=2, top_k=5)
+    assert model["tables"] == want["tables"]
+    # parallelism-invariant: different block layout, same model
+    model1 = lm.train_ngram_lm(_docs(CORPUS).repartition(1),
+                               order=2, top_k=5)
+    assert model1["tables"] == model["tables"]
+
+
+def test_scoring_matches_math_oracle_bitwise():
+    model = lm.train_ngram_lm(_docs(CORPUS), order=3, top_k=1000)
+    held_out = CORPUS + ["the cat sat on a log",
+                         "unseen words entirely zorp"]
+    docs = _docs(held_out)
+    out = lm.score_docs_lm(docs, model, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(held_out):
+        lp, n, oov = oracles.lm_score_ref(t, model)
+        row = out.iloc[i]
+        assert row["logprob"] == lp, (i, row["logprob"], lp)
+        assert row["n_tokens"] == n
+        assert row["oov"] == oov
+        if n:
+            assert row["bits"] == -lp / np.log10(2.0)
+
+
+def test_in_distribution_text_scores_better_than_noise():
+    model = lm.train_ngram_lm(_docs(CORPUS), order=3, top_k=1000)
+    docs = _docs(["the cat sat on the mat", "zorp blick qux flarn gleep"])
+    out = lm.score_docs_lm(docs, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.iloc[0]["bits"] < out.iloc[1]["bits"]
+    kept = lm.lm_quality_filter(
+        docs, model, max_bits=float(out.iloc[0]["bits"]) + 1e-9) \
+        .to_pandas()
+    assert list(kept["doc_id"]) == [0]
+
+
+def test_contract_query_matches_oracle(ray_session):
+    """q_doc_lm_bits is rows-only in the driver contract — its gate."""
+    import duckdb
+
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_doc_lm_bits(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        "ORDER BY doc_id").df()
+    model = oracles.ngram_lm_ref(texts["text"].tolist(), order=3,
+                                 top_k=50_000)
+    for i in range(len(texts)):
+        lp, n, oov = oracles.lm_score_ref(texts["text"].iloc[i], model)
+        bits = -lp / np.log10(2.0) if n else 0.0
+        row = got.iloc[i]
+        assert int(row["doc_id"]) == int(texts["doc_id"].iloc[i])
+        assert int(row["bits_u6"]) == int(round(bits * 1e6))
+        assert int(row["n_tokens"]) == n and int(row["oov"]) == oov
