@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # gated vs brute-force peeling)
         "doc_lm_bits": r.q_doc_lm_bits,  # rows-only (stupid-backoff LM;
                                        # pytest-gated bitwise vs oracles)
+        "diameter": r.q_diameter,      # SQL-checked (two chained
+                                       # recursive-CTE BFS fixpoints)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

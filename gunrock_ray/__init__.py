@@ -27,6 +27,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     max_flow,
     maximal_independent_set,
     pagerank,
+    pseudo_diameter,
     random_walks,
     salsa,
     salsa_gunrock,

@@ -138,7 +138,8 @@ def cmd_run(args) -> dict:
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "mis", "coloring", "kcore",
-                                                  "ktruss", "louvain")
+                                                  "ktruss", "louvain",
+                                                  "diameter")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -196,6 +197,11 @@ def cmd_run(args) -> dict:
         out = ga.clustering_coefficients(g)
     elif args.algo == "ktruss":
         out = ga.k_truss(g, args.truss_k, metrics_path=args.metrics)
+    elif args.algo == "diameter":
+        r = ga.pseudo_diameter(g, args.src, metrics_path=args.metrics)
+        extra.update(diameter_lb=r["diameter_lb"], pivots=r["pivots"],
+                     ecc_by_sweep=r["ecc_by_sweep"])
+        out = None
     elif args.algo == "maxflow":
         extra.update(ga.max_flow(g, args.src, args.dst,
                                  metrics_path=args.metrics))
@@ -655,7 +661,7 @@ def main(argv=None) -> None:
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
                               "coloring", "astar", "maxflow", "louvain", "bmatch",
-                              "ktruss", "bfs",
+                              "ktruss", "diameter", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)

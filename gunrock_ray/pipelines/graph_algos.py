@@ -1509,6 +1509,32 @@ def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
     return g.extract("bfs_extract")
 
 
+def pseudo_diameter(graph: DistributedGraph, src: int = 0, *,
+                    sweeps: int = 2, metrics_path: str | None = None) -> dict:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    the standard BFS heuristic): BFS from ``src``, jump to the farthest
+    reached vertex (max depth, tie → smallest id), repeat ``sweeps``
+    times. Deterministic; exact on trees, a tight lower bound in
+    practice. The pivot probe is a per-partition reduce (no O(n) driver
+    pull). Returns {"diameter_lb", "pivot", "ecc_by_sweep"}."""
+    g = graph
+    cur = int(src)
+    best = -1
+    eccs, pivots = [], []
+    for _ in range(max(1, sweeps)):
+        bfs(g, cur, metrics_path=metrics_path)
+        far = g.call_all("bfs_far")
+        ecc = max(r["depth"] for r in far)
+        if ecc < 0:
+            break
+        nxt = min(r["v"] for r in far if r["depth"] == ecc)
+        eccs.append(ecc)
+        pivots.append(nxt)
+        best = max(best, ecc)
+        cur = nxt
+    return {"diameter_lb": best, "pivots": pivots, "ecc_by_sweep": eccs}
+
+
 def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
          multi_level: bool = False, metrics_path: str | None = None):
     """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with

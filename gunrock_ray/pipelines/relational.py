@@ -500,6 +500,24 @@ def q_doc_lm_bits(sf_dir: str):
             pa.int64())})
 
 
+def q_diameter(sf_dir: str):
+    """Double-sweep pseudo-diameter of the undirected derived graph from
+    vertex 0 (graph_algos.pseudo_diameter): emits the diameter lower
+    bound, both sweeps' eccentricities, and the sweep-1 pivot —
+    SQL-checked via two chained recursive-CTE BFS fixpoints."""
+    from gunrock_ray.pipelines.graph_algos import pseudo_diameter
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = pseudo_diameter(g, 0, sweeps=2)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({
+        "diameter_lb": pa.array([out["diameter_lb"]], pa.int64()),
+        "pivot1": pa.array([out["pivots"][0]], pa.int64()),
+        "ecc1": pa.array([out["ecc_by_sweep"][0]], pa.int64()),
+        "ecc2": pa.array([out["ecc_by_sweep"][1]], pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3
@@ -2500,6 +2518,22 @@ ORACLE_SQL: dict[str, str] = {
         "reach(v, l) AS (SELECT v, v FROM verts "
         "  UNION SELECT u.dst, reach.l FROM reach JOIN u ON u.src = reach.v) "
         "SELECT v, MIN(l) AS comp FROM reach GROUP BY v"
+    ),
+    "diameter": (
+        f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "
+        "b1(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"  UNION SELECT u.dst, b1.d + 1 FROM b1 JOIN u ON u.src = b1.v "
+        f"  WHERE b1.d < {EDGE_MOD + 1}), "
+        "d1 AS (SELECT v, MIN(d) AS d FROM b1 GROUP BY v), "
+        "p AS (SELECT v, d FROM d1 ORDER BY d DESC, v ASC LIMIT 1), "
+        "b2(v, d) AS (SELECT (SELECT v FROM p), CAST(0 AS BIGINT) "
+        f"  UNION SELECT u.dst, b2.d + 1 FROM b2 JOIN u ON u.src = b2.v "
+        f"  WHERE b2.d < {EDGE_MOD + 1}), "
+        "d2 AS (SELECT v, MIN(d) AS d FROM b2 GROUP BY v) "
+        "SELECT CAST(GREATEST((SELECT d FROM p), (SELECT MAX(d) FROM d2)) "
+        "AS BIGINT) AS diameter_lb, (SELECT v FROM p) AS pivot1, "
+        "CAST((SELECT d FROM p) AS BIGINT) AS ecc1, "
+        "CAST((SELECT MAX(d) FROM d2) AS BIGINT) AS ecc2"
     ),
     "bfs_depths": (
         f"WITH RECURSIVE n AS ({_NORM_SQL}), "

@@ -1178,6 +1178,18 @@ class GraphPartition:
                 "frontier_out_edges": int(self.out_deg[settled].sum()),
                 "unvisited": int(np.count_nonzero(depth == _BFS_INF))}
 
+    def bfs_far(self) -> dict:
+        """Farthest REACHED vertex of the last BFS in this partition:
+        (max depth, smallest vertex id at that depth) — the double-sweep
+        pseudo-diameter pivot probe (no O(n) driver pull)."""
+        d = self.state["depth"]
+        reached = d < _BFS_INF
+        if not reached.any():
+            return {"depth": -1, "v": -1}
+        m = int(d[reached].max())
+        return {"depth": m,
+                "v": int(self.verts[reached & (d == m)].min())}
+
     def sssp_init(self, src_vertex: int) -> None:
         dist = np.full(len(self.verts), np.inf, dtype=np.float64)
         self._frontier = np.zeros(0, dtype=np.int64)

@@ -257,3 +257,60 @@ def test_sssp_multi_level_requires_delta():
             sssp(g, 0, multi_level=True)
     finally:
         g.shutdown(remove_spill=True)
+
+
+def test_pseudo_diameter_double_sweep():
+    from gunrock_ray.pipelines.graph_algos import pseudo_diameter
+
+    # path graph 0-1-...-9: true diameter 9; sweep 1 from 0 finds ecc 9
+    t = gen.chain(10)
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        out = pseudo_diameter(g, 0)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["diameter_lb"] == 9
+    assert out["pivots"][0] == 9  # farthest from 0
+    assert out["ecc_by_sweep"] == [9, 9]
+
+    # start mid-path: sweep 1 underestimates (ecc 5), sweep 2 recovers 9
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        out = pseudo_diameter(g, 4)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["ecc_by_sweep"] == [5, 9]
+    assert out["diameter_lb"] == 9
+
+
+def test_pseudo_diameter_matches_bruteforce_on_random():
+    from gunrock_ray.pipelines.graph_algos import pseudo_diameter
+
+    rng = np.random.default_rng(6)
+    n = 40
+    e = np.unique(rng.integers(0, n, size=(70, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    import pyarrow as pa
+    t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                  "dst": pa.array(e[:, 1], pa.int64())})
+    g = build_graph(t, num_partitions=3, undirected=True,
+                    vertices=vertices_table(n))
+    try:
+        out = pseudo_diameter(g, 0, sweeps=2)
+    finally:
+        g.shutdown(remove_spill=True)
+    # oracle: replicate the double sweep over symmetric BFS
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    cur, eccs, pivots = 0, [], []
+    for _ in range(2):
+        d = bfs_ref(n, src, dst, cur)
+        reach = d >= 0
+        ecc = int(d[reach].max())
+        nxt = int(np.flatnonzero(reach & (d == ecc)).min())
+        eccs.append(ecc)
+        pivots.append(nxt)
+        cur = nxt
+    assert out["ecc_by_sweep"] == eccs
+    assert out["pivots"] == pivots
+    assert out["diameter_lb"] == max(eccs)
