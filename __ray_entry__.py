@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # pytest-gated bitwise vs oracles)
         "diameter": r.q_diameter,      # SQL-checked (two chained
                                        # recursive-CTE BFS fixpoints)
+        "doc_dsir": r.q_doc_dsir,      # rows-only (two LM trains + Gumbel
+                                       # top-k; pytest-gated)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

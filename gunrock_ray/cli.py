@@ -590,6 +590,21 @@ def cmd_analyze(args) -> dict:
             res = lm.lm_quality_filter(docs, model, max_bits=args.max_bits)
         else:
             res = lm.score_docs_lm(docs, model)
+    elif args.op == "dsir":
+        import pyarrow as pa
+        from gunrock_ray.functions import lm
+        mod = args.dsir_target_mod
+
+        def tslice(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["doc_id"].to_numpy() % mod == 0))
+
+        target = lm.train_ngram_lm(
+            docs.map_batches(tslice, batch_format="pyarrow"),
+            order=args.lm_order, top_k=args.lm_topk)
+        raw = lm.train_ngram_lm(docs, order=args.lm_order,
+                                top_k=args.lm_topk)
+        res = lm.dsir_sample(docs, target, raw, k=args.dsir_k,
+                             seed=args.dsir_seed)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -741,11 +756,15 @@ def main(argv=None) -> None:
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
-                              "lmscore"])
+                              "lmscore", "dsir"])
     ana.add_argument("--lm-order", type=int, default=3)
     ana.add_argument("--lm-topk", type=int, default=100_000)
     ana.add_argument("--max-bits", type=float, default=None,
                      help="--op lmscore: keep docs with bits/token <= this")
+    ana.add_argument("--dsir-target-mod", type=int, default=7,
+                     help="--op dsir: target slice = doc_id %% this == 0")
+    ana.add_argument("--dsir-k", type=int, default=25)
+    ana.add_argument("--dsir-seed", type=int, default=11)
     ana.add_argument("--decontam-mod", type=int, default=None)
     ana.add_argument("--bloom-bits-log2", type=int, default=22)
     ana.add_argument("--seg-sep", default="\n",

@@ -208,3 +208,87 @@ def lm_quality_filter(docs_ds, model: dict, *, max_bits: float,
         return t.filter(pc.less_equal(t["bits"], max_bits))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+class DSIRWeights:
+    """Actor stage: documents → {doc_id, n_tokens, logw} where logw is
+    the DSIR importance log-weight (Xie et al. 2023) under a pair of
+    stupid-backoff LMs: sum over tokens of log10 p_target - log10 p_raw.
+    Both pruned models ship through the object store once per actor."""
+
+    def __init__(self, target_ref=None, raw_ref=None, target=None,
+                 raw=None, alpha: float = 0.4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+        self.target = target if target is not None else ray.get(target_ref)
+        self.raw = raw if raw is not None else ray.get(raw_ref)
+        self.alpha = float(alpha)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        texts = batch[self.text_col].to_pylist()
+        logw = np.zeros(len(ids), np.float64)
+        ntok = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            words = _TOKEN_RE.findall(t) if t is not None else []
+            st, n, _ = _score_tokens(words, self.target, self.alpha)
+            sr, _, _ = _score_tokens(words, self.raw, self.alpha)
+            logw[i] = st - sr
+            ntok[i] = n
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "logw": pa.array(logw, pa.float64())})
+
+
+def dsir_weights(docs_ds, target_model: dict, raw_model: dict, *,
+                 alpha: float = 0.4, text_col: str = "text",
+                 id_col: str = "doc_id", concurrency: int | None = None,
+                 batch_size: int = 256):
+    """DSIR importance log-weights for every document."""
+    import ray
+    return docs_ds.map_batches(
+        DSIRWeights,
+        fn_constructor_kwargs={"target_ref": ray.put(target_model),
+                               "raw_ref": ray.put(raw_model),
+                               "alpha": alpha, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=_default_pool(concurrency),
+        batch_size=batch_size)
+
+
+def dsir_sample(docs_ds, target_model: dict, raw_model: dict, k: int, *,
+                seed: int = 0, temperature: float = 1.0,
+                alpha: float = 0.4, text_col: str = "text",
+                id_col: str = "doc_id",
+                concurrency: int | None = None):
+    """DSIR importance RESAMPLING: Gumbel-top-k over logw/temperature —
+    equivalent to sampling k docs without replacement with probability
+    proportional to exp(logw/T). The Gumbel noise is counter-based
+    (mix64(doc_id ^ seed) → uniform → -log(-log u)), so the draw is
+    deterministic and block-layout-invariant; selection is a per-block
+    partial top-k merged on the driver (k × blocks rows, never the
+    corpus). Returns {doc_id, n_tokens, logw, key} of the k winners,
+    key desc."""
+    from gunrock_ray.common import mix64
+
+    weights = dsir_weights(docs_ds, target_model, raw_model, alpha=alpha,
+                           text_col=text_col, id_col=id_col,
+                           concurrency=concurrency)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        u = (mix64(ids ^ np.uint64(seed)).astype(np.float64) + 1.0) \
+            / np.float64(2.0 ** 64)
+        g = -np.log(-np.log(u))
+        key = t["logw"].to_numpy() / float(temperature) + g
+        t = t.append_column("key", pa.array(key, pa.float64()))
+        order = np.argsort(-key, kind="stable")[:k]
+        return t.take(pa.array(order))
+
+    cand = weights.map_batches(add_key, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", id_col],
+                            ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)

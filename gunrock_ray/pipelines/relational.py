@@ -518,6 +518,37 @@ def q_diameter(sf_dir: str):
         "ecc2": pa.array([out["ecc_by_sweep"][1]], pa.int64())})
 
 
+def q_doc_dsir(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): target LM trained on
+    the doc_id %% 7 == 0 slice, raw LM on the whole corpus, 25 docs drawn
+    by deterministic Gumbel top-k over the importance log-weights
+    (functions/lm.py dsir_sample). Rows-only (two LM trainings + a
+    counter-based draw have no SQL form); tests/test_lm.py gates weights
+    bitwise-ish (1e-12) vs independent oracles plus determinism, layout
+    invariance, and temperature concentration, and
+    test_contract_dsir_selection gates THIS query."""
+    import ray.data
+    from gunrock_ray.functions import lm
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def slice7(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 7 == 0))
+
+    target = lm.train_ngram_lm(docs.map_batches(slice7,
+                                                batch_format="pyarrow"),
+                               order=3, top_k=50_000)
+    raw = lm.train_ngram_lm(docs, order=3, top_k=50_000)
+    out = lm.dsir_sample(docs, target, raw, k=25, seed=11)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
+        "logw_u6": pa.array(
+            np.round(out["logw"].to_numpy() * 1e6).astype(np.int64),
+            pa.int64())})
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3

@@ -96,3 +96,87 @@ def test_contract_query_matches_oracle(ray_session):
         assert int(row["doc_id"]) == int(texts["doc_id"].iloc[i])
         assert int(row["bits_u6"]) == int(round(bits * 1e6))
         assert int(row["n_tokens"]) == n and int(row["oov"]) == oov
+
+
+TARGETISH = ["the cat sat on the mat", "the dog sat on the mat",
+             "a cat and a dog sat together"]
+RAWISH = ["stock prices fell sharply tuesday", "quarterly earnings beat",
+          "bond yields rose on inflation data"]
+
+
+def test_dsir_weights_match_oracle_and_prefer_target():
+    from gunrock_ray.functions.corpus_stats import _TOKEN_RE
+
+    target = lm.train_ngram_lm(_docs(TARGETISH), order=2, top_k=1000)
+    raw = lm.train_ngram_lm(_docs(TARGETISH + RAWISH), order=2,
+                            top_k=1000)
+    held = ["the cat sat on a mat", "bond prices fell tuesday"]
+    out = lm.dsir_weights(_docs(held), target, raw,
+                          concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import math
+    for i, t in enumerate(held):
+        lt, n, _ = oracles.lm_score_ref(t, target)
+        lr, _, _ = oracles.lm_score_ref(t, raw)
+        want = lt * n - lr * n  # refs return per-token means
+        assert math.isclose(out.iloc[i]["logw"], want, rel_tol=1e-12)
+    assert out.iloc[0]["logw"] > out.iloc[1]["logw"]
+
+
+def test_dsir_sample_is_deterministic_and_layout_invariant():
+    target = lm.train_ngram_lm(_docs(TARGETISH), order=2, top_k=1000)
+    raw = lm.train_ngram_lm(_docs(TARGETISH + RAWISH), order=2,
+                            top_k=1000)
+    pool = TARGETISH * 2 + RAWISH * 2
+    a = lm.dsir_sample(_docs(pool), target, raw, k=4, seed=7,
+                       concurrency=2)
+    b = lm.dsir_sample(_docs(pool).repartition(1), target, raw, k=4,
+                       seed=7, concurrency=2)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert len(a) == 4
+    # a different seed redraws the Gumbel noise
+    c = lm.dsir_sample(_docs(pool), target, raw, k=4, seed=8,
+                       concurrency=2)
+    assert list(c["key"]) != list(a["key"])
+    # at low temperature selection concentrates on target-like docs
+    d = lm.dsir_sample(_docs(pool), target, raw, k=4, seed=7,
+                       temperature=1e-6, concurrency=2)
+    assert all(int(i) < len(TARGETISH) * 2 for i in d["doc_id"])
+
+
+def test_contract_dsir_selection(ray_session):
+    """q_doc_dsir is rows-only in the driver contract — its gate: the
+    selection is reproduced from independently-trained oracle models +
+    the documented Gumbel-key recipe."""
+    import duckdb
+
+    from gunrock_ray.common import mix64
+    from gunrock_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    got = r.q_doc_dsir(sf)
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        "ORDER BY doc_id").df()
+    target = oracles.ngram_lm_ref(
+        texts[texts.doc_id % 7 == 0]["text"].tolist(), order=3,
+        top_k=50_000)
+    raw = oracles.ngram_lm_ref(texts["text"].tolist(), order=3,
+                               top_k=50_000)
+    ids = texts["doc_id"].to_numpy().astype(np.uint64)
+    logw = np.zeros(len(ids))
+    for i, t in enumerate(texts["text"]):
+        lt, n, _ = oracles.lm_score_ref(t, target)
+        lr, _, _ = oracles.lm_score_ref(t, raw)
+        logw[i] = (lt - lr) * n
+    u = (mix64(ids ^ np.uint64(11)).astype(np.float64) + 1.0) \
+        / np.float64(2.0 ** 64)
+    key = logw - np.log(-np.log(u))
+    order = np.lexsort((texts["doc_id"].to_numpy(), -key))[:25]
+    want_ids = texts["doc_id"].to_numpy()[order]
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(), want_ids)
+    # weights agree to float tolerance at the 1e-6 integer scale
+    want_u6 = np.round(logw[order] * 1e6).astype(np.int64)
+    diff = np.abs(got["logw_u6"].to_numpy() - want_u6)
+    assert diff.max() <= 1, diff.max()
