@@ -32,14 +32,23 @@ _SEP = " "
 
 
 def train_ngram_lm(docs_ds, *, order: int = 3, top_k: int = 100_000,
-                   text_col: str = "text") -> dict:
+                   text_col: str = "text", prune: str = "block") -> dict:
     """One-pass distributed count training. Returns
     {"order", "alpha"-free counts: "total", "tables": {k: {term: cnt}}}
-    with each order pruned to its ``top_k`` most frequent n-grams."""
+    with each order pruned to its ``top_k`` most frequent n-grams.
+
+    ``prune='block'`` (default): per-block partial top-k candidates merged
+    on the driver — one extra pass of at most top_k × groupby-blocks rows;
+    right up to corpora whose groupby output is hundreds of blocks.
+    ``prune='sort'``: a distributed sort+limit per order — the 100 TB path
+    when top_k × blocks would no longer fit the driver. Both produce the
+    IDENTICAL model (same count-desc/term-asc cut; equality tested)."""
     from ray.data.aggregate import Sum
 
     if order < 1:
         raise ValueError("order >= 1")
+    if prune not in ("block", "sort"):
+        raise ValueError(f"prune={prune!r}; expected 'block' or 'sort'")
 
     def batch_counts(batch: pa.Table) -> pa.Table:
         doc_of, words = _flat_tokens(batch[text_col].to_pylist())
@@ -82,8 +91,29 @@ def train_ngram_lm(docs_ds, *, order: int = 3, top_k: int = 100_000,
         idx = np.concatenate(keep) if keep else np.zeros(0, np.int64)
         return t.take(pa.array(idx))
 
-    cand = summed.map_batches(block_topk,
-                              batch_format="pyarrow").to_pandas()
+    if prune == "sort":
+        # distributed exact top-k per order: one sort+limit each — the
+        # driver only ever sees top_k rows per order
+        summed = summed.materialize()
+        parts = []
+        import pandas as pd
+        for k in range(0, order + 1):
+
+            def only_k(t: pa.Table, _k=k) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.equal(t["k"], _k))
+
+            sel = summed.map_batches(only_k, batch_format="pyarrow")
+            if k == 0:
+                parts.append(sel.to_pandas())
+            else:
+                parts.append(sel.sort(["cnt", "term"],
+                                      descending=[True, False])
+                             .limit(top_k).to_pandas())
+        cand = pd.concat(parts, ignore_index=True)
+    else:
+        cand = summed.map_batches(block_topk,
+                                  batch_format="pyarrow").to_pandas()
     tables: dict[int, dict[str, int]] = {k: {} for k in range(1, order + 1)}
     total = 0
     for k in range(0, order + 1):

@@ -180,3 +180,9 @@ def test_contract_dsir_selection(ray_session):
     want_u6 = np.round(logw[order] * 1e6).astype(np.int64)
     diff = np.abs(got["logw_u6"].to_numpy() - want_u6)
     assert diff.max() <= 1, diff.max()
+
+
+def test_sort_prune_equals_block_prune():
+    a = lm.train_ngram_lm(_docs(CORPUS), order=2, top_k=5, prune="block")
+    b = lm.train_ngram_lm(_docs(CORPUS), order=2, top_k=5, prune="sort")
+    assert a == b
