@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # recursive-CTE BFS fixpoints)
         "doc_dsir": r.q_doc_dsir,      # rows-only (two LM trains + Gumbel
                                        # top-k; pytest-gated)
+        "scc": r.q_scc,                # SQL-checked (transitive-closure
+                                       # mutual-reachability min labels)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

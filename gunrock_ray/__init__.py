@@ -28,6 +28,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     maximal_independent_set,
     pagerank,
     pseudo_diameter,
+    strongly_connected_components,
     random_walks,
     salsa,
     salsa_gunrock,

@@ -134,7 +134,8 @@ def cmd_run(args) -> dict:
                  include_dashboard=False, logging_level="ERROR")
     from gunrock_ray.pipelines import graph_algos as ga
 
-    needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow")
+    needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow",
+                              "scc")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "mis", "coloring", "kcore",
@@ -197,6 +198,10 @@ def cmd_run(args) -> dict:
         out = ga.clustering_coefficients(g)
     elif args.algo == "ktruss":
         out = ga.k_truss(g, args.truss_k, metrics_path=args.metrics)
+    elif args.algo == "scc":
+        out, nscc = ga.strongly_connected_components(
+            g, metrics_path=args.metrics)
+        extra["num_components"] = nscc
     elif args.algo == "diameter":
         r = ga.pseudo_diameter(g, args.src, metrics_path=args.metrics)
         extra.update(diameter_lb=r["diameter_lb"], pivots=r["pivots"],
@@ -676,7 +681,7 @@ def main(argv=None) -> None:
     run.add_argument("--algo", required=True,
                      choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
                               "coloring", "astar", "maxflow", "louvain", "bmatch",
-                              "ktruss", "diameter", "bfs",
+                              "ktruss", "diameter", "scc", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf"])
     run.add_argument("--input", required=True)

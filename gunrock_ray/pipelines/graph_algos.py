@@ -1509,6 +1509,70 @@ def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
     return g.extract("bfs_extract")
 
 
+def strongly_connected_components(graph: DistributedGraph, *,
+                                  canonical: bool = True,
+                                  max_rounds: int | None = None,
+                                  metrics_path: str | None = None):
+    """Strongly connected components — Orzan's coloring algorithm over
+    the directed graph (see `state/partition.py` scc_* kernels). Needs
+    ``with_in_edges=True``. Each round: forward max-color fixpoint over
+    the active subgraph, then a backward sweep from the color roots;
+    every round settles at least every root, and a web-style giant SCC
+    settles in round one. ``canonical=True`` relabels components to
+    their MIN member vertex id (one Ray Data groupby + hash join) so
+    results are partition-independent and SQL-comparable. Returns
+    (Dataset {v, scc}, num_components)."""
+    g = graph
+    if not g.with_in_edges:
+        raise ValueError(
+            "strongly_connected_components requires with_in_edges=True")
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("scc_init")
+    cap = max_rounds if max_rounds is not None else max(64, int(g.n))
+    for rnd in range(cap):
+        active = sum(g.call_all("scc_round_init"))
+        if active == 0:
+            break
+        it = 0
+        while True:
+            res, _ = g.superstep("scc_color_scatter", "scc_color_apply")
+            it += 1
+            if sum(r["changed"] for r in res) == 0:
+                break
+        roots = sum(g.call_all("scc_root_start"))
+        claimed = roots
+        while True:
+            res, _ = g.superstep("scc_back_scatter", "scc_back_apply")
+            c = sum(r["claimed"] for r in res)
+            claimed += c
+            if c == 0:
+                break
+        metrics.write(algo="scc", superstep=rnd, frontier=active,
+                      color_iters=it, roots=roots, claimed=claimed)
+    metrics.close()
+    out = g.extract("scc_extract")
+    if canonical:
+        from gunrock_ray.functions.joins import hash_join
+
+        def as_g(t: pa.Table) -> pa.Table:
+            return pa.table({"g_scc": t["scc"], "g_min": t["min(v)"]})
+
+        mins = out.groupby("scc").min("v").map_batches(
+            as_g, batch_format="pyarrow")
+        out = hash_join(out, mins, on="scc", right_on="g_scc").map_batches(
+            lambda t: pa.table({"v": t["v"], "scc": t["g_min"]}),
+            batch_format="pyarrow")
+    out = out.materialize()
+    ncomp = out.map_batches(_scc_uniq, batch_format="pyarrow") \
+        .groupby("scc").count().count()
+    return out, int(ncomp)
+
+
+def _scc_uniq(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return pa.table({"scc": pc.unique(t["scc"])})
+
+
 def pseudo_diameter(graph: DistributedGraph, src: int = 0, *,
                     sweeps: int = 2, metrics_path: str | None = None) -> dict:
     """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —

@@ -549,6 +549,21 @@ def q_doc_dsir(sf_dir: str):
             pa.int64())})
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED derived graph
+    (graph_algos.strongly_connected_components, Orzan coloring),
+    canonical min-member labels — SQL-checked against the transitive
+    closure: scc(v) = LEAST(v, MIN(w : v->*w AND w->*v))."""
+    from gunrock_ray.pipelines.graph_algos import (
+        strongly_connected_components)
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        ds, _ = strongly_connected_components(g)
+        return ds.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_sgm_tri_cycle(sf_dir: str):
     """Subgraph matching (road map item, functions/graph_match.py): count
     of directed 3-cycles, symmetry-broken with v0 = min (each cycle's 3
@@ -2549,6 +2564,17 @@ ORACLE_SQL: dict[str, str] = {
         "reach(v, l) AS (SELECT v, v FROM verts "
         "  UNION SELECT u.dst, reach.l FROM reach JOIN u ON u.src = reach.v) "
         "SELECT v, MIN(l) AS comp FROM reach GROUP BY v"
+    ),
+    "scc": (
+        f"WITH RECURSIVE n AS MATERIALIZED ({_NORM_SQL}), "
+        "verts AS (SELECT DISTINCT v FROM "
+        "  (SELECT src AS v FROM n UNION SELECT dst FROM n)), "
+        "r(a, b) AS (SELECT src, dst FROM n "
+        "  UNION SELECT r.a, n.dst FROM r JOIN n ON n.src = r.b) "
+        "SELECT v.v, LEAST(v.v, COALESCE(MIN(x.b), v.v)) AS scc "
+        "FROM verts v LEFT JOIN (SELECT f.a, f.b FROM r f "
+        "  JOIN r g ON g.a = f.b AND g.b = f.a) x ON x.a = v.v "
+        "GROUP BY v.v ORDER BY v.v"
     ),
     "diameter": (
         f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "

@@ -2554,3 +2554,97 @@ class GraphPartition:
                          "dst": pa.array(b2[starts], pa.int64()),
                          "w": pa.array(np.add.reduceat(w[order], starts),
                                        pa.float64())})
+
+    # -------------------------- strongly connected components (coloring)
+    # Orzan's coloring SCC (also the Pregel-style FB-coloring hybrid,
+    # published in "Distributed algorithms for SCC decomposition"):
+    # each round over the ACTIVE (unassigned) subgraph: (A) forward
+    # max-propagation — color[v] converges to the max active vertex id
+    # that reaches v; (B) every color root r (color[r] == r) claims its
+    # SCC by a backward sweep over in-edges restricted to color == r
+    # (v is in SCC(r) iff r reaches v — the color — AND v reaches r —
+    # the backward sweep). Every round settles at least all roots, and
+    # directed link graphs settle their giant SCC in round 1. Needs the
+    # in-CSC (with_in_edges=True).
+
+    def scc_init(self) -> None:
+        self.state["scc"] = np.full(len(self.verts), -1, np.int64)
+        self.state["color"] = self.verts.copy()
+
+    def scc_round_init(self) -> int:
+        """New round: reset colors of active vertices to their own id;
+        frontier = all active (they all must announce their color)."""
+        active = self.state["scc"] == -1
+        self.state["color"][active] = self.verts[active]
+        self._frontier = np.flatnonzero(active)
+        return int(len(self._frontier))
+
+    @_scatter_timed
+    def scc_color_scatter(self):
+        src_li, dst, _ = self._frontier_edges()
+        return self._pack_combined(dst, self.state["color"][src_li], "max")
+
+    @_apply_timed
+    def scc_color_apply(self, *packs) -> dict:
+        color = self.state["color"]
+        active = self.state["scc"] == -1
+        changed: list[np.ndarray] = []
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                up = active[li] & (vals > color[li])
+                color[li[up]] = vals[up]
+                changed.append(li[up])
+        f = np.unique(np.concatenate(changed)) if changed else _EMPTY_I8
+        self._frontier = f
+        return {"changed": int(len(f))}
+
+    def scc_root_start(self) -> int:
+        """Roots claim themselves; they seed the backward sweep."""
+        scc = self.state["scc"]
+        roots = np.flatnonzero((scc == -1)
+                               & (self.state["color"] == self.verts))
+        scc[roots] = self.verts[roots]
+        self._frontier = roots
+        return int(len(roots))
+
+    @_scatter_timed
+    def scc_back_scatter(self):
+        """Frontier (claimed this phase) notifies IN-neighbors of its
+        root id (reverse traversal: u -> v edge means u can reach v)."""
+        starts = self.in_row_offsets[self._frontier]
+        lens = self.in_deg[self._frontier]
+        nbrs = _ragged_gather(self.in_col_indices, starts, lens)
+        roots = np.repeat(self.state["scc"][self._frontier], lens)
+        if len(nbrs) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        # combine to DISTINCT (nbr, root) pairs — a max/min combine could
+        # drop the one root id the receiver's color actually matches
+        o = np.lexsort((roots, nbrs))
+        n2, r2 = nbrs[o], roots[o]
+        first = np.ones(len(n2), bool)
+        first[1:] = (n2[1:] != n2[:-1]) | (r2[1:] != r2[:-1])
+        return self._pack(n2[first], r2[first])
+
+    @_apply_timed
+    def scc_back_apply(self, *packs) -> dict:
+        scc = self.state["scc"]
+        color = self.state["color"]
+        got: list[np.ndarray] = []
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                ok = (scc[li] == -1) & (color[li] == vals)
+                scc[li[ok]] = vals[ok]
+                got.append(li[ok])
+        f = np.unique(np.concatenate(got)) if got else _EMPTY_I8
+        self._frontier = f
+        return {"claimed": int(len(f))}
+
+    def scc_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "scc": pa.array(self.state["scc"], pa.int64())})

@@ -569,3 +569,57 @@ def lm_score_ref(text, model, alpha=0.4):
         s += math.log10(p)
     n = len(words)
     return (s / n if n else 0.0), n, oov
+
+
+def scc_ref(n, src, dst):
+    """Iterative Tarjan SCC; returns per-vertex MIN member id of its
+    strongly connected component."""
+    adj = [[] for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[int(u)].append(int(v))
+    index = [-1] * n
+    low = [0] * n
+    on = [False] * n
+    stack = []
+    comp = np.arange(n, dtype=np.int64)
+    counter = [0]
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return comp

@@ -1,0 +1,73 @@
+"""Strongly connected components (Orzan coloring) vs iterative Tarjan."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                               strongly_connected_components)
+from tests import oracles
+from tests.helpers import dense_result, vertices_table
+
+
+def _check(t: pa.Table, n: int, partitions=3):
+    g = build_graph(t, num_partitions=partitions, with_in_edges=True,
+                    vertices=vertices_table(n))
+    try:
+        ds, ncomp = strongly_connected_components(g)
+        got = dense_result(ds, n, "scc", np.int64)
+    finally:
+        g.shutdown(remove_spill=True)
+    want = oracles.scc_ref(n, t["src"].to_numpy(), t["dst"].to_numpy())
+    np.testing.assert_array_equal(got, want)
+    assert ncomp == len(np.unique(want))
+    return got, ncomp
+
+
+def test_two_cycles_and_a_bridge():
+    # cycle {0,1,2} -> cycle {3,4} -> sink 5
+    t = pa.table({"src": pa.array([0, 1, 2, 2, 3, 4, 4], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3, 4, 3, 5], pa.int64())})
+    got, ncomp = _check(t, 6, partitions=2)
+    assert ncomp == 3
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+
+
+def test_random_digraphs_match_tarjan():
+    for seed in (1, 5, 12):
+        rng = np.random.default_rng(seed)
+        n, m = 50, 160
+        e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+        t = pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                      "dst": pa.array(e[:, 1], pa.int64())})
+        _check(t, n, partitions=4)
+
+
+def test_dag_is_all_singletons():
+    t = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 3], pa.int64())})
+    got, ncomp = _check(t, 4, partitions=2)
+    assert ncomp == 4
+    np.testing.assert_array_equal(got, np.arange(4))
+
+
+def test_one_giant_cycle():
+    n = 30
+    t = pa.table({"src": pa.array(np.arange(n), pa.int64()),
+                  "dst": pa.array((np.arange(n) + 1) % n, pa.int64())})
+    got, ncomp = _check(t, n, partitions=3)
+    assert ncomp == 1
+    assert set(got) == {0}
+
+
+def test_requires_in_edges():
+    import pytest
+    from gunrock_ray.sources import generators as gen
+    t = gen.chain(4)
+    g = build_graph(t, num_partitions=2)
+    try:
+        with pytest.raises(ValueError, match="with_in_edges"):
+            strongly_connected_components(g)
+    finally:
+        g.shutdown(remove_spill=True)
