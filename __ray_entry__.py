@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # top-k; pytest-gated)
         "scc": r.q_scc,                # SQL-checked (transitive-closure
                                        # mutual-reachability min labels)
+        "katz5": r.q_katz5,            # SQL-checked (unrolled Katz iteration
+                                       # at the 1e-6 integer scale)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

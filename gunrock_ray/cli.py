@@ -230,6 +230,10 @@ def cmd_run(args) -> dict:
         out = ga.sssp(g, args.src, delta=args.nf_delta,
                       multi_level=args.multi_level,
                       metrics_path=args.metrics)
+    elif args.algo == "katz":
+        out = ga.katz_centrality(g, alpha=args.katz_alpha,
+                                 max_iter=args.max_iter,
+                                 metrics_path=args.metrics)
     elif args.algo == "hits":
         out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
     elif args.algo == "hits_gr":
@@ -683,7 +687,8 @@ def main(argv=None) -> None:
                               "coloring", "astar", "maxflow", "louvain", "bmatch",
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",
-                              "hits", "hits_gr", "salsa", "bc", "wtf"])
+                              "hits", "hits_gr", "salsa", "bc", "wtf",
+                              "katz"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -710,6 +715,8 @@ def main(argv=None) -> None:
                      help="SSSP: multi-level bucket queue (needs --nf-delta)")
     run.add_argument("--truss-k", type=int, default=3,
                      help="k for --algo ktruss")
+    run.add_argument("--katz-alpha", type=float, default=0.05,
+                     help="attenuation for --algo katz (< 1/lambda_max)")
     run.add_argument("--nf-delta", type=float, default=None)
     run.add_argument("--error", type=float, default=0.01)
     run.add_argument("--max-iter", type=int, default=50)

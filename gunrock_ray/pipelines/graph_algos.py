@@ -379,6 +379,32 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     return out.sort(["rank", "v"], descending=[True, False])
 
 
+def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
+                    beta: float = 1.0, max_iter: int = 20, tol: float = 0.0,
+                    metrics_path: str | None = None):
+    """Katz centrality — x_{t+1}[v] = beta + alpha·Σ_{u→v} x_t[u], x_0 = beta
+    (attenuated path counting; the third member of the PR/HITS eigen-family,
+    run over the same static out-push plan as :func:`pagerank`). ``alpha``
+    must be < 1/λ_max for convergence; with ``tol=0`` the loop runs exactly
+    ``max_iter`` supersteps (the SQL-checkable fixed-iteration form —
+    relational._katz_sql unrolls the identical update). Returns a Dataset
+    {v, katz} sorted (katz desc, v asc)."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("kz_init", alpha, beta, tol)
+    g.register_push("out")
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("kz_scatter", "kz_apply")
+        updated = sum(r["updated"] for r in res)
+        metrics.write(algo="katz", superstep=it, changed=updated,
+                      t_superstep_s=time.perf_counter() - t0)
+        if updated == 0:
+            break
+    metrics.close()
+    return g.extract("kz_extract").sort(["katz", "v"], descending=[True, False])
+
+
 # ------------------------------------------------- Connected components (CC)
 
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,

@@ -645,6 +645,21 @@ def q_pr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_katz5(sf_dir: str):
+    """Katz centrality, exactly 5 supersteps (tol=0), alpha=0.05, beta=1 —
+    SQL-checked against the unrolled DuckDB iteration at the 1e-6 integer
+    scale (same floor(x*1e6+0.5) on both sides; sum-order noise ~1e-14)."""
+    from gunrock_ray.pipelines.graph_algos import katz_centrality
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = katz_centrality(g, alpha=0.05, beta=1.0, max_iter=5,
+                             tol=0.0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["katz_u6"] = np.floor(df["katz"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "katz_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_hits8(sf_dir: str):
     """HITS, exactly 8 iterations (tol=0), hub/auth L2-normalized per
     iteration, scaled to 1e-6 integers — SQL-checked against the unrolled
@@ -1558,6 +1573,26 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True,
     for i in range(1, iters + 1):
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(final)
+    return "".join(parts)
+
+
+def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled Katz iteration reproducing graph_algos.katz_centrality's
+    exact update (x_0 = beta; x_{t+1} = beta + alpha*Σ_{u→v} x_t[u]) at the
+    1e-6 integer scale."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        f"r0 AS (SELECT v, {beta} AS x FROM verts)",
+    ]
+    step = (f", r{{i}} AS MATERIALIZED (SELECT verts.v, "
+            f"{beta} + {alpha}*COALESCE(m.s, 0) AS x FROM verts LEFT JOIN "
+            f"(SELECT e.dst AS v, SUM(p.x) AS s FROM e JOIN r{{prev}} p "
+            f"ON p.v = e.src GROUP BY e.dst) m ON m.v = verts.v)")
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
+                 f"AS katz_u6 FROM r{iters}")
     return "".join(parts)
 
 
@@ -2508,6 +2543,7 @@ ORACLE_SQL: dict[str, str] = {
     "lp_labels": _lp_sql(20),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
+    "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
     # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
     # integer scale both sides rank by (ties → v)

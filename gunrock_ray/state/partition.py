@@ -647,6 +647,38 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "rank": pa.array(self.state["rank"], pa.float64())})
 
+    # ------------------------------------------------------ Katz centrality
+    # Katz (1953) path-counting centrality — beyond the fork's app list but
+    # the natural third member of the PR/HITS/SALSA eigen-family and built on
+    # the SAME static out-push plan: x_{t+1}[v] = beta + alpha*Σ_{u→v} x_t[u],
+    # x_0 = beta (so T iterations count attenuated paths of length ≤ T).
+    # Fixed iterations unroll to an exact SQL oracle (relational._katz_sql)
+    # at the 1e-6 integer scale, like pr10/hits8.
+
+    def kz_init(self, alpha: float, beta: float, tol: float) -> None:
+        self.prepare_push_plan("out")
+        self.state["katz"] = np.full(len(self.verts), beta, dtype=np.float64)
+        self._kz_alpha = alpha
+        self._kz_beta = beta
+        self._kz_tol = tol
+
+    @_scatter_timed
+    def kz_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["katz"], "out")
+
+    @_apply_timed
+    def kz_apply(self, *val_packs) -> dict:
+        nxt = self._static_apply_sum(val_packs, "out")
+        old = self.state["katz"]
+        new = self._kz_beta + self._kz_alpha * nxt
+        updated = int(np.count_nonzero(np.abs(new - old) > self._kz_tol))
+        self.state["katz"] = new
+        return {"updated": updated, "msgs": int(len(self.col_indices))}
+
+    def kz_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "katz": pa.array(self.state["katz"], pa.float64())})
+
     # --------------------------------------------- Connected components (CC)
     # Soman hook-and-compress (SURVEY.md §2.5; semantics from
     # gunrock/app/cc/cc_functor.cuh + cc_enactor.cuh:296-762). Labels only

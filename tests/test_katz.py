@@ -1,0 +1,65 @@
+"""Katz centrality vs a dense NumPy iteration oracle (exact fixed-iteration
+form; x_0 = beta, x_{t+1} = beta + alpha * A^T x_t)."""
+
+import numpy as np
+
+from gunrock_ray.pipelines.graph_algos import build_graph, katz_centrality
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, vertices_table
+from tests.oracles import normalize_oracle
+
+
+def katz_ref(n, src, dst, *, alpha, beta, iters):
+    x = np.full(n, beta, dtype=np.float64)
+    for _ in range(iters):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, x[src])
+        x = beta + alpha * nxt
+    return x
+
+
+def run_katz(table, n, *, alpha=0.05, beta=1.0, iters=8, P=4):
+    g = build_graph(table, num_partitions=P, vertices=vertices_table(n))
+    try:
+        out = katz_centrality(g, alpha=alpha, beta=beta, max_iter=iters, tol=0.0)
+        got = dense_result(out, n, "katz")
+    finally:
+        g.shutdown(remove_spill=True)
+    src, dst = normalize_oracle(*edges_np(table))
+    return got, katz_ref(n, src, dst, alpha=alpha, beta=beta, iters=iters)
+
+
+def test_katz_chain():
+    t = gen.chain(16)
+    got, want = run_katz(t, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_katz_rmat():
+    t = gen.rmat_table(7, edge_factor=8)
+    got, want = run_katz(t, 128 + 10, iters=12, alpha=0.02, beta=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_katz_star_hot_dst():
+    import pyarrow as pa
+    s = gen.star(150)
+    rev = pa.table({"src": s["dst"], "dst": s["src"]})
+    got, want = run_katz(pa.concat_tables([s, rev]), 150, iters=6)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_katz_tol_convergence():
+    # alpha far below 1/λmax: with a tolerance the loop stops early and the
+    # result matches a long fixed-iteration run to that tolerance
+    t = gen.rmat_table(6, edge_factor=8)
+    n = 64
+    g = build_graph(t, num_partitions=4, vertices=vertices_table(n))
+    try:
+        out = katz_centrality(g, alpha=0.01, beta=1.0, max_iter=200, tol=1e-13)
+        got = dense_result(out, n, "katz")
+    finally:
+        g.shutdown(remove_spill=True)
+    src, dst = normalize_oracle(*edges_np(t))
+    want = katz_ref(n, src, dst, alpha=0.01, beta=1.0, iters=200)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
