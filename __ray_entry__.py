@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # mutual-reachability min labels)
         "katz5": r.q_katz5,            # SQL-checked (unrolled Katz iteration
                                        # at the 1e-6 integer scale)
+        "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
+                                       # Adamic-Adar link-prediction scores)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

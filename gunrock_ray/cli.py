@@ -138,6 +138,7 @@ def cmd_run(args) -> dict:
                               "scc")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
+                                                  "edgesim",
                                                   "mis", "coloring", "kcore",
                                                   "ktruss", "louvain",
                                                   "diameter")
@@ -196,6 +197,8 @@ def cmd_run(args) -> dict:
         out = None
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
+    elif args.algo == "edgesim":
+        out = ga.edge_similarity(g)
     elif args.algo == "ktruss":
         out = ga.k_truss(g, args.truss_k, metrics_path=args.metrics)
     elif args.algo == "scc":
@@ -683,7 +686,7 @@ def main(argv=None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
-                     choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "mis",
+                     choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "edgesim", "mis",
                               "coloring", "astar", "maxflow", "louvain", "bmatch",
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",

@@ -697,6 +697,31 @@ def clustering_coefficients(graph: DistributedGraph,
     return g.extract("lcc_extract")
 
 
+def edge_similarity(graph: DistributedGraph,
+                    probe_chunk: int | None = None):
+    """Per-edge neighborhood-similarity scores — common-neighbor count,
+    Jaccard and Adamic–Adar for every undirected edge (the classic
+    link-prediction features, Liben-Nowell & Kleinberg 2003) — over the
+    SAME degree-orientation + chunked-intersection machinery as
+    :func:`triangle_count`: one probe pass (= one k-truss round) plus one
+    degree lookup for remote corners; each intersection hit credits the two
+    local edges directly and routes the third edge's (count, weight) to its
+    owner in one combined pack. Graph must be built undirected. Returns a
+    Dataset {u, v, cn, jaccard, aa} with u < v, one row per edge."""
+    g = graph
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    reqs = [a.tc_adj_request.remote() for a in g.actors]
+    replies = [a.tc_serve_adjacency_packed.remote(*reqs) for a in g.actors]
+    deg_reqs = [a.es_prep.remote(*replies) for a in g.actors]
+    deg_replies = [a.serve_degrees_packed.remote(*deg_reqs)
+                   for a in g.actors]
+    credit_packs = [a.es_probe.remote(*deg_replies) for a in g.actors]
+    ray.get([a.es_apply.remote(*credit_packs) for a in g.actors])
+    return g.extract("es_extract")
+
+
 def maximal_independent_set(graph: DistributedGraph, seed: int = 0,
                             metrics_path: str | None = None):
     """Deterministic Luby maximal independent set — the reference road

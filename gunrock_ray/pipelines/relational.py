@@ -123,6 +123,22 @@ def q_lcc(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def q_edge_sim(sf_dir: str):
+    """Per-edge link-prediction scores (graph_algos.edge_similarity): exact
+    common-neighbor count, Jaccard (one IEEE division of exact integers —
+    bit-exact vs SQL) and Adamic-Adar at the 1e-6 integer scale (float
+    sum-order noise ~1e-15)."""
+    from gunrock_ray.pipelines.graph_algos import edge_similarity
+    g = _graph(sf_dir, undirected=True)
+    try:
+        df = edge_similarity(g).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["aa_u6"] = np.floor(df["aa"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["u", "v", "cn", "jaccard", "aa_u6"]] \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_mis(sf_dir: str):
     """Deterministic Luby maximal independent set, SQL-checked: engine
     rounds vs the identical update unrolled in DuckDB to a verified
@@ -2590,6 +2606,24 @@ ORACLE_SQL: dict[str, str] = {
         "ELSE 2.0*COALESCE(tv.tri, 0)/(deg.d*(deg.d-1)) END AS lcc "
         "FROM verts LEFT JOIN tv ON tv.v = verts.v "
         "LEFT JOIN deg ON deg.v = verts.v"
+    ),
+    "edge_sim": (
+        f"WITH e AS MATERIALIZED ({_SYM_SQL}), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "pairs AS (SELECT src AS u, dst AS v FROM e WHERE src < dst), "
+        "tri AS (SELECT p.u, p.v, x.dst AS w FROM pairs p "
+        "        JOIN e x ON x.src = p.u "
+        "        JOIN e y ON y.src = p.v AND y.dst = x.dst), "
+        "agg AS (SELECT tri.u, tri.v, COUNT(*) AS cn, "
+        "        SUM(1.0/LN(d.d)) AS aa "
+        "        FROM tri JOIN deg d ON d.v = tri.w GROUP BY tri.u, tri.v) "
+        "SELECT p.u, p.v, CAST(COALESCE(a.cn, 0) AS BIGINT) AS cn, "
+        "CAST(COALESCE(a.cn, 0) AS DOUBLE)/(du.d + dv.d - COALESCE(a.cn, 0)) "
+        "AS jaccard, "
+        "CAST(FLOOR(COALESCE(a.aa, 0)*1000000 + 0.5) AS BIGINT) AS aa_u6 "
+        "FROM pairs p JOIN deg du ON du.v = p.u JOIN deg dv ON dv.v = p.v "
+        "LEFT JOIN agg a ON a.u = p.u AND a.v = p.v"
     ),
     "mis": _mis_sql(),
     "coloring": _coloring_sql(),

@@ -1909,6 +1909,153 @@ class GraphPartition:
                          "dst": pa.array(self._tc_cols, pa.int64()),
                          "support": pa.array(self._truss_sup, pa.int64())})
 
+    # --------------------------- edge similarity (Jaccard / Adamic-Adar)
+    # Per-edge neighborhood-similarity scores over the symmetrized graph —
+    # the classic link-prediction features (Liben-Nowell & Kleinberg 2003):
+    # for every undirected edge (u,v):
+    #   cn      = |N(u) ∩ N(v)|                (= triangles through the edge)
+    #   jaccard = cn / (deg u + deg v − cn)    (one IEEE division of ints)
+    #   aa      = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)   (Adamic–Adar 2003)
+    # Rides the TC degree-orientation + chunked-intersection machinery (one
+    # probe pass = one k-truss round) plus ONE degree lookup for remote
+    # corners. A hit is a triangle with oriented corners u→v, u→c, (v,c):
+    # edge (u,v) gains corner c's weight, edge (u,c) gains corner v's,
+    # and (v,c) — owned by v — receives corner u's weight in one combined
+    # (v, c, cnt, w) credit pack. A triangle corner always has deg ≥ 2,
+    # so 1/ln(deg) is finite everywhere it is used.
+
+    def es_prep(self, *reply_packs):
+        """Consume the adjacency replies (stash the probe setup) and emit a
+        degree request covering every id a probe or credit can touch."""
+        setup = self._tc_probe_setup(reply_packs)
+        self._es_setup = setup
+        m = len(self._tc_cols)
+        self._es_cn = np.zeros(m, np.int64)
+        self._es_aa = np.zeros(m, np.float64)
+        if setup is None:
+            ids = _EMPTY_I8
+        else:
+            flat_id = setup[6]
+            ids = np.unique(np.concatenate([self._tc_cols, flat_id]))
+        self._pending["es_deg"] = ids
+        return self._pack(ids)
+
+    def es_probe(self, *deg_replies):
+        """Chunked intersection crediting counts AND inverse-log corner
+        weights; returns one combined (v, c, cnt, w) pack for the remote
+        (v,c) edges."""
+        ids = self._pending.pop("es_deg")
+        dvals = self._reply_mine(deg_replies)
+        if len(ids):
+            own = self._owner(ids)
+            order = np.argsort(own, kind="stable")
+            back = np.empty(len(ids), dtype=np.int64)
+            back[order] = np.arange(len(ids))
+            dvals = dvals[back]          # aligned with ids (id-sorted)
+        self._es_deg_ids = ids           # kept for es_extract's deg(v)
+        self._es_degs = dvals
+        setup = self._es_setup
+        self._es_setup = None
+        if setup is None:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8,
+                              np.zeros(0, np.float64))
+        dic, L, key_sorted, vpos, e_lens, u_dic, flat_id, fstarts = setup
+        key_unsorted = u_dic * L + np.searchsorted(dic, self._tc_cols)
+        key_order = np.argsort(key_unsorted)
+        # corner weights: by request id (remote v / c) and by dic slot (local u)
+        w_req = np.zeros(len(ids), np.float64)
+        nz = dvals > 1
+        w_req[nz] = 1.0 / np.log(dvals[nz].astype(np.float64))
+        w_dic = np.zeros(L, np.float64)
+        wl = np.zeros(len(self.verts), np.float64)
+        nzl = self.out_deg > 1
+        wl[nzl] = 1.0 / np.log(self.out_deg[nzl].astype(np.float64))
+        w_dic[np.searchsorted(dic, self.verts)] = wl
+        cum = np.cumsum(e_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        rv_parts, rc_parts, rw_parts = [], [], []
+        a = 0
+        while a < len(e_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(e_lens))
+            el = e_lens[a:b]
+            probe_c = _ragged_gather(flat_id, fstarts[vpos[a:b]], el)
+            probe_u = np.repeat(u_dic[a:b], el)
+            probe_v = np.repeat(self._tc_cols[a:b], el)
+            probe_e = np.repeat(np.arange(a, b, dtype=np.int64), el)
+            probe_key = probe_u * L + np.searchsorted(dic, probe_c)
+            pos = np.searchsorted(key_sorted, probe_key)
+            pos[pos >= len(key_sorted)] = max(len(key_sorted) - 1, 0)
+            hit = key_sorted[pos] == probe_key
+            if hit.any():
+                c_hit, v_hit = probe_c[hit], probe_v[hit]
+                e_hit = probe_e[hit]
+                slot = key_order[pos[hit]]
+                np.add.at(self._es_cn, e_hit, 1)           # edge (u,v)
+                np.add.at(self._es_aa, e_hit,
+                          w_req[np.searchsorted(ids, c_hit)])
+                np.add.at(self._es_cn, slot, 1)            # edge (u,c)
+                np.add.at(self._es_aa, slot,
+                          w_req[np.searchsorted(ids, v_hit)])
+                rv_parts.append(v_hit)                     # edge (v,c)
+                rc_parts.append(c_hit)
+                rw_parts.append(w_dic[probe_u[hit]])
+            a = b
+        if not rv_parts:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8,
+                              np.zeros(0, np.float64))
+        rv = np.concatenate(rv_parts)
+        rc = np.concatenate(rc_parts)
+        rw = np.concatenate(rw_parts)
+        o = np.lexsort((rc, rv))
+        rv, rc, rw = rv[o], rc[o], rw[o]
+        bnd = np.ones(len(rv), bool)
+        bnd[1:] = (rv[1:] != rv[:-1]) | (rc[1:] != rc[:-1])
+        st = np.flatnonzero(bnd)
+        cnt = np.diff(np.append(st, len(rv))).astype(np.int64)
+        wsum = np.add.reduceat(rw, st)
+        return self._pack(rv[st], rc[st], cnt, wsum)
+
+    def es_apply(self, *packs) -> int:
+        """Fold remote (v, c, cnt, w) credits into the local per-edge
+        accumulators (same dense-key edge lookup as truss_apply; no pruning
+        here, so every credit finds its edge)."""
+        vs, cs, cnts, ws = self._unpack_all(packs, cols=(0, 1, 2, 3))
+        if len(vs):
+            u = np.unique(self._tc_cols)
+            code = np.minimum(np.searchsorted(u, cs), max(len(u) - 1, 0))
+            rows = np.diff(self._tc_offsets)
+            rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                               rows)
+            ekey = (rowrep << np.int64(31)) | np.searchsorted(
+                u, self._tc_cols)
+            q = (self._lidx(vs) << np.int64(31)) | code
+            pos, ok = self._mf_find(ekey, q)
+            np.add.at(self._es_cn, pos[ok], cnts[ok])
+            np.add.at(self._es_aa, pos[ok], ws[ok])
+        return int(self._es_cn.sum())
+
+    def es_extract(self) -> pa.Table:
+        """{u, v, cn, jaccard, aa} with u < v canonical — one row per
+        undirected edge. deg(tail) is local; deg(head) comes from the
+        es_probe degree fetch."""
+        rows = np.diff(self._tc_offsets)
+        rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64), rows)
+        su = self.verts[rowrep]
+        sv = self._tc_cols
+        du = self.out_deg[rowrep]
+        dv = (self._es_degs[np.searchsorted(self._es_deg_ids, sv)]
+              if len(sv) else np.zeros(0, np.int64))
+        cn = self._es_cn
+        denom = (du + dv - cn).astype(np.float64)
+        jac = cn.astype(np.float64) / denom   # denom >= 2 always (v ∈ N(u))
+        return pa.table({"u": pa.array(np.minimum(su, sv), pa.int64()),
+                         "v": pa.array(np.maximum(su, sv), pa.int64()),
+                         "cn": pa.array(cn, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64()),
+                         "aa": pa.array(self._es_aa, pa.float64())})
+
     # ------------------------------------- maximal independent set (Luby)
     # Deterministic Luby MIS (reference road map `doc/road_map.md:17`):
     # priority p(v) = mix64(v ^ seed) — a BIJECTION on uint64, so priorities

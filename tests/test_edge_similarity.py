@@ -1,0 +1,75 @@
+"""edge_similarity (per-edge cn / Jaccard / Adamic-Adar) vs a brute-force
+set oracle."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import build_graph, edge_similarity
+from gunrock_ray.sources import generators as gen
+
+
+def brute(src, dst, n):
+    adj = {i: set() for i in range(n)}
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    rows = []
+    for u in range(n):
+        for v in sorted(adj[u]):
+            if v <= u:
+                continue
+            cnset = adj[u] & adj[v]
+            cn = len(cnset)
+            jac = cn / (len(adj[u]) + len(adj[v]) - cn)
+            aa = sum(1.0 / math.log(len(adj[w])) for w in cnset)
+            rows.append((u, v, cn, jac, aa))
+    return pd.DataFrame(rows, columns=["u", "v", "cn", "jaccard", "aa"])
+
+
+def run(table, n, P=4, probe_chunk=None):
+    g = build_graph(table, num_partitions=P, undirected=True)
+    try:
+        out = edge_similarity(g, probe_chunk=probe_chunk).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    out = out.sort_values(["u", "v"]).reset_index(drop=True)
+    src, dst = table["src"].to_numpy(), table["dst"].to_numpy()
+    want = brute(src, dst, n)
+    assert len(out) == len(want)
+    pd.testing.assert_frame_equal(out[["u", "v", "cn"]],
+                                  want[["u", "v", "cn"]])
+    np.testing.assert_allclose(out["jaccard"], want["jaccard"], rtol=1e-12)
+    np.testing.assert_allclose(out["aa"], want["aa"], rtol=1e-12)
+
+
+def test_es_random():
+    rng = np.random.default_rng(7)
+    t = pa.table({"src": pa.array(rng.integers(0, 80, 600), pa.int64()),
+                  "dst": pa.array(rng.integers(0, 80, 600), pa.int64())})
+    run(t, 80)
+
+
+def test_es_clique_plus_chain():
+    # K6 (every edge: cn=4, jaccard=4/6) glued to a chain (cn=0)
+    k = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    ch = [(5 + i, 6 + i) for i in range(6)]
+    e = k + ch
+    t = pa.table({"src": pa.array([a for a, _ in e], pa.int64()),
+                  "dst": pa.array([b for _, b in e], pa.int64())})
+    run(t, 12)
+
+
+def test_es_rmat_chunked_probe():
+    # tiny probe chunk exercises the chunk boundary paths
+    t = gen.rmat_table(7, edge_factor=8)
+    run(t, 128, P=5, probe_chunk=64)
+
+
+def test_es_triangle_free():
+    # star has no triangles: cn=0, aa=0 everywhere; jaccard = 0
+    t = gen.star(30)
+    run(t, 30)
