@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # at the 1e-6 integer scale)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
+        "msf": r.q_msf,                # rows-only (Boruvka forest; pytest-
+                                       # gated edge-for-edge vs Kruskal)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

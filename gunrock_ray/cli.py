@@ -141,7 +141,7 @@ def cmd_run(args) -> dict:
                                                   "edgesim",
                                                   "mis", "coloring", "kcore",
                                                   "ktruss", "louvain",
-                                                  "diameter")
+                                                  "diameter", "msf")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -201,6 +201,11 @@ def cmd_run(args) -> dict:
         out = ga.edge_similarity(g)
     elif args.algo == "ktruss":
         out = ga.k_truss(g, args.truss_k, metrics_path=args.metrics)
+    elif args.algo == "msf":
+        r = ga.minimum_spanning_forest(g, metrics_path=args.metrics)
+        extra.update(num_trees=r["num_trees"], rounds=r["rounds"],
+                     total_weight=round(r["total_weight"], 6))
+        out = r["edges"]
     elif args.algo == "scc":
         out, nscc = ga.strongly_connected_components(
             g, metrics_path=args.metrics)
@@ -691,7 +696,7 @@ def main(argv=None) -> None:
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
-                              "katz"])
+                              "katz", "msf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])

@@ -697,6 +697,62 @@ def clustering_coefficients(graph: DistributedGraph,
     return g.extract("lcc_extract")
 
 
+def minimum_spanning_forest(graph: DistributedGraph, *,
+                            metrics_path: str | None = None):
+    """Minimum spanning forest — classic parallel Boruvka (see
+    `state/partition.py` msf_* kernels): each round every component hooks
+    along its minimum outgoing edge under the strict total order
+    (w, min(u,v), max(u,v)), 2-cycles break toward the smaller root,
+    pointer jumping compresses the hook forest, vertices relabel. The
+    strict order makes the forest UNIQUE, so a Kruskal oracle with the same
+    order matches edge-for-edge. Graph must be built undirected (weighted
+    or not — unweighted degenerates to a spanning forest with w=1).
+    Returns {"edges": Dataset {u, v, w}, "num_trees", "rounds",
+    "total_weight"}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("msf_init")
+    rounds = 0
+    committed_total = 0
+    while True:
+        t0 = time.perf_counter()
+        g.call_all("msf_round_start")
+        reqs = [a.msf_cand_request.remote() for a in g.actors]
+        replies = [a.serve_values_packed.remote("mcomp", *reqs)
+                   for a in g.actors]
+        cand_packs = [a.msf_cand_scatter.remote(*replies) for a in g.actors]
+        hooks = sum(ray.get([a.msf_pick.remote(*cand_packs)
+                             for a in g.actors]))
+        if hooks == 0:
+            break
+        reqs = [a.msf_mutual_request.remote() for a in g.actors]
+        replies = [a.serve_values_packed.remote("mpar", *reqs)
+                   for a in g.actors]
+        committed = sum(ray.get([a.msf_mutual_apply.remote(*replies)
+                                 for a in g.actors]))
+        committed_total += committed
+        jump_rounds = 0
+        while True:
+            res = g.lookup("msf_jump_request", "msf_jump_apply",
+                           serve="serve_values_packed",
+                           serve_args=("mpar",))
+            jump_rounds += 1
+            if sum(r["changed"] for r in res) == 0:
+                break
+        g.lookup("msf_relabel_request", "msf_relabel_apply",
+                 serve="serve_values_packed", serve_args=("mpar",))
+        rounds += 1
+        metrics.write(algo="msf", round=rounds, hooks=hooks,
+                      committed=committed, jump_rounds=jump_rounds,
+                      t_round_s=time.perf_counter() - t0)
+    metrics.close()
+    edges = g.extract("msf_extract")
+    ntrees = sum(g.call_all("msf_count_roots"))
+    total_w = float(edges.sum("w")) if committed_total else 0.0
+    return {"edges": edges, "num_trees": ntrees, "rounds": rounds,
+            "total_weight": total_w}
+
+
 def edge_similarity(graph: DistributedGraph,
                     probe_chunk: int | None = None):
     """Per-edge neighborhood-similarity scores — common-neighbor count,

@@ -440,6 +440,40 @@ def q_maxflow(sf_dir: str):
                      "max_flow": pa.array([int(out["max_flow"])], pa.int64())})
 
 
+def _msf_weighted_edges_np(sf_dir: str):
+    """Raw derived weighted edges as NumPy arrays (src, dst, w) — the exact
+    input q_msf feeds the engine; used by the Kruskal contract gate
+    (tests/test_msf.py)."""
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id"])
+    eid = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    src = (uid % EDGE_MOD).astype(np.int64)
+    dst = ((eid * 7 + 13) % EDGE_MOD).astype(np.int64)
+    w = ((src * 31 + dst * 17) % 64 + 1).astype(np.float64)
+    return src, dst, w
+
+
+def q_msf(sf_dir: str):
+    """Minimum spanning forest of the weighted derived graph (parallel
+    Boruvka, graph_algos.minimum_spanning_forest). The strict edge order
+    (w, min(u,v), max(u,v)) makes the forest UNIQUE, so the Kruskal gate in
+    tests/test_msf.py compares edge-for-edge; the union-find fixpoint has
+    no tractable SQL form, so this is a rows-only contract entry. Undirected
+    dedup keeps the pair-min weight (sources/ingest.dedup_sorted), matching
+    the oracle's pair dedup."""
+    from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                                   minimum_spanning_forest)
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    undirected=True, weighted=True)
+    try:
+        out = minimum_spanning_forest(g)
+        df = out["edges"].to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_louvain(sf_dir: str):
     """Louvain community detection on the derived graph treated as
     undirected/unweighted (graph_algos.louvain, multi-level BSP). An

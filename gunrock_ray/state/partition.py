@@ -2056,6 +2056,169 @@ class GraphPartition:
                          "jaccard": pa.array(jac, pa.float64()),
                          "aa": pa.array(self._es_aa, pa.float64())})
 
+    # ------------------------------ minimum spanning forest (Boruvka)
+    # Classic parallel Boruvka over the symmetrized weighted graph: every
+    # round each component picks its minimum outgoing edge under the STRICT
+    # total order (w, min(u,v), max(u,v)) — strict because the CSR dedup
+    # leaves one row per (src,dst) — hooks to the neighbor component,
+    # 2-cycles (always the SAME undirected edge on both sides under a total
+    # order) are broken by keeping the larger root's hook, then pointer
+    # jumping compresses the hook forest and vertices relabel to their new
+    # root. O(log n) rounds; per round two candidate exchanges + the jump
+    # lookups, live cross-edges shrink monotonically. The lexicographic
+    # tie-break makes the forest UNIQUE, so a Kruskal oracle with the same
+    # order must match edge-for-edge.
+
+    def msf_init(self) -> None:
+        self.state["mcomp"] = self.verts.copy()
+        self.state["mpar"] = self.verts.copy()
+        self._msf_live = np.arange(len(self.col_indices), dtype=np.int64)
+        self._msf_out: list = []
+        self._msf_tent = None
+        if self.edge_w is not None:
+            self._msf_w = self.edge_w.astype(np.float64)
+        else:
+            self._msf_w = np.ones(len(self.col_indices), np.float64)
+
+    def msf_round_start(self) -> None:
+        # every vertex slot points at its current root, so jump lookups
+        # resolve stale component ids in one hop
+        self.state["mpar"] = self.state["mcomp"].copy()
+
+    def msf_cand_request(self):
+        """Plan lookup of mcomp[dst] for live edges."""
+        uniq = np.unique(self.col_indices[self._msf_live])
+        self._pending["msf_dst"] = uniq
+        return self._pack(uniq)
+
+    def msf_cand_scatter(self, *reply_packs):
+        """Drop now-internal edges from the live set; for cross edges
+        reduce per source component to the lexicographic-min candidate and
+        route (comp, w, u, v, comp_dst) to the component's owner."""
+        uniq = self._pending.pop("msf_dst")
+        vals = self._reply_mine(reply_packs)
+        own = self._owner(uniq)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(uniq), dtype=np.int64)
+        back[order] = np.arange(len(uniq))
+        vals = vals[back]                  # aligned with uniq (id-sorted)
+        act = self._msf_live
+        dst = self.col_indices[act]
+        src_idx = np.searchsorted(np.cumsum(self.out_deg), act, side="right")
+        cu = self.state["mcomp"][src_idx]
+        cv = vals[np.searchsorted(uniq, dst)] if len(uniq) else dst[:0]
+        cross = cu != cv
+        self._msf_live = act[cross]
+        if not cross.any():
+            return self._pack(_EMPTY_I8, np.zeros(0, np.float64),
+                              _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        cu, cv = cu[cross], cv[cross]
+        u = self.verts[src_idx[cross]]
+        v = dst[cross]
+        w = self._msf_w[act[cross]]
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        o = np.lexsort((b, a, w, cu))
+        cu, w, a, b, cv = cu[o], w[o], a[o], b[o], cv[o]
+        st = segment_starts(cu)
+        return self._pack(cu[st], w[st], a[st], b[st], cv[st])
+
+    def msf_pick(self, *packs) -> int:
+        """Global min candidate per owned component; tentative hook
+        mpar[comp] = comp_dst. Returns hook count (0 everywhere ⇒ done)."""
+        cu, w, a, b, cv = self._unpack_all(packs, cols=(0, 1, 2, 3, 4))
+        self._msf_tent = None
+        if len(cu) == 0:
+            return 0
+        o = np.lexsort((b, a, w, cu))
+        cu, w, a, b, cv = cu[o], w[o], a[o], b[o], cv[o]
+        st = segment_starts(cu)
+        cu, w, a, b, cv = cu[st], w[st], a[st], b[st], cv[st]
+        self.state["mpar"][self._lidx(cu)] = cv
+        self._msf_tent = (cu, w, a, b, cv)
+        return int(len(cu))
+
+    def msf_mutual_request(self):
+        ids = (np.unique(self._msf_tent[4])
+               if self._msf_tent is not None else _EMPTY_I8)
+        self._pending["msf_mut"] = ids
+        return self._pack(ids)
+
+    def msf_mutual_apply(self, *reply_packs) -> int:
+        """Break 2-cycles (keep the larger root's hook) and COMMIT the
+        surviving hooks' edges — exactly one commit per undirected edge."""
+        ids = self._pending.pop("msf_mut")
+        vals = self._reply_mine(reply_packs)
+        if self._msf_tent is None:
+            return 0
+        own = self._owner(ids)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(ids), dtype=np.int64)
+        back[order] = np.arange(len(ids))
+        vals = vals[back]
+        cu, w, a, b, cv = self._msf_tent
+        self._msf_tent = None
+        par_cv = vals[np.searchsorted(ids, cv)]
+        cancel = (par_cv == cu) & (cu < cv)
+        if cancel.any():
+            self.state["mpar"][self._lidx(cu[cancel])] = cu[cancel]
+        keep = ~cancel
+        if keep.any():
+            self._msf_out.append((a[keep], b[keep], w[keep]))
+        return int(np.count_nonzero(keep))
+
+    def msf_jump_request(self):
+        ids = np.unique(self.state["mpar"])
+        self._pending["msf_par"] = ids
+        return self._pack(ids)
+
+    def msf_jump_apply(self, *reply_packs) -> dict:
+        ids = self._pending.pop("msf_par")
+        vals = self._reply_mine(reply_packs)
+        own = self._owner(ids)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(ids), dtype=np.int64)
+        back[order] = np.arange(len(ids))
+        vals = vals[back]
+        par = self.state["mpar"]
+        new = vals[np.searchsorted(ids, par)] if len(ids) else par
+        changed = int(np.count_nonzero(new != par))
+        self.state["mpar"] = new
+        return {"changed": changed}
+
+    def msf_relabel_request(self):
+        ids = np.unique(self.state["mcomp"])
+        self._pending["msf_rel"] = ids
+        return self._pack(ids)
+
+    def msf_relabel_apply(self, *reply_packs) -> None:
+        ids = self._pending.pop("msf_rel")
+        vals = self._reply_mine(reply_packs)
+        own = self._owner(ids)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(ids), dtype=np.int64)
+        back[order] = np.arange(len(ids))
+        vals = vals[back]
+        if len(ids):
+            self.state["mcomp"] = vals[np.searchsorted(
+                ids, self.state["mcomp"])]
+
+    def msf_extract(self) -> pa.Table:
+        """Committed forest edges {u, v, w}, u < v canonical."""
+        if self._msf_out:
+            u = np.concatenate([p[0] for p in self._msf_out])
+            v = np.concatenate([p[1] for p in self._msf_out])
+            w = np.concatenate([p[2] for p in self._msf_out])
+        else:
+            u = v = _EMPTY_I8
+            w = np.zeros(0, np.float64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "w": pa.array(w, pa.float64())})
+
+    def msf_count_roots(self) -> int:
+        return int(np.count_nonzero(self.state["mcomp"] == self.verts))
+
     # ------------------------------------- maximal independent set (Luby)
     # Deterministic Luby MIS (reference road map `doc/road_map.md:17`):
     # priority p(v) = mix64(v ^ seed) — a BIJECTION on uint64, so priorities

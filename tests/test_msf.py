@@ -1,0 +1,108 @@
+"""Boruvka minimum spanning forest vs a Kruskal oracle sharing the same
+strict edge order (w, min(u,v), max(u,v)) — the forest is unique under that
+order, so the comparison is edge-for-edge exact."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import build_graph, minimum_spanning_forest
+from gunrock_ray.sources import generators as gen
+
+
+def kruskal(src, dst, w, n):
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    a, b, w = a[keep], b[keep], np.asarray(w, np.float64)[keep]
+    # dedup undirected pairs keeping min weight (mirrors the CSR dedup)
+    o = np.lexsort((w, b, a))
+    a, b, w = a[o], b[o], w[o]
+    uniq = np.ones(len(a), bool)
+    uniq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a, b, w = a[uniq], b[uniq], w[uniq]
+    o = np.lexsort((b, a, w))
+    par = list(range(n))
+
+    def find(x):
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    out = []
+    for i in o:
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            par[ra] = rb
+            out.append((int(a[i]), int(b[i]), float(w[i])))
+    out.sort()
+    return out
+
+
+def run(src, dst, w, n, P=4):
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if w is not None:
+        cols["w"] = pa.array(np.asarray(w, np.float64), pa.float64())
+    t = pa.table(cols)
+    g = build_graph(t, num_partitions=P, undirected=True, weighted=w is not None)
+    try:
+        r = minimum_spanning_forest(g)
+        df = r["edges"].to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    got = list(df.itertuples(index=False, name=None))
+    want = kruskal(np.asarray(src), np.asarray(dst),
+                   np.ones(len(src)) if w is None else w, n)
+    assert got == want
+    if want:
+        assert abs(r["total_weight"] - sum(x[2] for x in want)) < 1e-9
+    # forest invariant: edges = n_reachable - trees
+    assert r["num_trees"] >= 1
+
+
+def test_msf_random_weighted():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    w = ((np.minimum(src, dst) * 31 + np.maximum(src, dst) * 17) % 97 + 1)
+    run(src, dst, w.astype(np.float64), 60)
+
+
+def test_msf_heavy_ties():
+    # only 3 distinct weights: the lexicographic tie-break does the work
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 80, 500)
+    dst = rng.integers(0, 80, 500)
+    w = (rng.integers(0, 3, 500) + 1).astype(np.float64)
+    run(src, dst, w, 80)
+
+
+def test_msf_disconnected_unweighted():
+    # two components, no weights (spanning forest, w=1)
+    rng = np.random.default_rng(3)
+    s1 = rng.integers(0, 30, 100)
+    d1 = rng.integers(0, 30, 100)
+    s2 = rng.integers(40, 70, 100)
+    d2 = rng.integers(40, 70, 100)
+    src = np.concatenate([s1, s2])
+    dst = np.concatenate([d1, d2])
+    run(src, dst, None, 70)
+
+
+def test_msf_chain_many_rounds():
+    t = gen.chain(64)
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    w = ((np.minimum(src, dst) * 7) % 13 + 1).astype(np.float64)
+    run(src, dst, w, 64, P=6)
+
+
+def test_msf_contract_query_matches_kruskal():
+    """Gate for the rows-only `msf` contract entry: reproduce the full
+    result from the Kruskal oracle at sf0.001."""
+    from gunrock_ray.pipelines import relational as r
+    sf = "/root/testdata/sf0.001"
+    df = r.q_msf(sf)
+    src, dst, w = r._msf_weighted_edges_np(sf)
+    want = kruskal(src, dst, w, int(max(src.max(), dst.max())) + 1)
+    got = list(df.itertuples(index=False, name=None))
+    assert got == want
