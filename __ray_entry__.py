@@ -123,30 +123,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "astar": r.q_astar,            # SQL-checked (ALT A* == SSSP at target)
         "sgm_tri_cycle": r.q_sgm_tri_cycle,      # SQL-checked (3-way self-join)
         "sgm_diamond_top": r.q_sgm_diamond_top,  # SQL-checked (4-way self-join)
-        "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated
-                                       # vs an Edmonds-Karp reference)
-        "louvain": r.q_louvain,        # rows-only (no SQL form; pytest-gated
-                                       # vs the exact sequential replica)
-        "bmatch": r.q_bmatch,          # rows-only (no SQL form; pytest-gated
-                                       # vs a Kuhn's-algorithm oracle)
+        # window slots 47-49: SQL-checked entries outrank rows-only ones
+        # (a hash-verified driver row is strictly stronger evidence than a
+        # row-count-only row; the rows-only family below is pytest-gated
+        # either way and queues for the round-4 window)
         "sssp_mlpq": r.q_sssp_mlpq,    # SQL-checked (multi-level bucket
                                        # queue == plain SSSP distances)
-        "ktruss4": r.q_ktruss4,        # rows-only (peeling fixpoint; pytest-
-                                       # gated vs brute-force peeling)
-        "doc_lm_bits": r.q_doc_lm_bits,  # rows-only (stupid-backoff LM;
-                                       # pytest-gated bitwise vs oracles)
+        "ktruss4": r.q_ktruss4,        # SQL-checked (peeling rounds unrolled:
+                                       # triangle join + support threshold)
+        "msf": r.q_msf,                # SQL-checked (Boruvka rounds unrolled:
+                                       # min-edge pick + recursive contraction)
+        # ---- driver window (50) ends here ------------------------------
         "diameter": r.q_diameter,      # SQL-checked (two chained
                                        # recursive-CTE BFS fixpoints)
-        "doc_dsir": r.q_doc_dsir,      # rows-only (two LM trains + Gumbel
-                                       # top-k; pytest-gated)
         "scc": r.q_scc,                # SQL-checked (transitive-closure
                                        # mutual-reachability min labels)
         "katz5": r.q_katz5,            # SQL-checked (unrolled Katz iteration
                                        # at the 1e-6 integer scale)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
-        "msf": r.q_msf,                # rows-only (Boruvka forest; pytest-
-                                       # gated edge-for-edge vs Kruskal)
+        "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated
+                                       # vs an Edmonds-Karp reference)
+        "louvain": r.q_louvain,        # rows-only (no SQL form; pytest-gated
+                                       # vs the exact sequential replica)
+        "bmatch": r.q_bmatch,          # rows-only (no SQL form; pytest-gated
+                                       # vs a Kuhn's-algorithm oracle)
+        "doc_lm_bits": r.q_doc_lm_bits,  # rows-only (stupid-backoff LM;
+                                       # pytest-gated bitwise vs oracles)
+        "doc_dsir": r.q_doc_dsir,      # rows-only (two LM trains + Gumbel
+                                       # top-k; pytest-gated)
         # -- (4) two driver-green rounds behind them ----------------------
         # graph operators over the deterministic events-derived edge table
         "edges_norm": r.q_edges_norm,

@@ -458,10 +458,11 @@ def q_msf(sf_dir: str):
     """Minimum spanning forest of the weighted derived graph (parallel
     Boruvka, graph_algos.minimum_spanning_forest). The strict edge order
     (w, min(u,v), max(u,v)) makes the forest UNIQUE, so the Kruskal gate in
-    tests/test_msf.py compares edge-for-edge; the union-find fixpoint has
-    no tractable SQL form, so this is a rows-only contract entry. Undirected
-    dedup keeps the pair-min weight (sources/ingest.dedup_sorted), matching
-    the oracle's pair dedup."""
+    tests/test_msf.py compares edge-for-edge AND the unrolled Boruvka
+    oracle (_msf_sql — per-round min-edge pick + recursive-CTE contraction)
+    is SQL-checked by the driver. Undirected dedup keeps the pair-min
+    weight (sources/ingest.dedup_sorted), matching the oracle's pair
+    dedup."""
     from gunrock_ray.pipelines.graph_algos import (build_graph,
                                                    minimum_spanning_forest)
     g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
@@ -505,11 +506,12 @@ def q_bmatch(sf_dir: str):
 
 def q_ktruss4(sf_dir: str):
     """4-truss of the derived graph treated as undirected
-    (graph_algos.k_truss support-recompute peeling). The peeling fixpoint
-    over a shrinking subgraph has no tractable SQL form, so rows-only;
-    tests/test_ktruss.py gates the algorithm against a brute-force
-    peeling oracle and test_contract_query_matches_peeling gates THIS
-    query."""
+    (graph_algos.k_truss support-recompute peeling). SQL-checked: the
+    unrolled peeling oracle (_ktruss_sql — per-round x<y<z triangle join,
+    3-way edge credit, support>=k-2 keep, COUNT fixpoint guard) reproduces
+    truss_extract bit-for-bit incl. the degree orientation;
+    tests/test_ktruss.py additionally gates the algorithm against a
+    brute-force peeling oracle."""
     from gunrock_ray.pipelines.graph_algos import build_graph, k_truss
     g = build_graph(derived_edges(sf_dir), num_partitions=8,
                     undirected=True)
@@ -1792,6 +1794,109 @@ def _kcore_sql(iters: int = 16) -> str:
     return "".join(parts)
 
 
+def _ktruss_sql(k: int = 4, iters: int = 6) -> str:
+    """k-truss via the same support-recompute peeling the engine runs
+    (state/partition.py truss_*; Cohen 2008), unrolled ``iters`` rounds.
+    Each round enumerates triangles ONCE over the id-canonical (a<b)
+    surviving edge set (x<y<z oriented wedge join — the SQL twin of the
+    engine's degree-oriented intersection), credits all three edges, and
+    keeps edges with support >= k-2. Pruning is monotone, so once
+    converged every further round is the identity; if the unroll is too
+    shallow the COUNT fixpoint guard errors instead of desynchronizing.
+    Output matches truss_extract: one row per undirected truss edge in the
+    engine's DEGREE orientation (src = endpoint with smaller (deg, id),
+    degrees of the ORIGINAL symmetric graph — tc_orient is built once
+    before the peel) with its within-truss support. All-integer."""
+    thr = k - 2
+    parts = [
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}), ",
+        "dg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d "
+        "FROM u GROUP BY 1), ",
+        "e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM u "
+        "WHERE src < dst)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", t{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM e{i-1} e1 JOIN e{i-1} e2 ON e2.a = e1.b "
+            f"JOIN e{i-1} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+            f", s{i} AS MATERIALIZED (SELECT a, b, COUNT(*) AS c FROM "
+            f"(SELECT x AS a, y AS b FROM t{i} "
+            f"UNION ALL SELECT y, z FROM t{i} "
+            f"UNION ALL SELECT x, z FROM t{i}) GROUP BY 1, 2)"
+            f", e{i} AS MATERIALIZED (SELECT a, b FROM s{i} "
+            f"WHERE c >= {thr})")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN (SELECT COUNT(*) FROM e{iters}) <> "
+        f"(SELECT COUNT(*) FROM e{iters-1}) THEN "
+        f"error('ktruss oracle: unroll of {iters} rounds not converged') "
+        f"ELSE 0 END AS ok)"
+        # converged: s{iters} (supports over e{iters-1} = e{iters}) is the
+        # within-truss support of every surviving edge
+        f" SELECT CASE WHEN da.d > db.d THEN f.b ELSE f.a END AS src, "
+        f"CASE WHEN da.d > db.d THEN f.a ELSE f.b END AS dst, "
+        f"CAST(s.c AS BIGINT) + chk.ok AS support "
+        f"FROM e{iters} f JOIN s{iters} s ON s.a = f.a AND s.b = f.b "
+        f"JOIN dg da ON da.v = f.a JOIN dg db ON db.v = f.b "
+        f"CROSS JOIN chk")
+    return "".join(parts)
+
+
+def _msf_sql(rounds: int = 8) -> str:
+    """Minimum spanning forest via Boruvka unrolled ``rounds`` times —
+    the SQL twin of graph_algos.minimum_spanning_forest (msf_* kernels).
+    Edges are pair-deduped to the minimum weight over both orientations
+    (= sources/ingest.dedup_sorted on the symmetrized weighted stream);
+    the strict total order (w, a, b) on canonical a<b pairs makes the
+    forest UNIQUE, so any Boruvka schedule converges to the same edge
+    set. Each round every component picks its minimum outgoing edge
+    (ROW_NUMBER over the strict order), the picked component graph —
+    a pseudo-forest, so its closure is tiny — is contracted by a
+    recursive min-label reach, and labels rewrite through the contraction.
+    A final EXISTS guard errors if any cross-component edge remains."""
+    parts = [
+        f"WITH RECURSIVE raw AS MATERIALIZED "
+        f"(SELECT src, dst, {_W_EXPR} AS w FROM ({_RAW_EDGES_SQL}) "
+        f"WHERE src <> dst), ",
+        "e AS MATERIALIZED (SELECT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b, MIN(w) AS w FROM raw GROUP BY 1, 2), ",
+        "verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM e "
+        "UNION SELECT DISTINCT b FROM e), ",
+        "l0 AS (SELECT v, v AS l FROM verts), ",
+        "f0 AS (SELECT a, b, w FROM e WHERE 1 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", cand{i} AS MATERIALIZED (SELECT la.l AS c1, lb.l AS c2, "
+            f"e.a, e.b, e.w FROM e JOIN l{i-1} la ON la.v = e.a "
+            f"JOIN l{i-1} lb ON lb.v = e.b WHERE la.l <> lb.l)"
+            f", pick{i} AS MATERIALIZED (SELECT c1, c2, a, b, w FROM "
+            f"(SELECT c1, c2, a, b, w, ROW_NUMBER() OVER "
+            f"(PARTITION BY c ORDER BY w, a, b) AS rn FROM "
+            f"(SELECT c1 AS c, c1, c2, a, b, w FROM cand{i} "
+            f"UNION ALL SELECT c2, c1, c2, a, b, w FROM cand{i})) "
+            f"WHERE rn = 1)"
+            f", f{i} AS (SELECT DISTINCT a, b, w FROM "
+            f"(SELECT a, b, w FROM f{i-1} "
+            f"UNION ALL SELECT a, b, w FROM pick{i}))"
+            f", g{i} AS (SELECT c1 AS x, c2 AS y FROM pick{i} "
+            f"UNION SELECT c2, c1 FROM pick{i})"
+            f", r{i}(x, l) AS (SELECT DISTINCT l, l FROM l{i-1} "
+            f"UNION SELECT g.y, r.l FROM r{i} r JOIN g{i} g ON g.x = r.x)"
+            f", nl{i} AS (SELECT x, MIN(l) AS nl FROM r{i} GROUP BY x)"
+            f", l{i} AS (SELECT lv.v, nl.nl AS l FROM l{i-1} lv "
+            f"JOIN nl{i} nl ON nl.x = lv.l)")
+    parts.append(
+        f", chk AS (SELECT CASE WHEN EXISTS "
+        f"(SELECT 1 FROM e JOIN l{rounds} la ON la.v = e.a "
+        f"JOIN l{rounds} lb ON lb.v = e.b WHERE la.l <> lb.l) THEN "
+        f"error('msf oracle: unroll of {rounds} rounds not converged') "
+        f"ELSE 0 END AS ok)"
+        f" SELECT a AS u, b AS v, CAST(w AS DOUBLE) + chk.ok AS w "
+        f"FROM f{rounds} CROSS JOIN chk")
+    return "".join(parts)
+
+
 def _rwalks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN,
                 seed: int = _RW_SEED) -> str:
     """The random-walk sampler bit-for-bit (state/partition.py rw_*):
@@ -2585,6 +2690,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "lp3": _lp_sql(3),
     "kcore": _kcore_sql(),
+    "ktruss4": _ktruss_sql(4),
+    "msf": _msf_sql(),
     "rwalks": _rwalks_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no

@@ -2,7 +2,7 @@
 and compare against oracle_sql() via DuckDB (row count + column names +
 order-insensitive value comparison). Usage:
 
-    python tools/check_contract.py [sf_dir]
+    python tools/check_contract.py [sf_dir] [--queries name1,name2,...]
 """
 
 from __future__ import annotations
@@ -35,7 +35,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set | None = None
+    if "--queries" in args:
+        i = args.index("--queries")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import logging
 
     import ray
@@ -58,6 +64,8 @@ def main() -> int:
     sqls = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = canon(to_pandas(fn(sf_dir)))
