@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf": r.q_msf,                # SQL-checked (Boruvka rounds unrolled:
                                        # min-edge pick + recursive contraction)
         # ---- driver window (50) ends here ------------------------------
+        "harmonic64": r.q_harmonic64,  # SQL-checked (64-source bitset
+                                       # MS-BFS, exact int accumulators)
         "diameter": r.q_diameter,      # SQL-checked (two chained
                                        # recursive-CTE BFS fixpoints)
         "scc": r.q_scc,                # SQL-checked (transitive-closure

@@ -141,7 +141,8 @@ def cmd_run(args) -> dict:
                                                   "edgesim",
                                                   "mis", "coloring", "kcore",
                                                   "ktruss", "louvain",
-                                                  "diameter", "msf")
+                                                  "diameter", "msf",
+                                                  "harmonic")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -206,6 +207,11 @@ def cmd_run(args) -> dict:
         extra.update(num_trees=r["num_trees"], rounds=r["rounds"],
                      total_weight=round(r["total_weight"], 6))
         out = r["edges"]
+    elif args.algo == "harmonic":
+        r = ga.harmonic_centrality(g, metrics_path=args.metrics)
+        extra.update(num_sources=len(r["sources"]),
+                     supersteps=r["supersteps"])
+        out = r["scores"]
     elif args.algo == "scc":
         out, nscc = ga.strongly_connected_components(
             g, metrics_path=args.metrics)
@@ -696,7 +702,7 @@ def main(argv=None) -> None:
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
-                              "katz", "msf"])
+                              "katz", "msf", "harmonic"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])

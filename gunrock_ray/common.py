@@ -168,6 +168,8 @@ def segment_reduce(ids: np.ndarray, vals: np.ndarray, op: str):
     (partial aggregation before the dst shuffle — SURVEY.md §7.3) and the
     owner-side merge; replaces the reference's atomicAdd/atomicMin scatter
     races (`gunrock/app/pr/pr_functor.cuh:189`) with deterministic reduction.
+    op "or" is the bitwise-OR combine for bitmask frontiers (MS-BFS) —
+    int64 two's-complement OR equals uint64 OR, so masks travel as int64.
     """
     if len(ids) == 0:
         return ids, vals
@@ -184,9 +186,25 @@ def segment_reduce(ids: np.ndarray, vals: np.ndarray, op: str):
         red = np.minimum.reduceat(sval, starts)
     elif op == "max":
         red = np.maximum.reduceat(sval, starts)
+    elif op == "or":
+        red = np.bitwise_or.reduceat(sval, starts)
     else:  # pragma: no cover
         raise ValueError(f"unknown op {op}")
     return sid[starts], red
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR — numpy<2 lacks
+    ``np.bitwise_count``). Accepts int64 or uint64, returns int64."""
+    v = x.view(np.uint64) if x.dtype == np.int64 else x.astype(np.uint64)
+    v = v.copy()
+    with np.errstate(over="ignore"):
+        v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        v = (v & np.uint64(0x3333333333333333)) + \
+            ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v *= np.uint64(0x0101010101010101)
+    return (v >> np.uint64(56)).astype(np.int64)
 
 
 def segment_starts(sorted_ids: np.ndarray) -> np.ndarray:

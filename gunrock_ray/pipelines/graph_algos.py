@@ -753,6 +753,50 @@ def minimum_spanning_forest(graph: DistributedGraph, *,
             "total_weight": total_w}
 
 
+def harmonic_centrality(graph: DistributedGraph, *,
+                        sources: list[int] | None = None,
+                        num_sources: int = 64, seed: int = 7,
+                        metrics_path: str | None = None):
+    """Sampled harmonic + closeness centrality via ONE multi-source BFS
+    pass (see `state/partition.py` msbfs_* kernels; Then et al., VLDB
+    2015): up to 64 sources travel as one uint64 bitmask per vertex, the
+    superstep exchange is a bitwise-OR combine, and all sources' level-d
+    settlements land together — 64 traversals for the message cost of one.
+    This is the scale path for centrality estimation (Eppstein–Wang
+    sampling): harmonic(v) ≈ (n/|S|)·Σ_{s∈S} 1/d(s,v). Sources default to
+    the |S| smallest (mix64(v ^ seed·φ), v) keys — a deterministic uniform
+    sample reproducible in SQL (`harmonic64` oracle). Accumulators are
+    exact integers: hsum_u6 = Σ floor(1e6/d), dsum = Σ d, nreach includes
+    the source's own depth-0 bit. Returns {"scores": Dataset {v, nreach,
+    hsum_u6, dsum}, "sources", "supersteps"}."""
+    g = graph
+    if sources is None:
+        cands = g.call_all("ms_source_candidates", num_sources, seed)
+        keys = np.concatenate([c[0] for c in cands])
+        vs = np.concatenate([c[1] for c in cands])
+        order = np.lexsort((vs, keys))[:num_sources]
+        sources = [int(v) for v in vs[order]]
+    if len(sources) > 64:
+        raise ValueError("harmonic_centrality: at most 64 sources per pass")
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("msbfs_init", sources)
+    it = 0
+    while True:
+        res, _ = g.superstep("msbfs_scatter", "msbfs_apply")
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="msbfs", superstep=it, frontier=frontier,
+                      settled_bits=sum(r["settled_bits"] for r in res),
+                      t_scatter_s=max(r.get("t_scatter_s", 0.0)
+                                      for r in res),
+                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+        it += 1
+        if frontier == 0:
+            break
+    metrics.close()
+    return {"scores": g.extract("msbfs_extract"), "sources": sources,
+            "supersteps": it}
+
+
 def edge_similarity(graph: DistributedGraph,
                     probe_chunk: int | None = None):
     """Per-edge neighborhood-similarity scores — common-neighbor count,

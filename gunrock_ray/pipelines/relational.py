@@ -527,6 +527,24 @@ def q_ktruss4(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def q_harmonic64(sf_dir: str):
+    """Sampled harmonic + closeness centrality of the undirected derived
+    graph via ONE 64-source bitset MS-BFS pass
+    (graph_algos.harmonic_centrality; Then et al. VLDB 2015 /
+    Eppstein–Wang sampling). All accumulators are exact integers
+    (floor(1e6/d), Σd, popcount reach), so the full surface is
+    SQL-checked: the oracle reproduces the mix64 source sample and every
+    per-source BFS in one recursive CTE."""
+    from gunrock_ray.pipelines.graph_algos import harmonic_centrality
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = harmonic_centrality(g)
+        df = out["scores"].to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
 def q_doc_lm_bits(sf_dir: str):
     """CCNet-style quality signal: train a 3-gram stupid-backoff LM on the
     documents table (one distributed counting pass, deterministic top-k
@@ -1897,6 +1915,40 @@ def _msf_sql(rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def _harmonic_sql(num_sources: int = 64, seed: int = 7) -> str:
+    """The 64-source MS-BFS centrality pass bit-for-bit
+    (state/partition.py msbfs_*): the mix64-ranked source sample, one
+    recursive-CTE BFS carrying (source, vertex, depth), and the exact
+    integer accumulators — nreach counts the source's own depth-0 row,
+    hsum_u6 floors 1e6/d (matching the engine's ``1_000_000 // d``),
+    dsum sums depths. Vertex set = RAW edge endpoints (loop-only vertices
+    stay, as in the graph build / cc_labels oracle)."""
+    seed_u = (seed * 0x9E3779B97F4A7C15) & (2**64 - 1)
+    key = _MIX64_SQL(f"xor(CAST(v AS UBIGINT), CAST({seed_u} AS UBIGINT))")
+    return (
+        f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "
+        # explicit outer DISTINCT: under WITH RECURSIVE, DuckDB 1.0 does
+        # not dedup a top-level UNION inside a non-recursive CTE, and a
+        # dup row here would eat a LIMIT slot in the source sample
+        f"verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        f"(SELECT src AS v FROM ({_RAW_EDGES_SQL}) "
+        f"UNION ALL SELECT dst FROM ({_RAW_EDGES_SQL}))), "
+        f"srcs AS MATERIALIZED (SELECT v FROM "
+        f"(SELECT v, {key} AS k FROM verts) ORDER BY k, v "
+        f"LIMIT {num_sources}), "
+        "b(s, v, d) AS (SELECT v, v, CAST(0 AS BIGINT) FROM srcs "
+        f"  UNION SELECT b.s, u.dst, b.d + 1 FROM b JOIN u ON u.src = b.v "
+        f"  WHERE b.d < {EDGE_MOD + 1}), "
+        "dist AS (SELECT s, v, MIN(d) AS d FROM b GROUP BY 1, 2), "
+        "agg AS (SELECT v, COUNT(*) AS nreach, "
+        "CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT) "
+        "AS hsum_u6, CAST(SUM(d) AS BIGINT) AS dsum FROM dist GROUP BY 1) "
+        "SELECT verts.v, COALESCE(agg.nreach, 0) AS nreach, "
+        "COALESCE(agg.hsum_u6, 0) AS hsum_u6, "
+        "COALESCE(agg.dsum, 0) AS dsum "
+        "FROM verts LEFT JOIN agg ON agg.v = verts.v")
+
+
 def _rwalks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN,
                 seed: int = _RW_SEED) -> str:
     """The random-walk sampler bit-for-bit (state/partition.py rw_*):
@@ -2692,6 +2744,7 @@ ORACLE_SQL: dict[str, str] = {
     "kcore": _kcore_sql(),
     "ktruss4": _ktruss_sql(4),
     "msf": _msf_sql(),
+    "harmonic64": _harmonic_sql(),
     "rwalks": _rwalks_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no

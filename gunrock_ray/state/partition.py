@@ -39,8 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gunrock_ray.common import (Partitioner, mix64, segment_reduce,
-                                segment_starts)
+from gunrock_ray.common import (Partitioner, mix64, popcount64,
+                                segment_reduce, segment_starts)
 
 
 def _scatter_timed(fn):
@@ -2990,3 +2990,89 @@ class GraphPartition:
     def scc_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "scc": pa.array(self.state["scc"], pa.int64())})
+
+    # --------------------------------------------- multi-source BFS (bitset)
+    # Up to 64 BFS sources per pass, one uint64 bit each (Then et al.,
+    # VLDB 2015, "The More the Merrier: Efficient Multi-Source Graph
+    # Traversal"): the frontier is a per-vertex BIT MASK, the exchange
+    # combines with bitwise OR (int64 two's-complement view — OR-safe),
+    # and one superstep settles EVERY source's level-d vertices at once —
+    # 64 traversals for the message cost of one. All new bits at a vertex
+    # share the same depth d, so the sampled harmonic / closeness
+    # accumulators advance by popcount(new_bits) * f(d) — exact integers,
+    # reproducible in SQL (the `harmonic64` oracle).
+
+    def ms_source_candidates(self, k: int, seed: int):
+        """This partition's k best source candidates under the global rank
+        key (mix64(v ^ seed·φ), v) — same key family as the random-walk
+        sampler, so the SQL oracle reproduces the selection. Driver merges
+        k×P candidates and keeps the global top k."""
+        seed_u = np.uint64((seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+        keys = mix64(self.verts.astype(np.uint64) ^ seed_u)
+        order = np.lexsort((self.verts, keys))[:k]
+        return keys[order], self.verts[order]
+
+    def msbfs_init(self, sources) -> None:
+        srcs = np.asarray(sources, dtype=np.int64)
+        if len(srcs) > 64:
+            raise ValueError("msbfs: at most 64 sources per pass")
+        n = len(self.verts)
+        vis = np.zeros(n, dtype=np.uint64)
+        if len(srcs):
+            pos = np.searchsorted(self.verts, srcs)
+            safe = np.minimum(pos, max(n - 1, 0))
+            ok = (pos < n) & (self.verts[safe] == srcs) if n else \
+                np.zeros(len(srcs), bool)
+            bits = np.uint64(1) << np.arange(len(srcs), dtype=np.uint64)
+            np.bitwise_or.at(vis, pos[ok], bits[ok])
+        self.state["ms_vis"] = vis
+        self.state["ms_new"] = vis.copy()
+        self.state["ms_hsum"] = np.zeros(n, np.int64)
+        self.state["ms_dsum"] = np.zeros(n, np.int64)
+        self._ms_level = 0
+
+    @_scatter_timed
+    def msbfs_scatter(self):
+        new = self.state["ms_new"]
+        f = np.flatnonzero(new)
+        starts = self.row_offsets[f]
+        lens = self.out_deg[f]
+        dst = _ragged_gather(self.col_indices, starts, lens)
+        masks = np.repeat(new[f].view(np.int64), lens)
+        return self._pack_combined(dst, masks, "or")
+
+    @_apply_timed
+    def msbfs_apply(self, *packs) -> dict:
+        vis = self.state["ms_vis"]
+        ids, vals = self._unpack_all(packs, cols=(0, 1))
+        ids, vals = segment_reduce(ids, vals, "or")
+        self._ms_level += 1
+        new = np.zeros_like(vis)
+        settled = 0
+        if len(ids):
+            li = self._lidx(ids)
+            inc = vals.view(np.uint64)
+            nb = inc & ~vis[li]
+            nz = nb != np.uint64(0)
+            li, nb = li[nz], nb[nz]
+            vis[li] |= nb
+            new[li] = nb
+            d = self._ms_level
+            pc = popcount64(nb)
+            self.state["ms_hsum"][li] += pc * (1_000_000 // d)
+            self.state["ms_dsum"][li] += pc * d
+            settled = int(pc.sum())
+        self.state["ms_new"] = new
+        return {"frontier": int(np.count_nonzero(new)),
+                "settled_bits": settled}
+
+    def msbfs_extract(self) -> pa.Table:
+        """Per-vertex sampled-centrality accumulators: nreach = sources
+        that reached v (incl. v itself at depth 0 when v is a source),
+        hsum_u6 = Σ_s floor(1e6 / d(s,v)) over d ≥ 1 (harmonic, 1e-6
+        integer scale), dsum = Σ_s d(s,v) (closeness)."""
+        return pa.table({
+            "v": pa.array(self.verts, pa.int64()),
+            "nreach": pa.array(popcount64(self.state["ms_vis"]), pa.int64()),
+            "hsum_u6": pa.array(self.state["ms_hsum"], pa.int64()),
+            "dsum": pa.array(self.state["ms_dsum"], pa.int64())})

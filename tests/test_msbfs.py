@@ -1,0 +1,141 @@
+"""Multi-source BFS (bitset frontier) and sampled harmonic/closeness
+centrality vs a per-source brute-force BFS oracle — all accumulators are
+exact integers, so every comparison is bit-exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.common import mix64, popcount64
+from gunrock_ray.pipelines.graph_algos import build_graph, harmonic_centrality
+from gunrock_ray.sources import generators as gen
+
+
+def bfs_depths(adj: dict, src: int, n: int) -> np.ndarray:
+    d = np.full(n, -1, np.int64)
+    d[src] = 0
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if d[v] == -1:
+                    d[v] = d[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return d
+
+
+def oracle(src, dst, n, sources):
+    adj: dict = {}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+    nreach = np.zeros(n, np.int64)
+    hsum = np.zeros(n, np.int64)
+    dsum = np.zeros(n, np.int64)
+    for s in sources:
+        d = bfs_depths(adj, s, n)
+        reached = d >= 0
+        nreach[reached] += 1
+        pos = d > 0
+        hsum[pos] += 1_000_000 // d[pos]
+        dsum[pos] += d[pos]
+    return nreach, hsum, dsum
+
+
+def run(src, dst, n, sources=None, P=4, **kw):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=P, undirected=True)
+    try:
+        r = harmonic_centrality(g, sources=sources, **kw)
+        df = r["scores"].to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    return r, df
+
+
+def check(src, dst, n, sources=None, P=4, **kw):
+    r, df = run(src, dst, n, sources=sources, P=P, **kw)
+    verts = df["v"].to_numpy()
+    nre, hs, ds = oracle(np.asarray(src), np.asarray(dst), n, r["sources"])
+    assert np.array_equal(df["nreach"].to_numpy(), nre[verts])
+    assert np.array_equal(df["hsum_u6"].to_numpy(), hs[verts])
+    assert np.array_equal(df["dsum"].to_numpy(), ds[verts])
+    return r
+
+
+def test_popcount64():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63, 0x5555555555555555],
+                 dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64, 1, 32]
+    # int64 view path
+    assert popcount64(x.view(np.int64)).tolist() == [0, 1, 2, 64, 1, 32]
+
+
+def test_chain_explicit_sources(ray_session):
+    # path 0-1-2-...-9: depths are trivially checkable
+    src = list(range(9))
+    dst = list(range(1, 10))
+    r = check(src, dst, 10, sources=[0, 9])
+    assert r["supersteps"] == 10  # 9 levels + empty-frontier round
+
+
+def test_explicit_single_source_matches_bfs(ray_session):
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    check(src, dst, 40, sources=[7])
+
+
+def test_sampled_sources_random_graph(ray_session):
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 200, 1500)
+    dst = rng.integers(0, 200, 1500)
+    r = check(src, dst, 200, num_sources=64, seed=3)
+    assert len(r["sources"]) == 64
+    # the sample is the global top-64 under (mix64(v ^ seed*phi), v)
+    verts = np.unique(np.concatenate([src, dst]))
+    seed_u = np.uint64((3 * 0x9E3779B97F4A7C15) & (2**64 - 1))
+    keys = mix64(verts.astype(np.uint64) ^ seed_u)
+    want = verts[np.lexsort((verts, keys))[:64]].tolist()
+    assert r["sources"] == want
+
+
+def test_disconnected_components(ray_session):
+    # two cliques, no bridge: sources in one never reach the other
+    e1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    src = [a for a, _ in e1 + e2]
+    dst = [b for _, b in e1 + e2]
+    r, df = run(src, dst, 14, sources=[0, 1])
+    right = df[df["v"] >= 10]
+    assert (right["nreach"] == 0).all()
+    assert (right["hsum_u6"] == 0).all()
+    left = df[df["v"] < 4]
+    assert (left["nreach"] == 2).all()
+
+
+def test_partition_count_invariance(ray_session):
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 100, 800)
+    dst = rng.integers(0, 100, 800)
+    outs = []
+    for P in (2, 5):
+        _, df = run(src, dst, 100, num_sources=32, seed=1, P=P)
+        outs.append(df)
+    import pandas as pd
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_rmat_matches_oracle(ray_session):
+    t = gen.rmat_table(scale=8, edge_factor=6, seed=4).to_pandas()
+    check(t["src"].to_numpy(), t["dst"].to_numpy(), 256, num_sources=16,
+          seed=2)
+
+
+def test_too_many_sources_raises(ray_session):
+    with pytest.raises(ValueError):
+        run([0, 1], [1, 2], 3, sources=list(range(65)))
