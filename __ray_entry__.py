@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window (50) ends here ------------------------------
         "harmonic64": r.q_harmonic64,  # SQL-checked (64-source bitset
                                        # MS-BFS, exact int accumulators)
+        "degree_hist": r.q_degree_hist,  # SQL-checked (degree distribution)
+        "assort": r.q_assort,          # SQL-checked (Newman assortativity:
+                                       # exact int sums + IEEE-bit-equal r)
         "diameter": r.q_diameter,      # SQL-checked (two chained
                                        # recursive-CTE BFS fixpoints)
         "scc": r.q_scc,                # SQL-checked (transitive-closure

@@ -797,6 +797,30 @@ def harmonic_centrality(graph: DistributedGraph, *,
             "supersteps": it}
 
 
+def assortativity(graph: DistributedGraph) -> dict:
+    """Degree assortativity coefficient (Newman 2002): Pearson r of
+    (deg(src), deg(dst)) over the directed edges of the symmetric graph.
+    One 3-wave degree lookup + per-partition integer sufficient statistics
+    (`state/partition.py` asrt_*); the driver combines P dicts and forms r
+    in float64 with a FIXED operation order, so the `assort` SQL oracle is
+    bit-exact. Graph must be built undirected. Returns the six integer
+    sums plus r."""
+    g = graph
+    reqs = [a.asrt_request.remote() for a in g.actors]
+    replies = [a.serve_degrees_packed.remote(*reqs) for a in g.actors]
+    parts = ray.get([a.asrt_stats.remote(*replies) for a in g.actors])
+    tot = {k: sum(p[k] for p in parts)
+           for k in ("m", "sx", "sy", "sxy", "sxx", "syy")}
+    import math
+    fm, fsx, fsy = float(tot["m"]), float(tot["sx"]), float(tot["sy"])
+    fsxy, fsxx, fsyy = (float(tot["sxy"]), float(tot["sxx"]),
+                        float(tot["syy"]))
+    num = fm * fsxy - fsx * fsy
+    den = math.sqrt(fm * fsxx - fsx * fsx) * math.sqrt(fm * fsyy - fsy * fsy)
+    tot["r"] = num / den if den else 0.0
+    return tot
+
+
 def edge_similarity(graph: DistributedGraph,
                     probe_chunk: int | None = None):
     """Per-edge neighborhood-similarity scores — common-neighbor count,

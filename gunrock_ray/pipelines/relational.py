@@ -527,6 +527,32 @@ def q_ktruss4(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the undirected derived graph: (degree,
+    vertex count) — two pre-aggregated Ray Data groupbys (sym dedup →
+    per-vertex degree → histogram)."""
+    from ray.data.aggregate import Count
+    sym = q_edges_sym(sf_dir)
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg"))
+    return deg.groupby("deg").aggregate(Count(alias_name="n_vertices"))
+
+
+def q_assort(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the undirected derived graph
+    (graph_algos.assortativity): one 3-wave degree lookup + integer
+    sufficient statistics per partition; r formed in float64 with a fixed
+    operation order so the SQL oracle is bit-exact."""
+    from gunrock_ray.pipelines.graph_algos import assortativity
+    import pandas as pd
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = assortativity(g)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pd.DataFrame({k: [out[k]] for k in
+                         ("m", "sx", "sy", "sxy", "sxx", "syy", "r")})
+
+
 def q_harmonic64(sf_dir: str):
     """Sampled harmonic + closeness centrality of the undirected derived
     graph via ONE 64-source bitset MS-BFS pass
@@ -2745,6 +2771,34 @@ ORACLE_SQL: dict[str, str] = {
     "ktruss4": _ktruss_sql(4),
     "msf": _msf_sql(),
     "harmonic64": _harmonic_sql(),
+    "degree_hist": (
+        f"WITH u AS ({_SYM_SQL}), "
+        "dg AS (SELECT src, COUNT(*) AS deg FROM u GROUP BY 1) "
+        "SELECT deg, COUNT(*) AS n_vertices FROM dg GROUP BY 1"
+    ),
+    # Pearson degree assortativity: integer sufficient statistics (exact
+    # BIGINT) + r in DOUBLE with the engine's exact operation order
+    # ((m*sxy - sx*sy) / (sqrt(m*sxx - sx^2) * sqrt(m*syy - sy^2))) —
+    # identical IEEE ops on identical ints → bit-equal float64.
+    "assort": (
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}), "
+        "dg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d "
+        "FROM u GROUP BY 1), "
+        "s AS (SELECT COUNT(*) AS m, CAST(SUM(a.d) AS BIGINT) AS sx, "
+        "CAST(SUM(b.d) AS BIGINT) AS sy, "
+        "CAST(SUM(a.d * b.d) AS BIGINT) AS sxy, "
+        "CAST(SUM(a.d * a.d) AS BIGINT) AS sxx, "
+        "CAST(SUM(b.d * b.d) AS BIGINT) AS syy "
+        "FROM u JOIN dg a ON a.v = u.src JOIN dg b ON b.v = u.dst) "
+        "SELECT m, sx, sy, sxy, sxx, syy, "
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        " sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r "
+        "FROM s"
+    ),
     "rwalks": _rwalks_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no

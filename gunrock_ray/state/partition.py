@@ -3066,6 +3066,35 @@ class GraphPartition:
         return {"frontier": int(np.count_nonzero(new)),
                 "settled_bits": settled}
 
+    # ----------------------------------------------- degree assortativity
+    # Newman (2002) degree-mixing: Pearson r of (deg(src), deg(dst)) over
+    # the directed edges of the SYMMETRIC graph. One degree lookup (same
+    # 3-wave exchange as tc_orient) then per-partition INTEGER sufficient
+    # statistics — the driver combines P small dicts and forms r in
+    # float64, so the result is bit-reproducible in SQL. int64 sums bound
+    # the method to Σ deg(u)·deg(v) < 2^63 (~9.2e18) — beyond that, chunk
+    # the sums per partition (documented, not needed at any tested scale).
+
+    def asrt_request(self):
+        uniq = np.unique(self.col_indices)
+        self._pending["asrt_uniq"] = uniq
+        return self._pack(uniq)
+
+    def asrt_stats(self, *reply_packs) -> dict:
+        us = self._pending.pop("asrt_uniq")
+        dvals = self._reply_mine(reply_packs)
+        own = self._owner(us)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(us), dtype=np.int64)
+        back[order] = np.arange(len(us))
+        dvals = dvals[back]  # aligned with us (id-sorted)
+        dv = dvals[np.searchsorted(us, self.col_indices)] if len(us) \
+            else self.col_indices[:0]
+        du = np.repeat(self.out_deg, self.out_deg)
+        return {"m": int(len(dv)), "sx": int(du.sum()), "sy": int(dv.sum()),
+                "sxy": int((du * dv).sum()), "sxx": int((du * du).sum()),
+                "syy": int((dv * dv).sum())}
+
     def msbfs_extract(self) -> pa.Table:
         """Per-vertex sampled-centrality accumulators: nreach = sources
         that reached v (incl. v itself at depth 0 when v is a source),

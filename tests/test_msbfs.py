@@ -139,3 +139,30 @@ def test_rmat_matches_oracle(ray_session):
 def test_too_many_sources_raises(ray_session):
     with pytest.raises(ValueError):
         run([0, 1], [1, 2], 3, sources=list(range(65)))
+
+
+def test_assortativity_matches_numpy(ray_session):
+    from gunrock_ray.pipelines.graph_algos import assortativity
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=4, undirected=True)
+    try:
+        out = assortativity(g)
+    finally:
+        g.shutdown(remove_spill=True)
+    # numpy oracle over the deduped symmetric edge set
+    a = np.minimum(src, dst); b = np.maximum(src, dst)
+    keep = a != b
+    pairs = np.unique(np.stack([a[keep], b[keep]], 1), axis=0)
+    es = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    ed = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    deg = np.bincount(es, minlength=60)
+    x = deg[es].astype(np.int64); y = deg[ed].astype(np.int64)
+    assert out["m"] == len(es)
+    assert out["sx"] == int(x.sum()) and out["sy"] == int(y.sum())
+    assert out["sxy"] == int((x * y).sum())
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(out["r"] - r) < 1e-9
