@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window (50) ends here ------------------------------
         "harmonic64": r.q_harmonic64,  # SQL-checked (64-source bitset
                                        # MS-BFS, exact int accumulators)
+        "node2vec": r.q_node2vec,      # SQL-checked (biased 2nd-order walks,
+                                       # windowed cumulative-weight pick)
         "degree_hist": r.q_degree_hist,  # SQL-checked (degree distribution)
         "assort": r.q_assort,          # SQL-checked (Newman assortativity:
                                        # exact int sums + IEEE-bit-equal r)

@@ -207,6 +207,20 @@ def cmd_run(args) -> dict:
         extra.update(num_trees=r["num_trees"], rounds=r["rounds"],
                      total_weight=round(r["total_weight"], 6))
         out = r["edges"]
+    elif args.algo == "node2vec":
+        import numpy as _np
+        # deterministic start sample via the bounded k x P candidate merge
+        # (never an O(n) driver pull)
+        cands = g.call_all("ms_source_candidates", args.walks, 0)
+        keys = _np.concatenate([c[0] for c in cands])
+        vs = _np.concatenate([c[1] for c in cands])
+        starts = vs[_np.lexsort((vs, keys))[:args.walks]]
+        if len(starts) and len(starts) < args.walks:
+            starts = _np.resize(starts, args.walks)   # wrap on tiny graphs
+        out = ga.node2vec_walks(g, starts, length=args.walk_length,
+                                p=args.walk_p, q=args.walk_q,
+                                metrics_path=args.metrics)
+        extra.update(walks=int(len(starts)), walk_length=args.walk_length)
     elif args.algo == "harmonic":
         r = ga.harmonic_centrality(g, metrics_path=args.metrics)
         extra.update(num_sources=len(r["sources"]),
@@ -702,7 +716,7 @@ def main(argv=None) -> None:
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
-                              "katz", "msf", "harmonic"])
+                              "katz", "msf", "harmonic", "node2vec"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -731,6 +745,13 @@ def main(argv=None) -> None:
                      help="k for --algo ktruss")
     run.add_argument("--katz-alpha", type=float, default=0.05,
                      help="attenuation for --algo katz (< 1/lambda_max)")
+    run.add_argument("--walks", type=int, default=64,
+                     help="walk count for --algo node2vec")
+    run.add_argument("--walk-length", type=int, default=10)
+    run.add_argument("--walk-p", type=float, default=1.0,
+                     help="node2vec return parameter p")
+    run.add_argument("--walk-q", type=float, default=1.0,
+                     help="node2vec in-out parameter q")
     run.add_argument("--nf-delta", type=float, default=None)
     run.add_argument("--error", type=float, default=0.01)
     run.add_argument("--max-iter", type=int, default=50)

@@ -618,6 +618,46 @@ def random_walks(graph: DistributedGraph, starts, *, length: int = 10,
     return g.extract("rw_extract")
 
 
+def node2vec_walks(graph: DistributedGraph, starts, *, length: int = 10,
+                   p: float = 1.0, q: float = 1.0, seed: int = 42,
+                   metrics_path: str | None = None):
+    """node2vec biased 2nd-order walks (Grover & Leskovec, KDD 2016) —
+    the standard walk-corpus generator for graph embeddings. Hop 0 is
+    uniform; later hops weight each candidate x from cur with prev t by
+    w0 = max(1, round(1e6/p)) if x == t, w1 = 1e6 if x ∈ N(t), else
+    w2 = max(1, round(1e6/q)) — integer weights, counter-based pick
+    (`state/partition.py` n2v_* kernels), so the corpus is bit-identical
+    at any partitioning and exactly reproducible in SQL (`node2vec`
+    oracle). Each hop costs one 3-wave membership exchange + one routed
+    state pack; walk state never touches the driver. Returns tall
+    Dataset {walk_id, step, v}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    scale = 1_000_000
+    w0 = max(1, round(scale / p))
+    w1 = scale
+    w2 = max(1, round(scale / q))
+    starts = np.asarray(starts, dtype=np.int64)
+    wids = np.arange(len(starts), dtype=np.int64)
+    own = g.partitioner.owner(starts)
+    ray.get([g.actors[pid].n2v_init.remote(seed, wids[own == pid],
+                                           starts[own == pid], w0, w1, w2)
+             for pid in range(g.P)])
+    for it in range(length):
+        t0 = time.perf_counter()
+        reqs = [a.n2v_mreq.remote() for a in g.actors]
+        replies = [a.n2v_mserve.remote(*reqs) for a in g.actors]
+        packs = [a.n2v_step.remote(*replies) for a in g.actors]
+        res = ray.get([a.n2v_apply.remote(*packs) for a in g.actors])
+        alive = sum(r["walks"] for r in res)
+        metrics.write(algo="node2vec", superstep=it, walks=alive,
+                      t_superstep_s=time.perf_counter() - t0)
+        if alive == 0:
+            break
+    metrics.close()
+    return g.extract("n2v_extract")
+
+
 # ------------------------------------------------- Triangle counting (TC)
 
 def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> int:

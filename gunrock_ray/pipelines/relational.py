@@ -527,6 +527,29 @@ def q_ktruss4(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+_N2V_WALKS, _N2V_LEN, _N2V_P, _N2V_Q, _N2V_SEED = 16, 8, 0.5, 2.0, 11
+
+
+def q_node2vec(sf_dir: str):
+    """node2vec biased walk corpus (Grover & Leskovec 2016), SQL-checked
+    bit-for-bit: 16 walks of length 8 over the undirected normalized
+    graph, p=0.5 / q=2.0, walk w starting at the (w mod n)-th smallest
+    vertex. Integer weights + counter-based picks make every hop exactly
+    reproducible in SQL (windowed cumulative-weight threshold pick)."""
+    from gunrock_ray.pipelines.graph_algos import node2vec_walks
+    vt = _norm_ds(sf_dir).map_batches(
+        lambda t: pa.table({"v": pa.chunked_array([t["src"], t["dst"]])}),
+        batch_format="pyarrow").unique("v")
+    verts = np.sort(np.asarray(vt, dtype=np.int64))
+    starts = verts[np.arange(_N2V_WALKS) % len(verts)]
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return node2vec_walks(g, starts, length=_N2V_LEN, p=_N2V_P,
+                              q=_N2V_Q, seed=_N2V_SEED).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the undirected derived graph: (degree,
     vertex count) — two pre-aggregated Ray Data groupbys (sym dedup →
@@ -1975,6 +1998,64 @@ def _harmonic_sql(num_sources: int = 64, seed: int = 7) -> str:
         "FROM verts LEFT JOIN agg ON agg.v = verts.v")
 
 
+def _node2vec_sql(walks: int = _N2V_WALKS, length: int = _N2V_LEN,
+                  p: float = _N2V_P, q: float = _N2V_Q,
+                  seed: int = _N2V_SEED) -> str:
+    """The node2vec sampler bit-for-bit (state/partition.py n2v_*): hop 1
+    is the uniform rwalks pick; hops 2+ weight each candidate (in sorted
+    adjacency order) w0/w1/w2 by return/distance-1/distance-2 class and
+    choose the first whose windowed cumulative weight exceeds
+    mix64(wkey + step) % total — the identical integer arithmetic."""
+    scale = 1_000_000
+    w0 = max(1, round(scale / p))
+    w1 = scale
+    w2 = max(1, round(scale / q))
+    seed_u = (seed * 0x9E3779B97F4A7C15) & (2**64 - 1)
+    wkey = _MIX64_SQL(f"xor(CAST(w AS UBIGINT), CAST({seed_u} AS UBIGINT))")
+    hop0 = _MIX64_SQL(_ADDMOD_SQL("s.wkey", 0))
+    parts = [
+        f"WITH n AS MATERIALIZED ({_SYM_SQL}), ",
+        "vs AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 "
+        "AS rk FROM (SELECT DISTINCT src AS v FROM n)), ",
+        "nv AS (SELECT COUNT(*) AS c FROM vs), ",
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS rk FROM n), ",
+        "dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM n "
+        "GROUP BY 1), ",
+        f"wk AS (SELECT unnest(generate_series(0, {walks - 1})) AS w), ",
+        f"s0 AS MATERIALIZED (SELECT wk.w, {wkey} AS wkey, vs.v "
+        "FROM wk CROSS JOIN nv JOIN vs ON vs.rk = wk.w % nv.c), ",
+        # hop 1: uniform (identical to the rwalks pick), prev = start
+        f"s1 AS MATERIALIZED (SELECT s.w, s.wkey, a.dst AS v, s.v AS prev "
+        f"FROM s0 s JOIN dg d ON d.src = s.v "
+        f"JOIN adj a ON a.src = s.v AND a.rk = "
+        f"CAST(({hop0}) % CAST(d.deg AS UBIGINT) AS BIGINT))",
+    ]
+    for i in range(2, length + 1):
+        hop = _MIX64_SQL(_ADDMOD_SQL("wkey", i - 1))
+        parts.append(
+            f", c{i} AS (SELECT s.w, s.wkey, s.v AS newp, a.dst AS x, "
+            f"a.rk, CASE WHEN a.dst = s.prev THEN {w0} "
+            f"WHEN m.src IS NOT NULL THEN {w1} ELSE {w2} END AS wt "
+            f"FROM s{i-1} s JOIN adj a ON a.src = s.v "
+            f"LEFT JOIN n m ON m.src = s.prev AND m.dst = a.dst)"
+            f", t{i} AS (SELECT w, wkey, newp, x, rk, "
+            f"SUM(wt) OVER (PARTITION BY w ORDER BY rk "
+            f"ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"SUM(wt) OVER (PARTITION BY w) AS tot FROM c{i})"
+            f", s{i} AS MATERIALIZED (SELECT w, wkey, x AS v, newp AS prev "
+            f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w "
+            f"ORDER BY rk) AS pr FROM t{i} WHERE "
+            f"cum > CAST(({hop}) % CAST(tot AS UBIGINT) AS BIGINT)) "
+            f"WHERE pr = 1)")
+    union = " UNION ALL ".join(
+        f"SELECT w AS walk_id, {i} AS step, v FROM s{i}"
+        for i in range(length + 1))
+    parts.append(f" SELECT CAST(walk_id AS BIGINT) AS walk_id, "
+                 f"CAST(step AS BIGINT) AS step, v FROM ({union})")
+    return "".join(parts)
+
+
 def _rwalks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN,
                 seed: int = _RW_SEED) -> str:
     """The random-walk sampler bit-for-bit (state/partition.py rw_*):
@@ -2800,6 +2881,7 @@ ORACLE_SQL: dict[str, str] = {
         "FROM s"
     ),
     "rwalks": _rwalks_sql(),
+    "node2vec": _node2vec_sql(),
     "lp3_weighted": _lp_sql(3, weighted=True),
     # convergence-mode LP: the engine early-stops when a round changes no
     # label; the synchronous vote is a fixpoint from then on, so an SQL

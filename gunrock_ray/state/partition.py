@@ -3066,6 +3066,124 @@ class GraphPartition:
         return {"frontier": int(np.count_nonzero(new)),
                 "settled_bits": settled}
 
+    # ------------------------------------------- node2vec (biased walks)
+    # Grover & Leskovec (KDD 2016) 2nd-order walks on the rw_* machinery:
+    # walk state (walk_id, key, prev, cur) lives with cur's owner. A hop is
+    # one 3-wave exchange — candidate (prev, x) membership probes routed to
+    # prev's owner (sorted-CSR binary search via composite keys), then an
+    # INTEGER-weighted pick: w0 = return to prev (≈ SCALE/p), w1 = distance-1
+    # (x ∈ N(prev), = SCALE), w2 = distance-2 (≈ SCALE/q); chosen index =
+    # first candidate (dst order) whose cumulative weight exceeds
+    # mix64(key + step) % total. All-integer and counter-based, so the walk
+    # corpus is bit-identical at any partitioning and reproducible in SQL
+    # (`node2vec` oracle). Step 0 is the standard uniform first hop.
+
+    def n2v_init(self, seed: int, walk_ids: np.ndarray, starts: np.ndarray,
+                 w0: int, w1: int, w2: int) -> None:
+        self.rw_init(seed, walk_ids, starts)
+        self._n2v_li = self._rw_li
+        self._n2v_wid = self._rw_wid
+        self._n2v_key = self._rw_key
+        self._n2v_prev = np.full(len(self._n2v_wid), -1, dtype=np.int64)
+        self._n2v_step = 0
+        self._n2v_hist = self._rw_hist
+        self._n2v_w = (np.int64(w0), np.int64(w1), np.int64(w2))
+
+    def n2v_mreq(self):
+        """Phase 1: drop sink-stranded walks, enumerate candidates
+        N(cur), and route (prev, candidate) membership probes to prev's
+        owner. Step 0 (uniform hop, prev = -1) sends no probes."""
+        li, wid = self._n2v_li, self._n2v_wid
+        key, prev = self._n2v_key, self._n2v_prev
+        deg = self.out_deg[li] if len(li) else _EMPTY_I8
+        alive = deg > 0
+        li, wid, key, prev, deg = (li[alive], wid[alive], key[alive],
+                                   prev[alive], deg[alive])
+        cand = _ragged_gather(self.col_indices, self.row_offsets[li], deg)
+        self._pending["n2v_state"] = (li, wid, key, prev, deg, cand)
+        if self._n2v_step == 0 or len(cand) == 0:
+            self._pending["n2v_back"] = None
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        t_rep = np.repeat(prev, deg)
+        own = self._owner(t_rep)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(t_rep), dtype=np.int64)
+        back[order] = np.arange(len(t_rep))
+        self._pending["n2v_back"] = back
+        return self._pack(t_rep, cand)
+
+    def n2v_mserve(self, *req_packs):
+        """Phase 2: answer every requester's (t, x) probes — x ∈ N(t)? —
+        by one composite-key binary search over the local sorted CSR."""
+        segs_t = [self._unpack_mine(pk, 0) for pk in req_packs]
+        segs_x = [self._unpack_mine(pk, 1) for pk in req_packs]
+        lens = np.array([len(s) for s in segs_t], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        ts = np.concatenate(segs_t) if segs_t else _EMPTY_I8
+        xs = np.concatenate(segs_x) if segs_x else _EMPTY_I8
+        if len(ts) == 0:
+            return (offs, _EMPTY_I8)
+        lt = self._lidx(ts)
+        u = np.unique(self.col_indices)
+        rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                           self.out_deg)
+        ekey = (rowrep << np.int64(31)) | np.searchsorted(u, self.col_indices)
+        cx = np.minimum(np.searchsorted(u, xs), max(len(u) - 1, 0))
+        valid = u[cx] == xs if len(u) else np.zeros(len(xs), bool)
+        pos, ok = self._mf_find(ekey, (lt << np.int64(31)) | cx)
+        return (offs, (ok & valid).astype(np.int64))
+
+    def n2v_step(self, *reply_packs):
+        """Phase 3: integer-weighted pick per walk, then route
+        (next, walk, key, prev=cur) to next's owner."""
+        li, wid, key, prev, deg, cand = self._pending.pop("n2v_state")
+        back = self._pending.pop("n2v_back")
+        if len(wid) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        step = self._n2v_step
+        with np.errstate(over="ignore"):
+            r = mix64(key + np.uint64(step))
+        if step == 0:
+            rank = (r % deg.astype(np.uint64)).astype(np.int64)
+            nxt = self.col_indices[self.row_offsets[li] + rank]
+        else:
+            member = self._reply_mine(reply_packs)[back].astype(bool)
+            w0, w1, w2 = self._n2v_w
+            w = np.where(cand == np.repeat(prev, deg), w0,
+                         np.where(member, w1, w2)).astype(np.uint64)
+            flatcum = np.cumsum(w)
+            offs = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+            base = np.where(offs[:-1] > 0, flatcum[np.maximum(offs[:-1], 1) - 1],
+                            np.uint64(0)).astype(np.uint64)
+            tot = flatcum[offs[1:] - 1] - base
+            live = tot > 0          # all-zero weights = walk terminates
+            li, wid, key, deg = li[live], wid[live], key[live], deg[live]
+            base, tot, r = base[live], tot[live], r[live]
+            if len(wid) == 0:
+                return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8,
+                                  _EMPTY_I8)
+            pick = np.searchsorted(flatcum, base + (r % tot), side="right")
+            nxt = cand[pick]
+        return self._pack(nxt, wid, key.astype(np.int64), self.verts[li])
+
+    def n2v_apply(self, *packs) -> dict:
+        nxt, wid, key, prev = self._unpack_all(packs, cols=(0, 1, 2, 3))
+        self._n2v_step += 1
+        self._n2v_li = self._lidx(nxt) if len(nxt) else _EMPTY_I8
+        self._n2v_wid = wid
+        self._n2v_key = key.astype(np.uint64)
+        self._n2v_prev = prev
+        if len(wid):
+            self._n2v_hist.append(
+                (wid.copy(),
+                 np.full(len(wid), self._n2v_step, dtype=np.int64),
+                 nxt.copy()))
+        return {"walks": int(len(wid))}
+
+    def n2v_extract(self) -> pa.Table:
+        self._rw_hist = getattr(self, "_n2v_hist", [])
+        return self.rw_extract()
+
     # ----------------------------------------------- degree assortativity
     # Newman (2002) degree-mixing: Pearson r of (deg(src), deg(dst)) over
     # the directed edges of the SYMMETRIC graph. One degree lookup (same
