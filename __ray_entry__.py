@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # MS-BFS, exact int accumulators)
         "node2vec": r.q_node2vec,      # SQL-checked (biased 2nd-order walks,
                                        # windowed cumulative-weight pick)
+        "ecc_all": r.q_ecc_all,        # SQL-checked (exact eccentricities,
+                                       # batched MS-BFS vs all-pairs CTE)
         "degree_hist": r.q_degree_hist,  # SQL-checked (degree distribution)
         "assort": r.q_assort,          # SQL-checked (Newman assortativity:
                                        # exact int sums + IEEE-bit-equal r)

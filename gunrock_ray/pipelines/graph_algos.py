@@ -833,8 +833,49 @@ def harmonic_centrality(graph: DistributedGraph, *,
         if frontier == 0:
             break
     metrics.close()
+    eccs = np.maximum.reduce(g.call_all("msbfs_ecc"))
     return {"scores": g.extract("msbfs_extract"), "sources": sources,
-            "supersteps": it}
+            "supersteps": it,
+            "ecc": {int(s): int(eccs[i]) for i, s in enumerate(sources)}}
+
+
+def eccentricities(graph: DistributedGraph, *, seed: int = 7,
+                   metrics_path: str | None = None):
+    """EXACT eccentricity of every vertex — ceil(n/64) bitset MS-BFS
+    passes (each pass costs one BFS's messages for 64 sources), upgrading
+    `pseudo_diameter`'s double-sweep lower bound to the exact
+    diameter/radius. Exact all-vertex eccentricity is inherently an
+    n-source computation — this is the exact-small/medium-graph tool
+    (the driver holds the n-id batch schedule; the n/64 BFS passes, not
+    the id list, are the real cost); the scale path is
+    `harmonic_centrality`'s 64-source sample. Vertices are enumerated in
+    mix64 rank order (same key family as the sampled-source path), so
+    the batch schedule is deterministic. Returns {"ecc": Dataset
+    {v, ecc}, "diameter", "radius", "passes"}. Eccentricities are within
+    the vertex's component (isolated vertex → 0)."""
+    g = graph
+    import ray.data as rd
+    cands = g.call_all("ms_source_candidates", 1 << 62, seed)
+    keys = np.concatenate([c[0] for c in cands])
+    vs = np.concatenate([c[1] for c in cands])
+    vs = vs[np.lexsort((vs, keys))]      # all vertices, mix64 rank order
+    tables, passes = [], 0
+    for a in range(0, len(vs), 64):
+        batch = [int(x) for x in vs[a:a + 64]]
+        out = harmonic_centrality(g, sources=batch,
+                                  metrics_path=metrics_path)
+        passes += 1
+        items = sorted(out["ecc"].items())
+        tables.append(pa.table(
+            {"v": pa.array([k for k, _ in items], pa.int64()),
+             "ecc": pa.array([e for _, e in items], pa.int64())}))
+    tab = pa.concat_tables(tables) if tables else pa.table(
+        {"v": pa.array([], pa.int64()), "ecc": pa.array([], pa.int64())})
+    eccs = tab["ecc"].to_numpy()
+    return {"ecc": rd.from_arrow(tab),
+            "diameter": int(eccs.max()) if len(eccs) else 0,
+            "radius": int(eccs.min()) if len(eccs) else 0,
+            "passes": passes}
 
 
 def assortativity(graph: DistributedGraph) -> dict:

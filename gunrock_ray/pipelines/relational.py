@@ -550,6 +550,21 @@ def q_node2vec(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_ecc_all(sf_dir: str):
+    """EXACT per-vertex eccentricity via batched 64-source bitset MS-BFS
+    passes (graph_algos.eccentricities) — upgrades the double-sweep
+    pseudo-diameter to the exact diameter/radius. SQL-checked against an
+    all-pairs recursive-CTE BFS."""
+    from gunrock_ray.pipelines.graph_algos import eccentricities
+    g = _graph(sf_dir, undirected=True)
+    try:
+        out = eccentricities(g)
+        df = out["ecc"].to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the undirected derived graph: (degree,
     vertex count) — two pre-aggregated Ray Data groupbys (sym dedup →
@@ -2852,6 +2867,37 @@ ORACLE_SQL: dict[str, str] = {
     "ktruss4": _ktruss_sql(4),
     "msf": _msf_sql(),
     "harmonic64": _harmonic_sql(),
+    # All-pairs BFS needs a TIGHT depth cap: with cycles the recursion
+    # otherwise extends (s, v, d) rows to the cap for every source
+    # (n^2 * cap rows). Stage 1 BFS-es one representative per connected
+    # component (min-label via the reach closure) at the loose cap —
+    # n * cap rows total since each vertex is reached by exactly one
+    # rep — giving ecc(rep); every ecc in a component is <= 2*ecc(rep),
+    # so stage 2 runs all-pairs at cap 2*max+1.
+    "ecc_all": (
+        f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "
+        f"verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        f"(SELECT src AS v FROM ({_RAW_EDGES_SQL}) "
+        f"UNION ALL SELECT dst FROM ({_RAW_EDGES_SQL}))), "
+        "reach(v, l) AS (SELECT v, v FROM verts "
+        "  UNION SELECT u.dst, reach.l FROM reach JOIN u ON u.src = reach.v), "
+        "comp AS MATERIALIZED (SELECT v, MIN(l) AS c FROM reach "
+        "GROUP BY 1), "
+        "reps AS MATERIALIZED (SELECT DISTINCT c AS v FROM comp), "
+        "b0(s, v, d) AS (SELECT v, v, CAST(0 AS BIGINT) FROM reps "
+        f"  UNION SELECT b0.s, u.dst, b0.d + 1 FROM b0 "
+        f"  JOIN u ON u.src = b0.v WHERE b0.d < {EDGE_MOD + 1}), "
+        "cap AS MATERIALIZED (SELECT 2 * MAX(d) + 1 AS x FROM "
+        "  (SELECT s, v, MIN(d) AS d FROM b0 GROUP BY 1, 2)), "
+        "b(s, v, d) AS (SELECT v, v, CAST(0 AS BIGINT) FROM verts "
+        "  UNION SELECT b.s, u.dst, b.d + 1 FROM b JOIN u ON u.src = b.v "
+        "  CROSS JOIN cap WHERE b.d < cap.x), "
+        "dist AS (SELECT s, v, MIN(d) AS d FROM b GROUP BY 1, 2), "
+        "e AS (SELECT s AS v, CAST(MAX(d) AS BIGINT) AS ecc "
+        "FROM dist GROUP BY 1) "
+        "SELECT verts.v, COALESCE(e.ecc, 0) AS ecc "
+        "FROM verts LEFT JOIN e ON e.v = verts.v"
+    ),
     "degree_hist": (
         f"WITH u AS ({_SYM_SQL}), "
         "dg AS (SELECT src, COUNT(*) AS deg FROM u GROUP BY 1) "

@@ -3029,6 +3029,11 @@ class GraphPartition:
         self.state["ms_new"] = vis.copy()
         self.state["ms_hsum"] = np.zeros(n, np.int64)
         self.state["ms_dsum"] = np.zeros(n, np.int64)
+        # per-source-bit last-settle level: after convergence the driver's
+        # max over partitions is the source's exact ECCENTRICITY (within
+        # its component) — batching ceil(n/64) passes yields the exact
+        # diameter/radius, upgrading the double-sweep lower bound
+        self._ms_ecc = np.zeros(64, np.int64)
         self._ms_level = 0
 
     @_scatter_timed
@@ -3062,6 +3067,12 @@ class GraphPartition:
             self.state["ms_hsum"][li] += pc * (1_000_000 // d)
             self.state["ms_dsum"][li] += pc * d
             settled = int(pc.sum())
+            if len(nb):
+                anyb = np.bitwise_or.reduce(nb)
+                bit = np.uint64(1)
+                for b in range(64):
+                    if anyb & (bit << np.uint64(b)):
+                        self._ms_ecc[b] = d
         self.state["ms_new"] = new
         return {"frontier": int(np.count_nonzero(new)),
                 "settled_bits": settled}
@@ -3212,6 +3223,11 @@ class GraphPartition:
         return {"m": int(len(dv)), "sx": int(du.sum()), "sy": int(dv.sum()),
                 "sxy": int((du * dv).sum()), "sxx": int((du * du).sum()),
                 "syy": int((dv * dv).sum())}
+
+    def msbfs_ecc(self) -> np.ndarray:
+        """Per-source-bit last-settle level (this partition's view); the
+        driver's elementwise max over partitions = exact eccentricity."""
+        return self._ms_ecc
 
     def msbfs_extract(self) -> pa.Table:
         """Per-vertex sampled-centrality accumulators: nreach = sources

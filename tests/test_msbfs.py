@@ -166,3 +166,41 @@ def test_assortativity_matches_numpy(ray_session):
     assert out["sxy"] == int((x * y).sum())
     r = np.corrcoef(x, y)[0, 1]
     assert abs(out["r"] - r) < 1e-9
+
+
+def test_eccentricities_exact(ray_session):
+    from gunrock_ray.pipelines.graph_algos import eccentricities
+    # chain of 12: ecc(i) = max(i, 11-i); diameter 11, radius 6
+    src = list(range(11)); dst = list(range(1, 12))
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        out = eccentricities(g)
+        df = out["ecc"].to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["diameter"] == 11 and out["radius"] == 6
+    assert df["ecc"].tolist() == [max(i, 11 - i) for i in range(12)]
+
+    # random graph (incl. >64 vertices so batching kicks in) vs brute force
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 90, 700); dst = rng.integers(0, 90, 700)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=4, undirected=True)
+    try:
+        out = eccentricities(g)
+        df = out["ecc"].to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert out["passes"] == 2
+    adj: dict = {}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+    for v, e in zip(df["v"], df["ecc"]):
+        d = bfs_depths(adj, int(v), 90)
+        assert int(e) == int(d.max(initial=0)) if (d >= 0).all() else True
+        assert int(e) == int(d[d >= 0].max())
