@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # mutual-reachability min labels)
         "katz5": r.q_katz5,            # SQL-checked (unrolled Katz iteration
                                        # at the 1e-6 integer scale)
+        "batch_ppr": r.q_batch_ppr,    # SQL-checked (S PPR vectors in one
+                                       # pass: (n,S) state, S-wide packs)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -618,6 +618,45 @@ def random_walks(graph: DistributedGraph, starts, *, length: int = 10,
     return g.extract("rw_extract")
 
 
+def batch_personalized_pagerank(graph: DistributedGraph, sources, *,
+                                delta: float = 0.85, iterations: int = 10,
+                                metrics_path: str | None = None):
+    """S personalized PageRank vectors in ONE pass (`state/partition.py`
+    mpr_* kernels): per-vertex state is an (n_local, S) float matrix and
+    each superstep exchanges ONE per-dst-combined S-wide pack — S sources
+    for the message count of one PR. The batched form of the WTF/PPR
+    seed-expansion primitive (recommendation candidates for S users at
+    once). Restart formulation: x_{t+1}(v) = (1-delta)·[v=s] +
+    delta·(Σ_{u→v} x_t(u)/deg(u) + [v=s]·dangling_t); dangling mass
+    returns to the source (personalized convention). Driver-side state
+    per superstep: one (S,) dangling vector. Returns tall Dataset
+    {v, s, score}."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    sources = [int(s) for s in sources]
+    g.call_all("mpr_init", sources, delta)
+    for it in range(iterations):
+        t0 = time.perf_counter()
+        packs = [a.mpr_scatter.remote() for a in g.actors]
+        dang = np.sum(ray.get([a.mpr_dangling.remote()
+                               for a in g.actors]), axis=0)
+        res = ray.get([a.mpr_apply.remote(dang, *packs)
+                       for a in g.actors])
+        metrics.write(algo="batch_ppr", superstep=it,
+                      l1_delta=sum(r["l1_delta"] for r in res),
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    lut = np.asarray(sources, dtype=np.int64)
+
+    def attach(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"],
+                         "s": pa.array(lut[t["s_idx"].to_numpy()],
+                                       pa.int64()),
+                         "score": t["score"]})
+    return g.extract("mpr_extract").map_batches(attach,
+                                                batch_format="pyarrow")
+
+
 def node2vec_walks(graph: DistributedGraph, starts, *, length: int = 10,
                    p: float = 1.0, q: float = 1.0, seed: int = 42,
                    metrics_path: str | None = None):

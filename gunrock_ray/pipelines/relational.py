@@ -794,6 +794,29 @@ def q_katz5(sf_dir: str):
     return df[["v", "katz_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_batch_ppr(sf_dir: str):
+    """S personalized PageRank vectors in ONE pass
+    (graph_algos.batch_personalized_pagerank): per-vertex state is an
+    (n, S) matrix and each superstep exchanges one per-dst-combined S-wide
+    pack — S sources for the message count of a single PR (the batched
+    seed-expansion primitive behind WTF-style recommendations for many
+    users at once). Exactly 8 supersteps over the undirected graph for
+    sources {0, 7, 19}; SQL-checked against the unrolled DuckDB restart
+    iteration at the 1e-6 integer scale (floor(x*1e6+0.5) on both sides;
+    float sum-order noise ~1e-15)."""
+    from gunrock_ray.pipelines.graph_algos import (build_graph,  # noqa: F401
+                                                   batch_personalized_pagerank)
+    g = _graph(sf_dir, undirected=True)
+    try:
+        df = batch_personalized_pagerank(g, [0, 7, 19], delta=0.85,
+                                         iterations=8).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["score_u6"] = np.floor(df["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return (df[["v", "s", "score_u6"]].sort_values(["s", "v"])
+            .reset_index(drop=True))
+
+
 def q_hits8(sf_dir: str):
     """HITS, exactly 8 iterations (tol=0), hub/auth L2-normalized per
     iteration, scaled to 1e-6 integers — SQL-checked against the unrolled
@@ -1727,6 +1750,43 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _batch_ppr_sql(sources, iters: int = 8, delta: float = 0.85) -> str:
+    """Unrolled SQL twin of graph_algos.batch_personalized_pagerank: the
+    restart power iteration x_{t+1}(v,s) = delta*(Σ_{u→v} x_t(u,s)/deg(u))
+    + [v=s]*(delta*D_t(s) + 1-delta) over the SYMMETRIZED edge set, with
+    D_t(s) the dangling mass of source column s (returned to the source —
+    the personalized convention the engine's mpr_apply uses). One CTE
+    level per superstep, all S sources carried as a srcs(s) dimension."""
+    vals = ", ".join(f"(CAST({int(s)} AS BIGINT))" for s in sources)
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"u AS MATERIALIZED ({_SYM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg "
+        "FROM verts LEFT JOIN (SELECT src AS v, COUNT(*) AS c FROM u "
+        "GROUP BY src) d ON d.v = verts.v), ",
+        f"srcs(s) AS (VALUES {vals}), ",
+        "r0 AS (SELECT od.v, srcs.s, CASE WHEN od.v = srcs.s THEN 1.0 "
+        "ELSE 0.0 END AS x FROM od CROSS JOIN srcs)",
+    ]
+    step = (
+        ", r{i} AS MATERIALIZED (SELECT od.v, srcs.s, "
+        f"{delta}*COALESCE(m.t, 0) + CASE WHEN od.v = srcs.s THEN "
+        f"{delta}*dg.D + (1.0-{delta}) ELSE 0.0 END AS x "
+        "FROM od CROSS JOIN srcs "
+        "LEFT JOIN (SELECT u.dst AS v, p.s, SUM(p.x/od2.deg) AS t FROM u "
+        "JOIN r{prev} p ON p.v = u.src JOIN od od2 ON od2.v = u.src "
+        "GROUP BY u.dst, p.s) m ON m.v = od.v AND m.s = srcs.s "
+        "JOIN (SELECT p.s, COALESCE(SUM(CASE WHEN od3.deg = 0 THEN p.x "
+        "END), 0) AS D FROM r{prev} p JOIN od od3 ON od3.v = p.v "
+        "GROUP BY p.s) dg ON dg.s = srcs.s)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(f" SELECT v, s, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
+                 f"AS score_u6 FROM r{iters}")
     return "".join(parts)
 
 
@@ -2936,6 +2996,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
+    "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
     # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
     # integer scale both sides rank by (ties → v)

@@ -3077,6 +3077,83 @@ class GraphPartition:
         return {"frontier": int(np.count_nonzero(new)),
                 "settled_bits": settled}
 
+    # -------------------------------------- batch personalized PageRank
+    # S personalized PR vectors in ONE pass: per-vertex state is an
+    # (n_local, S) float64 matrix, the superstep exchange packs a
+    # per-dst-combined (ids, matrix) pair (NumPy 2D reduceat — the 1D
+    # combiner generalized), so S sources cost ONE exchange of S-wide
+    # rows instead of S passes. Standard restart power iteration:
+    #   x_{t+1}(v) = (1-a)·[v=s] + a·(Σ_{u→v} x_t(u)/deg(u) + [v=s]·D_t)
+    # with D_t the dangling mass (returned to the source — the
+    # personalized convention). Used for batched recommendation /
+    # seed-expansion queries; exact NumPy + unrolled-SQL twins.
+
+    def mpr_init(self, sources, delta: float) -> None:
+        srcs = np.asarray(sources, dtype=np.int64)
+        n, S = len(self.verts), len(srcs)
+        X = np.zeros((n, S), dtype=np.float64)
+        cols = np.arange(S, dtype=np.int64)
+        if n and S:
+            pos = np.minimum(np.searchsorted(self.verts, srcs),
+                             max(n - 1, 0))
+            ok = self.verts[pos] == srcs
+            X[pos[ok], cols[ok]] = 1.0
+            self._mpr_src = (pos[ok], cols[ok])
+        else:
+            self._mpr_src = (_EMPTY_I8, _EMPTY_I8)
+        self._mpr_X = X
+        self._mpr_delta = float(delta)
+        self._mpr_S = S
+
+    @_scatter_timed
+    def mpr_scatter(self):
+        X = self._mpr_X
+        S = self._mpr_S
+        dang = X[self.out_deg == 0].sum(axis=0)
+        self._mpr_dang = dang
+        if len(self.col_indices) == 0:
+            return self._pack(_EMPTY_I8, np.zeros((0, S)))
+        src_rows = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                             self.out_deg)
+        contrib = X[src_rows] / self.out_deg[src_rows, None]
+        order = np.argsort(self.col_indices, kind="stable")
+        d = self.col_indices[order]
+        starts = segment_starts(d)
+        red = np.add.reduceat(contrib[order], starts, axis=0)
+        return self._pack(d[starts], red)
+
+    def mpr_dangling(self) -> np.ndarray:
+        return self._mpr_dang
+
+    @_apply_timed
+    def mpr_apply(self, dang_total: np.ndarray, *packs) -> dict:
+        X = self._mpr_X
+        a = self._mpr_delta
+        new = np.zeros_like(X)
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                # ids unique within a pack (sender-combined) ⇒ plain +=
+                new[self._lidx(ids)] += vals
+        new *= a
+        rows, cols = self._mpr_src
+        if len(rows):
+            new[rows, cols] += a * dang_total[cols] + (1.0 - a)
+        l1 = float(np.abs(new - X).sum())
+        self._mpr_X = new
+        return {"l1_delta": l1}
+
+    def mpr_extract(self) -> pa.Table:
+        """Tall (v, s_idx, score): s_idx = the source's position in the
+        init list (driver maps back to source ids)."""
+        n, S = self._mpr_X.shape
+        return pa.table({
+            "v": pa.array(np.repeat(self.verts, S), pa.int64()),
+            "s_idx": pa.array(np.tile(np.arange(S, dtype=np.int64), n),
+                              pa.int64()),
+            "score": pa.array(self._mpr_X.reshape(-1), pa.float64())})
+
     # ------------------------------------------- node2vec (biased walks)
     # Grover & Leskovec (KDD 2016) 2nd-order walks on the rw_* machinery:
     # walk state (walk_id, key, prev, cur) lives with cur's owner. A hop is

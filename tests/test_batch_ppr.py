@@ -1,0 +1,98 @@
+"""Batch personalized PageRank (S sources, one pass) vs a dense NumPy
+reference of the same restart formulation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                               batch_personalized_pagerank)
+
+
+def ref(src, dst, n, sources, delta=0.85, iters=10):
+    adj = [[] for _ in range(n)]
+    seen = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b)); seen.add((b, a))
+            adj[a].append(b); adj[b].append(a)
+    deg = np.array([len(x) for x in adj], dtype=np.int64)
+    S = len(sources)
+    X = np.zeros((n, S))
+    for j, s in enumerate(sources):
+        X[s, j] = 1.0
+    for _ in range(iters):
+        D = X[deg == 0].sum(axis=0)
+        new = np.zeros_like(X)
+        for u in range(n):
+            if deg[u]:
+                for v in adj[u]:
+                    new[v] += X[u] / deg[u]
+        new *= delta
+        for j, s in enumerate(sources):
+            new[s, j] += delta * D[j] + (1.0 - delta)
+        X = new
+    return X
+
+
+def run(src, dst, sources, P=4, **kw):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=P, undirected=True)
+    try:
+        df = (batch_personalized_pagerank(g, sources, **kw).to_pandas()
+              .sort_values(["s", "v"]).reset_index(drop=True))
+    finally:
+        g.shutdown(remove_spill=True)
+    return df
+
+
+def test_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    sources = [3, 17, 42, 59, 0]
+    df = run(src, dst, sources)
+    X = ref(src, dst, 60, sources)
+    for j, s in enumerate(sources):
+        col = df[df["s"] == s].sort_values("v")
+        got = np.zeros(60)
+        got[col["v"].to_numpy()] = col["score"].to_numpy()
+        assert np.allclose(got, X[:, j], atol=1e-12)
+    # per-source mass conservation: total = 1 (restart keeps it stochastic)
+    sums = df.groupby("s")["score"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-9)
+
+
+def test_batch_equals_single(ray_session):
+    # column j of a batch run is BIT-EQUAL to a single-source run
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    batch = run(src, dst, [5, 11, 23])
+    for s in (5, 11, 23):
+        single = run(src, dst, [s])
+        a = batch[batch["s"] == s].reset_index(drop=True)
+        b = single[single["s"] == s].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_partition_invariance(ray_session):
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    outs = [run(src, dst, [1, 2, 3], P=P) for P in (2, 5)]
+    # float sum order differs across partitionings -> allclose, not equal
+    assert np.allclose(outs[0]["score"], outs[1]["score"], atol=1e-12)
+    assert outs[0][["v", "s"]].equals(outs[1][["v", "s"]])
+
+
+def test_isolated_source_keeps_mass(ray_session):
+    # vertex 9 exists only via a self-loop -> degree 0 after normalization
+    src = [0, 1, 2, 9]
+    dst = [1, 2, 0, 9]
+    df = run(src, dst, [9])
+    col = df[df["v"] == 9]
+    assert np.allclose(col["score"].to_numpy(), [1.0])
+    assert np.allclose(df[df["v"] != 9]["score"].to_numpy(), 0.0)
