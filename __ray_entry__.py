@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # at the 1e-6 integer scale)
         "batch_ppr": r.q_batch_ppr,    # SQL-checked (S PPR vectors in one
                                        # pass: (n,S) state, S-wide packs)
+        "dup_span_removal": r.q_dup_span_removal,  # SQL-checked (Lee-et-al
+                                       # span deletion + STRING_AGG rejoin)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

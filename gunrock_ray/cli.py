@@ -619,6 +619,10 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.dedup import dup_span_stats
         res = dup_span_stats(docs, ngram=args.span_ngram,
                              min_df=args.span_min_df)
+    elif args.op == "spanremove":
+        from gunrock_ray.functions.dedup import remove_dup_spans
+        res = remove_dup_spans(docs, ngram=args.span_ngram,
+                               min_df=args.span_min_df)
     elif args.op == "lmscore":
         from gunrock_ray.functions import lm
         model = lm.train_ngram_lm(docs, order=args.lm_order,
@@ -803,7 +807,7 @@ def main(argv=None) -> None:
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
-                              "lmscore", "dsir"])
+                              "spanremove", "lmscore", "dsir"])
     ana.add_argument("--lm-order", type=int, default=3)
     ana.add_argument("--lm-topk", type=int, default=100_000)
     ana.add_argument("--max-bits", type=float, default=None,

@@ -111,6 +111,53 @@ def word_shingles(text: str, n: int = 3) -> np.ndarray:
     return sh
 
 
+def flat_word_shingles_pos(texts, n: int = 3):
+    """:func:`flat_word_shingles` (unique=False) extended with span
+    geometry: returns (doc_idx int64, shingle uint64, start int64,
+    span_len int64, counts int64, words_per_doc). ``start`` is the
+    window's 0-based word offset within its doc; full windows have
+    span_len = n, a short doc's single full-chain window has
+    span_len = its word count and start 0. Same hash chain, so span
+    hashes interoperate with the df stage of :func:`dup_span_stats`."""
+    words_per_doc = [t.split() if t is not None else [] for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    hw = hash_words([w for doc in words_per_doc for w in doc])
+    D = len(texts)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    out_doc, out_sh, out_pos, out_len = [], [], [], []
+    m = len(hw) - n + 1
+    if m > 0:
+        g = hw[:m].copy()
+        for j in range(1, n):
+            g = mix64(g) ^ hw[j:j + m]
+        g = mix64(g)
+        valid = doc_of[:m] == doc_of[n - 1:]
+        d = doc_of[:m][valid]
+        out_doc.append(d)
+        out_sh.append(g[valid])
+        out_pos.append(np.flatnonzero(valid) - offs[d])
+        out_len.append(np.full(len(d), n, np.int64))
+    for k in range(1, n):
+        short = np.flatnonzero(counts == k)
+        if len(short) == 0:
+            continue
+        g = hw[offs[short]].copy()
+        for j in range(1, k):
+            g = mix64(g) ^ hw[offs[short] + j]
+        out_doc.append(short)
+        out_sh.append(mix64(g))
+        out_pos.append(np.zeros(len(short), np.int64))
+        out_len.append(np.full(len(short), k, np.int64))
+    if not out_doc:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                counts, words_per_doc)
+    return (np.concatenate(out_doc), np.concatenate(out_sh),
+            np.concatenate(out_pos), np.concatenate(out_len),
+            counts, words_per_doc)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-unique hash sets."""
     if len(a) == 0 and len(b) == 0:
@@ -866,6 +913,79 @@ def dup_span_stats(docs_ds, *, ngram: int = 3, min_df: int = 2):
         })
 
     return docs_ds.map_batches(count_spans, batch_format="pyarrow")
+
+
+def remove_dup_spans(docs_ds, *, ngram: int = 3, min_df: int = 2):
+    """The REMOVAL half of substring-level training-data dedup (Lee et
+    al., ACL 2022 §4: delete the duplicated substring, keep the rest of
+    the document), at word-window granularity matching
+    :func:`dup_span_stats`: a word is removed iff ANY word-``ngram``
+    window covering it has document frequency >= ``min_df``. Returns one
+    row per document: {doc_id, clean_text, n_words, n_removed} with
+    clean_text = the kept words joined by single spaces (document order
+    preserved). Docs shorter than ``ngram`` words are one span (wholly
+    kept or wholly removed); empty/None docs emit '' with zero counts.
+
+    Scale shape (100 TB): stage 1 is the identical df exchange as
+    :func:`dup_span_stats` (per-batch-distinct (hash, count) partials →
+    one groupby-sum); the hot set — bounded by the corpus's duplicate
+    volume — broadcasts once via ``ray.put``; stage 2 is shuffle-free:
+    coverage intervals resolve with one +1/-1 diff-array cumsum per
+    batch (windows never cross doc bounds, so the global cumsum is
+    per-doc exact), and only the string reassembly is per-doc Python
+    (inherent to emitting strings)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def batch_df(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        _, sh = flat_word_shingles(texts, ngram, unique=True)
+        uh, cnt = np.unique(sh, return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "nd": pa.array(cnt, pa.int64())})
+
+    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
+          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater_equal(batch["nd"], min_df)
+        return batch.filter(keep).select(["h"])
+
+    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
+           else np.zeros(0, dtype=np.uint64))
+    hot_ref = ray.put(np.sort(hot))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        texts = batch["text"].to_pylist()
+        d_idx, sh, pos, slen, counts, words = \
+            flat_word_shingles_pos(texts, ngram)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        total = int(offs[-1])
+        diff = np.zeros(total + 1, np.int64)
+        hits = np.isin(sh, hot_set)
+        starts = offs[d_idx[hits]] + pos[hits]
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + slen[hits], -1)
+        cov = np.cumsum(diff[:-1]) > 0
+        doc_of_word = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                counts)
+        removed = np.bincount(doc_of_word[cov],
+                              minlength=len(texts)).astype(np.int64)
+        clean_texts = []
+        for i, w in enumerate(words):
+            c = cov[offs[i]:offs[i + 1]]
+            clean_texts.append(
+                " ".join(wj for wj, cj in zip(w, c) if not cj))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean_texts, pa.string()),
+            "n_words": pa.array(counts, pa.int64()),
+            "n_removed": pa.array(removed, pa.int64()),
+        })
+
+    return docs_ds.map_batches(clean, batch_format="pyarrow")
 
 
 _BLOOM_SALT = np.uint64(0xA0761D6478BD642F)

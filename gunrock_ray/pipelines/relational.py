@@ -1370,6 +1370,17 @@ def q_dup_spans(sf_dir: str):
     return dup_span_stats(_docs_ds(sf_dir), ngram=3, min_df=2)
 
 
+def q_dup_span_removal(sf_dir: str):
+    """Duplicate-span REMOVAL (functions/dedup.remove_dup_spans, Lee et
+    al. ACL 2022 §4 — delete the duplicated substring, keep the rest):
+    words covered by any >=2-df word-3-gram window are dropped and the
+    survivors rejoined with single spaces. String + integer outputs over
+    the MinHash shingle chain, so the SQL oracle (positional window CTEs
+    + STRING_AGG reassembly) compares bit-exact."""
+    from gunrock_ray.functions.dedup import remove_dup_spans
+    return remove_dup_spans(_docs_ds(sf_dir), ngram=3, min_df=2)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-0 training shuffle over documents: every doc_id
     gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order
@@ -2656,6 +2667,39 @@ def _dup_spans_sql(min_df: int = 2) -> str:
         "FROM d LEFT JOIN per USING (doc_id)")
 
 
+def _dup_span_removal_sql(min_df: int = 2) -> str:
+    """Duplicate-span removal oracle: positional windows (start i, span
+    length L) over the SAME shingle chain as the MinHash oracles, hot =
+    span hashes with df >= min_df, a word position is covered iff some
+    hot window's [i, i+L) interval contains it, clean_text = STRING_AGG
+    of the surviving words in position order. Mirrors
+    functions.dedup.remove_dup_spans bit-for-bit (word split = \\S+,
+    single-space rejoin on both sides)."""
+    return (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        f"shp AS (SELECT w1.doc_id, w1.i, 3 AS L, "
+        f"        {_MIX64_SQL('xor(w1.g, c.h)')} AS s FROM w1 "
+        "        JOIN hw c ON c.doc_id = w1.doc_id AND c.i = w1.i + 2 "
+        "        UNION ALL SELECT k1.doc_id, 1, 1, k1.s FROM k1 "
+        "        UNION ALL SELECT k2.doc_id, 1, 2, k2.s FROM k2), "
+        "sdf AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh "
+        "        GROUP BY s), "
+        f"hot AS (SELECT s FROM sdf WHERE nd >= {min_df}), "
+        "cov AS (SELECT DISTINCT p.doc_id, p.i FROM shp "
+        "        JOIN hot ON hot.s = shp.s "
+        "        JOIN pos p ON p.doc_id = shp.doc_id "
+        "        AND p.i >= shp.i AND p.i < shp.i + shp.L), "
+        "kept AS (SELECT p.doc_id, p.i, p.w[p.i] AS word FROM pos p "
+        "         LEFT JOIN cov ON cov.doc_id = p.doc_id AND cov.i = p.i "
+        "         WHERE cov.i IS NULL), "
+        "agg AS (SELECT doc_id, STRING_AGG(word, ' ' ORDER BY i) AS ct, "
+        "        COUNT(*) AS nk FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(agg.ct, '') AS clean_text, "
+        "CAST(len(d.w) AS BIGINT) AS n_words, "
+        "CAST(len(d.w) - COALESCE(agg.nk, 0) AS BIGINT) AS n_removed "
+        "FROM d LEFT JOIN agg USING (doc_id)")
+
+
 def _mis_sql(iters: int = 24, seed: int = 0) -> str:
     """Deterministic Luby MIS unrolled (graph_algos.maximal_independent_set;
     priority = mix64(v ^ seed), a uint64 bijection so rounds are exactly
@@ -3441,6 +3485,7 @@ ORACLE_SQL: dict[str, str] = {
     # the two 64×64→64 multiplies split the left operand at 2^32 so every
     # HUGEINT intermediate stays < 2^96 (mod 2^64 after each step)
     "dup_spans": _dup_spans_sql(),
+    "dup_span_removal": _dup_span_removal_sql(),
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, "
         f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "

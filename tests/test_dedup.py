@@ -559,3 +559,82 @@ def test_dup_span_stats_matches_brute_force():
     assert out.loc[0, "n_dup_spans"] == 1
     assert out.loc[3, "n_dup_spans"] == 1 and out.loc[3, "n_spans"] == 1
     assert out.loc[5, "n_spans"] == 0 and out.loc[5, "dup_span_frac"] == 0.0
+
+
+def _brute_remove(texts, ngram=3, min_df=2):
+    """Pure-Python reference of remove_dup_spans (Lee-et-al deletion)."""
+    import collections
+    from gunrock_ray.functions.dedup import flat_word_shingles
+    per_doc = []
+    for txt in texts:
+        _, sh = flat_word_shingles([txt], ngram, unique=False)
+        per_doc.append(sh)
+    df = collections.Counter(h for sh in per_doc
+                             for h in set(sh.tolist()))
+    outs = []
+    for txt, sh in zip(texts, per_doc):
+        w = txt.split() if txt is not None else []
+        k = len(w)
+        cov = [False] * k
+        if 0 < k < ngram:
+            if df[int(sh[0])] >= min_df:
+                cov = [True] * k
+        else:
+            for i, h in enumerate(sh.tolist()):
+                if df[int(h)] >= min_df:
+                    for j in range(i, i + ngram):
+                        cov[j] = True
+        kept = [x for x, c in zip(w, cov) if not c]
+        outs.append((" ".join(kept), k, sum(cov)))
+    return outs
+
+
+def test_remove_dup_spans_matches_brute_force():
+    import ray.data
+    from gunrock_ray.functions.dedup import remove_dup_spans
+    texts = [
+        "alpha beta gamma delta epsilon",   # window 0 hot -> words 0-2 go
+        "alpha beta gamma zeta eta",
+        "unique words only here now",
+        "alpha beta",                       # short dup pair: fully removed
+        "alpha beta",
+        "",                                 # empty doc
+        "one",
+        None,                               # None behaves as empty
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (remove_dup_spans(ray.data.from_arrow(t).repartition(3),
+                            ngram=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_remove(texts)
+    for i, (ct, nw, nr) in enumerate(want):
+        assert out.loc[i, "clean_text"] == ct, i
+        assert out.loc[i, "n_words"] == nw
+        assert out.loc[i, "n_removed"] == nr
+    # hand checks: overlap semantics — doc 0 loses exactly words 0..2
+    assert out.loc[0, "clean_text"] == "delta epsilon"
+    assert out.loc[1, "clean_text"] == "zeta eta"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 2
+    assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_words"] == 0
+    assert out.loc[7, "n_words"] == 0
+
+
+def test_remove_dup_spans_random_partition_invariant():
+    import ray.data
+    from gunrock_ray.functions.dedup import remove_dup_spans
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    want = _brute_remove(texts)
+    for P in (2, 7):
+        out = (remove_dup_spans(ray.data.from_arrow(t).repartition(P),
+                                ngram=3, min_df=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["clean_text"]) == [w[0] for w in want]
+        assert list(out["n_words"]) == [w[1] for w in want]
+        assert list(out["n_removed"]) == [w[2] for w in want]
