@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # pass: (n,S) state, S-wide packs)
         "dup_span_removal": r.q_dup_span_removal,  # SQL-checked (Lee-et-al
                                        # span deletion + STRING_AGG rejoin)
+        "bm25_top10": r.q_bm25_top10,  # SQL-checked (Okapi BM25 retrieval,
+                                       # identical expression tree in SQL)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -701,6 +701,8 @@ def cmd_stats(args) -> dict:
         res = cs.repeat_factor_sample(src_docs, pm,
                                       default_permille=1000,
                                       seed=args.seed)
+    elif args.op == "bm25":
+        res = cs.bm25_topk(docs, args.query, k=args.k)
     else:                                    # tfidf
         res = cs.tfidf_topk(docs, k=args.k)
     rows = _write_result(args.out, res)
@@ -881,7 +883,7 @@ def main(argv=None) -> None:
     st.add_argument("--op", required=True,
                     choices=["vocab", "ngrams", "quantiles", "gquantiles",
                              "sample", "shuffle", "stratified", "repeat",
-                             "tfidf"])
+                             "tfidf", "bm25"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)
@@ -924,6 +926,8 @@ def main(argv=None) -> None:
                          "reference's associate_weights), remove = strip")
     cv.add_argument("--weight-seed", type=int, default=42)
     st.add_argument("--k", type=int, default=3)
+    st.add_argument("--query", default="",
+                    help="query terms for --op bm25 (whitespace split)")
 
     args = ap.parse_args(argv)
     if args.cmd == "run":

@@ -393,3 +393,84 @@ def tfidf_topk(docs_ds, k: int = 3, num_buckets: int | None = None):
               .groupby("bkt").map_groups(attach_df, batch_format="pyarrow"))
     out = topk_per_key(scored, "doc_id", "score", k, id_col="term")
     return out.select_columns(["doc_id", "term", "tf", "df", "rnk"])
+
+
+def bm25_topk(docs_ds, query: str, k: int = 10, *, k1: float = 1.2,
+              b: float = 0.75):
+    """Okapi BM25 top-``k`` retrieval for one query over the documents
+    table (Robertson et al., TREC-3; Lucene's idf variant
+    ``ln((N-df+0.5)/(df+0.5) + 1)``) — the lexical half of the
+    similarity-search family (ANN covers the embedding half). Returns a
+    pandas DataFrame {doc_id, score} with score desc, doc_id asc ties.
+
+    Scale shape (100 TB): pass A streams per-block partials — one row of
+    (n_docs, Σdl, per-term df) per block, T+2 numbers — to the driver;
+    pass B scores only docs containing >= 1 query term against the
+    broadcast (terms, idf, avgdl) triple and keeps a per-block partial
+    top-k, so the driver merges blocks × k candidate rows. No shuffle at
+    all; both passes prune to the ``text`` column at the read."""
+    import pandas as pd
+
+    uterms = sorted(set(query.split()))
+    T = len(uterms)
+    qarr = np.array(uterms, dtype=np.str_)
+    if T == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+
+    def _match(words):
+        """Indices into qarr for each word (masked), vectorized."""
+        ti = np.searchsorted(qarr, words)
+        np.minimum(ti, T - 1, out=ti)
+        ok = qarr[ti] == words
+        return ti, ok
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_of, words = _flat_tokens(batch["text"].to_pylist())
+        n = len(batch)
+        if len(words):
+            ti, ok = _match(words)
+            pairs = np.unique(doc_of[ok] * T + ti[ok])
+            df_p = np.bincount(pairs % T, minlength=T).astype(np.int64)
+        else:
+            df_p = np.zeros(T, np.int64)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sum_dl": pa.array([len(words)], pa.int64()),
+            "df": pa.array([df_p], pa.list_(pa.int64()))})
+
+    st = (docs_ds.select_columns(["doc_id", "text"])
+          .map_batches(partials, batch_format="pyarrow").to_pandas())
+    if len(st) == 0 or st["n"].sum() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    N = int(st["n"].sum())
+    avgdl = float(st["sum_dl"].sum()) / N
+    df = np.sum(np.stack(st["df"].to_numpy()), axis=0).astype(np.float64)
+    idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        doc_of, words = _flat_tokens(batch["text"].to_pylist())
+        n = len(batch)
+        dl = np.bincount(doc_of, minlength=n).astype(np.float64)
+        tf = np.zeros((n, T), np.float64)
+        if len(words):
+            ti, ok = _match(words)
+            np.add.at(tf, (doc_of[ok], ti[ok]), 1.0)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        s = (idf * tf * (k1 + 1.0) / denom).sum(axis=1)
+        hit = tf.any(axis=1)
+        ids, s = ids[hit], s[hit]
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(s[order], pa.float64())})
+
+    cands = (docs_ds.select_columns(["doc_id", "text"])
+             .map_batches(score, batch_format="pyarrow").to_pandas())
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    return (cands.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -1381,6 +1381,18 @@ def q_dup_span_removal(sf_dir: str):
     return remove_dup_spans(_docs_ds(sf_dir), ngram=3, min_df=2)
 
 
+def q_bm25_top10(sf_dir: str):
+    """BM25 top-10 retrieval for the query 'fast hash join scan'
+    (functions/corpus_stats.bm25_topk, Lucene idf variant) — shuffle-free
+    two-pass: block partials (N, Σdl, df) then broadcast-stats scoring
+    with per-block partial top-k. Scored at the 1e-6 integer scale; both
+    sides evaluate the identical expression tree, float noise ~1e-15."""
+    from gunrock_ray.functions.corpus_stats import bm25_topk
+    df = bm25_topk(_docs_ds(sf_dir), "fast hash join scan", k=10)
+    df["score_u6"] = np.floor(df["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["doc_id", "score_u6"]]
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-0 training shuffle over documents: every doc_id
     gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order
@@ -2667,6 +2679,39 @@ def _dup_spans_sql(min_df: int = 2) -> str:
         "FROM d LEFT JOIN per USING (doc_id)")
 
 
+def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> str:
+    """BM25 oracle mirroring functions.corpus_stats.bm25_topk: same
+    tokenization (\\S+), Lucene idf ln((N-df+0.5)/(df+0.5)+1), and the
+    IDENTICAL expression tree / association order as the NumPy kernel so
+    float noise stays ~1e-15 under the 1e-6 integer scale. Zero-tf terms
+    contribute exactly 0.0 on the engine side, so summing only present
+    (doc, term) pairs here is equivalent."""
+    uterms = sorted(set(query.split()))
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in uterms)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, len(w) AS dl FROM d), "
+        "st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl), "
+        f"q(term) AS (VALUES {vals}), "
+        "pos AS (SELECT doc_id, unnest(w) AS term FROM d), "
+        "tf AS (SELECT pos.doc_id, pos.term, COUNT(*) AS tf FROM pos "
+        "       JOIN q USING (term) GROUP BY 1, 2), "
+        "dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf "
+        "        GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, SUM("
+        "ln((st.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0) "
+        f"* tf.tf * ({k1} + 1.0) "
+        f"/ (tf.tf + {k1}*(1.0 - {b} + {b}*dl.dl"
+        "/(CAST(st.sdl AS DOUBLE)/st.n)))) AS s "
+        "FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) "
+        "CROSS JOIN st GROUP BY tf.doc_id) "
+        "SELECT doc_id, CAST(FLOOR(s*1000000 + 0.5) AS BIGINT) AS score_u6 "
+        f"FROM sc ORDER BY s DESC, doc_id LIMIT {k}")
+
+
 def _dup_span_removal_sql(min_df: int = 2) -> str:
     """Duplicate-span removal oracle: positional windows (start i, span
     length L) over the SAME shingle chain as the MinHash oracles, hot =
@@ -3486,6 +3531,7 @@ ORACLE_SQL: dict[str, str] = {
     # HUGEINT intermediate stays < 2^96 (mod 2^64 after each step)
     "dup_spans": _dup_spans_sql(),
     "dup_span_removal": _dup_span_removal_sql(),
+    "bm25_top10": _bm25_sql("fast hash join scan", 10),
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, "
         f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "

@@ -246,3 +246,74 @@ def test_epoch_shuffle_tiny_and_empty():
     from gunrock_ray.functions.corpus_stats import epoch_shuffle
     one = epoch_shuffle(_docs_ds(["solo"], blocks=1)).to_pandas()
     assert list(one["pos"]) == [0]
+
+
+def _brute_bm25(texts, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 (Lucene idf) reference."""
+    import math
+    terms = sorted(set(query.split()))
+    toks = [t.split() if t is not None else [] for t in texts]
+    N = len(texts)
+    avgdl = sum(len(w) for w in toks) / N
+    df = {t: sum(1 for w in toks if t in w) for t in terms}
+    scores = {}
+    for i, w in enumerate(toks):
+        s, hit = 0.0, False
+        for t in terms:
+            tf = float(w.count(t))
+            if tf:
+                hit = True
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(w) / avgdl)) if tf else 0.0
+        if hit:
+            scores[i] = s
+    return scores
+
+
+def test_bm25_matches_brute_force(ray_session):
+    import ray.data
+    from gunrock_ray.functions.corpus_stats import bm25_topk
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 25)))
+             for _ in range(150)] + ["", "t0"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    query = "t0 t3 t17 missingterm"
+    out = bm25_topk(ds, query, k=12)
+    ref = _brute_bm25(texts, query)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert list(out["doc_id"]) == [i for i, _ in want]
+    assert np.allclose(out["score"].to_numpy(),
+                       [s for _, s in want], rtol=1e-12)
+    # only matching docs are candidates, scores strictly positive
+    assert (out["score"].to_numpy() > 0).all()
+
+
+def test_bm25_edge_cases(ray_session):
+    import ray.data
+    from gunrock_ray.functions.corpus_stats import bm25_topk
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b", "c d"], pa.string())}))
+    assert len(bm25_topk(ds, "", k=5)) == 0          # empty query
+    assert len(bm25_topk(ds, "zzz", k=5)) == 0        # no matches
+    one = bm25_topk(ds, "a", k=5)
+    assert list(one["doc_id"]) == [1]
+
+
+def test_bm25_partition_invariant(ray_session):
+    import ray.data
+    from gunrock_ray.functions.corpus_stats import bm25_topk
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 15)))
+             for _ in range(90)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    outs = [bm25_topk(ray.data.from_arrow(t).repartition(P), "w1 w5", k=7)
+            for P in (1, 6)]
+    assert list(outs[0]["doc_id"]) == list(outs[1]["doc_id"])
+    assert np.allclose(outs[0]["score"], outs[1]["score"], rtol=1e-12)
