@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # span deletion + STRING_AGG rejoin)
         "bm25_top10": r.q_bm25_top10,  # SQL-checked (Okapi BM25 retrieval,
                                        # identical expression tree in SQL)
+        "bpe_tokens": r.q_bpe_tokens,  # rows-only (iterative merges have no
+                                       # SQL form; pytest-gated bit-exact)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

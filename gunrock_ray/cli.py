@@ -623,6 +623,10 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.dedup import remove_dup_spans
         res = remove_dup_spans(docs, ngram=args.span_ngram,
                                min_df=args.span_min_df)
+    elif args.op == "bpe":
+        from gunrock_ray.functions.bpe import train_bpe, bpe_encode
+        merges = train_bpe(docs, num_merges=args.bpe_merges)
+        res = bpe_encode(docs, merges)
     elif args.op == "lmscore":
         from gunrock_ray.functions import lm
         model = lm.train_ngram_lm(docs, order=args.lm_order,
@@ -809,7 +813,7 @@ def main(argv=None) -> None:
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
-                              "spanremove", "lmscore", "dsir"])
+                              "spanremove", "lmscore", "dsir", "bpe"])
     ana.add_argument("--lm-order", type=int, default=3)
     ana.add_argument("--lm-topk", type=int, default=100_000)
     ana.add_argument("--max-bits", type=float, default=None,
@@ -827,6 +831,8 @@ def main(argv=None) -> None:
                      help="drop segments in >= this many distinct docs")
     ana.add_argument("--span-ngram", type=int, default=3,
                      help="word-window size for --op dupspans")
+    ana.add_argument("--bpe-merges", type=int, default=50,
+                     help="merge count for --op bpe")
     ana.add_argument("--span-min-df", type=int, default=2,
                      help="a span is duplicated when it appears in >= this "
                           "many distinct docs (--op dupspans)")

@@ -1393,6 +1393,20 @@ def q_bm25_top10(sf_dir: str):
     return df[["doc_id", "score_u6"]]
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Distributed BPE tokenizer (functions/bpe): train 30 merges over the
+    documents table (word histogram = one groupby-sum shuffle, then
+    actor-sharded merge rounds with deterministic count-desc/pair-asc
+    argmax), encode the same corpus, return {doc_id, n_tokens}. Rows-only
+    — iterative string merges have no SQL form; bit-exact gated by
+    tests/test_bpe.py::test_contract_query_matches_reference."""
+    from gunrock_ray.functions.bpe import train_bpe, bpe_encode
+    docs = _docs_ds(sf_dir)
+    merges = train_bpe(docs, num_merges=30)
+    return (bpe_encode(docs, merges).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-0 training shuffle over documents: every doc_id
     gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order

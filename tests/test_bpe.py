@@ -1,0 +1,130 @@
+"""Distributed BPE training/encoding vs a pure-Python Sennrich reference."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ref_bpe(texts, num_merges, min_pair=2):
+    """Classic histogram BPE: argmax pair by (count desc, pair asc)."""
+    hist = collections.Counter(
+        w for t in texts if t is not None for w in t.split())
+    seqs = {w: list(w) for w in hist}
+    merges = []
+    for rank in range(num_merges):
+        pc = collections.Counter()
+        for w, c in hist.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair:
+            break
+        merges.append((rank, l, r, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def _docs(texts):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide wide wide",
+    "low newer wide lowest",
+    "",
+    None,
+]
+
+
+def test_train_bpe_matches_reference(ray_session):
+    from gunrock_ray.functions.bpe import train_bpe
+    got = train_bpe(_docs(TEXTS), num_merges=20)
+    want, _ = _ref_bpe(TEXTS, 20)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_train_bpe_shard_invariant(ray_session):
+    from gunrock_ray.functions.bpe import train_bpe
+    a = train_bpe(_docs(TEXTS), num_merges=12, num_shards=2)
+    b = train_bpe(_docs(TEXTS), num_merges=12, num_shards=5)
+    assert a.equals(b)
+
+
+def test_encode_reproduces_training_segmentation(ray_session):
+    """Rank-order encoding of a training word equals its final training
+    sequence (the BPE invariant both HF and SentencePiece rely on)."""
+    from gunrock_ray.functions.bpe import train_bpe, bpe_encode
+    merges = train_bpe(_docs(TEXTS), num_merges=15)
+    _, seqs = _ref_bpe(TEXTS, 15)
+    out = (bpe_encode(_docs(TEXTS), merges, emit_tokens=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(TEXTS):
+        words = t.split() if t is not None else []
+        want = [tok for w in words for tok in seqs[w]]
+        assert list(out.loc[i, "tokens"]) == want
+        assert out.loc[i, "n_tokens"] == len(want)
+
+
+def test_encode_unseen_words_and_empty(ray_session):
+    from gunrock_ray.functions.bpe import train_bpe, bpe_encode
+    merges = train_bpe(_docs(TEXTS), num_merges=10)
+    out = (bpe_encode(_docs(["lownew zzz", ""]), merges,
+                      emit_tokens=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # unseen word still segments deterministically; chars never vanish
+    assert "".join(out.loc[0, "tokens"]) == "lownewzzz"
+    assert out.loc[1, "n_tokens"] == 0
+
+
+def test_train_bpe_empty_corpus(ray_session):
+    from gunrock_ray.functions.bpe import train_bpe
+    got = train_bpe(_docs(["", None]), num_merges=5)
+    assert len(got) == 0
+
+
+def test_random_corpus_matches_reference(ray_session):
+    from gunrock_ray.functions.bpe import train_bpe
+    rng = np.random.default_rng(7)
+    alpha = list("abcdef")
+    words = ["".join(rng.choice(alpha, rng.integers(1, 7)))
+             for _ in range(80)]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 20)))
+             for _ in range(60)]
+    got = train_bpe(_docs(texts), num_merges=25, num_shards=4)
+    want, _ = _ref_bpe(texts, 25)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_contract_query_matches_reference(ray_session):
+    """Gates the rows-only `bpe_tokens` contract entry: the full
+    train(30)+encode pipeline over sf0.001 documents, bit-exact vs the
+    pure-Python reference."""
+    import pyarrow.parquet as pq
+    from gunrock_ray.pipelines.relational import q_bpe_tokens
+    out = q_bpe_tokens("/root/testdata/sf0.001")
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    _, seqs = _ref_bpe(list(df["text"]), 30)
+    want = [sum(len(seqs[w]) for w in (t or "").split())
+            for t in df["text"]]
+    assert list(out["doc_id"]) == list(df["doc_id"])
+    assert list(out["n_tokens"]) == want
