@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # identical expression tree in SQL)
         "bpe_tokens": r.q_bpe_tokens,  # rows-only (iterative merges have no
                                        # SQL form; pytest-gated bit-exact)
+        "embed_cov": r.q_embed_cov,    # SQL-checked (PCA sufficient stats:
+                                       # exact covariance at 1e-9 scale)
+        "embed_pca": r.q_embed_pca,    # rows-only (eigh has no SQL form;
+                                       # pytest-gated vs NumPy)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -656,3 +656,96 @@ def ivfpq_topk(embeddings_path: str, num_queries: int = 10, k: int = 5,
                              "neighbor_id": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="int64")})
     return _merge_topk(cands, k)
+
+
+# ---------------------------------------------------------------- PCA
+def _suff_stats(embeddings_path: str):
+    """One streaming pass → (N, Σx (d,), XᵀX (d,d)) in float64. Each
+    block emits d² + d + 1 numbers — independent of corpus size; the
+    driver folds the partials in a content-sorted order so the result is
+    independent of block ARRIVAL order (same convention as kmeans)."""
+    ds = _embeddings_ds(embeddings_path)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = _stack(batch["embedding"])
+        g = X.T @ X
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0)], pa.list_(pa.float64())),
+            "g": pa.array([g.reshape(-1)], pa.list_(pa.float64()))})
+
+    pt = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if len(pt) == 0:
+        raise ValueError("empty embeddings dataset")
+    rows = [(int(r), np.asarray(s, np.float64), np.asarray(g, np.float64))
+            for r, s, g in zip(pt["n"], pt["s"], pt["g"])]
+    rows.sort(key=lambda t: (t[0], t[1].tobytes(), t[2].tobytes()))
+    N = sum(r[0] for r in rows)
+    S = rows[0][1].copy()
+    G = rows[0][2].copy()
+    for _, s, g in rows[1:]:
+        S += s
+        G += g
+    d = len(S)
+    return N, S, G.reshape(d, d)
+
+
+def covariance_matrix(embeddings_path: str):
+    """Exact sample covariance of the embedding column as a tall pandas
+    DataFrame {i, j, cov} (0-based dims): C = (XᵀX − N·μμᵀ)/(N−1) with
+    μ = Σx/N — the same expression tree the SQL oracle evaluates."""
+    import pandas as pd
+
+    N, S, G = _suff_stats(embeddings_path)
+    mu = S / N
+    C = (G - N * np.outer(mu, mu)) / (N - 1)
+    d = len(S)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return pd.DataFrame({"i": ii.reshape(-1).astype(np.int64),
+                         "j": jj.reshape(-1).astype(np.int64),
+                         "cov": C.reshape(-1)})
+
+
+def pca_fit(embeddings_path: str, n_components: int = 8):
+    """Distributed PCA: the streaming sufficient-statistics pass above,
+    then one d×d ``eigh`` on the driver. Returns (mean (d,), components
+    (n_components, d) — eigenvalue-desc rows with a deterministic sign
+    (largest-|coordinate| entry positive; first index on ties),
+    explained_variance (n_components,)). The corpus never leaves the
+    blocks; the driver's work is O(d²) regardless of N."""
+    N, S, G = _suff_stats(embeddings_path)
+    if N < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mu = S / N
+    C = (G - N * np.outer(mu, mu)) / (N - 1)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = V[:, order].T.copy()
+    for r in range(comps.shape[0]):
+        jmax = int(np.argmax(np.abs(comps[r])))
+        if comps[r, jmax] < 0:
+            comps[r] *= -1.0
+    return mu, comps, w[order]
+
+
+def pca_transform(embeddings_path: str, mean: np.ndarray,
+                  components: np.ndarray):
+    """Project every embedding onto the fitted components: the (mean,
+    components) pair broadcasts once via ``ray.put``, each block is one
+    (X − μ)·Wᵀ matmul, output built zero-copy as a FixedSizeList over the
+    flat buffer. Returns a Dataset {vec_id, proj fixed_size_list<double>}."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, W = ray.get(ref)
+        X = _stack(batch["embedding"])
+        P = (X - mu) @ W.T
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(P.reshape(-1), pa.float64()), P.shape[1])
+        return pa.table({"vec_id": batch["vec_id"], "proj": col})
+
+    return _embeddings_ds(embeddings_path).map_batches(
+        project, batch_format="pyarrow")

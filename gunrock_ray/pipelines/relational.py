@@ -1518,6 +1518,39 @@ def q_embed_near_dup(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), threshold=0.45)
 
 
+def q_embed_cov(sf_dir: str):
+    """Exact sample covariance of the embedding column
+    (functions/ann.covariance_matrix — the sufficient-statistics pass
+    behind distributed PCA: each block ships d²+d+1 floats, the driver
+    folds): tall {i, j, cov_u9} at the 1e-9 integer scale (entries ~1e-2,
+    float sum-order noise ~1e-15; both sides evaluate
+    (XᵀX − N·(μᵢ·μⱼ))/(N−1) with the same association)."""
+    from gunrock_ray.functions.ann import covariance_matrix
+    df = covariance_matrix(os.path.join(sf_dir, "embeddings.parquet"))
+    df["cov_u9"] = np.floor(df["cov"].to_numpy() * 1e9 + 0.5).astype(np.int64)
+    return df[["i", "j", "cov_u9"]]
+
+
+def q_embed_pca(sf_dir: str):
+    """Distributed PCA (functions/ann.pca_fit + pca_transform): fit 8
+    components from the streaming sufficient-statistics pass, project
+    every embedding (broadcast-once matmul, FixedSizeList output).
+    Rows-only (eigendecomposition has no tractable SQL form); exactness
+    gated by tests/test_ann.py::test_pca_fit_matches_numpy and
+    ::test_pca_transform_variance_and_recovery."""
+    from gunrock_ray.functions.ann import pca_fit, pca_transform
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    mu, comps, _ = pca_fit(path, n_components=8)
+    out = (pca_transform(path, mu, comps).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    P = np.stack(out["proj"].to_numpy())
+    cols = {"vec_id": out["vec_id"].to_numpy()}
+    for c in range(P.shape[1]):
+        cols[f"p{c}"] = P[:, c]
+    import pandas as pd
+    return pd.DataFrame(cols)
+
+
 def q_doc_curate(sf_dir: str):
     """Deterministic slice of the curation pipeline, SQL-checked: exact
     dedup (keeper = min doc_id per text) + quality gates (32 <= tokens <=
@@ -2726,6 +2759,19 @@ def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
         f"FROM sc ORDER BY s DESC, doc_id LIMIT {k}")
 
 
+_EMBED_COV_SQL = (
+    "WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+    "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), "
+    "st AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x), "
+    "s AS (SELECT i, SUM(val) AS sv FROM x GROUP BY i), "
+    "g AS (SELECT a.i AS i, b.i AS j, SUM(a.val*b.val) AS gv "
+    "FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2) "
+    "SELECT CAST(g.i - 1 AS BIGINT) AS i, CAST(g.j - 1 AS BIGINT) AS j, "
+    "CAST(FLOOR(((g.gv - st.n*((sa.sv/st.n)*(sb.sv/st.n)))/(st.n - 1))"
+    "*1000000000 + 0.5) AS BIGINT) AS cov_u9 "
+    "FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN st")
+
+
 def _dup_span_removal_sql(min_df: int = 2) -> str:
     """Duplicate-span removal oracle: positional windows (start i, span
     length L) over the SAME shingle chain as the MinHash oracles, hot =
@@ -3546,6 +3592,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_spans": _dup_spans_sql(),
     "dup_span_removal": _dup_span_removal_sql(),
     "bm25_top10": _bm25_sql("fast hash join scan", 10),
+    "embed_cov": _EMBED_COV_SQL,
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, "
         f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "

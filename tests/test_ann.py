@@ -235,3 +235,59 @@ def test_ivfpq_topk_recall_vs_bruteforce():
     g = set(map(tuple, got[["query_id", "neighbor_id"]].values))
     r = set(map(tuple, ref[["query_id", "neighbor_id"]].values))
     assert len(g & r) / len(r) >= 0.9
+
+
+def test_covariance_matches_numpy(ray_session, small_embeddings):
+    from gunrock_ray.functions.ann import covariance_matrix
+    path, M = small_embeddings
+    df = covariance_matrix(path)
+    want = np.cov(M.astype(np.float64), rowvar=False)
+    got = np.zeros_like(want)
+    got[df["i"].to_numpy(), df["j"].to_numpy()] = df["cov"].to_numpy()
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-15)
+
+
+def test_pca_fit_matches_numpy(ray_session, small_embeddings):
+    from gunrock_ray.functions.ann import pca_fit
+    path, M = small_embeddings
+    mu, comps, ev = pca_fit(path, n_components=4)
+    X = M.astype(np.float64)
+    assert np.allclose(mu, X.mean(axis=0), rtol=1e-12)
+    w, V = np.linalg.eigh(np.cov(X, rowvar=False))
+    order = np.argsort(w)[::-1][:4]
+    want = V[:, order].T.copy()
+    for r in range(4):
+        j = int(np.argmax(np.abs(want[r])))
+        if want[r, j] < 0:
+            want[r] *= -1.0
+    assert np.allclose(comps, want, rtol=1e-8, atol=1e-10)
+    assert np.allclose(ev, w[order], rtol=1e-10)
+    # components are orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+
+
+def test_pca_transform_variance_and_recovery(ray_session, tmp_path):
+    """Low-rank data: top-3 PCA recovers the plane; projection variance
+    equals the eigenvalues."""
+    import pyarrow.parquet as pq
+    from gunrock_ray.functions.ann import pca_fit, pca_transform
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.standard_normal((16, 3)))[0].T  # (3,16)
+    Z = rng.standard_normal((300, 3)) * np.array([5.0, 3.0, 1.0])
+    X = (Z @ basis + 0.01 * rng.standard_normal((300, 16))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    path = str(tmp_path / "lowrank.parquet")
+    pq.write_table(t, path)
+    mu, comps, ev = pca_fit(path, n_components=5)
+    assert ev[2] > 50 * ev[3]          # 3-dim signal, noise floor after
+    out = (pca_transform(path, mu, comps).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    P = np.stack(out["proj"].to_numpy())
+    assert P.shape == (300, 5)
+    # per-component variance equals the eigenvalue (ddof=1)
+    assert np.allclose(P.var(axis=0, ddof=1), ev, rtol=1e-9)
+    # projections reproduce the driver-side formula exactly
+    want = (X.astype(np.float64) - mu) @ comps.T
+    assert np.allclose(P, want, rtol=1e-12, atol=1e-12)
