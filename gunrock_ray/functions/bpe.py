@@ -67,11 +67,19 @@ def _make_shard_actor():
     @ray.remote
     class BpeShard:
         """One histogram shard: symbol sequences + counts, merged in
-        place each round."""
+        place. A pair → word-indices inverted index makes each round
+        O(words containing the winning pair), and ``apply`` returns only
+        the pair-count DELTA, so the driver keeps a running total and
+        the full count ships exactly once (at init)."""
 
         def __init__(self, words, counts):
             self.seqs = [list(w) for w in words]
             self.cnt = [int(c) for c in counts]
+            self.index: dict = {}
+            for k, seq in enumerate(self.seqs):
+                for i in range(len(seq) - 1):
+                    self.index.setdefault((seq[i], seq[i + 1]),
+                                          set()).add(k)
 
         def pair_counts(self):
             d: dict = {}
@@ -81,9 +89,17 @@ def _make_shard_actor():
                     d[p] = d.get(p, 0) + c
             return d
 
-        def apply(self, left: str, right: str) -> None:
+        def apply(self, left: str, right: str):
             tok = left + right
-            for k, seq in enumerate(self.seqs):
+            delta: dict = {}
+            for k in sorted(self.index.get((left, right), ())):
+                seq, c = self.seqs[k], self.cnt[k]
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    delta[p] = delta.get(p, 0) - c
+                    s = self.index.get(p)
+                    if s is not None:
+                        s.discard(k)
                 i, n, out = 0, len(seq), []
                 while i < n:
                     if (i + 1 < n and seq[i] == left
@@ -94,6 +110,11 @@ def _make_shard_actor():
                         out.append(seq[i])
                         i += 1
                 self.seqs[k] = out
+                for i in range(len(out) - 1):
+                    p = (out[i], out[i + 1])
+                    delta[p] = delta.get(p, 0) + c
+                    self.index.setdefault(p, set()).add(k)
+            return delta
 
     return BpeShard
 
@@ -113,12 +134,11 @@ def train_bpe(docs_ds, num_merges: int = 50, *, num_shards: int = 8,
     actors = [Actor.remote(s["word"].tolist(), s["c"].tolist())
               for s in shards]
     merges = []
+    total: dict = {}
+    for d in ray.get([a.pair_counts.remote() for a in actors]):
+        for p, c in d.items():
+            total[p] = total.get(p, 0) + c
     for rank in range(num_merges):
-        partials = ray.get([a.pair_counts.remote() for a in actors])
-        total: dict = {}
-        for d in partials:
-            for p, c in d.items():
-                total[p] = total.get(p, 0) + c
         if not total:
             break
         best = min(total.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -126,7 +146,13 @@ def train_bpe(docs_ds, num_merges: int = 50, *, num_shards: int = 8,
         if cnt < min_pair_count:
             break
         merges.append((rank, left, right, cnt))
-        ray.get([a.apply.remote(left, right) for a in actors])
+        for d in ray.get([a.apply.remote(left, right) for a in actors]):
+            for p, c in d.items():
+                n = total.get(p, 0) + c
+                if n:
+                    total[p] = n
+                else:
+                    total.pop(p, None)
     for a in actors:
         ray.kill(a)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "count"])
