@@ -697,6 +697,8 @@ def covariance_matrix(embeddings_path: str):
     import pandas as pd
 
     N, S, G = _suff_stats(embeddings_path)
+    if N < 2:
+        raise ValueError("covariance needs at least 2 vectors")
     mu = S / N
     C = (G - N * np.outer(mu, mu)) / (N - 1)
     d = len(S)

@@ -36,15 +36,15 @@ def _word_histogram(docs_ds, num_shards: int):
     from gunrock_ray.functions.dedup import hash_words
 
     def counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
         texts = batch["text"].to_pylist()
-        flat = [w for t in texts if t is not None for w in t.split()]
-        if not flat:
-            return pa.table({"word": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        arr = np.array(flat, dtype=np.str_)
-        uw, cnt = np.unique(arr, return_counts=True)
-        return pa.table({"word": pa.array(uw.tolist(), pa.string()),
-                         "c": pa.array(cnt, pa.int64())})
+        # Counter over Python str, not np.unique over '<U' arrays: NumPy's
+        # NUL-padded fixed-width compare conflates words differing only in
+        # trailing NULs, diverging from the str-keyed actor sequences
+        c = Counter(w for t in texts if t is not None for w in t.split())
+        uw = sorted(c)
+        return pa.table({"word": pa.array(uw, pa.string()),
+                         "c": pa.array([c[w] for w in uw], pa.int64())})
 
     hist = (docs_ds.map_batches(counts, batch_format="pyarrow")
             .groupby("word").aggregate(Sum("c", alias_name="c")))
@@ -114,7 +114,8 @@ def _make_shard_actor():
                     p = (out[i], out[i + 1])
                     delta[p] = delta.get(p, 0) + c
                     self.index.setdefault(p, set()).add(k)
-            return delta
+            # pairs far from the merge site net to 0 — don't ship them
+            return {p: c for p, c in delta.items() if c}
 
     return BpeShard
 
@@ -134,27 +135,30 @@ def train_bpe(docs_ds, num_merges: int = 50, *, num_shards: int = 8,
     actors = [Actor.remote(s["word"].tolist(), s["c"].tolist())
               for s in shards]
     merges = []
-    total: dict = {}
-    for d in ray.get([a.pair_counts.remote() for a in actors]):
-        for p, c in d.items():
-            total[p] = total.get(p, 0) + c
-    for rank in range(num_merges):
-        if not total:
-            break
-        best = min(total.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), cnt = best
-        if cnt < min_pair_count:
-            break
-        merges.append((rank, left, right, cnt))
-        for d in ray.get([a.apply.remote(left, right) for a in actors]):
+    try:
+        total: dict = {}
+        for d in ray.get([a.pair_counts.remote() for a in actors]):
             for p, c in d.items():
-                n = total.get(p, 0) + c
-                if n:
-                    total[p] = n
-                else:
-                    total.pop(p, None)
-    for a in actors:
-        ray.kill(a)
+                total[p] = total.get(p, 0) + c
+        for rank in range(num_merges):
+            if not total:
+                break
+            best = min(total.items(), key=lambda kv: (-kv[1], kv[0]))
+            (left, right), cnt = best
+            if cnt < min_pair_count:
+                break
+            merges.append((rank, left, right, cnt))
+            for d in ray.get([a.apply.remote(left, right)
+                              for a in actors]):
+                for p, c in d.items():
+                    n = total.get(p, 0) + c
+                    if n:
+                        total[p] = n
+                    else:
+                        total.pop(p, None)
+    finally:
+        for a in actors:
+            ray.kill(a)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "count"])
 
 

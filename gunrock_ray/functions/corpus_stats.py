@@ -439,9 +439,9 @@ def bm25_topk(docs_ds, query: str, k: int = 10, *, k1: float = 1.2,
             "sum_dl": pa.array([len(words)], pa.int64()),
             "df": pa.array([df_p], pa.list_(pa.int64()))})
 
-    st = (docs_ds.select_columns(["doc_id", "text"])
+    st = (docs_ds.select_columns(["text"])
           .map_batches(partials, batch_format="pyarrow").to_pandas())
-    if len(st) == 0 or st["n"].sum() == 0:
+    if len(st) == 0 or st["n"].sum() == 0 or st["sum_dl"].sum() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "score": pd.Series([], dtype=np.float64)})
     N = int(st["n"].sum())

@@ -58,42 +58,16 @@ def flat_word_shingles(texts, n: int = 3, unique: bool = True):
     skips the per-doc dedup sort — correct wherever downstream reduces with
     min/set semantics (MinHash signatures). None texts behave as empty
     docs (emit no shingles) — the decontaminate/segment_dedup convention —
-    instead of crashing a worker mid-job."""
-    words_per_doc = [t.split() if t is not None else [] for t in texts]
-    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
-    hw = hash_words([w for doc in words_per_doc for w in doc])
-    D = len(texts)
-    doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
-    out_doc: list[np.ndarray] = []
-    out_sh: list[np.ndarray] = []
-    # full windows: start i is valid iff i and i+n-1 fall in the same doc
-    m = len(hw) - n + 1
-    if m > 0:
-        g = hw[:m].copy()
-        for j in range(1, n):
-            g = mix64(g) ^ hw[j:j + m]
-        g = mix64(g)
-        valid = doc_of[:m] == doc_of[n - 1:]
-        out_doc.append(doc_of[:m][valid])
-        out_sh.append(g[valid])
-    # short docs (0 < k < n): one shingle = chain over all k words
-    offs = np.concatenate([[0], np.cumsum(counts)])
-    for k in range(1, n):
-        short = np.flatnonzero(counts == k)
-        if len(short) == 0:
-            continue
-        g = hw[offs[short]].copy()
-        for j in range(1, k):
-            g = mix64(g) ^ hw[offs[short] + j]
-        out_doc.append(short)
-        out_sh.append(mix64(g))
-    if not out_doc:
-        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    d = np.concatenate(out_doc)
-    s = np.concatenate(out_sh)
-    if len(out_doc) == 1 and not unique:
-        return d, s  # full-window block is already doc-ordered
+    instead of crashing a worker mid-job. The hash chain itself lives in
+    :func:`flat_word_shingles_pos` (single source of truth — the SQL
+    oracles and the span-removal coverage stage depend on the two staying
+    identical); this wrapper reapplies the ordering/dedup contract."""
+    d, s, _, _, counts, _ = flat_word_shingles_pos(texts, n)
+    if len(d) == 0:
+        return d, s
     if not unique:
+        if not np.any((counts > 0) & (counts < n)):
+            return d, s  # full-window block only: already doc-ordered
         order = np.argsort(d, kind="stable")
         return d[order], s[order]
     # per-doc distinct: lexsort by (doc, shingle), drop equal neighbors
@@ -790,7 +764,6 @@ def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
     fold exactly, so both sides agree even on the astronomically-unlikely
     collision."""
     import ray
-    from ray.data.aggregate import Sum
     from gunrock_ray.common import sha256_column
 
     def split_batch(batch: pa.Table):
@@ -814,19 +787,7 @@ def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
         return pa.table({"h": pa.array(uh.view(np.int64)),
                          "nd": pa.array(cnt, pa.int64())})
 
-    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
-          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keep = pa.compute.greater_equal(batch["nd"], min_docs)
-        return batch.filter(keep).select(["h"])
-
-    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    # all-empty blocks lose the schema (no 'h' column) when nothing
-    # reaches the df threshold — an empty hot set, not an error
-    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
-           else np.zeros(0, dtype=np.uint64))
-    hot_ref = ray.put(np.sort(hot))
+    hot_ref = _hot_hashes(docs_ds, batch_df, min_docs)
 
     def scrub(batch: pa.Table) -> pa.Table:
         hot_set = ray.get(hot_ref)
@@ -852,6 +813,47 @@ def segment_dedup(docs_ds, *, sep: str = "\n", min_docs: int = 2):
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def _hot_hashes(docs_ds, batch_df, min_df: int):
+    """The shared df exchange of :func:`segment_dedup`,
+    :func:`dup_span_stats` and :func:`remove_dup_spans`: ``batch_df``
+    emits pre-aggregated (h, per-batch-distinct-doc-count) partials, ONE
+    groupby-sum computes global df, hashes with df >= ``min_df`` are
+    sorted and broadcast once via ``ray.put``. The hot set is
+    duplication by definition — bounded by the corpus's duplicate
+    volume; if a caller sets min_df so low it stops being small, swap
+    the broadcast for a hash-join on h (same rows, one extra shuffle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
+          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater_equal(batch["nd"], min_df)
+        return batch.filter(keep).select(["h"])
+
+    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    # all-empty blocks lose the schema (no 'h' column) when nothing
+    # reaches the df threshold — an empty hot set, not an error
+    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
+           else np.zeros(0, dtype=np.uint64))
+    return ray.put(np.sort(hot))
+
+
+def _span_df_batch(ngram: int):
+    """batch_df for the span family: per-batch-distinct word-``ngram``
+    window hashes (the MinHash shingle chain) with doc counts."""
+
+    def batch_df(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        _, sh = flat_word_shingles(texts, ngram, unique=True)
+        uh, cnt = np.unique(sh, return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "nd": pa.array(cnt, pa.int64())})
+
+    return batch_df
+
+
 def dup_span_stats(docs_ds, *, ngram: int = 3, min_df: int = 2):
     """Exact duplicate-span statistics — the detection half of
     substring-level training-data dedup (Lee et al., "Deduplicating
@@ -874,26 +876,8 @@ def dup_span_stats(docs_ds, *, ngram: int = 3, min_df: int = 2):
     shuffle). The span chain is the MinHash shingle chain
     (:func:`flat_word_shingles`), reproduced exactly in DuckDB."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def batch_df(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        _, sh = flat_word_shingles(texts, ngram, unique=True)
-        uh, cnt = np.unique(sh, return_counts=True)
-        return pa.table({"h": pa.array(uh.view(np.int64)),
-                         "nd": pa.array(cnt, pa.int64())})
-
-    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
-          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keep = pa.compute.greater_equal(batch["nd"], min_df)
-        return batch.filter(keep).select(["h"])
-
-    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
-           else np.zeros(0, dtype=np.uint64))
-    hot_ref = ray.put(np.sort(hot))
+    hot_ref = _hot_hashes(docs_ds, _span_df_batch(ngram), min_df)
 
     def count_spans(batch: pa.Table) -> pa.Table:
         hot_set = ray.get(hot_ref)
@@ -935,26 +919,8 @@ def remove_dup_spans(docs_ds, *, ngram: int = 3, min_df: int = 2):
     per-doc exact), and only the string reassembly is per-doc Python
     (inherent to emitting strings)."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def batch_df(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        _, sh = flat_word_shingles(texts, ngram, unique=True)
-        uh, cnt = np.unique(sh, return_counts=True)
-        return pa.table({"h": pa.array(uh.view(np.int64)),
-                         "nd": pa.array(cnt, pa.int64())})
-
-    df = (docs_ds.map_batches(batch_df, batch_format="pyarrow")
-          .groupby("h").aggregate(Sum("nd", alias_name="nd")))
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keep = pa.compute.greater_equal(batch["nd"], min_df)
-        return batch.filter(keep).select(["h"])
-
-    hp = df.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    hot = (hp["h"].to_numpy().view(np.uint64) if "h" in hp.columns
-           else np.zeros(0, dtype=np.uint64))
-    hot_ref = ray.put(np.sort(hot))
+    hot_ref = _hot_hashes(docs_ds, _span_df_batch(ngram), min_df)
 
     def clean(batch: pa.Table) -> pa.Table:
         hot_set = ray.get(hot_ref)

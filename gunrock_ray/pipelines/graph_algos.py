@@ -634,14 +634,15 @@ def batch_personalized_pagerank(graph: DistributedGraph, sources, *,
     g = graph
     metrics = MetricsWriter(metrics_path)
     sources = [int(s) for s in sources]
-    g.call_all("mpr_init", sources, delta)
+    # mpr_init/mpr_apply return the (S,) dangling PARTIAL of the state
+    # they just wrote, so the superstep needs no extra dangling fetch
+    dang = np.sum(g.call_all("mpr_init", sources, delta), axis=0)
     for it in range(iterations):
         t0 = time.perf_counter()
         packs = [a.mpr_scatter.remote() for a in g.actors]
-        dang = np.sum(ray.get([a.mpr_dangling.remote()
-                               for a in g.actors]), axis=0)
         res = ray.get([a.mpr_apply.remote(dang, *packs)
                        for a in g.actors])
+        dang = np.sum([r["dang"] for r in res], axis=0)
         metrics.write(algo="batch_ppr", superstep=it,
                       l1_delta=sum(r["l1_delta"] for r in res),
                       t_superstep_s=time.perf_counter() - t0)

@@ -3088,7 +3088,10 @@ class GraphPartition:
     # personalized convention). Used for batched recommendation /
     # seed-expansion queries; exact NumPy + unrolled-SQL twins.
 
-    def mpr_init(self, sources, delta: float) -> None:
+    def mpr_init(self, sources, delta: float) -> np.ndarray:
+        """Returns this partition's dangling partial of X0 — the driver
+        sums partials instead of an extra per-superstep fetch (mpr_apply
+        returns the NEXT round's partial the same way)."""
         srcs = np.asarray(sources, dtype=np.int64)
         n, S = len(self.verts), len(srcs)
         X = np.zeros((n, S), dtype=np.float64)
@@ -3104,13 +3107,12 @@ class GraphPartition:
         self._mpr_X = X
         self._mpr_delta = float(delta)
         self._mpr_S = S
+        return X[self.out_deg == 0].sum(axis=0)
 
     @_scatter_timed
     def mpr_scatter(self):
         X = self._mpr_X
         S = self._mpr_S
-        dang = X[self.out_deg == 0].sum(axis=0)
-        self._mpr_dang = dang
         if len(self.col_indices) == 0:
             return self._pack(_EMPTY_I8, np.zeros((0, S)))
         src_rows = np.repeat(np.arange(len(self.verts), dtype=np.int64),
@@ -3121,9 +3123,6 @@ class GraphPartition:
         starts = segment_starts(d)
         red = np.add.reduceat(contrib[order], starts, axis=0)
         return self._pack(d[starts], red)
-
-    def mpr_dangling(self) -> np.ndarray:
-        return self._mpr_dang
 
     @_apply_timed
     def mpr_apply(self, dang_total: np.ndarray, *packs) -> dict:
@@ -3142,7 +3141,8 @@ class GraphPartition:
             new[rows, cols] += a * dang_total[cols] + (1.0 - a)
         l1 = float(np.abs(new - X).sum())
         self._mpr_X = new
-        return {"l1_delta": l1}
+        return {"l1_delta": l1,
+                "dang": new[self.out_deg == 0].sum(axis=0)}
 
     def mpr_extract(self) -> pa.Table:
         """Tall (v, s_idx, score): s_idx = the source's position in the
