@@ -275,6 +275,11 @@ def cmd_run(args) -> dict:
         out = ga.betweenness_centrality(g, sources=srcs, metrics_path=args.metrics)
     elif args.algo == "wtf":
         out = ga.wtf(g, args.src, k=args.topk)
+    elif args.algo == "batchppr":
+        srcs = [int(s) for s in args.sources.split(",")] \
+            if args.sources else [args.src]
+        out = ga.batch_personalized_pagerank(
+            g, srcs, iterations=args.max_iter, metrics_path=args.metrics)
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
     t_run = time.perf_counter() - t0
@@ -726,7 +731,8 @@ def main(argv=None) -> None:
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
-                              "katz", "msf", "harmonic", "node2vec"])
+                              "katz", "msf", "harmonic", "node2vec",
+                              "batchppr"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -743,6 +749,9 @@ def main(argv=None) -> None:
     run.add_argument("--src", type=int, default=0)
     run.add_argument("--dst", type=int, default=1,
                      help="target vertex for --algo astar / sink for maxflow")
+    run.add_argument("--sources", default="",
+                     help="comma-separated source list for --algo batchppr "
+                          "(falls back to --src)")
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
     run.add_argument("--direction-optimized", action="store_true",
