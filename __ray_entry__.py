@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # exact covariance at 1e-9 scale)
         "embed_pca": r.q_embed_pca,    # rows-only (eigh has no SQL form;
                                        # pytest-gated vs NumPy)
+        "wpr10": r.q_wpr10,            # SQL-checked (edge-weighted PR,
+                                       # unrolled weighted power iteration)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -185,7 +185,9 @@ def cmd_run(args) -> dict:
     if args.algo == "pr":
         out = ga.pagerank(g, delta=args.delta, error=args.error,
                           max_iter=args.max_iter, src_node=args.src
-                          if args.personalized else None, **ck)
+                          if args.personalized else None,
+                          normalized=not args.weighted,
+                          weighted=args.weighted, **ck)
     elif args.algo == "cc":
         out, ncomp = ga.connected_components(g, **ck)
         extra["num_components"] = ncomp

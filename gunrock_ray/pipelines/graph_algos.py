@@ -285,7 +285,7 @@ def convert_back(result_ds, conv, *, col: str = "v",
 
 def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
              max_iter: int = 50, src_node: int | None = None,
-             normalized: bool = True,
+             normalized: bool = True, weighted: bool = False,
              metrics_path: str | None = None,
              ckpt_dir: str | None = None, ckpt_every: int = 0,
              resume: bool = False, warm_start: str | None = None):
@@ -301,14 +301,19 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     Dangling vertices absorb rank (no redistribution, `doc/results.md:80-84`).
     ``src_node`` enables personalized PR (teleport mass to the source only —
     the `src_node` hook of `pr_problem.cuh:97`, used by WTF).
+    ``weighted=True`` (requires ``normalized=False`` and a weighted graph)
+    pushes rank proportional to edge weight: x[u]·w(u,v)/wsum(u).
     """
     g = graph
     metrics = MetricsWriter(metrics_path)
     run_id = uuid.uuid4().hex
+    if weighted and normalized:
+        raise ValueError("weighted PR is the normalized=False formulation")
     if not normalized:
         if src_node is not None or g.hot_split:
             raise ValueError("unnormalized PR supports neither src_node nor hot split")
-        g.call_all("pru_init", g.n, delta, error)
+        scatter = "wpr_scatter" if weighted else "pru_scatter"
+        g.call_all("wpr_init" if weighted else "pru_init", g.n, delta, error)
         g.register_push("out")
         start_iter = 0
         if resume and ckpt_dir:
@@ -318,7 +323,7 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         it = start_iter
         while it < max_iter:
             t0 = time.perf_counter()
-            res, _ = g.superstep("pru_scatter", "pru_apply")
+            res, _ = g.superstep(scatter, "pru_apply")
             updated = sum(r["updated"] for r in res)
             metrics.write(algo="pr_unnorm", superstep=it, frontier=g.n,
                           changed=updated,

@@ -779,6 +779,25 @@ def q_pr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_wpr10(sf_dir: str):
+    """Edge-weighted PageRank (graph_algos.pagerank(normalized=False,
+    weighted=True)), exactly 10 supersteps over the deterministic
+    [1,64]-integer-weighted directed graph: each push carries
+    rank·w/wsum. SQL-checked against the unrolled weighted power
+    iteration at the 1e-6 integer scale (identical expression tree;
+    integer weights make the wsum bit-exact on both sides)."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, pagerank
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    weighted=True)
+    try:
+        df = pagerank(g, error=0.0, max_iter=10, normalized=False,
+                      weighted=True).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["rank_u6"] = np.floor(df["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_katz5(sf_dir: str):
     """Katz centrality, exactly 5 supersteps (tol=0), alpha=0.05, beta=1 —
     SQL-checked against the unrolled DuckDB iteration at the 1e-6 integer
@@ -1820,6 +1839,36 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _wpr_sql(iters: int = 10, delta: float = 0.85) -> str:
+    """Unrolled edge-weighted power iteration mirroring
+    pagerank(normalized=False, weighted=True): push = (pr·(1/wsum))·w with
+    the engine's exact association; wsum = SUM(w) per source (integer
+    weights ⇒ order-independent, bit-exact); dangling mass not
+    redistributed (the NORMALIZED=false convention, like _pr_sql)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        "nn AS (SELECT COUNT(*) AS n FROM verts), ",
+        f"e AS MATERIALIZED (SELECT src, dst, {_W_EXPR} AS w "
+        f"FROM ({_NORM_SQL})), ",
+        "ws AS MATERIALIZED (SELECT src AS v, SUM(w) AS sw FROM e "
+        "GROUP BY src), ",
+        "r0 AS (SELECT verts.v, 1.0/nn.n AS pr FROM verts CROSS JOIN nn)",
+    ]
+    step = (
+        f", r{{i}} AS MATERIALIZED (SELECT verts.v, "
+        f"(1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) AS pr "
+        "FROM verts CROSS JOIN nn LEFT JOIN "
+        "(SELECT e.dst AS v, SUM((p.pr * (1.0/w2.sw)) * e.w) AS s FROM e "
+        "JOIN r{prev} p ON p.v = e.src JOIN ws w2 ON w2.v = e.src "
+        "GROUP BY e.dst) m ON m.v = verts.v)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(f" SELECT v, CAST(FLOOR(pr*1000000 + 0.5) AS BIGINT) "
+                 f"AS rank_u6 FROM r{iters}")
     return "".join(parts)
 
 
@@ -3146,6 +3195,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
+    "wpr10": _wpr_sql(10),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
     # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
     # integer scale both sides rank by (ties → v)

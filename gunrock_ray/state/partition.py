@@ -647,6 +647,45 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "rank": pa.array(self.state["rank"], pa.float64())})
 
+    # ----------------------------------------------- weighted PageRank
+    # Edge-weighted generalization of the NORMALIZED=false power iteration
+    # (pru_*): each push carries x[u]·w(u,v)/wsum(u) with wsum(u) the
+    # vertex's total out-weight — rank flows proportional to edge weight.
+    # Same static out-push plan; the plan's kept "order" permutation puts
+    # edge_w into plan order once at init. Reuses pru_apply/pru_extract
+    # (the combine and reset are weight-agnostic).
+
+    def wpr_init(self, n_global: int, delta: float, threshold: float) -> None:
+        # an edge-less partition has edge_w None even on weighted graphs
+        if self.edge_w is None and len(self.col_indices):
+            raise ValueError("weighted PageRank needs a weighted graph "
+                             "(build_graph(..., weighted=True))")
+        self.prepare_push_plan("out")
+        nv = len(self.verts)
+        self.state["rank"] = np.full(nv, 1.0 / max(n_global, 1),
+                                     dtype=np.float64)
+        self._pr_delta = delta
+        self._pr_threshold = threshold
+        self._pr_reset = (1.0 - delta) / max(n_global, 1)
+        w = (self.edge_w if self.edge_w is not None
+             else _EMPTY_F8).astype(np.float64)
+        # per-vertex out-weight sums; integer-valued weights make any sum
+        # order exact (the SQL oracle's SUM(w) agrees bit-for-bit)
+        wsum = np.zeros(nv, dtype=np.float64)
+        np.add.at(wsum, np.repeat(np.arange(nv, dtype=np.int64),
+                                  self.out_deg), w)
+        inv = np.zeros(nv, dtype=np.float64)
+        nz = wsum > 0
+        inv[nz] = 1.0 / wsum[nz]
+        self._wpr_inv_wsum = inv
+        self._wpr_w_plan = w[self._plans["out"]["order"]]
+
+    @_scatter_timed
+    def wpr_scatter(self) -> np.ndarray:
+        vals = (self.state["rank"] * self._wpr_inv_wsum)[
+            self._plans["out"]["src_idx"]] * self._wpr_w_plan
+        return self.push_reduced(vals, "sum", "out")
+
     # ------------------------------------------------------ Katz centrality
     # Katz (1953) path-counting centrality — beyond the fork's app list but
     # the natural third member of the PR/HITS/SALSA eigen-family and built on

@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+import pyarrow as pa
 
 from gunrock_ray import build_graph, pagerank
 from gunrock_ray.sources import generators as gen
@@ -128,5 +129,70 @@ def test_pr_unnormalized_rejects_personalized():
     try:
         with pytest.raises(ValueError):
             pagerank(g, normalized=False, src_node=0)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def test_weighted_pagerank_matches_dense(ray_session):
+    """weighted=True pushes rank*w/wsum; dense NumPy replica, plus the
+    equal-weights == unweighted sanity and the two guard errors."""
+    import pytest
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import build_graph, pagerank
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    w = rng.integers(1, 64, 300).astype(np.float64)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    g = build_graph(ray.data.from_arrow(t), num_partitions=4, weighted=True)
+    try:
+        with pytest.raises(ValueError):
+            pagerank(g, weighted=True)  # normalized=True default
+        df = (pagerank(g, error=0.0, max_iter=12, normalized=False,
+                       weighted=True).to_pandas()
+              .sort_values("v").reset_index(drop=True))
+    finally:
+        g.shutdown(remove_spill=True)
+
+    # dense reference over the normalized (loop-free, deduped) edge set;
+    # dedup_sorted keeps the MIN weight for duplicate (src,dst)
+    verts = np.unique(np.concatenate([src, dst]))
+    vid = {int(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros((n, n))
+    seen: dict = {}
+    for a, b, ww in zip(src, dst, w):
+        if a == b:
+            continue
+        key = (int(a), int(b))
+        seen[key] = min(seen.get(key, np.inf), float(ww))
+    for (a, b), ww in seen.items():
+        W[vid[a], vid[b]] = ww
+    wsum = W.sum(axis=1)
+    x = np.full(n, 1.0 / n)
+    for _ in range(12):
+        msg = np.zeros(n)
+        nz = wsum > 0
+        msg = (x[nz] / wsum[nz])[:, None] * W[nz]
+        x = 0.15 / n + 0.85 * msg.sum(axis=0)
+    got = np.zeros(n)
+    got[[vid[int(v)] for v in df["v"]]] = df["rank"].to_numpy()
+    assert np.allclose(got, x, rtol=1e-10, atol=1e-14)
+
+
+def test_weighted_pagerank_needs_weighted_graph(ray_session):
+    import pytest
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import build_graph, pagerank
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    g = build_graph(ray.data.from_arrow(t), num_partitions=2)
+    try:
+        with pytest.raises(Exception, match="weighted"):
+            pagerank(g, error=0.0, max_iter=2, normalized=False,
+                     weighted=True)
     finally:
         g.shutdown(remove_spill=True)
