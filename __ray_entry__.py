@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # pytest-gated vs NumPy)
         "wpr10": r.q_wpr10,            # SQL-checked (edge-weighted PR,
                                        # unrolled weighted power iteration)
+        "doc_sample_k25": r.q_doc_sample_k25,  # SQL-checked (exact-k sample:
+                                       # bottom-k splitmix64 keys)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -474,3 +474,31 @@ def bm25_topk(docs_ds, query: str, k: int = 10, *, k1: float = 1.2,
     return (cands.sort_values(["score", "doc_id"],
                               ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def sample_exact_k(docs_ds, k: int, seed: int = 0):
+    """Deterministic EXACT-size uniform sample: the ``k`` doc_ids with the
+    smallest mix64(doc_id ^ seed) keys (a bijection on distinct ids — no
+    ties, no RNG state; sample_docs' Bernoulli form gives a binomial size,
+    this gives exactly k). Distributed as a per-block partial bottom-k —
+    the driver merges only blocks × k candidate rows; block-layout- and
+    cluster-size-invariant. Returns pandas {doc_id} sorted by doc_id."""
+    import pandas as pd
+
+    s = np.uint64(seed)
+
+    def block_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        key = mix64(ids.astype(np.uint64) ^ s)
+        order = np.argsort(key, kind="stable")[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "key": pa.array(key[order].view(np.int64))})
+
+    cands = (docs_ds.select_columns(["doc_id"])
+             .map_batches(block_bottomk, batch_format="pyarrow").to_pandas())
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+    top = cands.sort_values("key", key=lambda c: c.to_numpy().view(np.uint64),
+                            kind="stable").head(k)
+    return (top[["doc_id"]].sort_values("doc_id")
+            .reset_index(drop=True))

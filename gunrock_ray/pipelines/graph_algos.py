@@ -386,7 +386,9 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
 
 def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
                     beta: float = 1.0, max_iter: int = 20, tol: float = 0.0,
-                    metrics_path: str | None = None):
+                    metrics_path: str | None = None,
+                    ckpt_dir: str | None = None, ckpt_every: int = 0,
+                    resume: bool = False):
     """Katz centrality — x_{t+1}[v] = beta + alpha·Σ_{u→v} x_t[u], x_0 = beta
     (attenuated path counting; the third member of the PR/HITS eigen-family,
     run over the same static out-push plan as :func:`pagerank`). ``alpha``
@@ -396,14 +398,28 @@ def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
     {v, katz} sorted (katz desc, v asc)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
+    run_id = uuid.uuid4().hex
     g.call_all("kz_init", alpha, beta, tol)
     g.register_push("out")
-    for it in range(max_iter):
+    start_iter = 0
+    if resume and ckpt_dir:
+        lineage = g.restore(ckpt_dir)
+        start_iter = lineage["iteration"] + 1
+        run_id = lineage["run_id"]
+    it = start_iter
+    while it < max_iter:
         t0 = time.perf_counter()
         res, _ = g.superstep("kz_scatter", "kz_apply")
         updated = sum(r["updated"] for r in res)
         metrics.write(algo="katz", superstep=it, changed=updated,
                       t_superstep_s=time.perf_counter() - t0)
+        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+            g.checkpoint(ckpt_dir, it, ["katz"], run_id,
+                         extra={"algo": "katz", "iteration": it,
+                                "params": {"alpha": alpha, "beta": beta,
+                                           "tol": tol,
+                                           "max_iter": max_iter}})
+        it += 1
         if updated == 0:
             break
     metrics.close()

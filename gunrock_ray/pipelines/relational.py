@@ -1426,6 +1426,16 @@ def q_bpe_tokens(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_doc_sample_k25(sf_dir: str):
+    """Deterministic EXACT-k uniform sample (corpus_stats.sample_exact_k):
+    the 25 doc_ids with the smallest mix64(doc_id ^ 0) keys — per-block
+    partial bottom-k, driver merges blocks × k rows. SQL-checked (the
+    splitmix64 chain ordered ascending, LIMIT 25)."""
+    from gunrock_ray.functions.corpus_stats import sample_exact_k
+    return sample_exact_k(_docs_ds(sf_dir).select_columns(["doc_id"]),
+                          k=25, seed=0)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-0 training shuffle over documents: every doc_id
     gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order
@@ -3648,6 +3658,15 @@ ORACLE_SQL: dict[str, str] = {
         f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "
         "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 "
         "AS BIGINT) AS pos FROM k"
+    ),
+    "doc_sample_k25": (
+        "WITH s0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "
+        f"s1 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1) "
+        "SELECT doc_id FROM s2 ORDER BY xor(z, z >> 31) LIMIT 25"
     ),
     "doc_sample10": (
         "WITH s0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) + "

@@ -188,3 +188,33 @@ def test_actor_death_then_rebuild_and_resume(tmp_path):
         g3.shutdown(remove_spill=True)
     assert np.array_equal(full, resumed), \
         "resume after actor death must be bit-identical"
+
+
+def test_katz_checkpoint_resume_bit_identical(tmp_path):
+    """Katz honors ckpt/resume (state is the plain katz array)."""
+    from gunrock_ray.pipelines.graph_algos import katz_centrality
+    t = gen.rmat_table(7, edge_factor=8)
+    n = 128
+    ck = str(tmp_path / "ckpt_k")
+
+    g1 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        full = dense_result(katz_centrality(g1, alpha=0.01, max_iter=8,
+                                            tol=0.0, ckpt_dir=ck,
+                                            ckpt_every=3), n, "katz")
+    finally:
+        g1.shutdown(remove_spill=True)
+
+    lineage = json.load(open(os.path.join(ck, "lineage.json")))
+    assert lineage["algo"] == "katz"
+    assert lineage["iteration"] == 5  # checkpoints at it = 2, 5
+
+    g2 = build_graph(t, num_partitions=3, vertices=vertices_table(n))
+    try:
+        resumed = dense_result(katz_centrality(g2, alpha=0.01, max_iter=8,
+                                               tol=0.0, ckpt_dir=ck,
+                                               resume=True), n, "katz")
+    finally:
+        g2.shutdown(remove_spill=True)
+
+    assert np.array_equal(full, resumed), "katz resume must be bit-identical"

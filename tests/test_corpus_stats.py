@@ -317,3 +317,23 @@ def test_bm25_partition_invariant(ray_session):
             for P in (1, 6)]
     assert list(outs[0]["doc_id"]) == list(outs[1]["doc_id"])
     assert np.allclose(outs[0]["score"], outs[1]["score"], rtol=1e-12)
+
+
+def test_sample_exact_k(ray_session):
+    import ray.data
+    from gunrock_ray.functions.corpus_stats import sample_exact_k
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    outs = [sample_exact_k(ray.data.from_arrow(t).repartition(P), 17, seed=3)
+            for P in (1, 6)]
+    # exactly k, layout-invariant
+    assert len(outs[0]) == 17
+    assert list(outs[0]["doc_id"]) == list(outs[1]["doc_id"])
+    # matches the brute-force bottom-k of the same key
+    key = mix64(ids.astype(np.uint64) ^ np.uint64(3))
+    want = sorted(ids[np.argsort(key)[:17]].tolist())
+    assert list(outs[0]["doc_id"]) == want
+    # different seed -> different sample; k > n -> everything
+    other = sample_exact_k(ray.data.from_arrow(t), 17, seed=4)
+    assert list(other["doc_id"]) != want
+    assert len(sample_exact_k(ray.data.from_arrow(t), 500)) == 200
