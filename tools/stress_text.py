@@ -1,0 +1,75 @@
+"""Late-round-3 text-operator stress: duplicate-span removal, BM25
+retrieval and BPE train+encode over the stress_dedup synthetic corpus
+(deterministic, planted near-dups), at one or more sizes.
+
+Run: python tools/stress_text.py [num_docs ...] (default 100000 500000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.stress_dedup import _doc_batch  # noqa: E402
+
+
+def run_one(num_docs: int) -> dict:
+    import ray
+    import ray.data
+
+    docs = ray.data.range(num_docs).map_batches(
+        lambda b, n=num_docs: _doc_batch(b, n), batch_format="pyarrow")
+    path = f"/tmp/gunrock_ray_bench/stress_text_{num_docs}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs.write_parquet(path)
+    docs = ray.data.read_parquet(path)
+
+    from gunrock_ray.functions.dedup import remove_dup_spans
+    t0 = time.perf_counter()
+    removed = remove_dup_spans(docs, ngram=3, min_df=2)
+    n_rows = removed.count()
+    t_span = time.perf_counter() - t0
+
+    from gunrock_ray.functions.corpus_stats import bm25_topk
+    t0 = time.perf_counter()
+    top = bm25_topk(docs, "w00001 w00042 CH1 w11111", k=10)
+    t_bm25 = time.perf_counter() - t0
+
+    from gunrock_ray.functions.bpe import train_bpe, bpe_encode
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, num_merges=50)
+    enc_rows = bpe_encode(docs, merges).count()
+    t_bpe = time.perf_counter() - t0
+
+    shutil.rmtree(path, ignore_errors=True)
+    return {"num_docs": num_docs, "span_removal_s": round(t_span, 2),
+            "span_docs_per_s": round(n_rows / t_span),
+            "bm25_s": round(t_bm25, 2), "bm25_hits": len(top),
+            "bpe_s": round(t_bpe, 2), "bpe_merges": len(merges),
+            "bpe_docs_per_s": round(enc_rows / t_bpe)}
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 500_000]
+    import logging
+    import ray
+    from ray.data import DataContext
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    for n in sizes:
+        print(json.dumps(run_one(n)))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
