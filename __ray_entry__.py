@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # unrolled weighted power iteration)
         "doc_sample_k25": r.q_doc_sample_k25,  # SQL-checked (exact-k sample:
                                        # bottom-k splitmix64 keys)
+        "neighbor_sample": r.q_neighbor_sample,  # SQL-checked (GraphSAGE
+                                       # fanout sampling, ROW_NUMBER twin)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -282,6 +282,13 @@ def cmd_run(args) -> dict:
             if args.sources else [args.src]
         out = ga.batch_personalized_pagerank(
             g, srcs, iterations=args.max_iter, metrics_path=args.metrics)
+    elif args.algo == "sage":
+        srcs = [int(s) for s in args.sources.split(",")] \
+            if args.sources else [args.src]
+        fans = tuple(int(f) for f in args.fanouts.split(","))
+        out = ga.neighbor_sample(g, srcs, fanouts=fans,
+                                 seed=args.sample_seed,
+                                 metrics_path=args.metrics)
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
     t_run = time.perf_counter() - t0
@@ -734,7 +741,7 @@ def main(argv=None) -> None:
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
-                              "batchppr"])
+                              "batchppr", "sage"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -753,7 +760,11 @@ def main(argv=None) -> None:
                      help="target vertex for --algo astar / sink for maxflow")
     run.add_argument("--sources", default="",
                      help="comma-separated source list for --algo batchppr "
-                          "(falls back to --src)")
+                          "/ sage (falls back to --src)")
+    run.add_argument("--fanouts", default="10,5",
+                     help="per-layer fanouts for --algo sage")
+    run.add_argument("--sample-seed", type=int, default=42,
+                     help="sampling seed for --algo sage")
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
     run.add_argument("--direction-optimized", action="store_true",

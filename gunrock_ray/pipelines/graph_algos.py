@@ -679,6 +679,35 @@ def batch_personalized_pagerank(graph: DistributedGraph, sources, *,
                                                 batch_format="pyarrow")
 
 
+def neighbor_sample(graph: DistributedGraph, seeds, fanouts=(10, 5), *,
+                    seed: int = 42, metrics_path: str | None = None):
+    """GraphSAGE-style k-hop neighbor sampling (Hamilton et al., NeurIPS
+    2017) — the minibatch-construction primitive for graph training
+    pipelines: layer L keeps, for every frontier vertex, its
+    ``fanouts[L]`` out-neighbors with the smallest deterministic
+    mix64(mix64(src ^ (seed+L)) ^ dst) keys (dst tie-break; counter-based
+    — identical at any partitioning, no RNG state). Sampling runs
+    owner-side over each partition's CSR; the driver ships only the
+    frontier, bounded by |seeds|·Π fanouts (minibatch semantics). Returns
+    a Dataset {layer, src, dst} of the sampled block edges."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    g.call_all("ns_reset")
+    for layer, fan in enumerate(fanouts):
+        t0 = time.perf_counter()
+        parts = [p for p in g.call_all("ns_sample_layer", frontier,
+                                       int(layer), int(fan), int(seed))
+                 if len(p)]
+        frontier = (np.unique(np.concatenate(parts)) if parts
+                    else np.zeros(0, np.int64))
+        metrics.write(algo="neighbor_sample", superstep=layer,
+                      frontier=int(len(frontier)),
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("ns_extract")
+
+
 def node2vec_walks(graph: DistributedGraph, starts, *, length: int = 10,
                    p: float = 1.0, q: float = 1.0, seed: int = 42,
                    metrics_path: str | None = None):

@@ -779,6 +779,22 @@ def q_pr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_neighbor_sample(sf_dir: str):
+    """GraphSAGE-style 2-layer neighbor sampling
+    (graph_algos.neighbor_sample): seeds {0..9}, fanouts (4, 3), seed 42
+    — deterministic smallest-mix64-key choice per vertex, SQL-checked via
+    ROW_NUMBER over the identical staged key chain."""
+    from gunrock_ray.pipelines.graph_algos import neighbor_sample
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = neighbor_sample(g, range(10), fanouts=(4, 3),
+                             seed=42).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return (df.sort_values(["layer", "src", "dst"])
+            .reset_index(drop=True))
+
+
 def q_wpr10(sf_dir: str):
     """Edge-weighted PageRank (graph_algos.pagerank(normalized=False,
     weighted=True)), exactly 10 supersteps over the deterministic
@@ -1849,6 +1865,34 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _neighbor_sample_sql(num_seeds: int = 10, fanouts=(4, 3),
+                         seed: int = 42) -> str:
+    """Staged oracle for graph_algos.neighbor_sample: per layer, the
+    inner mix64(src ^ (seed+layer)) lands in a CTE (so the nested-mix
+    expression never explodes) and ROW_NUMBER() OVER (PARTITION BY src
+    ORDER BY mix64(xor(ik, dst)), dst) <= fanout picks the identical
+    edges; the next frontier is the distinct sampled dsts."""
+    parts = [f"WITH e AS MATERIALIZED ({_NORM_SQL}), ",
+             "f0(v) AS (SELECT * FROM generate_series(0, "
+             f"{num_seeds - 1}))"]
+    for L, fan in enumerate(fanouts):
+        ik = _MIX64_SQL(f"xor(CAST(e.src AS UBIGINT), "
+                        f"CAST({seed + L} AS UBIGINT))")
+        ok = _MIX64_SQL("xor(ik, CAST(dst AS UBIGINT))")
+        parts.append(
+            f", k{L} AS (SELECT e.src, e.dst, {ik} AS ik FROM e "
+            f"JOIN f{L} ON f{L}.v = e.src)"
+            f", l{L} AS (SELECT src, dst FROM (SELECT src, dst, "
+            f"ROW_NUMBER() OVER (PARTITION BY src ORDER BY {ok}, dst) "
+            f"AS rn FROM k{L}) WHERE rn <= {fan})"
+            f", f{L + 1}(v) AS (SELECT DISTINCT dst FROM l{L})")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({L} AS BIGINT) AS layer, src, dst FROM l{L}"
+        for L in range(len(fanouts)))
+    parts.append(" " + sel)
     return "".join(parts)
 
 
@@ -3206,6 +3250,7 @@ ORACLE_SQL: dict[str, str] = {
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
+    "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
     # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
     # integer scale both sides rank by (ties → v)

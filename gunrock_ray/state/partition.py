@@ -3193,6 +3193,64 @@ class GraphPartition:
                               pa.int64()),
             "score": pa.array(self._mpr_X.reshape(-1), pa.float64())})
 
+    # ------------------------------------- k-hop neighbor sampling (SAGE)
+    # GraphSAGE-style layered fanout sampling (Hamilton et al., NeurIPS
+    # 2017): per layer, each frontier vertex keeps its ``fanout``
+    # out-neighbors with the SMALLEST mix64(mix64(src ^ (seed+layer)) ^
+    # dst) keys (dst tie-break) — a counter-based deterministic choice,
+    # identical at any partitioning, reproduced in SQL as ROW_NUMBER over
+    # the same staged key. Sampling happens owner-side over the CSR; the
+    # driver only ships the (bounded, minibatch-sized) frontier.
+
+    def ns_reset(self) -> None:
+        self._ns_rows = []
+
+    def ns_sample_layer(self, frontier: np.ndarray, layer: int,
+                        fanout: int, seed: int) -> np.ndarray:
+        """Sample for the OWNED subset of ``frontier``; accumulates
+        (layer, src, dst) rows and returns the distinct sampled dsts."""
+        if len(self.verts) == 0 or len(frontier) == 0:
+            return _EMPTY_I8
+        pos = np.minimum(np.searchsorted(self.verts, frontier),
+                         len(self.verts) - 1)
+        rows = pos[self.verts[pos] == frontier]
+        starts = self.row_offsets[rows]
+        deg = self.out_deg[rows]
+        total = int(deg.sum())
+        if total == 0:
+            return _EMPTY_I8
+        offs = np.concatenate([[0], np.cumsum(deg)])
+        eidx = np.arange(total, dtype=np.int64) + \
+            np.repeat(starts - offs[:-1], deg)
+        src_rep = np.repeat(self.verts[rows], deg)
+        dsts = self.col_indices[eidx]
+        key = mix64(mix64(src_rep.astype(np.uint64)
+                          ^ np.uint64(seed + layer))
+                    ^ dsts.astype(np.uint64))
+        order = np.lexsort((dsts, key, src_rep))
+        seg = np.repeat(np.arange(len(rows), dtype=np.int64), deg)[order]
+        segstarts = segment_starts(seg)
+        seglens = np.diff(np.concatenate([segstarts, [total]]))
+        rank = np.arange(total, dtype=np.int64) - \
+            np.repeat(segstarts, seglens)
+        keep = rank < fanout
+        s_out = src_rep[order][keep]
+        d_out = dsts[order][keep]
+        self._ns_rows.append((layer, s_out, d_out))
+        return np.unique(d_out)
+
+    def ns_extract(self) -> pa.Table:
+        if getattr(self, "_ns_rows", None):
+            lay = np.concatenate([np.full(len(s), l, np.int64)
+                                  for l, s, _ in self._ns_rows])
+            src = np.concatenate([s for _, s, _ in self._ns_rows])
+            dst = np.concatenate([d for _, _, d in self._ns_rows])
+        else:
+            lay = src = dst = _EMPTY_I8
+        return pa.table({"layer": pa.array(lay, pa.int64()),
+                         "src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
     # ------------------------------------------- node2vec (biased walks)
     # Grover & Leskovec (KDD 2016) 2nd-order walks on the rw_* machinery:
     # walk state (walk_id, key, prev, cur) lives with cur's owner. A hop is

@@ -1,0 +1,84 @@
+"""GraphSAGE-style k-hop neighbor sampling vs a pure-Python reference of
+the same deterministic mix64 fanout choice."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+from gunrock_ray.pipelines.graph_algos import build_graph, neighbor_sample
+
+
+def _ref(src, dst, seeds, fanouts, seed):
+    adj: dict = {}
+    seen = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            adj.setdefault(a, []).append(b)
+    out = []
+    frontier = sorted(set(int(s) for s in seeds))
+    for L, fan in enumerate(fanouts):
+        nxt = set()
+        for v in frontier:
+            nbrs = adj.get(v, [])
+            keyed = sorted(
+                nbrs,
+                key=lambda d: (int(mix64(mix64(
+                    np.uint64(v) ^ np.uint64(seed + L))
+                    ^ np.uint64(d))), d))
+            for d in keyed[:fan]:
+                out.append((L, v, d))
+                nxt.add(d)
+        frontier = sorted(nxt)
+    return sorted(out)
+
+
+def run(src, dst, seeds, fanouts, P=4, seed=42):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=P)
+    try:
+        df = neighbor_sample(g, seeds, fanouts=fanouts, seed=seed).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return sorted(map(tuple, df[["layer", "src", "dst"]]
+                      .itertuples(index=False)))
+
+
+def test_matches_reference(ray_session):
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 80, 800)
+    dst = rng.integers(0, 80, 800)
+    got = run(src, dst, range(6), (4, 3))
+    want = _ref(src, dst, range(6), (4, 3), 42)
+    assert got == want
+    # layer-0 rows only from seeds; per-vertex fanout respected
+    per = {}
+    for L, s, d in got:
+        per[(L, s)] = per.get((L, s), 0) + 1
+        if L == 0:
+            assert s < 6
+    assert all(c <= (4 if L == 0 else 3) for (L, _), c in per.items())
+
+
+def test_partition_invariant_and_seed(ray_session):
+    rng = np.random.default_rng(14)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    a = run(src, dst, [1, 2, 3], (3, 2), P=2)
+    b = run(src, dst, [1, 2, 3], (3, 2), P=7)
+    assert a == b
+    c = run(src, dst, [1, 2, 3], (3, 2), P=2, seed=7)
+    assert a != c  # different seed, different sample
+
+
+def test_fanout_exceeds_degree_and_dead_ends(ray_session):
+    # star: 0 -> 1..4; vertex 9 isolated via self-loop (degree 0)
+    src = [0, 0, 0, 0, 9]
+    dst = [1, 2, 3, 4, 9]
+    got = run(src, dst, [0, 9], (10, 10), P=2)
+    # layer 0: all 4 neighbors of 0, nothing for 9; layer 1: dead ends
+    assert [r for r in got if r[0] == 0] == [(0, 0, 1), (0, 0, 2),
+                                            (0, 0, 3), (0, 0, 4)]
+    assert [r for r in got if r[0] == 1] == []
