@@ -262,8 +262,7 @@ def cmd_run(args) -> dict:
                       metrics_path=args.metrics)
     elif args.algo == "katz":
         out = ga.katz_centrality(g, alpha=args.katz_alpha,
-                                 max_iter=args.max_iter,
-                                 metrics_path=args.metrics)
+                                 max_iter=args.max_iter, **ck)
     elif args.algo == "hits":
         out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
     elif args.algo == "hits_gr":

@@ -144,7 +144,7 @@ def sample_docs(docs_ds, pct: int = 10, seed: int = 0):
     (no shuffle, no RNG state); the same rows are selected regardless of
     block layout or cluster size, and the splitmix64 hash is reproduced
     exactly by the SQL oracle (32-bit-split multiply mod 2^64)."""
-    s = np.uint64(seed)
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
     p = np.uint64(pct)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -276,7 +276,7 @@ def stratified_sample(docs_ds, rates: dict[str, int], *,
     SQL oracle."""
     import pyarrow.compute as pc
 
-    s = np.uint64(seed)
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -308,7 +308,7 @@ def repeat_factor_sample(docs_ds, factors_permille: dict[str, int], *,
     invariant to block layout and cluster size."""
     import pyarrow.compute as pc
 
-    s = np.uint64(seed)
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -485,7 +485,7 @@ def sample_exact_k(docs_ds, k: int, seed: int = 0):
     cluster-size-invariant. Returns pandas {doc_id} sorted by doc_id."""
     import pandas as pd
 
-    s = np.uint64(seed)
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
 
     def block_bottomk(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -283,6 +283,23 @@ def convert_back(result_ds, conv, *, col: str = "v",
 
 # ------------------------------------------------------------------- PageRank
 
+def _resume_from(g, ckpt_dir, resume, expected_algo: str):
+    """Shared resume entry for the iterative-state algorithms: restores
+    the lineage (input-fingerprint-gated in g.restore) and VALIDATES the
+    recorded algo tag, so a checkpoint from a different formulation
+    (e.g. weighted vs unweighted unnormalized PR) can never silently
+    continue with the wrong kernel. Returns (start_iter, run_id)."""
+    if resume and ckpt_dir:
+        lineage = g.restore(ckpt_dir)
+        got = lineage.get("algo")
+        if got != expected_algo:
+            raise ValueError(
+                f"checkpoint was written by algo {got!r}, refusing to "
+                f"resume as {expected_algo!r}")
+        return lineage["iteration"] + 1, lineage["run_id"]
+    return 0, uuid.uuid4().hex
+
+
 def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
              max_iter: int = 50, src_node: int | None = None,
              normalized: bool = True, weighted: bool = False,
@@ -306,33 +323,29 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     """
     g = graph
     metrics = MetricsWriter(metrics_path)
-    run_id = uuid.uuid4().hex
     if weighted and normalized:
         raise ValueError("weighted PR is the normalized=False formulation")
     if not normalized:
         if src_node is not None or g.hot_split:
             raise ValueError("unnormalized PR supports neither src_node nor hot split")
+        algo = "pr_unnorm_weighted" if weighted else "pr_unnorm"
         scatter = "wpr_scatter" if weighted else "pru_scatter"
         g.call_all("wpr_init" if weighted else "pru_init", g.n, delta, error)
         g.register_push("out")
-        start_iter = 0
-        if resume and ckpt_dir:
-            lineage = g.restore(ckpt_dir)
-            start_iter = lineage["iteration"] + 1
-            run_id = lineage["run_id"]
+        start_iter, run_id = _resume_from(g, ckpt_dir, resume, algo)
         it = start_iter
         while it < max_iter:
             t0 = time.perf_counter()
             res, _ = g.superstep(scatter, "pru_apply")
             updated = sum(r["updated"] for r in res)
-            metrics.write(algo="pr_unnorm", superstep=it, frontier=g.n,
+            metrics.write(algo=algo, superstep=it, frontier=g.n,
                           changed=updated,
                           t_superstep_s=time.perf_counter() - t0,
                           t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
                           t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
             if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
                 g.checkpoint(ckpt_dir, it, ["rank"], run_id,
-                             extra={"algo": "pr_unnorm", "iteration": it,
+                             extra={"algo": algo, "iteration": it,
                                     "params": {"delta": delta, "error": error,
                                                "max_iter": max_iter}})
             it += 1
@@ -348,11 +361,7 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         # near-fixpoint starts converge in far fewer supersteps
         g.call_all("pr_warm", warm_start)
     g.register_push(kind)
-    start_iter = 0
-    if resume and ckpt_dir:
-        lineage = g.restore(ckpt_dir)
-        start_iter = lineage["iteration"] + 1
-        run_id = lineage["run_id"]
+    start_iter, run_id = _resume_from(g, ckpt_dir, resume, "pr")
     it = start_iter
     while it < max_iter:
         t0 = time.perf_counter()
@@ -398,14 +407,9 @@ def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
     {v, katz} sorted (katz desc, v asc)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
-    run_id = uuid.uuid4().hex
     g.call_all("kz_init", alpha, beta, tol)
     g.register_push("out")
-    start_iter = 0
-    if resume and ckpt_dir:
-        lineage = g.restore(ckpt_dir)
-        start_iter = lineage["iteration"] + 1
-        run_id = lineage["run_id"]
+    start_iter, run_id = _resume_from(g, ckpt_dir, resume, "katz")
     it = start_iter
     while it < max_iter:
         t0 = time.perf_counter()
@@ -460,8 +464,7 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
     if resume and ckpt_dir:
         # labels only decrease and hooking is idempotent, so restarting from
         # the checkpointed cid with a fresh all-edges active set is exact
-        lineage = g.restore(ckpt_dir)
-        run_id = lineage["run_id"]
+        _, run_id = _resume_from(g, ckpt_dir, resume, "cc")
     else:
         # Fast path: min-propagation rounds over the STATIC push plan (per
         # round ≈ one PR superstep — values-only packs, no per-round sort,
@@ -549,13 +552,8 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
     continuing yields the bit-identical run (north-rule resumability)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
-    run_id = uuid.uuid4().hex
     g.call_all("lp_init")
-    start_iter = 0
-    if resume and ckpt_dir:
-        lineage = g.restore(ckpt_dir)
-        start_iter = lineage["iteration"] + 1
-        run_id = lineage["run_id"]
+    start_iter, run_id = _resume_from(g, ckpt_dir, resume, "lp")
     g.register_push("out")
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
@@ -699,10 +697,14 @@ def neighbor_sample(graph: DistributedGraph, seeds, fanouts=(10, 5), *,
         parts = [p for p in g.call_all("ns_sample_layer", frontier,
                                        int(layer), int(fan), int(seed))
                  if len(p)]
-        frontier = (np.unique(np.concatenate(parts)) if parts
-                    else np.zeros(0, np.int64))
+        if layer + 1 < len(fanouts):  # the last layer's union is unused
+            frontier = (np.unique(np.concatenate(parts)) if parts
+                        else np.zeros(0, np.int64))
+            nxt = int(len(frontier))
+        else:
+            nxt = 0
         metrics.write(algo="neighbor_sample", superstep=layer,
-                      frontier=int(len(frontier)),
+                      frontier=nxt,
                       t_superstep_s=time.perf_counter() - t0)
     metrics.close()
     return g.extract("ns_extract")

@@ -3224,8 +3224,8 @@ class GraphPartition:
             np.repeat(starts - offs[:-1], deg)
         src_rep = np.repeat(self.verts[rows], deg)
         dsts = self.col_indices[eidx]
-        key = mix64(mix64(src_rep.astype(np.uint64)
-                          ^ np.uint64(seed + layer))
+        salt = np.uint64((seed + layer) & 0xFFFFFFFFFFFFFFFF)
+        key = mix64(mix64(src_rep.astype(np.uint64) ^ salt)
                     ^ dsts.astype(np.uint64))
         order = np.lexsort((dsts, key, src_rep))
         seg = np.repeat(np.arange(len(rows), dtype=np.int64), deg)[order]

@@ -218,3 +218,25 @@ def test_katz_checkpoint_resume_bit_identical(tmp_path):
         g2.shutdown(remove_spill=True)
 
     assert np.array_equal(full, resumed), "katz resume must be bit-identical"
+
+
+def test_resume_rejects_different_algo(tmp_path):
+    """A checkpoint written by one formulation cannot silently resume
+    another (e.g. katz from a pr_unnorm checkpoint)."""
+    import pytest
+    from gunrock_ray.pipelines.graph_algos import katz_centrality
+    t = gen.rmat_table(6, edge_factor=8)
+    n = 64
+    ck = str(tmp_path / "ckx")
+    g1 = build_graph(t, num_partitions=2, vertices=vertices_table(n))
+    try:
+        pagerank(g1, normalized=False, max_iter=6, error=0.0,
+                 ckpt_dir=ck, ckpt_every=2)
+    finally:
+        g1.shutdown(remove_spill=True)
+    g2 = build_graph(t, num_partitions=2, vertices=vertices_table(n))
+    try:
+        with pytest.raises(ValueError, match="refusing to resume"):
+            katz_centrality(g2, max_iter=4, ckpt_dir=ck, resume=True)
+    finally:
+        g2.shutdown(remove_spill=True)
