@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # bottom-k splitmix64 keys)
         "neighbor_sample": r.q_neighbor_sample,  # SQL-checked (GraphSAGE
                                        # fanout sampling, ROW_NUMBER twin)
+        "ego2": r.q_ego2,              # SQL-checked (2-hop induced ego net:
+                                       # recursive reach + endpoints join)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -288,6 +288,11 @@ def cmd_run(args) -> dict:
         out = ga.neighbor_sample(g, srcs, fanouts=fans,
                                  seed=args.sample_seed,
                                  metrics_path=args.metrics)
+    elif args.algo == "ego":
+        srcs = [int(s) for s in args.sources.split(",")] \
+            if args.sources else [args.src]
+        out = ga.ego_subgraph(g, srcs, k=args.khop,
+                              metrics_path=args.metrics)
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
     t_run = time.perf_counter() - t0
@@ -740,7 +745,7 @@ def main(argv=None) -> None:
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
-                              "batchppr", "sage"])
+                              "batchppr", "sage", "ego"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -764,6 +769,8 @@ def main(argv=None) -> None:
                      help="per-layer fanouts for --algo sage")
     run.add_argument("--sample-seed", type=int, default=42,
                      help="sampling seed for --algo sage")
+    run.add_argument("--khop", type=int, default=2,
+                     help="hop radius for --algo ego")
     run.add_argument("--personalized", action="store_true")
     run.add_argument("--mark-pred", action="store_true")
     run.add_argument("--direction-optimized", action="store_true",

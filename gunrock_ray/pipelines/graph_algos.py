@@ -710,6 +710,40 @@ def neighbor_sample(graph: DistributedGraph, seeds, fanouts=(10, 5), *,
     return g.extract("ns_extract")
 
 
+def ego_subgraph(graph: DistributedGraph, seeds, k: int = 2, *,
+                 metrics_path: str | None = None):
+    """k-hop ego-network extraction: the INDUCED subgraph on every vertex
+    within out-distance <= k of the seeds. Phase 1 expands the frontier k
+    times at full fanout (owner-side over the CSR, distinct dsts back to
+    the driver — bounded by the ego net's size, the operator's inherent
+    output); phase 2 broadcasts the sorted vertex set and each partition
+    filters its OWNED rows to src∈V ∧ dst∈V in one vectorized pass.
+    Returns a Dataset {src, dst} of induced edges."""
+    import ray.data
+
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    vset = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    frontier = vset
+    for hop in range(k):
+        t0 = time.perf_counter()
+        parts = [p for p in g.call_all("ns_frontier_expand", frontier)
+                 if len(p)]
+        nxt = (np.unique(np.concatenate(parts)) if parts
+               else np.zeros(0, np.int64))
+        # only genuinely NEW vertices expand next hop
+        frontier = nxt[~np.isin(nxt, vset, assume_unique=True)]
+        vset = np.union1d(vset, nxt)
+        metrics.write(algo="ego_subgraph", superstep=hop,
+                      frontier=int(len(frontier)), vset=int(len(vset)),
+                      t_superstep_s=time.perf_counter() - t0)
+        if len(frontier) == 0:
+            break
+    metrics.close()
+    refs = [a.induced_edges.remote(vset) for a in g.actors]
+    return ray.data.from_arrow_refs(refs)
+
+
 def node2vec_walks(graph: DistributedGraph, starts, *, length: int = 10,
                    p: float = 1.0, q: float = 1.0, seed: int = 42,
                    metrics_path: str | None = None):

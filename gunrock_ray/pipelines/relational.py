@@ -795,6 +795,19 @@ def q_neighbor_sample(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_ego2(sf_dir: str):
+    """2-hop ego network of seeds {0, 1, 2} (graph_algos.ego_subgraph):
+    the induced edge set on all vertices within out-distance <= 2 —
+    SQL-checked (recursive reach CTE + both-endpoints join)."""
+    from gunrock_ray.pipelines.graph_algos import ego_subgraph
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = ego_subgraph(g, [0, 1, 2], k=2).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def q_wpr10(sf_dir: str):
     """Edge-weighted PageRank (graph_algos.pagerank(normalized=False,
     weighted=True)), exactly 10 supersteps over the deterministic
@@ -3251,6 +3264,16 @@ ORACLE_SQL: dict[str, str] = {
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
+    "ego2": (
+        f"WITH RECURSIVE e AS MATERIALIZED ({_NORM_SQL}), "
+        "reach(v, d) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), "
+        "(CAST(1 AS BIGINT), 0), (CAST(2 AS BIGINT), 0)) "
+        "UNION SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.v "
+        "WHERE r.d < 2), "
+        "vs AS (SELECT DISTINCT v FROM reach) "
+        "SELECT e.src, e.dst FROM e JOIN vs a ON a.v = e.src "
+        "JOIN vs b ON b.v = e.dst"
+    ),
     # converged top-20: 200 unrolled iterations sit ~1e-14 from the fixed
     # point, the engine (error=1e-12 rel) ~1e-15 — both far inside the 1e-6
     # integer scale both sides rank by (ties → v)

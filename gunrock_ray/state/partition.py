@@ -3239,6 +3239,49 @@ class GraphPartition:
         self._ns_rows.append((layer, s_out, d_out))
         return np.unique(d_out)
 
+    def ns_frontier_expand(self, frontier: np.ndarray) -> np.ndarray:
+        """All out-neighbors of the OWNED subset of ``frontier`` (the
+        full-fanout layer of ego-net extraction): distinct dsts."""
+        if len(self.verts) == 0 or len(frontier) == 0:
+            return _EMPTY_I8
+        pos = np.minimum(np.searchsorted(self.verts, frontier),
+                         len(self.verts) - 1)
+        rows = pos[self.verts[pos] == frontier]
+        starts = self.row_offsets[rows]
+        deg = self.out_deg[rows]
+        total = int(deg.sum())
+        if total == 0:
+            return _EMPTY_I8
+        offs = np.concatenate([[0], np.cumsum(deg)])
+        eidx = np.arange(total, dtype=np.int64) + \
+            np.repeat(starts - offs[:-1], deg)
+        return np.unique(self.col_indices[eidx])
+
+    def induced_edges(self, vset: np.ndarray) -> pa.Table:
+        """Edges of the subgraph induced by sorted ``vset``, from the
+        OWNED rows: src in vset AND dst in vset."""
+        if len(self.verts) == 0 or len(vset) == 0:
+            return pa.table({"src": pa.array(_EMPTY_I8, pa.int64()),
+                             "dst": pa.array(_EMPTY_I8, pa.int64())})
+        pos = np.minimum(np.searchsorted(self.verts, vset),
+                         len(self.verts) - 1)
+        rows = pos[self.verts[pos] == vset]
+        starts = self.row_offsets[rows]
+        deg = self.out_deg[rows]
+        total = int(deg.sum())
+        if total == 0:
+            return pa.table({"src": pa.array(_EMPTY_I8, pa.int64()),
+                             "dst": pa.array(_EMPTY_I8, pa.int64())})
+        offs = np.concatenate([[0], np.cumsum(deg)])
+        eidx = np.arange(total, dtype=np.int64) + \
+            np.repeat(starts - offs[:-1], deg)
+        src_rep = np.repeat(self.verts[rows], deg)
+        dsts = self.col_indices[eidx]
+        dpos = np.minimum(np.searchsorted(vset, dsts), len(vset) - 1)
+        keep = vset[dpos] == dsts
+        return pa.table({"src": pa.array(src_rep[keep], pa.int64()),
+                         "dst": pa.array(dsts[keep], pa.int64())})
+
     def ns_extract(self) -> pa.Table:
         if getattr(self, "_ns_rows", None):
             lay = np.concatenate([np.full(len(s), l, np.int64)

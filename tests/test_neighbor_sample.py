@@ -82,3 +82,50 @@ def test_fanout_exceeds_degree_and_dead_ends(ray_session):
     assert [r for r in got if r[0] == 0] == [(0, 0, 1), (0, 0, 2),
                                             (0, 0, 3), (0, 0, 4)]
     assert [r for r in got if r[0] == 1] == []
+
+
+def _ref_ego(src, dst, seeds, k):
+    adj: dict = {}
+    edges = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b and (a, b) not in edges:
+            edges.add((a, b))
+            adj.setdefault(a, []).append(b)
+    vset = set(int(s) for s in seeds)
+    frontier = set(vset)
+    for _ in range(k):
+        nxt = {d for v in frontier for d in adj.get(v, [])} - vset
+        vset |= {d for v in frontier for d in adj.get(v, [])}
+        frontier = nxt
+    return sorted((a, b) for (a, b) in edges if a in vset and b in vset)
+
+
+def test_ego_subgraph_matches_reference(ray_session):
+    from gunrock_ray.pipelines.graph_algos import ego_subgraph
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 70, 600)
+    dst = rng.integers(0, 70, 600)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    for P in (2, 5):
+        g = build_graph(t, num_partitions=P)
+        try:
+            df = ego_subgraph(g, [0, 5], k=2).to_pandas()
+        finally:
+            g.shutdown(remove_spill=True)
+        got = sorted(map(tuple, df[["src", "dst"]].itertuples(index=False)))
+        assert got == _ref_ego(src, dst, [0, 5], 2)
+
+
+def test_ego_subgraph_isolated_seed(ray_session):
+    from gunrock_ray.pipelines.graph_algos import ego_subgraph
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    g = build_graph(t, num_partitions=2)
+    try:
+        # seed 2 has no out-edges: ego net is just {2}, no edges
+        df = ego_subgraph(g, [2], k=3).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    assert len(df) == 0
