@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # fanout sampling, ROW_NUMBER twin)
         "ego2": r.q_ego2,              # SQL-checked (2-hop induced ego net:
                                        # recursive reach + endpoints join)
+        "reciprocity": r.q_reciprocity,  # SQL-checked (|E ∩ E^T| exact ints
+                                       # + one IEEE division)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

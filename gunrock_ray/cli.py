@@ -135,7 +135,7 @@ def cmd_run(args) -> dict:
     from gunrock_ray.pipelines import graph_algos as ga
 
     needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow",
-                              "scc")
+                              "scc", "recip")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "edgesim",
@@ -293,6 +293,9 @@ def cmd_run(args) -> dict:
             if args.sources else [args.src]
         out = ga.ego_subgraph(g, srcs, k=args.khop,
                               metrics_path=args.metrics)
+    elif args.algo == "recip":
+        out = None
+        extra.update(ga.reciprocity(g))
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
     t_run = time.perf_counter() - t0
@@ -745,7 +748,7 @@ def main(argv=None) -> None:
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
-                              "batchppr", "sage", "ego"])
+                              "batchppr", "sage", "ego", "recip"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])

@@ -744,6 +744,18 @@ def ego_subgraph(graph: DistributedGraph, seeds, k: int = 2, *,
     return ray.data.from_arrow_refs(refs)
 
 
+def reciprocity(graph: DistributedGraph) -> dict:
+    """Edge reciprocity of the directed graph (Newman et al. 2002):
+    r = |E ∩ Eᵀ| / |E| over the normalized (loop-free, deduped) edges.
+    Needs ``with_in_edges=True``: owner(v) holds both out(v) and in(v),
+    so the count is one shuffle-free per-partition sorted intersection +
+    a P-int reduce. Returns {"m", "recip_edges", "reciprocity"}."""
+    g = graph
+    recip = int(sum(g.call_all("recip_count")))
+    return {"m": int(g.m), "recip_edges": recip,
+            "reciprocity": recip / g.m if g.m else 0.0}
+
+
 def node2vec_walks(graph: DistributedGraph, starts, *, length: int = 10,
                    p: float = 1.0, q: float = 1.0, seed: int = 42,
                    metrics_path: str | None = None):

@@ -795,6 +795,22 @@ def q_neighbor_sample(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_reciprocity(sf_dir: str):
+    """Edge reciprocity r = |E ∩ Eᵀ|/|E| (graph_algos.reciprocity):
+    shuffle-free per-owner sorted intersection of out(v) and in(v).
+    Exact integer counts + one IEEE division — SQL compares bit-exact."""
+    from gunrock_ray.pipelines.graph_algos import reciprocity
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        r = reciprocity(g)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"m": pa.array([r["m"]], pa.int64()),
+                     "recip_edges": pa.array([r["recip_edges"]], pa.int64()),
+                     "reciprocity": pa.array([r["reciprocity"]],
+                                             pa.float64())})
+
+
 def q_ego2(sf_dir: str):
     """2-hop ego network of seeds {0, 1, 2} (graph_algos.ego_subgraph):
     the induced edge set on all vertices within out-distance <= 2 —
@@ -3264,6 +3280,15 @@ ORACLE_SQL: dict[str, str] = {
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
+    "reciprocity": (
+        f"WITH e AS MATERIALIZED ({_NORM_SQL}), "
+        "st AS (SELECT COUNT(*) AS m, "
+        "(SELECT COUNT(*) FROM e JOIN e r ON r.src = e.dst "
+        "AND r.dst = e.src) AS rc FROM e) "
+        "SELECT CAST(m AS BIGINT) AS m, CAST(rc AS BIGINT) AS recip_edges, "
+        "CASE WHEN m = 0 THEN 0.0 ELSE CAST(rc AS DOUBLE) / m END "
+        "AS reciprocity FROM st"
+    ),
     "ego2": (
         f"WITH RECURSIVE e AS MATERIALIZED ({_NORM_SQL}), "
         "reach(v, d) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), "

@@ -3282,6 +3282,26 @@ class GraphPartition:
         return pa.table({"src": pa.array(src_rep[keep], pa.int64()),
                          "dst": pa.array(dsts[keep], pa.int64())})
 
+    def recip_count(self) -> int:
+        """Number of OWNED edges (v, d) whose reverse (d, v) exists =
+        per owned vertex |out(v) ∩ in(v)| (needs ``with_in_edges``:
+        owner(v) holds both lists, so NO exchange at all). Pairs compare
+        as (v, nbr) int64 structured arrays — exact at any id range."""
+        if len(self.col_indices) == 0 or len(self.in_col_indices) == 0:
+            return 0
+
+        def pairs(deg, nbrs):
+            arr = np.empty(len(nbrs),
+                           dtype=[("a", np.int64), ("b", np.int64)])
+            arr["a"] = np.repeat(self.verts, deg)
+            arr["b"] = nbrs
+            return arr
+
+        return int(len(np.intersect1d(
+            pairs(self.out_deg, self.col_indices),
+            pairs(self.in_deg, self.in_col_indices),
+            assume_unique=True)))
+
     def ns_extract(self) -> pa.Table:
         if getattr(self, "_ns_rows", None):
             lay = np.concatenate([np.full(len(s), l, np.int64)

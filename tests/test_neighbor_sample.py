@@ -129,3 +129,31 @@ def test_ego_subgraph_isolated_seed(ray_session):
     finally:
         g.shutdown(remove_spill=True)
     assert len(df) == 0
+
+
+def test_reciprocity_matches_brute_force(ray_session):
+    from gunrock_ray.pipelines.graph_algos import reciprocity
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 30, 400)
+    dst = rng.integers(0, 30, 400)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    edges = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    want = sum(1 for (a, b) in edges if (b, a) in edges)
+    for P in (2, 6):
+        g = build_graph(t, num_partitions=P, with_in_edges=True)
+        try:
+            r = reciprocity(g)
+        finally:
+            g.shutdown(remove_spill=True)
+        assert r["recip_edges"] == want
+        assert r["m"] == len(edges)
+        assert r["reciprocity"] == want / len(edges)
+    # fully reciprocal graph
+    t2 = pa.table({"src": pa.array([0, 1, 1, 2], pa.int64()),
+                   "dst": pa.array([1, 0, 2, 1], pa.int64())})
+    g = build_graph(t2, num_partitions=2, with_in_edges=True)
+    try:
+        assert reciprocity(g)["reciprocity"] == 1.0
+    finally:
+        g.shutdown(remove_spill=True)
