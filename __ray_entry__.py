@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # recursive reach + endpoints join)
         "reciprocity": r.q_reciprocity,  # SQL-checked (|E ∩ E^T| exact ints
                                        # + one IEEE division)
+        "window_users_hll": r.q_window_users_hll,  # SQL-checked (per-window
+                                       # grouped-HLL distinct users)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

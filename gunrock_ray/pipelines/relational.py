@@ -989,6 +989,27 @@ def q_pr_unnorm10(sf_dir: str):
 
 # --- windowed aggregates over the events stream ------------------------------
 
+def q_window_users_hll(sf_dir: str):
+    """Approximate distinct users per tumbling 1-hour window — the window
+    bucket (floor(epoch_us/3600e6)) becomes the grouped-HLL key: a
+    streaming composition of the window projection and the sketch family
+    (one register array per (window, block), max-merged). SQL-checked
+    bit-exact (same splitmix chain + estimator branches, integer key)."""
+    import ray.data
+    from gunrock_ray.functions.windows import _ts_us, US_PER_HOUR
+    from gunrock_ray.functions.sketches import hll_count_distinct_grouped
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"w": pa.array(_ts_us(batch["ts"]) // US_PER_HOUR),
+                         "user_id": batch["user_id"]})
+
+    return hll_count_distinct_grouped(
+        ev.map_batches(project, batch_format="pyarrow"),
+        "w", "user_id", p=12)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per user (count + exact integer-cent value
     sum) — the batch expression of a streaming windowed aggregate,
@@ -3531,6 +3552,32 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # grouped HLL estimate at p=12: the distinct_users_hll machinery with
     # a GROUP BY key threaded through every stage
+    "window_users_hll": (
+        "WITH s0 AS (SELECT epoch_us(ts) // 3600000000 AS k, "
+        "            CAST(user_id AS UBIGINT) + "
+        "            CAST(11400714819323198485 AS UBIGINT) AS z FROM events), "
+        f"s1 AS (SELECT k, {_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} "
+        "       AS z FROM s0), "
+        f"s2 AS (SELECT k, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
+        "       AS z FROM s1), "
+        "h AS (SELECT k, xor(z, z >> 31) AS h FROM s2), "
+        "r AS (SELECT k, CAST(h >> 52 AS BIGINT) AS idx, "
+        "      (h % 4503599627370496) * 4096 + 4095 AS rest FROM h), "
+        "g AS (SELECT k, idx, "
+        "      MAX(LEAST(64 - length(bin(rest)) + 1, 53)) AS reg "
+        "      FROM r GROUP BY k, idx), "
+        "agg AS (SELECT k, COUNT(*) AS used, "
+        "        SUM(power(2.0, -reg)) AS s_nz FROM g GROUP BY k), "
+        "f AS (SELECT k, 4096 - used AS zeros, "
+        "      (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 "
+        "      / (s_nz + (4096 - used)) AS raw FROM agg) "
+        "SELECT CAST(k AS BIGINT) AS w, "
+        "CAST(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+        "THEN round(4096.0 * ln(4096.0 / zeros)) "
+        "WHEN raw > 4294967296.0 / 30.0 "
+        "THEN round(-4294967296.0 * ln(1.0 - raw / 4294967296.0)) "
+        "ELSE round(raw) END AS BIGINT) AS n_distinct_est FROM f"
+    ),
     "distinct_users_by_type": (
         "WITH s0 AS (SELECT event_type AS k, CAST(user_id AS UBIGINT) + "
         "            CAST(11400714819323198485 AS UBIGINT) AS z FROM events), "

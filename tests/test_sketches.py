@@ -182,3 +182,23 @@ def test_grouped_hll_accuracy_and_merge_invariance():
         if blocks == 1:
             first = got
     assert got == first  # block-layout invariance (lossless max-merge)
+
+
+def test_window_grouped_hll_composition(ray_session):
+    """The windowed-distinct composition: window bucket as HLL group key;
+    estimates land within the p=12 error envelope of the exact counts."""
+    import ray.data
+    from gunrock_ray.functions.sketches import hll_count_distinct_grouped
+    rng = np.random.default_rng(5)
+    w = rng.integers(0, 4, 5000).astype(np.int64)
+    users = rng.integers(0, 800, 5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "w": pa.array(w), "user_id": pa.array(users)})).repartition(4)
+    out = hll_count_distinct_grouped(ds, "w", "user_id", p=12)
+    got = dict(zip(out["w"].to_pylist(), out["n_distinct_est"].to_pylist()))
+    import collections
+    exact = {k: len(v) for k, v in
+             ((kk, set(users[w == kk].tolist())) for kk in range(4))}
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got, exact)
