@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        # + one IEEE division)
         "window_users_hll": r.q_window_users_hll,  # SQL-checked (per-window
                                        # grouped-HLL distinct users)
+        "doc_chunks": r.q_doc_chunks,  # SQL-checked (RAG overlapping
+                                       # chunking, bit-exact strings)
         "edge_sim": r.q_edge_sim,      # SQL-checked (per-edge cn/Jaccard/
                                        # Adamic-Adar link-prediction scores)
         "maxflow": r.q_maxflow,        # rows-only (no SQL form; pytest-gated

@@ -728,6 +728,9 @@ def cmd_stats(args) -> dict:
                                       seed=args.seed)
     elif args.op == "bm25":
         res = cs.bm25_topk(docs, args.query, k=args.k)
+    elif args.op == "chunk":
+        res = cs.chunk_documents(docs, chunk_tokens=args.chunk_tokens,
+                                 overlap=args.chunk_overlap)
     else:                                    # tfidf
         res = cs.tfidf_topk(docs, k=args.k)
     rows = _write_result(args.out, res)
@@ -920,7 +923,7 @@ def main(argv=None) -> None:
     st.add_argument("--op", required=True,
                     choices=["vocab", "ngrams", "quantiles", "gquantiles",
                              "sample", "shuffle", "stratified", "repeat",
-                             "tfidf", "bm25"])
+                             "tfidf", "bm25", "chunk"])
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)
@@ -965,6 +968,10 @@ def main(argv=None) -> None:
     st.add_argument("--k", type=int, default=3)
     st.add_argument("--query", default="",
                     help="query terms for --op bm25 (whitespace split)")
+    st.add_argument("--chunk-tokens", type=int, default=64,
+                    help="window size for --op chunk")
+    st.add_argument("--chunk-overlap", type=int, default=16,
+                    help="window overlap for --op chunk")
 
     args = ap.parse_args(argv)
     if args.cmd == "run":

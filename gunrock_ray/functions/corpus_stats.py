@@ -502,3 +502,44 @@ def sample_exact_k(docs_ds, k: int, seed: int = 0):
                             kind="stable").head(k)
     return (top[["doc_id"]].sort_values("doc_id")
             .reset_index(drop=True))
+
+
+def chunk_documents(docs_ds, chunk_tokens: int = 64, overlap: int = 16):
+    """RAG-style overlapping chunking: split every document's whitespace
+    words into windows of ``chunk_tokens`` advancing by ``stride =
+    chunk_tokens - overlap``; the final window ends at the document's
+    last word (no tail window fully contained in its predecessor —
+    chunk count C = 0 for empty docs, 1 if n <= chunk_tokens, else
+    1 + ceil((n - chunk_tokens)/stride)). Returns a Dataset {doc_id,
+    chunk_id, text, n_tokens}. Embarrassingly parallel (pure per-batch
+    map; the string reassembly is inherent to emitting text); chunk
+    boundaries are a pure function of the document, so re-running any
+    shard is reproducible."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_id, out_c, out_t, out_n = [], [], [], []
+        for i, t in enumerate(texts):
+            w = t.split() if t is not None else []
+            n = len(w)
+            start, c = 0, 0
+            while start < n:
+                piece = w[start:start + chunk_tokens]
+                out_id.append(ids[i])
+                out_c.append(c)
+                out_t.append(" ".join(piece))
+                out_n.append(len(piece))
+                if start + chunk_tokens >= n:
+                    break
+                start += stride
+                c += 1
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "chunk_id": pa.array(out_c, pa.int64()),
+                         "text": pa.array(out_t, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return docs_ds.map_batches(chunk, batch_format="pyarrow")

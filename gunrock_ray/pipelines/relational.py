@@ -1502,6 +1502,15 @@ def q_doc_sample_k25(sf_dir: str):
                           k=25, seed=0)
 
 
+def q_doc_chunks(sf_dir: str):
+    """RAG-style overlapping chunking (corpus_stats.chunk_documents,
+    64-word windows advancing 48): {doc_id, chunk_id, text, n_tokens} —
+    strings + integers, SQL-checked bit-exact (generate_series over the
+    closed-form chunk count + 1-based list slice + array_to_string)."""
+    from gunrock_ray.functions.corpus_stats import chunk_documents
+    return chunk_documents(_docs_ds(sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-0 training shuffle over documents: every doc_id
     gets its dense position in (mix64(doc_id ^ 0) asc, doc_id asc) order
@@ -3552,6 +3561,20 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # grouped HLL estimate at p=12: the distinct_users_hll machinery with
     # a GROUP BY key threaded through every stage
+    "doc_chunks": (
+        "WITH d AS (SELECT doc_id, "
+        "regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
+        "FROM documents), "
+        "n AS (SELECT doc_id, w, len(w) AS n FROM d), "
+        "c AS (SELECT doc_id, w, n, CASE WHEN n = 0 THEN 0 "
+        "WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc "
+        "FROM n), "
+        "x AS (SELECT doc_id, w, n, "
+        "unnest(generate_series(0, nc - 1)) AS c FROM c WHERE nc > 0) "
+        "SELECT doc_id, CAST(c AS BIGINT) AS chunk_id, "
+        "array_to_string(w[c*48 + 1 : LEAST(c*48 + 64, n)], ' ') AS text, "
+        "CAST(LEAST(c*48 + 64, n) - c*48 AS BIGINT) AS n_tokens FROM x"
+    ),
     "window_users_hll": (
         "WITH s0 AS (SELECT epoch_us(ts) // 3600000000 AS k, "
         "            CAST(user_id AS UBIGINT) + "

@@ -337,3 +337,31 @@ def test_sample_exact_k(ray_session):
     other = sample_exact_k(ray.data.from_arrow(t), 17, seed=4)
     assert list(other["doc_id"]) != want
     assert len(sample_exact_k(ray.data.from_arrow(t), 500)) == 200
+
+
+def test_chunk_documents(ray_session):
+    import ray.data
+    import pytest
+    from gunrock_ray.functions.corpus_stats import chunk_documents
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in (0, 1, 64, 65, 200)]
+    texts.append(None)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = (chunk_documents(ds, chunk_tokens=64, overlap=16).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    per = out.groupby("doc_id").size().to_dict()
+    # n=0/None -> no chunks; n<=64 -> 1; n=65 -> 2; n=200 -> 1+ceil(136/48)=4
+    assert per == {1: 1, 2: 1, 3: 2, 4: 4}
+    # overlap: chunk c starts at word 48c; every chunk but the last is full
+    d200 = out[out["doc_id"] == 4]
+    assert list(d200["n_tokens"]) == [64, 64, 64, 56]
+    assert d200.iloc[1]["text"].split()[0] == "w48"
+    assert d200.iloc[3]["text"].split()[-1] == "w199"
+    # words covered exactly (union reconstructs the doc)
+    covered = set()
+    for _, row in d200.iterrows():
+        covered |= set(row["text"].split())
+    assert covered == {f"w{i}" for i in range(200)}
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=16, overlap=16)
