@@ -25,6 +25,7 @@ from gunrock_ray.pipelines.graph_algos import (  # noqa: F401
     label_propagation,
     louvain,
     max_flow,
+    min_cut,
     maximal_independent_set,
     pagerank,
     pseudo_diameter,

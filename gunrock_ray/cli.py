@@ -240,6 +240,9 @@ def cmd_run(args) -> dict:
     elif args.algo == "maxflow":
         extra.update(ga.max_flow(g, args.src, args.dst,
                                  metrics_path=args.metrics))
+        cut = ga.min_cut(g, args.src, args.dst)
+        extra.update(cut_capacity=cut["cut_capacity"],
+                     cut_size=cut["cut_size"])
         out = g.extract("mf_extract") if args.out else None
     elif args.algo == "astar":
         r = ga.astar(g, args.src, args.dst, metrics_path=args.metrics)

@@ -1173,7 +1173,30 @@ def astar(graph: DistributedGraph, src: int, dst: int, *,
             "settled": settled, "supersteps": it}
 
 
+def _mf_global_relabel(g: DistributedGraph, src: int, sink: int) -> int:
+    """Global relabeling (Cherkassky-Goldberg '97): recompute exact
+    residual BFS distances to the sink (and, for the sink-unreachable
+    side, to the source) and raise heights to them — one full-cache
+    height resync afterwards. Runs on the mf_rdist_* kernels
+    (state/partition.py); returns the number of raised vertices."""
+    g.call_all("mf_rdist_init", int(sink))
+    while True:
+        res, _ = g.superstep("mf_rdist_scatter", "mf_rdist_apply")
+        if sum(r["frontier"] for r in res) == 0:
+            break
+    g.call_all("mf_rdist_keep")
+    g.call_all("mf_rdist_init", int(src))
+    while True:
+        res, _ = g.superstep("mf_rdist_scatter", "mf_rdist_apply")
+        if sum(r["frontier"] for r in res) == 0:
+            break
+    out = g.call_all("mf_grelabel_commit")
+    g.superstep("mf_height_scatter", "mf_height_apply")
+    return sum(r["raised"] for r in out)
+
+
 def max_flow(graph: DistributedGraph, src: int, sink: int, *,
+             global_relabel_every: int = 16,
              metrics_path: str | None = None) -> dict:
     """Max s-t flow — the reference road map's "max flow"
     (`doc/road_map.md:17`), synchronous Goldberg-Tarjan push-relabel in
@@ -1184,9 +1207,13 @@ def max_flow(graph: DistributedGraph, src: int, sink: int, *,
     float64 residual arithmetic is then exact.
 
     Each pulse is two supersteps: pushes+relabels, then a height
-    re-synchronization. Returns {"src", "sink", "max_flow", "pulses"};
-    the per-arc flow assignment is available via
-    ``graph.extract("mf_extract")`` afterwards."""
+    re-synchronization; every ``global_relabel_every`` pulses a global
+    relabel (exact residual-BFS heights — the Cherkassky-Goldberg
+    heuristic that keeps deep residual networks off the pulse-count
+    worst case; 0 disables). Returns {"src", "sink", "max_flow",
+    "pulses", "relabels"}; the per-arc flow assignment is available via
+    ``graph.extract("mf_extract")`` and the min-cut certificate via
+    :func:`min_cut` afterwards."""
     g = graph
     if not g.with_in_edges:
         raise ValueError("max_flow requires build_graph(with_in_edges=True)")
@@ -1197,6 +1224,7 @@ def max_flow(graph: DistributedGraph, src: int, sink: int, *,
     res, _ = g.superstep("mf_seed_scatter", "mf_flow_apply")
     g.superstep("mf_height_scatter", "mf_height_apply")
     pulses = 0
+    grelabels = 0
     flow = 0.0
     while True:
         active = sum(r["active"] for r in res)
@@ -1206,12 +1234,59 @@ def max_flow(graph: DistributedGraph, src: int, sink: int, *,
                       flow=flow, relabeled=relabeled)
         if active == 0:
             break
+        if (global_relabel_every and pulses
+                and pulses % global_relabel_every == 0):
+            grelabels += 1
+            raised = _mf_global_relabel(g, src, sink)
+            metrics.write(algo="maxflow", pulse=pulses,
+                          global_relabel=grelabels, raised=raised)
         res, _ = g.superstep("mf_push_scatter", "mf_flow_apply")
         g.superstep("mf_height_scatter", "mf_height_apply")
         pulses += 1
     metrics.close()
     return {"src": int(src), "sink": int(sink), "max_flow": flow,
-            "pulses": pulses}
+            "pulses": pulses, "relabels": grelabels}
+
+
+def min_cut(graph: DistributedGraph, src: int, sink: int, *,
+            metrics_path: str | None = None) -> dict:
+    """Min s-t cut certificate from the FINAL residual of a converged
+    :func:`max_flow` run on the same graph (call order matters): forward
+    BFS from the source over residual arcs (mf_reach_* kernels — every
+    residual out-arc is tail-local knowledge, so the BFS needs no
+    validation wave), then one reach-broadcast superstep so each tail
+    knows its heads' side, then a per-partition crossing-arc extract.
+    By max-flow/min-cut strong duality the returned ``cut_capacity``
+    equals the max-flow value — the SQL-checkable certificate
+    (pipelines.relational.q_maxflow writes it for the DuckDB oracle).
+
+    Returns {"cut_capacity", "cut_size", "cut_edges": Dataset(src, dst,
+    cap), "source_side": Dataset(v)}; raises if the sink is still
+    residual-reachable (flow not maximum)."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("mf_reach_init")
+    it = 0
+    while True:
+        res, _ = g.superstep("mf_reach_scatter", "mf_reach_apply")
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="mincut", superstep=it, frontier=frontier)
+        it += 1
+        if frontier == 0:
+            break
+    t_side = [v for v in g.call_all("state_value_at", "mf_reach", int(sink))
+              if v is not None]
+    if t_side and t_side[0]:
+        raise ValueError("min_cut: sink reachable in residual — "
+                         "run max_flow to convergence first")
+    g.superstep("mf_reach_sync_scatter", "mf_reach_sync_apply")
+    cut_edges = g.extract("mf_cut_extract")
+    source_side = g.extract("mf_reach_extract")
+    cap = cut_edges.sum("cap")
+    metrics.close()
+    return {"cut_capacity": float(cap or 0.0),
+            "cut_size": int(source_side.count()),
+            "cut_edges": cut_edges, "source_side": source_side}
 
 
 # ------------------------------------------- bipartite maximum matching

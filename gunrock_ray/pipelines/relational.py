@@ -422,22 +422,58 @@ def q_astar(sf_dir: str):
                      "dist": pa.array([int(out["dist"])], pa.int64())})
 
 
+_MAXFLOW_CERT_DIR = "/tmp/gunrock_ray_cert/maxflow"
+
+
 def q_maxflow(sf_dir: str):
     """Max s-t flow 0 -> 137 on the weighted derived graph (BSP
-    push-relabel, graph_algos.max_flow). Max flow has no SQL form, so
-    this is a rows-only contract entry; tests/test_max_flow.py gates it
-    against an Edmonds-Karp reference (values exact — integer
+    push-relabel with periodic global relabeling, graph_algos.max_flow).
+
+    SQL-checked via a STRONG-DUALITY CERTIFICATE: the run writes its
+    per-arc flow assignment (mf_extract) and the source-side min-cut
+    vertex set (graph_algos.min_cut — forward residual reachability) to
+    ``_MAXFLOW_CERT_DIR``, and the DuckDB oracle independently verifies
+    against the base tables that (a) every flow arc exists with
+    0 < flow <= capacity, (b) flow is conserved at every vertex except
+    s/t, (c) s is in the cut set and t is not, and (d) the flow value
+    equals the certificate cut's capacity — any feasible flow is <= any
+    cut's capacity, so equality proves BOTH optimal. The oracle emits the
+    verified values (or -1 on any violation), so the driver's value-hash
+    compare fails unless the certificate is airtight. Assumes the driver
+    runs the Ray query before its oracle (it does — the certificate is
+    (re)written on every call). tests/test_max_flow.py additionally gates
+    values against an Edmonds-Karp reference (exact — integer
     capacities)."""
-    from gunrock_ray.pipelines.graph_algos import build_graph, max_flow
+    import shutil
+
+    import ray
+
+    from gunrock_ray.pipelines.graph_algos import (build_graph, max_flow,
+                                                   min_cut)
     g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
                     weighted=True, with_in_edges=True)
     try:
         out = max_flow(g, 0, _ASTAR_T)
+        cut = min_cut(g, 0, _ASTAR_T)
+        shutil.rmtree(_MAXFLOW_CERT_DIR, ignore_errors=True)
+        os.makedirs(_MAXFLOW_CERT_DIR, exist_ok=True)
+        flow_t = pa.concat_tables(
+            [ray.get(r) for r in
+             [a.mf_extract.remote() for a in g.actors]])
+        pq.write_table(flow_t, os.path.join(_MAXFLOW_CERT_DIR,
+                                            "flow.parquet"))
+        side_t = pa.Table.from_pandas(
+            cut["source_side"].to_pandas(), preserve_index=False)
+        pq.write_table(side_t, os.path.join(_MAXFLOW_CERT_DIR,
+                                            "cut.parquet"))
     finally:
         g.shutdown(remove_spill=True)
-    return pa.table({"src": pa.array([out["src"]], pa.int64()),
-                     "sink": pa.array([out["sink"]], pa.int64()),
-                     "max_flow": pa.array([int(out["max_flow"])], pa.int64())})
+    return pa.table({
+        "src": pa.array([out["src"]], pa.int64()),
+        "sink": pa.array([out["sink"]], pa.int64()),
+        "max_flow": pa.array([int(out["max_flow"])], pa.int64()),
+        "cut_capacity": pa.array([int(cut["cut_capacity"])], pa.int64()),
+        "cut_size": pa.array([int(cut["cut_size"])], pa.int64())})
 
 
 def _msf_weighted_edges_np(sf_dir: str):
@@ -3213,6 +3249,46 @@ ORACLE_SQL: dict[str, str] = {
         f"CAST(MIN(d) AS BIGINT) AS dist FROM p WHERE v = {_ASTAR_T}"),
     "sssp_nf": _SSSP_W_SQL,
     "sssp_mlpq": _SSSP_W_SQL,
+    # Strong-duality certificate check (see q_maxflow): the query writes
+    # its flow assignment + source-side cut set to _MAXFLOW_CERT_DIR; the
+    # oracle independently verifies feasibility (arc existence, capacity
+    # bounds, conservation) against the base-table capacities and that
+    # flow value == cut capacity (weak duality makes equality a proof of
+    # optimality for BOTH), emitting -1 on any violation so the hash
+    # compare fails unless the certificate is airtight.
+    "maxflow": (
+        f"WITH e AS (SELECT src, dst, {_W_EXPR} AS w FROM ({_NORM_SQL})), "
+        f"f AS (SELECT src, dst, flow FROM "
+        f"      read_parquet('{_MAXFLOW_CERT_DIR}/flow.parquet')), "
+        f"s AS (SELECT v FROM "
+        f"      read_parquet('{_MAXFLOW_CERT_DIR}/cut.parquet')), "
+        "capviol AS (SELECT COUNT(*) AS c FROM f LEFT JOIN e "
+        "            USING (src, dst) "
+        "            WHERE e.w IS NULL OR f.flow > e.w OR f.flow <= 0), "
+        "net AS (SELECT v, SUM(d) AS net FROM ("
+        "          SELECT src AS v, -flow AS d FROM f "
+        "          UNION ALL SELECT dst AS v, flow AS d FROM f) "
+        "        GROUP BY v), "
+        f"consviol AS (SELECT COUNT(*) AS c FROM net "
+        f"             WHERE v NOT IN (0, {_ASTAR_T}) AND net <> 0), "
+        "fval AS (SELECT COALESCE(-SUM(net), 0) AS val FROM net "
+        "         WHERE v = 0), "
+        "cut AS (SELECT COALESCE(SUM(w), 0) AS cap FROM e "
+        "        WHERE src IN (SELECT v FROM s) "
+        "        AND dst NOT IN (SELECT v FROM s)), "
+        f"sideok AS (SELECT (SELECT COUNT(*) FROM s WHERE v = 0) = 1 "
+        f"           AND (SELECT COUNT(*) FROM s WHERE v = {_ASTAR_T}) = 0 "
+        f"           AS ok) "
+        f"SELECT CAST(0 AS BIGINT) AS src, "
+        f"CAST({_ASTAR_T} AS BIGINT) AS sink, "
+        "CAST(CASE WHEN (SELECT c FROM capviol) = 0 "
+        "          AND (SELECT c FROM consviol) = 0 "
+        "          AND (SELECT ok FROM sideok) "
+        "          AND (SELECT val FROM fval) = (SELECT cap FROM cut) "
+        "     THEN (SELECT val FROM fval) ELSE -1 END AS BIGINT) "
+        "     AS max_flow, "
+        "CAST((SELECT cap FROM cut) AS BIGINT) AS cut_capacity, "
+        "CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS cut_size"),
     "sgm_tri_cycle": (
         f"WITH n AS ({_NORM_SQL}) "
         "SELECT CAST(COUNT(*) AS BIGINT) AS cycles FROM n e1 "

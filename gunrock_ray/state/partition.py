@@ -70,6 +70,7 @@ def _apply_timed(fn):
 
 _BFS_INF = np.int64(1) << 62
 _EMPTY_I8 = np.zeros(0, dtype=np.int64)
+_MF_INF = np.int64(2**62)   # "unreached" residual-distance sentinel
 
 # TC membership probes are generated in slices of at most this many probes
 # (bounds peak actor memory at ~3 × 8 B × chunk ≈ 100 MB; correctness is
@@ -2720,6 +2721,187 @@ class GraphPartition:
         return pa.table({"src": pa.array(self.verts[rows], pa.int64()),
                          "dst": pa.array(self.col_indices[keep], pa.int64()),
                          "flow": pa.array(f[keep], pa.float64())})
+
+    # ---- max flow: residual-distance BFS (global relabel + min cut) ----
+    # Two residual-graph BFS primitives over the SAME distributed state:
+    #
+    # (a) mf_rdist_*: exact residual distances TOWARD a root (backward BFS
+    #     from t, and from s for the t-unreachable side) — the classic
+    #     global-relabeling heuristic (Cherkassky-Goldberg '97): without it
+    #     the pulse count on deep residual networks is the known
+    #     push-relabel worst case. A residual arc u->v is either a forward
+    #     arc with res_out[u][v] > 0 (known only at u: the labeled head v
+    #     sends a CANDIDATE (u, via=v, d) that u validates against its own
+    #     res_out) or a reverse arc of an original v->u carrying flow
+    #     (flow = cap0 - res_out at v, known EXACTLY at the labeled v).
+    #
+    # (b) mf_reach_*: forward reachability FROM the source over the final
+    #     residual — the min-cut certificate. From a reached x every
+    #     residual out-arc is local knowledge (res_out[x][*] > 0, and
+    #     reverse arcs res_in[x][*] > 0), so no validation wave is needed.
+
+    def mf_rdist_init(self, root: int) -> None:
+        n = len(self.verts)
+        bd = np.full(n, _MF_INF, np.int64)
+        self._mf_rfront = _EMPTY_I8
+        pos = np.searchsorted(self.verts, root)
+        if pos < n and self.verts[pos] == root:
+            bd[pos] = 0
+            self._mf_rfront = np.array([pos], np.int64)
+        self.state["mf_bd"] = bd
+
+    @_scatter_timed
+    def mf_rdist_scatter(self):
+        F = self._mf_rfront
+        if len(F) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        bd = self.state["mf_bd"]
+        ro = self.state["mf_res_out"]
+        d = bd[F] + 1
+        # exact: original out-arcs x->u carrying flow => residual u->x
+        starts, lens = self.row_offsets[F], self.out_deg[F]
+        flat = _ragged_gather(np.arange(len(ro), dtype=np.int64), starts, lens)
+        seg = np.repeat(np.arange(len(F), dtype=np.int64), lens)
+        m = self._mf_cap0[flat] > ro[flat]
+        ids0, d0 = self.col_indices[flat[m]], d[seg[m]]
+        # candidates: original in-arcs u->x => residual u->x iff
+        # res_out[u][x] > 0, validated at u
+        istarts, ilens = self.in_row_offsets[F], self.in_deg[F]
+        ids1 = _ragged_gather(self.in_col_indices, istarts, ilens)
+        seg1 = np.repeat(np.arange(len(F), dtype=np.int64), ilens)
+        via1, d1 = self.verts[F[seg1]], d[seg1]
+        ids = np.concatenate([ids0, ids1])
+        via = np.concatenate([np.zeros(len(ids0), np.int64), via1])
+        dd = np.concatenate([d0, d1])
+        kind = np.concatenate([np.zeros(len(ids0), np.int64),
+                               np.ones(len(ids1), np.int64)])
+        return self._pack(ids, via, dd, kind)
+
+    @_apply_timed
+    def mf_rdist_apply(self, *packs) -> dict:
+        bd = self.state["mf_bd"]
+        ids, via, dd, kind = self._unpack_all(packs, cols=(0, 1, 2, 3))
+        self._mf_rfront = _EMPTY_I8
+        if len(ids) == 0:
+            return {"frontier": 0}
+        lv = self._lidx(ids)
+        ok = np.ones(len(ids), bool)
+        c = kind == 1
+        if c.any():
+            q = self._mf_key(lv[c], via[c])
+            pos, found = self._mf_find(self._mf_okey, q)
+            v = np.zeros(int(c.sum()), bool)
+            v[found] = self.state["mf_res_out"][pos[found]] > 0
+            ok[c] = v
+        lv, dd = lv[ok], dd[ok]
+        if len(lv) == 0:
+            return {"frontier": 0}
+        u, dmin = segment_reduce(lv, dd, "min")
+        imp = dmin < bd[u]
+        u = u[imp]
+        bd[u] = dmin[imp]
+        self._mf_rfront = u
+        return {"frontier": int(len(u))}
+
+    def mf_rdist_keep(self) -> None:
+        """Snapshot the sink-phase distances before the source phase."""
+        self.state["mf_bd_t"] = self.state["mf_bd"].copy()
+
+    def mf_grelabel_commit(self) -> dict:
+        """h := max(h, d_t | N + d_s | 2N) — the elementwise max of two
+        valid height functions is valid, and max keeps heights monotone.
+        Residual-isolated vertices (neither side reachable) can never be
+        active (an excess vertex always reaches s in the residual), and
+        their residual out-arcs stay inside the isolated pocket, so 2N is
+        valid for them too. Marks every raised vertex dirty for the cache
+        resync superstep."""
+        h = self.state["mf_h"]
+        bt = self.state["mf_bd_t"]
+        bs = self.state["mf_bd"]
+        N = np.int64(self._mf_N)
+        new = np.where(bt < _MF_INF, bt,
+                       np.where(bs < _MF_INF, N + bs, 2 * N))
+        raised = new > h
+        h[raised] = new[raised]
+        self._mf_dirty = list(self._mf_dirty) + np.flatnonzero(raised).tolist()
+        return {"raised": int(np.count_nonzero(raised))}
+
+    def mf_reach_init(self) -> None:
+        self.state["mf_reach"] = np.zeros(len(self.verts), bool)
+        self._mf_rfront = _EMPTY_I8
+        if self._mf_s_l >= 0:
+            self.state["mf_reach"][self._mf_s_l] = True
+            self._mf_rfront = np.array([self._mf_s_l], np.int64)
+
+    @_scatter_timed
+    def mf_reach_scatter(self):
+        F = self._mf_rfront
+        if len(F) == 0:
+            return self._pack(_EMPTY_I8)
+        ro, ri = self.state["mf_res_out"], self.state["mf_res_in"]
+        flat = _ragged_gather(np.arange(len(ro), dtype=np.int64),
+                              self.row_offsets[F], self.out_deg[F])
+        ids0 = self.col_indices[flat[ro[flat] > 0]]
+        iflat = _ragged_gather(np.arange(len(ri), dtype=np.int64),
+                               self.in_row_offsets[F], self.in_deg[F])
+        ids1 = self.in_col_indices[iflat[ri[iflat] > 0]]
+        return self._pack(np.unique(np.concatenate([ids0, ids1])))
+
+    @_apply_timed
+    def mf_reach_apply(self, *packs) -> dict:
+        reach = self.state["mf_reach"]
+        (ids,) = self._unpack_all(packs, cols=(0,))
+        self._mf_rfront = _EMPTY_I8
+        if len(ids):
+            lv = np.unique(self._lidx(ids))
+            new = lv[~reach[lv]]
+            reach[new] = True
+            self._mf_rfront = new
+        return {"frontier": int(len(self._mf_rfront))}
+
+    @_scatter_timed
+    def mf_reach_sync_scatter(self):
+        """Broadcast reach=True to every neighbor's per-arc cache (heights
+        machinery pattern); unreached stays the cache default False."""
+        R = np.flatnonzero(self.state["mf_reach"])
+        if len(R) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        outs = _ragged_gather(self.col_indices, self.row_offsets[R],
+                              self.out_deg[R])
+        ins = _ragged_gather(self.in_col_indices, self.in_row_offsets[R],
+                             self.in_deg[R])
+        ids = np.concatenate([outs, ins])
+        who = self.verts[np.concatenate(
+            [np.repeat(R, self.out_deg[R]), np.repeat(R, self.in_deg[R])])]
+        return self._pack(ids, who)
+
+    @_apply_timed
+    def mf_reach_sync_apply(self, *packs) -> dict:
+        ids, who = self._unpack_all(packs, cols=(0, 1))
+        self._mf_rco = np.zeros(len(self.col_indices), bool)
+        if len(ids):
+            q = self._mf_key(self._lidx(ids), who)
+            pos, ok = self._mf_find(self._mf_okey, q)
+            self._mf_rco[pos[ok]] = True
+        return {}
+
+    def mf_cut_extract(self) -> pa.Table:
+        """Arcs crossing the source-side cut S -> V\\S of the ORIGINAL
+        capacitated graph (tail reached, head not), with capacities —
+        the min-cut half of the strong-duality certificate."""
+        reach = self.state["mf_reach"]
+        n = len(self.verts)
+        rows = np.repeat(np.arange(n, dtype=np.int64), self.out_deg)
+        cross = reach[rows] & ~self._mf_rco & (self._mf_cap0 > 0)
+        return pa.table({
+            "src": pa.array(self.verts[rows[cross]], pa.int64()),
+            "dst": pa.array(self.col_indices[cross], pa.int64()),
+            "cap": pa.array(self._mf_cap0[cross], pa.float64())})
+
+    def mf_reach_extract(self) -> pa.Table:
+        """The source-side vertex set S (reached in the final residual)."""
+        return pa.table({"v": pa.array(
+            self.verts[self.state["mf_reach"]], pa.int64())})
 
     # ------------------------------------- Louvain community detection (BSP)
     # Goal: the reference road map's "explore community detection algorithms"
