@@ -361,13 +361,21 @@ def kmeans(embeddings_path: str, k: int = 16, iters: int = 10,
     clusters keep their previous centroid; fixed ``iters`` (no early
     stop) keeps runs bitwise-reproducible.
 
+    Init: the k sample vectors with the SMALLEST mix64(vec_id ^ seed)
+    priority, in (priority, vec_id) order — i.e. the head of the
+    hash-priority sample, which is the GLOBAL top-k by priority. Chosen
+    over an RNG draw because it is reproducible in plain SQL (ORDER BY
+    mix64 LIMIT k), which is what lets the driver hash-check the full
+    unrolled Lloyd iteration (pipelines.relational._kmeans_sql).
+
     Returns ``(assignments Dataset {vec_id, cluster}, centroids (k, d))``.
     """
     import ray
 
     ds = _embeddings_ds(embeddings_path)
     sample = _hash_priority_sample(ds, train_sample, seed)
-    C = _seed_centroids(sample, k, seed)
+    C = sample[np.arange(k) % len(sample)].copy() if len(sample) < k \
+        else sample[:k].copy()
 
     def partials_fn(c_ref):
         def partials(batch: pa.Table) -> pa.Table:

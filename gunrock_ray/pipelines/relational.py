@@ -1752,8 +1752,10 @@ def q_embed_near_dup_lsh(sf_dir: str):
 
 def q_embed_kmeans(sf_dir: str):
     """Distributed spherical k-means assignments over the embeddings table
-    (k=8, 5 Lloyd passes; rows-only — iterative float clustering has no
-    SQL form; recovery/determinism are pytest-validated)."""
+    (k=8, 5 Lloyd passes, hash-top-k init). SQL-checked: the full Lloyd
+    iteration unrolls in DuckDB (_kmeans_sql — init ORDER BY mix64 LIMIT
+    k, per-pass argmax-cosine assignment + AVG/normalize update);
+    recovery/determinism additionally pytest-validated."""
     from gunrock_ray.functions.ann import kmeans
     assign, _ = kmeans(os.path.join(sf_dir, "embeddings.parquet"),
                        k=8, iters=5)
@@ -3236,6 +3238,66 @@ def _simhash_pairs_sql(max_hamming: int = 18) -> str:
     )
 
 
+def _kmeans_sql(k: int, iters: int, seed: int) -> str:
+    """Spherical k-means (functions.ann.kmeans) unrolled in SQL: hash-
+    top-k init (the k globally smallest mix64(vec_id ^ seed) priorities,
+    (priority, vec_id)-ordered — exactly the engine's init contract),
+    then ``iters`` Lloyd passes, each an argmax-cosine assignment
+    (ROW_NUMBER ties to the LOWER cluster id, matching np.argmax) and an
+    AVG-then-L2-normalize centroid update with empty clusters keeping
+    their previous centroid, then one final assignment. Same technique
+    as the pr10/katz5 power-iteration unrolls; float sums differ from
+    NumPy only in association order, and assignments are integers, so
+    the compare is exact unless a vector sits within ~1e-12 of a
+    cluster boundary."""
+    seed_u = (seed * 0x9E3779B97F4A7C15) & (2**64 - 1)
+    pri = _MIX64_SQL(f"xor(CAST(vec_id AS UBIGINT), CAST({seed_u} "
+                     "AS UBIGINT))")
+    parts = [
+        "WITH x AS MATERIALIZED (SELECT vec_id, "
+        "unnest(generate_series(1, len(embedding))) AS dim, "
+        "unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings), ",
+        "nrm AS (SELECT vec_id, sqrt(SUM(val * val)) AS nv FROM x "
+        "GROUP BY vec_id), ",
+        "v AS MATERIALIZED (SELECT x.vec_id, x.dim, "
+        "x.val / (CASE WHEN nrm.nv = 0 THEN 1 ELSE nrm.nv END) AS val "
+        "FROM x JOIN nrm USING (vec_id)), ",
+        f"init AS (SELECT vec_id, rn - 1 AS cluster FROM "
+        f"(SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {pri}, vec_id) "
+        f"AS rn FROM embeddings) WHERE rn <= {k}), ",
+        "c0 AS MATERIALIZED (SELECT i.cluster, v.dim, v.val AS cval "
+        "FROM init i JOIN v USING (vec_id)), ",
+    ]
+    for t in range(iters):
+        parts += [
+            f"s{t} AS MATERIALIZED (SELECT v.vec_id, c.cluster, "
+            f"SUM(v.val * c.cval) AS sim "
+            f"FROM v JOIN c{t} c USING (dim) GROUP BY 1, 2), ",
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cluster FROM "
+            f"(SELECT vec_id, cluster, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn "
+            f"FROM s{t}) WHERE rn = 1), ",
+            f"m{t} AS MATERIALIZED (SELECT a.cluster, v.dim, AVG(v.val) AS cval "
+            f"FROM a{t} a JOIN v USING (vec_id) GROUP BY 1, 2), ",
+            f"mn{t} AS (SELECT cluster, sqrt(SUM(cval * cval)) AS nv "
+            f"FROM m{t} GROUP BY cluster), ",
+            f"c{t + 1} AS MATERIALIZED (SELECT m.cluster, m.dim, "
+            f"m.cval / (CASE WHEN n.nv = 0 THEN 1 ELSE n.nv END) AS cval "
+            f"FROM m{t} m JOIN mn{t} n USING (cluster) "
+            f"UNION ALL SELECT c.cluster, c.dim, c.cval FROM c{t} c "
+            f"WHERE c.cluster NOT IN (SELECT cluster FROM m{t})), ",
+        ]
+    parts += [
+        f"sf AS (SELECT v.vec_id, c.cluster, SUM(v.val * c.cval) AS sim "
+        f"FROM v JOIN c{iters} c USING (dim) GROUP BY 1, 2) ",
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM "
+        "(SELECT vec_id, cluster, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM sf) "
+        "WHERE rn = 1",
+    ]
+    return "".join(parts)
+
+
 ORACLE_SQL: dict[str, str] = {
     "sssp_dists": f"{_BFS_DEPTH_CTE} SELECT v, depth AS dist FROM dep",
     "sssp_weighted": _SSSP_W_SQL,
@@ -3956,6 +4018,7 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk "
         "FROM r WHERE rnk <= 3"
     ),
+    "embed_kmeans": _kmeans_sql(8, 5, 42),
     "ann_top5": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
         "s AS (SELECT q.qid, e.vec_id, "
