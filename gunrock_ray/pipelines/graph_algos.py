@@ -1497,10 +1497,13 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
             selfs = agg.map_batches(_lv_keep_loops, batch_format="pyarrow")
             lvl_verts = lvl_map.map_batches(_lv_comm_as_v,
                                             batch_format="pyarrow")
-            g.shutdown(remove_spill=True)
+            # reuse the live actor pool for the (smaller) next level —
+            # actor startup is the fixed per-level cost; rebuild() resets
+            # the kept actors in place and re-runs the two build phases
+            # over the new spill (bit-identical CSR to a fresh build)
             P_lvl = max(2, min(P, m_next // 50_000 + 1))
-            g = build_graph(next_edges, undirected=False, weighted=True,
-                            num_partitions=P_lvl, vertices=lvl_verts)
+            g = g.rebuild(next_edges, undirected=False, weighted=True,
+                          num_partitions=P_lvl, vertices=lvl_verts)
             # spill the self-loop table by the NEW graph's partitioner so
             # each actor reads only its own shard (no driver materialize)
             part = g.partitioner

@@ -129,6 +129,57 @@ class DistributedGraph:
         return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
                                       num_cpus_per_actor, part)
 
+    def rebuild(self, edges, *, undirected: bool = False,
+                weighted: bool = False, vertices=None,
+                num_partitions: int | None = None,
+                partitioner: Partitioner | None = None,
+                remove_old_spill: bool = True) -> "DistributedGraph":
+        """Re-point this graph's LIVE actor pool at a new edge set: spill
+        the new edges exactly as ``from_edges`` would, then each kept
+        actor resets in place and re-runs the two build phases — no new
+        actor processes. Actor startup is the fixed cost that dominates
+        multi-level algorithms (Louvain re-anchors a new, smaller graph
+        every level); reuse shaves it while producing a bit-identical
+        CSR (same spill layout, same partitioner, same phase exchange).
+
+        ``num_partitions`` may shrink (<= current pool); surplus actors
+        are killed. Returns a NEW handle over the kept actors — the old
+        handle must not be used afterwards (its actors were reset or
+        killed). The old spill dir is removed unless told otherwise."""
+        P = num_partitions or self.P
+        if P > len(self.actors):
+            raise ValueError(f"rebuild cannot grow the pool "
+                             f"({P} > {len(self.actors)})")
+        part = partitioner or Partitioner(P)
+        spill_dir = os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        if isinstance(edges, pa.Table) and edges.num_rows <= 200_000:
+            DistributedGraph._spill_small(edges, part, spill_dir,
+                                          undirected, weighted, vertices)
+        else:
+            DistributedGraph._spill_ray_data(edges, part, spill_dir,
+                                             undirected, weighted, vertices)
+        os.makedirs(spill_dir, exist_ok=True)
+        with open(os.path.join(spill_dir, "partitioner.json"), "w") as f:
+            json.dump(part.spec(), f)
+        keep, surplus = self.actors[:P], self.actors[P:]
+        for a in surplus:
+            ray.kill(a)
+        ray.get([a.reset.remote(p, P, spill_dir, weighted,
+                                self.with_in_edges, part.spec())
+                 for p, a in enumerate(keep)])
+        packs = [a.build_phase1.remote() for a in keep]
+        stats = ray.get([a.build_phase2.remote(*packs) for a in keep])
+        if remove_old_spill:
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
+        self.actors = []   # old handle is dead either way
+        g = DistributedGraph(keep, P, spill_dir, weighted,
+                             sum(s["n_local"] for s in stats),
+                             sum(s["m_local"] for s in stats),
+                             self.with_in_edges, partitioner=part)
+        g.partition_stats = stats
+        return g
+
     @staticmethod
     def _boot(P: int, spill_dir: str, weighted: bool, with_in_edges: bool,
               num_cpus_per_actor: float, part: Partitioner) -> "DistributedGraph":

@@ -129,6 +129,18 @@ class GraphPartition:
         self._in_off: dict[str, list] = {}
         self._raw = None
 
+    def reset(self, pid: int, num_parts: int, spill_dir: str,
+              weighted: bool = False, with_in_edges: bool = False,
+              part_spec: dict | None = None) -> None:
+        """Re-initialize this LIVE actor for a new graph (same process,
+        new topology/state) — the pool-reuse path behind
+        DistributedGraph.rebuild. Re-running __init__ drops every
+        topology/state/plan attribute; per-algorithm caches left behind
+        by earlier runs (_mf_*, _lv_*, ...) are re-created by their own
+        init kernels before use."""
+        GraphPartition.__init__(self, pid, num_parts, spill_dir,
+                                weighted, with_in_edges, part_spec)
+
     # ------------------------------------------------------------------ build
     # Two phases so vertex discovery is an in-actor packed exchange instead of
     # a second Ray Data pass over the edge table: phase1 reads this partition's
