@@ -117,7 +117,7 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
         finally:
             g.shutdown(remove_spill=True)
         return n_top
-    timed("corpus_ingest_pr", corpus_pr)
+    timed("corpus_ingest_pr", corpus_pr, min_repeat=3)
 
     # 2. PR on R-MAT (the reference's scaling family), 10 fixed supersteps
     def rmat_pr():
@@ -155,7 +155,7 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
             label_propagation(g, max_iter=5).count()
         finally:
             g.shutdown(remove_spill=True)
-    timed("rmat_cc_lp", rmat_cc_lp)
+    timed("rmat_cc_lp", rmat_cc_lp, min_repeat=3)
 
     # 4. TC on a smaller undirected R-MAT
     def rmat_tc():
@@ -206,6 +206,58 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
         details["louvain_modularity"] = round(out["modularity"], 4)
         details["louvain_levels"] = out["levels"]
     timed("rmat_louvain", rmat_louvain)
+
+    # round 4: partition-method study (SURVEY §3/§4) — the skew machinery's
+    # bench evidence. Same scale-20 R-MAT as stage 2: degree-LPT placement vs
+    # the hash baseline (cut fraction, edge-load imbalance, PR MTEPS delta vs
+    # details["rmat_pr_mteps"]), plus the locality `cluster` partitioner
+    # exercised end-to-end (LP communities -> LPT pack -> contiguous relabel)
+    # at the CC/LP scale with its post-relabel cut fraction.
+    def rmat_part_study():
+        import numpy as np
+        import pyarrow as pa
+        from gunrock_ray.pipelines.graph_algos import (plan_partitioning,
+                                                       cluster_partition)
+        from gunrock_ray.state.graph import DistributedGraph
+
+        def edge_stats(ed, part, tag):
+            def f(t: pa.Table) -> pa.Table:
+                po = part.owner(t["src"].to_numpy())
+                pd_ = part.owner(t["dst"].to_numpy())
+                loads = np.bincount(po, minlength=part.P).astype(np.int64)
+                cuts = np.bincount(po[po != pd_], minlength=part.P).astype(np.int64)
+                return pa.table({"pid": pa.array(np.arange(part.P), pa.int64()),
+                                 "load": pa.array(loads), "cut": pa.array(cuts)})
+            agg = (ed.map_batches(f, batch_format="pyarrow")
+                     .groupby("pid").sum(["load", "cut"]).to_pandas())
+            load = agg["sum(load)"].to_numpy()
+            cut = agg["sum(cut)"].to_numpy()
+            details[f"part_{tag}_cut_frac"] = round(float(cut.sum()) / max(1, int(load.sum())), 4)
+            details[f"part_{tag}_imbalance"] = round(float(load.max()) / max(1.0, float(load.mean())), 3)
+
+        edges = rmat_dataset(RMAT_SCALE_PR, 16, override_num_blocks=64).materialize()
+        edge_stats(edges, plan_partitioning(edges, P, "hash"), "hash")
+        deg_part = plan_partitioning(edges, P, "degree")
+        edge_stats(edges, deg_part, "degree")
+        g = DistributedGraph.from_edges(edges, P, partitioner=deg_part)
+        try:
+            g.call_all("pr_init", g.n, 0.85, 0.0)
+            g.register_push()
+            t0 = time.perf_counter()
+            for _ in range(10):
+                g.superstep("pr_scatter", "pr_apply")
+            details["part_degree_pr_mteps"] = round(
+                g.m * 10 / (time.perf_counter() - t0) / 1e6, 1)
+        finally:
+            g.shutdown(remove_spill=True)
+
+        small = rmat_dataset(RMAT_SCALE_SMALL, 16, override_num_blocks=32).materialize()
+        edge_stats(small, plan_partitioning(edges, P, "hash"), "small_hash")
+        t0 = time.perf_counter()
+        new_edges, cpart, _conv = cluster_partition(small, P)
+        details["part_cluster_relabel_s"] = round(time.perf_counter() - t0, 3)
+        edge_stats(new_edges, cpart, "cluster")
+    timed("rmat_part_study", rmat_part_study)
 
     total = round(sum(queries.values()), 3)
     return {

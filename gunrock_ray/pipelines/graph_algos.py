@@ -54,7 +54,6 @@ def plan_partitioning(edges, P: int, method: str = "hash", *, seed: int = 0,
             ends = np.concatenate([ends, edges["dst"].to_numpy()])
         ids, cnt = np.unique(ends, return_counts=True)
     else:
-        from ray.data.aggregate import Count
         if method == "range":
             # deterministic 1-in-101 hash thinning, driver-bounded sample
             def thin(t: pa.Table) -> pa.Table:
@@ -66,15 +65,33 @@ def plan_partitioning(edges, P: int, method: str = "hash", *, seed: int = 0,
             ids = np.unique(sample["v"].to_numpy()) if len(sample) else np.zeros(0, np.int64)
             cnt = None
         else:
+            # partial-aggregate per block (np.unique) so the groupby
+            # shuffles (v, partial_count) pairs, then per-block top-k
+            # partials merged on the driver — no global sort of the full
+            # degree table (was a scale-20 hot spot: full sort+limit)
             def both(t: pa.Table) -> pa.Table:
                 s = t["src"].to_numpy()
                 if undirected:
                     s = np.concatenate([s, t["dst"].to_numpy()])
-                return pa.table({"v": pa.array(s, pa.int64())})
-            deg = edges.map_batches(both, batch_format="pyarrow") \
-                       .groupby("v").aggregate(Count(alias_name="deg")) \
-                       .sort(["deg", "v"], descending=[True, False]) \
-                       .limit(top_k).to_pandas()
+                u, c = np.unique(s, return_counts=True)
+                return pa.table({"v": pa.array(u, pa.int64()),
+                                 "deg": pa.array(c, pa.int64())})
+
+            def topk_block(t: pa.Table) -> pa.Table:
+                v = t["v"].to_numpy()
+                c = t["sum(deg)"].to_numpy()
+                if len(v) > top_k:
+                    keep = np.argpartition(-c, top_k - 1)[:top_k]
+                    v, c = v[keep], c[keep]
+                return pa.table({"v": pa.array(v, pa.int64()),
+                                 "deg": pa.array(c, pa.int64())})
+
+            deg = (edges.map_batches(both, batch_format="pyarrow")
+                   .groupby("v").sum("deg")
+                   .map_batches(topk_block, batch_format="pyarrow")
+                   .to_pandas())
+            order = np.lexsort((deg["v"].to_numpy(), -deg["deg"].to_numpy()))
+            deg = deg.iloc[order[:top_k]]
             ids = deg["v"].to_numpy()
             cnt = deg["deg"].to_numpy()
 
@@ -182,32 +199,60 @@ def cluster_partition(edges, P: int, *, lp_iters: int = 4, seed: int = 0,
     finally:
         g.shutdown(remove_spill=True)
 
-    # 2. community → partition: LPT for the top_k largest, hash for the tail
-    #    (reuses the engine's `mapped` Partitioner as the label→owner map)
+    # 2. community → partition: LPT for the top_k largest, hash for the tail.
+    #    Capacity rule (the reference's per-GPU ``weitage``,
+    #    `cp_partitioner.cuh:160-214`): a community larger than the
+    #    per-partition vertex capacity ceil(n/P) is split into
+    #    ceil(sz/cap) hash chunks and the CHUNKS are LPT-packed — without
+    #    this, a graph whose LP converges to one giant community (e.g.
+    #    R-MAT: measured imbalance P on scale-18) lands whole on a single
+    #    partition. Small communities still place atomically (locality).
     from ray.data.aggregate import Count
+    n = labels.count()
     hot = (labels.groupby("label").aggregate(Count(alias_name="sz"))
            .sort(["sz", "label"], descending=[True, False])
            .limit(top_k).to_pandas())
     hot_ids = hot["label"].to_numpy()
     hot_sz = hot["sz"].to_numpy()
+    cap = max(1, -(-n // P))
+    nchunks = np.maximum(1, -(-hot_sz // cap)).astype(np.int64)
+    chunk_off = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int64)
+    # LPT over chunks: est size sz/nchunks each, heaviest first onto the
+    # lightest bin; ties broken by (label order, chunk index) — deterministic
+    est = np.repeat(-(-hot_sz // nchunks), nchunks)
+    order = np.argsort(-est, kind="stable")
     loads = np.zeros(P, dtype=np.int64)
-    pid = np.empty(len(hot_ids), dtype=np.int64)
-    for i in range(len(hot_ids)):  # LPT: largest community → lightest bin
+    chunk_pid = np.empty(len(est), dtype=np.int64)
+    for i in order:
         p = int(np.argmin(loads))
-        pid[i] = p
-        loads[p] += hot_sz[i]
+        chunk_pid[i] = p
+        loads[p] += est[i]
     o = np.argsort(hot_ids)
-    lab_part = Partitioner(P, "mapped", seed=seed,
-                           map_ids=hot_ids[o], map_pid=pid[o])
+    hot_sorted = hot_ids[o]
+    nch_sorted = nchunks[o]
+    off_sorted = chunk_off[:-1][o]
+    tail_part = Partitioner(P, "hash", seed=seed)
+
+    def label_owner(lab: np.ndarray, v: np.ndarray) -> np.ndarray:
+        pid = tail_part.owner(lab)
+        if len(hot_sorted):
+            pos = np.searchsorted(hot_sorted, lab)
+            pos = np.minimum(pos, len(hot_sorted) - 1)
+            hit = hot_sorted[pos] == lab
+            if hit.any():
+                hp = pos[hit]
+                chunk = (mix64(v[hit]) % nch_sorted[hp].astype(np.uint64)
+                         ).astype(np.int64)
+                pid[hit] = chunk_pid[off_sorted[hp] + chunk]
+        return pid
 
     # 3a. subgroup histogram: (owner, sub) counts → contiguous base offsets
-    n = labels.count()
     S = max(1, -(-n // (P * target_group)))  # ceil: ~target_group rows/group
     Su = np.uint64(S)
 
     def attach(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy()
-        owner = lab_part.owner(t["label"].to_numpy())
+        owner = label_owner(t["label"].to_numpy(), v)
         sub = (mix64(v) % Su).astype(np.int64)
         return pa.table({"v": pa.array(v, pa.int64()),
                          "gkey": pa.array(owner * S + sub)})

@@ -140,7 +140,10 @@ def test_requires_in_edges_and_distinct_endpoints():
 
 
 def test_contract_query_matches_edmonds_karp(ray_session):
-    """q_maxflow is rows-only in the driver contract — THIS is its gate."""
+    """q_maxflow is SQL-checked via the strong-duality certificate; this
+    additionally gates the VALUE against an independent Edmonds-Karp
+    reference (the oracle proves feasibility + duality, this proves the
+    number itself)."""
     import duckdb
 
     from gunrock_ray.pipelines import relational as r
@@ -156,4 +159,7 @@ def test_contract_query_matches_edmonds_karp(ray_session):
     want = oracles.max_flow_ref(n, df.src.to_numpy(), df.dst.to_numpy(),
                                 df.w.to_numpy(), 0, r._ASTAR_T)
     assert got["max_flow"].iloc[0] == want
-    assert list(got.columns) == ["src", "sink", "max_flow"]
+    assert list(got.columns) == ["src", "sink", "max_flow",
+                                 "cut_capacity", "cut_size"]
+    # strong duality holds in the emitted row itself
+    assert got["cut_capacity"].iloc[0] == got["max_flow"].iloc[0]

@@ -223,6 +223,34 @@ def test_cluster_partition_colocates_communities_and_preserves_results():
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-15)
 
 
+def test_cluster_partition_capacity_splits_giant_community():
+    """The reference's per-GPU capacity (``weitage``) rule: when LP collapses
+    the whole graph into ONE community (complete graph), the community must
+    be split into hash chunks and LPT-packed — not land whole on a single
+    partition (pre-fix measured imbalance == P on R-MAT)."""
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import cluster_partition
+    n = 40
+    pairs = np.array([(i, j) for i in range(n) for j in range(n) if i != j],
+                     dtype=np.int64)
+    t = pa.table({"src": pa.array(pairs[:, 0]), "dst": pa.array(pairs[:, 1])})
+    new_edges, part, conv = cluster_partition(
+        ray.data.from_arrow(t), P, lp_iters=6, target_group=8)
+    cdf = conv.to_pandas().sort_values("v").reset_index(drop=True)
+    assert np.array_equal(np.sort(cdf["new_v"].to_numpy()), np.arange(n))
+    own = part.owner(cdf["new_v"].to_numpy())
+    sizes = np.bincount(own, minlength=P)
+    # spread across every partition with bounded imbalance (hash chunks of
+    # one community: expect ~n/P each, never the whole graph on one bin)
+    assert (sizes > 0).all()
+    assert sizes.max() <= 2 * -(-n // P)
+    # deterministic: same input -> same placement
+    _, part2, conv2 = cluster_partition(
+        ray.data.from_arrow(t), P, lp_iters=6, target_group=8)
+    cdf2 = conv2.to_pandas().sort_values("v").reset_index(drop=True)
+    assert np.array_equal(cdf["new_v"].to_numpy(), cdf2["new_v"].to_numpy())
+
+
 def test_cluster_metis_duplicate_plan_errors():
     t = _two_communities(sz=8)
     for m, frag in (("cluster", "cluster_partition"),
