@@ -1337,6 +1337,7 @@ def min_cut(graph: DistributedGraph, src: int, sink: int, *,
 # ------------------------------------------- bipartite maximum matching
 
 def bipartite_matching(edges, *, num_partitions: int | None = None,
+                       with_cover: bool = False,
                        metrics_path: str | None = None) -> dict:
     """Maximum bipartite matching — the road map's "better support for
     bipartite graph algorithms" (`doc/road_map.md:18`), reduced to unit-
@@ -1347,6 +1348,19 @@ def bipartite_matching(edges, *, num_partitions: int | None = None,
     by the CSR build's dedup. The matched PAIRS of a maximum matching
     are not unique, but its SIZE is — tests gate size against a
     sequential Kuhn's-algorithm oracle and validate pair feasibility.
+
+    ``with_cover=True`` additionally emits a KÖNIG VERTEX COVER derived
+    from the converged flow's min cut (:func:`min_cut` residual source
+    side S): ``C = (L minus S) + (R whose primed copy is in S)`` — the
+    max-flow proof of König's theorem. Every input edge u→v' either has
+    u outside S (u covered on the left) or, with u in S, the arc is
+    saturated so v' is in S too (else v' would be residual-reachable);
+    hence C touches every edge, and |C| = cut capacity = |matching| by
+    strong duality. A DuckDB oracle can therefore verify OPTIMALITY of
+    the matching size from base tables alone: matching feasible + cover
+    touches every edge + |matching| = |cover| (weak duality: any
+    matching <= any cover). Adds {"cover": Dataset(side, v)} with
+    side 0 = left / 1 = right, both in ORIGINAL ids.
 
     Scale note: the virtual source/sink rows have degree |L| / |R| and
     live whole on one partition each — O(|L|) memory on that actor. At
@@ -1393,10 +1407,44 @@ def bipartite_matching(edges, *, num_partitions: int | None = None,
 
         matching = g.extract("mf_extract").map_batches(
             to_pairs, batch_format="pyarrow").materialize()
+
+        cover = None
+        if with_cover:
+            cut = min_cut(g, s_id, t_id)
+            side_s = cut["source_side"]          # Dataset(v), flow-graph ids
+
+            def right_cover(t: pa.Table) -> pa.Table:
+                v = t["v"].to_numpy()
+                vv = v[(v >= off) & (v < 2 * off)] - off
+                return pa.table({
+                    "side": pa.array(np.ones(len(vv), np.int64)),
+                    "v": pa.array(vv, pa.int64())})
+
+            def left_ids(t: pa.Table) -> pa.Table:
+                return pa.table({"v": pa.array(
+                    np.unique(t["src"].to_numpy()), pa.int64())})
+
+            def tag_left(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "side": pa.array(np.zeros(len(t), np.int64)),
+                    "v": t["v"].cast(pa.int64())})
+
+            from gunrock_ray.functions.joins import semi_join
+            lefts = (ds.map_batches(left_ids, batch_format="pyarrow")
+                     .groupby("v").count().select_columns(["v"]))
+            cover = (semi_join(lefts, side_s, on="v", right_on="v",
+                               anti=True)
+                     .map_batches(tag_left, batch_format="pyarrow")
+                     .union(side_s.map_batches(right_cover,
+                                               batch_format="pyarrow"))
+                     .materialize())
     finally:
         g.shutdown(remove_spill=True)
-    return {"size": int(out["max_flow"]), "pulses": out["pulses"],
-            "matching": matching}
+    out_d = {"size": int(out["max_flow"]), "pulses": out["pulses"],
+             "matching": matching}
+    if with_cover:
+        out_d["cover"] = cover
+    return out_d
 
 
 # -------------------------------------- Louvain community detection (BSP)

@@ -511,33 +511,85 @@ def q_msf(sf_dir: str):
     return df.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+_LOUVAIN_CERT_DIR = "/tmp/gunrock_ray_cert/louvain"
+
+
 def q_louvain(sf_dir: str):
     """Louvain community detection on the derived graph treated as
-    undirected/unweighted (graph_algos.louvain, multi-level BSP). An
-    iterative float-modularity fixpoint has no SQL form, so this is a
-    rows-only contract entry; tests/test_louvain.py gates the engine
-    bit-exactly against the sequential oracle, and
-    test_contract_query_matches_louvain_ref gates THIS query. modularity
-    is emitted at 1e-6 integer scale (exact — integer weight sums)."""
+    undirected/unweighted (graph_algos.louvain, multi-level BSP).
+
+    SQL-checked via a LABEL CERTIFICATE (same pattern as q_maxflow /
+    q_bmatch): the run writes its flat vertex→community mapping to
+    ``_LOUVAIN_CERT_DIR`` and the DuckDB oracle independently recomputes,
+    from the certificate labels and the BASE edge table only, (a) that
+    the labels cover the normalized symmetric vertex set exactly once
+    each, (b) the community count, and (c) the modularity the labelling
+    actually achieves — Q = intra/2m − Σ σ_c²/(2m)², exact because every
+    sum is integer-valued and both sides evaluate the identical IEEE
+    double expression (contraction preserves the integer intra/σ sums,
+    so the engine's multi-level Q equals the flat-label Q bit-for-bit).
+    The emitted u6 scale uses floor(q·1e6 + 0.5) in BOTH engine and SQL
+    (identical float ops — no round-half parity mismatch). Optimality is
+    NOT claimable (Louvain is a heuristic); the certificate proves the
+    reported (count, modularity) is exactly what the reported partition
+    achieves. tests/test_louvain.py additionally gates the mapping
+    bit-exactly against a sequential oracle."""
+    import shutil
+
     from gunrock_ray.pipelines.graph_algos import louvain
     out = louvain(derived_edges(sf_dir), undirected=True, num_partitions=8)
+    shutil.rmtree(_LOUVAIN_CERT_DIR, ignore_errors=True)
+    os.makedirs(_LOUVAIN_CERT_DIR, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(out["mapping"].to_pandas(),
+                             preserve_index=False),
+        os.path.join(_LOUVAIN_CERT_DIR, "labels.parquet"))
     return pa.table({
         "num_communities": pa.array([out["num_communities"]], pa.int64()),
-        "modularity_u6": pa.array([int(round(out["modularity"] * 1e6))],
-                                  pa.int64()),
-        "levels": pa.array([out["levels"]], pa.int64())})
+        "modularity_u6": pa.array(
+            [int(np.floor(out["modularity"] * 1e6 + 0.5))], pa.int64())})
+
+
+_BMATCH_CERT_DIR = "/tmp/gunrock_ray_cert/bmatch"
 
 
 def q_bmatch(sf_dir: str):
     """Maximum bipartite matching size over the derived edge pairs, src
     side vs dst side as disjoint vertex sets (graph_algos.
-    bipartite_matching = unit-capacity BSP max flow). The matching SIZE
-    is unique even though the pair set is not; no SQL form (augmenting-
-    path fixpoint), so rows-only — tests/test_bipartite_matching.py
-    gates it against a Kuhn's-algorithm oracle."""
+    bipartite_matching = unit-capacity BSP max flow).
+
+    SQL-checked via a KÖNIG CERTIFICATE (same strong-duality pattern as
+    q_maxflow): the run writes its matched pairs AND the König vertex
+    cover derived from the min cut's residual reachability to
+    ``_BMATCH_CERT_DIR``; the DuckDB oracle independently verifies
+    against the base tables that (a) every matched pair is a real
+    derived edge, (b) no left/right vertex is matched twice, (c) the
+    cover touches EVERY distinct derived edge, and (d) |matching| =
+    |cover| — any matching <= any vertex cover (weak duality), so
+    equality proves the matching maximum AND the cover minimum. The
+    oracle emits -1 on any violation so the driver's value-hash compare
+    fails unless the certificate is airtight. Assumes the driver runs
+    the Ray query before its oracle (it does — the certificate is
+    (re)written on every call). tests/test_bipartite_matching.py
+    additionally gates size against a Kuhn's-algorithm oracle."""
+    import shutil
+
     from gunrock_ray.pipelines.graph_algos import bipartite_matching
-    out = bipartite_matching(derived_edges(sf_dir), num_partitions=8)
-    return pa.table({"size": pa.array([out["size"]], pa.int64())})
+    out = bipartite_matching(derived_edges(sf_dir), num_partitions=8,
+                             with_cover=True)
+    shutil.rmtree(_BMATCH_CERT_DIR, ignore_errors=True)
+    os.makedirs(_BMATCH_CERT_DIR, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(out["matching"].to_pandas(),
+                             preserve_index=False),
+        os.path.join(_BMATCH_CERT_DIR, "matching.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(out["cover"].to_pandas(),
+                             preserve_index=False),
+        os.path.join(_BMATCH_CERT_DIR, "cover.parquet"))
+    cover_size = int(out["cover"].count())
+    return pa.table({"size": pa.array([out["size"]], pa.int64()),
+                     "cover_size": pa.array([cover_size], pa.int64())})
 
 
 def q_ktruss4(sf_dir: str):
@@ -3351,6 +3403,79 @@ ORACLE_SQL: dict[str, str] = {
         "     AS max_flow, "
         "CAST((SELECT cap FROM cut) AS BIGINT) AS cut_capacity, "
         "CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS cut_size"),
+    # König certificate check (see q_bmatch): the query writes its matched
+    # pairs + König vertex cover to _BMATCH_CERT_DIR; the oracle verifies
+    # matching feasibility against the base-table edge set, that the cover
+    # touches every distinct derived edge, and |matching| == |cover| —
+    # weak duality (any matching <= any cover) makes equality a proof that
+    # the matching is maximum AND the cover minimum. -1 on any violation.
+    # Self-loops are KEPT: src side and dst side are disjoint vertex sets.
+    "bmatch": (
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({_RAW_EDGES_SQL})), "
+        f"m AS (SELECT src, dst FROM "
+        f"      read_parquet('{_BMATCH_CERT_DIR}/matching.parquet')), "
+        f"cv AS (SELECT side, v FROM "
+        f"       read_parquet('{_BMATCH_CERT_DIR}/cover.parquet')), "
+        "mviol AS (SELECT COUNT(*) AS c FROM m WHERE NOT EXISTS "
+        "          (SELECT 1 FROM e WHERE e.src = m.src AND e.dst = m.dst)), "
+        "mdupl AS (SELECT COUNT(*) AS c FROM "
+        "          (SELECT src FROM m GROUP BY src HAVING COUNT(*) > 1)), "
+        "mdupr AS (SELECT COUNT(*) AS c FROM "
+        "          (SELECT dst FROM m GROUP BY dst HAVING COUNT(*) > 1)), "
+        "cdup AS (SELECT (SELECT COUNT(*) FROM cv) - (SELECT COUNT(*) FROM "
+        "         (SELECT DISTINCT side, v FROM cv)) AS c), "
+        "uncov AS (SELECT COUNT(*) AS c FROM e WHERE "
+        "          e.src NOT IN (SELECT v FROM cv WHERE side = 0) "
+        "          AND e.dst NOT IN (SELECT v FROM cv WHERE side = 1)), "
+        "msz AS (SELECT COUNT(*) AS c FROM m), "
+        "csz AS (SELECT COUNT(*) AS c FROM cv) "
+        "SELECT CAST(CASE WHEN (SELECT c FROM mviol) = 0 "
+        "            AND (SELECT c FROM mdupl) = 0 "
+        "            AND (SELECT c FROM mdupr) = 0 "
+        "            AND (SELECT c FROM cdup) = 0 "
+        "            AND (SELECT c FROM uncov) = 0 "
+        "            AND (SELECT c FROM msz) = (SELECT c FROM csz) "
+        "       THEN (SELECT c FROM msz) ELSE -1 END AS BIGINT) AS size, "
+        "CAST((SELECT c FROM csz) AS BIGINT) AS cover_size"),
+    # Label-certificate check (see q_louvain): recompute, from the
+    # certificate labels + base edges only, the community count and the
+    # modularity the labelling actually achieves. Q's intra/σ sums are
+    # integer-valued (unweighted graph, contraction-invariant) and both
+    # sides evaluate intra/2m - sigsq/(2m)^2 then floor(q*1e6 + 0.5) in
+    # IEEE doubles, so the compare is exact. -1 on any label violation
+    # (duplicate label, missing vertex, label outside the vertex set).
+    "louvain": (
+        f"WITH sym AS MATERIALIZED ({_SYM_SQL}), "
+        f"lab AS MATERIALIZED (SELECT v, community FROM "
+        f"     read_parquet('{_LOUVAIN_CERT_DIR}/labels.parquet')), "
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym), "
+        "labdup AS (SELECT COUNT(*) AS c FROM "
+        "           (SELECT v FROM lab GROUP BY v HAVING COUNT(*) > 1)), "
+        "miss AS (SELECT COUNT(*) AS c FROM verts "
+        "         WHERE v NOT IN (SELECT v FROM lab)), "
+        "extra AS (SELECT COUNT(*) AS c FROM lab "
+        "          WHERE v NOT IN (SELECT v FROM verts)), "
+        "twom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x FROM sym), "
+        "intra AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x FROM sym e "
+        "          JOIN lab ls ON ls.v = e.src "
+        "          JOIN lab ld ON ld.v = e.dst "
+        "          WHERE ls.community = ld.community), "
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1), "
+        "sig AS (SELECT l.community AS c, SUM(d.d) AS s FROM deg d "
+        "        JOIN lab l ON l.v = d.v GROUP BY 1), "
+        "sigsq AS (SELECT CAST(SUM(s * s) AS DOUBLE) AS x FROM sig), "
+        "qv AS (SELECT (SELECT x FROM intra) / (SELECT x FROM twom) "
+        "       - (SELECT x FROM sigsq) / "
+        "       ((SELECT x FROM twom) * (SELECT x FROM twom)) AS q), "
+        "ok AS (SELECT (SELECT c FROM labdup) = 0 "
+        "       AND (SELECT c FROM miss) = 0 "
+        "       AND (SELECT c FROM extra) = 0 AS ok) "
+        "SELECT CAST(CASE WHEN (SELECT ok FROM ok) THEN "
+        "       (SELECT COUNT(DISTINCT community) FROM lab) "
+        "       ELSE -1 END AS BIGINT) AS num_communities, "
+        "CAST(CASE WHEN (SELECT ok FROM ok) THEN "
+        "     FLOOR((SELECT q FROM qv) * 1000000.0 + 0.5) "
+        "     ELSE -1 END AS BIGINT) AS modularity_u6"),
     "sgm_tri_cycle": (
         f"WITH n AS ({_NORM_SQL}) "
         "SELECT CAST(COUNT(*) AS BIGINT) AS cycles FROM n e1 "

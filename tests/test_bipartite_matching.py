@@ -52,7 +52,9 @@ def test_overlapping_id_spaces_are_disjoint_sides():
 
 
 def test_contract_query_matches_kuhn(ray_session):
-    """q_bmatch is rows-only in the driver contract — THIS is its gate."""
+    """q_bmatch is SQL-checked via its König certificate in the driver
+    contract — this gate additionally pins the size to a sequential
+    Kuhn oracle and validates the certificate SQL end to end."""
     import duckdb
 
     from gunrock_ray.pipelines import relational as r
@@ -62,11 +64,17 @@ def test_contract_query_matches_kuhn(ray_session):
     con = duckdb.connect()
     con.execute("CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{sf}/events.parquet')")
-    df = con.execute(r._NORM_SQL).df()
+    # the bipartite interpretation keeps self-loops (sides are disjoint)
+    df = con.execute("SELECT DISTINCT src, dst FROM "
+                     f"({r._RAW_EDGES_SQL})").df()
     want = oracles.bipartite_matching_ref(df.src.to_numpy(),
                                           df.dst.to_numpy())
     assert int(got["size"].iloc[0]) == want
-    assert list(got.columns) == ["size"]
+    assert int(got["cover_size"].iloc[0]) == want      # König equality
+    assert list(got.columns) == ["size", "cover_size"]
+    oracle = con.execute(r.ORACLE_SQL["bmatch"]).df()
+    assert int(oracle["size"].iloc[0]) == want          # not -1: airtight
+    assert int(oracle["cover_size"].iloc[0]) == want
 
 
 def test_empty_edge_set():

@@ -120,8 +120,11 @@ def test_driver_side_tail_is_result_invariant():
 
 
 def test_contract_query_matches_louvain_ref(ray_session):
-    """q_louvain is rows-only in the driver contract — THIS is its gate."""
+    """q_louvain is SQL-checked via its label certificate in the driver
+    contract — this gate additionally pins the values to the sequential
+    oracle (stronger than the certificate's consistency proof)."""
     import duckdb
+    import numpy as np
 
     from gunrock_ray.pipelines import relational as r
 
@@ -134,10 +137,13 @@ def test_contract_query_matches_louvain_ref(ray_session):
     _, ref_map, q, levels, ncomm = oracles.louvain_ref(
         df.src.to_numpy(), df.dst.to_numpy(), None, undirected=True)
     assert int(got["num_communities"].iloc[0]) == ncomm
-    assert int(got["modularity_u6"].iloc[0]) == int(round(q * 1e6))
-    assert int(got["levels"].iloc[0]) == levels
-    assert list(got.columns) == ["num_communities", "modularity_u6",
-                                 "levels"]
+    assert int(got["modularity_u6"].iloc[0]) == int(np.floor(q * 1e6 + 0.5))
+    assert list(got.columns) == ["num_communities", "modularity_u6"]
+    # the certificate labels on disk must BE the engine's mapping
+    oracle = con.execute(r.ORACLE_SQL["louvain"]).df()
+    assert int(oracle["num_communities"].iloc[0]) == ncomm
+    assert (int(oracle["modularity_u6"].iloc[0])
+            == int(got["modularity_u6"].iloc[0]))
 
 
 def test_isolated_vertices_stay_singletons():
