@@ -1723,23 +1723,67 @@ def q_embed_cov(sf_dir: str):
     return df[["i", "j", "cov_u9"]]
 
 
+_PCA_CERT_DIR = "/tmp/gunrock_ray_cert/pca"
+
+
 def q_embed_pca(sf_dir: str):
     """Distributed PCA (functions/ann.pca_fit + pca_transform): fit 8
     components from the streaming sufficient-statistics pass, project
     every embedding (broadcast-once matmul, FixedSizeList output).
-    Rows-only (eigendecomposition has no tractable SQL form); exactness
-    gated by tests/test_ann.py::test_pca_fit_matches_numpy and
-    ::test_pca_transform_variance_and_recovery."""
+
+    SQL-checked via an EIGEN-CERTIFICATE (same pattern as q_maxflow /
+    q_bmatch / q_louvain): the run writes (mean, components,
+    eigenvalues, projections) to ``_PCA_CERT_DIR``; the DuckDB oracle
+    recomputes the covariance matrix from the BASE embeddings table
+    (the same SQL-exact sufficient-statistics expression embed_cov
+    uses) and verifies that each certificate component is a genuine
+    unit-norm eigenpair (max residual of C·v − λ·v under 1e-9 — float
+    noise is ~1e-15, a wrong vector ~1e-2), the rows are mutually
+    orthogonal, eigenvalues descend, the deterministic sign convention
+    holds, and every emitted projection equals (x − μ)·Wᵀ within 1e-9.
+    Only then does the oracle emit the certificate projections (exact
+    parquet round-trip → hash-equal); any violation empties the result
+    so the driver's row-count check fails. "Top-k of the full
+    spectrum" is the one property SQL cannot see — that remains gated
+    by tests/test_ann.py::test_pca_fit_matches_numpy (full numpy eigh
+    compare) and ::test_pca_transform_variance_and_recovery."""
+    import shutil
+
+    import pandas as pd
+
     from gunrock_ray.functions.ann import pca_fit, pca_transform
     path = os.path.join(sf_dir, "embeddings.parquet")
-    mu, comps, _ = pca_fit(path, n_components=8)
+    mu, comps, eig = pca_fit(path, n_components=8)
     out = (pca_transform(path, mu, comps).to_pandas()
            .sort_values("vec_id").reset_index(drop=True))
     P = np.stack(out["proj"].to_numpy())
-    cols = {"vec_id": out["vec_id"].to_numpy()}
+    k, d = comps.shape
+    shutil.rmtree(_PCA_CERT_DIR, ignore_errors=True)
+    os.makedirs(_PCA_CERT_DIR, exist_ok=True)
+    # dims stored 1-based to align with SQL generate_subscripts
+    pq.write_table(pa.table({
+        "i": pa.array(np.arange(1, d + 1), pa.int64()),
+        "mu": pa.array(mu, pa.float64())}),
+        os.path.join(_PCA_CERT_DIR, "mean.parquet"))
+    cc, ii = np.meshgrid(np.arange(k), np.arange(d), indexing="ij")
+    pq.write_table(pa.table({
+        "c": pa.array(cc.reshape(-1), pa.int64()),
+        "i": pa.array(ii.reshape(-1) + 1, pa.int64()),
+        "w": pa.array(comps.reshape(-1), pa.float64())}),
+        os.path.join(_PCA_CERT_DIR, "comps.parquet"))
+    pq.write_table(pa.table({
+        "c": pa.array(np.arange(k), pa.int64()),
+        "lam": pa.array(eig, pa.float64())}),
+        os.path.join(_PCA_CERT_DIR, "eig.parquet"))
+    vid = out["vec_id"].to_numpy()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.repeat(vid, k), pa.int64()),
+        "c": pa.array(np.tile(np.arange(k), len(vid)), pa.int64()),
+        "p": pa.array(P.reshape(-1), pa.float64())}),
+        os.path.join(_PCA_CERT_DIR, "proj.parquet"))
+    cols = {"vec_id": vid}
     for c in range(P.shape[1]):
         cols[f"p{c}"] = P[:, c]
-    import pandas as pd
     return pd.DataFrame(cols)
 
 
@@ -3024,6 +3068,69 @@ _EMBED_COV_SQL = (
     "FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN st")
 
 
+# Eigen-certificate check (see q_embed_pca): recompute the covariance from
+# the base embeddings (same sufficient-statistics expression as embed_cov),
+# verify the certificate components are orthonormal descending eigenpairs
+# with the deterministic sign convention, verify every certificate
+# projection equals (x − μ)·Wᵀ, and only then emit the certificate
+# projections (exact parquet round-trip); any violation empties the result.
+_EMBED_PCA_SQL = (
+    "WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+    "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), "
+    "st AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x), "
+    "s AS (SELECT i, SUM(val) AS sv FROM x GROUP BY i), "
+    "g AS (SELECT a.i AS i, b.i AS j, SUM(a.val*b.val) AS gv "
+    "      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2), "
+    "cov AS (SELECT g.i, g.j, "
+    "        (g.gv - st.n*((sa.sv/st.n)*(sb.sv/st.n)))/(st.n - 1) AS cv "
+    "        FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j "
+    "        CROSS JOIN st), "
+    f"w AS (SELECT c, i, w FROM "
+    f"      read_parquet('{_PCA_CERT_DIR}/comps.parquet')), "
+    f"lam AS (SELECT c, lam FROM "
+    f"        read_parquet('{_PCA_CERT_DIR}/eig.parquet')), "
+    f"mu AS (SELECT i, mu FROM "
+    f"       read_parquet('{_PCA_CERT_DIR}/mean.parquet')), "
+    f"pc AS (SELECT vec_id, c, p FROM "
+    f"       read_parquet('{_PCA_CERT_DIR}/proj.parquet')), "
+    "cw AS (SELECT w.c, cov.i, SUM(cov.cv * w.w) AS s FROM cov "
+    "       JOIN w ON w.i = cov.j GROUP BY 1, 2), "
+    "resid AS (SELECT cw.c, MAX(ABS(cw.s - lam.lam * w.w)) AS r FROM cw "
+    "          JOIN w ON w.c = cw.c AND w.i = cw.i "
+    "          JOIN lam ON lam.c = cw.c GROUP BY 1), "
+    "residbad AS (SELECT COUNT(*) AS c FROM resid WHERE r > 1e-9), "
+    "dots AS (SELECT a.c AS c1, b.c AS c2, SUM(a.w*b.w) AS d "
+    "         FROM w a JOIN w b USING (i) GROUP BY 1, 2), "
+    "orthbad AS (SELECT COUNT(*) AS c FROM dots WHERE ABS(d - "
+    "            CASE WHEN c1 = c2 THEN 1.0 ELSE 0.0 END) > 1e-9), "
+    "orderbad AS (SELECT COUNT(*) AS c FROM lam a "
+    "             JOIN lam b ON b.c = a.c + 1 WHERE b.lam > a.lam), "
+    "signpick AS (SELECT c, w, ROW_NUMBER() OVER (PARTITION BY c "
+    "             ORDER BY ABS(w) DESC, i) AS rn FROM w), "
+    "signbad AS (SELECT COUNT(*) AS c FROM signpick "
+    "            WHERE rn = 1 AND w < 0), "
+    "mean AS (SELECT x.vec_id, x.i, x.val - mu.mu AS ctr FROM x "
+    "         JOIN mu ON mu.i = x.i), "
+    "pcalc AS (SELECT m.vec_id, w.c, SUM(m.ctr * w.w) AS p FROM mean m "
+    "          JOIN w ON w.i = m.i GROUP BY 1, 2), "
+    "projbad AS (SELECT COUNT(*) AS c FROM pc "
+    "            JOIN pcalc USING (vec_id, c) "
+    "            WHERE ABS(pc.p - pcalc.p) > 1e-9), "
+    "projmiss AS (SELECT CASE WHEN (SELECT COUNT(*) FROM pc) <> "
+    "             (SELECT n FROM st) * (SELECT COUNT(*) FROM lam) "
+    "             THEN 1 ELSE 0 END AS c), "
+    "okq AS (SELECT (SELECT c FROM residbad) = 0 "
+    "        AND (SELECT c FROM orthbad) = 0 "
+    "        AND (SELECT c FROM orderbad) = 0 "
+    "        AND (SELECT c FROM signbad) = 0 "
+    "        AND (SELECT c FROM projbad) = 0 "
+    "        AND (SELECT c FROM projmiss) = 0 AS ok) "
+    "SELECT vec_id, "
+    + ", ".join(f"MAX(CASE WHEN c = {c} THEN p END) AS p{c}"
+                for c in range(8)) +
+    " FROM pc WHERE (SELECT ok FROM okq) GROUP BY vec_id")
+
+
 def _dup_span_removal_sql(min_df: int = 2) -> str:
     """Duplicate-span removal oracle: positional windows (start i, span
     length L) over the SAME shingle chain as the MinHash oracles, hot =
@@ -4079,6 +4186,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_span_removal": _dup_span_removal_sql(),
     "bm25_top10": _bm25_sql("fast hash join scan", 10),
     "embed_cov": _EMBED_COV_SQL,
+    "embed_pca": _EMBED_PCA_SQL,
     "epoch_shuffle": (
         f"WITH k AS (SELECT doc_id, "
         f"{_MIX64_SQL('CAST(doc_id AS UBIGINT)')} AS k FROM documents) "
