@@ -700,11 +700,15 @@ def q_harmonic64(sf_dir: str):
 def q_doc_lm_bits(sf_dir: str):
     """CCNet-style quality signal: train a 3-gram stupid-backoff LM on the
     documents table (one distributed counting pass, deterministic top-k
-    prune) and score every document under it (functions/lm.py). The
-    count-train + backoff recurrence has no tractable SQL form, so
-    rows-only; tests/test_lm.py gates training AND scoring bitwise
-    against independent Counter/math oracles, and
-    test_contract_query_matches_oracle gates THIS query."""
+    prune) and score every document under it (functions/lm.py).
+    SQL-checked: the count-train (per-order n-gram counts + the
+    deterministic top-k prune) AND the full stupid-backoff recurrence
+    unroll in DuckDB (_doc_lm_bits_sql) — alpha powers are embedded as
+    the exact Python doubles, divisions are int/int on both sides, and
+    the u6 emission uses floor(x·1e6 + 0.5) in both, so the only
+    divergence is log/SUM ulp noise ~1e-8 below the scale.
+    tests/test_lm.py additionally gates training and scoring bitwise
+    against independent Counter/math oracles."""
     import ray.data
     from gunrock_ray.functions import lm
     docs = ray.data.read_parquet(
@@ -718,7 +722,7 @@ def q_doc_lm_bits(sf_dir: str):
         "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
         "oov": pa.array(out["oov"].to_numpy(), pa.int64()),
         "bits_u6": pa.array(
-            np.round(out["bits"].to_numpy() * 1e6).astype(np.int64),
+            np.floor(out["bits"].to_numpy() * 1e6 + 0.5).astype(np.int64),
             pa.int64())})
 
 
@@ -744,11 +748,12 @@ def q_doc_dsir(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): target LM trained on
     the doc_id %% 7 == 0 slice, raw LM on the whole corpus, 25 docs drawn
     by deterministic Gumbel top-k over the importance log-weights
-    (functions/lm.py dsir_sample). Rows-only (two LM trainings + a
-    counter-based draw have no SQL form); tests/test_lm.py gates weights
-    bitwise-ish (1e-12) vs independent oracles plus determinism, layout
-    invariance, and temperature concentration, and
-    test_contract_dsir_selection gates THIS query."""
+    (functions/lm.py dsir_sample). SQL-checked: BOTH LM trainings, the
+    backoff scoring, and the counter-based Gumbel draw (splitmix64 →
+    uniform → −ln(−ln u)) unroll in DuckDB (_doc_dsir_sql) — the same
+    mix64-in-SQL technique as the sampling oracles; tests/test_lm.py
+    additionally gates weights vs independent oracles plus determinism,
+    layout invariance, and temperature concentration."""
     import ray.data
     from gunrock_ray.functions import lm
     docs = ray.data.read_parquet(
@@ -767,7 +772,7 @@ def q_doc_dsir(sf_dir: str):
         "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
         "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
         "logw_u6": pa.array(
-            np.round(out["logw"].to_numpy() * 1e6).astype(np.int64),
+            np.floor(out["logw"].to_numpy() * 1e6 + 0.5).astype(np.int64),
             pa.int64())})
 
 
@@ -3131,6 +3136,128 @@ _EMBED_PCA_SQL = (
     " FROM pc WHERE (SELECT ok FROM okq) GROUP BY vec_id")
 
 
+def _lm_count_ctes(pfx: str, where: str = "", *, order: int = 3,
+                   top_k: int = 50_000) -> str:
+    """CTEs reproducing functions/lm.train_ngram_lm exactly: whitespace
+    tokens, per-order n-gram counts (no cross-doc grams — array indexing
+    is per doc), the deterministic top-k prune (count desc, term asc —
+    UTF-8 byte order == code-point order, so DuckDB's binary collation
+    matches numpy lexsort), and the order-0 total-token count."""
+    assert order == 3, "SQL unroll written for order=3"
+    return (
+        f"{pfx}d AS (SELECT doc_id, "
+        f"regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
+        f"FROM documents {where}), "
+        f"{pfx}tk AS (SELECT doc_id, w, "
+        f"unnest(generate_series(1, len(w))) AS i FROM {pfx}d), "
+        f"{pfx}c1 AS (SELECT w[i] AS term, COUNT(*) AS cnt FROM {pfx}tk "
+        f"GROUP BY 1 QUALIFY ROW_NUMBER() OVER "
+        f"(ORDER BY cnt DESC, term) <= {top_k}), "
+        f"{pfx}c2 AS (SELECT w[i-1] || ' ' || w[i] AS term, COUNT(*) AS cnt "
+        f"FROM {pfx}tk WHERE i >= 2 GROUP BY 1 QUALIFY ROW_NUMBER() OVER "
+        f"(ORDER BY cnt DESC, term) <= {top_k}), "
+        f"{pfx}c3 AS (SELECT w[i-2] || ' ' || w[i-1] || ' ' || w[i] AS term, "
+        f"COUNT(*) AS cnt FROM {pfx}tk WHERE i >= 3 GROUP BY 1 "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, term) <= {top_k}), "
+        f"{pfx}tot AS (SELECT GREATEST(COUNT(*), 1) AS n FROM {pfx}tk)")
+
+
+# Python-evaluated float constants embedded as exact repr literals so the
+# SQL multiplies by the SAME doubles the engine does (no pow() mismatch).
+_LM_A1 = repr(0.4)          # alpha
+_LM_A2 = repr(0.4 ** 2)     # alpha**2 as Python computes it
+_LM_LOG10_2 = repr(float(np.log10(2.0)))
+
+
+def _lm_score_cte(name: str, pfx: str) -> str:
+    """Per-token stupid-backoff log10 probability under the ``pfx`` count
+    tables, mirroring functions/lm._score_tokens token-for-token: a =
+    min(i-1, 2); highest surviving context wins; alpha powers are the
+    exact doubles Python produces (embedded repr literals); cn/cp and
+    cu/total are int/int double divisions on both sides. ``isoov`` marks
+    tokens where every backoff AND the unigram table miss."""
+    return (
+        f"{name} AS (SELECT t.doc_id, t.i, CASE "
+        # a=2 path, k=2: trigram over bigram-prefix (alpha^0 = 1)
+        f"WHEN t.i >= 3 AND c3.cnt IS NOT NULL AND p2.cnt IS NOT NULL "
+        f"THEN log10(CAST(c3.cnt AS DOUBLE) / p2.cnt) "
+        # a=2 path, k=1: bigram over unigram-prefix (alpha^1)
+        f"WHEN t.i >= 3 AND c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL "
+        f"THEN log10({_LM_A1} * (CAST(c2.cnt AS DOUBLE) / p1.cnt)) "
+        # a=1 path, k=1 (alpha^0 = 1)
+        f"WHEN t.i = 2 AND c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL "
+        f"THEN log10(CAST(c2.cnt AS DOUBLE) / p1.cnt) "
+        # unigram / OOV floor with alpha^a, a = min(i-1, 2)
+        f"WHEN c1.cnt IS NOT NULL THEN log10("
+        f"CASE WHEN t.i = 1 THEN CAST(c1.cnt AS DOUBLE) / tot.n "
+        f"     WHEN t.i = 2 THEN {_LM_A1} * (CAST(c1.cnt AS DOUBLE) / tot.n) "
+        f"     ELSE {_LM_A2} * (CAST(c1.cnt AS DOUBLE) / tot.n) END) "
+        f"ELSE log10("
+        f"CASE WHEN t.i = 1 THEN 1.0 / tot.n "
+        f"     WHEN t.i = 2 THEN {_LM_A1} * (1.0 / tot.n) "
+        f"     ELSE {_LM_A2} * (1.0 / tot.n) END) END AS lp, "
+        f"CASE WHEN c1.cnt IS NULL "
+        f"AND NOT (t.i >= 3 AND c3.cnt IS NOT NULL AND p2.cnt IS NOT NULL) "
+        f"AND NOT (t.i >= 2 AND c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL) "
+        f"THEN 1 ELSE 0 END AS isoov "
+        f"FROM tk t "
+        f"LEFT JOIN {pfx}c3 c3 ON t.i >= 3 "
+        f"AND c3.term = t.w[t.i-2] || ' ' || t.w[t.i-1] || ' ' || t.w[t.i] "
+        f"LEFT JOIN {pfx}c2 p2 ON t.i >= 3 "
+        f"AND p2.term = t.w[t.i-2] || ' ' || t.w[t.i-1] "
+        f"LEFT JOIN {pfx}c2 c2 ON t.i >= 2 "
+        f"AND c2.term = t.w[t.i-1] || ' ' || t.w[t.i] "
+        f"LEFT JOIN {pfx}c1 p1 ON t.i >= 2 AND p1.term = t.w[t.i-1] "
+        f"LEFT JOIN {pfx}c1 c1 ON c1.term = t.w[t.i] "
+        f"CROSS JOIN {pfx}tot tot)")
+
+
+def _doc_lm_bits_sql() -> str:
+    """q_doc_lm_bits oracle: train (counts + prune) and score in one SQL
+    statement; bits_u6 = floor((-(Σlp/n)/log10 2)·1e6 + 0.5) — identical
+    float expression to the engine up to log/SUM ulp noise far below the
+    1e-6 scale."""
+    return (
+        "WITH " + _lm_count_ctes("") + ", "
+        + _lm_score_cte("sc", "") + ", "
+        "agg AS (SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n, "
+        "        SUM(isoov) AS oov FROM sc GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(agg.oov, 0) AS BIGINT) AS oov, "
+        "CAST(CASE WHEN COALESCE(agg.n, 0) > 0 THEN "
+        f"FLOOR((-(agg.s / agg.n) / {_LM_LOG10_2}) * 1000000.0 + 0.5) "
+        "ELSE 0 END AS BIGINT) AS bits_u6 "
+        "FROM d LEFT JOIN agg USING (doc_id)")
+
+
+def _doc_dsir_sql(k: int = 25, seed: int = 11) -> str:
+    """q_doc_dsir oracle: target LM counts from the doc_id % 7 == 0 slice,
+    raw LM counts from the full corpus, per-doc logw = Σlp_target −
+    Σlp_raw, Gumbel key = logw + (-ln(-ln u)) with u = (splitmix64(
+    doc_id ^ seed) + 1) / 2^64 — the engine's counter-based draw
+    reproduced bit-for-bit in SQL — then top-k by (key desc, doc_id)."""
+    u = _MIX64_SQL(f"xor(CAST(a.doc_id AS UBIGINT), "
+                   f"CAST({seed} AS UBIGINT))")
+    return (
+        "WITH " + _lm_count_ctes("", "") + ", "
+        + _lm_count_ctes("t", "WHERE doc_id % 7 = 0") + ", "
+        + _lm_score_cte("sct", "t") + ", "
+        + _lm_score_cte("scr", "") + ", "
+        "wt AS (SELECT doc_id, SUM(lp) AS st FROM sct GROUP BY doc_id), "
+        "wr AS (SELECT doc_id, SUM(lp) AS sr, COUNT(*) AS n FROM scr "
+        "       GROUP BY doc_id), "
+        "a AS (SELECT d.doc_id, COALESCE(wr.n, 0) AS n, "
+        "      COALESCE(wt.st, 0.0) - COALESCE(wr.sr, 0.0) AS logw "
+        "      FROM d LEFT JOIN wt USING (doc_id) "
+        "      LEFT JOIN wr USING (doc_id)), "
+        "keyed AS (SELECT a.doc_id, a.n, a.logw, a.logw + "
+        f"(-ln(-ln((CAST({u} AS DOUBLE) + 1.0) / 18446744073709551616.0))) "
+        "AS key FROM a) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "CAST(FLOOR(logw * 1000000.0 + 0.5) AS BIGINT) AS logw_u6 "
+        f"FROM keyed ORDER BY key DESC, doc_id LIMIT {k}")
+
+
 def _dup_span_removal_sql(min_df: int = 2) -> str:
     """Duplicate-span removal oracle: positional windows (start i, span
     length L) over the SAME shingle chain as the MinHash oracles, hot =
@@ -4143,6 +4270,12 @@ ORACLE_SQL: dict[str, str] = {
         "ON o.o_custkey = c.c_custkey"),
     # lang-ID + quality + rolling-hash fingerprint, all reproduced in SQL
     "doc_analysis": _doc_analysis_sql(),
+    # stupid-backoff LM train + score unrolled (counts, deterministic
+    # top-k prune, full backoff recurrence, exact alpha-power literals)
+    "doc_lm_bits": _doc_lm_bits_sql(),
+    # DSIR: both LM trainings + backoff scoring + the counter-based
+    # Gumbel top-k draw (splitmix64 in SQL) reproduced end to end
+    "doc_dsir": _doc_dsir_sql(),
     "vocab_top100": (
         "WITH tok AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term "
         "             FROM documents), "

@@ -94,7 +94,7 @@ def test_contract_query_matches_oracle(ray_session):
         bits = -lp / np.log10(2.0) if n else 0.0
         row = got.iloc[i]
         assert int(row["doc_id"]) == int(texts["doc_id"].iloc[i])
-        assert int(row["bits_u6"]) == int(round(bits * 1e6))
+        assert int(row["bits_u6"]) == int(np.floor(bits * 1e6 + 0.5))
         assert int(row["n_tokens"]) == n and int(row["oov"]) == oov
 
 
@@ -177,7 +177,7 @@ def test_contract_dsir_selection(ray_session):
     want_ids = texts["doc_id"].to_numpy()[order]
     np.testing.assert_array_equal(got["doc_id"].to_numpy(), want_ids)
     # weights agree to float tolerance at the 1e-6 integer scale
-    want_u6 = np.round(logw[order] * 1e6).astype(np.int64)
+    want_u6 = np.floor(logw[order] * 1e6 + 0.5).astype(np.int64)
     diff = np.abs(got["logw_u6"].to_numpy() - want_u6)
     assert diff.max() <= 1, diff.max()
 
