@@ -1575,8 +1575,10 @@ def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer (functions/bpe): train 30 merges over the
     documents table (word histogram = one groupby-sum shuffle, then
     actor-sharded merge rounds with deterministic count-desc/pair-asc
-    argmax), encode the same corpus, return {doc_id, n_tokens}. Rows-only
-    — iterative string merges have no SQL form; bit-exact gated by
+    argmax), encode the same corpus, return {doc_id, n_tokens}.
+    SQL-checked: the full pipeline unrolls in DuckDB (_bpe_tokens_sql —
+    30 generated training rounds over the histogram state plus a
+    recursive-CTE priority encode); bit-exact additionally gated by
     tests/test_bpe.py::test_contract_query_matches_reference."""
     from gunrock_ray.functions.bpe import train_bpe, bpe_encode
     docs = _docs_ds(sf_dir)
@@ -3258,6 +3260,103 @@ def _doc_dsir_sql(k: int = 25, seed: int = 11) -> str:
         f"FROM keyed ORDER BY key DESC, doc_id LIMIT {k}")
 
 
+def _bpe_stage_sql(k: int, min_pair_count: int = 2) -> str:
+    """One generated BPE training round (state s{k-1} → s{k}), mirroring
+    functions/bpe BpeShard.apply + the driver argmax exactly: weighted
+    adjacent-pair counts (LEAD window), the deterministic best pick
+    (count desc, left asc, right asc; none when best < min_pair_count —
+    LEFT JOIN ON TRUE makes the round an identity then, matching the
+    engine's early stop), and the greedy left-to-right non-overlapping
+    apply — overlaps only exist when left == right, resolved by run-
+    offset parity (islands trick), which equals the engine's while-loop.
+    Every CTE is MATERIALIZED: each stage reads its predecessor twice and
+    default inlining would grow the plan 2^k."""
+    p = f"s{k-1}"
+    return (
+        f"p{k} AS MATERIALIZED (SELECT a, b, SUM(c) AS cnt FROM ("
+        f"SELECT word, c, sym AS a, "
+        f"LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS b FROM {p}) "
+        f"WHERE b IS NOT NULL GROUP BY 1, 2), "
+        f"b{k} AS MATERIALIZED (SELECT a, b FROM p{k} "
+        f"WHERE cnt >= {min_pair_count} ORDER BY cnt DESC, a, b LIMIT 1), "
+        f"m{k} AS MATERIALIZED (SELECT s.word, s.c, s.i, s.sym, "
+        f"LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.i) AS nxt, "
+        f"bb.a AS ba, bb.b AS bb2 FROM {p} s LEFT JOIN b{k} bb ON TRUE), "
+        f"r{k} AS MATERIALIZED (SELECT *, CASE WHEN sym = ba THEN "
+        f"i - ROW_NUMBER() OVER (PARTITION BY word, sym = ba ORDER BY i) "
+        f"END AS runid FROM m{k}), "
+        f"o{k} AS MATERIALIZED (SELECT *, CASE WHEN runid IS NOT NULL THEN "
+        f"CAST(i - MIN(i) OVER (PARTITION BY word, runid) AS BIGINT) END "
+        f"AS off FROM r{k}), "
+        f"k{k} AS MATERIALIZED (SELECT word, c, i, sym, nxt, "
+        f"CASE WHEN sym = ba AND nxt = bb2 AND (ba <> bb2 OR off % 2 = 0) "
+        f"THEN 1 ELSE 0 END AS mm FROM o{k}), "
+        f"s{k} AS MATERIALIZED (SELECT word, c, CAST(ROW_NUMBER() OVER "
+        f"(PARTITION BY word ORDER BY i) AS BIGINT) AS i, "
+        f"CASE WHEN mm = 1 THEN sym || nxt ELSE sym END AS sym FROM "
+        f"(SELECT *, LAG(mm) OVER (PARTITION BY word ORDER BY i) AS pm "
+        f"FROM k{k}) WHERE COALESCE(pm, 0) = 0)")
+
+
+def _bpe_tokens_sql(num_merges: int = 30, min_pair_count: int = 2) -> str:
+    """q_bpe_tokens oracle: the FULL BPE pipeline in one statement —
+    word histogram, ``num_merges`` generated training rounds
+    (_bpe_stage_sql), then the priority ENCODE as a recursive CTE that
+    per iteration applies each word's (lowest-rank, leftmost) applicable
+    merge — exactly functions/bpe._encode_word — and finally per-doc
+    token sums. Encode is simulated separately from training because the
+    rank-priority semantics can diverge from sequential passes when a
+    later merge recreates an earlier pair's string. Verified bit-exact
+    vs the engine at sf0.001 and sf0.01."""
+    stages = ", ".join(_bpe_stage_sql(k, min_pair_count)
+                       for k in range(1, num_merges + 1))
+    mrg = " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, a, b FROM b{k}"
+        for k in range(1, num_merges + 1))
+    return (
+        "WITH RECURSIVE "
+        "d AS MATERIALIZED (SELECT doc_id, "
+        "regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
+        "FROM documents), "
+        "tk AS MATERIALIZED (SELECT doc_id, w, "
+        "unnest(generate_series(1, len(w))) AS i FROM d), "
+        "hist AS MATERIALIZED (SELECT w[i] AS word, COUNT(*) AS c "
+        "FROM tk GROUP BY 1), "
+        "hchar AS (SELECT word, c, regexp_extract_all(word, '.') AS cs "
+        "FROM hist), "
+        "s0 AS MATERIALIZED (SELECT word, c, "
+        "CAST(generate_subscripts(cs, 1) AS BIGINT) AS i, "
+        "unnest(cs) AS sym FROM hchar), "
+        + stages + ", "
+        f"mrg AS MATERIALIZED ({mrg}), "
+        "dchar AS (SELECT word, regexp_extract_all(word, '.') AS cs "
+        "FROM (SELECT DISTINCT word FROM hist)), "
+        "ebase AS (SELECT word, CAST(generate_subscripts(cs, 1) AS BIGINT) "
+        "AS i, unnest(cs) AS sym FROM dchar), "
+        "enc(word, it, i, sym) AS ("
+        "SELECT word, 0, i, sym FROM ebase "
+        "UNION ALL "
+        "SELECT z.word, z.it + 1, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY z.word ORDER BY z.i) AS BIGINT) AS i, "
+        "CASE WHEN z.i = z.bkey % 1000000 THEN z.sym || z.nxt ELSE z.sym "
+        "END AS sym FROM ("
+        "SELECT q.*, MIN(CASE WHEN q.rank IS NOT NULL THEN "
+        "q.rank * 1000000 + q.i END) OVER (PARTITION BY q.word) AS bkey "
+        "FROM (SELECT p.word, p.it, p.i, p.sym, p.nxt, m.rank FROM ("
+        "SELECT e.word, e.it, e.i, e.sym, LEAD(e.sym) OVER "
+        "(PARTITION BY e.word ORDER BY e.i) AS nxt FROM enc e) p "
+        "LEFT JOIN mrg m ON m.a = p.sym AND m.b = p.nxt) q) z "
+        "WHERE z.bkey IS NOT NULL AND z.i <> (z.bkey % 1000000) + 1), "
+        "fin AS (SELECT word, COUNT(*) AS ntok FROM ("
+        "SELECT word, it FROM enc QUALIFY it = MAX(it) OVER "
+        "(PARTITION BY word)) GROUP BY word), "
+        "docw AS (SELECT t.doc_id, f.ntok FROM tk t "
+        "JOIN fin f ON f.word = t.w[t.i]), "
+        "agg AS (SELECT doc_id, SUM(ntok) AS n FROM docw GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens "
+        "FROM d LEFT JOIN agg USING (doc_id)")
+
+
 def _dup_span_removal_sql(min_df: int = 2) -> str:
     """Duplicate-span removal oracle: positional windows (start i, span
     length L) over the SAME shingle chain as the MinHash oracles, hot =
@@ -4276,6 +4375,8 @@ ORACLE_SQL: dict[str, str] = {
     # DSIR: both LM trainings + backoff scoring + the counter-based
     # Gumbel top-k draw (splitmix64 in SQL) reproduced end to end
     "doc_dsir": _doc_dsir_sql(),
+    # full BPE: histogram + 30 unrolled merge rounds + recursive encode
+    "bpe_tokens": _bpe_tokens_sql(num_merges=30),
     "vocab_top100": (
         "WITH tok AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term "
         "             FROM documents), "
