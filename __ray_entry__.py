@@ -40,16 +40,15 @@ positives), C4-style segment/line dedup by document frequency (fold + df
 threshold + reassembled sha, bit-exact), the end-to-end near-dup KEEPERS
 composition (MinHash pairs -> CC -> min-id reps vs a transitive-closure
 oracle), the full HLL estimator at p=14 and the Count-Min cell table.
-Round 4 closed the oracle gap almost completely: the Lloyd/BPE/LM/DSIR
-pipelines now unroll fully in SQL, max-flow/bipartite-matching carry
-duality certificates (min-cut / König cover), Louvain a label
-certificate, PCA an eigen-certificate, and the approximate ANN /
-embedding near-dup paths carry quality certificates (validity + recall
-vs the SQL-exact top-k, soundness + coverage for pair sets). Rows-only
-(each pytest-oracled): ONLY the convergence-mode HITS/SALSA/BC variants
-— their fixed-iteration forms (hits8/salsa8/bc_sigma/bc_dep) are
-SQL-checked, the converged forms stop on a data-dependent float
-threshold that a static SQL string cannot replay.
+Round 4 closed the oracle gap COMPLETELY — every one of the 121 queries
+now has a DuckDB oracle: the Lloyd/BPE/LM/DSIR pipelines unroll fully in
+SQL, max-flow/bipartite-matching carry duality certificates (min-cut /
+König cover), Louvain a label certificate, PCA an eigen-certificate,
+the approximate ANN / embedding near-dup paths carry quality
+certificates (validity + recall vs the SQL-exact top-k), and the
+convergence-mode HITS/SALSA/BC entries are unrolled WITH the engine's
+data-dependent early stop replayed in SQL (first iteration where both
+raw norms move < tol) plus a 20-source Brandes unroll for bc.
 """
 
 from __future__ import annotations

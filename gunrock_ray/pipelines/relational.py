@@ -232,37 +232,60 @@ def _graph_in(sf_dir: str, undirected: bool, P: int = 8):
 
 
 def q_hits(sf_dir: str):
-    """HITS hub/auth over the derived graph (rows-only; pytest-validated
-    to 1e-9 against the NumPy oracle)."""
+    """CONVERGENCE-MODE HITS hub/auth over the derived graph (max_iter=15,
+    tol=1e-7 — the data-dependent early stop is the point of this entry
+    vs the fixed-iteration q_hits8). SQL-checked since round 4: the
+    oracle unrolls all 15 iterations AND replays the stop rule (first
+    iteration where both raw L2 norms moved < tol), emitting exactly the
+    stop-iteration state at the 1e-6 integer scale (_hits_sql(15,
+    tol=1e-7)). Also pytest-validated to 1e-9 against the NumPy oracle."""
     from gunrock_ray.pipelines.graph_algos import hits
     g = _graph_in(sf_dir, undirected=False)
     try:
-        return hits(g, max_iter=15).to_pandas()
+        df = hits(g, max_iter=15).to_pandas()
     finally:
         g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v") \
+        .reset_index(drop=True)
 
 
 def q_salsa(sf_dir: str):
-    """SALSA hub/auth (rows-only; pytest-validated)."""
+    """CONVERGENCE-MODE SALSA hub/auth (max_iter=15, tol=1e-9).
+    SQL-checked since round 4 via the same stop-replay unroll as q_hits
+    (_salsa_sql(15, tol=1e-9) — first iteration where both raw L1 sums
+    moved < tol). Also pytest-validated against the NumPy oracle."""
     from gunrock_ray.pipelines.graph_algos import salsa
     g = _graph_in(sf_dir, undirected=False)
     try:
-        return salsa(g, max_iter=15).to_pandas()
+        df = salsa(g, max_iter=15).to_pandas()
     finally:
         g.shutdown(remove_spill=True)
+    df["hub_u6"] = np.floor(df["hub"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df["auth_u6"] = np.floor(df["auth"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "hub_u6", "auth_u6"]].sort_values("v") \
+        .reset_index(drop=True)
 
 
 def q_bc(sf_dir: str):
-    """Approximate betweenness centrality from 20 evenly-spaced sources
-    (rows-only; exact-BC parity is pytest-validated against Brandes)."""
+    """Approximate betweenness centrality from 20 evenly-spaced sources,
+    undirected + halved. SQL-checked since round 4: the oracle runs the
+    full multi-source Brandes unroll — (source, vertex)-keyed BFS depths,
+    integer sigma recurrence, level-by-level float dependency
+    accumulation, per-source self-delta zeroed, 0.5 · Σ_s at 1e-6 integer
+    scale (_bc_multi_sql). Exact-BC parity additionally pytest-validated
+    against Brandes."""
     from gunrock_ray.pipelines.graph_algos import betweenness_centrality
     g = _graph_in(sf_dir, undirected=True)
     try:
         out = betweenness_centrality(g, sources=range(0, EDGE_MOD, 25),
                                      halve=True).to_pandas()
-        return out.sort_values("v").reset_index(drop=True)
     finally:
         g.shutdown(remove_spill=True)
+    out["bc_u6"] = np.floor(out["bc"].to_numpy() * 1e6 + 0.5) \
+        .astype(np.int64)
+    return out[["v", "bc_u6"]].sort_values("v").reset_index(drop=True)
 
 
 def q_wtf(sf_dir: str):
@@ -2580,9 +2603,17 @@ def _rwalks_sql(walks: int = _RW_WALKS, length: int = _RW_LEN,
     return "".join(parts)
 
 
-def _hits_sql(iters: int = 8) -> str:
+def _hits_sql(iters: int = 8, tol: float | None = None) -> str:
     """Unrolled Kleinberg HITS with per-iteration L2 normalization, matching
-    the engine's operation order (auth pass normalized before the hub pass)."""
+    the engine's operation order (auth pass normalized before the hub pass).
+
+    ``tol`` replays the engine's CONVERGENCE-MODE early stop: the engine
+    breaks after iteration i when BOTH raw norms moved less than tol vs
+    the previous iteration, so the oracle materializes every iteration's
+    state, finds the first stop iteration J with the identical norm
+    compare, and emits iteration J (else the last). The norms are sums of
+    squares of exact engine-matching values — the compare diverges only
+    if a true norm gap sits within float noise (~1e-16) of tol."""
     parts = [f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), "
              f"e AS MATERIALIZED ({_NORM_SQL}), "
              "h0 AS (SELECT v, 1.0 AS hub FROM verts)"]
@@ -2601,17 +2632,35 @@ def _hits_sql(iters: int = 8) -> str:
             f"GROUP BY e.src) m ON m.v = verts.v)"
             f", hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s*s) > 0 THEN SQRT(SUM(s*s)) ELSE 1 END AS n FROM hr{i})"
             f", h{i} AS MATERIALIZED (SELECT hr{i}.v, hr{i}.s/hn{i}.n AS hub FROM hr{i} CROSS JOIN hn{i})")
+    if tol is None:
+        parts.append(
+            f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+            f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+            f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+        return "".join(parts)
+    stops = " UNION ALL ".join(
+        f"SELECT {i} AS i WHERE ABS((SELECT n FROM an{i}) - "
+        f"(SELECT n FROM an{i-1})) < {tol!r} AND ABS((SELECT n FROM hn{i}) "
+        f"- (SELECT n FROM hn{i-1})) < {tol!r}"
+        for i in range(2, iters + 1))
+    res = " UNION ALL ".join(
+        f"SELECT {i} AS i, a{i}.v, a{i}.auth, h{i}.hub "
+        f"FROM a{i} JOIN h{i} ON h{i}.v = a{i}.v"
+        for i in range(1, iters + 1))
     parts.append(
-        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
-        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
-        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+        f", jsel AS (SELECT COALESCE(MIN(i), {iters}) AS j FROM ({stops}))"
+        f" SELECT v, CAST(FLOOR(hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM ({res}) WHERE i = (SELECT j FROM jsel)")
     return "".join(parts)
 
 
-def _salsa_sql(iters: int = 8) -> str:
+def _salsa_sql(iters: int = 8, tol: float | None = None) -> str:
     """Unrolled SALSA (`salsa_functor.cuh:168,319` semantics): pushes divided
     by the sender's out-degree / the authority's in-degree, L1-normalized per
-    pass (matching the engine's order: auth pass normalized before hub)."""
+    pass (matching the engine's order: auth pass normalized before hub).
+    ``tol`` replays the convergence-mode early stop exactly as _hits_sql
+    (first iteration where BOTH raw L1 sums moved < tol)."""
     parts = [
         f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
         f"e AS MATERIALIZED ({_NORM_SQL}), ",
@@ -2635,10 +2684,26 @@ def _salsa_sql(iters: int = 8) -> str:
             f"GROUP BY e.src) m ON m.v = verts.v)"
             f", hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(s) <> 0 THEN SUM(s) ELSE 1 END AS n FROM hr{i})"
             f", h{i} AS MATERIALIZED (SELECT hr{i}.v, hr{i}.s/hn{i}.n AS hub FROM hr{i} CROSS JOIN hn{i})")
+    if tol is None:
+        parts.append(
+            f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+            f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+            f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+        return "".join(parts)
+    stops = " UNION ALL ".join(
+        f"SELECT {i} AS i WHERE ABS((SELECT n FROM an{i}) - "
+        f"(SELECT n FROM an{i-1})) < {tol!r} AND ABS((SELECT n FROM hn{i}) "
+        f"- (SELECT n FROM hn{i-1})) < {tol!r}"
+        for i in range(2, iters + 1))
+    res = " UNION ALL ".join(
+        f"SELECT {i} AS i, a{i}.v, a{i}.auth, h{i}.hub "
+        f"FROM a{i} JOIN h{i} ON h{i}.v = a{i}.v"
+        for i in range(1, iters + 1))
     parts.append(
-        f" SELECT a{iters}.v, CAST(FLOOR(h{iters}.hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
-        f"CAST(FLOOR(a{iters}.auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
-        f"FROM a{iters} JOIN h{iters} ON h{iters}.v = a{iters}.v")
+        f", jsel AS (SELECT COALESCE(MIN(i), {iters}) AS j FROM ({stops}))"
+        f" SELECT v, CAST(FLOOR(hub*1000000 + 0.5) AS BIGINT) AS hub_u6, "
+        f"CAST(FLOOR(auth*1000000 + 0.5) AS BIGINT) AS auth_u6 "
+        f"FROM ({res}) WHERE i = (SELECT j FROM jsel)")
     return "".join(parts)
 
 
@@ -2788,6 +2853,69 @@ def _bc_dep_sql(levels: int = 30) -> str:
         f"CAST(FLOOR(dd.delta*1000000 + 0.5) AS BIGINT) AS dep_u6 "
         f"FROM dep JOIN ({dep_union}) dd ON dd.v = dep.v "
         f"CROSS JOIN chk WHERE chk.ok = 1 AND dep.v <> 0")
+    return "".join(parts)
+
+
+def _bc_multi_sql(sources, levels: int = 30) -> str:
+    """Unrolled multi-source Brandes BC over the SYMMETRIC derived graph —
+    the q_bc oracle: one (source, vertex)-keyed BFS/sigma/delta unroll
+    (the same level-by-level recurrences the judge-verified single-source
+    _bc_sigma_sql/_bc_dep_sql use), then bc(v) = 0.5 · Σ_s delta_s(v)
+    with each source's own delta zeroed (partition.py bc_accumulate) at
+    the 1e-6 integer scale. Loud-fail guard if any BFS exceeds the
+    unroll depth."""
+    src_list = ", ".join(str(int(s)) for s in sources)
+    parts = [
+        f"WITH RECURSIVE srcs AS (SELECT unnest([{src_list}]) AS s), "
+        f"u AS MATERIALIZED ({_SYM_SQL}), "
+        "b(s, v, d) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
+        f"  UNION SELECT b.s, u.dst, b.d + 1 FROM b JOIN u ON u.src = b.v "
+        f"  WHERE b.d < {levels}), "
+        "dep AS MATERIALIZED (SELECT s, v, MIN(d) AS depth FROM b "
+        "GROUP BY 1, 2), "
+        f"chk AS (SELECT CASE WHEN MAX(depth) >= {levels} THEN "
+        f"error('bc oracle: unroll of {levels} levels too shallow') "
+        "ELSE 1 END AS ok FROM dep), "
+        "sg0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM srcs)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f", sg{k} AS MATERIALIZED (SELECT d.s, d.v, "
+            f"CAST(SUM(p.sigma) AS BIGINT) AS sigma FROM dep d "
+            f"JOIN u e ON e.dst = d.v "
+            f"JOIN sg{k-1} p ON p.s = d.s AND p.v = e.src "
+            f"JOIN dep dp ON dp.s = d.s AND dp.v = e.src "
+            f"AND dp.depth = {k-1} "
+            f"WHERE d.depth = {k} GROUP BY 1, 2)")
+    sig_union = " UNION ALL ".join(f"SELECT * FROM sg{k}"
+                                   for k in range(levels + 1))
+    parts.append(f", sig AS MATERIALIZED ({sig_union})")
+    parts.append(
+        f", dl{levels} AS (SELECT s, v, 0.0 AS delta FROM dep "
+        f"WHERE depth = {levels})")
+    for k in range(levels - 1, -1, -1):
+        parts.append(
+            f", dl{k} AS MATERIALIZED (SELECT du.s, du.v, "
+            f"sg.sigma * COALESCE(SUM((1.0 + x.delta) / x.sigma), 0.0) "
+            f"AS delta FROM dep du "
+            f"JOIN sig sg ON sg.s = du.s AND sg.v = du.v "
+            f"LEFT JOIN (SELECT dw.s, e.src AS uu, dn.delta, sw.sigma "
+            f"  FROM u e "
+            f"  JOIN dep dw ON dw.v = e.dst AND dw.depth = {k + 1} "
+            f"  JOIN sig sw ON sw.s = dw.s AND sw.v = e.dst "
+            f"  JOIN dl{k + 1} dn ON dn.s = dw.s AND dn.v = e.dst) x "
+            f"ON x.uu = du.v AND x.s = du.s "
+            f"WHERE du.depth = {k} GROUP BY du.s, du.v, sg.sigma)")
+    dep_union = " UNION ALL ".join(f"SELECT * FROM dl{k}"
+                                   for k in range(levels + 1))
+    parts.append(
+        f", perv AS (SELECT v, SUM(CASE WHEN v = s THEN 0.0 ELSE delta "
+        f"END) AS bc FROM ({dep_union}) GROUP BY v), "
+        "verts AS (SELECT DISTINCT src AS v FROM u) "
+        "SELECT verts.v, CAST(FLOOR(COALESCE(perv.bc, 0.0) * 0.5 "
+        "* 1000000 + 0.5) AS BIGINT) AS bc_u6 "
+        "FROM verts LEFT JOIN perv ON perv.v = verts.v "
+        "CROSS JOIN chk WHERE chk.ok = 1")
     return "".join(parts)
 
 
@@ -4054,6 +4182,12 @@ ORACLE_SQL: dict[str, str] = {
     "wtf_cot": _pr_sql(50, src=0, top=100),
     "wtf": _wtf_sql(50, src=0, cot_size=100, k=10),
     "hits8": _hits_sql(8),
+    # convergence-mode entries: unroll to max_iter AND replay the engine's
+    # norm-delta early stop, emitting exactly the stop-iteration state
+    "hits": _hits_sql(15, tol=1e-7),
+    "salsa": _salsa_sql(15, tol=1e-9),
+    # multi-source Brandes: per-source BFS/sigma/delta unroll, halved sum
+    "bc": _bc_multi_sql(range(0, EDGE_MOD, 25)),
     "hits_gr5": _hits_gr_sql(5),
     "salsa_gr3": _salsa_gr_sql(3),
     "salsa8": _salsa_sql(8),
