@@ -86,6 +86,8 @@ def cmd_convert(args) -> dict:
         edges = mkt.read_snap(args.input)
     elif args.from_format == "gr":
         edges = mkt.read_dimacs(args.input)
+    elif args.from_format == "gredge":
+        edges = mkt.read_gr_edgelist(args.input)
     else:
         # probe the schema through the same reader that does the read
         # (listdir would trip over markers/subdirs the reader ignores);
@@ -117,6 +119,8 @@ def cmd_convert(args) -> dict:
                              weighted="w" in tbl.column_names)
         elif args.to_format == "gr":
             mkt.write_dimacs(tbl, args.out)
+        elif args.to_format == "gredge":
+            mkt.write_gr_edgelist(tbl, args.out)
         else:
             mkt.write_snap(tbl, args.out)
         rows = len(tbl)
@@ -958,9 +962,9 @@ def main(argv=None) -> None:
                         "(mtx | snap | parquet edge tables)")
     cv.add_argument("--input", required=True)
     cv.add_argument("--from-format", required=True,
-                    choices=["mtx", "snap", "gr", "parquet"])
+                    choices=["mtx", "snap", "gr", "gredge", "parquet"])
     cv.add_argument("--to-format", required=True,
-                    choices=["mtx", "snap", "gr", "parquet"])
+                    choices=["mtx", "snap", "gr", "gredge", "parquet"])
     cv.add_argument("--out", required=True)
     cv.add_argument("--weights", default="keep",
                     choices=["keep", "add", "remove"],

@@ -305,6 +305,73 @@ def write_dimacs(edges: pa.Table, path: str, *,
             f.write(f"a {dst[i] + 1} {src[i] + 1} {wtxt}\n")
 
 
+def parse_gr_edgelist_bytes(data: bytes, *, has_header: bool = False,
+                            keep_num: bool = False) -> pa.Table:
+    """The reference ``tools/convert_to_gr`` OUTPUT format (Write_gr,
+    `convert_to_gr.cu:714-745`): one ``u v [w]`` line per CSR arc,
+    optionally preceded by a ``nodes nodes edges`` header
+    (--include-header) and optionally 1-based (--keep-num). Weight column
+    emitted only when any line carries one."""
+    text = data.decode("utf-8", "ignore")
+    lines = [ln.split() for ln in text.splitlines() if ln.strip()]
+    if has_header and lines:
+        lines = lines[1:]
+    off = 1 if keep_num else 0
+    src = np.array([int(c[0]) - off for c in lines], dtype=np.int64)
+    dst = np.array([int(c[1]) - off for c in lines], dtype=np.int64)
+    cols = {"src": pa.array(src), "dst": pa.array(dst)}
+    if any(len(c) > 2 for c in lines):
+        cols["w"] = pa.array(
+            np.array([float(c[2]) if len(c) > 2 else 1.0 for c in lines],
+                     dtype=np.float64))
+    return pa.table(cols)
+
+
+def read_gr_edgelist(path: str, *, has_header: bool = False,
+                     keep_num: bool = False):
+    """convert_to_gr edge-list file(s) → edges Dataset; ``path`` may be a
+    file or directory (one parse task per file, like read_market)."""
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_gr_edgelist_bytes(b.as_py(), has_header=has_header,
+                                          keep_num=keep_num)
+                  for b in batch["bytes"]]
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def write_gr_edgelist(edges: pa.Table, path: str, *,
+                      include_header: bool = False,
+                      keep_num: bool = False,
+                      num_vertices: int | None = None) -> None:
+    """Edge table → the reference ``convert_to_gr`` output exactly
+    (`convert_to_gr.cu:714-745`): CSR arc order is (src, then input
+    order), ``u v [w]`` lines, optional ``nodes nodes edges`` header,
+    optional 1-based ids — round-trip partner of
+    :func:`read_gr_edgelist`. Integer-valued weights written bare like
+    the reference's operator<<."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["w"].to_numpy() if "w" in edges.column_names else None
+    order = np.argsort(src, kind="stable")
+    n = num_vertices or (int(max(src.max(), dst.max())) + 1
+                         if len(src) else 0)
+    off = 1 if keep_num else 0
+    with open(path, "w") as f:
+        if include_header:
+            f.write(f"{n} {n} {len(src)}\n")
+        for i in order:
+            line = f"{src[i] + off} {dst[i] + off}"
+            if w is not None:
+                wi = w[i]
+                line += " " + (str(int(wi)) if float(wi).is_integer()
+                               else f"{wi:g}")
+            f.write(line + "\n")
+
+
 def parse_snap_bytes(data: bytes) -> pa.Table:
     """SNAP/PowerGraph edge-list text → {src, dst}: '#'-comment lines,
     whitespace-separated 0-indexed ``src dst`` pairs, one per line (any

@@ -376,6 +376,45 @@ def test_dimacs_gr_roundtrip_and_reference_swap(tmp_path):
         parse_dimacs_bytes(b"a 1 2 1\n")
 
 
+def test_gr_edgelist_roundtrip_matches_convert_to_gr(tmp_path):
+    """write_gr_edgelist -> read_gr_edgelist round-trips with every flag
+    combination, matching the reference convert_to_gr Write_gr layout
+    (`convert_to_gr.cu:714-745`): 'u v [w]' per CSR arc, optional
+    'nodes nodes edges' header, optional 1-based ids (--keep-num)."""
+    import pyarrow as pa
+    from gunrock_ray.sources.market import (read_gr_edgelist,
+                                            write_gr_edgelist)
+    edges = pa.table({"src": pa.array([2, 0, 1, 2], pa.int64()),
+                      "dst": pa.array([0, 1, 2, 3], pa.int64()),
+                      "w": pa.array([3.0, 1.0, 2.5, 1.0], pa.float64())})
+    want = edges.to_pandas().sort_values(["src", "dst"]) \
+        .reset_index(drop=True)
+    for header in (False, True):
+        for keep in (False, True):
+            p = str(tmp_path / f"g_{header}_{keep}.gredge")
+            write_gr_edgelist(edges, p, include_header=header,
+                              keep_num=keep)
+            lines = open(p).read().splitlines()
+            if header:
+                assert lines[0] == "4 4 4"
+            # CSR order (by src), ints bare, floats as written
+            first = lines[1 if header else 0]
+            assert first == ("1 2 1" if keep else "0 1 1")
+            got = (read_gr_edgelist(p, has_header=header, keep_num=keep)
+                   .to_pandas().sort_values(["src", "dst"])
+                   .reset_index(drop=True))
+            assert got.equals(want)
+    # unweighted tables emit two-column lines and read back without w
+    unw = edges.select(["src", "dst"])
+    p = str(tmp_path / "unw.gredge")
+    write_gr_edgelist(unw, p)
+    assert open(p).read().splitlines()[0] == "0 1"
+    got = (read_gr_edgelist(p).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert got.equals(unw.to_pandas().sort_values(["src", "dst"])
+                      .reset_index(drop=True))
+
+
 def test_png_roundtrip_all_channel_counts():
     from gunrock_ray.functions.multimodal import decode_png, encode_png
 
