@@ -1,0 +1,616 @@
+"""Spec-fixture tests for the pure-stdlib/NumPy codecs in
+``functions/multimodal.py``.
+
+Strategy: each test builds its payload FORWARD from the published format
+spec (PNG RFC 2083 / ISO 15948, JPEG ITU T.81, FLAC RFC 9639, ISO-BMFF
+14496-12) with its own independent arithmetic — filter equations, FDCT,
+Rice coding, box serialization — and asserts the module decoder inverts
+it. No Pillow/soundfile/pyav anywhere (the environment has none); the
+encoders here live in the test file only.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from gunrock_ray.functions.multimodal import (
+    _PNG_SIG, decode_flac, decode_jpeg, decode_png, parse_mp4_samples)
+
+
+# ------------------------------------------------------------------ PNG
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _png(w, h, depth, ctype, scan, extra=b"", interlace=0):
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace]))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + extra
+            + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _chunk(b"IEND", b""))
+
+
+def _pack_bits(samples: np.ndarray, depth: int) -> bytes:
+    """One scanline of sub-byte samples -> packed bytes, MSB-first."""
+    bits = []
+    for s in samples:
+        for k in range(depth - 1, -1, -1):
+            bits.append((int(s) >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+
+def _forward_filter(flat: np.ndarray, bpp: int, ftype_of_row) -> bytearray:
+    """Spec forward filters (the encoder side of T.81 §9 / PNG §6),
+    independent of the decoder's unfilter loop."""
+    h, stride = flat.shape
+    scan = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = ftype_of_row(y)
+        cur = flat[y].astype(np.int64)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else cc)
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        scan.append(f)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return scan
+
+
+def test_png_palette_with_trns():
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, size=(7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, size=(9, 11)).astype(np.uint8)
+    scan = _forward_filter(idx, 1, lambda y: y % 5)
+    extra = _chunk(b"PLTE", plte.tobytes())
+    # no tRNS: expands to RGB
+    got = decode_png(_png(11, 9, 8, 3, scan, extra))
+    np.testing.assert_array_equal(got, plte[idx])
+    # with tRNS covering the first 3 entries: expands to RGBA
+    trns = bytes([0, 128, 255])
+    got = decode_png(_png(11, 9, 8, 3, scan, extra + _chunk(b"tRNS", trns)))
+    alpha = np.array([0, 128, 255, 255, 255, 255, 255], np.uint8)[idx]
+    np.testing.assert_array_equal(got[..., :3], plte[idx])
+    np.testing.assert_array_equal(got[..., 3], alpha)
+
+
+def test_png_palette_4bit_packed():
+    plte = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.array([[0, 15, 3, 7, 9], [2, 2, 14, 1, 8],
+                    [11, 5, 6, 13, 4]], np.uint8)          # w=5: odd, pads
+    scan = bytearray()
+    for row in idx:
+        scan.append(0)
+        scan.extend(_pack_bits(row, 4))
+    got = decode_png(_png(5, 3, 4, 3, scan, _chunk(b"PLTE", plte.tobytes())))
+    np.testing.assert_array_equal(got, plte[idx])
+
+
+def test_png_16bit_all_filters():
+    rng = np.random.default_rng(7)
+    h, w, c = 6, 5, 3
+    img = rng.integers(0, 65536, size=(h, w, c)).astype(np.uint16)
+    flat = img.reshape(h, w * c)
+    raw = np.zeros((h, w * c * 2), np.uint8)                # big-endian bytes
+    raw[:, 0::2] = (flat >> 8).astype(np.uint8)
+    raw[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+    scan = _forward_filter(raw, 6, lambda y: y % 5)         # bpp = 3ch * 2B
+    got = decode_png(_png(w, h, 16, 2, scan))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_low_depth_gray_scaling():
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        w = 11                                              # not byte-aligned
+        vals = (np.arange(w * 3) % (maxv + 1)).astype(np.uint8).reshape(3, w)
+        scan = bytearray()
+        for row in vals:
+            scan.append(0)
+            scan.extend(_pack_bits(row, depth))
+        got = decode_png(_png(w, 3, depth, 0, scan))
+        want = (vals.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        np.testing.assert_array_equal(got, want[..., None])
+
+
+def test_png_gray_trns_key():
+    img = np.array([[10, 20], [30, 10]], np.uint8)
+    scan = _forward_filter(img, 1, lambda y: 0)
+    trns = (10).to_bytes(2, "big")                          # key = gray 10
+    got = decode_png(_png(2, 2, 8, 0, scan, _chunk(b"tRNS", trns)))
+    np.testing.assert_array_equal(got[..., 0], img)
+    np.testing.assert_array_equal(got[..., 1],
+                                  np.where(img == 10, 0, 255))
+
+
+def test_png_adam7_interlaced():
+    """Build the 7 Adam7 passes per spec (independent pass extraction)
+    and check the decoder reassembles the original image — 13x7 hits
+    partial and empty pass geometries."""
+    rng = np.random.default_rng(9)
+    h, w, c = 7, 13, 4
+    img = rng.integers(0, 256, size=(h, w, c)).astype(np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    scan = bytearray()
+    for (x0, y0, xs, ys) in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        scan.extend(_forward_filter(sub.reshape(ph, pw * c), c,
+                                    lambda y: (y + 1) % 5))
+    got = decode_png(_png(w, h, 8, 6, scan, interlace=1))
+    np.testing.assert_array_equal(got, img)
+
+
+# ------------------------------------------------------------------ JPEG
+
+_DCT_M = np.array(
+    [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+      * np.cos((2 * x + 1) * u * np.pi / 16.0)
+      for x in range(8)] for u in range(8)])
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:            # byte stuffing
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)                    # pad with 1s per T.81
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_coef_bits(bw, v, size):
+    if size:
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def _quantize_blocks(planes, samps, q):
+    """Per component: FDCT+quantize every 8x8 block; returns zigzag coef
+    arrays indexed [comp][mcu][block]."""
+    # MCU grid from the luma plane, which is already MCU-aligned
+    mcux = planes[0].shape[1] // (8 * samps[0][0])
+    mcuy = planes[0].shape[0] // (8 * samps[0][1])
+    coefs = []
+    for ci, p in enumerate(planes):
+        ch, cv = samps[ci]
+        per_mcu = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for by in range(cv):
+                for bx in range(ch):
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = p[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+                    dct = _DCT_M @ blk @ _DCT_M.T
+                    zz = np.round(dct.reshape(64)[_ZZ] / q).astype(np.int64)
+                    blocks.append(zz)
+            per_mcu.append(blocks)
+        coefs.append(per_mcu)
+    return coefs, mcux, mcuy
+
+
+def _encode_jpeg(planes, samps, q_dc=1, restart=0):
+    """Test-side baseline JPEG encoder (T.81 forward path): FDCT, quantize,
+    canonical Huffman (DC sizes at length 4, AC run/size at length 9),
+    interleaved MCU scan, optional restart markers."""
+    q = np.ones(64, np.int64)
+    q[0] = q_dc
+    coefs, mcux, mcuy = _quantize_blocks(planes, samps, q)
+    nc = len(planes)
+    # gather AC symbols to build the one shared AC table
+    ac_syms = set()
+    for ci in range(nc):
+        for blocks in coefs[ci]:
+            for zz in blocks:
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        ac_syms.add(0x00)
+                        break
+                    while run > 15:
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    ac_syms.add((run << 4) | _category(int(zz[k])))
+                    k += 1
+    ac_vals = sorted(ac_syms)
+    ac_code = {v: (i, 9) for i, v in enumerate(ac_vals)}
+    dc_vals = list(range(12))
+    dc_code = {v: (i, 4) for i, v in enumerate(dc_vals)}
+
+    def dht(cls, tid, vals, length):
+        bits = bytearray(16)
+        bits[length - 1] = len(vals)
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    h, w = planes[0].shape
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0])
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) \
+        + bytes([0, 63, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + q.astype(np.uint8).tobytes())
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht(0, 0, dc_vals, 4) + dht(1, 0, ac_vals, 9))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    out += seg(0xDA, sos)
+
+    bw = _JBitWriter()
+    pred = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JBitWriter()
+            pred = [0] * nc
+        for ci in range(nc):
+            for zz in coefs[ci][m]:
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _category(diff)
+                c, ln = dc_code[size]
+                bw.write(c, ln)
+                _encode_coef_bits(bw, diff, size)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        c, ln = ac_code[0x00]
+                        bw.write(c, ln)
+                        break
+                    while run > 15:
+                        c, ln = ac_code[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    v = int(zz[k])
+                    size = _category(v)
+                    c, ln = ac_code[(run << 4) | size]
+                    bw.write(c, ln)
+                    _encode_coef_bits(bw, v, size)
+                    k += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_grayscale_roundtrip():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    payload = _encode_jpeg([img], [(1, 1)])
+    got = decode_jpeg(payload)
+    assert got.shape == (24, 16, 1)
+    # q=1 quantization round-off only: |err| <= sum|basis| * 0.5 < 4.5
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_color_420_block_constant_exact():
+    """Constant 8x8 blocks make the DCT exact (DC-only, integer), so the
+    full 4:2:0 path — interleave, upsample, BT.601 — must be bit-exact
+    against an independently computed expectation."""
+    rng = np.random.default_rng(17)
+    h, w = 32, 48                                     # 2x3 MCUs of 16x16
+    yb = rng.integers(16, 240, size=(h // 8, w // 8)).astype(np.uint8)
+    cbb = rng.integers(16, 240, size=(h // 16, w // 16)).astype(np.uint8)
+    crb = rng.integers(16, 240, size=(h // 16, w // 16)).astype(np.uint8)
+    yp = np.repeat(np.repeat(yb, 8, 0), 8, 1)
+    cbp = np.repeat(np.repeat(cbb, 8, 0), 8, 1)       # subsampled plane
+    crp = np.repeat(np.repeat(crb, 8, 0), 8, 1)
+    payload = _encode_jpeg([yp, cbp, crp], [(2, 2), (1, 1), (1, 1)])
+    got = decode_jpeg(payload)
+    assert got.shape == (h, w, 3)
+    yf = yp.astype(np.float64)
+    cbf = np.repeat(np.repeat(cbp, 2, 0), 2, 1).astype(np.float64) - 128.0
+    crf = np.repeat(np.repeat(crp, 2, 0), 2, 1).astype(np.float64) - 128.0
+    want = np.clip(np.round(np.stack(
+        [yf + 1.402 * crf,
+         yf - 0.344136 * cbf - 0.714136 * crf,
+         yf + 1.772 * cbf], axis=2)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(16, 40)).astype(np.uint8)  # 10 MCUs
+    payload = _encode_jpeg([img], [(1, 1)], restart=3)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+    got = decode_jpeg(payload)
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(_encode_jpeg([img], [(1, 1)]))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2                          # flip SOF0 -> progressive
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(payload))
+
+
+# ------------------------------------------------------------------ FLAC
+
+class _FBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((int(val) >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def write_signed(self, val, nbits):
+        self.write(val & ((1 << nbits) - 1), nbits)
+
+    def align(self):
+        while self.n:
+            self.write(0, 1)
+
+
+def _flac_streaminfo(sample_rate, nch, bps, total):
+    bw = _FBitWriter()
+    bw.write(4096, 16)
+    bw.write(4096, 16)
+    bw.write(0, 24)
+    bw.write(0, 24)
+    bw.write(sample_rate, 20)
+    bw.write(nch - 1, 3)
+    bw.write(bps - 1, 5)
+    bw.write(total, 36)
+    bw.align()
+    return bytes(bw.out) + b"\x00" * 16
+
+
+def _flac_frame(bw, subframe_writers, blocksize):
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)                                  # reserved
+    bw.write(0, 1)                                  # fixed blocking
+    bw.write(6, 4)                                  # blocksize: 8-bit follows
+    bw.write(0, 4)                                  # rate from STREAMINFO
+    bw.write(subframe_writers["chan_code"], 4)
+    bw.write(0, 3)                                  # bps from STREAMINFO
+    bw.write(0, 1)                                  # reserved
+    bw.write(0, 8)                                  # UTF-8 frame number 0..127
+    bw.write(blocksize - 1, 8)
+    bw.write(0, 8)                                  # CRC-8 (decoder skips)
+    for fn in subframe_writers["subs"]:
+        fn(bw)
+    bw.align()
+    bw.write(0, 16)                                 # CRC-16 (decoder skips)
+
+
+def _sub_constant(val, bps):
+    def go(bw):
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write_signed(val, bps)
+    return go
+
+
+def _sub_verbatim(samples, bps):
+    def go(bw):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write_signed(int(s), bps)
+    return go
+
+
+def _sub_fixed(samples, order, bps, param):
+    coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    res = [int(samples[i]) - sum(coef[j] * int(samples[i - 1 - j])
+                                 for j in range(order))
+           for i in range(order, len(samples))]
+
+    def go(bw):
+        bw.write(0, 1)
+        bw.write(8 + order, 6)
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write_signed(int(s), bps)
+        bw.write(0, 2)                              # rice method 0
+        bw.write(0, 4)                              # partition order 0
+        bw.write(param, 4)
+        for r in res:
+            u = (-2 * r - 1) if r < 0 else 2 * r
+            q, rem = u >> param, u & ((1 << param) - 1)
+            for _ in range(q):
+                bw.write(0, 1)
+            bw.write(1, 1)
+            if param:
+                bw.write(rem, param)
+    return go
+
+
+def test_flac_mono_fixed_subframes():
+    sr, bps = 8000, 16
+    rng = np.random.default_rng(23)
+    # a smooth ramp so fixed order-2 prediction leaves small residuals
+    n = 64
+    t = np.arange(n)
+    sig = (100 * np.sin(t / 5) + rng.integers(-3, 4, n)).astype(np.int64)
+    bw = _FBitWriter()
+    _flac_frame(bw, {"chan_code": 0,
+                     "subs": [_sub_fixed(sig, 2, bps, 4)]}, n)
+    payload = (b"fLaC" + bytes([0x80, 0, 0, 34])
+               + _flac_streaminfo(sr, 1, bps, n) + bytes(bw.out))
+    wave, got_sr = decode_flac(payload)
+    assert got_sr == sr
+    np.testing.assert_allclose(wave, sig / 32768.0, rtol=0, atol=0)
+
+
+def test_flac_stereo_left_side_and_more_frames():
+    sr, bps, n = 16000, 16, 32
+    rng = np.random.default_rng(29)
+    left = rng.integers(-500, 500, n).astype(np.int64)
+    right = rng.integers(-500, 500, n).astype(np.int64)
+    side = left - right
+    bw = _FBitWriter()
+    _flac_frame(bw, {"chan_code": 8,                 # left-side
+                     "subs": [_sub_verbatim(left, bps),
+                              _sub_verbatim(side, bps + 1)]}, n)
+    # second frame: constant + verbatim, independent channels
+    left2 = np.full(n, 7, np.int64)
+    right2 = rng.integers(-500, 500, n).astype(np.int64)
+    _flac_frame(bw, {"chan_code": 1,                 # 2 independent
+                     "subs": [_sub_constant(7, bps),
+                              _sub_verbatim(right2, bps)]}, n)
+    payload = (b"fLaC" + bytes([0x80, 0, 0, 34])
+               + _flac_streaminfo(sr, 2, bps, 2 * n) + bytes(bw.out))
+    wave, got_sr = decode_flac(payload)
+    want = np.concatenate([(left + right) / 2.0,
+                           (left2 + right2) / 2.0]) / 32768.0
+    np.testing.assert_allclose(wave, want, rtol=0, atol=0)
+
+
+def test_flac_rejects():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF....")
+
+
+# ------------------------------------------------------------------- MP4
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+
+def _full(typ: bytes, body: bytes, ver=0) -> bytes:
+    return _box(typ, bytes([ver, 0, 0, 0]) + body)
+
+
+def test_mp4_sample_index():
+    sizes = [10, 20, 30, 40, 50]
+    # chunk 1: samples 0-2, chunk 2: samples 3-4
+    mdat_payload = b"".join(bytes([65 + i]) * s for i, s in enumerate(sizes))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", mdat_payload)
+    chunk1_off = len(ftyp) + 8
+    chunk2_off = chunk1_off + sum(sizes[:3])
+    stsd = _full(b"stsd", (1).to_bytes(4, "big")
+                 + _box(b"avc1", b"\x00" * 70))
+    stts = _full(b"stts", (2).to_bytes(4, "big")
+                 + (3).to_bytes(4, "big") + (100).to_bytes(4, "big")
+                 + (2).to_bytes(4, "big") + (200).to_bytes(4, "big"))
+    stsc = _full(b"stsc", (2).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + (3).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big")
+                 + (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", (0).to_bytes(4, "big")
+                 + (5).to_bytes(4, "big")
+                 + b"".join(s.to_bytes(4, "big") for s in sizes))
+    stco = _full(b"stco", (2).to_bytes(4, "big")
+                 + chunk1_off.to_bytes(4, "big")
+                 + chunk2_off.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdhd = _full(b"mdhd", (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + (90000).to_bytes(4, "big") + (1000).to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00")
+    mdia = _box(b"mdia", mdhd)
+    tkhd = _full(b"tkhd", (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + (3).to_bytes(4, "big") + b"\x00" * 4)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdia[8:] + minf))
+    moov = _box(b"moov", trak)
+    payload = ftyp + mdat + moov
+
+    samples = parse_mp4_samples(payload)
+    assert len(samples) == 5
+    assert all(s["track_id"] == 3 for s in samples)
+    assert all(s["codec"] == "avc1" for s in samples)
+    assert all(s["timescale"] == 90000 for s in samples)
+    assert [s["size"] for s in samples] == sizes
+    offs = [s["offset"] for s in samples]
+    assert offs[0] == chunk1_off
+    assert offs[1] == chunk1_off + 10
+    assert offs[2] == chunk1_off + 30
+    assert offs[3] == chunk2_off
+    assert offs[4] == chunk2_off + 40
+    assert [s["dts"] for s in samples] == [0, 100, 200, 300, 500]
+    assert [s["duration"] for s in samples] == [100, 100, 100, 200, 200]
+    # the byte ranges land on the planted mdat content
+    for i, s in enumerate(samples):
+        got = payload[s["offset"]:s["offset"] + s["size"]]
+        assert got == bytes([65 + i]) * sizes[i]
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        parse_mp4_samples(b"\x00" * 32)
+
+
+def test_image_stage_dispatches_jpeg():
+    from gunrock_ray.functions.multimodal import ImageDecodeResize
+    img = np.repeat(np.repeat(
+        np.array([[50, 200], [120, 80]], np.uint8), 8, 0), 8, 1)
+    payload = _encode_jpeg([img], [(1, 1)])
+    dec = ImageDecodeResize(out_size=(4, 4), codec="real")
+    out = dec._decode(payload, 16, 16, 1)
+    assert out.shape == (16, 16, 1)
+    assert np.abs(out[..., 0].astype(int) - img.astype(int)).max() <= 1

@@ -497,10 +497,11 @@ def test_png_rejects_unsupported_and_corrupt():
         return (len(data).to_bytes(4, "big") + typ + data
                 + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
 
-    ihdr16 = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-              + bytes([16, 2, 0, 0, 0]))
-    with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+    # colortype 7 does not exist; depth 3 is illegal for every colortype
+    for ihdr_bad in (bytes([8, 7, 0, 0, 0]), bytes([3, 2, 0, 0, 0])):
+        ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big") + ihdr_bad)
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
 
 
 def test_image_pipeline_decodes_real_png(ray_session):
