@@ -1122,6 +1122,38 @@ class VideoFrameSample:
                          "frame_mean": fm_col})
 
 
+class Mp4SampleIndex:
+    """Actor stage: MP4 payload → one row per sample
+    {media_id, track_id, codec, sample_idx, offset, size, dts, duration,
+    timescale} — the frame-level byte-range index a real video pipeline
+    feeds to a decoder fleet (each downstream task range-reads only its
+    samples instead of shipping whole containers)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        rows = {k: [] for k in ("media_id", "track_id", "codec", "sample_idx",
+                                "offset", "size", "dts", "duration",
+                                "timescale")}
+        for mid, p in zip(ids, payloads):
+            for s in parse_mp4_samples(p):
+                rows["media_id"].append(int(mid))
+                for k in ("track_id", "codec", "sample_idx", "offset",
+                          "size", "dts", "duration", "timescale"):
+                    rows[k].append(s[k])
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "track_id": pa.array(rows["track_id"], pa.int64()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "sample_idx": pa.array(rows["sample_idx"], pa.int64()),
+            "offset": pa.array(rows["offset"], pa.int64()),
+            "size": pa.array(rows["size"], pa.int64()),
+            "dts": pa.array(rows["dts"], pa.int64()),
+            "duration": pa.array(rows["duration"], pa.int64()),
+            "timescale": pa.array(rows["timescale"], pa.int64()),
+        })
+
+
 def image_pipeline(media_ds, *, out_size=(32, 32), concurrency: int = 4,
                    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     """media rows → decode+resize → features (two chained actor pools)."""

@@ -614,3 +614,48 @@ def test_image_stage_dispatches_jpeg():
     out = dec._decode(payload, 16, 16, 1)
     assert out.shape == (16, 16, 1)
     assert np.abs(out[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_mp4_sample_index_stage(ray_session):
+    """The Mp4SampleIndex actor stage flattens container indexes through
+    the real map_batches path."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from gunrock_ray.functions.multimodal import Mp4SampleIndex
+
+    sizes = [10, 20, 30, 40, 50]
+    mdat_payload = b"".join(bytes([65 + i]) * s for i, s in enumerate(sizes))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", mdat_payload)
+    stsd = _full(b"stsd", (1).to_bytes(4, "big") + _box(b"avc1", b"\x00" * 70))
+    stsc = _full(b"stsc", (1).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + (5).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", (0).to_bytes(4, "big") + (5).to_bytes(4, "big")
+                 + b"".join(s.to_bytes(4, "big") for s in sizes))
+    stco = _full(b"stco", (1).to_bytes(4, "big")
+                 + (len(ftyp) + 8).to_bytes(4, "big"))
+    stts = _full(b"stts", (1).to_bytes(4, "big")
+                 + (5).to_bytes(4, "big") + (33).to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = _full(b"mdhd", b"\x00" * 8 + (30000).to_bytes(4, "big")
+                 + (165).to_bytes(4, "big") + b"\x55\xc4\x00\x00")
+    tkhd = _full(b"tkhd", b"\x00" * 8 + (1).to_bytes(4, "big") + b"\x00" * 4)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + _box(b"minf", stbl)))
+    payload = ftyp + mdat + _box(b"moov", trak)
+
+    t = pa.table({"media_id": pa.array([7, 8], pa.int64()),
+                  "payload": pa.array([payload, payload], pa.binary())})
+    out = (ray.data.from_arrow(t)
+           .map_batches(Mp4SampleIndex, batch_format="pyarrow",
+                        concurrency=2, batch_size=1)
+           .to_pandas().sort_values(["media_id", "sample_idx"])
+           .reset_index(drop=True))
+    assert len(out) == 10
+    assert sorted(out["media_id"].unique()) == [7, 8]
+    one = out[out["media_id"] == 7]
+    assert one["size"].tolist() == sizes
+    assert one["dts"].tolist() == [0, 33, 66, 99, 132]
+    assert (one["codec"] == "avc1").all()
