@@ -14,8 +14,10 @@ plumbing). ``codec='real'`` decodes without any external library:
   every legal depth/colortype combination (1/2/4/8/16-bit; gray, RGB,
   palette, gray+alpha, RGBA), Adam7 interlacing, PLTE expansion, tRNS
   transparency.
-- **Baseline JPEG (SOF0)** in pure NumPy: DQT/DHT/SOF0/SOS parsing,
-  Huffman entropy decode, dequantize + dezigzag, exact float IDCT,
+- **JPEG — baseline (SOF0/SOF1) AND progressive (SOF2)** in pure
+  NumPy: DQT/DHT/DRI/multi-scan SOS parsing, Huffman entropy decode
+  with spectral selection + successive approximation (EOB runs, AC
+  refinement correction bits), dequantize + dezigzag, exact float IDCT,
   4:4:4/4:2:2/4:2:0 chroma upsampling, YCbCr→RGB, restart markers.
 - binary PPM (P6) / PGM (P5) via NumPy.
 - **PCM WAV** via the stdlib ``wave`` module, and a **FLAC subset**
@@ -26,9 +28,9 @@ plumbing). ``codec='real'`` decodes without any external library:
   byte ranges and timestamps — codec payload decode (H.264 etc.) still
   needs pyav and raises ValueError.
 
-Progressive JPEG, arithmetic-coded JPEG, and compressed-video bitstreams
-remain out of scope without Pillow/pyav; ``codec='real'`` raises
-ValueError on those with the failing feature named.
+Arithmetic-coded / lossless / hierarchical JPEG and compressed-video
+bitstreams remain out of scope without Pillow/pyav; ``codec='real'``
+raises ValueError on those with the failing feature named.
 
 Batch sizing at 100 TB: payload rows are large (MBs), so stages here default
 to small ``batch_size`` (32) — size batches by BYTES not rows when payloads
@@ -388,12 +390,15 @@ def _jpeg_split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG (SOF0/SOF1, Huffman) → (h, w, c) uint8, pure NumPy —
-    no Pillow. Full marker parse (DQT incl. 16-bit tables, DHT, DRI, SOS),
-    per-MCU Huffman entropy decode, dequantize + dezigzag, exact float
-    IDCT, nearest-replication chroma upsampling (4:4:4 / 4:2:2 / 4:2:0 or
-    any legal sampling), ITU-R BT.601 YCbCr→RGB. Progressive (SOF2) and
-    arithmetic-coded streams raise ValueError. Python-loop entropy decode:
+    """JPEG (baseline SOF0/SOF1 AND progressive SOF2, Huffman) →
+    (h, w, c) uint8, pure NumPy — no Pillow. Full marker parse (DQT incl.
+    16-bit tables, DHT, DRI, multi-scan SOS), unified scan decode
+    (spectral selection Ss..Se, successive approximation Ah/Al, EOB runs,
+    AC refinement correction bits — T.81 §G), dequantize + dezigzag,
+    exact float IDCT, nearest-replication chroma upsampling
+    (4:4:4 / 4:2:2 / 4:2:0 or any divisible sampling), ITU-R BT.601
+    YCbCr→RGB, restart markers. Arithmetic-coded and lossless/
+    hierarchical streams raise ValueError. Python-loop entropy decode:
     sized for test fixtures and thumbnail-scale payloads; production-scale
     JPEG decode still wants Pillow (`multimodal.py` module docstring)."""
     if payload[:2] != b"\xff\xd8":
@@ -403,9 +408,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _JpegHuffTable] = {}
     huff_ac: dict[int, _JpegHuffTable] = {}
     comps: list[dict] = []
-    h = w = None
+    coefs: list[np.ndarray] = []           # per comp: (nby, nbx, 64) zigzag
+    h = w = hmax = vmax = mcux = mcuy = None
     restart_interval = 0
-    scan: list[dict] = []
+    saw_scan = False
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -438,7 +444,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if cls == 0 else huff_ac)[tid] = \
                     _JpegHuffTable(bits, vals)
                 off += 17 + nv
-        elif marker in (0xC0, 0xC1):      # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             h = int.from_bytes(body[1:3], "big")
@@ -448,79 +454,184 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "q": qid})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # MCU-padded block grid (covers the non-interleaved true
+                # grid, which is never larger)
+                coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                      np.int64))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic); baseline SOF0/SOF1 only")
+                "(lossless/hierarchical/arithmetic); SOF0/SOF1/SOF2 only")
         elif marker == 0xDD:              # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:              # SOS — entropy data follows
             ns = body[0]
+            scan = []
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan.append({"comp": comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
+                ci = next(i2 for i2, c in enumerate(comps) if c["id"] == cid)
+                scan.append({"ci": ci, "comp": comps[ci],
+                             "dc": tabs >> 4, "ac": tabs & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             segs, pos = _jpeg_split_entropy(payload, pos)
-            return _jpeg_decode_scan(segs, scan, qt, huff_dc, huff_ac,
-                                     h, w, restart_interval)
+            _jpeg_run_scan(segs, scan, coefs, huff_dc, huff_ac,
+                           ss, se, ah, al, w, h, hmax, vmax, mcux, mcuy,
+                           restart_interval)
+            saw_scan = True
         # else: APPn / COM / others — skipped
-    raise ValueError("JPEG has no SOS scan")
+    if not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _jpeg_finish(coefs, comps, qt, h, w, hmax, vmax)
 
 
-def _jpeg_decode_scan(segs, scan, qt, huff_dc, huff_ac, h, w,
-                      restart_interval) -> np.ndarray:
-    hmax = max(s["comp"]["h"] for s in scan)
-    vmax = max(s["comp"]["v"] for s in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcuy * s["comp"]["v"] * 8, mcux * s["comp"]["h"] * 8))
-              for s in scan]
+def _jpeg_run_scan(segs, scan, coefs, huff_dc, huff_ac, ss, se, ah, al,
+                   w, h, hmax, vmax, mcux, mcuy, restart_interval):
+    """One entropy-coded scan (T.81 §G unified): interleaved or
+    non-interleaved, any spectral band [ss, se], first (ah=0) or
+    refinement (ah>0) successive-approximation pass. Baseline sequential
+    is the ss=0, se=63, ah=al=0 single-scan case — EOB ≡ EOB0."""
+    interleaved = len(scan) > 1
+    if interleaved:
+        # MCU-major: per MCU, each component contributes h*v blocks
+        units = [("mcu", m) for m in range(mcux * mcuy)]
+    else:
+        # non-interleaved: the component's TRUE block grid (<= MCU-padded)
+        comp = scan[0]["comp"]
+        cw = (w * comp["h"] + hmax - 1) // hmax
+        chh = (h * comp["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        units = [("blk", (b // nbx, b % nbx)) for b in range(nbx * nby)]
     pred = [0] * len(scan)
     seg_i = 0
     reader = _JpegBitReader(segs[0])
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1                     # RST: new segment, reset DC preds
+    state = {"eobrun": 0}
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            seg_i += 1                     # RST: new segment, reset state
             reader = _JpegBitReader(segs[seg_i])
             pred = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for si, s in enumerate(scan):
-            ch, cv = s["comp"]["h"], s["comp"]["v"]
-            q = qt[s["comp"]["q"]]
-            for by in range(cv):
-                for bx in range(ch):
-                    coef = np.zeros(64, np.int64)
-                    size = reader.decode_huff(huff_dc[s["dc"]])
-                    pred[si] += _jpeg_extend(reader.read_bits(size), size)
-                    coef[0] = pred[si]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(huff_ac[s["ac"]])
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break          # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[k] = _jpeg_extend(reader.read_bits(size), size)
-                        k += 1
-                    block = np.zeros(64)
-                    block[_JPEG_ZIGZAG] = coef * q
-                    spatial = (_JPEG_IDCT_M.T @ block.reshape(8, 8)
-                               @ _JPEG_IDCT_M) + 128.0
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[si][y0:y0 + 8, x0:x0 + 8] = spatial
-    # upsample to full resolution by replication, crop, color-convert
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(unit[1], mcux)
+            for si, s in enumerate(scan):
+                ch, cv = s["comp"]["h"], s["comp"]["v"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = coefs[s["ci"]][my * cv + by, mx * ch + bx]
+                        pred[si] = _jpeg_block(reader, blk, s, huff_dc,
+                                               huff_ac, ss, se, ah, al,
+                                               pred[si], state)
+        else:
+            by, bx = unit[1]
+            blk = coefs[scan[0]["ci"]][by, bx]
+            pred[0] = _jpeg_block(reader, blk, scan[0], huff_dc, huff_ac,
+                                  ss, se, ah, al, pred[0], state)
+
+
+def _jpeg_block(reader, blk, s, huff_dc, huff_ac, ss, se, ah, al, pred,
+                state):
+    """Decode one 8x8 block's contribution for the current scan; returns
+    the updated DC predictor."""
+    if ss == 0:                                    # DC part
+        if ah == 0:                                # first pass
+            size = reader.decode_huff(huff_dc[s["dc"]])
+            pred += _jpeg_extend(reader.read_bits(size), size)
+            blk[0] = pred << al
+        else:                                      # refinement: one raw bit
+            if reader.read_bit():
+                blk[0] |= 1 << al
+    if se == 0:
+        return pred
+    k = max(ss, 1)
+    if ah == 0:                                    # AC first pass
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return pred
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[s["ac"]])
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:                      # ZRL: 16 zeros
+                    k += 16
+                    continue
+                # EOBn: run of (1<<run)+bits end-of-band blocks (EOB0 ≡
+                # the sequential EOB: ends only this block)
+                state["eobrun"] = (1 << run) + \
+                    (reader.read_bits(run) if run else 0) - 1
+                break
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            blk[k] = _jpeg_extend(reader.read_bits(size), size) << al
+            k += 1
+        return pred
+    # AC refinement pass (T.81 G.1.2.3 / figure G.7 control flow)
+    p1, m1 = 1 << al, -1 << al
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[s["ac"]])
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:                      # EOBn
+                    state["eobrun"] = (1 << run) + \
+                        (reader.read_bits(run) if run else 0)
+                    break
+                # run == 15: pass over 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("JPEG refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:                    # history: correction bit
+                    if reader.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # within an EOB run, nonzero-history coefs still take correction
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+    return pred
+
+
+def _jpeg_finish(coefs, comps, qt, h, w, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT every block of every component, then upsample to
+    full resolution by replication, crop, and color-convert."""
     full = []
-    for si, s in enumerate(scan):
-        p = np.repeat(np.repeat(planes[si], vmax // s["comp"]["v"], axis=0),
-                      hmax // s["comp"]["h"], axis=1)
+    for ci, comp in enumerate(comps):
+        nby, nbx, _ = coefs[ci].shape
+        q = qt[comp["q"]].astype(np.float64)
+        # vectorized over all blocks: dezigzag + dequantize, then the 8x8
+        # IDCT as two batched matmuls
+        zz = coefs[ci].reshape(-1, 64).astype(np.float64) * q
+        blocks = np.zeros((zz.shape[0], 64))
+        blocks[:, _JPEG_ZIGZAG] = zz
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _JPEG_IDCT_M, blocks,
+                            _JPEG_IDCT_M) + 128.0
+        plane = (spatial.reshape(nby, nbx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+        p = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                      hmax // comp["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]

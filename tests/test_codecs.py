@@ -384,8 +384,8 @@ def test_jpeg_rejects():
     img = np.zeros((8, 8), np.uint8)
     payload = bytearray(_encode_jpeg([img], [(1, 1)]))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2                          # flip SOF0 -> progressive
-    with pytest.raises(ValueError, match="progressive"):
+    payload[i + 1] = 0xC3                          # flip SOF0 -> lossless
+    with pytest.raises(ValueError, match="lossless"):
         decode_jpeg(bytes(payload))
 
 
@@ -659,3 +659,257 @@ def test_mp4_sample_index_stage(ray_session):
     assert one["size"].tolist() == sizes
     assert one["dts"].tolist() == [0, 33, 66, 99, 132]
     assert (one["codec"] == "avc1").all()
+
+
+# ----------------------------------------------------- progressive JPEG
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _full_tables_dht():
+    """DC sizes 0..11 at code length 4; ALL 256 AC symbols split 128 at
+    length 9 + 128 at length 10 (canonical, never the all-ones code) —
+    valid for every scan without symbol gathering."""
+    dc_bits = bytearray(16)
+    dc_bits[3] = 12
+    dc = bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+    ac_bits = bytearray(16)
+    ac_bits[8] = 128
+    ac_bits[9] = 128
+    ac = bytes([0x10]) + bytes(ac_bits) + bytes(range(256))
+    return _seg(0xC4, dc + ac)
+
+
+def _ac_code(sym):
+    """Code for symbol in the _full_tables_dht AC table."""
+    if sym < 128:
+        return sym, 9
+    return 256 + (sym - 128), 10
+
+
+def _dc_code(sym):
+    return sym, 4
+
+
+class _ProgEncoder:
+    """Test-side progressive JPEG encoder (T.81 §G forward flow, libjpeg
+    scan-script shape): DC first (Al=1) -> AC first per comp (Al=1) ->
+    DC refine -> AC refine per comp."""
+
+    def __init__(self, planes, samps, h, w):
+        q = np.ones(64, np.int64)
+        self.coefs, self.mcux, self.mcuy = _quantize_blocks(planes, samps, q)
+        self.samps = samps
+        self.h, self.w = h, w
+        self.hmax = max(s[0] for s in samps)
+        self.vmax = max(s[1] for s in samps)
+
+    def _blk(self, ci, by, bx):
+        ch, cv = self.samps[ci]
+        m = (by // cv) * self.mcux + (bx // ch)
+        return self.coefs[ci][m][(by % cv) * ch + (bx % ch)]
+
+    def _true_grid(self, ci):
+        ch, cv = self.samps[ci]
+        cw = (self.w * ch + self.hmax - 1) // self.hmax
+        chh = (self.h * cv + self.vmax - 1) // self.vmax
+        return (chh + 7) // 8, (cw + 7) // 8
+
+    def _scan_dc_first(self, bw, al):
+        nc = len(self.coefs)
+        pred = [0] * nc
+        for m in range(self.mcux * self.mcuy):
+            my, mx = divmod(m, self.mcux)
+            for ci in range(nc):
+                ch, cv = self.samps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = self._blk(ci, my * cv + by, mx * ch + bx)
+                        c0 = int(blk[0]) >> al
+                        diff = c0 - pred[ci]
+                        pred[ci] = c0
+                        size = _category(diff)
+                        bw.write(*_dc_code(size))
+                        _encode_coef_bits(bw, diff, size)
+
+    def _scan_dc_refine(self, bw, al):
+        for m in range(self.mcux * self.mcuy):
+            my, mx = divmod(m, self.mcux)
+            for ci in range(len(self.coefs)):
+                ch, cv = self.samps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = self._blk(ci, my * cv + by, mx * ch + bx)
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+
+    def _scan_ac_first(self, bw, ci, al):
+        nby, nbx = self._true_grid(ci)
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                bw.write(*_ac_code(nbits << 4))
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for b in range(nby * nbx):
+            blk = self._blk(ci, b // nbx, b % nbx)
+            r = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    bw.write(*_ac_code(0xF0))
+                    r -= 16
+                size = t.bit_length()
+                bw.write(*_ac_code((r << 4) | size))
+                _encode_coef_bits(bw, t if v > 0 else -t, size)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def _scan_ac_refine(self, bw, ci, al):
+        nby, nbx = self._true_grid(ci)
+        eobrun = 0
+        be_bits = []
+
+        def flush():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                bw.write(*_ac_code(nbits << 4))
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+            for bbit in be_bits:
+                bw.write(bbit, 1)
+            eobrun = 0
+            be_bits = []
+
+        for b in range(nby * nbx):
+            blk = self._blk(ci, b // nbx, b % nbx)
+            ts = [abs(int(blk[k])) >> al for k in range(64)]
+            eobpos = max((k for k in range(1, 64) if ts[k] == 1), default=0)
+            r = 0
+            br = []
+            for k in range(1, 64):
+                t = ts[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush()
+                    bw.write(*_ac_code(0xF0))
+                    r -= 16
+                    for bbit in br:
+                        bw.write(bbit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush()
+                bw.write(*_ac_code((r << 4) | 1))
+                bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                for bbit in br:
+                    bw.write(bbit, 1)
+                br = []
+                r = 0
+            if r or br:
+                eobrun += 1
+                be_bits += br
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def encode(self):
+        nc = len(self.coefs)
+        out = bytearray(b"\xff\xd8")
+        q = np.ones(64, np.uint8)
+        out += _seg(0xDB, bytes([0x00]) + q.tobytes())
+        sof = bytes([8]) + self.h.to_bytes(2, "big") \
+            + self.w.to_bytes(2, "big") + bytes([nc])
+        for ci in range(nc):
+            sof += bytes([ci + 1,
+                          (self.samps[ci][0] << 4) | self.samps[ci][1], 0])
+        out += _seg(0xC2, sof)                   # SOF2: progressive
+        out += _full_tables_dht()
+
+        def scan(comp_ids, ss, se, ah, al, fill):
+            nonlocal out
+            hdr = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                hdr += bytes([cid + 1, 0x00])
+            hdr += bytes([ss, se, (ah << 4) | al])
+            out += _seg(0xDA, hdr)
+            bw = _JBitWriter()
+            fill(bw)
+            bw.flush()
+            out += bw.out
+
+        scan(list(range(nc)), 0, 0, 0, 1,
+             lambda bw: self._scan_dc_first(bw, 1))
+        for ci in range(nc):
+            scan([ci], 1, 63, 0, 1,
+                 lambda bw, ci=ci: self._scan_ac_first(bw, ci, 1))
+        scan(list(range(nc)), 0, 0, 1, 0,
+             lambda bw: self._scan_dc_refine(bw, 0))
+        for ci in range(nc):
+            scan([ci], 1, 63, 1, 0,
+                 lambda bw, ci=ci: self._scan_ac_refine(bw, ci, 0))
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def test_jpeg_progressive_grayscale_matches_baseline():
+    """Progressive (4 scans, successive approximation Al=1->0) and
+    baseline encodings of the SAME quantized coefficients must decode to
+    identical pixels."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    base = decode_jpeg(_encode_jpeg([img], [(1, 1)]))
+    prog = decode_jpeg(_ProgEncoder([img], [(1, 1)], 24, 16).encode())
+    np.testing.assert_array_equal(prog, base)
+    assert np.abs(prog[..., 0].astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_progressive_color_420_non_mcu_aligned():
+    """4:2:0 color, 40x24 (not MCU-aligned): the non-interleaved AC scans
+    cover the component's TRUE block grid (5x3 luma blocks of the 6x4
+    padded grid) — decode must equal the baseline decode of the same
+    padded planes."""
+    rng = np.random.default_rng(37)
+    h, w = 24, 40
+    yp = np.repeat(np.repeat(
+        rng.integers(16, 240, size=(h // 8, w // 8)).astype(np.uint8),
+        8, 0), 8, 1)
+    cbp = np.repeat(np.repeat(
+        rng.integers(16, 240, size=(2, 3)).astype(np.uint8), 8, 0), 8, 1)
+    crp = np.repeat(np.repeat(
+        rng.integers(16, 240, size=(2, 3)).astype(np.uint8), 8, 0), 8, 1)
+    # pad the luma plane to the MCU grid (48x32) by edge replication
+    yp_pad = np.pad(yp, ((0, 8), (0, 8)), mode="edge")
+    cbp_pad = np.pad(cbp, ((0, 0), (0, 0)), mode="edge")
+    samps = [(2, 2), (1, 1), (1, 1)]
+    prog = decode_jpeg(
+        _ProgEncoder([yp_pad, cbp_pad, crp], samps, h, w).encode())
+    assert prog.shape == (h, w, 3)
+    # independent expectation (constant 8x8 blocks -> exact DCT), as in
+    # the baseline 4:2:0 test
+    yf = yp.astype(np.float64)
+    cbf = np.repeat(np.repeat(cbp, 2, 0), 2, 1)[:h, :w].astype(np.float64) - 128.0
+    crf = np.repeat(np.repeat(crp, 2, 0), 2, 1)[:h, :w].astype(np.float64) - 128.0
+    want = np.clip(np.round(np.stack(
+        [yf + 1.402 * crf,
+         yf - 0.344136 * cbf - 0.714136 * crf,
+         yf + 1.772 * cbf], axis=2)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(prog, want)
