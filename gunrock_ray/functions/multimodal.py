@@ -19,6 +19,10 @@ plumbing). ``codec='real'`` decodes without any external library:
   with spectral selection + successive approximation (EOB runs, AC
   refinement correction bits), dequantize + dezigzag, exact float IDCT,
   4:4:4/4:2:2/4:2:0 chroma upsampling, YCbCr→RGB, restart markers.
+- **GIF87a/89a** (first frame): variable-width LZW, interlacing,
+  global/local color tables, GCE transparency.
+- **BMP** (BITMAPINFOHEADER, uncompressed): 24/32-bit BGR(A), 8-bit
+  paletted, 1-bit packed; bottom-up/top-down; row padding.
 - binary PPM (P6) / PGM (P5) via NumPy.
 - **PCM WAV** via the stdlib ``wave`` module, and a **FLAC subset**
   (STREAMINFO + frames with constant/verbatim/fixed-prediction
@@ -288,6 +292,176 @@ def encode_png(img: np.ndarray) -> bytes:
          img.reshape(h, w * c)]).tobytes()
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+
+
+# -------------------------------------------------------------------- GIF
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF's variable-width LZW (GIF89a spec Appendix F): CLEAR resets the
+    table, EOI ends, code width grows 3..12 bits as the table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # one flat bit pool, LSB-first within each byte (GIF packs that way)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8),
+                         bitorder="little").tolist()
+    pos = 0
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    while pos + width <= len(bits):
+        code = 0
+        for i in range(width):
+            code |= bits[pos + i] << i
+        pos += width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]           # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/GIF89a → (h, w, 3) uint8 (first frame; RGBA with a GCE
+    transparent index), pure NumPy/stdlib: logical screen descriptor,
+    global + local color tables, variable-width LZW, interlaced rows,
+    sub-block reassembly. Animation: only the FIRST image descriptor is
+    decoded (frame sampling over animations wants a real media stack)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                          # extension block
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:                  # graphic control extension
+                sz = payload[pos]
+                flags = payload[pos + 1]
+                if flags & 0x01:
+                    transparent = payload[pos + 4]
+                pos += 1 + sz
+            while payload[pos] != 0:           # skip (remaining) sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                        # image descriptor
+            ix = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            iy = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:                 # local color table
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:           # LZW data sub-blocks
+                sz = payload[pos]
+                data += payload[pos + 1:pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx_flat = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx_flat) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            idx = np.array(idx_flat[:iw * ih], np.uint8).reshape(ih, iw)
+            if ipacked & 0x40:                 # interlaced: 4 passes
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    cnt = len(range(start, ih, step))
+                    de[start::step] = idx[src:src + cnt]
+                    src += cnt
+                idx = de
+            rgb = ct[np.minimum(idx, len(ct) - 1)]
+            # paint onto the logical screen at (ix, iy); crop to screen
+            out = np.zeros((sh, sw, 3), np.uint8)
+            y1, x1 = min(iy + ih, sh), min(ix + iw, sw)
+            out[iy:y1, ix:x1] = rgb[:y1 - iy, :x1 - ix]
+            if transparent is not None:
+                alpha = np.full((sh, sw), 255, np.uint8)
+                alpha[iy:y1, ix:x1] = np.where(
+                    idx[:y1 - iy, :x1 - ix] == transparent, 0, 255)
+                return np.concatenate([out, alpha[..., None]], axis=2)
+            return out
+        elif b == 0x3B:                        # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#04x}")
+    raise ValueError("GIF has no image descriptor")
+
+
+# -------------------------------------------------------------------- BMP
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Windows BMP (BITMAPINFOHEADER, uncompressed) → (h, w, c) uint8:
+    24/32-bit BGR(A), 8-bit paletted, and 1-bit packed rows; bottom-up or
+    top-down; 4-byte row padding. RLE and bitfield compression raise."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * bpp + 31) // 32) * 4
+    raw = np.frombuffer(payload, np.uint8, stride * h, data_off)
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, :w * 3].reshape(h, w, 3)
+        return px[..., ::-1].copy()            # BGR -> RGB
+    if bpp == 32:
+        px = rows[:, :w * 4].reshape(h, w, 4)
+        return px[..., [2, 1, 0, 3]].copy()    # BGRA -> RGBA
+    if bpp in (1, 8):
+        ncolors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+        pal = np.frombuffer(payload, np.uint8, ncolors * 4,
+                            14 + hdr_size).reshape(ncolors, 4)
+        pal_rgb = pal[:, [2, 1, 0]]            # stored BGRX
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        return pal_rgb[idx]
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
 # --------------------------------------------------------------- JPEG (SOF0)
@@ -1045,7 +1219,11 @@ class ImageDecodeResize:
                     img = (img >> 8).astype(np.uint8)
                 return img
             if payload[:2] == b"\xff\xd8":
-                return decode_jpeg(payload)     # pure-NumPy baseline JPEG
+                return decode_jpeg(payload)     # baseline+progressive JPEG
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                return decode_gif(payload)
+            if payload[:2] == b"BM":
+                return decode_bmp(payload)
             return decode_pnm(payload)          # PPM/PGM
         return _fake_pixels(payload, h, w, c)
 

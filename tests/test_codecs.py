@@ -913,3 +913,174 @@ def test_jpeg_progressive_color_420_non_mcu_aligned():
          yf - 0.344136 * cbf - 0.714136 * crf,
          yf + 1.772 * cbf], axis=2)), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(prog, want)
+
+
+# ------------------------------------------------------------------- GIF
+
+def _lzw_encode_packed(indices, min_code_size):
+    """LZW encode + LSB-first bit packing, widening the code width at the
+    same stream positions the decoder does (table size hits 2^width)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    bits = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    cur = ()
+    for px in indices:
+        cand = cur + (int(px),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = (int(px),)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    arr = np.array(bits + [0] * (-len(bits) % 8), np.uint8)
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+def _gif(idx, palette, min_code_size, interlace=False, transparent=None):
+    h, w = idx.shape
+    n = len(palette)
+    gct_bits = max(1, (n - 1).bit_length()) - 1
+    pal = np.zeros((2 << gct_bits, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0])
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    rows = idx
+    if interlace:                       # emit rows in Adam-style pass order
+        rows = np.concatenate([idx[0::8], idx[4::8], idx[2::4], idx[1::2]])
+    data = _lzw_encode_packed(rows.ravel(), min_code_size)
+    out += bytes([min_code_size])
+    for i in range(0, len(data), 255):
+        blockdata = data[i:i + 255]
+        out += bytes([len(blockdata)]) + blockdata
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_roundtrip():
+    from gunrock_ray.functions.multimodal import decode_gif
+    rng = np.random.default_rng(41)
+    palette = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, (13, 20)).astype(np.uint8)
+    got = decode_gif(_gif(idx, palette, 3))
+    np.testing.assert_array_equal(got, palette[idx])
+
+
+def test_gif_interlaced_and_transparent():
+    from gunrock_ray.functions.multimodal import decode_gif
+    rng = np.random.default_rng(43)
+    palette = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, (11, 7)).astype(np.uint8)
+    got = decode_gif(_gif(idx, palette, 2, interlace=True))
+    np.testing.assert_array_equal(got, palette[idx])
+    got = decode_gif(_gif(idx, palette, 2, transparent=2))
+    np.testing.assert_array_equal(got[..., :3], palette[idx])
+    np.testing.assert_array_equal(got[..., 3], np.where(idx == 2, 0, 255))
+
+
+def test_gif_long_stream_width_growth():
+    """>2^5 distinct LZW entries force code-width growth past the initial
+    width; a structured image exercises the KwKwK case too."""
+    from gunrock_ray.functions.multimodal import decode_gif
+    rng = np.random.default_rng(47)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = (np.add.outer(np.arange(40), np.arange(50)) % 16).astype(np.uint8)
+    got = decode_gif(_gif(idx, palette, 4))
+    np.testing.assert_array_equal(got, palette[idx])
+
+
+def test_gif_rejects():
+    from gunrock_ray.functions.multimodal import decode_gif
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM......")
+
+
+# ------------------------------------------------------------------- BMP
+
+def _bmp(px_rows, bpp, palette=None, top_down=False):
+    """px_rows: for 24/32: (h,w,c) pixel array; for 8/1: (h,w) index
+    array. Builds BITMAPINFOHEADER BMP with 4-byte row padding."""
+    h, w = px_rows.shape[:2]
+    stride = ((w * bpp + 31) // 32) * 4
+    body = bytearray()
+    rows = px_rows if top_down else px_rows[::-1]
+    for r in rows:
+        if bpp == 24:
+            line = r[..., ::-1].tobytes()                # RGB -> BGR
+        elif bpp == 32:
+            line = r[..., [2, 1, 0, 3]].tobytes()        # RGBA -> BGRA
+        elif bpp == 8:
+            line = r.tobytes()
+        else:                                            # 1-bit packed
+            line = np.packbits(r).tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes([b, g, rr, 0]) for rr, g, b in palette)
+    data_off = 14 + 40 + len(pal)
+    hdr = b"BM" + (data_off + len(body)).to_bytes(4, "little") \
+        + b"\x00" * 4 + data_off.to_bytes(4, "little")
+    dib = (40).to_bytes(4, "little") \
+        + w.to_bytes(4, "little", signed=True) \
+        + ((-h if top_down else h)).to_bytes(4, "little", signed=True) \
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little") \
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little") \
+        + b"\x00" * 8 \
+        + (len(palette) if palette is not None else 0).to_bytes(4, "little") \
+        + b"\x00" * 4
+    return bytes(hdr + dib + pal + body)
+
+
+def test_bmp_24_and_32_bit():
+    from gunrock_ray.functions.multimodal import decode_bmp
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (5, 3, 3)).astype(np.uint8)   # stride pads
+    np.testing.assert_array_equal(decode_bmp(_bmp(img, 24)), img)
+    rgba = rng.integers(0, 256, (4, 5, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_bmp(_bmp(rgba, 32, top_down=True)),
+                                  rgba)
+
+
+def test_bmp_paletted_and_1bit():
+    from gunrock_ray.functions.multimodal import decode_bmp
+    rng = np.random.default_rng(59)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 7)).astype(np.uint8)
+    got = decode_bmp(_bmp(idx, 8, palette=palette))
+    np.testing.assert_array_equal(got, palette[idx])
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    bits = rng.integers(0, 2, (5, 11)).astype(np.uint8)
+    got = decode_bmp(_bmp(bits, 1, palette=pal2))
+    np.testing.assert_array_equal(got, pal2[bits])
+
+
+def test_bmp_rejects():
+    from gunrock_ray.functions.multimodal import decode_bmp
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"GIF89a..")
+    img = np.zeros((2, 2, 3), np.uint8)
+    bad = bytearray(_bmp(img, 24))
+    bad[30] = 1                                           # RLE8 compression
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(bad))
