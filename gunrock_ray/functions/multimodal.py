@@ -1194,6 +1194,23 @@ def encode_wav(wave_f64: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over every image codec here → (h, w, c) uint8
+    (16-bit PNG keeps the high byte so downstream stages see one dtype)."""
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        return img
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)             # baseline+progressive JPEG
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return decode_pnm(payload)                  # PPM/PGM
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
     """Deterministic stand-in decode: payload hash seeds the pixel array."""
     seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
@@ -1213,18 +1230,7 @@ class ImageDecodeResize:
 
     def _decode(self, payload: bytes, h: int, w: int, c: int) -> np.ndarray:
         if self.codec == "real":
-            if payload[:8] == _PNG_SIG:
-                img = decode_png(payload)       # stdlib-zlib PNG path
-                if img.dtype == np.uint16:      # 16-bit: keep the high byte
-                    img = (img >> 8).astype(np.uint8)
-                return img
-            if payload[:2] == b"\xff\xd8":
-                return decode_jpeg(payload)     # baseline+progressive JPEG
-            if payload[:6] in (b"GIF87a", b"GIF89a"):
-                return decode_gif(payload)
-            if payload[:2] == b"BM":
-                return decode_bmp(payload)
-            return decode_pnm(payload)          # PPM/PGM
+            return decode_image(payload)
         return _fake_pixels(payload, h, w, c)
 
     @staticmethod

@@ -1,0 +1,172 @@
+"""Perceptual-hash image deduplication over binary media columns.
+
+The image analog of the text near-dup family (`dedup.py`): a 64-bit
+perceptual hash per image (dHash gradient hash or pHash DCT hash), then
+chunk-pigeonhole candidate bucketing + exact Hamming verification — the
+same bucket-min pairing scheme as :func:`dedup.simhash_near_dup_pairs`,
+with 8×8-bit chunks so the pigeonhole covers Hamming distance ≤ 7
+(hamming ≤ nchunks−1 ⇒ at least one chunk equal).
+
+Scale story at 100 TB: payload bytes never shuffle — the hash stage
+reduces each image to one uint64; candidate generation moves (hash, id)
+pairs only, grouped by a COARSE bucket (``hash(chunk, key) mod
+num_buckets`` with cluster-scaled bucket counts); verification is a
+vectorized popcount inside each group. Pairs feed the engine's
+distributed connected components for cluster/keeper selection exactly
+like `pipelines.relational.q_minhash_keepers`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.common import mix64
+from gunrock_ray.functions.dedup import popcount64
+from gunrock_ray.functions.multimodal import decode_image
+
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def _resize_area(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Box (area-average) downscale of a 2-D float array — deterministic
+    and resolution-robust, unlike nearest sampling, so re-encodes at
+    slightly different sizes keep their hash."""
+    h, w = gray.shape
+    re = np.add.reduceat(gray, (np.arange(oh) * h) // oh, axis=0)
+    re = np.add.reduceat(re, (np.arange(ow) * w) // ow, axis=1)
+    ycnt = np.diff(np.concatenate([(np.arange(oh) * h) // oh, [h]]))
+    xcnt = np.diff(np.concatenate([(np.arange(ow) * w) // ow, [w]]))
+    return re / np.outer(ycnt, xcnt)
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → (h, w) float64 luma (alpha ignored)."""
+    if img.shape[2] == 1:
+        return img[..., 0].astype(np.float64)
+    rgb = img[..., :3].astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Difference hash: 9x8 box-resized luma, bit = left-to-right gradient
+    sign. Robust to re-encoding and mild noise; 64 bits."""
+    g = _resize_area(_to_gray(img), 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()
+    return np.uint64(bits @ _POW2)
+
+
+_DCT32 = np.array(
+    [[(np.sqrt(0.5) if u == 0 else 1.0) * np.sqrt(2.0 / 32.0)
+      * np.cos((2 * x + 1) * u * np.pi / 64.0)
+      for x in range(32)] for u in range(32)])
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """DCT perceptual hash: 32x32 box-resized luma → 2-D DCT-II → the 8x8
+    low-frequency block; bit = coefficient > median of the 63 non-DC
+    coefficients (DC's bit is fixed 0). 64 bits."""
+    g = _resize_area(_to_gray(img), 32, 32)
+    d = (_DCT32 @ g @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(d[1:])
+    bits = (d > med).astype(np.uint64)
+    bits[0] = 0
+    return np.uint64(bits @ _POW2)
+
+
+class ImagePHash:
+    """Actor-pool stage: image payload → {media_id, dhash, phash}
+    (both uint64, stored as int64 for Arrow). Decode happens here and the
+    payload is DROPPED — only 16 bytes per image continue downstream."""
+
+    def __init__(self, codec: str = "real"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        dh = np.empty(len(ids), np.uint64)
+        ph = np.empty(len(ids), np.uint64)
+        for i, p in enumerate(payloads):
+            if self.codec == "real":
+                img = decode_image(p)
+            else:
+                seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"),
+                                               np.uint64))[0])
+                img = np.random.default_rng(seed).integers(
+                    0, 256, (16, 16, 3), dtype=np.uint8)
+            dh[i] = dhash64(img)
+            ph[i] = phash64(img)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "dhash": pa.array(dh.astype(np.int64)),
+                         "phash": pa.array(ph.astype(np.int64))})
+
+
+def image_hashes(media_ds, *, concurrency: int = 4, batch_size: int = 32,
+                 codec: str = "real"):
+    """media rows → perceptual hashes (actor pool; decoder state none, but
+    payload-heavy batches stay small)."""
+    return media_ds.map_batches(
+        ImagePHash, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=batch_size,
+        fn_constructor_kwargs={"codec": codec})
+
+
+def image_near_dup_pairs(media_ds, *, method: str = "dhash",
+                         max_hamming: int = 6, concurrency: int = 4,
+                         num_buckets: int = 64, codec: str = "real"):
+    """Image near-dup pairs {a, b, hamming}: 8×8-bit chunk pigeonhole
+    buckets (covers hamming ≤ 7 ≥ ``max_hamming``) + exact popcount verify
+    against the chunk-bucket minimum id, then a (a, b)-min reduce — the
+    `simhash_near_dup_pairs` scheme over perceptual hashes. Cluster with
+    the engine's distributed CC for keeper selection."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash method {method!r}")
+    if max_hamming > 7:
+        raise ValueError("8-chunk pigeonhole covers max_hamming <= 7")
+    sig = image_hashes(media_ds, concurrency=concurrency, codec=codec)
+    nb = np.uint64(num_buckets)
+    col = method
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        s = batch[col].to_numpy().astype(np.uint64)
+        n = len(ids)
+        c = np.repeat(np.arange(8, dtype=np.int64), n)
+        k = np.concatenate([((s >> np.uint64(8 * i)) & np.uint64(0xFF))
+                            .astype(np.int64) for i in range(8)])
+        bkt = (mix64(mix64(c.astype(np.uint64)) ^ k.astype(np.uint64))
+               % nb).astype(np.int64)
+        return pa.table({"media_id": pa.array(np.tile(ids, 8)),
+                         "chunk": pa.array(c), "key": pa.array(k),
+                         "sig": pa.array(np.tile(s.astype(np.int64), 8)),
+                         "bkt": pa.array(bkt)})
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        c = group["chunk"].to_numpy()
+        k = group["key"].to_numpy()
+        ids = group["media_id"].to_numpy()
+        sh = group["sig"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, k, c))
+        c, k, ids, sh = c[order], k[order], ids[order], sh[order]
+        new = np.empty(len(ids), dtype=bool)
+        new[0:1] = True
+        np.logical_or(c[1:] != c[:-1], k[1:] != k[:-1], out=new[1:])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lo_id = ids[starts][seg]
+        lo_sh = sh[starts][seg]
+        ham = popcount64(sh ^ lo_sh)
+        keep = (ids != lo_id) & (ham <= max_hamming)
+        return pa.table({"a": pa.array(lo_id[keep], pa.int64()),
+                         "b": pa.array(ids[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
+
+    pairs = (sig.map_batches(chunks, batch_format="pyarrow")
+             .groupby("bkt").map_groups(pairs_of_bucket,
+                                        batch_format="pyarrow"))
+    from ray.data.aggregate import Min
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -1,0 +1,139 @@
+"""Perceptual-hash image dedup: hash properties + the bucketed pairing
+pipeline over planted near-duplicate groups."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions.multimodal import encode_png, encode_ppm
+from gunrock_ray.functions.phash import (
+    dhash64, image_near_dup_pairs, phash64)
+
+
+def _smooth_img(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Natural-like low-frequency random image: energy in EVERY 8x8
+    low-frequency DCT component (so pHash's 64 coefficient-vs-median bits
+    all have real signal margin), yet smooth enough that a JPEG q=1
+    re-encode moves pixels by only a few counts."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for ch in range(3):
+        plane = np.zeros((h, w))
+        for u in range(8):
+            for v in range(8):
+                if u == v == 0:
+                    continue
+                amp = rng.uniform(4, 10) * rng.choice([-1, 1])
+                plane += amp * (np.cos((2 * yy + 1) * u * np.pi / (2 * h))
+                                * np.cos((2 * xx + 1) * v * np.pi / (2 * w)))
+        img[..., ch] = 128 + plane
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _ham(a, b):
+    return bin(int(a) ^ int(b)).count("1")
+
+
+def test_hashes_deterministic_and_format_invariant():
+    from gunrock_ray.functions.multimodal import decode_image
+    img = _smooth_img(1)
+    assert dhash64(img) == dhash64(img.copy())
+    assert phash64(img) == phash64(img.copy())
+    # lossless containers decode back to the same pixels -> same hash
+    png = decode_image(encode_png(img))
+    ppm = decode_image(encode_ppm(img))
+    np.testing.assert_array_equal(png, img)
+    np.testing.assert_array_equal(ppm, img)
+
+
+def test_hashes_robust_to_jpeg_and_separate_distinct():
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_codecs import _encode_jpeg
+
+    from gunrock_ray.functions.multimodal import decode_jpeg
+    near, far = [], []
+    for seed in range(6):
+        img = _smooth_img(seed)
+        # JPEG re-encode: forward BT.601 RGB->YCbCr (the encoder-side
+        # transform), then the q=1 roundtrip (error <= ~4/pixel + color
+        # rounding)
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+        back = decode_jpeg(_encode_jpeg(planes, [(1, 1), (1, 1), (1, 1)]))
+        near.append(_ham(dhash64(img), dhash64(back)))
+        near.append(_ham(phash64(img), phash64(back)))
+        other = _smooth_img(seed + 100)
+        far.append(_ham(dhash64(img), dhash64(other)))
+        far.append(_ham(phash64(img), phash64(other)))
+    assert max(near) <= 4, near
+    assert min(far) > 10, far
+
+
+def test_image_near_dup_pairs_pipeline(ray_session):
+    import ray.data
+
+    # 3 planted groups x 3 encodings (PNG / PPM / JPEG-ish noise) + 3 lone
+    rows = []
+    mid = 0
+    groups = []
+    for g in range(3):
+        img = _smooth_img(50 + g)
+        members = []
+        for enc in range(3):
+            noisy = img.astype(np.int64).copy()
+            if enc == 2:  # mild deterministic perturbation (re-encode-ish)
+                rng = np.random.default_rng(900 + g)
+                noisy = noisy + rng.integers(-2, 3, img.shape)
+            payload = (encode_png(np.clip(noisy, 0, 255).astype(np.uint8))
+                       if enc != 1 else
+                       encode_ppm(np.clip(noisy, 0, 255).astype(np.uint8)))
+            rows.append((mid, payload))
+            members.append(mid)
+            mid += 1
+        groups.append(members)
+    lone = []
+    for g in range(3):
+        rows.append((mid, encode_png(_smooth_img(800 + g))))
+        lone.append(mid)
+        mid += 1
+
+    t = pa.table({"media_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    pairs = (image_near_dup_pairs(ray.data.from_arrow(t),
+                                  method="dhash", max_hamming=6,
+                                  concurrency=2, num_buckets=16)
+             .to_pandas())
+    # union-find over the reported pairs: each planted group must be one
+    # cluster; lone images must stay unpaired
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, p in pairs.iterrows():
+        assert p["hamming"] <= 6
+        parent[find(int(p["a"]))] = find(int(p["b"]))
+    for members in groups:
+        assert len({find(m) for m in members}) == 1, (members, pairs)
+    in_pairs = set(pairs["a"]) | set(pairs["b"])
+    for m in lone:
+        assert m not in in_pairs
+    # no cross-group merges
+    roots = {find(g[0]) for g in groups}
+    assert len(roots) == 3
+
+
+def test_image_near_dup_validation():
+    with pytest.raises(ValueError, match="unknown perceptual hash"):
+        image_near_dup_pairs(None, method="ahash")
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_near_dup_pairs(None, max_hamming=9)
