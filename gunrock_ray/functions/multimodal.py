@@ -953,14 +953,18 @@ def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> np.ndarray:
                           np.int64, blocksize)
     elif 8 <= ftype <= 12:                     # FIXED, order 0-4
         order = ftype - 8
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array([br.read_signed(bps) for _ in range(order)],
+                        np.int64)
         res = _flac_residual(br, blocksize, order)
-        out = np.empty(blocksize, np.int64)
-        out[:order] = warm
-        coef = _FLAC_FIXED_COEFFS[order]
-        for i in range(order, blocksize):
-            out[i] = res[i - order] + sum(
-                coef[j] * out[i - 1 - j] for j in range(order))
+        # fixed order-k prediction == the residual is the k-th finite
+        # difference of the signal, so reconstruction is k nested prefix
+        # sums seeded by the warmup's trailing differences (vectorized;
+        # no per-sample loop)
+        cur = res
+        for j in range(order, 0, -1):
+            seed = np.diff(warm, n=j - 1)[-1] if order else 0
+            cur = seed + np.cumsum(cur)
+        out = np.concatenate([warm, cur]) if order else cur
     elif ftype >= 32:                          # LPC, order 1-32
         order = ftype - 31
         warm = [br.read_signed(bps) for _ in range(order)]

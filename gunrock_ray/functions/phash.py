@@ -170,3 +170,28 @@ def image_near_dup_pairs(media_ds, *, method: str = "dhash",
     from ray.data.aggregate import Min
     return pairs.groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def image_keepers(media_ds, *, method: str = "dhash", max_hamming: int = 6,
+                  concurrency: int = 4, num_buckets: int = 64,
+                  num_partitions: int = 4, codec: str = "real") -> pa.Table:
+    """End-to-end image dedup: perceptual-hash pairs → the engine's
+    distributed connected components → keeper = min media_id per cluster.
+    Returns {media_id, cluster, keep} for every image that participated
+    in at least one pair; images with no near-dup are implicitly keepers
+    (the caller anti-joins on the ``keep == false`` rows, exactly like
+    `pipelines.relational.q_minhash_keepers`)."""
+    from gunrock_ray.functions.dedup import near_dup_clusters
+
+    pairs = image_near_dup_pairs(
+        media_ds, method=method, max_hamming=max_hamming,
+        concurrency=concurrency, num_buckets=num_buckets, codec=codec)
+    clusters = near_dup_clusters(
+        pairs.map_batches(lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+                          batch_format="pyarrow"),
+        num_partitions=num_partitions)
+    ids = clusters["doc_id"].to_numpy()
+    comp = clusters["cluster"].to_numpy()
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(comp, pa.int64()),
+                     "keep": pa.array(ids == comp)})

@@ -137,3 +137,53 @@ def test_image_near_dup_validation():
         image_near_dup_pairs(None, method="ahash")
     with pytest.raises(ValueError, match="max_hamming"):
         image_near_dup_pairs(None, max_hamming=9)
+
+
+def test_image_keepers_end_to_end(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.phash import image_keepers
+
+    rows = []
+    img = _smooth_img(7)
+    rows.append((0, encode_png(img)))
+    rows.append((1, encode_ppm(img)))            # dup of 0
+    rows.append((2, encode_png(_smooth_img(8))))  # lone
+    img2 = _smooth_img(9)
+    rows.append((3, encode_png(img2)))
+    rows.append((4, encode_ppm(img2)))           # dup of 3
+    t = pa.table({"media_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = (image_keepers(ray.data.from_arrow(t), method="dhash",
+                         max_hamming=4, concurrency=2, num_buckets=8)
+           .to_pandas().set_index("media_id"))
+    assert set(out.index) == {0, 1, 3, 4}        # lone image never pairs
+    assert bool(out.loc[0, "keep"]) and not bool(out.loc[1, "keep"])
+    assert bool(out.loc[3, "keep"]) and not bool(out.loc[4, "keep"])
+    assert out.loc[1, "cluster"] == 0 and out.loc[4, "cluster"] == 3
+
+
+def test_flac_fixed_orders_all():
+    """Every fixed order 0-4 reconstructs exactly (the k-fold prefix-sum
+    path), including order 3/4 on polynomial-plus-noise signals."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_codecs import _FBitWriter, _flac_frame, _flac_streaminfo, \
+        _sub_fixed
+
+    from gunrock_ray.functions.multimodal import decode_flac
+
+    rng = np.random.default_rng(61)
+    n = 48
+    t = np.arange(n, dtype=np.int64)
+    for order in range(5):
+        sig = (t ** min(order, 3) // 7 + rng.integers(-2, 3, n)).astype(
+            np.int64)
+        bw = _FBitWriter()
+        _flac_frame(bw, {"chan_code": 0,
+                         "subs": [_sub_fixed(sig, order, 16, 6)]}, n)
+        payload = (b"fLaC" + bytes([0x80, 0, 0, 34])
+                   + _flac_streaminfo(8000, 1, 16, n) + bytes(bw.out))
+        wave, _ = decode_flac(payload)
+        np.testing.assert_allclose(wave, sig / 32768.0, rtol=0, atol=0,
+                                   err_msg=f"order {order}")
