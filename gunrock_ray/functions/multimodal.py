@@ -23,6 +23,9 @@ plumbing). ``codec='real'`` decodes without any external library:
   global/local color tables, GCE transparency.
 - **BMP** (BITMAPINFOHEADER, uncompressed): 24/32-bit BGR(A), 8-bit
   paletted, 1-bit packed; bottom-up/top-down; row padding.
+- **TIFF**: both byte orders, strips, none/LZW(early-change)/PackBits
+  compression, horizontal-differencing predictor, 8-bit
+  gray/RGB/RGBA/palette, WhiteIsZero.
 - binary PPM (P6) / PGM (P5) via NumPy.
 - **PCM WAV** via the stdlib ``wave`` module, and a **FLAC subset**
   (STREAMINFO + frames with constant/verbatim/fixed-prediction
@@ -462,6 +465,142 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             idx = np.unpackbits(rows, axis=1)[:, :w]
         return pal_rgb[idx]
     raise ValueError(f"unsupported BMP bit depth {bpp}")
+
+
+# ------------------------------------------------------------------- TIFF
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF's LZW (spec §13): MSB-first code packing, Clear=256, EOI=257,
+    and the 'early change' — the code width grows one code EARLIER than
+    GIF's LZW (when the next entry would be 2^width - 1)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + width <= len(bits):
+        code = 0
+        for i in range(width):
+            code = (code << 1) | bits[pos + i]
+        pos += width
+        if code == 256:                            # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:                            # EOI
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) + 1 == (1 << width) and width < 12:  # early change
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:                                # n+1 literal bytes
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                              # repeat next 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF → (h, w, c) uint8, pure NumPy/stdlib: both byte
+    orders, first IFD, strip layout, compressions none/LZW/PackBits,
+    horizontal-differencing predictor, 8-bit gray / RGB / RGBA and
+    paletted images (16-bit colormap scaled to 8). Tiled files,
+    16-bit samples, and other compressions raise with the tag named."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(off, n):
+        return int.from_bytes(payload[off:off + n], bo)
+
+    ifd = u(4, 4)
+    nent = u(ifd, 2)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(nent):
+        e = ifd + 2 + 12 * i
+        tags[u(e, 2)] = (u(e + 2, 2), u(e + 4, 4), e + 8)
+
+    _SZ = {1: 1, 3: 2, 4: 4}
+
+    def vals(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        if typ not in _SZ:
+            raise ValueError(f"unsupported TIFF field type {typ} (tag {tag})")
+        size = _SZ[typ] * cnt
+        off = voff if size <= 4 else u(voff, 4)
+        return [u(off + _SZ[typ] * k, _SZ[typ]) for k in range(cnt)]
+
+    w = vals(256)[0]
+    h = vals(257)[0]
+    spp = (vals(277) or [1])[0]
+    bps = vals(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF BitsPerSample {bps}; 8-bit only")
+    compression = (vals(259) or [1])[0]
+    photo = (vals(262) or [1])[0]
+    predictor = (vals(317) or [1])[0]
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported (tags 322/323)")
+    offsets = vals(273)
+    counts = vals(279)
+    rps = (vals(278) or [h])[0]
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off:off + cnt]
+        if compression == 1:
+            raw += strip
+        elif compression == 5:
+            raw += _tiff_lzw_decode(strip)
+        elif compression == 32773:
+            raw += _packbits_decode(strip)
+        else:
+            raise ValueError(f"unsupported TIFF compression {compression}")
+    want = h * w * spp
+    if len(raw) < want:
+        raise ValueError("TIFF strip data truncated")
+    img = np.frombuffer(bytes(raw), np.uint8, want).reshape(h, w, spp)
+    if predictor == 2:                             # horizontal differencing
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if photo == 0:                                 # WhiteIsZero
+        img = 255 - img
+    elif photo == 3:                               # palette
+        cmap = vals(320)
+        n = len(cmap) // 3
+        pal = (np.array(cmap, np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        img = pal[img[..., 0]]
+    return img
 
 
 # --------------------------------------------------------------- JPEG (SOF0)
@@ -1212,6 +1351,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     return decode_pnm(payload)                  # PPM/PGM
 
 

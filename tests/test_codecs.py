@@ -1084,3 +1084,153 @@ def test_bmp_rejects():
     bad[30] = 1                                           # RLE8 compression
     with pytest.raises(ValueError, match="compression"):
         decode_bmp(bytes(bad))
+
+
+# ------------------------------------------------------------------ TIFF
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF LZW (spec §13 forward): MSB-first, early change."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits = []
+
+    def emit(code):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    emit(256)                                      # Clear
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        # early change, shifted +1 because the encoder adds entry k at the
+        # stream position where the decoder adds entry k-1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(257)                                      # EOI
+    arr = np.array(bits + [0] * (-len(bits) % 8), np.uint8)
+    return np.packbits(arr).tobytes()
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out += bytes([len(chunk) - 1]) + chunk     # all-literal runs
+    return bytes(out)
+
+
+def _tiff(img, *, compression=1, photo=None, predictor=1, bo="little",
+          palette=None, rows_per_strip=None):
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w * spp)
+    if predictor == 2:
+        d = px.reshape(h, w, spp).astype(np.int64)
+        d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1) & 0xFF
+        px = d.astype(np.uint8).reshape(h, w * spp)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = px[y0:y0 + rps].tobytes()
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+    if photo is None:
+        photo = 3 if palette is not None else (2 if spp >= 3 else 1)
+
+    data_area = bytearray()
+    strip_offs = []
+    base = 8
+    for s in strips:
+        strip_offs.append(base + len(data_area))
+        data_area += s
+
+    def entry(tag, typ, values):
+        sz = {3: 2, 4: 4}[typ]
+        raw = b"".join(v.to_bytes(sz, bo) for v in values)
+        if len(raw) <= 4:
+            return (tag, typ, len(values), raw.ljust(4, b"\x00"), None)
+        off = base + len(data_area)
+        data_area.extend(raw)
+        return (tag, typ, len(values), None, off)
+
+    entries = [entry(256, 3, [w]), entry(257, 3, [h]),
+               entry(258, 3, [8] * spp), entry(259, 3, [compression]),
+               entry(262, 3, [photo]),
+               entry(273, 4, strip_offs), entry(277, 3, [spp]),
+               entry(278, 3, [rps]),
+               entry(279, 4, [len(s) for s in strips])]
+    if predictor != 1:
+        entries.append(entry(317, 3, [predictor]))
+    if palette is not None:
+        n = len(palette)
+        cmap = [int(palette[i, ch]) << 8 for ch in range(3) for i in range(n)]
+        entries.append(entry(320, 3, cmap))
+    entries.sort(key=lambda e: e[0])
+    ifd_off = base + len(data_area)
+    ifd = len(entries).to_bytes(2, bo)
+    for tag, typ, cnt, inline, off in entries:
+        ifd += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo)
+        ifd += inline if inline is not None else off.to_bytes(4, bo)
+    ifd += (0).to_bytes(4, bo)
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    return magic + ifd_off.to_bytes(4, bo) + bytes(data_area) + ifd
+
+
+def test_tiff_uncompressed_both_byte_orders():
+    from gunrock_ray.functions.multimodal import decode_tiff
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    for bo in ("little", "big"):
+        got = decode_tiff(_tiff(img, bo=bo))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_tiff_lzw_with_predictor_and_strips():
+    from gunrock_ray.functions.multimodal import decode_tiff
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (20, 13, 3)).astype(np.uint8)
+    got = decode_tiff(_tiff(img, compression=5, predictor=2,
+                            rows_per_strip=6))
+    np.testing.assert_array_equal(got, img)
+    gray = rng.integers(0, 256, (40, 50)).astype(np.uint8)  # LZW width grows
+    got = decode_tiff(_tiff(gray, compression=5))
+    np.testing.assert_array_equal(got[..., 0] if got.ndim == 3 else got,
+                                  gray)
+
+
+def test_tiff_packbits_palette_whitezero():
+    from gunrock_ray.functions.multimodal import decode_tiff
+    rng = np.random.default_rng(73)
+    rgba = rng.integers(0, 256, (6, 5, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_tiff(_tiff(rgba,
+                                                    compression=32773)),
+                                  rgba)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (8, 9)).astype(np.uint8)
+    got = decode_tiff(_tiff(idx, palette=palette))
+    np.testing.assert_array_equal(got, palette[idx])
+    gray = rng.integers(0, 256, (4, 6)).astype(np.uint8)
+    got = decode_tiff(_tiff(gray, photo=0))               # WhiteIsZero
+    np.testing.assert_array_equal(got[..., 0] if got.ndim == 3 else got,
+                                  255 - gray)
+
+
+def test_tiff_rejects():
+    from gunrock_ray.functions.multimodal import decode_tiff
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"GIF89a..")
+    img = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(_tiff(img, compression=7))            # JPEG-in-TIFF
