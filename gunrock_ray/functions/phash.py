@@ -114,32 +114,29 @@ def image_hashes(media_ds, *, concurrency: int = 4, batch_size: int = 32,
         fn_constructor_kwargs={"codec": codec})
 
 
-def image_near_dup_pairs(media_ds, *, method: str = "dhash",
-                         max_hamming: int = 6, concurrency: int = 4,
-                         num_buckets: int = 64, codec: str = "real"):
-    """Image near-dup pairs {a, b, hamming}: 8×8-bit chunk pigeonhole
-    buckets (covers hamming ≤ 7 ≥ ``max_hamming``) + exact popcount verify
-    against the chunk-bucket minimum id, then a (a, b)-min reduce — the
-    `simhash_near_dup_pairs` scheme over perceptual hashes. Cluster with
-    the engine's distributed CC for keeper selection."""
-    if method not in ("dhash", "phash"):
-        raise ValueError(f"unknown perceptual hash method {method!r}")
+def hamming_near_dup_pairs(sig_ds, *, sig_col: str, id_col: str = "media_id",
+                           max_hamming: int = 6, num_buckets: int = 64):
+    """Generic 64-bit-signature near-dup pairs {a, b, hamming}: 8×8-bit
+    chunk pigeonhole buckets (covers hamming ≤ 7 ≥ ``max_hamming``) +
+    exact popcount verify against the chunk-bucket minimum id, then an
+    (a, b)-min reduce — the `simhash_near_dup_pairs` scheme over ANY
+    uint64 signature column (image dHash/pHash, audio spectral hash,
+    video frame-majority hash). Cluster with the engine's distributed CC
+    for keeper selection."""
     if max_hamming > 7:
         raise ValueError("8-chunk pigeonhole covers max_hamming <= 7")
-    sig = image_hashes(media_ds, concurrency=concurrency, codec=codec)
     nb = np.uint64(num_buckets)
-    col = method
 
     def chunks(batch: pa.Table) -> pa.Table:
-        ids = batch["media_id"].to_numpy()
-        s = batch[col].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy()
+        s = batch[sig_col].to_numpy().astype(np.uint64)
         n = len(ids)
         c = np.repeat(np.arange(8, dtype=np.int64), n)
         k = np.concatenate([((s >> np.uint64(8 * i)) & np.uint64(0xFF))
                             .astype(np.int64) for i in range(8)])
         bkt = (mix64(mix64(c.astype(np.uint64)) ^ k.astype(np.uint64))
                % nb).astype(np.int64)
-        return pa.table({"media_id": pa.array(np.tile(ids, 8)),
+        return pa.table({"mid": pa.array(np.tile(ids, 8)),
                          "chunk": pa.array(c), "key": pa.array(k),
                          "sig": pa.array(np.tile(s.astype(np.int64), 8)),
                          "bkt": pa.array(bkt)})
@@ -147,7 +144,7 @@ def image_near_dup_pairs(media_ds, *, method: str = "dhash",
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         c = group["chunk"].to_numpy()
         k = group["key"].to_numpy()
-        ids = group["media_id"].to_numpy()
+        ids = group["mid"].to_numpy()
         sh = group["sig"].to_numpy().astype(np.uint64)
         order = np.lexsort((ids, k, c))
         c, k, ids, sh = c[order], k[order], ids[order], sh[order]
@@ -164,12 +161,149 @@ def image_near_dup_pairs(media_ds, *, method: str = "dhash",
                          "b": pa.array(ids[keep], pa.int64()),
                          "hamming": pa.array(ham[keep], pa.int64())})
 
-    pairs = (sig.map_batches(chunks, batch_format="pyarrow")
+    pairs = (sig_ds.map_batches(chunks, batch_format="pyarrow")
              .groupby("bkt").map_groups(pairs_of_bucket,
                                         batch_format="pyarrow"))
     from ray.data.aggregate import Min
     return pairs.groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def image_near_dup_pairs(media_ds, *, method: str = "dhash",
+                         max_hamming: int = 6, concurrency: int = 4,
+                         num_buckets: int = 64, codec: str = "real"):
+    """Image near-dup pairs over the chosen perceptual hash — see
+    :func:`hamming_near_dup_pairs` for the pairing scheme."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash method {method!r}")
+    if max_hamming > 7:
+        raise ValueError("8-chunk pigeonhole covers max_hamming <= 7")
+    sig = image_hashes(media_ds, concurrency=concurrency, codec=codec)
+    return hamming_near_dup_pairs(sig, sig_col=method,
+                                  max_hamming=max_hamming,
+                                  num_buckets=num_buckets)
+
+
+def audio_spectral_hash64(wave: np.ndarray, *, window: int = 1024,
+                          hop: int = 512) -> np.uint64:
+    """64-bit audio fingerprint: Hann-windowed power spectrogram → 8
+    log-spaced frequency bands × 8 time pools → bit = pooled log-energy >
+    median. Exactly invariant to amplitude scaling (log shifts uniformly,
+    the median shifts with it) and robust to re-encoding; the audio
+    analog of :func:`phash64`."""
+    need = window + 7 * hop
+    if len(wave) < need:
+        wave = np.pad(wave, (0, need - len(wave)))
+    frames = np.lib.stride_tricks.sliding_window_view(wave, window)[::hop]
+    spec = np.abs(np.fft.rfft(frames * np.hanning(window), axis=1)) ** 2
+    edges = np.unique(np.geomspace(1, spec.shape[1] - 1, 9).astype(int))
+    bands = np.add.reduceat(spec, edges[:-1], axis=1)       # (T, 8)
+    bands = bands / np.diff(edges)       # power DENSITY per bin — without
+    # this the log-spaced band widths dominate and every signal hashes to
+    # "the 4 widest bands win"
+    tpool = (np.arange(8) * len(bands)) // 8
+    pooled = np.add.reduceat(bands, tpool, axis=0)[:8]      # (8, 8)
+    feat = np.log(pooled + 1e-30).ravel()
+    bits = (feat > np.median(feat)).astype(np.uint64)
+    return np.uint64(bits @ _POW2)
+
+
+class AudioSpectralHash:
+    """Actor-pool stage: audio payload (WAV or FLAC) → {media_id, ahash}.
+    Payloads are DROPPED after hashing."""
+
+    def __init__(self, window: int = 1024, hop: int = 512,
+                 codec: str = "real"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.window, self.hop, self.codec = window, hop, codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gunrock_ray.functions.multimodal import decode_flac, decode_wav
+        ids = batch["media_id"].to_numpy()
+        out = np.empty(len(ids), np.uint64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if self.codec == "real":
+                wave = (decode_flac(p) if p[:4] == b"fLaC"
+                        else decode_wav(p))[0]
+            else:
+                seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"),
+                                               np.uint64))[0])
+                wave = np.random.default_rng(seed).standard_normal(4096)
+            out[i] = audio_spectral_hash64(wave, window=self.window,
+                                           hop=self.hop)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "ahash": pa.array(out.astype(np.int64))})
+
+
+def audio_near_dup_pairs(media_ds, *, max_hamming: int = 6,
+                         concurrency: int = 4, num_buckets: int = 64,
+                         codec: str = "real"):
+    """Audio near-dup pairs over the spectral hash — the pairing scheme of
+    :func:`hamming_near_dup_pairs`."""
+    sig = media_ds.map_batches(
+        AudioSpectralHash, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=32,
+        fn_constructor_kwargs={"codec": codec})
+    return hamming_near_dup_pairs(sig, sig_col="ahash",
+                                  max_hamming=max_hamming,
+                                  num_buckets=num_buckets)
+
+
+def video_hash64(frames: np.ndarray, stride: int = 4) -> np.uint64:
+    """64-bit video signature: dHash every ``stride``-th frame, bit =
+    majority vote across sampled frames — stable under mild per-frame
+    noise and small sampling offsets."""
+    sel = frames[::stride]
+    hashes = np.array([dhash64(f) for f in sel], np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64))
+            & np.uint64(1))
+    maj = (bits.sum(axis=0) * 2 > len(sel)).astype(np.uint64)
+    return np.uint64(maj @ _POW2)
+
+
+class VideoHash:
+    """Actor-pool stage: raw video payload (uint8 frame buffer shaped by
+    the meta columns) → {media_id, vhash}."""
+
+    def __init__(self, stride: int = 4, codec: str = "real"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.stride, self.codec = stride, codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        nfs = batch["meta_num_frames"].to_numpy()
+        hs = batch["meta_height"].to_numpy()
+        ws = batch["meta_width"].to_numpy()
+        cs = batch["meta_channels"].to_numpy()
+        out = np.empty(len(ids), np.uint64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            nf, h, w, c = int(nfs[i]), int(hs[i]), int(ws[i]), int(cs[i])
+            if self.codec == "real":
+                frames = np.frombuffer(p, np.uint8,
+                                       nf * h * w * c).reshape(nf, h, w, c)
+            else:
+                seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"),
+                                               np.uint64))[0])
+                frames = np.random.default_rng(seed).integers(
+                    0, 256, (nf, h, w, c), dtype=np.uint8)
+            out[i] = video_hash64(frames, self.stride)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "vhash": pa.array(out.astype(np.int64))})
+
+
+def video_near_dup_pairs(media_ds, *, max_hamming: int = 6, stride: int = 4,
+                         concurrency: int = 4, num_buckets: int = 64,
+                         codec: str = "real"):
+    """Video near-dup pairs over the frame-majority hash."""
+    sig = media_ds.map_batches(
+        VideoHash, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=8,
+        fn_constructor_kwargs={"stride": stride, "codec": codec})
+    return hamming_near_dup_pairs(sig, sig_col="vhash",
+                                  max_hamming=max_hamming,
+                                  num_buckets=num_buckets)
 
 
 def image_keepers(media_ds, *, method: str = "dhash", max_hamming: int = 6,

@@ -187,3 +187,71 @@ def test_flac_fixed_orders_all():
         wave, _ = decode_flac(payload)
         np.testing.assert_allclose(wave, sig / 32768.0, rtol=0, atol=0,
                                    err_msg=f"order {order}")
+
+
+def test_audio_spectral_hash_properties():
+    from gunrock_ray.functions.phash import audio_spectral_hash64
+
+    rng = np.random.default_rng(77)
+    t = np.arange(16000) / 8000.0
+    # a chirpy multi-tone signal
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.3 * np.sin(2 * np.pi * 1200 * t + 1.0)
+           + 0.1 * np.sin(2 * np.pi * 3000 * t))
+    h0 = audio_spectral_hash64(sig)
+    # exact amplitude invariance
+    assert audio_spectral_hash64(0.31 * sig) == h0
+    # 16-bit quantization (a WAV roundtrip) barely moves it
+    q = np.round(sig * 32767) / 32767.0
+    assert _ham(h0, audio_spectral_hash64(q)) <= 2
+    # different content is far
+    other = rng.standard_normal(16000) * 0.2
+    assert _ham(h0, audio_spectral_hash64(other)) > 10
+
+
+def test_audio_near_dup_pipeline(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.multimodal import encode_wav
+    from gunrock_ray.functions.phash import audio_near_dup_pairs
+
+    t = np.arange(16000) / 8000.0
+    a = 0.4 * np.sin(2 * np.pi * 523 * t) + 0.2 * np.sin(2 * np.pi * 1319 * t)
+    b = np.sign(np.sin(2 * np.pi * 200 * t)) * 0.3      # square wave: far
+    rows = [(0, encode_wav(a, 8000)),
+            (1, encode_wav(a * 0.7, 8000)),             # scaled dup of 0
+            (2, encode_wav(b, 8000))]
+    tb = pa.table({"media_id": pa.array([r[0] for r in rows], pa.int64()),
+                   "payload": pa.array([r[1] for r in rows], pa.binary())})
+    pairs = audio_near_dup_pairs(ray.data.from_arrow(tb), max_hamming=4,
+                                 concurrency=2, num_buckets=8).to_pandas()
+    got = {(int(r["a"]), int(r["b"])) for _, r in pairs.iterrows()}
+    assert (0, 1) in got or (1, 0) in got
+    assert not any(2 in p for p in got)
+
+
+def test_video_hash_majority_and_pipeline(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.phash import (
+        VideoHash, video_hash64, video_near_dup_pairs)
+
+    rng = np.random.default_rng(83)
+    base = np.stack([_smooth_img(200 + f // 4, 32, 32) for f in range(16)])
+    noisy = np.clip(base.astype(np.int64)
+                    + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+    assert _ham(video_hash64(base), video_hash64(noisy)) <= 4
+    other = np.stack([_smooth_img(300 + f, 32, 32) for f in range(16)])
+    assert _ham(video_hash64(base), video_hash64(other)) > 10
+
+    def row(mid, frames):
+        return {"media_id": mid, "payload": frames.tobytes(),
+                "meta_num_frames": 16, "meta_height": 32,
+                "meta_width": 32, "meta_channels": 3}
+
+    t = pa.Table.from_pylist([row(0, base), row(1, noisy), row(2, other)])
+    pairs = video_near_dup_pairs(ray.data.from_arrow(t), max_hamming=4,
+                                 concurrency=2, num_buckets=8).to_pandas()
+    got = {(int(r["a"]), int(r["b"])) for _, r in pairs.iterrows()}
+    assert (0, 1) in got or (1, 0) in got
+    assert not any(2 in p for p in got)
