@@ -432,6 +432,48 @@ def cmd_dedup(args) -> dict:
     return summary
 
 
+def cmd_media(args) -> dict:
+    """Media family over a {media_id, payload, meta_*} Parquet: perceptual
+    hashes, near-dup pairs/keepers (image/audio/video), MP4 sample index."""
+    import ray.data
+
+    from gunrock_ray.functions import phash as ph
+    from gunrock_ray.functions.multimodal import Mp4SampleIndex
+    _init_ray()
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(args.input)
+    if args.op == "hash":
+        res = ph.image_hashes(ds, concurrency=args.concurrency,
+                              codec=args.codec)
+    elif args.op == "neardup":
+        if args.modality == "image":
+            res = ph.image_near_dup_pairs(
+                ds, method=args.method, max_hamming=args.max_hamming,
+                concurrency=args.concurrency, codec=args.codec)
+        elif args.modality == "audio":
+            res = ph.audio_near_dup_pairs(
+                ds, max_hamming=args.max_hamming,
+                concurrency=args.concurrency, codec=args.codec)
+        else:
+            res = ph.video_near_dup_pairs(
+                ds, max_hamming=args.max_hamming,
+                concurrency=args.concurrency, codec=args.codec)
+    elif args.op == "keepers":
+        res = ph.image_keepers(ds, method=args.method,
+                               max_hamming=args.max_hamming,
+                               concurrency=args.concurrency,
+                               codec=args.codec)
+    else:                                    # index: MP4 sample ranges
+        res = ds.map_batches(Mp4SampleIndex, batch_format="pyarrow",
+                             concurrency=(1, args.concurrency),
+                             batch_size=8)
+    rows = _write_result(args.out, res)
+    summary = {"cmd": "media", "op": args.op, "rows": rows,
+               "t_run_s": round(time.perf_counter() - t0, 3)}
+    print(json.dumps(summary))
+    return summary
+
+
 def cmd_ann(args) -> dict:
     from gunrock_ray.functions import ann as annf
     _init_ray()
@@ -837,6 +879,20 @@ def main(argv=None) -> None:
     ded.add_argument("--kmeans-iters", type=int, default=5,
                      help="semdedup: Lloyd passes")
 
+    med = sub.add_parser("media", help="perceptual hashing / near-dup / "
+                         "MP4 indexing over a media Parquet")
+    med.add_argument("--op", required=True,
+                     choices=["hash", "neardup", "keepers", "index"])
+    med.add_argument("--input", required=True)
+    med.add_argument("--out", default="/tmp/gunrock_ray_media")
+    med.add_argument("--modality", default="image",
+                     choices=["image", "audio", "video"])
+    med.add_argument("--method", default="dhash",
+                     choices=["dhash", "phash"])
+    med.add_argument("--max-hamming", type=int, default=6)
+    med.add_argument("--concurrency", type=int, default=4)
+    med.add_argument("--codec", default="real", choices=["real", "fake"])
+
     annp = sub.add_parser("ann", help="cosine top-k over an embeddings Parquet")
     annp.add_argument("--method", default="brute",
                       choices=["brute", "lsh", "ivf", "pq", "ivfpq"])
@@ -987,6 +1043,8 @@ def main(argv=None) -> None:
         cmd_dedup(args)
     elif args.cmd == "ann":
         cmd_ann(args)
+    elif args.cmd == "media":
+        cmd_media(args)
     elif args.cmd == "analyze":
         cmd_analyze(args)
     elif args.cmd == "curate":

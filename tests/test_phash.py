@@ -255,3 +255,35 @@ def test_video_hash_majority_and_pipeline(ray_session):
     got = {(int(r["a"]), int(r["b"])) for _, r in pairs.iterrows()}
     assert (0, 1) in got or (1, 0) in got
     assert not any(2 in p for p in got)
+
+
+def test_cli_media_chain(tmp_path):
+    """CLI: hash + keepers over a media Parquet in a fresh process."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    img = _smooth_img(17)
+    rows.append((0, encode_png(img)))
+    rows.append((1, encode_ppm(img)))
+    rows.append((2, encode_png(_smooth_img(18))))
+    t = pa.table({"media_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    src = tmp_path / "media.parquet"
+    pq.write_table(t, src)
+    out = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "media", "--op", "keepers",
+         "--input", str(src), "--out", str(tmp_path / "keep"),
+         "--max-hamming", "4", "--concurrency", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 2                  # the planted dup pair
+    import pyarrow.dataset as pads
+    got = pads.dataset(str(tmp_path / "keep")).to_table().to_pandas() \
+        .set_index("media_id")
+    assert bool(got.loc[0, "keep"]) and not bool(got.loc[1, "keep"])
