@@ -621,15 +621,19 @@ _JPEG_IDCT_M = np.array(
 
 
 class _JpegHuffTable:
-    """Canonical JPEG Huffman table (spec Annex C): decode via a
-    (codelength, code) -> value dict, reading one bit at a time."""
+    """Canonical JPEG Huffman table (spec Annex C) compiled to a 16-bit
+    peek LUT: one table lookup per symbol instead of per-bit probing."""
 
     def __init__(self, bits: bytes, values: bytes):
-        self.lut: dict[tuple[int, int], int] = {}
+        self.lut_val = np.zeros(1 << 16, np.uint8)
+        self.lut_len = np.zeros(1 << 16, np.uint8)
         code, k = 0, 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
-                self.lut[(ln, code)] = values[k]
+                start = code << (16 - ln)
+                end = (code + 1) << (16 - ln)
+                self.lut_val[start:end] = values[k]
+                self.lut_len[start:end] = ln
                 code += 1
                 k += 1
             code <<= 1
@@ -637,38 +641,46 @@ class _JpegHuffTable:
 
 class _JpegBitReader:
     """MSB-first bit reader over one entropy-coded segment (stuffed 0xFF00
-    bytes already removed)."""
+    bytes already removed), buffered for 16-bit peeks."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data exhausted")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill(self, need: int):
+        while self.nbits < need and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-        return b
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        if n > self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
     def decode_huff(self, table: _JpegHuffTable) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            v = table.lut.get((ln, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid JPEG Huffman code")
+        self._fill(16)
+        if self.nbits >= 16:
+            peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        else:                      # end of segment: zero-pad the peek only
+            peek = (self.acc << (16 - self.nbits)) & 0xFFFF
+        ln = int(table.lut_len[peek])
+        if ln == 0 or ln > self.nbits:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return int(table.lut_val[peek])
 
 
 def _jpeg_extend(v: int, size: int) -> int:
