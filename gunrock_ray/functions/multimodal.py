@@ -26,6 +26,11 @@ plumbing). ``codec='real'`` decodes without any external library:
 - **TIFF**: both byte orders, strips, none/LZW(early-change)/PackBits
   compression, horizontal-differencing predictor, 8-bit
   gray/RGB/RGBA/palette, WhiteIsZero.
+- **WEBP lossless (VP8L), spec-complete** (``gunrock_ray.functions.webp``):
+  canonical prefix codes, color cache, meta prefix groups, LZ77 with the
+  2D distance map, and all four transforms (predictor / color /
+  subtract-green / color-indexing with pixel bundling). Lossy VP8 needs
+  libwebp and raises ValueError.
 - binary PPM (P6) / PGM (P5) via NumPy.
 - **PCM WAV** via the stdlib ``wave`` module, and a **FLAC subset**
   (STREAMINFO + frames with constant/verbatim/fixed-prediction
@@ -1365,6 +1370,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gunrock_ray.functions.webp import decode_webp
+        return decode_webp(payload)
     return decode_pnm(payload)                  # PPM/PGM
 
 

@@ -1,0 +1,447 @@
+"""WEBP lossless (VP8L) decoder — pure NumPy/stdlib, no libwebp.
+
+Implements the complete VP8L lossless bitstream (the "WebP Lossless
+Bitstream Specification"): RIFF/VP8X container walk, LSB-first bit
+reading, simple and code-length-coded canonical prefix codes (with
+repeat codes 16/17/18 and the max_symbol shortcut), color cache, meta
+prefix-code groups, LZ77 backward references through the 120-entry 2D
+distance map, and all four transforms (predictor with the 14 predictor
+modes, color transform, subtract-green, color indexing with pixel
+bundling) applied inverse in reverse order.
+
+Lossy WEBP (VP8 chunks) needs libwebp and raises ValueError.
+
+Python-loop entropy decode like the JPEG path: sized for test fixtures
+and thumbnail-scale payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# (xoffset, yoffset) pairs for distance codes 1..120 (spec section 4.2.2)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+
+class _Bits:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                       # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        d = self.data
+        p = self.pos
+        if (p + n - 1) >> 3 >= len(d):
+            raise ValueError("VP8L bitstream exhausted")
+        for i in range(n):
+            v |= ((d[p >> 3] >> (p & 7)) & 1) << i
+            p += 1
+        self.pos = p
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code (DEFLATE-style assignment); codes are read
+    MSB-of-code-first, one bit at a time."""
+
+    def __init__(self, lengths):
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 0:
+            raise ValueError("VP8L empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.lut = None
+            return
+        self.single = None
+        self.lut = {}
+        code = 0
+        maxlen = max(ln for ln, _ in nz)
+        for ln in range(1, maxlen + 1):
+            for sym, l2 in enumerate(lengths):
+                if l2 == ln:
+                    self.lut[(ln, code)] = sym
+                    code += 1
+            code <<= 1
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= 15:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    if br.read(1):                                   # simple code
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        sym0 = br.read(8 if first_8bit else 1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            lengths[sym0] = 1                        # 0-bit single symbol
+            p = _Prefix(lengths)
+            return p
+        sym1 = br.read(8)
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Prefix(lengths)
+    # normal: code-length code first
+    num_codes = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_tree = _Prefix(cl_lengths)
+    if br.read(1):                                   # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_code_len = 8
+    symbol = 0
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        code_len = cl_tree.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_code_len = code_len
+        else:
+            if code_len == 16:
+                repeat, val = 3 + br.read(2), prev_code_len
+            elif code_len == 17:
+                repeat, val = 3 + br.read(3), 0
+            else:
+                repeat, val = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflows")
+            for _ in range(repeat):
+                lengths[symbol] = val
+                symbol += 1
+    return _Prefix(lengths)
+
+
+def _lz77_value(prefix_code: int, br: _Bits) -> int:
+    """Length/distance prefix-coded value (spec 4.2.2)."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _cache_hash(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_entropy_image(br: _Bits, w: int, h: int,
+                          spatially_coded: bool) -> np.ndarray:
+    """One VP8L entropy-coded ARGB image (uint32, shape (h, w)) — the
+    shared machinery for the main image, meta images, transform
+    sub-images, and palettes."""
+    meta = None
+    hb = 0
+    num_groups = 1
+    if spatially_coded and br.read(1):               # meta prefix codes
+        hb = 2 + br.read(3)
+        mw = (w + (1 << hb) - 1) >> hb
+        mh = (h + (1 << hb) - 1) >> hb
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(meta.max()) + 1
+    cache_bits = 0
+    if br.read(1):                                   # color cache
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad VP8L color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(num_groups):
+        green = _read_prefix_code(br, 256 + 24 + cache_size)
+        red = _read_prefix_code(br, 256)
+        blue = _read_prefix_code(br, 256)
+        alpha = _read_prefix_code(br, 256)
+        dist = _read_prefix_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    cache = [0] * cache_size
+    out = np.zeros(h * w, np.uint32)
+    pos = 0
+    n = h * w
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            g = groups[int(meta[y >> hb, x >> hb])]
+        else:
+            g = groups[0]
+        s = g[0].decode(br)
+        if s < 256:                                  # literal
+            red = g[1].decode(br)
+            blue = g[2].decode(br)
+            alpha = g[3].decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache_bits:
+                cache[_cache_hash(px, cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:                           # LZ77 backward copy
+            length = _lz77_value(s - 256, br)
+            dist_code = _lz77_value(g[4].decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for i in range(length):                  # may self-overlap
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_bits:
+                    cache[_cache_hash(px, cache_bits)] = px
+                pos += 1
+        else:                                        # color-cache hit
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("VP8L cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-channel (a + b) >> 1 over packed ARGB uint32."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _channels(p: int):
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    a = np.uint32(left)
+    if mode == 5:
+        return int(_avg2(_avg2(a, np.uint32(tr)), np.uint32(top)))
+    if mode == 6:
+        return int(_avg2(a, np.uint32(tl)))
+    if mode == 7:
+        return int(_avg2(a, np.uint32(top)))
+    if mode == 8:
+        return int(_avg2(np.uint32(tl), np.uint32(top)))
+    if mode == 9:
+        return int(_avg2(np.uint32(top), np.uint32(tr)))
+    if mode == 10:
+        return int(_avg2(_avg2(a, np.uint32(tl)),
+                         _avg2(np.uint32(top), np.uint32(tr))))
+    if mode == 11:                                   # Select
+        pa_pb = 0
+        for cl, ct, ctl in zip(_channels(left), _channels(top),
+                               _channels(tl)):
+            pa_pb += abs(cl - ctl) - abs(ct - ctl)
+        return top if pa_pb <= 0 else left
+    if mode == 12:                                   # clamped L + T - TL
+        px = 0
+        for sh in (24, 16, 8, 0):
+            v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) \
+                - ((tl >> sh) & 0xFF)
+            px |= max(0, min(255, v)) << sh
+        return px
+    if mode == 13:                                   # clamped half
+        px = 0
+        for sh in (24, 16, 8, 0):
+            ave = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
+            v = ave + int((ave - ((tl >> sh) & 0xFF)) / 2)
+            px |= max(0, min(255, v)) << sh
+        return px
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _add_pixels(a: int, b: int) -> int:
+    """Per-channel mod-256 sum of packed ARGB."""
+    return (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00) | \
+           (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+
+
+def _inv_predictor(img: np.ndarray, sub: np.ndarray, bits: int) -> np.ndarray:
+    h, w = img.shape
+    flat = img.reshape(-1).astype(np.uint32).copy()
+    modes = ((sub >> 8) & 0xFF).astype(np.int64)
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(flat[pos - 1])
+        elif x == 0:
+            pred = int(flat[pos - w])
+        else:
+            mode = int(modes[y >> bits, x >> bits])
+            pred = _predict(mode, int(flat[pos - 1]), int(flat[pos - w]),
+                            int(flat[pos - w - 1]), int(flat[pos - w + 1]))
+        flat[pos] = _add_pixels(int(flat[pos]), pred)
+    return flat.reshape(h, w)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """(int8 t * int8 c) >> 5 (arithmetic)."""
+    t8 = t - 256 if t >= 128 else t
+    c8 = c - 256 if c >= 128 else c
+    return (t8 * c8) >> 5
+
+
+def _inv_color_transform(img: np.ndarray, sub: np.ndarray,
+                         bits: int) -> np.ndarray:
+    h, w = img.shape
+    out = img.astype(np.uint32).copy()
+    for y in range(h):
+        for x in range(w):
+            cte = int(sub[y >> bits, x >> bits])
+            g2r = cte & 0xFF
+            g2b = (cte >> 8) & 0xFF
+            r2b = (cte >> 16) & 0xFF
+            px = int(out[y, x])
+            a, r, g, b = _channels(px)
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WEBP lossless → (h, w, 4) uint8 RGBA. Walks the RIFF container
+    (including VP8X extended files) to the VP8L chunk; lossy VP8/alpha
+    chunks raise ValueError naming libwebp."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            raise ValueError("lossy WEBP (VP8) needs libwebp; "
+                             "only lossless VP8L is supported")
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("WEBP has no VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _Bits(vp8l)
+    br.pos = 8
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                       # alpha-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []
+    dec_w = w
+    while br.read(1):                                # transform list
+        ttype = br.read(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("duplicate VP8L transform")
+        if ttype in (0, 1):                          # predictor / color
+            bits = br.read(3) + 2
+            sw = (dec_w + (1 << bits) - 1) >> bits
+            sh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, sw, sh, False)
+            transforms.append((ttype, bits, sub))
+        elif ttype == 2:                             # subtract green
+            transforms.append((2, None, None))
+        else:                                        # color indexing
+            pal_size = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, pal_size, 1, False)
+            # palette entries are delta-coded left to right
+            pal = np.zeros(pal_size, np.uint32)
+            prev = 0
+            for i in range(pal_size):
+                prev = _add_pixels(prev, int(pal_img[0, i]))
+                pal[i] = prev
+            if pal_size <= 2:
+                xbits = 3
+            elif pal_size <= 4:
+                xbits = 2
+            elif pal_size <= 16:
+                xbits = 1
+            else:
+                xbits = 0
+            transforms.append((3, (xbits, pal), None))
+            dec_w = (dec_w + (1 << xbits) - 1) >> xbits
+    img = _decode_entropy_image(br, dec_w, h, True)
+    for t in reversed(transforms):
+        ttype = t[0]
+        if ttype == 0:
+            img = _inv_predictor(img, t[2], t[1])
+        elif ttype == 1:
+            img = _inv_color_transform(img, t[2], t[1])
+        elif ttype == 2:
+            img = _inv_subtract_green(img)
+        else:
+            xbits, pal = t[1]
+            if xbits:
+                ppp = 1 << xbits                     # pixels per packed px
+                ibits = 8 >> xbits                   # bits per index
+                mask = (1 << ibits) - 1
+                greens = ((img >> 8) & 0xFF).astype(np.int64)
+                idx = np.zeros((h, img.shape[1] * ppp), np.int64)
+                for i in range(ppp):
+                    idx[:, i::ppp] = (greens >> (ibits * i)) & mask
+                idx = idx[:, :w]
+            else:
+                idx = ((img >> 8) & 0xFF).astype(np.int64)
+            if int(idx.max()) >= len(pal):
+                raise ValueError("VP8L palette index out of range")
+            img = pal[idx]
+    a = ((img >> 24) & 0xFF).astype(np.uint8)
+    r = ((img >> 16) & 0xFF).astype(np.uint8)
+    g = ((img >> 8) & 0xFF).astype(np.uint8)
+    b = (img & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b, a], axis=2)

@@ -1,0 +1,480 @@
+"""WEBP lossless (VP8L) decoder tests against a spec-following test-side
+encoder (bit writer, canonical prefix codes, code-length-code
+serialization, color cache, LZ77 tokens, all four transforms).
+No Ray needed — pure codec layer."""
+
+import numpy as np
+import pytest
+
+from gunrock_ray.functions.multimodal import decode_image
+from gunrock_ray.functions.webp import _DIST_MAP, decode_webp
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+
+class _WBits:
+    """LSB-first bit writer (VP8L convention)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def write(self, val, n):
+        for i in range(n):
+            self.bits.append((val >> i) & 1)
+
+    def write_code(self, code, n):
+        """Prefix codes go MSB-of-code-first."""
+        for i in reversed(range(n)):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+def _canon_codes(lengths):
+    """Same canonical assignment as the decoder (length-major)."""
+    codes = {}
+    code = 0
+    for ln in range(1, max(lengths) + 1):
+        for sym, l2 in enumerate(lengths):
+            if l2 == ln:
+                codes[sym] = (ln, code)
+                code += 1
+        code <<= 1
+    return codes
+
+
+class _Tree:
+    """Fixed-length canonical code over the used symbol set, with the
+    VP8L serialized form (simple code when possible, else a
+    code-length-coded normal code using zero-run tokens 17/18)."""
+
+    def __init__(self, used, alphabet_size):
+        used = sorted(set(used))
+        assert used, "empty symbol stream"
+        self.alphabet_size = alphabet_size
+        self.simple = len(used) <= 2 and max(used) <= 255
+        lengths = [0] * alphabet_size
+        if self.simple:
+            self.syms = used
+            for s in used:
+                lengths[s] = 1
+        else:
+            bl = max(1, (len(used) - 1).bit_length())
+            for s in used:
+                lengths[s] = bl
+        self.lengths = lengths
+        self.codes = _canon_codes(lengths) if not (
+            self.simple and len(used) == 1) else {used[0]: (0, 0)}
+
+    def write_def(self, bw: _WBits):
+        if self.simple:
+            bw.write(1, 1)                       # simple code
+            bw.write(len(self.syms) - 1, 1)
+            bw.write(1, 1)                       # first symbol in 8 bits
+            bw.write(self.syms[0], 8)
+            if len(self.syms) == 2:
+                bw.write(self.syms[1], 8)
+            return
+        bw.write(0, 1)                           # normal code
+        # serialize self.lengths with the code-length alphabet
+        tokens = []                              # (cl_sym, extra, extra_bits)
+        i = 0
+        L = self.lengths
+        while i < len(L):
+            if L[i] == 0:
+                j = i
+                while j < len(L) and L[j] == 0:
+                    j += 1
+                run = j - i
+                while run >= 3:
+                    r = min(run, 138)
+                    if r >= 11:
+                        tokens.append((18, r - 11, 7))
+                    else:
+                        tokens.append((17, r - 3, 3))
+                    run -= r
+                for _ in range(run):
+                    tokens.append((0, 0, 0))
+                i = j
+            else:
+                tokens.append((L[i], 0, 0))
+                i += 1
+        cl_used = sorted({t[0] for t in tokens})
+        cl_lengths = [0] * 19
+        if len(cl_used) == 1:
+            cl_lengths[cl_used[0]] = 1           # decoder's single-sym path
+            cl_codes = {cl_used[0]: (0, 0)}
+        else:
+            bl = max(1, (len(cl_used) - 1).bit_length())
+            for s in cl_used:
+                cl_lengths[s] = bl
+            cl_codes = _canon_codes(cl_lengths)
+        num_codes = max(max(_CL_ORDER.index(s) for s in cl_used) + 1, 4)
+        bw.write(num_codes - 4, 4)
+        for k in range(num_codes):
+            bw.write(cl_lengths[_CL_ORDER[k]], 3)
+        bw.write(0, 1)                           # no max_symbol shortcut
+        for sym, extra, ebits in tokens:
+            ln, code = cl_codes[sym]
+            bw.write_code(code, ln)
+            if ebits:
+                bw.write(extra, ebits)
+
+    def emit(self, bw: _WBits, sym):
+        ln, code = self.codes[sym]
+        bw.write_code(code, ln)
+
+
+def _lz77_prefix(v):
+    """Inverse of the decoder's _lz77_value: value → (prefix, extra, nbits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    v2 = v - 1
+    extra = v2.bit_length() - 2
+    base = v2 >> extra                           # 2 or 3
+    pc = 2 * extra + 2 + (base - 2)
+    return pc, v2 - (base << extra), extra
+
+
+def _cache_hash(argb, bits):
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _sub_px(a, b):
+    """Per-channel (a - b) mod 256 over packed ARGB."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _tokenize(flat, w, cache_bits, lz77):
+    """Pixel stream → (tokens, cache trace). Greedy dist-1 / dist-w runs
+    when lz77 is on; color-cache hits when cache_bits > 0."""
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    n = len(flat)
+    pos = 0
+    while pos < n:
+        px = int(flat[pos])
+        if lz77 and pos > 0:
+            best_len, best_dist = 0, 0
+            for dist in ([1, w] if pos >= w else [1]):
+                ln = 0
+                while pos + ln < n and ln < 4096 and \
+                        int(flat[pos + ln]) == int(flat[pos + ln - dist]):
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+            if best_len >= 3:
+                tokens.append(("copy", best_len, best_dist))
+                if cache is not None:
+                    for i in range(best_len):
+                        c = int(flat[pos + i])
+                        cache[_cache_hash(c, cache_bits)] = c
+                pos += best_len
+                continue
+        if cache is not None:
+            idx = _cache_hash(px, cache_bits)
+            if cache[idx] == px:
+                tokens.append(("cache", idx))
+                pos += 1
+                continue
+            cache[idx] = px
+        tokens.append(("lit", px))
+        pos += 1
+    return tokens
+
+
+def _write_entropy_image(bw, flat, w, h, *, spatial, cache_bits=0,
+                         lz77=False, meta=None, meta_hb=0):
+    """Encode one ARGB pixel stream. ``meta`` is an (mh, mw) int group
+    map (spatial images only); tokens are split per group."""
+    assert len(flat) == w * h
+    if spatial:
+        if meta is not None:
+            bw.write(1, 1)
+            bw.write(meta_hb - 2, 3)
+            mh, mw = meta.shape
+            mflat = [(int(g) << 8) for g in meta.reshape(-1)]
+            _write_entropy_image(bw, mflat, mw, mh, spatial=False)
+        else:
+            bw.write(0, 1)
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    tokens = _tokenize(flat, w, cache_bits, lz77)
+
+    def group_of(pos):
+        if meta is None:
+            return 0
+        y, x = divmod(pos, w)
+        return int(meta[y >> meta_hb, x >> meta_hb])
+
+    num_groups = (int(meta.max()) + 1) if meta is not None else 1
+    # bucket symbol streams per group to build each group's trees
+    streams = [{"g": [], "r": [], "b": [], "a": [], "d": []}
+               for _ in range(num_groups)]
+    pos = 0
+    placed = []                                  # (group, token)
+    for t in tokens:
+        g = group_of(pos)
+        placed.append((g, t))
+        s = streams[g]
+        if t[0] == "lit":
+            px = t[1]
+            s["g"].append((px >> 8) & 0xFF)
+            s["r"].append((px >> 16) & 0xFF)
+            s["b"].append(px & 0xFF)
+            s["a"].append((px >> 24) & 0xFF)
+            pos += 1
+        elif t[0] == "cache":
+            s["g"].append(256 + 24 + t[1])
+            pos += 1
+        else:
+            _, ln, dist = t
+            s["g"].append(256 + _lz77_prefix(ln)[0])
+            if dist == 1:
+                dc = _DIST_MAP.index((1, 0)) + 1
+            elif dist == w:
+                dc = _DIST_MAP.index((0, 1)) + 1
+            else:
+                dc = dist + 120
+            s["d"].append(_lz77_prefix(dc)[0])
+            pos += ln
+    trees = []
+    for s in streams:
+        trees.append((
+            _Tree(s["g"] or [0], 256 + 24 + cache_size),
+            _Tree(s["r"] or [0], 256),
+            _Tree(s["b"] or [0], 256),
+            _Tree(s["a"] or [0xFF], 256),
+            _Tree(s["d"] or [0], 40)))
+    for tg, tr, tb, ta, td in trees:
+        tg.write_def(bw)
+        tr.write_def(bw)
+        tb.write_def(bw)
+        ta.write_def(bw)
+        td.write_def(bw)
+    for g, t in placed:
+        tg, tr, tb, ta, td = trees[g]
+        if t[0] == "lit":
+            px = t[1]
+            tg.emit(bw, (px >> 8) & 0xFF)
+            tr.emit(bw, (px >> 16) & 0xFF)
+            tb.emit(bw, px & 0xFF)
+            ta.emit(bw, (px >> 24) & 0xFF)
+        elif t[0] == "cache":
+            tg.emit(bw, 256 + 24 + t[1])
+        else:
+            _, ln, dist = t
+            pc, extra, ebits = _lz77_prefix(ln)
+            tg.emit(bw, 256 + pc)
+            bw.write(extra, ebits)
+            if dist == 1:
+                dc = _DIST_MAP.index((1, 0)) + 1
+            elif dist == w:
+                dc = _DIST_MAP.index((0, 1)) + 1
+            else:
+                dc = dist + 120
+            pc, extra, ebits = _lz77_prefix(dc)
+            td.emit(bw, pc)
+            bw.write(extra, ebits)
+
+
+def _container(vp8l: bytes) -> bytes:
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _pack_argb(img_rgba: np.ndarray) -> np.ndarray:
+    r, g, b, a = (img_rgba[..., i].astype(np.uint32) for i in range(4))
+    return ((a << 24) | (r << 16) | (g << 8) | b).reshape(-1)
+
+
+def encode_vp8l(img_rgba, *, cache_bits=0, lz77=False, subtract_green=False,
+                palette=False, predictor_mode=None, predictor_bits=4,
+                meta=None, meta_hb=0):
+    """Spec-following VP8L encoder for fixtures. Transforms are applied
+    in the listed stream order (decoder inverts them in reverse)."""
+    h, w, _ = img_rgba.shape
+    bw = _WBits()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)                               # alpha hint
+    bw.write(0, 3)                               # version
+    flat = _pack_argb(img_rgba)
+    dec_w = w
+    if predictor_mode is not None:
+        bits = predictor_bits
+        bw.write(1, 1)
+        bw.write(0, 2)                           # transform 0: predictor
+        bw.write(bits - 2, 3)
+        sw = (w + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        sub = [(0xFF000000 | (predictor_mode << 8))] * (sw * sh)
+        _write_entropy_image(bw, sub, sw, sh, spatial=False)
+        # residuals against reconstructed (= actual) neighbours, scan order
+        from gunrock_ray.functions.webp import _predict
+        res = np.zeros_like(flat)
+        for pos in range(h * w):
+            y, x = divmod(pos, w)
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(flat[pos - 1])
+            elif x == 0:
+                pred = int(flat[pos - w])
+            else:
+                pred = _predict(predictor_mode, int(flat[pos - 1]),
+                                int(flat[pos - w]), int(flat[pos - w - 1]),
+                                int(flat[pos - w + 1]))
+            res[pos] = _sub_px(int(flat[pos]), pred)
+        flat = res
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)                           # transform 2
+        g = (flat >> 8) & 0xFF
+        r = (((flat >> 16) & 0xFF) - g) & 0xFF
+        b = ((flat & 0xFF) - g) & 0xFF
+        flat = (flat & 0xFF00FF00) | (r << 16) | b
+    if palette:
+        bw.write(1, 1)
+        bw.write(3, 2)                           # transform 3
+        pal, inv = np.unique(flat, return_inverse=True)
+        assert len(pal) <= 256
+        bw.write(len(pal) - 1, 8)
+        deltas = [int(pal[0])] + [_sub_px(int(pal[i]), int(pal[i - 1]))
+                                  for i in range(1, len(pal))]
+        _write_entropy_image(bw, deltas, len(pal), 1, spatial=False)
+        if len(pal) <= 2:
+            xbits = 3
+        elif len(pal) <= 4:
+            xbits = 2
+        elif len(pal) <= 16:
+            xbits = 1
+        else:
+            xbits = 0
+        ppp = 1 << xbits
+        ibits = 8 >> xbits
+        dec_w = (w + ppp - 1) >> xbits
+        idx = inv.reshape(h, w)
+        packed = np.zeros((h, dec_w), np.uint32)
+        for i in range(ppp):
+            col = idx[:, i::ppp]
+            packed[:, :col.shape[1]] |= col.astype(np.uint32) << (ibits * i)
+        flat = (0xFF000000 | (packed << 8)).reshape(-1)
+    bw.write(0, 1)                               # end of transforms
+    _write_entropy_image(bw, [int(p) for p in flat], dec_w, h, spatial=True,
+                         cache_bits=cache_bits, lz77=lz77, meta=meta,
+                         meta_hb=meta_hb)
+    return _container(bw.bytes())
+
+
+def _rand_rgba(h, w, seed, levels=None):
+    rng = np.random.default_rng(seed)
+    if levels is None:
+        return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    vals = rng.integers(0, 256, size=(levels, 4), dtype=np.uint8)
+    return vals[rng.integers(0, levels, size=(h, w))]
+
+
+def test_webp_literal_roundtrip():
+    img = _rand_rgba(7, 11, seed=1)
+    out = decode_webp(encode_vp8l(img))
+    assert out.shape == (7, 11, 4)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_webp_simple_codes_single_and_two_symbol():
+    # constant image → 1-used-symbol simple codes (0-bit decode path)
+    img = np.full((5, 9, 4), 200, np.uint8)
+    np.testing.assert_array_equal(decode_webp(encode_vp8l(img)), img)
+    # two-level image → 2-symbol simple codes
+    img2 = _rand_rgba(6, 6, seed=2, levels=2)
+    np.testing.assert_array_equal(decode_webp(encode_vp8l(img2)), img2)
+
+
+def test_webp_color_cache_and_lz77():
+    # tiled rows exercise dist-1 / dist-w backward refs + cache hits
+    rng = np.random.default_rng(3)
+    row = rng.integers(0, 256, size=(1, 16, 4), dtype=np.uint8)
+    img = np.repeat(row, 12, axis=0)
+    img[5, 3:9] = img[5, 2]                      # horizontal run
+    enc = encode_vp8l(img, cache_bits=4, lz77=True)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+    # token stream actually used copies (encoded much smaller than literal)
+    assert len(enc) < len(encode_vp8l(img)) * 0.7
+
+
+def test_webp_subtract_green():
+    img = _rand_rgba(9, 5, seed=4)
+    enc = encode_vp8l(img, subtract_green=True)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+
+
+@pytest.mark.parametrize("levels", [2, 4, 13, 40])
+def test_webp_palette_bundling(levels):
+    # levels ≤16 take the pixel-bundling path (xbits 3/2/1), 40 → xbits 0
+    img = _rand_rgba(10, 13, seed=levels, levels=levels)
+    enc = encode_vp8l(img, palette=True)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_webp_all_predictor_modes(mode):
+    img = _rand_rgba(9, 12, seed=100 + mode)
+    enc = encode_vp8l(img, predictor_mode=mode, predictor_bits=3)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+
+
+def test_webp_meta_prefix_groups():
+    # two prefix-code groups split left/right at a 4-pixel tile boundary
+    img = np.zeros((8, 16, 4), np.uint8)
+    img[:, :8] = _rand_rgba(8, 8, seed=7, levels=5)
+    img[:, 8:] = _rand_rgba(8, 8, seed=8, levels=5) | 0x80
+    meta = np.zeros((2, 4), np.int64)
+    meta[:, 2:] = 1
+    enc = encode_vp8l(img, meta=meta, meta_hb=2)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+
+
+def test_webp_transform_stack():
+    # predictor → subtract-green chained (decoder inverts in reverse)
+    img = _rand_rgba(6, 10, seed=9)
+    enc = encode_vp8l(img, predictor_mode=12, subtract_green=True,
+                      cache_bits=3, lz77=True)
+    np.testing.assert_array_equal(decode_webp(enc), img)
+
+
+def test_webp_rejects():
+    with pytest.raises(ValueError, match="not a WEBP"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    lossy = b"RIFF" + (12).to_bytes(4, "little") + b"WEBP" + \
+        b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+    with pytest.raises(ValueError, match="libwebp"):
+        decode_webp(lossy)
+    empty = b"RIFF" + (4).to_bytes(4, "little") + b"WEBP"
+    with pytest.raises(ValueError, match="no VP8L"):
+        decode_webp(empty)
+    bad_sig = _container(b"\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(bad_sig)
+
+
+def test_decode_image_dispatches_webp():
+    img = _rand_rgba(5, 5, seed=11)
+    out = decode_image(encode_vp8l(img))
+    np.testing.assert_array_equal(out, img)
