@@ -463,6 +463,9 @@ def cmd_media(args) -> dict:
                                max_hamming=args.max_hamming,
                                concurrency=args.concurrency,
                                codec=args.codec)
+    elif args.op == "probe":                 # header-only metadata pass
+        from gunrock_ray.functions.multimodal import media_metadata
+        res = media_metadata(ds, concurrency=args.concurrency)
     else:                                    # index: MP4 sample ranges
         res = ds.map_batches(Mp4SampleIndex, batch_format="pyarrow",
                              concurrency=(1, args.concurrency),
@@ -882,7 +885,8 @@ def main(argv=None) -> None:
     med = sub.add_parser("media", help="perceptual hashing / near-dup / "
                          "MP4 indexing over a media Parquet")
     med.add_argument("--op", required=True,
-                     choices=["hash", "neardup", "keepers", "index"])
+                     choices=["hash", "neardup", "keepers", "index",
+                              "probe"])
     med.add_argument("--input", required=True)
     med.add_argument("--out", default="/tmp/gunrock_ray_media")
     med.add_argument("--modality", default="image",

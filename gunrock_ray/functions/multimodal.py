@@ -1376,6 +1376,235 @@ def decode_image(payload: bytes) -> np.ndarray:
     return decode_pnm(payload)                  # PPM/PGM
 
 
+def probe_media(payload: bytes) -> dict:
+    """Header-only media probe: format + dimensions / sample-rate /
+    frame count from the FIRST BYTES of the payload, with NO pixel or
+    sample decode. This is the cheap first pass a 100 TB media pipeline
+    runs to route, filter, and size-bucket payloads before paying for
+    any real decode (e.g. lossy-WEBP dimensions come out of the probe
+    even though full decode needs libwebp).
+
+    Returns ``{format, kind, width, height, channels, bit_depth,
+    sample_rate, num_samples, num_frames}``; fields that don't apply are
+    None. Raises ValueError on unrecognized payloads."""
+    n = len(payload)
+    out = {"format": None, "kind": "image", "width": None, "height": None,
+           "channels": None, "bit_depth": None, "sample_rate": None,
+           "num_samples": None, "num_frames": None}
+
+    def be(o, k):
+        return int.from_bytes(payload[o:o + k], "big")
+
+    def le(o, k):
+        return int.from_bytes(payload[o:o + k], "little")
+
+    if payload[:8] == _PNG_SIG:
+        out.update(format="png", width=be(16, 4), height=be(20, 4),
+                   bit_depth=payload[24],
+                   channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[payload[25]])
+        return out
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                out.update(format="jpeg", bit_depth=payload[pos + 4],
+                           height=be(pos + 5, 2), width=be(pos + 7, 2),
+                           channels=payload[pos + 9])
+                return out
+            pos += 2 + be(pos + 2, 2)
+        raise ValueError("JPEG has no SOF marker")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        out.update(format="gif", width=le(6, 2), height=le(8, 2),
+                   channels=3, bit_depth=8)
+        # count frames by skipping length-prefixed sub-blocks (no LZW)
+        pos = 13 + (3 * (2 << (payload[10] & 7)) if payload[10] & 0x80 else 0)
+        frames = 0
+        while pos < n and payload[pos] != 0x3B:
+            if payload[pos] == 0x21:                 # extension
+                pos += 2
+            elif payload[pos] == 0x2C:               # image descriptor
+                frames += 1
+                flags = payload[pos + 9]
+                pos += 10 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+                pos += 1                             # LZW min code size
+            else:
+                raise ValueError("bad GIF block")
+            while pos < n and payload[pos]:          # sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1                                 # block terminator
+        out["num_frames"] = frames
+        return out
+    if payload[:2] == b"BM":
+        out.update(format="bmp", width=le(18, 4),
+                   height=abs(int.from_bytes(payload[22:26], "little",
+                                             signed=True)),
+                   bit_depth=min(le(28, 2), 8),
+                   channels={1: 1, 8: 1, 24: 3, 32: 4}.get(le(28, 2)))
+        return out
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        endian = "little" if payload[:2] == b"II" else "big"
+
+        def rd(o, k):
+            return int.from_bytes(payload[o:o + k], endian)
+
+        ifd = rd(4, 4)
+        tags = {}
+        for i in range(rd(ifd, 2)):
+            e = ifd + 2 + 12 * i
+            tag, typ = rd(e, 2), rd(e + 2, 2)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            cnt = rd(e + 4, 4)
+            if size is None:
+                continue
+            off = e + 8 if size * cnt <= 4 else rd(e + 8, 4)
+            tags[tag] = rd(off, size)
+        out.update(format="tiff", width=tags.get(256), height=tags.get(257),
+                   bit_depth=tags.get(258, 1), channels=tags.get(277, 1))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        pos, frames = 12, 0
+        while pos + 8 <= n:
+            tag, size = payload[pos:pos + 4], le(pos + 4, 4)
+            b0 = pos + 8
+            if tag == b"VP8L" and out["width"] is None:
+                bits = le(b0 + 1, 4)
+                out.update(format="webp-lossless", width=(bits & 0x3FFF) + 1,
+                           height=((bits >> 14) & 0x3FFF) + 1, channels=4,
+                           bit_depth=8)
+            elif tag == b"VP8 " and out["width"] is None:
+                if payload[b0 + 3:b0 + 6] != b"\x9d\x01\x2a":
+                    raise ValueError("bad VP8 keyframe start code")
+                out.update(format="webp-lossy",
+                           width=le(b0 + 6, 2) & 0x3FFF,
+                           height=le(b0 + 8, 2) & 0x3FFF,
+                           channels=3, bit_depth=8)
+            elif tag == b"VP8X" and out["width"] is None:
+                out.update(format="webp-extended", width=le(b0 + 4, 3) + 1,
+                           height=le(b0 + 7, 3) + 1, channels=4, bit_depth=8)
+            elif tag == b"ANMF":
+                frames += 1
+            pos = b0 + size + (size & 1)
+        if out["width"] is None:
+            raise ValueError("WEBP has no image chunk")
+        if frames:
+            out["num_frames"] = frames
+        return out
+    if payload[:2] in (b"P5", b"P6"):
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                while payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        out.update(format="pnm", width=fields[0], height=fields[1],
+                   channels=3 if payload[:2] == b"P6" else 1,
+                   bit_depth=16 if fields[2] > 255 else 8)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        out.update(format="wav", kind="audio")
+        while pos + 8 <= n:
+            tag, size = payload[pos:pos + 4], le(pos + 4, 4)
+            if tag == b"fmt ":
+                out.update(channels=le(pos + 10, 2),
+                           sample_rate=le(pos + 12, 4),
+                           bit_depth=le(pos + 22, 2))
+            elif tag == b"data" and out["bit_depth"]:
+                out["num_samples"] = size * 8 // (out["bit_depth"] *
+                                                  out["channels"])
+            pos += 8 + size + (size & 1)
+        return out
+    if payload[:4] == b"fLaC":
+        si = payload[8:42]                           # STREAMINFO body
+        out.update(format="flac", kind="audio",
+                   sample_rate=int.from_bytes(si[10:13], "big") >> 4,
+                   channels=((si[12] >> 1) & 0x7) + 1,
+                   bit_depth=(((si[12] & 1) << 4) | (si[13] >> 4)) + 1,
+                   num_samples=int.from_bytes(si[13:18], "big")
+                   & ((1 << 36) - 1))
+        return out
+    if n >= 12 and payload[4:8] in (b"ftyp", b"moov", b"mdat", b"free"):
+        out.update(format="mp4", kind="video")
+
+        def walk(lo, hi):
+            pos = lo
+            while pos + 8 <= hi:
+                size, tag = be(pos, 4), payload[pos + 4:pos + 8]
+                if size < 8:
+                    break
+                body = pos + 8
+                if tag in (b"moov", b"trak"):
+                    walk(body, pos + size)
+                elif tag == b"mvhd":
+                    ver = payload[body]
+                    if ver == 1:
+                        out["sample_rate"] = be(body + 20, 4)   # timescale
+                        out["num_samples"] = be(body + 24, 8)   # duration
+                    else:
+                        out["sample_rate"] = be(body + 12, 4)
+                        out["num_samples"] = be(body + 16, 4)
+                elif tag == b"tkhd" and out["width"] is None:
+                    o = body + (88 if payload[body] == 1 else 76)
+                    w16, h16 = be(o, 4) >> 16, be(o + 4, 4) >> 16
+                    if w16 and h16:
+                        out.update(width=w16, height=h16)
+                pos += size
+        walk(0, n)
+        return out
+    raise ValueError(f"unrecognized media payload: {payload[:8]!r}")
+
+
+_PROBE_SCHEMA = {
+    "format": pa.string(), "kind": pa.string(), "width": pa.int32(),
+    "height": pa.int32(), "channels": pa.int32(), "bit_depth": pa.int32(),
+    "sample_rate": pa.int64(), "num_samples": pa.int64(),
+    "num_frames": pa.int32()}
+
+
+class MediaProbe:
+    """Actor stage: payload → header-only metadata columns (probe_media
+    per row; bad payloads get error=<message> instead of killing the
+    batch — at 100 TB a corrupt file is routine, not exceptional)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        cols = {k: [] for k in _PROBE_SCHEMA}
+        errors = []
+        for p in batch["payload"].to_pylist():
+            try:
+                info = probe_media(p)
+                errors.append(None)
+            except ValueError as e:
+                info = {k: None for k in _PROBE_SCHEMA}
+                errors.append(str(e))
+            for k in _PROBE_SCHEMA:
+                cols[k].append(info[k])
+        arrays = {"media_id": pa.array(ids, pa.int64())}
+        arrays.update({k: pa.array(v, _PROBE_SCHEMA[k])
+                       for k, v in cols.items()})
+        arrays["error"] = pa.array(errors, pa.string())
+        return pa.table(arrays)
+
+
+def media_metadata(media_ds, *, concurrency: int = 4, batch_size: int = 64):
+    """Dataset of ``{media_id, payload}`` → per-payload probe metadata.
+    Payloads are DROPPED after the probe — only ~60 bytes/row of typed
+    metadata move downstream."""
+    return media_ds.map_batches(MediaProbe, concurrency=concurrency,
+                                batch_size=batch_size,
+                                batch_format="pyarrow")
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
     """Deterministic stand-in decode: payload hash seeds the pixel array."""
     seed = int(mix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[0])

@@ -1,0 +1,137 @@
+"""Header-only media probe (probe_media / MediaProbe): every supported
+format's metadata must come out of the first bytes with no decode —
+including formats whose FULL decode is unsupported (lossy WEBP)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions.multimodal import (decode_image, encode_png,
+                                              encode_ppm, encode_wav,
+                                              probe_media)
+from tests.test_codecs import (_bmp, _box, _encode_jpeg, _flac_streaminfo,
+                               _full, _gif, _png, _tiff)
+from tests.test_webp import _container, encode_vp8l
+
+
+def _rgba(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 4), np.uint8)
+
+
+def test_probe_png():
+    img = _rgba(13, 21)[:, :, :3]
+    info = probe_media(encode_png(img))
+    assert (info["format"], info["width"], info["height"],
+            info["channels"], info["bit_depth"]) == ("png", 21, 13, 3, 8)
+
+
+def test_probe_jpeg():
+    y = np.full((16, 24), 80, np.uint8)
+    payload = _encode_jpeg([y], [(1, 1)])
+    info = probe_media(payload)
+    assert (info["format"], info["width"], info["height"],
+            info["channels"]) == ("jpeg", 24, 16, 1)
+
+
+def test_probe_gif_counts_frames_without_decode():
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       np.uint8)
+    idx = np.random.default_rng(1).integers(0, 4, (9, 14), np.uint8)
+    one = _gif(idx, palette, 2)
+    info = probe_media(one)
+    assert (info["format"], info["width"], info["height"],
+            info["num_frames"]) == ("gif", 14, 9, 1)
+    # animated GIF = the image sub-stream repeated before the trailer
+    gct_len = 3 * (2 << (one[10] & 7))
+    body = one[13 + gct_len:-1]                  # after header+GCT, pre-trailer
+    two = one[:13 + gct_len] + body + body + b"\x3b"
+    assert probe_media(two)["num_frames"] == 2
+
+
+def test_probe_bmp_and_tiff():
+    img = _rgba(7, 10)[:, :, :3]
+    info = probe_media(_bmp(img, 24))
+    assert (info["format"], info["width"], info["height"],
+            info["channels"]) == ("bmp", 10, 7, 3)
+    for bo in ("little", "big"):
+        info = probe_media(_tiff(img, bo=bo))
+        assert (info["format"], info["width"], info["height"],
+                info["channels"], info["bit_depth"]) == ("tiff", 10, 7, 3, 8)
+
+
+def test_probe_webp_lossless_and_lossy():
+    img = _rgba(11, 17)
+    info = probe_media(encode_vp8l(img))
+    assert (info["format"], info["width"], info["height"]) == \
+        ("webp-lossless", 17, 11)
+    # lossy VP8: dims probe fine even though full decode raises
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + \
+        (640).to_bytes(2, "little") + (360).to_bytes(2, "little")
+    lossy = b"RIFF" + (12 + 8 + len(vp8)).to_bytes(4, "little") + b"WEBP" + \
+        b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
+    info = probe_media(lossy)
+    assert (info["format"], info["width"], info["height"]) == \
+        ("webp-lossy", 640, 360)
+    with pytest.raises(ValueError, match="libwebp"):
+        decode_image(lossy)
+
+
+def test_probe_pnm_and_wav():
+    img = _rgba(5, 6)[:, :, :3]
+    info = probe_media(encode_ppm(img))
+    assert (info["format"], info["width"], info["height"],
+            info["channels"]) == ("pnm", 6, 5, 3)
+    wav = encode_wav(np.sin(np.arange(800) / 9.0), 16000)
+    info = probe_media(wav)
+    assert (info["format"], info["kind"], info["sample_rate"],
+            info["channels"], info["bit_depth"], info["num_samples"]) == \
+        ("wav", "audio", 16000, 1, 16, 800)
+
+
+def test_probe_flac():
+    payload = (b"fLaC" + bytes([0x80, 0, 0, 34])
+               + _flac_streaminfo(22050, 2, 16, 12345))
+    info = probe_media(payload)
+    assert (info["format"], info["kind"], info["sample_rate"],
+            info["channels"], info["bit_depth"], info["num_samples"]) == \
+        ("flac", "audio", 22050, 2, 16, 12345)
+
+
+def test_probe_mp4():
+    mvhd = _full(b"mvhd", (0).to_bytes(4, "big") * 2
+                 + (90000).to_bytes(4, "big") + (180000).to_bytes(4, "big")
+                 + b"\x00" * 80)
+    tkhd = _full(b"tkhd", b"\x00" * 72
+                 + (320 << 16).to_bytes(4, "big")
+                 + (240 << 16).to_bytes(4, "big"))
+    payload = _box(b"ftyp", b"isom\x00\x00\x02\x00") + \
+        _box(b"moov", mvhd + _box(b"trak", tkhd))
+    info = probe_media(payload)
+    assert (info["format"], info["kind"], info["width"], info["height"],
+            info["sample_rate"], info["num_samples"]) == \
+        ("mp4", "video", 320, 240, 90000, 180000)
+
+
+def test_probe_rejects_unknown():
+    with pytest.raises(ValueError, match="unrecognized"):
+        probe_media(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_media_probe_stage(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.multimodal import media_metadata
+    rows = []
+    img = _rgba(8, 9)
+    rows.append({"media_id": 0, "payload": encode_png(img[:, :, :3])})
+    rows.append({"media_id": 1, "payload": encode_vp8l(img)})
+    rows.append({"media_id": 2,
+                 "payload": encode_wav(np.zeros(100), 8000)})
+    rows.append({"media_id": 3, "payload": b"garbage-bytes-here"})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["media_id"]: r for r in
+           media_metadata(ds, concurrency=1).take_all()}
+    assert out[0]["format"] == "png" and out[0]["width"] == 9
+    assert out[1]["format"] == "webp-lossless" and out[1]["channels"] == 4
+    assert out[2]["kind"] == "audio" and out[2]["sample_rate"] == 8000
+    assert out[3]["format"] is None and "unrecognized" in out[3]["error"]
