@@ -1,0 +1,109 @@
+"""Fasttext-style domain/quality classifier: hashed bag-of-tokens +
+logistic regression (Joulin et al. 2017; the CCNet / GPT-3 quality-filter
+architecture — train a linear model separating a small target domain
+from the raw corpus, keep documents the classifier scores high).
+
+Training is full-batch gradient descent where each iteration is ONE
+shuffle-free pass over the corpus: every block emits a (dim+2)-float
+partial — Σ (p − y)·x per bucket, the bias gradient, and the block's doc
+count — and the driver folds O(blocks × dim) floats (the same
+sufficient-statistics shape as the kmeans/PCA passes; nothing scales
+with corpus size on the driver). The weight vector (dim+1 doubles) is
+shipped once per iteration inside the task closure.
+
+Features: x[b] = count(tokens hashing to bucket b) / n_tokens with
+b = hash_words(token) % dim — the shared per-codepoint splitmix64 fold,
+reproducible in DuckDB (relational._WORDFOLD_CTES), so the WHOLE
+training (3 unrolled GD iterations) + scoring pipeline has a SQL oracle
+(relational._doc_domain_clf_sql). Implicit bias feature of 1.
+
+At 100 TB: dim stays small (2^8..2^16), partials are dim floats per
+block regardless of corpus size, and iterations are streaming passes —
+no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.corpus_stats import _flat_tokens
+from gunrock_ray.functions.dedup import hash_words
+
+
+def _doc_feature_pairs(texts, dim: int):
+    """Batch → (doc_of_pair, bucket, x, n_tokens_per_doc): one row per
+    distinct (doc, bucket) with x = bucket count / doc token count.
+    Whole-batch vectorized (one hash_words call, one np.unique)."""
+    doc_of, words = _flat_tokens(texts)
+    ntok = np.bincount(doc_of, minlength=len(texts)).astype(np.int64)
+    if len(words) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float64), ntok)
+    bucket = (hash_words(words) % np.uint64(dim)).astype(np.int64)
+    key = doc_of * dim + bucket
+    uk, cnt = np.unique(key, return_counts=True)
+    d = uk // dim
+    return d, uk % dim, cnt.astype(np.float64) / ntok[d], ntok
+
+
+def _margins(d: np.ndarray, b: np.ndarray, x: np.ndarray, w: np.ndarray,
+             num_docs: int, dim: int) -> np.ndarray:
+    """Per-doc margin Σ_b x_b·w[b] + w[dim] (bias)."""
+    return np.bincount(d, weights=x * w[b], minlength=num_docs) + w[dim]
+
+
+def train_domain_classifier(docs_ds, *, dim: int = 64, iters: int = 3,
+                            lr: float = 2.0, target_mod: int = 7,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> np.ndarray:
+    """Full-batch logistic-regression GD; label y = 1 iff
+    ``doc_id % target_mod == 0`` (the DSIR-convention target-domain
+    slice). Returns weights float64[dim + 1] (last entry = bias).
+    w ← w − lr·(g / N) with g = Σ_docs (σ(x·w) − y)·[x, 1]."""
+    w = np.zeros(dim + 1, np.float64)
+    for _ in range(iters):
+        w_cur = w.copy()
+
+        def grad_partial(batch: pa.Table, _w=w_cur) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ids = batch[id_col].to_numpy()
+            d, b, x, _ = _doc_feature_pairs(texts, dim)
+            m = _margins(d, b, x, _w, len(texts), dim)
+            p = 1.0 / (1.0 + np.exp(-m))
+            r = p - (ids % target_mod == 0).astype(np.float64)
+            g = np.zeros(dim + 1, np.float64)
+            g[:dim] = np.bincount(b, weights=x * r[d], minlength=dim)
+            g[dim] = r.sum()
+            return pa.table({
+                "g": pa.array([g.tolist()], pa.list_(pa.float64())),
+                "n": pa.array([len(texts)], pa.int64())})
+
+        parts = docs_ds.map_batches(grad_partial,
+                                    batch_format="pyarrow").take_all()
+        g = np.sum([np.asarray(p["g"], np.float64) for p in parts], axis=0)
+        n = sum(int(p["n"]) for p in parts)
+        w = w - lr * (g / max(n, 1))
+    return w
+
+
+def score_domain(docs_ds, w: np.ndarray, *, dim: int = 64,
+                 target_mod: int = 7, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Dataset of (doc_id, label, score) — score = σ(x·w), one streaming
+    pass; ``w`` ships in the task closure (dim+1 doubles)."""
+    w = np.asarray(w, np.float64)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy()
+        d, b, x, _ = _doc_feature_pairs(texts, dim)
+        m = _margins(d, b, x, w, len(texts), dim)
+        p = 1.0 / (1.0 + np.exp(-m))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "label": pa.array((ids % target_mod == 0).astype(np.int64),
+                              pa.int64()),
+            "score": pa.array(p, pa.float64())})
+
+    return docs_ds.map_batches(score_batch, batch_format="pyarrow")

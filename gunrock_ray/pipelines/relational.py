@@ -799,6 +799,32 @@ def q_doc_dsir(sf_dir: str):
             pa.int64())})
 
 
+def q_doc_domain_clf(sf_dir: str):
+    """Fasttext-style domain/quality classifier (Joulin et al. 2017; the
+    CCNet/GPT-3 filter architecture, functions/quality_clf.py): hashed
+    bag-of-tokens features (dim=64, the shared splitmix64 codepoint
+    fold) + 3 full-batch logistic-GD iterations trained with the DSIR
+    convention target slice (doc_id %% 7 == 0) as the positive domain;
+    every doc scored at 1e-6 scale. Training is shuffle-free: each
+    iteration is one streaming pass emitting (dim+2)-float partials per
+    block (the kmeans/PCA sufficient-statistics shape). The SQL oracle
+    (_doc_domain_clf_sql) unrolls ALL THREE GD iterations in DuckDB."""
+    import ray.data
+    from gunrock_ray.functions import quality_clf as qc
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    w = qc.train_domain_classifier(docs, dim=64, iters=3, lr=2.0,
+                                   target_mod=7)
+    out = qc.score_domain(docs, w, dim=64, target_mod=7).to_pandas()
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "label": pa.array(out["label"].to_numpy(), pa.int64()),
+        "score_u6": pa.array(
+            np.floor(out["score"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
 def q_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED derived graph
     (graph_algos.strongly_connected_components, Orzan coloring),
@@ -3427,6 +3453,73 @@ def _doc_dsir_sql(k: int = 25, seed: int = 11) -> str:
         f"FROM keyed ORDER BY key DESC, doc_id LIMIT {k}")
 
 
+def _doc_domain_clf_sql(dim: int = 64, iters: int = 3, lr: float = 2.0,
+                        mod: int = 7) -> str:
+    """The fasttext-style domain classifier (functions/quality_clf.py)
+    unrolled completely in SQL: hashed bag-of-tokens features
+    (x[b] = bucket count / doc tokens, b = codepoint-fold hash % dim),
+    then ``iters`` full-batch logistic-GD updates — per-bucket gradients
+    SUM(x*(p-y)), bias gradient, w := w - lr*(g/N) with the exact same
+    float expression shapes as the engine (iteration 1 starts from w=0,
+    so p = 0.5 exactly on both sides). Scores at 1e-6 scale."""
+    lrs = repr(float(lr))
+    parts = [
+        "WITH RECURSIVE ",
+        "d AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+        "'\\S+') AS w FROM documents), ",
+        "tk AS (SELECT doc_id, w[i] AS term FROM (SELECT doc_id, w, "
+        "unnest(generate_series(1, len(w))) AS i FROM d) q), ",
+        "terms AS (SELECT DISTINCT term FROM tk), ",
+        _WORDFOLD_CTES() + ", ",
+        "nt AS (SELECT doc_id, len(w) AS n FROM d), ",
+        f"feat AS (SELECT tk.doc_id, CAST(wh.h % {dim} AS BIGINT) AS b, "
+        f"COUNT(*) / CAST(MIN(nt.n) AS DOUBLE) AS x "
+        "FROM tk JOIN wh ON tk.term = wh.term "
+        "JOIN nt ON tk.doc_id = nt.doc_id GROUP BY tk.doc_id, b), ",
+        f"y AS (SELECT doc_id, CASE WHEN doc_id % {mod} = 0 "
+        "THEN 1.0 ELSE 0.0 END AS y FROM d), ",
+        "nn AS (SELECT COUNT(*) AS n FROM d), ",
+        # iteration 1 from w = 0: p = sigmoid(0) = 0.5 exactly
+        "g1 AS (SELECT f.b, SUM(f.x * (0.5 - y.y)) AS g FROM feat f "
+        "JOIN y ON f.doc_id = y.doc_id GROUP BY f.b), "
+        "g1b AS (SELECT SUM(0.5 - y) AS g FROM y), "
+        f"w1 AS (SELECT b, 0.0 - {lrs} * (g / nn.n) AS w FROM g1, nn), "
+        f"w1b AS (SELECT 0.0 - {lrs} * (g / nn.n) AS w FROM g1b, nn), ",
+    ]
+    for t in range(2, iters + 1):
+        pw, pb = f"w{t - 1}", f"w{t - 1}b"
+        parts.append(
+            f"m{t} AS (SELECT nt.doc_id, "
+            f"COALESCE(SUM(f.x * COALESCE({pw}.w, 0.0)), 0.0) + "
+            f"(SELECT w FROM {pb}) AS m FROM nt "
+            f"LEFT JOIN feat f ON nt.doc_id = f.doc_id "
+            f"LEFT JOIN {pw} ON f.b = {pw}.b GROUP BY nt.doc_id), "
+            f"p{t} AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) AS p "
+            f"FROM m{t}), "
+            f"g{t} AS (SELECT f.b, SUM(f.x * (p{t}.p - y.y)) AS g "
+            f"FROM feat f JOIN p{t} ON f.doc_id = p{t}.doc_id "
+            f"JOIN y ON f.doc_id = y.doc_id GROUP BY f.b), "
+            f"g{t}b AS (SELECT SUM(p{t}.p - y.y) AS g FROM p{t} "
+            f"JOIN y ON p{t}.doc_id = y.doc_id), "
+            f"w{t} AS (SELECT g{t}.b, COALESCE({pw}.w, 0.0) - "
+            f"{lrs} * (g{t}.g / nn.n) AS w "
+            f"FROM g{t} LEFT JOIN {pw} ON g{t}.b = {pw}.b, nn), "
+            f"w{t}b AS (SELECT {pb}.w - {lrs} * (g{t}b.g / nn.n) AS w "
+            f"FROM g{t}b, {pb}, nn), ")
+    fw, fb = f"w{iters}", f"w{iters}b"
+    parts.append(
+        f"fm AS (SELECT nt.doc_id, "
+        f"COALESCE(SUM(f.x * COALESCE({fw}.w, 0.0)), 0.0) + "
+        f"(SELECT w FROM {fb}) AS m FROM nt "
+        f"LEFT JOIN feat f ON nt.doc_id = f.doc_id "
+        f"LEFT JOIN {fw} ON f.b = {fw}.b GROUP BY nt.doc_id) "
+        f"SELECT doc_id, CAST(CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 "
+        "END AS BIGINT) AS label, "
+        "CAST(floor((1.0 / (1.0 + exp(-m))) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS score_u6 FROM fm")
+    return "".join(parts)
+
+
 def _bpe_stage_sql(k: int, min_pair_count: int = 2) -> str:
     """One generated BPE training round (state s{k-1} → s{k}), mirroring
     functions/bpe BpeShard.apply + the driver argmax exactly: weighted
@@ -4629,6 +4722,7 @@ ORACLE_SQL: dict[str, str] = {
     # DSIR: both LM trainings + backoff scoring + the counter-based
     # Gumbel top-k draw (splitmix64 in SQL) reproduced end to end
     "doc_dsir": _doc_dsir_sql(),
+    "doc_domain_clf": _doc_domain_clf_sql(),
     # full BPE: histogram + 30 unrolled merge rounds + recursive encode
     "bpe_tokens": _bpe_tokens_sql(num_merges=30),
     # approximate-ANN quality certificates: validity + recall >= 0.9 vs

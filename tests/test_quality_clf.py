@@ -1,0 +1,104 @@
+"""Domain/quality classifier (functions/quality_clf.py): distributed
+full-batch logistic GD vs a single-process NumPy reference, planted
+separation, and block-layout invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions import quality_clf as qc
+from gunrock_ray.functions.corpus_stats import _TOKEN_RE
+from gunrock_ray.functions.dedup import hash_words
+
+DIM = 32
+
+
+def _ref_gd(texts, ids, *, dim=DIM, iters=3, lr=2.0, mod=7):
+    """Single-process reference with the same formulas."""
+    feats = []
+    for t in texts:
+        words = _TOKEN_RE.findall(t or "")
+        x = np.zeros(dim)
+        if words:
+            b = (hash_words(np.array(words, np.str_)) %
+                 np.uint64(dim)).astype(np.int64)
+            x = np.bincount(b, minlength=dim).astype(np.float64) / len(words)
+        feats.append(x)
+    X = np.vstack(feats)
+    y = (np.asarray(ids) % mod == 0).astype(np.float64)
+    w = np.zeros(dim + 1)
+    for _ in range(iters):
+        m = X @ w[:dim] + w[dim]
+        p = 1.0 / (1.0 + np.exp(-m))
+        g = np.concatenate([X.T @ (p - y), [(p - y).sum()]])
+        w = w - lr * (g / len(y))
+    m = X @ w[:dim] + w[dim]
+    return w, 1.0 / (1.0 + np.exp(-m))
+
+
+def _docs(n, seed=5, planted=False, mod=7):
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"tok{i}" for i in range(40)])
+    texts, ids = [], []
+    for i in range(n):
+        words = list(rng.choice(vocab, size=rng.integers(5, 30)))
+        if planted and i % mod == 0:
+            words += ["zqxsignal"] * 4
+        texts.append(" ".join(words))
+        ids.append(i)
+    return texts, ids
+
+
+def _ds(texts, ids, blocks=3):
+    import ray.data
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_matches_numpy_reference(ray_session):
+    texts, ids = _docs(60)
+    ds = _ds(texts, ids)
+    w = qc.train_domain_classifier(ds, dim=DIM, iters=3, lr=2.0)
+    w_ref, p_ref = _ref_gd(texts, ids)
+    np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-12)
+    out = (qc.score_domain(ds, w, dim=DIM).to_pandas()
+           .sort_values("doc_id"))
+    np.testing.assert_allclose(out["score"].to_numpy(), p_ref,
+                               rtol=0, atol=1e-12)
+    assert (out["label"].to_numpy() ==
+            (np.asarray(ids) % 7 == 0).astype(int)).all()
+
+
+def test_planted_signal_separates(ray_session):
+    texts, ids = _docs(140, planted=True)
+    ds = _ds(texts, ids, blocks=4)
+    w = qc.train_domain_classifier(ds, dim=DIM, iters=30, lr=8.0)
+    out = (qc.score_domain(ds, w, dim=DIM).to_pandas()
+           .sort_values("doc_id"))
+    pos = out[out.label == 1]["score"].to_numpy()
+    neg = out[out.label == 0]["score"].to_numpy()
+    # the planted marker token separates the classes completely
+    # (AUC = 1; absolute scores stay below 0.5 — the class prior is 1/7)
+    assert pos.min() > neg.max()
+    assert pos.mean() - neg.mean() > 0.1
+
+
+def test_block_layout_invariance(ray_session):
+    texts, ids = _docs(50, seed=9)
+    w2 = qc.train_domain_classifier(_ds(texts, ids, blocks=2), dim=DIM)
+    w5 = qc.train_domain_classifier(_ds(texts, ids, blocks=5), dim=DIM)
+    # only the cross-block fold order differs → 1-ulp-level drift
+    np.testing.assert_allclose(w2, w5, rtol=0, atol=1e-13)
+
+
+def test_empty_docs_get_bias_score(ray_session):
+    texts = ["", None, "a b c"]
+    ids = [0, 1, 2]
+    ds = _ds(texts, ids, blocks=1)
+    w = qc.train_domain_classifier(ds, dim=DIM, iters=2)
+    out = (qc.score_domain(ds, w, dim=DIM).to_pandas()
+           .sort_values("doc_id"))
+    bias_p = 1.0 / (1.0 + np.exp(-w[DIM]))
+    np.testing.assert_allclose(out["score"].to_numpy()[:2],
+                               [bias_p, bias_p], rtol=0, atol=0)
