@@ -428,6 +428,117 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF has no image descriptor")
 
 
+def decode_gif_frames(payload: bytes, max_frames: int = 0) -> np.ndarray:
+    """Animated GIF → (n, sh, sw, 4) uint8 RGBA frame stack with full
+    GIF89a composition semantics: each frame paints its rect onto the
+    running canvas (transparent index skipped), the canvas snapshot IS
+    the frame, then the GCE disposal method runs — 0/1 leave, 2 restore
+    the rect to background (transparent), 3 restore the pre-frame
+    canvas. ``max_frames`` > 0 stops early (frame sampling at scale
+    wants the first k frames, not a full decode)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 4), np.uint8)
+    frames = []
+    transparent, disposal = None, 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                          # extension block
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:                  # graphic control extension
+                sz = payload[pos]
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 0x7
+                transparent = payload[pos + 4] if flags & 0x01 else None
+                pos += 1 + sz
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                        # image descriptor
+            ix = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            iy = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3,
+                                   pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                data += payload[pos + 1:pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx_flat = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx_flat) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            idx = np.array(idx_flat[:iw * ih], np.uint8).reshape(ih, iw)
+            if ipacked & 0x40:                 # interlaced
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    cnt = len(range(start, ih, step))
+                    de[start::step] = idx[src:src + cnt]
+                    src += cnt
+                idx = de
+            y1, x1 = min(iy + ih, sh), min(ix + iw, sw)
+            sub = idx[:y1 - iy, :x1 - ix]
+            rgb = ct[np.minimum(sub, len(ct) - 1)]
+            prev = canvas.copy() if disposal == 3 else None
+            paint = np.ones(sub.shape, bool) if transparent is None else \
+                sub != transparent
+            region = canvas[iy:y1, ix:x1]
+            region[paint] = np.concatenate(
+                [rgb, np.full(sub.shape + (1,), 255, np.uint8)],
+                axis=2)[paint]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[iy:y1, ix:x1] = 0
+            elif disposal == 3:
+                canvas = prev
+            transparent, disposal = None, 0    # GCE applies to one image
+            if max_frames and len(frames) >= max_frames:
+                break
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#04x}")
+    if not frames:
+        raise ValueError("GIF has no image descriptor")
+    return np.stack(frames)
+
+
+def decode_animation_frames(payload: bytes,
+                            max_frames: int = 0) -> np.ndarray:
+    """Animated GIF or WEBP payload → (n, h, w, 4) uint8 RGBA frames
+    (a still image decodes as n=1) — the frame source the video
+    hashing/sampling stages use for non-raw payloads."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(payload, max_frames=max_frames)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gunrock_ray.functions.webp import decode_webp_frames
+        return decode_webp_frames(payload, max_frames=max_frames)
+    raise ValueError("not an animated GIF/WEBP payload")
+
+
 # -------------------------------------------------------------------- BMP
 
 def decode_bmp(payload: bytes) -> np.ndarray:

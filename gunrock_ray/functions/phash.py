@@ -281,8 +281,15 @@ class VideoHash:
         for i, p in enumerate(batch["payload"].to_pylist()):
             nf, h, w, c = int(nfs[i]), int(hs[i]), int(ws[i]), int(cs[i])
             if self.codec == "real":
-                frames = np.frombuffer(p, np.uint8,
-                                       nf * h * w * c).reshape(nf, h, w, c)
+                if p[:6] in (b"GIF87a", b"GIF89a") or \
+                        (p[:4] == b"RIFF" and p[8:12] == b"WEBP"):
+                    from gunrock_ray.functions.multimodal import (
+                        decode_animation_frames)
+                    frames = decode_animation_frames(p)
+                else:
+                    frames = np.frombuffer(p, np.uint8,
+                                           nf * h * w * c).reshape(nf, h,
+                                                                   w, c)
             else:
                 seed = int(mix64(np.frombuffer(p[:8].ljust(8, b"\0"),
                                                np.uint64))[0])

@@ -373,6 +373,92 @@ def decode_webp(payload: bytes) -> np.ndarray:
         pos += 8 + size + (size & 1)
     if vp8l is None:
         raise ValueError("WEBP has no VP8L chunk")
+    return _decode_vp8l(vp8l)
+
+
+def decode_webp_frames(payload: bytes, max_frames: int = 0) -> np.ndarray:
+    """Animated WEBP (VP8X + ANIM + ANMF chunks, VP8L frame payloads) →
+    (n, ch, cw, 4) uint8 RGBA with the spec's composition semantics:
+    each ANMF frame is alpha-blended (B=0) or overwritten (B=1) into its
+    rect on the canvas, the snapshot is the output frame, then disposal
+    D=1 fills the rect with the ANIM background color. A still (plain
+    VP8L) payload decodes as n=1; lossy VP8 frames raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WEBP payload")
+    pos, n = 12, len(payload)
+    cw = ch = None
+    bg = np.zeros(4, np.uint8)
+    frames = []
+    canvas = None
+    still = None
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+        elif tag == b"ANIM":
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], np.uint8)
+        elif tag == b"ANMF":
+            if cw is None:
+                raise ValueError("ANMF before VP8X canvas size")
+            if canvas is None:
+                canvas = np.zeros((ch, cw, 4), np.uint8)
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            flags = body[15]
+            # frame image data = subchunks after the 16-byte header
+            sp = 16
+            img = None
+            while sp + 8 <= len(body):
+                stag = body[sp:sp + 4]
+                ssz = int.from_bytes(body[sp + 4:sp + 8], "little")
+                if stag == b"VP8L":
+                    img = _decode_vp8l(body[sp + 8:sp + 8 + ssz])
+                    break
+                if stag == b"VP8 ":
+                    raise ValueError("lossy WEBP (VP8) frame needs libwebp")
+                sp += 8 + ssz + (ssz & 1)
+            if img is None:
+                raise ValueError("ANMF frame has no VP8L chunk")
+            fh, fw = img.shape[:2]
+            y1, x1 = min(fy + fh, ch), min(fx + fw, cw)
+            src = img[:y1 - fy, :x1 - fx].astype(np.float64)
+            if flags & 0x02:                     # B=1: no blend, overwrite
+                canvas[fy:y1, fx:x1] = src.astype(np.uint8)
+            else:                                # alpha-over
+                dst = canvas[fy:y1, fx:x1].astype(np.float64)
+                sa = src[..., 3:] / 255.0
+                da = dst[..., 3:] / 255.0
+                oa = sa + da * (1 - sa)
+                rgb = np.where(oa > 0,
+                               (src[..., :3] * sa
+                                + dst[..., :3] * da * (1 - sa))
+                               / np.where(oa > 0, oa, 1.0), 0.0)
+                canvas[fy:y1, fx:x1, :3] = np.round(rgb).astype(np.uint8)
+                canvas[fy:y1, fx:x1, 3] = np.round(oa[..., 0]
+                                                   * 255.0).astype(np.uint8)
+            frames.append(canvas.copy())
+            if flags & 0x01:                     # D=1: dispose to bg color
+                canvas[fy:y1, fx:x1] = bg
+            if max_frames and len(frames) >= max_frames:
+                break
+        elif tag == b"VP8L" and still is None:
+            still = _decode_vp8l(body)
+        elif tag == b"VP8 " and not frames:
+            raise ValueError("lossy WEBP (VP8) needs libwebp")
+        pos += 8 + size + (size & 1)
+    if frames:
+        return np.stack(frames)
+    if still is not None:
+        return still[None]
+    raise ValueError("WEBP has no VP8L image or ANMF frames")
+
+
+def _decode_vp8l(vp8l: bytes) -> np.ndarray:
+    """One VP8L chunk body → (h, w, 4) uint8 RGBA."""
     if vp8l[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _Bits(vp8l)

@@ -1,0 +1,179 @@
+"""Animated GIF / WEBP frame extraction (decode_gif_frames /
+decode_webp_frames / decode_animation_frames) with full composition
+semantics, plus the VideoHash stage over animated payloads."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.functions.multimodal import (decode_animation_frames,
+                                              decode_gif_frames)
+from gunrock_ray.functions.webp import decode_webp_frames
+from tests.test_codecs import _lzw_encode_packed
+from tests.test_webp import _WBits, _write_entropy_image, encode_vp8l
+
+
+# ------------------------------------------------------- GIF fixtures
+
+def _gif_anim(sw, sh, palette, frames, transparent_idx=None):
+    """frames: list of (idx_array, (ix, iy), disposal)."""
+    gct_bits = max(1, (len(palette) - 1).bit_length()) - 1
+    pal = np.zeros((2 << gct_bits, 3), np.uint8)
+    pal[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0]) + pal.tobytes()
+    for idx, (ix, iy), disposal in frames:
+        h, w = idx.shape
+        tflag = 1 if transparent_idx is not None else 0
+        out += bytes([0x21, 0xF9, 4, (disposal << 2) | tflag, 0, 0,
+                      transparent_idx or 0, 0])
+        out += bytes([0x2C]) + ix.to_bytes(2, "little") \
+            + iy.to_bytes(2, "little") \
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
+        mcs = max(2, gct_bits + 1)
+        data = _lzw_encode_packed(idx.ravel(), mcs)
+        out += bytes([mcs])
+        for i in range(0, len(data), 255):
+            out += bytes([len(data[i:i + 255])]) + data[i:i + 255]
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+PAL = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+
+
+def test_gif_frames_paint_and_dispose_background():
+    # frame 1 fills the 4x4 screen with color 1; frame 2 paints a 2x2
+    # color-2 patch at (1,1) with disposal=2 (restore to background);
+    # frame 3 paints one pixel at (0,0)
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((2, 2), 2, np.uint8)
+    f3 = np.full((1, 1), 3, np.uint8)
+    payload = _gif_anim(4, 4, PAL, [(f1, (0, 0), 0), (f2, (1, 1), 2),
+                                    (f3, (0, 0), 0)])
+    frames = decode_gif_frames(payload)
+    assert frames.shape == (3, 4, 4, 4)
+    # frame 0: all red, opaque
+    assert (frames[0, ..., :3] == [255, 0, 0]).all()
+    assert (frames[0, ..., 3] == 255).all()
+    # frame 1: green patch over red
+    assert (frames[1, 1:3, 1:3, :3] == [0, 255, 0]).all()
+    assert (frames[1, 0, 0, :3] == [255, 0, 0]).all()
+    # frame 2: the patch rect was restored to TRANSPARENT background,
+    # (0,0) became blue, the border stays red
+    assert (frames[2, 1:3, 1:3, 3] == 0).all()
+    assert (frames[2, 0, 0, :3] == [0, 0, 255]).all()
+    assert (frames[2, 3, 3, :3] == [255, 0, 0]).all()
+
+
+def test_gif_frames_dispose_previous_and_transparency():
+    f1 = np.full((3, 3), 1, np.uint8)
+    f2 = np.full((3, 3), 2, np.uint8)
+    f2[1, 1] = 0                                 # transparent hole
+    f3 = np.full((1, 1), 3, np.uint8)
+    payload = _gif_anim(3, 3, PAL, [(f1, (0, 0), 0), (f2, (0, 0), 3),
+                                    (f3, (1, 1), 0)],
+                        transparent_idx=0)
+    frames = decode_gif_frames(payload)
+    # frame 1: green everywhere except the hole shows frame-0 red through
+    assert (frames[1, 1, 1, :3] == [255, 0, 0]).all()
+    assert (frames[1, 0, 0, :3] == [0, 255, 0]).all()
+    # disposal=3 restored frame-0 canvas, then (1,1) painted blue
+    assert (frames[2, 1, 1, :3] == [0, 0, 255]).all()
+    assert (frames[2, 0, 0, :3] == [255, 0, 0]).all()
+    # max_frames stops early
+    assert decode_gif_frames(payload, max_frames=2).shape[0] == 2
+
+
+# ------------------------------------------------------ WEBP fixtures
+
+def _chunk(tag, body):
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + len(body).to_bytes(4, "little") + body + pad
+
+
+def _vp8l_body(img_rgba):
+    """Reuse the single-image encoder, strip the RIFF container."""
+    whole = encode_vp8l(img_rgba)
+    size = int.from_bytes(whole[16:20], "little")
+    return whole[20:20 + size]
+
+
+def _webp_anim(cw, ch, frames, bg=(0, 0, 0, 0)):
+    """frames: list of (img_rgba, (fx, fy), blend_flag, dispose_flag) —
+    fx/fy must be even (spec stores them /2)."""
+    vp8x = bytes([0x12, 0, 0, 0]) \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    r, g, b, a = bg
+    anim = bytes([b, g, r, a]) + (0).to_bytes(2, "little")
+    body = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+    for img, (fx, fy), blend, dispose in frames:
+        h, w = img.shape[:2]
+        hdr = (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little") \
+            + (40).to_bytes(3, "little") \
+            + bytes([(0x02 if blend else 0) | (0x01 if dispose else 0)])
+        body += _chunk(b"ANMF", hdr + _chunk(b"VP8L", _vp8l_body(img)))
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+
+def _solid(h, w, rgba):
+    return np.tile(np.array(rgba, np.uint8), (h, w, 1))
+
+
+def test_webp_frames_blend_overwrite_dispose():
+    red = _solid(6, 8, (255, 0, 0, 255))
+    green = _solid(2, 2, (0, 255, 0, 255))
+    holey = _solid(2, 2, (0, 0, 255, 0))         # fully transparent blue
+    payload = _webp_anim(8, 6, [
+        (red, (0, 0), True, False),              # overwrite whole canvas
+        (green, (2, 2), False, True),            # blend patch, dispose→bg
+        (holey, (0, 0), False, False),           # alpha-0 blend = no-op
+    ], bg=(9, 9, 9, 255))
+    frames = decode_webp_frames(payload)
+    assert frames.shape == (3, 6, 8, 4)
+    assert (frames[0] == [255, 0, 0, 255]).all()
+    assert (frames[1, 2:4, 2:4] == [0, 255, 0, 255]).all()
+    assert (frames[1, 0, 0] == [255, 0, 0, 255]).all()
+    # dispose filled the patch rect with the ANIM background color
+    assert (frames[2, 2:4, 2:4] == [9, 9, 9, 255]).all()
+    # transparent blend left the red corner untouched
+    assert (frames[2, 0, 0] == [255, 0, 0, 255]).all()
+
+
+def test_webp_still_is_one_frame():
+    img = np.random.default_rng(3).integers(0, 256, (5, 7, 4), np.uint8)
+    frames = decode_webp_frames(encode_vp8l(img))
+    assert frames.shape == (1, 5, 7, 4)
+    np.testing.assert_array_equal(frames[0], img)
+    # dispatcher routes both containers
+    assert decode_animation_frames(encode_vp8l(img)).shape[0] == 1
+
+
+def test_video_hash_over_animated_payloads(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.phash import VideoHash
+    # two near-identical animations and one different one
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 4, (4, 16, 16), np.uint8)
+    tweak = base.copy()
+    tweak[0, 0, 0] = (tweak[0, 0, 0] + 1) % 4
+    other = rng.integers(0, 4, (4, 16, 16), np.uint8)
+
+    def gif_of(stack):
+        return _gif_anim(16, 16, PAL, [(f, (0, 0), 0) for f in stack])
+
+    rows = [{"media_id": i, "payload": gif_of(s), "meta_num_frames": 4,
+             "meta_height": 16, "meta_width": 16, "meta_channels": 4}
+            for i, s in enumerate([base, tweak, other])]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["media_id"]: r["vhash"] & 0xFFFFFFFFFFFFFFFF
+           for r in ds.map_batches(
+        VideoHash, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"stride": 1}).take_all()}
+    ham = bin(int(out[0] ^ out[1])).count("1")
+    ham_other = bin(int(out[0] ^ out[2])).count("1")
+    assert ham <= 4 < ham_other
