@@ -723,6 +723,13 @@ def cmd_analyze(args) -> dict:
                                 top_k=args.lm_topk)
         res = lm.dsir_sample(docs, target, raw, k=args.dsir_k,
                              seed=args.dsir_seed)
+    elif args.op == "domainclf":
+        from gunrock_ray.functions import quality_clf as qc
+        w = qc.train_domain_classifier(docs, dim=args.clf_dim,
+                                       iters=args.clf_iters,
+                                       target_mod=args.dsir_target_mod)
+        res = qc.score_domain(docs, w, dim=args.clf_dim,
+                              target_mod=args.dsir_target_mod)
     else:                                    # decontam
         from gunrock_ray.functions.dedup import decontaminate
         res = decontaminate(docs, bench_mod=args.decontam_mod or 50)
@@ -914,7 +921,12 @@ def main(argv=None) -> None:
     ana.add_argument("--op", default="full",
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
-                              "spanremove", "lmscore", "dsir", "bpe"])
+                              "spanremove", "lmscore", "dsir", "bpe",
+                              "domainclf"])
+    ana.add_argument("--clf-dim", type=int, default=1024,
+                     help="--op domainclf: hashed feature buckets")
+    ana.add_argument("--clf-iters", type=int, default=10,
+                     help="--op domainclf: full-batch GD iterations")
     ana.add_argument("--lm-order", type=int, default=3)
     ana.add_argument("--lm-topk", type=int, default=100_000)
     ana.add_argument("--max-bits", type=float, default=None,
