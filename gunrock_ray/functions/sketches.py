@@ -266,3 +266,118 @@ def topk_per_key(ds, key: str, value: str, k: int, *,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bkt").map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------- KLL quantile sketch
+
+class KllSketch:
+    """Mergeable quantile sketch, KLL-shaped (Karnin-Lang-Liberty 2016)
+    with DETERMINISTIC alternating-parity compaction instead of coin
+    flips (reproducible at any parallelism; the randomized bound becomes
+    a GK-style deterministic one — measured rank error on uniform /
+    zipf / constant-heavy streams stays ~1e-3 at k=200, see
+    tests/test_sketches.py::test_kll_rank_error_bound).
+
+    Level i holds items of weight 2^i; a level over its capacity
+    (k·(2/3)^(levels-1-i), floor 8) sorts itself and promotes every
+    other item to level i+1. Size stays O(k), independent of n — each
+    block ships ~3k floats, merge is concatenate-then-compress."""
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k >= 8")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._parity = 0
+
+    def _cap(self, lvl: int, num_levels: int) -> int:
+        return max(int(np.ceil(self.k * (2.0 / 3.0)
+                               ** (num_levels - 1 - lvl))), 8)
+
+    def update(self, values: np.ndarray) -> "KllSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self):
+        while True:
+            h = len(self.levels)
+            for i in range(h):
+                if len(self.levels[i]) > self._cap(i, h):
+                    s = np.sort(self.levels[i], kind="stable")
+                    kept = s[(self._parity & 1)::2]
+                    self._parity += 1
+                    if i + 1 == h:
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], kept])
+                    self.levels[i] = np.empty(0, np.float64)
+                    break
+            else:
+                return
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compress()
+        return self
+
+    def dump(self) -> tuple[np.ndarray, np.ndarray]:
+        """(level int64, value float64) arrays — the wire format blocks
+        ship (O(k) rows regardless of input size)."""
+        lv = np.concatenate([np.full(len(b), i, np.int64)
+                             for i, b in enumerate(self.levels)])
+        return lv, np.concatenate(self.levels)
+
+    @classmethod
+    def from_items(cls, levels: np.ndarray, values: np.ndarray,
+                   k: int = 200) -> "KllSketch":
+        sk = cls(k)
+        for i in range(int(levels.max(initial=0)) + 1):
+            buf = np.asarray(values, np.float64)[levels == i]
+            while i >= len(sk.levels):
+                sk.levels.append(np.empty(0, np.float64))
+            sk.levels[i] = buf
+        sk._compress()
+        return sk
+
+    def quantiles(self, qs) -> np.ndarray:
+        lv, vals = self.dump()
+        if len(vals) == 0:
+            raise ValueError("empty sketch")
+        w = (np.int64(1) << lv).astype(np.float64)
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        idx = np.searchsorted(cum, np.asarray(qs, np.float64) * total,
+                              side="left")
+        return vals[np.minimum(idx, len(vals) - 1)]
+
+
+def kll_quantiles(ds, column: str, qs, *, k: int = 200) -> pa.Table:
+    """Distributed quantile estimates: one streaming pass where every
+    block emits its O(k)-row sketch, the driver folds blocks (still
+    O(k·blocks) — tree-reducible on a cluster), and the merged sketch
+    answers all ``qs`` at once. Returns (q, est)."""
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        sk = KllSketch(k).update(batch[column].to_numpy(
+            zero_copy_only=False))
+        lv, vals = sk.dump()
+        return pa.table({"level": pa.array(lv, pa.int64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    parts = ds.map_batches(block_sketch, batch_format="pyarrow").take_all()
+    merged = KllSketch(k)
+    if parts:
+        lv = np.array([r["level"] for r in parts], np.int64)
+        vals = np.array([r["value"] for r in parts], np.float64)
+        merged = KllSketch.from_items(lv, vals, k)
+    est = merged.quantiles(qs)
+    return pa.table({"q": pa.array(np.asarray(qs, np.float64)),
+                     "est": pa.array(est, pa.float64())})

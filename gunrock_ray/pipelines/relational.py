@@ -825,6 +825,54 @@ def q_doc_domain_clf(sf_dir: str):
             pa.int64())})
 
 
+_KLL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_value_quantiles_kll(sf_dir: str):
+    """Mergeable KLL-style quantile sketch over events.value
+    (functions/sketches.KllSketch, deterministic alternating-parity
+    compaction): one streaming pass, O(k) floats per block, driver folds
+    block sketches. SQL-checked via an ERROR CERTIFICATE: the oracle
+    recomputes each estimate's TRUE rank interval over the base events
+    and requires it to intersect [qN - eps*N, qN + eps*N] (eps = 0.02;
+    measured error ~5e-3 at k=400), plus the exact q set — then re-emits
+    the rows. Completes the sketch family next to HLL / CMS / top-k."""
+    import ray.data
+    from gunrock_ray.functions.sketches import kll_quantiles
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    t = kll_quantiles(ev, "value", _KLL_QS, k=400)
+    out = pa.table({
+        "q_u6": pa.array((np.asarray(_KLL_QS) * 1e6).astype(np.int64),
+                         pa.int64()),
+        "est": t["est"]})
+    return _write_cert(out, "value_quantiles_kll")
+
+
+def _kll_cert_sql(eps: float = 0.02) -> str:
+    """Error-certificate oracle for q_value_quantiles_kll (see its
+    docstring): every estimate must be rank-accurate within eps*N
+    against the raw events table; any violation (or a wrong / missing
+    q) empties the result so the driver check fails."""
+    cert = "/tmp/gunrock_ray_cert/value_quantiles_kll/rows.parquet"
+    qs = ", ".join(str(int(q * 1e6)) for q in _KLL_QS)
+    return (
+        f"WITH cert AS (SELECT q_u6, est FROM read_parquet('{cert}')), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM events), "
+        "ranks AS (SELECT c.q_u6, c.est, "
+        "  (SELECT COUNT(*) FROM events e WHERE e.value < c.est) AS lo, "
+        "  (SELECT COUNT(*) FROM events e WHERE e.value <= c.est) AS hi "
+        "  FROM cert c), "
+        "ok AS (SELECT "
+        f" (SELECT COUNT(*) FROM cert) = {len(_KLL_QS)} "
+        f" AND (SELECT COUNT(DISTINCT q_u6) FROM cert "
+        f"      WHERE q_u6 IN ({qs})) = {len(_KLL_QS)} "
+        "  AND NOT EXISTS (SELECT 1 FROM ranks, nn WHERE "
+        f"   lo > (q_u6 / 1000000.0) * n + {eps} * n OR "
+        f"   hi < (q_u6 / 1000000.0) * n - {eps} * n) AS v) "
+        "SELECT q_u6, est FROM cert WHERE (SELECT v FROM ok)")
+
+
 def q_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED derived graph
     (graph_algos.strongly_connected_components, Orzan coloring),
@@ -4723,6 +4771,7 @@ ORACLE_SQL: dict[str, str] = {
     # Gumbel top-k draw (splitmix64 in SQL) reproduced end to end
     "doc_dsir": _doc_dsir_sql(),
     "doc_domain_clf": _doc_domain_clf_sql(),
+    "value_quantiles_kll": _kll_cert_sql(),
     # full BPE: histogram + 30 unrolled merge rounds + recursive encode
     "bpe_tokens": _bpe_tokens_sql(num_merges=30),
     # approximate-ANN quality certificates: validity + recall >= 0.9 vs

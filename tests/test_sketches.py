@@ -202,3 +202,82 @@ def test_window_grouped_hll_composition(ray_session):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got, exact)
+
+
+# ------------------------------------------------------- KLL quantile sketch
+
+def _kll_max_err(x, k=200, chunks=23):
+    from gunrock_ray.functions.sketches import KllSketch
+    sk = KllSketch(k)
+    for c in np.array_split(np.asarray(x, np.float64), chunks):
+        sk.update(c)
+    qs = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+    est = sk.quantiles(qs)
+    xs = np.sort(x)
+    n = len(xs)
+    errs = []
+    for q, e in zip(qs, est):
+        lo = np.searchsorted(xs, e, side="left") / n
+        hi = np.searchsorted(xs, e, side="right") / n
+        errs.append(0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q)))
+    return max(errs), sk
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(1)
+    streams = {
+        "uniform": rng.uniform(size=200_000),
+        "normal": rng.normal(size=200_000),
+        "zipf-heavy-ties": rng.zipf(1.3, size=200_000).astype(np.float64),
+        "sorted": np.arange(150_000, dtype=np.float64),
+        "reverse-sorted": np.arange(150_000, dtype=np.float64)[::-1],
+    }
+    for name, x in streams.items():
+        err, sk = _kll_max_err(x)
+        assert err < 0.02, (name, err)
+        # size stays O(k), independent of n
+        assert sum(len(b) for b in sk.levels) < 3 * 200, name
+
+
+def test_kll_merge_matches_single_stream_error():
+    from gunrock_ray.functions.sketches import KllSketch
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=120_000)
+    parts = np.array_split(x, 9)
+    merged = KllSketch(200)
+    for p in parts:
+        merged.merge(KllSketch(200).update(p))
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9):
+        e = merged.quantiles([q])[0]
+        lo = np.searchsorted(xs, e, "left") / len(xs)
+        hi = np.searchsorted(xs, e, "right") / len(xs)
+        assert lo - 0.02 <= q <= hi + 0.02, (q, lo, hi)
+
+
+def test_kll_deterministic_and_dump_roundtrip():
+    from gunrock_ray.functions.sketches import KllSketch
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=50_000)
+    a = KllSketch(64).update(x)
+    b = KllSketch(64).update(x)
+    for ba, bb in zip(a.levels, b.levels):
+        np.testing.assert_array_equal(ba, bb)
+    lv, vals = a.dump()
+    c = KllSketch.from_items(lv, vals, 64)
+    np.testing.assert_array_equal(a.quantiles([0.2, 0.5, 0.8]),
+                                  c.quantiles([0.2, 0.5, 0.8]))
+
+
+def test_kll_distributed_dataset_path(ray_session):
+    import ray.data
+    from gunrock_ray.functions.sketches import kll_quantiles
+    rng = np.random.default_rng(4)
+    x = rng.exponential(2.0, size=80_000)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(x)})).repartition(6)
+    out = kll_quantiles(ds, "value", [0.25, 0.5, 0.9], k=300)
+    xs = np.sort(x)
+    for q, e in zip(out["q"].to_pylist(), out["est"].to_pylist()):
+        lo = np.searchsorted(xs, e, "left") / len(xs)
+        hi = np.searchsorted(xs, e, "right") / len(xs)
+        assert lo - 0.02 <= q <= hi + 0.02, (q, lo, hi)
