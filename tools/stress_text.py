@@ -46,12 +46,20 @@ def run_one(num_docs: int) -> dict:
     enc_rows = bpe_encode(docs, merges).count()
     t_bpe = time.perf_counter() - t0
 
+    from gunrock_ray.functions import quality_clf as qc
+    t0 = time.perf_counter()
+    w = qc.train_domain_classifier(docs, dim=1024, iters=3)
+    clf_rows = qc.score_domain(docs, w, dim=1024).count()
+    t_clf = time.perf_counter() - t0
+
     shutil.rmtree(path, ignore_errors=True)
     return {"num_docs": num_docs, "span_removal_s": round(t_span, 2),
             "span_docs_per_s": round(n_rows / t_span),
             "bm25_s": round(t_bm25, 2), "bm25_hits": len(top),
             "bpe_s": round(t_bpe, 2), "bpe_merges": len(merges),
-            "bpe_docs_per_s": round(enc_rows / t_bpe)}
+            "bpe_docs_per_s": round(enc_rows / t_bpe),
+            "domainclf_s": round(t_clf, 2),
+            "domainclf_docs_per_s": round(clf_rows / t_clf)}
 
 
 def main() -> None:
