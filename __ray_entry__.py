@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup_semantic": r.q_embed_near_dup_semantic,
         "doc_domain_clf": r.q_doc_domain_clf,   # NEW round 4: never checked
         "value_quantiles_kll": r.q_value_quantiles_kll,  # NEW round 4
+        "events_lag": r.q_events_lag,                    # NEW round 4
+        "events_moving_sum": r.q_events_moving_sum,      # NEW round 4
+        "orders_top3": r.q_orders_top3,                  # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

@@ -206,6 +206,173 @@ def cumulative_agg(events_ds, num_buckets: int | None = None):
                                        batch_format="pyarrow"))
 
 
+def lag_delta(events_ds, num_buckets: int | None = None):
+    """Per-user LAG window — for every event with a predecessor in the
+    user's (ts, event_id)-ordered history, the previous event's id and the
+    integer-cent value delta: {event_id, user_id, prev_event_id,
+    delta_cents}. First events per user are dropped (no NULL columns, so
+    the result stays int64-exact against the SQL oracle's QUALIFY rn > 1).
+
+    Same shuffle profile as :func:`cumulative_agg`: one coarse hash-bucket
+    cogroup co-locates each user's history; inside a bucket ALL users are
+    handled in one lexsort + shifted-compare pass (no per-user loop)."""
+    num_buckets = default_num_buckets(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "cents": pa.array(_cents(batch["value"])),
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def lag_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, t, eid, cents = u[order], t[order], eid[order], cents[order]
+        has_prev = np.zeros(len(u), dtype=bool)
+        has_prev[1:] = u[1:] == u[:-1]
+        idx = np.flatnonzero(has_prev)
+        return pa.table({
+            "event_id": pa.array(eid[idx], pa.int64()),
+            "user_id": pa.array(u[idx], pa.int64()),
+            "prev_event_id": pa.array(eid[idx - 1], pa.int64()),
+            "delta_cents": pa.array(cents[idx] - cents[idx - 1], pa.int64()),
+        })
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(lag_of_bucket,
+                                       batch_format="pyarrow"))
+
+
+def moving_sum(events_ds, k: int = 4, num_buckets: int | None = None):
+    """Per-user trailing ROWS window — for every event the exact
+    integer-cent sum and row count over the user's last ``k`` events
+    (ROWS k-1 PRECEDING through CURRENT under the deterministic
+    (ts, event_id) order): {event_id, user_id, mov_sum_cents, n_win}.
+    Sums stay integer so the result hash-matches the SQL oracle exactly
+    (a trailing AVG would re-introduce float division; consumers divide
+    mov_sum_cents / n_win themselves).
+
+    One coarse hash-bucket cogroup (user history co-location, the
+    inherent partitioning assumption of per-key ordered windows); inside
+    a bucket the trailing sums for EVERY user come out of one
+    lexsort + cumsum-difference pass with the window start clamped to
+    each user's segment start — no per-user or per-row loop."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    num_buckets = default_num_buckets(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "cents": pa.array(_cents(batch["value"])),
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def win_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, t, eid, cents = u[order], t[order], eid[order], cents[order]
+        n = len(u)
+        new = np.empty(n, dtype=bool)
+        new[0:1] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_start = np.repeat(starts, lens)
+        # window start = max(i - k + 1, segment start), all vectorized
+        w_start = np.maximum(np.arange(n) - (k - 1), seg_start)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "mov_sum_cents": pa.array(cum[np.arange(n) + 1] - cum[w_start],
+                                      pa.int64()),
+            "n_win": pa.array(np.arange(n) + 1 - w_start, pa.int64()),
+        })
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(win_of_bucket,
+                                       batch_format="pyarrow"))
+
+
+def topn_per_key(ds, key: str, order_col: str, id_col: str, n: int = 3,
+                 descending: bool = True, num_buckets: int | None = None):
+    """Distributed top-N-per-group with dense rank output — the batch
+    expression of ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    order_col [DESC], id_col) ... QUALIFY rnk <= n``. Returns
+    {key, id_col, order_col, rnk}.
+
+    Scale shape: each block first reduces LOCALLY to its own per-key
+    top-N (a partial combiner — only n rows per key per block survive),
+    then one coarse hash-bucket cogroup merges the partials and re-ranks.
+    The shuffle therefore moves at most n × blocks rows per key instead of
+    the key's full history — the same partial-top-k trick the ANN path
+    uses (`functions/ann.py`)."""
+    num_buckets = default_num_buckets(num_buckets)
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        kcol = batch[key].to_numpy()
+        ocol = batch[order_col].to_numpy()
+        icol = batch[id_col].to_numpy()
+        o_key = -ocol if descending else ocol
+        order = np.lexsort((icol, o_key, kcol))
+        kk, oo, ii = kcol[order], ocol[order], icol[order]
+        new = np.empty(len(kk), dtype=bool)
+        new[0:1] = True
+        new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(kk)]]))
+        pos = np.arange(len(kk)) - np.repeat(starts, lens)
+        keep = pos < n
+        kk, oo, ii = kk[keep], oo[keep], ii[keep]
+        return pa.table({
+            key: pa.array(kk),
+            order_col: pa.array(oo),
+            id_col: pa.array(ii),
+            "bkt": pa.array((mix64(kk.astype(np.int64))
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def merge_topn(group: pa.Table) -> pa.Table:
+        kcol = group[key].to_numpy()
+        ocol = group[order_col].to_numpy()
+        icol = group[id_col].to_numpy()
+        o_key = -ocol if descending else ocol
+        order = np.lexsort((icol, o_key, kcol))
+        kk, oo, ii = kcol[order], ocol[order], icol[order]
+        new = np.empty(len(kk), dtype=bool)
+        new[0:1] = True
+        new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(kk)]]))
+        rnk = np.arange(len(kk)) - np.repeat(starts, lens) + 1
+        keep = rnk <= n
+        return pa.table({
+            key: pa.array(kk[keep]),
+            id_col: pa.array(ii[keep]),
+            order_col: pa.array(oo[keep]),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return (ds.map_batches(local_topn, batch_format="pyarrow")
+            .groupby("bkt").map_groups(merge_topn, batch_format="pyarrow"))
+
+
 def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int | None = None):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.

@@ -1237,6 +1237,56 @@ def q_events_cumsum(sf_dir: str):
     return cumulative_agg(ev)
 
 
+def q_events_lag(sf_dir: str):
+    """Per-user LAG window: previous event id + integer-cent value delta
+    for every event with a predecessor under the deterministic
+    (ts, event_id) order — {event_id, user_id, prev_event_id,
+    delta_cents}, SQL-checked against LAG(...) OVER + QUALIFY rn > 1."""
+    import ray.data
+    from gunrock_ray.functions.windows import lag_delta
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return lag_delta(ev)
+
+
+def q_events_moving_sum(sf_dir: str):
+    """Per-user trailing 4-row window: exact integer-cent sum + row count
+    (ROWS 3 PRECEDING .. CURRENT) — {event_id, user_id, mov_sum_cents,
+    n_win}, SQL-checked against SUM/COUNT OVER a ROWS frame."""
+    import ray.data
+    from gunrock_ray.functions.windows import moving_sum
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return moving_sum(ev, k=4)
+
+
+def q_orders_top3(sf_dir: str):
+    """Top-3 orders per customer by price (desc, orderkey asc) with rank —
+    {o_custkey, o_orderkey, price_cents, rnk}, SQL-checked against
+    ROW_NUMBER() OVER ... QUALIFY rnk <= 3. Runs the partial-combiner
+    top-N (per-block top-3 first, then the bucket merge) so the shuffle
+    moves at most 3 × blocks rows per customer."""
+    import ray.data
+    from gunrock_ray.functions.windows import _cents, topn_per_key
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_orderkey",
+                                            "o_totalprice"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "price_cents": pa.array(_cents(batch["o_totalprice"]),
+                                    type=pa.int64()),
+        })
+
+    proj = orders.map_batches(project, batch_format="pyarrow")
+    return topn_per_key(proj, key="o_custkey", order_col="price_cents",
+                        id_col="o_orderkey", n=3, descending=True)
+
+
 def q_cust_orders_semi(sf_dir: str):
     """Customers with at least one order (EXISTS) via the cogrouped
     semi-join — {c_custkey, c_name}, SQL-checked."""
@@ -4493,6 +4543,34 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn "
         "FROM events"
+    ),
+    "events_lag": (
+        "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+        "y AS (SELECT event_id, user_id, "
+        "LAG(event_id) OVER w AS prev_event_id, "
+        "cents - LAG(cents) OVER w AS delta_cents, "
+        "ROW_NUMBER() OVER w AS rn FROM x "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+        "SELECT event_id, user_id, "
+        "CAST(prev_event_id AS BIGINT) AS prev_event_id, "
+        "CAST(delta_cents AS BIGINT) AS delta_cents FROM y WHERE rn > 1"
+    ),
+    "events_moving_sum": (
+        "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(SUM(cents) OVER w AS BIGINT) AS mov_sum_cents, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_win FROM x "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    ),
+    "orders_top3": (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey) AS BIGINT) "
+        "AS rnk FROM orders QUALIFY rnk <= 3"
     ),
     "cust_orders_semi": (
         "SELECT c_custkey, c_name FROM customer WHERE EXISTS "

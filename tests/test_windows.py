@@ -450,3 +450,111 @@ def test_hopping_and_cumsum_property_vs_bruteforce(rows):
         tot, cnt = tot + cents[i], cnt + 1
         run[users[i]] = (tot, cnt)
         assert got_c[i] == (tot, cnt), i
+
+
+def test_lag_delta_matches_bruteforce():
+    from gunrock_ray.functions.windows import lag_delta
+    import ray.data
+    rng = np.random.default_rng(11)
+    n = 300
+    users = rng.integers(0, 15, n)
+    ts = rng.integers(0, 80, n)          # ties -> event_id tiebreak matters
+    vals = np.round(rng.uniform(-9, 9, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    })
+    out = lag_delta(ray.data.from_arrow(t).repartition(4),
+                    num_buckets=4).to_pandas()
+    got = {r.event_id: (r.prev_event_id, r.delta_cents)
+           for r in out.itertuples()}
+    cents = np.where(np.abs(vals * 100 - np.trunc(vals * 100)) == 0.5,
+                     np.trunc(vals * 100) + np.sign(vals),
+                     np.round(vals * 100)).astype(np.int64)
+    order = np.lexsort((np.arange(n), ts, users))
+    prev: dict = {}
+    exp = {}
+    for i in order:
+        u = users[i]
+        if u in prev:
+            j = prev[u]
+            exp[i] = (j, cents[i] - cents[j])
+        prev[u] = i
+    assert got == exp
+
+
+def test_moving_sum_matches_bruteforce():
+    from gunrock_ray.functions.windows import moving_sum
+    import ray.data
+    rng = np.random.default_rng(13)
+    n = 280
+    users = rng.integers(0, 10, n)
+    ts = rng.integers(0, 60, n)
+    vals = np.round(rng.uniform(0, 20, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    })
+    k = 4
+    out = moving_sum(ray.data.from_arrow(t).repartition(4), k=k,
+                     num_buckets=4).to_pandas()
+    got = {r.event_id: (r.mov_sum_cents, r.n_win) for r in out.itertuples()}
+    cents = np.round(vals * 100).astype(np.int64)
+    order = np.lexsort((np.arange(n), ts, users))
+    hist: dict = {}
+    exp = {}
+    for i in order:
+        h = hist.setdefault(users[i], [])
+        h.append(cents[i])
+        w = h[-k:]
+        exp[i] = (int(sum(w)), len(w))
+    assert len(got) == n and got == exp
+
+
+def test_moving_sum_k1_and_validation():
+    import pytest
+    import ray.data
+    from gunrock_ray.functions.windows import moving_sum
+    ds = _events([1, 1], [0, 1], [1.0, 2.0])
+    with pytest.raises(ValueError):
+        moving_sum(ds, k=0)
+    t = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0]),
+    })
+    out = moving_sum(ray.data.from_arrow(t), k=1).to_pandas()
+    # k=1 window = the row itself
+    got = dict(zip(out["event_id"], out["mov_sum_cents"]))
+    assert got == {0: 100, 1: 200} and (out["n_win"] == 1).all()
+
+
+def test_topn_per_key_matches_bruteforce():
+    from gunrock_ray.functions.windows import topn_per_key
+    import ray.data
+    rng = np.random.default_rng(17)
+    n = 400
+    keys = rng.integers(0, 25, n)
+    score = rng.integers(0, 50, n)       # ties -> id tiebreak matters
+    t = pa.table({
+        "k": pa.array(keys.astype(np.int64)),
+        "score": pa.array(score.astype(np.int64)),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    for desc in (True, False):
+        out = topn_per_key(ray.data.from_arrow(t).repartition(6), key="k",
+                           order_col="score", id_col="id", n=3,
+                           descending=desc, num_buckets=4).to_pandas()
+        got = {(r.k, r.rnk): (r.id, r.score) for r in out.itertuples()}
+        exp = {}
+        for kk in np.unique(keys):
+            idx = np.flatnonzero(keys == kk)
+            o = sorted(idx, key=lambda i: (-score[i] if desc else score[i], i))
+            for r, i in enumerate(o[:3], 1):
+                exp[(kk, r)] = (i, score[i])
+        assert got == exp
