@@ -232,33 +232,52 @@ def cms_estimate(cms: np.ndarray, values_u64: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------ per-key top-k
 
 def topk_per_key(ds, key: str, value: str, k: int, *,
-                 num_buckets: int = 64, id_col: str | None = None):
-    """Per-key top-k rows by value (desc; ties → smaller id when ``id_col``
-    given, else stable) — the group-wise top-k operator. Returns a Dataset
-    with the input columns plus ``rnk`` (1..k per key).
+                 num_buckets: int = 64, id_col: str | None = None,
+                 descending: bool = True, local_combine: bool = True):
+    """Per-key top-k rows by value (``descending`` order; ties → smaller id
+    when ``id_col`` given, else stable) — the group-wise top-k operator.
+    Returns a Dataset with the input columns plus ``rnk`` (1..k per key).
 
-    Coarse hash-bucket groupby; inside a bucket every key's rows rank in
-    one vectorized lexsort + segment-position pass (no per-key Python)."""
+    Scale shape: with ``local_combine`` (default) each block FIRST reduces
+    to its own per-key top-k — a partial combiner, so the shuffle moves at
+    most k × blocks rows per key instead of the key's full history (the
+    same trick the ANN partial top-k uses). Then one coarse hash-bucket
+    groupby merges partials; inside a bucket every key's rows rank in one
+    vectorized lexsort + segment-position pass (no per-key Python).
+
+    NOTE: with ``local_combine`` and no ``id_col``, cross-block ties rank
+    in block order rather than global row order — pass ``id_col`` whenever
+    ties must be deterministic at any parallelism (the SQL-checked callers
+    all do)."""
     nb = np.uint64(num_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        kv = batch[key].to_numpy()
-        # drop pandas schema metadata (unhashable in Ray's schema dedup)
-        return batch.replace_schema_metadata(None).append_column(
-            "bkt", pa.array((mix64(kv) % nb).astype(np.int64)))
-
-    def rank_bucket(group: pa.Table) -> pa.Table:
-        kv = group[key].to_numpy()
-        vv = group[value].to_numpy()
-        tie = (group[id_col].to_numpy() if id_col
+    def _rank_order(t: pa.Table):
+        """(sort order, 0-based per-key position) under the ranking order."""
+        kv = t[key].to_numpy()
+        vv = t[value].to_numpy()
+        tie = (t[id_col].to_numpy() if id_col
                else np.arange(len(kv), dtype=np.int64))
-        order = np.lexsort((tie, -vv, kv))
+        order = np.lexsort((tie, -vv if descending else vv, kv))
         kv = kv[order]
         starts = segment_starts(kv)
         flags = np.zeros(len(kv), dtype=np.int64)
         flags[starts] = 1
         seg = np.cumsum(flags) - 1
         pos = np.arange(len(kv)) - starts[seg]
+        return order, pos
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # drop pandas schema metadata (unhashable in Ray's schema dedup)
+        batch = batch.replace_schema_metadata(None)
+        if local_combine and len(batch) > 0:
+            order, pos = _rank_order(batch)
+            batch = batch.take(pa.array(order[pos < k]))
+        kv = batch[key].to_numpy()
+        return batch.append_column(
+            "bkt", pa.array((mix64(kv) % nb).astype(np.int64)))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        order, pos = _rank_order(group)
         keep = pos < k
         out = group.take(pa.array(order[keep]))
         out = out.drop_columns(["bkt"])

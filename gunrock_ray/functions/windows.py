@@ -310,69 +310,6 @@ def moving_sum(events_ds, k: int = 4, num_buckets: int | None = None):
                                        batch_format="pyarrow"))
 
 
-def topn_per_key(ds, key: str, order_col: str, id_col: str, n: int = 3,
-                 descending: bool = True, num_buckets: int | None = None):
-    """Distributed top-N-per-group with dense rank output — the batch
-    expression of ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
-    order_col [DESC], id_col) ... QUALIFY rnk <= n``. Returns
-    {key, id_col, order_col, rnk}.
-
-    Scale shape: each block first reduces LOCALLY to its own per-key
-    top-N (a partial combiner — only n rows per key per block survive),
-    then one coarse hash-bucket cogroup merges the partials and re-ranks.
-    The shuffle therefore moves at most n × blocks rows per key instead of
-    the key's full history — the same partial-top-k trick the ANN path
-    uses (`functions/ann.py`)."""
-    num_buckets = default_num_buckets(num_buckets)
-
-    def local_topn(batch: pa.Table) -> pa.Table:
-        kcol = batch[key].to_numpy()
-        ocol = batch[order_col].to_numpy()
-        icol = batch[id_col].to_numpy()
-        o_key = -ocol if descending else ocol
-        order = np.lexsort((icol, o_key, kcol))
-        kk, oo, ii = kcol[order], ocol[order], icol[order]
-        new = np.empty(len(kk), dtype=bool)
-        new[0:1] = True
-        new[1:] = kk[1:] != kk[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.concatenate([starts, [len(kk)]]))
-        pos = np.arange(len(kk)) - np.repeat(starts, lens)
-        keep = pos < n
-        kk, oo, ii = kk[keep], oo[keep], ii[keep]
-        return pa.table({
-            key: pa.array(kk),
-            order_col: pa.array(oo),
-            id_col: pa.array(ii),
-            "bkt": pa.array((mix64(kk.astype(np.int64))
-                             % np.uint64(num_buckets)).astype(np.int64)),
-        })
-
-    def merge_topn(group: pa.Table) -> pa.Table:
-        kcol = group[key].to_numpy()
-        ocol = group[order_col].to_numpy()
-        icol = group[id_col].to_numpy()
-        o_key = -ocol if descending else ocol
-        order = np.lexsort((icol, o_key, kcol))
-        kk, oo, ii = kcol[order], ocol[order], icol[order]
-        new = np.empty(len(kk), dtype=bool)
-        new[0:1] = True
-        new[1:] = kk[1:] != kk[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.concatenate([starts, [len(kk)]]))
-        rnk = np.arange(len(kk)) - np.repeat(starts, lens) + 1
-        keep = rnk <= n
-        return pa.table({
-            key: pa.array(kk[keep]),
-            id_col: pa.array(ii[keep]),
-            order_col: pa.array(oo[keep]),
-            "rnk": pa.array(rnk[keep], pa.int64()),
-        })
-
-    return (ds.map_batches(local_topn, batch_format="pyarrow")
-            .groupby("bkt").map_groups(merge_topn, batch_format="pyarrow"))
-
-
 def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int | None = None):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.

@@ -1269,7 +1269,8 @@ def q_orders_top3(sf_dir: str):
     top-N (per-block top-3 first, then the bucket merge) so the shuffle
     moves at most 3 × blocks rows per customer."""
     import ray.data
-    from gunrock_ray.functions.windows import _cents, topn_per_key
+    from gunrock_ray.functions.sketches import topk_per_key
+    from gunrock_ray.functions.windows import _cents
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_orderkey",
                                             "o_totalprice"])
@@ -1283,8 +1284,8 @@ def q_orders_top3(sf_dir: str):
         })
 
     proj = orders.map_batches(project, batch_format="pyarrow")
-    return topn_per_key(proj, key="o_custkey", order_col="price_cents",
-                        id_col="o_orderkey", n=3, descending=True)
+    return topk_per_key(proj, "o_custkey", "price_cents", 3,
+                        id_col="o_orderkey")
 
 
 def q_cust_orders_semi(sf_dir: str):

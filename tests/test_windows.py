@@ -534,8 +534,10 @@ def test_moving_sum_k1_and_validation():
     assert got == {0: 100, 1: 200} and (out["n_win"] == 1).all()
 
 
-def test_topn_per_key_matches_bruteforce():
-    from gunrock_ray.functions.windows import topn_per_key
+def test_topk_per_key_combiner_and_order():
+    """topk_per_key: asc + desc order, and the per-block partial combiner
+    (local_combine) must be invisible in the result at any block layout."""
+    from gunrock_ray.functions.sketches import topk_per_key
     import ray.data
     rng = np.random.default_rng(17)
     n = 400
@@ -547,14 +549,16 @@ def test_topn_per_key_matches_bruteforce():
         "id": pa.array(np.arange(n), pa.int64()),
     })
     for desc in (True, False):
-        out = topn_per_key(ray.data.from_arrow(t).repartition(6), key="k",
-                           order_col="score", id_col="id", n=3,
-                           descending=desc, num_buckets=4).to_pandas()
-        got = {(r.k, r.rnk): (r.id, r.score) for r in out.itertuples()}
         exp = {}
         for kk in np.unique(keys):
             idx = np.flatnonzero(keys == kk)
             o = sorted(idx, key=lambda i: (-score[i] if desc else score[i], i))
             for r, i in enumerate(o[:3], 1):
                 exp[(kk, r)] = (i, score[i])
-        assert got == exp
+        for combine in (True, False):
+            out = topk_per_key(
+                ray.data.from_arrow(t).repartition(6), "k", "score", 3,
+                id_col="id", descending=desc, local_combine=combine,
+                num_buckets=4).to_pandas()
+            got = {(r.k, r.rnk): (r.id, r.score) for r in out.itertuples()}
+            assert got == exp, (desc, combine)
