@@ -43,3 +43,50 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str],
     if count_as:
         final.append(Sum(count_as, alias_name=count_as))
     return parts.groupby(list(keys)).aggregate(*final)
+
+
+def _sentinel_for(typ: pa.DataType):
+    return "*" if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+        else -1
+
+
+def rollup_sums(ds, keys: list[str], sum_cols: list[str],
+                count_as: str | None = "n",
+                sentinels: dict[str, object] | None = None):
+    """GROUP BY ROLLUP(keys): the finest aggregate plus every prefix
+    level up to the grand total, with rolled-up key positions holding a
+    SENTINEL (-1 for numeric keys, '*' for strings; override per column
+    via ``sentinels``) instead of SQL's NULL — so the result stays
+    null-free and dtype-exact against a ``COALESCE``-wrapped ROLLUP
+    oracle.
+
+    Scale shape: only the FINEST level touches the input (one
+    pre-aggregated :func:`grouped_sums` pass); every coarser level
+    re-aggregates the finest RESULT — which is already reduced to the
+    distinct-key count — so the len(keys) extra levels cost ~nothing and
+    add no full-input passes. Union of per-level Datasets, still lazy."""
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    sentinels = dict(sentinels or {})
+    finest = grouped_sums(ds, keys, sum_cols, count_as=count_as)
+    # coarser levels must SUM the finest count, not re-count rows
+    cols = list(sum_cols) + ([count_as] if count_as else [])
+    levels = [finest]
+    for j in range(len(keys) - 1, -1, -1):
+        masked = tuple(keys[j:])
+
+        def mask(batch: pa.Table, masked=masked) -> pa.Table:
+            d = {c: batch[c] for c in batch.column_names}
+            for c in masked:
+                typ = batch.schema.field(c).type
+                s = sentinels.get(c, _sentinel_for(typ))
+                d[c] = pa.array([s] * len(batch), type=typ)
+            return pa.table(d)
+
+        levels.append(grouped_sums(
+            finest.map_batches(mask, batch_format="pyarrow"),
+            keys, cols, count_as=None))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -1524,6 +1524,32 @@ def q_lineitem_agg(sf_dir: str):
                         count_as="count_order")
 
 
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(order year, priority): count + exact integer-cent
+    totals at all three levels — {yr, prio, sum_cents, n} with sentinels
+    (-1 / '*') in rolled-up key positions, SQL-checked against DuckDB's
+    ROLLUP wrapped in COALESCE. Only the finest level touches the input;
+    coarser levels re-aggregate its tiny result."""
+    import pyarrow.compute as pc
+    import ray.data
+    from gunrock_ray.functions.aggregates import rollup_sums
+    from gunrock_ray.functions.windows import _cents
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderdate", "o_orderpriority",
+                                            "o_totalprice"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "yr": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "prio": batch["o_orderpriority"],
+            "sum_cents": pa.array(_cents(batch["o_totalprice"]),
+                                  type=pa.int64()),
+        })
+
+    proj = orders.map_batches(project, batch_format="pyarrow")
+    return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
+
+
 def q_user_topk_events(sf_dir: str):
     """Per-key top-k: each user's top-3 events by value (ties → smaller
     event_id), SQL-checked against a ROW_NUMBER window oracle. Coarse-
@@ -4565,6 +4591,16 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) OVER w AS BIGINT) AS n_win FROM x "
         "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    ),
+    "orders_rollup": (
+        "WITH x AS (SELECT year(o_orderdate) AS yr0, "
+        "o_orderpriority AS prio0, "
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders) "
+        "SELECT CAST(COALESCE(yr0, -1) AS BIGINT) AS yr, "
+        "COALESCE(prio0, '*') AS prio, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM x GROUP BY ROLLUP(yr0, prio0)"
     ),
     "orders_top3": (
         "SELECT o_custkey, o_orderkey, "

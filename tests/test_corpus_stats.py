@@ -365,3 +365,44 @@ def test_chunk_documents(ray_session):
     assert covered == {f"w{i}" for i in range(200)}
     with pytest.raises(ValueError):
         chunk_documents(ds, chunk_tokens=16, overlap=16)
+
+
+def test_rollup_sums_levels_and_sentinels():
+    """rollup_sums: all prefix levels present with sentinel keys, sums and
+    counts exact vs brute force, invariant to block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gunrock_ray.functions.aggregates import rollup_sums
+
+    rng = np.random.default_rng(23)
+    n = 500
+    a = rng.integers(0, 4, n).astype(np.int64)
+    b = rng.integers(0, 3, n)
+    bs = np.array(["x", "y", "z"])[b]
+    v = rng.integers(-50, 100, n).astype(np.int64)
+    t = pa.table({"a": pa.array(a), "b": pa.array(bs), "v": pa.array(v)})
+
+    exp = {}
+    for i in range(n):
+        for key in [(a[i], bs[i]), (a[i], "*"), (-1, "*")]:
+            s, c = exp.get(key, (0, 0))
+            exp[key] = (s + int(v[i]), c + 1)
+
+    for parts in (1, 7):
+        out = rollup_sums(ray.data.from_arrow(t).repartition(parts),
+                          ["a", "b"], ["v"], count_as="n").to_pandas()
+        got = {(r.a, r.b): (r.v, r.n) for r in out.itertuples()}
+        assert got == exp, parts
+
+    # sentinel override + single-key rollup
+    out = rollup_sums(ray.data.from_arrow(t), ["a"], ["v"],
+                      count_as="n", sentinels={"a": 999}).to_pandas()
+    grand = out[out["a"] == 999]
+    assert len(grand) == 1
+    assert int(grand["v"].iloc[0]) == int(v.sum())
+    assert int(grand["n"].iloc[0]) == n
+
+    import pytest
+    with pytest.raises(ValueError):
+        rollup_sums(ray.data.from_arrow(t), [], ["v"])
