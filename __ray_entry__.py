@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": r.q_events_moving_sum,      # NEW round 4
         "orders_top3": r.q_orders_top3,                  # NEW round 4
         "orders_rollup": r.q_orders_rollup,              # NEW round 4
+        "host_trustrank": r.q_host_trustrank,            # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

@@ -1,0 +1,93 @@
+"""Web link-graph host-level operators — the tier's namesake pipeline:
+contract a page-level edge list to its HOST quotient graph, then run
+seed-trust propagation (TrustRank) and spam-mass scoring over it.
+
+At web scale the page graph has ~10^12 edges but only ~10^8 hosts, so
+host contraction is the standard first move (Gyöngyi et al. 2004 run
+TrustRank on the host graph; common crawl link-graph releases ship
+host- and domain-level quotients). The contraction here is one per-batch
+projection + one pre-aggregated groupby (functions.aggregates.
+grouped_sums) — the shuffle moves (h_src, h_dst) partials, never page
+edges, and the result is small enough that every downstream iteration
+(TrustRank, host PR, spam mass) runs on the quotient.
+
+Vertex → host mapping is injected as a callable so page-id spaces with a
+real URL→host dictionary can plug in; the default integer-block mapping
+(``v // hosts_per``) is the deterministic test/bench stand-in that the
+SQL oracles reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _default_host_map(hosts_per: int):
+    def host_of(v: np.ndarray) -> np.ndarray:
+        return v // hosts_per
+    return host_of
+
+
+def host_edges(edges_ds, hosts_per: int = 8, host_map=None):
+    """Contract a page-level edge Dataset {src, dst} to the host quotient
+    graph: {src, dst, w} at host granularity, where ``w`` (float64, for
+    the weighted-PR kernels) counts the underlying page edges between the
+    host pair. Intra-host edges are dropped (quotient self-loops carry no
+    inter-host endorsement). One projection + one pre-aggregated groupby;
+    at any scale the shuffle moves per-block (h_src, h_dst) partials."""
+    from gunrock_ray.functions.aggregates import grouped_sums
+    hm = host_map or _default_host_map(hosts_per)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = hm(batch["src"].to_numpy())
+        d = hm(batch["dst"].to_numpy())
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    counts = grouped_sums(
+        edges_ds.map_batches(project, batch_format="pyarrow"),
+        ["src", "dst"], [], count_as="w")
+
+    def to_weight(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "w": batch["w"].cast(pa.float64()),
+        })
+
+    return counts.map_batches(to_weight, batch_format="pyarrow")
+
+
+def host_vertices(edges_ds, hosts_per: int = 8, host_map=None):
+    """Distinct host ids touched by ANY page edge endpoint — including
+    hosts whose every edge was intra-host (they vanish from
+    :func:`host_edges` but remain quotient vertices). Returns {v}."""
+    hm = host_map or _default_host_map(hosts_per)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = hm(batch["src"].to_numpy())
+        d = hm(batch["dst"].to_numpy())
+        return pa.table({"v": pa.array(np.concatenate([s, d]), pa.int64())})
+
+    return (edges_ds.map_batches(project, batch_format="pyarrow")
+            .groupby("v").count().select_columns(["v"]))
+
+
+def spam_mass(pr_df, tr_df):
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): sm(v) = (PR(v) − TR(v)) / PR(v) — the
+    fraction of a host's PageRank NOT accounted for by trust flowing from
+    the seed set. High sm ⇒ rank comes from untrusted regions (link-farm
+    signal). Inputs are the {v, rank} frames of the unnormalized
+    (weighted) PageRank and :func:`~gunrock_ray.pipelines.graph_algos.
+    trustrank` runs over the SAME graph; PR(v) > 0 always (its restart
+    term is (1−δ)/n). Returns {v, trust_u6, sm_u6} at the 1e-6 integer
+    scale (floor(x·1e6 + 0.5), the SQL-exact recipe)."""
+    df = pr_df.merge(tr_df, on="v", suffixes=("_pr", "_tr"))
+    p = df["rank_pr"].to_numpy()
+    t = df["rank_tr"].to_numpy()
+    df["trust_u6"] = np.floor(t * 1e6 + 0.5).astype(np.int64)
+    df["sm_u6"] = np.floor((1.0 - t / p) * 1e6 + 0.5).astype(np.int64)
+    return (df[["v", "trust_u6", "sm_u6"]]
+            .sort_values("v").reset_index(drop=True))

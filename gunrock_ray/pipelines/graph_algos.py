@@ -438,6 +438,43 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     return out.sort(["rank", "v"], descending=[True, False])
 
 
+def trustrank(graph: DistributedGraph, seeds, *, delta: float = 0.85,
+              tol: float = 0.0, max_iter: int = 20, weighted: bool = False,
+              metrics_path: str | None = None):
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004): the
+    seed-biased power iteration t_{k+1} = delta·T·t_k + (1-delta)·d with
+    restart vector d uniform over the trusted ``seeds`` (zero elsewhere)
+    and t_0 = d — trust decays outward from the seed set along links;
+    pages unreachable from any seed converge to 0. With ``weighted=True``
+    trust flows proportional to edge weight (x[u]·w(u,v)/wsum(u) — the
+    host-contracted link graph's edge multiplicity), else 1/out-degree.
+    Dangling mass is absorbed, not redistributed (the engine's
+    NORMALIZED=false PR convention). ``tol=0`` runs exactly ``max_iter``
+    supersteps — the SQL-checkable form (relational._host_trustrank_sql
+    unrolls the identical update). Returns {v, rank} sorted (rank desc,
+    v asc). Spam-mass composition lives in functions/linkgraph.py."""
+    g = graph
+    seeds = np.asarray(sorted({int(s) for s in np.asarray(seeds).ravel()}),
+                       dtype=np.int64)
+    if len(seeds) == 0:
+        raise ValueError("trustrank needs at least one seed vertex")
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("tr_init", g.n, delta, tol, seeds, weighted)
+    g.register_push("out")
+    scatter = "wpr_scatter" if weighted else "pru_scatter"
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        res, _ = g.superstep(scatter, "tr_apply")
+        updated = sum(r["updated"] for r in res)
+        metrics.write(algo="trustrank", superstep=it, changed=updated,
+                      t_superstep_s=time.perf_counter() - t0)
+        if updated == 0:
+            break
+    metrics.close()
+    return g.extract("pru_extract").sort(["rank", "v"],
+                                         descending=[True, False])
+
+
 def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
                     beta: float = 1.0, max_iter: int = 20, tol: float = 0.0,
                     metrics_path: str | None = None,

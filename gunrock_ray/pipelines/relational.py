@@ -1033,6 +1033,36 @@ def q_wpr10(sf_dir: str):
     return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_host_trustrank(sf_dir: str):
+    """Link-graph tier flagship: contract the page-level derived graph to
+    its HOST quotient (v // 8, intra-host edges dropped, weight = page-
+    edge multiplicity), then over the weighted host graph run (a)
+    TrustRank from the deterministic seed set {h : h % 7 == 3}, exactly 8
+    supersteps, and (b) unnormalized weighted PageRank, exactly 8
+    supersteps — and score relative spam mass sm = (PR − TR)/PR.
+    {v, trust_u6, sm_u6} at the 1e-6 integer scale, SQL-checked against
+    the fully unrolled twin iteration (contraction + both power
+    iterations in one WITH chain)."""
+    from gunrock_ray.functions.linkgraph import (host_edges, host_vertices,
+                                                 spam_mass)
+    from gunrock_ray.pipelines.graph_algos import (build_graph, pagerank,
+                                                   trustrank)
+    norm = _norm_ds(sf_dir)
+    hv = host_vertices(norm, hosts_per=8)
+    hosts = hv.to_pandas()["v"].to_numpy()          # quotient is tiny
+    seeds = hosts[hosts % 7 == 3]
+    g = build_graph(host_edges(norm, hosts_per=8), num_partitions=4,
+                    weighted=True, vertices=hv)
+    try:
+        tr = trustrank(g, seeds, delta=0.85, tol=0.0, max_iter=8,
+                       weighted=True).to_pandas()
+        pr = pagerank(g, error=0.0, max_iter=8, normalized=False,
+                      weighted=True).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return spam_mass(pr, tr)
+
+
 def q_katz5(sf_dir: str):
     """Katz centrality, exactly 5 supersteps (tol=0), alpha=0.05, beta=1 —
     SQL-checked against the unrolled DuckDB iteration at the 1e-6 integer
@@ -2336,6 +2366,61 @@ def _wpr_sql(iters: int = 10, delta: float = 0.85) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(pr*1000000 + 0.5) AS BIGINT) "
                  f"AS rank_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _host_trustrank_sql(iters: int = 8, delta: float = 0.85,
+                        hosts_per: int = 8, seed_mod: int = 7,
+                        seed_rem: int = 3) -> str:
+    """Unrolled SQL twin of q_host_trustrank: host contraction (v //
+    hosts_per, intra-host dropped, weight = COUNT(*)) then BOTH unrolled
+    weighted power iterations — TrustRank (restart (1-δ)/|S| on seeds
+    {h : h % seed_mod = seed_rem}, t0 = d) and plain weighted PR (restart
+    (1-δ)/n, r0 = 1/n) — with the engine's exact push expression
+    (x·(1/sw))·w, then trust_u6 / sm_u6 = (1 − t/pr) at the 1e-6 integer
+    scale. Integer edge-multiplicity weights keep wsum bit-exact."""
+    parts = [
+        f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), ",
+        "hv AS MATERIALIZED (SELECT DISTINCT v FROM "
+        f"(SELECT src // {hosts_per} AS v FROM n0 "
+        f"UNION ALL SELECT dst // {hosts_per} FROM n0)), ",
+        "nn AS (SELECT COUNT(*) AS n FROM hv), ",
+        "ns AS (SELECT COUNT(*) AS k FROM hv "
+        f"WHERE v % {seed_mod} = {seed_rem}), ",
+        f"e AS MATERIALIZED (SELECT src // {hosts_per} AS src, "
+        f"dst // {hosts_per} AS dst, CAST(COUNT(*) AS DOUBLE) AS w FROM n0 "
+        f"WHERE src // {hosts_per} <> dst // {hosts_per} GROUP BY 1, 2), ",
+        "ws AS MATERIALIZED (SELECT src AS v, SUM(w) AS sw FROM e "
+        "GROUP BY src), ",
+        f"t0 AS (SELECT hv.v, CASE WHEN hv.v % {seed_mod} = {seed_rem} "
+        "THEN 1.0/ns.k ELSE 0.0 END AS x FROM hv CROSS JOIN ns), ",
+        "r0 AS (SELECT hv.v, 1.0/nn.n AS pr FROM hv CROSS JOIN nn)",
+    ]
+    t_step = (
+        f", t{{i}} AS MATERIALIZED (SELECT hv.v, "
+        f"CASE WHEN hv.v % {seed_mod} = {seed_rem} THEN "
+        f"(1.0-{delta})/ns.k ELSE 0.0 END + {delta}*COALESCE(m.s, 0) AS x "
+        "FROM hv CROSS JOIN ns LEFT JOIN "
+        "(SELECT e.dst AS v, SUM((p.x * (1.0/w2.sw)) * e.w) AS s FROM e "
+        "JOIN t{prev} p ON p.v = e.src JOIN ws w2 ON w2.v = e.src "
+        "GROUP BY e.dst) m ON m.v = hv.v)"
+    )
+    r_step = (
+        f", r{{i}} AS MATERIALIZED (SELECT hv.v, "
+        f"(1.0-{delta})/nn.n + {delta}*COALESCE(m.s, 0) AS pr "
+        "FROM hv CROSS JOIN nn LEFT JOIN "
+        "(SELECT e.dst AS v, SUM((p.pr * (1.0/w2.sw)) * e.w) AS s FROM e "
+        "JOIN r{prev} p ON p.v = e.src JOIN ws w2 ON w2.v = e.src "
+        "GROUP BY e.dst) m ON m.v = hv.v)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(t_step.format(i=i, prev=i - 1))
+        parts.append(r_step.format(i=i, prev=i - 1))
+    parts.append(
+        f" SELECT t.v, CAST(FLOOR(t.x*1000000 + 0.5) AS BIGINT) AS trust_u6, "
+        f"CAST(FLOOR((1.0 - t.x/r.pr)*1000000 + 0.5) AS BIGINT) AS sm_u6 "
+        f"FROM t{iters} t JOIN r{iters} r ON r.v = t.v"
+    )
     return "".join(parts)
 
 
@@ -4371,6 +4456,7 @@ ORACLE_SQL: dict[str, str] = {
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
+    "host_trustrank": _host_trustrank_sql(8),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (
         f"WITH e AS MATERIALIZED ({_NORM_SQL}), "

@@ -699,6 +699,37 @@ class GraphPartition:
             self._plans["out"]["src_idx"]] * self._wpr_w_plan
         return self.push_reduced(vals, "sum", "out")
 
+    # ---------------------------------------------------------- TrustRank
+    # Gyöngyi/Garcia-Molina/Pedersen, "Combating Web Spam with TrustRank"
+    # (VLDB 2004): the seed-biased power iteration t_{k+1} = δ·T·t_k +
+    # (1-δ)·d with restart vector d uniform over a TRUSTED seed set (zero
+    # elsewhere) and t_0 = d. The link-graph-tier centerpiece — runs over
+    # the host-contracted weighted graph (functions/linkgraph.py). Reuses
+    # the pru_*/wpr_* static out-push plans and pru_extract; only the
+    # restart differs (a per-vertex vector instead of the scalar 1/n).
+
+    def tr_init(self, n_global: int, delta: float, threshold: float,
+                seeds: np.ndarray, weighted: bool = False) -> None:
+        if weighted:
+            self.wpr_init(n_global, delta, threshold)
+        else:
+            self.pru_init(n_global, delta, threshold)
+        mask = np.isin(self.verts, np.asarray(seeds, dtype=np.int64))
+        k = max(len(seeds), 1)
+        self._tr_reset = np.where(mask, (1.0 - delta) / k, 0.0)
+        self.state["rank"] = np.where(mask, 1.0 / k, 0.0)
+
+    @_apply_timed
+    def tr_apply(self, *val_packs) -> dict:
+        nxt = self._static_apply_sum(val_packs, "out")
+        old = self.state["rank"]
+        new = self._tr_reset + self._pr_delta * nxt
+        new[~np.isfinite(new)] = 0.0
+        updated = int(np.count_nonzero(
+            np.abs(new - old) > self._pr_threshold * old))
+        self.state["rank"] = new
+        return {"updated": updated, "msgs": int(len(self.col_indices))}
+
     # ------------------------------------------------------ Katz centrality
     # Katz (1953) path-counting centrality — beyond the fork's app list but
     # the natural third member of the PR/HITS/SALSA eigen-family and built on

@@ -1,0 +1,110 @@
+"""Link-graph tier: host quotient contraction + TrustRank + spam mass
+(functions/linkgraph.py, graph_algos.trustrank) vs NumPy references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.helpers import dense_result
+
+
+def _edges_ds(pairs):
+    import ray.data
+    s, d = zip(*pairs)
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}))
+
+
+def test_host_contraction_bruteforce():
+    from gunrock_ray.functions.linkgraph import host_edges, host_vertices
+    rng = np.random.default_rng(31)
+    pairs = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 64, 300), rng.integers(0, 64, 300))]
+    he = host_edges(_edges_ds(pairs), hosts_per=8).to_pandas()
+    got = {(r.src, r.dst): r.w for r in he.itertuples()}
+    exp: dict = {}
+    hosts = set()
+    for a, b in pairs:
+        ha, hb = a // 8, b // 8
+        hosts.update((ha, hb))
+        if ha != hb:
+            exp[(ha, hb)] = exp.get((ha, hb), 0) + 1
+    assert got == exp
+    assert he["w"].dtype == np.float64
+    hv = host_vertices(_edges_ds(pairs), hosts_per=8).to_pandas()
+    assert set(hv["v"]) == hosts
+
+
+def test_trustrank_matches_numpy_reference():
+    """Weighted + unweighted TrustRank vs the dense power iteration; trust
+    confined to the seed's reachable set; spam mass formula exact."""
+    from gunrock_ray.functions.linkgraph import spam_mass
+    from gunrock_ray.pipelines.graph_algos import (build_graph, pagerank,
+                                                   trustrank)
+    # two components: {0,1,2} reachable from seed 0; {3,4} not. 5 dangles.
+    pairs = [(0, 1), (0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (2, 5)]
+    n = 6
+    seeds = [0]
+    delta, iters = 0.85, 12
+    for weighted in (True, False):
+        # engine: multiplicity-weighted when weighted else simple edges
+        if weighted:
+            from gunrock_ray.functions.aggregates import grouped_sums
+
+            def to_w(b):
+                return pa.table({"src": b["src"], "dst": b["dst"],
+                                 "w": b["w"].cast(pa.float64())})
+            eds = grouped_sums(_edges_ds(pairs), ["src", "dst"], [],
+                               count_as="w").map_batches(
+                                   to_w, batch_format="pyarrow")
+        else:
+            eds = _edges_ds(sorted(set(pairs)))
+        import ray.data
+        g = build_graph(eds, num_partitions=3, weighted=weighted,
+                        vertices=ray.data.from_arrow(pa.table(
+                            {"v": pa.array(range(n), pa.int64())})))
+        try:
+            tr = trustrank(g, seeds, delta=delta, tol=0.0, max_iter=iters,
+                           weighted=weighted)
+            got = dense_result(tr, n, "rank")
+            if weighted:
+                pr = pagerank(g, error=0.0, max_iter=iters,
+                              normalized=False, weighted=True).to_pandas()
+        finally:
+            g.shutdown(remove_spill=True)
+        # dense reference
+        W = np.zeros((n, n))
+        src_set = sorted(set(pairs)) if not weighted else pairs
+        for a, b in src_set:
+            W[a, b] += 1
+        sw = W.sum(axis=1)
+        T = np.divide(W, sw[:, None], out=np.zeros_like(W),
+                      where=sw[:, None] > 0)
+        d = np.zeros(n)
+        d[seeds] = 1.0 / len(seeds)
+        x = d.copy()
+        for _ in range(iters):
+            x = (1 - delta) * d + delta * (T.T @ x)
+        assert np.allclose(got, x, atol=1e-12), weighted
+        # unreachable component and pure sinks get zero trust only if
+        # unreachable: 3,4 unreachable -> 0; 5 reachable sink -> > 0
+        assert got[3] == 0.0 and got[4] == 0.0 and got[5] > 0.0
+
+    # spam mass: untrusted component scores ~1, trusted core near 0
+    sm = spam_mass(pr, tr.to_pandas())
+    by_v = dict(zip(sm["v"], sm["sm_u6"]))
+    assert by_v[3] == 1_000_000 and by_v[4] == 1_000_000
+    assert by_v[0] < 500_000
+    assert list(sm.columns) == ["v", "trust_u6", "sm_u6"]
+
+
+def test_trustrank_rejects_empty_seeds():
+    from gunrock_ray.pipelines.graph_algos import build_graph, trustrank
+    g = build_graph(_edges_ds([(0, 1)]), num_partitions=2)
+    try:
+        with pytest.raises(ValueError, match="seed"):
+            trustrank(g, [])
+    finally:
+        g.shutdown(remove_spill=True)
