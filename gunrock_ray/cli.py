@@ -175,6 +175,42 @@ def cmd_run(args) -> dict:
                    "t_run_s": round(t_run, 3)}
         print(json.dumps(summary))
         return summary
+    if args.algo == "trustrank":
+        # link-graph pipeline: optional host contraction, then TrustRank +
+        # unnormalized PR over the same graph -> relative spam mass
+        from gunrock_ray.functions.linkgraph import (host_edges,
+                                                     host_vertices,
+                                                     spam_mass)
+        import ray.data as rd
+        seeds = ([int(s) for s in args.sources.split(",")]
+                 if args.sources else [args.src])
+        weighted = args.weighted
+        t0 = time.perf_counter()
+        if args.host_contract:
+            vertices = host_vertices(edges, hosts_per=args.host_contract)
+            edges = host_edges(edges, hosts_per=args.host_contract)
+            weighted = True
+        g = ga.build_graph(edges, weighted=weighted, vertices=vertices,
+                           num_partitions=args.partitions,
+                           spill_dir=args.spill_dir)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tr = ga.trustrank(g, seeds, delta=args.delta, tol=0.0,
+                          max_iter=args.max_iter, weighted=weighted,
+                          metrics_path=args.metrics)
+        pr = ga.pagerank(g, error=0.0, max_iter=args.max_iter,
+                         normalized=False, weighted=weighted)
+        sm = spam_mass(pr.to_pandas(), tr.to_pandas())
+        t_run = time.perf_counter() - t0
+        rows = _write_result(args.out, sm) if args.out else 0
+        summary = {"cmd": "run", "algo": "trustrank", "n": g.n, "m": g.m,
+                   "rows": rows, "num_seeds": len(set(seeds)),
+                   "host_contract": args.host_contract,
+                   "t_build_s": round(t_build, 3),
+                   "t_run_s": round(t_run, 3)}
+        g.shutdown(remove_spill=args.spill_dir is None)
+        print(json.dumps(summary))
+        return summary
     t0 = time.perf_counter()
     g = ga.build_graph(edges, undirected=undirected, weighted=args.weighted,
                        vertices=vertices, num_partitions=args.partitions,
@@ -810,7 +846,7 @@ def main(argv=None) -> None:
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
-                              "batchppr", "sage", "ego", "recip"])
+                              "batchppr", "sage", "ego", "recip", "trustrank"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap"])
@@ -830,6 +866,9 @@ def main(argv=None) -> None:
     run.add_argument("--sources", default="",
                      help="comma-separated source list for --algo batchppr "
                           "/ sage (falls back to --src)")
+    run.add_argument("--host-contract", type=int, default=0,
+                     help="contract vertices to hosts (v // N) before "
+                          "--algo trustrank; 0 = run on the input graph")
     run.add_argument("--fanouts", default="10,5",
                      help="per-layer fanouts for --algo sage")
     run.add_argument("--sample-seed", type=int, default=42,

@@ -395,3 +395,38 @@ def test_cli_curate_sharded_resume(tmp_path):
     whole = sorted(pads.dataset(glob.glob(os.path.join(mono, "*.parquet")))
                    .to_table()["doc_id"].to_pylist())
     assert sharded == whole
+
+
+def test_cli_trustrank_host_contract(tmp_path):
+    """trustrank CLI with host contraction: dense page ids 0..63 -> 8
+    hosts; seeds' trust is positive, spam mass in [0, 1e6], rows = hosts."""
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(41)
+    n = 400
+    t = pa.table({
+        "src": pa.array(rng.integers(0, 64, n).astype(np.int64)),
+        "dst": pa.array(rng.integers(0, 64, n).astype(np.int64)),
+    })
+    inp = str(tmp_path / "edges.parquet")
+    pq.write_table(t, inp)
+    outd = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "run", "--algo",
+         "trustrank", "--input", inp, "--out", outd, "--partitions", "2",
+         "--host-contract", "8", "--sources", "0,3", "--max-iter", "10"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["algo"] == "trustrank" and summary["num_seeds"] == 2
+    assert summary["n"] == 8 and summary["rows"] == 8
+    got = pq.read_table(outd).to_pandas().sort_values("v")
+    assert set(got.columns) == {"v", "trust_u6", "sm_u6"}
+    by_v = dict(zip(got["v"], got["trust_u6"]))
+    assert by_v[0] > 0 and by_v[3] > 0           # seeds hold trust
+    # sm = 1 - TR/PR <= 1 always; NEGATIVE is legit for highly-trusted
+    # hosts (trust concentrated on seeds can exceed their PageRank)
+    assert (got["sm_u6"] <= 1_000_000).all()
+    sm_by_v = dict(zip(got["v"], got["sm_u6"]))
+    assert min(sm_by_v[0], sm_by_v[3]) == got["sm_u6"].min()
