@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top3": r.q_orders_top3,                  # NEW round 4
         "orders_rollup": r.q_orders_rollup,              # NEW round 4
         "host_trustrank": r.q_host_trustrank,            # NEW round 4
+        "kmv_users": r.q_kmv_users,                      # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

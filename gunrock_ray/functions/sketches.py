@@ -287,6 +287,66 @@ def topk_per_key(ds, key: str, value: str, k: int, *,
             .groupby("bkt").map_groups(rank_bucket, batch_format="pyarrow"))
 
 
+# ------------------------------------------------- KMV distinct sketch
+
+def kmv_distinct(ds, key: str, group: str, k: int = 64):
+    """K-minimum-values distinct sketch per group (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007 unbiased estimator): keep the ``k`` SMALLEST
+    distinct mix64 hashes of ``key``; estimate distinct count as
+    ``(k-1)·2^64 // (h_(k)+1)`` (exact integer arithmetic — the sketch,
+    the estimator, and therefore the whole result are DETERMINISTIC and
+    reproduce bit-for-bit in SQL, unlike HLL's float path). Groups with
+    fewer than ``k`` distinct hashes report their EXACT count.
+
+    Returns {group, n_sketch, est}: n_sketch = min(distinct, k),
+    est = the estimate (== exact count when n_sketch < k).
+
+    Scale shape: a KMV sketch is mergeable by union+truncate, so each
+    block ships ≤ k hashes per group it saw (the partial combiner) and
+    one small groupby merges them. Unlike exact COUNT(DISTINCT), the
+    shuffle volume is k × blocks per group — independent of cardinality.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gv = batch[group].to_numpy(zero_copy_only=False)
+        hv = mix64(batch[key].to_numpy())
+        order = np.lexsort((hv, gv))
+        gv, hv = gv[order], hv[order]
+        new = np.empty(len(gv), dtype=bool)
+        new[0:1] = True
+        new[1:] = (gv[1:] != gv[:-1]) | (hv[1:] != hv[:-1])
+        gv, hv = gv[new], hv[new]          # distinct (group, hash), sorted
+        starts = segment_starts(gv)
+        flags = np.zeros(len(gv), dtype=np.int64)
+        flags[starts] = 1
+        seg = np.cumsum(flags) - 1
+        pos = np.arange(len(gv)) - starts[seg]
+        keep = pos < k
+        return pa.table({group: pa.array(gv[keep]),
+                         "h": pa.array(hv[keep], pa.uint64())})
+
+    def merge(grp: pa.Table) -> pa.Table:
+        hv = np.unique(grp["h"].to_numpy())    # sorted distinct hashes
+        name = grp[group][0]
+        n_sk = int(min(len(hv), k))
+        if len(hv) >= k:
+            # exact integer estimator; h_(k) of >= k uniform 64-bit hashes
+            # keeps (k-1)<<64 // (h+1) far inside int64 in practice — a
+            # pathological tiny h_(k) would raise on the int64 cast, never
+            # silently wrap
+            est = ((k - 1) << 64) // (int(hv[k - 1]) + 1)
+        else:
+            est = n_sk
+        return pa.table({group: pa.array([name]),
+                         "n_sketch": pa.array([n_sk], pa.int64()),
+                         "est": pa.array([est], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group).map_groups(merge, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------- KLL quantile sketch
 
 class KllSketch:

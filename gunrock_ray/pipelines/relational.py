@@ -1580,6 +1580,20 @@ def q_orders_rollup(sf_dir: str):
     return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
 
 
+def q_kmv_users(sf_dir: str):
+    """Per-event-type distinct-user estimate via the KMV (k-minimum-
+    values) sketch, k=64 — {event_type, n_sketch, est}. The sketch and
+    its exact-integer estimator are fully deterministic, so the oracle
+    reproduces them BIT-FOR-BIT (splitmix64 chain + ROW_NUMBER k-th
+    order statistic + HUGEINT division), unlike the HLL estimator's
+    float path which needs a register-level check."""
+    import ray.data
+    from gunrock_ray.functions.sketches import kmv_distinct
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    return kmv_distinct(ev, key="user_id", group="event_type", k=64)
+
+
 def q_user_topk_events(sf_dir: str):
     """Per-key top-k: each user's top-3 events by value (ties → smaller
     event_id), SQL-checked against a ROW_NUMBER window oracle. Coarse-
@@ -4656,6 +4670,19 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn "
         "FROM events"
+    ),
+    "kmv_users": (
+        "WITH h AS (SELECT DISTINCT event_type, "
+        + _MIX64_SQL("CAST(user_id AS UBIGINT)") + " AS h FROM events), "
+        "r AS (SELECT event_type, h, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM h), "
+        "a AS (SELECT event_type, COUNT(*) AS nd, "
+        "MAX(CASE WHEN rn = 64 THEN h END) AS kth FROM r "
+        "GROUP BY event_type) "
+        "SELECT event_type, CAST(LEAST(nd, 64) AS BIGINT) AS n_sketch, "
+        "CAST(CASE WHEN nd >= 64 THEN (CAST(63 AS HUGEINT) * "
+        "CAST(18446744073709551616 AS HUGEINT)) // "
+        "(CAST(kth AS HUGEINT) + 1) ELSE nd END AS BIGINT) AS est FROM a"
     ),
     "events_lag": (
         "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "

@@ -281,3 +281,43 @@ def test_kll_distributed_dataset_path(ray_session):
         lo = np.searchsorted(xs, e, "left") / len(xs)
         hi = np.searchsorted(xs, e, "right") / len(xs)
         assert lo - 0.02 <= q <= hi + 0.02, (q, lo, hi)
+
+
+def test_kmv_distinct_exact_and_estimator():
+    """KMV: exact branch below k, deterministic estimator at/above k,
+    block-layout invariance, accuracy within the k=64 error envelope."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from gunrock_ray.common import mix64
+    from gunrock_ray.functions.sketches import kmv_distinct
+
+    k = 64
+    rng = np.random.default_rng(53)
+    # group "small": 10 distinct keys (exact branch); "big": 5000 distinct
+    small = np.repeat(np.arange(10, dtype=np.int64), 7)
+    big = rng.integers(0, 5000, 20000).astype(np.int64) + 1_000_000
+    keys = np.concatenate([small, big])
+    grp = np.array(["small"] * len(small) + ["big"] * len(big))
+    t = pa.table({"key": pa.array(keys), "g": pa.array(grp)})
+
+    def reference(ids):
+        hs = np.unique(mix64(np.unique(np.asarray(ids, np.int64))))
+        if len(hs) < k:
+            return len(hs), len(hs)
+        return k, ((k - 1) << 64) // (int(hs[k - 1]) + 1)
+
+    for parts in (1, 9):
+        out = kmv_distinct(ray.data.from_arrow(t).repartition(parts),
+                           "key", "g", k=k).to_pandas()
+        got = {r.g: (r.n_sketch, r.est) for r in out.itertuples()}
+        assert got["small"] == reference(small), parts
+        assert got["big"] == reference(big), parts
+
+    n_big = len(np.unique(big))
+    _, est = reference(big)
+    assert abs(est - n_big) / n_big < 0.5      # 1/sqrt(k-1) ~ 0.13 envelope
+
+    with pytest.raises(ValueError):
+        kmv_distinct(ray.data.from_arrow(t), "key", "g", k=1)
