@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": r.q_orders_rollup,              # NEW round 4
         "host_trustrank": r.q_host_trustrank,            # NEW round 4
         "kmv_users": r.q_kmv_users,                      # NEW round 4
+        "ppr_sweep": r.q_ppr_sweep,                      # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_left": r.q_cust_orders_left,
         "cust_orders_semi": r.q_cust_orders_semi,
         "distinct_users_by_type": r.q_distinct_users_by_type,
+        # ---- driver window (50) ends here: 21 + 23 + 6 -------------------
         "distinct_users_hll": r.q_distinct_users_hll,
         "doc_redact": r.q_doc_redact,
         "events_asof": r.q_events_asof,
@@ -143,7 +145,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rwalks": r.q_rwalks,
         "salsa_gr3": r.q_salsa_gr3,
         "user_topk_events": r.q_user_topk_events,
-        # ---- driver window (50) ends here -------------------------------
         "wtf_cot": r.q_wtf_cot,
         # -- (3b) dtype-bug cohort: red r2, green r3 (one green round) ----
         "kcore": r.q_kcore,

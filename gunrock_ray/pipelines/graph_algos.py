@@ -759,6 +759,76 @@ def batch_personalized_pagerank(graph: DistributedGraph, sources, *,
                                                 batch_format="pyarrow")
 
 
+def ppr_sweep(graph: DistributedGraph, src: int, *, delta: float = 0.85,
+              iterations: int = 8, limit: int = 64,
+              metrics_path: str | None = None):
+    """Local community detection via a PPR sweep cut — the shape of
+    Andersen-Chung-Lang local clustering (FOCS 2006) in the
+    fixed-iteration SQL-checkable form: (1) an ``iterations``-superstep
+    personalized PageRank from ``src`` (the batch-PPR kernel, S=1), (2)
+    positive-score vertices ranked by the DEGREE-NORMALIZED score
+    p(v)/deg(v) rounded to the 1e-6 integer scale (reproducible ordering
+    at any parallelism and in SQL), (3) for every sweep prefix S_1 ⊂ …
+    ⊂ S_L (L ≤ ``limit``) the directed cut, volume, and conductance
+    φ_i = cut_i / min(vol_i, vol(V) − vol_i). Returns a pandas frame
+    {pos, v, cut, vol, phi_u6}; the best local cluster around ``src`` is
+    the argmin-φ prefix.
+
+    Scale shape: the ranking is a per-block partial top-``limit`` merge
+    (≤ limit × blocks rows reach the driver, never the score vector);
+    cut counting ships the tiny L-entry sweep order to each partition
+    once and gets back one (L+2)-int difference histogram — ONE pass
+    over the edge list, no per-prefix work (partition.sweep_cut_hist)."""
+    import pandas as pd
+    g = graph
+    batch_personalized_pagerank(g, [src], delta=delta,
+                                iterations=iterations,
+                                metrics_path=metrics_path)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy()
+        p = batch["score"].to_numpy()
+        d = batch["deg"].to_numpy()
+        keep = (p > 0) & (d > 0)
+        v, p, d = v[keep], p[keep], d[keep]
+        r = np.floor(p / d * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((v, -r))[:limit]
+        return pa.table({"v": pa.array(v[order], pa.int64()),
+                         "r_u6": pa.array(r[order], pa.int64()),
+                         "deg": pa.array(d[order], pa.int64())})
+
+    tops = (g.extract("mpr_ratio_extract")
+            .map_batches(local_top, batch_format="pyarrow").to_pandas())
+    if len(tops) == 0:        # empty Datasets surface with no columns
+        vs = degs = np.empty(0, dtype=np.int64)
+    else:
+        order = np.lexsort((tops["v"].to_numpy(),
+                            -tops["r_u6"].to_numpy()))[:limit]
+        vs = tops["v"].to_numpy()[order]
+        degs = tops["deg"].to_numpy()[order]
+    L = len(vs)
+    if L == 0:
+        return pd.DataFrame({"pos": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64),
+                             "cut": pd.Series([], dtype=np.int64),
+                             "vol": pd.Series([], dtype=np.int64),
+                             "phi_u6": pd.Series([], dtype=np.int64)})
+    hist = np.sum(g.call_all("sweep_cut_hist", vs), axis=0)
+    cut = np.cumsum(hist)[1:L + 1]
+    vol = np.cumsum(degs)
+    minside = np.minimum(vol, g.m - vol)
+    # a prefix holding ALL the volume has no other side to conduct to:
+    # φ is undefined there — report the worst value (φ ≤ 1 elsewhere
+    # since cut ≤ min-side volume) so argmin never picks the full set
+    phi_u6 = np.where(
+        minside > 0,
+        np.floor(cut / np.maximum(minside, 1) * 1e6 + 0.5),
+        1_000_000).astype(np.int64)
+    return pd.DataFrame({"pos": np.arange(1, L + 1, dtype=np.int64),
+                         "v": vs, "cut": cut, "vol": vol,
+                         "phi_u6": phi_u6})
+
+
 def neighbor_sample(graph: DistributedGraph, seeds, fanouts=(10, 5), *,
                     seed: int = 42, metrics_path: str | None = None):
     """GraphSAGE-style k-hop neighbor sampling (Hamilton et al., NeurIPS

@@ -1063,6 +1063,21 @@ def q_host_trustrank(sf_dir: str):
     return spam_mass(pr, tr)
 
 
+def q_ppr_sweep(sf_dir: str):
+    """Local community around vertex 0 via the PPR sweep cut (graph_algos.
+    ppr_sweep — Andersen-Chung-Lang local clustering in its fixed-
+    iteration form): 8 PPR supersteps over the undirected graph, sweep
+    order by the u6-rounded degree-normalized score, per-prefix directed
+    cut / volume / conductance — {pos, v, cut, vol, phi_u6}, SQL-checked
+    against the unrolled PPR + window-function sweep twin."""
+    from gunrock_ray.pipelines.graph_algos import ppr_sweep
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return ppr_sweep(g, 0, delta=0.85, iterations=8, limit=64)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_katz5(sf_dir: str):
     """Katz centrality, exactly 5 supersteps (tol=0), alpha=0.05, beta=1 —
     SQL-checked against the unrolled DuckDB iteration at the 1e-6 integer
@@ -2380,6 +2395,62 @@ def _wpr_sql(iters: int = 10, delta: float = 0.85) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(pr*1000000 + 0.5) AS BIGINT) "
                  f"AS rank_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _ppr_sweep_sql(src: int = 0, iters: int = 8, delta: float = 0.85,
+                   limit: int = 64) -> str:
+    """Unrolled SQL twin of q_ppr_sweep: the single-source restart power
+    iteration of _batch_ppr_sql, then the sweep — rank positive-score
+    vertices by FLOOR((x/deg)·1e6 + 0.5) (the engine's reproducible
+    u6-rounded ordering), prefix volumes via a window SUM, per-prefix
+    directed cuts by counting edges whose endpoint positions straddle the
+    prefix (position L+1 = outside the sweep order), conductance with the
+    same exact-integer numerator/denominator and float division tree."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"u AS MATERIALIZED ({_SYM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg "
+        "FROM verts LEFT JOIN (SELECT src AS v, COUNT(*) AS c FROM u "
+        "GROUP BY src) d ON d.v = verts.v), ",
+        f"r0 AS (SELECT od.v, CASE WHEN od.v = {src} THEN 1.0 ELSE 0.0 END "
+        "AS x FROM od)",
+    ]
+    step = (
+        ", r{i} AS MATERIALIZED (SELECT od.v, "
+        f"{delta}*COALESCE(m.t, 0) + CASE WHEN od.v = {src} THEN "
+        f"{delta}*dg.D + (1.0-{delta}) ELSE 0.0 END AS x "
+        "FROM od LEFT JOIN (SELECT u.dst AS v, SUM(p.x/od2.deg) AS t "
+        "FROM u JOIN r{prev} p ON p.v = u.src JOIN od od2 ON od2.v = u.src "
+        "GROUP BY u.dst) m ON m.v = od.v CROSS JOIN "
+        "(SELECT COALESCE(SUM(CASE WHEN od3.deg = 0 THEN p.x END), 0) AS D "
+        "FROM r{prev} p JOIN od od3 ON od3.v = p.v) dg)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(
+        f", rk AS (SELECT r.v, CAST(FLOOR((r.x / od.deg)*1000000 + 0.5) "
+        f"AS BIGINT) AS r_u6, od.deg FROM r{iters} r JOIN od ON od.v = r.v "
+        "WHERE r.x > 0 AND od.deg > 0), "
+        "top AS MATERIALIZED (SELECT v, r_u6, deg, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY r_u6 DESC, v) AS BIGINT) AS pos FROM rk "
+        f"QUALIFY pos <= {limit}), "
+        "ll AS (SELECT COUNT(*) AS l FROM top), "
+        "mm AS (SELECT COUNT(*) AS m FROM u), "
+        "ed AS MATERIALIZED (SELECT COALESCE(ta.pos, ll.l + 1) AS qa, "
+        "COALESCE(tb.pos, ll.l + 1) AS qb FROM u CROSS JOIN ll "
+        "LEFT JOIN top ta ON ta.v = u.src LEFT JOIN top tb ON tb.v = u.dst),"
+        " pref AS (SELECT pos, v, CAST(SUM(deg) OVER (ORDER BY pos) "
+        "AS BIGINT) AS vol FROM top), "
+        "cuts AS (SELECT p.pos, CAST(COUNT(e.qa) AS BIGINT) AS cut "
+        "FROM top p LEFT JOIN ed e ON LEAST(e.qa, e.qb) <= p.pos "
+        "AND GREATEST(e.qa, e.qb) > p.pos GROUP BY p.pos) "
+        "SELECT pref.pos, pref.v, cuts.cut, pref.vol, "
+        "CAST(CASE WHEN LEAST(pref.vol, mm.m - pref.vol) = 0 THEN 1000000 "
+        "ELSE FLOOR(cuts.cut / GREATEST(LEAST(pref.vol, mm.m - pref.vol), "
+        "1) * 1000000 + 0.5) END AS BIGINT) AS phi_u6 "
+        "FROM pref JOIN cuts ON cuts.pos = pref.pos CROSS JOIN mm"
+    )
     return "".join(parts)
 
 
@@ -4471,6 +4542,7 @@ ORACLE_SQL: dict[str, str] = {
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),
+    "ppr_sweep": _ppr_sweep_sql(0, 8),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (
         f"WITH e AS MATERIALIZED ({_NORM_SQL}), "

@@ -3418,6 +3418,45 @@ class GraphPartition:
                               pa.int64()),
             "score": pa.array(self._mpr_X.reshape(-1), pa.float64())})
 
+    def mpr_ratio_extract(self) -> pa.Table:
+        """{v, score, deg}: the FIRST source column of the batch-PPR state
+        with the vertex degree — the sweep-cut ranking inputs
+        (graph_algos.ppr_sweep)."""
+        return pa.table({
+            "v": pa.array(self.verts, pa.int64()),
+            "score": pa.array(self._mpr_X[:, 0], pa.float64()),
+            "deg": pa.array(self.out_deg, pa.int64()),
+        })
+
+    def sweep_cut_hist(self, order_v: np.ndarray) -> np.ndarray:
+        """Difference histogram of the sweep's directed cut counts: for
+        every local edge (u, w) with prefix positions qu, qw (L+1 when the
+        endpoint is outside the L-vertex sweep order), the edge crosses
+        cut(S_i) exactly for i in [min(qu,qw), max(qu,qw)) — one +1/−1
+        pair into an (L+2)-int array, cumulative sum over i gives
+        cut(S_i). ONE vectorized pass over the partition's edges; the
+        driver sums the tiny per-partition arrays."""
+        L = len(order_v)
+        hist = np.zeros(L + 2, dtype=np.int64)
+        if L == 0 or len(self.col_indices) == 0:
+            return hist
+        sort_idx = np.argsort(order_v)
+        sv = order_v[sort_idx]
+        pos_sorted = (sort_idx + 1).astype(np.int64)
+
+        def pos_of(x: np.ndarray) -> np.ndarray:
+            i = np.clip(np.searchsorted(sv, x), 0, L - 1)
+            return np.where(sv[i] == x, pos_sorted[i], L + 1)
+
+        qu = pos_of(np.repeat(self.verts, self.out_deg))
+        qw = pos_of(self.col_indices)
+        lo = np.minimum(qu, qw)
+        hi = np.maximum(qu, qw)
+        cross = lo < hi
+        np.add.at(hist, lo[cross], 1)
+        np.add.at(hist, hi[cross], -1)
+        return hist
+
     # ------------------------------------- k-hop neighbor sampling (SAGE)
     # GraphSAGE-style layered fanout sampling (Hamilton et al., NeurIPS
     # 2017): per layer, each frontier vertex keeps its ``fanout``

@@ -108,3 +108,57 @@ def test_trustrank_rejects_empty_seeds():
             trustrank(g, [])
     finally:
         g.shutdown(remove_spill=True)
+
+
+def test_ppr_sweep_finds_planted_community():
+    """Two 6-cliques joined by a single bridge: sweeping from inside one
+    clique must bottom out at that clique (pos 6, its 6 members), with
+    cut/vol/phi matching brute force computed from the sweep order."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, ppr_sweep
+    cl1 = [(a, b) for a in range(6) for b in range(6) if a != b]
+    cl2 = [(a + 6, b + 6) for a, b in cl1]
+    bridge = [(0, 6), (6, 0)]
+    edges = cl1 + cl2 + bridge
+    g = build_graph(_edges_ds(edges), num_partitions=3, undirected=True)
+    try:
+        out = ppr_sweep(g, 1, iterations=12, limit=12)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert list(out.columns) == ["pos", "v", "cut", "vol", "phi_u6"]
+    assert len(out) == 12
+    best = out.loc[out["phi_u6"].idxmin()]
+    assert best["pos"] == 6
+    assert set(out["v"][:6]) == set(range(6))
+    # brute force cut/vol for every prefix of the engine's sweep order
+    order = list(out["v"])
+    deg = {v: 0 for v in range(12)}
+    for a, b in edges:
+        deg[a] += 1
+    m = len(edges)
+    for i in range(1, 13):
+        S = set(order[:i])
+        cut = sum(1 for a, b in edges if (a in S) != (b in S))
+        vol = sum(deg[v] for v in S)
+        row = out[out["pos"] == i].iloc[0]
+        assert row["cut"] == cut and row["vol"] == vol, i
+        if min(vol, m - vol) == 0:
+            assert row["phi_u6"] == 1_000_000, i   # undefined-side sentinel
+        else:
+            phi = cut / min(vol, m - vol)
+            assert row["phi_u6"] == int(np.floor(phi * 1e6 + 0.5)), i
+
+
+def test_ppr_sweep_no_positive_scores():
+    """Isolated source (deg 0 after self-loop drop): empty sweep frame."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, ppr_sweep
+    g = build_graph(_edges_ds([(1, 2), (2, 1)]), num_partitions=2,
+                    undirected=True,
+                    vertices=__import__("ray").data.from_arrow(
+                        pa.table({"v": pa.array([0, 1, 2], pa.int64())})))
+    try:
+        out = ppr_sweep(g, 0, iterations=4, limit=8)
+    finally:
+        g.shutdown(remove_spill=True)
+    # src 0 has degree 0: its own mass never normalizes into the sweep
+    # (deg > 0 filter), neighbors unreachable -> empty result
+    assert len(out) == 0
