@@ -61,6 +61,11 @@ def _load_edges(args):
                              "first or use --input-format edges")
         from gunrock_ray.sources.market import read_snap
         edges = read_snap(args.input)
+    elif fmt in ("csv", "tsv"):
+        from gunrock_ray.sources.market import read_edges_csv
+        edges = read_edges_csv(args.input,
+                               delimiter="," if fmt == "csv" else "\t",
+                               w_col="w" if args.weighted else None)
     else:  # pragma: no cover
         raise SystemExit(f"unknown --input-format {fmt}")
     return edges, vertices
@@ -88,6 +93,10 @@ def cmd_convert(args) -> dict:
         edges = mkt.read_dimacs(args.input)
     elif args.from_format == "gredge":
         edges = mkt.read_gr_edgelist(args.input)
+    elif args.from_format in ("csv", "tsv"):
+        edges = mkt.read_edges_csv(
+            args.input, delimiter="," if args.from_format == "csv" else "\t",
+            w_col="w" if args.weights == "keep" else None)
     else:
         # probe the schema through the same reader that does the read
         # (listdir would trip over markers/subdirs the reader ignores);
@@ -114,7 +123,11 @@ def cmd_convert(args) -> dict:
         tbl = (pa.concat_tables(parts) if parts
                else pa.table({"src": pa.array([], pa.int64()),
                               "dst": pa.array([], pa.int64())}))
-        if args.to_format == "mtx":
+        if args.to_format in ("csv", "tsv"):
+            mkt.write_edges_csv(
+                tbl, args.out,
+                delimiter="," if args.to_format == "csv" else "\t")
+        elif args.to_format == "mtx":
             mkt.write_market(tbl, args.out,
                              weighted="w" in tbl.column_names)
         elif args.to_format == "gr":
@@ -849,7 +862,8 @@ def main(argv=None) -> None:
                               "batchppr", "sage", "ego", "recip", "trustrank"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
-                     choices=["edges", "corpus", "mtx", "snap"])
+                     choices=["edges", "corpus", "mtx", "snap", "csv",
+                              "tsv"])
     run.add_argument("--out", default="/tmp/gunrock_ray_out")
     run.add_argument("--partitions", type=int, default=None)
     run.add_argument("--spill-dir", default=None)
@@ -1073,9 +1087,11 @@ def main(argv=None) -> None:
                         "(mtx | snap | parquet edge tables)")
     cv.add_argument("--input", required=True)
     cv.add_argument("--from-format", required=True,
-                    choices=["mtx", "snap", "gr", "gredge", "parquet"])
+                    choices=["mtx", "snap", "gr", "gredge", "parquet",
+                             "csv", "tsv"])
     cv.add_argument("--to-format", required=True,
-                    choices=["mtx", "snap", "gr", "gredge", "parquet"])
+                    choices=["mtx", "snap", "gr", "gredge", "parquet",
+                             "csv", "tsv"])
     cv.add_argument("--out", required=True)
     cv.add_argument("--weights", default="keep",
                     choices=["keep", "add", "remove"],

@@ -414,3 +414,46 @@ def write_snap(edges: pa.Table, path: str) -> None:
         f.write("# SNAP edge list (src dst, 0-indexed)\n")
         for i in range(len(src)):
             f.write(f"{src[i]} {dst[i]}\n")
+
+
+def read_edges_csv(path: str, *, delimiter: str = ",",
+                   src_col: str = "src", dst_col: str = "dst",
+                   w_col: str | None = None):
+    """CSV/TSV edge list(s) → edges Dataset {src, dst[, w]} — the format
+    web link-graph releases actually ship (host/domain edge TSVs). A
+    header row naming the columns is required; ``delimiter='\\t'`` reads
+    TSV. Ray-native streaming read (ray.data.read_csv → one Arrow parse
+    task per file/block, never a driver materialization) followed by a
+    zero-copy projection/cast to the engine's int64/float64 edge schema —
+    extra columns in the file are dropped at the parse, so only the edge
+    endpoints (+ optional weight) ever leave the read stage."""
+    import ray.data
+    from pyarrow import csv as pacsv
+
+    want = [src_col, dst_col] + ([w_col] if w_col else [])
+    ds = ray.data.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        convert_options=pacsv.ConvertOptions(include_columns=want))
+
+    def project(t: pa.Table) -> pa.Table:
+        out = {"src": t[src_col].cast(pa.int64()),
+               "dst": t[dst_col].cast(pa.int64())}
+        if w_col:
+            out["w"] = t[w_col].cast(pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def write_edges_csv(edges: pa.Table, path: str, *,
+                    delimiter: str = ",") -> None:
+    """Edge table → single CSV/TSV file with header — round-trip partner
+    of :func:`read_edges_csv` (driver-side, interchange format like the
+    other text writers; the scale format stays Parquet)."""
+    cols = [c for c in ("src", "dst", "w") if c in edges.column_names]
+    arrs = [edges[c].to_numpy() for c in cols]
+    with open(path, "w") as f:
+        f.write(delimiter.join(cols) + "\n")
+        for row in zip(*arrs):
+            f.write(delimiter.join(str(x) for x in row) + "\n")

@@ -99,3 +99,66 @@ def test_small_world_and_rgg_generators():
     # symmetric by construction
     pairs = set(zip(s, d))
     assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_csv_tsv_edge_roundtrip(tmp_path):
+    """read_edges_csv/write_edges_csv: header+delimiter handling, weight
+    column optional, extra columns dropped at the parse, exact roundtrip."""
+    import numpy as np
+    import pyarrow as pa
+    from gunrock_ray.sources.market import read_edges_csv, write_edges_csv
+
+    p = str(tmp_path / "e.tsv")
+    with open(p, "w") as f:
+        f.write("src\tdst\tw\tjunk\n")
+        f.write("0\t1\t2.5\tx\n1\t2\t1.0\ty\n2\t0\t4.25\tz\n")
+    ds = read_edges_csv(p, delimiter="\t", w_col="w")
+    df = ds.to_pandas().sort_values("src").reset_index(drop=True)
+    assert list(df.columns) == ["src", "dst", "w"]
+    assert df["src"].tolist() == [0, 1, 2]
+    assert df["w"].tolist() == [2.5, 1.0, 4.25]
+    assert df["src"].dtype == np.int64 and df["w"].dtype == np.float64
+
+    # unweighted read drops w entirely
+    ds2 = read_edges_csv(p, delimiter="\t")
+    assert set(ds2.to_pandas().columns) == {"src", "dst"}
+
+    out = str(tmp_path / "roundtrip.csv")
+    write_edges_csv(pa.Table.from_pandas(df, preserve_index=False), out)
+    back = read_edges_csv(out, w_col="w").to_pandas() \
+        .sort_values("src").reset_index(drop=True)
+    assert back.equals(df)
+
+
+def test_cli_csv_pipeline(tmp_path):
+    """CLI: run PR straight off a TSV edge list, and convert tsv -> snap."""
+    import json
+    import os
+    import subprocess
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = str(tmp_path / "e.tsv")
+    with open(p, "w") as f:
+        f.write("src\tdst\n")
+        for a, b in [(0, 1), (1, 2), (2, 0), (2, 3)]:
+            f.write(f"{a}\t{b}\n")
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "run", "--algo", "cc",
+         "--input", p, "--input-format", "tsv", "--undirected",
+         "--out", str(tmp_path / "out"), "--partitions", "2"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads([ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1])
+    assert s["num_components"] == 1 and s["rows"] == 4
+
+    r = subprocess.run(
+        [sys.executable, "-m", "gunrock_ray.cli", "convert",
+         "--input", p, "--from-format", "tsv", "--to-format", "snap",
+         "--weights", "remove", "--out", str(tmp_path / "e.snap")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in open(tmp_path / "e.snap").read().splitlines()
+             if not ln.startswith("#")]
+    assert sorted(lines) == ["0 1", "1 2", "2 0", "2 3"]
