@@ -125,14 +125,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": r.q_host_trustrank,            # NEW round 4
         "kmv_users": r.q_kmv_users,                      # NEW round 4
         "ppr_sweep": r.q_ppr_sweep,                      # NEW round 4
+        "unigram_tokens": r.q_unigram_tokens,            # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,
         "cust_no_orders_anti": r.q_cust_no_orders_anti,
         "cust_orders_left": r.q_cust_orders_left,
         "cust_orders_semi": r.q_cust_orders_semi,
+        # ---- driver window (50) ends here: 21 + 24 + 5 -------------------
         "distinct_users_by_type": r.q_distinct_users_by_type,
-        # ---- driver window (50) ends here: 21 + 23 + 6 -------------------
         "distinct_users_hll": r.q_distinct_users_hll,
         "doc_redact": r.q_doc_redact,
         "events_asof": r.q_events_asof,

@@ -749,6 +749,9 @@ def cmd_analyze(args) -> dict:
         from gunrock_ray.functions.bpe import train_bpe, bpe_encode
         merges = train_bpe(docs, num_merges=args.bpe_merges)
         res = bpe_encode(docs, merges)
+    elif args.op == "unigram":
+        from gunrock_ray.functions.unigram import train_unigram
+        res, _ = train_unigram(docs, vocab_size=args.vocab_size)
     elif args.op == "lmscore":
         from gunrock_ray.functions import lm
         model = lm.train_ngram_lm(docs, order=args.lm_order,
@@ -975,6 +978,7 @@ def main(argv=None) -> None:
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
                               "spanremove", "lmscore", "dsir", "bpe",
+                              "unigram",
                               "domainclf"])
     ana.add_argument("--clf-dim", type=int, default=1024,
                      help="--op domainclf: hashed feature buckets")
@@ -999,6 +1003,8 @@ def main(argv=None) -> None:
                      help="word-window size for --op dupspans")
     ana.add_argument("--bpe-merges", type=int, default=50,
                      help="merge count for --op bpe")
+    ana.add_argument("--vocab-size", type=int, default=512,
+                     help="piece vocabulary size for --op unigram")
     ana.add_argument("--span-min-df", type=int, default=2,
                      help="a span is duplicated when it appears in >= this "
                           "many distinct docs (--op dupspans)")

@@ -1,0 +1,264 @@
+"""Unigram-LM (SentencePiece-style) tokenizer — Kudo (ACL 2018) in a
+deterministic hard-EM form, the missing counterpart to the BPE trainer
+(functions/bpe.py):
+
+1. candidate vocabulary = the ``vocab_size`` most frequent substrings
+   (length ≤ ``max_piece_len``) of the corpus words, by (count desc,
+   substring asc), UNION all single characters (guaranteed coverage);
+2. piece scores = the fixed-point quantized log-likelihoods
+   floor(ln(count / Σcount)·2^20 + 0.5) — integers, so every Viterbi
+   comparison downstream is EXACT at any parallelism (no float argmax);
+3. ``rounds`` of hard EM: Viterbi-segment every word under the current
+   scores (E), re-score pieces from the Viterbi usage counts, dropping
+   zero-usage pieces (M — each word's previous path stays feasible, so
+   coverage never breaks);
+4. final Viterbi encode.
+
+Correctness story: the driver query (relational.q_unigram_tokens) emits a
+CERTIFICATE — per-round segmentations, per-position Viterbi dp values,
+and per-round score tables — whose DuckDB oracle re-derives the vocab
+selection and score quantization from the base table and PROVES each
+round's segmentation optimal by LP-style duality: dp feasibility
+(no transition improves any dp entry, dp_0 = 0) bounds every possible
+segmentation's score by dp(len), and the emitted path achieving dp(len)
+exactly is therefore a Viterbi optimum. No DP re-execution in SQL.
+
+Scale shape: word counting and substring counting are pre-aggregated
+groupbys (partials per block); scores/vocab are tiny (≤ vocab_size +
+alphabet rows) and broadcast once per round via ``ray.put``; the Viterbi
+pass is an actor-pool map over the DISTINCT-WORD table (not the corpus —
+Zipf makes |words| ≪ tokens), with the per-word DP the unavoidable
+string-boundary Python loop (bounded by max_word_len × max_piece_len).
+Usage counts come back as vocab-sized partials. Nothing materializes the
+corpus; the driver holds only vocab-sized tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 1 << 20            # fixed-point for quantized ln scores
+_NEG = -(1 << 60)
+
+
+def _q_ln_ratio(c: int, total: int) -> int:
+    """floor(ln(c/total)·2^20 + 0.5) — the score quantizer; the identical
+    expression tree runs in the SQL oracle (ulp-robust: a libm
+    difference flips the integer only within ~1e-9 of a boundary)."""
+    return int(np.floor(np.log(np.float64(c) / np.float64(total))
+                        * SCALE + 0.5))
+
+
+def word_counts(docs_ds, max_word_len: int = 16):
+    """Distinct corpus words (whitespace tokens, length ≤ max_word_len)
+    with counts — {word, cnt}. Pre-aggregated per block, one groupby."""
+    from ray.data.aggregate import Sum
+    from gunrock_ray.functions.corpus_stats import _flat_tokens
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        _, words = _flat_tokens(batch["text"].to_pylist())
+        if len(words):
+            keep = np.char.str_len(words) <= max_word_len
+            words = words[keep]
+        terms, cnt = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(terms.tolist(), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    return (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def substring_counts(words_ds, max_piece_len: int = 6):
+    """Occurrence counts of every substring (length ≤ max_piece_len) over
+    the weighted word table — {piece, cnt}, cnt = Σ_word count(word) ×
+    (occurrences of piece in word). Pre-aggregated per block."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def batch_subs(batch: pa.Table) -> pa.Table:
+        ctr: Counter = Counter()
+        words = batch["word"].to_pylist()
+        cnts = batch["cnt"].to_numpy()
+        for w, c in zip(words, cnts):
+            n = len(w)
+            c = int(c)
+            for j in range(n):
+                for e in range(j + 1, min(j + max_piece_len, n) + 1):
+                    ctr[w[j:e]] += c
+        ks = list(ctr.keys())
+        return pa.table({"piece": pa.array(ks, pa.string()),
+                         "cnt": pa.array([ctr[k] for k in ks], pa.int64())})
+
+    return (words_ds.map_batches(batch_subs, batch_format="pyarrow")
+            .groupby("piece").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def select_vocab(sub_df, vocab_size: int):
+    """Candidate vocab from the (piece, cnt) frame: top ``vocab_size`` by
+    (cnt desc, piece asc) UNION all single characters. Returns the frame
+    subset (piece, cnt) in that deterministic order."""
+    pieces = np.asarray(sub_df["piece"].tolist(), dtype=np.str_)
+    cnt = sub_df["cnt"].to_numpy()
+    order = np.lexsort((pieces, -cnt))
+    top = set(order[:vocab_size].tolist())
+    singles = np.flatnonzero(np.char.str_len(pieces) == 1)
+    keep = sorted(top.union(singles.tolist()),
+                  key=lambda i: (-cnt[i], pieces[i]))
+    return sub_df.iloc[keep].reset_index(drop=True)
+
+
+def viterbi(word: str, scores: dict, max_piece_len: int):
+    """Exact integer Viterbi over quantized scores. Returns (pieces,
+    dp[1..len]); ties prefer the smallest split point (longest last
+    piece), applied left-to-right — fully deterministic. Characters are
+    always in vocab, so dp is finite everywhere."""
+    n = len(word)
+    dp = [0] + [_NEG] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best, bj = _NEG, 0
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] == _NEG:
+                continue
+            s = scores.get(word[j:i])
+            if s is None:
+                continue
+            cand = dp[j] + s
+            if cand > best:          # first (smallest) j wins ties
+                best, bj = cand, j
+        dp[i], back[i] = best, bj
+    pieces = []
+    i = n
+    while i > 0:
+        pieces.append(word[back[i]:i])
+        i = back[i]
+    pieces.reverse()
+    return pieces, dp[1:]
+
+
+class _ViterbiStage:
+    """Actor-pool stage: segment each distinct word under broadcast
+    scores; emits segmentation rows and dp rows (tagged by ``kind``)."""
+
+    def __init__(self, scores_ref, max_piece_len: int, round_no: int):
+        import ray
+        self.scores = ray.get(scores_ref)
+        self.L = max_piece_len
+        self.r = round_no
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words, ords, pcs, wcnt = [], [], [], []
+        dwords, dpos, dval = [], [], []
+        for w, c in zip(batch["word"].to_pylist(),
+                        batch["cnt"].to_numpy()):
+            pieces, dp = viterbi(w, self.scores, self.L)
+            words.extend([w] * len(pieces))
+            ords.extend(range(1, len(pieces) + 1))
+            pcs.extend(pieces)
+            wcnt.extend([int(c)] * len(pieces))
+            dwords.extend([w] * len(dp))
+            dpos.extend(range(1, len(dp) + 1))
+            dval.extend(dp)
+        kinds = [f"seg{self.r}"] * len(words) + [f"dp{self.r}"] * len(dwords)
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "word": pa.array(words + dwords, pa.string()),
+            "ord": pa.array(ords + dpos, pa.int64()),
+            "piece": pa.array(pcs + [""] * len(dwords), pa.string()),
+            "dp": pa.array([0] * len(words) + dval, pa.int64()),
+            # word count rides along on seg rows so the usage recount is
+            # a plain pre-aggregated groupby — no string-keyed join
+            "cnt": pa.array(wcnt + [0] * len(dwords), pa.int64()),
+        })
+
+
+def train_unigram(docs_ds, *, vocab_size: int = 512, max_piece_len: int = 6,
+                  max_word_len: int = 16, rounds: int = 2,
+                  viterbi_concurrency: int = 4, emit_cert: bool = False):
+    """Full hard-EM unigram training + final encode. Returns
+    (segmentation Dataset {word, ord, piece} of the LAST round,
+    certificate pandas frame with tagged vocab0/score{r}/seg{r}/dp{r}
+    rows — None unless ``emit_cert``; the cert pull is the sf-scale
+    oracle surface, not a production stage).
+
+    Driver state is vocab-sized only: per-round usage counts come back
+    through a distributed seg⋈words join + pre-aggregated groupby; the
+    distinct-word table is materialized ONCE and re-read per round
+    instead of re-tokenizing the corpus."""
+    import ray
+
+    from gunrock_ray.functions.aggregates import grouped_sums
+
+    words_ds = word_counts(docs_ds, max_word_len=max_word_len).materialize()
+    sub_df = substring_counts(words_ds, max_piece_len).to_pandas()
+    vocab = select_vocab(sub_df, vocab_size)
+    total0 = int(vocab["cnt"].sum())
+    scores = {p: _q_ln_ratio(int(c), total0)
+              for p, c in zip(vocab["piece"], vocab["cnt"])}
+
+    # cert schema (all kinds): {kind, word, ord, piece, dp, cnt} —
+    # vocab0: piece+cnt; score{r}: piece + score in dp + usage in cnt;
+    # seg{r}: word+ord+piece+cnt(word count); dp{r}: word+ord(position)+dp
+    cert_parts = [pa.table({
+        "kind": pa.array(["vocab0"] * len(vocab), pa.string()),
+        "word": pa.array([""] * len(vocab), pa.string()),
+        "ord": pa.array(np.zeros(len(vocab), np.int64)),
+        "piece": pa.array(vocab["piece"].tolist(), pa.string()),
+        "dp": pa.array(np.zeros(len(vocab), np.int64)),
+        "cnt": pa.array(vocab["cnt"].to_numpy(), pa.int64()),
+    })]
+
+    def score_rows(r: int, sc: dict, usage: dict) -> pa.Table:
+        ks = sorted(sc.keys())
+        return pa.table({
+            "kind": pa.array([f"score{r}"] * len(ks), pa.string()),
+            "word": pa.array([""] * len(ks), pa.string()),
+            "ord": pa.array(np.zeros(len(ks), np.int64)),
+            "piece": pa.array(ks, pa.string()),
+            "dp": pa.array([sc[k] for k in ks], pa.int64()),
+            "cnt": pa.array([usage.get(k, 0) for k in ks], pa.int64()),
+        })
+
+    cert_parts.append(score_rows(1, scores, {}))
+
+    def seg_only(t: pa.Table, r: int) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.equal(t["kind"], f"seg{r}"))
+        return keep.select(["word", "ord", "piece"])
+
+    seg_ds = None
+    for r in range(1, rounds + 1):
+        ref = ray.put(scores)
+        tagged = words_ds.map_batches(
+            _ViterbiStage, fn_constructor_args=(ref, max_piece_len, r),
+            concurrency=viterbi_concurrency,
+            batch_format="pyarrow").materialize()
+        if emit_cert:
+            cert_parts.append(pa.Table.from_pandas(
+                tagged.to_pandas(), preserve_index=False))
+        seg_ds = tagged.map_batches(lambda t, r=r: seg_only(t, r),
+                                    batch_format="pyarrow")
+        if r == rounds:
+            break
+        # M-step: usage = Σ_word count(word) × piece occurrences, a
+        # pre-aggregated groupby over the seg rows (each carries its
+        # word's count); only the vocab-sized result reaches the driver
+        def usage_rows(t: pa.Table, r=r) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = t.filter(pc.equal(t["kind"], f"seg{r}"))
+            return keep.select(["piece", "cnt"])
+
+        usage_df = grouped_sums(
+            tagged.map_batches(usage_rows, batch_format="pyarrow"),
+            ["piece"], ["cnt"], count_as=None).to_pandas()
+        usage_df = usage_df[usage_df["cnt"] > 0]
+        total = int(usage_df["cnt"].sum())
+        scores = {p: _q_ln_ratio(int(c), total)
+                  for p, c in zip(usage_df["piece"], usage_df["cnt"])}
+        cert_parts.append(score_rows(
+            r + 1, scores,
+            dict(zip(usage_df["piece"], (int(c) for c in usage_df["cnt"])))))
+    cert = pa.concat_tables(cert_parts).to_pandas() if emit_cert else None
+    return seg_ds, cert

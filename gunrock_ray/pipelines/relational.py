@@ -1595,6 +1595,28 @@ def q_orders_rollup(sf_dir: str):
     return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
 
 
+def q_unigram_tokens(sf_dir: str):
+    """SentencePiece-style unigram-LM tokenizer (Kudo 2018, deterministic
+    hard-EM form — functions/unigram.py): vocab = top-512 substrings
+    (len ≤ 6) ∪ single chars, integer-quantized ln scores, 2 Viterbi/
+    re-score rounds over the distinct-word table. Emits the final
+    segmentation {word, ord, piece}; SQL-checked via a CERTIFICATE whose
+    oracle re-derives vocab + scores + usage recounts from the documents
+    table and proves every word's segmentation Viterbi-optimal by dp
+    DUALITY (feasibility + path-achieves-dp), with word-coverage,
+    dp-position and concatenation structural checks — any violation
+    empties the oracle result."""
+    import ray.data
+    from gunrock_ray.functions.unigram import train_unigram
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text"])
+    seg, cert = train_unigram(docs, vocab_size=512, max_piece_len=6,
+                              max_word_len=16, rounds=2, emit_cert=True)
+    _write_cert(cert, "unigram_tokens")
+    return (seg.to_pandas().sort_values(["word", "ord"])
+            .reset_index(drop=True))
+
+
 def q_kmv_users(sf_dir: str):
     """Per-event-type distinct-user estimate via the KMV (k-minimum-
     values) sketch, k=64 — {event_type, n_sketch, est}. The sketch and
@@ -2451,6 +2473,134 @@ def _ppr_sweep_sql(src: int = 0, iters: int = 8, delta: float = 0.85,
         "1) * 1000000 + 0.5) END AS BIGINT) AS phi_u6 "
         "FROM pref JOIN cuts ON cuts.pos = pref.pos CROSS JOIN mm"
     )
+    return "".join(parts)
+
+
+def _unigram_sql(vocab_size: int = 512, max_piece_len: int = 6,
+                 max_word_len: int = 16, rounds: int = 2) -> str:
+    """Certificate oracle for q_unigram_tokens. Re-derives from the base
+    table: the word counts, the substring counts, the top-V ∪ single-char
+    vocab selection, the quantized initial scores, and each M-step's
+    usage recount + re-quantization. PROVES each round's segmentation
+    Viterbi-OPTIMAL by LP duality — dp feasibility (dp_0 = 0 pinned; no
+    in-vocab transition j→i improves dp_i) telescopes to bound EVERY
+    segmentation's score by dp(len), and the emitted path summing exactly
+    to dp(len) is therefore an optimum; no DP re-execution needed.
+    Structural checks pin word coverage (both directions), dp position
+    completeness, piece-concatenation == word, and per-word counts.
+    Emits the final round's {word, ord, piece} only if ALL violation
+    counters are zero."""
+    S = 1 << 20
+
+    def q(c: str, t: str) -> str:
+        return (f"CAST(FLOOR(ln(CAST({c} AS DOUBLE)/CAST({t} AS DOUBLE))"
+                f"*{S} + 0.5) AS BIGINT)")
+
+    cert = ("read_parquet('/tmp/gunrock_ray_cert/unigram_tokens/"
+            "rows.parquet')")
+    parts = [
+        f"WITH cert AS MATERIALIZED (SELECT * FROM {cert}), ",
+        "words AS MATERIALIZED (SELECT term AS word, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) "
+        "AS term FROM documents) "
+        f"WHERE length(term) <= {max_word_len} GROUP BY term), ",
+        "subs AS MATERIALIZED (SELECT substr(w.word, pi.i, pl.l) AS piece, "
+        "SUM(w.cnt) AS cnt FROM words w CROSS JOIN "
+        f"(SELECT unnest(generate_series(1, {max_word_len})) AS i) pi "
+        "CROSS JOIN "
+        f"(SELECT unnest(generate_series(1, {max_piece_len})) AS l) pl "
+        "WHERE pi.i + pl.l - 1 <= length(w.word) GROUP BY 1), ",
+        "ranked AS (SELECT piece, cnt, ROW_NUMBER() OVER "
+        "(ORDER BY cnt DESC, piece) AS rk FROM subs), ",
+        "vexp AS MATERIALIZED (SELECT piece, cnt FROM ranked "
+        f"WHERE rk <= {vocab_size} OR length(piece) = 1), ",
+        "cv AS MATERIALIZED (SELECT piece, cnt FROM cert "
+        "WHERE kind = 'vocab0'), ",
+        "vv AS (SELECT COUNT(*) AS n FROM ("
+        "(SELECT piece, cnt FROM vexp EXCEPT SELECT piece, cnt FROM cv) "
+        "UNION ALL "
+        "(SELECT piece, cnt FROM cv EXCEPT SELECT piece, cnt FROM vexp))), ",
+        "t0 AS (SELECT SUM(cnt) AS t FROM cv), ",
+        f"s1exp AS (SELECT cv.piece, {q('cv.cnt', 't0.t')} AS s "
+        "FROM cv CROSS JOIN t0), ",
+        "s1got AS (SELECT piece, dp AS s FROM cert WHERE kind = 'score1'), ",
+        "vs1 AS (SELECT COUNT(*) AS n FROM ("
+        "(SELECT * FROM s1exp EXCEPT SELECT * FROM s1got) UNION ALL "
+        "(SELECT * FROM s1got EXCEPT SELECT * FROM s1exp))), ",
+    ]
+    viol = ["vv", "vs1"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"seg{r} AS MATERIALIZED (SELECT word, ord, piece, cnt "
+            f"FROM cert WHERE kind = 'seg{r}'), "
+            f"dpr{r} AS MATERIALIZED (SELECT word, ord AS i, dp "
+            f"FROM cert WHERE kind = 'dp{r}'), "
+            f"dpx{r} AS (SELECT word, i, dp FROM dpr{r} "
+            "UNION ALL SELECT word, 0, 0 FROM words), "
+            f"sc{r} AS MATERIALIZED (SELECT piece, dp AS s FROM cert "
+            f"WHERE kind = 'score{r}'), "
+            # word coverage, both directions, seg and dp
+            f"va{r} AS (SELECT (SELECT COUNT(*) FROM ("
+            f"(SELECT word FROM words EXCEPT SELECT DISTINCT word "
+            f"FROM seg{r}) UNION ALL (SELECT DISTINCT word FROM seg{r} "
+            "EXCEPT SELECT word FROM words))) + (SELECT COUNT(*) FROM ("
+            f"(SELECT word FROM words EXCEPT SELECT DISTINCT word "
+            f"FROM dpr{r}) UNION ALL (SELECT DISTINCT word FROM dpr{r} "
+            "EXCEPT SELECT word FROM words))) AS n), "
+            # concatenation == word, contiguous ords, carried count right
+            f"vb{r} AS (SELECT COUNT(*) AS n FROM "
+            "(SELECT s.word, string_agg(s.piece, '' ORDER BY s.ord) AS w2, "
+            "COUNT(*) AS np, MAX(s.ord) AS mx, COUNT(DISTINCT s.ord) AS nd, "
+            f"MIN(s.cnt) AS mc, MAX(s.cnt) AS xc FROM seg{r} s "
+            "GROUP BY s.word) g JOIN words w ON w.word = g.word "
+            "WHERE g.w2 <> g.word OR g.np <> g.mx OR g.np <> g.nd "
+            "OR g.mc <> w.cnt OR g.xc <> w.cnt), "
+            # dp rows exactly at positions 1..len(word)
+            f"vd{r} AS (SELECT COUNT(*) AS n FROM (SELECT d.word, "
+            "COUNT(*) AS c, COUNT(DISTINCT d.i) AS cd, MIN(d.i) AS mn, "
+            f"MAX(d.i) AS mx FROM dpr{r} d GROUP BY d.word) g "
+            "JOIN words w ON w.word = g.word WHERE g.c <> length(w.word) "
+            "OR g.cd <> g.c OR g.mn <> 1 OR g.mx <> length(w.word)), "
+            # every emitted piece priced in this round's score table
+            f"vc{r} AS (SELECT COUNT(*) AS n FROM seg{r} s LEFT JOIN "
+            f"sc{r} sc ON sc.piece = s.piece WHERE sc.piece IS NULL), "
+            # dp DUALITY feasibility: no transition improves any dp entry
+            f"vf{r} AS (SELECT COUNT(*) AS n FROM dpr{r} di "
+            f"JOIN dpx{r} dj ON dj.word = di.word AND dj.i BETWEEN "
+            f"di.i - {max_piece_len} AND di.i - 1 "
+            f"JOIN sc{r} sc ON sc.piece = substr(di.word, dj.i + 1, "
+            "di.i - dj.i) WHERE di.dp < dj.dp + sc.s), "
+            # the emitted path ACHIEVES dp(len) -> optimal
+            f"vp{r} AS (SELECT COUNT(*) AS n FROM (SELECT s.word, "
+            f"SUM(sc.s) AS tot FROM seg{r} s JOIN sc{r} sc "
+            "ON sc.piece = s.piece GROUP BY s.word) p "
+            "JOIN words w ON w.word = p.word "
+            f"JOIN dpr{r} d ON d.word = p.word AND d.i = length(w.word) "
+            "WHERE p.tot <> d.dp), ")
+        viol += [f"va{r}", f"vb{r}", f"vd{r}", f"vc{r}", f"vf{r}",
+                 f"vp{r}"]
+        if r < rounds:
+            parts.append(
+                # M-step replay: usage recount + re-quantized scores
+                f"u{r} AS (SELECT piece, SUM(cnt) AS u FROM seg{r} "
+                "GROUP BY piece), "
+                f"tu{r} AS (SELECT SUM(u) AS t FROM u{r}), "
+                f"s{r + 1}exp AS (SELECT u{r}.piece, "
+                + q(f"u{r}.u", f"tu{r}.t")
+                + f" AS s, u{r}.u AS cnt FROM u{r} CROSS JOIN tu{r}), "
+                f"s{r + 1}got AS (SELECT piece, dp AS s, cnt FROM cert "
+                f"WHERE kind = 'score{r + 1}'), "
+                f"vu{r + 1} AS (SELECT COUNT(*) AS n FROM ("
+                f"(SELECT * FROM s{r + 1}exp EXCEPT SELECT * "
+                f"FROM s{r + 1}got) UNION ALL (SELECT * FROM s{r + 1}got "
+                f"EXCEPT SELECT * FROM s{r + 1}exp))), ")
+            viol.append(f"vu{r + 1}")
+    total = " + ".join(f"{v}.n" for v in viol)
+    joins = " CROSS JOIN ".join(viol)
+    parts[-1] = parts[-1].rstrip().rstrip(",") + " "
+    parts.append(
+        f"SELECT s.word, s.ord, s.piece FROM seg{rounds} s "
+        f"CROSS JOIN {joins} WHERE {total} = 0")
     return "".join(parts)
 
 
@@ -4543,6 +4693,7 @@ ORACLE_SQL: dict[str, str] = {
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),
     "ppr_sweep": _ppr_sweep_sql(0, 8),
+    "unigram_tokens": _unigram_sql(512, 6, 16, 2),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (
         f"WITH e AS MATERIALIZED ({_NORM_SQL}), "

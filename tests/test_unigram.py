@@ -1,0 +1,110 @@
+"""Unigram-LM tokenizer (functions/unigram.py) vs a pure-Python
+reference of the whole hard-EM pipeline, plus Viterbi edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.functions.unigram import (
+    SCALE, _q_ln_ratio, select_vocab, train_unigram, viterbi)
+
+
+def _docs_ds(texts, parts=3):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(parts)
+
+
+def _reference(texts, vocab_size, max_piece_len, max_word_len, rounds):
+    """Pure-Python twin of train_unigram."""
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) <= max_word_len:
+                wc[w] += 1
+    sc: Counter = Counter()
+    for w, c in wc.items():
+        for j in range(len(w)):
+            for e in range(j + 1, min(j + max_piece_len, len(w)) + 1):
+                sc[w[j:e]] += c
+    ranked = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in ranked[:vocab_size]}
+    vocab |= {p for p in sc if len(p) == 1}
+    total = sum(sc[p] for p in vocab)
+    scores = {p: _q_ln_ratio(sc[p], total) for p in vocab}
+    seg = {}
+    for _ in range(rounds):
+        seg = {w: viterbi(w, scores, max_piece_len)[0] for w in wc}
+        usage: Counter = Counter()
+        for w, pieces in seg.items():
+            for p in pieces:
+                usage[p] += wc[w]
+        t = sum(usage.values())
+        scores = {p: _q_ln_ratio(c, t) for p, c in usage.items() if c > 0}
+    return seg
+
+
+def test_train_unigram_matches_reference():
+    rng = np.random.default_rng(61)
+    # synthetic corpus with real structure: compound words made of a
+    # small morpheme inventory, so multi-piece segmentations happen and
+    # the M-step genuinely moves scores
+    morphs = ["anti", "dis", "estab", "lish", "ment", "ing", "er", "pre",
+              "fix", "un", "do", "re", "set", "over", "load", "z"]
+    texts = []
+    for _ in range(120):
+        words = []
+        for _ in range(rng.integers(3, 9)):
+            k = rng.integers(1, 4)
+            words.append("".join(rng.choice(morphs) for _ in range(k)))
+        texts.append(" ".join(words))
+
+    V, L, W, R = 64, 6, 16, 2
+    seg_ds, cert = train_unigram(_docs_ds(texts), vocab_size=V,
+                                 max_piece_len=L, max_word_len=W,
+                                 rounds=R, emit_cert=True)
+    got = seg_ds.to_pandas().sort_values(["word", "ord"])
+    got_map = {w: list(g["piece"]) for w, g in got.groupby("word")}
+    exp = _reference(texts, V, L, W, R)
+    assert got_map == exp
+    # at least one word must segment into 2+ pieces for this to test DP
+    assert any(len(p) > 1 for p in exp.values())
+    # cert structure: every kind present, dp rows cover every position
+    kinds = set(cert["kind"])
+    assert kinds == {"vocab0", "score1", "seg1", "dp1", "score2",
+                     "seg2", "dp2"}
+    dp2 = cert[cert["kind"] == "dp2"]
+    assert {(w, o) for w, o in zip(dp2["word"], dp2["ord"])} == \
+        {(w, i) for w in exp for i in range(1, len(w) + 1)}
+
+
+def test_viterbi_tiebreak_and_scores():
+    # "ab": {a:-1, b:-1, ab:-2} -> tie between [ab] and [a,b]; the
+    # smallest-j rule at i=2 prefers j=0, i.e. the single piece "ab"
+    pieces, dp = viterbi("ab", {"a": -1, "b": -1, "ab": -2}, 4)
+    assert pieces == ["ab"] and dp == [-1, -2]
+    # strictly better split wins regardless of j order
+    pieces, _ = viterbi("ab", {"a": -1, "b": -1, "ab": -5}, 4)
+    assert pieces == ["a", "b"]
+    # max_piece_len caps candidates: "abc" as one piece is out of reach
+    pieces, _ = viterbi("abc", {"a": -1, "b": -1, "c": -1, "abc": 0}, 2)
+    assert pieces == ["a", "b", "c"]
+
+
+def test_select_vocab_keeps_all_single_chars():
+    import pandas as pd
+    df = pd.DataFrame({"piece": ["aa", "bb", "a", "b", "c"],
+                       "cnt": [100, 90, 5, 4, 1]})
+    out = select_vocab(df, vocab_size=2)
+    assert set(out["piece"]) == {"aa", "bb", "a", "b", "c"}
+    # order: cnt desc, piece asc
+    assert list(out["piece"]) == ["aa", "bb", "a", "b", "c"]
+
+
+def test_q_ln_ratio_quantization():
+    # ln(1/2) * 2^20 = -726817.11... -> floor(x + .5) = -726817
+    assert _q_ln_ratio(1, 2) == int(np.floor(np.log(0.5) * SCALE + 0.5))
+    assert _q_ln_ratio(7, 7) == 0
