@@ -40,7 +40,7 @@ positives), C4-style segment/line dedup by document frequency (fold + df
 threshold + reassembled sha, bit-exact), the end-to-end near-dup KEEPERS
 composition (MinHash pairs -> CC -> min-id reps vs a transitive-closure
 oracle), the full HLL estimator at p=14 and the Count-Min cell table.
-Round 4 closed the oracle gap COMPLETELY — every one of the 123 queries
+Round 4 closed the oracle gap COMPLETELY — every one of the 131 queries
 now has a DuckDB oracle: the Lloyd/BPE/LM/DSIR pipelines unroll fully in
 SQL, max-flow/bipartite-matching carry duality certificates (min-cut /
 König cover), Louvain a label certificate, PCA an eigen-certificate,
@@ -48,7 +48,15 @@ the approximate ANN / embedding near-dup paths carry quality
 certificates (validity + recall vs the SQL-exact top-k), and the
 convergence-mode HITS/SALSA/BC entries are unrolled WITH the engine's
 data-dependent early stop replayed in SQL (first iteration where both
-raw norms move < tol) plus a 20-source Brandes unroll for bc.
+raw norms move < tol) plus a 20-source Brandes unroll for bc. The
+round-4 continuation added nine more oracled operators: per-user LAG and
+trailing-ROWS windows, partial-combiner top-N per group, ROLLUP with
+sentinel levels, the link-graph host-quotient TrustRank + spam-mass
+flagship (unrolled twin iteration), the KMV distinct sketch (bit-exact
+integer estimator), PPR sweep-cut local clustering (unrolled PPR +
+window-function sweep), and a SentencePiece-style unigram-LM tokenizer
+whose certificate oracle PROVES per-word Viterbi optimality by dp
+duality.
 """
 
 from __future__ import annotations
@@ -126,13 +134,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users": r.q_kmv_users,                      # NEW round 4
         "ppr_sweep": r.q_ppr_sweep,                      # NEW round 4
         "unigram_tokens": r.q_unigram_tokens,            # NEW round 4
+        "redirects": r.q_redirects,                      # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,
         "cust_no_orders_anti": r.q_cust_no_orders_anti,
         "cust_orders_left": r.q_cust_orders_left,
+        # ---- driver window (50) ends here: 21 + 25 + 4 -------------------
         "cust_orders_semi": r.q_cust_orders_semi,
-        # ---- driver window (50) ends here: 21 + 24 + 5 -------------------
         "distinct_users_by_type": r.q_distinct_users_by_type,
         "distinct_users_hll": r.q_distinct_users_hll,
         "doc_redact": r.q_doc_redact,

@@ -276,6 +276,52 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
         rmat_part_study()
         details["part_study_s"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 continuation: link-graph-tier diagnostics — host quotient
+    # contraction + TrustRank + weighted PR + spam mass over the scale-20
+    # R-MAT (the tier's namesake pipeline: page graph -> host graph ->
+    # seed-trust propagation). DETAILS-ONLY like part_study so the
+    # headline total stays draw-comparable across rounds.
+    def linkgraph_study():
+        import numpy as np
+        from gunrock_ray.functions.linkgraph import (host_edges,
+                                                     host_vertices,
+                                                     spam_mass)
+        from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                                       pagerank, trustrank)
+        edges = rmat_dataset(RMAT_SCALE_PR, 16, override_num_blocks=64)
+        t0 = time.perf_counter()
+        hv = host_vertices(edges, hosts_per=256).materialize()
+        he = host_edges(edges, hosts_per=256).materialize()
+        details["lg_contract_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        g = build_graph(he, num_partitions=P, weighted=True, vertices=hv)
+        details["lg_build_s"] = round(time.perf_counter() - t0, 3)
+        details["lg_hosts"] = g.n
+        details["lg_host_edges"] = g.m
+        try:
+            hosts = hv.to_pandas()["v"].to_numpy()
+            seeds = hosts[hosts % 97 == 0]
+            details["lg_seeds"] = int(len(seeds))
+            t0 = time.perf_counter()
+            tr = trustrank(g, seeds, tol=0.0, max_iter=10,
+                           weighted=True).to_pandas()
+            dt = time.perf_counter() - t0
+            details["lg_trustrank_s"] = round(dt, 3)
+            details["lg_trustrank_mteps"] = round(g.m * 10 / dt / 1e6, 1)
+            t0 = time.perf_counter()
+            pr = pagerank(g, error=0.0, max_iter=10, normalized=False,
+                          weighted=True).to_pandas()
+            details["lg_wpr_s"] = round(time.perf_counter() - t0, 3)
+            sm = spam_mass(pr, tr)
+            details["lg_spammy_hosts"] = int((sm["sm_u6"] > 900_000).sum())
+        finally:
+            g.shutdown(remove_spill=True)
+
+    if only is None or only == "linkgraph_study":
+        t0 = time.perf_counter()
+        linkgraph_study()
+        details["linkgraph_study_s"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     return {
         "metric": "gunrock_ray headline pipelines total wall time",

@@ -74,6 +74,77 @@ def host_vertices(edges_ds, hosts_per: int = 8, host_map=None):
             .groupby("v").count().select_columns(["v"]))
 
 
+def resolve_pointers(succ_ds, vertices_ds, rounds: int = 5):
+    """Pointer-jumping (pointer doubling) over a functional graph — the
+    web tier's redirect-chain resolver: every vertex follows its
+    successor pointer 2^``rounds`` hops in ``rounds`` doubling steps.
+    Terminals (no successor) hold a self-loop with hop weight 0, so
+    chains ABSORB at their terminal exactly; cycle members keep rotating
+    (their dist reports the full 2^rounds hops traveled — a cycle
+    detector: dist == 2^rounds ⟺ no terminal within reach). Returns
+    {v, ptr, dist} with dist = min(hops to terminal, 2^rounds), all
+    exact integers.
+
+    Inputs: ``succ_ds`` {src, succ} (at most one successor per src —
+    enforced), ``vertices_ds`` {v} the vertex universe. Scale shape: the
+    classic O(log n)-superstep list-ranking primitive — each step is ONE
+    distributed hash join state⋈state on the current pointer (int keys),
+    so a 10^12-vertex redirect table resolves in ~40 joins total instead
+    of chain-length passes."""
+    import pyarrow.compute as pc
+
+    from gunrock_ray.functions.joins import hash_join
+
+    def init_state(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"]})
+
+    # s0: LEFT join the successor map; terminals self-loop with dist 0
+    def attach(t: pa.Table) -> pa.Table:
+        return pa.table({"v2": t["src"].cast(pa.int64()),
+                         "p2": t["succ"].cast(pa.int64())})
+
+    state = hash_join(
+        vertices_ds.map_batches(init_state, batch_format="pyarrow"),
+        succ_ds.map_batches(attach, batch_format="pyarrow"),
+        on="v", right_on="v2", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        v = t["v"].cast(pa.int64())
+        p2 = t["p2"]
+        has = pc.invert(pc.is_null(p2))
+        return pa.table({
+            "v": v,
+            "ptr": pc.if_else(has, pc.cast(p2, pa.int64()), v),
+            "dist": pc.cast(has, pa.int64()),
+        })
+
+    # materialize per doubling step: each step joins the state with
+    # ITSELF, so a lazy lineage would re-execute exponentially; the
+    # state is one row per vertex (the primitive's inherent footprint)
+    state = state.map_batches(fill, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        def as_right(t: pa.Table) -> pa.Table:
+            return pa.table({"rv": t["v"], "rptr": t["ptr"],
+                             "rdist": t["dist"]})
+
+        nxt = hash_join(state, state.map_batches(as_right,
+                                                 batch_format="pyarrow"),
+                        on="ptr", right_on="rv")
+        # every ptr is a vertex (succ targets ⊆ vertices_ds — terminals
+        # self-loop), so the inner join never drops rows
+
+        def combine(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "v": t["v"],
+                "ptr": t["rptr"],
+                "dist": pc.add(t["dist"], t["rdist"]),
+            })
+
+        state = nxt.map_batches(combine,
+                                batch_format="pyarrow").materialize()
+    return state
+
+
 def spam_mass(pr_df, tr_df):
     """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
     Mass Estimation", VLDB 2006): sm(v) = (PR(v) − TR(v)) / PR(v) — the

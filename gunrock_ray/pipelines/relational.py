@@ -1595,6 +1595,30 @@ def q_orders_rollup(sf_dir: str):
     return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
 
 
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution by pointer jumping (functions/linkgraph.
+    resolve_pointers): functional successor map succ(v) = MIN(dst) over
+    the normalized derived edges, then 5 doubling steps = exactly 2^5
+    hops with terminal absorption (terminals self-loop at hop weight 0)
+    — {v, ptr, dist}; dist = min(hops to terminal, 32), dist 32 ⟺ v is
+    caught in a cycle. SQL-checked against the identical 5-step join
+    unroll (exact integers throughout)."""
+    import ray.data
+    from ray.data.aggregate import Min
+    from gunrock_ray.functions.linkgraph import resolve_pointers
+    raw = derived_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.concatenate(
+            [t["src"].to_numpy(), t["dst"].to_numpy()]), pa.int64())})
+
+    verts = (raw.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("v").count().select_columns(["v"]))
+    succ = (_norm_ds(sf_dir).groupby("src")
+            .aggregate(Min("dst", alias_name="succ")))
+    return resolve_pointers(succ, verts, rounds=5)
+
+
 def q_unigram_tokens(sf_dir: str):
     """SentencePiece-style unigram-LM tokenizer (Kudo 2018, deterministic
     hard-EM form — functions/unigram.py): vocab = top-512 substrings
@@ -4693,6 +4717,27 @@ ORACLE_SQL: dict[str, str] = {
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),
     "ppr_sweep": _ppr_sweep_sql(0, 8),
+    "redirects": (
+        f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), "
+        f"verts AS MATERIALIZED ({_VERTS_SQL}), "
+        "succ AS MATERIALIZED (SELECT src, MIN(dst) AS s FROM n0 "
+        "GROUP BY src), "
+        "s0 AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, verts.v) AS ptr, "
+        "CASE WHEN m.s IS NULL THEN 0 ELSE 1 END AS dist "
+        "FROM verts LEFT JOIN succ m ON m.src = verts.v), "
+        "s1 AS MATERIALIZED (SELECT a.v, b.ptr, a.dist + b.dist AS dist "
+        "FROM s0 a JOIN s0 b ON b.v = a.ptr), "
+        "s2 AS MATERIALIZED (SELECT a.v, b.ptr, a.dist + b.dist AS dist "
+        "FROM s1 a JOIN s1 b ON b.v = a.ptr), "
+        "s3 AS MATERIALIZED (SELECT a.v, b.ptr, a.dist + b.dist AS dist "
+        "FROM s2 a JOIN s2 b ON b.v = a.ptr), "
+        "s4 AS MATERIALIZED (SELECT a.v, b.ptr, a.dist + b.dist AS dist "
+        "FROM s3 a JOIN s3 b ON b.v = a.ptr), "
+        "s5 AS (SELECT a.v, b.ptr, a.dist + b.dist AS dist "
+        "FROM s4 a JOIN s4 b ON b.v = a.ptr) "
+        "SELECT v, ptr, CAST(dist AS BIGINT) AS dist FROM s5"
+    ),
+
     "unigram_tokens": _unigram_sql(512, 6, 16, 2),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (

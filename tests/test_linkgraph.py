@@ -162,3 +162,31 @@ def test_ppr_sweep_no_positive_scores():
     # src 0 has degree 0: its own mass never normalizes into the sweep
     # (deg > 0 filter), neighbors unreachable -> empty result
     assert len(out) == 0
+
+
+def test_resolve_pointers_chains_cycles_terminals():
+    """Pointer doubling: chains absorb at terminals with exact hop
+    counts, cycles report the full 2^rounds hops, terminals self-loop."""
+    import ray.data
+    from gunrock_ray.functions.linkgraph import resolve_pointers
+    # chain 0->1->2->3 (3 terminal), cycle 4->5->6->4, isolated 7
+    succ = {0: 1, 1: 2, 2: 3, 4: 5, 5: 6, 6: 4}
+    sd = ray.data.from_arrow(pa.table({
+        "src": pa.array(list(succ), pa.int64()),
+        "succ": pa.array(list(succ.values()), pa.int64())}))
+    vd = ray.data.from_arrow(pa.table({"v": pa.array(range(8), pa.int64())}))
+    out = resolve_pointers(sd, vd, rounds=5).to_pandas()
+    got = {r.v: (r.ptr, r.dist) for r in out.itertuples()}
+    assert got[0] == (3, 3) and got[1] == (3, 2) and got[2] == (3, 1)
+    assert got[3] == (3, 0)            # terminal self-loops at dist 0
+    assert got[7] == (7, 0)            # isolated vertex is its own terminal
+    for v in (4, 5, 6):                # cycle: full 2^5 hops traveled
+        assert got[v][1] == 32
+    # cycle pointer = exactly 32 hops around the 3-cycle
+    order = {4: 5, 5: 6, 6: 4}
+    for v in (4, 5, 6):
+        p = v
+        for _ in range(32):
+            p = order[p]
+        assert got[v][0] == p, v
+    assert len(out) == 8
