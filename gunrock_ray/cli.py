@@ -659,6 +659,22 @@ def cmd_events(args) -> dict:
         from gunrock_ray.functions.windows import sessionize
         ev = ray.data.read_parquet(args.input, columns=["user_id", "ts"])
         res = sessionize(ev, gap_us=args.gap_us)
+    elif args.op == "lag":
+        from gunrock_ray.functions.windows import lag_delta
+        ev = ray.data.read_parquet(
+            args.input, columns=["event_id", "user_id", "ts", "value"])
+        res = lag_delta(ev)
+    elif args.op == "movsum":
+        from gunrock_ray.functions.windows import moving_sum
+        ev = ray.data.read_parquet(
+            args.input, columns=["event_id", "user_id", "ts", "value"])
+        res = moving_sum(ev, k=args.movsum_k)
+    elif args.op == "funnel":
+        from gunrock_ray.functions.windows import funnel
+        ev = ray.data.read_parquet(
+            args.input, columns=["user_id", "ts", "event_type"])
+        res = funnel(ev, steps=tuple(args.funnel_steps.split(",")),
+                     window_us=args.window_us * 24)
     elif args.op in ("semi", "anti"):
         from gunrock_ray.functions.joins import semi_join
         ev = ray.data.read_parquet(
@@ -1046,12 +1062,18 @@ def main(argv=None) -> None:
                          "/ as-of / range joins over an events Parquet")
     evp.add_argument("--op", required=True,
                      choices=["window", "hopping", "cumsum", "sessions",
+                              "lag", "movsum", "funnel",
                               "asof", "range", "semi", "anti"])
     evp.add_argument("--input", required=True)
     evp.add_argument("--out", default="/tmp/gunrock_ray_events")
     evp.add_argument("--window-us", type=int, default=3_600_000_000)
     evp.add_argument("--hop-us", type=int, default=900_000_000)
     evp.add_argument("--gap-us", type=int, default=1_800_000_000)
+    evp.add_argument("--movsum-k", type=int, default=4,
+                     help="trailing row count for --op movsum")
+    evp.add_argument("--funnel-steps", default="view,click,purchase",
+                     help="ordered event types for --op funnel "
+                          "(window = 24 x --window-us)")
     evp.add_argument("--left-type", default="purchase")
     evp.add_argument("--right-type", default="signup")
 

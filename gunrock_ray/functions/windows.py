@@ -310,6 +310,63 @@ def moving_sum(events_ds, k: int = 4, num_buckets: int | None = None):
                                        batch_format="pyarrow"))
 
 
+def funnel(events_ds, steps=("view", "click", "purchase"),
+           window_us: int = 24 * US_PER_HOUR,
+           num_buckets: int | None = None):
+    """Ordered-funnel analysis — the product-analytics staple: users who
+    performed the ``steps`` event types IN ORDER (greedy first-match:
+    earliest step-1 event, then the earliest step-2 event STRICTLY after
+    it, …) with the whole sequence inside ``window_us``. Returns one row
+    per qualifying user {user_id, t1_us, …, tK_us} (the matched
+    timestamps, exact integers).
+
+    Scale shape: one coarse hash-bucket cogroup on the user (same
+    co-location assumption as sessionize); inside a bucket every step is
+    ONE vectorized masked segmented-min pass over all users at once
+    (np.minimum.at), K passes total — no per-user loop, no sort."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    num_buckets = default_num_buckets(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "event_type": batch["event_type"],
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def funnel_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        typ = group["event_type"].to_numpy(zero_copy_only=False)
+        users, inv = np.unique(u, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        prev = np.full(len(users), -1, dtype=np.int64)  # t=-1 < all ts
+        matched = [np.zeros(0, np.int64)] * 0
+        cols: list[np.ndarray] = []
+        for s in steps:
+            cur = np.full(len(users), big, dtype=np.int64)
+            mask = (typ == s) & (t > prev[inv]) & (prev[inv] != big)
+            np.minimum.at(cur, inv[mask], t[mask])
+            # users whose previous step never matched stay unmatched
+            cur = np.where(prev == big, big, cur)
+            cols.append(cur)
+            prev = cur
+        ok = (cols[-1] != big) & (cols[-1] - cols[0] <= window_us)
+        out = {"user_id": pa.array(users[ok], pa.int64())}
+        for k, c in enumerate(cols, 1):
+            out[f"t{k}_us"] = pa.array(c[ok], pa.int64())
+        return pa.table(out)
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(funnel_of_bucket,
+                                       batch_format="pyarrow"))
+
+
 def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int | None = None):
     """Gap-based session windows per user: a new session starts when the
     time since the user's previous event exceeds ``gap_us``.

@@ -1333,6 +1333,20 @@ def q_orders_top3(sf_dir: str):
                         id_col="o_orderkey")
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase within 24h (greedy
+    first-match: earliest view, earliest click strictly after it,
+    earliest purchase strictly after that) — {user_id, t1_us, t2_us,
+    t3_us}, SQL-checked against the chained MIN-after-join oracle.
+    K vectorized masked segmented-min passes inside one user cogroup."""
+    import ray.data
+    from gunrock_ray.functions.windows import funnel
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_type"])
+    return funnel(ev, steps=("view", "click", "purchase"),
+                  window_us=24 * 3_600_000_000)
+
+
 def q_cust_orders_semi(sf_dir: str):
     """Customers with at least one order (EXISTS) via the cogrouped
     semi-join — {c_custkey, c_name}, SQL-checked."""
@@ -4951,6 +4965,19 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(CASE WHEN nd >= 64 THEN (CAST(63 AS HUGEINT) * "
         "CAST(18446744073709551616 AS HUGEINT)) // "
         "(CAST(kth AS HUGEINT) + 1) ELSE nd END AS BIGINT) AS est FROM a"
+    ),
+    "events_funnel": (
+        "WITH a AS (SELECT user_id, MIN(epoch_us(ts)) AS t1_us FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "b AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2_us FROM events e "
+        "JOIN a ON a.user_id = e.user_id AND epoch_us(e.ts) > a.t1_us "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3_us FROM events e "
+        "JOIN b ON b.user_id = e.user_id AND epoch_us(e.ts) > b.t2_us "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT a.user_id, a.t1_us, b.t2_us, c.t3_us FROM a "
+        "JOIN b ON b.user_id = a.user_id JOIN c ON c.user_id = a.user_id "
+        "WHERE c.t3_us - a.t1_us <= 86400000000"
     ),
     "events_lag": (
         "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "

@@ -562,3 +562,42 @@ def test_topk_per_key_combiner_and_order():
                 num_buckets=4).to_pandas()
             got = {(r.k, r.rnk): (r.id, r.score) for r in out.itertuples()}
             assert got == exp, (desc, combine)
+
+
+def test_funnel_matches_bruteforce():
+    """Ordered funnel vs a per-user greedy-first-match reference: strict
+    'after' semantics, window cut, missing steps, multi-block input."""
+    import pytest
+    import ray.data
+    from gunrock_ray.functions.windows import funnel
+    rng = np.random.default_rng(71)
+    n = 600
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 1000, n)
+    types = np.array(["a", "b", "c", "x"])[rng.integers(0, 4, n)]
+    t = pa.table({
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    W = 400
+    out = funnel(ray.data.from_arrow(t).repartition(5),
+                 steps=("a", "b", "c"), window_us=W,
+                 num_buckets=4).to_pandas()
+    got = {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in out.itertuples()}
+    exp = {}
+    for u in np.unique(users):
+        idx = users == u
+        tt, ty = ts[idx], types[idx]
+        def first_after(step, after):
+            cand = tt[(ty == step) & (tt > after)]
+            return int(cand.min()) if len(cand) else None
+        t1 = first_after("a", -1)
+        t2 = first_after("b", t1) if t1 is not None else None
+        t3 = first_after("c", t2) if t2 is not None else None
+        if t3 is not None and t3 - t1 <= W:
+            exp[u] = (t1, t2, t3)
+    assert got == exp
+    assert len(exp) > 0            # fixture actually exercises the path
+    with pytest.raises(ValueError):
+        funnel(ray.data.from_arrow(t), steps=("a",))
