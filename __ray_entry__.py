@@ -136,11 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_tokens": r.q_unigram_tokens,            # NEW round 4
         "redirects": r.q_redirects,                      # NEW round 4
         "events_funnel": r.q_events_funnel,              # NEW round 4
+        "truss_decomp": r.q_truss_decomp,                # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,
+        # ---- driver window (50) ends here: 21 + 27 + 2 -------------------
         "cust_no_orders_anti": r.q_cust_no_orders_anti,
-        # ---- driver window (50) ends here: 21 + 26 + 3 -------------------
         "cust_orders_left": r.q_cust_orders_left,
         "cust_orders_semi": r.q_cust_orders_semi,
         "distinct_users_by_type": r.q_distinct_users_by_type,

@@ -1003,6 +1003,55 @@ def k_truss(graph: DistributedGraph, k: int, *,
     return g.extract("truss_extract")
 
 
+def truss_decomposition(graph: DistributedGraph, *,
+                        probe_chunk: int | None = None,
+                        metrics_path: str | None = None):
+    """FULL truss decomposition — edge trussness t(e) = max k such that
+    e belongs to the k-truss — by monotone continued peeling: peel at
+    threshold k−2 to a fixpoint (that fixpoint IS the k-truss), raise k
+    by one, and continue peeling the SURVIVORS, so the whole
+    decomposition costs one continued peel instead of one full k-truss
+    run per k (the standard trick; generalizes :func:`k_truss`, which
+    this reuses kernel-for-kernel). An edge removed while peeling at
+    threshold k−2 survived the (k−1)-truss fixpoint but not the k-truss:
+    t(e) = k−1. Every removal logs (t, global round), giving the SQL
+    certificate (relational._truss_decomp_sql) what it needs to PROVE
+    each value: per-k feasibility (every edge with t ≥ k closes ≥ k−2
+    triangles within {t ≥ k}), removal justification (support among
+    not-yet-removed ≤ t−2), and round monotonicity in t. Graph must be
+    built undirected. Returns Dataset {src, dst, t, r} — degree-oriented
+    rows, ONE per undirected edge."""
+    g = graph
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
+    metrics = MetricsWriter(metrics_path)
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    g.call_all("truss_decomp_init")
+    k, rnd = 3, 0
+    while True:
+        t0 = time.perf_counter()
+        reqs = [a.tc_adj_request.remote() for a in g.actors]
+        replies = [a.tc_serve_adjacency_packed.remote(*reqs)
+                   for a in g.actors]
+        packs = [a.truss_probe.remote(*replies) for a in g.actors]
+        res = ray.get([a.truss_apply.remote(k - 2, *packs,
+                                            record_trussness=k - 1,
+                                            record_round=rnd)
+                       for a in g.actors])
+        removed = sum(r["removed"] for r in res)
+        remaining = sum(r["remaining"] for r in res)
+        metrics.write(algo="truss_decomp", superstep=rnd, k=k,
+                      removed=removed, remaining=remaining,
+                      t_superstep_s=time.perf_counter() - t0)
+        rnd += 1
+        if remaining == 0:
+            break
+        if removed == 0:       # k-truss fixpoint reached: raise k
+            k += 1
+    metrics.close()
+    return g.extract("trussness_extract")
+
+
 def clustering_coefficients(graph: DistributedGraph,
                             probe_chunk: int | None = None):
     """Per-vertex triangle counts + local clustering coefficients — the

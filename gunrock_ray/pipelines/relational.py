@@ -1609,6 +1609,31 @@ def q_orders_rollup(sf_dir: str):
     return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
 
 
+def q_truss_decomp(sf_dir: str):
+    """FULL truss decomposition (graph_algos.truss_decomposition): edge
+    trussness by monotone continued peeling over the undirected derived
+    graph — {src, dst, t}, one degree-oriented row per undirected edge.
+    SQL-checked via a PEEL-ORDER CERTIFICATE (src, dst, t, round): the
+    oracle re-derives the undirected edge set, then proves every
+    trussness value exactly — per-k feasibility (every edge with t ≥ k
+    closes ≥ k−2 triangles inside {t ≥ k} ⇒ t is a valid lower bound),
+    removal justification (support among not-yet-removed ≤ t−2) plus
+    round monotonicity in t (⇒ upper bound; see _truss_decomp_sql for
+    the exchange argument) — and re-emits the rows only if every
+    violation counter is zero."""
+    from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                                   truss_decomposition)
+    g = build_graph(derived_edges(sf_dir), num_partitions=8,
+                    undirected=True)
+    try:
+        df = truss_decomposition(g).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    _write_cert(df, "truss_decomp")
+    return (df[["src", "dst", "t"]].sort_values(["src", "dst"])
+            .reset_index(drop=True))
+
+
 def q_redirects(sf_dir: str):
     """Redirect-chain resolution by pointer jumping (functions/linkgraph.
     resolve_pointers): functional successor map succ(v) = MIN(dst) over
@@ -2512,6 +2537,58 @@ def _ppr_sweep_sql(src: int = 0, iters: int = 8, delta: float = 0.85,
         "FROM pref JOIN cuts ON cuts.pos = pref.pos CROSS JOIN mm"
     )
     return "".join(parts)
+
+
+def _truss_decomp_sql() -> str:
+    """Peel-order certificate oracle for q_truss_decomp. Upper-bound
+    argument (why C2+C4 pin t from above): suppose some edge's true
+    trussness exceeded its claimed t = k, i.e. it sits in a (k+1)-truss
+    T*. Among T* edges with claimed t ≤ k pick the one with minimal
+    round r. Its T*-partners with claimed t ≤ k have r ≥ its r
+    (minimality); partners with claimed t ≥ k+1 have r ≥ its r too (C4
+    round monotonicity). So its support among {r' ≥ r} is ≥ (k+1)−2 =
+    k−1 > t−2 — violating C2. Hence no such edge exists. C1 gives the
+    matching lower bound; C3 pins the edge set (symmetric-difference vs
+    the normalized undirected derivation + no duplicate pairs)."""
+    cert = ("read_parquet('/tmp/gunrock_ray_cert/truss_decomp/"
+            "rows.parquet')")
+    return (
+        f"WITH cert AS MATERIALIZED (SELECT * FROM {cert}), "
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b, t, r FROM cert "
+        "UNION ALL SELECT dst, src, t, r FROM cert), "
+        f"np0 AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"GREATEST(src, dst) AS b FROM ({_NORM_SQL})), "
+        "cp AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM cert), "
+        "c3 AS (SELECT (SELECT COUNT(*) FROM ("
+        "(SELECT * FROM np0 EXCEPT SELECT DISTINCT * FROM cp) UNION ALL "
+        "(SELECT DISTINCT * FROM cp EXCEPT SELECT * FROM np0))) + "
+        "(SELECT COUNT(*) FROM (SELECT a, b FROM cp GROUP BY a, b "
+        "HAVING COUNT(*) > 1)) AS n), "
+        "ks AS (SELECT DISTINCT t AS k FROM cert), "
+        "tcnt AS (SELECT ks.k, e.src, e.dst, COUNT(*) AS cnt FROM ks "
+        "JOIN cert e ON e.t >= ks.k "
+        "JOIN und w1 ON w1.t >= ks.k AND w1.a = e.src "
+        "JOIN und w2 ON w2.t >= ks.k AND w2.a = e.dst AND w2.b = w1.b "
+        "GROUP BY 1, 2, 3), "
+        "c1 AS (SELECT COUNT(*) AS n FROM ks JOIN cert e ON e.t >= ks.k "
+        "LEFT JOIN tcnt c ON c.k = ks.k AND c.src = e.src "
+        "AND c.dst = e.dst WHERE COALESCE(c.cnt, 0) < ks.k - 2), "
+        "scnt AS (SELECT e.src, e.dst, COUNT(*) AS cnt FROM cert e "
+        "JOIN und w1 ON w1.a = e.src AND w1.r >= e.r "
+        "JOIN und w2 ON w2.a = e.dst AND w2.b = w1.b AND w2.r >= e.r "
+        "GROUP BY 1, 2), "
+        "c2 AS (SELECT COUNT(*) AS n FROM cert e LEFT JOIN scnt s "
+        "ON s.src = e.src AND s.dst = e.dst "
+        "WHERE COALESCE(s.cnt, 0) > e.t - 2), "
+        "rng AS (SELECT t, MIN(r) AS mn, MAX(r) AS mx FROM cert "
+        "GROUP BY t), "
+        "c4 AS (SELECT COUNT(*) AS n FROM rng x JOIN rng y "
+        "ON x.t < y.t AND x.mx >= y.mn) "
+        "SELECT e.src, e.dst, e.t FROM cert e CROSS JOIN c1 CROSS JOIN c2 "
+        "CROSS JOIN c3 CROSS JOIN c4 "
+        "WHERE c1.n + c2.n + c3.n + c4.n = 0"
+    )
 
 
 def _unigram_sql(vocab_size: int = 512, max_piece_len: int = 6,
@@ -4753,6 +4830,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
 
     "unigram_tokens": _unigram_sql(512, 6, 16, 2),
+    "truss_decomp": _truss_decomp_sql(),
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (
         f"WITH e AS MATERIALIZED ({_NORM_SQL}), "

@@ -1949,10 +1949,20 @@ class GraphPartition:
         cnt = np.diff(np.append(st, len(rv))).astype(np.int64)
         return self._pack(rv[st], rc[st], cnt)
 
-    def truss_apply(self, threshold: int, *packs) -> dict:
+    def truss_decomp_init(self) -> None:
+        """Start recording removals for the full truss DECOMPOSITION
+        (graph_algos.truss_decomposition): removed edges accumulate
+        {src, dst, trussness, removal round} for trussness_extract."""
+        self._td = {"src": [], "dst": [], "t": [], "r": []}
+
+    def truss_apply(self, threshold: int, *packs,
+                    record_trussness: int | None = None,
+                    record_round: int | None = None) -> dict:
         """Fold remote (v, c, cnt) credits into local supports, then prune
         oriented edges with support < threshold and rebuild the oriented
-        CSR. Returns {"removed", "remaining"}."""
+        CSR. Returns {"removed", "remaining"}. With ``record_trussness``
+        (the decomposition path), pruned edges are logged with that
+        trussness and the global ``record_round`` for the certificate."""
         sup = self._truss_sup
         vs, cs, cnts = self._unpack_all(packs, cols=(0, 1, 2))
         if len(vs):
@@ -1975,6 +1985,13 @@ class GraphPartition:
             rows = np.diff(self._tc_offsets)
             rowrep = np.repeat(np.arange(len(self.verts), dtype=np.int64),
                                rows)
+            if record_trussness is not None:
+                self._td["src"].append(self.verts[rowrep[~keep]].copy())
+                self._td["dst"].append(self._tc_cols[~keep].copy())
+                self._td["t"].append(np.full(removed, record_trussness,
+                                             np.int64))
+                self._td["r"].append(np.full(removed, record_round or 0,
+                                             np.int64))
             kept_rows = rowrep[keep]
             self._tc_cols = self._tc_cols[keep]
             counts = np.bincount(kept_rows,
@@ -1982,6 +1999,17 @@ class GraphPartition:
             self._tc_offsets = np.concatenate([[0], np.cumsum(counts)])
             self._truss_sup = sup[keep]
         return {"removed": removed, "remaining": int(len(self._tc_cols))}
+
+    def trussness_extract(self) -> pa.Table:
+        """All recorded removals: {src, dst, t, r} — one row per oriented
+        (= undirected) edge once the decomposition peeled to empty."""
+        td = self._td
+        cat = (lambda k, d=np.int64: np.concatenate(td[k])
+               if td[k] else np.zeros(0, d))
+        return pa.table({"src": pa.array(cat("src"), pa.int64()),
+                         "dst": pa.array(cat("dst"), pa.int64()),
+                         "t": pa.array(cat("t"), pa.int64()),
+                         "r": pa.array(cat("r"), pa.int64())})
 
     def truss_extract(self) -> pa.Table:
         """Surviving oriented edges (one row per undirected k-truss edge)

@@ -84,3 +84,73 @@ def test_contract_query_matches_peeling(ray_session):
             for a, b, s in zip(got["src"], got["dst"], got["support"])}
     assert have == want
     assert list(got.columns) == ["src", "dst", "support"]
+
+
+def test_truss_decomposition_bruteforce():
+    """Full trussness vs a brute-force peel per k; clique sanity (every
+    edge of a c-clique that is edge-disjoint from the rest has t = c)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                                   truss_decomposition)
+
+    def run(pairs, parts=3):
+        s, d = zip(*pairs)
+        eds = ray.data.from_arrow(pa.table({
+            "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}))
+        g = build_graph(eds, num_partitions=parts, undirected=True)
+        try:
+            df = truss_decomposition(g).to_pandas()
+        finally:
+            g.shutdown(remove_spill=True)
+        return {frozenset((r.src, r.dst)): r.t for r in df.itertuples()}
+
+    def brute(pairs):
+        edges = {frozenset(p) for p in pairs if p[0] != p[1]}
+        t = {}
+        k = 3
+        alive = set(edges)
+        while alive:
+            while True:
+                sup = {}
+                adj = {}
+                for e in alive:
+                    a, b = tuple(e)
+                    adj.setdefault(a, set()).add(b)
+                    adj.setdefault(b, set()).add(a)
+                drop = []
+                for e in alive:
+                    a, b = tuple(e)
+                    s = len(adj[a] & adj[b])
+                    if s < k - 2:
+                        drop.append(e)
+                if not drop:
+                    break
+                for e in drop:
+                    t[e] = k - 1
+                    alive.discard(e)
+            k += 1
+            if k > 50:
+                raise AssertionError("runaway")
+        return t
+
+    # 5-clique + 4-clique sharing one vertex + a tail
+    cl5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    cl4 = [(a, b) for a in (4, 10, 11, 12) for b in (4, 10, 11, 12)
+           if a < b]
+    tail = [(12, 20), (20, 21)]
+    pairs = cl5 + cl4 + tail
+    got = run(pairs)
+    exp = brute(pairs)
+    assert got == exp
+    for a, b in cl5:
+        assert got[frozenset((a, b))] == 5
+    assert got[frozenset((20, 21))] == 2
+
+    # random graph vs brute force, multi-partition
+    rng = np.random.default_rng(83)
+    pairs = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 30, 200), rng.integers(0, 30, 200))
+             if a != b]
+    assert run(pairs, parts=4) == brute(pairs)
