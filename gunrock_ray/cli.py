@@ -159,7 +159,8 @@ def cmd_run(args) -> dict:
                                                   "mis", "coloring", "kcore",
                                                   "ktruss", "louvain",
                                                   "diameter", "msf",
-                                                  "harmonic")
+                                                  "harmonic",
+                                                  "trussdecomp", "pprsweep")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -352,6 +353,13 @@ def cmd_run(args) -> dict:
     elif args.algo == "recip":
         out = None
         extra.update(ga.reciprocity(g))
+    elif args.algo == "trussdecomp":
+        out = ga.truss_decomposition(g, metrics_path=args.metrics)
+    elif args.algo == "pprsweep":
+        import ray.data as _rd
+        out = _rd.from_pandas(ga.ppr_sweep(
+            g, args.src, iterations=args.max_iter, limit=args.topk,
+            metrics_path=args.metrics))
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
     t_run = time.perf_counter() - t0
@@ -878,7 +886,8 @@ def main(argv=None) -> None:
                               "sssp",
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
-                              "batchppr", "sage", "ego", "recip", "trustrank"])
+                              "batchppr", "sage", "ego", "recip", "trustrank",
+                              "trussdecomp", "pprsweep"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",
