@@ -160,7 +160,8 @@ def cmd_run(args) -> dict:
                                                   "ktruss", "louvain",
                                                   "diameter", "msf",
                                                   "harmonic",
-                                                  "trussdecomp", "pprsweep")
+                                                  "trussdecomp", "pprsweep",
+                                                  "maxmatch")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -309,6 +310,9 @@ def cmd_run(args) -> dict:
     elif args.algo == "mis":
         out = ga.maximal_independent_set(g, seed=args.seed if hasattr(args, "seed") else 0,
                                          metrics_path=args.metrics)
+    elif args.algo == "maxmatch":
+        out = ga.maximal_matching(g, seed=args.seed if hasattr(args, "seed") else 0,
+                                  metrics_path=args.metrics)
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
                      direction_optimized=args.direction_optimized,
@@ -887,7 +891,7 @@ def main(argv=None) -> None:
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
-                              "trussdecomp", "pprsweep"])
+                              "trussdecomp", "pprsweep", "maxmatch"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",

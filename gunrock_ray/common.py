@@ -53,6 +53,28 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+# modular inverses of the splitmix64 multipliers (mod 2**64) — mix64 is a
+# bijection, and inverting it lets a MIN-combined key recover the vertex id
+# that produced it (used by maximal matching's mutual-proposal check).
+_MIX2_INV = np.uint64(pow(0xBF58476D1CE4E5B9, -1, 1 << 64))
+_MIX3_INV = np.uint64(pow(0x94D049BB133111EB, -1, 1 << 64))
+
+
+def mix64_inv(z: np.ndarray) -> np.ndarray:
+    """Exact inverse of :func:`mix64` (vectorized): each xorshift is undone
+    by re-applying it until the shift passes 64 bits; each multiply by its
+    modular inverse; the final += by a subtract."""
+    z = np.asarray(z, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        z = z ^ (z >> np.uint64(31)) ^ (z >> np.uint64(62))
+        z *= _MIX3_INV
+        z = z ^ (z >> np.uint64(27)) ^ (z >> np.uint64(54))
+        z *= _MIX2_INV
+        z = z ^ (z >> np.uint64(30)) ^ (z >> np.uint64(60))
+        z -= _MIX
+    return z
+
+
 def owner_of(v: np.ndarray, num_partitions: int) -> np.ndarray:
     """Partition owner of each vertex id: hash(v) % P.
 

@@ -1003,6 +1003,42 @@ def k_truss(graph: DistributedGraph, k: int, *,
     return g.extract("truss_extract")
 
 
+def maximal_matching(graph: DistributedGraph, seed: int = 0,
+                     metrics_path: str | None = None):
+    """Deterministic distributed MAXIMAL MATCHING by mutual-proposal
+    rounds (Israeli-Itai 1986 shape; road-map §2.11-adjacent family —
+    same superstep substrate as MIS/coloring, `doc/road_map.md:17`).
+    Each round every alive vertex proposes to the alive neighbor with
+    the smallest rehashed key mix64(u ^ salt_round); mutual proposals
+    match and retire with their incident edges. Two supersteps per
+    round: a CSR scatter (MIN-combine neighbor keys — the bijective key
+    doubles as the partner's identity via mix64_inv) and a targeted
+    one-message-per-vertex answer push whose MIN-combine decides the
+    mutual check exactly (see partition.py mm_* for the argument).
+    Rehashing makes the expected round count O(log n); greedy maximal
+    is >= 1/2 the maximum matching. Graph must be built undirected.
+    Returns Dataset {u, v} (u < v), one row per matched edge."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("mm_init", seed)
+    rnd = 0
+    while True:
+        t0 = time.perf_counter()
+        res, _ = g.superstep("mm_prop_scatter", "mm_prop_apply", (rnd,))
+        proposing = sum(r["frontier"] for r in res)
+        res, _ = g.superstep("mm_ans_scatter", "mm_ans_apply")
+        matched = sum(r["matched"] for r in res)
+        alive = sum(r["alive"] for r in res)
+        rnd += 1
+        metrics.write(algo="maxmatch", round=rnd, proposing=proposing,
+                      matched=matched, alive=alive,
+                      t_round_s=time.perf_counter() - t0)
+        if alive == 0:
+            break
+    metrics.close()
+    return g.extract("mm_extract")
+
+
 def truss_decomposition(graph: DistributedGraph, *,
                         probe_chunk: int | None = None,
                         metrics_path: str | None = None):

@@ -1609,6 +1609,31 @@ def q_orders_rollup(sf_dir: str):
     return rollup_sums(proj, ["yr", "prio"], ["sum_cents"], count_as="n")
 
 
+def q_maxmatch(sf_dir: str):
+    """Deterministic maximal matching over the undirected derived graph
+    (graph_algos.maximal_matching, mutual-proposal rounds with hashed
+    per-round priorities) — {u, v}, u < v. SQL-checked via a certificate
+    oracle that independently re-derives the undirected edge set and
+    verifies VALIDITY (every matched pair is an edge, u < v), the
+    MATCHING property (no vertex twice) and MAXIMALITY (no edge with
+    both endpoints unmatched) — together these pin a correct maximal
+    matching; the emitted rows are re-emitted only when all three
+    violation counters are zero."""
+    from gunrock_ray.pipelines.graph_algos import maximal_matching
+    g = _graph(sf_dir, undirected=True)
+    try:
+        df = maximal_matching(g, seed=0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    if "u" not in df.columns:
+        import pandas as pd
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+    df = df.sort_values(["u", "v"]).reset_index(drop=True)
+    _write_cert(df, "maxmatch")
+    return df
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -4831,6 +4856,24 @@ ORACLE_SQL: dict[str, str] = {
 
     "unigram_tokens": _unigram_sql(512, 6, 16, 2),
     "truss_decomp": _truss_decomp_sql(),
+    "maxmatch": (
+        "WITH cert AS MATERIALIZED (SELECT * FROM read_parquet("
+        "'/tmp/gunrock_ray_cert/maxmatch/rows.parquet')), "
+        f"p AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"GREATEST(src, dst) AS b FROM ({_NORM_SQL})), "
+        "mv AS (SELECT u AS x FROM cert UNION ALL SELECT v FROM cert), "
+        "c1 AS (SELECT COUNT(*) AS n FROM cert LEFT JOIN p "
+        "ON p.a = cert.u AND p.b = cert.v "
+        "WHERE cert.u >= cert.v OR p.a IS NULL), "
+        "c2 AS (SELECT COUNT(*) AS n FROM (SELECT x FROM mv "
+        "GROUP BY x HAVING COUNT(*) > 1)), "
+        "c3 AS (SELECT COUNT(*) AS n FROM p "
+        "WHERE p.a NOT IN (SELECT x FROM mv) "
+        "AND p.b NOT IN (SELECT x FROM mv)) "
+        "SELECT cert.u, cert.v FROM cert CROSS JOIN c1 CROSS JOIN c2 "
+        "CROSS JOIN c3 WHERE c1.n + c2.n + c3.n = 0"
+    ),
+
     "neighbor_sample": _neighbor_sample_sql(10, (4, 3), 42),
     "reciprocity": (
         f"WITH e AS MATERIALIZED ({_NORM_SQL}), "

@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gunrock_ray.common import (Partitioner, mix64, popcount64,
+from gunrock_ray.common import (Partitioner, mix64, mix64_inv, popcount64,
                                 segment_reduce, segment_starts)
 
 
@@ -2391,6 +2391,107 @@ class GraphPartition:
             "v": pa.array(self.verts, pa.int64()),
             "in_mis": pa.array((self.state["mis"] == 1).astype(np.int64)),
         })
+
+    # --------------------------------- maximal matching (mutual proposal)
+    # Deterministic distributed MAXIMAL MATCHING (Israeli-Itai 1986 shape,
+    # rehashed per-round priorities so the expected round count is O(log n)
+    # — a fixed min-id rule degrades to Θ(n) rounds on paths). Per round r
+    # every alive vertex v proposes to its alive neighbor u minimizing
+    # key_r(u) = mix64(u ^ salt_r); mutual proposals match and leave. The
+    # key is a BIJECTION of the vertex id, which buys two exact tricks:
+    # (1) the proposal target is just the MIN-combined neighbor key —
+    #     mix64_inv recovers the partner id, no argmin payload needed;
+    # (2) the mutual check is one more MIN combine: v's target w proposed
+    #     back iff min over keys of v's proposers == key_r(w), because w
+    #     holds the minimum key among ALL of v's alive neighbors ⊇
+    #     proposers, and keys are globally unique.
+    # Greedy maximal matching is >= 1/2 the maximum matching.
+
+    def mm_init(self, seed: int = 0) -> None:
+        self.state["mm_mate"] = np.full(len(self.verts), -1, dtype=np.int64)
+        # 1 = alive (unmatched, may still have alive neighbors), 0 = done
+        self.state["mm_alive"] = np.ones(len(self.verts), dtype=np.int8)
+        self._mm_seed = np.uint64(seed)
+        self._mm_salt = np.uint64(0)
+        self._mm_target = np.full(len(self.verts), -1, dtype=np.int64)
+        self._mm_tkey = np.full(len(self.verts), np.iinfo(np.int64).max,
+                                dtype=np.int64)
+
+    @_scatter_timed
+    def mm_prop_scatter(self, rnd: int):
+        self._mm_salt = mix64(np.array([rnd], np.uint64) ^ self._mm_seed)[0]
+        self._frontier = np.flatnonzero(self.state["mm_alive"] == 1)
+        src_li, dst, _ = self._frontier_edges()
+        src_g = self.verts[src_li]
+        keep = dst != src_g  # self-loops never match
+        dst, src_g = dst[keep], src_g[keep]
+        key = mix64(src_g.astype(np.uint64) ^ self._mm_salt)
+        # order-preserving int64 image of the uint64 key (sign flip)
+        return self._pack_combined(
+            dst, (key ^ np.uint64(1 << 63)).view(np.int64), "min")
+
+    @_apply_timed
+    def mm_prop_apply(self, *packs) -> dict:
+        alive = self.state["mm_alive"]
+        kmin = np.full(len(self.verts), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        got = np.zeros(len(self.verts), dtype=bool)
+        ids, vals = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "min")
+            li = self._lidx(uids)
+            kmin[li] = uvals
+            got[li] = True
+        got &= alive == 1
+        # alive vertices with no alive neighbor can never match — retire
+        alive[(alive == 1) & ~got] = 0
+        self._mm_tkey = kmin
+        tgt = np.full(len(self.verts), -1, dtype=np.int64)
+        if got.any():
+            ku = kmin[got].view(np.uint64) ^ np.uint64(1 << 63)
+            tgt[got] = (mix64_inv(ku) ^ self._mm_salt).view(np.int64)
+        self._mm_target = tgt
+        return {"frontier": int(np.count_nonzero(got))}
+
+    @_scatter_timed
+    def mm_ans_scatter(self):
+        # targeted push: each proposing vertex answers ONLY its target
+        # (routed by owner_of(dst) — no CSR walk, one message per vertex)
+        prop = np.flatnonzero((self.state["mm_alive"] == 1)
+                              & (self._mm_target >= 0))
+        self._frontier = prop
+        if len(prop) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        key = mix64(self.verts[prop].astype(np.uint64) ^ self._mm_salt)
+        return self._pack_combined(
+            self._mm_target[prop],
+            (key ^ np.uint64(1 << 63)).view(np.int64), "min")
+
+    @_apply_timed
+    def mm_ans_apply(self, *packs) -> dict:
+        alive = self.state["mm_alive"]
+        mate = self.state["mm_mate"]
+        minprop = np.full(len(self.verts), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+        got = np.zeros(len(self.verts), dtype=bool)
+        ids, vals = self._unpack_all(packs, (0, 1))
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "min")
+            li = self._lidx(uids)
+            minprop[li] = uvals
+            got[li] = True
+        win = (alive == 1) & got & (minprop == self._mm_tkey)
+        mate[win] = self._mm_target[win]
+        alive[win] = 0
+        return {"matched": int(np.count_nonzero(win)),
+                "alive": int(np.count_nonzero(alive == 1))}
+
+    def mm_extract(self) -> pa.Table:
+        # each matched pair is emitted exactly once, at its smaller endpoint
+        mate = self.state["mm_mate"]
+        keep = (mate >= 0) & (self.verts < mate)
+        return pa.table({"u": pa.array(self.verts[keep], pa.int64()),
+                         "v": pa.array(mate[keep], pa.int64())})
 
     # ------------------------------------- graph coloring (Jones-Plassmann)
     # Deterministic JP coloring (reference road map `doc/road_map.md:17`):

@@ -1,0 +1,126 @@
+"""Maximal matching (mutual-proposal supersteps) — validity / matching /
+maximality / determinism gates plus a serial simulation of the exact same
+rehashed rounds, and a mix64_inv roundtrip gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.common import mix64, mix64_inv
+from gunrock_ray.pipelines.graph_algos import build_graph, maximal_matching
+from tests.helpers import vertices_table
+
+
+def test_mix64_inv_roundtrip():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([np.arange(4096, dtype=np.uint64),
+                        rng.integers(0, 1 << 63, 4096, dtype=np.uint64)])
+    assert np.array_equal(mix64_inv(mix64(x)), x)
+
+
+def _run(src, dst, n=None, P=4, seed=0):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    verts = vertices_table(n) if n is not None else None
+    g = build_graph(t, num_partitions=P, undirected=True, vertices=verts)
+    try:
+        out = maximal_matching(g, seed=seed).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _edge_set(src, dst):
+    s = np.asarray(src, dtype=np.int64)
+    d = np.asarray(dst, dtype=np.int64)
+    keep = s != d
+    return set(zip(np.minimum(s[keep], d[keep]).tolist(),
+                   np.maximum(s[keep], d[keep]).tolist()))
+
+
+def _assert_maximal_matching(out: pd.DataFrame, src, dst):
+    pairs = _edge_set(src, dst)
+    for u, v in zip(out["u"], out["v"]):
+        assert u < v
+        assert (int(u), int(v)) in pairs  # validity: emitted rows are edges
+    verts = np.concatenate([out["u"].to_numpy(), out["v"].to_numpy()])
+    assert len(np.unique(verts)) == len(verts)  # matching: no vertex twice
+    mv = set(verts.tolist())
+    for a, b in pairs:  # maximality: every edge touches a matched vertex
+        assert a in mv or b in mv, (a, b)
+
+
+def _simulate(src, dst, seed=0):
+    """Serial simulation of the same deterministic rounds: per round each
+    alive vertex proposes to its min-key alive neighbor; mutual pairs
+    match; alive vertices with no alive neighbor retire."""
+    pairs = _edge_set(src, dst)
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    matched = []
+    rnd = 0
+    while alive:
+        salt = mix64(np.array([rnd], np.uint64)
+                     ^ np.uint64(seed))[0]
+
+        def key(v):
+            return int(mix64(np.array([v], np.uint64) ^ salt)[0])
+
+        prop = {}
+        for v in list(alive):
+            nbrs = [u for u in adj[v] if u in alive]
+            if not nbrs:
+                alive.discard(v)
+            else:
+                prop[v] = min(nbrs, key=lambda u: key(u))
+        for v, w in prop.items():
+            if v < w and prop.get(w) == v:
+                matched.append((v, w))
+                alive.discard(v)
+                alive.discard(w)
+        rnd += 1
+    return sorted(matched)
+
+
+def test_single_edge(ray_session):
+    out = _run([5], [9])
+    assert out.values.tolist() == [[5, 9]]
+
+
+def test_self_loops_and_duplicates_ignored(ray_session):
+    out = _run([1, 1, 2, 2, 1], [1, 2, 1, 2, 2])
+    assert out.values.tolist() == [[1, 2]]
+
+
+def test_star_matches_exactly_one(ray_session):
+    src = [0, 0, 0, 0]
+    dst = [1, 2, 3, 4]
+    out = _run(src, dst, n=5)
+    _assert_maximal_matching(out, src, dst)
+    assert len(out) == 1
+
+
+def test_random_graphs_match_serial_simulation(ray_session):
+    for seed, algo_seed in ((3, 0), (7, 0), (7, 12345)):
+        rng = np.random.default_rng(seed)
+        m, n = 600, 150
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        out = _run(src, dst, n=n, P=4, seed=algo_seed)
+        _assert_maximal_matching(out, src, dst)
+        want = _simulate(src, dst, seed=algo_seed)
+        assert list(map(tuple, out.values.tolist())) == want
+
+
+def test_path_graph_and_partition_invariance(ray_session):
+    # P8 path: maximal matching has 3 or 4 edges; result identical at P=2/7
+    src = list(range(7))
+    dst = list(range(1, 8))
+    a = _run(src, dst, P=2)
+    b = _run(src, dst, P=7)
+    _assert_maximal_matching(a, src, dst)
+    assert 3 <= len(a) <= 4
+    pd.testing.assert_frame_equal(a, b)

@@ -42,11 +42,14 @@ def gen_events(path: str, n: int, num_users: int) -> None:
         ts = ((mix64(h) % np.uint64(240 * US_PER_HOUR))
               .astype(np.int64))  # 10 days of traffic
         val = (h % np.uint64(100000)).astype(np.float64) / 100.0
+        types = np.array(["view", "click", "purchase", "signup", "error"])
+        ety = types[(mix64(h + np.uint64(7)) % np.uint64(5)).astype(np.int64)]
         return pa.table({
             "event_id": pa.array(ids),
             "user_id": pa.array(u),
             "ts": pa.array(ts).cast(pa.timestamp("us")),
             "value": pa.array(val),
+            "event_type": pa.array(ety.tolist(), pa.string()),
         })
 
     (ray.data.range(n, override_num_blocks=max(32, n // 1_000_000))
@@ -66,7 +69,7 @@ def main() -> None:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    path = f"/tmp/gunrock_ray_bench/events_{n}"
+    path = f"/tmp/gunrock_ray_bench/events_v2_{n}"
     gen_events(path, n, num_users=max(1000, n // 20))
 
     from gunrock_ray.functions.windows import (hopping_window_agg,
@@ -107,6 +110,52 @@ def main() -> None:
     dt = time.perf_counter() - t0
     results["semi_join"] = {"rows_out": rows, "sec": round(dt, 2),
                             "events_per_sec": int(n / dt)}
+
+    # round-4 additions: ordered windows, funnel, KMV, combiner top-k
+    from gunrock_ray.functions.windows import funnel, lag_delta, moving_sum
+    from gunrock_ray.functions.sketches import kmv_distinct, topk_per_key
+
+    t0 = time.perf_counter()
+    rows = lag_delta(ev(["event_id", "user_id", "ts", "value"]),
+                     num_buckets=4 * cpus).count()
+    dt = time.perf_counter() - t0
+    results["lag_delta"] = {"rows_out": rows, "sec": round(dt, 2),
+                            "events_per_sec": int(n / dt)}
+
+    t0 = time.perf_counter()
+    rows = moving_sum(ev(["event_id", "user_id", "ts", "value"]), k=4,
+                      num_buckets=4 * cpus).count()
+    dt = time.perf_counter() - t0
+    results["moving_sum"] = {"rows_out": rows, "sec": round(dt, 2),
+                             "events_per_sec": int(n / dt)}
+
+    t0 = time.perf_counter()
+    rows = funnel(ev(["user_id", "ts", "event_type"]),
+                  steps=("view", "click", "purchase"),
+                  window_us=48 * US_PER_HOUR, num_buckets=4 * cpus).count()
+    dt = time.perf_counter() - t0
+    results["funnel"] = {"rows_out": rows, "sec": round(dt, 2),
+                         "events_per_sec": int(n / dt)}
+
+    t0 = time.perf_counter()
+    rows = kmv_distinct(ev(["user_id", "event_type"]), key="user_id",
+                        group="event_type", k=256).count()
+    dt = time.perf_counter() - t0
+    results["kmv_distinct"] = {"rows_out": rows, "sec": round(dt, 2),
+                               "events_per_sec": int(n / dt)}
+
+    # partial-combiner evidence: per-user top-3 events by value, with and
+    # without the per-block local top-k prefilter
+    for combine in (True, False):
+        t0 = time.perf_counter()
+        rows = topk_per_key(ev(["user_id", "event_id", "value"]),
+                            "user_id", "value", 3, id_col="event_id",
+                            local_combine=combine,
+                            num_buckets=4 * cpus).count()
+        dt = time.perf_counter() - t0
+        results[f"topk_combine_{combine}"] = {
+            "rows_out": rows, "sec": round(dt, 2),
+            "events_per_sec": int(n / dt)}
 
     print(json.dumps({"n_events": n, "num_cpus": cpus, "ops": results}))
     ray.shutdown()

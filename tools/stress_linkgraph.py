@@ -1,0 +1,108 @@
+"""Scale stress for the link-graph tier pipeline (round-4 continuation):
+host quotient contraction -> TrustRank + weighted PR -> spam mass, plus
+pointer-jumping redirect resolution, over a scale-N R-MAT page graph.
+
+Usage: python tools/stress_linkgraph.py [scale] [hosts_per] [num_cpus]
+
+Evidence targets (BASELINE.md MEASURED): contraction is one projection +
+one pre-aggregated groupby over the page edges; every iterative stage
+runs on the ~|V|/hosts_per quotient; pointer jumping is O(log n) joins
+over a one-row-per-vertex state. Prints one JSON line; driver RSS stays
+flat regardless of scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+    hosts_per = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    import numpy as np
+    import ray
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR",
+             _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                             "num_workers_soft_limit": 8})
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from gunrock_ray.functions.linkgraph import (host_edges, host_vertices,
+                                                 resolve_pointers,
+                                                 spam_mass)
+    from gunrock_ray.pipelines.graph_algos import (build_graph, pagerank,
+                                                   trustrank)
+    from gunrock_ray.sources.generators import rmat_dataset
+
+    out: dict = {"scale": scale, "hosts_per": hosts_per, "num_cpus": cpus}
+    edges = rmat_dataset(scale, 16, override_num_blocks=4 * cpus)
+    n_edges = edges.count()
+    out["page_edges"] = n_edges
+
+    t0 = time.perf_counter()
+    hv = host_vertices(edges, hosts_per=hosts_per).materialize()
+    he = host_edges(edges, hosts_per=hosts_per).materialize()
+    out["contract_s"] = round(time.perf_counter() - t0, 2)
+    out["contract_edges_per_sec"] = int(n_edges / out["contract_s"])
+
+    t0 = time.perf_counter()
+    g = build_graph(he, num_partitions=32, weighted=True, vertices=hv)
+    out["build_s"] = round(time.perf_counter() - t0, 2)
+    out["hosts"] = g.n
+    out["host_edges"] = g.m
+    try:
+        hosts = hv.to_pandas()["v"].to_numpy()
+        seeds = hosts[hosts % 97 == 0]
+        out["seeds"] = int(len(seeds))
+        t0 = time.perf_counter()
+        tr = trustrank(g, seeds, tol=0.0, max_iter=10,
+                       weighted=True).to_pandas()
+        dt = time.perf_counter() - t0
+        out["trustrank_s"] = round(dt, 2)
+        out["trustrank_mteps"] = round(g.m * 10 / dt / 1e6, 1)
+        t0 = time.perf_counter()
+        pr = pagerank(g, error=0.0, max_iter=10, normalized=False,
+                      weighted=True).to_pandas()
+        out["wpr_s"] = round(time.perf_counter() - t0, 2)
+        sm = spam_mass(pr, tr)
+        out["spammy_hosts"] = int((sm["sm_u6"] > 900_000).sum())
+    finally:
+        g.shutdown(remove_spill=True)
+
+    # pointer jumping over a functional page graph (successor = min dst
+    # per src of the raw page edges): 5 doubling steps = 32 hops
+    from ray.data.aggregate import Min
+    import pyarrow as pa
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.concatenate(
+            [t["src"].to_numpy(), t["dst"].to_numpy()]), pa.int64())})
+
+    t0 = time.perf_counter()
+    verts = (edges.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("v").count().select_columns(["v"]))
+    succ = edges.groupby("src").aggregate(Min("dst", alias_name="succ"))
+    res = resolve_pointers(succ, verts, rounds=5)
+    n_resolved = res.count()
+    dt = time.perf_counter() - t0
+    out["redirect_rounds5_s"] = round(dt, 2)
+    out["redirect_vertices"] = n_resolved
+    out["redirect_verts_per_sec"] = int(n_resolved / dt)
+
+    out["driver_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
