@@ -161,7 +161,7 @@ def cmd_run(args) -> dict:
                                                   "diameter", "msf",
                                                   "harmonic",
                                                   "trussdecomp", "pprsweep",
-                                                  "maxmatch")
+                                                  "maxmatch", "anf")
     edges, vertices = _load_edges(args)
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
@@ -313,6 +313,11 @@ def cmd_run(args) -> dict:
     elif args.algo == "maxmatch":
         out = ga.maximal_matching(g, seed=args.seed if hasattr(args, "seed") else 0,
                                   metrics_path=args.metrics)
+    elif args.algo == "anf":
+        per_step, out = ga.hyperball(g, p=getattr(args, "hll_p", 6),
+                                     metrics_path=args.metrics)
+        extra["nf_curve"] = [{"t": r["t"], "nf": r["nf"]} for r in per_step]
+        extra["avg_distance"] = round(per_step[-1]["avg_distance"], 4)
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
                      direction_optimized=args.direction_optimized,
@@ -891,7 +896,8 @@ def main(argv=None) -> None:
                               "hits", "hits_gr", "salsa", "bc", "wtf",
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
-                              "trussdecomp", "pprsweep", "maxmatch"])
+                              "trussdecomp", "pprsweep", "maxmatch",
+                              "anf"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",
@@ -901,6 +907,8 @@ def main(argv=None) -> None:
     run.add_argument("--spill-dir", default=None)
     run.add_argument("--undirected", action="store_true")
     run.add_argument("--weighted", action="store_true")
+    run.add_argument("--hll-p", type=int, default=6,
+                     help="HLL precision for --algo anf (2^p registers)")
     # the reference's --partition-method / --partition-seed
     # (`gunrock/app/problem_base.cuh:1638-1677`, `info.cuh` flags)
     run.add_argument("--partition-method", default="hash",

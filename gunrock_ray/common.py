@@ -229,6 +229,15 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return (v >> np.uint64(56)).astype(np.int64)
 
 
+def bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit length of uint64 values (0 -> 0): smear the
+    top bit downward, then popcount — all-integer, no float imprecision."""
+    v = np.asarray(x, dtype=np.uint64).copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        v |= v >> np.uint64(s)
+    return popcount64(v)
+
+
 def segment_starts(sorted_ids: np.ndarray) -> np.ndarray:
     """Start offsets of runs in a sorted id array (run-length segmentation)."""
     if len(sorted_ids) == 0:

@@ -1039,6 +1039,57 @@ def maximal_matching(graph: DistributedGraph, seed: int = 0,
     return g.extract("mm_extract")
 
 
+def hyperball(graph: DistributedGraph, *, p: int = 6, seed: int = 0,
+              max_steps: int = 128, metrics_path: str | None = None):
+    """HyperBall / approximate neighborhood function (Boldi-Vigna 2013;
+    Palmer et al. ANF) — the standard web-graph distance-distribution /
+    effective-diameter tool, built on the same superstep substrate as
+    PR/BFS. Every vertex holds a 2^p-register HLL sketch of the vertices
+    within distance <= t along INCOMING paths (plain balls on an
+    undirected graph; build the reversed graph for out-balls). One
+    superstep per distance step, scattering only CHANGED sketches (HLL
+    union max is lossless, so delta propagation is exact); stops at the
+    register fixpoint. O(n * 2^p) bytes of state total — this is the
+    scale path for distance distributions where exact all-pairs BFS is
+    impossible.
+
+    Returns ``(per_step, balls)``: ``per_step`` a list of
+    ``{"t", "nf", "avg_distance"}`` rows where ``nf`` is the global
+    neighborhood function Σ_v round(|ball_t(v)|) (per-vertex estimates
+    rounded to integers so the cross-partition sum is order-exact), and
+    ``balls`` a Dataset {v, ball} of final per-vertex ball estimates."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("hb_init", p, seed)
+    res = g.call_all("hb_estimate")
+    nf0 = sum(r["nf"] for r in res)
+    sumreg = sum(r["sumreg"] for r in res)
+    per_step = [{"t": 0, "nf": nf0}]
+    for t in range(1, max_steps + 1):
+        t0 = time.perf_counter()
+        sres, _ = g.superstep("hb_scatter", "hb_apply")
+        changed = sum(r["frontier"] for r in sres)
+        res = g.call_all("hb_estimate")
+        nf = sum(r["nf"] for r in res)
+        new_sumreg = sum(r["sumreg"] for r in res)
+        metrics.write(algo="hyperball", step=t, changed=changed, nf=nf,
+                      t_step_s=time.perf_counter() - t0)
+        if new_sumreg == sumreg:   # register fixpoint: every ball final
+            break
+        sumreg = new_sumreg
+        per_step.append({"t": t, "nf": nf})
+    metrics.close()
+    # average-distance estimate from the NF curve (Boldi-Vigna eq. form):
+    # sum_t t * (nf_t - nf_{t-1}) / (nf_last - nf_0-ish); driver-side O(T)
+    last = per_step[-1]["nf"]
+    denom = last - per_step[0]["nf"]
+    num = sum(r["t"] * (r["nf"] - per_step[i - 1]["nf"])
+              for i, r in enumerate(per_step) if i > 0)
+    for r in per_step:
+        r["avg_distance"] = (num / denom) if denom > 0 else 0.0
+    return per_step, g.extract("hb_extract")
+
+
 def truss_decomposition(graph: DistributedGraph, *,
                         probe_chunk: int | None = None,
                         metrics_path: str | None = None):

@@ -1634,6 +1634,27 @@ def q_maxmatch(sf_dir: str):
     return df
 
 
+def q_anf(sf_dir: str):
+    """HyperBall approximate neighborhood function over the undirected
+    derived graph (graph_algos.hyperball, p=6 / 64 HLL registers per
+    vertex): rows (t, nf) where nf = Σ_v round(HLL estimate of |ball_t(v)|),
+    one row per distance step until the register fixpoint. SQL-checked
+    EXACTLY: the oracle derives each step's per-vertex register table
+    from the true distance-<=t ball sets (bounded DISTINCT-join unroll),
+    applies the identical splitmix64 register convention and estimator
+    branches, and gates each row on the same register-sum-changed
+    condition the engine stops on."""
+    from gunrock_ray.pipelines.graph_algos import hyperball
+    g = _graph(sf_dir, undirected=True)
+    try:
+        per_step, _balls = hyperball(g, p=6, seed=0)
+    finally:
+        g.shutdown(remove_spill=True)
+    import pandas as pd
+    return pd.DataFrame({"t": [r["t"] for r in per_step],
+                         "nf": [r["nf"] for r in per_step]}).astype("int64")
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -2561,6 +2582,60 @@ def _ppr_sweep_sql(src: int = 0, iters: int = 8, delta: float = 0.85,
         "1) * 1000000 + 0.5) END AS BIGINT) AS phi_u6 "
         "FROM pref JOIN cuts ON cuts.pos = pref.pos CROSS JOIN mm"
     )
+    return "".join(parts)
+
+
+def _anf_sql(T: int = 4) -> str:
+    """Exact SQL twin of q_anf (HyperBall at p=6, seed 0): true ball sets
+    per step by bounded DISTINCT-join unroll, the p=14-proven register
+    convention at p=6 (idx = top 6 bits, rank = LEAST(64 - bitlen(padded
+    rest) + 1, 59)), the same estimator branches as
+    functions/sketches._hll_estimate reduced to integers via round(), and
+    per-step rows gated on SUM(reg) strictly increasing — the identical
+    register-fixpoint stop condition the engine uses (registers are
+    monotone, so the sum changes iff any register changed)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"GREATEST(src, dst) AS b FROM ({_NORM_SQL}) WHERE src <> dst), ",
+        "s AS MATERIALIZED (SELECT a AS x, b AS y FROM e "
+        "UNION ALL SELECT b, a FROM e), ",
+        "r0 AS MATERIALIZED (SELECT DISTINCT x AS v, x AS u FROM s), ",
+    ]
+    for t in range(1, T + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT DISTINCT v, u FROM "
+            f"(SELECT v, u FROM r{t-1} UNION ALL "
+            f"SELECT r.v, s.y AS u FROM r{t-1} r JOIN s ON s.x = r.u)), ")
+    h = _MIX64_SQL("CAST(u AS UBIGINT)")
+    parts.append(
+        f"vh AS MATERIALIZED (SELECT u, {h} AS h "
+        "FROM (SELECT DISTINCT x AS u FROM s)), "
+        # idx = top 6 bits; rest padded with 6 ones so bin() is exact at 0
+        "k AS MATERIALIZED (SELECT u, CAST(h >> 58 AS BIGINT) AS idx, "
+        "LEAST(64 - length(bin((h % 288230376151711744) * 64 + 63)) + 1, "
+        "59) AS rank FROM vh), ")
+    for t in range(T + 1):
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT r.v, k.idx, MAX(k.rank) AS reg "
+            f"FROM r{t} r JOIN k ON k.u = r.u GROUP BY r.v, k.idx), "
+            f"m{t} AS (SELECT SUM(reg) AS sr FROM g{t}), "
+            f"p{t} AS (SELECT v, 64 - COUNT(*) AS zeros, "
+            f"0.709*4096.0/(SUM(power(2.0, -reg)) + (64 - COUNT(*))) AS raw "
+            f"FROM g{t} GROUP BY v), "
+            f"n{t} AS (SELECT CAST(SUM(CAST(CASE "
+            "WHEN raw <= 160.0 AND zeros > 0 "
+            "THEN round(64.0 * ln(64.0 / zeros)) "
+            "WHEN raw > 4294967296.0/30.0 "
+            "THEN round(-4294967296.0 * ln(1.0 - raw/4294967296.0)) "
+            f"ELSE round(raw) END AS BIGINT)) AS BIGINT) AS nf "
+            f"FROM p{t}), ")
+    parts[-1] = parts[-1].rstrip(", ") + " "
+    sel = ["SELECT CAST(0 AS BIGINT) AS t, (SELECT nf FROM n0) AS nf"]
+    for t in range(1, T + 1):
+        sel.append(
+            f"SELECT CAST({t} AS BIGINT), (SELECT nf FROM n{t}) "
+            f"WHERE (SELECT sr FROM m{t}) > (SELECT sr FROM m{t-1})")
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY t")
     return "".join(parts)
 
 
@@ -4856,6 +4931,7 @@ ORACLE_SQL: dict[str, str] = {
 
     "unigram_tokens": _unigram_sql(512, 6, 16, 2),
     "truss_decomp": _truss_decomp_sql(),
+    "anf": _anf_sql(),
     "maxmatch": (
         "WITH cert AS MATERIALIZED (SELECT * FROM read_parquet("
         "'/tmp/gunrock_ray_cert/maxmatch/rows.parquet')), "

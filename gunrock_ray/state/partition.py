@@ -2493,6 +2493,103 @@ class GraphPartition:
         return pa.table({"u": pa.array(self.verts[keep], pa.int64()),
                          "v": pa.array(mate[keep], pa.int64())})
 
+    # ------------------------------------------- HyperBall (ANF via HLL)
+    # Approximate neighborhood function (Boldi-Vigna HyperBall, the
+    # standard web-graph distance-distribution tool; Palmer et al.'s ANF
+    # shape): every vertex keeps one HLL sketch (2^p uint8 registers) of
+    # the set of vertices within distance <= t ALONG INCOMING paths (for
+    # an undirected graph: the plain ball). Superstep t pushes the
+    # sketches of CHANGED vertices along out-edges; combine = elementwise
+    # register max (HLL union is lossless, so delta-propagation is exact:
+    # an unchanged sketch can't change a neighbor). Registers are packed
+    # 8-per-uint64 word for the exchange; the per-dst in-actor combine is
+    # one argsort + maximum.reduceat over the byte matrix. Register
+    # conventions (idx = top p bits, rank = 64-p-bitlen(rest)+1) and the
+    # estimator branches mirror functions/sketches._hll_estimate and the
+    # SQL twin of distinct_users_hll, so the oracle reproduces estimates
+    # bit-for-bit (rounded to integers).
+
+    def hb_init(self, p: int = 6, seed: int = 0) -> None:
+        from gunrock_ray.common import bitlen64
+        m = 1 << p
+        h = mix64(self.verts.astype(np.uint64) ^ np.uint64(seed))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & np.uint64((1 << (64 - p)) - 1)
+        rank = np.int64(64 - p + 1) - bitlen64(rest)  # rest==0 -> cap
+        regs = np.zeros((len(self.verts), m), dtype=np.uint8)
+        regs[np.arange(len(self.verts)), idx] = rank.astype(np.uint8)
+        self.state["hb_regs"] = regs
+        self._hb_p = p
+        self._hb_changed = np.ones(len(self.verts), dtype=bool)
+
+    @_scatter_timed
+    def hb_scatter(self):
+        m = 1 << self._hb_p
+        self._frontier = np.flatnonzero(self._hb_changed)
+        src_li, dst, _ = self._frontier_edges()
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8,
+                              *(np.zeros(0, np.uint64),) * (m // 8))
+        regs = self.state["hb_regs"]
+        order = np.argsort(dst, kind="stable")
+        dsts = dst[order]
+        starts = segment_starts(dsts)
+        comb = np.maximum.reduceat(regs[src_li[order]], starts, axis=0)
+        words = comb.view(np.uint64)  # (u, m//8), little-endian lanes
+        return self._pack(dsts[starts],
+                          *(np.ascontiguousarray(words[:, j])
+                            for j in range(words.shape[1])))
+
+    @_apply_timed
+    def hb_apply(self, *packs) -> dict:
+        m = 1 << self._hb_p
+        nw = m // 8
+        cols = self._unpack_all(packs, tuple(range(nw + 1)))
+        ids = cols[0]
+        changed = np.zeros(len(self.verts), dtype=bool)
+        if len(ids):
+            mat = np.ascontiguousarray(
+                np.stack(cols[1:], axis=1)).view(np.uint8)
+            order = np.argsort(ids, kind="stable")
+            idso = ids[order]
+            starts = segment_starts(idso)
+            inc = np.maximum.reduceat(mat[order], starts, axis=0)
+            li = self._lidx(idso[starts])
+            regs = self.state["hb_regs"]
+            old = regs[li]
+            new = np.maximum(old, inc)
+            ch = (new != old).any(axis=1)
+            regs[li] = new
+            changed[li[ch]] = True
+        self._hb_changed = changed
+        return {"frontier": int(np.count_nonzero(changed))}
+
+    def hb_estimate(self) -> dict:
+        """Per-vertex HLL estimates (same branches as _hll_estimate),
+        rounded to integers so the partition/driver sum is exact."""
+        regs = self.state["hb_regs"]
+        m = regs.shape[1]
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m))
+        s = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+        raw = alpha * m * m / s
+        zeros = (regs == 0).sum(axis=1)
+        est = raw.copy()
+        lc = (raw <= 2.5 * m) & (zeros > 0)
+        est[lc] = m * np.log(m / zeros[lc])
+        big = raw > (1 << 32) / 30.0
+        if big.any():
+            est[big] = -float(1 << 32) * np.log(1.0 - raw[big] / (1 << 32))
+        ib = np.round(est).astype(np.int64)
+        self._pending["hb_est"] = ib
+        return {"nf": int(ib.sum()),
+                "sumreg": int(self.state["hb_regs"].sum(dtype=np.int64))}
+
+    def hb_extract(self) -> pa.Table:
+        est = self._pending.pop("hb_est")
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "ball": pa.array(est, pa.int64())})
+
     # ------------------------------------- graph coloring (Jones-Plassmann)
     # Deterministic JP coloring (reference road map `doc/road_map.md:17`):
     # same unique mix64 priorities as MIS; per round every uncolored vertex

@@ -1,0 +1,116 @@
+"""HyperBall / ANF — register-exact vs a serial simulation over true
+ball sets, partition invariance, and NF-curve sanity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.common import bitlen64, mix64
+from gunrock_ray.pipelines.graph_algos import build_graph, hyperball
+
+
+def test_bitlen64_exact():
+    x = np.array([0, 1, 2, 3, 4, 255, 256, (1 << 57) - 1, 1 << 57,
+                  (1 << 64) - 1], dtype=np.uint64)
+    want = np.array([v.bit_length() for v in x.tolist()], dtype=np.int64)
+    assert np.array_equal(bitlen64(x), want)
+
+
+def _init_regs(vs, p=6, seed=0):
+    m = 1 << p
+    h = mix64(np.asarray(vs, dtype=np.uint64) ^ np.uint64(seed))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.int64(64 - p + 1) - bitlen64(rest)
+    regs = np.zeros((len(vs), m), dtype=np.uint8)
+    regs[np.arange(len(vs)), idx] = rank.astype(np.uint8)
+    return regs
+
+
+def _estimate(regs):
+    m = regs.shape[1]
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    raw = alpha * m * m / s
+    zeros = (regs == 0).sum(axis=1)
+    est = raw.copy()
+    lc = (raw <= 2.5 * m) & (zeros > 0)
+    est[lc] = m * np.log(m / zeros[lc])
+    return np.round(est).astype(np.int64)
+
+
+def _simulate(src, dst, n, p=6, seed=0):
+    """NF curve from TRUE ball sets: state at step t must equal the max
+    of initial sketches over the distance-<=t ball (HLL union)."""
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    init = _init_regs(np.arange(n), p, seed)
+    balls = [{v} for v in range(n)]
+    rows = []
+    prev_sum = -1
+    t = 0
+    while True:
+        regs = np.zeros_like(init)
+        for v in range(n):
+            regs[v] = init[list(balls[v])].max(axis=0)
+        sr = int(regs.sum())
+        if sr == prev_sum:
+            break
+        prev_sum = sr
+        rows.append((t, int(_estimate(regs).sum())))
+        t += 1
+        balls = [b | {w for u in b for w in adj[u]} for b in balls]
+    return rows
+
+
+def _run(src, dst, n, P=4):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    verts = pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+    g = build_graph(t, num_partitions=P, undirected=True, vertices=verts)
+    try:
+        per_step, balls = hyperball(g, p=6, seed=0)
+        bdf = balls.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    return [(r["t"], r["nf"]) for r in per_step], bdf
+
+
+def test_path_graph_matches_simulation(ray_session):
+    src = list(range(9))
+    dst = list(range(1, 10))
+    got, _ = _run(src, dst, 10)
+    assert got == _simulate(src, dst, 10)
+
+
+def test_random_graph_matches_simulation_and_partitions(ray_session):
+    rng = np.random.default_rng(5)
+    n, m = 120, 360
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    got4, b4 = _run(src, dst, n, P=4)
+    got7, b7 = _run(src, dst, n, P=7)
+    assert got4 == _simulate(src, dst, n)
+    assert got4 == got7
+    pd.testing.assert_frame_equal(b4, b7)
+    # per-vertex final balls: isolated-free graph, ball estimates >= 1
+    assert (b4["ball"] >= 1).all()
+
+
+def test_two_cliques_bridge(ray_session):
+    # two K5s joined by one edge: NF saturates by t = 3
+    src, dst = [], []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                src.append(base + i)
+                dst.append(base + j)
+    src.append(4)
+    dst.append(5)
+    got, bdf = _run(src, dst, 10)
+    assert got == _simulate(src, dst, 10)
+    assert got[-1][0] <= 3
