@@ -40,7 +40,7 @@ positives), C4-style segment/line dedup by document frequency (fold + df
 threshold + reassembled sha, bit-exact), the end-to-end near-dup KEEPERS
 composition (MinHash pairs -> CC -> min-id reps vs a transitive-closure
 oracle), the full HLL estimator at p=14 and the Count-Min cell table.
-Round 4 closed the oracle gap COMPLETELY — every one of the 136 queries
+Round 4 closed the oracle gap COMPLETELY — every one of the 137 queries
 now has a DuckDB oracle: the Lloyd/BPE/LM/DSIR pipelines unroll fully in
 SQL, max-flow/bipartite-matching carry duality certificates (min-cut /
 König cover), Louvain a label certificate, PCA an eigen-certificate,
@@ -139,9 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truss_decomp": r.q_truss_decomp,                # NEW round 4
         "maxmatch": r.q_maxmatch,                        # NEW round 4
         "anf": r.q_anf,                                  # NEW round 4
+        "anf_closeness": r.q_anf_closeness,              # NEW round 4
+        # ---- driver window (50) ends here: 21 + 29 ----------------------
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
-        # ---- driver window (50) ends here: 21 + 28 + 1 -------------------
         "cms_users": r.q_cms_users,
         "cust_no_orders_anti": r.q_cust_no_orders_anti,
         "cust_orders_left": r.q_cust_orders_left,

@@ -1057,11 +1057,14 @@ def hyperball(graph: DistributedGraph, *, p: int = 6, seed: int = 0,
     ``{"t", "nf", "avg_distance"}`` rows where ``nf`` is the global
     neighborhood function Σ_v round(|ball_t(v)|) (per-vertex estimates
     rounded to integers so the cross-partition sum is order-exact), and
-    ``balls`` a Dataset {v, ball} of final per-vertex ball estimates."""
+    ``balls`` a Dataset {v, ball, totdist} of final per-vertex ball
+    estimates and all-integer total-distance integrals
+    Σ_t t·(e_t(v) − e_{t−1}(v)) — HyperBall's closeness numerator
+    (closeness(v) ≈ (ball−1)/totdist, harmonic variants analogous)."""
     g = graph
     metrics = MetricsWriter(metrics_path)
     g.call_all("hb_init", p, seed)
-    res = g.call_all("hb_estimate")
+    res = g.call_all("hb_estimate", 0)
     nf0 = sum(r["nf"] for r in res)
     sumreg = sum(r["sumreg"] for r in res)
     per_step = [{"t": 0, "nf": nf0}]
@@ -1069,7 +1072,7 @@ def hyperball(graph: DistributedGraph, *, p: int = 6, seed: int = 0,
         t0 = time.perf_counter()
         sres, _ = g.superstep("hb_scatter", "hb_apply")
         changed = sum(r["frontier"] for r in sres)
-        res = g.call_all("hb_estimate")
+        res = g.call_all("hb_estimate", t)
         nf = sum(r["nf"] for r in res)
         new_sumreg = sum(r["sumreg"] for r in res)
         metrics.write(algo="hyperball", step=t, changed=changed, nf=nf,

@@ -1655,6 +1655,23 @@ def q_anf(sf_dir: str):
                          "nf": [r["nf"] for r in per_step]}).astype("int64")
 
 
+def q_anf_closeness(sf_dir: str):
+    """HyperBall closeness ingredients per vertex (Boldi-Vigna's
+    centrality use of the neighborhood function): final ball-size
+    estimate and the all-integer total-distance integral
+    Σ_t t·(e_t(v) − e_{t−1}(v)) — closeness(v) ≈ (ball−1)/totdist.
+    SQL-checked exactly against the register-exact oracle (true ball
+    sets per step, identical estimator branches, integer integral)."""
+    from gunrock_ray.pipelines.graph_algos import hyperball
+    g = _graph(sf_dir, undirected=True)
+    try:
+        _per_step, balls = hyperball(g, p=6, seed=0)
+        df = balls.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -2585,15 +2602,14 @@ def _ppr_sweep_sql(src: int = 0, iters: int = 8, delta: float = 0.85,
     return "".join(parts)
 
 
-def _anf_sql(T: int = 4) -> str:
-    """Exact SQL twin of q_anf (HyperBall at p=6, seed 0): true ball sets
-    per step by bounded DISTINCT-join unroll, the p=14-proven register
-    convention at p=6 (idx = top 6 bits, rank = LEAST(64 - bitlen(padded
-    rest) + 1, 59)), the same estimator branches as
-    functions/sketches._hll_estimate reduced to integers via round(), and
-    per-step rows gated on SUM(reg) strictly increasing — the identical
-    register-fixpoint stop condition the engine uses (registers are
-    monotone, so the sum changes iff any register changed)."""
+def _anf_ctes(T: int = 4) -> list:
+    """Shared CTE prefix of the HyperBall oracles (p=6, seed 0): true
+    ball sets per step by bounded DISTINCT-join unroll, the p=14-proven
+    register convention at p=6 (idx = top 6 bits, rank = LEAST(64 -
+    bitlen(padded rest) + 1, 59)), and the same estimator branches as
+    functions/sketches._hll_estimate reduced to integers via round() —
+    per-step register tables g{t}, register sums m{t}, per-vertex
+    raw/zeros p{t}, global sums n{t} and per-vertex estimates est{t}."""
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
         f"GREATEST(src, dst) AS b FROM ({_NORM_SQL}) WHERE src <> dst), ",
@@ -2629,13 +2645,48 @@ def _anf_sql(T: int = 4) -> str:
             "THEN round(-4294967296.0 * ln(1.0 - raw/4294967296.0)) "
             f"ELSE round(raw) END AS BIGINT)) AS BIGINT) AS nf "
             f"FROM p{t}), ")
+    for t in range(T + 1):
+        parts.append(
+            f"est{t} AS (SELECT v, CAST(CASE "
+            "WHEN raw <= 160.0 AND zeros > 0 "
+            "THEN round(64.0 * ln(64.0 / zeros)) "
+            "WHEN raw > 4294967296.0/30.0 "
+            "THEN round(-4294967296.0 * ln(1.0 - raw/4294967296.0)) "
+            f"ELSE round(raw) END AS BIGINT) AS e FROM p{t}), ")
     parts[-1] = parts[-1].rstrip(", ") + " "
+    return parts
+
+
+def _anf_sql(T: int = 4) -> str:
+    """Exact SQL twin of q_anf: the shared HyperBall CTEs plus per-step
+    global NF rows gated on SUM(reg) strictly increasing — the identical
+    register-fixpoint stop condition the engine uses (registers are
+    monotone, so the sum changes iff any register changed)."""
+    parts = _anf_ctes(T)
     sel = ["SELECT CAST(0 AS BIGINT) AS t, (SELECT nf FROM n0) AS nf"]
     for t in range(1, T + 1):
         sel.append(
             f"SELECT CAST({t} AS BIGINT), (SELECT nf FROM n{t}) "
             f"WHERE (SELECT sr FROM m{t}) > (SELECT sr FROM m{t-1})")
     parts.append(" UNION ALL ".join(sel) + " ORDER BY t")
+    return "".join(parts)
+
+
+def _anf_closeness_sql(T: int = 4) -> str:
+    """Exact SQL twin of q_anf_closeness: per-vertex ball estimate at the
+    fixpoint and the all-integer total-distance integral
+    Σ_t t·(e_t − e_{t−1}). Steps past the engine's register fixpoint
+    contribute exactly 0 (e_t = e_{t−1}), so a fixed T ≥ the true
+    convergence step needs no gating."""
+    parts = _anf_ctes(T)
+    joins = " ".join(f"JOIN est{t} ON est{t}.v = est0.v"
+                     for t in range(1, T + 1))
+    tot = " + ".join(f"{t} * (est{t}.e - est{t-1}.e)"
+                     for t in range(1, T + 1))
+    parts.append(
+        f"SELECT est0.v, est{T}.e AS ball, "
+        f"CAST({tot} AS BIGINT) AS totdist "
+        f"FROM est0 {joins} ORDER BY est0.v")
     return "".join(parts)
 
 
@@ -4932,6 +4983,7 @@ ORACLE_SQL: dict[str, str] = {
     "unigram_tokens": _unigram_sql(512, 6, 16, 2),
     "truss_decomp": _truss_decomp_sql(),
     "anf": _anf_sql(),
+    "anf_closeness": _anf_closeness_sql(),
     "maxmatch": (
         "WITH cert AS MATERIALIZED (SELECT * FROM read_parquet("
         "'/tmp/gunrock_ray_cert/maxmatch/rows.parquet')), "

@@ -2564,9 +2564,12 @@ class GraphPartition:
         self._hb_changed = changed
         return {"frontier": int(np.count_nonzero(changed))}
 
-    def hb_estimate(self) -> dict:
+    def hb_estimate(self, t: int = 0) -> dict:
         """Per-vertex HLL estimates (same branches as _hll_estimate),
-        rounded to integers so the partition/driver sum is exact."""
+        rounded to integers so the partition/driver sum is exact. With
+        the step number ``t`` this also accumulates the per-vertex
+        total-distance integral Σ_t t·(e_t − e_{t−1}) (HyperBall's
+        closeness numerator) — all-integer, so exactly reproducible."""
         regs = self.state["hb_regs"]
         m = regs.shape[1]
         alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
@@ -2581,6 +2584,11 @@ class GraphPartition:
         if big.any():
             est[big] = -float(1 << 32) * np.log(1.0 - raw[big] / (1 << 32))
         ib = np.round(est).astype(np.int64)
+        if t == 0:
+            self.state["hb_tot"] = np.zeros(len(self.verts), np.int64)
+        else:
+            self.state["hb_tot"] += np.int64(t) * (
+                ib - self._pending["hb_est"])
         self._pending["hb_est"] = ib
         return {"nf": int(ib.sum()),
                 "sumreg": int(self.state["hb_regs"].sum(dtype=np.int64))}
@@ -2588,7 +2596,9 @@ class GraphPartition:
     def hb_extract(self) -> pa.Table:
         est = self._pending.pop("hb_est")
         return pa.table({"v": pa.array(self.verts, pa.int64()),
-                         "ball": pa.array(est, pa.int64())})
+                         "ball": pa.array(est, pa.int64()),
+                         "totdist": pa.array(self.state["hb_tot"],
+                                             pa.int64())})
 
     # ------------------------------------- graph coloring (Jones-Plassmann)
     # Deterministic JP coloring (reference road map `doc/road_map.md:17`):

@@ -51,6 +51,8 @@ def _simulate(src, dst, n, p=6, seed=0):
     init = _init_regs(np.arange(n), p, seed)
     balls = [{v} for v in range(n)]
     rows = []
+    tot = np.zeros(n, dtype=np.int64)
+    prev = np.zeros(n, dtype=np.int64)
     prev_sum = -1
     t = 0
     while True:
@@ -58,13 +60,17 @@ def _simulate(src, dst, n, p=6, seed=0):
         for v in range(n):
             regs[v] = init[list(balls[v])].max(axis=0)
         sr = int(regs.sum())
+        est = _estimate(regs)
+        if t > 0:
+            tot += t * (est - prev)   # fixpoint step contributes 0
+        prev = est
         if sr == prev_sum:
             break
         prev_sum = sr
-        rows.append((t, int(_estimate(regs).sum())))
+        rows.append((t, int(est.sum())))
         t += 1
         balls = [b | {w for u in b for w in adj[u]} for b in balls]
-    return rows
+    return rows, prev, tot
 
 
 def _run(src, dst, n, P=4):
@@ -83,8 +89,11 @@ def _run(src, dst, n, P=4):
 def test_path_graph_matches_simulation(ray_session):
     src = list(range(9))
     dst = list(range(1, 10))
-    got, _ = _run(src, dst, 10)
-    assert got == _simulate(src, dst, 10)
+    got, bdf = _run(src, dst, 10)
+    rows, est, tot = _simulate(src, dst, 10)
+    assert got == rows
+    assert np.array_equal(bdf["ball"].to_numpy(), est)
+    assert np.array_equal(bdf["totdist"].to_numpy(), tot)
 
 
 def test_random_graph_matches_simulation_and_partitions(ray_session):
@@ -94,7 +103,10 @@ def test_random_graph_matches_simulation_and_partitions(ray_session):
     dst = rng.integers(0, n, m)
     got4, b4 = _run(src, dst, n, P=4)
     got7, b7 = _run(src, dst, n, P=7)
-    assert got4 == _simulate(src, dst, n)
+    rows, est, tot = _simulate(src, dst, n)
+    assert got4 == rows
+    assert np.array_equal(b4["ball"].to_numpy(), est)
+    assert np.array_equal(b4["totdist"].to_numpy(), tot)
     assert got4 == got7
     pd.testing.assert_frame_equal(b4, b7)
     # per-vertex final balls: isolated-free graph, ball estimates >= 1
@@ -112,5 +124,7 @@ def test_two_cliques_bridge(ray_session):
     src.append(4)
     dst.append(5)
     got, bdf = _run(src, dst, 10)
-    assert got == _simulate(src, dst, 10)
+    rows, est, tot = _simulate(src, dst, 10)
+    assert got == rows
+    assert np.array_equal(bdf["totdist"].to_numpy(), tot)
     assert got[-1][0] <= 3
