@@ -152,7 +152,7 @@ def cmd_run(args) -> dict:
     from gunrock_ray.pipelines import graph_algos as ga
 
     needs_in = (args.algo in ("hits", "hits_gr", "salsa", "bc", "maxflow",
-                              "scc", "recip")
+                              "scc", "recip", "bowtie")
                 or (args.algo == "bfs" and args.direction_optimized))
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "edgesim",
@@ -318,6 +318,9 @@ def cmd_run(args) -> dict:
                                      metrics_path=args.metrics)
         extra["nf_curve"] = [{"t": r["t"], "nf": r["nf"]} for r in per_step]
         extra["avg_distance"] = round(per_step[-1]["avg_distance"], 4)
+    elif args.algo == "bowtie":
+        out, stats = ga.bowtie(g, metrics_path=args.metrics)
+        extra.update(stats)
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
                      direction_optimized=args.direction_optimized,
@@ -897,7 +900,7 @@ def main(argv=None) -> None:
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
                               "trussdecomp", "pprsweep", "maxmatch",
-                              "anf"])
+                              "anf", "bowtie"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",

@@ -2384,6 +2384,46 @@ def _scc_uniq(t: pa.Table) -> pa.Table:
     return pa.table({"scc": pc.unique(t["scc"])})
 
 
+def bowtie(graph: DistributedGraph, *, metrics_path: str | None = None):
+    """Bow-tie decomposition of a directed web graph (Broder et al. 2000,
+    "Graph structure in the web"): CORE = the largest SCC (ties broken by
+    smallest member id), IN = vertices that reach the core, OUT =
+    vertices reachable from the core, OTHER = tendrils/tubes/
+    disconnected. Three stages on one graph build: the Orzan SCC kernels
+    (raw colors stay resident in actor state), ONE distributed
+    aggregate to pick the giant component (count + min member per color,
+    sort desc/asc, limit 1 — no O(n) driver pull), then two frontier
+    reachability sweeps from the core, forward over out-edges and
+    backward over in-edges. Needs ``with_in_edges=True``. Returns
+    (Dataset {v, region ∈ core|in|out|other}, stats dict)."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    labels, ncomp = strongly_connected_components(g, canonical=False)
+    from ray.data.aggregate import Count, Min
+    top = (labels.groupby("scc").aggregate(Count(), Min("v"))
+           .sort(["count()", "min(v)"], descending=[True, False])
+           .limit(1).take_all())
+    core_color = int(top[0]["scc"])
+    core_size = int(top[0]["count()"])
+    res = g.call_all("bt_init", core_color)
+    assert sum(r["core"] for r in res) == core_size
+    for direction in ("fwd", "bwd"):
+        g.call_all("bt_seed", direction)
+        rounds = 0
+        while True:
+            t0 = time.perf_counter()
+            res, _ = g.superstep("bt_scatter", "bt_apply", (direction,))
+            newly = sum(r["frontier"] for r in res)
+            rounds += 1
+            metrics.write(algo="bowtie", direction=direction, round=rounds,
+                          newly=newly, t_round_s=time.perf_counter() - t0)
+            if newly == 0:
+                break
+    metrics.close()
+    return g.extract("bt_extract"), {"num_scc": ncomp,
+                                     "core_size": core_size}
+
+
 def pseudo_diameter(graph: DistributedGraph, src: int = 0, *,
                     sweeps: int = 2, metrics_path: str | None = None) -> dict:
     """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —

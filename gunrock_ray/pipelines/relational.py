@@ -1672,6 +1672,22 @@ def q_anf_closeness(sf_dir: str):
     return df.sort_values("v").reset_index(drop=True)
 
 
+def q_bowtie(sf_dir: str):
+    """Bow-tie web-graph decomposition (graph_algos.bowtie — Broder et
+    al. 2000) of the DIRECTED derived graph: region per vertex, core =
+    largest SCC (ties by smallest member), in/out = reaches/reachable
+    from core, other = rest. SQL-checked against the transitive closure:
+    the oracle recomputes SCC min-member labels, picks the same
+    (size desc, label asc) core, and classifies by closure membership."""
+    from gunrock_ray.pipelines.graph_algos import bowtie
+    g = _graph_in(sf_dir, undirected=False)
+    try:
+        ds, _stats = bowtie(g)
+        return ds.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -4984,6 +5000,33 @@ ORACLE_SQL: dict[str, str] = {
     "truss_decomp": _truss_decomp_sql(),
     "anf": _anf_sql(),
     "anf_closeness": _anf_closeness_sql(),
+    # bow-tie: closure-based SCC min-member labels; the core = (size
+    # desc, label asc) class; in/out by closure membership vs the core —
+    # order of CASE arms matches the engine (core, in, out, other);
+    # in∧out outside core is impossible (it would be in the core SCC)
+    "bowtie": (
+        f"WITH RECURSIVE n AS MATERIALIZED ({_NORM_SQL}), "
+        "verts AS (SELECT DISTINCT v FROM "
+        "  (SELECT src AS v FROM n UNION SELECT dst FROM n)), "
+        "r(a, b) AS (SELECT src, dst FROM n "
+        "  UNION SELECT r.a, n.dst FROM r JOIN n ON n.src = r.b), "
+        "sccm AS (SELECT v.v, LEAST(v.v, COALESCE(MIN(x.b), v.v)) AS scc "
+        "  FROM verts v LEFT JOIN (SELECT f.a, f.b FROM r f "
+        "    JOIN r g ON g.a = f.b AND g.b = f.a) x ON x.a = v.v "
+        "  GROUP BY v.v), "
+        "core AS (SELECT scc FROM (SELECT scc, COUNT(*) AS c FROM sccm "
+        "  GROUP BY scc) ORDER BY c DESC, scc ASC LIMIT 1), "
+        "cmem AS (SELECT v FROM sccm WHERE scc = (SELECT scc FROM core)), "
+        "fwd AS (SELECT DISTINCT r.b AS v FROM r "
+        "  WHERE r.a IN (SELECT v FROM cmem)), "
+        "bwd AS (SELECT DISTINCT r.a AS v FROM r "
+        "  WHERE r.b IN (SELECT v FROM cmem)) "
+        "SELECT v.v, CASE "
+        "WHEN v.v IN (SELECT v FROM cmem) THEN 'core' "
+        "WHEN v.v IN (SELECT v FROM bwd) THEN 'in' "
+        "WHEN v.v IN (SELECT v FROM fwd) THEN 'out' "
+        "ELSE 'other' END AS region FROM verts v ORDER BY v.v"
+    ),
     "maxmatch": (
         "WITH cert AS MATERIALIZED (SELECT * FROM read_parquet("
         "'/tmp/gunrock_ray_cert/maxmatch/rows.parquet')), "

@@ -3491,6 +3491,69 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "scc": pa.array(self.state["scc"], pa.int64())})
 
+    # --------------------------------------- bow-tie decomposition (Broder)
+    # Web-graph macro structure (Broder et al. 2000, "Graph structure in
+    # the web"): CORE = the giant SCC, IN = vertices that REACH the core,
+    # OUT = vertices REACHABLE from the core, OTHER = tendrils/tubes/
+    # disconnected. Runs after the scc_* kernels on the same graph (reads
+    # state["scc"] raw colors); each direction is a plain frontier
+    # reachability sweep (ids only, no values), forward over the out-CSR
+    # and backward over the in-CSR. fwd∧bwd outside the core is
+    # impossible (such a vertex would be in the core SCC).
+
+    def bt_init(self, core_color: int) -> dict:
+        in_core = self.state["scc"] == core_color
+        self._bt_core = in_core
+        self.state["bt_fwd"] = in_core.astype(np.int8)
+        self.state["bt_bwd"] = in_core.astype(np.int8)
+        self._bt_new = _EMPTY_I8
+        self._bt_dir = "fwd"
+        return {"core": int(np.count_nonzero(in_core))}
+
+    def bt_seed(self, direction: str) -> None:
+        self._bt_dir = direction
+        self._bt_new = np.flatnonzero(self._bt_core)
+
+    @_scatter_timed
+    def bt_scatter(self, direction: str):
+        self._bt_dir = direction
+        self._frontier = self._bt_new
+        if direction == "fwd":
+            _, dst, _ = self._frontier_edges()
+        else:
+            starts = self.in_row_offsets[self._frontier]
+            lens = self.in_deg[self._frontier]
+            dst = _ragged_gather(self.in_col_indices, starts, lens)
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8)
+        return self._pack(np.unique(dst))
+
+    @_apply_timed
+    def bt_apply(self, *packs) -> dict:
+        flag = self.state["bt_fwd" if self._bt_dir == "fwd" else "bt_bwd"]
+        segs = [self._unpack_mine(pk, 0) for pk in packs]
+        ids = np.unique(np.concatenate(segs)) if segs else _EMPTY_I8
+        newly = _EMPTY_I8
+        if len(ids):
+            li = self._lidx(ids)
+            newly = li[flag[li] == 0]
+            flag[newly] = 1
+        self._bt_new = newly
+        return {"frontier": int(len(newly))}
+
+    def bt_extract(self) -> pa.Table:
+        fwd = self.state["bt_fwd"].astype(bool)
+        bwd = self.state["bt_bwd"].astype(bool)
+        core = self._bt_core
+        region = np.full(len(self.verts), 3, np.int64)
+        region[fwd & ~core] = 2  # OUT: reachable from the core
+        region[bwd & ~core] = 1  # IN: reaches the core
+        region[core] = 0
+        codes = np.array(["core", "in", "out", "other"])
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "region": pa.array(codes[region].tolist(),
+                                            pa.string())})
+
     # --------------------------------------------- multi-source BFS (bitset)
     # Up to 64 BFS sources per pass, one uint64 bit each (Then et al.,
     # VLDB 2015, "The More the Merrier: Efficient Multi-Source Graph

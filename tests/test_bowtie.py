@@ -1,0 +1,83 @@
+"""Bow-tie decomposition (Broder et al.) vs a serial Tarjan+BFS oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import bowtie, build_graph
+from tests import oracles
+from tests.helpers import vertices_table
+
+
+def _ref(src, dst, n):
+    comp = oracles.scc_ref(n, src, dst)
+    sizes = np.bincount(np.unique(comp, return_inverse=True)[1])
+    labels = np.unique(comp)
+    # core = largest SCC, ties by smallest min-member label
+    order = sorted(range(len(labels)), key=lambda i: (-sizes[i], labels[i]))
+    core_label = labels[order[0]]
+    core = comp == core_label
+    adj_f = [[] for _ in range(n)]
+    adj_b = [[] for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj_f[int(u)].append(int(v))
+            adj_b[int(v)].append(int(u))
+
+    def reach(seeds, adj):
+        seen = np.array(seeds, dtype=bool)
+        stack = list(np.flatnonzero(seen))
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append(w)
+        return seen
+
+    fwd = reach(core, adj_f)
+    bwd = reach(core, adj_b)
+    region = np.full(n, "other", dtype=object)
+    region[fwd & ~core] = "out"
+    region[bwd & ~core] = "in"
+    region[core] = "core"
+    return region
+
+
+def _run(src, dst, n, P=4):
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(t, num_partitions=P, vertices=vertices_table(n),
+                    with_in_edges=True)
+    try:
+        ds, stats = bowtie(g)
+        df = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+    return df, stats
+
+
+def test_textbook_bowtie(ray_session):
+    # core cycle {0,1,2}; IN: 3->0, 4->3; OUT: 2->5, 5->6;
+    # tendril off IN: 3->7 (reachable from IN only => other);
+    # disconnected: 8<->9 (a smaller SCC)
+    src = [0, 1, 2, 3, 4, 2, 5, 3, 8, 9]
+    dst = [1, 2, 0, 0, 3, 5, 6, 7, 9, 8]
+    n = 10
+    df, stats = _run(src, dst, n)
+    want = _ref(src, dst, n)
+    assert df["region"].tolist() == want.tolist()
+    assert stats["core_size"] == 3
+    assert df["region"].tolist() == ["core", "core", "core", "in", "in",
+                                     "out", "out", "other", "other",
+                                     "other"]
+
+
+def test_random_digraphs_match_oracle(ray_session):
+    for seed in (2, 6, 11):
+        rng = np.random.default_rng(seed)
+        n, m = 90, 220
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        df, _ = _run(src, dst, n, P=5)
+        want = _ref(src, dst, n)
+        assert df["region"].tolist() == want.tolist()
