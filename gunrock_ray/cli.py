@@ -163,6 +163,19 @@ def cmd_run(args) -> dict:
                                                   "trussdecomp", "pprsweep",
                                                   "maxmatch", "anf")
     edges, vertices = _load_edges(args)
+    if args.algo == "related":
+        # co-citation runs straight on the edge Dataset (no graph build)
+        from gunrock_ray.functions.linkgraph import related_pages
+        t0 = time.perf_counter()
+        out = related_pages(edges, k=args.topk,
+                            max_out_degree=args.max_out_degree)
+        rows = _write_result(args.out, out) if args.out else out.count()
+        t_run = time.perf_counter() - t0
+        summary = {"cmd": "run", "algo": "related", "rows": rows,
+                   "k": args.topk, "max_out_degree": args.max_out_degree,
+                   "t_run_s": round(t_run, 3)}
+        print(json.dumps(summary))
+        return summary
     if args.algo == "bmatch":
         # bipartite matching builds its own flow network internally
         t0 = time.perf_counter()
@@ -900,7 +913,7 @@ def main(argv=None) -> None:
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
                               "trussdecomp", "pprsweep", "maxmatch",
-                              "anf", "bowtie"])
+                              "anf", "bowtie", "related"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",
@@ -955,6 +968,8 @@ def main(argv=None) -> None:
     run.add_argument("--error", type=float, default=0.01)
     run.add_argument("--max-iter", type=int, default=50)
     run.add_argument("--topk", type=int, default=10)
+    run.add_argument("--max-out-degree", type=int, default=64,
+                     help="stop-hub cap for --algo related")
     run.add_argument("--bc-sources", default=None)
     run.add_argument("--metrics", default=None)
     run.add_argument("--ckpt-dir", default=None)

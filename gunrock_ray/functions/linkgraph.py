@@ -162,3 +162,111 @@ def spam_mass(pr_df, tr_df):
     df["sm_u6"] = np.floor((1.0 - t / p) * 1e6 + 0.5).astype(np.int64)
     return (df[["v", "trust_u6", "sm_u6"]]
             .sort_values("v").reset_index(drop=True))
+
+
+def related_pages(edges_ds, *, k: int = 10, max_out_degree: int = 64,
+                  num_buckets: int | None = None):
+    """Co-citation "related pages" (Dean & Henzinger 1999, "Finding
+    related pages in the World Wide Web"): pages a and b are related when
+    many pages cite BOTH — every citing page u contributes 1 to
+    cocite(a, b) for each ordered pair of distinct out-neighbors. Citing
+    pages with out-degree > ``max_out_degree`` are EXCLUDED (the standard
+    stop-hub cap: a degree-d directory page injects d² pairs relating
+    everything to everything; the cap bounds the pair exchange by
+    m·cap while keeping the selective co-citation signal). Returns the
+    per-page top-k Dataset {a, b, cocite, rnk} ordered by
+    (cocite desc, b asc) within each a.
+
+    Two exchanges end to end: (1) a coarse bucket cogroup on the CITING
+    page — inside a group, out-lists dedup, the cap filters, ordered
+    pairs generate by one vectorized offset-arithmetic pass, and equal
+    (a, b) pairs PRE-COMBINE into partial counts before anything ships;
+    (2) a coarse bucket cogroup on ``a`` — partial counts sum and every
+    page's top-k ranks in one lexsort + segment-position pass. No
+    per-row Python anywhere."""
+    from gunrock_ray.common import (default_num_buckets, mix64,
+                                    segment_starts)
+    nb = default_num_buckets(num_buckets)
+
+    def bucket_by_src(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "bkt": pa.array((mix64(s) % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        sd = np.unique(np.stack([s, d], axis=1), axis=0)  # dedup out-lists
+        if len(sd) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        s, d = sd[:, 0], sd[:, 1]
+        starts = segment_starts(s)
+        lens = np.diff(np.concatenate([starts, [len(s)]]))
+        ok = lens <= max_out_degree
+        starts, lens = starts[ok], lens[ok]
+        npairs = lens * lens
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        off = np.concatenate([[0], np.cumsum(npairs)])[:-1]
+        within = np.arange(int(npairs.sum()), dtype=np.int64) - off[seg]
+        li = within // lens[seg]
+        ri = within % lens[seg]
+        a = d[starts[seg] + li]
+        b = d[starts[seg] + ri]
+        m = li != ri
+        a, b = a[m], b[m]
+        # pre-combine equal (a, b) before the exchange
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        key_change = np.empty(len(a), dtype=bool)
+        key_change[0:1] = True
+        key_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(key_change)
+        cnt = np.diff(np.concatenate([st, [len(a)]]))
+        return pa.table({"a": pa.array(a[st], pa.int64()),
+                         "b": pa.array(b[st], pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    pairs = (edges_ds.map_batches(bucket_by_src, batch_format="pyarrow")
+             .groupby("bkt").map_groups(gen_pairs, batch_format="pyarrow"))
+
+    def bucket_by_a(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        return pa.table({
+            "a": t["a"], "b": t["b"], "cnt": t["cnt"],
+            "bkt": pa.array((mix64(a) % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def topk_of_bucket(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        c = g["cnt"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        key_change = np.empty(len(a), dtype=bool)
+        key_change[0:1] = True
+        key_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(key_change)
+        tot = np.add.reduceat(c, st)
+        a, b = a[st], b[st]
+        order = np.lexsort((b, -tot, a))
+        a, b, tot = a[order], b[order], tot[order]
+        astart = segment_starts(a)
+        flags = np.zeros(len(a), dtype=np.int64)
+        flags[astart] = 1
+        pos = np.arange(len(a)) - np.repeat(astart, np.diff(
+            np.concatenate([astart, [len(a)]])))
+        keep = pos < k
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "cocite": pa.array(tot[keep].astype(np.int64)),
+                         "rnk": pa.array((pos[keep] + 1).astype(np.int64))})
+
+    return (pairs.map_batches(bucket_by_a, batch_format="pyarrow")
+            .groupby("bkt").map_groups(topk_of_bucket,
+                                       batch_format="pyarrow"))

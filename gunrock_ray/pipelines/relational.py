@@ -1688,6 +1688,19 @@ def q_bowtie(sf_dir: str):
         g.shutdown(remove_spill=True)
 
 
+def q_related(sf_dir: str):
+    """Co-citation "related pages" top-10 per page with the stop-hub cap
+    at out-degree 64 (functions.linkgraph.related_pages, Dean-Henzinger
+    co-citation) over the normalized derived edges. SQL-checked against
+    the direct self-join: pairs of distinct out-neighbors of each citing
+    page with deduped out-degree <= 64, COUNT per (a, b), ROW_NUMBER by
+    (count desc, b asc) <= 10."""
+    from gunrock_ray.functions.linkgraph import related_pages
+    df = related_pages(derived_edges(sf_dir), k=10,
+                       max_out_degree=64).to_pandas()
+    return df.sort_values(["a", "rnk"]).reset_index(drop=True)
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -5000,6 +5013,19 @@ ORACLE_SQL: dict[str, str] = {
     "truss_decomp": _truss_decomp_sql(),
     "anf": _anf_sql(),
     "anf_closeness": _anf_closeness_sql(),
+    "related": (
+        f"WITH n AS MATERIALIZED ({_NORM_SQL}), "
+        "ok AS (SELECT src FROM n GROUP BY src HAVING COUNT(*) <= 64), "
+        "p AS (SELECT e1.dst AS a, e2.dst AS b FROM n e1 "
+        "  JOIN n e2 ON e1.src = e2.src AND e1.dst <> e2.dst "
+        "  WHERE e1.src IN (SELECT src FROM ok)), "
+        "c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cocite "
+        "  FROM p GROUP BY a, b), "
+        "r AS (SELECT a, b, cocite, CAST(ROW_NUMBER() OVER "
+        "  (PARTITION BY a ORDER BY cocite DESC, b ASC) AS BIGINT) AS rnk "
+        "  FROM c) "
+        "SELECT a, b, cocite, rnk FROM r WHERE rnk <= 10 ORDER BY a, rnk"
+    ),
     # bow-tie: closure-based SCC min-member labels; the core = (size
     # desc, label asc) class; in/out by closure membership vs the core —
     # order of CASE arms matches the engine (core, in, out, other);

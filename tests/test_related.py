@@ -1,0 +1,66 @@
+"""Co-citation related-pages top-k vs a pandas oracle; bucket invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.functions.linkgraph import related_pages
+
+
+def _ref(src, dst, k=10, cap=64):
+    e = (pd.DataFrame({"src": src, "dst": dst})
+         .query("src != dst").drop_duplicates())
+    deg = e.groupby("src")["dst"].count()
+    e = e[e["src"].isin(deg[deg <= cap].index)]
+    p = e.merge(e, on="src")
+    p = p[p["dst_x"] != p["dst_y"]]
+    c = (p.groupby(["dst_x", "dst_y"]).size().reset_index(name="cocite")
+         .rename(columns={"dst_x": "a", "dst_y": "b"}))
+    c = c.sort_values(["a", "cocite", "b"],
+                      ascending=[True, False, True]).reset_index(drop=True)
+    c["rnk"] = c.groupby("a").cumcount() + 1
+    out = c[c["rnk"] <= k].reset_index(drop=True)
+    return out.astype({"a": "int64", "b": "int64",
+                       "cocite": "int64", "rnk": "int64"})
+
+
+def _run(src, dst, k=10, cap=64, nb=8):
+    import ray.data
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    out = related_pages(ray.data.from_arrow(t), k=k, max_out_degree=cap,
+                        num_buckets=nb).to_pandas()
+    return (out.sort_values(["a", "rnk"]).reset_index(drop=True)
+            [["a", "b", "cocite", "rnk"]])
+
+
+def test_small_cocitation(ray_session):
+    # u0 cites {1,2,3}, u10 cites {1,2}, u11 cites {2,3}: cocite(1,2)=2 etc.
+    src = [0, 0, 0, 10, 10, 11, 11]
+    dst = [1, 2, 3, 1, 2, 2, 3]
+    got = _run(src, dst)
+    want = _ref(src, dst)
+    pd.testing.assert_frame_equal(got, want)
+    top2 = got[(got["a"] == 2) & (got["rnk"] == 1)]
+    assert top2["b"].tolist() == [1] and top2["cocite"].tolist() == [2]
+
+
+def test_hub_cap_excludes_directory_pages(ray_session):
+    # a hub citing 5 pages is excluded at cap=4, included at cap=5
+    src = [9] * 5 + [1, 1]
+    dst = [10, 11, 12, 13, 14, 10, 11]
+    got4 = _run(src, dst, cap=4)
+    assert set(got4["a"]) == {10, 11}  # only u1's pairs survive
+    got5 = _run(src, dst, cap=5)
+    pd.testing.assert_frame_equal(got5, _ref(src, dst, cap=5))
+
+
+def test_random_matches_oracle_and_buckets(ray_session):
+    rng = np.random.default_rng(8)
+    m, n = 800, 60
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    a = _run(src, dst, k=5, cap=16, nb=4)
+    b = _run(src, dst, k=5, cap=16, nb=16)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, _ref(src, dst, k=5, cap=16))
