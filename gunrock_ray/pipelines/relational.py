@@ -1701,6 +1701,20 @@ def q_related(sf_dir: str):
     return df.sort_values(["a", "rnk"]).reset_index(drop=True)
 
 
+def q_butterflies(sf_dir: str):
+    """Exact butterfly (bipartite 4-cycle) + wedge counts over the
+    normalized directed edges read as a bipartite src→dst graph
+    (functions.linkgraph.butterfly_count, pair-aggregation form).
+    SQL-checked against the direct self-join: codegree per dst pair,
+    wedges = Σ codeg, butterflies = Σ C(codeg, 2)."""
+    import pandas as pd
+
+    from gunrock_ray.functions.linkgraph import butterfly_count
+    r = butterfly_count(_norm_ds(sf_dir))
+    return pd.DataFrame({"wedges": [r["wedges"]],
+                         "butterflies": [r["butterflies"]]}).astype("int64")
+
+
 def q_truss_decomp(sf_dir: str):
     """FULL truss decomposition (graph_algos.truss_decomposition): edge
     trussness by monotone continued peeling over the undirected derived
@@ -2712,9 +2726,14 @@ def _anf_closeness_sql(T: int = 4) -> str:
                      for t in range(1, T + 1))
     tot = " + ".join(f"{t} * (est{t}.e - est{t-1}.e)"
                      for t in range(1, T + 1))
+    # same left-to-right term order as the engine's ascending-t
+    # accumulation — the float sum is bit-identical
+    harm = " + ".join(f"(est{t}.e - est{t-1}.e) / {t}.0"
+                      for t in range(1, T + 1))
     parts.append(
         f"SELECT est0.v, est{T}.e AS ball, "
-        f"CAST({tot} AS BIGINT) AS totdist "
+        f"CAST({tot} AS BIGINT) AS totdist, "
+        f"CAST(FLOOR(({harm}) * 1e6 + 0.5) AS BIGINT) AS harm_u6 "
         f"FROM est0 {joins} ORDER BY est0.v")
     return "".join(parts)
 
@@ -5013,6 +5032,15 @@ ORACLE_SQL: dict[str, str] = {
     "truss_decomp": _truss_decomp_sql(),
     "anf": _anf_sql(),
     "anf_closeness": _anf_closeness_sql(),
+    "butterflies": (
+        f"WITH n AS MATERIALIZED ({_NORM_SQL}), "
+        "p AS (SELECT e1.dst AS a, e2.dst AS b FROM n e1 "
+        "  JOIN n e2 ON e1.src = e2.src AND e1.dst < e2.dst), "
+        "c AS (SELECT a, b, COUNT(*) AS cnt FROM p GROUP BY a, b) "
+        "SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS wedges, "
+        "CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0) AS BIGINT) "
+        "AS butterflies FROM c"
+    ),
     "related": (
         f"WITH n AS MATERIALIZED ({_NORM_SQL}), "
         "ok AS (SELECT src FROM n GROUP BY src HAVING COUNT(*) <= 64), "

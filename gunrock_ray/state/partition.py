@@ -2586,19 +2586,27 @@ class GraphPartition:
         ib = np.round(est).astype(np.int64)
         if t == 0:
             self.state["hb_tot"] = np.zeros(len(self.verts), np.int64)
+            self.state["hb_harm"] = np.zeros(len(self.verts), np.float64)
         else:
-            self.state["hb_tot"] += np.int64(t) * (
-                ib - self._pending["hb_est"])
+            diff = ib - self._pending["hb_est"]
+            self.state["hb_tot"] += np.int64(t) * diff
+            # harmonic integral Σ diff_t / t, accumulated in ascending t
+            # order — the SQL twin adds the same terms left to right, so
+            # the float sums are bit-identical
+            self.state["hb_harm"] += diff / np.float64(t)
         self._pending["hb_est"] = ib
         return {"nf": int(ib.sum()),
                 "sumreg": int(self.state["hb_regs"].sum(dtype=np.int64))}
 
     def hb_extract(self) -> pa.Table:
         est = self._pending.pop("hb_est")
+        harm_u6 = np.floor(self.state["hb_harm"] * 1e6 + 0.5).astype(
+            np.int64)
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "ball": pa.array(est, pa.int64()),
                          "totdist": pa.array(self.state["hb_tot"],
-                                             pa.int64())})
+                                             pa.int64()),
+                         "harm_u6": pa.array(harm_u6, pa.int64())})
 
     # ------------------------------------- graph coloring (Jones-Plassmann)
     # Deterministic JP coloring (reference road map `doc/road_map.md:17`):

@@ -52,6 +52,7 @@ def _simulate(src, dst, n, p=6, seed=0):
     balls = [{v} for v in range(n)]
     rows = []
     tot = np.zeros(n, dtype=np.int64)
+    harm = np.zeros(n, dtype=np.float64)
     prev = np.zeros(n, dtype=np.int64)
     prev_sum = -1
     t = 0
@@ -63,6 +64,7 @@ def _simulate(src, dst, n, p=6, seed=0):
         est = _estimate(regs)
         if t > 0:
             tot += t * (est - prev)   # fixpoint step contributes 0
+            harm += (est - prev) / np.float64(t)
         prev = est
         if sr == prev_sum:
             break
@@ -70,7 +72,7 @@ def _simulate(src, dst, n, p=6, seed=0):
         rows.append((t, int(est.sum())))
         t += 1
         balls = [b | {w for u in b for w in adj[u]} for b in balls]
-    return rows, prev, tot
+    return rows, prev, tot, np.floor(harm * 1e6 + 0.5).astype(np.int64)
 
 
 def _run(src, dst, n, P=4):
@@ -90,10 +92,11 @@ def test_path_graph_matches_simulation(ray_session):
     src = list(range(9))
     dst = list(range(1, 10))
     got, bdf = _run(src, dst, 10)
-    rows, est, tot = _simulate(src, dst, 10)
+    rows, est, tot, harm = _simulate(src, dst, 10)
     assert got == rows
     assert np.array_equal(bdf["ball"].to_numpy(), est)
     assert np.array_equal(bdf["totdist"].to_numpy(), tot)
+    assert np.array_equal(bdf["harm_u6"].to_numpy(), harm)
 
 
 def test_random_graph_matches_simulation_and_partitions(ray_session):
@@ -103,10 +106,11 @@ def test_random_graph_matches_simulation_and_partitions(ray_session):
     dst = rng.integers(0, n, m)
     got4, b4 = _run(src, dst, n, P=4)
     got7, b7 = _run(src, dst, n, P=7)
-    rows, est, tot = _simulate(src, dst, n)
+    rows, est, tot, harm = _simulate(src, dst, n)
     assert got4 == rows
     assert np.array_equal(b4["ball"].to_numpy(), est)
     assert np.array_equal(b4["totdist"].to_numpy(), tot)
+    assert np.array_equal(b4["harm_u6"].to_numpy(), harm)
     assert got4 == got7
     pd.testing.assert_frame_equal(b4, b7)
     # per-vertex final balls: isolated-free graph, ball estimates >= 1
@@ -124,7 +128,8 @@ def test_two_cliques_bridge(ray_session):
     src.append(4)
     dst.append(5)
     got, bdf = _run(src, dst, 10)
-    rows, est, tot = _simulate(src, dst, 10)
+    rows, est, tot, harm = _simulate(src, dst, 10)
     assert got == rows
     assert np.array_equal(bdf["totdist"].to_numpy(), tot)
+    assert np.array_equal(bdf["harm_u6"].to_numpy(), harm)
     assert got[-1][0] <= 3

@@ -64,3 +64,34 @@ def test_random_matches_oracle_and_buckets(ray_session):
     b = _run(src, dst, k=5, cap=16, nb=16)
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, _ref(src, dst, k=5, cap=16))
+
+
+def test_butterfly_count_matches_pandas(ray_session):
+    import ray.data
+
+    from gunrock_ray.functions.linkgraph import butterfly_count
+
+    def ref(src, dst):
+        e = (pd.DataFrame({"src": src, "dst": dst}).drop_duplicates())
+        p = e.merge(e, on="src")
+        p = p[p["dst_x"] < p["dst_y"]]
+        c = p.groupby(["dst_x", "dst_y"]).size()
+        return int(c.sum()), int((c * (c - 1) // 2).sum())
+
+    # K2,2 = exactly one butterfly
+    src = [0, 0, 1, 1]
+    dst = [10, 11, 10, 11]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    r = butterfly_count(ray.data.from_arrow(t), num_buckets=4)
+    assert (r["wedges"], r["butterflies"]) == (2, 1) == ref(src, dst)
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 40, 500)
+    dst = rng.integers(100, 140, 500)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    w, b = ref(src, dst)
+    for nb in (4, 16):
+        r = butterfly_count(ray.data.from_arrow(t), num_buckets=nb)
+        assert (r["wedges"], r["butterflies"]) == (w, b)
