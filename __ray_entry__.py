@@ -40,7 +40,7 @@ positives), C4-style segment/line dedup by document frequency (fold + df
 threshold + reassembled sha, bit-exact), the end-to-end near-dup KEEPERS
 composition (MinHash pairs -> CC -> min-id reps vs a transitive-closure
 oracle), the full HLL estimator at p=14 and the Count-Min cell table.
-Round 4 closed the oracle gap COMPLETELY — every one of the 140 queries
+Round 4 closed the oracle gap COMPLETELY — every one of the 141 queries
 now has a DuckDB oracle: the Lloyd/BPE/LM/DSIR pipelines unroll fully in
 SQL, max-flow/bipartite-matching carry duality certificates (min-cut /
 König cover), Louvain a label certificate, PCA an eigen-certificate,
@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": r.q_bowtie,                            # NEW round 4
         "related": r.q_related,                          # NEW round 4
         "butterflies": r.q_butterflies,                  # NEW round 4
+        "temporal_reach": r.q_temporal_reach,            # NEW round 4
         # ---- driver window (50) ends here: 21 + 29 ----------------------
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,

@@ -334,6 +334,9 @@ def cmd_run(args) -> dict:
     elif args.algo == "bowtie":
         out, stats = ga.bowtie(g, metrics_path=args.metrics)
         extra.update(stats)
+    elif args.algo == "treach":
+        # temporal earliest arrival: edge weights are timestamps
+        out = ga.temporal_arrival(g, args.src, metrics_path=args.metrics)
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
                      direction_optimized=args.direction_optimized,
@@ -913,7 +916,7 @@ def main(argv=None) -> None:
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
                               "trussdecomp", "pprsweep", "maxmatch",
-                              "anf", "bowtie", "related"])
+                              "anf", "bowtie", "related", "treach"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",

@@ -2424,6 +2424,49 @@ def bowtie(graph: DistributedGraph, *, metrics_path: str | None = None):
                                      "core_size": core_size}
 
 
+def temporal_arrival(graph: DistributedGraph, src: int,
+                     metrics_path: str | None = None):
+    """Temporal earliest-arrival reachability (time-respecting paths;
+    Wu et al., VLDB 2014 single-pass shape recast as BSP min-relaxation):
+    over a graph whose edge weights are TIMESTAMPS, compute for every
+    vertex the minimum arrival time of a path whose edge times never
+    decrease, departing ``src`` at time 0. Phase 1 is a pure min-relax
+    fixpoint on arrival; phase 2 recomputes an acyclic (hop, pred)
+    witness by min-hop BFS over the TIGHT edges with arrivals frozen —
+    see partition.py ta_* for the least-fixpoint / freshness argument
+    and the private multigraph CSR (parallel edges with different times
+    are distinct temporal contacts and survive). Build the graph
+    ``weighted=True`` with w = the edge's timestamp (integer-valued
+    float64). Returns Dataset {v, arrival, hop, pred} over REACHED
+    vertices only."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("ta_init", src)
+    rounds = 0
+    while True:  # phase 1: arrival least fixpoint
+        t0 = time.perf_counter()
+        res, _ = g.superstep("ta_scatter", "ta_apply")
+        changed = sum(r["frontier"] for r in res)
+        rounds += 1
+        metrics.write(algo="temporal_arrival", phase=1, round=rounds,
+                      changed=changed, t_round_s=time.perf_counter() - t0)
+        if changed == 0:
+            break
+    g.call_all("ta2_init", src)
+    rounds = 0
+    while True:  # phase 2: fresh (hop, pred) witness over tight edges
+        t0 = time.perf_counter()
+        res, _ = g.superstep("ta2_scatter", "ta2_apply")
+        changed = sum(r["frontier"] for r in res)
+        rounds += 1
+        metrics.write(algo="temporal_arrival", phase=2, round=rounds,
+                      changed=changed, t_round_s=time.perf_counter() - t0)
+        if changed == 0:
+            break
+    metrics.close()
+    return g.extract("ta_extract")
+
+
 def pseudo_diameter(graph: DistributedGraph, src: int = 0, *,
                     sweeps: int = 2, metrics_path: str | None = None) -> dict:
     """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —

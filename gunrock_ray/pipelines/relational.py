@@ -1701,6 +1701,54 @@ def q_related(sf_dir: str):
     return df.sort_values(["a", "rnk"]).reset_index(drop=True)
 
 
+def derived_temporal_edges(sf_dir: str):
+    """Temporal edge Dataset {src, dst, w} over the derived id space —
+    w = the event's timestamp in epoch microseconds (exact integer-valued
+    float64 for the weighted CSR). Parallel (src, dst) edges with
+    different times are kept: each is a distinct temporal contact."""
+    import ray.data
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "src": pa.array(uid % EDGE_MOD, pa.int64()),
+            "dst": pa.array((eid * 7 + 13) % EDGE_MOD, pa.int64()),
+            "w": pa.array(ts.astype(np.float64)),
+        })
+
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+        .map_batches(to_edges, batch_format="pyarrow"))
+
+
+def q_temporal_reach(sf_dir: str):
+    """Temporal earliest-arrival reachability from vertex 0 over the
+    derived temporal edges (graph_algos.temporal_arrival): {v, arrival,
+    hop, pred} for every vertex reachable by a time-respecting path
+    departing at time 0. SQL-checked via a certificate oracle that pins
+    the result EXACTLY without recursion: (C1) the source row is
+    (0, 0, 0, -1) and rows are unique per vertex; (C2) every other row
+    has a witness edge (pred, v, t = arrival) with arrival(pred) <=
+    arrival and hop = hop(pred) + 1 — hop induction makes the witness
+    chain a real time-respecting path, so claimed >= true; (C3) no
+    temporal edge (u, v, t) with u claimed, t >= arrival(u) either
+    improves a claimed v (t < arrival(v)) or reaches an unclaimed v —
+    induction along the optimal path then gives claimed <= true."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, temporal_arrival
+    g = build_graph(derived_temporal_edges(sf_dir), num_partitions=8,
+                    weighted=True)
+    try:
+        df = temporal_arrival(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df = df.sort_values("v").reset_index(drop=True)
+    _write_cert(df, "temporal_reach")
+    return df
+
+
 def q_butterflies(sf_dir: str):
     """Exact butterfly (bipartite 4-cycle) + wedge counts over the
     normalized directed edges read as a bipartite src→dst graph
@@ -5032,6 +5080,34 @@ ORACLE_SQL: dict[str, str] = {
     "truss_decomp": _truss_decomp_sql(),
     "anf": _anf_sql(),
     "anf_closeness": _anf_closeness_sql(),
+    "temporal_reach": (
+        "WITH cert AS MATERIALIZED (SELECT * FROM read_parquet("
+        "'/tmp/gunrock_ray_cert/temporal_reach/rows.parquet')), "
+        f"te AS MATERIALIZED (SELECT user_id % {EDGE_MOD} AS u, "
+        f"(event_id*7 + 13) % {EDGE_MOD} AS v, epoch_us(ts) AS t "
+        "FROM events), "
+        # C1: source row exact + one row per vertex
+        "c1 AS (SELECT (SELECT COUNT(*) FROM cert WHERE v = 0 AND NOT "
+        "(arrival = 0 AND hop = 0 AND pred = -1)) + "
+        "(CASE WHEN NOT EXISTS (SELECT 1 FROM cert WHERE v = 0) "
+        "THEN 1 ELSE 0 END) + "
+        "(SELECT COUNT(*) FROM (SELECT v FROM cert GROUP BY v "
+        "HAVING COUNT(*) > 1)) AS n), "
+        # C2: witness edge + hop induction => claimed >= true
+        "c2 AS (SELECT COUNT(*) AS n FROM cert c WHERE c.v <> 0 AND "
+        "NOT EXISTS (SELECT 1 FROM te JOIN cert pc ON pc.v = te.u "
+        "WHERE te.u = c.pred AND te.v = c.v AND te.t = c.arrival "
+        "AND pc.arrival <= c.arrival AND c.hop = pc.hop + 1)), "
+        # C3: no admissible edge improves or escapes => claimed <= true
+        "c3 AS (SELECT COUNT(*) AS n FROM te "
+        "JOIN cert cu ON cu.v = te.u "
+        "LEFT JOIN cert cv ON cv.v = te.v "
+        "WHERE te.t >= cu.arrival "
+        "AND (cv.v IS NULL OR te.t < cv.arrival)) "
+        "SELECT c.v, c.arrival, c.hop, c.pred "
+        "FROM cert c CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3 "
+        "WHERE c1.n + c2.n + c3.n = 0 ORDER BY c.v"
+    ),
     "butterflies": (
         f"WITH n AS MATERIALIZED ({_NORM_SQL}), "
         "p AS (SELECT e1.dst AS a, e2.dst AS b FROM n e1 "

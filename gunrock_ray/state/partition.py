@@ -3562,6 +3562,151 @@ class GraphPartition:
                          "region": pa.array(codes[region].tolist(),
                                             pa.string())})
 
+    # ----------------------------------- temporal earliest-arrival (ta_*)
+    # Time-respecting reachability over a temporal edge set (u, v, t):
+    # a path is valid when edge times never decrease, and arrival(v) is
+    # the minimum over valid paths of the LAST edge's time (source
+    # departs at time 0). Parallel (u, v) edges with different times are
+    # DISTINCT temporal contacts, so the kernels build their own
+    # multigraph CSR from the raw spill shard (the main CSR dedups
+    # duplicate pairs, `csr.cuh:588`-style). Two phases:
+    #   1. arrival = pure min-fixpoint: edge (u, v, t) offers t whenever
+    #      t >= arrival(u); chaotic re-relaxation from the changed
+    #      frontier converges to the least fixpoint (offers only shrink).
+    #   2. witness (hop, pred) = min-hop BFS over the TIGHT edges
+    #      (t == arrival(v), t >= arrival(u)) with arrivals frozen —
+    #      recomputing after phase 1 keeps the witness fresh (inside
+    #      phase 1 a pred's hop may rise when its arrival improves,
+    #      leaving lex-min state stale). hop(v) = hop(pred)+1 makes the
+    #      witness chain acyclic, which the SQL certificate exploits.
+
+    def ta_init(self, src_vertex: int) -> None:
+        n = len(self.verts)
+        imax = np.iinfo(np.int64).max
+        self.state["ta_t"] = np.full(n, imax, np.int64)
+        self.state["ta_h"] = np.full(n, imax, np.int64)
+        self.state["ta_p"] = np.full(n, -1, np.int64)
+        # multigraph CSR from the raw shard (parallel edges preserved)
+        cols = ["src", "dst"] + (["w"] if self.weighted else [])
+        et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid,
+                         cols)
+        if et is None or et.num_rows == 0:
+            self._ta_offs = np.zeros(n + 1, np.int64)
+            self._ta_dst = _EMPTY_I8
+            self._ta_tt = _EMPTY_I8
+        else:
+            s = et["src"].to_numpy()
+            d = et["dst"].to_numpy()
+            t = (et["w"].to_numpy().astype(np.int64) if self.weighted
+                 else np.ones(len(s), np.int64))
+            keep = s != d
+            s, d, t = s[keep], d[keep], t[keep]
+            order = np.lexsort((t, d, s))
+            s, d, t = s[order], d[order], t[order]
+            starts = np.searchsorted(s, self.verts, side="left")
+            self._ta_offs = np.concatenate([starts, [len(s)]]).astype(
+                np.int64)
+            self._ta_dst = np.ascontiguousarray(d)
+            self._ta_tt = np.ascontiguousarray(t)
+        self._frontier = _EMPTY_I8
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < n and self.verts[pos] == src_vertex:
+            self.state["ta_t"][pos] = 0
+            self._frontier = np.array([pos], np.int64)
+
+    def _ta_frontier_edges(self):
+        starts = self._ta_offs[self._frontier]
+        lens = self._ta_offs[self._frontier + 1] - starts
+        dst = _ragged_gather(self._ta_dst, starts, lens)
+        t = _ragged_gather(self._ta_tt, starts, lens)
+        src_li = np.repeat(self._frontier, lens)
+        return src_li, dst, t
+
+    @_scatter_timed
+    def ta_scatter(self):
+        src_li, dst, t = self._ta_frontier_edges()
+        ok = t >= self.state["ta_t"][src_li]
+        return self._pack_combined(dst[ok], t[ok], "min")
+
+    @_apply_timed
+    def ta_apply(self, *packs) -> dict:
+        T = self.state["ta_t"]
+        ids, vals = self._unpack_all(packs, (0, 1))
+        improved = _EMPTY_I8
+        if len(ids):
+            uids, uvals = segment_reduce(ids, vals, "min")
+            li = self._lidx(uids)
+            better = uvals < T[li]
+            improved = li[better]
+            T[improved] = uvals[better]
+        self._frontier = improved
+        return {"frontier": int(len(improved))}
+
+    def ta2_init(self, src_vertex: int) -> None:
+        n = len(self.verts)
+        imax = np.iinfo(np.int64).max
+        self.state["ta_h"] = np.full(n, imax, np.int64)
+        self.state["ta_p"] = np.full(n, -1, np.int64)
+        self._frontier = _EMPTY_I8
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < n and self.verts[pos] == src_vertex:
+            self.state["ta_h"][pos] = 0
+            self._frontier = np.array([pos], np.int64)
+
+    @_scatter_timed
+    def ta2_scatter(self):
+        src_li, dst, t = self._ta_frontier_edges()
+        ok = t >= self.state["ta_t"][src_li]
+        dst, t, src_li = dst[ok], t[ok], src_li[ok]
+        if len(dst) == 0:
+            return self._pack(_EMPTY_I8, _EMPTY_I8, _EMPTY_I8, _EMPTY_I8)
+        h = self.state["ta_h"][src_li] + 1
+        p = self.verts[src_li]
+        # combine per (dst, t): lex-min (h, p) for each candidate arrival
+        # value — only the receiver knows which t equals its arrival
+        order = np.lexsort((p, h, t, dst))
+        d2, t2 = dst[order], t[order]
+        ch = np.empty(len(d2), dtype=bool)
+        ch[0:1] = True
+        ch[1:] = (d2[1:] != d2[:-1]) | (t2[1:] != t2[:-1])
+        k = np.flatnonzero(ch)
+        return self._pack(d2[k], t2[k], h[order][k], p[order][k])
+
+    @_apply_timed
+    def ta2_apply(self, *packs) -> dict:
+        T = self.state["ta_t"]
+        H = self.state["ta_h"]
+        P_ = self.state["ta_p"]
+        ids, t, h, p = self._unpack_all(packs, (0, 1, 2, 3))
+        improved = _EMPTY_I8
+        if len(ids):
+            li = self._lidx(ids)
+            tight = t == T[li]  # offers must land exactly on the arrival
+            ids, h, p, li = ids[tight], h[tight], p[tight], li[tight]
+        if len(ids):
+            order = np.lexsort((p, h, ids))
+            ids, h, p, li = ids[order], h[order], p[order], li[order]
+            starts = segment_starts(ids)
+            h, p, li = h[starts], p[starts], li[starts]
+            better = (h < H[li]) | ((h == H[li]) & (p < P_[li]))
+            li, h, p = li[better], h[better], p[better]
+            H[li] = h
+            P_[li] = p
+            improved = li
+        self._frontier = improved
+        return {"frontier": int(len(improved))}
+
+    def ta_extract(self) -> pa.Table:
+        keep = self.state["ta_t"] != np.iinfo(np.int64).max
+        out = pa.table({
+            "v": pa.array(self.verts[keep], pa.int64()),
+            "arrival": pa.array(self.state["ta_t"][keep], pa.int64()),
+            "hop": pa.array(self.state["ta_h"][keep], pa.int64()),
+            "pred": pa.array(self.state["ta_p"][keep], pa.int64()),
+        })
+        self._ta_offs = self._ta_dst = self._ta_tt = None  # free the CSR
+        return out
+
     # --------------------------------------------- multi-source BFS (bitset)
     # Up to 64 BFS sources per pass, one uint64 bit each (Then et al.,
     # VLDB 2015, "The More the Merrier: Efficient Multi-Source Graph

@@ -1,0 +1,95 @@
+"""Temporal earliest-arrival reachability vs a serial Bellman-style
+oracle; parallel-edge preservation; witness validity; partition
+invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gunrock_ray.pipelines.graph_algos import build_graph, temporal_arrival
+from tests.helpers import vertices_table
+
+
+def _ref_arrival(src, dst, t, n, s0=0):
+    """Serial least-fixpoint: relax every temporal edge until stable."""
+    INF = np.iinfo(np.int64).max
+    a = np.full(n, INF, np.int64)
+    a[s0] = 0
+    changed = True
+    while changed:
+        changed = False
+        for u, v, tt in zip(src, dst, t):
+            if u != v and a[u] != INF and tt >= a[u] and tt < a[v]:
+                a[v] = tt
+                changed = True
+    return a
+
+
+def _run(src, dst, t, n, P=4, s0=0):
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "w": pa.array(np.asarray(t, dtype=np.float64))})
+    g = build_graph(tbl, num_partitions=P, weighted=True,
+                    vertices=vertices_table(n))
+    try:
+        df = temporal_arrival(g, s0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
+def _check_witness(df, src, dst, t, s0=0):
+    edges = set(zip(map(int, src), map(int, dst), map(int, t)))
+    a = dict(zip(df["v"], df["arrival"]))
+    h = dict(zip(df["v"], df["hop"]))
+    for _, row in df.iterrows():
+        v, arr, hop, pred = (int(row["v"]), int(row["arrival"]),
+                             int(row["hop"]), int(row["pred"]))
+        if v == s0:
+            assert (arr, hop, pred) == (0, 0, -1)
+            continue
+        assert (pred, v, arr) in edges
+        assert a[pred] <= arr
+        assert hop == h[pred] + 1
+
+
+def test_parallel_edges_are_distinct_contacts(ray_session):
+    # 0 -(t=5)-> 1 and 0 -(t=2)-> 1; 1 -(t=3)-> 2.
+    # With both contacts kept: arrive 1 at 2, then 2 at 3. If the t=5
+    # contact shadowed t=2 (pair dedup), vertex 2 would be unreachable.
+    src = [0, 0, 1]
+    dst = [1, 1, 2]
+    t = [5, 2, 3]
+    df = _run(src, dst, t, 3)
+    want = _ref_arrival(src, dst, t, 3)
+    assert dict(zip(df["v"], df["arrival"])) == {0: 0, 1: 2, 2: 3}
+    assert np.array_equal(df["arrival"].to_numpy(),
+                          want[want != np.iinfo(np.int64).max])
+    _check_witness(df, src, dst, t)
+
+
+def test_time_respecting_only(ray_session):
+    # 0 -(t=10)-> 1 -(t=4)-> 2 : 2 is NOT reachable (4 < 10)
+    src = [0, 1]
+    dst = [1, 2]
+    t = [10, 4]
+    df = _run(src, dst, t, 3)
+    assert set(df["v"]) == {0, 1}
+    _check_witness(df, src, dst, t)
+
+
+def test_random_matches_serial_and_partitions(ray_session):
+    for seed in (1, 5):
+        rng = np.random.default_rng(seed)
+        n, m = 70, 400
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        t = rng.integers(0, 50, m)
+        a = _run(src, dst, t, n, P=4)
+        b = _run(src, dst, t, n, P=7)
+        pd.testing.assert_frame_equal(a, b)
+        want = _ref_arrival(src, dst, t, n)
+        got = np.full(n, np.iinfo(np.int64).max, np.int64)
+        got[a["v"].to_numpy()] = a["arrival"].to_numpy()
+        assert np.array_equal(got, want)
+        _check_witness(a, src, dst, t)
