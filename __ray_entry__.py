@@ -140,11 +140,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxmatch": r.q_maxmatch,                        # NEW round 4
         "anf": r.q_anf,                                  # NEW round 4
         "anf_closeness": r.q_anf_closeness,              # NEW round 4
+        # ---- driver window (50) ends here: 21 + 29 ----------------------
+        # Never-checked round-4 entries that did not fit the 50-slot
+        # window (each carries a green dtype-strict check_contract run
+        # at sf0.01 plus a dedicated pytest; SURVEY §8.1 records them):
         "bowtie": r.q_bowtie,                            # NEW round 4
         "related": r.q_related,                          # NEW round 4
         "butterflies": r.q_butterflies,                  # NEW round 4
         "temporal_reach": r.q_temporal_reach,            # NEW round 4
-        # ---- driver window (50) ends here: 21 + 29 ----------------------
+        "evc8": r.q_evc8,                                # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

@@ -512,6 +512,40 @@ def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
     return g.extract("kz_extract").sort(["katz", "v"], descending=[True, False])
 
 
+def eigenvector_centrality(graph: DistributedGraph, *, max_iter: int = 20,
+                           tol: float = 0.0,
+                           metrics_path: str | None = None):
+    """Eigenvector centrality by power iteration on Aᵀ (Bonacich):
+    x_{t+1} = Aᵀx_t / ‖Aᵀx_t‖₂, x_0 = 1/√n — the fourth member of the
+    PR/Katz/HITS eigen-family over the same static out-push plan (the
+    reference frames PR itself as this family's normalized member,
+    `gunrock/app/pr/pr_problem.cuh:83-102`). Per iteration one superstep
+    plus a driver-combined global L2 norm (the hits() pattern). With
+    ``tol=0`` runs exactly ``max_iter`` supersteps (the SQL-checkable
+    fixed-iteration form — relational._evc_sql unrolls the identical
+    update); otherwise stops when the Rayleigh-quotient proxy ‖Aᵀx_t‖₂
+    (→ λ_max) moves less than ``tol``. Returns a Dataset {v, evc}."""
+    import math
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("evc_init", g.n)
+    g.register_push("out")
+    prev = None
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        sq, _ = g.superstep("evc_scatter", "evc_apply")
+        norm = math.sqrt(sum(sq)) or 1.0
+        g.call_all("scale_state", "evc", 1.0 / norm)
+        metrics.write(algo="evc", superstep=it, messages=g.m,
+                      lambda_max_est=norm,
+                      t_superstep_s=time.perf_counter() - t0)
+        if prev is not None and abs(norm - prev) < tol and tol > 0:
+            break
+        prev = norm
+    metrics.close()
+    return g.extract("evc_extract")
+
+
 # ------------------------------------------------- Connected components (CC)
 
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,

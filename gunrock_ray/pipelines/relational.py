@@ -1093,6 +1093,22 @@ def q_katz5(sf_dir: str):
     return df[["v", "katz_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_evc8(sf_dir: str):
+    """Eigenvector centrality, exactly 8 power iterations (tol=0), L2
+    normalization each step, x_0 = 1/sqrt(n) — SQL-checked against the
+    unrolled DuckDB iteration at the 1e-6 integer scale (same
+    floor(x*1e6+0.5) on both sides; distributed-vs-SQL float sum-order
+    noise ~1e-15, the hits8 regime)."""
+    from gunrock_ray.pipelines.graph_algos import eigenvector_centrality
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = eigenvector_centrality(g, max_iter=8, tol=0.0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["evc_u6"] = np.floor(df["evc"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "evc_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_batch_ppr(sf_dir: str):
     """S personalized PageRank vectors in ONE pass
     (graph_algos.batch_personalized_pagerank): per-vertex state is an
@@ -2576,6 +2592,30 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _evc_sql(iters: int = 8) -> str:
+    """Unrolled power iteration reproducing
+    graph_algos.eigenvector_centrality's exact update (x_0 = 1/sqrt(n);
+    raw_{t+1}[v] = Σ_{u→v} x_t[u]; x_{t+1} = raw/max(‖raw‖₂, guard 1.0
+    when zero)) at the 1e-6 integer scale."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "r0 AS (SELECT v, 1.0/SQRT((SELECT COUNT(*) FROM verts)) AS x "
+        "FROM verts)",
+    ]
+    step = (", s{i} AS MATERIALIZED (SELECT verts.v, "
+            "CAST(COALESCE(m.s, 0) AS DOUBLE) AS x FROM verts LEFT JOIN "
+            "(SELECT e.dst AS v, SUM(p.x) AS s FROM e JOIN r{prev} p "
+            "ON p.v = e.src GROUP BY e.dst) m ON m.v = verts.v)"
+            ", r{i} AS MATERIALIZED (SELECT v, x / COALESCE(NULLIF("
+            "(SELECT SQRT(SUM(x*x)) FROM s{i}), 0), 1.0) AS x FROM s{i})")
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
+                 f"AS evc_u6 FROM r{iters}")
     return "".join(parts)
 
 
@@ -5051,6 +5091,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
+    "evc8": _evc_sql(8),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

@@ -762,6 +762,33 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "katz": pa.array(self.state["katz"], pa.float64())})
 
+    # ------------------------------------------- Eigenvector centrality (EVC)
+    # Power iteration on A^T (Bonacich): x_{t+1} ∝ Σ_{u→v} x_t[u], L2-
+    # normalized per iteration by the driver via scale_state (the same
+    # global-norm exchange hits_* uses). The α→1/λ_max limit of the Katz
+    # family above, run over the identical static out-push plan. x_0 =
+    # 1/sqrt(n) so ||x_0||₂ = 1 exactly.
+
+    def evc_init(self, n: int) -> None:
+        self.prepare_push_plan("out")
+        self.state["evc"] = np.full(len(self.verts), 1.0 / np.sqrt(float(n)),
+                                    dtype=np.float64)
+
+    @_scatter_timed
+    def evc_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["evc"], "out")
+
+    @_apply_timed
+    def evc_apply(self, *val_packs) -> float:
+        """Replace x with the raw in-sum; return the LOCAL sum of squares
+        (the driver combines partitions into the global L2 norm)."""
+        self.state["evc"] = self._static_apply_sum(val_packs, "out")
+        return float(np.dot(self.state["evc"], self.state["evc"]))
+
+    def evc_extract(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.verts, pa.int64()),
+                         "evc": pa.array(self.state["evc"], pa.float64())})
+
     # --------------------------------------------- Connected components (CC)
     # Soman hook-and-compress (SURVEY.md §2.5; semantics from
     # gunrock/app/cc/cc_functor.cuh + cc_enactor.cuh:296-762). Labels only

@@ -1,0 +1,72 @@
+"""Eigenvector centrality vs a dense NumPy power-iteration oracle (exact
+fixed-iteration form: x_0 = 1/sqrt(n); raw = A^T x; x = raw / max(||raw||_2,
+guard 1.0 when zero) — the engine's evc_* kernels + driver normalization)."""
+
+import numpy as np
+
+from gunrock_ray.pipelines.graph_algos import (build_graph,
+                                               eigenvector_centrality)
+from gunrock_ray.sources import generators as gen
+from tests.helpers import dense_result, edges_np, vertices_table
+from tests.oracles import normalize_oracle
+
+
+def evc_ref(n, src, dst, *, iters):
+    x = np.full(n, 1.0 / np.sqrt(float(n)), dtype=np.float64)
+    for _ in range(iters):
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, x[src])
+        x = nxt / (np.sqrt(np.dot(nxt, nxt)) or 1.0)
+    return x
+
+
+def run_evc(table, n, *, iters=8, P=4):
+    g = build_graph(table, num_partitions=P, vertices=vertices_table(n))
+    try:
+        out = eigenvector_centrality(g, max_iter=iters, tol=0.0)
+        got = dense_result(out, n, "evc")
+    finally:
+        g.shutdown(remove_spill=True)
+    src, dst = normalize_oracle(*edges_np(table))
+    return got, evc_ref(n, src, dst, iters=iters)
+
+
+def test_evc_rmat():
+    t = gen.rmat_table(7, edge_factor=8)
+    got, want = run_evc(t, 128 + 10, iters=12)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300)
+
+
+def test_evc_star_hot_dst():
+    import pyarrow as pa
+    s = gen.star(150)
+    rev = pa.table({"src": s["dst"], "dst": s["src"]})
+    got, want = run_evc(pa.concat_tables([s, rev]), 150, iters=6)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300)
+
+
+def test_evc_dominant_eigvec():
+    # on a symmetrized graph many iterations converge to the dominant
+    # eigenvector of the (symmetric) adjacency matrix, up to sign
+    import pyarrow as pa
+    t = gen.rmat_table(6, edge_factor=10)
+    n = 64
+    rev = pa.table({"src": t["dst"], "dst": t["src"]})
+    both = pa.concat_tables([t, rev])
+    got, _ = run_evc(both, n, iters=120)
+    src, dst = normalize_oracle(*edges_np(both))
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    w, V = np.linalg.eigh(A)
+    lead = V[:, np.argmax(w)]
+    lead = lead * np.sign(lead[np.argmax(np.abs(lead))])
+    got = got * np.sign(got[np.argmax(np.abs(got))])
+    np.testing.assert_allclose(got, lead, atol=1e-6)
+
+
+def test_evc_dag_dying_mass_guard():
+    # a chain is a DAG: after length-of-chain iterations the raw in-sum is
+    # all-zero; the norm guard (|| || -> 1.0) must keep values finite
+    got, _ = run_evc(gen.chain(6), 6, iters=10)
+    assert np.all(np.isfinite(got))
+    assert np.all(got == 0.0)
