@@ -997,6 +997,28 @@ def triangle_count(graph: DistributedGraph, probe_chunk: int | None = None) -> i
     return int(sum(counts))
 
 
+def four_clique_count(graph: DistributedGraph,
+                      probe_chunk: int | None = None) -> int:
+    """Exact 4-clique (K4) count — the kClist/Danisch k=4 scheme on top of
+    the degree-oriented intersection machinery of :func:`triangle_count`:
+    in the acyclic orientation every K4 has one topological order a→b→c→d,
+    so count = Σ over enumerated triangles (a,b,c) of |N+(a)∩N+(b)∩N+(c)|,
+    with N+(a)∩N+(b) being the recorded triangle third-corner set (see
+    `state/partition.py c4_*`). Graph must be built undirected. Costs the
+    tc_count passes plus ONE extra adjacency-fetch round; triangle lists
+    stay actor-resident (never driver-shipped) and probe passes are
+    chunked by ``probe_chunk`` (default partition._TC_PROBE_CHUNK)."""
+    g = graph
+    if probe_chunk is not None:
+        g.call_all("set_tc_probe_chunk", probe_chunk)
+    g.lookup("tc_orient_request", "tc_orient", serve="serve_degrees_packed")
+    g.lookup("tc_adj_request", "c4_enumerate",
+             serve="tc_serve_adjacency_packed")
+    counts = g.lookup("c4_adj_request", "c4_count",
+                      serve="tc_serve_adjacency_packed")
+    return int(sum(counts))
+
+
 def k_truss(graph: DistributedGraph, k: int, *,
             probe_chunk: int | None = None,
             metrics_path: str | None = None):

@@ -108,6 +108,20 @@ def q_tc_count(sf_dir: str):
     return pa.table({"triangles": pa.array([t], pa.int64())})
 
 
+def q_clique4(sf_dir: str):
+    """Exact 4-clique count (graph_algos.four_clique_count — the kClist
+    k=4 extension of the oriented-intersection TC machinery), SQL-checked
+    against the 6-edge ordered self-join over the symmetrized table (id
+    orientation; both orientations count each K4 exactly once)."""
+    from gunrock_ray.pipelines.graph_algos import four_clique_count
+    g = _graph(sf_dir, undirected=True)
+    try:
+        c = four_clique_count(g)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"cliques4": pa.array([c], pa.int64())})
+
+
 def q_lcc(sf_dir: str):
     """Per-vertex triangle counts + local clustering coefficients
     (graph_algos.clustering_coefficients — the road map's "clustering
@@ -5271,6 +5285,16 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN u b ON b.src = a.dst AND b.dst > a.dst "
         "JOIN u c ON c.src = a.src AND c.dst = b.dst "
         "WHERE a.src < a.dst"
+    ),
+    "clique4": (
+        f"WITH u AS MATERIALIZED ({_SYM_SQL}) "
+        "SELECT COUNT(*) AS cliques4 FROM u ab "
+        "JOIN u ac ON ac.src = ab.src AND ac.dst > ab.dst "
+        "JOIN u ad ON ad.src = ab.src AND ad.dst > ac.dst "
+        "JOIN u bc ON bc.src = ab.dst AND bc.dst = ac.dst "
+        "JOIN u bd ON bd.src = ab.dst AND bd.dst = ad.dst "
+        "JOIN u cd ON cd.src = ac.dst AND cd.dst = ad.dst "
+        "WHERE ab.src < ab.dst"
     ),
     "lcc": (
         f"WITH u AS ({_SYM_SQL}), "

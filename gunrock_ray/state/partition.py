@@ -1854,6 +1854,108 @@ class GraphPartition:
             a = b
         return count
 
+    # ------------------------------------------------- 4-clique counting
+    # Extends the oriented-intersection machinery one level (the kClist /
+    # Danisch et al. k-clique scheme at k=4): in the acyclic degree
+    # orientation every K4 has a unique topological order a→b→c→d, so
+    # count = Σ_{triangles (a,b,c)} |M_{a,b} ∩ N+(c)| where M_{a,b} =
+    # N+(a) ∩ N+(b) is exactly the triangle third-corner set tc_count
+    # already probes. Phase 1 (c4_enumerate) records the (edge, c)
+    # triangle list in the actor (never shipped to the driver); phase 2
+    # fetches N+(c) for the distinct c's and probes d ∈ N+(c) against the
+    # per-edge member sets with the same dense-key sorted search, chunked
+    # by _TC_PROBE_CHUNK so peak probe memory stays bounded regardless of
+    # Σ_t |N+(c)|.
+
+    def c4_enumerate(self, *reply_packs) -> int:
+        """Phase 1: tc_count's probe pass, keeping the hits — per local
+        oriented edge e=(a,b), the matched third corners c ∈ N+(a)∩N+(b).
+        Stores (tri_edge, tri_c) in the actor; returns the local triangle
+        count (the driver can cross-check it against tc_count)."""
+        setup = self._tc_probe_setup(reply_packs)
+        if setup is None:
+            self._c4_tri_edge = _EMPTY_I8
+            self._c4_tri_c = _EMPTY_I8
+            return 0
+        dic, L, key_local, vpos, e_lens, u_dic, flat_id, fstarts = setup
+        cum = np.cumsum(e_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        tri_e, tri_c = [], []
+        a = 0
+        while a < len(e_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(e_lens))
+            el = e_lens[a:b]
+            probe_c = _ragged_gather(flat_id, fstarts[vpos[a:b]], el)
+            probe_e = np.repeat(np.arange(a, b, dtype=np.int64), el)
+            probe_key = (np.repeat(u_dic[a:b], el) * L
+                         + np.searchsorted(dic, probe_c))
+            pos = np.searchsorted(key_local, probe_key)
+            pos[pos >= len(key_local)] = len(key_local) - 1
+            hit = key_local[pos] == probe_key
+            tri_e.append(probe_e[hit])
+            tri_c.append(probe_c[hit])
+            a = b
+        self._c4_tri_edge = (np.concatenate(tri_e) if tri_e else _EMPTY_I8)
+        self._c4_tri_c = (np.concatenate(tri_c) if tri_c else _EMPTY_I8)
+        return int(len(self._c4_tri_edge))
+
+    def c4_adj_request(self):
+        uniq = np.unique(getattr(self, "_c4_tri_c", _EMPTY_I8))
+        self._pending["c4_adj"] = uniq
+        return self._pack(uniq)
+
+    def c4_count(self, *reply_packs) -> int:
+        """Phase 2: count = Σ_{(e,c) triangles} |M_e ∩ N+(c)| via dense
+        (edge, d)-key probes against the sorted triangle list itself
+        (d ∈ M_e ⇔ (e,d) is a recorded triangle)."""
+        us = self._pending.pop("c4_adj")
+        tri_e = self._c4_tri_edge
+        tri_c = self._c4_tri_c
+        del self._c4_tri_edge, self._c4_tri_c
+        if len(tri_e) == 0:
+            return 0
+        # reassemble fetched lens + flat into sorted-id order (the
+        # _tc_probe_setup dance, keyed on this request)
+        lens_segs, flat_segs = [], []
+        for rp in reply_packs:
+            offs, lens, flat_offs, flat = rp
+            lens_segs.append(lens[offs[self.pid]:offs[self.pid + 1]])
+            flat_segs.append(flat[flat_offs[self.pid]:flat_offs[self.pid + 1]])
+        lens = np.concatenate(lens_segs) if lens_segs else _EMPTY_I8
+        flat = np.concatenate(flat_segs) if flat_segs else _EMPTY_I8
+        own = self._owner(us)
+        order = np.argsort(own, kind="stable")
+        fstarts_req = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        back = np.empty(len(us), dtype=np.int64)
+        back[order] = np.arange(len(us))
+        lens_id = lens[back]
+        flat_id = _ragged_gather(flat, fstarts_req[back], lens_id)
+        fstarts = np.concatenate([[0], np.cumsum(lens_id)])[:-1]
+        dic = np.unique(np.concatenate([tri_c, flat_id]))
+        L = len(dic)
+        keys_m = np.sort(tri_e * L + np.searchsorted(dic, tri_c))
+        cpos = np.searchsorted(us, tri_c)
+        t_lens = lens_id[cpos]
+        cum = np.cumsum(t_lens)
+        chunk = getattr(self, "_tc_probe_chunk", None) or _TC_PROBE_CHUNK
+        count = 0
+        a = 0
+        while a < len(t_lens):
+            b = int(np.searchsorted(cum, (cum[a - 1] if a else 0)
+                                    + chunk, side="left")) + 1
+            b = min(b, len(t_lens))
+            tl = t_lens[a:b]
+            probe_d = _ragged_gather(flat_id, fstarts[cpos[a:b]], tl)
+            probe_key = (np.repeat(tri_e[a:b], tl) * L
+                         + np.searchsorted(dic, probe_d))
+            pos = np.searchsorted(keys_m, probe_key)
+            pos[pos >= len(keys_m)] = len(keys_m) - 1
+            count += int(np.count_nonzero(keys_m[pos] == probe_key))
+            a = b
+        return count
+
     def tc_pv_count(self, *reply_packs):
         """Per-vertex triangle credits: the same chunked intersection as
         :meth:`tc_count`, but every hit (a triangle with oriented corners

@@ -1,0 +1,86 @@
+"""4-clique counting vs a dense-matrix oracle: for every undirected edge
+(u,v) count edges inside N(u) ∩ N(v); each K4 contributes once per its 6
+edges, so the sum is 6 × #K4."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray import build_graph
+from gunrock_ray.pipelines.graph_algos import four_clique_count, triangle_count
+from gunrock_ray.sources import generators as gen
+from tests.helpers import edges_np
+from tests.oracles import normalize_oracle
+
+
+def c4_ref(n, src, dst):
+    A = np.zeros((n, n), dtype=bool)
+    A[src, dst] = True
+    A[dst, src] = True
+    np.fill_diagonal(A, False)
+    us, vs = np.where(np.triu(A, 1))
+    total = 0
+    for u, v in zip(us, vs):
+        idx = np.where(A[u] & A[v])[0]
+        total += int(A[np.ix_(idx, idx)].sum()) // 2
+    return total // 6
+
+
+def run_c4(table, n, P=4, **kw):
+    g = build_graph(table, num_partitions=P, undirected=True)
+    try:
+        got = four_clique_count(g, **kw)
+    finally:
+        g.shutdown(remove_spill=True)
+    src, dst = edges_np(table)
+    return got, c4_ref(n, src, dst)
+
+
+def complete(n):
+    u, v = np.meshgrid(np.arange(n), np.arange(n))
+    m = u != v
+    return pa.table({"src": pa.array(u[m].ravel(), pa.int64()),
+                     "dst": pa.array(v[m].ravel(), pa.int64())})
+
+
+def test_c4_complete_k6():
+    got, want = run_c4(complete(6), 6)
+    assert want == 15  # C(6,4)
+    assert got == want
+
+
+def test_c4_chain_is_zero():
+    got, want = run_c4(gen.chain(32), 32)
+    assert want == 0
+    assert got == 0
+
+
+def test_c4_rmat():
+    t = gen.rmat_table(8, edge_factor=12)
+    got, want = run_c4(t, 256 + 10)
+    assert want > 0
+    assert got == want
+
+
+def test_c4_rmat_partition_and_chunk_invariance():
+    t = gen.rmat_table(7, edge_factor=16)
+    got1, want = run_c4(t, 138, P=1)
+    got5, _ = run_c4(t, 138, P=5, probe_chunk=64)
+    assert got1 == want
+    assert got5 == want
+
+
+def test_c4_two_overlapping_k4():
+    # {0,1,2,3} and {2,3,4,5} are K4s sharing the edge (2,3) — no 5th clique
+    quads = [(0, 1, 2, 3), (2, 3, 4, 5)]
+    src, dst = [], []
+    for q in quads:
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    src.append(q[i])
+                    dst.append(q[j])
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got, want = run_c4(t, 6)
+    assert want == 2
+    assert got == 2
