@@ -358,3 +358,153 @@ def butterfly_count(edges_ds, *, num_buckets: int | None = None):
              .to_pandas())
     return {"wedges": int(parts["wedges"].sum()),
             "butterflies": int(parts["butterflies"].sum())}
+
+
+def adamic_adar_linkpred(edges_ds, *, k: int = 50, max_degree: int = 64,
+                         num_buckets: int | None = None):
+    """Adamic–Adar link prediction (Adamic & Adar 2003; the standard
+    topological link-predictor baseline, Liben-Nowell & Kleinberg 2007):
+    for every NON-adjacent pair (a, b) of the symmetrized graph, score
+    AA(a, b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)); return the global top-k
+    predicted links. Wedge centers with symmetric degree > ``max_degree``
+    are EXCLUDED (the related_pages stop-hub cap — a degree-d hub injects
+    C(d,2) candidate pairs relating everything to everything; the cap
+    bounds the pair exchange by m·cap) and centers need deg ≥ 2 to form a
+    wedge at all.
+
+    Three bounded exchanges: (1) coarse bucket cogroup on the wedge
+    CENTER — a group holds every edge of its centers, so the GLOBAL
+    degree (= the AA weight) is in-group; unordered neighbor pairs
+    generate by one offset-arithmetic pass and equal (a, b) pre-combine
+    into (cn, aa) partials before shipping; (2) union with the u<w edge
+    keys and cogroup on the pair hash — partials sum and EXISTING edges
+    drop (the anti-join), then each bucket emits only its local top-k;
+    (3) the driver merges ≤ buckets·k rows and keeps the global top-k
+    (the ANN partial-top-k merge shape — never the full pair table).
+    Scores order by the 1e-6 integer scale (aa_u6 desc, a, b) so
+    tie-breaks are exact at any parallelism. Returns a pandas DataFrame
+    {a, b, cn, aa_u6, rnk}."""
+    from gunrock_ray.common import (default_num_buckets, mix64,
+                                    segment_starts)
+    nb = default_num_buckets(num_buckets)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cn": pa.array([], pa.int64()),
+                      "aa": pa.array([], pa.float64()),
+                      "is_edge": pa.array([], pa.int64())})
+
+    def sym_bucket(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        v = np.concatenate([s, d])
+        nbr = np.concatenate([d, s])
+        return pa.table({
+            "v": pa.array(v, pa.int64()), "nbr": pa.array(nbr, pa.int64()),
+            "bkt": pa.array((mix64(v) % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def gen_wedges(g: pa.Table) -> pa.Table:
+        v = g["v"].to_numpy()
+        nbr = g["nbr"].to_numpy()
+        vn = np.unique(np.stack([v, nbr], axis=1), axis=0)
+        if len(vn) == 0:
+            return empty
+        v, nbr = vn[:, 0], vn[:, 1]
+        starts = segment_starts(v)
+        lens = np.diff(np.concatenate([starts, [len(v)]]))
+        ok = (lens >= 2) & (lens <= max_degree)
+        starts, lens = starts[ok], lens[ok]
+        if len(lens) == 0:
+            return empty
+        wseg = 1.0 / np.log(lens.astype(np.float64))
+        npairs = lens * lens
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        off = np.concatenate([[0], np.cumsum(npairs)])[:-1]
+        w = np.arange(int(npairs.sum()), dtype=np.int64) - off[seg]
+        L = lens[seg]
+        i = w // L
+        j = w % L
+        keep = i < j  # sorted unique out-lists: i<j ⇒ a<b, a≠b
+        seg, i, j = seg[keep], i[keep], j[keep]
+        a = nbr[starts[seg] + i]
+        b = nbr[starts[seg] + j]
+        wt = wseg[seg]
+        order = np.lexsort((b, a))
+        a, b, wt = a[order], b[order], wt[order]
+        ch = np.empty(len(a), dtype=bool)
+        ch[0:1] = True
+        ch[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(ch)
+        cnt = np.diff(np.concatenate([st, [len(a)]]))
+        return pa.table({"a": pa.array(a[st], pa.int64()),
+                         "b": pa.array(b[st], pa.int64()),
+                         "cn": pa.array(cnt.astype(np.int64)),
+                         "aa": pa.array(np.add.reduceat(wt, st), pa.float64()),
+                         "is_edge": pa.array(np.zeros(len(st), np.int64))})
+
+    wedges = (edges_ds.map_batches(sym_bucket, batch_format="pyarrow")
+              .groupby("bkt").map_groups(gen_wedges, batch_format="pyarrow"))
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "cn": pa.array(np.zeros(len(a), np.int64)),
+                         "aa": pa.array(np.zeros(len(a), np.float64)),
+                         "is_edge": pa.array(np.ones(len(a), np.int64))})
+
+    def bucket_by_pair(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.uint64)
+        b = t["b"].to_numpy().astype(np.uint64)
+        h = mix64(a * np.uint64(0x1000003) ^ b)
+        return t.append_column(
+            "bkt", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def topk_of_bucket(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        cn = g["cn"].to_numpy()
+        aa = g["aa"].to_numpy()
+        ie = g["is_edge"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, cn, aa, ie = (x[order] for x in (a, b, cn, aa, ie))
+        ch = np.empty(len(a), dtype=bool)
+        ch[0:1] = True
+        ch[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(ch)
+        a, b = a[st], b[st]
+        cn_t = np.add.reduceat(cn, st)
+        aa_t = np.add.reduceat(aa, st)
+        keep = np.maximum.reduceat(ie, st) == 0  # drop existing edges
+        a, b, cn_t, aa_t = a[keep], b[keep], cn_t[keep], aa_t[keep]
+        u6 = np.floor(aa_t * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((b, a, -u6))[:k]
+        return pa.table({"a": pa.array(a[order], pa.int64()),
+                         "b": pa.array(b[order], pa.int64()),
+                         "cn": pa.array(cn_t[order], pa.int64()),
+                         "aa_u6": pa.array(u6[order], pa.int64())})
+
+    parts = (wedges.union(edges_ds.map_batches(edge_keys,
+                                               batch_format="pyarrow"))
+             .map_batches(bucket_by_pair, batch_format="pyarrow")
+             .groupby("bkt").map_groups(topk_of_bucket,
+                                        batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:  # every bucket empty ⇒ pandas loses the schema
+        import pandas as pd
+        parts = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "cn": pd.Series([], dtype=np.int64),
+                              "aa_u6": pd.Series([], dtype=np.int64)})
+    parts = parts.sort_values(["aa_u6", "a", "b"],
+                              ascending=[False, True, True]).head(k)
+    parts = parts.reset_index(drop=True)
+    parts["rnk"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts

@@ -1731,6 +1731,17 @@ def q_related(sf_dir: str):
     return df.sort_values(["a", "rnk"]).reset_index(drop=True)
 
 
+def q_linkpred_aa(sf_dir: str):
+    """Adamic-Adar link prediction top-25 over NON-adjacent pairs of the
+    symmetrized derived graph, wedge centers capped at symmetric degree 64
+    (functions.linkgraph.adamic_adar_linkpred). SQL-checked against the
+    direct wedge self-join + LEFT-JOIN anti edge filter with the identical
+    (aa_u6 desc, a, b) integer ordering."""
+    from gunrock_ray.functions.linkgraph import adamic_adar_linkpred
+    df = adamic_adar_linkpred(derived_edges(sf_dir), k=25, max_degree=64)
+    return df[["a", "b", "cn", "aa_u6", "rnk"]]
+
+
 def derived_temporal_edges(sf_dir: str):
     """Temporal edge Dataset {src, dst, w} over the derived id space —
     w = the event's timestamp in epoch microseconds (exact integer-valued
@@ -5171,6 +5182,24 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS wedges, "
         "CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0) AS BIGINT) "
         "AS butterflies FROM c"
+    ),
+    "linkpred_aa": (
+        f"WITH e AS MATERIALIZED ({_SYM_SQL}), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "ctr AS (SELECT v, d FROM deg WHERE d BETWEEN 2 AND 64), "
+        "w AS (SELECT x.dst AS a, y.dst AS b, 1.0/LN(c.d) AS wt "
+        "      FROM ctr c JOIN e x ON x.src = c.v "
+        "      JOIN e y ON y.src = c.v AND y.dst > x.dst), "
+        "agg AS (SELECT a, b, COUNT(*) AS cn, SUM(wt) AS aa "
+        "        FROM w GROUP BY a, b), "
+        "ne AS (SELECT agg.a, agg.b, agg.cn, "
+        "       CAST(FLOOR(agg.aa*1000000 + 0.5) AS BIGINT) AS aa_u6 "
+        "       FROM agg LEFT JOIN e ON e.src = agg.a AND e.dst = agg.b "
+        "       WHERE e.src IS NULL), "
+        "r AS (SELECT a, b, cn, aa_u6, ROW_NUMBER() OVER "
+        "      (ORDER BY aa_u6 DESC, a, b) AS rnk FROM ne) "
+        "SELECT a, b, cn, aa_u6, rnk FROM r WHERE rnk <= 25"
     ),
     "related": (
         f"WITH n AS MATERIALIZED ({_NORM_SQL}), "

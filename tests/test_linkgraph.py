@@ -190,3 +190,73 @@ def test_resolve_pointers_chains_cycles_terminals():
             p = order[p]
         assert got[v][0] == p, v
     assert len(out) == 8
+
+
+# ---------------------------------------------- Adamic-Adar link prediction
+
+import ray
+import ray.data
+
+from gunrock_ray.sources import generators as gen
+
+
+def _aa_ref(n, src, dst, *, k, max_degree):
+    """Dense oracle: AA over non-adjacent pairs, centers capped."""
+    A = np.zeros((n, n), dtype=bool)
+    m = src != dst
+    A[src[m], dst[m]] = True
+    A[dst[m], src[m]] = True
+    deg = A.sum(axis=1)
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if A[a, b]:
+                continue
+            common = np.where(A[a] & A[b])[0]
+            common = [v for v in common
+                      if 2 <= deg[v] <= max_degree]
+            if not common:
+                continue
+            aa = sum(1.0 / np.log(deg[v]) for v in common)
+            rows.append((a, b, len(common),
+                         int(np.floor(aa * 1e6 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_adamic_adar_linkpred_vs_dense():
+    from gunrock_ray.functions.linkgraph import adamic_adar_linkpred
+    t = gen.rmat_table(6, edge_factor=6)
+    n = 64
+    df = adamic_adar_linkpred(ray.data.from_arrow(t), k=20, max_degree=64)
+    got = list(zip(df["a"], df["b"], df["cn"], df["aa_u6"]))
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    want = _aa_ref(n, src, dst, k=20, max_degree=64)
+    assert [tuple(int(x) for x in r) for r in got] == want
+    assert list(df["rnk"]) == list(range(1, len(want) + 1))
+
+
+def test_adamic_adar_cap_excludes_hubs():
+    from gunrock_ray.functions.linkgraph import adamic_adar_linkpred
+    # star: center 0 has degree 149 > cap, leaves have degree 1 < 2 —
+    # no wedge survives, so no predictions at all
+    s = gen.star(150)
+    df = adamic_adar_linkpred(ray.data.from_arrow(s), k=10, max_degree=64)
+    assert len(df) == 0
+    # raising the cap re-admits the center: leaves pairwise predicted
+    df = adamic_adar_linkpred(ray.data.from_arrow(s), k=10, max_degree=200)
+    assert len(df) == 10
+    assert (df["cn"] == 1).all()
+
+
+def test_adamic_adar_existing_edges_dropped():
+    from gunrock_ray.functions.linkgraph import adamic_adar_linkpred
+    # triangle 0-1-2 plus pendant 3 on 2: candidate pairs through center 2
+    # are (0,1) [an edge — dropped], (0,3), (1,3)
+    t = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    df = adamic_adar_linkpred(ray.data.from_arrow(t), k=10, max_degree=64)
+    pairs = set(zip(df["a"], df["b"]))
+    assert (0, 1) not in pairs
+    assert pairs == {(0, 3), (1, 3)}
