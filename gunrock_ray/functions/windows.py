@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gunrock_ray.common import default_num_buckets, mix64
+from gunrock_ray.common import default_num_buckets, mix64, segment_starts
 
 US_PER_HOUR = 3_600_000_000
 US_30_MIN = 1_800_000_000
@@ -405,3 +405,58 @@ def sessionize(events_ds, gap_us: int = US_30_MIN, num_buckets: int | None = Non
     return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bkt").map_groups(sessions_of_bucket,
                                        batch_format="pyarrow"))
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(events_ds, period_us: int = US_PER_DAY,
+                      num_buckets: int | None = None):
+    """Cohort retention — the classic product-analytics triangle: each
+    user's COHORT is the period (floor(epoch_us/period_us)) of their first
+    event; for every (cohort, offset) report how many of that cohort's
+    users were active ``offset`` periods after joining (offset 0 rows are
+    the cohort sizes). Returns {cohort, offset_p, users}.
+
+    One coarse hash-bucket cogroup on the user co-locates each user's
+    full activity (blocks pre-dedup (user, period) before the exchange so
+    the shuffle moves at most one row per user-period); inside a bucket
+    the cohort is the first entry of each user's sorted segment and
+    (cohort, offset) partials pre-combine before the final small
+    grouped-sum — the wide data never re-shuffles."""
+    num_buckets = default_num_buckets(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        d = _ts_us(batch["ts"]) // period_us
+        ud = np.unique(np.stack([u, d], axis=1), axis=0)
+        u, d = ud[:, 0], ud[:, 1]
+        return pa.table({
+            "u": pa.array(u, pa.int64()), "d": pa.array(d, pa.int64()),
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def cohorts_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy()
+        d = group["d"].to_numpy()
+        ud = np.unique(np.stack([u, d], axis=1), axis=0)  # cross-block dedup
+        u, d = ud[:, 0], ud[:, 1]
+        starts = segment_starts(u)
+        lens = np.diff(np.concatenate([starts, [len(u)]]))
+        cohort = np.repeat(d[starts], lens)  # sorted ⇒ first = min period
+        off = d - cohort
+        co, users = np.unique(np.stack([cohort, off], axis=1), axis=0,
+                              return_counts=True)
+        return pa.table({
+            "cohort": pa.array(co[:, 0], pa.int64()),
+            "offset_p": pa.array(co[:, 1], pa.int64()),
+            "users": pa.array(users.astype(np.int64)),
+        })
+
+    from gunrock_ray.functions.aggregates import grouped_sums
+    partials = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bkt").map_groups(cohorts_of_bucket,
+                                           batch_format="pyarrow"))
+    return grouped_sums(partials, ["cohort", "offset_p"], ["users"],
+                        count_as=None)

@@ -1286,6 +1286,18 @@ def q_events_window(sf_dir: str):
     return tumbling_window_agg(ev)
 
 
+def q_events_retention(sf_dir: str):
+    """Daily cohort-retention triangle (functions.windows.retention_cohorts):
+    cohort = a user's first active day, users(cohort, offset) = distinct
+    users of that cohort active offset days later. SQL-checked against
+    DISTINCT (user, day) + MIN-day cohort join."""
+    import ray.data
+    from gunrock_ray.functions.windows import retention_cohorts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (sliding) windows — 1-hour window advancing every 15 min,
     so each event lands in exactly 4 windows — per-user count + exact
@@ -5449,6 +5461,14 @@ ORACLE_SQL: dict[str, str] = {
         "COUNT(*) AS n_events, "
         "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_retention": (
+        "WITH act AS (SELECT DISTINCT user_id AS u, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM events), "
+        "coh AS (SELECT u, MIN(d) AS c FROM act GROUP BY u) "
+        "SELECT coh.c AS cohort, act.d - coh.c AS offset_p, "
+        "COUNT(*) AS users FROM act JOIN coh ON coh.u = act.u "
+        "GROUP BY 1, 2"
     ),
     "events_hopping": (
         "WITH p AS (SELECT user_id, "

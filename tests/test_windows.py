@@ -601,3 +601,38 @@ def test_funnel_matches_bruteforce():
     assert len(exp) > 0            # fixture actually exercises the path
     with pytest.raises(ValueError):
         funnel(ray.data.from_arrow(t), steps=("a",))
+
+
+# ------------------------------------------------------- retention cohorts
+
+def test_retention_cohorts_bruteforce():
+    from gunrock_ray.functions.windows import US_PER_DAY, retention_cohorts
+    D = US_PER_DAY
+    # user 1 joins day 0, active days {0, 1, 3}; user 2 joins day 1,
+    # active {1, 1(dup), 2}; user 3 joins day 0, active {0}
+    ds = _events([1, 1, 1, 2, 2, 2, 3],
+                 [0, D + 5, 3 * D, D, D + 9, 2 * D, 7])
+    out = retention_cohorts(ds).to_pandas()
+    rows = {(r.cohort, r.offset_p): r.users for r in out.itertuples()}
+    assert rows == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                    (1, 0): 1, (1, 1): 1}
+
+
+def test_retention_cohorts_matches_pandas_oracle():
+    from gunrock_ray.functions.windows import US_PER_DAY, retention_cohorts
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    n = 5000
+    users = rng.integers(0, 300, n)
+    ts = rng.integers(0, 20 * US_PER_DAY, n)
+    out = (retention_cohorts(_events(users, ts), num_buckets=7)
+           .to_pandas().sort_values(["cohort", "offset_p"])
+           .reset_index(drop=True))
+    df = pd.DataFrame({"u": users, "d": ts // US_PER_DAY}).drop_duplicates()
+    df["c"] = df.groupby("u")["d"].transform("min")
+    want = (df.assign(offset_p=df["d"] - df["c"])
+            .groupby(["c", "offset_p"]).size().reset_index(name="users")
+            .rename(columns={"c": "cohort"})
+            .sort_values(["cohort", "offset_p"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), want.astype("int64"))
