@@ -804,6 +804,11 @@ def cmd_analyze(args) -> dict:
     elif args.op == "unigram":
         from gunrock_ray.functions.unigram import train_unigram
         res, _ = train_unigram(docs, vocab_size=args.vocab_size)
+    elif args.op == "wordpiece":
+        from gunrock_ray.functions.wordpiece import (train_wordpiece,
+                                                     wordpiece_encode)
+        _, vocab = train_wordpiece(docs, num_merges=args.bpe_merges)
+        res = wordpiece_encode(docs, vocab)
     elif args.op == "lmscore":
         from gunrock_ray.functions import lm
         model = lm.train_ngram_lm(docs, order=args.lm_order,
@@ -1036,7 +1041,7 @@ def main(argv=None) -> None:
                      choices=["full", "repetition", "redact", "decontam",
                               "bloom-decontam", "segdedup", "dupspans",
                               "spanremove", "lmscore", "dsir", "bpe",
-                              "unigram",
+                              "unigram", "wordpiece",
                               "domainclf"])
     ana.add_argument("--clf-dim", type=int, default=1024,
                      help="--op domainclf: hashed feature buckets")

@@ -1,0 +1,224 @@
+"""Distributed WordPiece tokenizer training + MaxMatch encoding.
+
+WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) in the same
+scale-honest histogram form as functions/bpe: the corpus collapses ONCE
+into a (word, count) histogram, merge rounds run over actor-held shards
+with delta exchanges, and encoding is greedy longest-match-first
+(MaxMatch) over the learned vocabulary with the ``##`` continuation
+convention.
+
+Differences from BPE, reproduced exactly by the SQL oracle
+(relational._wp_tokens_sql):
+
+- word symbols start as ``[c0, ##c1, ##c2, …]``; merging (l, r) yields
+  ``l + r[2:]`` (the right side inside a word is always a continuation
+  symbol);
+- the merge pick maximizes the WordPiece likelihood score
+  count(pair)/(count(left)·count(right)) — quantized to the EXACT
+  integer ``score_q = count·10^12 // (count_l·count_r)`` so engine and
+  oracle order identically with no float anywhere (documented
+  deterministic contract; ties break (left asc, right asc));
+- encoding is MaxMatch per word: repeatedly take the LONGEST vocab
+  token matching at the cursor (continuation entries once past the
+  first character); a position with no match makes the WHOLE word a
+  single UNK token (the BERT convention).
+
+Scale notes: identical profile to functions/bpe — per round the
+exchange ships pair-count and symbol-count DELTAS bounded by the words
+touching the winning pair, never the corpus; encoding caches per-batch
+distinct words. Continuation flags are carried by the ``##`` prefix
+(exact while no raw word starts with '#'; the oracle shares the
+assumption and the tests pin it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SCALE = 10 ** 12
+
+
+def _make_wp_shard():
+    import ray
+
+    @ray.remote
+    class WpShard:
+        """One histogram shard of ##-symbolized words. ``apply`` merges
+        the winning pair in place and returns (pair_delta, sym_delta) so
+        the driver keeps BOTH running totals; full counts ship once."""
+
+        def __init__(self, words, counts):
+            self.seqs = [[w[0]] + ["##" + ch for ch in w[1:]]
+                         for w in words]
+            self.cnt = [int(c) for c in counts]
+            self.index: dict = {}
+            for k, seq in enumerate(self.seqs):
+                for i in range(len(seq) - 1):
+                    self.index.setdefault((seq[i], seq[i + 1]),
+                                          set()).add(k)
+
+        def pair_counts(self):
+            d: dict = {}
+            for seq, c in zip(self.seqs, self.cnt):
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    d[p] = d.get(p, 0) + c
+            return d
+
+        def sym_counts(self):
+            d: dict = {}
+            for seq, c in zip(self.seqs, self.cnt):
+                for s in seq:
+                    d[s] = d.get(s, 0) + c
+            return d
+
+        def apply(self, left: str, right: str):
+            tok = left + right[2:]
+            pd_: dict = {}
+            sd: dict = {}
+            for k in sorted(self.index.get((left, right), ())):
+                seq, c = self.seqs[k], self.cnt[k]
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    pd_[p] = pd_.get(p, 0) - c
+                    s = self.index.get(p)
+                    if s is not None:
+                        s.discard(k)
+                for s in seq:
+                    sd[s] = sd.get(s, 0) - c
+                i, n, out = 0, len(seq), []
+                while i < n:
+                    if (i + 1 < n and seq[i] == left
+                            and seq[i + 1] == right):
+                        out.append(tok)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                self.seqs[k] = out
+                for i in range(len(out) - 1):
+                    p = (out[i], out[i + 1])
+                    pd_[p] = pd_.get(p, 0) + c
+                    self.index.setdefault(p, set()).add(k)
+                for s in out:
+                    sd[s] = sd.get(s, 0) + c
+            return ({p: c for p, c in pd_.items() if c},
+                    {s: c for s, c in sd.items() if c})
+
+    return WpShard
+
+
+def train_wordpiece(docs_ds, num_merges: int = 30, *, num_shards: int = 8,
+                    min_pair_count: int = 2):
+    """Learn ``num_merges`` WordPiece merges. Returns (merges, vocab):
+    merges a pandas DataFrame {rank, left, right, tok, count, score_q}
+    in merge order; vocab the sorted list of ##-form tokens (training
+    alphabet + merge outputs). Deterministic at any sharding: argmax by
+    (score_q desc, left asc, right asc), exact-integer score."""
+    import pandas as pd
+    import ray
+
+    from gunrock_ray.functions.bpe import _word_histogram
+    shards = _word_histogram(docs_ds, num_shards)
+    Actor = _make_wp_shard()
+    actors = [Actor.remote(s["word"].tolist(), s["c"].tolist())
+              for s in shards]
+    merges = []
+    try:
+        pairs: dict = {}
+        syms: dict = {}
+        for d in ray.get([a.pair_counts.remote() for a in actors]):
+            for p, c in d.items():
+                pairs[p] = pairs.get(p, 0) + c
+        for d in ray.get([a.sym_counts.remote() for a in actors]):
+            for s, c in d.items():
+                syms[s] = syms.get(s, 0) + c
+        alphabet = sorted(syms)
+        for rank in range(num_merges):
+            best, best_key = None, None
+            for (a, b), c in pairs.items():
+                if c < min_pair_count:
+                    continue
+                q = c * _SCALE // (syms[a] * syms[b])
+                key = (-q, a, b)
+                if best_key is None or key < best_key:
+                    best, best_key = ((a, b), c, q), key
+            if best is None:
+                break
+            (left, right), cnt, q = best
+            merges.append((rank, left, right, left + right[2:], cnt, q))
+            for pd_d, sd in ray.get([a.apply.remote(left, right)
+                                     for a in actors]):
+                for p, c in pd_d.items():
+                    n = pairs.get(p, 0) + c
+                    if n:
+                        pairs[p] = n
+                    else:
+                        pairs.pop(p, None)
+                for s, c in sd.items():
+                    n = syms.get(s, 0) + c
+                    if n:
+                        syms[s] = n
+                    else:
+                        syms.pop(s, None)
+    finally:
+        for a in actors:
+            ray.kill(a)
+    merges_df = pd.DataFrame(
+        merges, columns=["rank", "left", "right", "tok", "count", "score_q"])
+    vocab = sorted(set(alphabet) | set(merges_df["tok"]))
+    return merges_df, vocab
+
+
+def _encode_word_wp(word: str, vocab: set, maxlen: int):
+    """MaxMatch: longest vocab token at the cursor, ## continuation past
+    position 0; None ⇒ the whole word is one UNK."""
+    toks = []
+    pos, n = 0, len(word)
+    while pos < n:
+        for ln in range(min(maxlen, n - pos), 0, -1):
+            cand = (word[pos:pos + ln] if pos == 0
+                    else "##" + word[pos:pos + ln])
+            if cand in vocab:
+                toks.append(cand)
+                pos += ln
+                break
+        else:
+            return None
+    return toks
+
+
+def wordpiece_encode(docs_ds, vocab, *, emit_tokens: bool = False):
+    """Tokenize the corpus with a learned vocabulary. Returns a Dataset
+    {doc_id, n_tokens, n_unk} (plus ``tokens`` when ``emit_tokens``; UNK
+    words contribute one '[UNK]'). The vocab broadcasts once via
+    ray.put; batches encode only their DISTINCT words."""
+    import ray
+
+    vset = set(vocab)
+    maxlen = max((len(t) - 2 if t.startswith("##") else len(t))
+                 for t in vset) if vset else 1
+    vocab_ref = ray.put((vset, maxlen))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vs, ml = ray.get(vocab_ref)
+        texts = batch["text"].to_pylist()
+        per_doc = [t.split() if t is not None else [] for t in texts]
+        uniq = sorted({w for doc in per_doc for w in doc})
+        enc = {w: _encode_word_wp(w, vs, ml) for w in uniq}
+        ntok = [sum(1 if enc[w] is None else len(enc[w]) for w in doc)
+                for doc in per_doc]
+        nunk = [sum(1 for w in doc if enc[w] is None) for doc in per_doc]
+        cols = {"doc_id": batch["doc_id"],
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_unk": pa.array(nunk, pa.int64())}
+        if emit_tokens:
+            cols["tokens"] = pa.array(
+                [[t for w in doc
+                  for t in (enc[w] if enc[w] is not None else ["[UNK]"])]
+                 for doc in per_doc],
+                pa.list_(pa.string()))
+        return pa.table(cols)
+
+    return docs_ds.map_batches(encode, batch_format="pyarrow")

@@ -2141,6 +2141,21 @@ def q_bpe_tokens(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_wordpiece_tokens(sf_dir: str):
+    """Distributed WordPiece tokenizer (functions/wordpiece): train 30
+    merges with the exact-integer likelihood score
+    cnt·10^12 // (sc_l·sc_r), MaxMatch-encode the same corpus, return
+    {doc_id, n_tokens, n_unk}. SQL-checked: the full pipeline unrolls in
+    DuckDB (_wp_tokens_sql — 30 generated training rounds with HUGEINT
+    scores plus a recursive-CTE longest-match encode)."""
+    from gunrock_ray.functions.wordpiece import (train_wordpiece,
+                                                 wordpiece_encode)
+    docs = _docs_ds(sf_dir)
+    _, vocab = train_wordpiece(docs, num_merges=30)
+    return (wordpiece_encode(docs, vocab).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_doc_sample_k25(sf_dir: str):
     """Deterministic EXACT-k uniform sample (corpus_stats.sample_exact_k):
     the 25 doc_ids with the smallest mix64(doc_id ^ 0) keys — per-block
@@ -4501,6 +4516,115 @@ def _bpe_tokens_sql(num_merges: int = 30, min_pair_count: int = 2) -> str:
         "FROM d LEFT JOIN agg USING (doc_id)")
 
 
+def _wp_stage_sql(k: int, min_pair_count: int = 2) -> str:
+    """One generated WordPiece training round (state s{k-1} → s{k}),
+    mirroring functions/wordpiece WpShard.apply + the driver argmax
+    exactly: weighted adjacent-pair counts AND per-symbol counts, the
+    exact-integer likelihood score q = cnt·10^12 // (sc_l·sc_r) in
+    HUGEINT (no float anywhere), the deterministic pick (q desc, left
+    asc, right asc; identity round when no pair reaches
+    ``min_pair_count``), and the same run-offset-parity greedy apply as
+    _bpe_stage_sql with the merged symbol = left || substr(right, 3)
+    (the ## strip)."""
+    p = f"s{k-1}"
+    return (
+        f"p{k} AS MATERIALIZED (SELECT a, b, SUM(c) AS cnt FROM ("
+        f"SELECT word, c, sym AS a, "
+        f"LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS b FROM {p}) "
+        f"WHERE b IS NOT NULL GROUP BY 1, 2), "
+        f"u{k} AS MATERIALIZED (SELECT sym, SUM(c) AS sc FROM {p} "
+        f"GROUP BY sym), "
+        f"b{k} AS MATERIALIZED (SELECT a, b FROM ("
+        f"SELECT p.a, p.b, CAST(p.cnt AS HUGEINT) * 1000000000000 // "
+        f"(CAST(la.sc AS HUGEINT) * ra.sc) AS q "
+        f"FROM p{k} p JOIN u{k} la ON la.sym = p.a "
+        f"JOIN u{k} ra ON ra.sym = p.b "
+        f"WHERE p.cnt >= {min_pair_count}) "
+        f"ORDER BY q DESC, a, b LIMIT 1), "
+        f"m{k} AS MATERIALIZED (SELECT s.word, s.c, s.i, s.sym, "
+        f"LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.i) AS nxt, "
+        f"bb.a AS ba, bb.b AS bb2 FROM {p} s LEFT JOIN b{k} bb ON TRUE), "
+        f"r{k} AS MATERIALIZED (SELECT *, CASE WHEN sym = ba THEN "
+        f"i - ROW_NUMBER() OVER (PARTITION BY word, sym = ba ORDER BY i) "
+        f"END AS runid FROM m{k}), "
+        f"o{k} AS MATERIALIZED (SELECT *, CASE WHEN runid IS NOT NULL THEN "
+        f"CAST(i - MIN(i) OVER (PARTITION BY word, runid) AS BIGINT) END "
+        f"AS off FROM r{k}), "
+        f"k{k} AS MATERIALIZED (SELECT word, c, i, sym, nxt, "
+        f"CASE WHEN sym = ba AND nxt = bb2 AND (ba <> bb2 OR off % 2 = 0) "
+        f"THEN 1 ELSE 0 END AS mm FROM o{k}), "
+        f"s{k} AS MATERIALIZED (SELECT word, c, CAST(ROW_NUMBER() OVER "
+        f"(PARTITION BY word ORDER BY i) AS BIGINT) AS i, "
+        f"CASE WHEN mm = 1 THEN sym || substr(nxt, 3) ELSE sym END AS sym "
+        f"FROM (SELECT *, LAG(mm) OVER (PARTITION BY word ORDER BY i) AS pm "
+        f"FROM k{k}) WHERE COALESCE(pm, 0) = 0)")
+
+
+def _wp_tokens_sql(num_merges: int = 30, min_pair_count: int = 2) -> str:
+    """q_wordpiece_tokens oracle: the FULL WordPiece pipeline in one
+    statement — histogram, ##-symbolized s0, ``num_merges`` generated
+    training rounds (_wp_stage_sql), the vocabulary (s0 alphabet ∪ merge
+    outputs, continuation = the ## prefix; the corpus contains no raw
+    '#', pinned by the engine tests), and the MaxMatch ENCODE as a
+    recursive CTE that per step takes the LONGEST matching vocab surface
+    at the cursor (continuation entries once past position 1) and turns
+    a matchless position into ONE UNK token for the whole word — exactly
+    functions/wordpiece._encode_word_wp. Per-doc sums at the end."""
+    stages = ", ".join(_wp_stage_sql(k, min_pair_count)
+                       for k in range(1, num_merges + 1))
+    mrg = " UNION ALL ".join(
+        f"SELECT a || substr(b, 3) AS tok FROM b{k}"
+        for k in range(1, num_merges + 1))
+    return (
+        "WITH RECURSIVE "
+        "d AS MATERIALIZED (SELECT doc_id, "
+        "regexp_extract_all(COALESCE(text, ''), '\\S+') AS w "
+        "FROM documents), "
+        "tk AS MATERIALIZED (SELECT doc_id, w, "
+        "unnest(generate_series(1, len(w))) AS i FROM d), "
+        "hist AS MATERIALIZED (SELECT w[i] AS word, COUNT(*) AS c "
+        "FROM tk GROUP BY 1), "
+        "hchar AS (SELECT word, c, regexp_extract_all(word, '.') AS cs "
+        "FROM hist), "
+        "s0raw AS (SELECT word, c, "
+        "CAST(generate_subscripts(cs, 1) AS BIGINT) AS i, "
+        "unnest(cs) AS sym FROM hchar), "
+        "s0 AS MATERIALIZED (SELECT word, c, i, "
+        "CASE WHEN i = 1 THEN sym ELSE '##' || sym END AS sym FROM s0raw), "
+        + stages + ", "
+        f"mrg AS MATERIALIZED ({mrg}), "
+        "voc AS MATERIALIZED (SELECT DISTINCT sym AS tok FROM s0 "
+        "UNION SELECT tok FROM mrg), "
+        "vs AS MATERIALIZED (SELECT tok, CASE WHEN tok LIKE '##%' THEN "
+        "substr(tok, 3) ELSE tok END AS surf, (tok LIKE '##%') AS cont, "
+        "LENGTH(CASE WHEN tok LIKE '##%' THEN substr(tok, 3) ELSE tok "
+        "END) AS sl FROM voc), "
+        "enc(word, pos, ntok, unk) AS ("
+        "SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE "
+        "FROM (SELECT DISTINCT word FROM hist) "
+        "UNION ALL "
+        "SELECT word, CASE WHEN surf IS NULL THEN "
+        "CAST(LENGTH(word) + 1 AS BIGINT) ELSE pos + sl END, "
+        "CASE WHEN surf IS NULL THEN CAST(1 AS BIGINT) ELSE ntok + 1 END, "
+        "surf IS NULL FROM ("
+        "SELECT e.word, e.pos, e.ntok, v.surf, v.sl, "
+        "ROW_NUMBER() OVER (PARTITION BY e.word "
+        "ORDER BY v.sl DESC NULLS LAST) AS rn "
+        "FROM enc e LEFT JOIN vs v ON v.cont = (e.pos > 1) "
+        "AND v.surf = substr(e.word, CAST(e.pos AS INT), CAST(v.sl AS INT)) "
+        "WHERE e.pos <= LENGTH(e.word)) WHERE rn = 1), "
+        "fin AS MATERIALIZED (SELECT word, ntok, "
+        "CAST(unk AS BIGINT) AS unk FROM enc "
+        "WHERE pos = LENGTH(word) + 1), "
+        "docw AS (SELECT t.doc_id, f.ntok, f.unk FROM tk t "
+        "JOIN fin f ON f.word = t.w[t.i]), "
+        "agg AS (SELECT doc_id, SUM(ntok) AS n, SUM(unk) AS u "
+        "FROM docw GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(agg.u, 0) AS BIGINT) AS n_unk "
+        "FROM d LEFT JOIN agg USING (doc_id)")
+
+
 def _ann_cert_sql(name: str, k: int = 5, num_queries: int = 10,
                   recall: float = 0.9) -> str:
     """Quality-certificate oracle for an approximate ANN query (see
@@ -5833,6 +5957,7 @@ ORACLE_SQL: dict[str, str] = {
     "value_quantiles_kll": _kll_cert_sql(),
     # full BPE: histogram + 30 unrolled merge rounds + recursive encode
     "bpe_tokens": _bpe_tokens_sql(num_merges=30),
+    "wordpiece_tokens": _wp_tokens_sql(num_merges=30),
     # approximate-ANN quality certificates: validity + recall >= 0.9 vs
     # the SQL-exact cosine top-k, then re-emit the certificate rows
     "ann_lsh_top5": _ann_cert_sql("ann_lsh"),

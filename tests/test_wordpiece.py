@@ -1,0 +1,141 @@
+"""Distributed WordPiece training/MaxMatch encoding vs a pure-Python
+reference (##-symbolized histogram, exact-integer likelihood score
+cnt*10^12 // (sc_l * sc_r), greedy longest-match encode)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 10 ** 12
+
+
+def _ref_wordpiece(texts, num_merges, min_pair=2):
+    hist = collections.Counter(
+        w for t in texts if t is not None for w in t.split())
+    seqs = {w: [w[0]] + ["##" + c for c in w[1:]] for w in hist}
+    merges = []
+    for rank in range(num_merges):
+        pc = collections.Counter()
+        sc = collections.Counter()
+        for w, c in hist.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+            for a in s:
+                sc[a] += c
+        cand = [(-(c * SCALE // (sc[a] * sc[b])), a, b, c)
+                for (a, b), c in pc.items() if c >= min_pair]
+        if not cand:
+            break
+        nq, l, r, cnt = min(cand)
+        merges.append((rank, l, r, l + r[2:], cnt, -nq))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r[2:])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    alphabet = {s for w in hist
+                for s in [w[0]] + ["##" + c for c in w[1:]]}
+    vocab = sorted(alphabet | {m[3] for m in merges})
+    return merges, vocab
+
+
+def _ref_encode(word, vocab):
+    vs = set(vocab)
+    toks, pos = [], 0
+    while pos < len(word):
+        for ln in range(len(word) - pos, 0, -1):
+            cand = word[pos:pos + ln] if pos == 0 else "##" + word[pos:pos + ln]
+            if cand in vs:
+                toks.append(cand)
+                pos += ln
+                break
+        else:
+            return None
+    return toks
+
+
+def _docs(texts):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+
+TEXTS = [
+    "hugging huggable hugs hug hug",
+    "bugs bug bugging debug debug",
+    "rug rugs rug shrug",
+    "hug bug rug snug",
+    "",
+    None,
+]
+
+
+def test_train_wordpiece_matches_reference(ray_session):
+    from gunrock_ray.functions.wordpiece import train_wordpiece
+    got, vocab = train_wordpiece(_docs(TEXTS), num_merges=20)
+    want, want_vocab = _ref_wordpiece(TEXTS, 20)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert vocab == want_vocab
+
+
+def test_train_wordpiece_shard_invariant(ray_session):
+    from gunrock_ray.functions.wordpiece import train_wordpiece
+    a, va = train_wordpiece(_docs(TEXTS), num_merges=12, num_shards=1)
+    b, vb = train_wordpiece(_docs(TEXTS), num_merges=12, num_shards=7)
+    assert a.equals(b)
+    assert va == vb
+
+
+def test_encode_matches_reference(ray_session):
+    from gunrock_ray.functions.wordpiece import (train_wordpiece,
+                                                 wordpiece_encode)
+    docs = _docs(TEXTS)
+    _, vocab = train_wordpiece(docs, num_merges=15)
+    out = (wordpiece_encode(docs, vocab, emit_tokens=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(TEXTS):
+        words = t.split() if t else []
+        want_toks = []
+        want_unk = 0
+        for w in words:
+            e = _ref_encode(w, vocab)
+            if e is None:
+                want_toks.append("[UNK]")
+                want_unk += 1
+            else:
+                want_toks.extend(e)
+        row = out.iloc[i]
+        assert row["n_tokens"] == len(want_toks)
+        assert row["n_unk"] == want_unk
+        assert list(row["tokens"]) == want_toks
+
+
+def test_encode_unk_on_unseen_char(ray_session):
+    from gunrock_ray.functions.wordpiece import (train_wordpiece,
+                                                 wordpiece_encode)
+    _, vocab = train_wordpiece(_docs(TEXTS), num_merges=5)
+    ds = _docs(["hug zebra!"])  # 'z','!' unseen => whole word UNK
+    out = wordpiece_encode(ds, vocab).to_pandas()
+    assert out.loc[0, "n_unk"] == 1
+    assert out.loc[0, "n_tokens"] >= 2  # hug pieces + 1 UNK
+
+
+def test_random_corpus_matches_reference(ray_session):
+    from gunrock_ray.functions.wordpiece import train_wordpiece
+    rng = np.random.default_rng(5)
+    syll = ["ka", "to", "mi", "ra", "zu", "en"]
+    texts = [" ".join("".join(rng.choice(syll, rng.integers(1, 5)))
+                      for _ in range(rng.integers(3, 30)))
+             for _ in range(80)]
+    got, vocab = train_wordpiece(_docs(texts), num_merges=25, num_shards=5)
+    want, want_vocab = _ref_wordpiece(texts, 25)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert vocab == want_vocab
