@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_aa": r.q_linkpred_aa,                  # NEW round 4
         "events_retention": r.q_events_retention,        # NEW round 4
         "wordpiece_tokens": r.q_wordpiece_tokens,        # NEW round 4
+        "densest": r.q_densest,                          # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

@@ -157,6 +157,7 @@ def cmd_run(args) -> dict:
     undirected = args.undirected or args.algo in ("cc", "lp", "tc", "lcc",
                                                   "edgesim",
                                                   "mis", "coloring", "kcore",
+                                                  "c4", "densest",
                                                   "ktruss", "louvain",
                                                   "diameter", "msf",
                                                   "harmonic",
@@ -266,6 +267,19 @@ def cmd_run(args) -> dict:
     elif args.algo == "tc":
         extra["triangles"] = ga.triangle_count(g)
         out = None
+    elif args.algo == "c4":
+        extra["cliques4"] = ga.four_clique_count(g)
+        out = None
+    elif args.algo == "densest":
+        import pyarrow as _pa
+        df = ga.densest_subgraph(g, metrics_path=args.metrics)
+        best = df[df["best"] == 1].iloc[0]
+        extra.update(best_round=int(best["rnd"]), best_n=int(best["n_act"]),
+                     best_m=int(best["m_act"]))
+        out = __import__("ray").data.from_arrow(_pa.Table.from_pandas(df))
+    elif args.algo == "evc":
+        out = ga.eigenvector_centrality(g, max_iter=args.max_iter,
+                                        metrics_path=args.metrics)
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
     elif args.algo == "edgesim":
@@ -921,7 +935,8 @@ def main(argv=None) -> None:
                               "katz", "msf", "harmonic", "node2vec",
                               "batchppr", "sage", "ego", "recip", "trustrank",
                               "trussdecomp", "pprsweep", "maxmatch",
-                              "anf", "bowtie", "related", "treach"])
+                              "anf", "bowtie", "related", "treach",
+                              "c4", "densest", "evc"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",

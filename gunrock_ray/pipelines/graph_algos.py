@@ -1019,6 +1019,51 @@ def four_clique_count(graph: DistributedGraph,
     return int(sum(counts))
 
 
+def densest_subgraph(graph: DistributedGraph, *, eps_num: int = 11,
+                     eps_den: int = 10, max_rounds: int = 12,
+                     metrics_path: str | None = None):
+    """Densest-subgraph (2+2ε)-approximation by parallel peeling —
+    Bahmani, Kumar & Vassilvitskii, "Densest subgraph in streaming and
+    MapReduce" (VLDB 2012): each round drops EVERY active vertex whose
+    induced degree·eps_den·n ≤ 2m·eps_num (i.e. deg ≤ (1+ε)·2m/n with
+    ε = eps_num/eps_den − 1), all in exact integer arithmetic; the round
+    maximizing m/n (exact cross-multiplied fraction compare, earliest
+    round on ties) is within the bound of the optimum. Graph must be
+    built undirected. One PR-cost superstep per round, O(log n) rounds
+    for ε > 0. Returns a pandas DataFrame {rnd, n_act, m_act, best} —
+    one row per non-empty round; ``best`` marks the densest. The best
+    round's vertex set is extractable by re-running with
+    ``max_rounds = best + 1`` and calling ``g.extract('dsg_extract')``."""
+    import pandas as pd
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("dsg_init")
+    g.register_push("out")
+    rows = []
+    for k in range(max_rounds):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("dsg_scatter", "dsg_apply")
+        n = sum(r["n"] for r in res)
+        m = sum(r["deg2"] for r in res) // 2
+        if n == 0:
+            break
+        rows.append((k, n, m))
+        removed = sum(g.call_all("dsg_remove", n, m, eps_num, eps_den))
+        metrics.write(algo="densest", superstep=k, n=n, m=m,
+                      removed=removed,
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    best_i = 0
+    for i, (_, n, m) in enumerate(rows):
+        _, bn, bm = rows[best_i]
+        if m * bn > bm * n:  # exact fraction compare
+            best_i = i
+    df = pd.DataFrame(rows, columns=["rnd", "n_act", "m_act"])
+    df["best"] = (df["rnd"] == rows[best_i][0]).astype("int64") \
+        if rows else pd.Series([], dtype="int64")
+    return df
+
+
 def k_truss(graph: DistributedGraph, k: int, *,
             probe_chunk: int | None = None,
             metrics_path: str | None = None):

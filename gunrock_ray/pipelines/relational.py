@@ -122,6 +122,20 @@ def q_clique4(sf_dir: str):
     return pa.table({"cliques4": pa.array([c], pa.int64())})
 
 
+def q_densest(sf_dir: str):
+    """Densest-subgraph parallel peeling trace (graph_algos.
+    densest_subgraph, Bahmani et al. VLDB 2012, ε = 1/10): one row per
+    round {rnd, n_act, m_act, best}, all thresholds exact integers.
+    SQL-checked against the unrolled 12-round induced-subgraph peel with
+    the identical integer removal rule and HUGEINT fraction argmax."""
+    from gunrock_ray.pipelines.graph_algos import densest_subgraph
+    g = _graph(sf_dir, undirected=True)
+    try:
+        return densest_subgraph(g, max_rounds=12)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_lcc(sf_dir: str):
     """Per-vertex triangle counts + local clustering coefficients
     (graph_algos.clustering_coefficients — the road map's "clustering
@@ -2644,6 +2658,41 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _dsg_sql(rounds: int = 12, eps_num: int = 11, eps_den: int = 10) -> str:
+    """Unrolled Bahmani peeling reproducing graph_algos.densest_subgraph
+    exactly: per round the induced degrees, the integer stats row
+    (n, m = Σdeg//2), and the removal of vertices with
+    deg·eps_den·n ≤ 2m·eps_num; finally the exact-fraction argmax
+    (m·n' > m'·n in HUGEINT, earliest round on ties)."""
+    parts = [f"WITH e AS MATERIALIZED ({_SYM_SQL}), ",
+             f"verts AS MATERIALIZED ({_VERTS_SQL}), ",
+             "v0 AS MATERIALIZED (SELECT v FROM verts)"]
+    for k in range(rounds):
+        p = f"v{k}"
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT e.src AS v, COUNT(*) AS d "
+            f"FROM e JOIN {p} a ON a.v = e.src JOIN {p} b ON b.v = e.dst "
+            f"GROUP BY 1)"
+            f", s{k} AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM {p}) "
+            f"AS n, CAST(COALESCE((SELECT SUM(d) FROM d{k}), 0) // 2 "
+            f"AS BIGINT) AS m)"
+            f", v{k + 1} AS MATERIALIZED (SELECT {p}.v FROM {p} "
+            f"LEFT JOIN d{k} USING (v) WHERE COALESCE(d{k}.d, 0) * "
+            f"{eps_den} * (SELECT n FROM s{k}) > "
+            f"2 * (SELECT m FROM s{k}) * {eps_num})")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rnd, n, m FROM s{k} WHERE n > 0"
+        for k in range(rounds))
+    parts.append(
+        f", trace AS MATERIALIZED ({rows}) "
+        "SELECT rnd, n AS n_act, m AS m_act, CAST(NOT EXISTS ("
+        "SELECT 1 FROM trace t2 WHERE "
+        "CAST(t2.m AS HUGEINT) * t.n > CAST(t.m AS HUGEINT) * t2.n "
+        "OR (CAST(t2.m AS HUGEINT) * t.n = CAST(t.m AS HUGEINT) * t2.n "
+        "AND t2.rnd < t.rnd)) AS BIGINT) AS best FROM trace t")
     return "".join(parts)
 
 
@@ -5253,6 +5302,7 @@ ORACLE_SQL: dict[str, str] = {
     "pr_unnorm10": _pr_sql(10, normalized=False),
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "evc8": _evc_sql(8),
+    "densest": _dsg_sql(12),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

@@ -1854,6 +1854,39 @@ class GraphPartition:
             a = b
         return count
 
+    # -------------------------------------------- Densest subgraph (Bahmani)
+    # Bahmani, Kumar & Vassilvitskii (VLDB 2012) (2+2ε)-approximation:
+    # repeatedly drop every vertex whose induced degree ≤ (1+ε)·2m/n; the
+    # densest round of the trace is within the bound. All thresholds are
+    # EXACT integers (deg·eps_den·n ≤ 2m·eps_num) so the trace is
+    # deterministic at any parallelism and SQL-replicable. One PR-cost
+    # superstep per round (active-indicator push over the static plan).
+
+    def dsg_init(self) -> None:
+        self.prepare_push_plan("out")
+        self.state["dsg_active"] = np.ones(len(self.verts), dtype=np.float64)
+
+    @_scatter_timed
+    def dsg_scatter(self) -> np.ndarray:
+        return self._static_scatter(self.state["dsg_active"], "out")
+
+    @_apply_timed
+    def dsg_apply(self, *val_packs) -> dict:
+        cnt = self._static_apply_sum(val_packs, "out")
+        act = self.state["dsg_active"] > 0
+        self._dsg_deg = np.where(act, cnt, 0.0).astype(np.int64)
+        return {"n": int(act.sum()), "deg2": int(self._dsg_deg.sum())}
+
+    def dsg_remove(self, n: int, m: int, eps_num: int, eps_den: int) -> int:
+        act = self.state["dsg_active"] > 0
+        rm = act & (self._dsg_deg * eps_den * n <= 2 * m * eps_num)
+        self.state["dsg_active"][rm] = 0.0
+        return int(np.count_nonzero(rm))
+
+    def dsg_extract(self) -> pa.Table:
+        keep = self.state["dsg_active"] > 0
+        return pa.table({"v": pa.array(self.verts[keep], pa.int64())})
+
     # ------------------------------------------------- 4-clique counting
     # Extends the oriented-intersection machinery one level (the kClist /
     # Danisch et al. k-clique scheme at k=4): in the acyclic degree

@@ -1,0 +1,89 @@
+"""Densest-subgraph parallel peeling (Bahmani et al.) vs a dense NumPy
+peel simulation; planted-clique recovery sanity."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray import build_graph
+from gunrock_ray.pipelines.graph_algos import densest_subgraph
+from gunrock_ray.sources import generators as gen
+from tests.helpers import edges_np
+from tests.oracles import normalize_oracle
+
+
+def dsg_ref(n, src, dst, *, rounds=12, eps_num=11, eps_den=10):
+    A = np.zeros((n, n), dtype=bool)
+    m0 = src != dst
+    A[src[m0], dst[m0]] = True
+    A[dst[m0], src[m0]] = True
+    act = np.zeros(n, dtype=bool)  # engine vertex universe = edge endpoints
+    act[src[m0]] = True
+    act[dst[m0]] = True
+    rows = []
+    for k in range(rounds):
+        deg = (A & act[None, :]).sum(axis=1) * act
+        nn = int(act.sum())
+        mm = int(deg.sum()) // 2
+        if nn == 0:
+            break
+        rows.append((k, nn, mm))
+        act = act & ~(deg * eps_den * nn <= 2 * mm * eps_num)
+    best = 0
+    for i, (_, nn, mm) in enumerate(rows):
+        _, bn, bm = rows[best]
+        if mm * bn > bm * nn:
+            best = i
+    return rows, rows[best][0] if rows else None
+
+
+def run(table, n, P=4, rounds=12):
+    g = build_graph(table, num_partitions=P, undirected=True)
+    try:
+        df = densest_subgraph(g, max_rounds=rounds)
+    finally:
+        g.shutdown(remove_spill=True)
+    return df
+
+
+def test_densest_rmat_matches_ref():
+    t = gen.rmat_table(8, edge_factor=8)
+    n = 256 + 10
+    df = run(t, n)
+    src, dst = edges_np(t)
+    want, best_rnd = dsg_ref(n, src, dst)
+    got = [tuple(int(x) for x in r)
+           for r in df[["rnd", "n_act", "m_act"]].itertuples(index=False)]
+    assert got == want
+    assert int(df.loc[df["best"] == 1, "rnd"].iloc[0]) == best_rnd
+
+
+def test_densest_planted_clique():
+    # sparse chain of 200 + K20 planted on ids 300..319: the peel must
+    # keep the clique and report its exact density 19/2
+    rng = np.random.default_rng(3)
+    cs, cd = [], []
+    for i in range(300, 320):
+        for j in range(300, 320):
+            if i != j:
+                cs.append(i)
+                cd.append(j)
+    ch = gen.chain(200)
+    t = pa.table({"src": pa.array(list(ch["src"].to_numpy()) + cs, pa.int64()),
+                  "dst": pa.array(list(ch["dst"].to_numpy()) + cd, pa.int64())})
+    df = run(t, 320)
+    best = df[df["best"] == 1].iloc[0]
+    # clique density = C(20,2)/20 = 9.5; chain density ~1
+    assert best["m_act"] / best["n_act"] >= 9.5
+    assert best["n_act"] >= 20
+
+
+def test_densest_regular_graph_one_round():
+    # a cycle is 2-regular: deg·den·n = 2·2m/2... every vertex satisfies
+    # deg ≤ (1+ε)·2m/n, so round 0 removes everything; trace = 1 row
+    t = gen.chain(24)
+    rev = pa.table({"src": t["dst"], "dst": t["src"]})
+    cyc = pa.concat_tables([t, rev, pa.table(
+        {"src": pa.array([23], pa.int64()), "dst": pa.array([0], pa.int64())})])
+    df = run(cyc, 24)
+    assert len(df) == 1
+    assert int(df.loc[0, "n_act"]) == 24
