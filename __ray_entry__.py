@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": r.q_events_retention,        # NEW round 4
         "wordpiece_tokens": r.q_wordpiece_tokens,        # NEW round 4
         "densest": r.q_densest,                          # NEW round 4
+        "mirror_hosts": r.q_mirror_hosts,                # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

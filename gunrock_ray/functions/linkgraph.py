@@ -508,3 +508,106 @@ def adamic_adar_linkpred(edges_ds, *, k: int = 50, max_degree: int = 64,
     parts = parts.reset_index(drop=True)
     parts["rnk"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts
+
+
+def mirror_hosts(edges_ds, *, hosts_per: int = 8, host_map=None,
+                 tau_u6: int = 200_000, max_in_degree: int = 64,
+                 num_buckets: int | None = None):
+    """Mirror-host detection (Bharat & Broder 1999, "Mirror, mirror on
+    the web": hosts serving near-identical content link to near-identical
+    targets): score every host pair by the EXACT Jaccard of their
+    out-link TARGET sets on the host quotient graph —
+    jac_u6 = inter·10^6 // (d_a + d_b − inter), all integers — and keep
+    pairs with jac_u6 ≥ ``tau_u6``. Candidate pairs come from
+    co-citation: hosts sharing at least one target, generated per-target
+    with the in-degree stop-hub cap — a target linked by more than
+    ``max_in_degree`` hosts is skipped, so the INTERSECTION counts capped
+    targets only while the union term keeps the full out-degrees (a
+    documented conservative containment: scores are lower bounds whose
+    error is confined to stop-hub targets; the SQL twin reproduces it
+    exactly).
+
+    Shuffle profile: host contraction (one pre-aggregated groupby), one
+    bucket cogroup on the TARGET for capped pair generation with
+    pre-combined intersection partials, one cogroup on the pair hash to
+    sum them, then two distributed hash joins to attach out-degrees —
+    never an all-pairs pass. Returns a Dataset
+    {a, b, inter, da, db, jac_u6}."""
+    from gunrock_ray.common import (default_num_buckets, mix64,
+                                    segment_starts)
+    from gunrock_ray.functions.aggregates import grouped_sums
+    from gunrock_ray.functions.joins import hash_join
+    nb = default_num_buckets(num_buckets)
+    he = host_edges(edges_ds, hosts_per, host_map)
+
+    deg = grouped_sums(he, ["src"], [], count_as="d")
+
+    def bucket_by_target(t: pa.Table) -> pa.Table:
+        d = t["dst"].to_numpy()
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "bkt": pa.array((mix64(d) % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        order = np.lexsort((s, d))  # segment by target, in-list sorted
+        s, d = s[order], d[order]
+        starts = segment_starts(d)
+        lens = np.diff(np.concatenate([starts, [len(d)]]))
+        ok = lens <= max_in_degree
+        starts, lens = starts[ok], lens[ok]
+        npairs = lens * lens
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        off = np.concatenate([[0], np.cumsum(npairs)])[:-1]
+        w = np.arange(int(npairs.sum()), dtype=np.int64) - off[seg]
+        L = lens[seg]
+        i, j = w // L, w % L
+        keep = i < j
+        seg, i, j = seg[keep], i[keep], j[keep]
+        a = s[starts[seg] + i]
+        b = s[starts[seg] + j]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        ch = np.empty(len(a), dtype=bool)
+        ch[0:1] = True
+        ch[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(ch)
+        cnt = np.diff(np.concatenate([st, [len(a)]]))
+        return pa.table({"a": pa.array(a[st], pa.int64()),
+                         "b": pa.array(b[st], pa.int64()),
+                         "inter": pa.array(cnt.astype(np.int64))})
+
+    pairs = grouped_sums(
+        he.map_batches(bucket_by_target, batch_format="pyarrow")
+          .groupby("bkt").map_groups(gen_pairs, batch_format="pyarrow"),
+        ["a", "b"], ["inter"], count_as=None)
+
+    def deg_a(t: pa.Table) -> pa.Table:
+        return pa.table({"va": t["src"], "da": t["d"]})
+
+    def deg_b(t: pa.Table) -> pa.Table:
+        return pa.table({"vb": t["src"], "db": t["d"]})
+
+    j1 = hash_join(pairs, deg.map_batches(deg_a, batch_format="pyarrow"),
+                   on="a", right_on="va")
+    j2 = hash_join(j1, deg.map_batches(deg_b, batch_format="pyarrow"),
+                   on="b", right_on="vb")
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy()
+        da = t["da"].to_numpy()
+        db = t["db"].to_numpy()
+        jac = inter * np.int64(1_000_000) // (da + db - inter)
+        keep = jac >= tau_u6
+        return pa.table({
+            "a": pa.array(t["a"].to_numpy()[keep], pa.int64()),
+            "b": pa.array(t["b"].to_numpy()[keep], pa.int64()),
+            "inter": pa.array(inter[keep], pa.int64()),
+            "da": pa.array(da[keep], pa.int64()),
+            "db": pa.array(db[keep], pa.int64()),
+            "jac_u6": pa.array(jac[keep], pa.int64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")

@@ -1091,6 +1091,20 @@ def q_host_trustrank(sf_dir: str):
     return spam_mass(pr, tr)
 
 
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host candidate pairs (functions.linkgraph.mirror_hosts,
+    Bharat-Broder): exact out-link-set Jaccard on the hosts_per=2
+    quotient, target in-degree stop-hub cap 64 for PAIRING, keep pairs
+    with jac_u6 ≥ 250000. All-integer scores; SQL-checked against the
+    direct co-citation self-join with the identical capped-pairing
+    containment."""
+    from gunrock_ray.functions.linkgraph import mirror_hosts
+    df = (mirror_hosts(_norm_ds(sf_dir), hosts_per=2, max_in_degree=64,
+                       tau_u6=250_000).to_pandas()
+          .sort_values(["a", "b"]).reset_index(drop=True))
+    return df
+
+
 def q_ppr_sweep(sf_dir: str):
     """Local community around vertex 0 via the PPR sweep cut (graph_algos.
     ppr_sweep — Andersen-Chung-Lang local clustering in its fixed-
@@ -5306,6 +5320,24 @@ ORACLE_SQL: dict[str, str] = {
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),
+    "mirror_hosts": (
+        f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), "
+        "he AS MATERIALIZED (SELECT DISTINCT src // 2 AS src, "
+        "dst // 2 AS dst FROM n0 WHERE src // 2 <> dst // 2), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM he "
+        "GROUP BY src), "
+        "capt AS (SELECT dst AS t FROM he GROUP BY dst "
+        "HAVING COUNT(*) <= 64), "
+        "pr AS (SELECT x.src AS a, y.src AS b FROM he x "
+        "JOIN he y ON y.dst = x.dst AND y.src > x.src "
+        "JOIN capt c ON c.t = x.dst), "
+        "agg AS (SELECT a, b, COUNT(*) AS inter FROM pr GROUP BY a, b), "
+        "j AS (SELECT agg.a, agg.b, agg.inter, da.d AS da, db.d AS db, "
+        "CAST(agg.inter * 1000000 // (da.d + db.d - agg.inter) AS BIGINT) "
+        "AS jac_u6 FROM agg JOIN deg da ON da.v = agg.a "
+        "JOIN deg db ON db.v = agg.b) "
+        "SELECT a, b, inter, da, db, jac_u6 FROM j WHERE jac_u6 >= 250000"
+    ),
     "ppr_sweep": _ppr_sweep_sql(0, 8),
     "redirects": (
         f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), "

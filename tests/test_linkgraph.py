@@ -260,3 +260,57 @@ def test_adamic_adar_existing_edges_dropped():
     pairs = set(zip(df["a"], df["b"]))
     assert (0, 1) not in pairs
     assert pairs == {(0, 3), (1, 3)}
+
+
+# ------------------------------------------------- mirror-host detection
+
+def _mirror_ref(src, dst, *, hosts_per, cap, tau):
+    hs, hd = src // hosts_per, dst // hosts_per
+    m = hs != hd
+    he = set(zip(hs[m].tolist(), hd[m].tolist()))
+    out = {}
+    indeg = {}
+    for a, b in he:
+        out.setdefault(a, set()).add(b)
+        indeg[b] = indeg.get(b, 0) + 1
+    rows = []
+    hosts = sorted(out)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            inter = len({t for t in out[a] & out[b] if indeg[t] <= cap})
+            if inter == 0:
+                continue  # never paired
+            jac = inter * 1_000_000 // (len(out[a]) + len(out[b]) - inter)
+            if jac >= tau:
+                rows.append((a, b, inter, len(out[a]), len(out[b]), jac))
+    return sorted(rows)
+
+
+def test_mirror_hosts_vs_bruteforce():
+    from gunrock_ray.functions.linkgraph import mirror_hosts
+    t = gen.rmat_table(7, edge_factor=10)
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    df = (mirror_hosts(ray.data.from_arrow(t), hosts_per=4,
+                       max_in_degree=16, tau_u6=100_000).to_pandas()
+          .sort_values(["a", "b"]).reset_index(drop=True))
+    got = [tuple(int(x) for x in r) for r in df.itertuples(index=False)]
+    want = _mirror_ref(src, dst, hosts_per=4, cap=16, tau=100_000)
+    assert got == want
+    assert len(want) > 0
+
+
+def test_mirror_hosts_planted_mirror():
+    from gunrock_ray.functions.linkgraph import mirror_hosts
+    # hosts 0 and 1 (pages 0-1 / 2-3) link to the same 20 targets -> jac 1.0
+    s, d = [], []
+    for pg in (0, 2):
+        for t in range(10, 30):
+            s.append(pg)
+            d.append(2 * t)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(s, pa.int64()),
+                                       "dst": pa.array(d, pa.int64())}))
+    df = mirror_hosts(ds, hosts_per=2, max_in_degree=64,
+                      tau_u6=900_000).to_pandas()
+    assert len(df) == 1
+    assert (int(df.loc[0, "a"]), int(df.loc[0, "b"])) == (0, 1)
+    assert int(df.loc[0, "jac_u6"]) == 1_000_000
