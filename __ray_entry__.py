@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordpiece_tokens": r.q_wordpiece_tokens,        # NEW round 4
         "densest": r.q_densest,                          # NEW round 4
         "mirror_hosts": r.q_mirror_hosts,                # NEW round 4
+        "bellman_ford": r.q_bellman_ford,                # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

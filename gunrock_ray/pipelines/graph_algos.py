@@ -2594,6 +2594,34 @@ def pseudo_diameter(graph: DistributedGraph, src: int = 0, *,
     return {"diameter_lb": best, "pivots": pivots, "ecc_by_sweep": eccs}
 
 
+def bellman_ford(graph: DistributedGraph, src: int, *, rounds: int,
+                 metrics_path: str | None = None):
+    """Hop-bounded Bellman-Ford: after exactly ``rounds`` delta-frontier
+    relaxation supersteps, dist[v] = the minimum weight of any walk from
+    ``src`` to v using ≤ ``rounds`` edges — well-defined for NEGATIVE
+    edge weights and even in the presence of negative cycles (the k-hop-
+    constrained shortest path). The delta frontier provably equals full
+    Bellman-Ford round-for-round, so relational._bf_sql's full-relaxation
+    unroll is an exact twin. ``falling`` = improved in the final round:
+    with rounds ≥ n−1 it witnesses reachability from a negative cycle
+    (CLRS §24.1); at smaller k it means the k-hop minimum is still
+    falling. Graph must be built ``weighted=True`` (weights may be
+    negative — unlike :func:`sssp`, no non-negativity assumption).
+    Returns Dataset {v, dist, falling} over REACHABLE vertices, integer
+    dist (integer-weight contract)."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("sssp_init", int(src))
+    for it in range(rounds):
+        t0 = time.perf_counter()
+        res, _ = g.superstep("sssp_scatter", "sssp_apply")
+        metrics.write(algo="bellman_ford", superstep=it,
+                      frontier=sum(r["frontier"] for r in res),
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("bf_extract")
+
+
 def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
          multi_level: bool = False, metrics_path: str | None = None):
     """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with

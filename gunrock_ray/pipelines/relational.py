@@ -430,6 +430,36 @@ def _sssp_weighted_df(sf_dir: str, delta: float | None,
     return df
 
 
+_BF_ROUNDS = 10
+_BF_W_EXPR = "((src*31 + dst*17) % 21) - 5"
+
+
+def q_bellman_ford(sf_dir: str):
+    """Hop-bounded Bellman-Ford from vertex 0 with NEGATIVE-capable
+    integer weights ((src·31+dst·17) % 21 − 5 ∈ [−5, 15]), exactly 10
+    relaxation rounds (graph_algos.bellman_ford): dist = min weight over
+    walks of ≤ 10 edges, ``falling`` = improved in the final round (the
+    negative-cycle witness once rounds ≥ n−1). SQL-checked against the
+    fully unrolled 10-round relaxation (_bf_sql)."""
+    import ray.data
+    from gunrock_ray.pipelines.graph_algos import build_graph, bellman_ford
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        w = ((s * 31 + d * 17) % 21 - 5).astype(np.float64)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(w)})
+
+    edges = _norm_ds(sf_dir).map_batches(add_w, batch_format="pyarrow")
+    g = build_graph(edges, num_partitions=8, weighted=True)
+    try:
+        df = bellman_ford(g, 0, rounds=_BF_ROUNDS).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted SSSP from vertex 0, integer weights in [1,64] (SQL-checked:
     distances are exact integer sums, oracled by a bounded recursive CTE)."""
@@ -2672,6 +2702,35 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
+    return "".join(parts)
+
+
+def _bf_sql(rounds: int = 10) -> str:
+    """Unrolled full-relaxation Bellman-Ford twin of q_bellman_ford
+    (delta-frontier == full relaxation round-for-round): d0 = 0 at the
+    source, NULL = unreached; per round d_k[v] = min(d_{k-1}[v],
+    min_{u→v} d_{k-1}[u] + w); final rows = reachable vertices with
+    integer dist and falling = improved-in-round-``rounds``."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        f"e AS MATERIALIZED (SELECT src, dst, {_BF_W_EXPR} AS w "
+        f"FROM ({_NORM_SQL})), ",
+        "d0 AS (SELECT v, CASE WHEN v = 0 THEN 0 END AS d FROM verts)",
+    ]
+    step = (", d{i} AS MATERIALIZED (SELECT verts.v, "
+            "CASE WHEN p.d IS NULL THEN m.md WHEN m.md IS NULL THEN p.d "
+            "ELSE LEAST(p.d, m.md) END AS d FROM verts "
+            "LEFT JOIN d{prev} p ON p.v = verts.v LEFT JOIN "
+            "(SELECT e.dst AS v, MIN(q.d + e.w) AS md FROM e "
+            "JOIN d{prev} q ON q.v = e.src AND q.d IS NOT NULL "
+            "GROUP BY e.dst) m ON m.v = verts.v)")
+    for i in range(1, rounds + 1):
+        parts.append(step.format(i=i, prev=i - 1))
+    parts.append(
+        f" SELECT f.v, CAST(f.d AS BIGINT) AS dist, "
+        f"CAST(p.d IS NULL OR f.d < p.d AS BIGINT) AS falling "
+        f"FROM d{rounds} f JOIN d{rounds - 1} p ON p.v = f.v "
+        f"WHERE f.d IS NOT NULL")
     return "".join(parts)
 
 
@@ -5317,6 +5376,7 @@ ORACLE_SQL: dict[str, str] = {
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "evc8": _evc_sql(8),
     "densest": _dsg_sql(12),
+    "bellman_ford": _bf_sql(_BF_ROUNDS),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

@@ -1367,6 +1367,19 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "dist": pa.array(self.state["dist"], pa.float64())})
 
+    def bf_extract(self) -> pa.Table:
+        """Bellman-Ford terminal extract: reachable vertices with their
+        hop-bounded distance plus the last-round-improved flag (= the
+        delta frontier after the final superstep; 1 ⇒ the k-hop minimum
+        is still falling, the negative-cycle witness when k ≥ n−1)."""
+        dist = self.state["dist"]
+        last = np.zeros(len(dist), dtype=np.int64)
+        last[self._frontier] = 1
+        fin = np.isfinite(dist)
+        return pa.table({"v": pa.array(self.verts[fin], pa.int64()),
+                         "dist": pa.array(dist[fin].astype(np.int64)),
+                         "falling": pa.array(last[fin])})
+
     # Near-far priority split (delta-stepping 2-bucket variant of the
     # reference's priority queue: `gunrock/priority_queue/kernel.cuh`,
     # score = dist/delta at `gunrock/app/sssp/sssp_functor.cuh:183-199`).

@@ -314,3 +314,76 @@ def test_pseudo_diameter_matches_bruteforce_on_random():
     assert out["ecc_by_sweep"] == eccs
     assert out["pivots"] == pivots
     assert out["diameter_lb"] == max(eccs)
+
+
+# ---------------------------------------- hop-bounded Bellman-Ford (negative)
+
+def _bf_ref(n, src, dst, w, s0, rounds):
+    import numpy as np
+    INF = float("inf")
+    d = np.full(n, INF)
+    d[s0] = 0.0
+    prev = d.copy()
+    for _ in range(rounds):
+        prev = d.copy()
+        nd = d.copy()
+        for u, v, ww in zip(src, dst, w):
+            if d[u] + ww < nd[v]:
+                nd[v] = d[u] + ww
+        d = nd
+    return d, prev
+
+
+def test_bellman_ford_negative_weights_vs_ref(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from gunrock_ray import build_graph
+    from gunrock_ray.pipelines.graph_algos import bellman_ford
+    from gunrock_ray.sources import generators as gen
+    t = gen.rmat_table(7, edge_factor=8)
+    s = t["src"].to_numpy()
+    d = t["dst"].to_numpy()
+    keep = s != d
+    # dedup first-wins like the normalization contract
+    sd = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+    s, d = sd[:, 0], sd[:, 1]
+    w = ((s * 31 + d * 17) % 21 - 5).astype(np.float64)
+    g = build_graph(pa.table({"src": pa.array(s), "dst": pa.array(d),
+                              "w": pa.array(w)}),
+                    num_partitions=5, weighted=True)
+    try:
+        out = bellman_ford(g, 0, rounds=8).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    want, prev = _bf_ref(138, s, d, w, 0, 8)
+    got = dict(zip(out["v"], out["dist"]))
+    fall = dict(zip(out["v"], out["falling"]))
+    import math
+    for v in range(138):
+        if math.isinf(want[v]):
+            assert v not in got
+        else:
+            assert got[v] == int(want[v])
+            assert fall[v] == int(want[v] < prev[v])
+
+
+def test_bellman_ford_negative_cycle_witness(ray_session):
+    import pyarrow as pa
+    from gunrock_ray import build_graph
+    from gunrock_ray.pipelines.graph_algos import bellman_ford
+    # 0 -> 1 -> 2 -> 1 with cycle weight -1; 2 -> 3 tail
+    t = pa.table({"src": pa.array([0, 1, 2, 2], type="int64"),
+                  "dst": pa.array([1, 2, 1, 3], type="int64"),
+                  "w": pa.array([1.0, 2.0, -3.0, 5.0])})
+    g = build_graph(t, num_partitions=2, weighted=True)
+    try:
+        out = bellman_ford(g, 0, rounds=20).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    fall = dict(zip(out["v"], out["falling"]))
+    dist = dict(zip(out["v"], out["dist"]))
+    # the -1 cycle lowers 1 and 2 alternately (one full loop = 2 rounds):
+    # at round 20, vertex 2 improved last (even rounds), vertex 1 at 19
+    assert dist[1] == -8 and dist[2] == -6 and dist[3] == 0
+    assert fall[2] == 1 and fall[1] == 0
+    assert fall[0] == 0
