@@ -1019,6 +1019,41 @@ def four_clique_count(graph: DistributedGraph,
     return int(sum(counts))
 
 
+def approx_triangle_count(graph: DistributedGraph, *, samples: int = 200,
+                          seed: int = 7) -> dict:
+    """Wedge-sampled triangle ESTIMATE (Seshadhri, Pinar & Kolda, SDM
+    2013) — the sublinear companion to :func:`triangle_count` for graphs
+    where even the oriented intersection pass is too expensive: sample
+    ``samples`` wedges uniformly from the W = Σ_v C(d_v, 2) wedge space
+    (counter-based mix64(seed ^ j) % W over the (owner(v), v)-linearized
+    space, so the draw is bit-reproducible at this partitioning and in
+    SQL), probe each wedge's closure with ONE membership exchange (the
+    node2vec probe serve), and report est = closed·W // (3·samples)
+    (every triangle closes exactly 3 wedges). Graph must be built
+    undirected. Cost: one degree pass + one bounded exchange of
+    ``samples`` probes — never touches the edge set beyond CSR binary
+    searches. Returns {"wedges", "sampled", "closed", "est_triangles"}."""
+    from gunrock_ray.common import mix64
+    g = graph
+    totals = g.call_all("wedge_totals")
+    offsets = np.concatenate([[0], np.cumsum(totals)]).astype(np.int64)
+    W = int(offsets[-1])
+    if W == 0:
+        return {"wedges": 0, "sampled": samples, "closed": 0,
+                "est_triangles": 0}
+    js = np.arange(samples, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        gs = (mix64(js ^ np.uint64(seed)) % np.uint64(W)).astype(np.int64)
+    part = np.searchsorted(offsets, gs, side="right") - 1
+    reqs = [a.wtc_probe_req.remote(gs[part == p] - offsets[p])
+            for p, a in enumerate(g.actors)]
+    replies = [a.n2v_mserve.remote(*reqs) for a in g.actors]
+    closed = int(sum(ray.get([a.wtc_count.remote(*replies)
+                              for a in g.actors])))
+    return {"wedges": W, "sampled": samples, "closed": closed,
+            "est_triangles": closed * W // (3 * samples)}
+
+
 def densest_subgraph(graph: DistributedGraph, *, eps_num: int = 11,
                      eps_den: int = 10, max_rounds: int = 12,
                      metrics_path: str | None = None):

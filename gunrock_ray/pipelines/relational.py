@@ -98,6 +98,25 @@ def _graph(sf_dir: str, undirected: bool, P: int = 8):
     return build_graph(derived_edges(sf_dir), num_partitions=P, undirected=undirected)
 
 
+def q_tc_approx(sf_dir: str):
+    """Wedge-sampled triangle ESTIMATE (graph_algos.approx_triangle_count,
+    Seshadhri-Pinar-Kolda): 200 counter-based wedge draws over the
+    (owner, v)-linearized wedge space, one membership exchange, integer
+    estimator closed*W // (3*200). Bit-reproducible; SQL twin replays the
+    identical draw, decode, neighbor pick and closure join."""
+    from gunrock_ray.pipelines.graph_algos import approx_triangle_count
+    g = _graph(sf_dir, undirected=True)
+    try:
+        r = approx_triangle_count(g, samples=200, seed=7)
+    finally:
+        g.shutdown(remove_spill=True)
+    return pa.table({"wedges": pa.array([r["wedges"]], pa.int64()),
+                     "sampled": pa.array([r["sampled"]], pa.int64()),
+                     "closed": pa.array([r["closed"]], pa.int64()),
+                     "est_triangles": pa.array([r["est_triangles"]],
+                                               pa.int64())})
+
+
 def q_tc_count(sf_dir: str):
     from gunrock_ray.pipelines.graph_algos import triangle_count
     g = _graph(sf_dir, undirected=True)
@@ -2703,6 +2722,49 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
     return "".join(parts)
+
+
+def _tc_approx_sql(samples: int = 200, seed: int = 7, P: int = 8) -> str:
+    """Exact twin of graph_algos.approx_triangle_count: the wedge space
+    linearized by (owner(v) = mix64(v) % P, v), counter-based draws
+    mix64(j ^ seed) % W, the ±1-corrected triangular decode, rank-ordered
+    neighbor pick, closure join, and the integer estimator."""
+    own = _MIX64_SQL("CAST(v AS UBIGINT)")
+    gexpr = _MIX64_SQL(f"xor(CAST(j AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return (
+        f"WITH e AS MATERIALIZED ({_SYM_SQL}), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        f"wc AS MATERIALIZED (SELECT v, d, d*(d-1)//2 AS w, "
+        f"CAST({own} % {P} AS BIGINT) AS own FROM deg), "
+        "cum AS MATERIALIZED (SELECT v, d, w, CAST(SUM(w) OVER "
+        "(ORDER BY own, v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) - w AS BIGINT) AS lo FROM wc), "
+        "tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wc), "
+        f"su AS (SELECT j, CAST({gexpr} % CAST((SELECT tw FROM tot) "
+        f"AS UBIGINT) AS BIGINT) AS g "
+        f"FROM generate_series(0, {samples - 1}) AS t(j)), "
+        "pick AS (SELECT s.j, c.v, s.g - c.lo AS t FROM su s "
+        "JOIN cum c ON s.g >= c.lo AND s.g < c.lo + c.w), "
+        "dec0 AS (SELECT *, CAST(FLOOR((1.0 + SQRT(1.0 + 8.0*t)) / 2.0) "
+        "AS BIGINT) AS i2a FROM pick), "
+        "dec1 AS (SELECT *, i2a - CASE WHEN i2a*(i2a-1)//2 > t THEN 1 "
+        "ELSE 0 END AS i2b FROM dec0), "
+        "dec AS (SELECT *, i2b + CASE WHEN (i2b+1)*i2b//2 <= t THEN 1 "
+        "ELSE 0 END AS i2 FROM dec1), "
+        "idx AS (SELECT j, v, t - i2*(i2-1)//2 AS i1, i2 FROM dec), "
+        "nb AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS r FROM e), "
+        "xy AS (SELECT idx.j, nx.dst AS x, ny.dst AS y FROM idx "
+        "JOIN nb nx ON nx.src = idx.v AND nx.r = idx.i1 "
+        "JOIN nb ny ON ny.src = idx.v AND ny.r = idx.i2), "
+        "cl AS (SELECT COUNT(*) AS closed FROM xy "
+        "JOIN e ON e.src = xy.x AND e.dst = xy.y) "
+        "SELECT (SELECT tw FROM tot) AS wedges, "
+        f"CAST({samples} AS BIGINT) AS sampled, "
+        "CAST(closed AS BIGINT) AS closed, "
+        "CAST(closed * (SELECT tw FROM tot) // "
+        f"(3*{samples}) AS BIGINT) AS est_triangles FROM cl")
 
 
 def _bf_sql(rounds: int = 10) -> str:
@@ -5377,6 +5439,7 @@ ORACLE_SQL: dict[str, str] = {
     "evc8": _evc_sql(8),
     "densest": _dsg_sql(12),
     "bellman_ford": _bf_sql(_BF_ROUNDS),
+    "tc_approx": _tc_approx_sql(200, 7, 8),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

@@ -1867,6 +1867,52 @@ class GraphPartition:
             a = b
         return count
 
+    # ------------------------------------- Wedge-sampled triangle estimate
+    # Seshadhri, Pinar & Kolda (SDM 2013): sample K wedges uniformly from
+    # the W = Σ_v C(d_v, 2) wedge space, probe closure, estimate
+    # triangles = closed·W // (3K). Sampling is counter-based
+    # (mix64(seed ^ j) % W) and the triangular pair decode is float-sqrt
+    # with ±1 integer correction — bit-reproducible at any partitioning
+    # and replayed exactly by the SQL twin. Closure probes reuse the
+    # node2vec membership serve (n2v_mserve).
+
+    def wedge_totals(self) -> int:
+        deg = self.out_deg.astype(np.int64)
+        self._wtc_wc = deg * (deg - 1) // 2
+        self._wtc_cum = np.concatenate([[0], np.cumsum(self._wtc_wc)])
+        return int(self._wtc_cum[-1])
+
+    def wtc_probe_req(self, local_g: np.ndarray):
+        """Decode this partition's sampled wedge indices to (center,
+        pair) and route (x, y)-membership probes to x's owner."""
+        g = np.asarray(local_g, dtype=np.int64)
+        if len(g) == 0:
+            self._pending["wtc_back"] = None
+            return self._pack(_EMPTY_I8, _EMPTY_I8)
+        li = np.searchsorted(self._wtc_cum, g, side="right") - 1
+        t = g - self._wtc_cum[li]
+        i2 = np.floor((1.0 + np.sqrt(1.0 + 8.0 * t.astype(np.float64)))
+                      / 2.0).astype(np.int64)
+        i2 -= (i2 * (i2 - 1) // 2 > t).astype(np.int64)
+        i2 += ((i2 + 1) * i2 // 2 <= t).astype(np.int64)
+        i1 = t - i2 * (i2 - 1) // 2
+        starts = self.row_offsets[li]
+        x = self.col_indices[starts + i1]
+        y = self.col_indices[starts + i2]
+        own = self._owner(x)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(x), dtype=np.int64)
+        back[order] = np.arange(len(x))
+        self._pending["wtc_back"] = back
+        return self._pack(x, y)
+
+    def wtc_count(self, *reply_packs) -> int:
+        back = self._pending.pop("wtc_back")
+        if back is None:
+            return 0
+        member = self._reply_mine(reply_packs)[back]
+        return int(member.sum())
+
     # -------------------------------------------- Densest subgraph (Bahmani)
     # Bahmani, Kumar & Vassilvitskii (VLDB 2012) (2+2ε)-approximation:
     # repeatedly drop every vertex whose induced degree ≤ (1+ε)·2m/n; the

@@ -84,3 +84,52 @@ def test_c4_two_overlapping_k4():
     got, want = run_c4(t, 6)
     assert want == 2
     assert got == 2
+
+
+# ------------------------------------------ wedge-sampled triangle estimate
+
+def test_tc_approx_estimator_quality_and_determinism():
+    from gunrock_ray.pipelines.graph_algos import (approx_triangle_count,
+                                                   triangle_count)
+    t = gen.rmat_table(9, edge_factor=12)
+    g = build_graph(t, num_partitions=4, undirected=True)
+    try:
+        exact = triangle_count(g)
+        r1 = approx_triangle_count(g, samples=4000, seed=7)
+        r2 = approx_triangle_count(g, samples=4000, seed=7)
+    finally:
+        g.shutdown(remove_spill=True)
+    assert r1 == r2  # counter-based draw: bit-identical
+    assert exact > 0
+    # 4000 wedge draws: generous 3x band (estimator is unbiased)
+    assert exact / 3 <= r1["est_triangles"] <= exact * 3
+
+
+def test_tc_approx_partition_invariant():
+    from gunrock_ray.pipelines.graph_algos import approx_triangle_count
+    t = gen.rmat_table(7, edge_factor=8)
+    outs = []
+    for P in (1, 4):
+        g = build_graph(t, num_partitions=P, undirected=True)
+        try:
+            outs.append(approx_triangle_count(g, samples=300, seed=7))
+        finally:
+            g.shutdown(remove_spill=True)
+    # wedge totals / closure counts identical only if the (owner, v)
+    # linearization is replayed consistently — P changes owner, so only
+    # the wedge TOTAL is invariant; the estimator stays within band
+    assert outs[0]["wedges"] == outs[1]["wedges"]
+    assert outs[0]["sampled"] == outs[1]["sampled"]
+
+
+def test_tc_approx_exact_on_complete_graph():
+    from gunrock_ray.pipelines.graph_algos import approx_triangle_count
+    g = build_graph(complete(12), num_partitions=3, undirected=True)
+    try:
+        r = approx_triangle_count(g, samples=500, seed=7)
+    finally:
+        g.shutdown(remove_spill=True)
+    # K12: every wedge is closed -> closed == sampled and the estimator
+    # is EXACT: W = 12*C(11,2) = 660, est = 660/3 = C(12,3) = 220
+    assert r["closed"] == r["sampled"]
+    assert r["est_triangles"] == 220
