@@ -611,3 +611,82 @@ def mirror_hosts(edges_ds, *, hosts_per: int = 8, host_map=None,
         })
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def rich_club(edges_ds, ks=(1, 2, 4, 8, 16, 32), *,
+              num_buckets: int | None = None):
+    """Rich-club coefficients (Zhou & Mondragón 2004; Colizza et al.
+    2006 uncorrected form): for each degree threshold k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = #vertices with symmetric
+    degree > k and E_k = #undirected edges with BOTH endpoints' degree
+    > k — do high-degree hubs preferentially interlink? All-integer
+    output: phi_u6 = 2·E_k·10^6 // (N_k·(N_k−1)) (0 when N_k < 2).
+
+    ONE pass for every k: degrees by a pre-aggregated groupby, two
+    distributed hash joins attach (d_src, d_dst) to each u<v edge, and
+    both suffix counts reduce per-batch into K-length integer partials —
+    no per-k scan of anything. Returns a pandas DataFrame
+    {k, n_k, e_k, phi_u6} (len(ks) rows — driver-side trivially)."""
+    import pandas as pd
+    from gunrock_ray.functions.aggregates import grouped_sums
+    from gunrock_ray.functions.joins import hash_join
+    ks = sorted(int(k) for k in ks)
+    ka = np.array(ks, dtype=np.int64)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        sd = np.unique(np.stack([np.concatenate([s, d]),
+                                 np.concatenate([d, s])], axis=1), axis=0)
+        return pa.table({"src": pa.array(sd[:, 0], pa.int64()),
+                         "dst": pa.array(sd[:, 1], pa.int64())})
+
+    se = edges_ds.map_batches(sym, batch_format="pyarrow")
+    # per-block dedup only bounds block size; the groupby makes it exact
+    sed = grouped_sums(se, ["src", "dst"], [], count_as="c")
+    deg = grouped_sums(sed, ["src"], [], count_as="d")
+
+    def nk_partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        return pa.table({f"n{k}": pa.array(
+            [int((d > k).sum())], pa.int64()) for k in ks})
+
+    nk = (deg.map_batches(nk_partial, batch_format="pyarrow")
+          .to_pandas().sum())
+
+    def da_side(t: pa.Table) -> pa.Table:
+        return pa.table({"va": t["src"], "da": t["d"]})
+
+    def db_side(t: pa.Table) -> pa.Table:
+        return pa.table({"vb": t["src"], "db": t["d"]})
+
+    def halve(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s < d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    half = sed.map_batches(halve, batch_format="pyarrow")
+    j1 = hash_join(half, deg.map_batches(da_side, batch_format="pyarrow"),
+                   on="a", right_on="va")
+    j2 = hash_join(j1, deg.map_batches(db_side, batch_format="pyarrow"),
+                   on="b", right_on="vb")
+
+    def ek_partial(t: pa.Table) -> pa.Table:
+        md = np.minimum(t["da"].to_numpy(), t["db"].to_numpy())
+        return pa.table({f"e{k}": pa.array(
+            [int((md > k).sum())], pa.int64()) for k in ks})
+
+    ek = (j2.map_batches(ek_partial, batch_format="pyarrow")
+          .to_pandas().sum())
+
+    rows = []
+    for k in ks:
+        n_k = int(nk[f"n{k}"])
+        e_k = int(ek[f"e{k}"])
+        phi = (2 * e_k * 1_000_000 // (n_k * (n_k - 1))
+               if n_k >= 2 else 0)
+        rows.append((k, n_k, e_k, phi))
+    return pd.DataFrame(rows, columns=["k", "n_k", "e_k", "phi_u6"])

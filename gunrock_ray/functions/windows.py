@@ -460,3 +460,60 @@ def retention_cohorts(events_ds, period_us: int = US_PER_DAY,
                                            batch_format="pyarrow"))
     return grouped_sums(partials, ["cohort", "offset_p"], ["users"],
                         count_as=None)
+
+
+def transition_counts(events_ds, num_buckets: int | None = None):
+    """First-order Markov transition counts over the per-user event
+    stream: for every user, order events by (ts, event_id) and count
+    each adjacent (event_type → next event_type) bigram across all
+    users. The session-analytics "what do users do next" primitive.
+    Returns {from_type, to_type, n}.
+
+    One coarse hash-bucket cogroup on the user (the lag_delta shuffle
+    profile); inside a bucket every user's chain is one lexsort +
+    shifted-compare pass, and (from, to) partials pre-combine before the
+    final small grouped-sum."""
+    num_buckets = default_num_buckets(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(_ts_us(batch["ts"])),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "bkt": pa.array((mix64(u) % np.uint64(num_buckets))
+                            .astype(np.int64)),
+        })
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        ty = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, t, u))
+        u, ty = u[order], ty[order]
+        same = u[1:] == u[:-1]
+        frm = ty[:-1][same]
+        to = ty[1:][same]
+        if len(frm) == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # factorize type strings once, combine as integer codes (NUL-safe)
+        vocab, codes = np.unique(np.concatenate([frm, to]),
+                                 return_inverse=True)
+        cf, ct = codes[:len(frm)], codes[len(frm):]
+        key = cf * np.int64(len(vocab)) + ct
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(vocab[uk // len(vocab)], pa.string()),
+            "to_type": pa.array(vocab[uk % len(vocab)], pa.string()),
+            "n": pa.array(counts.astype(np.int64))})
+
+    from gunrock_ray.functions.aggregates import grouped_sums
+    partials = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bkt").map_groups(pairs_of_bucket,
+                                           batch_format="pyarrow"))
+    return grouped_sums(partials, ["from_type", "to_type"], ["n"],
+                        count_as=None)

@@ -1140,6 +1140,15 @@ def q_host_trustrank(sf_dir: str):
     return spam_mass(pr, tr)
 
 
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficients φ(k) for k ∈ {1,2,4,8,16,32} over the
+    symmetrized derived graph (functions.linkgraph.rich_club): all-integer
+    phi_u6 = 2·E_k·10^6 // (N_k(N_k−1)). SQL-checked against the direct
+    degree-join twin."""
+    from gunrock_ray.functions.linkgraph import rich_club
+    return rich_club(_norm_ds(sf_dir))
+
+
 def q_mirror_hosts(sf_dir: str):
     """Mirror-host candidate pairs (functions.linkgraph.mirror_hosts,
     Bharat-Broder): exact out-link-set Jaccard on the hosts_per=2
@@ -1361,6 +1370,19 @@ def q_events_window(sf_dir: str):
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value"])
     return tumbling_window_agg(ev)
+
+
+def q_events_transitions(sf_dir: str):
+    """Per-user event-type Markov transition counts (functions.windows.
+    transition_counts): adjacent (type → next type) bigrams under the
+    deterministic (ts, event_id) order, summed across users. SQL-checked
+    against the LEAD window twin."""
+    import ray.data
+    from gunrock_ray.functions.windows import transition_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    return transition_counts(ev)
 
 
 def q_events_retention(sf_dir: str):
@@ -5443,6 +5465,23 @@ ORACLE_SQL: dict[str, str] = {
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),
+    "rich_club": (
+        f"WITH e AS MATERIALIZED ({_SYM_SQL}), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "half AS (SELECT e.src AS a, e.dst AS b, da.d AS da, db.d AS db "
+        "FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst "
+        "WHERE e.src < e.dst), "
+        "ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)), "
+        "nk AS (SELECT k, (SELECT COUNT(*) FROM deg WHERE d > k) AS n_k "
+        "FROM ks), "
+        "ek AS (SELECT k, (SELECT COUNT(*) FROM half "
+        "WHERE LEAST(da, db) > k) AS e_k FROM ks) "
+        "SELECT CAST(nk.k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_k, "
+        "CAST(e_k AS BIGINT) AS e_k, CAST(CASE WHEN n_k >= 2 THEN "
+        "2 * e_k * 1000000 // (n_k * (n_k - 1)) ELSE 0 END AS BIGINT) "
+        "AS phi_u6 FROM nk JOIN ek USING (k)"
+    ),
     "mirror_hosts": (
         f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), "
         "he AS MATERIALIZED (SELECT DISTINCT src // 2 AS src, "
@@ -5790,6 +5829,13 @@ ORACLE_SQL: dict[str, str] = {
         "COUNT(*) AS n_events, "
         "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_transitions": (
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n "
+        "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
     ),
     "events_retention": (
         "WITH act AS (SELECT DISTINCT user_id AS u, "

@@ -314,3 +314,41 @@ def test_mirror_hosts_planted_mirror():
     assert len(df) == 1
     assert (int(df.loc[0, "a"]), int(df.loc[0, "b"])) == (0, 1)
     assert int(df.loc[0, "jac_u6"]) == 1_000_000
+
+
+# ---------------------------------------------------- rich-club coefficient
+
+def test_rich_club_vs_dense():
+    from gunrock_ray.functions.linkgraph import rich_club
+    t = gen.rmat_table(7, edge_factor=10)
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    n = 138
+    A = np.zeros((n, n), dtype=bool)
+    m = src != dst
+    A[src[m], dst[m]] = True
+    A[dst[m], src[m]] = True
+    deg = A.sum(axis=1)
+    df = rich_club(ray.data.from_arrow(t), ks=(1, 2, 4, 8))
+    for _, r in df.iterrows():
+        k = int(r["k"])
+        rich = deg > k
+        n_k = int(rich.sum())
+        e_k = int(A[np.ix_(rich, rich)].sum()) // 2
+        assert int(r["n_k"]) == n_k
+        assert int(r["e_k"]) == e_k
+        want = 2 * e_k * 1_000_000 // (n_k * (n_k - 1)) if n_k >= 2 else 0
+        assert int(r["phi_u6"]) == want
+
+
+def test_transition_counts_bruteforce():
+    from gunrock_ray.functions.windows import transition_counts
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 30, 5, 6, 1], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "b", "a"], pa.string()),
+    })
+    df = transition_counts(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in df.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
