@@ -316,6 +316,15 @@ def bench_default(num_cpus: int, sf_dir: str, only: str | None = None,
             details["lg_spammy_hosts"] = int((sm["sm_u6"] > 900_000).sum())
         finally:
             g.shutdown(remove_spill=True)
+        # round-4 continuation op over the ALREADY-CONTRACTED quotient
+        # (hosts_per=1 = identity map: reuse `he` instead of re-running
+        # the 16.6M-page-edge contraction — 57 s -> ~8 s)
+        from gunrock_ray.functions.linkgraph import mirror_hosts
+        t0 = time.perf_counter()
+        mh = mirror_hosts(he, hosts_per=1, max_in_degree=64,
+                          tau_u6=250_000).count()
+        details["lg_mirror_s"] = round(time.perf_counter() - t0, 3)
+        details["lg_mirror_pairs"] = int(mh)
 
     if only is None or only == "linkgraph_study":
         t0 = time.perf_counter()

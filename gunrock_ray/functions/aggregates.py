@@ -45,6 +45,53 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str],
     return parts.groupby(list(keys)).aggregate(*final)
 
 
+def grouped_sums_cogrouped(ds, keys: list[str], sum_cols: list[str],
+                           count_as: str | None = "n",
+                           num_buckets: int | None = None):
+    """:func:`grouped_sums` for HIGH-CARDINALITY integer keys: identical
+    result, but the final reduce is a coarse hash-bucket cogroup (bucket
+    count ∝ cluster cores) whose groups collapse in ONE zero-copy Arrow
+    ``group_by`` kernel each — instead of Ray's sort-based aggregate,
+    which sorts the full partial set and wins nothing when keys are
+    near-unique (the `_bucketed_window_sum` lesson: measured 4-7× there,
+    2.5-8× on the host-quotient contraction at 16.6M page edges). Same
+    exactness contract: integer partials, order-insensitive."""
+    import numpy as np
+
+    from gunrock_ray.common import default_num_buckets, mix64
+    nb = default_num_buckets(num_buckets)
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_as:
+        aggs.append(([], "count_all"))
+    names = list(keys) + list(sum_cols) + ([count_as] if count_as else [])
+    got = ([k for k in keys] + [f"{c}_sum" for c in sum_cols]
+           + (["count_all"] if count_as else []))
+
+    def bucket_of(t: pa.Table) -> pa.Array:
+        h = mix64(t[keys[0]].to_numpy())
+        for k in keys[1:]:
+            with np.errstate(over="ignore"):
+                h = mix64(h ^ t[k].to_numpy().astype(np.uint64))
+        return pa.array((h % np.uint64(nb)).astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(keys).aggregate(aggs)
+        t = pa.table({new: t[old] for old, new in zip(got, names)})
+        return t.append_column("bkt", bucket_of(t))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        inner = [(c, "sum") for c in sum_cols]
+        if count_as:
+            inner.append((count_as, "sum"))
+        t = group.group_by(keys).aggregate(inner)
+        src = ([k for k in keys] + [f"{c}_sum" for c in sum_cols]
+               + ([f"{count_as}_sum"] if count_as else []))
+        return pa.table({new: t[old] for old, new in zip(src, names)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bkt").map_groups(reduce, batch_format="pyarrow"))
+
+
 def _sentinel_for(typ: pa.DataType):
     return "*" if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
         else -1
