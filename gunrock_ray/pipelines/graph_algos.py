@@ -1866,7 +1866,7 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
     import tempfile
 
     import ray.data
-    from gunrock_ray.functions.aggregates import grouped_sums
+    from gunrock_ray.functions.aggregates import grouped_sums_cogrouped
     from gunrock_ray.functions.joins import hash_join
 
     metrics = MetricsWriter(metrics_path)
@@ -1930,8 +1930,12 @@ def louvain(edges, *, undirected: bool = True, weighted: bool = False,
             if moved_level == 0:
                 break
             # ---- contraction: merge partition-partial arcs, split loops
-            agg = grouped_sums(contracted, keys=["src", "dst"],
-                               sum_cols=["w"], count_as=None).materialize()
+            # cogrouped: contracted (src, dst) arc keys are near-unique
+            # (the host_edges lesson); arc weights are integer-valued
+            # floats, exact under any reduction order
+            agg = grouped_sums_cogrouped(
+                contracted, keys=["src", "dst"],
+                sum_cols=["w"], count_as=None).materialize()
             m_next = agg.count()
             if m_next < small_threshold and level + 1 < max_levels:
                 # driver-side tail: bounded pull (< small_threshold rows);
