@@ -1140,6 +1140,28 @@ def q_host_trustrank(sf_dir: str):
     return spam_mass(pr, tr)
 
 
+def q_triads(sf_dir: str):
+    """Full 16-class Holland-Leinhardt directed triad census
+    (functions.triads.triad_census) over the derived graph: connected
+    triples by wedge cogroup + third-pair union-cogroup, disconnected
+    classes in closed form from the dyad census, all exact integers.
+    SQL-checked against the direct wedge join with the identical
+    64-entry state→class lookup."""
+    from gunrock_ray.functions.aggregates import grouped_sums_cogrouped
+    from gunrock_ray.functions.triads import triad_census
+    raw = derived_edges(sf_dir)
+
+    def ends(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([t["src"].to_numpy(),
+                                      t["dst"].to_numpy()]))
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    n = grouped_sums_cogrouped(
+        raw.map_batches(ends, batch_format="pyarrow"),
+        ["v"], [], count_as="c").count()
+    return triad_census(_norm_ds(sf_dir), n)
+
+
 def q_rich_club(sf_dir: str):
     """Rich-club coefficients φ(k) for k ∈ {1,2,4,8,16,32} over the
     symmetrized derived graph (functions.linkgraph.rich_club): all-integer
@@ -2744,6 +2766,61 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
     return "".join(parts)
+
+
+def _triads_sql() -> str:
+    """Direct SQL twin of q_triads: pair states from the normalized
+    edges, the wedge self-join over the stated adjacency, third-pair
+    LEFT JOIN, the 64-entry state→class VALUES lookup (a mathematical
+    constant re-derived independently by tests/test_triads.py), thirds
+    division for 3-adjacent classes, and the closed-form disconnected
+    classes."""
+    from gunrock_ray.functions.triads import _TRIAD_NAMES, triad_lookup
+    lut = triad_lookup()
+    rows = ", ".join(
+        f"({s[0]}, {s[1]}, {s[2]}, '{_TRIAD_NAMES[c]}', {na}, {nas}, {nm})"
+        for s, (c, na, nas, nm) in sorted(lut.items()))
+    names = ", ".join(f"('{nm}')" for nm in _TRIAD_NAMES)
+    return (
+        f"WITH n0 AS MATERIALIZED ({_NORM_SQL}), "
+        f"vt AS ({_VERTS_SQL}), nn AS (SELECT COUNT(*) AS n FROM vt), "
+        "P AS MATERIALIZED (SELECT LEAST(src, dst) AS x, "
+        "GREATEST(src, dst) AS y, "
+        "MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) + "
+        "2*MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS st "
+        "FROM n0 WHERE src <> dst GROUP BY 1, 2), "
+        "dy AS (SELECT COUNT(*) FILTER (WHERE st <> 3) AS a_cnt, "
+        "COUNT(*) FILTER (WHERE st = 3) AS m_cnt FROM P), "
+        "adj AS MATERIALIZED (SELECT x AS v, y AS nbr, st FROM P "
+        "UNION ALL SELECT y, x, st FROM P), "
+        "wd AS (SELECT L.v AS vc, L.nbr AS a, R.nbr AS b, "
+        "L.st AS sav, R.st AS sbv FROM adj L "
+        "JOIN adj R ON R.v = L.v AND R.nbr > L.nbr), "
+        "wd2 AS (SELECT wd.*, COALESCE(p.st, 0) AS sab FROM wd "
+        "LEFT JOIN P p ON p.x = wd.a AND p.y = wd.b), "
+        "slots AS (SELECT "
+        "CASE WHEN vc < a THEN sav WHEN vc < b THEN sav ELSE sab END AS s1, "
+        "CASE WHEN vc < a THEN sbv WHEN vc < b THEN sab ELSE sav END AS s2, "
+        "CASE WHEN vc < a THEN sab ELSE sbv END AS s3 FROM wd2), "
+        f"lk(s1, s2, s3, triad, nadj, nasym, nmut) AS (VALUES {rows}), "
+        "cen AS (SELECT lk.triad, CAST(SUM(CASE WHEN lk.nadj = 3 THEN 1 "
+        "ELSE 3 END) // 3 AS BIGINT) AS cnt, MAX(lk.nasym) AS nasym, "
+        "MAX(lk.nmut) AS nmut FROM slots "
+        "JOIN lk USING (s1, s2, s3) GROUP BY lk.triad), "
+        "sums AS (SELECT COALESCE(SUM(cnt*nasym), 0) AS sa, "
+        "COALESCE(SUM(cnt*nmut), 0) AS sm FROM cen), "
+        "base AS (SELECT triad, cnt AS n_triads FROM cen "
+        "UNION ALL SELECT '012', (SELECT a_cnt FROM dy) * "
+        "((SELECT n FROM nn) - 2) - (SELECT sa FROM sums) "
+        "UNION ALL SELECT '102', (SELECT m_cnt FROM dy) * "
+        "((SELECT n FROM nn) - 2) - (SELECT sm FROM sums)), "
+        "tot2 AS (SELECT COALESCE(SUM(n_triads), 0) AS t FROM base), "
+        "all16 AS (SELECT * FROM base UNION ALL SELECT '003', "
+        "(SELECT n FROM nn) * ((SELECT n FROM nn) - 1) * "
+        "((SELECT n FROM nn) - 2) // 6 - (SELECT t FROM tot2)), "
+        f"names(triad) AS (VALUES {names}) "
+        "SELECT names.triad, CAST(COALESCE(all16.n_triads, 0) AS BIGINT) "
+        "AS n_triads FROM names LEFT JOIN all16 USING (triad)")
 
 
 def _tc_approx_sql(samples: int = 200, seed: int = 7, P: int = 8) -> str:
@@ -5462,6 +5539,7 @@ ORACLE_SQL: dict[str, str] = {
     "densest": _dsg_sql(12),
     "bellman_ford": _bf_sql(_BF_ROUNDS),
     "tc_approx": _tc_approx_sql(200, 7, 8),
+    "triads": _triads_sql(),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

@@ -1,0 +1,126 @@
+"""Triad census: the 64-entry lookup re-derived independently (canonical
+codes via explicit permutation minimization + hand-pinned representative
+digraphs), and the distributed census vs an O(n^3) brute force."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gunrock_ray.functions.triads import (_TRIAD_NAMES, _classify,
+                                          triad_census, triad_lookup)
+
+
+def _canon_code(A):
+    """Independent canonicalization: min 6-bit code over vertex perms."""
+    best = None
+    for p in itertools.permutations(range(3)):
+        code = 0
+        for i, j in [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]:
+            code = (code << 1) | int(A[p[i], p[j]])
+        best = code if best is None else min(best, code)
+    return best
+
+
+def _adj_of(states):
+    A = np.zeros((3, 3), dtype=np.int64)
+    for (i, j), st in zip([(0, 1), (0, 2), (1, 2)], states):
+        if st in (1, 3):
+            A[i, j] = 1
+        if st in (2, 3):
+            A[j, i] = 1
+    return A
+
+
+# hand-pinned representative digraphs for all 16 classes (Pajek order);
+# edges as (src, dst) pairs on vertices {0, 1, 2}
+_REPS = {
+    "003": [],
+    "012": [(0, 1)],
+    "102": [(0, 1), (1, 0)],
+    "021D": [(1, 0), (1, 2)],            # A<-B->C
+    "021U": [(0, 1), (2, 1)],            # A->B<-C
+    "021C": [(0, 1), (1, 2)],            # A->B->C
+    "111D": [(0, 1), (1, 0), (2, 1)],    # A<->B<-C
+    "111U": [(0, 1), (1, 0), (1, 2)],    # A<->B->C
+    "030T": [(0, 1), (2, 1), (0, 2)],    # A->B<-C, A->C
+    "030C": [(1, 0), (2, 1), (0, 2)],    # A<-B<-C, A->C
+    "201": [(0, 1), (1, 0), (1, 2), (2, 1)],
+    "120D": [(1, 0), (1, 2), (0, 2), (2, 0)],
+    "120U": [(0, 1), (2, 1), (0, 2), (2, 0)],
+    "120C": [(0, 1), (1, 2), (0, 2), (2, 0)],
+    "210": [(0, 1), (1, 0), (2, 1), (0, 2), (2, 0)],
+    "300": [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)],
+}
+
+
+def test_classifier_matches_pinned_representatives():
+    # every class's pinned digraph must classify to its own name, and
+    # every one of the 64 state combos must land in the class whose
+    # canonical code matches its representative's
+    rep_code = {}
+    for name, edges in _REPS.items():
+        A = np.zeros((3, 3), dtype=np.int64)
+        for s, d in edges:
+            A[s, d] = 1
+        st = []
+        for i, j in [(0, 1), (0, 2), (1, 2)]:
+            st.append((1 if A[i, j] else 0) + (2 if A[j, i] else 0))
+        assert _classify(*st) == name
+        rep_code[name] = _canon_code(A)
+    assert len(set(rep_code.values())) == 16
+    for s in itertools.product(range(4), repeat=3):
+        name = _classify(*s)
+        assert _canon_code(_adj_of(s)) == rep_code[name]
+
+
+def test_lookup_multiplicities():
+    # labeled-triad counts per class over the 64 combos (known constants)
+    lut = triad_lookup()
+    from collections import Counter
+    c = Counter(_TRIAD_NAMES[v[0]] for v in lut.values())
+    assert c == {"003": 1, "012": 6, "102": 3, "021D": 3, "021U": 3,
+                 "021C": 6, "111D": 6, "111U": 6, "030T": 6, "030C": 2,
+                 "201": 3, "120D": 3, "120U": 3, "120C": 6, "210": 6,
+                 "300": 1}
+
+
+def _census_ref(n, A):
+    want = {nm: 0 for nm in _TRIAD_NAMES}
+
+    def st(x, y):
+        return (1 if A[x, y] else 0) + (2 if A[y, x] else 0)
+
+    for x, y, z in itertools.combinations(range(n), 3):
+        want[_classify(st(x, y), st(x, z), st(y, z))] += 1
+    return want
+
+
+def test_census_random_vs_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    n, m = 45, 220
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(4)
+    got = triad_census(ds, n)
+    A = np.zeros((n, n), dtype=bool)
+    k = src != dst
+    A[src[k], dst[k]] = True
+    want = _census_ref(n, A)
+    assert got["n_triads"].sum() == n * (n - 1) * (n - 2) // 6
+    for _, r in got.iterrows():
+        assert int(r["n_triads"]) == want[r["triad"]], r["triad"]
+
+
+def test_census_reciprocal_pair_only(ray_session):
+    # 2 mutual vertices + 3 isolates: 102 = 1*(n-2) = 3, 003 = rest
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 0], pa.int64())}))
+    got = dict(zip(*triad_census(ds, 5).to_numpy().T[[0, 1]]))
+    assert got["102"] == 3
+    assert got["003"] == 5 * 4 * 3 // 6 - 3
+    assert sum(v for k, v in got.items() if k not in ("102", "003")) == 0
