@@ -1019,6 +1019,36 @@ def four_clique_count(graph: DistributedGraph,
     return int(sum(counts))
 
 
+def bridges(graph: DistributedGraph, src: int = 0, *,
+            metrics_path: str | None = None):
+    """Bridge edges of the component reachable from ``src`` via the
+    deterministic XOR-hash subtree test (see `state/partition.py br_*`;
+    the cycle-space hashing of Ahn-Guha-McGregor sketches made exact-
+    deterministic with counter-based mix64 edge values): run BFS with
+    predecessors, XOR each vertex's incident non-tree edge hashes, fold
+    the XORs up the BFS tree in depth(BFS) supersteps — a tree edge is a
+    bridge iff its child subtree's XOR is zero (no cycle covers it;
+    false-negative probability 2^-64 per edge, shared bit-for-bit by the
+    SQL twin). Graph must be built undirected. Returns a Dataset
+    {x, y, child, bridge} with one row per BFS-tree edge; non-tree edges
+    are never bridges, so the bridge set is exactly the bridge==1 rows."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    bfs(g, src, mark_pred=True)
+    g.lookup("br_request", "br_attach", serve="serve_depth_pred_packed")
+    nontree = sum(g.call_all("br_compute"))
+    maxd = max(g.call_all("br_maxdepth"))
+    for d in range(maxd, 0, -1):
+        t0 = time.perf_counter()
+        packs = [a.br_push.remote(d) for a in g.actors]
+        moved = sum(ray.get([a.br_xor_apply.remote(*packs)
+                             for a in g.actors]))
+        metrics.write(algo="bridges", superstep=maxd - d, depth=d,
+                      moved=moved, t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("br_extract")
+
+
 def approx_triangle_count(graph: DistributedGraph, *, samples: int = 200,
                           seed: int = 7) -> dict:
     """Wedge-sampled triangle ESTIMATE (Seshadhri, Pinar & Kolda, SDM

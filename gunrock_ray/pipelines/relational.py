@@ -1140,6 +1140,21 @@ def q_host_trustrank(sf_dir: str):
     return spam_mass(pr, tr)
 
 
+def q_bridges(sf_dir: str):
+    """Bridge edges of the component reachable from vertex 0
+    (graph_algos.bridges — deterministic XOR-hash subtree test over the
+    BFS tree): one row per tree edge {x, y, child, bridge}. SQL-checked
+    against the recursive-CTE twin with identical mix64 edge values and
+    BFS tie-breaks."""
+    from gunrock_ray.pipelines.graph_algos import bridges
+    g = _graph(sf_dir, undirected=True)
+    try:
+        df = bridges(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values(["x", "y"]).reset_index(drop=True)
+
+
 def q_triads(sf_dir: str):
     """Full 16-class Holland-Leinhardt directed triad census
     (functions.triads.triad_census) over the derived graph: connected
@@ -2766,6 +2781,46 @@ def _katz_sql(iters: int = 5, alpha: float = 0.05, beta: float = 1.0) -> str:
     parts.append(f" SELECT v, CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) "
                  f"AS katz_u6 FROM r{iters}")
     return "".join(parts)
+
+
+def _bridges_sql(depth_cap: int = 64) -> str:
+    """Recursive-CTE twin of q_bridges: sym BFS depths from 0 (cap 64,
+    far above the test graphs' diameter), pred = MIN neighbor at
+    depth−1 (the engine's winner rule), non-tree edges valued
+    r = mix64(mulmod(x,K) ^ y) exactly as the kernel, per-vertex
+    incident XOR, subtree XOR by ancestor expansion, bridge ⇔ 0."""
+    r_expr = _MIX64_SQL(
+        f"xor({_MULMOD_SQL('CAST(x AS UBIGINT)', 0x1000003)}, "
+        f"CAST(y AS UBIGINT))")
+    return (
+        f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "
+        "r(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "UNION SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.v "
+        f"WHERE r.d < {depth_cap}), "
+        "dep AS MATERIALIZED (SELECT v, MIN(d) AS d FROM r GROUP BY v), "
+        "prd AS MATERIALIZED (SELECT d.v, d.d, CASE WHEN d.v = 0 THEN -1 "
+        "ELSE (SELECT MIN(u2.src) FROM u u2 JOIN dep s ON s.v = u2.src "
+        "WHERE u2.dst = d.v AND s.d = d.d - 1) END AS p FROM dep d), "
+        "tre AS MATERIALIZED (SELECT LEAST(v, p) AS x, "
+        "GREATEST(v, p) AS y, v AS child FROM prd WHERE p >= 0), "
+        "nt AS MATERIALIZED (SELECT e.src AS x, e.dst AS y FROM u e "
+        "JOIN dep da ON da.v = e.src JOIN dep db ON db.v = e.dst "
+        "LEFT JOIN tre t ON t.x = e.src AND t.y = e.dst "
+        "WHERE e.src < e.dst AND t.x IS NULL), "
+        f"rv AS MATERIALIZED (SELECT x, y, {r_expr} AS r FROM nt), "
+        "sx AS MATERIALIZED (SELECT v, bit_xor(r) AS s FROM "
+        "(SELECT x AS v, r FROM rv UNION ALL SELECT y, r FROM rv) "
+        "GROUP BY v), "
+        "anc(x, a) AS (SELECT v, v FROM dep UNION ALL "
+        "SELECT anc.x, prd.p FROM anc JOIN prd ON prd.v = anc.a "
+        "WHERE prd.p >= 0), "
+        "sub AS MATERIALIZED (SELECT anc.a AS c, "
+        "bit_xor(COALESCE(sx.s, CAST(0 AS UBIGINT))) AS sx FROM anc "
+        "LEFT JOIN sx ON sx.v = anc.x GROUP BY anc.a) "
+        "SELECT t.x, t.y, t.child, "
+        "CAST(COALESCE(sub.sx, CAST(0 AS UBIGINT)) = "
+        "CAST(0 AS UBIGINT) AS BIGINT) AS bridge "
+        "FROM tre t JOIN sub ON sub.c = t.child")
 
 
 def _triads_sql() -> str:
@@ -5540,6 +5595,7 @@ ORACLE_SQL: dict[str, str] = {
     "bellman_ford": _bf_sql(_BF_ROUNDS),
     "tc_approx": _tc_approx_sql(200, 7, 8),
     "triads": _triads_sql(),
+    "bridges": _bridges_sql(),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

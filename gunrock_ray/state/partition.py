@@ -1867,6 +1867,114 @@ class GraphPartition:
             a = b
         return count
 
+    # ------------------------- Bridges / 2-edge connectivity (XOR subtree)
+    # Deterministic XOR-hash bridge finding over the BFS tree (the
+    # cycle-space hashing argument behind Ahn-Guha-McGregor graph
+    # sketches): give every NON-tree undirected edge the counter-based
+    # value r = mix64(x·K ^ y); a tree edge (pred(c), c) is a bridge iff
+    # the XOR of r over edges with exactly ONE endpoint in subtree(c) is
+    # zero — and that XOR equals the subtree XOR of per-vertex incident
+    # XORs S(x), computable bottom-up in depth(BFS) supersteps. r is
+    # counter-based, so engine and SQL twin agree bit-for-bit (the 2^-64
+    # per-edge collision risk is shared and documented). Runs after
+    # bfs(mark_pred=True) left depth/pred in the actors.
+
+    def br_request(self):
+        uniq = np.unique(self.col_indices)
+        self._pending["br_uniq"] = uniq
+        return self._pack(uniq)
+
+    def serve_depth_pred_packed(self, *req_packs):
+        segs = [self._unpack_mine(pk, 0) for pk in req_packs]
+        lens = np.array([len(s) for s in segs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        ids = np.concatenate(segs) if segs else _EMPTY_I8
+        li = self._lidx(ids) if len(ids) else _EMPTY_I8
+        return (offs, self.state["depth"][li], self.state["pred"][li])
+
+    def br_attach(self, *reply_packs) -> None:
+        us = self._pending.pop("br_uniq")
+        d_segs = [rp[1][rp[0][self.pid]:rp[0][self.pid + 1]]
+                  for rp in reply_packs]
+        p_segs = [rp[2][rp[0][self.pid]:rp[0][self.pid + 1]]
+                  for rp in reply_packs]
+        dv = np.concatenate(d_segs) if d_segs else _EMPTY_I8
+        pv = np.concatenate(p_segs) if p_segs else _EMPTY_I8
+        own = self._owner(us)
+        order = np.argsort(own, kind="stable")
+        back = np.empty(len(us), dtype=np.int64)
+        back[order] = np.arange(len(us))
+        self._br_dst = (us, dv[back], pv[back])
+
+    def br_compute(self) -> int:
+        """S(x) per owned vertex: XOR of r over incident non-tree edges
+        (one vectorized pass over the sym CSR; segment XOR by reduceat)."""
+        us, d_dst, p_dst = self._br_dst
+        del self._br_dst
+        dst = self.col_indices
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                            self.out_deg)
+        u = self.verts[src_idx]
+        pos = np.searchsorted(us, dst) if len(us) else dst[:0]
+        dd = d_dst[pos] if len(us) else dst[:0]
+        pd_ = p_dst[pos] if len(us) else dst[:0]
+        du = self.state["depth"][src_idx]
+        pu = self.state["pred"][src_idx]
+        reach = (du != _BFS_INF) & (dd != _BFS_INF)
+        tree = (pd_ == u) | (pu == dst)
+        nontree = reach & ~tree & (u != dst)
+        x = np.minimum(u, dst).astype(np.uint64)
+        y = np.maximum(u, dst).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            r = mix64(x * np.uint64(0x1000003) ^ y)
+        r = np.where(nontree, r, np.uint64(0))
+        acc = np.zeros(len(self.verts), dtype=np.uint64)
+        if len(r):
+            nonempty = np.flatnonzero(self.out_deg > 0)
+            if len(nonempty):
+                acc[nonempty] = np.bitwise_xor.reduceat(
+                    r, self.row_offsets[nonempty])
+        self._br_acc = acc
+        return int(np.count_nonzero(nontree))
+
+    def br_maxdepth(self) -> int:
+        d = self.state["depth"]
+        fin = d[d != _BFS_INF]
+        return int(fin.max()) if len(fin) else -1
+
+    def br_push(self, d: int):
+        dep = self.state["depth"]
+        pred = self.state["pred"]
+        sel = np.flatnonzero(dep == d)
+        sel = sel[pred[sel] >= 0]
+        return self._pack(pred[sel],
+                          self._br_acc[sel].view(np.int64))
+
+    def br_xor_apply(self, *packs) -> int:
+        cnt = 0
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                np.bitwise_xor.at(self._br_acc, li,
+                                  vals.view(np.uint64))
+                cnt += len(ids)
+        return cnt
+
+    def br_extract(self) -> pa.Table:
+        dep = self.state["depth"]
+        pred = self.state["pred"]
+        k = np.flatnonzero((dep >= 1) & (dep != _BFS_INF) & (pred >= 0))
+        c = self.verts[k]
+        p = pred[k]
+        return pa.table({
+            "x": pa.array(np.minimum(c, p), pa.int64()),
+            "y": pa.array(np.maximum(c, p), pa.int64()),
+            "child": pa.array(c, pa.int64()),
+            "bridge": pa.array((self._br_acc[k] == 0).astype(np.int64)),
+        })
+
     # ------------------------------------- Wedge-sampled triangle estimate
     # Seshadhri, Pinar & Kolda (SDM 2013): sample K wedges uniformly from
     # the W = Σ_v C(d_v, 2) wedge space, probe closure, estimate

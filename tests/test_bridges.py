@@ -1,0 +1,102 @@
+"""Bridges via XOR-hash subtree test vs a remove-and-recount oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from gunrock_ray import build_graph
+from gunrock_ray.pipelines.graph_algos import bridges
+from gunrock_ray.sources import generators as gen
+
+
+def _cc_count(n, pairs):
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    return len({find(v) for v in range(n)})
+
+
+def _bridges_ref(n, pairs, src=0):
+    """Edge (x,y) of the src-component is a bridge iff removing it
+    disconnects x from y."""
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    # restrict to src's component
+    comp = {src}
+    changed = True
+    while changed:
+        changed = False
+        for x, y in pairs:
+            if (x in comp) != (y in comp):
+                comp |= {x, y}
+                changed = True
+    cpairs = [(x, y) for x, y in pairs if x in comp]
+    out = set()
+    for e in cpairs:
+        rest = [p for p in cpairs if p != e]
+        vs = sorted(comp)
+        idx = {v: i for i, v in enumerate(vs)}
+        base = _cc_count(len(vs), [(idx[a], idx[b]) for a, b in rest])
+        full = _cc_count(len(vs), [(idx[a], idx[b]) for a, b in cpairs])
+        if base > full:
+            out.add(e)
+    return out
+
+
+def run(pairs, P=4):
+    s, d = zip(*pairs)
+    t = pa.table({"src": pa.array(s, pa.int64()),
+                  "dst": pa.array(d, pa.int64())})
+    g = build_graph(t, num_partitions=P, undirected=True)
+    try:
+        return bridges(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+
+
+def test_bridges_random_vs_remove_and_recount(ray_session):
+    rng = np.random.default_rng(9)
+    n, m = 60, 110
+    pairs = list(zip(rng.integers(0, n, m).tolist(),
+                     rng.integers(0, n, m).tolist()))
+    pairs.append((0, 1))  # ensure 0 isn't isolated
+    df = run(pairs)
+    got = {(int(r.x), int(r.y)) for r in df.itertuples() if r.bridge == 1}
+    want = _bridges_ref(n, pairs)
+    assert got == want
+    # non-tree edges are never bridges: every bridge is a tree edge
+    tree = {(int(r.x), int(r.y)) for r in df.itertuples()}
+    assert want <= tree
+
+
+def test_bridges_barbell(ray_session):
+    # two K4s joined by a path 3-8-9-4: the 3 path edges are the bridges
+    es = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                es.append((base + i, base + j))
+    es += [(3, 8), (8, 9), (9, 4)]
+    df = run(es)
+    got = sorted((int(r.x), int(r.y)) for r in df.itertuples()
+                 if r.bridge == 1)
+    assert got == [(3, 8), (4, 9), (8, 9)]
+
+
+def test_bridges_partition_invariant(ray_session):
+    t = gen.rmat_table(7, edge_factor=4)
+    pairs = list(zip(t["src"].to_numpy().tolist(),
+                     t["dst"].to_numpy().tolist()))
+    outs = []
+    for P in (1, 5):
+        df = run(pairs, P=P)
+        outs.append(sorted(map(tuple, df[["x", "y", "bridge"]]
+                                .to_numpy().tolist())))
+    assert outs[0] == outs[1]
