@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": r.q_rich_club,                      # NEW round 4
         "triads": r.q_triads,                            # NEW round 4
         "bridges": r.q_bridges,                          # NEW round 4
+        "ecc2": r.q_ecc2,                                # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

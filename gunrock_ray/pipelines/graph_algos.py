@@ -1049,6 +1049,38 @@ def bridges(graph: DistributedGraph, src: int = 0, *,
     return g.extract("br_extract")
 
 
+def two_edge_components(graph: DistributedGraph, src: int = 0, *,
+                        num_partitions: int | None = None,
+                        metrics_path: str | None = None):
+    """2-edge-connected components of the component reachable from
+    ``src``: run :func:`bridges`, extract the kept (non-bridge) edges
+    straight from the actors (`br_edges_extract` — never via the
+    driver), build the bridge-free graph, and label it with the
+    engine's :func:`connected_components` (min-vertex canonical
+    labels). A textbook composition: 2eCC = CC after bridge removal.
+    Returns (Dataset {v, comp}, num_components) over the reachable
+    vertex set."""
+    g = graph
+    bridges(g, src, metrics_path=metrics_path)
+    kept = g.extract("br_edges_extract")
+
+    def reachable(t: pa.Table) -> pa.Table:
+        d = t["depth"].to_numpy()
+        return pa.table({"v": t["v"].to_numpy()[d >= 0]})
+
+    verts = g.extract("bfs_extract").map_batches(reachable,
+                                                 batch_format="pyarrow")
+    g2 = build_graph(kept, num_partitions=num_partitions or g.P,
+                     undirected=True, vertices=verts)
+    try:
+        labels, ncomp = connected_components(g2,
+                                             metrics_path=metrics_path)
+        out = labels.materialize()
+    finally:
+        g2.shutdown(remove_spill=True)
+    return out, ncomp
+
+
 def approx_triangle_count(graph: DistributedGraph, *, samples: int = 200,
                           seed: int = 7) -> dict:
     """Wedge-sampled triangle ESTIMATE (Seshadhri, Pinar & Kolda, SDM

@@ -1155,6 +1155,20 @@ def q_bridges(sf_dir: str):
     return df.sort_values(["x", "y"]).reset_index(drop=True)
 
 
+def q_ecc2(sf_dir: str):
+    """2-edge-connected components of vertex 0's component
+    (graph_algos.two_edge_components = bridges → actor-side kept-edge
+    extract → distributed CC; min-vertex canonical labels). SQL-checked
+    against the bridge CTE + min-label closure over the kept edges."""
+    from gunrock_ray.pipelines.graph_algos import two_edge_components
+    g = _graph(sf_dir, undirected=True)
+    try:
+        labels, _ = two_edge_components(g, 0)
+        return labels.to_pandas().sort_values("v").reset_index(drop=True)
+    finally:
+        g.shutdown(remove_spill=True)
+
+
 def q_triads(sf_dir: str):
     """Full 16-class Holland-Leinhardt directed triad census
     (functions.triads.triad_census) over the derived graph: connected
@@ -2821,6 +2835,48 @@ def _bridges_sql(depth_cap: int = 64) -> str:
         "CAST(COALESCE(sub.sx, CAST(0 AS UBIGINT)) = "
         "CAST(0 AS UBIGINT) AS BIGINT) AS bridge "
         "FROM tre t JOIN sub ON sub.c = t.child")
+
+
+def _ecc2_sql(depth_cap: int = 64) -> str:
+    """q_ecc2 twin: the _bridges_sql chain, then min-label closure over
+    the KEPT edges (non-tree ∪ non-bridge tree) of the reachable set."""
+    r_expr = _MIX64_SQL(
+        f"xor({_MULMOD_SQL('CAST(x AS UBIGINT)', 0x1000003)}, "
+        f"CAST(y AS UBIGINT))")
+    return (
+        f"WITH RECURSIVE u AS MATERIALIZED ({_SYM_SQL}), "
+        "r(v, d) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "UNION SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.v "
+        f"WHERE r.d < {depth_cap}), "
+        "dep AS MATERIALIZED (SELECT v, MIN(d) AS d FROM r GROUP BY v), "
+        "prd AS MATERIALIZED (SELECT d.v, d.d, CASE WHEN d.v = 0 THEN -1 "
+        "ELSE (SELECT MIN(u2.src) FROM u u2 JOIN dep s ON s.v = u2.src "
+        "WHERE u2.dst = d.v AND s.d = d.d - 1) END AS p FROM dep d), "
+        "tre AS MATERIALIZED (SELECT LEAST(v, p) AS x, "
+        "GREATEST(v, p) AS y, v AS child FROM prd WHERE p >= 0), "
+        "nt AS MATERIALIZED (SELECT e.src AS x, e.dst AS y FROM u e "
+        "JOIN dep da ON da.v = e.src JOIN dep db ON db.v = e.dst "
+        "LEFT JOIN tre t ON t.x = e.src AND t.y = e.dst "
+        "WHERE e.src < e.dst AND t.x IS NULL), "
+        f"rv AS MATERIALIZED (SELECT x, y, {r_expr} AS r FROM nt), "
+        "sx AS MATERIALIZED (SELECT v, bit_xor(r) AS s FROM "
+        "(SELECT x AS v, r FROM rv UNION ALL SELECT y, r FROM rv) "
+        "GROUP BY v), "
+        "anc(x, a) AS (SELECT v, v FROM dep UNION ALL "
+        "SELECT anc.x, prd.p FROM anc JOIN prd ON prd.v = anc.a "
+        "WHERE prd.p >= 0), "
+        "sub AS MATERIALIZED (SELECT anc.a AS c, "
+        "bit_xor(COALESCE(sx.s, CAST(0 AS UBIGINT))) AS sx FROM anc "
+        "LEFT JOIN sx ON sx.v = anc.x GROUP BY anc.a), "
+        "keep AS MATERIALIZED (SELECT x AS a, y AS b FROM nt "
+        "UNION ALL SELECT t.x, t.y FROM tre t "
+        "JOIN sub ON sub.c = t.child "
+        "WHERE sub.sx <> CAST(0 AS UBIGINT)), "
+        "k2 AS MATERIALIZED (SELECT a, b FROM keep "
+        "UNION ALL SELECT b, a FROM keep), "
+        "lab(v, l) AS (SELECT v, v FROM dep UNION "
+        "SELECT k2.b, lab.l FROM lab JOIN k2 ON k2.a = lab.v) "
+        "SELECT v, MIN(l) AS comp FROM lab GROUP BY v")
 
 
 def _triads_sql() -> str:
@@ -5596,6 +5652,7 @@ ORACLE_SQL: dict[str, str] = {
     "tc_approx": _tc_approx_sql(200, 7, 8),
     "triads": _triads_sql(),
     "bridges": _bridges_sql(),
+    "ecc2": _ecc2_sql(),
     "batch_ppr": _batch_ppr_sql([0, 7, 19], 8),
     "wpr10": _wpr_sql(10),
     "host_trustrank": _host_trustrank_sql(8),

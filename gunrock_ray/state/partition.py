@@ -1909,8 +1909,7 @@ class GraphPartition:
     def br_compute(self) -> int:
         """S(x) per owned vertex: XOR of r over incident non-tree edges
         (one vectorized pass over the sym CSR; segment XOR by reduceat)."""
-        us, d_dst, p_dst = self._br_dst
-        del self._br_dst
+        us, d_dst, p_dst = self._br_dst  # kept: br_edges_extract reuses it
         dst = self.col_indices
         src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64),
                             self.out_deg)
@@ -1973,6 +1972,36 @@ class GraphPartition:
             "y": pa.array(np.maximum(c, p), pa.int64()),
             "child": pa.array(c, pa.int64()),
             "bridge": pa.array((self._br_acc[k] == 0).astype(np.int64)),
+        })
+
+    def br_edges_extract(self) -> pa.Table:
+        """Kept (non-bridge) undirected edges of the reachable component,
+        one row each: non-tree edges from this partition's u<v CSR rows,
+        non-bridge TREE edges from the CHILD's owner (it holds acc)."""
+        us, d_dst, p_dst = self._br_dst
+        dst = self.col_indices
+        src_idx = np.repeat(np.arange(len(self.verts), dtype=np.int64),
+                            self.out_deg)
+        u = self.verts[src_idx]
+        pos = np.searchsorted(us, dst) if len(us) else dst[:0]
+        dd = d_dst[pos] if len(us) else dst[:0]
+        pd_ = p_dst[pos] if len(us) else dst[:0]
+        du = self.state["depth"][src_idx]
+        pu = self.state["pred"][src_idx]
+        reach = (du != _BFS_INF) & (dd != _BFS_INF)
+        tree = (pd_ == u) | (pu == dst)
+        nt = reach & ~tree & (u < dst)
+        dep = self.state["depth"]
+        pred = self.state["pred"]
+        k = np.flatnonzero((dep >= 1) & (dep != _BFS_INF) & (pred >= 0)
+                           & (self._br_acc != 0))
+        c = self.verts[k]
+        p = pred[k]
+        return pa.table({
+            "src": pa.array(np.concatenate([u[nt], np.minimum(c, p)]),
+                            pa.int64()),
+            "dst": pa.array(np.concatenate([dst[nt], np.maximum(c, p)]),
+                            pa.int64()),
         })
 
     # ------------------------------------- Wedge-sampled triangle estimate

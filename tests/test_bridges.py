@@ -100,3 +100,45 @@ def test_bridges_partition_invariant(ray_session):
         outs.append(sorted(map(tuple, df[["x", "y", "bridge"]]
                                 .to_numpy().tolist())))
     assert outs[0] == outs[1]
+
+
+def test_two_edge_components_barbell(ray_session):
+    from gunrock_ray.pipelines.graph_algos import two_edge_components
+    # two K4s joined by a path: each K4 is its own 2eCC; path interior
+    # vertices are singleton 2eCCs
+    es = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                es.append((base + i, base + j))
+    es += [(3, 8), (8, 9), (9, 4)]
+    s, d = zip(*es)
+    t = pa.table({"src": pa.array(s, pa.int64()),
+                  "dst": pa.array(d, pa.int64())})
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        labels, ncomp = two_edge_components(g, 0)
+        df = labels.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    comp = dict(zip(df["v"], df["comp"]))
+    assert ncomp == 4
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[4] == comp[5] == comp[6] == comp[7] == 4
+    assert comp[8] == 8 and comp[9] == 9
+
+
+def test_two_edge_components_cycle_is_one(ray_session):
+    from gunrock_ray.pipelines.graph_algos import two_edge_components
+    n = 12
+    t = pa.table({"src": pa.array(list(range(n)), pa.int64()),
+                  "dst": pa.array([(i + 1) % n for i in range(n)],
+                                  pa.int64())})
+    g = build_graph(t, num_partitions=3, undirected=True)
+    try:
+        labels, ncomp = two_edge_components(g, 0)
+        df = labels.to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    assert ncomp == 1
+    assert (df["comp"] == 0).all()
