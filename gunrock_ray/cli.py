@@ -158,6 +158,8 @@ def cmd_run(args) -> dict:
                                                   "edgesim",
                                                   "mis", "coloring", "kcore",
                                                   "c4", "densest",
+                                                  "bridges", "ecc2",
+                                                  "tcapprox",
                                                   "ktruss", "louvain",
                                                   "diameter", "msf",
                                                   "harmonic",
@@ -175,6 +177,44 @@ def cmd_run(args) -> dict:
         summary = {"cmd": "run", "algo": "related", "rows": rows,
                    "k": args.topk, "max_out_degree": args.max_out_degree,
                    "t_run_s": round(t_run, 3)}
+        print(json.dumps(summary))
+        return summary
+    if args.algo in ("linkpred", "mirror", "richclub", "triads"):
+        # dataset-level link-graph ops (no graph build)
+        import pyarrow as _pa
+        import ray.data as _rd
+        t0 = time.perf_counter()
+        if args.algo == "linkpred":
+            from gunrock_ray.functions.linkgraph import adamic_adar_linkpred
+            df = adamic_adar_linkpred(edges, k=args.topk,
+                                      max_degree=args.max_out_degree)
+            out = _rd.from_arrow(_pa.Table.from_pandas(df))
+        elif args.algo == "mirror":
+            from gunrock_ray.functions.linkgraph import mirror_hosts
+            out = mirror_hosts(edges, hosts_per=args.host_contract or 8,
+                               max_in_degree=args.max_out_degree)
+        elif args.algo == "richclub":
+            from gunrock_ray.functions.linkgraph import rich_club
+            out = _rd.from_arrow(_pa.Table.from_pandas(rich_club(edges)))
+        else:
+            import numpy as _np
+            from gunrock_ray.functions.aggregates import \
+                grouped_sums_cogrouped
+            from gunrock_ray.functions.triads import triad_census
+
+            def _ends(t: _pa.Table) -> _pa.Table:
+                v = _np.unique(_np.concatenate(
+                    [t["src"].to_numpy(), t["dst"].to_numpy()]))
+                return _pa.table({"v": _pa.array(v, _pa.int64())})
+
+            n = grouped_sums_cogrouped(
+                edges.map_batches(_ends, batch_format="pyarrow"),
+                ["v"], [], count_as="c").count()
+            out = _rd.from_arrow(_pa.Table.from_pandas(
+                triad_census(edges, n)))
+        rows = _write_result(args.out, out) if args.out else out.count()
+        summary = {"cmd": "run", "algo": args.algo, "rows": rows,
+                   "t_run_s": round(time.perf_counter() - t0, 3)}
         print(json.dumps(summary))
         return summary
     if args.algo == "bmatch":
@@ -277,6 +317,16 @@ def cmd_run(args) -> dict:
         extra.update(best_round=int(best["rnd"]), best_n=int(best["n_act"]),
                      best_m=int(best["m_act"]))
         out = __import__("ray").data.from_arrow(_pa.Table.from_pandas(df))
+    elif args.algo == "bridges":
+        out = ga.bridges(g, args.src, metrics_path=args.metrics)
+    elif args.algo == "ecc2":
+        out, ncomp = ga.two_edge_components(g, args.src,
+                                            metrics_path=args.metrics)
+        extra["num_components"] = ncomp
+    elif args.algo == "tcapprox":
+        r = ga.approx_triangle_count(g, samples=args.samples)
+        extra.update(r)
+        out = None
     elif args.algo == "evc":
         out = ga.eigenvector_centrality(g, max_iter=args.max_iter,
                                         metrics_path=args.metrics)
@@ -936,7 +986,9 @@ def main(argv=None) -> None:
                               "batchppr", "sage", "ego", "recip", "trustrank",
                               "trussdecomp", "pprsweep", "maxmatch",
                               "anf", "bowtie", "related", "treach",
-                              "c4", "densest", "evc"])
+                              "c4", "densest", "evc", "bridges", "ecc2",
+                              "tcapprox", "linkpred", "mirror",
+                              "richclub", "triads"])
     run.add_argument("--input", required=True)
     run.add_argument("--input-format", default="edges",
                      choices=["edges", "corpus", "mtx", "snap", "csv",
@@ -954,6 +1006,8 @@ def main(argv=None) -> None:
                      choices=["hash", "random", "range", "degree"])
     run.add_argument("--partition-seed", type=int, default=0)
     run.add_argument("--src", type=int, default=0)
+    run.add_argument("--samples", type=int, default=200,
+                     help="wedge draws for --algo tcapprox")
     run.add_argument("--dst", type=int, default=1,
                      help="target vertex for --algo astar / sink for maxflow")
     run.add_argument("--sources", default="",
