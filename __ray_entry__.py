@@ -56,7 +56,7 @@ flagship (unrolled twin iteration), the KMV distinct sketch (bit-exact
 integer estimator), PPR sweep-cut local clustering (unrolled PPR +
 window-function sweep), and a SentencePiece-style unigram-LM tokenizer
 whose certificate oracle PROVES per-word Viterbi optimality by dp
-duality. The final round-4 session added eleven more (152 total, all
+duality. The final round-4 session added fourteen more (155 total, all
 SQL-oracled): eigenvector centrality (unrolled power iteration), exact
 4-clique counting, Adamic-Adar link prediction over non-edges, cohort
 retention, a WordPiece tokenizer (exact-integer likelihood merges +
@@ -64,7 +64,10 @@ MaxMatch encode, fully unrolled in SQL with HUGEINT scores), Bahmani
 densest-subgraph peeling, Bharat-Broder mirror-host detection,
 hop-bounded Bellman-Ford with negative weights, the wedge-sampled
 triangle estimator (bit-reproducible counter-based draws), event-type
-Markov transitions, and rich-club coefficients.
+Markov transitions, rich-club coefficients, the full 16-class
+Holland-Leinhardt directed triad census, deterministic XOR-hash bridge
+detection, and 2-edge-connected components (bridges composed with the
+engine's distributed CC).
 """
 
 from __future__ import annotations
