@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triads": r.q_triads,                            # NEW round 4
         "bridges": r.q_bridges,                          # NEW round 4
         "ecc2": r.q_ecc2,                                # NEW round 4
+        "widest_path": r.q_widest_path,                  # NEW round 4
         # -- (3) exactly one green driver round (round-2 additions) -------
         "bc_dep": r.q_bc_dep,
         "cms_users": r.q_cms_users,

@@ -2723,6 +2723,32 @@ def bellman_ford(graph: DistributedGraph, src: int, *, rounds: int,
     return g.extract("bf_extract")
 
 
+def widest_path(graph: DistributedGraph, src: int, *,
+                metrics_path: str | None = None):
+    """Widest-path / max-bottleneck capacities from ``src``: cap(v) =
+    max over paths of the minimum edge weight (the max-min dual of
+    :func:`sssp`'s min-plus semiring — the classic network-capacity /
+    max-bandwidth-route query). Delta-frontier relaxation with MAX
+    combine runs to the monotone fixpoint. Graph should be built
+    weighted. Returns Dataset {v, cap} over reachable vertices; the
+    source reports the 2^62 infinite-bottleneck sentinel."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("wp_init", int(src))
+    it = 0
+    while True:
+        t0 = time.perf_counter()
+        res, _ = g.superstep("wp_scatter", "wp_apply")
+        frontier = sum(r["frontier"] for r in res)
+        metrics.write(algo="widest_path", superstep=it, frontier=frontier,
+                      t_superstep_s=time.perf_counter() - t0)
+        it += 1
+        if frontier == 0:
+            break
+    metrics.close()
+    return g.extract("wp_extract")
+
+
 def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
          multi_level: bool = False, metrics_path: str | None = None):
     """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with

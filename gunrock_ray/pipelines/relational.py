@@ -434,6 +434,22 @@ def derived_edges_weighted(sf_dir: str):
     return derived_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
 
 
+def q_widest_path(sf_dir: str):
+    """Widest-path (max-bottleneck) capacities from vertex 0 over the
+    weighted derived edges (graph_algos.widest_path, max-min semiring to
+    fixpoint) — integer capacities, source sentinel 2^62. SQL-checked
+    against the recursive max-of-min closure (state space bounded by the
+    64 distinct weights, so the CTE terminates exactly)."""
+    from gunrock_ray.pipelines.graph_algos import build_graph, widest_path
+    g = build_graph(derived_edges_weighted(sf_dir), num_partitions=8,
+                    weighted=True)
+    try:
+        df = widest_path(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    return df.sort_values("v").reset_index(drop=True)
+
+
 def _sssp_weighted_df(sf_dir: str, delta: float | None,
                       multi_level: bool = False):
     from gunrock_ray.pipelines.graph_algos import build_graph, sssp
@@ -5649,6 +5665,15 @@ ORACLE_SQL: dict[str, str] = {
     "evc8": _evc_sql(8),
     "densest": _dsg_sql(12),
     "bellman_ford": _bf_sql(_BF_ROUNDS),
+    "widest_path": (
+        f"WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst, "
+        f"{_W_EXPR} AS w FROM ({_NORM_SQL})), "
+        "wp(v, c) AS (SELECT CAST(0 AS BIGINT), "
+        "CAST(4611686018427387904 AS BIGINT) "
+        "UNION SELECT e.dst, LEAST(wp.c, CAST(e.w AS BIGINT)) "
+        "FROM wp JOIN e ON e.src = wp.v) "
+        "SELECT v, MAX(c) AS cap FROM wp GROUP BY v"
+    ),
     "tc_approx": _tc_approx_sql(200, 7, 8),
     "triads": _triads_sql(),
     "bridges": _bridges_sql(),

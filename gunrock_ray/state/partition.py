@@ -1367,6 +1367,51 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "dist": pa.array(self.state["dist"], pa.float64())})
 
+    # --------------------------------------- Widest path (max-bottleneck)
+    # cap(v) = max over src→v paths of the minimum edge weight along the
+    # path (bottleneck shortest path — the max-min dual of SSSP's
+    # min-plus). Monotone-increasing relaxation over the same delta
+    # frontier; terminates in ≤ |distinct weights|·diameter supersteps.
+
+    def wp_init(self, src_vertex: int) -> None:
+        cap = np.zeros(len(self.verts), dtype=np.float64)
+        self._frontier = np.zeros(0, dtype=np.int64)
+        pos = np.searchsorted(self.verts, src_vertex)
+        if pos < len(self.verts) and self.verts[pos] == src_vertex:
+            cap[pos] = float(1 << 62)  # the source's infinite bottleneck
+            self._frontier = np.array([pos], dtype=np.int64)
+        self.state["wcap"] = cap
+
+    @_scatter_timed
+    def wp_scatter(self):
+        src_li, dst, eidx = self._frontier_edges()
+        w = (self.edge_w[eidx] if self.edge_w is not None
+             else np.ones(len(eidx)))
+        return self._pack_combined(
+            dst, np.minimum(self.state["wcap"][src_li], w), "max")
+
+    @_apply_timed
+    def wp_apply(self, *packs) -> dict:
+        cap = self.state["wcap"]
+        improved: list[np.ndarray] = []
+        for pk in packs:
+            ids = self._unpack_mine(pk, 0)
+            vals = self._unpack_mine(pk, 1)
+            if len(ids):
+                li = self._lidx(ids)
+                better = vals > cap[li]
+                cap[li[better]] = vals[better]
+                improved.append(li[better])
+        f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
+        self._frontier = f
+        return {"frontier": int(len(f))}
+
+    def wp_extract(self) -> pa.Table:
+        cap = self.state["wcap"]
+        k = cap > 0
+        return pa.table({"v": pa.array(self.verts[k], pa.int64()),
+                         "cap": pa.array(cap[k].astype(np.int64))})
+
     def bf_extract(self) -> pa.Table:
         """Bellman-Ford terminal extract: reachable vertices with their
         hop-bounded distance plus the last-round-improved flag (= the

@@ -387,3 +387,60 @@ def test_bellman_ford_negative_cycle_witness(ray_session):
     assert dist[1] == -8 and dist[2] == -6 and dist[3] == 0
     assert fall[2] == 1 and fall[1] == 0
     assert fall[0] == 0
+
+
+def test_widest_path_vs_fixpoint_ref(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from gunrock_ray import build_graph
+    from gunrock_ray.pipelines.graph_algos import widest_path
+    from gunrock_ray.sources import generators as gen
+    t = gen.rmat_table(7, edge_factor=8)
+    s = t["src"].to_numpy()
+    d = t["dst"].to_numpy()
+    keep = s != d
+    sd = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+    s, d = sd[:, 0], sd[:, 1]
+    w = ((s * 31 + d * 17) % 64 + 1).astype(np.float64)
+    g = build_graph(pa.table({"src": pa.array(s), "dst": pa.array(d),
+                              "w": pa.array(w)}),
+                    num_partitions=5, weighted=True)
+    try:
+        out = widest_path(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    BIG = float(1 << 62)
+    cap = np.zeros(138)
+    cap[0] = BIG
+    changed = True
+    while changed:
+        changed = False
+        for u, v, ww in zip(s, d, w):
+            c = min(cap[u], ww)
+            if c > cap[v]:
+                cap[v] = c
+                changed = True
+    got = dict(zip(out["v"], out["cap"]))
+    for v in range(138):
+        if cap[v] > 0:
+            assert got[v] == int(cap[v])
+        else:
+            assert v not in got
+    assert got[0] == 1 << 62
+
+
+def test_widest_path_bottleneck_choice(ray_session):
+    import pyarrow as pa
+    from gunrock_ray import build_graph
+    from gunrock_ray.pipelines.graph_algos import widest_path
+    # two routes 0->3: wide-long (w 9,8,7) beats narrow-short (w 2)
+    t = pa.table({"src": pa.array([0, 1, 2, 0], type="int64"),
+                  "dst": pa.array([1, 2, 3, 3], type="int64"),
+                  "w": pa.array([9.0, 8.0, 7.0, 2.0])})
+    g = build_graph(t, num_partitions=2, weighted=True)
+    try:
+        out = widest_path(g, 0).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    got = dict(zip(out["v"], out["cap"]))
+    assert got[3] == 7 and got[1] == 9 and got[2] == 8
