@@ -1,0 +1,70 @@
+"""Stress the round-4 final-session operators at bench scale: 4-cliques,
+wedge-sampled TC, bridges+2eCC, densest peel, EVC and triad census on the
+scale-18/20 R-MAT; WordPiece train+encode on a 100k-doc synthetic corpus.
+Prints one JSON line per probe with wall time and driver RSS."""
+
+import json
+import os
+import resource
+import time
+
+import ray
+
+ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 32)),
+         include_dashboard=False, logging_level="ERROR",
+         _system_config={"idle_worker_killing_time_threshold_ms": 1000,
+                         "num_workers_soft_limit": 8})
+from ray.data import DataContext  # noqa: E402
+
+DataContext.get_current().enable_progress_bars = False
+
+from gunrock_ray.pipelines.graph_algos import (  # noqa: E402
+    approx_triangle_count, bridges, build_graph, densest_subgraph,
+    eigenvector_centrality, four_clique_count, triangle_count,
+    two_edge_components)
+from gunrock_ray.sources.generators import rmat_dataset  # noqa: E402
+
+
+def rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
+def probe(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    print(json.dumps({"probe": name, "wall_s": round(time.perf_counter() - t0, 2),
+                      "driver_rss_mb": rss_mb(), "out": out}), flush=True)
+
+
+g18 = build_graph(rmat_dataset(18, 16, override_num_blocks=32),
+                  num_partitions=16, undirected=True)
+probe("tc18_exact", lambda: {"tri": triangle_count(g18), "m": g18.m})
+probe("tc18_approx20k", lambda: approx_triangle_count(g18, samples=20000))
+probe("c4_scale18", lambda: {"c4": four_clique_count(g18)})
+probe("densest18", lambda: densest_subgraph(g18, max_rounds=20)
+      .to_dict("records")[-1])
+probe("bridges18", lambda: {"tree_edges": bridges(g18).count()})
+probe("ecc2_18", lambda: {"ncomp": two_edge_components(g18)[1]})
+g18.shutdown(remove_spill=True)
+
+g20 = build_graph(rmat_dataset(20, 16, override_num_blocks=64),
+                  num_partitions=16)
+probe("evc20_10it", lambda: {"rows": eigenvector_centrality(
+    g20, max_iter=10).count(), "m": g20.m})
+g20.shutdown(remove_spill=True)
+
+from gunrock_ray.functions.wordpiece import (train_wordpiece,  # noqa: E402
+                                             wordpiece_encode)
+from gunrock_ray.sources.corpus import synthetic_documents  # noqa: E402
+
+
+def wp_stress(n_docs):
+    docs = synthetic_documents(n_docs)
+    merges, vocab = train_wordpiece(docs, num_merges=50, num_shards=16)
+    enc = wordpiece_encode(docs, vocab)
+    return {"docs": n_docs, "merges": len(merges), "vocab": len(vocab),
+            "tokens": int(enc.to_pandas()["n_tokens"].sum())}
+
+
+probe("wordpiece_100k", lambda: wp_stress(100_000))
+ray.shutdown()
