@@ -87,17 +87,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gunrock_ray.pipelines import relational as r
 
     # ORDERING CONTRACT: the driver oracles only the FIRST 50 entries of
-    # this dict (observed in rounds 1-3). Entries are ordered by driver-
-    # coverage debt (VERDICT.md round-3 item 1): (1) the late-round-3
-    # queries never yet driver-checked (SQL-oracled, judge-verified green
-    # locally in round 3), (2) the 13 queries upgraded from rows-only to
-    # SQL/certificate-checked THIS round — none has ever had a hash-green
-    # driver row, (3) queries with exactly ONE green driver round so far,
-    # (4) everything with >=2 green rounds last (they spill past slot 50;
-    # every one already has green rows from rounds 1-3). SURVEY.md §8.1
-    # is the cross-round ledger.
+    # this dict (observed in rounds 1-4). Entries are ordered by driver-
+    # coverage debt (VERDICT.md round-4 item 2): (1) the 19 late-round-4
+    # queries that never fit a driver window (each judge-verified green
+    # at sf0.001 in round 4 plus a dtype-strict check_contract run at
+    # sf0.01), (2) the three formerly rows-only convergence queries
+    # (hits/salsa/bc, upgraded to stop-replay SQL unrolls late round 4 —
+    # judge-verified, never driver-hashed), (3) the oldest single-green
+    # cohort (round-2 additions, green only in round 3), (4) the
+    # dtype-bug cohort (red r2, green r3), (5) everything with >=2 green
+    # rounds last. SURVEY.md §8.1 is the cross-round ledger.
     return {
-        # -- (1) never driver-oracled (late-round-3 cohort) ---------------
+        # -- (1) never driver-oracled (late-round-4 cohort, 19) -----------
+        "bowtie": r.q_bowtie,
+        "related": r.q_related,
+        "butterflies": r.q_butterflies,
+        "temporal_reach": r.q_temporal_reach,
+        "evc8": r.q_evc8,
+        "clique4": r.q_clique4,
+        "linkpred_aa": r.q_linkpred_aa,
+        "events_retention": r.q_events_retention,
+        "wordpiece_tokens": r.q_wordpiece_tokens,
+        "densest": r.q_densest,
+        "mirror_hosts": r.q_mirror_hosts,
+        "bellman_ford": r.q_bellman_ford,
+        "tc_approx": r.q_tc_approx,
+        "events_transitions": r.q_events_transitions,
+        "rich_club": r.q_rich_club,
+        "triads": r.q_triads,
+        "bridges": r.q_bridges,
+        "ecc2": r.q_ecc2,
+        "widest_path": r.q_widest_path,
+        # -- (2) convergence trio: stop-replay SQL unrolls, judge-green
+        # round 4 but never hash-checked by a driver round ---------------
+        "hits": r.q_hits,
+        "salsa": r.q_salsa,
+        "bc": r.q_bc,
+        # -- (3) oldest single-green cohort (round-2 additions; last and
+        # only driver-green row is round 3) ------------------------------
+        "bc_dep": r.q_bc_dep,
+        "cms_users": r.q_cms_users,
+        "cust_no_orders_anti": r.q_cust_no_orders_anti,
+        "cust_orders_left": r.q_cust_orders_left,
+        "cust_orders_semi": r.q_cust_orders_semi,
+        "distinct_users_by_type": r.q_distinct_users_by_type,
+        "distinct_users_hll": r.q_distinct_users_hll,
+        "doc_redact": r.q_doc_redact,
+        "events_asof": r.q_events_asof,
+        "events_range": r.q_events_range,
+        "events_sessions": r.q_events_sessions,
+        "hits_gr5": r.q_hits_gr5,
+        "hll_registers": r.q_hll_registers,
+        "lineitem_orders_join": r.q_lineitem_orders_join,
+        "orders_cust_join": r.q_orders_cust_join,
+        "rwalks": r.q_rwalks,
+        "salsa_gr3": r.q_salsa_gr3,
+        "user_topk_events": r.q_user_topk_events,
+        "wtf_cot": r.q_wtf_cot,
+        # -- (4) dtype-bug cohort: red r2, green r3 (one green round) -----
+        "kcore": r.q_kcore,
+        "events_window": r.q_events_window,
+        "events_hopping": r.q_events_hopping,
+        "events_cumsum": r.q_events_cumsum,
+        "lineitem_agg": r.q_lineitem_agg,
+        # -- (5 head) oldest >=2-green entries to fill the window ---------
+        "doc_token_stats": r.q_doc_token_stats,
+        "ann_top5": r.q_ann_top5,
+        "ngram_jaccard": r.q_ngram_jaccard,
+        "embed_near_dup": r.q_embed_near_dup,
+        # ---- driver window (50) ends here: 19 + 3 + 19 + 5 + 4 ----------
+        # Round-3/4 cohorts with green driver rows in round 4 (all 50 of
+        # r04's window passed rows+schema+hash):
         "harmonic64": r.q_harmonic64,
         "node2vec": r.q_node2vec,
         "ecc_all": r.q_ecc_all,
@@ -119,9 +179,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_sim": r.q_edge_sim,
         "embed_cov": r.q_embed_cov,
         "maxflow": r.q_maxflow,
-        # -- (2) upgraded rows-only -> SQL-checked this round: Lloyd /
-        # BPE / LM / DSIR full unrolls, duality (min-cut, König) and
-        # quality (eigen, label, recall) certificates -----------------
         "bpe_tokens": r.q_bpe_tokens,
         "embed_pca": r.q_embed_pca,
         "louvain": r.q_louvain,
@@ -135,76 +192,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_top5": r.q_ann_ivfpq_top5,
         "embed_near_dup_lsh": r.q_embed_near_dup_lsh,
         "embed_near_dup_semantic": r.q_embed_near_dup_semantic,
-        "doc_domain_clf": r.q_doc_domain_clf,   # NEW round 4: never checked
-        "value_quantiles_kll": r.q_value_quantiles_kll,  # NEW round 4
-        "events_lag": r.q_events_lag,                    # NEW round 4
-        "events_moving_sum": r.q_events_moving_sum,      # NEW round 4
-        "orders_top3": r.q_orders_top3,                  # NEW round 4
-        "orders_rollup": r.q_orders_rollup,              # NEW round 4
-        "host_trustrank": r.q_host_trustrank,            # NEW round 4
-        "kmv_users": r.q_kmv_users,                      # NEW round 4
-        "ppr_sweep": r.q_ppr_sweep,                      # NEW round 4
-        "unigram_tokens": r.q_unigram_tokens,            # NEW round 4
-        "redirects": r.q_redirects,                      # NEW round 4
-        "events_funnel": r.q_events_funnel,              # NEW round 4
-        "truss_decomp": r.q_truss_decomp,                # NEW round 4
-        "maxmatch": r.q_maxmatch,                        # NEW round 4
-        "anf": r.q_anf,                                  # NEW round 4
-        "anf_closeness": r.q_anf_closeness,              # NEW round 4
-        # ---- driver window (50) ends here: 21 + 29 ----------------------
-        # Never-checked round-4 entries that did not fit the 50-slot
-        # window (each carries a green dtype-strict check_contract run
-        # at sf0.01 plus a dedicated pytest; SURVEY §8.1 records them):
-        "bowtie": r.q_bowtie,                            # NEW round 4
-        "related": r.q_related,                          # NEW round 4
-        "butterflies": r.q_butterflies,                  # NEW round 4
-        "temporal_reach": r.q_temporal_reach,            # NEW round 4
-        "evc8": r.q_evc8,                                # NEW round 4
-        "clique4": r.q_clique4,                          # NEW round 4
-        "linkpred_aa": r.q_linkpred_aa,                  # NEW round 4
-        "events_retention": r.q_events_retention,        # NEW round 4
-        "wordpiece_tokens": r.q_wordpiece_tokens,        # NEW round 4
-        "densest": r.q_densest,                          # NEW round 4
-        "mirror_hosts": r.q_mirror_hosts,                # NEW round 4
-        "bellman_ford": r.q_bellman_ford,                # NEW round 4
-        "tc_approx": r.q_tc_approx,                      # NEW round 4
-        "events_transitions": r.q_events_transitions,    # NEW round 4
-        "rich_club": r.q_rich_club,                      # NEW round 4
-        "triads": r.q_triads,                            # NEW round 4
-        "bridges": r.q_bridges,                          # NEW round 4
-        "ecc2": r.q_ecc2,                                # NEW round 4
-        "widest_path": r.q_widest_path,                  # NEW round 4
-        # -- (3) exactly one green driver round (round-2 additions) -------
-        "bc_dep": r.q_bc_dep,
-        "cms_users": r.q_cms_users,
-        "cust_no_orders_anti": r.q_cust_no_orders_anti,
-        "cust_orders_left": r.q_cust_orders_left,
-        "cust_orders_semi": r.q_cust_orders_semi,
-        "distinct_users_by_type": r.q_distinct_users_by_type,
-        "distinct_users_hll": r.q_distinct_users_hll,
-        "doc_redact": r.q_doc_redact,
-        "events_asof": r.q_events_asof,
-        "events_range": r.q_events_range,
-        "events_sessions": r.q_events_sessions,
-        "hits_gr5": r.q_hits_gr5,
-        "hll_registers": r.q_hll_registers,
-        "lineitem_orders_join": r.q_lineitem_orders_join,
-        "orders_cust_join": r.q_orders_cust_join,
-        "rwalks": r.q_rwalks,
-        "salsa_gr3": r.q_salsa_gr3,
-        "user_topk_events": r.q_user_topk_events,
-        "wtf_cot": r.q_wtf_cot,
-        # -- (3b) dtype-bug cohort: red r2, green r3 (one green round) ----
-        "kcore": r.q_kcore,
-        "events_window": r.q_events_window,
-        "events_hopping": r.q_events_hopping,
-        "events_cumsum": r.q_events_cumsum,
-        "lineitem_agg": r.q_lineitem_agg,
-        # -- (4) >=2 green driver rounds / green round 3 -------------------
-        "doc_token_stats": r.q_doc_token_stats,
-        "ann_top5": r.q_ann_top5,
-        "ngram_jaccard": r.q_ngram_jaccard,
-        "embed_near_dup": r.q_embed_near_dup,
+        "doc_domain_clf": r.q_doc_domain_clf,
+        "value_quantiles_kll": r.q_value_quantiles_kll,
+        "events_lag": r.q_events_lag,
+        "events_moving_sum": r.q_events_moving_sum,
+        "orders_top3": r.q_orders_top3,
+        "orders_rollup": r.q_orders_rollup,
+        "host_trustrank": r.q_host_trustrank,
+        "kmv_users": r.q_kmv_users,
+        "ppr_sweep": r.q_ppr_sweep,
+        "unigram_tokens": r.q_unigram_tokens,
+        "redirects": r.q_redirects,
+        "events_funnel": r.q_events_funnel,
+        "truss_decomp": r.q_truss_decomp,
+        "maxmatch": r.q_maxmatch,
+        "anf": r.q_anf,
+        "anf_closeness": r.q_anf_closeness,
         "minhash_near_dup": r.q_minhash_near_dup,
         "doc_decontam": r.q_doc_decontam,
         "doc_bloom_decontam": r.q_doc_bloom_decontam,
@@ -259,9 +262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_top20": r.q_pr_top20,
         "lp_labels": r.q_lp_labels,
         "sssp_dists": r.q_sssp_dists,
-        "hits": r.q_hits,
-        "salsa": r.q_salsa,
-        "bc": r.q_bc,
         "doc_sha": r.q_doc_sha,
         "doc_exact_dedup": r.q_doc_exact_dedup,
     }
