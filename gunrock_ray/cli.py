@@ -313,9 +313,14 @@ def cmd_run(args) -> dict:
     elif args.algo == "densest":
         import pyarrow as _pa
         df = ga.densest_subgraph(g, metrics_path=args.metrics)
-        best = df[df["best"] == 1].iloc[0]
-        extra.update(best_round=int(best["rnd"]), best_n=int(best["n_act"]),
-                     best_m=int(best["m_act"]))
+        best_rows = df[df["best"] == 1]
+        if len(best_rows):
+            best = best_rows.iloc[0]
+            extra.update(best_round=int(best["rnd"]),
+                         best_n=int(best["n_act"]),
+                         best_m=int(best["m_act"]))
+        else:  # edgeless input: peel trace is empty
+            extra.update(best_round=0, best_n=0, best_m=0)
         out = __import__("ray").data.from_arrow(_pa.Table.from_pandas(df))
     elif args.algo == "bridges":
         out = ga.bridges(g, args.src, metrics_path=args.metrics)

@@ -54,8 +54,14 @@ def grouped_sums_cogrouped(ds, keys: list[str], sum_cols: list[str],
     ``group_by`` kernel each — instead of Ray's sort-based aggregate,
     which sorts the full partial set and wins nothing when keys are
     near-unique (the `_bucketed_window_sum` lesson: measured 4-7× there,
-    2.5-8× on the host-quotient contraction at 16.6M page edges). Same
-    exactness contract: integer partials, order-insensitive."""
+    2.5-8× on the host-quotient contraction at 16.6M page edges).
+
+    Exactness precondition: "identical result" to :func:`grouped_sums`
+    holds for INTEGER (or integer-valued-float) ``sum_cols`` only, where
+    summation is order-insensitive. For arbitrary float64 columns the
+    two paths reduce in different orders and may differ in the last ulp
+    (the Louvain call site passes integer-valued floats and documents
+    this)."""
     import numpy as np
 
     from gunrock_ray.common import default_num_buckets, mix64

@@ -386,9 +386,13 @@ def adamic_adar_linkpred(edges_ds, *, k: int = 50, max_degree: int = 64,
     drop (the anti-join), then each bucket emits only its local top-k;
     (3) the driver merges ≤ buckets·k rows and keeps the global top-k
     (the ANN partial-top-k merge shape — never the full pair table).
-    Scores order by the 1e-6 integer scale (aa_u6 desc, a, b) so
-    tie-breaks are exact at any parallelism. Returns a pandas DataFrame
-    {a, b, cn, aa_u6, rnk}."""
+    Scores order by the 1e-6 integer scale (aa_u6 desc, a, b).
+    Quantization caveat (same regime as evc_u6): aa_u6 rounds a float64
+    SUM whose addition order (reduceat over Ray-delivered partials vs
+    DuckDB SUM) is not fixed, so a score landing within ~1 ulp of a
+    .5e-6 rounding boundary can differ by 1 between parallelism levels
+    or vs the SQL twin; tie-breaks among EQUAL aa_u6 values are exact.
+    Returns a pandas DataFrame {a, b, cn, aa_u6, rnk}."""
     from gunrock_ray.common import (default_num_buckets, mix64,
                                     segment_starts)
     nb = default_num_buckets(num_buckets)

@@ -1026,10 +1026,14 @@ def bridges(graph: DistributedGraph, src: int = 0, *,
     the cycle-space hashing of Ahn-Guha-McGregor sketches made exact-
     deterministic with counter-based mix64 edge values): run BFS with
     predecessors, XOR each vertex's incident non-tree edge hashes, fold
-    the XORs up the BFS tree in depth(BFS) supersteps — a tree edge is a
-    bridge iff its child subtree's XOR is zero (no cycle covers it;
-    false-negative probability 2^-64 per edge, shared bit-for-bit by the
-    SQL twin). Graph must be built undirected. Returns a Dataset
+    the XORs up the BFS tree in depth(BFS) supersteps — a tree edge is
+    reported a bridge iff its child subtree's XOR is zero. Error mode:
+    hash cancellation can zero the XOR of a covered tree edge, FALSELY
+    REPORTING a non-bridge as a bridge (~2^-64 per tree edge); true
+    bridges are never missed. The mix64 edge values are deterministic
+    (counter-based), so the collision set is fixed per input — not
+    per-run random — and is shared bit-for-bit by the SQL twin. Graph
+    must be built undirected. Returns a Dataset
     {x, y, child, bridge} with one row per BFS-tree edge; non-tree edges
     are never bridges, so the bridge set is exactly the bridge==1 rows."""
     g = graph

@@ -253,14 +253,22 @@ def test_equi_join_property_vs_pandas_merge(lkeys, rkeys, how):
     L = pd.DataFrame({"k": lkeys, "lv": range(len(lkeys))})
     R = pd.DataFrame({"rk": rkeys, "rv": [v * 10 for v in range(len(rkeys))]})
     pd_how = "outer" if how == "full" else how
-    exp = L.merge(R, left_on="k", right_on="rk", how=pd_how).fillna(-1)
+
+    def _fill(df):
+        # future.no_silent_downcasting + infer_objects: the post-2.x
+        # fillna contract (no deprecated silent object downcast)
+        with pd.option_context("future.no_silent_downcasting", True):
+            return df.fillna(-1).infer_objects(copy=False)
+
+    exp = _fill(L.merge(R, left_on="k", right_on="rk", how=pd_how))
 
     lds = ray.data.from_pandas(L)
-    got_h = hash_join(lds, ray.data.from_pandas(R), on="k", right_on="rk",
-                      how=how, num_buckets=4).to_pandas().fillna(-1)
+    got_h = _fill(hash_join(lds, ray.data.from_pandas(R), on="k",
+                            right_on="rk", how=how,
+                            num_buckets=4).to_pandas())
     if how in ("inner", "left"):
-        got_b = broadcast_join(lds, pa.Table.from_pandas(R), on="k",
-                               right_on="rk", how=how).to_pandas().fillna(-1)
+        got_b = _fill(broadcast_join(lds, pa.Table.from_pandas(R), on="k",
+                                     right_on="rk", how=how).to_pandas())
     else:
         got_b = got_h
     if len(exp) == 0:  # empty frames: schemas may trivially differ
