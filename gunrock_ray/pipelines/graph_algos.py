@@ -132,18 +132,21 @@ def plan_partitioning(edges, P: int, method: str = "hash", *, seed: int = 0,
 def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
                 num_partitions: int | None = None, spill_dir: str | None = None,
                 with_in_edges: bool = False, partition_method: str = "hash",
-                partition_seed: int = 0) -> DistributedGraph:
+                partition_seed: int = 0, spill_fs=None) -> DistributedGraph:
     """with_in_edges also builds the inverse CSR per partition (the
     reference's CSC, `gunrock/gunrock.h:67-68`) — required by HITS, SALSA,
     WTF and betweenness centrality. ``partition_method`` selects the
-    vertex→owner function (see :func:`plan_partitioning`)."""
+    vertex→owner function (see :func:`plan_partitioning`). ``spill_dir``
+    may be a path or a ``file://``/``s3://``/... URI (shared storage on
+    multi-node clusters); ``spill_fs`` pins an explicit pyarrow
+    FileSystem."""
     P = num_partitions or default_partitions()
     part = plan_partitioning(edges, P, partition_method, seed=partition_seed,
                              undirected=undirected)
     return DistributedGraph.from_edges(
         edges, P, spill_dir,
         undirected=undirected, weighted=weighted, vertices=vertices,
-        with_in_edges=with_in_edges, partitioner=part)
+        with_in_edges=with_in_edges, partitioner=part, spill_fs=spill_fs)
 
 
 # ------------------------------------------- cluster ("locality") partitioning

@@ -1,0 +1,130 @@
+"""Filesystem-agnostic spill/checkpoint I/O (pyarrow.fs).
+
+Every durable artifact the engine shares between the driver and the
+partition actors — the hive-partitioned edge/vertex spill, the
+``partitioner.json`` build manifest, per-partition checkpoints and
+``lineage.json`` — goes through these helpers, so a spill root may be a
+plain local path, a ``file://``/``s3://``/``hdfs://`` URI, or an
+explicit :class:`pyarrow.fs.FileSystem` + path pair. On a multi-node
+cluster the spill root MUST live on storage visible to every node
+(object store / NFS); the build manifest records per-partition row
+counts precisely so that a node-local misread fails loudly (see
+:func:`read_shard`) instead of silently treating a missing shard as an
+empty one.
+
+The reference's analog is the binary CSR cache (`gunrock/csr.cuh:
+244-266` / `412-451`), which is likewise a durable artifact keyed to the
+input; it has no multi-node story, so the manifest/row-count contract
+here is new design, not a port.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+
+def resolve_fs(path: str, filesystem: "pafs.FileSystem | None" = None):
+    """Return ``(FileSystem, path)`` for a plain path, a URI, or an
+    explicit filesystem + path. The returned path never carries a
+    scheme."""
+    if filesystem is not None:
+        return filesystem, path
+    if isinstance(path, str) and "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def join(*parts: str) -> str:
+    """Path join for fs paths and URIs (always '/')."""
+    return posixpath.join(*parts)
+
+
+def mkdirs(fs: pafs.FileSystem, path: str) -> None:
+    fs.create_dir(path, recursive=True)
+
+
+def rmtree(fs: pafs.FileSystem, path: str) -> None:
+    """Best-effort recursive delete (missing path is fine)."""
+    try:
+        fs.delete_dir(path)
+    except (FileNotFoundError, OSError, pa.ArrowIOError):
+        pass
+
+
+def write_json(fs: pafs.FileSystem, path: str, obj: dict) -> None:
+    """Durable JSON write; atomic rename where the fs supports it (local),
+    plain overwrite elsewhere (object stores commit whole objects)."""
+    data = json.dumps(obj, indent=1).encode()
+    tmp = path + ".tmp"
+    try:
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        fs.move(tmp, path)
+    except (OSError, pa.ArrowIOError, NotImplementedError):
+        with fs.open_output_stream(path) as f:
+            f.write(data)
+
+
+def read_json(fs: pafs.FileSystem, path: str) -> dict | None:
+    try:
+        with fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
+    except (FileNotFoundError, OSError, pa.ArrowIOError):
+        return None
+
+
+def list_parquet(fs: pafs.FileSystem, d: str) -> list[str]:
+    """Sorted *.parquet paths directly under ``d`` ([] if absent)."""
+    sel = pafs.FileSelector(d, recursive=False, allow_not_found=True)
+    infos = fs.get_file_info(sel)
+    return sorted(fi.path for fi in infos
+                  if fi.type == pafs.FileType.File
+                  and fi.path.endswith(".parquet"))
+
+
+def read_shard(root: str, pid: int, columns: list[str],
+               filesystem: "pafs.FileSystem | None" = None,
+               expect_rows: int | None = None) -> pa.Table | None:
+    """Read hive shard ``root/pid=<pid>`` (all parquet files, given
+    columns). ``expect_rows`` is the build manifest's durable row count
+    for this shard: when set, a missing or short shard RAISES instead of
+    reading as empty — on a multi-node cluster a node-local spill path
+    makes other nodes see an empty directory, which without this check
+    is silent data loss, not an error."""
+    fs, rootp = resolve_fs(root, filesystem)
+    files = list_parquet(fs, join(rootp, f"pid={pid}"))
+    t = None
+    if files:
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=columns, filesystem=fs)
+             for f in files])
+    if expect_rows is not None:
+        got = t.num_rows if t is not None else 0
+        if got != expect_rows:
+            raise RuntimeError(
+                f"spill shard {rootp}/pid={pid} holds {got} rows but the "
+                f"build manifest records {expect_rows} — shard missing or "
+                f"truncated. On multi-node clusters the spill dir must be "
+                f"on shared storage (s3://... or NFS), not a node-local "
+                f"path.")
+    return t
+
+
+def shard_row_counts(fs: pafs.FileSystem, root: str, P: int) -> dict:
+    """Per-pid durable row counts of a hive-partitioned spill, from
+    parquet FOOTERS only (no data read; one metadata fetch per file).
+    Run once at build time on the driver; the result is the manifest
+    against which every actor-side shard read is verified."""
+    counts: dict[str, int] = {}
+    for p in range(P):
+        n = 0
+        for f in list_parquet(fs, join(root, f"pid={p}")):
+            with fs.open_input_file(f) as fh:
+                n += pq.ParquetFile(fh).metadata.num_rows
+        counts[str(p)] = n
+    return counts

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
@@ -40,6 +39,7 @@ import ray
 
 from gunrock_ray.common import Partitioner
 from gunrock_ray.sources.ingest import normalize_edges
+from gunrock_ray.state import fsio
 from gunrock_ray.state.partition import GraphPartition
 
 
@@ -53,10 +53,13 @@ def _as_dataset(edges):
 class DistributedGraph:
     def __init__(self, actors, num_partitions: int, spill_dir: str, weighted: bool,
                  n_global: int, m_global: int, with_in_edges: bool = False,
-                 partitioner: Partitioner | None = None):
+                 partitioner: Partitioner | None = None, spill_fs=None):
         self.actors = actors
         self.P = num_partitions
         self.spill_dir = spill_dir
+        # spill_fs: explicit pyarrow FileSystem for the spill root (None ⇒
+        # resolved from spill_dir, which may be a plain path or a URI)
+        self.spill_fs = spill_fs
         self.weighted = weighted
         self.n = n_global
         self.m = m_global
@@ -85,49 +88,87 @@ class DistributedGraph:
                    undirected: bool = False, weighted: bool = False,
                    vertices=None, num_cpus_per_actor: float = 0,
                    with_in_edges: bool = False,
-                   partitioner: Partitioner | None = None) -> "DistributedGraph":
+                   partitioner: Partitioner | None = None,
+                   spill_fs=None) -> "DistributedGraph":
         """edges: Ray Dataset or Arrow table with columns src,dst[,w];
         vertices: optional Dataset/table with column v (for isolated vertices,
         mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`);
         partitioner: vertex→owner function (default hash — see
-        gunrock_ray.common.Partitioner for the --partition-method family)."""
+        gunrock_ray.common.Partitioner for the --partition-method family).
+        spill_dir may be a plain path or a ``file://``/``s3://``/... URI;
+        spill_fs optionally pins an explicit pyarrow FileSystem. On a
+        multi-node cluster the spill root MUST be shared storage — the
+        build manifest's per-shard row counts make any node-local misread
+        fail loudly at actor build time instead of silently losing edges."""
         import ray.data
 
         P = num_partitions
         part = partitioner or Partitioner(P)
         spill_dir = spill_dir or os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
-        shutil.rmtree(spill_dir, ignore_errors=True)
+        fs, root = fsio.resolve_fs(spill_dir, spill_fs)
+        fsio.rmtree(fs, root)
 
         if isinstance(edges, pa.Table) and edges.num_rows <= 200_000:
             # small in-memory input: spill directly from the driver (same
             # layout, no Ray Data jobs) — test/fixture fast path
-            DistributedGraph._spill_small(edges, part, spill_dir, undirected, weighted, vertices)
+            DistributedGraph._spill_small(edges, part, root, undirected,
+                                          weighted, vertices, fs)
         else:
-            DistributedGraph._spill_ray_data(edges, part, spill_dir, undirected, weighted, vertices)
-        os.makedirs(spill_dir, exist_ok=True)
-        with open(os.path.join(spill_dir, "partitioner.json"), "w") as f:
-            json.dump(part.spec(), f)
-
+            DistributedGraph._spill_ray_data(edges, part, root, undirected,
+                                             weighted, vertices, fs)
+        manifest = DistributedGraph._finalize_spill(fs, root, part,
+                                                    vertices is not None)
         return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
-                                      num_cpus_per_actor, part)
+                                      num_cpus_per_actor, part,
+                                      spill_fs=spill_fs, manifest=manifest)
+
+    @staticmethod
+    def _finalize_spill(fs, root: str, part: Partitioner,
+                        has_verts: bool) -> dict:
+        """Write the build manifest (partitioner spec + per-shard durable
+        row counts from parquet footers). The counts are the loss-proofing
+        contract: every actor's shard read is checked against them."""
+        fsio.mkdirs(fs, root)
+        manifest = {
+            "spec": part.spec(),
+            "P": part.P,
+            "edge_rows": fsio.shard_row_counts(fs, fsio.join(root, "edges"),
+                                               part.P),
+            "vert_rows": (fsio.shard_row_counts(fs, fsio.join(root, "verts"),
+                                                part.P)
+                          if has_verts else None),
+        }
+        fsio.write_json(fs, fsio.join(root, "partitioner.json"), manifest)
+        return manifest
+
+    @staticmethod
+    def _load_manifest(fs, root: str, P: int):
+        """(Partitioner, manifest|None) from a spill dir; understands both
+        the round-5 manifest format ({"spec": ...}) and the bare legacy
+        spec (no row counts ⇒ tolerant shard reads)."""
+        doc = fsio.read_json(fs, fsio.join(root, "partitioner.json"))
+        if doc is None:
+            return Partitioner(P), None
+        if "spec" in doc:
+            return Partitioner.from_spec(doc["spec"], P), doc
+        return Partitioner.from_spec(doc, P), None
 
     @staticmethod
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
                    num_cpus_per_actor: float = 0,
-                   with_in_edges: bool = False) -> "DistributedGraph":
+                   with_in_edges: bool = False,
+                   spill_fs=None) -> "DistributedGraph":
         """Rebuild the actor pool from an existing partitioned edge spill
         without re-running the Ray Data partitioning pass — the analog of the
         reference's binary CSR cache load (`gunrock/csr.cuh:412-451`). The
-        spill's own partitioner spec is reloaded with it."""
+        spill's own partitioner spec (and, for round-5 spills, the durable
+        per-shard row counts) is reloaded with it."""
         P = num_partitions
-        spec_path = os.path.join(spill_dir, "partitioner.json")
-        if os.path.exists(spec_path):
-            with open(spec_path) as f:
-                part = Partitioner.from_spec(json.load(f), P)
-        else:
-            part = Partitioner(P)
+        fs, root = fsio.resolve_fs(spill_dir, spill_fs)
+        part, manifest = DistributedGraph._load_manifest(fs, root, P)
         return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
-                                      num_cpus_per_actor, part)
+                                      num_cpus_per_actor, part,
+                                      spill_fs=spill_fs, manifest=manifest)
 
     def rebuild(self, edges, *, undirected: bool = False,
                 weighted: bool = False, vertices=None,
@@ -152,26 +193,28 @@ class DistributedGraph:
                              f"({P} > {len(self.actors)})")
         part = partitioner or Partitioner(P)
         spill_dir = os.path.join("/tmp/gunrock_ray_spill", uuid.uuid4().hex)
-        shutil.rmtree(spill_dir, ignore_errors=True)
+        fs, root = fsio.resolve_fs(spill_dir)
+        fsio.rmtree(fs, root)
         if isinstance(edges, pa.Table) and edges.num_rows <= 200_000:
-            DistributedGraph._spill_small(edges, part, spill_dir,
-                                          undirected, weighted, vertices)
+            DistributedGraph._spill_small(edges, part, root,
+                                          undirected, weighted, vertices, fs)
         else:
-            DistributedGraph._spill_ray_data(edges, part, spill_dir,
-                                             undirected, weighted, vertices)
-        os.makedirs(spill_dir, exist_ok=True)
-        with open(os.path.join(spill_dir, "partitioner.json"), "w") as f:
-            json.dump(part.spec(), f)
+            DistributedGraph._spill_ray_data(edges, part, root,
+                                             undirected, weighted, vertices, fs)
+        manifest = DistributedGraph._finalize_spill(fs, root, part,
+                                                    vertices is not None)
         keep, surplus = self.actors[:P], self.actors[P:]
         for a in surplus:
             ray.kill(a)
         ray.get([a.reset.remote(p, P, spill_dir, weighted,
-                                self.with_in_edges, part.spec())
+                                self.with_in_edges, part.spec(), None,
+                                DistributedGraph._expect_of(manifest, p))
                  for p, a in enumerate(keep)])
         packs = [a.build_phase1.remote() for a in keep]
         stats = ray.get([a.build_phase2.remote(*packs) for a in keep])
         if remove_old_spill:
-            shutil.rmtree(self.spill_dir, ignore_errors=True)
+            ofs, oroot = fsio.resolve_fs(self.spill_dir, self.spill_fs)
+            fsio.rmtree(ofs, oroot)
         self.actors = []   # old handle is dead either way
         g = DistributedGraph(keep, P, spill_dir, weighted,
                              sum(s["n_local"] for s in stats),
@@ -181,8 +224,20 @@ class DistributedGraph:
         return g
 
     @staticmethod
+    def _expect_of(manifest: dict | None, pid: int) -> dict | None:
+        """Partition ``pid``'s durable row counts from the build manifest
+        (None ⇒ legacy spill without counts — tolerant reads)."""
+        if not manifest or manifest.get("P") is None:
+            return None
+        er = manifest.get("edge_rows") or {}
+        vr = manifest.get("vert_rows")
+        return {"edges": er.get(str(pid)),
+                "verts": None if vr is None else vr.get(str(pid))}
+
+    @staticmethod
     def _boot(P: int, spill_dir: str, weighted: bool, with_in_edges: bool,
-              num_cpus_per_actor: float, part: Partitioner) -> "DistributedGraph":
+              num_cpus_per_actor: float, part: Partitioner,
+              spill_fs=None, manifest: dict | None = None) -> "DistributedGraph":
         # num_cpus=0: partition actors are long-lived state holders whose
         # compute happens in bursts at superstep barriers; reserving a CPU slot
         # per actor would starve Ray Data stages running alongside (and
@@ -190,7 +245,9 @@ class DistributedGraph:
         # real cluster, mirroring one GraphSlice per GPU.
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
                            scheduling_strategy="SPREAD")(GraphPartition)
-        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges, part.spec())
+        actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges,
+                               part.spec(), spill_fs,
+                               DistributedGraph._expect_of(manifest, p))
                   for p in range(P)]
         # two-phase build: packed vertex-discovery exchange, then CSR build
         packs = [a.build_phase1.remote() for a in actors]
@@ -198,15 +255,18 @@ class DistributedGraph:
         n = sum(s["n_local"] for s in stats)
         m = sum(s["m_local"] for s in stats)
         g = DistributedGraph(actors, P, spill_dir, weighted, n, m, with_in_edges,
-                             partitioner=part)
+                             partitioner=part, spill_fs=spill_fs)
         g.partition_stats = stats
         return g
 
     @staticmethod
     def _spill_small(edges: pa.Table, part: Partitioner, spill_dir: str,
-                     undirected: bool, weighted: bool, vertices) -> None:
+                     undirected: bool, weighted: bool, vertices,
+                     fs=None) -> None:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
+        fs = fs or pafs.LocalFileSystem()
         P = part.P
         src = edges["src"].to_numpy()
         dst = edges["dst"].to_numpy()
@@ -223,21 +283,25 @@ class DistributedGraph:
             sl = order[bounds[p]:bounds[p + 1]]
             if len(sl) == 0:
                 continue
-            d = os.path.join(spill_dir, "edges", f"pid={p}")
-            os.makedirs(d, exist_ok=True)
+            d = fsio.join(spill_dir, "edges", f"pid={p}")
+            fsio.mkdirs(fs, d)
             cols = {"src": pa.array(src[sl]), "dst": pa.array(dst[sl])}
             if w is not None:
                 cols["w"] = pa.array(w[sl])
-            pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
+            pq.write_table(pa.table(cols), fsio.join(d, "part-0.parquet"),
+                           filesystem=fs)
         if vertices is not None:
             vt = vertices if isinstance(vertices, pa.Table) else pa.concat_tables(
                 [b for b in vertices.iter_batches(batch_format="pyarrow")])
             v = np.unique(vt["v"].to_numpy())
-            DistributedGraph._write_vert_shards(v, part, spill_dir)
+            DistributedGraph._write_vert_shards(v, part, spill_dir, fs)
 
     @staticmethod
-    def _write_vert_shards(v: np.ndarray, part: Partitioner, spill_dir: str) -> None:
+    def _write_vert_shards(v: np.ndarray, part: Partitioner, spill_dir: str,
+                           fs=None) -> None:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+        fs = fs or pafs.LocalFileSystem()
         P = part.P
         vpid = part.owner(v)
         vorder = np.argsort(vpid, kind="stable")
@@ -246,13 +310,14 @@ class DistributedGraph:
             sl = vorder[vbounds[p]:vbounds[p + 1]]
             if len(sl) == 0:
                 continue
-            d = os.path.join(spill_dir, "verts", f"pid={p}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(pa.table({"v": pa.array(v[sl])}), os.path.join(d, "part-0.parquet"))
+            d = fsio.join(spill_dir, "verts", f"pid={p}")
+            fsio.mkdirs(fs, d)
+            pq.write_table(pa.table({"v": pa.array(v[sl])}),
+                           fsio.join(d, "part-0.parquet"), filesystem=fs)
 
     @staticmethod
     def _spill_ray_data(edges, part: Partitioner, spill_dir: str, undirected: bool,
-                        weighted: bool, vertices) -> None:
+                        weighted: bool, vertices, fs=None) -> None:
         ds = normalize_edges(_as_dataset(edges), undirected=undirected, keep_loops=True)
 
         # `part` is tiny (hash seed / splitters / hot map) and ships once per
@@ -262,14 +327,16 @@ class DistributedGraph:
             return batch.append_column("pid", pa.array(pid, pa.int64()))
 
         ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
-            os.path.join(spill_dir, "edges"), partition_cols=["pid"])
+            fsio.join(spill_dir, "edges"), filesystem=fs,
+            partition_cols=["pid"])
 
         if vertices is not None:
             def explicit(batch: pa.Table) -> pa.Table:
                 v = batch["v"].to_numpy()
                 return pa.table({"v": batch["v"], "pid": pa.array(part.owner(v), pa.int64())})
             _as_dataset(vertices).map_batches(explicit, batch_format="pyarrow").write_parquet(
-                os.path.join(spill_dir, "verts"), partition_cols=["pid"])
+                fsio.join(spill_dir, "verts"), filesystem=fs,
+                partition_cols=["pid"])
 
     # -------------------------------------------------------------- plumbing
 
@@ -339,15 +406,17 @@ class DistributedGraph:
             return t.append_column(
                 "pid", pa.array(part.owner(t["v"].to_numpy()), pa.int64()))
 
+        fs, root = fsio.resolve_fs(out_dir)
         ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
-            out_dir, partition_cols=["pid"])
+            root, filesystem=fs, partition_cols=["pid"])
 
     def shutdown(self, remove_spill: bool = False):
         for a in self.actors:
             ray.kill(a)
         self.actors = []
         if remove_spill:
-            shutil.rmtree(self.spill_dir, ignore_errors=True)
+            fs, root = fsio.resolve_fs(self.spill_dir, self.spill_fs)
+            fsio.rmtree(fs, root)
 
     # ------------------------------------------------------------ checkpoint
 
@@ -388,14 +457,15 @@ class DistributedGraph:
         }
         if extra:
             lineage.update(extra)
-        tmp = os.path.join(ckpt_dir, "lineage.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(lineage, f, indent=1)
-        os.replace(tmp, os.path.join(ckpt_dir, "lineage.json"))
+        fs, root = fsio.resolve_fs(ckpt_dir)
+        fsio.write_json(fs, fsio.join(root, "lineage.json"), lineage)
 
     def restore(self, ckpt_dir: str) -> dict:
-        with open(os.path.join(ckpt_dir, "lineage.json")) as f:
-            lineage = json.load(f)
+        fs, root = fsio.resolve_fs(ckpt_dir)
+        lineage = fsio.read_json(fs, fsio.join(root, "lineage.json"))
+        if lineage is None:
+            raise FileNotFoundError(
+                f"no lineage.json under {ckpt_dir} — nothing to restore")
         want = lineage.get("input_fingerprint")
         if want is not None and want != self.spill_fingerprint():
             raise ValueError(

@@ -31,7 +31,6 @@ applied at creation time.
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 
@@ -79,12 +78,16 @@ _TC_PROBE_CHUNK = 1 << 22
 _EMPTY_F8 = np.zeros(0, dtype=np.float64)
 
 
-def _read_shard(root: str, pid: int, columns: list[str]) -> pa.Table | None:
-    d = os.path.join(root, f"pid={pid}")
-    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-    if not files:
-        return None
-    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+def _read_shard(root: str, pid: int, columns: list[str],
+                filesystem=None, expect_rows: int | None = None
+                ) -> pa.Table | None:
+    """Hive-shard read through :mod:`gunrock_ray.state.fsio` — accepts
+    plain paths, URIs, or an explicit pyarrow FileSystem, and fails
+    LOUDLY when ``expect_rows`` (the build manifest count) disagrees
+    with what is durably present (multi-node shard-loss guard)."""
+    from gunrock_ray.state import fsio
+    return fsio.read_shard(root, pid, columns, filesystem=filesystem,
+                           expect_rows=expect_rows)
 
 
 def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -99,10 +102,17 @@ def _ragged_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
 
 class GraphPartition:
     def __init__(self, pid: int, num_parts: int, spill_dir: str, weighted: bool = False,
-                 with_in_edges: bool = False, part_spec: dict | None = None):
+                 with_in_edges: bool = False, part_spec: dict | None = None,
+                 spill_fs=None, expect: dict | None = None):
         self.pid = pid
         self.P = num_parts
         self.spill_dir = spill_dir
+        # spill_fs: explicit pyarrow FileSystem (None ⇒ resolved from the
+        # spill_dir path/URI at each read); expect: this partition's build-
+        # manifest row counts {"edges": n, "verts": n} — shard reads verify
+        # against them so a missing shard raises instead of reading empty
+        self.spill_fs = spill_fs
+        self.expect = expect or {}
         self.weighted = weighted
         self.with_in_edges = with_in_edges
         # vertex→owner function (--partition-method analog); ALL routing in
@@ -131,7 +141,8 @@ class GraphPartition:
 
     def reset(self, pid: int, num_parts: int, spill_dir: str,
               weighted: bool = False, with_in_edges: bool = False,
-              part_spec: dict | None = None) -> None:
+              part_spec: dict | None = None, spill_fs=None,
+              expect: dict | None = None) -> None:
         """Re-initialize this LIVE actor for a new graph (same process,
         new topology/state) — the pool-reuse path behind
         DistributedGraph.rebuild. Re-running __init__ drops every
@@ -139,7 +150,8 @@ class GraphPartition:
         by earlier runs (_mf_*, _lv_*, ...) are re-created by their own
         init kernels before use."""
         GraphPartition.__init__(self, pid, num_parts, spill_dir,
-                                weighted, with_in_edges, part_spec)
+                                weighted, with_in_edges, part_spec,
+                                spill_fs, expect)
 
     # ------------------------------------------------------------------ build
     # Two phases so vertex discovery is an in-actor packed exchange instead of
@@ -152,7 +164,9 @@ class GraphPartition:
 
     def build_phase1(self):
         ecols = ["src", "dst"] + (["w"] if self.weighted else [])
-        et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid, ecols)
+        et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid,
+                         ecols, filesystem=self.spill_fs,
+                         expect_rows=self.expect.get("edges"))
         zoffs = np.zeros(self.P + 1, dtype=np.int64)
         if et is None or et.num_rows == 0:
             self._raw = (_EMPTY_I8, _EMPTY_I8, None)
@@ -176,7 +190,9 @@ class GraphPartition:
 
         vert_packs = [p[0] for p in packs]
         pieces = [self._unpack_mine(pk, 0) for pk in vert_packs]
-        vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid, ["v"])
+        vt = _read_shard(os.path.join(self.spill_dir, "verts"), self.pid,
+                         ["v"], filesystem=self.spill_fs,
+                         expect_rows=self.expect.get("verts"))
         if vt is not None:
             pieces.append(vt["v"].to_numpy())
         self.verts = np.unique(np.concatenate(pieces)) if pieces else _EMPTY_I8
@@ -356,17 +372,24 @@ class GraphPartition:
     # ------------------------------------------------------------ checkpoint
 
     def save_state(self, ckpt_dir: str, step: int, names: list[str]) -> str:
-        d = os.path.join(ckpt_dir, f"step={step}")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"pid={self.pid}.parquet")
+        from gunrock_ray.state import fsio
+        fs, root = fsio.resolve_fs(ckpt_dir)
+        d = fsio.join(root, f"step={step}")
+        fsio.mkdirs(fs, d)
+        path = fsio.join(d, f"pid={self.pid}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(self.state_table(names), tmp)
-        os.replace(tmp, path)  # atomic per-partition commit
+        try:  # atomic per-partition commit where the fs supports rename
+            pq.write_table(self.state_table(names), tmp, filesystem=fs)
+            fs.move(tmp, path)
+        except (OSError, pa.ArrowIOError, NotImplementedError):
+            pq.write_table(self.state_table(names), path, filesystem=fs)
         return path
 
     def load_state(self, ckpt_dir: str, step: int, names: list[str]) -> None:
-        path = os.path.join(ckpt_dir, f"step={step}", f"pid={self.pid}.parquet")
-        t = pq.read_table(path)
+        from gunrock_ray.state import fsio
+        fs, root = fsio.resolve_fs(ckpt_dir)
+        path = fsio.join(root, f"step={step}", f"pid={self.pid}.parquet")
+        t = pq.read_table(path, filesystem=fs)
         v = t["v"].to_numpy()
         if len(v) != len(self.verts) or not np.array_equal(v, self.verts):
             raise ValueError(f"checkpoint partition {self.pid} does not match graph")
@@ -3992,7 +4015,8 @@ class GraphPartition:
         # multigraph CSR from the raw shard (parallel edges preserved)
         cols = ["src", "dst"] + (["w"] if self.weighted else [])
         et = _read_shard(os.path.join(self.spill_dir, "edges"), self.pid,
-                         cols)
+                         cols, filesystem=self.spill_fs,
+                         expect_rows=self.expect.get("edges"))
         if et is None or et.num_rows == 0:
             self._ta_offs = np.zeros(n + 1, np.int64)
             self._ta_dst = _EMPTY_I8

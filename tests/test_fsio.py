@@ -1,0 +1,188 @@
+"""Filesystem-agnostic spill/checkpoint I/O (round-5 loss-proofing).
+
+The spill root and checkpoint dir may be plain paths, file:// URIs, or an
+explicit pyarrow FileSystem; the build manifest (partitioner.json) records
+per-shard durable row counts and every actor-side shard read verifies
+against them, so a missing/short shard — the multi-node node-local-path
+failure mode — raises loudly instead of silently reading as empty."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines.graph_algos import build_graph, pagerank
+from gunrock_ray.state import fsio
+from gunrock_ray.state.graph import DistributedGraph
+
+
+def _edges(n=400, m=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table({"src": pa.array(rng.integers(0, n, m), pa.int64()),
+                     "dst": pa.array(rng.integers(0, n, m), pa.int64())})
+
+
+def _pr(g, **kw):
+    return (pagerank(g, max_iter=8, **kw).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+
+
+def test_file_uri_spill_bit_identical(tmp_path):
+    e = _edges()
+    g1 = build_graph(e, num_partitions=3, spill_dir=str(tmp_path / "plain"))
+    pr1 = _pr(g1)
+    g1.shutdown()
+    g2 = build_graph(e, num_partitions=3,
+                     spill_dir=f"file://{tmp_path}/uri")
+    pr2 = _pr(g2)
+    g2.shutdown()
+    assert pr1.equals(pr2)
+
+
+def test_manifest_records_per_shard_counts(tmp_path):
+    g = build_graph(_edges(), num_partitions=3,
+                    spill_dir=str(tmp_path / "sp"))
+    man = json.load(open(tmp_path / "sp" / "partitioner.json"))
+    assert man["P"] == 3 and "spec" in man
+    # durable counts sum to the spilled edge rows (pre-dedup, loops kept)
+    assert sum(man["edge_rows"].values()) == 3000
+    g.shutdown()
+
+
+def test_missing_shard_fails_loudly(tmp_path):
+    sp = str(tmp_path / "sp")
+    g = build_graph(_edges(), num_partitions=3, spill_dir=sp)
+    g.shutdown()
+    shutil.rmtree(os.path.join(sp, "edges", "pid=1"))
+    with pytest.raises(Exception, match="shard missing or truncated"):
+        DistributedGraph.from_spill(3, sp)
+
+
+def test_truncated_shard_fails_loudly(tmp_path):
+    import pyarrow.parquet as pq
+    sp = str(tmp_path / "sp")
+    g = build_graph(_edges(), num_partitions=3, spill_dir=sp)
+    g.shutdown()
+    d = os.path.join(sp, "edges", "pid=1")
+    f = os.path.join(d, sorted(os.listdir(d))[0])
+    t = pq.read_table(f)
+    pq.write_table(t.slice(0, t.num_rows - 5), f)  # drop 5 rows
+    with pytest.raises(Exception, match="shard missing or truncated"):
+        DistributedGraph.from_spill(3, sp)
+
+
+def test_legacy_spill_without_manifest_counts_still_loads(tmp_path):
+    sp = str(tmp_path / "sp")
+    g = build_graph(_edges(), num_partitions=3, spill_dir=sp)
+    pr1 = _pr(g)
+    g.shutdown()
+    # rewrite partitioner.json in the pre-round-5 bare-spec format
+    man = json.load(open(os.path.join(sp, "partitioner.json")))
+    with open(os.path.join(sp, "partitioner.json"), "w") as f:
+        json.dump(man["spec"], f)
+    g2 = DistributedGraph.from_spill(3, sp)
+    pr2 = _pr(g2)
+    g2.shutdown()
+    assert pr1.equals(pr2)
+
+
+def test_explicit_mock_filesystem_hiding_a_shard(tmp_path):
+    """The VERDICT-specified drill: a LocalFileSystem-wrapping mock that
+    hides one shard's directory listing must trip the loud failure."""
+    fsspec = pytest.importorskip("fsspec")
+    from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+    sp = str(tmp_path / "sp")
+    g = build_graph(_edges(), num_partitions=3, spill_dir=sp)
+    pr1 = _pr(g)
+    g.shutdown()
+
+    class HidingFS(fsspec.AbstractFileSystem):
+        """Delegates to the local fs but pretends pid=1 does not exist."""
+        cachable = False  # keep the class dict lock-free for cloudpickle
+
+        def __init__(self, hidden="pid=1", **kw):
+            super().__init__(**kw)
+            self._inner = fsspec.filesystem("file")
+            self._hidden = hidden
+
+        def __reduce__(self):  # fsspec instances hold unpicklable locks
+            return (HidingFS, (self._hidden,))
+
+        def ls(self, path, detail=True, **kw):
+            out = self._inner.ls(path, detail=detail, **kw)
+            if detail:
+                return [e for e in out if self._hidden not in e["name"]]
+            return [p for p in out if self._hidden not in p]
+
+        def info(self, path, **kw):
+            if self._hidden in str(path):
+                raise FileNotFoundError(path)
+            return self._inner.info(path, **kw)
+
+        def _open(self, path, mode="rb", **kw):
+            if self._hidden in str(path):
+                raise FileNotFoundError(path)
+            return self._inner._open(path, mode=mode, **kw)
+
+    class _DummyLock:  # fsspec's metaclass plants an RLock in the class
+        def __enter__(self):  # dict; swap for a picklable no-op (tests
+            return self       # are single-threaded)
+
+        def __exit__(self, *a):
+            return False
+
+    HidingFS._instantiation_lock = _DummyLock()
+
+    mock = PyFileSystem(FSSpecHandler(HidingFS()))
+    with pytest.raises(Exception, match="shard missing or truncated"):
+        DistributedGraph.from_spill(3, sp, spill_fs=mock)
+
+    # same mock minus the hiding (fresh handler over the real local fs)
+    ok = PyFileSystem(FSSpecHandler(HidingFS(hidden="\x00never")))
+    g2 = DistributedGraph.from_spill(3, sp, spill_fs=ok)
+    pr2 = _pr(g2)
+    g2.shutdown()
+    assert pr1.equals(pr2)
+
+
+def test_checkpoint_and_restore_via_file_uri(tmp_path):
+    e = _edges()
+    ck = f"file://{tmp_path}/ck"
+    g = build_graph(e, num_partitions=3, spill_dir=str(tmp_path / "sp"))
+    pr1 = _pr(g, error=1e-12, ckpt_dir=ck, ckpt_every=2)
+    assert os.path.exists(tmp_path / "ck" / "lineage.json")
+    lineage = g.restore(ck)  # URI restore round-trips
+    assert lineage["num_partitions"] == 3
+    g.shutdown()
+
+
+def test_ray_data_spill_path_with_uri(tmp_path):
+    """Force the Ray Data spill path (Dataset input) through a file:// URI
+    and compare against the driver-side small-table spill."""
+    import ray.data
+    e = _edges()
+    g1 = build_graph(e, num_partitions=3, spill_dir=str(tmp_path / "small"))
+    pr1 = _pr(g1)
+    g1.shutdown()
+    g2 = build_graph(ray.data.from_arrow(e), num_partitions=3,
+                     spill_dir=f"file://{tmp_path}/rd")
+    pr2 = _pr(g2)
+    g2.shutdown()
+    assert pr1.equals(pr2)
+    man = json.load(open(tmp_path / "rd" / "partitioner.json"))
+    assert sum(man["edge_rows"].values()) == 3000
+
+
+def test_fsio_resolve_and_json_roundtrip(tmp_path):
+    fs, p = fsio.resolve_fs(f"file://{tmp_path}/x")
+    assert p == str(tmp_path / "x")
+    fs2, p2 = fsio.resolve_fs(str(tmp_path / "y"))
+    assert p2 == str(tmp_path / "y")
+    fsio.mkdirs(fs, p)
+    fsio.write_json(fs, fsio.join(p, "a.json"), {"k": 1})
+    assert fsio.read_json(fs, fsio.join(p, "a.json")) == {"k": 1}
+    assert fsio.read_json(fs, fsio.join(p, "missing.json")) is None
