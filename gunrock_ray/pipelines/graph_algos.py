@@ -14,6 +14,7 @@ import uuid
 import numpy as np
 import pyarrow as pa
 import ray
+from ray.exceptions import RayActorError
 
 from gunrock_ray.state.graph import DistributedGraph, MetricsWriter
 
@@ -132,7 +133,8 @@ def plan_partitioning(edges, P: int, method: str = "hash", *, seed: int = 0,
 def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
                 num_partitions: int | None = None, spill_dir: str | None = None,
                 with_in_edges: bool = False, partition_method: str = "hash",
-                partition_seed: int = 0, spill_fs=None) -> DistributedGraph:
+                partition_seed: int = 0, spill_fs=None,
+                max_restarts: int = 0) -> DistributedGraph:
     """with_in_edges also builds the inverse CSR per partition (the
     reference's CSC, `gunrock/gunrock.h:67-68`) — required by HITS, SALSA,
     WTF and betweenness centrality. ``partition_method`` selects the
@@ -146,7 +148,8 @@ def build_graph(edges, *, undirected=False, weighted=False, vertices=None,
     return DistributedGraph.from_edges(
         edges, P, spill_dir,
         undirected=undirected, weighted=weighted, vertices=vertices,
-        with_in_edges=with_in_edges, partitioner=part, spill_fs=spill_fs)
+        with_in_edges=with_in_edges, partitioner=part, spill_fs=spill_fs,
+        max_restarts=max_restarts)
 
 
 # ------------------------------------------- cluster ("locality") partitioning
@@ -348,6 +351,45 @@ def _resume_from(g, ckpt_dir, resume, expected_algo: str):
     return 0, uuid.uuid4().hex
 
 
+def _recover_and_resume(g, ckpt_dir, expected_algo: str, reinit,
+                        post=None, tries: int = 5,
+                        delay: float = 1.0) -> dict:
+    """In-run actor-death recovery (north-rule lineage claim): after Ray
+    restarts a crashed partition actor (graph built with
+    ``max_restarts>0``), re-anchor topology (:meth:`DistributedGraph.
+    recover`), re-run the algorithm's init kernel on every actor, and
+    restore the last checkpoint — byte-for-byte the proven resume path,
+    triggered mid-run. Returns the restored lineage; ``iteration`` is -1
+    when the crash predates the first checkpoint (restart from scratch:
+    reinit already reset the state). Retries briefly while the restarted
+    actor process is still coming up."""
+    last: Exception | None = None
+    for _ in range(tries):
+        try:
+            g.recover()
+            reinit()
+            try:
+                lineage = g.restore(ckpt_dir)
+            except FileNotFoundError:
+                lineage = {"iteration": -1, "run_id": None}
+            else:
+                got = lineage.get("algo")
+                if got != expected_algo:
+                    raise ValueError(
+                        f"checkpoint was written by algo {got!r}, refusing "
+                        f"to recover as {expected_algo!r}")
+            if post is not None:
+                # algorithm-specific post-restore work (e.g. CC's compress-
+                # to-fixpoint) runs INSIDE the retry: a still-flaky actor
+                # re-triggers the whole recovery rather than escaping
+                post()
+            return lineage
+        except RayActorError as e:   # actor still restarting / flaky
+            last = e
+            time.sleep(delay)
+    raise last
+
+
 def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.01,
              max_iter: int = 50, src_node: int | None = None,
              normalized: bool = True, weighted: bool = False,
@@ -384,7 +426,19 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
         it = start_iter
         while it < max_iter:
             t0 = time.perf_counter()
-            res, _ = g.superstep(scatter, "pru_apply")
+            try:
+                res, _ = g.superstep(scatter, "pru_apply")
+            except RayActorError:
+                if not (ckpt_dir and ckpt_every):
+                    raise
+                init = "wpr_init" if weighted else "pru_init"
+                lineage = _recover_and_resume(
+                    g, ckpt_dir, algo,
+                    lambda: g.call_all(init, g.n, delta, error))
+                it = lineage["iteration"] + 1
+                metrics.write(algo=algo, event="actor_restart_recovery",
+                              resumed_from=lineage["iteration"])
+                continue
             updated = sum(r["updated"] for r in res)
             metrics.write(algo=algo, superstep=it, frontier=g.n,
                           changed=updated,
@@ -413,13 +467,27 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     it = start_iter
     while it < max_iter:
         t0 = time.perf_counter()
-        if kind == "split":
-            # broadcast the hot vertices' values (tiny packs), then scatter
-            hot_refs = [a.get_hot_values.remote("rank") for a in g.actors]
-            packs = [a.pr_scatter_split.remote(*hot_refs) for a in g.actors]
-            res = ray.get([a.pr_apply.remote(*packs) for a in g.actors])
-        else:
-            res, _ = g.superstep("pr_scatter", "pr_apply")
+        try:
+            if kind == "split":
+                # broadcast the hot vertices' values (tiny packs), then scatter
+                hot_refs = [a.get_hot_values.remote("rank") for a in g.actors]
+                packs = [a.pr_scatter_split.remote(*hot_refs) for a in g.actors]
+                res = ray.get([a.pr_apply.remote(*packs) for a in g.actors])
+            else:
+                res, _ = g.superstep("pr_scatter", "pr_apply")
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every) or kind == "split":
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "pr",
+                lambda: g.call_all("pr_init", g.n, delta, error, src_node,
+                                   kind))
+            if lineage["iteration"] < 0 and warm_start is not None:
+                g.call_all("pr_warm", warm_start)  # pre-checkpoint crash
+            it = lineage["iteration"] + 1
+            metrics.write(algo="pr", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
         dt = time.perf_counter() - t0
         updated = sum(r["updated"] for r in res)
         msgs = sum(r["msgs"] for r in res)
@@ -551,6 +619,16 @@ def eigenvector_centrality(graph: DistributedGraph, *, max_iter: int = 20,
 
 # ------------------------------------------------- Connected components (CC)
 
+def _cc_compress_fixpoint(g) -> None:
+    """Pointer-jump the cid labels to a fully compressed fixpoint (the
+    hook-soundness invariant; PtrJump, cc_enactor.cuh:468-514)."""
+    while True:
+        res = g.lookup("cc_jump_request", "cc_jump_apply",
+                       serve_args=("cid",))
+        if sum(r["changed"] for r in res) == 0:
+            break
+
+
 def connected_components(graph: DistributedGraph, *, metrics_path: str | None = None,
                          ckpt_dir: str | None = None, ckpt_every: int = 0,
                          resume: bool = False, minprop_rounds: int | None = None,
@@ -597,7 +675,19 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
             max(32, 2 * int(np.log2(max(g.n, 2))))
         for mp in range(cap):
             t0 = time.perf_counter()
-            res, _ = g.superstep("cc_minprop_scatter", "cc_minprop_apply")
+            try:
+                res, _ = g.superstep("cc_minprop_scatter", "cc_minprop_apply")
+            except RayActorError:
+                if not (ckpt_dir and ckpt_every):
+                    raise
+                _recover_and_resume(g, ckpt_dir, "cc",
+                                    lambda: g.call_all("cc_init"),
+                                    post=lambda: _cc_compress_fixpoint(g))
+                metrics.write(algo="cc", event="actor_restart_recovery")
+                # exact continuation is hook-and-compress over the restored
+                # labels (labels only decrease, hooking idempotent — the
+                # documented resume semantics); leave converged=False
+                break
             changed = sum(r["changed"] for r in res)
             metrics.write(algo="cc", superstep=f"minprop_{mp}", frontier=g.n,
                           changed=changed,
@@ -625,23 +715,38 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
     rnd = 0
     while not converged:
         t0 = time.perf_counter()
-        # hook: packed lookup of cid[dst] on active edges, then min-candidates
-        reqs = [a.cc_hook_request.remote() for a in g.actors]
-        replies = [a.serve_values_packed.remote("cid", *reqs) for a in g.actors]
-        outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
-                for a in g.actors]
-        cand_packs = [o[0] for o in outs]
-        applies = [a.cc_apply_min.remote(*cand_packs) for a in g.actors]
-        stats = ray.get([o[1] for o in outs])
-        hook_changed = sum(r["changed"] for r in ray.get(applies))
-        active = sum(s["active"] for s in stats)
-        # compress: pointer-jump to fixpoint (PtrJump, cc_enactor.cuh:468-514)
-        jumps = 0
-        while True:
-            res = g.lookup("cc_jump_request", "cc_jump_apply", serve_args=("cid",))
-            jumps += 1
-            if sum(r["changed"] for r in res) == 0:
-                break
+        try:
+            # hook: packed lookup of cid[dst] on active edges, then min-cands
+            reqs = [a.cc_hook_request.remote() for a in g.actors]
+            replies = [a.serve_values_packed.remote("cid", *reqs)
+                       for a in g.actors]
+            outs = [a.cc_hook_scatter.options(num_returns=2).remote(*replies)
+                    for a in g.actors]
+            cand_packs = [o[0] for o in outs]
+            applies = [a.cc_apply_min.remote(*cand_packs) for a in g.actors]
+            stats = ray.get([o[1] for o in outs])
+            hook_changed = sum(r["changed"] for r in ray.get(applies))
+            active = sum(s["active"] for s in stats)
+            # compress: pointer-jump to fixpoint (PtrJump, cc_enactor.cuh:468-514)
+            jumps = 0
+            while True:
+                res = g.lookup("cc_jump_request", "cc_jump_apply",
+                               serve_args=("cid",))
+                jumps += 1
+                if sum(r["changed"] for r in res) == 0:
+                    break
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            # restored (or pristine) labels may be uncompressed — jump to
+            # fixpoint before the next hook (the soundness invariant above);
+            # runs inside the recovery retry so a still-flaky actor
+            # re-triggers recovery instead of escaping
+            _recover_and_resume(g, ckpt_dir, "cc",
+                                lambda: g.call_all("cc_init"),
+                                post=lambda: _cc_compress_fixpoint(g))
+            metrics.write(algo="cc", event="actor_restart_recovery")
+            continue
         dt = time.perf_counter() - t0
         metrics.write(algo="cc", superstep=rnd, frontier=active, messages=active,
                       changed=hook_changed, jump_rounds=jumps, t_superstep_s=dt,
@@ -674,14 +779,29 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
     g.call_all("lp_init")
     start_iter, run_id = _resume_from(g, ckpt_dir, resume, "lp")
     g.register_push("out")
-    for it in range(start_iter, max_iter):
+    it = start_iter
+    while it < max_iter:
         t0 = time.perf_counter()
-        if it == 0 and not g.weighted and start_iter == 0:
-            # round 0 with pristine distinct labels ≡ min-neighbor adoption
-            # (see lp_min_scatter) — static-plan push, no mode shuffle
-            res, _ = g.superstep("lp_min_scatter", "lp_min_apply")
-        else:
-            res, _ = g.superstep("lp_scatter", "lp_apply")
+        try:
+            if it == 0 and not g.weighted and start_iter == 0:
+                # round 0 with pristine distinct labels ≡ min-neighbor
+                # adoption (see lp_min_scatter) — static-plan push, no
+                # mode shuffle
+                res, _ = g.superstep("lp_min_scatter", "lp_min_apply")
+            else:
+                res, _ = g.superstep("lp_scatter", "lp_apply")
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(g, ckpt_dir, "lp",
+                                          lambda: g.call_all("lp_init"))
+            it = lineage["iteration"] + 1
+            # pre-checkpoint crash restarts round 0 exactly (lp_init just
+            # reset the labels); start_iter stays 0 so the min-adoption
+            # round-0 equivalence still applies
+            metrics.write(algo="lp", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
         dt = time.perf_counter() - t0
         changed = sum(r["changed"] for r in res)
         msgs = sum(r.get("msgs", 0) for r in res)
@@ -693,6 +813,7 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
         if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
             g.checkpoint(ckpt_dir, it, ["label"], run_id,
                          extra={"algo": "lp", "iteration": it})
+        it += 1
         if changed == 0:
             break
     metrics.close()

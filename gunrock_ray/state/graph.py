@@ -89,7 +89,7 @@ class DistributedGraph:
                    vertices=None, num_cpus_per_actor: float = 0,
                    with_in_edges: bool = False,
                    partitioner: Partitioner | None = None,
-                   spill_fs=None) -> "DistributedGraph":
+                   spill_fs=None, max_restarts: int = 0) -> "DistributedGraph":
         """edges: Ray Dataset or Arrow table with columns src,dst[,w];
         vertices: optional Dataset/table with column v (for isolated vertices,
         mirroring the reference's explicit n — `gunrock/csr.cuh:645-655`);
@@ -120,7 +120,8 @@ class DistributedGraph:
                                                     vertices is not None)
         return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
                                       num_cpus_per_actor, part,
-                                      spill_fs=spill_fs, manifest=manifest)
+                                      spill_fs=spill_fs, manifest=manifest,
+                                      max_restarts=max_restarts)
 
     @staticmethod
     def _finalize_spill(fs, root: str, part: Partitioner,
@@ -157,7 +158,7 @@ class DistributedGraph:
     def from_spill(num_partitions: int, spill_dir: str, *, weighted: bool = False,
                    num_cpus_per_actor: float = 0,
                    with_in_edges: bool = False,
-                   spill_fs=None) -> "DistributedGraph":
+                   spill_fs=None, max_restarts: int = 0) -> "DistributedGraph":
         """Rebuild the actor pool from an existing partitioned edge spill
         without re-running the Ray Data partitioning pass — the analog of the
         reference's binary CSR cache load (`gunrock/csr.cuh:412-451`). The
@@ -168,7 +169,8 @@ class DistributedGraph:
         part, manifest = DistributedGraph._load_manifest(fs, root, P)
         return DistributedGraph._boot(P, spill_dir, weighted, with_in_edges,
                                       num_cpus_per_actor, part,
-                                      spill_fs=spill_fs, manifest=manifest)
+                                      spill_fs=spill_fs, manifest=manifest,
+                                      max_restarts=max_restarts)
 
     def rebuild(self, edges, *, undirected: bool = False,
                 weighted: bool = False, vertices=None,
@@ -237,13 +239,19 @@ class DistributedGraph:
     @staticmethod
     def _boot(P: int, spill_dir: str, weighted: bool, with_in_edges: bool,
               num_cpus_per_actor: float, part: Partitioner,
-              spill_fs=None, manifest: dict | None = None) -> "DistributedGraph":
+              spill_fs=None, manifest: dict | None = None,
+              max_restarts: int = 0) -> "DistributedGraph":
         # num_cpus=0: partition actors are long-lived state holders whose
         # compute happens in bursts at superstep barriers; reserving a CPU slot
         # per actor would starve Ray Data stages running alongside (and
         # deadlock when P == cluster CPUs). SPREAD places one per node on a
-        # real cluster, mirroring one GraphSlice per GPU.
+        # real cluster, mirroring one GraphSlice per GPU. max_restarts>0
+        # lets Ray re-create a crashed partition actor in place (fresh
+        # __init__ over the durable spill); DistributedGraph.recover() then
+        # re-anchors topology so iterative algorithms can resume from their
+        # last checkpoint mid-run.
         Actor = ray.remote(num_cpus=num_cpus_per_actor,
+                           max_restarts=max_restarts,
                            scheduling_strategy="SPREAD")(GraphPartition)
         actors = [Actor.remote(p, P, spill_dir, weighted, with_in_edges,
                                part.spec(), spill_fs,
@@ -361,6 +369,39 @@ class DistributedGraph:
         self.call_all("hot_register_owner_slices")
         self.hot_split = True
         return len(hot)
+
+    def recover(self) -> None:
+        """Re-anchor the pool after one or more in-run actor RESTARTS
+        (build with ``max_restarts>0``): a restarted actor re-ran
+        ``__init__`` with its original args, so it holds the durable
+        spill path but empty topology/state. Re-run the deterministic
+        two-phase build on ALL actors (bit-identical CSR from the spill;
+        survivors' algorithm state arrays are untouched) and re-register
+        the static push plans. The calling algorithm then re-inits its
+        state kernel and restores the last checkpoint — the exact
+        semantics of the proven process-restart resume path
+        (test_checkpoint), now reachable mid-run. Unsupported after
+        enable_hot_split (rebuild the graph instead)."""
+        from ray.exceptions import RayActorError
+        if self.hot_split:
+            raise RuntimeError(
+                "recover() after enable_hot_split is unsupported — "
+                "rebuild the graph and resume from the checkpoint")
+        last: Exception | None = None
+        for _ in range(10):   # ride out the actor's restart window
+            try:
+                packs = [a.build_phase1.remote() for a in self.actors]
+                self.partition_stats = ray.get(
+                    [a.build_phase2.remote(*packs) for a in self.actors])
+                break
+            except RayActorError as e:
+                last = e
+                time.sleep(0.5)
+        else:
+            raise last
+        kinds, self._push_registered = self._push_registered, set()
+        for kind in kinds:
+            self.register_push(kind)
 
     def register_push(self, kind: str = "out") -> None:
         """One-time static target registration for all-edges scatters (PR,
