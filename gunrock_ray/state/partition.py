@@ -153,6 +153,12 @@ class GraphPartition:
                                 weighted, with_in_edges, part_spec,
                                 spill_fs, expect)
 
+    def node_id(self) -> str:
+        """Ray node this partition actor lives on (placement
+        observability: SPREAD should land partitions on every node)."""
+        import ray
+        return ray.get_runtime_context().get_node_id()
+
     # ------------------------------------------------------------------ build
     # Two phases so vertex discovery is an in-actor packed exchange instead of
     # a second Ray Data pass over the edge table: phase1 reads this partition's

@@ -1,0 +1,135 @@
+"""Two-node-on-one-host smoke: prove the engine's spill + packed exchange
+work across Ray NODES, not just across actors of one local node.
+
+Ray supports multiple nodes on one machine (`ray start --head` plus a
+second `ray start --address=...`). This script:
+
+1. starts a 2-node cluster (head + worker, 4 CPUs each),
+2. builds the graph with the spill under a SHARED directory (on one box
+   /tmp is genuinely shared — the round-5 fsio layer is what makes the
+   same run correct on s3://... for real clusters),
+3. runs PageRank + CC with partition actors SPREAD across both nodes,
+4. verifies the actors actually landed on BOTH node ids (so every
+   superstep's packed exchange crossed the node boundary through the
+   object store), and
+5. compares results bit-for-bit against a plain single-node local run.
+
+Usage:  python tools/multinode_smoke.py  [scale]
+Prints one JSON line; exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+SPILL = "/tmp/gunrock_ray_multinode_spill"
+PORT = 6391
+
+
+def edge_table(scale: int):
+    from gunrock_ray.sources.generators import rmat_dataset
+    return rmat_dataset(scale, edge_factor=16, seed=7)
+
+
+def run_algos(tag: str):
+    import ray
+
+    from gunrock_ray.pipelines.graph_algos import (connected_components,
+                                                   pagerank)
+    from gunrock_ray.state.graph import DistributedGraph
+
+    t0 = time.perf_counter()
+    g = DistributedGraph.from_edges(edge_table(SCALE), 8, SPILL + "_" + tag,
+                                    undirected=True)
+    t_build = time.perf_counter() - t0
+    # node placement of each ACTOR (not the driver)
+    actor_nodes = set(g.call_all("node_id"))
+    t0 = time.perf_counter()
+    pr = pagerank(g, error=0.0, max_iter=10).to_pandas()
+    t_pr = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cc, ncomp = connected_components(g)
+    cc = cc.to_pandas().sort_values("v").reset_index(drop=True)
+    t_cc = time.perf_counter() - t0
+    m = g.m
+    g.shutdown(remove_spill=True)
+    return {"pr": pr, "cc": cc, "ncomp": ncomp, "m": m,
+            "actor_nodes": actor_nodes, "t_build": t_build,
+            "t_pr": t_pr, "t_cc": t_cc}
+
+
+def main() -> int:
+    import ray
+
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+
+    # ---- phase 1: plain single-node local run (the oracle) -------------
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    single = run_algos("single")
+    ray.shutdown()
+
+    # ---- phase 2: 2-node cluster on this host --------------------------
+    subprocess.run(["ray", "stop", "--force"], env=env, capture_output=True)
+    head = subprocess.run(
+        ["ray", "start", "--head", f"--port={PORT}", "--num-cpus=4",
+         "--include-dashboard=false"],
+        env=env, capture_output=True, text=True)
+    if head.returncode != 0:
+        print(json.dumps({"ok": False, "err": "head start failed",
+                          "detail": head.stderr[-500:]}))
+        return 1
+    worker = subprocess.run(
+        ["ray", "start", f"--address=127.0.0.1:{PORT}", "--num-cpus=4"],
+        env=env, capture_output=True, text=True)
+    if worker.returncode != 0:
+        print(json.dumps({"ok": False, "err": "worker start failed",
+                          "detail": worker.stderr[-500:]}))
+        subprocess.run(["ray", "stop", "--force"], env=env,
+                       capture_output=True)
+        return 1
+    try:
+        ray.init(address=f"127.0.0.1:{PORT}", include_dashboard=False,
+                 logging_level="ERROR")
+        # wait for both nodes to register
+        for _ in range(50):
+            if len([n for n in ray.nodes() if n["Alive"]]) >= 2:
+                break
+            time.sleep(0.2)
+        n_nodes = len([n for n in ray.nodes() if n["Alive"]])
+        multi = run_algos("multi")
+        ray.shutdown()
+    finally:
+        subprocess.run(["ray", "stop", "--force"], env=env,
+                       capture_output=True)
+
+    pr_equal = single["pr"].equals(multi["pr"])
+    cc_equal = single["cc"].equals(multi["cc"]) and \
+        single["ncomp"] == multi["ncomp"]
+    crossed = len(multi["actor_nodes"]) >= 2
+    out = {
+        "ok": bool(pr_equal and cc_equal and crossed and n_nodes >= 2),
+        "scale": SCALE, "m": multi["m"], "cluster_nodes": n_nodes,
+        "actor_nodes_used": len(multi["actor_nodes"]),
+        "pr_bit_identical": pr_equal, "cc_bit_identical": cc_equal,
+        "ncomp": multi["ncomp"],
+        "t_build_s": {"single": round(single["t_build"], 2),
+                      "multi": round(multi["t_build"], 2)},
+        "t_pr10_s": {"single": round(single["t_pr"], 2),
+                     "multi": round(multi["t_pr"], 2)},
+        "t_cc_s": {"single": round(single["t_cc"], 2),
+                   "multi": round(multi["t_cc"], 2)},
+    }
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
