@@ -428,6 +428,19 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
             t0 = time.perf_counter()
             try:
                 res, _ = g.superstep(scatter, "pru_apply")
+                updated = sum(r["updated"] for r in res)
+                metrics.write(algo=algo, superstep=it, frontier=g.n,
+                              changed=updated,
+                              t_superstep_s=time.perf_counter() - t0,
+                              t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                              t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+                if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                    # inside the try: a kill landing between superstep and
+                    # checkpoint must also route through recovery
+                    g.checkpoint(ckpt_dir, it, ["rank"], run_id,
+                                 extra={"algo": algo, "iteration": it,
+                                        "params": {"delta": delta, "error": error,
+                                                   "max_iter": max_iter}})
             except RayActorError:
                 if not (ckpt_dir and ckpt_every):
                     raise
@@ -439,17 +452,6 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
                 metrics.write(algo=algo, event="actor_restart_recovery",
                               resumed_from=lineage["iteration"])
                 continue
-            updated = sum(r["updated"] for r in res)
-            metrics.write(algo=algo, superstep=it, frontier=g.n,
-                          changed=updated,
-                          t_superstep_s=time.perf_counter() - t0,
-                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
-            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
-                g.checkpoint(ckpt_dir, it, ["rank"], run_id,
-                             extra={"algo": algo, "iteration": it,
-                                    "params": {"delta": delta, "error": error,
-                                               "max_iter": max_iter}})
             it += 1
             if updated == 0:
                 break
@@ -475,6 +477,21 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
                 res = ray.get([a.pr_apply.remote(*packs) for a in g.actors])
             else:
                 res, _ = g.superstep("pr_scatter", "pr_apply")
+            dt = time.perf_counter() - t0
+            updated = sum(r["updated"] for r in res)
+            msgs = sum(r["msgs"] for r in res)
+            metrics.write(algo="pr", superstep=it, frontier=g.n, messages=msgs,
+                          changed=updated, t_superstep_s=dt,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
+                          bytes_shuffled=msgs * 16)
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                # inside the try: a kill between superstep and checkpoint
+                # must also route through recovery
+                g.checkpoint(ckpt_dir, it, ["rank"], run_id,
+                             extra={"algo": "pr", "iteration": it,
+                                    "params": {"delta": delta, "error": error,
+                                               "max_iter": max_iter}})
         except RayActorError:
             if not (ckpt_dir and ckpt_every) or kind == "split":
                 raise
@@ -488,19 +505,6 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
             metrics.write(algo="pr", event="actor_restart_recovery",
                           resumed_from=lineage["iteration"])
             continue
-        dt = time.perf_counter() - t0
-        updated = sum(r["updated"] for r in res)
-        msgs = sum(r["msgs"] for r in res)
-        metrics.write(algo="pr", superstep=it, frontier=g.n, messages=msgs,
-                      changed=updated, t_superstep_s=dt,
-                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
-                      bytes_shuffled=msgs * 16)
-        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
-            g.checkpoint(ckpt_dir, it, ["rank"], run_id,
-                         extra={"algo": "pr", "iteration": it,
-                                "params": {"delta": delta, "error": error,
-                                           "max_iter": max_iter}})
         it += 1
         if updated == 0:
             break
@@ -677,6 +681,20 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
             t0 = time.perf_counter()
             try:
                 res, _ = g.superstep("cc_minprop_scatter", "cc_minprop_apply")
+                changed = sum(r["changed"] for r in res)
+                metrics.write(algo="cc", superstep=f"minprop_{mp}",
+                              frontier=g.n, changed=changed,
+                              t_superstep_s=time.perf_counter() - t0,
+                              t_scatter_s=max(r.get("t_scatter_s", 0.0)
+                                              for r in res),
+                              t_apply_s=max(r.get("t_apply_s", 0.0)
+                                            for r in res))
+                if ckpt_dir and ckpt_every and (mp + 1) % ckpt_every == 0:
+                    g.checkpoint(ckpt_dir, mp, ["cid"], run_id,
+                                 extra={"algo": "cc", "iteration": mp})
+                if changed == 0:
+                    converged = True
+                    break
             except RayActorError:
                 if not (ckpt_dir and ckpt_every):
                     raise
@@ -687,18 +705,6 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
                 # exact continuation is hook-and-compress over the restored
                 # labels (labels only decrease, hooking idempotent — the
                 # documented resume semantics); leave converged=False
-                break
-            changed = sum(r["changed"] for r in res)
-            metrics.write(algo="cc", superstep=f"minprop_{mp}", frontier=g.n,
-                          changed=changed,
-                          t_superstep_s=time.perf_counter() - t0,
-                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
-            if ckpt_dir and ckpt_every and (mp + 1) % ckpt_every == 0:
-                g.checkpoint(ckpt_dir, mp, ["cid"], run_id,
-                             extra={"algo": "cc", "iteration": mp})
-            if changed == 0:
-                converged = True
                 break
     if not converged:
         # INVARIANT: the hook termination check (`hook_changed == 0` ⇒ done)
@@ -735,6 +741,16 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
                 jumps += 1
                 if sum(r["changed"] for r in res) == 0:
                     break
+            dt = time.perf_counter() - t0
+            metrics.write(algo="cc", superstep=rnd, frontier=active,
+                          messages=active, changed=hook_changed,
+                          jump_rounds=jumps, t_superstep_s=dt,
+                          bytes_shuffled=active * 16)
+            if ckpt_dir and ckpt_every and (rnd + 1) % ckpt_every == 0:
+                # inside the try: a kill between hook and checkpoint must
+                # also route through recovery
+                g.checkpoint(ckpt_dir, rnd, ["cid"], run_id,
+                             extra={"algo": "cc", "iteration": rnd})
         except RayActorError:
             if not (ckpt_dir and ckpt_every):
                 raise
@@ -747,13 +763,6 @@ def connected_components(graph: DistributedGraph, *, metrics_path: str | None = 
                                 post=lambda: _cc_compress_fixpoint(g))
             metrics.write(algo="cc", event="actor_restart_recovery")
             continue
-        dt = time.perf_counter() - t0
-        metrics.write(algo="cc", superstep=rnd, frontier=active, messages=active,
-                      changed=hook_changed, jump_rounds=jumps, t_superstep_s=dt,
-                      bytes_shuffled=active * 16)
-        if ckpt_dir and ckpt_every and (rnd + 1) % ckpt_every == 0:
-            g.checkpoint(ckpt_dir, rnd, ["cid"], run_id,
-                         extra={"algo": "cc", "iteration": rnd})
         rnd += 1
         if hook_changed == 0:
             break
@@ -780,6 +789,13 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
     start_iter, run_id = _resume_from(g, ckpt_dir, resume, "lp")
     g.register_push("out")
     it = start_iter
+    # the raw values-only exchange (lp_scatter raw=True) dominates or
+    # matches the pre-combined pack at EVERY diversity level measured at
+    # scale 22 (hot round 1.35→0.69 s, 5-round loop −25%, bit-identical
+    # labels): the sender-side m/P-key sort disappears and the owner pays
+    # one in-place composite sort instead of an argsort merge. Weighted
+    # graphs and >31-bit ids fall back to the combined pack per sender.
+    raw = not g.weighted
     while it < max_iter:
         t0 = time.perf_counter()
         try:
@@ -789,7 +805,25 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
                 # mode shuffle
                 res, _ = g.superstep("lp_min_scatter", "lp_min_apply")
             else:
-                res, _ = g.superstep("lp_scatter", "lp_apply")
+                res, _ = g.superstep("lp_scatter", "lp_apply",
+                                     scatter_args=(raw,))
+            dt = time.perf_counter() - t0
+            changed = sum(r["changed"] for r in res)
+            msgs = sum(r.get("msgs", 0) for r in res)
+            metrics.write(algo="lp", superstep=it, frontier=g.n,
+                          messages=msgs, changed=changed,
+                          mode="raw" if raw else "combined",
+                          t_superstep_s=dt,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0)
+                                          for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0)
+                                        for r in res),
+                          bytes_shuffled=msgs * (8 if raw else 24))
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                # inside the try: a kill between superstep and checkpoint
+                # must also route through recovery
+                g.checkpoint(ckpt_dir, it, ["label"], run_id,
+                             extra={"algo": "lp", "iteration": it})
         except RayActorError:
             if not (ckpt_dir and ckpt_every):
                 raise
@@ -802,17 +836,6 @@ def label_propagation(graph: DistributedGraph, *, max_iter: int = 50,
             metrics.write(algo="lp", event="actor_restart_recovery",
                           resumed_from=lineage["iteration"])
             continue
-        dt = time.perf_counter() - t0
-        changed = sum(r["changed"] for r in res)
-        msgs = sum(r.get("msgs", 0) for r in res)
-        metrics.write(algo="lp", superstep=it, frontier=g.n, messages=msgs,
-                      changed=changed, t_superstep_s=dt,
-                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res),
-                      bytes_shuffled=msgs * 24)
-        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
-            g.checkpoint(ckpt_dir, it, ["label"], run_id,
-                         extra={"algo": "lp", "iteration": it})
         it += 1
         if changed == 0:
             break

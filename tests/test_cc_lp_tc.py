@@ -384,3 +384,27 @@ def test_graph_coloring_proper_and_deterministic(rmat_graph):
                 m += 1
             ser[u] = m
     assert np.array_equal(col, ser)
+
+
+def test_lp_raw_exchange_bit_identical_to_combined(rmat_graph):
+    """Round-5 raw values-only LP exchange (lp_scatter raw=True): forced
+    raw every round, forced combined every round, and alternating modes
+    must all produce bit-identical labels (the driver default picks raw
+    for unweighted graphs; the mode is a pure exchange-layout choice)."""
+    t, g = rmat_graph
+
+    def lp5(mode_of):
+        g.call_all("lp_init")
+        g.register_push("out")
+        g.superstep("lp_min_scatter", "lp_min_apply")
+        for it in range(1, 6):
+            g.superstep("lp_scatter", "lp_apply",
+                        scatter_args=(mode_of(it),))
+        return (g.extract("lp_extract").to_pandas()
+                .sort_values("v").reset_index(drop=True))
+
+    combined = lp5(lambda it: False)
+    raw = lp5(lambda it: True)
+    alternating = lp5(lambda it: it % 2 == 1)
+    assert combined.equals(raw)
+    assert combined.equals(alternating)
