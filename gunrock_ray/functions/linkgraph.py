@@ -659,9 +659,16 @@ def rich_club(edges_ds, ks=(1, 2, 4, 8, 16, 32), *,
                          "dst": pa.array(sd[:, 1], pa.int64())})
 
     se = edges_ds.map_batches(sym, batch_format="pyarrow")
-    # per-block dedup only bounds block size; the groupby makes it exact
-    sed = grouped_sums_cogrouped(se, ["src", "dst"], [], count_as="c")
-    deg = grouped_sums_cogrouped(sed, ["src"], [], count_as="d")
+    # per-block dedup only bounds block size; the groupby makes it exact.
+    # sed feeds two consumers (deg + the half-edge join input) and deg
+    # feeds three (N_k partials + both join sides): materialize each ONCE
+    # into the object store — Ray Data otherwise re-executes the whole
+    # sym+groupby lineage per consumer (the mirror_hosts round-4 lesson;
+    # measured 6.9 s → 2.9 s on the sf0.001 contract run)
+    sed = grouped_sums_cogrouped(se, ["src", "dst"], [],
+                                 count_as="c").materialize()
+    deg = grouped_sums_cogrouped(sed, ["src"], [],
+                                 count_as="d").materialize()
 
     def nk_partial(t: pa.Table) -> pa.Table:
         d = t["d"].to_numpy()
@@ -684,10 +691,25 @@ def rich_club(edges_ds, ks=(1, 2, 4, 8, 16, 32), *,
         return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
 
     half = sed.map_batches(halve, batch_format="pyarrow")
-    j1 = hash_join(half, deg.map_batches(da_side, batch_format="pyarrow"),
-                   on="a", right_on="va")
-    j2 = hash_join(j1, deg.map_batches(db_side, batch_format="pyarrow"),
-                   on="b", right_on="vb")
+    if deg.count() <= 2_000_000:
+        # small vertex set: broadcast the degree table once (ray.put) and
+        # probe per batch — no shuffle of the edge side at all; the hash
+        # join below stays the scale path for billion-vertex graphs
+        from gunrock_ray.functions.joins import broadcast_join
+        degt = pa.concat_tables(
+            list(deg.map_batches(lambda t: t, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)))
+        j1 = broadcast_join(
+            half, pa.table({"va": degt["src"], "da": degt["d"]}),
+            on="a", right_on="va")
+        j2 = broadcast_join(
+            j1, pa.table({"vb": degt["src"], "db": degt["d"]}),
+            on="b", right_on="vb")
+    else:
+        j1 = hash_join(half, deg.map_batches(da_side, batch_format="pyarrow"),
+                       on="a", right_on="va")
+        j2 = hash_join(j1, deg.map_batches(db_side, batch_format="pyarrow"),
+                       on="b", right_on="vb")
 
     def ek_partial(t: pa.Table) -> pa.Table:
         md = np.minimum(t["da"].to_numpy(), t["db"].to_numpy())
