@@ -459,6 +459,10 @@ def cmd_run(args) -> dict:
             metrics_path=args.metrics))
     else:  # pragma: no cover
         raise SystemExit(f"unknown --algo {args.algo}")
+    if getattr(args, "top", None) and out is not None:
+        # C-API top_nodes parity (gunrock.h:330-347): keep only the top-k
+        # rows by the primitive's rank column
+        out = ga.top_k(out, args.top)
     t_run = time.perf_counter() - t0
 
     rows = 0
@@ -1001,6 +1005,9 @@ def main(argv=None) -> None:
     run.add_argument("--out", default="/tmp/gunrock_ray_out")
     run.add_argument("--partitions", type=int, default=None)
     run.add_argument("--spill-dir", default=None)
+    run.add_argument("--top", type=int, default=None,
+                     help="keep only the top-K rows by the primitive's "
+                          "rank column (the C API's top_nodes extract)")
     run.add_argument("--undirected", action="store_true")
     run.add_argument("--weighted", action="store_true")
     run.add_argument("--hll-p", type=int, default=6,

@@ -351,6 +351,23 @@ def _resume_from(g, ckpt_dir, resume, expected_algo: str):
     return 0, uuid.uuid4().hex
 
 
+def top_k(result, k: int, by: str | None = None, tie: str = "v"):
+    """Top-``k`` rows of a rank-family primitive's result — the C API's
+    ``top_nodes`` extract (`gunrock/gunrock.h:330-347` returns the top-k
+    (node_id, score) pairs for PageRank/HITS): order by (``by`` desc,
+    ``tie`` asc) and keep ``k``. ``by`` defaults to the first non-``v``
+    column (pr→rank, hits→hub, salsa→hub, bc→bc, katz→katz, evc→evc).
+    Accepts a Ray Dataset or a pandas DataFrame; already-sorted results
+    (pagerank, katz) reduce to ``limit(k)`` with the identical slice."""
+    import pandas as pd
+    if isinstance(result, pd.DataFrame):
+        by = by or next(c for c in result.columns if c != tie)
+        return (result.sort_values([by, tie], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+    by = by or next(c for c in result.schema().names if c != tie)
+    return result.sort([by, tie], descending=[True, False]).limit(k)
+
+
 def _recover_and_resume(g, ckpt_dir, expected_algo: str, reinit,
                         post=None, tries: int = 5,
                         delay: float = 1.0) -> dict:

@@ -1,0 +1,117 @@
+"""top_k extract parity (round-5 VERDICT item 8): the C API returns the
+top ``top_nodes`` (node_id, score) pairs for its rank primitives
+(`gunrock/gunrock.h:330-347`); ``graph_algos.top_k`` is the engine-wide
+convenience. One test per rank-family primitive asserting the top-k
+slice equals the full sort's head, plus the CLI --top flag."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gunrock_ray.pipelines import graph_algos as ga
+from gunrock_ray.pipelines.graph_algos import build_graph, top_k
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    rng = np.random.default_rng(11)
+    e = pa.table({"src": pa.array(rng.integers(0, 300, 2500), pa.int64()),
+                  "dst": pa.array(rng.integers(0, 300, 2500), pa.int64())})
+    g = build_graph(e, num_partitions=4)
+    gi = build_graph(e, num_partitions=4, with_in_edges=True)
+    gu = build_graph(e, num_partitions=4, undirected=True)
+    yield g, gi, gu
+    g.shutdown(remove_spill=True)
+    gi.shutdown(remove_spill=True)
+    gu.shutdown(remove_spill=True)
+
+
+def _full_head(df, by, k):
+    return (df.sort_values([by, "v"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def _pd(x):
+    import pandas as pd
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def _check(result, by, k=7):
+    got = _pd(top_k(result, k, by=by)).reset_index(drop=True)
+    full = _pd(result)
+    assert got.equals(_full_head(full, by, k))
+    # default rank column = first non-v column
+    got_default = _pd(top_k(result, k)).reset_index(drop=True)
+    first = next(c for c in full.columns if c != "v")
+    assert got_default.equals(_full_head(full, first, k))
+
+
+def test_topk_pagerank(graphs):
+    g, _, _ = graphs
+    _check(ga.pagerank(g, error=0.0, max_iter=10), "rank")
+
+
+def test_topk_hits(graphs):
+    _, gi, _ = graphs
+    _check(ga.hits(gi, max_iter=8), "hub")
+    _check(ga.hits(gi, max_iter=8), "auth")
+
+
+def test_topk_salsa(graphs):
+    _, gi, _ = graphs
+    _check(ga.salsa(gi, max_iter=8), "hub")
+
+
+def test_topk_bc(graphs):
+    _, gi, _ = graphs
+    _check(ga.betweenness_centrality(gi, sources=[0, 1, 2]), "bc")
+
+
+def test_topk_katz(graphs):
+    g, _, _ = graphs
+    _check(ga.katz_centrality(g, max_iter=8), "katz")
+
+
+def test_topk_evc(graphs):
+    _, _, gu = graphs
+    _check(ga.eigenvector_centrality(gu, max_iter=8), "evc")
+
+
+def test_cli_top_flag(tmp_path):
+    """CLI --top K writes exactly K rows equal to the full run's head."""
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(4)
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"src": pa.array(rng.integers(0, 100, 900), pa.int64()),
+                  "dst": pa.array(rng.integers(0, 100, 900), pa.int64())}),
+        str(d / "e.parquet"))
+
+    def run(extra):
+        out = tmp_path / ("out_" + "_".join(extra).replace("-", ""))
+        r = subprocess.run(
+            [sys.executable, "-m", "gunrock_ray.cli", "run", "--algo", "pr",
+             "--input", str(d), "--out", str(out), "--partitions", "2",
+             "--max-iter", "5"] + extra,
+            capture_output=True, text=True, env={"PYTHONPATH": "/root/repo",
+                                                 "RAY_ADDRESS": "local",
+                                                 "PATH": "/usr/bin:/bin"})
+        assert r.returncode == 0, r.stderr[-800:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        import pandas as pd
+        import glob as _g
+        files = sorted(_g.glob(str(out / "*.parquet")))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        return summary, df.sort_values(["rank", "v"],
+                                       ascending=[False, True]
+                                       ).reset_index(drop=True)
+
+    s_full, full = run([])
+    s_top, top = run(["--top", "5"])
+    assert s_top["rows"] == 5
+    assert top.equals(full.head(5).reset_index(drop=True))
