@@ -285,7 +285,8 @@ def cmd_run(args) -> dict:
                        vertices=vertices, num_partitions=args.partitions,
                        spill_dir=args.spill_dir, with_in_edges=needs_in,
                        partition_method=args.partition_method,
-                       partition_seed=args.partition_seed)
+                       partition_seed=args.partition_seed,
+                       max_restarts=args.max_restarts)
     t_build = time.perf_counter() - t0
     ck = dict(metrics_path=args.metrics, ckpt_dir=args.ckpt_dir,
               ckpt_every=args.ckpt_every, resume=args.resume)
@@ -1008,6 +1009,10 @@ def main(argv=None) -> None:
     run.add_argument("--top", type=int, default=None,
                      help="keep only the top-K rows by the primitive's "
                           "rank column (the C API's top_nodes extract)")
+    run.add_argument("--max-restarts", type=int, default=0,
+                     help="Ray actor restarts per partition; with "
+                          "--ckpt-dir/--ckpt-every, PR/CC/LP recover "
+                          "mid-run from the last checkpoint")
     run.add_argument("--undirected", action="store_true")
     run.add_argument("--weighted", action="store_true")
     run.add_argument("--hll-p", type=int, default=6,
