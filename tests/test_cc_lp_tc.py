@@ -408,3 +408,27 @@ def test_lp_raw_exchange_bit_identical_to_combined(rmat_graph):
     alternating = lp5(lambda it: it % 2 == 1)
     assert combined.equals(raw)
     assert combined.equals(alternating)
+
+
+def test_lp_mixed_raw_and_combined_senders(rmat_graph):
+    """Per-sender fallback (weighted/wide-id senders emit combined packs
+    while others go raw) must merge exactly: drive one round with actor 0
+    raw and the rest combined, against an all-combined round."""
+    import ray
+
+    t, g = rmat_graph
+
+    def one_round(modes):
+        g.call_all("lp_init")
+        g.register_push("out")
+        g.superstep("lp_min_scatter", "lp_min_apply")
+        packs = [a.lp_scatter.remote(m) for a, m in zip(g.actors, modes)]
+        ray.get([a.lp_apply.remote(*packs) for a in g.actors])
+        return (g.extract("lp_extract").to_pandas()
+                .sort_values("v").reset_index(drop=True))
+
+    want = one_round([False] * len(g.actors))
+    mixed = one_round([i == 0 for i in range(len(g.actors))])
+    inverse = one_round([i != 0 for i in range(len(g.actors))])
+    assert want.equals(mixed)
+    assert want.equals(inverse)
