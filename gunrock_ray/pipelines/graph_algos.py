@@ -2647,7 +2647,9 @@ def bc_forward_stats(graph: DistributedGraph, src: int):
 
 def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
         direction_optimized: bool = False, alpha: float = 14.0,
-        beta: float = 24.0, metrics_path: str | None = None):
+        beta: float = 24.0, metrics_path: str | None = None,
+        ckpt_dir: str | None = None, ckpt_every: int = 0,
+        resume: bool = False):
     """BFS depths from src (SURVEY.md §2.6; -1 = unreached). Delta frontier:
     only newly-settled vertices scatter each superstep. ``mark_pred`` adds a
     ``pred`` column (the reference's --mark-pred, `bfs_problem.cuh:66-95`;
@@ -2661,23 +2663,49 @@ def bfs(graph: DistributedGraph, src: int, *, mark_pred: bool = False,
     below n/beta."""
     g = graph
     metrics = MetricsWriter(metrics_path)
+    cols = ["depth"] + (["pred"] if mark_pred else [])
     g.call_all("bfs_init", src, mark_pred)
     it = 0
+    run_id = uuid.uuid4().hex
+    if resume and ckpt_dir:
+        # depths are a min-fixpoint and checkpoints land on level
+        # boundaries — restore + reactivate-all-reached continues exactly
+        start_iter, run_id = _resume_from(g, ckpt_dir, resume, "bfs")
+        g.call_all("bfs_reactivate")
+        it = start_iter
     mode = "push"
     avg_deg = g.m / max(g.n, 1)
     while True:
-        if mode == "push":
-            res, _ = g.superstep("bfs_scatter", "bfs_apply")
-        else:
-            res = g.lookup("bfs_pull_request", "bfs_pull_apply",
-                           serve_args=("depth",))
-        frontier = sum(r["frontier"] for r in res)
-        mf = sum(r.get("frontier_out_edges", 0) for r in res)
-        unv = sum(r.get("unvisited", 0) for r in res)
-        metrics.write(algo="bfs", superstep=it, frontier=frontier,
-                      changed=frontier, mode=mode,
-                      t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                      t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+        try:
+            if mode == "push":
+                res, _ = g.superstep("bfs_scatter", "bfs_apply")
+            else:
+                res = g.lookup("bfs_pull_request", "bfs_pull_apply",
+                               serve_args=("depth",))
+            frontier = sum(r["frontier"] for r in res)
+            mf = sum(r.get("frontier_out_edges", 0) for r in res)
+            unv = sum(r.get("unvisited", 0) for r in res)
+            metrics.write(algo="bfs", superstep=it, frontier=frontier,
+                          changed=frontier, mode=mode,
+                          t_scatter_s=max(r.get("t_scatter_s", 0.0)
+                                          for r in res),
+                          t_apply_s=max(r.get("t_apply_s", 0.0)
+                                        for r in res))
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, cols, run_id,
+                             extra={"algo": "bfs", "iteration": it})
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "bfs",
+                lambda: g.call_all("bfs_init", src, mark_pred),
+                post=lambda: g.call_all("bfs_reactivate"))
+            it = lineage["iteration"] + 1
+            mode = "push"
+            metrics.write(algo="bfs", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
         it += 1
         if frontier == 0:
             break
@@ -2918,7 +2946,9 @@ def widest_path(graph: DistributedGraph, src: int, *,
 
 
 def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
-         multi_level: bool = False, metrics_path: str | None = None):
+         multi_level: bool = False, metrics_path: str | None = None,
+         ckpt_dir: str | None = None, ckpt_every: int = 0,
+         resume: bool = False):
     """Single-source shortest paths (SURVEY.md §2.7; frontier relaxation with
     min-combine; inf = unreached). Graph should be built weighted; unweighted
     graphs use weight 1. ``delta`` enables the near-far priority split (the
@@ -2934,17 +2964,47 @@ def sssp(graph: DistributedGraph, src: int, *, delta: float | None = None,
     g = graph
     metrics = MetricsWriter(metrics_path)
     it = 0
+    if delta is not None and (ckpt_dir or resume):
+        # near-far queue state (pivot, far pile) is derived, not
+        # checkpointed; distance-only resume is exact only for the plain
+        # Bellman-Ford-style frontier loop
+        raise ValueError("checkpoint/resume supports plain SSSP only "
+                         "(delta=None)")
     if delta is None:
         if multi_level:
             raise ValueError("multi_level SSSP requires delta")
         g.call_all("sssp_init", src)
+        run_id = uuid.uuid4().hex
+        if resume and ckpt_dir:
+            # distances are a min-fixpoint — restore + reactivate every
+            # settled vertex continues to the identical result
+            start_iter, run_id = _resume_from(g, ckpt_dir, resume, "sssp")
+            g.call_all("sssp_reactivate")
+            it = start_iter
         while True:
-            res, _ = g.superstep("sssp_scatter", "sssp_apply")
-            frontier = sum(r["frontier"] for r in res)
-            metrics.write(algo="sssp", superstep=it, frontier=frontier,
-                          changed=frontier,
-                          t_scatter_s=max(r.get("t_scatter_s", 0.0) for r in res),
-                          t_apply_s=max(r.get("t_apply_s", 0.0) for r in res))
+            try:
+                res, _ = g.superstep("sssp_scatter", "sssp_apply")
+                frontier = sum(r["frontier"] for r in res)
+                metrics.write(algo="sssp", superstep=it, frontier=frontier,
+                              changed=frontier,
+                              t_scatter_s=max(r.get("t_scatter_s", 0.0)
+                                              for r in res),
+                              t_apply_s=max(r.get("t_apply_s", 0.0)
+                                            for r in res))
+                if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                    g.checkpoint(ckpt_dir, it, ["dist"], run_id,
+                                 extra={"algo": "sssp", "iteration": it})
+            except RayActorError:
+                if not (ckpt_dir and ckpt_every):
+                    raise
+                lineage = _recover_and_resume(
+                    g, ckpt_dir, "sssp",
+                    lambda: g.call_all("sssp_init", src),
+                    post=lambda: g.call_all("sssp_reactivate"))
+                it = lineage["iteration"] + 1
+                metrics.write(algo="sssp", event="actor_restart_recovery",
+                              resumed_from=lineage["iteration"])
+                continue
             it += 1
             if frontier == 0:
                 break

@@ -1341,6 +1341,16 @@ class GraphPartition:
             # predecessor id at the winning depth)
             self.state["pred"] = np.full(len(self.verts), -1, dtype=np.int64)
 
+    def bfs_reactivate(self) -> int:
+        """Rebuild the frontier as every REACHED vertex — the exact
+        resume/recovery continuation: a checkpoint lands on a level
+        boundary, so the reached set holds final depths and one
+        re-scatter wave reaches exactly the next level (depths are a
+        min-fixpoint; see sssp_reactivate)."""
+        self._frontier = np.flatnonzero(
+            self.state["depth"] < _BFS_INF).astype(np.int64)
+        return int(len(self._frontier))
+
     def _frontier_edges(self):
         starts = self.row_offsets[self._frontier]
         lens = self.out_deg[self._frontier]
@@ -1503,6 +1513,16 @@ class GraphPartition:
         f = np.unique(np.concatenate(improved)) if improved else _EMPTY_I8
         self._frontier = f
         return {"frontier": int(len(f))}
+
+    def sssp_reactivate(self) -> int:
+        """Rebuild the frontier as EVERY settled vertex (finite dist) —
+        the exact resume/recovery continuation: relaxation is monotone
+        (distances only decrease), so re-relaxing the settled set
+        converges to the identical least fixpoint as the uninterrupted
+        run."""
+        self._frontier = np.flatnonzero(
+            np.isfinite(self.state["dist"])).astype(np.int64)
+        return int(len(self._frontier))
 
     def sssp_extract(self) -> pa.Table:
         return pa.table({"v": pa.array(self.verts, pa.int64()),

@@ -146,3 +146,78 @@ def test_recover_reanchors_topology_explicitly(tmp_path):
            .reset_index(drop=True))
     g.shutdown()
     assert want.equals(got)
+
+
+def _chainy_edges(n=300, extra=150, seed=9):
+    """Chain + sparse chords: large diameter so BFS/SSSP run many levels."""
+    rng = np.random.default_rng(seed)
+    s = np.arange(n - 1, dtype=np.int64)
+    chords = rng.integers(0, n, (extra, 2))
+    return pa.table({
+        "src": pa.array(np.concatenate([s, chords[:, 0]]), pa.int64()),
+        "dst": pa.array(np.concatenate([s + 1, chords[:, 1]]), pa.int64())})
+
+
+def test_bfs_recovers_exact_after_actor_kill(tmp_path):
+    from gunrock_ray.pipelines.graph_algos import bfs
+    e = _chainy_edges()
+    g0 = build_graph(e, num_partitions=4, spill_dir=str(tmp_path / "sp0"))
+    want = (bfs(g0, 0, mark_pred=True).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    g0.shutdown()
+
+    g = build_graph(e, num_partitions=4, spill_dir=str(tmp_path / "sp1"),
+                    max_restarts=1)
+    ck = str(tmp_path / "ck_bfs")
+    t = _kill_after_first_checkpoint(g, ck)
+    got = (bfs(g, 0, mark_pred=True, ckpt_dir=ck, ckpt_every=3,
+               metrics_path=str(tmp_path / "m.jsonl")).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    t.join()
+    g.shutdown()
+    assert want.equals(got)
+
+
+def test_sssp_recovers_exact_after_actor_kill(tmp_path):
+    from gunrock_ray.pipelines.graph_algos import sssp
+    e = _chainy_edges(seed=13)
+    g0 = build_graph(e, num_partitions=4, spill_dir=str(tmp_path / "sp0"))
+    want = (sssp(g0, 0).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    g0.shutdown()
+
+    g = build_graph(e, num_partitions=4, spill_dir=str(tmp_path / "sp1"),
+                    max_restarts=1)
+    ck = str(tmp_path / "ck_sssp")
+    t = _kill_after_first_checkpoint(g, ck)
+    got = (sssp(g, 0, ckpt_dir=ck, ckpt_every=3,
+                metrics_path=str(tmp_path / "m.jsonl")).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    t.join()
+    g.shutdown()
+    assert want.equals(got)
+
+
+def test_bfs_sssp_process_restart_resume(tmp_path):
+    """Fresh process-style resume: restore the last checkpoint into a
+    from_spill pool and continue — result equals the uninterrupted run."""
+    from gunrock_ray.pipelines.graph_algos import bfs, sssp
+    from gunrock_ray.state.graph import DistributedGraph
+    e = _chainy_edges(seed=21)
+    sp = str(tmp_path / "sp")
+    g = build_graph(e, num_partitions=4, spill_dir=sp)
+    want_b = (bfs(g, 0, ckpt_dir=str(tmp_path / "ckb"), ckpt_every=5)
+              .to_pandas().sort_values("v").reset_index(drop=True))
+    want_s = (sssp(g, 0, ckpt_dir=str(tmp_path / "cks"), ckpt_every=5)
+              .to_pandas().sort_values("v").reset_index(drop=True))
+    g.shutdown()
+    g2 = DistributedGraph.from_spill(4, sp)
+    got_b = (bfs(g2, 0, ckpt_dir=str(tmp_path / "ckb"), ckpt_every=5,
+                 resume=True).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+    got_s = (sssp(g2, 0, ckpt_dir=str(tmp_path / "cks"), ckpt_every=5,
+                  resume=True).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+    g2.shutdown()
+    assert want_b.equals(got_b)
+    assert want_s.equals(got_s)
