@@ -38,7 +38,9 @@ def edge_table(scale: int):
     return rmat_dataset(scale, edge_factor=16, seed=7)
 
 
-def run_algos(tag: str):
+def run_algos(tag: str, kill_mid_pr: bool = False):
+    import threading
+
     import ray
 
     from gunrock_ray.pipelines.graph_algos import (connected_components,
@@ -47,12 +49,42 @@ def run_algos(tag: str):
 
     t0 = time.perf_counter()
     g = DistributedGraph.from_edges(edge_table(SCALE), 8, SPILL + "_" + tag,
-                                    undirected=True)
+                                    undirected=True,
+                                    max_restarts=1 if kill_mid_pr else 0)
     t_build = time.perf_counter() - t0
     # node placement of each ACTOR (not the driver)
-    actor_nodes = set(g.call_all("node_id"))
+    per_actor_node = g.call_all("node_id")
+    actor_nodes = set(per_actor_node)
     t0 = time.perf_counter()
-    pr = pagerank(g, error=0.0, max_iter=10).to_pandas()
+    recovered = False
+    if kill_mid_pr:
+        # kill an actor that lives on a DIFFERENT node than actor 0 (so
+        # recovery provably crosses the node boundary), as soon as the
+        # first checkpoint is durable
+        victim = next(i for i, nid in enumerate(per_actor_node)
+                      if nid != per_actor_node[0])
+        ck = SPILL + "_" + tag + "_ck"
+        import shutil
+        shutil.rmtree(ck, ignore_errors=True)
+
+        def _kill():
+            t1 = time.time()
+            while time.time() - t1 < 60:
+                if os.path.exists(os.path.join(ck, "lineage.json")):
+                    ray.kill(g.actors[victim], no_restart=False)
+                    return
+                time.sleep(0.005)
+        th = threading.Thread(target=_kill, daemon=True)
+        th.start()
+        pr = pagerank(g, error=0.0, max_iter=10, ckpt_dir=ck,
+                      ckpt_every=2,
+                      metrics_path=ck + ".metrics.jsonl").to_pandas()
+        th.join()
+        rows = [json.loads(line) for line in open(ck + ".metrics.jsonl")]
+        recovered = any(r.get("event") == "actor_restart_recovery"
+                        for r in rows)
+    else:
+        pr = pagerank(g, error=0.0, max_iter=10).to_pandas()
     t_pr = time.perf_counter() - t0
     t0 = time.perf_counter()
     cc, ncomp = connected_components(g)
@@ -62,7 +94,7 @@ def run_algos(tag: str):
     g.shutdown(remove_spill=True)
     return {"pr": pr, "cc": cc, "ncomp": ncomp, "m": m,
             "actor_nodes": actor_nodes, "t_build": t_build,
-            "t_pr": t_pr, "t_cc": t_cc}
+            "t_pr": t_pr, "t_cc": t_cc, "recovered": recovered}
 
 
 def main() -> int:
@@ -105,6 +137,9 @@ def main() -> int:
             time.sleep(0.2)
         n_nodes = len([n for n in ray.nodes() if n["Alive"]])
         multi = run_algos("multi")
+        # cross-node fault drill: kill an actor on the OTHER node mid-PR
+        # (first durable checkpoint), recover, same bit-exact result
+        kill = run_algos("multikill", kill_mid_pr=True)
         ray.shutdown()
     finally:
         subprocess.run(["ray", "stop", "--force"], env=env,
@@ -114,11 +149,14 @@ def main() -> int:
     cc_equal = single["cc"].equals(multi["cc"]) and \
         single["ncomp"] == multi["ncomp"]
     crossed = len(multi["actor_nodes"]) >= 2
+    kill_ok = bool(kill["recovered"] and single["pr"].equals(kill["pr"]))
     out = {
-        "ok": bool(pr_equal and cc_equal and crossed and n_nodes >= 2),
+        "ok": bool(pr_equal and cc_equal and crossed and kill_ok
+                   and n_nodes >= 2),
         "scale": SCALE, "m": multi["m"], "cluster_nodes": n_nodes,
         "actor_nodes_used": len(multi["actor_nodes"]),
         "pr_bit_identical": pr_equal, "cc_bit_identical": cc_equal,
+        "cross_node_kill_recovered_bit_identical": kill_ok,
         "ncomp": multi["ncomp"],
         "t_build_s": {"single": round(single["t_build"], 2),
                       "multi": round(multi["t_build"], 2)},
