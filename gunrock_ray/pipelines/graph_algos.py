@@ -587,16 +587,27 @@ def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
     it = start_iter
     while it < max_iter:
         t0 = time.perf_counter()
-        res, _ = g.superstep("kz_scatter", "kz_apply")
-        updated = sum(r["updated"] for r in res)
-        metrics.write(algo="katz", superstep=it, changed=updated,
-                      t_superstep_s=time.perf_counter() - t0)
-        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
-            g.checkpoint(ckpt_dir, it, ["katz"], run_id,
-                         extra={"algo": "katz", "iteration": it,
-                                "params": {"alpha": alpha, "beta": beta,
-                                           "tol": tol,
-                                           "max_iter": max_iter}})
+        try:
+            res, _ = g.superstep("kz_scatter", "kz_apply")
+            updated = sum(r["updated"] for r in res)
+            metrics.write(algo="katz", superstep=it, changed=updated,
+                          t_superstep_s=time.perf_counter() - t0)
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, ["katz"], run_id,
+                             extra={"algo": "katz", "iteration": it,
+                                    "params": {"alpha": alpha, "beta": beta,
+                                               "tol": tol,
+                                               "max_iter": max_iter}})
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "katz",
+                lambda: g.call_all("kz_init", alpha, beta, tol))
+            it = lineage["iteration"] + 1
+            metrics.write(algo="katz", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
         it += 1
         if updated == 0:
             break
@@ -606,7 +617,9 @@ def katz_centrality(graph: DistributedGraph, *, alpha: float = 0.05,
 
 def eigenvector_centrality(graph: DistributedGraph, *, max_iter: int = 20,
                            tol: float = 0.0,
-                           metrics_path: str | None = None):
+                           metrics_path: str | None = None,
+                           ckpt_dir: str | None = None, ckpt_every: int = 0,
+                           resume: bool = False):
     """Eigenvector centrality by power iteration on Aᵀ (Bonacich):
     x_{t+1} = Aᵀx_t / ‖Aᵀx_t‖₂, x_0 = 1/√n — the fourth member of the
     PR/Katz/HITS eigen-family over the same static out-push plan (the
@@ -623,17 +636,41 @@ def eigenvector_centrality(graph: DistributedGraph, *, max_iter: int = 20,
     g.call_all("evc_init", g.n)
     g.register_push("out")
     prev = None
-    for it in range(max_iter):
+    run_id = uuid.uuid4().hex
+    it = 0
+    if resume and ckpt_dir:
+        # driver-side stop scalar (prev = λ estimate) rides in lineage
+        start_iter, run_id = _resume_from(g, ckpt_dir, resume, "evc")
+        lineage = g.restore(ckpt_dir)
+        prev = lineage.get("prev_norm")
+        it = start_iter
+    while it < max_iter:
         t0 = time.perf_counter()
-        sq, _ = g.superstep("evc_scatter", "evc_apply")
-        norm = math.sqrt(sum(sq)) or 1.0
-        g.call_all("scale_state", "evc", 1.0 / norm)
-        metrics.write(algo="evc", superstep=it, messages=g.m,
-                      lambda_max_est=norm,
-                      t_superstep_s=time.perf_counter() - t0)
+        try:
+            sq, _ = g.superstep("evc_scatter", "evc_apply")
+            norm = math.sqrt(sum(sq)) or 1.0
+            g.call_all("scale_state", "evc", 1.0 / norm)
+            metrics.write(algo="evc", superstep=it, messages=g.m,
+                          lambda_max_est=norm,
+                          t_superstep_s=time.perf_counter() - t0)
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, ["evc"], run_id,
+                             extra={"algo": "evc", "iteration": it,
+                                    "prev_norm": norm})
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "evc", lambda: g.call_all("evc_init", g.n))
+            it = lineage["iteration"] + 1
+            prev = lineage.get("prev_norm")
+            metrics.write(algo="evc", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
         if prev is not None and abs(norm - prev) < tol and tol > 0:
             break
         prev = norm
+        it += 1
     metrics.close()
     return g.extract("evc_extract")
 
@@ -2402,7 +2439,9 @@ def topk_degree(graph: DistributedGraph, k: int = 10):
 # --------------------------------------------- HITS / SALSA (need in-edges)
 
 def hits(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-7,
-         metrics_path: str | None = None):
+         metrics_path: str | None = None,
+         ckpt_dir: str | None = None, ckpt_every: int = 0,
+         resume: bool = False):
     """HITS hub/authority scores (SURVEY.md §2.9; graph must be built
     ``with_in_edges=True``). Standard Kleinberg formulation with per-iteration
     L2 normalization (documented deviation from the fork's delta-damped
@@ -2415,19 +2454,43 @@ def hits(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-7,
     g.register_push("out")
     g.register_push("in")
     prev = None
-    for it in range(max_iter):
+    run_id = uuid.uuid4().hex
+    it = 0
+    if resume and ckpt_dir:
+        # driver-side stop scalars (prev norms) ride in lineage
+        start_iter, run_id = _resume_from(g, ckpt_dir, resume, "hits")
+        prev = tuple(g.restore(ckpt_dir).get("prev_norms") or ()) or None
+        it = start_iter
+    while it < max_iter:
         t0 = time.perf_counter()
-        sq, _ = g.superstep("hits_auth_scatter", "hits_auth_apply")
-        norm = math.sqrt(sum(sq)) or 1.0
-        g.call_all("scale_state", "auth", 1.0 / norm)
-        sq, _ = g.superstep("hits_hub_scatter", "hits_hub_apply")
-        hnorm = math.sqrt(sum(sq)) or 1.0
-        g.call_all("scale_state", "hub", 1.0 / hnorm)
-        metrics.write(algo="hits", superstep=it, messages=2 * g.m,
-                      t_superstep_s=time.perf_counter() - t0)
-        if prev is not None and abs(norm - prev[0]) < tol and abs(hnorm - prev[1]) < tol:
+        try:
+            sq, _ = g.superstep("hits_auth_scatter", "hits_auth_apply")
+            norm = math.sqrt(sum(sq)) or 1.0
+            g.call_all("scale_state", "auth", 1.0 / norm)
+            sq, _ = g.superstep("hits_hub_scatter", "hits_hub_apply")
+            hnorm = math.sqrt(sum(sq)) or 1.0
+            g.call_all("scale_state", "hub", 1.0 / hnorm)
+            metrics.write(algo="hits", superstep=it, messages=2 * g.m,
+                          t_superstep_s=time.perf_counter() - t0)
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, ["hub", "auth"], run_id,
+                             extra={"algo": "hits", "iteration": it,
+                                    "prev_norms": [norm, hnorm]})
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "hits", lambda: g.call_all("hits_init"))
+            it = lineage["iteration"] + 1
+            prev = tuple(lineage.get("prev_norms") or ()) or None
+            metrics.write(algo="hits", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
+        if prev is not None and abs(norm - prev[0]) < tol \
+                and abs(hnorm - prev[1]) < tol:
             break
         prev = (norm, hnorm)
+        it += 1
     metrics.close()
     return g.extract("hits_extract")
 
@@ -2489,7 +2552,9 @@ def salsa_gunrock(graph: DistributedGraph, *, max_iter: int = 20,
 
 
 def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
-          metrics_path: str | None = None):
+          metrics_path: str | None = None,
+          ckpt_dir: str | None = None, ckpt_every: int = 0,
+          resume: bool = False):
     """SALSA hub/authority scores (SURVEY.md §2.9: degree-normalized pushes,
     `gunrock/app/salsa/salsa_functor.cuh:168,319`; graph must be built
     ``with_in_edges=True``). L1-normalized each iteration (random-walk
@@ -2500,19 +2565,43 @@ def salsa(graph: DistributedGraph, *, max_iter: int = 20, tol: float = 1e-9,
     g.register_push("out")
     g.register_push("in")
     prev = None
-    for it in range(max_iter):
+    run_id = uuid.uuid4().hex
+    it = 0
+    if resume and ckpt_dir:
+        # driver-side stop scalars (prev sums) ride in lineage
+        start_iter, run_id = _resume_from(g, ckpt_dir, resume, "salsa")
+        prev = tuple(g.restore(ckpt_dir).get("prev_norms") or ()) or None
+        it = start_iter
+    while it < max_iter:
         t0 = time.perf_counter()
-        s1, _ = g.superstep("salsa_auth_scatter", "salsa_auth_apply")
-        asum = sum(s1) or 1.0
-        g.call_all("scale_state", "auth", 1.0 / asum)
-        s2, _ = g.superstep("salsa_hub_scatter", "salsa_hub_apply")
-        hsum = sum(s2) or 1.0
-        g.call_all("scale_state", "hub", 1.0 / hsum)
-        metrics.write(algo="salsa", superstep=it, messages=2 * g.m,
-                      t_superstep_s=time.perf_counter() - t0)
-        if prev is not None and abs(asum - prev[0]) < tol and abs(hsum - prev[1]) < tol:
+        try:
+            s1, _ = g.superstep("salsa_auth_scatter", "salsa_auth_apply")
+            asum = sum(s1) or 1.0
+            g.call_all("scale_state", "auth", 1.0 / asum)
+            s2, _ = g.superstep("salsa_hub_scatter", "salsa_hub_apply")
+            hsum = sum(s2) or 1.0
+            g.call_all("scale_state", "hub", 1.0 / hsum)
+            metrics.write(algo="salsa", superstep=it, messages=2 * g.m,
+                          t_superstep_s=time.perf_counter() - t0)
+            if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0:
+                g.checkpoint(ckpt_dir, it, ["hub", "auth"], run_id,
+                             extra={"algo": "salsa", "iteration": it,
+                                    "prev_norms": [asum, hsum]})
+        except RayActorError:
+            if not (ckpt_dir and ckpt_every):
+                raise
+            lineage = _recover_and_resume(
+                g, ckpt_dir, "salsa", lambda: g.call_all("salsa_init"))
+            it = lineage["iteration"] + 1
+            prev = tuple(lineage.get("prev_norms") or ()) or None
+            metrics.write(algo="salsa", event="actor_restart_recovery",
+                          resumed_from=lineage["iteration"])
+            continue
+        if prev is not None and abs(asum - prev[0]) < tol \
+                and abs(hsum - prev[1]) < tol:
             break
         prev = (asum, hsum)
+        it += 1
     metrics.close()
     return g.extract("salsa_extract")
 

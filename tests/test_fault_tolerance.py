@@ -221,3 +221,69 @@ def test_bfs_sssp_process_restart_resume(tmp_path):
     g2.shutdown()
     assert want_b.equals(got_b)
     assert want_s.equals(got_s)
+
+
+@pytest.mark.parametrize("algo", ["hits", "salsa", "katz", "evc"])
+def test_rank_primitive_recovers_bit_identical_after_kill(tmp_path, algo):
+    """Round-5 completion: every iterative rank primitive is resumable.
+    Kill at the first durable checkpoint; result equals the uninterrupted
+    run bit-for-bit (tol=0 forces the full fixed-iteration loop)."""
+    from gunrock_ray.pipelines.graph_algos import (eigenvector_centrality,
+                                                   hits, katz_centrality,
+                                                   salsa)
+    runs = {
+        "hits": lambda g, **kw: hits(g, max_iter=25, tol=0.0, **kw),
+        "salsa": lambda g, **kw: salsa(g, max_iter=25, tol=0.0, **kw),
+        "katz": lambda g, **kw: katz_centrality(g, max_iter=25, tol=0.0,
+                                                **kw),
+        "evc": lambda g, **kw: eigenvector_centrality(g, max_iter=25,
+                                                      tol=0.0, **kw),
+    }
+    needs_in = algo in ("hits", "salsa")
+    undirected = algo == "evc"
+    e = _edges(seed=17)
+    g0 = build_graph(e, num_partitions=4, with_in_edges=needs_in,
+                     undirected=undirected, spill_dir=str(tmp_path / "sp0"))
+    want = runs[algo](g0).to_pandas().sort_values("v").reset_index(drop=True)
+    g0.shutdown()
+
+    g = build_graph(e, num_partitions=4, with_in_edges=needs_in,
+                    undirected=undirected, spill_dir=str(tmp_path / "sp1"),
+                    max_restarts=1)
+    ck = str(tmp_path / "ck")
+    t = _kill_after_first_checkpoint(g, ck)
+    got = (runs[algo](g, ckpt_dir=ck, ckpt_every=2,
+                      metrics_path=str(tmp_path / "m.jsonl"))
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    t.join()
+    g.shutdown()
+    assert want.equals(got)
+    rows = [json.loads(line) for line in open(tmp_path / "m.jsonl")]
+    assert any(r.get("event") == "actor_restart_recovery" for r in rows)
+
+
+@pytest.mark.parametrize("algo", ["hits", "salsa", "evc"])
+def test_rank_primitive_process_restart_resume(tmp_path, algo):
+    from gunrock_ray.pipelines.graph_algos import (eigenvector_centrality,
+                                                   hits, salsa)
+    from gunrock_ray.state.graph import DistributedGraph
+    runs = {
+        "hits": lambda g, **kw: hits(g, max_iter=20, tol=0.0, **kw),
+        "salsa": lambda g, **kw: salsa(g, max_iter=20, tol=0.0, **kw),
+        "evc": lambda g, **kw: eigenvector_centrality(g, max_iter=20,
+                                                      tol=0.0, **kw),
+    }
+    needs_in = algo in ("hits", "salsa")
+    e = _edges(seed=23)
+    sp = str(tmp_path / "sp")
+    ck = str(tmp_path / "ck")
+    g = build_graph(e, num_partitions=4, with_in_edges=needs_in,
+                    undirected=algo == "evc", spill_dir=sp)
+    want = (runs[algo](g, ckpt_dir=ck, ckpt_every=5).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    g.shutdown()
+    g2 = DistributedGraph.from_spill(4, sp, with_in_edges=needs_in)
+    got = (runs[algo](g2, ckpt_dir=ck, ckpt_every=5, resume=True)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    g2.shutdown()
+    assert want.equals(got)
