@@ -334,8 +334,7 @@ def cmd_run(args) -> dict:
         extra.update(r)
         out = None
     elif args.algo == "evc":
-        out = ga.eigenvector_centrality(g, max_iter=args.max_iter,
-                                        metrics_path=args.metrics)
+        out = ga.eigenvector_centrality(g, max_iter=args.max_iter, **ck)
     elif args.algo == "lcc":
         out = ga.clustering_coefficients(g)
     elif args.algo == "edgesim":
@@ -409,23 +408,24 @@ def cmd_run(args) -> dict:
         out = ga.temporal_arrival(g, args.src, metrics_path=args.metrics)
     elif args.algo == "bfs":
         out = ga.bfs(g, args.src, mark_pred=args.mark_pred,
-                     direction_optimized=args.direction_optimized,
-                     metrics_path=args.metrics)
+                     direction_optimized=args.direction_optimized, **ck)
     elif args.algo == "sssp":
+        # near-far SSSP rejects ckpt (derived queue state); plain gets it
+        sk = ck if args.nf_delta is None else dict(
+            metrics_path=args.metrics)
         out = ga.sssp(g, args.src, delta=args.nf_delta,
-                      multi_level=args.multi_level,
-                      metrics_path=args.metrics)
+                      multi_level=args.multi_level, **sk)
     elif args.algo == "katz":
         out = ga.katz_centrality(g, alpha=args.katz_alpha,
                                  max_iter=args.max_iter, **ck)
     elif args.algo == "hits":
-        out = ga.hits(g, max_iter=args.max_iter, metrics_path=args.metrics)
+        out = ga.hits(g, max_iter=args.max_iter, **ck)
     elif args.algo == "hits_gr":
         out = ga.hits_gunrock(g, args.src, delta=args.delta,
                               max_iter=args.max_iter,
                               metrics_path=args.metrics)
     elif args.algo == "salsa":
-        out = ga.salsa(g, max_iter=args.max_iter, metrics_path=args.metrics)
+        out = ga.salsa(g, max_iter=args.max_iter, **ck)
     elif args.algo == "bc":
         srcs = [int(s) for s in args.bc_sources.split(",")] if args.bc_sources else None
         out = ga.betweenness_centrality(g, sources=srcs, metrics_path=args.metrics)
