@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dists": r.q_sssp_dists,
         "doc_sha": r.q_doc_sha,
         "doc_exact_dedup": r.q_doc_exact_dedup,
+        # -- round-5 additions (out of window; green dtype-strict
+        # check_contract runs at sf0.001 AND sf0.01 + dedicated pytests)
+        "doc_semantic_decontam": r.q_doc_semantic_decontam,
+        "doc_doremi": r.q_doc_doremi,
     }
 
 

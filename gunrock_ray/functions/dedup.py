@@ -1055,6 +1055,50 @@ def bloom_decontaminate(docs_ds, *, bench_mod: int = 50, ngram: int = 3,
 
 # ------------------------------------------- embedding-cosine near-dup
 
+def semantic_decontaminate(embeddings_path: str, *, bench_mod: int = 20,
+                           threshold: float = 0.8):
+    """Embedding-space benchmark decontamination — the semantic analog of
+    :func:`decontaminate` (n-gram overlap) for eval-set leakage that
+    paraphrasing hides from exact n-grams: flag every corpus vector whose
+    cosine similarity to ANY benchmark/eval vector reaches ``threshold``.
+    The benchmark slice (``vec_id % bench_mod == 0`` — the deterministic
+    eval stand-in, same convention as the n-gram pass) is embedded and
+    broadcast ONCE via ``ray.put`` (eval sets are small by nature — the
+    100-TB-safe side); every corpus batch counts its benchmark neighbors
+    in one vectorized matmul, no shuffle. Same float64 cosine semantics
+    as the embed_near_dup family (list_cosine_similarity twin). Returns
+    {vec_id, hits} with hits >= 1, benchmark rows excluded."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from gunrock_ray.functions.ann import _normalize, _stack
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    bench_mask = ids % bench_mod == 0
+    B = _normalize(_stack(t["embedding"]))[bench_mask]
+    ref = ray.put(B)
+
+    def block(batch: pa.Table) -> pa.Table:
+        Bm = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        keep = vid % bench_mod != 0
+        vid = vid[keep]
+        if len(vid) == 0 or len(Bm) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        M = _normalize(_stack(batch["embedding"]))[keep]
+        hits = (M @ Bm.T >= threshold).sum(axis=1).astype(np.int64)
+        flag = hits >= 1
+        return pa.table({"vec_id": pa.array(vid[flag], pa.int64()),
+                         "hits": pa.array(hits[flag], pa.int64())})
+
+    ds = ray.data.read_parquet(embeddings_path,
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(block, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs_exact(embeddings_path: str, *, threshold: float = 0.9):
     """Exact cosine near-dup pairs {a, b} (sim >= threshold, a < b): blockwise
     matmul of each batch against the broadcast normalized matrix. Exact

@@ -165,12 +165,13 @@ class LMScorer:
 
     def __init__(self, model_ref=None, model: dict | None = None,
                  alpha: float = 0.4, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", carry_cols: tuple = ()):
         import ray
         self.model = model if model is not None else ray.get(model_ref)
         self.alpha = float(alpha)
         self.text_col = text_col
         self.id_col = id_col
+        self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
@@ -186,12 +187,15 @@ class LMScorer:
             oov[i] = o
         # bits/token = -log2(p)/n = -logp_per_token / log10(2)
         bits = np.where(ntok > 0, -logp / np.log10(2.0), 0.0)
-        return pa.table({
+        cols = {
             self.id_col: pa.array(ids, pa.int64()),
             "n_tokens": pa.array(ntok, pa.int64()),
             "oov": pa.array(oov, pa.int64()),
             "logprob": pa.array(logp, pa.float64()),
-            "bits": pa.array(bits, pa.float64())})
+            "bits": pa.array(bits, pa.float64())}
+        for c in self.carry_cols:   # pass-through (e.g. the domain key)
+            cols[c] = batch[c]
+        return pa.table(cols)
 
 
 def _default_pool(concurrency):
@@ -210,15 +214,19 @@ def _default_pool(concurrency):
 
 def score_docs_lm(docs_ds, model: dict, *, alpha: float = 0.4,
                   text_col: str = "text", id_col: str = "doc_id",
-                  concurrency: int | None = None, batch_size: int = 256):
-    """Score every document under a trained model (broadcast once)."""
+                  concurrency: int | None = None, batch_size: int = 256,
+                  carry_cols: tuple = ()):
+    """Score every document under a trained model (broadcast once).
+    ``carry_cols`` pass through to the output (e.g. the domain key for
+    :func:`doremi_weights`) — avoids a corpus-wide re-join."""
     import ray
     concurrency = _default_pool(concurrency)
     ref = ray.put(model)
     return docs_ds.map_batches(
         LMScorer,
         fn_constructor_kwargs={"model_ref": ref, "alpha": alpha,
-                               "text_col": text_col, "id_col": id_col},
+                               "text_col": text_col, "id_col": id_col,
+                               "carry_cols": carry_cols},
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
 
@@ -322,3 +330,65 @@ def dsir_sample(docs_ds, target_model: dict, raw_model: dict, k: int, *,
     cand = cand.sort_values(["key", id_col],
                             ascending=[False, True]).head(k)
     return cand.reset_index(drop=True)
+
+
+def doremi_weights(docs_ds, model: dict, *, domain_col: str = "source",
+                   eta: float = 0.5, eps: float = 0.01, iters: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   concurrency: int | None = None):
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    multiplicative-weights updates over the per-domain EXCESS loss, here
+    the domain's mean stupid-backoff bits over the corpus mean (the
+    published method's proxy-minus-reference slot, with the corpus-level
+    LM as the reference). The distributed substance is scoring every
+    document under the LM (one actor-pool pass, :func:`score_docs_lm`)
+    and the per-domain integer bit sums (pre-aggregated groupby); the MW
+    iteration itself runs over the D-domain summary (D rows, driver-side
+    like every scalar tail).
+
+    Determinism contract (the SQL-twin shape): per-doc bits quantize to
+    bits_u6 BEFORE summing, per-domain sums and counts are integers, the
+    excess loss is lam_d = max(0, s_d/n_d - S/N)/1e6 (double ops over
+    integers — order-free), and each MW round re-quantizes the raw
+    updated weight to 1e-9 integers before the (integer, order-free)
+    normalization sum: r_d = a_d·exp(eta·lam_d) → r9_d =
+    floor(r_d·1e9+0.5) → a'_d = (1-eps)·r9_d/Σr9 + eps/D. Returns a
+    pandas DataFrame {source, n_docs, sum_bits_u6, lam_u6, weight_u6}
+    sorted by source."""
+    import pandas as pd
+    scored = score_docs_lm(docs_ds, model, text_col=text_col,
+                           id_col=id_col, concurrency=concurrency,
+                           carry_cols=(domain_col,))
+
+    # per-doc u6 quantization inside the batch, then integer partial sums
+    # per domain — the groupby ships D-sized partials only
+    def partial(t: pa.Table) -> pa.Table:
+        b6 = np.floor(t["bits"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        tt = pa.table({domain_col: t[domain_col], "b6": pa.array(b6)})
+        g = tt.group_by(domain_col).aggregate([("b6", "sum"),
+                                               ([], "count_all")])
+        return pa.table({domain_col: g[domain_col],
+                         "s": g["b6_sum"], "n": g["count_all"]})
+
+    per_dom = (scored.map_batches(partial, batch_format="pyarrow")
+               .groupby(domain_col).sum(["s", "n"]).to_pandas())
+    per_dom = per_dom.rename(columns={"sum(s)": "s", "sum(n)": "n"})
+    per_dom = per_dom.sort_values(domain_col).reset_index(drop=True)
+    s = per_dom["s"].to_numpy().astype(np.int64)
+    n = per_dom["n"].to_numpy().astype(np.int64)
+    S, N = int(s.sum()), int(n.sum())
+    lam = np.maximum(0.0, s / n - S / N) / 1e6
+    D = len(per_dom)
+    a = np.full(D, 1.0 / D)
+    for _ in range(iters):
+        r = a * np.exp(eta * lam)
+        r9 = np.floor(r * 1e9 + 0.5).astype(np.int64)
+        Z = int(r9.sum())
+        a = (1.0 - eps) * r9 / Z + eps / D
+    return pd.DataFrame({
+        domain_col: per_dom[domain_col],
+        "n_docs": n,
+        "sum_bits_u6": s,
+        "lam_u6": np.floor(lam * 1e6 * 1e6 + 0.5).astype(np.int64),
+        "weight_u6": np.floor(a * 1e6 + 0.5).astype(np.int64)})

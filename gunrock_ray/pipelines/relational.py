@@ -2605,6 +2605,39 @@ def q_embed_kmeans(sf_dir: str):
     return assign
 
 
+def q_doc_semantic_decontam(sf_dir: str):
+    """Embedding-space benchmark decontamination (round 5;
+    functions/dedup.semantic_decontaminate): the vec_id % 20 == 0 slice
+    is the eval stand-in; every other vector counts eval neighbors with
+    float64 cosine >= 0.3 via one broadcast-matmul pass. SQL-checked:
+    DuckDB list_cosine_similarity over the same threshold (the
+    embed_near_dup float-compare regime)."""
+    from gunrock_ray.functions.dedup import semantic_decontaminate
+    return semantic_decontaminate(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        bench_mod=20, threshold=0.3)
+
+
+def q_doc_doremi(sf_dir: str):
+    """DoReMi-style domain mixture reweighting (round 5;
+    functions/lm.doremi_weights): stupid-backoff LM bits per doc (the
+    existing distributed train+score), per-source integer bit sums,
+    excess loss vs the corpus mean, 5 multiplicative-weights rounds with
+    per-round 1e-9 integer re-quantization (order-free normalization).
+    Fully unrolled in SQL (_doc_doremi_sql)."""
+    import ray.data
+
+    from gunrock_ray.functions import lm
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    model = lm.train_ngram_lm(
+        docs.select_columns(["doc_id", "text"]), order=3, top_k=50_000)
+    out = lm.doremi_weights(docs, model, domain_col="source",
+                            eta=0.5, eps=0.01, iters=5)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_embed_near_dup_semantic(sf_dir: str):
     """SemDeDup-style semantic near-dup pairs over the embeddings table
     (k-means cluster → within-cluster exact cosine). SQL-checked via a
@@ -4734,6 +4767,58 @@ def _doc_lm_bits_sql() -> str:
         "FROM d LEFT JOIN agg USING (doc_id)")
 
 
+def _doc_doremi_sql(eta: float = 0.5, eps: float = 0.01,
+                    iters: int = 5) -> str:
+    """q_doc_doremi oracle: the full DoReMi pipeline in one statement —
+    per-doc stupid-backoff bits (the existing _lm CTEs), per-doc u6
+    quantization BEFORE summing, per-source INTEGER sums, excess loss
+    lam_d = GREATEST(0, s/n - S/N)/1e6, then ``iters`` unrolled
+    multiplicative-weights rounds with the engine's determinism
+    contract: each round re-quantizes the raw weight to 1e-9 integers
+    (r9 = FLOOR(a·EXP(eta·lam)·1e9 + 0.5)) so the normalization sum is
+    an order-free BIGINT sum; a' = (1-eps)·r9/Z + eps/D. Identical
+    float expression shapes to functions/lm.doremi_weights."""
+    etas, epss = repr(float(eta)), repr(float(eps))
+    parts = [
+        "WITH " + _lm_count_ctes("") + ", " + _lm_score_cte("sc", "") + ", "
+        "agg AS (SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n FROM sc "
+        "        GROUP BY doc_id), "
+        "b6 AS (SELECT d.doc_id, CAST(CASE WHEN COALESCE(agg.n, 0) > 0 "
+        f"THEN FLOOR((-(agg.s / agg.n) / {_LM_LOG10_2}) * 1000000.0 + 0.5) "
+        "ELSE 0 END AS BIGINT) AS b FROM d LEFT JOIN agg USING (doc_id)), "
+        "ps AS (SELECT doc.source, SUM(b6.b) AS s, COUNT(*) AS n "
+        "FROM documents doc JOIN b6 ON doc.doc_id = b6.doc_id "
+        "GROUP BY doc.source), "
+        "gtot AS (SELECT SUM(s) AS ts, SUM(n) AS tn, COUNT(*) AS dd "
+        "FROM ps), "
+        "base AS (SELECT ps.source, ps.s, ps.n, gtot.dd, "
+        "GREATEST(0.0, CAST(ps.s AS DOUBLE) / ps.n "
+        "- CAST(gtot.ts AS DOUBLE) / gtot.tn) / 1000000.0 AS lam "
+        "FROM ps, gtot), "
+        "a0 AS (SELECT source, s, n, dd, lam, 1.0 / dd AS a FROM base), ",
+    ]
+    for t in range(1, iters + 1):
+        p = f"a{t - 1}"
+        parts.append(
+            f"r{t} AS (SELECT source, s, n, dd, lam, CAST(FLOOR("
+            f"a * EXP({etas} * lam) * 1000000000.0 + 0.5) AS BIGINT) "
+            f"AS r9 FROM {p}), "
+            f"z{t} AS (SELECT SUM(r9) AS z FROM r{t}), "
+            f"a{t} AS (SELECT source, s, n, dd, lam, "
+            f"(1.0 - {epss}) * r9 / z{t}.z + {epss} / dd AS a "
+            f"FROM r{t}, z{t}), ")
+    last = parts.pop()[:-2] + " "   # drop trailing comma
+    parts.append(last)
+    parts.append(
+        f"SELECT source, CAST(n AS BIGINT) AS n_docs, "
+        f"CAST(s AS BIGINT) AS sum_bits_u6, "
+        f"CAST(FLOOR(lam * 1000000.0 * 1000000.0 + 0.5) AS BIGINT) "
+        f"AS lam_u6, "
+        f"CAST(FLOOR(a * 1000000.0 + 0.5) AS BIGINT) AS weight_u6 "
+        f"FROM a{iters}")
+    return "".join(parts)
+
+
 def _doc_dsir_sql(k: int = 25, seed: int = 11) -> str:
     """q_doc_dsir oracle: target LM counts from the doc_id % 7 == 0 slice,
     raw LM counts from the full corpus, per-doc logw = Σlp_target −
@@ -6417,6 +6502,15 @@ ORACLE_SQL: dict[str, str] = {
     # stupid-backoff LM train + score unrolled (counts, deterministic
     # top-k prune, full backoff recurrence, exact alpha-power literals)
     "doc_lm_bits": _doc_lm_bits_sql(),
+    "doc_doremi": _doc_doremi_sql(),
+    "doc_semantic_decontam": (
+        "SELECT v.vec_id, CAST(COUNT(*) AS BIGINT) AS hits "
+        "FROM embeddings v JOIN embeddings b "
+        "ON b.vec_id % 20 = 0 AND v.vec_id % 20 <> 0 "
+        "AND list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), "
+        "    CAST(b.embedding AS DOUBLE[])) >= 0.3 "
+        "GROUP BY v.vec_id"
+    ),
     # DSIR: both LM trainings + backoff scoring + the counter-based
     # Gumbel top-k draw (splitmix64 in SQL) reproduced end to end
     "doc_dsir": _doc_dsir_sql(),

@@ -1,0 +1,115 @@
+"""Round-5 additions: DoReMi domain reweighting + semantic benchmark
+decontamination — independent (non-SQL) references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _docs_table(n=120, seed=5):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
+    rows = []
+    for i in range(n):
+        src = ["web", "code", "books"][i % 3]
+        # give 'code' systematically rarer tokens => higher bits
+        words = rng.choice(vocab[:3] if src != "code" else vocab,
+                           size=rng.integers(5, 30)).tolist()
+        rows.append((i, " ".join(words), src))
+    ids, texts, srcs = zip(*rows)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts),
+                     "source": pa.array(srcs)})
+
+
+def test_doremi_weights_match_numpy_mw_replay():
+    import ray.data
+
+    from gunrock_ray.functions import lm
+
+    t = _docs_table()
+    docs = ray.data.from_arrow(t)
+    model = lm.train_ngram_lm(docs.select_columns(["doc_id", "text"]),
+                              order=3, top_k=1000)
+    out = lm.doremi_weights(docs, model, domain_col="source",
+                            eta=0.5, eps=0.01, iters=5)
+
+    # independent replay: score via the (bitwise-gated) scorer, then a
+    # fresh numpy MW with the same determinism contract
+    scored = lm.score_docs_lm(docs, model).to_pandas()
+    scored = scored.merge(
+        t.select(["doc_id", "source"]).to_pandas(), on="doc_id")
+    b6 = np.floor(scored["bits"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    scored["b6"] = b6
+    g = scored.groupby("source")["b6"].agg(["sum", "count"]).sort_index()
+    s = g["sum"].to_numpy().astype(np.int64)
+    n = g["count"].to_numpy().astype(np.int64)
+    lam = np.maximum(0.0, s / n - int(s.sum()) / int(n.sum())) / 1e6
+    D = len(g)
+    a = np.full(D, 1.0 / D)
+    for _ in range(5):
+        r9 = np.floor(a * np.exp(0.5 * lam) * 1e9 + 0.5).astype(np.int64)
+        a = 0.99 * r9 / int(r9.sum()) + 0.01 / D
+    want_w = np.floor(a * 1e6 + 0.5).astype(np.int64)
+
+    out = out.sort_values("source").reset_index(drop=True)
+    assert list(out["source"]) == list(g.index)
+    assert np.array_equal(out["n_docs"].to_numpy(), n)
+    assert np.array_equal(out["sum_bits_u6"].to_numpy(), s)
+    assert np.array_equal(out["weight_u6"].to_numpy(), want_w)
+    # MW properties: weights ~sum to 1; the high-loss domain ('code',
+    # built from rarer tokens) is upweighted vs uniform
+    assert abs(out["weight_u6"].sum() - 1_000_000) <= D
+    code_w = int(out.loc[out["source"] == "code", "weight_u6"].iloc[0])
+    assert code_w > 1_000_000 // D
+
+
+def test_doremi_no_excess_gives_uniform():
+    """All domains identical => lam = 0 everywhere => weights stay
+    uniform through every MW round."""
+    import ray.data
+
+    from gunrock_ray.functions import lm
+
+    t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(["a b c"] * 30),
+                  "source": pa.array([["x", "y", "z"][i % 3]
+                                      for i in range(30)])})
+    docs = ray.data.from_arrow(t)
+    model = lm.train_ngram_lm(docs.select_columns(["doc_id", "text"]),
+                              order=3, top_k=100)
+    out = lm.doremi_weights(docs, model, iters=5)
+    assert set(out["weight_u6"]) == {333333}
+
+
+def test_semantic_decontaminate_matches_numpy(tmp_path):
+    import pyarrow.parquet as pq
+
+    from gunrock_ray.functions.dedup import semantic_decontaminate
+
+    rng = np.random.default_rng(7)
+    n, d = 200, 16
+    M = rng.normal(size=(n, d))
+    # plant: vec 3 is a paraphrase-near-dup of bench vec 40 (40 % 20 == 0)
+    M[3] = M[40] + rng.normal(scale=0.05, size=d)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(M.astype(np.float32).tolist(),
+                                        pa.list_(pa.float32()))})
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    got = (semantic_decontaminate(p, bench_mod=20, threshold=0.6)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    Mn = M.astype(np.float32).astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    bm = np.arange(n) % 20 == 0
+    sims = Mn[~bm] @ Mn[bm].T
+    hits = (sims >= 0.6).sum(axis=1)
+    ids = np.arange(n)[~bm]
+    want_ids = ids[hits >= 1]
+    assert np.array_equal(got["vec_id"].to_numpy(), want_ids)
+    assert np.array_equal(got["hits"].to_numpy(),
+                          hits[hits >= 1].astype(np.int64))
+    assert 3 in set(got["vec_id"])      # the planted leak is flagged
+    assert 40 not in set(got["vec_id"])  # bench rows never self-flag
