@@ -552,10 +552,16 @@ def cmd_dedup(args) -> dict:
     from gunrock_ray.functions import dedup as dd
     _init_ray()
     t0 = time.perf_counter()
-    if args.method in ("embed", "embed-lsh", "semdedup"):
+    if args.method in ("embed", "embed-lsh", "semdedup", "semdecontam"):
         if args.method == "embed":
             pairs = dd.embedding_near_dup_pairs_exact(
                 args.input, threshold=args.threshold)
+        elif args.method == "semdecontam":
+            # embedding-space benchmark decontamination (round 5): flag
+            # corpus vectors near any eval-slice vector
+            pairs = dd.semantic_decontaminate(
+                args.input, bench_mod=args.bench_mod,
+                threshold=args.threshold)
         elif args.method == "semdedup":
             pairs = dd.embedding_near_dup_pairs_semantic(
                 args.input, threshold=args.threshold,
@@ -878,6 +884,15 @@ def cmd_analyze(args) -> dict:
     elif args.op == "unigram":
         from gunrock_ray.functions.unigram import train_unigram
         res, _ = train_unigram(docs, vocab_size=args.vocab_size)
+    elif args.op == "doremi":
+        import pyarrow as _pa
+        from gunrock_ray.functions import lm
+        docs3 = ray.data.read_parquet(
+            args.input, columns=["doc_id", "text", "source"])
+        model = lm.train_ngram_lm(docs, order=args.lm_order,
+                                  top_k=args.lm_topk)
+        df = lm.doremi_weights(docs3, model, iters=args.doremi_iters)
+        res = ray.data.from_arrow(_pa.Table.from_pandas(df))
     elif args.op == "wordpiece":
         from gunrock_ray.functions.wordpiece import (train_wordpiece,
                                                      wordpiece_encode)
@@ -1073,7 +1088,8 @@ def main(argv=None) -> None:
                          "or embeddings Parquet")
     ded.add_argument("--method", required=True,
                      choices=["exact", "minhash", "simhash", "ngram",
-                              "embed", "embed-lsh", "semdedup"])
+                              "embed", "embed-lsh", "semdedup",
+                              "semdecontam"])
     ded.add_argument("--input", required=True)
     ded.add_argument("--out", default="/tmp/gunrock_ray_dedup")
     ded.add_argument("--threshold", type=float, default=0.6)
@@ -1085,6 +1101,9 @@ def main(argv=None) -> None:
     ded.add_argument("--thr-den", type=int, default=2)
     ded.add_argument("--id-limit", type=int, default=None)
     ded.add_argument("--planes", type=int, default=12)
+    ded.add_argument("--bench-mod", type=int, default=20,
+                     help="--method semdecontam: vec_id %% N == 0 is the "
+                          "eval slice")
     ded.add_argument("--tables", type=int, default=8)
     ded.add_argument("--partitions", type=int, default=None)
     ded.add_argument("--cluster", action="store_true",
@@ -1128,11 +1147,12 @@ def main(argv=None) -> None:
                               "bloom-decontam", "segdedup", "dupspans",
                               "spanremove", "lmscore", "dsir", "bpe",
                               "unigram", "wordpiece",
-                              "domainclf"])
+                              "domainclf", "doremi"])
     ana.add_argument("--clf-dim", type=int, default=1024,
                      help="--op domainclf: hashed feature buckets")
     ana.add_argument("--clf-iters", type=int, default=10,
                      help="--op domainclf: full-batch GD iterations")
+    ana.add_argument("--doremi-iters", type=int, default=5)
     ana.add_argument("--lm-order", type=int, default=3)
     ana.add_argument("--lm-topk", type=int, default=100_000)
     ana.add_argument("--max-bits", type=float, default=None,
