@@ -119,12 +119,18 @@ def shard_row_counts(fs: pafs.FileSystem, root: str, P: int) -> dict:
     """Per-pid durable row counts of a hive-partitioned spill, from
     parquet FOOTERS only (no data read; one metadata fetch per file).
     Run once at build time on the driver; the result is the manifest
-    against which every actor-side shard read is verified."""
-    counts: dict[str, int] = {}
-    for p in range(P):
+    against which every actor-side shard read is verified. Footer
+    fetches run on a thread pool (I/O bound, GIL-released) so the scan
+    stays sub-second even at hundreds of partitions on object storage."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def count_pid(p: int) -> int:
         n = 0
         for f in list_parquet(fs, join(root, f"pid={p}")):
             with fs.open_input_file(f) as fh:
                 n += pq.ParquetFile(fh).metadata.num_rows
-        counts[str(p)] = n
-    return counts
+        return n
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, P))) as ex:
+        ns = list(ex.map(count_pid, range(P)))
+    return {str(p): n for p, n in enumerate(ns)}
