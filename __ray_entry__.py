@@ -67,7 +67,11 @@ triangle estimator (bit-reproducible counter-based draws), event-type
 Markov transitions, rich-club coefficients, the full 16-class
 Holland-Leinhardt directed triad census, deterministic XOR-hash bridge
 detection, and 2-edge-connected components (bridges composed with the
-engine's distributed CC).
+engine's distributed CC). Round 5 added embedding-space benchmark
+decontamination (semantic eval-leakage pass, list_cosine_similarity
+twin) and DoReMi-style domain mixture reweighting (full LM-train +
+score + multiplicative-weights unroll in one SQL statement) — 158
+queries total, all SQL-oracled.
 """
 
 from __future__ import annotations
