@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # check_contract runs at sf0.001 AND sf0.01 + dedicated pytests)
         "doc_semantic_decontam": r.q_doc_semantic_decontam,
         "doc_doremi": r.q_doc_doremi,
+        "pr_dangling10": r.q_pr_dangling10,
     }
 
 

@@ -298,6 +298,11 @@ def cmd_run(args) -> dict:
                           if args.personalized else None,
                           normalized=not args.weighted,
                           weighted=args.weighted, **ck)
+    elif args.algo == "prd":
+        # NetworkX-convention PR: dangling mass redistributed uniformly
+        out = ga.pagerank_dangling(g, delta=args.delta,
+                                   max_iter=args.max_iter,
+                                   metrics_path=args.metrics)
     elif args.algo == "cc":
         out, ncomp = ga.connected_components(g, **ck)
         extra["num_components"] = ncomp
@@ -1002,7 +1007,7 @@ def main(argv=None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run")
     run.add_argument("--algo", required=True,
-                     choices=["pr", "cc", "lp", "kcore", "tc", "lcc", "edgesim", "mis",
+                     choices=["pr", "prd", "cc", "lp", "kcore", "tc", "lcc", "edgesim", "mis",
                               "coloring", "astar", "maxflow", "louvain", "bmatch",
                               "ktruss", "diameter", "scc", "bfs",
                               "sssp",

@@ -530,6 +530,39 @@ def pagerank(graph: DistributedGraph, *, delta: float = 0.85, error: float = 0.0
     return out.sort(["rank", "v"], descending=[True, False])
 
 
+def pagerank_dangling(graph: DistributedGraph, *, delta: float = 0.85,
+                      max_iter: int = 10,
+                      metrics_path: str | None = None):
+    """PageRank under the OTHER standard convention — dangling mass
+    redistributed uniformly each iteration (NetworkX semantics) instead
+    of absorbed (the engine default mirrors the reference,
+    `doc/results.md:80-84`): r' = (1-d)/n + d·(Σ_{u→v} r[u]/od[u] +
+    D/n) with D = Σ_{od=0} r. Plain-rank power iteration over the same
+    static out-push plan; the global dangling mass is one scalar
+    combined on the driver per round (O(P) floats). Fixed ``max_iter``
+    supersteps — the SQL-checkable form (relational._prd_sql unrolls the
+    identical update). Returns a Dataset {v, rank} sorted (v asc)."""
+    g = graph
+    metrics = MetricsWriter(metrics_path)
+    g.call_all("pru_init", g.n, delta, 0.0)
+    g.register_push("out")
+    n_ = max(g.n, 1)
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        dmass = sum(g.call_all("prd_dangling_sum"))
+        packs = [a.pru_scatter.remote() for a in g.actors]
+        # dmass / n as a division (not reciprocal-multiply) — the SQL
+        # twin uses the identical float expression shape
+        res = ray.get([a.prd_apply.remote(dmass / n_, *packs)
+                       for a in g.actors])
+        metrics.write(algo="pr_dangling", superstep=it,
+                      changed=sum(r["updated"] for r in res),
+                      dangling_mass=dmass,
+                      t_superstep_s=time.perf_counter() - t0)
+    metrics.close()
+    return g.extract("pru_extract").sort("v")
+
+
 def trustrank(graph: DistributedGraph, seeds, *, delta: float = 0.85,
               tol: float = 0.0, max_iter: int = 20, weighted: bool = False,
               metrics_path: str | None = None):

@@ -1391,6 +1391,20 @@ def q_salsa8(sf_dir: str):
     return df[["v", "hub_u6", "auth_u6"]].sort_values("v").reset_index(drop=True)
 
 
+def q_pr_dangling10(sf_dir: str):
+    """NetworkX-convention PageRank (dangling mass redistributed
+    uniformly; round 5 — graph_algos.pagerank_dangling), exactly 10
+    supersteps, SQL-checked via the unrolled _prd_sql twin."""
+    from gunrock_ray.pipelines.graph_algos import pagerank_dangling
+    g = _graph(sf_dir, undirected=False)
+    try:
+        df = pagerank_dangling(g, max_iter=10).to_pandas()
+    finally:
+        g.shutdown(remove_spill=True)
+    df["rank_u6"] = np.floor(df["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df[["v", "rank_u6"]].sort_values("v").reset_index(drop=True)
+
+
 def q_pr_unnorm10(sf_dir: str):
     """Unnormalized (plain power iteration) PageRank, exactly 10 supersteps —
     the reference's NORMALIZED=false path (`pr_app.cu:283-360`), SQL-checked
@@ -2823,6 +2837,41 @@ def _pr_sql(iters: int = 10, delta: float = 0.85, normalized: bool = True,
     for i in range(1, iters + 1):
         parts.append(step.format(i=i, prev=i - 1))
     parts.append(final)
+    return "".join(parts)
+
+
+def _prd_sql(iters: int = 10, delta: float = 0.85) -> str:
+    """q_pr_dangling10 oracle: the NetworkX-convention power iteration
+    (dangling mass redistributed uniformly) unrolled with the engine's
+    exact float expression shapes — r' = (1-d)/n + d·(Σ r[u]/od[u] +
+    D/n), D the previous round's dangling rank sum (one SQL SUM vs the
+    engine's partition-partial + driver sum: 1-ulp regime, absorbed by
+    the 1e-6 quantization)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_VERTS_SQL}), ",
+        "nn AS (SELECT COUNT(*) AS n FROM verts), ",
+        f"e AS MATERIALIZED ({_NORM_SQL}), ",
+        "od AS MATERIALIZED (SELECT verts.v, COALESCE(d.c, 0) AS deg "
+        "FROM verts LEFT JOIN (SELECT src AS v, COUNT(*) AS c FROM e "
+        "GROUP BY src) d ON d.v = verts.v), ",
+        "r0 AS (SELECT od.v, 1.0/nn.n AS pr FROM od CROSS JOIN nn)",
+    ]
+    msg = (f"(SELECT e.dst AS v, SUM(p.pr / od2.deg) AS s FROM e "
+           f"JOIN r{{prev}} p ON p.v = e.src JOIN od od2 ON od2.v = e.src "
+           f"GROUP BY e.dst)")
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f", dg{i} AS (SELECT COALESCE(SUM(p.pr), 0.0) AS dm "
+            f"FROM r{p} p JOIN od ON od.v = p.v AND od.deg = 0)"
+            f", r{i} AS (SELECT od.v, "
+            f"(1.0-{delta})/nn.n + {delta}*(COALESCE(m.s, 0) + "
+            f"dg{i}.dm/nn.n) AS pr "
+            f"FROM od CROSS JOIN nn CROSS JOIN dg{i} "
+            f"LEFT JOIN {msg.format(prev=p)} m ON m.v = od.v)")
+    parts.append(
+        f" SELECT v, CAST(FLOOR(pr*1000000 + 0.5) AS BIGINT) AS rank_u6 "
+        f"FROM r{iters}")
     return "".join(parts)
 
 
@@ -5746,6 +5795,7 @@ ORACLE_SQL: dict[str, str] = {
     "lp_labels": _lp_sql(20),
     "pr10": _pr_sql(10),
     "pr_unnorm10": _pr_sql(10, normalized=False),
+    "pr_dangling10": _prd_sql(10),
     "katz5": _katz_sql(5, alpha=0.05, beta=1.0),
     "evc8": _evc_sql(8),
     "densest": _dsg_sql(12),

@@ -689,6 +689,32 @@ class GraphPartition:
         return pa.table({"v": pa.array(self.verts, pa.int64()),
                          "rank": pa.array(self.state["rank"], pa.float64())})
 
+    # -------------------------- PageRank with dangling redistribution
+    # The OTHER standard PageRank convention (NetworkX semantics): dangling
+    # vertices' rank is redistributed uniformly each iteration instead of
+    # absorbed (the engine default follows the reference's absorption,
+    # `doc/results.md:80-84`). Reuses the pru_* state/scatter; the global
+    # dangling mass is a per-round scalar combined on the driver.
+
+    def prd_dangling_sum(self) -> float:
+        """Σ rank over this partition's dangling (out-degree-0) verts."""
+        return float(self.state["rank"][self.out_deg == 0].sum())
+
+    @_apply_timed
+    def prd_apply(self, dshare: float, *val_packs) -> dict:
+        """pru_apply plus the uniform dangling share: new = (1-d)/n +
+        d·(Σ_incoming + D/n), dshare = D/n driver-combined. 1-ulp
+        caveat: D sums partition partials driver-side vs one SQL SUM —
+        same quantization regime as evc_u6."""
+        nxt = self._static_apply_sum(val_packs, "out")
+        old = self.state["rank"]
+        new = self._pr_reset + self._pr_delta * (nxt + dshare)
+        new[~np.isfinite(new)] = 0.0
+        updated = int(np.count_nonzero(
+            np.abs(new - old) > self._pr_threshold * old))
+        self.state["rank"] = new
+        return {"updated": updated, "msgs": int(len(self.col_indices))}
+
     # ----------------------------------------------- weighted PageRank
     # Edge-weighted generalization of the NORMALIZED=false power iteration
     # (pru_*): each push carries x[u]·w(u,v)/wsum(u) with wsum(u) the

@@ -196,3 +196,49 @@ def test_weighted_pagerank_needs_weighted_graph(ray_session):
                      weighted=True)
     finally:
         g.shutdown(remove_spill=True)
+
+
+def test_pagerank_dangling_matches_numpy_redistribution():
+    """pagerank_dangling (NetworkX convention): dangling mass is
+    redistributed uniformly each round — checked against a dense numpy
+    replay on a graph with real dangling vertices, and shown to differ
+    from the absorption-convention default."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gunrock_ray import build_graph, pagerank
+    from gunrock_ray.pipelines.graph_algos import pagerank_dangling
+
+    rng = np.random.default_rng(2)
+    n = 80
+    src = rng.integers(0, 50, 400)        # vertices 50..79 are dangling
+    dst = rng.integers(0, n, 400)
+    e = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    g = build_graph(e, num_partitions=4,
+                    vertices=pa.table({"v": pa.array(np.arange(n))}))
+    got = (pagerank_dangling(g, max_iter=10).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    base = (pagerank(g, normalized=False, error=0.0, max_iter=10)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    g.shutdown(remove_spill=True)
+
+    # dense replay with the identical update
+    pairs = {(int(s), int(d)) for s, d in zip(src, dst) if s != d}
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    od = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        D = r[od == 0].sum()
+        push = np.zeros(n)
+        nz = od > 0
+        push = (r[nz] / od[nz]) @ A[nz]
+        r = (1 - 0.85) / n + 0.85 * (push + D / n)
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    # conventions genuinely differ on this graph, and only the
+    # redistribution one conserves total mass at 1
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    assert not np.allclose(got["rank"].to_numpy(),
+                           base["rank"].to_numpy(), atol=1e-6)
