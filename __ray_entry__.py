@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_semantic_decontam": r.q_doc_semantic_decontam,
         "doc_doremi": r.q_doc_doremi,
         "pr_dangling10": r.q_pr_dangling10,
+        "doc_temperature_mix": r.q_doc_temperature_mix,
     }
 
 

@@ -977,6 +977,13 @@ def cmd_stats(args) -> dict:
                                          columns=["doc_id", "source"])
         res = cs.stratified_sample(src_docs, rates, default_pct=args.pct,
                                    seed=args.seed)
+    elif args.op == "tempmix":
+        import pyarrow as _pa
+        src_docs = ray.data.read_parquet(args.input,
+                                         columns=["doc_id", "lang"])
+        df = cs.temperature_mix(src_docs, args.mix_total,
+                                alpha=args.mix_alpha, seed=args.seed)
+        res = ray.data.from_arrow(_pa.Table.from_pandas(df))
     elif args.op == "repeat":
         pm = {}
         if args.rates:
@@ -1241,7 +1248,11 @@ def main(argv=None) -> None:
     st.add_argument("--op", required=True,
                     choices=["vocab", "ngrams", "quantiles", "gquantiles",
                              "sample", "shuffle", "stratified", "repeat",
-                             "tfidf", "bm25", "chunk"])
+                             "tempmix", "tfidf", "bm25", "chunk"])
+    st.add_argument("--mix-total", type=int, default=1000,
+                    help="--op tempmix: target sample size")
+    st.add_argument("--mix-alpha", type=float, default=0.7,
+                    help="--op tempmix: temperature exponent (n^alpha)")
     st.add_argument("--input", required=True)
     st.add_argument("--out", default="/tmp/gunrock_ray_stats")
     st.add_argument("--topn", type=int, default=100)

@@ -543,3 +543,64 @@ def chunk_documents(docs_ds, chunk_tokens: int = 64, overlap: int = 16):
                          "n_tokens": pa.array(out_n, pa.int64())})
 
     return docs_ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def temperature_mix(docs_ds, total: int, *, alpha: float = 0.7,
+                    lang_col: str = "lang", seed: int = 0):
+    """Temperature-based language/domain sampling (the mT5 / XLM-R
+    multilingual mixing rule, Xue et al. 2021 §3.3: sample language l
+    with probability ∝ n_l^alpha — alpha < 1 upweights low-resource
+    languages): allocate per-language quotas q_l ∝ n_l^alpha summing to
+    ~``total``, then take each language's q_l docs with the SMALLEST
+    deterministic hash key (mix64(doc_id ^ seed), doc_id) — a pure
+    function of ids, block-layout- and cluster-size-invariant like every
+    sampling primitive here.
+
+    Determinism contract (SQL-twin shape): the only float op is
+    n_l^alpha, immediately quantized to 1e-9 integers (p9 =
+    floor(n^alpha·1e9 + 0.5)); the allocation q_l = (total·p9·2 + S9) //
+    (2·S9) is pure integer arithmetic over the order-free integer sum
+    S9 = Σp9, and the selection is integer hash ranking. Two bounded
+    passes: a D-row count aggregate, then per-block partial top-q_l per
+    language merged driver-side (≤ blocks·total rows — the partial-
+    top-k merge shape, never the corpus). Returns a pandas DataFrame
+    {doc_id, <lang_col>, rk} (rk = 1..q_l per language)."""
+    import pandas as pd
+
+    from gunrock_ray.common import mix64
+
+    counts = (docs_ds.groupby(lang_col).count().to_pandas()
+              .sort_values(lang_col).reset_index(drop=True))
+    cnt_col = [c for c in counts.columns if c != lang_col][0]
+    n = counts[cnt_col].to_numpy().astype(np.int64)
+    p9 = np.floor(np.power(n.astype(np.float64), alpha) * 1e9
+                  + 0.5).astype(np.int64)
+    S9 = int(p9.sum())
+    quota = {lang: int((int(total) * int(p) * 2 + S9) // (2 * S9))
+             for lang, p in zip(counts[lang_col], p9)}
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        langs = batch[lang_col].to_pylist()
+        h = mix64(ids.astype(np.uint64) ^ s)
+        df = pd.DataFrame({"doc_id": ids, lang_col: langs, "h": h})
+        df = df.sort_values([lang_col, "h", "doc_id"])
+        df["rk"] = df.groupby(lang_col).cumcount()
+        keep = df["rk"].to_numpy() < np.array(
+            [quota.get(v, 0) for v in df[lang_col]])
+        df = df[keep]
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         lang_col: pa.array(df[lang_col].tolist()),
+                         "h": pa.array(df["h"].to_numpy(), pa.uint64())})
+
+    cand = (docs_ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values([lang_col, "h", "doc_id"]).reset_index(drop=True)
+    cand["rk"] = cand.groupby(lang_col).cumcount() + 1
+    keep = cand["rk"].to_numpy() <= np.array(
+        [quota.get(v, 0) for v in cand[lang_col]])
+    out = cand[keep][["doc_id", lang_col, "rk"]].reset_index(drop=True)
+    out["rk"] = out["rk"].astype(np.int64)
+    return out

@@ -2749,6 +2749,17 @@ def q_grouped_quantiles(sf_dir: str):
                                             ("doc_id", "text", "source")))
 
 
+def q_doc_temperature_mix(sf_dir: str):
+    """Temperature-based language mixing (round 5;
+    corpus_stats.temperature_mix, the mT5/XLM-R n^alpha rule): per-lang
+    quotas ∝ n_l^0.7 summing to ~150, each lang's quota filled by
+    smallest (mix64(doc_id), doc_id). Integer allocation over 1e-9-
+    quantized pow values; splitmix64 + window-rank SQL twin."""
+    from gunrock_ray.functions.corpus_stats import temperature_mix
+    return temperature_mix(_docs_ds(sf_dir, ("doc_id", "lang")),
+                           total=150, alpha=0.7, lang_col="lang", seed=0)
+
+
 def q_doc_stratified(sf_dir: str):
     """Deterministic stratified (per-source) sample {doc_id, source} —
     mix64(doc_id) % 100 < rate(source) — the domain-mixing primitive;
@@ -6648,6 +6659,28 @@ ORACLE_SQL: dict[str, str] = {
         f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
         "       AS z FROM s1) "
         "SELECT doc_id FROM s2 WHERE xor(z, z >> 31) % 100 < 10"
+    ),
+    "doc_temperature_mix": (
+        "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+        "GROUP BY lang), "
+        "p AS (SELECT lang, CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.7) "
+        "* 1000000000.0 + 0.5) AS HUGEINT) AS p9 FROM c), "
+        "sp AS (SELECT SUM(p9) AS s9 FROM p), "
+        "q AS (SELECT lang, CAST((150 * p9 * 2 + sp.s9) // (2 * sp.s9) "
+        "AS BIGINT) AS q FROM p, sp), "
+        "s0 AS (SELECT doc_id, lang, CAST(doc_id AS UBIGINT) + "
+        "       CAST(11400714819323198485 AS UBIGINT) AS z FROM documents), "
+        f"s1 AS (SELECT doc_id, lang, "
+        f"{_MULMOD_SQL('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z "
+        "FROM s0), "
+        f"s2 AS (SELECT doc_id, lang, "
+        f"{_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z "
+        "FROM s1), "
+        "h AS (SELECT doc_id, lang, xor(z, z >> 31) AS h FROM s2), "
+        "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h) "
+        "SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk "
+        "FROM r JOIN q USING (lang) WHERE r.rk <= q.q"
     ),
     "doc_stratified": (
         "WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) + "

@@ -406,3 +406,42 @@ def test_rollup_sums_levels_and_sentinels():
     import pytest
     with pytest.raises(ValueError):
         rollup_sums(ray.data.from_arrow(t), [], ["v"])
+
+
+def test_temperature_mix_quotas_and_determinism():
+    """temperature_mix: quotas follow the n^alpha rule (low-resource
+    languages upweighted vs proportional), selection is the smallest
+    hash key per language, and the result is block-layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gunrock_ray.common import mix64
+    from gunrock_ray.functions.corpus_stats import temperature_mix
+
+    langs = ["en"] * 800 + ["fr"] * 150 + ["sw"] * 50
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array(langs)})
+    total, alpha = 100, 0.5
+    out = temperature_mix(ray.data.from_arrow(t), total, alpha=alpha)
+
+    # independent quota replay (same integer allocation contract)
+    n = np.array([800, 150, 50], dtype=np.float64)
+    p9 = np.floor(n ** alpha * 1e9 + 0.5).astype(np.int64)
+    S9 = int(p9.sum())
+    qs = {lang: (total * int(p) * 2 + S9) // (2 * S9)
+          for lang, p in zip(["en", "fr", "sw"], p9)}
+    got_q = out.groupby("lang")["doc_id"].count().to_dict()
+    assert got_q == qs
+    # alpha < 1 upweights sw vs its 5% proportional share
+    assert qs["sw"] > total * 50 // 1000
+    # per-lang winners are exactly the smallest-hash docs
+    for lang, ids in (("en", range(0, 800)), ("sw", range(950, 1000))):
+        h = mix64(np.array(list(ids), dtype=np.uint64))
+        want = np.array(list(ids))[np.lexsort((list(ids), h))][:qs[lang]]
+        got = out[out["lang"] == lang]["doc_id"].to_numpy()
+        assert set(got) == set(want)
+    # block-layout invariance
+    out2 = temperature_mix(
+        ray.data.from_arrow(t).repartition(13), total, alpha=alpha)
+    assert out.equals(out2)
