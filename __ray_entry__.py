@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_doremi": r.q_doc_doremi,
         "pr_dangling10": r.q_pr_dangling10,
         "doc_temperature_mix": r.q_doc_temperature_mix,
+        "doc_keyword_tags": r.q_doc_keyword_tags,
     }
 
 

@@ -208,3 +208,39 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
 def repetition_stats(docs_ds):
     """documents → per-doc repetition signal table (shuffle-free map)."""
     return docs_ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def keyword_tag(docs_ds, lexicon: dict[str, str], *,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Taxonomy/domain tagging by whole-word keyword dictionary — the
+    FlashText/RegexTagger stage of a curation pipeline (tag every doc
+    with topic hit counts from a term→topic lexicon). The lexicon is
+    tiny by nature and ships via task closure; matching is a vectorized
+    per-batch token→topic map (whitespace tokens, the corpus-wide
+    convention), no shuffle. Returns a Dataset {doc_id, topic, cnt}
+    with one row per (doc, topic) having cnt >= 1 — integer-exact and
+    directly SQL-checkable (unnest + VALUES join)."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        did, topic = [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            did.extend([ids[i]] * len(toks))
+            topic.extend(toks)
+        df = pd.DataFrame({"doc_id": np.asarray(did, dtype=np.int64)
+                           if did else np.zeros(0, np.int64),
+                           "topic": pd.Series(topic, dtype=object)
+                           .map(lexicon)})
+        df = df.dropna()
+        g = (df.groupby(["doc_id", "topic"]).size()
+             .reset_index(name="cnt"))
+        return pa.table({id_col: pa.array(g["doc_id"].to_numpy()
+                                          .astype(np.int64)),
+                         "topic": pa.array(g["topic"].tolist()),
+                         "cnt": pa.array(g["cnt"].to_numpy()
+                                         .astype(np.int64))})
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow")

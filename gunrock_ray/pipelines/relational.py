@@ -2749,6 +2749,27 @@ def q_grouped_quantiles(sf_dir: str):
                                             ("doc_id", "text", "source")))
 
 
+_TAG_LEXICON = {
+    # term -> topic over the synthetic query-log vocabulary; the
+    # fold/count machinery is what's under test (real corpora swap in a
+    # real taxonomy)
+    "join": "relational", "scan": "relational", "filter": "relational",
+    "group": "relational", "agg": "relational",
+    "sort": "ordering", "order": "ordering", "merge": "ordering",
+    "slow": "perf", "fast": "perf",
+    "stream": "exec", "batch": "exec",
+}
+
+
+def q_doc_keyword_tags(sf_dir: str):
+    """Whole-word keyword taxonomy tagging (round 5;
+    functions/text.keyword_tag): per-doc topic hit counts from a fixed
+    term→topic lexicon — integer-exact, SQL twin = unnest + VALUES
+    join + GROUP BY."""
+    from gunrock_ray.functions.text import keyword_tag
+    return keyword_tag(_docs_ds(sf_dir), _TAG_LEXICON)
+
+
 def q_doc_temperature_mix(sf_dir: str):
     """Temperature-based language mixing (round 5;
     corpus_stats.temperature_mix, the mT5/XLM-R n^alpha rule): per-lang
@@ -6659,6 +6680,20 @@ ORACLE_SQL: dict[str, str] = {
         f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
         "       AS z FROM s1) "
         "SELECT doc_id FROM s2 WHERE xor(z, z >> 31) % 100 < 10"
+    ),
+    "doc_keyword_tags": (
+        "WITH lex(term, topic) AS (VALUES "
+        "('join', 'relational'), ('scan', 'relational'), "
+        "('filter', 'relational'), ('group', 'relational'), "
+        "('agg', 'relational'), ('sort', 'ordering'), "
+        "('order', 'ordering'), ('merge', 'ordering'), "
+        "('slow', 'perf'), ('fast', 'perf'), "
+        "('stream', 'exec'), ('batch', 'exec')), "
+        "tk AS (SELECT doc_id, unnest(regexp_extract_all("
+        "COALESCE(text, ''), '\\S+')) AS term FROM documents) "
+        "SELECT tk.doc_id, lex.topic, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tk JOIN lex ON tk.term = lex.term "
+        "GROUP BY tk.doc_id, lex.topic"
     ),
     "doc_temperature_mix": (
         "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "

@@ -193,3 +193,35 @@ def test_repetition_stats_matches_duckdb_sf0001():
     assert list(got.columns) == list(want.columns)
     for c in got.columns:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_keyword_tag_matches_counter_reference():
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gunrock_ray.functions.text import keyword_tag
+
+    docs = [
+        (0, "join the fast scan join"),
+        (1, "no hits here at all"),
+        (2, "sort sort merge slow"),
+        (3, ""),
+    ]
+    lex = {"join": "rel", "scan": "rel", "sort": "ord",
+           "merge": "ord", "slow": "perf", "fast": "perf"}
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs])})
+    got = (keyword_tag(ray.data.from_arrow(t), lex).to_pandas()
+           .sort_values(["doc_id", "topic"]).reset_index(drop=True))
+    want = collections.Counter()
+    for d, s in docs:
+        for tok in s.split():
+            if tok in lex:
+                want[(d, lex[tok])] += 1
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[(row["doc_id"], row["topic"])] == row["cnt"]
+    assert 1 not in set(got["doc_id"])   # zero-hit docs emit nothing
