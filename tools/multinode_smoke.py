@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-SPILL = "/tmp/gunrock_ray_multinode_spill"
+SPILL = os.environ.get("MN_SPILL", "/tmp/gunrock_ray_multinode_spill")
 PORT = 6391
 
 
@@ -64,13 +64,16 @@ def run_algos(tag: str, kill_mid_pr: bool = False):
         victim = next(i for i, nid in enumerate(per_actor_node)
                       if nid != per_actor_node[0])
         ck = SPILL + "_" + tag + "_ck"
+        # local view of the ckpt dir for the watcher (fsio handles the
+        # URI form inside the engine)
+        ck_local = ck[7:] if ck.startswith("file://") else ck
         import shutil
-        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ck_local, ignore_errors=True)
 
         def _kill():
             t1 = time.time()
             while time.time() - t1 < 60:
-                if os.path.exists(os.path.join(ck, "lineage.json")):
+                if os.path.exists(os.path.join(ck_local, "lineage.json")):
                     ray.kill(g.actors[victim], no_restart=False)
                     return
                 time.sleep(0.005)
@@ -78,9 +81,10 @@ def run_algos(tag: str, kill_mid_pr: bool = False):
         th.start()
         pr = pagerank(g, error=0.0, max_iter=10, ckpt_dir=ck,
                       ckpt_every=2,
-                      metrics_path=ck + ".metrics.jsonl").to_pandas()
+                      metrics_path=ck_local + ".metrics.jsonl").to_pandas()
         th.join()
-        rows = [json.loads(line) for line in open(ck + ".metrics.jsonl")]
+        rows = [json.loads(line)
+                for line in open(ck_local + ".metrics.jsonl")]
         recovered = any(r.get("event") == "actor_restart_recovery"
                         for r in rows)
     else:
