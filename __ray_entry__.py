@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_dangling10": r.q_pr_dangling10,
         "doc_temperature_mix": r.q_doc_temperature_mix,
         "doc_keyword_tags": r.q_doc_keyword_tags,
+        "doc_novelty": r.q_doc_novelty,
     }
 
 

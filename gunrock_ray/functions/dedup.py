@@ -1249,3 +1249,63 @@ def embedding_near_dup_pairs_semantic(embeddings_path: str, *,
     return (ds.map_batches(assign_carry, batch_format="pyarrow")
             .groupby("cluster").map_groups(verify_cluster,
                                            batch_format="pyarrow"))
+
+
+def ngram_novelty(docs_ds, *, ngram: int = 3,
+                  num_buckets: int | None = None):
+    """Per-document n-gram NOVELTY — the memorization/boilerplate
+    counter-signal: of a doc's distinct word n-grams, how many occur in
+    NO other document (corpus df == 1)? High novelty marks original
+    text; low novelty marks template/boilerplate mass that the
+    dup-span and segment-dedup passes then remove. Same shingle chain
+    as the MinHash/decontam family (single source of truth, SQL-exact).
+
+    Three bounded exchanges, nothing corpus-sized on the driver:
+    (1) per-doc distinct (doc_id, shingle) pairs, (2) shingle df by the
+    coarse-bucket cogrouped aggregate, (3) pairs ⋈ df (shuffle join on
+    the shingle key) pre-combined per doc before the final D-row
+    groupby. Returns {doc_id, n_shingles, n_unique, novelty_u6} with
+    novelty_u6 = (n_unique·10^6) // n_shingles (integer division,
+    exact); docs with no shingles emit nothing (the sh-CTE convention).
+    """
+    from gunrock_ray.functions.aggregates import grouped_sums_cogrouped
+    from gunrock_ray.functions.joins import hash_join
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        d, s = flat_word_shingles(texts, ngram)
+        return pa.table({"doc_id": pa.array(ids[d], pa.int64()),
+                         "s": pa.array(s.view(np.int64), pa.int64())})
+
+    p = docs_ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    df = grouped_sums_cogrouped(p, ["s"], [], count_as="df",
+                                num_buckets=num_buckets)
+    j = hash_join(p, df.map_batches(
+        lambda t: pa.table({"su": t["s"], "df": t["df"]}),
+        batch_format="pyarrow"), on="s", right_on="su",
+        num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        uniq = (t["df"].to_numpy() == 1).astype(np.int64)
+        tt = pa.table({"doc_id": pa.array(ids),
+                       "u": pa.array(uniq),
+                       "n": pa.array(np.ones(len(ids), np.int64))})
+        g = tt.group_by("doc_id").aggregate([("u", "sum"), ("n", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "u": g["u_sum"],
+                         "n": g["n_sum"]})
+
+    per = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("doc_id").sum(["u", "n"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        u = t["sum(u)"].to_numpy().astype(np.int64)
+        n = t["sum(n)"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pa.array(n),
+            "n_unique": pa.array(u),
+            "novelty_u6": pa.array(u * np.int64(1_000_000) // n)})
+
+    return per.map_batches(final, batch_format="pyarrow")

@@ -2761,6 +2761,15 @@ _TAG_LEXICON = {
 }
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (round 5; functions/dedup.ngram_novelty):
+    share of a doc's distinct word-3-grams with corpus df == 1, on the
+    MinHash-family shingle chain — all-integer, novelty_u6 by integer
+    division. SQL twin reuses the exact sh CTE."""
+    from gunrock_ray.functions.dedup import ngram_novelty
+    return ngram_novelty(_docs_ds(sf_dir))
+
+
 def q_doc_keyword_tags(sf_dir: str):
     """Whole-word keyword taxonomy tagging (round 5;
     functions/text.keyword_tag): per-doc topic hit counts from a fixed
@@ -6680,6 +6689,17 @@ ORACLE_SQL: dict[str, str] = {
         f"s2 AS (SELECT doc_id, {_MULMOD_SQL('xor(z, z >> 27)', 0x94D049BB133111EB)} "
         "       AS z FROM s1) "
         "SELECT doc_id FROM s2 WHERE xor(z, z >> 31) % 100 < 10"
+    ),
+    "doc_novelty": (
+        f"WITH RECURSIVE {_minhash_common_ctes()}, "
+        "shd AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "dfs AS (SELECT s, COUNT(*) AS df FROM shd GROUP BY s), "
+        "per AS (SELECT shd.doc_id, COUNT(*) AS n, "
+        "SUM(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS u "
+        "FROM shd JOIN dfs USING (s) GROUP BY shd.doc_id) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, "
+        "CAST(u AS BIGINT) AS n_unique, "
+        "CAST((u * 1000000) // n AS BIGINT) AS novelty_u6 FROM per"
     ),
     "doc_keyword_tags": (
         "WITH lex(term, topic) AS (VALUES "

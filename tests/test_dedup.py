@@ -638,3 +638,42 @@ def test_remove_dup_spans_random_partition_invariant():
         assert list(out["clean_text"]) == [w[0] for w in want]
         assert list(out["n_words"]) == [w[1] for w in want]
         assert list(out["n_removed"]) == [w[2] for w in want]
+
+
+def test_ngram_novelty_matches_counter_reference():
+    """ngram_novelty: per-doc df==1 share vs a Counter reference on the
+    identical shingle chain; planted duplicate text zeroes novelty."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gunrock_ray.functions.dedup import flat_word_shingles, ngram_novelty
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",   # exact dup: novelty 0
+        "one two three four five six seven",      # all unique
+        "alpha beta gamma nine ten eleven",       # mixed
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (ngram_novelty(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    df = collections.Counter()
+    per_doc = []
+    for s in texts:
+        _, sh = flat_word_shingles([s], 3)
+        sh = set(sh.tolist())
+        per_doc.append(sh)
+        df.update(sh)
+    for i, sh in enumerate(per_doc):
+        n = len(sh)
+        u = sum(1 for x in sh if df[x] == 1)
+        row = got.iloc[i]
+        assert row["n_shingles"] == n and row["n_unique"] == u
+        assert row["novelty_u6"] == (u * 1_000_000) // n
+    assert got.iloc[0]["novelty_u6"] == 0 and got.iloc[1]["novelty_u6"] == 0
+    assert got.iloc[2]["novelty_u6"] == 1_000_000
