@@ -893,6 +893,9 @@ def cmd_analyze(args) -> dict:
     elif args.op == "unigram":
         from gunrock_ray.functions.unigram import train_unigram
         res, _ = train_unigram(docs, vocab_size=args.vocab_size)
+    elif args.op == "novelty":
+        from gunrock_ray.functions.dedup import ngram_novelty
+        res = ngram_novelty(docs)
     elif args.op == "doremi":
         import pyarrow as _pa
         from gunrock_ray.functions import lm
@@ -1163,7 +1166,7 @@ def main(argv=None) -> None:
                               "bloom-decontam", "segdedup", "dupspans",
                               "spanremove", "lmscore", "dsir", "bpe",
                               "unigram", "wordpiece",
-                              "domainclf", "doremi"])
+                              "domainclf", "doremi", "novelty"])
     ana.add_argument("--clf-dim", type=int, default=1024,
                      help="--op domainclf: hashed feature buckets")
     ana.add_argument("--clf-iters", type=int, default=10,
